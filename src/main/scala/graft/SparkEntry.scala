@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{CoreQueries, Q}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries live in `graft.queries.*` modules, each colocated with its
+  * DuckDB oracle SQL; this object only aggregates them.
+  */
 object SparkEntry {
+
+  /** Every declared query, in stable order. */
+  def allQueries: Seq[Q] = CoreQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.q09.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name -> q.fn).toMap
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for non-SQL-expressible ops (driver
+    * falls back to a rows-only check).
+    */
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
 }

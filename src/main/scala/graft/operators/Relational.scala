@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational building blocks that the reference uses but Spark does
+  * not ship verbatim. Everything here is composed from built-in, codegen'd
+  * expressions — no UDFs — so plans stay inside WholeStageCodegen and
+  * Catalyst can push/prune through them.
+  */
+object Relational {
+
+  /** Keep-first deduplication with deterministic order.
+    *
+    * The reference dedups positionally (pandas `drop_duplicates(subset)`
+    * keeps the first row in file order — reference:
+    * dags/flu_data_airflow_v2.py:376 — and Postgres
+    * `ON CONFLICT DO NOTHING` keeps the first arriving row,
+    * dags/flu_data_airflow_v2.py:598-602). Spark's `dropDuplicates` keeps
+    * an *arbitrary* row, so we make the choice explicit: the caller names
+    * the order columns that define "first". Implemented as a ranked window
+    * — one shuffle on the key columns, no global sort, scales linearly
+    * with partition count.
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Sorted-distinct comma-join string aggregate (reference G1:
+    * dags/flu_data_airflow_v2.py:335-336 — `", ".join(sorted(set(x)))`
+    * with blank → sentinel). Map-side partial aggregation applies
+    * (collect_set is a declarative agg), so only distinct values shuffle.
+    */
+  def stringSetAgg(child: Column): Column =
+    concat_ws(", ", array_sort(collect_set(child)))
+
+  /** Blank-to-sentinel normalization used after string aggregation
+    * (reference X9: dags/flu_data_airflow_v2.py:336, regex `^\s*$`). */
+  def blankTo(c: Column, sentinel: String): Column =
+    when(trim(c) === "", lit(sentinel)).otherwise(c)
+
+  /** First non-null value per group under an explicit order — the
+    * deterministic form of pandas `groupby().agg('first')` (reference G6:
+    * dags/flu_data_airflow_v2.py:409). `min_by` over a struct keyed by the
+    * order column, restricted to non-null values.
+    */
+  def firstNonNullBy(value: Column, order: Column): Column =
+    min_by(value, when(value.isNotNull, order))
+
+  /** Top-k by a sort key: compiles to TakeOrderedAndProject — each
+    * partition keeps k rows, only k·numPartitions rows reach the driver
+    * side of the sort (reference O3/O4: dags/flu_data_airflow_v2.py:175-176,234).
+    */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Dense sequential ID after a global sort (reference W1:
+    * dags/flu_data_airflow_v2.py:329,339 — alphabetical surrogate key).
+    * A single-partition window is fine for dimension tables (≤ thousands
+    * of rows). For fact-scale ID assignment use `zipWithIndexOrdered`.
+    */
+  def denseIdBy(df: DataFrame, idCol: String, order: Column*): DataFrame =
+    df.withColumn(idCol, row_number().over(Window.orderBy(order: _*)))
+
+  /** Fact-scale stable ID: sort, then assign contiguous IDs per partition
+    * via zipWithIndex — no single-partition bottleneck. Used when a
+    * surrogate key must be assigned to billions of rows.
+    */
+  def zipWithIndexOrdered(df: DataFrame, idCol: String, order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}
