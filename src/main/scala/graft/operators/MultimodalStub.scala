@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads travel as opaque `binary`
+  * columns with typed metadata; decode / feature-extraction runs
+  * per-partition over the raw bytes (the Scala analogue of arrow-batched
+  * decode UDFs: one iterator pass per partition, typed output schema,
+  * no per-row task overhead).
+  *
+  * The decode step itself is a STUB — real image/audio codecs are not
+  * available in this environment — so the "features" are deterministic
+  * byte-level facts (length, header bytes, md5). The Spark-side shape is
+  * real: a 100 TB media corpus would swap `extract` for a codec call
+  * without touching the plumbing.
+  */
+object MultimodalStub {
+
+  /** Attach an opaque binary payload column derived from a string column
+    * (stand-in for reading image/audio bytes).
+    */
+  def attachPayload(df: DataFrame, srcCol: String, payloadCol: String): DataFrame =
+    df.withColumn(payloadCol, encode(col(srcCol), "UTF-8"))
+
+  /** Per-partition feature extraction over binary payloads:
+    * (id, n_bytes, header_hex = first 4 bytes, content_md5).
+    */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // one digest instance per partition — the batch-amortized setup
+        // a real decoder (codec context, model handle) would need
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          md.reset()
+          val digest = md.digest(bytes).map("%02x".format(_)).mkString
+          val header = bytes.take(4).map("%02x".format(_)).mkString
+          (id, bytes.length.toLong, header, digest)
+        }
+      }
+      .toDF(idCol, "n_bytes", "header_hex", "content_md5")
+  }
+}

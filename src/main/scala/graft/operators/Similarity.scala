@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Hashing
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the query vector
+  * against a full scan; at 100 TB this is the map-only "gold" path you
+  * fall back to per-partition. Scale path: random-hyperplane LSH
+  * bucketing — each vector gets a small integer bucket from the sign
+  * pattern of `planes` pseudo-random projections, candidates are
+  * restricted to the query's bucket (an equi-join / partition-pruned
+  * scan instead of an all-pairs pass).
+  *
+  * Determinism: dot products accumulate in DECIMAL(38,12) so results do
+  * not depend on partition or SIMD order; hyperplanes are md5-derived so
+  * an external oracle can rebuild the exact same buckets.
+  */
+object Similarity {
+
+  // Precision 20 (not 38): Spark's Add widens precision by 1 and only
+  // reduces *scale* when precision would exceed 38 — at (20,12) every
+  // partial sum keeps scale 12 exactly, matching an oracle that sums in
+  // DECIMAL(38,12). Magnitudes here are ≤ a few hundred, far below 10^8.
+  private val Dec = DecimalType(20, 12)
+
+  /** Order-independent dot product of two float-array columns. Each
+    * product is computed in double (bit-exact IEEE), then accumulated
+    * in decimal.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
+      lit(0).cast(Dec),
+      // the exact-at-scale-12 sum is cast back so the accumulator type
+      // stays fixed across iterations
+      (acc, v) => (acc + v).cast(Dec)).cast("double")
+
+  /** Cosine similarity rounded to 6 dp (rounding also stabilizes any
+    * residual last-ulp divergence between engines).
+    */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+
+  /** Brute-force top-k nearest neighbours of one query vector.
+    * The single-row query side is broadcast; the scan side never
+    * shuffles; TakeOrderedAndProject keeps k rows per partition.
+    */
+  def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                     query: DataFrame, k: Int): DataFrame = {
+    val q = query.select(col(vecCol).as("_qvec"))
+    vectors.crossJoin(broadcast(q))
+      .select(col(idCol), cosine(col(vecCol), col("_qvec")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Pseudo-random hyperplane component in [-1, 1], derived from md5 of
+    * (plane, dim) — reproducible anywhere.
+    */
+  private def planeComponent(p: Int, d: Int): Column =
+    (Hashing.hash64(lit(s"plane$p:$d")) % 2001 - 1000).cast("double") / 1000.0
+
+  /** Sign-pattern LSH bucket id from `planes` hyperplane projections of
+    * a `dim`-wide vector. Same-bucket vectors are ANN candidates.
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = (1 to dim).map(d =>
+        (element_at(vec, d).cast("double") * planeComponent(p, d)).cast(Dec))
+        .reduce((a, b) => (a + b).cast(Dec))
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: top-k within the query's bucket only. */
+  def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, dim: Int, planes: Int, k: Int): DataFrame = {
+    val bucketed = vectors.withColumn("_bucket", hyperplaneBucket(col(vecCol), dim, planes))
+    val q = query.select(
+      col(vecCol).as("_qvec"),
+      hyperplaneBucket(col(vecCol), dim, planes).as("_qbucket"))
+    bucketed.join(broadcast(q), col("_bucket") === col("_qbucket"))
+      .select(col(idCol), cosine(col(vecCol), col("_qvec")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

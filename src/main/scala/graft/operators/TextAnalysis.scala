@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Text-analysis operators for large-scale document pipelines: token
+  * statistics, quality scoring, language identification, and document
+  * fingerprinting. All pure column expressions (no UDFs) — they run
+  * inside WholeStageCodegen and scale embarrassingly parallel: every
+  * operator here is per-row, so a 100 TB corpus needs zero shuffles
+  * until a later aggregation.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  /** Mean token length, rounded to 6 dp (per-row double division is
+    * IEEE-deterministic across engines; rounding pins the printed form).
+    */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    round(
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        size(t), 6)
+  }
+
+  /** Fraction of characters outside [a-z0-9 ] after lowercasing. */
+  def punctRatio(text: Column): Column = {
+    val clean = regexp_replace(lower(text), "[^a-z0-9 ]", "")
+    round((length(text) - length(clean)).cast("double") / length(text), 6)
+  }
+
+  /** Fraction of tokens found in a stopword list — a standard fluency
+    * proxy in corpus quality filters.
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    round(size(filter(t, w => array_contains(sw, w))).cast("double") / size(t), 6)
+  }
+
+  /** Composite document quality score in [0,1]: length credit (saturating
+    * at 100 tokens), low-punctuation credit, stopword-fluency credit.
+    * The exact weights are a policy choice; determinism is the contract.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    round(
+      lit(0.4) * least(lit(1.0), tokenCount(text).cast("double") / 100.0) +
+        lit(0.3) * (lit(1.0) - punctRatio(text)) +
+        lit(0.3) * stopwordRatio(text, stopwords), 6)
+
+  /** Score = number of tokens that are markers for one language. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val m = array(markers.map(lit): _*)
+    size(filter(tokens(text), w => array_contains(m, w)))
+  }
+
+  /** N-gram/marker-word language ID: argmax of per-language marker hits,
+    * first-wins tie-break in the declared language order.
+    */
+  def langId(text: Column, markerSets: Seq[(String, Seq[String])]): Column = {
+    val scores = markerSets.map { case (lang, ms) => lang -> langScore(text, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit(markerSets.head._1)) { case ((lang, s), elseCol) =>
+      when(s === best, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Content fingerprint: md5 of lowercased, whitespace-collapsed text.
+    * Two documents differing only in case/spacing collide — the standard
+    * "exact dedup after normalization" key.
+    */
+  def contentFingerprint(text: Column): Column =
+    Hashing.fingerprint(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, MultimodalStub, Similarity, TextAnalysis => TA}
+import graft.operators.Relational.dedupKeepFirst
+
+/** Training-data pipeline operators over the `documents` and
+  * `embeddings` tables: text analysis, deduplication (exact, MinHash-LSH,
+  * SimHash, n-gram Jaccard), similarity search (brute-force + LSH), and
+  * multimodal binary plumbing. Every query has a DuckDB oracle that
+  * recomputes the same deterministic algorithm (md5-derived hashing,
+  * decimal-accumulated dot products), so results match bit-for-bit.
+  */
+object DataQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and")
+  private val markerSets = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("der", "und", "das"),
+    "es" -> Seq("el", "los", "que"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("zh1", "zh2"))
+
+  // ---- shared DuckDB SQL fragments (mirror the Scala operators) ----
+
+  private val duckTokens = "string_split_regex(trim(text), '\\s+')"
+
+  /** Decimal-accumulated dot product of two list columns (mirrors
+    * Similarity.dot). */
+  private def duckDot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a)+1), " +
+      s"i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
+
+  private def duckCos(a: String, b: String): String =
+    s"round(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
+
+  /** md5-derived 60-bit hash (mirrors Hashing.hash64). */
+  private def duckHash64(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  private def duckList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("[", ",", "]")
+
+  private def duckLangScore(markers: Seq[String]): String =
+    s"len(list_filter(w, x -> list_contains(${duckList(markers)}, x)))"
+
+  /** q32 — token statistics + content fingerprint (text analysis). */
+  val q32 = Q("q32_text_stats",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.distinctTokenCount(col("text")).as("n_distinct"),
+        TA.avgTokenLen(col("text")).as("avg_token_len"),
+        TA.contentFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id,
+             len($duckTokens) AS n_tokens,
+             len(list_distinct($duckTokens)) AS n_distinct,
+             round(CAST(list_sum(list_transform($duckTokens, x -> length(x))) AS DOUBLE)
+                   / len($duckTokens), 6) AS avg_token_len,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents ORDER BY doc_id"""))
+
+  /** q33 — marker-word language ID (argmax with first-wins tie-break). */
+  val q33 = Q("q33_langid",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"), col("lang"),
+        TA.langId(col("text"), markerSets).as("lang_pred"),
+        greatest(markerSets.map { case (_, ms) => TA.langScore(col("text"), ms) }: _*)
+          .as("best_score"))
+      .orderBy("doc_id"),
+    Some {
+      val scores = markerSets.map { case (l, ms) => s"${duckLangScore(ms)} AS s_$l" }.mkString(", ")
+      val best = markerSets.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val argmax = markerSets.map { case (l, _) => s"WHEN s_$l = best THEN '$l'" }.mkString(" ")
+      s"""
+      WITH t AS (SELECT doc_id, lang, $duckTokens AS w FROM documents),
+      sc AS (SELECT doc_id, lang, $scores FROM t),
+      b AS (SELECT *, $best AS best FROM sc)
+      SELECT doc_id, lang, CASE $argmax END AS lang_pred, best AS best_score
+      FROM b ORDER BY doc_id"""
+    })
+
+  /** q34 — document quality scoring (length / punctuation / stopword
+    * fluency).
+    */
+  val q34 = Q("q34_quality",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.punctRatio(col("text")).as("punct_ratio"),
+        TA.stopwordRatio(col("text"), stopwords).as("stopword_ratio"),
+        TA.qualityScore(col("text"), stopwords).as("quality_score"))
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, $duckTokens AS w,
+               round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+                     / length(text), 6) AS punct_ratio
+        FROM documents),
+      r AS (
+        SELECT doc_id, len(w) AS n_tokens, punct_ratio,
+               round(len(list_filter(w, x -> list_contains(${duckList(stopwords)}, x)))::DOUBLE
+                     / len(w), 6) AS stopword_ratio
+        FROM t)
+      SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+             round(0.4 * least(1.0, n_tokens::DOUBLE / 100.0)
+                   + 0.3 * (1.0 - punct_ratio)
+                   + 0.3 * stopword_ratio, 6) AS quality_score
+      FROM r ORDER BY doc_id"""))
+
+  /** q35 — exact dedup after normalization: keep-first per 2-token-prefix
+    * fingerprint (hash-groupBy dedup; one shuffle on the fingerprint).
+    */
+  val q35 = Q("q35_dedup_exact",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("prefix_fp",
+          md5(concat_ws(" ", slice(TA.tokens(col("text")), 1, 2))))
+      dedupKeepFirst(docs, Seq("prefix_fp"), Seq(col("doc_id").asc))
+        .select("doc_id", "prefix_fp")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, prefix_fp
+      FROM (SELECT doc_id, md5(array_to_string(($duckTokens)[1:2], ' ')) AS prefix_fp,
+                   row_number() OVER (PARTITION BY md5(array_to_string(($duckTokens)[1:2], ' '))
+                                      ORDER BY doc_id) AS rn
+            FROM documents)
+      WHERE rn = 1 ORDER BY doc_id"""))
+
+  /** q36 — MinHash + LSH near-duplicate pairs: bigram shingles, k=12
+    * signature, 6 bands × 2 rows, exact-Jaccard verify ≥ 0.2.
+    */
+  val q36 = Q("q36_minhash_lsh",
+    (s, dir) => Dedup.minhashLshPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 2, k = 12, rowsPerBand = 2, threshold = 0.2)
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      sh AS (SELECT doc_id,
+             CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                  ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS g
+             FROM t),
+      sig AS (SELECT doc_id, g,
+              list_transform(range(0, 12), j ->
+                list_min(list_transform(g, s -> ${duckHash64("s || '#' || j")}))) AS sg
+              FROM sh),
+      bands AS (SELECT doc_id, b,
+                ${duckHash64("'band' || b || '|' || sg[2*b+1] || '|' || sg[2*b+2]")} AS h
+                FROM sig CROSS JOIN (SELECT unnest(range(0, 6)) AS b) bs),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h AND a.doc_id < b.doc_id),
+      gg AS (SELECT doc_id, list_distinct(g) AS gd FROM sh),
+      j AS (SELECT doc_a, doc_b,
+            round(len(list_intersect(ga.gd, gb.gd))::DOUBLE /
+                  (len(ga.gd) + len(gb.gd) - len(list_intersect(ga.gd, gb.gd))), 6) AS jaccard
+            FROM cand JOIN gg ga ON doc_a = ga.doc_id JOIN gg gb ON doc_b = gb.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2
+      ORDER BY doc_a, doc_b"""))
+
+  /** q37 — 16-bit SimHash fingerprints over distinct tokens. */
+  val q37 = Q("q37_simhash",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH t AS (SELECT doc_id, list_distinct($duckTokens) AS w FROM documents),
+      h AS (SELECT doc_id, list_transform(w, x -> ${duckHash64("x")}) AS hs FROM t)
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 16), b ->
+               CASE WHEN list_sum(list_transform(hs, v -> ((v >> b) & 1) * 2 - 1)) > 0
+                    THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash
+      FROM h ORDER BY doc_id"""))
+
+  /** q38 — exact n-gram Jaccard near-dups within each source (the
+    * blocked all-pairs baseline LSH approximates).
+    */
+  val q38 = Q("q38_ngram_jaccard",
+    (s, dir) => {
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          array_distinct(Dedup.shingles(col("text"), 2)).as("gd"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("gd").as("gda"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("source"), col("gd").as("gdb"))
+      a.join(b, Seq("source"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          Dedup.jaccard(col("gda"), col("gdb")).as("jaccard"))
+        .filter(col("jaccard") >= 0.1)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, source, $duckTokens AS w FROM documents),
+      sh AS (SELECT doc_id, source,
+             list_distinct(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                  ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS gd
+             FROM t),
+      j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            round(len(list_intersect(a.gd, b.gd))::DOUBLE /
+                  (len(a.gd) + len(b.gd) - len(list_intersect(a.gd, b.gd))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.1
+      ORDER BY doc_a, doc_b"""))
+
+  /** q39 — brute-force cosine top-10 for one query vector (ANN
+    * baseline; map-only + TakeOrderedAndProject).
+    */
+  val q39 = Q("q39_embed_topk",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), k = 10)
+    },
+    Some(s"""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, ${duckCos("embedding", "qv")} AS cos_sim
+      FROM embeddings CROSS JOIN q
+      ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""))
+
+  /** q40 — embedding-cosine near-duplicate pairs within each label
+    * block (norms precomputed once per row, not per pair).
+    */
+  val q40 = Q("q40_embed_neardup",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("_norm", sqrt(Similarity.dot(col("embedding"), col("embedding"))))
+      val a = emb.select(col("vec_id").as("id_a"), col("label"),
+        col("embedding").as("va"), col("_norm").as("na"))
+      val b = emb.select(col("vec_id").as("id_b"), col("label"),
+        col("embedding").as("vb"), col("_norm").as("nb"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH n AS (SELECT vec_id, label, embedding,
+                        sqrt(${duckDot("embedding", "embedding")}) AS nrm
+                 FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.3
+      ORDER BY id_a, id_b"""))
+
+  /** q41 — LSH-bucketed ANN: 8 md5-derived hyperplanes, search only the
+    * query's bucket, top-5 by cosine (the 100 TB scale path).
+    */
+  val q41 = Q("q41_ann_lsh",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), dim = 64, planes = 8, k = 5)
+    },
+    Some {
+      val comp = s"(CAST((${duckHash64("'plane' || p || ':' || d")} % 2001 - 1000) AS DOUBLE) / 1000.0)"
+      s"""
+      WITH b AS (SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(0, 8), p ->
+               CASE WHEN list_sum(list_transform(range(1, 65), d ->
+                      CAST(CAST(embedding[d] AS DOUBLE) * $comp AS DECIMAL(38,12)))) > 0
+                    THEN 1 << p ELSE 0 END)) AS INTEGER) AS bucket
+             FROM embeddings),
+      q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+      SELECT vec_id, ${duckCos("embedding", "qv")} AS cos_sim
+      FROM b JOIN q ON bucket = qb
+      ORDER BY cos_sim DESC, vec_id ASC LIMIT 5"""
+    })
+
+  /** q42 — multimodal binary plumbing: opaque payload column +
+    * per-partition feature extraction (decode step stubbed
+    * deterministically; see MultimodalStub).
+    */
+  val q42 = Q("q42_media_features",
+    (s, dir) => MultimodalStub.extractFeatures(
+        MultimodalStub.attachPayload(
+          Tables.load(s, dir, "documents"), "text", "payload"),
+        "doc_id", "payload")
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             lower(hex(substr(text, 1, 4))) AS header_hex,
+             md5(text) AS content_md5
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+}

@@ -34,8 +34,11 @@ def main(sfdir, outdir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    prefixes = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
         sql = oracle[name]
         spark_tbl = load_spark(outdir, name)
         if spark_tbl is None:
