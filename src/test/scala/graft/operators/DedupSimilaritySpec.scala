@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("shingles: word n-grams; short docs fall back to whole text") {
+    val df = Seq("a b c d", "x").toDF("text")
+    val out = df.select(Dedup.shingles(col("text"), 2).as("g")).collect()
+    assert(out(0).getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(out(1).getSeq[String](0) == Seq("x"))
+  }
+
+  test("jaccard over distinct elements") {
+    val df = Seq((Seq("a", "b", "b"), Seq("b", "c"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y")).as("j")).head.getDouble(0)
+    assert(j == 0.333333) // |{b}| / |{a,b,c}| rounded to 6dp
+  }
+
+  test("minhash identical docs share full signatures; near-dups share bands") {
+    val df = Seq((1L, "q w e r t y u i o p"), (2L, "q w e r t y u i o p"),
+      (3L, "completely different words here now")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text",
+      n = 2, k = 12, rowsPerBand = 2, threshold = 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical token sets → identical hash; bounded width") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha", "zeta eta theta")
+      .toDF("text")
+    val hs = df.select(Dedup.simhash(col("text"), 16).as("h")).collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))     // order-insensitive
+    assert(hs(0) != hs(2))
+    assert(hs.forall(h => h >= 0 && h < (1L << 16)))
+  }
+
+  test("cosine: exact on orthogonal and identical vectors") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val cs = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(cs(0) == 0.0)
+    assert(cs(1) == 1.0)
+  }
+
+  test("bruteForceTopK returns query itself first, then nearest") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 0), k = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+  }
+
+  test("lsh bucket assignment is deterministic and bucketed ANN stays within bucket") {
+    val vecs = Seq((0L, Seq(1.0f, 0.5f)), (1L, Seq(0.9f, 0.6f)), (2L, Seq(-1.0f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val b = vecs.select(col("vec_id"),
+      Similarity.hyperplaneBucket(col("embedding"), dim = 2, planes = 4).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b(0) == b(1) || b(0) != b(2)) // opposite vectors land apart for some plane
+    val out = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 0), dim = 2, planes = 4, k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.contains(0L))
+  }
+
+  test("multimodal stub: payload attach + per-partition feature extraction") {
+    val df = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
+    val out = MultimodalStub.extractFeatures(
+      MultimodalStub.attachPayload(df, "text", "payload"), "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 5L)
+    assert(out(0).getString(2) == "68656c6c") // 'hell' in hex
+    assert(out(0).getString(3) == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Relational._
+
+class RelationalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("dedupKeepFirst keeps the row first in the declared order") {
+    val df = Seq((1, 10, "b"), (1, 5, "a"), (2, 7, "c"), (2, 7, "c2"))
+      .toDF("k", "ord", "v")
+    val out = dedupKeepFirst(df, Seq("k"), Seq(col("ord").asc, col("v").asc))
+      .orderBy("k")
+    assertRowsEqual(rows(out), Seq(Seq(1, 5, "a"), Seq(2, 7, "c")))
+  }
+
+  test("stringSetAgg: sorted distinct comma-join, nulls dropped; blankTo sentinel") {
+    val df = Seq((1, "b"), (1, "a"), (1, "b"), (2, null))
+      .toDF("k", "v")
+    val out = df.groupBy("k")
+      .agg(blankTo(stringSetAgg(col("v")), "Unassigned").as("s"))
+      .orderBy("k")
+    assertRowsEqual(rows(out), Seq(Seq(1, "a, b"), Seq(2, "Unassigned")))
+  }
+
+  test("firstNonNullBy picks the first non-null under the order") {
+    val df = Seq((1, 1, null: String), (1, 2, "x"), (1, 3, "y"), (2, 1, null: String))
+      .toDF("k", "ord", "v")
+    val out = df.groupBy("k")
+      .agg(firstNonNullBy(col("v"), col("ord")).as("first_v")).orderBy("k")
+    assertRowsEqual(rows(out), Seq(Seq(1, "x"), Seq(2, null)))
+  }
+
+  test("topK compiles to TakeOrderedAndProject (no global sort)") {
+    val df = spark.range(1000).toDF("id")
+    val plan = topK(df, 5, col("id").desc).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("denseIdBy assigns 1..n by sort order") {
+    val df = Seq("c", "a", "b").toDF("v")
+    assertRowsEqual(rows(denseIdBy(df, "id", col("v").asc).orderBy("id")),
+      Seq(Seq("a", 1), Seq("b", 2), Seq("c", 3)))
+  }
+
+  test("zipWithIndexOrdered assigns contiguous ids without a single-partition window") {
+    val df = spark.range(100).toDF("v").repartition(8)
+    val out = zipWithIndexOrdered(df, "id", col("v").desc)
+    val collected = out.orderBy("id").collect()
+    assert(collected.head.getLong(0) == 99L && collected.head.getLong(1) == 1L)
+    assert(collected.last.getLong(0) == 0L && collected.last.getLong(1) == 100L)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-shape assertions: the physical plans the 100 TB design depends
+  * on must actually materialize at any scale — broadcast joins for dims,
+  * outer-join elimination, filter/column pushdown into the parquet scan,
+  * top-k without a global sort.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(q: Q): String =
+    q.fn(spark, sf).queryExecution.executedPlan.toString
+
+  private def optimized(q: Q): String =
+    q.fn(spark, sf).queryExecution.optimizedPlan.toString
+
+  test("q06: null-rejecting filter turns LEFT join into inner (EliminateOuterJoins)") {
+    val plan = optimized(CoreQueries.q06)
+    assert(plan.contains("Join Inner"), plan)
+    assert(!plan.contains("LeftOuter"), plan)
+  }
+
+  test("q07/q09: dimension joins broadcast — fact side never shuffles for the join") {
+    assert(physical(CoreQueries.q07).contains("BroadcastHashJoin"))
+    val p9 = physical(CoreQueries.q09)
+    assert(p9.contains("BroadcastHashJoin"), p9)
+  }
+
+  test("q04: conjunctive predicate pushed into the parquet scan") {
+    val plan = physical(CoreQueries.q04)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(l_returnflag,R)"), plan)
+  }
+
+  test("q02: column pruning reaches the scan (no full-width read)") {
+    val plan = physical(CoreQueries.q02)
+    // only the 4 referenced columns should be read
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("l_shipdate"), plan)
+  }
+
+  test("q19: top-k is TakeOrderedAndProject, not global sort+limit") {
+    assert(physical(CoreQueries.q19).contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: aggregation is partial+final hash aggregate with codegen") {
+    val df = CoreQueries.q01.fn(spark, sf)
+    df.collect() // finalize the AQE plan — codegen spans only show post-execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_sum"), plan) // map-side combine
+    assert(plan.contains("*("), plan) // WholeStageCodegen spans render as *(n)
+  }
+}
