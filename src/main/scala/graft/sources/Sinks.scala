@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Relational.dedupKeepFirst
+
+/** Output surface (reference §2.2). The reference writes single CSV
+  * files and bulk-loads Postgres with `ON CONFLICT (pk) DO NOTHING`;
+  * here the same semantics are explicit DataFrame operations so they
+  * scale: partitioned writes by default, single-file only on request
+  * (a coalesce(1) is a deliberate scale bottleneck for small outputs).
+  */
+object Sinks {
+
+  /** Header CSV (reference K1/K2: dags/flu_data_airflow_v2.py:193,
+    * 239,302,447-451). `singleFile = true` matches the reference's
+    * one-file-per-table layout — only sane for dimension-sized data.
+    */
+  def csv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** Partitioned parquet — the engine's native sink. `partitionBy`
+    * columns become directory partitions that later scans prune.
+    */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Idempotent PK load: `ON CONFLICT (pk) DO NOTHING` ≡ keep the first
+    * row per key under an explicit arrival order (reference K4:
+    * dags/flu_data_airflow_v2.py:579-733; keep-first discussion SURVEY
+    * §7.4). Returns the deduped frame for the caller to write/register.
+    */
+  def upsertKeepFirst(df: DataFrame, pk: Seq[String], arrivalOrder: Column): DataFrame =
+    dedupKeepFirst(df, pk, Seq(arrivalOrder))
+
+  /** Overwrite-register as a temp view — the engine's analogue of the
+    * reference's DROP TABLE + CREATE + load cycle (K3).
+    */
+  def registerView(df: DataFrame, name: String): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** PK uniqueness check to run after a load (the constraint Postgres
+    * enforced; reference DDL :486-546).
+    */
+  def pkViolations(df: DataFrame, pk: Seq[String]): Long =
+    df.groupBy(pk.map(col): _*).count().filter(col("count") > 1).count()
+}

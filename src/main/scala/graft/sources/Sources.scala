@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion surface (reference §2.1: CSV feeds S1/S2/S4, REST-JSON
+  * records S3). Network fetch is the caller's concern (the reference
+  * fetches with requests/pandas then re-reads files — we read whatever
+  * landed); every reader pins an explicit schema so the scan prunes and
+  * casts deterministically instead of inferring (SURVEY §1.2).
+  */
+object Sources {
+
+  /** Header CSV with pinned schema (reference S1/S2/S4:
+    * dags/flu_data_airflow_v2.py:72,219,322-324). Malformed numerics
+    * become null — the behavior clean_percentage standardizes anyway.
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** JSON-lines file with pinned schema. */
+  def jsonFile(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Rectangular records from an in-memory JSON payload — the REST
+    * `epidata` array shape (reference S3: dags/flu_data_airflow_v2.py:
+    * 263-278). The caller extracts the record array (success-flag check
+    * included); we parallelize and parse with the pinned schema. For
+    * payloads beyond driver memory, land them as files and use
+    * `jsonFile`.
+    */
+  def jsonRecords(spark: SparkSession, records: Seq[String], schema: StructType): DataFrame = {
+    import spark.implicits._
+    spark.read.schema(schema).json(records.toDS())
+  }
+
+  /** Parquet with pinned schema — the engine's preferred interchange. */
+  def parquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the reference's ingestion is a daily
+  * batch re-pull (no true streaming — SURVEY §2.10), so this module is
+  * the engine's forward-looking stream path: the same event-schema used
+  * by the batch q30 windowed aggregation, expressed as an incremental
+  * query with watermarks, plus custom sessionization state.
+  *
+  * Scale design: event-time windows + watermark bound state; the
+  * grouped aggregation is the same partial/final hash agg as batch, so
+  * a 1000-executor cluster shuffles only per-window partials.
+  * `Trigger.AvailableNow` gives the reference's "daily batch" cadence
+  * with streaming exactly-once bookkeeping.
+  */
+object StreamingOps {
+
+  /** Hourly tumbling-window counts/sums per event type with a 1-hour
+    * watermark — the streaming twin of CoreQueries.q30.
+    */
+  def hourlyEventStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class SessionState(nEvents: Long, sumValue: Double, lastTs: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, sum_value: Double, closed: Boolean)
+
+  /** Per-user sessionization with a processing-time gap timeout —
+    * the custom-state path (mapGroupsWithState) for semantics windows
+    * can't express. Emits a running session summary per trigger; closes
+    * the session after `gapMs` of silence.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(userId, s.nEvents, s.sumValue, closed = true)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val (n, sum, last) = batch.foldLeft((prev.nEvents, prev.sumValue, prev.lastTs)) {
+              case ((cn, cs, cl), e) => (cn + 1, cs + e.value, math.max(cl, e.ts.getTime))
+            }
+            state.update(SessionState(n, sum, last))
+            state.setTimeoutDuration(gapMs)
+            SessionOut(userId, n, sum, closed = false)
+          }
+      }
+  }
+
+  /** File-source stream over a directory of parquet events with the
+    * given schema — at scale this is the bridge from a landing zone
+    * (object store prefix) into the incremental queries above.
+    */
+  def eventStream(spark: SparkSession, dir: String,
+                  schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Run a streaming DataFrame to completion over the currently
+    * available data (the reference's daily-batch cadence) into an
+    * in-memory table; returns the result.
+    */
+  def runAvailableNow(df: DataFrame, queryName: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(queryName)
+  }
+}

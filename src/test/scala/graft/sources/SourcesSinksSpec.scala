@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class SourcesSinksSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("v", DoubleType),
+    StructField("s", StringType)))
+
+  test("csv round-trip with pinned schema; malformed numeric → null") {
+    val dir = Files.createTempDirectory("graft-src").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"),
+      "id,v,s\n1,2.5,a\n2,oops,b\n")
+    val df = Sources.csv(spark, s"$dir/t.csv", schema)
+    assertRowsEqual(rows(df.orderBy("id")),
+      Seq(Seq(1, 2.5, "a"), Seq(2, null, "b")))
+  }
+
+  test("jsonRecords parses a REST-style record array with pinned schema") {
+    val records = Seq("""{"id":1,"v":1.5,"s":"x"}""", """{"id":2,"v":null,"s":"y"}""")
+    val df = Sources.jsonRecords(spark, records, schema)
+    assertRowsEqual(rows(df.orderBy("id")),
+      Seq(Seq(1, 1.5, "x"), Seq(2, null, "y")))
+  }
+
+  test("sink csv single-file writes exactly one part; parquet round-trips partitioned") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val df = Seq((1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "a")).toDF("id", "v", "s")
+    Sinks.csv(df, s"$dir/csv", singleFile = true)
+    val parts = new java.io.File(s"$dir/csv").listFiles.count(_.getName.endsWith(".csv"))
+    assert(parts == 1)
+    Sinks.parquet(df, s"$dir/pq", partitionBy = Seq("s"))
+    val back = spark.read.parquet(s"$dir/pq")
+    assert(back.count() == 3)
+    // partition pruning: reading s=a touches only that directory
+    val pruned = back.filter(col("s") === "a")
+    assert(pruned.count() == 2)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(s"))
+  }
+
+  test("upsertKeepFirst reproduces ON CONFLICT DO NOTHING under arrival order") {
+    val df = Seq((1, "first", 10L), (1, "second", 20L), (2, "only", 5L))
+      .toDF("id", "payload", "arrival")
+    val out = Sinks.upsertKeepFirst(df, Seq("id"), col("arrival").asc).orderBy("id")
+    assertRowsEqual(rows(out.select("id", "payload")),
+      Seq(Seq(1, "first"), Seq(2, "only")))
+    assert(Sinks.pkViolations(out, Seq("id")) == 0)
+  }
+}
