@@ -28,4 +28,13 @@ object Hashing {
 
   /** Full md5 hex fingerprint. */
   def fingerprint(c: Column): Column = md5(c)
+
+  /** Driver-side twin of [[hash64]] — used to precompute constants
+    * (hash-family coefficients, hyperplane components) at plan-build
+    * time so the per-row path is plain long/double arithmetic instead
+    * of per-row md5.
+    */
+  def hash64Local(s: String): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
 }

@@ -14,10 +14,12 @@ import graft.operators.TextAnalysis.tokens
   * i.e. a hash-partitioned shuffle where only documents sharing a band
   * bucket ever meet, which is the point of LSH: at 100 TB the all-pairs
   * O(n²) comparison is replaced by |buckets| small joins. The final
-  * exact-Jaccard verification runs only on candidate pairs.
+  * exact-Jaccard verification runs only on candidate pairs, over the
+  * 31-bit shingle hashes (long-array intersection, not string).
   *
   * All hashing is md5-derived (Hashing.hash64) so an external oracle can
-  * recompute signatures bit-for-bit.
+  * recompute signatures bit-for-bit; the k min-hash permutations are an
+  * affine family over one base hash, so each shingle is md5'd once.
   */
 object Dedup {
 
@@ -33,18 +35,49 @@ object Dedup {
     when(size(t) < n, array(concat_ws(" ", t))).otherwise(grams)
   }
 
-  /** MinHash signature: k independent min-hashes over the shingle set.
-    * Returns an array column of k longs.
+  /** Mersenne prime 2^31 - 1: the modulus of the affine min-hash
+    * family. 31-bit hashes keep a*h + b inside a long.
     */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { j =>
-      array_min(transform(shingleCol, s => Hashing.hash64(s, j)))
+  val MinhashP: Long = 2147483647L
+
+  /** Hash-family coefficients, md5-derived at plan-build time so the
+    * per-row cost is one md5 per shingle plus k long multiply-adds
+    * (not k md5s per shingle — the difference between 1× and k× the
+    * scan cost at corpus scale).
+    */
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] = (0 until k).map { j =>
+    ((Hashing.hash64Local(s"mh-a-$j") % (MinhashP - 1)) + 1,
+      Hashing.hash64Local(s"mh-b-$j") % MinhashP)
+  }
+
+  /** 31-bit base hashes of the distinct shingles (one md5 each). The
+    * outer distinct also collapses 31-bit collisions, so the result is
+    * guaranteed duplicate-free — jaccardDistinct relies on that.
+    */
+  def shingleHashes(shingleCol: Column): Column =
+    array_distinct(
+      transform(array_distinct(shingleCol), s => Hashing.hash64(s).bitwiseAND(lit(MinhashP))))
+
+  /** MinHash signature via the affine family h_j(x) = (a_j·x + b_j)
+    * mod p over the 31-bit shingle hashes. Returns an array of k longs.
+    */
+  def minhashSignature(hashCol: Column, k: Int): Column = {
+    val coeffs = minhashCoeffs(k)
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(hashCol, h => (lit(a) * h + lit(b)) % lit(MinhashP)))
     }: _*)
+  }
 
   /** LSH band hashes: the signature is cut into bands of `rowsPerBand`
     * values; each band is hashed to one long. Two docs become candidates
     * iff they agree on at least one band — P(candidate) ≈ 1-(1-j^r)^b
     * for Jaccard j.
+    *
+    * NOTE: `element_at(sig, i)` on a signature *expression* would inline
+    * the whole k-min computation once per band slot (k× the work —
+    * higher-order functions are interpreted, so no common-subexpression
+    * reuse). Use [[minhashBandHashes]] to go straight from shingle
+    * hashes to band hashes with each min computed exactly once.
     */
   def lshBandHashes(sig: Column, rowsPerBand: Int, numBands: Int): Column =
     array((0 until numBands).map { b =>
@@ -53,15 +86,34 @@ object Dedup {
       Hashing.hash64(concat_ws("|", lit(s"band$b") +: bandVals: _*))
     }: _*)
 
+  /** Fused shingle-hashes → band-hashes path: builds the k affine mins
+    * as standalone expressions, each referenced exactly once by its
+    * band. Identical values to lshBandHashes∘minhashSignature.
+    */
+  def minhashBandHashes(hashCol: Column, k: Int, rowsPerBand: Int): Column = {
+    val mins = minhashCoeffs(k).map { case (a, b) =>
+      array_min(transform(hashCol, h => (lit(a) * h + lit(b)) % lit(MinhashP)))
+    }
+    array((0 until k / rowsPerBand).map { b =>
+      val bandVals = (0 until rowsPerBand)
+        .map(r => mins(b * rowsPerBand + r).cast("string"))
+      Hashing.hash64(concat_ws("|", lit(s"band$b") +: bandVals: _*))
+    }: _*)
+  }
+
   /** Exact Jaccard similarity of two array columns (over distinct
     * elements), rounded to 6 dp.
     */
-  def jaccard(a: Column, b: Column): Column = {
-    val ad = array_distinct(a)
-    val bd = array_distinct(b)
-    val inter = size(array_intersect(ad, bd))
-    round(inter.cast("double") /
-      (size(ad) + size(bd) - inter), 6)
+  def jaccard(a: Column, b: Column): Column =
+    jaccardDistinct(array_distinct(a), array_distinct(b))
+
+  /** Jaccard for inputs already known duplicate-free (e.g.
+    * shingleHashes output) — skips four array_distinct passes per pair,
+    * which dominate blocked all-pairs scans.
+    */
+  def jaccardDistinct(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    round(inter.cast("double") / (size(a) + size(b) - inter), 6)
   }
 
   /** End-to-end MinHash-LSH near-duplicate pairs.
@@ -79,22 +131,32 @@ object Dedup {
                       n: Int, k: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
     val numBands = k / rowsPerBand
-    val withSig = df
-      .select(col(idCol), col(textCol))
-      .withColumn("_sh", shingles(col(textCol), n))
-      .withColumn("_bands", lshBandHashes(minhashSignature(col("_sh"), k), rowsPerBand, numBands))
-    // one row per (doc, band); candidates meet on (band index, band hash)
-    val exploded = withSig.select(
-      col(idCol), col("_sh"),
-      posexplode(col("_bands")).as(Seq("_b", "_h")))
-    val left = exploded.select(
-      col(idCol).as("id_a"), col("_sh").as("sh_a"), col("_b"), col("_h"))
-    val right = exploded.select(
-      col(idCol).as("id_b"), col("_sh").as("sh_b"), col("_b"), col("_h"))
-    left.join(right, Seq("_b", "_h"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
+    val hashed = df
+      .select(col(idCol), shingleHashes(shingles(col(textCol), n)).as("_sh"))
+    // skinny (id, band, hash) rows only — the shingle arrays stay out of
+    // the candidate shuffle (at corpus scale they dominate the bytes)
+    val bands = hashed.select(
+      col(idCol),
+      posexplode(minhashBandHashes(col("_sh"), k, rowsPerBand))
+        .as(Seq("_b", "_h")))
+    // one aggregation pass groups each band bucket; pairs are generated
+    // inside the bucket (sorted ids ⇒ id_a < id_b by construction).
+    // This avoids a bands⋈bands self-join, which would re-run the whole
+    // (interpreted, non-codegen) signature pipeline once per side.
+    val buckets = bands.groupBy("_b", "_h")
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+    val cand = buckets
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("_ids")) - 1),
+        i => transform(slice(col("_ids"), i + 1, size(col("_ids"))),
+          b => struct(element_at(col("_ids"), i).as("id_a"), b.as("id_b")))))).as("_p"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      .distinct() // one jaccard per pair, however many bands matched
+    cand
+      .join(hashed.select(col(idCol).as("id_a"), col("_sh").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col(idCol).as("id_b"), col("_sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

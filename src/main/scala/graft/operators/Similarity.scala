@@ -59,20 +59,28 @@ object Similarity {
       .limit(k)
   }
 
-  /** Pseudo-random hyperplane component in [-1, 1], derived from md5 of
-    * (plane, dim) — reproducible anywhere.
+  /** Pseudo-random hyperplane component in [-1, 1] for (plane, dim),
+    * computed at plan-build time (md5-derived, reproducible anywhere).
     */
-  private def planeComponent(p: Int, d: Int): Column =
-    (Hashing.hash64(lit(s"plane$p:$d")) % 2001 - 1000).cast("double") / 1000.0
+  def planeComponent(p: Int, d: Int): Double =
+    (Hashing.hash64Local(s"plane$p:$d") % 2001 - 1000).toDouble / 1000.0
 
   /** Sign-pattern LSH bucket id from `planes` hyperplane projections of
     * a `dim`-wide vector. Same-bucket vectors are ANN candidates.
+    *
+    * The hyperplanes are literal double arrays baked into the plan and
+    * each projection is a left-to-right double fold — IEEE-deterministic
+    * (same values on any engine folding in index order) and fully
+    * codegen'd. A decimal variant was 10× slower: a 512-node decimal
+    * tree exceeds Janino's method limits and drops the whole projection
+    * out of WholeStageCodegen into interpreted evaluation.
     */
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val proj = (1 to dim).map(d =>
-        (element_at(vec, d).cast("double") * planeComponent(p, d)).cast(Dec))
-        .reduce((a, b) => (a + b).cast(Dec))
+      val plane = array((1 to dim).map(d => lit(planeComponent(p, d))): _*)
+      val proj = aggregate(
+        zip_with(vec, plane, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)

@@ -110,12 +110,20 @@ object CoreQueries {
     */
   val q06 = Q("q06_join_null_filter",
     (s, dir) => {
+      // pre-aggregate the fact side per join key: the join then moves
+      // one row per order instead of one per lineitem, and the decimal
+      // partial sums re-combine exactly (associative) — bit-identical
+      // to aggregating after the join
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("_cnt"),
+          sum(col("l_quantity").cast(DecimalType(28, 6))).as("_sq"))
       o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
         .filter(col("l_orderkey").isNotNull)
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .agg(sum(col("_cnt")).as("n_rows"),
+          sum(col("_sq")).cast("double").as("sum_qty"))
         .orderBy("o_orderstatus")
     },
     Some("""
@@ -325,12 +333,18 @@ object CoreQueries {
     */
   val q15 = Q("q15_having_trends",
     (s, dir) => {
+      // pre-aggregated fact side: per-order decimal sums re-combine
+      // exactly; COUNT(DISTINCT l_orderkey) over joined rows equals
+      // COUNT(l_orderkey) over one-row-per-order — no expand node
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(28, 6))).as("_sq"),
+          count(col("l_quantity")).as("_cq"))
       o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
         .groupBy("o_orderpriority", "o_orderstatus")
-        .agg(davg(col("l_quantity")).as("avg_qty"),
-          countDistinct(col("l_orderkey")).as("n_orders"))
+        .agg((sum(col("_sq")).cast("double") / sum(col("_cq"))).as("avg_qty"),
+          count(col("l_orderkey")).as("n_orders"))
         .filter(col("avg_qty").isNotNull)
         .orderBy(col("o_orderpriority").desc, col("o_orderstatus").asc)
         .limit(20)

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Hashing
 import graft.operators.{Dedup, MultimodalStub, Similarity, TextAnalysis => TA}
 import graft.operators.Relational.dedupKeepFirst
 
@@ -144,28 +145,34 @@ object DataQueries {
         n = 2, k = 12, rowsPerBand = 2, threshold = 0.2)
       .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
       .orderBy("doc_a", "doc_b"),
-    Some(s"""
+    Some {
+      // the affine min-hash coefficients, identical to Dedup.minhashCoeffs
+      val sigExprs = Dedup.minhashCoeffs(12).map { case (a, b) =>
+        s"list_min(list_transform(hl, h -> (${a} * h + ${b}) % ${Dedup.MinhashP}))"
+      }.mkString("[", ",\n                ", "]")
+      s"""
       WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
       sh AS (SELECT doc_id,
              CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
                   ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS g
              FROM t),
-      sig AS (SELECT doc_id, g,
-              list_transform(range(0, 12), j ->
-                list_min(list_transform(g, s -> ${duckHash64("s || '#' || j")}))) AS sg
-              FROM sh),
+      hh AS (SELECT doc_id,
+             list_transform(list_distinct(g), s -> ${duckHash64("s")} & ${Dedup.MinhashP}) AS hl
+             FROM sh),
+      sig AS (SELECT doc_id, hl, $sigExprs AS sg FROM hh),
       bands AS (SELECT doc_id, b,
                 ${duckHash64("'band' || b || '|' || sg[2*b+1] || '|' || sg[2*b+2]")} AS h
                 FROM sig CROSS JOIN (SELECT unnest(range(0, 6)) AS b) bs),
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h AND a.doc_id < b.doc_id),
-      gg AS (SELECT doc_id, list_distinct(g) AS gd FROM sh),
+      gg AS (SELECT doc_id, list_distinct(hl) AS gd FROM hh),
       j AS (SELECT doc_a, doc_b,
             round(len(list_intersect(ga.gd, gb.gd))::DOUBLE /
                   (len(ga.gd) + len(gb.gd) - len(list_intersect(ga.gd, gb.gd))), 6) AS jaccard
             FROM cand JOIN gg ga ON doc_a = ga.doc_id JOIN gg gb ON doc_b = gb.doc_id)
       SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2
-      ORDER BY doc_a, doc_b"""))
+      ORDER BY doc_a, doc_b"""
+    })
 
   /** q37 — 16-bit SimHash fingerprints over distinct tokens. */
   val q37 = Q("q37_simhash",
@@ -186,28 +193,40 @@ object DataQueries {
     */
   val q38 = Q("q38_ngram_jaccard",
     (s, dir) => {
+      // intersect 31-bit shingle hashes, not strings — same Jaccard
+      // (hashing is engine-identical), far cheaper comparisons. Pairs
+      // are enumerated skinny (ids only) within each source block; the
+      // arrays join back afterwards so the blocked all-pairs shuffle
+      // never carries them.
       val sh = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          array_distinct(Dedup.shingles(col("text"), 2)).as("gd"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("gd").as("gda"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("source"), col("gd").as("gdb"))
-      a.join(b, Seq("source"))
+          Dedup.shingleHashes(Dedup.shingles(col("text"), 2)).as("gd"))
+      val ids = sh.select(col("doc_id"), col("source"))
+      val pairs = ids.select(col("doc_id").as("doc_a"), col("source"))
+        .join(ids.select(col("doc_id").as("doc_b"), col("source")), Seq("source"))
         .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+      pairs
+        .join(sh.select(col("doc_id").as("doc_a"), col("gd").as("gda")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("gd").as("gdb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          Dedup.jaccard(col("gda"), col("gdb")).as("jaccard"))
+          Dedup.jaccardDistinct(col("gda"), col("gdb")).as("jaccard"))
         .filter(col("jaccard") >= 0.1)
         .orderBy("doc_a", "doc_b")
     },
     Some(s"""
       WITH t AS (SELECT doc_id, source, $duckTokens AS w FROM documents),
       sh AS (SELECT doc_id, source,
-             list_distinct(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
-                  ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS gd
+             CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                  ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS g
              FROM t),
+      hh AS (SELECT doc_id, source,
+             list_distinct(list_transform(list_distinct(g), s -> ${duckHash64("s")} & ${Dedup.MinhashP})) AS gd
+             FROM sh),
       j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
             round(len(list_intersect(a.gd, b.gd))::DOUBLE /
                   (len(a.gd) + len(b.gd) - len(list_intersect(a.gd, b.gd))), 6) AS jaccard
-            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+            FROM hh a JOIN hh b ON a.source = b.source AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.1
       ORDER BY doc_a, doc_b"""))
 
@@ -265,13 +284,22 @@ object DataQueries {
         emb.filter(col("vec_id") === 0), dim = 64, planes = 8, k = 5)
     },
     Some {
-      val comp = s"(CAST((${duckHash64("'plane' || p || ':' || d")} % 2001 - 1000) AS DOUBLE) / 1000.0)"
+      // hyperplane components as exact literals (n/1000 divisions are
+      // IEEE-identical to the Scala-side constants); projections fold
+      // left-to-right in both engines → bit-exact sign bits
+      val bitExprs = (0 until 8).map { p =>
+        val planeLit = (1 to 64)
+          .map { d =>
+            val n = Hashing.hash64Local(s"plane$p:$d") % 2001 - 1000
+            s"(${n}.0/1000.0)"
+          }
+          .mkString("[", ",", "]")
+        s"""CASE WHEN list_reduce(list_transform(range(1, 65),
+           d -> CAST(embedding[d] AS DOUBLE) * ($planeLit[d])), (a, b) -> a + b) > 0
+           THEN ${1 << p} ELSE 0 END"""
+      }.mkString(" + ")
       s"""
-      WITH b AS (SELECT vec_id, embedding,
-             CAST(list_sum(list_transform(range(0, 8), p ->
-               CASE WHEN list_sum(list_transform(range(1, 65), d ->
-                      CAST(CAST(embedding[d] AS DOUBLE) * $comp AS DECIMAL(38,12)))) > 0
-                    THEN 1 << p ELSE 0 END)) AS INTEGER) AS bucket
+      WITH b AS (SELECT vec_id, embedding, CAST($bitExprs AS INTEGER) AS bucket
              FROM embeddings),
       q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
       SELECT vec_id, ${duckCos("embedding", "qv")} AS cos_sim
