@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Hashing
 
@@ -16,29 +15,24 @@ import graft.functions.Hashing
   * restricted to the query's bucket (an equi-join / partition-pruned
   * scan instead of an all-pairs pass).
   *
-  * Determinism: dot products accumulate in DECIMAL(38,12) so results do
-  * not depend on partition or SIMD order; hyperplanes are md5-derived so
-  * an external oracle can rebuild the exact same buckets.
+  * Determinism: per-row dot products fold left-to-right in double —
+  * IEEE-deterministic and engine-portable (an oracle folding in index
+  * order, e.g. DuckDB list_reduce, reproduces them bit-for-bit);
+  * hyperplanes are md5-derived so an external oracle can rebuild the
+  * exact same buckets. (Multi-row aggregation is where order-independent
+  * decimal accumulation is needed — see ScalarFunctions.dsum.)
   */
 object Similarity {
 
-  // Precision 20 (not 38): Spark's Add widens precision by 1 and only
-  // reduces *scale* when precision would exceed 38 — at (20,12) every
-  // partial sum keeps scale 12 exactly, matching an oracle that sums in
-  // DECIMAL(38,12). Magnitudes here are ≤ a few hundred, far below 10^8.
-  private val Dec = DecimalType(20, 12)
-
-  /** Order-independent dot product of two float-array columns. Each
-    * product is computed in double (bit-exact IEEE), then accumulated
-    * in decimal.
+  /** Dot product of two float-array columns: double products folded
+    * left-to-right. Double, not decimal: a decimal accumulator is ~4×
+    * slower, breaks into interpreted mode for wide vectors, and the
+    * fixed per-row fold order already makes doubles deterministic.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
-      lit(0).cast(Dec),
-      // the exact-at-scale-12 sum is cast back so the accumulator type
-      // stays fixed across iterations
-      (acc, v) => (acc + v).cast(Dec)).cast("double")
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
   /** Cosine similarity rounded to 6 dp (rounding also stabilizes any
     * residual last-ulp divergence between engines).

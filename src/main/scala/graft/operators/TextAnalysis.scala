@@ -80,4 +80,23 @@ object TextAnalysis {
     */
   def contentFingerprint(text: Column): Column =
     Hashing.fingerprint(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** BPE-ish subword segmentation: maximal runs of letters, digits, or
+    * single other non-space characters (the shape of GPT-2's pre-tokenizer
+    * pattern, minus the contraction cases). Kept to character classes
+    * that match identically across regex engines.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Order-sensitive polynomial rolling hash over the token sequence:
+    * acc ← (acc·B + h(token)) mod p, folded left-to-right. Unlike the
+    * set-based fingerprints, token order matters — "a b" ≠ "b a".
+    * 31-bit token hashes with B=131 keep every step inside a long.
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val p = Dedup.MinhashP
+    val hs = transform(tokens(text), t => Hashing.hash64(t).bitwiseAND(lit(p)))
+    aggregate(hs, lit(0L), (acc, h) => (acc * 131 + h) % lit(p))
+  }
 }

@@ -28,11 +28,11 @@ object DataQueries {
 
   private val duckTokens = "string_split_regex(trim(text), '\\s+')"
 
-  /** Decimal-accumulated dot product of two list columns (mirrors
-    * Similarity.dot). */
+  /** Left-fold double dot product of two list columns — bit-identical
+    * to Similarity.dot (both fold products in index order). */
   private def duckDot(a: String, b: String): String =
-    s"CAST(list_sum(list_transform(range(1, len($a)+1), " +
-      s"i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
+    s"list_reduce(list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
   private def duckCos(a: String, b: String): String =
     s"round(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
@@ -324,5 +324,66 @@ object DataQueries {
              md5(text) AS content_md5
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+  /** q43 — BPE-ish regex tokenization vs whitespace tokenization
+    * (token-counting surface of a corpus pipeline).
+    */
+  val q43 = Q("q43_token_bpe",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(TA.bpeTokens(col("text"))).as("n_bpe_tokens"),
+        TA.tokenCount(col("text")).as("n_ws_tokens"))
+      .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+             len($duckTokens) AS n_ws_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  /** q44 — order-sensitive rolling-hash document fingerprint (detects
+    * reordered near-dups that set fingerprints miss).
+    */
+  val q44 = Q("q44_rolling_fingerprint",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TA.rollingFingerprint(col("text")).as("roll_fp"))
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH t AS (SELECT doc_id,
+             list_transform($duckTokens, x -> ${duckHash64("x")} & ${Dedup.MinhashP}) AS hs
+             FROM documents)
+      SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN 0
+                  ELSE list_reduce(hs, (acc, h) -> (acc * 131 + h) % ${Dedup.MinhashP})
+             END AS roll_fp
+      FROM t ORDER BY doc_id"""))
+
+  /** q45 — per-label embedding centroids via positional explode +
+    * order-independent decimal mean per (label, dim): the distributed
+    * vector-aggregation pattern (shuffle key = (label, dim), no driver
+    * collection).
+    */
+  val q45 = Q("q45_embed_centroid",
+    (s, dir) => Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("_pos", "_v")))
+      .groupBy(col("label"), (col("_pos") + 1).as("dim"))
+      .agg(
+        // fixed-point accumulation: quantize each component to 1e-6,
+        // sum exact longs (order-independent), rescale once. Decimal
+        // casts can't be used here — DuckDB's double→decimal goes
+        // through a float multiply, diverging from Spark's exact
+        // BigDecimal rounding by 1 ulp on some values.
+        (sum(round(col("_v").cast("double") * 1e6).cast("long")).cast("double")
+          / count(col("_v")) / 1e6).as("centroid"),
+        count(col("_v")).as("n_vecs"))
+      .orderBy("label", "dim"),
+    Some("""
+      SELECT label, d AS dim,
+             CAST(sum(CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1000000.0 AS centroid,
+             count(*) AS n_vecs
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) ds
+      GROUP BY label, d ORDER BY label, dim"""))
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
+    q43, q44, q45)
 }
