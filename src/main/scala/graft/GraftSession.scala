@@ -22,6 +22,7 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

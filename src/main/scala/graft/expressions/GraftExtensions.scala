@@ -1,0 +1,35 @@
+package graft.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Catalyst extension point: registers the engine's native expressions
+  * as SQL functions.
+  *
+  * Two registration paths:
+  *  - config: `spark.sql.extensions=graft.expressions.GraftExtensions`
+  *    (GraftSession sets this) — the standard plugin route;
+  *  - runtime: `GraftExtensions.register(spark)` for sessions built
+  *    elsewhere (Verify/Bench, tests).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => FloatDot(children.head, children(1))))
+
+  /** Idempotently register the functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -250,8 +250,9 @@ object DataQueries {
     */
   val q40 = Q("q40_embed_neardup",
     (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
       val emb = Tables.load(s, dir, "embeddings")
-        .withColumn("_norm", sqrt(Similarity.dot(col("embedding"), col("embedding"))))
+        .withColumn("_norm", sqrt(Similarity.dotNative(col("embedding"), col("embedding"))))
       val a = emb.select(col("vec_id").as("id_a"), col("label"),
         col("embedding").as("va"), col("_norm").as("na"))
       val b = emb.select(col("vec_id").as("id_b"), col("label"),
@@ -259,7 +260,7 @@ object DataQueries {
       a.join(b, Seq("label"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          round(Similarity.dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6)
             .as("cos_sim"))
         .filter(col("cos_sim") >= 0.3)
         .orderBy("id_a", "id_b")

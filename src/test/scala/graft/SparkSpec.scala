@@ -43,6 +43,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.expressions.GraftExtensions.register(s)
     s
   }
 }
