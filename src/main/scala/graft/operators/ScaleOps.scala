@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Scale mechanics that only matter beyond a single box: skew-salted
+  * joins and bucketed co-located joins. Correctness-neutral (results
+  * equal the plain operation — specs assert it); the point is the
+  * shuffle shape.
+  */
+object ScaleOps {
+
+  /** Equi-join where `big`'s key distribution is skewed: append a
+    * deterministic salt (hash of the whole row, mod `salts`) to the big
+    * side and explode the small side across all salt values. Hot keys
+    * spread over `salts` reducers instead of one straggler. AQE's
+    * skew-join split handles moderate skew automatically; salting is
+    * the explicit fix when one key dwarfs a partition.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    val bigS = big.withColumn("_salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts)).cast("int"))
+    val smallS = small.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    bigS.join(smallS, keys :+ "_salt", joinType).drop("_salt")
+  }
+
+  /** Write a table bucketed (and sorted) by join keys. Subsequent joins
+    * between tables bucketed the same way need no shuffle — the
+    * pre-partitioning replaces the exchange (asserted in ScaleOpsSpec).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+}

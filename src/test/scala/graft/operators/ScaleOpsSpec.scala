@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class ScaleOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("saltedJoin returns exactly the plain join result") {
+    val l = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val o = Tables.load(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = l.join(o, Seq("l_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("o_orderstatus")
+    val salted = ScaleOps.saltedJoin(l, o, Seq("l_orderkey"), salts = 8)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("o_orderstatus")
+    assertRowsEqual(rows(salted), rows(plain), tol = 1e-9)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val warehouse = spark.conf.getOption("spark.sql.warehouse.dir")
+    val l = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    ScaleOps.writeBucketed(l, "b_lineitem", Seq("l_orderkey"), 4)
+    ScaleOps.writeBucketed(o, "b_orders", Seq("o_orderkey"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan) // bucketing replaced the shuffle
+      assert(plan.contains("SelectedBucketsCount"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+}
