@@ -385,6 +385,63 @@ object DataQueries {
       FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) ds
       GROUP BY label, d ORDER BY label, dim"""))
 
+  /** q46 — ordered window frames: running totals + lag over an event
+    * sequence (the frame-based window surface beyond the reference's
+    * unbounded partition transforms).
+    */
+  val q46 = Q("q46_running_window",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("seq"),
+          sum(col("o_totalprice").cast(DecimalType(28, 6))).over(wRun)
+            .cast("double").as("run_total"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+        .orderBy("o_custkey", "seq")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER w AS seq,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total,
+             lag(o_totalprice) OVER w AS prev_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, seq"""))
+
+  /** q47 — frame sampling over media payloads: fixed-width frame split
+    * + per-frame fingerprint (the video-frame / audio-chunk batch shape
+    * with the decode stubbed as byte-slice hashing).
+    */
+  val q47 = Q("q47_media_frames",
+    (s, dir) => {
+      val frameW = 64
+      Tables.load(s, dir, "documents")
+        .withColumn("_nf",
+          greatest(floor((length(col("text")) + (frameW - 1)) / frameW), lit(1)).cast("int"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("_nf") - 1)).as("frame_idx"),
+          col("text"))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(expr(s"substring(text, frame_idx * $frameW + 1, $frameW)")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, text,
+               greatest(CAST(floor((length(text) + 63) / 64) AS INTEGER), 1) AS nf
+        FROM documents)
+      SELECT doc_id, i AS frame_idx, md5(substr(text, i * 64 + 1, 64)) AS frame_md5
+      FROM f CROSS JOIN unnest(range(0, nf)) AS u(i)
+      WHERE i < nf
+      ORDER BY doc_id, frame_idx"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-    q43, q44, q45)
+    q43, q44, q45, q46, q47)
 }
