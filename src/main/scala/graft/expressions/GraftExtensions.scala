@@ -25,7 +25,10 @@ object GraftExtensions {
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
-      (children: Seq[Expression]) => FloatDot(children.head, children(1))))
+      (children: Seq[Expression]) => FloatDot(children.head, children(1))),
+    (FunctionIdentifier("graft_intersect_count"),
+      new ExpressionInfo(classOf[LongArrayIntersectCount].getName, "graft_intersect_count"),
+      (children: Seq[Expression]) => LongArrayIntersectCount(children.head, children(1))))
 
   /** Idempotently register the functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -116,6 +116,15 @@ object Dedup {
     round(inter.cast("double") / (size(a) + size(b) - inter), 6)
   }
 
+  /** jaccardDistinct for long arrays via the native intersect-count
+    * expression (no intersection array materialized per pair). Requires
+    * GraftExtensions registration.
+    */
+  def jaccardLongDistinct(a: Column, b: Column): Column = {
+    val inter = call_function("graft_intersect_count", a, b)
+    round(inter.cast("double") / (size(a) + size(b) - inter), 6)
+  }
+
   /** End-to-end MinHash-LSH near-duplicate pairs.
     *
     * @param df       input
@@ -130,6 +139,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
+    graft.expressions.GraftExtensions.register(df.sparkSession)
     val numBands = k / rowsPerBand
     val hashed = df
       .select(col(idCol), shingleHashes(shingles(col(textCol), n)).as("_sh"))
@@ -156,7 +166,7 @@ object Dedup {
     cand
       .join(hashed.select(col(idCol).as("id_a"), col("_sh").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col(idCol).as("id_b"), col("_sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"), jaccardLongDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -198,6 +198,7 @@ object DataQueries {
       // are enumerated skinny (ids only) within each source block; the
       // arrays join back afterwards so the blocked all-pairs shuffle
       // never carries them.
+      graft.expressions.GraftExtensions.register(s)
       val sh = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           Dedup.shingleHashes(Dedup.shingles(col("text"), 2)).as("gd"))
@@ -210,7 +211,7 @@ object DataQueries {
         .join(sh.select(col("doc_id").as("doc_a"), col("gd").as("gda")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("gd").as("gdb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          Dedup.jaccardDistinct(col("gda"), col("gdb")).as("jaccard"))
+          Dedup.jaccardLongDistinct(col("gda"), col("gdb")).as("jaccard"))
         .filter(col("jaccard") >= 0.1)
         .orderBy("doc_a", "doc_b")
     },
