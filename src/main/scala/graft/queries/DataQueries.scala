@@ -443,6 +443,68 @@ object DataQueries {
       WHERE i < nf
       ORDER BY doc_id, frame_idx"""))
 
+  /** q48 — IVF-style ANN: coarse quantizer = deterministic per-label
+    * centroids (fixed-point means); every vector is assigned to its
+    * nearest centroid cell (L2, rounded, label tie-break); search
+    * probes only the query's cell. The inverted-file scale path next
+    * to q41's hyperplane-LSH: cells partition the corpus, the probe
+    * reads one partition.
+    */
+  val q48 = Q("q48_ann_ivf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.expressions.GraftExtensions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("_pos", "_v")))
+        .groupBy("label", "_pos")
+        .agg((sum(round(col("_v").cast("double") * 1e6).cast("long")).cast("double")
+          / count(col("_v")) / 1e6).as("c"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("_pos"), col("c")))),
+          x => x.getField("c")).as("centroid"))
+        .select(col("label").as("_cl"), col("centroid"))
+      val dist2 = aggregate(
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (a, v) => a + v)
+      val w = Window.partitionBy("vec_id").orderBy(col("_d").asc, col("_cl").asc)
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("_d", round(dist2, 6))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("_cl").as("cell"))
+      val qcell = assigned.filter(col("vec_id") === 0)
+        .select(col("embedding").as("_qvec"), col("cell").as("_qcell"))
+      assigned.join(broadcast(qcell), col("cell") === col("_qcell"))
+        .select(col("vec_id"), Similarity.cosine(col("embedding"), col("_qvec")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(5)
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT label, d,
+               CAST(sum(CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000000.0 AS c
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) ds
+        GROUP BY label, d),
+      cl AS (SELECT label, list(c ORDER BY d) AS centroid FROM cent GROUP BY label),
+      dist AS (SELECT e.vec_id, e.embedding, cl.label,
+               round(list_reduce(list_transform(range(1, 65),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - cl.centroid[i])
+                      * (CAST(e.embedding[i] AS DOUBLE) - cl.centroid[i])),
+                 (a, b) -> a + b), 6) AS dd
+               FROM embeddings e CROSS JOIN cl),
+      assigned AS (SELECT vec_id, embedding, label AS cell
+                   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                      ORDER BY dd, label) AS rn
+                         FROM dist)
+                   WHERE rn = 1),
+      q AS (SELECT embedding AS qv, cell AS qc FROM assigned WHERE vec_id = 0)
+      SELECT vec_id, ${duckCos("embedding", "qv")} AS cos_sim
+      FROM assigned JOIN q ON cell = qc
+      ORDER BY cos_sim DESC, vec_id ASC LIMIT 5"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-    q43, q44, q45, q46, q47)
+    q43, q44, q45, q46, q47, q48)
 }
