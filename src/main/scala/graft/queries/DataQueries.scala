@@ -505,6 +505,70 @@ object DataQueries {
       FROM assigned JOIN q ON cell = qc
       ORDER BY cos_sim DESC, vec_id ASC LIMIT 5"""))
 
+  /** q49 — the full corpus-curation composition (quality → language →
+    * exact dedup → MinHash near-dup removal) as one oracle-checked
+    * query: the end-to-end pipeline a training-data user runs.
+    */
+  val q49 = Q("q49_curation",
+    (s, dir) => graft.curation.CurationPipeline.curate(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        graft.curation.CurationPipeline.Config(minQuality = 0.5,
+          allowedLangs = Seq("en"), nearDupJaccard = 0.5))
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id"),
+    Some {
+      val sigExprs = Dedup.minhashCoeffs(12).map { case (a, b) =>
+        s"list_min(list_transform(hl, h -> (${a} * h + ${b}) % ${Dedup.MinhashP}))"
+      }.mkString("[", ",\n                ", "]")
+      s"""
+      WITH t AS (SELECT doc_id, text, n_chars, $duckTokens AS w FROM documents),
+      sc AS (SELECT doc_id, text, n_chars, w,
+             round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+                   / length(text), 6) AS pr,
+             round(len(list_filter(w, x -> list_contains(['the','a','of','and'], x)))::DOUBLE
+                   / len(w), 6) AS sr,
+             len(list_filter(w, x -> list_contains(['the','a'], x))) AS s_en,
+             len(list_filter(w, x -> list_contains(['der','und','das'], x))) AS s_de,
+             len(list_filter(w, x -> list_contains(['el','los','que'], x))) AS s_es,
+             len(list_filter(w, x -> list_contains(['le','la','et'], x))) AS s_fr,
+             len(list_filter(w, x -> list_contains(['zh1','zh2'], x))) AS s_zh
+             FROM t),
+      f AS (SELECT doc_id, text, n_chars, w FROM sc
+            WHERE round(0.4 * least(1.0, len(w)::DOUBLE / 100.0)
+                        + 0.3 * (1.0 - pr) + 0.3 * sr, 6) >= 0.5
+              AND CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+                       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+                       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+                       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+                       ELSE 'zh' END = 'en'),
+      e AS (SELECT doc_id, text, n_chars, w FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                ORDER BY doc_id) AS rn
+              FROM f) WHERE rn = 1),
+      sh AS (SELECT doc_id,
+             CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                  ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS g
+             FROM e),
+      hh AS (SELECT doc_id,
+             list_distinct(list_transform(list_distinct(g), s2 -> ${duckHash64("s2")} & ${Dedup.MinhashP})) AS hl
+             FROM sh),
+      sig AS (SELECT doc_id, hl, $sigExprs AS sg FROM hh),
+      bands AS (SELECT doc_id, b,
+                ${duckHash64("'band' || b || '|' || sg[2*b+1] || '|' || sg[2*b+2]")} AS h
+                FROM sig CROSS JOIN (SELECT unnest(range(0, 6)) AS b) bs),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h AND a.doc_id < b.doc_id),
+      j AS (SELECT doc_a, doc_b,
+            round(len(list_intersect(ga.hl, gb.hl))::DOUBLE /
+                  (len(ga.hl) + len(gb.hl) - len(list_intersect(ga.hl, gb.hl))), 6) AS jac
+            FROM cand JOIN hh ga ON doc_a = ga.doc_id JOIN hh gb ON doc_b = gb.doc_id),
+      losers AS (SELECT DISTINCT doc_b FROM j WHERE jac >= 0.5)
+      SELECT doc_id, n_chars FROM e
+      WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-    q43, q44, q45, q46, q47, q48)
+    q43, q44, q45, q46, q47, q48, q49)
 }

@@ -1,0 +1,40 @@
+package graft.curation
+
+import graft.{SparkSpec, Tables}
+
+class CurationPipelineSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("stages shrink monotonically and deterministically on the synthetic corpus") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val c = CurationPipeline.stageCounts(docs, "doc_id", "text",
+      CurationPipeline.Config(minQuality = 0.5, allowedLangs = Seq("en"),
+        nearDupJaccard = 0.5))
+    assert(c.input == 500)
+    assert(c.afterQuality <= c.input)
+    assert(c.afterLang <= c.afterQuality)
+    assert(c.afterExactDedup <= c.afterLang)
+    assert(c.afterNearDedup <= c.afterExactDedup)
+    assert(c.afterNearDedup > 0)
+    // deterministic: a second run returns identical counts
+    val c2 = CurationPipeline.stageCounts(docs, "doc_id", "text",
+      CurationPipeline.Config(minQuality = 0.5, allowedLangs = Seq("en"),
+        nearDupJaccard = 0.5))
+    assert(c == c2)
+  }
+
+  test("near-dup removal keeps the lower id of a planted duplicate pair") {
+    val docs = Seq(
+      (1L, "the a quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the a quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the a completely different document about spark query engines"))
+      .toDF("doc_id", "text")
+    val out = CurationPipeline.curate(docs, "doc_id", "text",
+      CurationPipeline.Config(minQuality = 0.0))
+      .select("doc_id").orderBy("doc_id").as[Long].collect()
+    // 1 and 2 are byte-identical → exact dedup keeps 1; 3 survives
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+}
