@@ -635,7 +635,49 @@ object CoreQueries {
                   ELSE TRY_CAST(raw AS DOUBLE) END AS cleaned
       FROM dirty ORDER BY p_partkey"""))
 
+  /** q50 — exact interpolated percentiles per group (distribution
+    * profiling; linear-interpolation definition shared across engines).
+    */
+  val q50 = Q("q50_percentiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+      .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS median_qty,
+             quantile_cont(l_quantity, 0.9) AS p90_qty,
+             quantile_cont(l_extendedprice, 0.5) AS median_price
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** q51 — rank-family window functions: ntile buckets and percent_rank
+    * with fully-deterministic tie-broken ordering.
+    */
+  val q51 = Q("q51_rank_functions",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          dense_rank().over(w).as("drank"))
+        .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             ntile(4) OVER w AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             dense_rank() OVER w AS drank
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+      ORDER BY o_orderstatus, o_totalprice, o_orderkey"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31)
+    q25, q26, q27, q28, q29, q30, q31, q50, q51)
 }
