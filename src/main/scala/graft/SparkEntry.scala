@@ -15,12 +15,22 @@ object SparkEntry {
   def allQueries: Seq[Q] = CoreQueries.all ++ DataQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    graft.expressions.GraftExtensions.register(spark)
     CoreQueries.q09.fn(spark, "/root/testdata/sf0.001")
+  }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every fn
+    * self-registers the engine's native functions, so the map works on
+    * any caller-provided session (not just Verify/Bench's).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allQueries.map(q => q.name -> q.fn).toMap
+    allQueries.map { q =>
+      q.name -> { (s: SparkSession, dir: String) =>
+        graft.expressions.GraftExtensions.register(s)
+        q.fn(s, dir)
+      }
+    }.toMap
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops (driver
