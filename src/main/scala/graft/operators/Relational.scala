@@ -76,7 +76,7 @@ object Relational {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+
         org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(rdd, schema)

@@ -20,7 +20,7 @@ object ScaleOps {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int, joinType: String = "inner"): DataFrame = {
     val bigS = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(salts)).cast("int"))
     val smallS = small.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     bigS.join(smallS, keys :+ "_salt", joinType).drop("_salt")
