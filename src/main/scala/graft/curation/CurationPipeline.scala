@@ -48,9 +48,14 @@ object CurationPipeline {
       .withColumn("_lang", TextAnalysis.langId(col(textCol), cfg.markerSets))
       .filter(col("_quality") >= cfg.minQuality)
       .filter(col("_lang").isin(cfg.allowedLangs: _*))
+    // materialized once (lazy local checkpoint): the exact-dedup
+    // survivors feed both the near-dup pair generation and the final
+    // anti-join — without it the whole quality→language→dedup lineage
+    // recomputes per reference
     val exact = dedupKeepFirst(
       scored.withColumn("_fp", TextAnalysis.contentFingerprint(col(textCol))),
       Seq("_fp"), Seq(col(idCol).asc))
+      .localCheckpoint(false)
     val nearDupLosers = Dedup.minhashLshPairs(exact, idCol, textCol,
         cfg.shingleWidth, cfg.minhashK, cfg.rowsPerBand, cfg.nearDupJaccard)
       .select(col("id_b").as(idCol))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -125,6 +126,46 @@ object Dedup {
     round(inter.cast("double") / (size(a) + size(b) - inter), 6)
   }
 
+  /** Default hot-bucket cap: LSH buckets larger than this are skipped.
+    * 500 ids ⇒ ≤124,750 pairs per bucket — bounded work per task. Real
+    * buckets at this size are pathological (identical boilerplate docs),
+    * and those duplicates belong to exact dedup, not pair enumeration.
+    */
+  val DefaultMaxBucket: Int = 500
+
+  /** Distinct unordered candidate pairs (id_a < id_b) of ids sharing a
+    * bucket, with a hot-bucket cap.
+    *
+    * The cap is enforced with a windowed count BEFORE any per-bucket
+    * array exists — a degenerate bucket (e.g. thousands of identical
+    * docs) never materializes as one giant collect_list row, so there is
+    * no straggler task and no O(bucket²) pair explosion. Skipping
+    * oversized buckets is the standard LSH guard (pairs whose only
+    * shared bucket is pathological are dropped; normal corpora are
+    * unaffected — DedupSpec plants 10k identical docs to prove both).
+    *
+    * Pairs are generated inside each bucket from the sorted id list
+    * (id_a < id_b by construction) — one aggregation pass, no
+    * bucket⋈bucket self-join that would recompute the producing plan
+    * once per side.
+    */
+  def bucketPairs(df: DataFrame, idCol: String, bucketCols: Seq[String],
+                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    val sized = df
+      .withColumn("_bsz", count(lit(1)).over(w))
+      .filter(col("_bsz") > 1 && col("_bsz") <= maxBucket)
+    val buckets = sized.groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+    buckets
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("_ids")) - 1),
+        i => transform(slice(col("_ids"), i + 1, size(col("_ids"))),
+          b => struct(element_at(col("_ids"), i).as("id_a"), b.as("id_b")))))).as("_p"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      .distinct() // one pair, however many buckets matched
+  }
+
   /** End-to-end MinHash-LSH near-duplicate pairs.
     *
     * @param df       input
@@ -134,35 +175,32 @@ object Dedup {
     * @param k        signature length
     * @param rowsPerBand r; bands = k / r
     * @param threshold minimum exact Jaccard for an emitted pair
+    * @param blockCols extra equality columns: candidates must also agree
+    *                  on these (they join the band-bucket key, so a
+    *                  blocked corpus shards its buckets by block)
+    * @param maxBucket hot-bucket cap, see [[bucketPairs]]
     * @return (id_a, id_b, jaccard) with id_a < id_b, one row per pair
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, rowsPerBand: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double,
+                      blockCols: Seq[String] = Nil,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     graft.expressions.GraftExtensions.register(df.sparkSession)
-    val numBands = k / rowsPerBand
+    val keep = col(idCol) +: blockCols.map(col)
+    // materialized once (lazy local checkpoint): referenced three times
+    // below (band generation + both verification joins) — without it the
+    // md5 shingle-hash scan re-runs per reference (self-join recompute)
     val hashed = df
-      .select(col(idCol), shingleHashes(shingles(col(textCol), n)).as("_sh"))
-    // skinny (id, band, hash) rows only — the shingle arrays stay out of
-    // the candidate shuffle (at corpus scale they dominate the bytes)
+      .select(keep :+ shingleHashes(shingles(col(textCol), n)).as("_sh"): _*)
+      .localCheckpoint(false)
+    // skinny (id, block…, band, hash) rows only — the shingle arrays
+    // stay out of the candidate shuffle (at corpus scale they dominate
+    // the bytes)
     val bands = hashed.select(
-      col(idCol),
-      posexplode(minhashBandHashes(col("_sh"), k, rowsPerBand))
-        .as(Seq("_b", "_h")))
-    // one aggregation pass groups each band bucket; pairs are generated
-    // inside the bucket (sorted ids ⇒ id_a < id_b by construction).
-    // This avoids a bands⋈bands self-join, which would re-run the whole
-    // (interpreted, non-codegen) signature pipeline once per side.
-    val buckets = bands.groupBy("_b", "_h")
-      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
-      .filter(size(col("_ids")) > 1)
-    val cand = buckets
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("_ids")) - 1),
-        i => transform(slice(col("_ids"), i + 1, size(col("_ids"))),
-          b => struct(element_at(col("_ids"), i).as("id_a"), b.as("id_b")))))).as("_p"))
-      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
-      .distinct() // one jaccard per pair, however many bands matched
+      keep :+ posexplode(minhashBandHashes(col("_sh"), k, rowsPerBand))
+        .as(Seq("_b", "_h")): _*)
+    val cand = bucketPairs(bands, idCol, blockCols ++ Seq("_b", "_h"), maxBucket)
     cand
       .join(hashed.select(col(idCol).as("id_a"), col("_sh").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col(idCol).as("id_b"), col("_sh").as("sh_b")), Seq("id_b"))

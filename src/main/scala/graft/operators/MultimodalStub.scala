@@ -23,10 +23,30 @@ object MultimodalStub {
   def attachPayload(df: DataFrame, srcCol: String, payloadCol: String): DataFrame =
     df.withColumn(payloadCol, encode(col(srcCol), "UTF-8"))
 
-  /** Per-partition feature extraction over binary payloads:
+  /** Feature extraction over binary payloads:
     * (id, n_bytes, header_hex = first 4 bytes, content_md5).
+    *
+    * Default path: built-in expressions (`length`/`hex(substring)`/
+    * `md5` over the binary column) — fully whole-stage-codegen'd, one
+    * projection over the scan, no serialization boundary. Use
+    * [[extractFeaturesPartitioned]] only when the extraction genuinely
+    * needs imperative per-partition state (a codec context).
     */
-  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as(idCol),
+      length(col(payloadCol)).cast("long").as("n_bytes"),
+      lower(hex(substring(col(payloadCol), 1, 4))).as("header_hex"),
+      md5(col(payloadCol)).as("content_md5"))
+
+  /** Per-partition (iterator) variant of [[extractFeatures]] — the
+    * codec-shaped path: batch-amortized setup (digest instance here;
+    * a real decoder's codec context / model handle in production),
+    * typed output schema, one pass per partition. Identical output to
+    * the expression form (MultimodalSpec asserts it); kept as the
+    * template a real decode step would drop into, not as the default.
+    */
+  def extractFeaturesPartitioned(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))

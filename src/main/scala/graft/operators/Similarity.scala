@@ -89,6 +89,29 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Seeded hyperplane component in [-1, 1] for (seed, plane, dim) —
+    * independent plane families (e.g. the L hash tables of a banded
+    * pair-search) come from distinct seeds.
+    */
+  def planeComponentSeeded(seed: String, p: Int, d: Int): Double =
+    (Hashing.hash64Local(s"$seed:p$p:d$d") % 2001 - 1000).toDouble / 1000.0
+
+  /** [[hyperplaneBucket]] with an explicit plane-family seed. Same
+    * determinism/codegen properties; used where several independent
+    * bucket tables are needed (banded near-dup search boosts recall:
+    * P(candidate) = 1 - (1 - (1-θ/π)^planes)^tables).
+    */
+  def hyperplaneBucketSeeded(vec: Column, dim: Int, planes: Int, seed: String): Column = {
+    val bits = (0 until planes).map { p =>
+      val plane = array((1 to dim).map(d => lit(planeComponentSeeded(seed, p, d))): _*)
+      val proj = aggregate(
+        zip_with(vec, plane, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
   /** LSH-bucketed ANN: top-k within the query's bucket only. */
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, dim: Int, planes: Int, k: Int): DataFrame = {

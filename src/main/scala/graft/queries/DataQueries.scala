@@ -163,8 +163,11 @@ object DataQueries {
       bands AS (SELECT doc_id, b,
                 ${duckHash64("'band' || b || '|' || sg[2*b+1] || '|' || sg[2*b+2]")} AS h
                 FROM sig CROSS JOIN (SELECT unnest(range(0, 6)) AS b) bs),
+      ok AS (SELECT b, h FROM bands GROUP BY b, h
+             HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h AND a.doc_id < b.doc_id),
+               FROM bands a JOIN ok ON a.b = ok.b AND a.h = ok.h
+               JOIN bands b ON a.b = b.b AND a.h = b.h AND a.doc_id < b.doc_id),
       gg AS (SELECT doc_id, list_distinct(hl) AS gd FROM hh),
       j AS (SELECT doc_a, doc_b,
             round(len(list_intersect(ga.gd, gb.gd))::DOUBLE /
@@ -188,48 +191,56 @@ object DataQueries {
                     THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash
       FROM h ORDER BY doc_id"""))
 
-  /** q38 — exact n-gram Jaccard near-dups within each source (the
-    * blocked all-pairs baseline LSH approximates).
+  /** q38 — n-gram Jaccard near-dups within each source, candidates from
+    * 12 single-row LSH bands (recall 1-(1-j)^12: 72% at j=0.1, 98.6% at
+    * j=0.3, ~1 at j≥0.5), each candidate exact-verified on the full
+    * 31-bit shingle-hash sets.
+    *
+    * The round-1 version ran blocked all-pairs (`source` self-join) —
+    * exact, but O(n²) per block and the bench's worst query; at corpus
+    * scale it would never finish. Banded candidate generation is the
+    * linear-shuffle replacement: same verify arithmetic, deterministic
+    * md5-derived bands the oracle replays bit-for-bit.
     */
   val q38 = Q("q38_ngram_jaccard",
-    (s, dir) => {
-      // intersect 31-bit shingle hashes, not strings — same Jaccard
-      // (hashing is engine-identical), far cheaper comparisons. Pairs
-      // are enumerated skinny (ids only) within each source block; the
-      // arrays join back afterwards so the blocked all-pairs shuffle
-      // never carries them.
-      graft.expressions.GraftExtensions.register(s)
-      val sh = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          Dedup.shingleHashes(Dedup.shingles(col("text"), 2)).as("gd"))
-      val ids = sh.select(col("doc_id"), col("source"))
-      val pairs = ids.select(col("doc_id").as("doc_a"), col("source"))
-        .join(ids.select(col("doc_id").as("doc_b"), col("source")), Seq("source"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-      pairs
-        .join(sh.select(col("doc_id").as("doc_a"), col("gd").as("gda")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("gd").as("gdb")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          Dedup.jaccardLongDistinct(col("gda"), col("gdb")).as("jaccard"))
-        .filter(col("jaccard") >= 0.1)
-        .orderBy("doc_a", "doc_b")
-    },
-    Some(s"""
+    (s, dir) => Dedup.minhashLshPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 2, k = 12, rowsPerBand = 1, threshold = 0.1,
+        blockCols = Seq("source"))
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      .orderBy("doc_a", "doc_b"),
+    Some {
+      val sigExprs = Dedup.minhashCoeffs(12).map { case (a, b) =>
+        s"list_min(list_transform(hl, h -> (${a} * h + ${b}) % ${Dedup.MinhashP}))"
+      }.mkString("[", ",\n                ", "]")
+      s"""
       WITH t AS (SELECT doc_id, source, $duckTokens AS w FROM documents),
       sh AS (SELECT doc_id, source,
              CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
                   ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS g
              FROM t),
       hh AS (SELECT doc_id, source,
-             list_distinct(list_transform(list_distinct(g), s -> ${duckHash64("s")} & ${Dedup.MinhashP})) AS gd
+             list_transform(list_distinct(g), s -> ${duckHash64("s")} & ${Dedup.MinhashP}) AS hl
              FROM sh),
-      j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-            round(len(list_intersect(a.gd, b.gd))::DOUBLE /
-                  (len(a.gd) + len(b.gd) - len(list_intersect(a.gd, b.gd))), 6) AS jaccard
-            FROM hh a JOIN hh b ON a.source = b.source AND a.doc_id < b.doc_id)
+      sig AS (SELECT doc_id, source, hl, $sigExprs AS sg FROM hh),
+      bands AS (SELECT doc_id, source, b,
+                ${duckHash64("'band' || b || '|' || sg[b+1]")} AS h
+                FROM sig CROSS JOIN (SELECT unnest(range(0, 12)) AS b) bs),
+      ok AS (SELECT source, b, h FROM bands GROUP BY source, b, h
+             HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a
+               JOIN ok ON a.source = ok.source AND a.b = ok.b AND a.h = ok.h
+               JOIN bands b ON a.source = b.source AND a.b = b.b AND a.h = b.h
+                          AND a.doc_id < b.doc_id),
+      gg AS (SELECT doc_id, list_distinct(hl) AS gd FROM hh),
+      j AS (SELECT doc_a, doc_b,
+            round(len(list_intersect(ga.gd, gb.gd))::DOUBLE /
+                  (len(ga.gd) + len(gb.gd) - len(list_intersect(ga.gd, gb.gd))), 6) AS jaccard
+            FROM cand JOIN gg ga ON doc_a = ga.doc_id JOIN gg gb ON doc_b = gb.doc_id)
       SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.1
-      ORDER BY doc_a, doc_b"""))
+      ORDER BY doc_a, doc_b"""
+    })
 
   /** q39 — brute-force cosine top-10 for one query vector (ANN
     * baseline; map-only + TakeOrderedAndProject).
@@ -246,35 +257,78 @@ object DataQueries {
       FROM embeddings CROSS JOIN q
       ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""))
 
-  /** q40 — embedding-cosine near-duplicate pairs within each label
-    * block (norms precomputed once per row, not per pair).
+  /** q40 — embedding-cosine near-duplicate pairs within each label:
+    * candidates from 6 hyperplane hash tables × 3 planes (recall
+    * 1-(1-(1-θ/π)³)⁶ — ~42% at cos 0.3, 99.7% at cos 0.9, i.e. tuned
+    * for true near-dups), exact-cosine verified (norms precomputed once
+    * per row, not per pair).
+    *
+    * The round-1 version joined all pairs within each label — O(n²)
+    * per block. Banded hyperplane buckets are the linear-shuffle scale
+    * path (same machinery as q41's ANN, banded for pair search);
+    * deterministic md5-derived planes let the oracle rebuild identical
+    * buckets.
     */
   val q40 = Q("q40_embed_neardup",
     (s, dir) => {
       graft.expressions.GraftExtensions.register(s)
+      val tables = 6; val planes = 3
+      // materialized once (lazy local checkpoint): referenced by the
+      // bucket generation and both verification joins
       val emb = Tables.load(s, dir, "embeddings")
         .withColumn("_norm", sqrt(Similarity.dotNative(col("embedding"), col("embedding"))))
-      val a = emb.select(col("vec_id").as("id_a"), col("label"),
-        col("embedding").as("va"), col("_norm").as("na"))
-      val b = emb.select(col("vec_id").as("id_b"), col("label"),
-        col("embedding").as("vb"), col("_norm").as("nb"))
-      a.join(b, Seq("label"))
-        .filter(col("id_a") < col("id_b"))
+        .localCheckpoint(false)
+      val buckets = emb.select(col("vec_id"), col("label"),
+        posexplode(array((0 until tables).map(t =>
+          Similarity.hyperplaneBucketSeeded(col("embedding"), 64, planes, s"q40t$t")): _*))
+          .as(Seq("_t", "_bk")))
+      val cand = Dedup.bucketPairs(buckets, "vec_id", Seq("label", "_t", "_bk"))
+      cand
+        .join(emb.select(col("vec_id").as("id_a"),
+          col("embedding").as("va"), col("_norm").as("na")), Seq("id_a"))
+        .join(emb.select(col("vec_id").as("id_b"),
+          col("embedding").as("vb"), col("_norm").as("nb")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           round(Similarity.dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6)
             .as("cos_sim"))
         .filter(col("cos_sim") >= 0.3)
         .orderBy("id_a", "id_b")
     },
-    Some(s"""
+    Some {
+      val tables = 6; val planes = 3
+      def planeLit(seed: String, p: Int) = (1 to 64).map { d =>
+        val n = Hashing.hash64Local(s"$seed:p$p:d$d") % 2001 - 1000
+        s"(${n}.0/1000.0)"
+      }.mkString("[", ",", "]")
+      val bucketExprs = (0 until tables).map { t =>
+        val bits = (0 until planes).map { p =>
+          s"""CASE WHEN list_reduce(list_transform(range(1, 65),
+             d -> CAST(embedding[d] AS DOUBLE) * (${planeLit(s"q40t$t", p)}[d])), (a, b) -> a + b) > 0
+             THEN ${1 << p} ELSE 0 END"""
+        }.mkString(" + ")
+        s"CAST($bits AS INTEGER) AS bk$t"
+      }.mkString(",\n             ")
+      val bkCase = (0 until tables).map(t => s"WHEN $t THEN bk$t").mkString(" ")
+      s"""
       WITH n AS (SELECT vec_id, label, embedding,
-                        sqrt(${duckDot("embedding", "embedding")}) AS nrm
-                 FROM embeddings),
-      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-            round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
-            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+                        sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+             $bucketExprs
+             FROM embeddings),
+      bk AS (SELECT vec_id, label, t, CASE t $bkCase END AS bkt
+             FROM n CROSS JOIN (SELECT unnest(range(0, $tables)) AS t) ts),
+      ok AS (SELECT label, t, bkt FROM bk GROUP BY label, t, bkt
+             HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM bk a
+               JOIN ok ON a.label = ok.label AND a.t = ok.t AND a.bkt = ok.bkt
+               JOIN bk b ON a.label = b.label AND a.t = b.t AND a.bkt = b.bkt
+                       AND a.vec_id < b.vec_id),
+      p AS (SELECT id_a, id_b,
+            round(${duckDot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm), 6) AS cos_sim
+            FROM cand JOIN n na ON id_a = na.vec_id JOIN n nb ON id_b = nb.vec_id)
       SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.3
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b"""
+    })
 
   /** q41 — LSH-bucketed ANN: 8 md5-derived hyperplanes, search only the
     * query's bucket, top-5 by cosine (the 100 TB scale path).
@@ -309,9 +363,12 @@ object DataQueries {
       ORDER BY cos_sim DESC, vec_id ASC LIMIT 5"""
     })
 
-  /** q42 — multimodal binary plumbing: opaque payload column +
-    * per-partition feature extraction (decode step stubbed
-    * deterministically; see MultimodalStub).
+  /** q42 — multimodal binary plumbing: opaque payload column + feature
+    * extraction as codegen'd built-in expressions (decode step stubbed
+    * deterministically; see MultimodalStub — the per-partition codec
+    * shape survives as extractFeaturesPartitioned, identical output).
+    * The oracle slices bytes (substr over the encoded BLOB), matching
+    * Spark's binary substring even for multibyte text.
     */
   val q42 = Q("q42_media_features",
     (s, dir) => MultimodalStub.extractFeatures(
@@ -322,7 +379,7 @@ object DataQueries {
     Some("""
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             lower(hex(substr(text, 1, 4))) AS header_hex,
+             lower(left(hex(encode(text)), 8)) AS header_hex,
              md5(text) AS content_md5
       FROM documents ORDER BY doc_id"""))
 
@@ -557,8 +614,11 @@ object DataQueries {
       bands AS (SELECT doc_id, b,
                 ${duckHash64("'band' || b || '|' || sg[2*b+1] || '|' || sg[2*b+2]")} AS h
                 FROM sig CROSS JOIN (SELECT unnest(range(0, 6)) AS b) bs),
+      ok AS (SELECT b, h FROM bands GROUP BY b, h
+             HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h AND a.doc_id < b.doc_id),
+               FROM bands a JOIN ok ON a.b = ok.b AND a.h = ok.h
+               JOIN bands b ON a.b = b.b AND a.h = b.h AND a.doc_id < b.doc_id),
       j AS (SELECT doc_a, doc_b,
             round(len(list_intersect(ga.hl, gb.hl))::DOUBLE /
                   (len(ga.hl) + len(gb.hl) - len(list_intersect(ga.hl, gb.hl))), 6) AS jac
