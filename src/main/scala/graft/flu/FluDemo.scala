@@ -1,24 +1,46 @@
 package graft.flu
 
-import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
 
-/** Usage demo / smoke main: load the five star-schema tables from CSV,
-  * register views, run the three canned reports plus an export.
+/** Usage demo / smoke main for the flu star-schema surface.
   *
-  *   sbt "runMain graft.flu.FluDemo src/test/resources/golden"
+  * Two modes:
+  *   - `sbt "runMain graft.flu.FluDemo src/test/resources/golden"` —
+  *     load the five pre-built tables from CSV and run the reports.
+  *   - `sbt "runMain graft.flu.FluDemo --from-feeds src/test/resources/feeds"`
+  *     — the cold-start path: raw feed snapshots (RHINO CSV, census
+  *     CSV, FluView JSON) → ingestion shim → the five tables → the
+  *     reports. Swap the snapshot transport for `Fetch.http()` to hit
+  *     the reference's live endpoints (this container has no egress).
   */
 object FluDemo {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("src/test/resources/golden")
     val spark = graft.GraftSession.create(master = "local[4]", shufflePartitions = 4)
-    def csv(name: String, schema: org.apache.spark.sql.types.StructType) =
-      spark.read.option("header", "true").schema(schema).csv(s"$dir/$name.csv")
-    FluReports.registerViews(Map(
-      "county_region" -> csv("county_region", FluSchemas.countyRegion),
-      "temporal" -> csv("temporal", FluSchemas.temporal),
-      "illness" -> csv("illness", FluSchemas.illness),
-      "healthcare" -> csv("healthcare", FluSchemas.healthcare),
-      "historics" -> csv("historic_flu", FluSchemas.historics)))
+
+    val tables = args.toSeq match {
+      case Seq("--from-feeds", dir) =>
+        def snap(name: String) = new String(
+          Files.readAllBytes(Paths.get(s"$dir/$name")), StandardCharsets.UTF_8)
+        val transport = graft.sources.Fetch.snapshots(Map(
+          FluFeeds.rhinoUrl -> snap("rhino.csv"),
+          FluFeeds.censusUrl -> snap("census.csv"),
+          graft.sources.Fetch.withQuery(FluFeeds.fluviewUrl, FluFeeds.fluviewParams)
+            -> snap("fluview.json")))
+        FluFeeds.buildFromFeeds(spark, transport)
+      case other =>
+        val dir = other.headOption.getOrElse("src/test/resources/golden")
+        def csv(name: String, schema: org.apache.spark.sql.types.StructType) =
+          spark.read.option("header", "true").schema(schema).csv(s"$dir/$name.csv")
+        Map(
+          "county_region" -> csv("county_region", FluSchemas.countyRegion),
+          "temporal" -> csv("temporal", FluSchemas.temporal),
+          "illness" -> csv("illness", FluSchemas.illness),
+          "healthcare" -> csv("healthcare", FluSchemas.healthcare),
+          "historics" -> csv("historic_flu", FluSchemas.historics))
+    }
+
+    FluReports.registerViews(tables)
     println("== weekly-trends ==")
     FluReports.formatWeeklyTrends(FluReports.weeklyTrends(spark)).show(20, truncate = false)
     println("== healthcare-impact ==")

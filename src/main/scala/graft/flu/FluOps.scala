@@ -164,6 +164,12 @@ object FluOps {
       .agg(
         first(col("hospitalization_percent"), ignoreNulls = true).as("hospitalization_percent"),
         first(col("er_visit_percent"), ignoreNulls = true).as("er_visit_percent"))
+      // Documented deviation (like the historics tie-break note): when
+      // er_visit_percent is exactly 0.0 the reference's pandas division
+      // (reference :412) yields inf, which its fillna(0) keeps; Spark's
+      // double division-by-zero yields null, which na.fill turns into
+      // 0.0. A 0-rate denominator means "no ER signal at all", so 0 is
+      // the saner ratio than inf; golden data has no such rows.
       .withColumn("hospital_to_er_ratio",
         col("hospitalization_percent") / col("er_visit_percent"))
       .na.fill(0.0)

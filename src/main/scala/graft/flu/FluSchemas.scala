@@ -11,6 +11,22 @@ import org.apache.spark.sql.types._
   */
 object FluSchemas {
 
+  /** WA DOH RHINO feed as fetched (reference: dags/flu_data_airflow_v2
+    * .py:46-99 — before the `source` tag and ACH→county explosion).
+    * Header names verbatim, including the trailing space in
+    * "1-Week Percent ".
+    */
+  val rhinoRaw: StructType = StructType(Seq(
+    StructField("Location", StringType),
+    StructField("Week Start", StringType),
+    StructField("Week End", StringType),
+    StructField("Week", IntegerType),
+    StructField("Season", StringType),
+    StructField("Respiratory Illness Category", StringType),
+    StructField("Care Type", StringType),
+    StructField("Demographic Category", StringType),
+    StructField("1-Week Percent ", StringType)))
+
   /** WA DOH RHINO feed after the ACH→county explosion (reference:
     * dags/flu_data_airflow_v2.py:46-139). Column names preserved verbatim
     * — including the trailing space in "1-Week Percent " (reference

@@ -19,6 +19,12 @@ object ScaleOps {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched small row once per
+    // salt value (the small side is exploded across all salts), so only
+    // the join types where salting is correctness-neutral are allowed
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti, not $joinType")
     val bigS = big.withColumn("_salt",
       pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(salts)).cast("int"))
     val smallS = small.withColumn("_salt",

@@ -72,7 +72,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.contains(0L))
   }
 
-  test("multimodal stub: payload attach + per-partition feature extraction") {
+  test("multimodal stub: payload attach + feature extraction") {
     val df = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
     val out = MultimodalStub.extractFeatures(
       MultimodalStub.attachPayload(df, "text", "payload"), "doc_id", "payload")
@@ -80,5 +80,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(0).getLong(1) == 5L)
     assert(out(0).getString(2) == "68656c6c") // 'hell' in hex
     assert(out(0).getString(3) == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+  }
+
+  test("multimodal stub: partitioned (codec-shaped) variant matches the expression form") {
+    val df = MultimodalStub.attachPayload(
+      Seq((1L, "hello"), (2L, "wörld"), (3L, "")).toDF("doc_id", "text"),
+      "text", "payload")
+    val expr = MultimodalStub.extractFeatures(df, "doc_id", "payload")
+      .orderBy("doc_id").collect().toSeq
+    val part = MultimodalStub.extractFeaturesPartitioned(df, "doc_id", "payload")
+      .orderBy("doc_id").collect().toSeq
+    assert(expr == part)
+  }
+
+  test("hot LSH bucket is capped: 10k identical docs don't explode, normal pairs survive") {
+    // 10_000 identical docs → one band bucket of 10k ids; uncapped that's
+    // ~50M pairs in a single straggler task. With the cap the bucket is
+    // skipped BEFORE aggregation, while an ordinary near-dup pair in the
+    // same corpus still comes through.
+    val hot = (1L to 10000L).map(i => (i, "spam spam ham eggs spam ham eggs spam"))
+    val normal = Seq(
+      (20001L, "the quick brown fox jumps over the lazy dog today"),
+      (20002L, "the quick brown fox jumps over the lazy dog tonight"))
+    val df = (hot ++ normal).toDF("doc_id", "text").repartition(8)
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text",
+      n = 2, k = 12, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((20001L, 20002L)))
+  }
+
+  test("bucketPairs: dedups multi-bucket pairs, drops singleton and oversized buckets") {
+    val df = Seq(
+      (1L, "a"), (2L, "a"),      // pair in bucket a
+      (1L, "b"), (2L, "b"),      // same pair again in bucket b → one output row
+      (3L, "c"),                 // singleton bucket → nothing
+      (4L, "d"), (5L, "d"), (6L, "d") // bucket over cap 2 → skipped
+    ).toDF("id", "bk")
+    val out = Dedup.bucketPairs(df, "id", Seq("bk"), maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq.sorted == Seq((1L, 2L)))
   }
 }

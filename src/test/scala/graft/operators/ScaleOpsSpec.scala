@@ -22,6 +22,18 @@ class ScaleOpsSpec extends SparkSpec {
     assertRowsEqual(rows(salted), rows(plain), tol = 1e-9)
   }
 
+  test("saltedJoin rejects join types where salting changes the result") {
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("k", "v")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "cross"))
+      intercept[IllegalArgumentException] {
+        ScaleOps.saltedJoin(df, df, Seq("k"), salts = 2, joinType = jt)
+      }
+    // the allowed spellings still construct (lazy — no action needed)
+    for (jt <- Seq("inner", "left", "left_outer", "left_semi", "left_anti"))
+      ScaleOps.saltedJoin(df, df, Seq("k"), salts = 2, joinType = jt)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val warehouse = spark.conf.getOption("spark.sql.warehouse.dir")
     val l = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
