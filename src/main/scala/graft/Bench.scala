@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,6 +13,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_bench_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftExtensions.register(spark)
@@ -33,11 +36,60 @@ object Bench {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
+    val extras = measureExtras(spark, sfDir, errors)
+    val exJson = extras.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString(",\"extras\":{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$exJson,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Evidence runs outside the graded query total:
+    *
+    *   - bucketed-layout delta: the same sort-merge fact⋈fact join
+    *     timed over the plain parquet layout (shuffle + sort both
+    *     sides) and over ScaleOps.writeBucketed tables (zero exchange,
+    *     zero sort) — the measured number behind ScaleOpsSpec's plan
+    *     assertion. Broadcast is disabled via merge-join hints so the
+    *     layouts, not the join strategy, are what differ.
+    *   - per-stage curation timings (rows + seconds per stage) for the
+    *     q49 pipeline on the documents table.
+    */
+  private def measureExtras(spark: SparkSession, sfDir: String,
+      errors: scala.collection.mutable.LinkedHashMap[String, String]): Seq[(String, Double)] =
+    try {
+      def sec(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def best2(f: => Unit): Double = math.min(sec(f), sec(f))
+
+      val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+      val or = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+      def joinAgg(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame): Unit =
+        l.hint("merge")
+          .join(o.hint("merge"), l("l_orderkey") === o("o_orderkey"))
+          .agg(sum(col("l_quantity") * col("o_totalprice"))).count()
+      val plainSec = best2(joinAgg(li, or))
+      graft.operators.ScaleOps.writeBucketed(li, "bench_b_lineitem", Seq("l_orderkey"), 16)
+      graft.operators.ScaleOps.writeBucketed(or, "bench_b_orders", Seq("o_orderkey"), 16)
+      val bl = spark.table("bench_b_lineitem")
+      val bo = spark.table("bench_b_orders")
+      val bucketedSec = best2(joinAgg(bl, bo))
+
+      val docs = Tables.load(spark, sfDir, "documents")
+      val stages = graft.curation.CurationPipeline
+        .stageTimings(docs, "doc_id", "text")
+        .flatMap { case (name, rows, s) =>
+          Seq(s"curation_${name}_rows" -> rows.toDouble, s"curation_${name}_sec" -> s)
+        }
+      Seq("factjoin_plain_sec" -> plainSec,
+        "factjoin_bucketed_sec" -> bucketedSec) ++ stages
+    } catch {
+      case e: Throwable =>
+        errors.getOrElseUpdate("extras", e.toString.take(200))
+        Seq.empty
+    }
 }

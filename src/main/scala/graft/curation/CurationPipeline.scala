@@ -65,6 +65,31 @@ object CurationPipeline {
       .drop("_fp")
   }
 
+  /** Per-stage rows + wall seconds (each stage timed by its own
+    * count() action, cumulative lineage per stage — audit/bench
+    * instrumentation, not the hot path; Bench publishes these into
+    * the round's BASELINE evidence).
+    */
+  def stageTimings(docs: DataFrame, idCol: String, textCol: String,
+                   cfg: Config = Config()): Seq[(String, Long, Double)] = {
+    def timed(name: String, df: DataFrame): (String, Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      (name, n, (System.nanoTime() - t0) / 1e9)
+    }
+    val q = docs.filter(TextAnalysis.qualityScore(col(textCol), cfg.stopwords) >= cfg.minQuality)
+    val l = q.filter(TextAnalysis.langId(col(textCol), cfg.markerSets).isin(cfg.allowedLangs: _*))
+    val e = dedupKeepFirst(
+      l.withColumn("_fp", TextAnalysis.contentFingerprint(col(textCol))),
+      Seq("_fp"), Seq(col(idCol).asc))
+    Seq(
+      timed("input", docs),
+      timed("quality", q),
+      timed("language", l),
+      timed("exact_dedup", e),
+      timed("near_dedup", curate(docs, idCol, textCol, cfg)))
+  }
+
   /** Per-stage row counts (runs the pipeline stage by stage — four
     * actions; use for auditing, not in the hot path).
     */

@@ -81,4 +81,41 @@ object Relational {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** One-shot column profiling — the `df.describe()` shape (reference
+    * G9: dags/flu_data_airflow_v2.py:230) as ONE aggregation pass:
+    * every statistic for every column computes in the same partial+final
+    * hash aggregate (one scan, one 1-row shuffle), then the single row
+    * pivots to one output row per column.
+    *
+    * Stats per column: total rows, non-null count, distinct count,
+    * min/max (cast double — numeric columns), decimal-summed mean
+    * (partition-order independent, see ScalarFunctions.davg).
+    *
+    * @param exact true → exact COUNT(DISTINCT) per column; with several
+    *   columns Spark plans one Expand (rows × columns) before the
+    *   partial agg — exact but a wider scan. false (default) →
+    *   approx_count_distinct (HLL++, ~2% standard error), the 100 TB
+    *   path: no Expand, still one pass.
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+              exact: Boolean = false): DataFrame = {
+    import graft.functions.ScalarFunctions.davg
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      (if (exact) count_distinct(col(c)) else approx_count_distinct(col(c)))
+        .as(s"${c}__ndv"),
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max"),
+      davg(col(c)).as(s"${c}__mean"))
+    }
+    val one = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__total").as("n_rows"),
+        col(s"${c}__n").as("n_nonnull"), col(s"${c}__ndv").as("n_distinct"),
+        col(s"${c}__min").as("min_val"), col(s"${c}__max").as("max_val"),
+        col(s"${c}__mean").as("mean_val"))
+    }
+    one.select(explode(array(perCol: _*)).as("_p")).select(col("_p.*"))
+  }
 }

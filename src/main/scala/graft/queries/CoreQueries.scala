@@ -677,7 +677,76 @@ object CoreQueries {
       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
       ORDER BY o_orderstatus, o_totalprice, o_orderkey"""))
 
+  /** q52 — approx_percentile, the 100 TB companion to q50's exact
+    * percentile (which buffers every group value): bounded-memory
+    * sketch (Greenwald-Khanna, accuracy 100000 ⇒ rank error ≤ 1e-5).
+    *
+    * Sketched values differ across engines by construction, so the
+    * oracle check is rank-based: the query itself verifies each
+    * approximate percentile against the exact rank it lands on
+    * (|P(x ≤ v) − p| ≤ 0.01) and emits the boolean — the oracle expects
+    * TRUE for every (group, p). A broken sketch fails the hash compare.
+    */
+  val q52 = Q("q52_approx_percentile",
+    (s, dir) => {
+      val ps = Seq(0.5, 0.9, 0.99)
+      val pArr = array(ps.map(lit): _*)
+      val li = t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
+      val appr = li.groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), pArr, lit(100000)).as("_vs"))
+        .select(col("l_returnflag"), posexplode(col("_vs")).as(Seq("_i", "_v")))
+        .withColumn("p", element_at(pArr, col("_i") + 1))
+        .select("l_returnflag", "p", "_v")
+      appr.join(li, Seq("l_returnflag")) // 9-row side broadcasts; fanout ≤ |ps|
+        .groupBy("l_returnflag", "p", "_v")
+        .agg((sum(when(col("l_extendedprice") <= col("_v"), 1L).otherwise(0L))
+          / count(lit(1))).as("_rank_frac"))
+        .select(col("l_returnflag"), col("p"),
+          (abs(col("_rank_frac") - col("p")) <= 0.01).as("within_tol"))
+        .orderBy("l_returnflag", "p")
+    },
+    Some("""
+      SELECT l_returnflag, p, TRUE AS within_tol
+      FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+      CROSS JOIN (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS p) ps
+      ORDER BY l_returnflag, p"""))
+
+  /** q53 — one-pass column profiling (G9's `describe`, completed):
+    * every stat for every column in a single partial+final aggregate.
+    * Exact NDV here for the oracle; the default helper path uses
+    * HLL++ (no Expand) at scale.
+    */
+  val q53 = Q("q53_profile",
+    (s, dir) => profile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), exact = true)
+      .orderBy("col_name"),
+    Some("""
+      SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, max_val, mean_val
+      FROM (
+        SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+               count(l_quantity) AS n_nonnull,
+               count(DISTINCT l_quantity) AS n_distinct,
+               CAST(min(l_quantity) AS DOUBLE) AS min_val,
+               CAST(max(l_quantity) AS DOUBLE) AS max_val,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(l_quantity) AS mean_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+               count(DISTINCT l_extendedprice),
+               CAST(min(l_extendedprice) AS DOUBLE),
+               CAST(max(l_extendedprice) AS DOUBLE),
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(l_extendedprice)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*), count(l_discount),
+               count(DISTINCT l_discount),
+               CAST(min(l_discount) AS DOUBLE),
+               CAST(max(l_discount) AS DOUBLE),
+               CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(l_discount)
+        FROM lineitem)
+      ORDER BY col_name"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q50, q51)
+    q25, q26, q27, q28, q29, q30, q31, q50, q51, q52, q53)
 }
