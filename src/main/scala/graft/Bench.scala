@@ -66,6 +66,13 @@ object Bench {
       }
       def best2(f: => Unit): Double = math.min(sec(f), sec(f))
 
+      // a previous run's table locations survive in the warehouse dir
+      // while the in-memory catalog starts empty — clear both sides
+      for (t <- Seq("bench_b_lineitem", "bench_b_orders"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path("/tmp/graft_bench_warehouse")
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+
       val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
       val or = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
       def joinAgg(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame): Unit =

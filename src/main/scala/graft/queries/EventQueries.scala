@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing
+import graft.functions.ScalarFunctions.dsum
+import graft.operators.{AsOfJoin, Relational, TextAnalysis}
+
+/** Event-stream and corpus-statistics operators a large-scale pipeline
+  * needs beyond the reference surface: point-in-time (as-of) joins,
+  * batch sessionization, deterministic stratified sampling, TF-IDF.
+  *
+  * Time determinism policy: timestamps cross the Spark↔DuckDB oracle
+  * boundary as INTEGER epoch values (unix_micros ↔ epoch_us, or
+  * floor-div seconds) — parquet stores ns, Spark truncates to µs, and
+  * integer arithmetic is the representation both engines agree on
+  * bit-for-bit.
+  */
+object EventQueries {
+
+  /** md5-derived 60-bit hash (mirrors Hashing.hash64). */
+  private def duckHash64(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** q54 — backward as-of join: each error event picks the same user's
+    * most recent purchase at-or-before it (point-in-time lookup).
+    * Purchases are pre-deduped to one per (user, ts) — max event id —
+    * so the winner is deterministic in both engines. One shuffle on
+    * user_id (union + running window), no range join.
+    */
+  val q54 = Q("q54_asof_join",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val pur = Relational.dedupKeepFirst(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts").as("p_ts"), col("value").as("p_value")),
+        Seq("user_id", "p_ts"), Seq(col("p_id").desc))
+      AsOfJoin.asofBackward(err, pur, Seq("user_id"), "ts", "p_ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("e_us"),
+          col("p_id"),
+          unix_micros(col("p_ts")).as("p_us"),
+          col("p_value"))
+        .withColumn("gap_us", col("e_us") - col("p_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH err AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      pur AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value
+        FROM events WHERE event_type = 'purchase'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS e_us,
+             p.p_id, epoch_us(p.p_ts) AS p_us, p.p_value,
+             epoch_us(e.ts) - epoch_us(p.p_ts) AS gap_us
+      FROM err e ASOF LEFT JOIN pur p
+        ON e.user_id = p.user_id AND e.ts >= p.p_ts
+      ORDER BY event_id"""))
+
+  /** q55 — batch sessionization: gap > 30 min starts a new session per
+    * user (the batch twin of streaming mapGroupsWithState). Running
+    * sum over a per-user window, then one aggregation — both stages
+    * share the user_id shuffle. Gaps compare on floor-to-second epoch
+    * longs so the boundary test is integer-exact across engines.
+    */
+  val q55 = Q("q55_sessionize",
+    (s, dir) => {
+      val wu = Window.partitionBy("user_id").orderBy(col("_sec").asc, col("event_id").asc)
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("ts").cast("long").as("_sec"))
+        .withColumn("_gap", col("_sec") - lag(col("_sec"), 1).over(wu))
+        .withColumn("_new", when(col("_gap").isNull || col("_gap") > 1800, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("_new")).over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(
+          min(col("_sec")).as("start_sec"),
+          max(col("_sec")).as("end_sec"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id", "session_idx")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS sec
+        FROM events),
+      g AS (
+        SELECT user_id, event_id, value, sec,
+               CASE WHEN sec - lag(sec) OVER w IS NULL
+                         OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC)),
+      sess AS (
+        SELECT user_id, value, sec,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM g)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             min(sec) AS start_sec, max(sec) AS end_sec,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      FROM sess GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""))
+
+  /** q56 — deterministic stratified sampling: per-stratum rates applied
+    * via the portable md5 hash of the row id, so the sample is exactly
+    * reproducible in any engine (and stable under re-partitioning /
+    * re-runs — unlike rand()-based sampling). Map-only: no shuffle, the
+    * filter pushes the scan down to the sampled fraction of rows.
+    */
+  val q56 = Q("q56_stratified_sample",
+    (s, dir) => {
+      val rate = when(col("event_type") === "click", 5)
+        .when(col("event_type") === "view", 10)
+        .when(col("event_type") === "error", 20)
+        .otherwise(50) // purchase, signup
+      Tables.load(s, dir, "events")
+        .withColumn("_bucket",
+          pmod(Hashing.hash64(concat(lit("smp|"), col("event_id").cast("string"))), lit(100)))
+        .filter(col("_bucket") < rate)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+    Some(s"""
+      SELECT event_id, user_id, event_type, value
+      FROM events
+      WHERE ${duckHash64("concat('smp|', CAST(event_id AS VARCHAR))")} % 100 <
+            CASE event_type WHEN 'click' THEN 5 WHEN 'view' THEN 10
+                            WHEN 'error' THEN 20 ELSE 50 END
+      ORDER BY event_id"""))
+
+  /** q57 — corpus TF-IDF: top-20 terms by total tf·idf. Two linear
+    * shuffles (doc-term counts, then per-term stats); the corpus size
+    * joins in as a broadcast one-row frame; top-k compiles to
+    * TakeOrderedAndProject. idf inputs are integers, so the only
+    * floating step is ln + one multiply, rounded to 4dp for the oracle.
+    */
+  val q57 = Q("q57_tfidf",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val stats = tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      val n = docs.agg(count(lit(1)).as("_n"))
+      stats.crossJoin(broadcast(n))
+        .select(col("term"), col("df"), col("total_tf"),
+          round(col("total_tf") * log(col("_n").cast("double") / col("df")), 4).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      stats AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+                FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents)
+      SELECT term, df, total_tf,
+             round(total_tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf
+      FROM stats, n
+      ORDER BY tfidf DESC, term ASC LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(q54, q55, q56, q57)
+}

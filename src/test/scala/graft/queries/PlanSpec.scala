@@ -54,4 +54,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), plan) // map-side combine
     assert(plan.contains("*("), plan) // WholeStageCodegen spans render as *(n)
   }
+
+  test("q42: media features stay in whole-stage codegen (no object boundary)") {
+    val df = DataQueries.q42.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"), plan)
+  }
+
+  test("q38/q40: no join keyed only on a block column (the quadratic shape)") {
+    // AQE buries join nodes inside leaf QueryStageExec wrappers, so
+    // inspect the rendered tree: every equi-join's key list must name
+    // something beyond the low-cardinality block columns.
+    val joinLine = raw"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\w*\s+\[([^\]]*)\], \[([^\]]*)\]".r
+    val blockCols = Set("source", "label")
+    def keyNames(keys: String): Seq[String] =
+      keys.split(",").toSeq.map(_.trim.takeWhile(_ != '#').toLowerCase).filter(_.nonEmpty)
+    for (q <- Seq(DataQueries.q38, DataQueries.q40)) {
+      val df = q.fn(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val joins = joinLine.findAllMatchIn(plan).toSeq
+      assert(joins.nonEmpty, s"${q.name}: expected equi-joins in plan\n$plan")
+      joins.foreach { m =>
+        val names = keyNames(m.group(2)) ++ keyNames(m.group(3))
+        assert(!names.forall(blockCols.contains),
+          s"${q.name}: join keyed only on block columns $names — all-pairs shape")
+      }
+    }
+  }
 }
