@@ -28,7 +28,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => FloatDot(children.head, children(1))),
     (FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[LongArrayIntersectCount].getName, "graft_intersect_count"),
-      (children: Seq[Expression]) => LongArrayIntersectCount(children.head, children(1))))
+      (children: Seq[Expression]) => LongArrayIntersectCount(children.head, children(1))),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children.head, children(1))),
+    (FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinhashBands].getName, "graft_minhash_bands"),
+      (children: Seq[Expression]) => MinhashBands(children.head, children(1), children(2))))
 
   /** Idempotently register the functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -190,15 +190,22 @@ object Dedup {
     val keep = col(idCol) +: blockCols.map(col)
     // materialized once (lazy local checkpoint): referenced three times
     // below (band generation + both verification joins) — without it the
-    // md5 shingle-hash scan re-runs per reference (self-join recompute)
+    // md5 shingle-hash scan re-runs per reference (self-join recompute).
+    // The native kernel expression computes text → distinct shingle
+    // hashes in one compiled pass — bit-identical to
+    // shingleHashes(shingles(text, n)) (DedupSimilaritySpec asserts it)
+    // but without the interpreted HOF pipeline and per-shingle
+    // hex→conv round-trip.
     val hashed = df
-      .select(keep :+ shingleHashes(shingles(col(textCol), n)).as("_sh"): _*)
+      .select(keep :+
+        call_function("graft_shingle_hashes", col(textCol), lit(n)).as("_sh"): _*)
       .localCheckpoint(false)
     // skinny (id, block…, band, hash) rows only — the shingle arrays
     // stay out of the candidate shuffle (at corpus scale they dominate
     // the bytes)
     val bands = hashed.select(
-      keep :+ posexplode(minhashBandHashes(col("_sh"), k, rowsPerBand))
+      keep :+ posexplode(
+        call_function("graft_minhash_bands", col("_sh"), lit(k), lit(rowsPerBand)))
         .as(Seq("_b", "_h")): _*)
     val cand = bucketPairs(bands, idCol, blockCols ++ Seq("_b", "_h"), maxBucket)
     cand

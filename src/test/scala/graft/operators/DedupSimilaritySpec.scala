@@ -109,6 +109,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((20001L, 20002L)))
   }
 
+  test("native minhash kernel is bit-identical to the declarative pipeline") {
+    graft.expressions.GraftExtensions.register(spark)
+    // corner shapes: normal, shorter than n, repeated shingles, multiple
+    // interior spaces, leading/trailing spaces, tab whitespace, empty
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "solo",
+      "dup dup dup dup dup",
+      "a  b   c",
+      "  padded text here  ",
+      "tab\tseparated\ttokens",
+      "").toDF("text")
+    for ((k, r) <- Seq((12, 2), (12, 1), (8, 4))) {
+      val both = docs.select(
+        Dedup.shingleHashes(Dedup.shingles(col("text"), 2)).as("expr_sh"),
+        call_function("graft_shingle_hashes", col("text"), lit(2)).as("native_sh"))
+        .select(col("expr_sh"), col("native_sh"),
+          Dedup.minhashBandHashes(col("expr_sh"), k, r).as("expr_bands"),
+          call_function("graft_minhash_bands", col("native_sh"), lit(k), lit(r)).as("native_bands"))
+        .collect()
+      both.foreach { row =>
+        assert(row.getSeq[Long](0) == row.getSeq[Long](1), s"shingle hashes differ: $row")
+        assert(row.getSeq[Long](2) == row.getSeq[Long](3), s"band hashes (k=$k,r=$r) differ: $row")
+      }
+    }
+  }
+
   test("bucketPairs: dedups multi-bucket pairs, drops singleton and oversized buckets") {
     val df = Seq(
       (1L, "a"), (2L, "a"),      // pair in bucket a
