@@ -68,15 +68,39 @@ object StreamingOps {
                   schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Streaming exact dedup: keep the first arrival of each key, with
+    * state bounded by the event-time watermark (duplicates are only
+    * expected within the lateness window — e.g. re-delivered feed rows
+    * or at-least-once upstream producers). The streaming twin of the
+    * batch keep-first dedup / PK upsert (K4): state is a hash map keyed
+    * by `idCols` sharded across executors, evicted as the watermark
+    * passes — bounded regardless of stream length.
+    */
+  def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
+                           tsCol: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream-static dimension enrichment: the streaming twin of the J2
+    * broadcast dimension lookup. The static side re-broadcasts per
+    * micro-batch, so dimension updates between triggers are picked up;
+    * the stream side never shuffles for the join.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Run a streaming DataFrame to completion over the currently
     * available data (the reference's daily-batch cadence) into an
     * in-memory table; returns the result.
     */
-  def runAvailableNow(df: DataFrame, queryName: String): DataFrame = {
+  def runAvailableNow(df: DataFrame, queryName: String,
+                      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = df.writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

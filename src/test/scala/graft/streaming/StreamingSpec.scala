@@ -41,6 +41,41 @@ class StreamingSpec extends SparkSpec {
     assertRowsEqual(rows(streamed), rows(batch))
   }
 
+  test("dedupWithinWatermark keeps one row per key over a replayed stream") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dedup-stream").toFile
+    // duplicate deliveries of the same event ids (at-least-once producer)
+    val rows0 = Seq(
+      (1L, "2024-01-01 10:00:00", 5.0), (2L, "2024-01-01 10:00:10", 6.0),
+      (1L, "2024-01-01 10:00:00", 5.0), (3L, "2024-01-01 10:00:20", 7.0),
+      (2L, "2024-01-01 10:00:10", 6.0))
+      .toDF("event_id", "ts_s", "value")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"), col("value"))
+    rows0.write.mode("overwrite").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(rows0.schema).parquet(s"$dir/in")
+    val deduped = StreamingOps.dedupWithinWatermark(stream, Seq("event_id"), "ts", "10 minutes")
+    val out = StreamingOps.runAvailableNow(deduped, "dedup_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(out.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("stream-static dimension enrichment matches the batch broadcast join") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-enrich-stream").toFile
+    val events = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("user_id", "value")
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val enriched = StreamingOps.enrichWithDim(stream, dim, Seq("user_id"))
+    val out = StreamingOps.runAvailableNow(enriched, "enrich_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("user_id")
+    assertRowsEqual(rows(out),
+      rows(StreamingOps.enrichWithDim(events, dim, Seq("user_id")).orderBy("user_id")))
+  }
+
   test("sessionize accumulates per-user state across a micro-batch") {
     import spark.implicits._
     val events = Seq(
