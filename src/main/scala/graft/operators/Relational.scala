@@ -101,13 +101,19 @@ object Relational {
   def profile(df: DataFrame, cols: Seq[String],
               exact: Boolean = false): DataFrame = {
     import graft.functions.ScalarFunctions.davg
-    val aggs = cols.flatMap { c => Seq(
-      count(col(c)).as(s"${c}__n"),
-      (if (exact) count_distinct(col(c)) else approx_count_distinct(col(c)))
-        .as(s"${c}__ndv"),
-      min(col(c)).cast("double").as(s"${c}__min"),
-      max(col(c)).cast("double").as(s"${c}__max"),
-      davg(col(c)).as(s"${c}__mean"))
+    val nullD = lit(null).cast("double")
+    val aggs = cols.flatMap { c =>
+      // min/max/mean only make sense (and only cast safely under ANSI)
+      // for numeric columns; others profile as counts + NDV
+      val numeric = df.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        (if (exact) count_distinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"${c}__ndv"),
+        (if (numeric) min(col(c)).cast("double") else first(nullD)).as(s"${c}__min"),
+        (if (numeric) max(col(c)).cast("double") else first(nullD)).as(s"${c}__max"),
+        (if (numeric) davg(col(c)) else first(nullD)).as(s"${c}__mean"))
     }
     val one = df.agg(count(lit(1)).as("__total"), aggs: _*)
     val perCol = cols.map { c =>

@@ -53,4 +53,25 @@ class RelationalSpec extends SparkSpec {
     assert(collected.head.getLong(0) == 99L && collected.head.getLong(1) == 1L)
     assert(collected.last.getLong(0) == 0L && collected.last.getLong(1) == 100L)
   }
+
+  test("profile: one row per column; HLL default close to exact, exact is exact") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, (i % 7).toDouble, if (i % 10 == 0) null else s"v${i % 50}"))
+      .toDF("id", "d", "s")
+    val exact = profile(df, Seq("id", "d", "s"), exact = true)
+      .orderBy("col_name").collect()
+    assert(exact.map(_.getString(0)).toSeq == Seq("d", "id", "s"))
+    val dRow = exact(0)
+    assert(dRow.getLong(1) == 1000L && dRow.getLong(2) == 1000L) // n_rows, n_nonnull
+    assert(dRow.getLong(3) == 7L)                                // exact ndv
+    assert(dRow.getDouble(4) == 0.0 && dRow.getDouble(5) == 6.0)
+    val sRow = exact(2)
+    assert(sRow.getLong(2) == 900L)  // nulls excluded from n_nonnull
+    assert(sRow.getLong(3) == 45L)   // v1..v49 minus the null-ed %10 residues
+    // default path: approximate NDV within HLL++ tolerance, no Expand node
+    val approx = profile(df, Seq("id", "d", "s")).orderBy("col_name").collect()
+    assert(math.abs(approx(1).getLong(3) - 1000L) < 50)
+    val plan = profile(df, Seq("id", "d", "s")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+  }
 }
