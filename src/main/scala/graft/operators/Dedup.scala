@@ -215,6 +215,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected pair graph — the cluster
+    * step of near-dup removal: pair output (q36) says who matches whom,
+    * components say which rows are THE SAME document family, so dedup
+    * keeps one canonical row per component instead of greedily dropping
+    * per-pair losers (which over-deletes on chains a-b, b-c).
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors; converges in
+    * O(graph diameter) rounds (near-dup families are shallow — a few
+    * rounds in practice, `maxIter` bounds pathological chains). Each
+    * round is one join + one groupBy on the node id — the same shuffle
+    * key throughout, no driver-side graph state beyond the convergence
+    * counter. Labels are min-ids, so the result is deterministic under
+    * any partitioning.
+    *
+    * @return (id, cluster_id) for every id present in `pairs`;
+    *         cluster_id = smallest id in the component.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(false)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy("src").agg(min("cluster_id").as("_nbr"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(col("cluster_id"), coalesce(col("_nbr"), col("cluster_id"))).as("_next"),
+          col("cluster_id"))
+        .localCheckpoint(false)
+      changed = next.filter(col("_next") < col("cluster_id")).count()
+      labels = next.select(col("id"), col("_next").as("cluster_id"))
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash: `bits`-wide locality-sensitive fingerprint of the distinct
     * token set. Bit b is set iff more token hashes have bit b set than
     * unset. Hamming-close simhashes ⇒ similar token distributions.

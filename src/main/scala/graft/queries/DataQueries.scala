@@ -139,19 +139,16 @@ object DataQueries {
   /** q36 — MinHash + LSH near-duplicate pairs: bigram shingles, k=12
     * signature, 6 bands × 2 rows, exact-Jaccard verify ≥ 0.2.
     */
-  val q36 = Q("q36_minhash_lsh",
-    (s, dir) => Dedup.minhashLshPairs(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
-        n = 2, k = 12, rowsPerBand = 2, threshold = 0.2)
-      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
-      .orderBy("doc_a", "doc_b"),
-    Some {
-      // the affine min-hash coefficients, identical to Dedup.minhashCoeffs
-      val sigExprs = Dedup.minhashCoeffs(12).map { case (a, b) =>
-        s"list_min(list_transform(hl, h -> (${a} * h + ${b}) % ${Dedup.MinhashP}))"
-      }.mkString("[", ",\n                ", "]")
-      s"""
-      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+  /** CTE chain reproducing Dedup.minhashLshPairs on `documents`
+    * (bigram shingles, k=12, 6 bands × 2 rows, capped buckets) up to a
+    * `j(doc_a, doc_b, jaccard)` relation — shared by q36 and q58.
+    */
+  private def duckMinhashPairCtes: String = {
+    // the affine min-hash coefficients, identical to Dedup.minhashCoeffs
+    val sigExprs = Dedup.minhashCoeffs(12).map { case (a, b) =>
+      s"list_min(list_transform(hl, h -> (${a} * h + ${b}) % ${Dedup.MinhashP}))"
+    }.mkString("[", ",\n                ", "]")
+    s"""t AS (SELECT doc_id, $duckTokens AS w FROM documents),
       sh AS (SELECT doc_id,
              CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
                   ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS g
@@ -172,10 +169,19 @@ object DataQueries {
       j AS (SELECT doc_a, doc_b,
             round(len(list_intersect(ga.gd, gb.gd))::DOUBLE /
                   (len(ga.gd) + len(gb.gd) - len(list_intersect(ga.gd, gb.gd))), 6) AS jaccard
-            FROM cand JOIN gg ga ON doc_a = ga.doc_id JOIN gg gb ON doc_b = gb.doc_id)
+            FROM cand JOIN gg ga ON doc_a = ga.doc_id JOIN gg gb ON doc_b = gb.doc_id)"""
+  }
+
+  val q36 = Q("q36_minhash_lsh",
+    (s, dir) => Dedup.minhashLshPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 2, k = 12, rowsPerBand = 2, threshold = 0.2)
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH $duckMinhashPairCtes
       SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2
-      ORDER BY doc_a, doc_b"""
-    })
+      ORDER BY doc_a, doc_b"""))
 
   /** q37 — 16-bit SimHash fingerprints over distinct tokens. */
   val q37 = Q("q37_simhash",
@@ -629,6 +635,34 @@ object DataQueries {
       ORDER BY doc_id"""
     })
 
+  /** q58 — near-dup CLUSTERS: connected components over the q36 pair
+    * graph (min-label propagation, O(diameter) rounds). Pair output
+    * says who matches whom; components say which rows are the same
+    * document family — the canonical-per-cluster dedup primitive that
+    * doesn't over-delete on chains a-b, b-c. Oracle: the same pair CTEs
+    * + a recursive transitive closure, min per reachable set.
+    */
+  val q58 = Q("q58_neardup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.minhashLshPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 2, k = 12, rowsPerBand = 2, threshold = 0.2)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $duckMinhashPairCtes,
+      pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.2),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+      SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+      FROM reach GROUP BY id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-    q43, q44, q45, q46, q47, q48, q49)
+    q43, q44, q45, q46, q47, q48, q49, q58)
 }

@@ -136,6 +136,19 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: chains collapse to min-id clusters, islands stay apart") {
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {7,8}; a long chain
+    // 10-11-...-16 exercising multi-round propagation (diameter 6)
+    val chain = (10L to 15L).map(i => (i, i + 1))
+    val pairs = (Seq((2L, 1L), (2L, 3L), (4L, 3L), (7L, 8L)) ++ chain)
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L))
+    assert(out(7L) == 7L && out(8L) == 7L)
+    assert((10L to 16L).forall(out(_) == 10L))
+  }
+
   test("bucketPairs: dedups multi-bucket pairs, drops singleton and oversized buckets") {
     val df = Seq(
       (1L, "a"), (2L, "a"),      // pair in bucket a
