@@ -169,5 +169,76 @@ object EventQueries {
       FROM stats, n
       ORDER BY tfidf DESC, term ASC LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(q54, q55, q56, q57)
+  /** q59 — PII / boilerplate scrubbing: redact emails and URLs, count
+    * redactions. Dirty inputs are synthesized deterministically from
+    * the corpus (q31's pattern — the synthetic docs contain no PII),
+    * patterns stay in the Java∩RE2 regex subset so both engines match
+    * identically. Map-only: per-row regex, no shuffle; the heavy text
+    * column leaves the query as an md5 witness, not the scrubbed body.
+    */
+  val q59 = Q("q59_pii_scrub",
+    (s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val urlRe = "https?://[^\\s]+"
+      val dirty = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit(" contact alice.smith@example.com or bob@mail.example.org"))
+            .when(pmod(col("doc_id"), lit(11)) === 0,
+              lit(" see https://example.com/data?id=1 now"))
+            .otherwise(lit(""))).as("text"))
+      dirty.select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+          regexp_count(col("text"), lit(urlRe)).as("n_urls"),
+          md5(regexp_replace(regexp_replace(col("text"), urlRe, "<URL>"),
+            emailRe, "<EMAIL>")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH dirty AS (
+        SELECT doc_id, text ||
+               CASE WHEN doc_id % 7 = 0
+                      THEN ' contact alice.smith@example.com or bob@mail.example.org'
+                    WHEN doc_id % 11 = 0
+                      THEN ' see https://example.com/data?id=1 now'
+                    ELSE '' END AS text
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+             md5(regexp_replace(
+               regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_md5
+      FROM dirty ORDER BY doc_id"""))
+
+  /** q60 — fixed-width histogram of a numeric column: bucket index from
+    * one global (min, max) pass (broadcast one-row frame), then a
+    * 20-ary groupBy — two scans, one tiny shuffle. Bucket arithmetic is
+    * the same IEEE ops in both engines, so edges land identically;
+    * the max value clamps into the last bucket.
+    */
+  val q60 = Q("q60_histogram",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+      val stats = li.agg(min(col("x")).as("_lo"), max(col("x")).as("_hi"))
+      li.crossJoin(broadcast(stats))
+        .select(least(floor((col("x") - col("_lo")) / ((col("_hi") - col("_lo")) / 20.0)),
+          lit(19.0)).cast("long").as("bucket"),
+          col("x"), col("_lo"), col("_hi"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(first(col("_lo") + col("bucket") * (col("_hi") - col("_lo")) / 20.0), 6).as("bucket_lo"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+      b AS (SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 20.0)), 19.0) AS BIGINT) AS bucket,
+                   lo, hi
+            FROM lineitem, s)
+      SELECT bucket, count(*) AS n,
+             round(any_value(lo + bucket * (hi - lo) / 20.0), 6) AS bucket_lo
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
+  val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60)
 }
