@@ -122,16 +122,21 @@ class DedupSimilaritySpec extends SparkSpec {
       "tab\tseparated\ttokens",
       "").toDF("text")
     for ((k, r) <- Seq((12, 2), (12, 1), (8, 4))) {
+      // three forms, one value: naive (signature then bands — the
+      // HOF-inlining trap documented at lshBandHashes), fused
+      // expression, native kernel
       val both = docs.select(
         Dedup.shingleHashes(Dedup.shingles(col("text"), 2)).as("expr_sh"),
         call_function("graft_shingle_hashes", col("text"), lit(2)).as("native_sh"))
         .select(col("expr_sh"), col("native_sh"),
+          Dedup.lshBandHashes(Dedup.minhashSignature(col("expr_sh"), k), r, k / r).as("naive_bands"),
           Dedup.minhashBandHashes(col("expr_sh"), k, r).as("expr_bands"),
           call_function("graft_minhash_bands", col("native_sh"), lit(k), lit(r)).as("native_bands"))
         .collect()
       both.foreach { row =>
         assert(row.getSeq[Long](0) == row.getSeq[Long](1), s"shingle hashes differ: $row")
-        assert(row.getSeq[Long](2) == row.getSeq[Long](3), s"band hashes (k=$k,r=$r) differ: $row")
+        assert(row.getSeq[Long](2) == row.getSeq[Long](3), s"naive vs fused bands (k=$k,r=$r): $row")
+        assert(row.getSeq[Long](3) == row.getSeq[Long](4), s"fused vs native bands (k=$k,r=$r): $row")
       }
     }
   }
