@@ -217,9 +217,11 @@ object Dedup {
 
   /** Connected components over an undirected pair graph — the cluster
     * step of near-dup removal: pair output (q36) says who matches whom,
-    * components say which rows are THE SAME document family, so dedup
-    * keeps one canonical row per component instead of greedily dropping
-    * per-pair losers (which over-deletes on chains a-b, b-c).
+    * components say which rows are THE SAME document family. Greedy
+    * per-pair loser removal keeps every LOCAL minimum (a doc with no
+    * smaller direct neighbor survives even when a smaller relative
+    * exists two hops away), so one family can survive as several docs;
+    * component labels keep exactly one canonical row per family.
     *
     * Iterative min-label propagation: each round every node takes the
     * minimum label among itself and its neighbors; converges in

@@ -638,9 +638,10 @@ object DataQueries {
   /** q58 — near-dup CLUSTERS: connected components over the q36 pair
     * graph (min-label propagation, O(diameter) rounds). Pair output
     * says who matches whom; components say which rows are the same
-    * document family — the canonical-per-cluster dedup primitive that
-    * doesn't over-delete on chains a-b, b-c. Oracle: the same pair CTEs
-    * + a recursive transitive closure, min per reachable set.
+    * document family — canonical-per-cluster dedup, where greedy
+    * pair-loser removal would keep every local-minimum doc of a family.
+    * Oracle: the same pair CTEs + a recursive transitive closure, min
+    * per reachable set.
     */
   val q58 = Q("q58_neardup_clusters",
     (s, dir) => {
