@@ -112,6 +112,31 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Per-vector symmetric int8 quantization scale: max|v| / 127.
+    * Together with [[quantizeInt8]] this is the compression step a
+    * 100 TB embedding store runs before indexing — 4× smaller than
+    * float32 with a per-vector scale preserving relative precision.
+    */
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double")))) / 127.0
+
+  /** Quantized int8 codes: round(v_i / scale). NOTE: a `scale` built
+    * from an expression (e.g. [[int8Scale]]) is re-evaluated per
+    * element inside the lambda — higher-order functions inline their
+    * argument trees (no common-subexpression reuse). Fine at dim 64;
+    * for wide vectors materialize the scale column first (checkpoint /
+    * shuffle boundary) before calling this.
+    */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x.cast("double") / scale).cast("int"))
+
+  /** Per-dimension absolute reconstruction error |v_i - q_i·scale| of
+    * a quantized vector (all double arithmetic: IEEE-deterministic,
+    * engine-portable).
+    */
+  def dequantError(vec: Column, q: Column, scale: Column): Column =
+    zip_with(vec, q, (x, qq) => abs(x.cast("double") - qq.cast("double") * scale))
+
   /** LSH-bucketed ANN: top-k within the query's bucket only. */
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, dim: Int, planes: Int, k: Int): DataFrame = {

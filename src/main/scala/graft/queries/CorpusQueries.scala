@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing
+import graft.operators.Dedup
+import graft.operators.{TextAnalysis => TA}
+
+/** Corpus-curation operators a training-data pipeline runs before any
+  * model sees a byte: repetition-based quality signals (the Gopher
+  * filters), benchmark-contamination detection, deterministic global
+  * shuffling into training shards, and domain-mix resampling.
+  *
+  * Scale design notes are on each query; the common theme is that every
+  * per-document signal is a linear explode + re-group keyed on doc_id
+  * (shuffle volume proportional to the token stream, never to doc
+  * pairs), and every corpus-level statistic is a tiny aggregate that
+  * re-enters the plan as a broadcast.
+  */
+object CorpusQueries {
+
+  private val duckTokens = "string_split_regex(trim(text), '\\s+')"
+
+  /** md5-derived 60-bit hash (mirrors Hashing.hash64). */
+  private def duckHash64(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** q61 — repetition signals (Gopher-style quality filter): per
+    * document, the fraction of word-bigram occurrences that belong to
+    * repeated bigrams, and the count of the most-repeated bigram.
+    * High dup_frac = boilerplate / keyword-stuffed text that a
+    * curation pipeline drops before training.
+    *
+    * Plan: one scan → explode bigrams (skinny: doc_id + gram) →
+    * two hash aggregations sharing the doc_id key. Shuffle volume is
+    * O(token stream), per-doc state is O(distinct grams of that doc) —
+    * no pairwise work anywhere, so the shape holds at 100 TB.
+    * Documents with fewer than two tokens have no bigrams and drop out
+    * (same semantics in both engines: exploding an empty list).
+    */
+  val q61 = Q("q61_repetition",
+    (s, dir) => {
+      val t = TA.tokens(col("text"))
+      val grams = when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        .otherwise(typedLit(Seq.empty[String]))
+      val gc = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(grams).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      gc.groupBy("doc_id")
+        .agg(
+          sum(col("cnt")).as("n_grams"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_occ"),
+          max(col("cnt")).as("top_cnt"))
+        .withColumn("dup_frac", round(col("dup_occ").cast("double") / col("n_grams"), 6))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      grams AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+                FROM t),
+      gc AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_occ,
+             CAST(max(cnt) AS BIGINT) AS top_cnt,
+             round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+                   / sum(cnt), 6) AS dup_frac
+      FROM gc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** q62 — benchmark-contamination check: which training documents
+    * share word-trigram shingles with a held-out eval set (docs with
+    * doc_id % 97 = 0 stand in for the benchmark). The eval side's
+    * distinct shingle hashes are a small set by construction, so the
+    * overlap test is a broadcast semi-style join against the exploded
+    * training stream — the eval set rides to every executor and the
+    * 100 TB side is touched exactly once, map-side. Per-doc overlap
+    * counts then re-group on doc_id (one linear shuffle).
+    *
+    * Shingle hashing reuses the LSH machinery (Dedup.shingles /
+    * shingleHashes — 31-bit md5-derived, distinct per doc), so the
+    * oracle replays it bit-for-bit.
+    */
+  val q62 = Q("q62_contamination",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.shingleHashes(Dedup.shingles(col("text"), 3)).as("hs"))
+      val evalGrams = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(explode(col("hs")).as("h")).distinct()
+      val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
+          explode(col("hs")).as("h"))
+      train.join(broadcast(evalGrams), Seq("h"))
+        .groupBy("doc_id", "n_grams")
+        .agg(count(lit(1)).as("n_overlap"))
+        .withColumn("overlap_frac",
+          round(col("n_overlap").cast("double") / col("n_grams"), 6))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      sh AS (SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS g
+             FROM t),
+      hh AS (SELECT doc_id,
+             list_distinct(list_transform(list_distinct(g),
+               s -> ${duckHash64("s")} & ${Dedup.MinhashP})) AS hs
+             FROM sh),
+      ev AS (SELECT DISTINCT unnest(hs) AS h FROM hh WHERE doc_id % 97 = 0),
+      tr AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams, unnest(hs) AS h
+             FROM hh WHERE doc_id % 97 <> 0)
+      SELECT doc_id, n_grams, count(*) AS n_overlap,
+             round(CAST(count(*) AS DOUBLE) / n_grams, 6) AS overlap_frac
+      FROM tr JOIN ev USING (h)
+      GROUP BY doc_id, n_grams ORDER BY doc_id"""))
+
+  /** q63 — deterministic corpus shuffle into training shards: every
+    * document gets a shard (md5-bucket) and a position within its
+    * shard (rank of a second, independent md5 key), giving a global
+    * pseudo-random order that is exactly reproducible across engines,
+    * re-runs, and re-partitioning — rand() can't promise any of that.
+    *
+    * Plan: map-only key derivation, then ONE shuffle on shard with a
+    * per-shard sort (row_number). At 100 TB this is exactly the
+    * "write shuffled training shards" job: shard count scales with
+    * corpus size (8 here ≈ files per epoch), each task sorts only its
+    * shard — Spark's repartition(shard) + sortWithinPartitions.
+    */
+  val q63 = Q("q63_corpus_shard",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          pmod(Hashing.hash64(concat(lit("shard|"), col("doc_id").cast("string"))),
+            lit(8)).as("shard"),
+          Hashing.hash64(concat(lit("ord|"), col("doc_id").cast("string"))).as("ord_key"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy(col("ord_key").asc, col("doc_id").asc))
+          .cast("long"))
+        .select("doc_id", "source", "shard", "pos")
+        .orderBy("shard", "pos")
+    },
+    Some(s"""
+      WITH a AS (SELECT doc_id, source,
+        ${duckHash64("concat('shard|', CAST(doc_id AS VARCHAR))")} % 8 AS shard,
+        ${duckHash64("concat('ord|', CAST(doc_id AS VARCHAR))")} AS ord_key
+        FROM documents)
+      SELECT doc_id, source, shard,
+             CAST(row_number() OVER (PARTITION BY shard
+                    ORDER BY ord_key ASC, doc_id ASC) AS BIGINT) AS pos
+      FROM a ORDER BY shard, pos"""))
+
+  /** q64 — domain-mix resampling: hit a target source distribution
+    * (weights 10/20/30 by source index mod 3) with the largest corpus
+    * the data can supply. Budget math is pure integer arithmetic
+    * (B = min_s ⌊cnt_s·W / w_s⌋, n_keep_s = ⌊B·w_s / W⌋) over a
+    * per-source count table that is tiny at any corpus scale, so it
+    * re-enters the plan as a broadcast; the per-source keep-set is the
+    * n_keep smallest md5 keys — deterministic, repartition-stable, and
+    * one window shuffle on source.
+    *
+    * At 100 TB the window sort per source is the honest cost; the
+    * standard refinement (estimate a hash threshold from the quota,
+    * filter map-side, exact-rank only the boundary) drops it to ~one
+    * scan, and the keep-set this query defines is the spec for it.
+    */
+  val q64 = Q("q64_domain_mix",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+        .withColumn("w",
+          (lit(10) + lit(10) * pmod(substring(col("source"), 4, 10).cast("int"), lit(3)))
+            .cast("long"))
+      val totals = counts.agg(sum(col("w")).as("tw"))
+      val quota = counts.crossJoin(broadcast(totals))
+        .withColumn("b_s", expr("cnt * tw DIV w"))
+      val budget = quota.agg(min(col("b_s")).as("budget"))
+      val keep = quota.crossJoin(broadcast(budget))
+        .withColumn("n_keep", expr("budget * w DIV tw"))
+        .select("source", "n_keep")
+      docs.select(col("doc_id"), col("source"),
+          Hashing.hash64(concat(lit("mix|"), col("doc_id").cast("string"))).as("hk"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("hk").asc, col("doc_id").asc))
+          .cast("long"))
+        .join(broadcast(keep), Seq("source"))
+        .filter(col("rk") <= col("n_keep"))
+        .select("source", "rk", "doc_id")
+        .orderBy("source", "rk")
+    },
+    Some(s"""
+      WITH counts AS (SELECT source, count(*) AS cnt,
+             CAST(10 + 10 * (CAST(substr(source, 4) AS INT) % 3) AS BIGINT) AS w
+             FROM documents GROUP BY source),
+      tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM counts),
+      quota AS (SELECT source, cnt, w, tw, (cnt * tw) // w AS b_s FROM counts, tw),
+      budget AS (SELECT min(b_s) AS budget FROM quota),
+      keep AS (SELECT source, (budget * w) // tw AS n_keep FROM quota, budget),
+      rk AS (SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY
+               ${duckHash64("concat('mix|', CAST(doc_id AS VARCHAR))")} ASC,
+               doc_id ASC) AS BIGINT) AS rk
+             FROM documents)
+      SELECT source, rk, doc_id
+      FROM rk JOIN keep USING (source) WHERE rk <= n_keep
+      ORDER BY source, rk"""))
+
+  val all: Seq[Q] = Seq(q61, q62, q63, q64)
+}

@@ -664,6 +664,77 @@ object DataQueries {
       SELECT id AS doc_id, least(id, min(r)) AS cluster_id
       FROM reach GROUP BY id ORDER BY doc_id"""))
 
+  /** q65 — int8 scalar quantization quality: per-vector symmetric
+    * quantization (scale = max|v|/127) with reconstruction-error
+    * stats — the 4× compression step an embedding store applies before
+    * indexing, with the error bound that justifies it. Map-only: every
+    * value is a per-row double fold/round (IEEE-deterministic in both
+    * engines), no shuffle at any scale.
+    */
+  val q65 = Q("q65_quantize_int8",
+    (s, dir) => {
+      val v = col("embedding")
+      val scale = Similarity.int8Scale(v)
+      val err = Similarity.dequantError(v, Similarity.quantizeInt8(v, scale), scale)
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(scale, 6).as("scale"),
+          round(array_max(err), 6).as("max_err"),
+          round(aggregate(err, lit(0.0), (a, x) => a + x) / size(v), 6).as("mae"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH s AS (SELECT vec_id, embedding AS e,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+             FROM embeddings),
+      q AS (SELECT vec_id, e, scale,
+             list_transform(e, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS qv
+             FROM s),
+      err AS (SELECT vec_id, scale, len(e) AS n,
+             list_transform(range(1, len(e) + 1),
+               i -> abs(CAST(e[i] AS DOUBLE) - qv[i] * scale)) AS er
+             FROM q)
+      SELECT vec_id, round(scale, 6) AS scale,
+             round(list_max(er), 6) AS max_err,
+             round(list_reduce(er, (x, y) -> x + y) / n, 6) AS mae
+      FROM err ORDER BY vec_id"""))
+
+  /** q66 — batch kNN join: top-3 neighbours for EACH of 10 query
+    * vectors in one job (the retrieval shape behind embedding-dedup
+    * sweeps and eval retrieval). The query set is broadcast (bounded
+    * by construction); scoring is map-side; only the skinny
+    * (q_id, vec_id, cos) triples — never the vectors — cross the one
+    * window shuffle on q_id. At larger Q the refinement is a bounded
+    * per-partition top-k merge (heap in mapPartitions) before the
+    * shuffle; the rank-filter here defines its exact output.
+    */
+  val q66 = Q("q66_knn_join",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          Similarity.cosine(col("embedding"), col("qv")).as("cos_sim"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("q_id", "rk", "vec_id", "cos_sim")
+        .orderBy("q_id", "rk")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      scored AS (SELECT q_id, vec_id, ${duckCos("embedding", "qv")} AS cos_sim
+                 FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+      r AS (SELECT q_id, vec_id, cos_sim,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, vec_id ASC) AS rk
+            FROM scored)
+      SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, cos_sim
+      FROM r WHERE rk <= 3 ORDER BY q_id, rk"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-    q43, q44, q45, q46, q47, q48, q49, q58)
+    q43, q44, q45, q46, q47, q48, q49, q58, q65, q66)
 }

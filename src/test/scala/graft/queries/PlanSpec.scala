@@ -63,6 +63,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"), plan)
   }
 
+  test("q61: repetition signals are join-free linear aggregation") {
+    val df = CorpusQueries.q61.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("Join"), plan) // no pairwise work anywhere
+  }
+
+  test("q62/q64: corpus-level sets re-enter the plan as broadcasts, never a shuffled join") {
+    for (q <- Seq(CorpusQueries.q62, CorpusQueries.q64)) {
+      val df = q.fn(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"${q.name}:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"${q.name}:\n$plan")
+    }
+  }
+
+  test("q63: shard assignment is one hash shuffle + per-shard sort (no join, no global sort before ranking)") {
+    val plan = CorpusQueries.q63.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"), plan) // the one data shuffle
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("q38/q40: no join keyed only on a block column (the quadratic shape)") {
     // AQE buries join nodes inside leaf QueryStageExec wrappers, so
     // inspect the rendered tree: every equi-join's key list must name
