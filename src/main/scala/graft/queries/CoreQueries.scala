@@ -746,7 +746,100 @@ object CoreQueries {
         FROM lineitem)
       ORDER BY col_name"""))
 
+  /** q67 — ROLLUP hierarchy totals (region → nation → grand total) in
+    * one pass: Spark expands grouping sets map-side (the Expand node),
+    * so the three aggregation levels share one shuffle instead of three
+    * jobs. Dimension joins broadcast; rolled-up name slots surface as
+    * 'ALL' (coalesce) so row identity never depends on engine-specific
+    * NULL ordering.
+    */
+  val q67 = Q("q67_rollup",
+    (s, dir) => t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_cust"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+      .select(col("gid"), coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy("gid", "region", "nation"),
+    Some("""
+      SELECT CAST(grouping_id(r_name, n_name) AS BIGINT) AS gid,
+             coalesce(r_name, 'ALL') AS region,
+             coalesce(n_name, 'ALL') AS nation,
+             count(*) AS n_cust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY gid, region, nation"""))
+
+  /** q68 — set operations with SQL DISTINCT semantics: users who both
+    * click and purchase (INTERSECT) vs click-only users (EXCEPT),
+    * tagged and unioned. Each set op is one hash shuffle on user_id
+    * over pre-projected single-column inputs.
+    */
+  val q68 = Q("q68_set_ops",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click").select("user_id")
+      val purch = ev.filter(col("event_type") === "purchase").select("user_id")
+      clicks.intersect(purch).withColumn("tag", lit("both"))
+        .unionByName(clicks.except(purch).withColumn("tag", lit("click_only")))
+        .select("tag", "user_id")
+        .orderBy("tag", "user_id")
+    },
+    Some("""
+      SELECT 'both' AS tag, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+      UNION ALL
+      SELECT 'click_only', user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+      ORDER BY tag, user_id"""))
+
+  /** q69 — distributed Pearson correlation from decomposable partial
+    * sums: built-in corr() accumulates doubles in partition order (a
+    * different answer per partition count), so the moments are
+    * accumulated as exact integers instead — quantity is integral,
+    * discount becomes cents — and corr is assembled from the six
+    * totals in one final double expression. Map-side partials combine
+    * exactly; one single-row shuffle. Long totals are exact here
+    * (≤9e14 at sf0.1); at row counts where n·Σx² nears 2^63, the same
+    * sums go through DECIMAL(38,0) unchanged.
+    */
+  val q69 = Q("q69_corr_moments",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_discount") * 100).cast("long").as("y"))
+      li.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+            .as("corr_qty_disc"))
+    },
+    Some("""
+      WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                        CAST(round(l_discount * 100) AS BIGINT) AS y
+                 FROM lineitem),
+      m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+            FROM b)
+      SELECT n, round(CAST(n*sxy - sx*sy AS DOUBLE) /
+                      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                       sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr_qty_disc
+      FROM m"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q50, q51, q52, q53)
+    q25, q26, q27, q28, q29, q30, q31, q50, q51, q52, q53, q67, q68, q69)
 }
