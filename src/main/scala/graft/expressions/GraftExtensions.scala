@@ -32,6 +32,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head, children(1))),
+    (FunctionIdentifier("graft_shingle_hash_list"),
+      new ExpressionInfo(classOf[ShingleHashList].getName, "graft_shingle_hash_list"),
+      (children: Seq[Expression]) => ShingleHashList(children.head, children(1))),
     (FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinhashBands].getName, "graft_minhash_bands"),
       (children: Seq[Expression]) => MinhashBands(children.head, children(1), children(2))))

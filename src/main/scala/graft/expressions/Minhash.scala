@@ -83,6 +83,41 @@ object MinhashKernel {
     new GenericArrayData(arr)
   }
 
+  /** 31-bit hashes of ALL word n-gram shingles of `text`, one entry
+    * per occurrence in order (the counting twin of [[shingleHashes]],
+    * which dedups). Same tokenization, same md5-60-bit & P hash;
+    * documents shorter than n tokens contribute one whole-text
+    * shingle. Backs repetition statistics, where duplicate shingles
+    * ARE the signal.
+    */
+  def shingleHashList(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    val toks = s.substring(b, e).split("\\s+", -1)
+    val sb = new java.lang.StringBuilder
+    if (toks.length < n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < toks.length) { if (k > 0) sb.append(' '); sb.append(toks(k)); k += 1 }
+      new GenericArrayData(Array(hash60(sb.toString) & P))
+    } else {
+      val m = toks.length - n + 1
+      val arr = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+        arr(i) = hash60(sb.toString) & P
+        i += 1
+      }
+      new GenericArrayData(arr)
+    }
+  }
+
   /** (a_j, b_j) affine coefficients for family size k, flattened —
     * md5-derived exactly like Dedup.minhashCoeffs.
     */
@@ -165,6 +200,38 @@ case class ShingleHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** `graft_shingle_hash_list(text, n)` → array<long>: 31-bit md5
+  * hashes of ALL word n-gram shingles, one per occurrence (the
+  * non-distinct twin of [[ShingleHashes]] for repetition counting).
+  */
+case class ShingleHashList(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: first argument must be string")
+    else if (right.dataType != IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: n must be an integer literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val n: Int = right.eval().asInstanceOf[Int]
+
+  override protected def nullSafeEval(t: Any, nn: Any): Any =
+    MinhashKernel.shingleHashList(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.expressions.MinhashKernel.shingleHashList($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashList =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_shingle_hash_list"
 }
 
 /** `graft_minhash_bands(hashes, k, rowsPerBand)` → array<long>: LSH

@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Hashing
 import graft.operators.Dedup
-import graft.operators.{TextAnalysis => TA}
 
 /** Corpus-curation operators a training-data pipeline runs before any
   * model sees a byte: repetition-based quality signals (the Gopher
@@ -33,23 +32,26 @@ object CorpusQueries {
     * High dup_frac = boilerplate / keyword-stuffed text that a
     * curation pipeline drops before training.
     *
-    * Plan: one scan → explode bigrams (skinny: doc_id + gram) →
-    * two hash aggregations sharing the doc_id key. Shuffle volume is
-    * O(token stream), per-doc state is O(distinct grams of that doc) —
-    * no pairwise work anywhere, so the shape holds at 100 TB.
-    * Documents with fewer than two tokens have no bigrams and drop out
-    * (same semantics in both engines: exploding an empty list).
+    * Bigram identity is its 31-bit shingle hash from the compiled
+    * single-pass kernel (`graft_shingle_hash_list`, the non-distinct
+    * twin of the LSH kernel) — a declarative transform/element_at
+    * chain here re-tokenizes the text PER ELEMENT once project-collapse
+    * inlines it (measured 8–30 s at sf0.1; the kernel form is ~0.3 s),
+    * and hashing also keeps the exploded shuffle rows skinny
+    * (doc_id + long, never gram strings).
+    *
+    * Plan: one scan → explode → two hash aggregations sharing the
+    * doc_id key. Shuffle volume is O(token stream), per-doc state is
+    * O(distinct grams) — no pairwise work, so the shape holds at
+    * 100 TB. Sub-2-token documents contribute their whole-text
+    * shingle (kernel semantics, uniform with q36/q38).
     */
   val q61 = Q("q61_repetition",
     (s, dir) => {
-      val t = TA.tokens(col("text"))
-      val grams = when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-        .otherwise(typedLit(Seq.empty[String]))
       val gc = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), explode(grams).as("gram"))
-        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+        .select(col("doc_id"),
+          explode(call_function("graft_shingle_hash_list", col("text"), lit(2))).as("gh"))
+        .groupBy("doc_id", "gh").agg(count(lit(1)).as("cnt"))
       gc.groupBy("doc_id")
         .agg(
           sum(col("cnt")).as("n_grams"),
@@ -60,10 +62,14 @@ object CorpusQueries {
     },
     Some(s"""
       WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
-      grams AS (SELECT doc_id,
-                unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+      grams AS (SELECT doc_id, unnest(
+                CASE WHEN len(w) < 2
+                     THEN [${duckHash64("array_to_string(w, ' ')")} & ${Dedup.MinhashP}]
+                     ELSE list_transform(range(1, len(w)),
+                            i -> ${duckHash64("w[i] || ' ' || w[i+1]")} & ${Dedup.MinhashP})
+                END) AS gh
                 FROM t),
-      gc AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+      gc AS (SELECT doc_id, gh, count(*) AS cnt FROM grams GROUP BY 1, 2)
       SELECT doc_id,
              CAST(sum(cnt) AS BIGINT) AS n_grams,
              CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_occ,
@@ -81,23 +87,28 @@ object CorpusQueries {
     * 100 TB side is touched exactly once, map-side. Per-doc overlap
     * counts then re-group on doc_id (one linear shuffle).
     *
-    * Shingle hashing reuses the LSH machinery (Dedup.shingles /
-    * shingleHashes — 31-bit md5-derived, distinct per doc), so the
-    * oracle replays it bit-for-bit.
+    * Shingle hashing reuses the LSH kernel (`graft_shingle_hashes` —
+    * 31-bit md5-derived, distinct per doc), so the oracle replays it
+    * bit-for-bit.
     */
   val q62 = Q("q62_contamination",
     (s, dir) => {
+      // the compiled kernel, not the declarative shingle chain: the
+      // explode's inferred size/isnotnull filters duplicate whatever
+      // expression produces the array, which for the interpreted HOF
+      // chain meant 3× the full trigram+md5 work per row (measured
+      // 17-19 s at sf0.1; kernel form ~0.5 s)
       val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          Dedup.shingleHashes(Dedup.shingles(col("text"), 3)).as("hs"))
+      val hs = call_function("graft_shingle_hashes", col("text"), lit(3))
       val evalGrams = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-        .select(explode(col("hs")).as("h")).distinct()
-      val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-        .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
-          explode(col("hs")).as("h"))
-      train.join(broadcast(evalGrams), Seq("h"))
-        .groupBy("doc_id", "n_grams")
-        .agg(count(lit(1)).as("n_overlap"))
+        .select(explode(hs).as("h")).distinct()
+        .withColumn("_hit", lit(1))
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"), explode(hs).as("h"))
+        .join(broadcast(evalGrams), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_overlap"))
+        .filter(col("n_overlap") >= 1)
         .withColumn("overlap_frac",
           round(col("n_overlap").cast("double") / col("n_grams"), 6))
         .orderBy("doc_id")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.functions.Hashing
 
 class DedupSimilaritySpec extends SparkSpec {
 
@@ -139,6 +140,31 @@ class DedupSimilaritySpec extends SparkSpec {
         assert(row.getSeq[Long](3) == row.getSeq[Long](4), s"fused vs native bands (k=$k,r=$r): $row")
       }
     }
+  }
+
+  test("shingle hash LIST kernel: every occurrence, in order, matching the hashed declarative grams") {
+    graft.expressions.GraftExtensions.register(spark)
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "solo",
+      "dup dup dup dup dup", // repeats MUST survive (the distinct kernel drops them)
+      "a  b   c",
+      "  padded text here  ",
+      "").toDF("text")
+    val t = TextAnalysis.tokens(col("text"))
+    val declarative = when(size(t) < 2, array(concat_ws(" ", t)))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+    val rows = docs.select(
+      transform(declarative, g => Hashing.hash64(g).bitwiseAND(lit(Dedup.MinhashP))).as("expr_gh"),
+      call_function("graft_shingle_hash_list", col("text"), lit(2)).as("native_gh"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"hash lists differ: $r")
+    }
+    // the "dup" doc keeps all 4 identical bigram occurrences
+    assert(rows(2).getSeq[Long](1).length == 4)
+    assert(rows(2).getSeq[Long](1).distinct.length == 1)
   }
 
   test("connectedComponents: chains collapse to min-id clusters, islands stay apart") {
