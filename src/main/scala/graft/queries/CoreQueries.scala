@@ -839,7 +839,49 @@ object CoreQueries {
                        sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr_qty_disc
       FROM m"""))
 
+  /** q70 — pivot with an explicit value list: wide sum-by-category in
+    * ONE aggregation pass (each pivot cell is a conditional partial
+    * that combines map-side). The explicit values matter at scale: the
+    * values-discovery job Spark otherwise runs is a full extra scan,
+    * and an unbounded pivot width is a schema hazard on 100 TB inputs.
+    */
+  val q70 = Q("q70_pivot",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .orderBy("l_linestatus"),
+    Some("""
+      SELECT l_linestatus,
+             CAST(sum(CASE WHEN l_returnflag = 'A'
+                           THEN CAST(l_quantity AS DECIMAL(28,6)) END) AS DOUBLE) AS "A",
+             CAST(sum(CASE WHEN l_returnflag = 'N'
+                           THEN CAST(l_quantity AS DECIMAL(28,6)) END) AS DOUBLE) AS "N",
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(l_quantity AS DECIMAL(28,6)) END) AS DOUBLE) AS "R"
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** q71 — unpivot/melt (wide → long): the inverse of q70, emitting one
+    * (id, metric, value) row per measure column. Map-only Expand node —
+    * no shuffle, output rows = input rows × measures.
+    */
+  val q71 = Q("q71_unpivot",
+    (s, dir) => t(s, dir, "part")
+      .select(col("p_partkey"),
+        col("p_retailprice").cast("double").as("retailprice"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(Array(col("p_partkey")), Array(col("retailprice"), col("size")),
+        "metric", "value")
+      .orderBy("p_partkey", "metric"),
+    Some("""
+      SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value
+      FROM part
+      UNION ALL
+      SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+      ORDER BY p_partkey, metric"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q50, q51, q52, q53, q67, q68, q69)
+    q25, q26, q27, q28, q29, q30, q31, q50, q51, q52, q53, q67, q68, q69,
+    q70, q71)
 }

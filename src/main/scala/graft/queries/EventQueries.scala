@@ -240,5 +240,38 @@ object EventQueries {
              round(any_value(lo + bucket * (hi - lo) / 20.0), 6) AS bucket_lo
       FROM b GROUP BY bucket ORDER BY bucket"""))
 
-  val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60)
+  /** q72 — RANGE-frame window (value-based, not row-based): per event,
+    * the count and cent-sum of the same user's events in the trailing
+    * hour. The frame bound is a VALUE offset on the epoch-second sort
+    * key, so ties (same user, same second) are frame peers regardless
+    * of row order — that peer semantics is what makes the result
+    * deterministic where a ROWS frame would depend on tie order.
+    * One shuffle on user_id; per-partition sliding-window evaluation.
+    * Sums are exact integer cents, so no accumulation-order issues.
+    */
+  val q72 = Q("q72_range_frame",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("_sec"))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("_sec"),
+          round(col("value") * 100).cast("long").as("_cents"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("cents_1h", sum(col("_cents")).over(w))
+        .select("event_id", "user_id", "_sec", "n_1h", "cents_1h")
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, _sec,
+             count(*) OVER w AS n_1h,
+             CAST(sum(_cents) OVER w AS BIGINT) AS cents_1h
+      FROM (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS _sec,
+                   CAST(round(value * 100) AS BIGINT) AS _cents
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY _sec
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72)
 }

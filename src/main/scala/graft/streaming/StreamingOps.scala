@@ -91,6 +91,25 @@ object StreamingOps {
                     keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Stream-stream interval join: rows of `left` matched to same-key
+    * rows of `right` whose event time falls in [left.ts, left.ts +
+    * maxDelay]. BOTH sides carry watermarks and the join condition
+    * bounds the time range — that pair is what lets Spark evict join
+    * state as the watermark advances; without it stream-stream join
+    * state grows without bound. State is sharded by the equi-key like
+    * any hash join, so a 1000-executor cluster holds only its key
+    * range's recent rows.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   maxDelay: String, lateness: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness).alias("l")
+    val r = right.withWatermark(rightTs, lateness).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.$rightTs >= l.$leftTs " +
+        s"AND r.$rightTs <= l.$leftTs + interval $maxDelay"))
+  }
+
   /** Run a streaming DataFrame to completion over the currently
     * available data (the reference's daily-batch cadence) into an
     * in-memory table; returns the result.

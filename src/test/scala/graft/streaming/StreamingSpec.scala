@@ -76,6 +76,32 @@ class StreamingSpec extends SparkSpec {
       rows(StreamingOps.enrichWithDim(events, dim, Seq("user_id")).orderBy("user_id")))
   }
 
+  test("stream-stream interval join matches purchases within the delay window only") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ssjoin-stream").toFile
+    val clicks = Seq(
+      (1L, "2024-01-01 10:00:00"), // purchase 20 min later -> match
+      (2L, "2024-01-01 10:00:00"), // purchase 2 h later -> no match
+      (3L, "2024-01-01 10:00:00")) // purchase BEFORE the click -> no match
+      .toDF("user_id", "c_s").select(col("user_id"), col("c_s").cast("timestamp").as("c_ts"))
+    val purchases = Seq(
+      (1L, "2024-01-01 10:20:00"),
+      (2L, "2024-01-01 12:00:00"),
+      (3L, "2024-01-01 09:50:00"))
+      .toDF("user_id", "p_s").select(col("user_id"), col("p_s").cast("timestamp").as("p_ts"))
+    clicks.write.mode("overwrite").parquet(s"$dir/c")
+    purchases.write.mode("overwrite").parquet(s"$dir/p")
+
+    val cs = spark.readStream.schema(clicks.schema).parquet(s"$dir/c")
+    val ps = spark.readStream.schema(purchases.schema).parquet(s"$dir/p")
+    val joined = StreamingOps.intervalJoin(cs, ps, "user_id", "c_ts", "p_ts",
+      maxDelay = "1 hour", lateness = "10 minutes")
+      .select(col("l.user_id").as("user_id"), col("c_ts"), col("p_ts"))
+    val out = StreamingOps.runAvailableNow(joined, "ssjoin_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(out.select("user_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("sessionize accumulates per-user state across a micro-batch") {
     import spark.implicits._
     val events = Seq(
