@@ -880,8 +880,31 @@ object CoreQueries {
       SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
       ORDER BY p_partkey, metric"""))
 
+  /** q73 — skew-salted fact⋈fact join, oracle-gated: the salt spreads
+    * each hot key over 8 reducers (big side hashes to a salt, small
+    * side explodes across all 8) and MUST be invisible in the result —
+    * the oracle is the plain join, so any salt leakage or fanout bug
+    * fails the row hash. This is the explicit fix for the skew AQE's
+    * split can't handle (one key ≫ one partition).
+    */
+  val q73 = Q("q73_salted_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val or = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.operators.ScaleOps.saltedJoin(li, or, Seq("l_orderkey"), salts = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q50, q51, q52, q53, q67, q68, q69,
-    q70, q71)
+    q70, q71, q73)
 }

@@ -735,6 +735,60 @@ object DataQueries {
       SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, cos_sim
       FROM r WHERE rk <= 3 ORDER BY q_id, rk"""))
 
+  /** q74 — one k-means (Lloyd) step, fully distributed: the 4 seed
+    * centroids (vec_id < 4) broadcast against the corpus; assignment
+    * scores stay SKINNY — (vec_id, cid, dist) triples through the
+    * argmin window, never the vectors (trap: carrying the embedding
+    * through the ×4-fanout scoring would quadruple the array bytes in
+    * the shuffle). Winners join the vectors back by id once, and the
+    * new centroids use q45's fixed-point (label, dim) accumulation.
+    * Distances are per-row double folds (vv − 2·v·c + cc), so
+    * assignment is engine-exact; ties break to the lowest centroid id.
+    */
+  val q74 = Q("q74_kmeans_step",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val scored = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"),
+          (Similarity.dotNative(col("embedding"), col("embedding"))
+            - lit(2.0) * Similarity.dotNative(col("embedding"), col("cv"))
+            + Similarity.dotNative(col("cv"), col("cv"))).as("dist"))
+      val best = scored.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+            .orderBy(col("dist").asc, col("cid").asc)))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cid")
+      best.join(emb, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("_pos", "_v")))
+        .groupBy(col("cid"), (col("_pos") + 1).as("dim"))
+        .agg(
+          (sum(round(col("_v").cast("double") * 1e6).cast("long")).cast("double")
+            / count(col("_v")) / 1e6).as("centroid"),
+          count(col("_v")).as("n_vecs"))
+        .orderBy("cid", "dim")
+    },
+    Some(s"""
+      WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cv
+                 FROM embeddings WHERE vec_id < 4),
+      scored AS (SELECT vec_id, cid,
+                 ${duckDot("embedding", "embedding")}
+                   - 2.0 * ${duckDot("embedding", "cv")}
+                   + ${duckDot("cv", "cv")} AS dist
+                 FROM embeddings CROSS JOIN c),
+      best AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+                 FROM scored) WHERE rn = 1)
+      SELECT cid, d AS dim,
+             CAST(sum(CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1000000.0 AS centroid,
+             count(*) AS n_vecs
+      FROM embeddings JOIN best USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS d) ds
+      GROUP BY cid, d ORDER BY cid, dim"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-    q43, q44, q45, q46, q47, q48, q49, q58, q65, q66)
+    q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74)
 }
