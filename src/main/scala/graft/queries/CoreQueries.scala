@@ -903,8 +903,29 @@ object CoreQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY 1"""))
 
+  /** q75 — HLL++ approximate distinct count, the bounded-memory NDV for
+    * 100 TB scans (exact COUNT DISTINCT shuffles every distinct key;
+    * the sketch is fixed-size per partition and merges map-side).
+    * Sketch estimates differ across engines by construction, so the
+    * oracle check is q52's pattern: the query verifies its own estimate
+    * against the exact count (rsd 1% ⇒ 5% tolerance is 5σ) and emits
+    * the boolean; the oracle expects TRUE. A broken sketch fails the
+    * hash compare.
+    */
+  val q75 = Q("q75_approx_ndv",
+    (s, dir) => t(s, dir, "lineitem")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("_approx"),
+        countDistinct(col("l_orderkey")).as("exact_cnt"))
+      .select(col("exact_cnt"),
+        (abs(col("_approx").cast("double") / col("exact_cnt") - 1.0) <= 0.05)
+          .as("within_5pct")),
+    Some("""
+      SELECT count(DISTINCT l_orderkey) AS exact_cnt, TRUE AS within_5pct
+      FROM lineitem"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q50, q51, q52, q53, q67, q68, q69,
-    q70, q71, q73)
+    q70, q71, q73, q75)
 }
