@@ -222,5 +222,59 @@ object CorpusQueries {
       FROM rk JOIN keep USING (source) WHERE rk <= n_keep
       ORDER BY source, rk"""))
 
-  val all: Seq[Q] = Seq(q61, q62, q63, q64)
+  /** q76 — URL canonicalization + URL-level dedup: crawl pipelines
+    * dedup by canonical URL before any content hashing (cheapest
+    * signal first). URLs are synthesized deterministically from doc_id
+    * (q59's pattern — the corpus has no URL column): mixed-case hosts,
+    * www. prefixes and tracking query strings all collapse to one
+    * canonical form (lowercase host, www-stripped, query dropped),
+    * then keep-first by doc_id within each canonical URL.
+    *
+    * Map-only canonicalization (regexes in the Java∩RE2 subset both
+    * engines share) + ONE shuffle on the canonical key. At crawl scale
+    * this is the first and cheapest dedup stage — it runs before any
+    * content fingerprint because the key is bytes, not text analysis.
+    */
+  val q76 = Q("q76_url_dedup",
+    (s, dir) => {
+      val url = concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("WWW.Example.COM"))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit("example.com"))
+          .otherwise(lit("cdn.example.com")),
+        lit("/page"), pmod(col("doc_id"), lit(50)).cast("string"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("?utm_source=feed&id="), col("doc_id").cast("string")))
+          .otherwise(lit("")))
+      val canon = concat(
+        regexp_replace(lower(regexp_extract(col("url"), "^https?://([^/?]+)", 1)),
+          "^www\\.", ""),
+        regexp_extract(col("url"), "^https?://[^/?]+([^?]*)", 1))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), canon.as("canon_url"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("kept_doc"))
+        .orderBy("canon_url")
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id, 'https://' ||
+               CASE doc_id % 3 WHEN 0 THEN 'WWW.Example.COM'
+                               WHEN 1 THEN 'example.com'
+                               ELSE 'cdn.example.com' END ||
+               '/page' || CAST(doc_id % 50 AS VARCHAR) ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                    ELSE '' END AS url
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               regexp_replace(lower(regexp_extract(url, '^https?://([^/?]+)', 1)),
+                              '^www\.', '') ||
+               regexp_extract(url, '^https?://[^/?]+([^?]*)', 1) AS canon_url
+        FROM u)
+      SELECT canon_url, count(*) AS n_urls, min(doc_id) AS kept_doc
+      FROM c GROUP BY canon_url ORDER BY canon_url"""))
+
+  val all: Seq[Q] = Seq(q61, q62, q63, q64, q76)
 }
