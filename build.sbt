@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses Bench's one-line JSON record from captured
+// stdout; the default LoggedOutput strategy prefixes every forked-run
+// line with "[info] ", which breaks that parse. Stream the forked JVM's
+// output straight through instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

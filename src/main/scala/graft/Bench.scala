@@ -33,22 +33,54 @@ object Bench {
       val good = times.filter(_ >= 0)
       name -> (if (good.nonEmpty) good.min else times.min)
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // captured error strings (AnalysisException plan fragments) embed
+    // newlines/tabs — escape all control chars so the record stays one
+    // valid JSON line
+    def jstr(s: String) = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }.mkString("\"", "", "\"")
+    // The driver stores only a bounded tail of captured output and parses
+    // the JSON record out of it, so the whole record must stay ONE line
+    // comfortably under that window: millisecond precision, and the
+    // documented short "qNN" keys (full names live in SparkEntry.queries /
+    // CORRECTNESS_r*.json; the qNN prefix is unique by construction).
+    def fmt(v: Double): String = {
+      val r = math.rint(v * 1000) / 1000
+      BigDecimal(r).underlying.stripTrailingZeros.toPlainString
+    }
+    def shortName(n: String) = n.indexOf('_') match {
+      case -1 => n
+      case i => n.substring(0, i)
+    }
+    val qs = results.map { case (k, v) => jstr(shortName(k)) + ":" + fmt(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
     val extras = measureExtras(spark, sfDir, errors)
-    val exJson = extras.map { case (k, v) => jstr(k) + ":" + v }
+    val exJson = extras.map { case (k, v) => jstr(k) + ":" + fmt(v) }
       .mkString(",\"extras\":{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
-      else errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      else errors.map { case (k, v) => jstr(shortName(k)) + ":" + jstr(v.take(80)) }
         .mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$exJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$exJson,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 
   /** Evidence runs outside the graded query total:
     *
+    *   - load calibration canary: a fixed data-independent CPU-bound
+    *     job (sum of xxhash64 over range(2e8)). Its quiet-host time is
+    *     recorded in BASELINE.md; a run where calib_sec reads N× that
+    *     number was taken under N× external host load and every other
+    *     number in the record inflates accordingly. best-of-3.
     *   - bucketed-layout delta: the same sort-merge fact⋈fact join
     *     timed over the plain parquet layout (shuffle + sort both
     *     sides) and over ScaleOps.writeBucketed tables (zero exchange,
@@ -65,6 +97,13 @@ object Bench {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
       def best2(f: => Unit): Double = math.min(sec(f), sec(f))
+
+      // bit_xor, not sum: summing 2e8 full-range hashes overflows long
+      // under ANSI mode
+      val calib = (1 to 3).map { _ =>
+        sec(spark.range(0L, 200000000L, 1L, spark.sparkContext.defaultParallelism)
+          .select(bit_xor(xxhash64(col("id")))).collect())
+      }.min
 
       // a previous run's table locations survive in the warehouse dir
       // while the in-memory catalog starts empty — clear both sides
@@ -87,12 +126,16 @@ object Bench {
       val bucketedSec = best2(joinAgg(bl, bo))
 
       val docs = Tables.load(spark, sfDir, "documents")
-      val stages = graft.curation.CurationPipeline
-        .stageTimings(docs, "doc_id", "text")
-        .flatMap { case (name, rows, s) =>
-          Seq(s"curation_${name}_rows" -> rows.toDouble, s"curation_${name}_sec" -> s)
-        }
-      Seq("factjoin_plain_sec" -> plainSec,
+      // best-of-2 per stage: one-shot counts on shared hardware carry
+      // 2-4x noise that previously read as a q49 regression
+      val run1 = graft.curation.CurationPipeline.stageTimings(docs, "doc_id", "text")
+      val run2 = graft.curation.CurationPipeline.stageTimings(docs, "doc_id", "text")
+      val stages = run1.zip(run2).flatMap { case ((name, rows, s1), (_, _, s2)) =>
+        Seq(s"curation_${name}_rows" -> rows.toDouble,
+          s"curation_${name}_sec" -> math.min(s1, s2))
+      }
+      Seq("calib_sec" -> calib,
+        "factjoin_plain_sec" -> plainSec,
         "factjoin_bucketed_sec" -> bucketedSec) ++ stages
     } catch {
       case e: Throwable =>

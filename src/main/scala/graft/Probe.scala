@@ -24,7 +24,11 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftExtensions.register(spark)
-    for (n <- names; q <- SparkEntry.allQueries.filter(_.name.startsWith(n))) {
+    // exact name or a qNN_ prefix boundary — a bare startsWith would make
+    // "q3" run q30..q38 alongside q3
+    for (n <- names;
+         q <- SparkEntry.allQueries.filter(q =>
+           q.name == n || q.name.startsWith(n + "_"))) {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         q.fn(spark, sfDir).count()

@@ -257,6 +257,11 @@ object Dedup {
       labels = next.select(col("id"), col("_next").as("cluster_id"))
       i += 1
     }
+    // silent non-convergence would return wrong (partially propagated)
+    // labels on a component whose diameter exceeds maxIter — fail loudly
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing); raise maxIter for deep chains")
     labels
   }
 

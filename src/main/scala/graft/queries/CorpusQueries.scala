@@ -80,12 +80,16 @@ object CorpusQueries {
 
   /** q62 — benchmark-contamination check: which training documents
     * share word-trigram shingles with a held-out eval set (docs with
-    * doc_id % 97 = 0 stand in for the benchmark). The eval side's
-    * distinct shingle hashes are a small set by construction, so the
-    * overlap test is a broadcast semi-style join against the exploded
-    * training stream — the eval set rides to every executor and the
-    * 100 TB side is touched exactly once, map-side. Per-doc overlap
-    * counts then re-group on doc_id (one linear shuffle).
+    * doc_id % 97 = 0 stand in for the benchmark). Real benchmark eval
+    * sets are BOUNDED (a few thousand documents regardless of corpus
+    * size), so their distinct shingle hashes broadcast safely and the
+    * 100 TB training side is touched exactly once, map-side; per-doc
+    * overlap counts then re-group on doc_id (one linear shuffle). The
+    * modulo stand-in used here is NOT bounded — it grows linearly with
+    * the corpus — so at true scale this broadcast must be dropped
+    * (remove the hint; Spark falls back to a shuffled join) or the eval
+    * side pre-filtered to the real benchmark. The broadcast form is the
+    * production shape only because production eval sets are fixed-size.
     *
     * Shingle hashing reuses the LSH kernel (`graft_shingle_hashes` —
     * 31-bit md5-derived, distinct per doc), so the oracle replays it
