@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+
+/** Round-3 training-data operators: statistical quality signals
+  * (n-gram language-model scoring), semantic deduplication over
+  * embedding clusters, cross-document duplicate-span detection,
+  * deterministic weighted sampling, incremental dedup against a
+  * fingerprint store, and the BPE pair-count (tokenizer-training)
+  * step.
+  *
+  * Scale theme, as elsewhere: per-document signals are linear
+  * explode + re-group chains keyed on doc_id (shuffle bytes ∝ token
+  * stream); corpus statistics re-enter as broadcasts; pairwise work
+  * only ever happens inside explicitly size-bounded cells.
+  */
+object TrainQueries {
+
+  private val duckTokens = "string_split_regex(trim(text), '\\s+')"
+
+  /** md5-derived 60-bit hash (mirrors Hashing.hash64). */
+  private def duckHash64(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def duckCos(a: String, b: String): String =
+    s"round(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
+
+  /** q77 — bigram language-model scoring: train an add-one-smoothed
+    * bigram LM on the corpus itself, then score every document by its
+    * average bigram log-probability — the statistical-quality signal
+    * (CCNet/Gopher-style "perplexity filter") that catches gibberish
+    * a rule-based quality score misses. Low avg_logprob = improbable
+    * token transitions = drop candidate.
+    *
+    * Plan shape: one compiled-kernel pass produces per-occurrence
+    * (left-unigram-hash, bigram-hash) pairs — zip of the n=1 and n=2
+    * shingle streams, exploded once and materialized (localCheckpoint)
+    * because three consumers would otherwise re-run the scan. Bigram
+    * and left-context counts are two linear hash aggregations; scoring
+    * is two shuffle joins on vocabulary-sized count tables (NOT
+    * broadcast: a 100 TB corpus's bigram table is itself huge) plus a
+    * one-row broadcast of |V|; the final per-doc mean is one doc_id
+    * shuffle. Nothing is pairwise, nothing is driver-side.
+    *
+    * Determinism: ln() of identical rational inputs rounds to 1e-4
+    * fixed-point per OCCURRENCE, then sums as exact longs — the same
+    * recipe the gate already proves for q57's ln-based tf-idf.
+    */
+  val q77 = Q("q77_bigram_lm",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val docs = Tables.load(s, dir, "documents")
+        .filter(TA.tokenCount(col("text")) >= 2)
+        .select(col("doc_id"),
+          call_function("graft_shingle_hash_list", col("text"), lit(1)).as("_u"),
+          call_function("graft_shingle_hash_list", col("text"), lit(2)).as("_b"))
+      val pairs = docs
+        .select(col("doc_id"),
+          explode(zip_with(slice(col("_u"), lit(1), size(col("_b"))), col("_b"),
+            (u, b) => struct(u.as("uh"), b.as("bh")))).as("_p"))
+        .select(col("doc_id"), col("_p.uh").as("uh"), col("_p.bh").as("bh"))
+        .localCheckpoint(false)
+      val cb = pairs.groupBy("bh").agg(count(lit(1)).as("cb"))
+      val cu = pairs.groupBy("uh").agg(count(lit(1)).as("cu"))
+      val v = pairs.agg(countDistinct(col("uh")).as("_v"))
+      pairs.join(cb, Seq("bh")).join(cu, Seq("uh")).crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          round(log((col("cb") + lit(1)).cast("double")
+            / (col("cu") + col("_v")).cast("double")) * 1e4).cast("long").as("_lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("_lp")).cast("double") / count(lit(1)) / 1e4).as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents
+                 WHERE len($duckTokens) >= 2),
+      p AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(w)),
+                i -> ${duckHash64("w[i]")} & ${Dedup.MinhashP})) AS uh,
+              unnest(list_transform(range(1, len(w)),
+                i -> ${duckHash64("w[i] || ' ' || w[i+1]")} & ${Dedup.MinhashP})) AS bh
+            FROM t),
+      cb AS (SELECT bh, count(*) AS cb FROM p GROUP BY 1),
+      cu AS (SELECT uh, count(*) AS cu FROM p GROUP BY 1),
+      v AS (SELECT count(DISTINCT uh) AS v FROM p),
+      sc AS (SELECT doc_id,
+               CAST(round(ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + v AS DOUBLE))
+                          * 10000.0) AS BIGINT) AS lp
+             FROM p JOIN cb USING (bh) JOIN cu USING (uh) CROSS JOIN v)
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(lp) AS DOUBLE) / count(*) / 10000.0 AS avg_logprob
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** q78 — SemDedup: k-means-style cells (k = 32 seeded centroids,
+    * the q74 assignment machinery), then exact pairwise cosine ONLY
+    * within a cell; a vector is dropped when any smaller-id cell-mate
+    * sits above the similarity threshold. Within-cluster pairwise is
+    * the SemDedup algorithm's actual shape — the scale knob is k,
+    * chosen ∝ N/target_cell_size so per-cell work stays constant
+    * (32 cells here; a 100 TB corpus picks k in the millions and
+    * feeds centroids from the q74 Lloyd step, broadcast in chunks or
+    * pre-partitioned by cell prefix). Assignment is one broadcast
+    * cross-score + per-vector argmin (no shuffle of the corpus);
+    * the pair join shuffles each vector once on its cell id.
+    *
+    * Threshold 0.40 reflects the synthetic embeddings' planted
+    * similarity range (max within-cell cosine ≈ 0.49); the operator
+    * is threshold-parametric.
+    */
+  val q78 = Q("q78_semdedup",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val scored = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          (Similarity.dotNative(col("embedding"), col("embedding"))
+            - lit(2.0) * Similarity.dotNative(col("embedding"), col("cv"))
+            + Similarity.dotNative(col("cv"), col("cv"))).as("_dist"))
+      val assigned = scored.withColumn("_rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("_dist").asc, col("cid").asc)))
+        .filter(col("_rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+        .localCheckpoint(false) // self-joined below: don't re-score per side
+      val a = assigned.select(col("vec_id").as("_va"),
+        col("embedding").as("_ea"), col("cell"))
+      val b = assigned.select(col("vec_id").as("_vb"),
+        col("embedding").as("_eb"), col("cell"))
+      val dropped = a.join(b, Seq("cell"))
+        .filter(col("_va") < col("_vb"))
+        .filter(Similarity.cosine(col("_ea"), col("_eb")) >= 0.40)
+        .select(col("_vb").as("vec_id")).distinct()
+        .withColumn("_drop", lit(true))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("_drop"), lit(false)).as("dropped"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cv
+                 FROM embeddings WHERE vec_id < 32),
+      scored AS (SELECT vec_id, embedding, cid,
+                   ${duckDot("embedding", "embedding")}
+                     - 2.0 * ${duckDot("embedding", "cv")}
+                     + ${duckDot("cv", "cv")} AS dist
+                 FROM embeddings CROSS JOIN c),
+      assigned AS (SELECT vec_id, embedding, cid AS cell FROM (
+                     SELECT *, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+                     FROM scored) WHERE rn = 1),
+      dropped AS (SELECT DISTINCT y.vec_id
+                  FROM assigned x JOIN assigned y
+                    ON x.cell = y.cell AND x.vec_id < y.vec_id
+                  WHERE ${duckCos("x.embedding", "y.embedding")} >= 0.40)
+      SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS dropped
+      FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+      ORDER BY a.vec_id"""))
+
+  /** q79 — cross-document duplicate-span detection: flag every 8-gram
+    * occurrence whose shingle appears in MORE THAN ONE document, and
+    * report per document how much of it is made of such shared spans
+    * (the document-level signal behind substring-level dedup à la
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * exact span removal needs suffix automata; the per-doc shared
+    * fraction is the linear-shuffle triage that decides which docs
+    * enter that expensive path).
+    *
+    * Plan: compiled shingle kernel → explode → (gh, doc_id) count
+    * (one shuffle, also dedups the stream), per-shingle doc count as
+    * a window over gh (second shuffle), per-doc rollup (third). All
+    * three shuffles are skinny (doc_id + long + counts) and linear in
+    * the token stream; no pairwise anything.
+    */
+  val q79 = Q("q79_dup_ngram_spans",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val gd = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(call_function("graft_shingle_hash_list", col("text"), lit(8))).as("gh"))
+        .groupBy("gh", "doc_id").agg(count(lit(1)).as("cnt"))
+      val nd = gd.withColumn("_nd", count(lit(1)).over(Window.partitionBy("gh")))
+      nd.groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_grams"),
+          sum(when(col("_nd") >= 2, col("cnt")).otherwise(0L)).as("shared_occ"))
+        .withColumn("shared_frac",
+          round(col("shared_occ").cast("double") / col("n_grams"), 6))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      g AS (SELECT doc_id, unnest(
+              CASE WHEN len(w) < 8
+                   THEN [${duckHash64("array_to_string(w, ' ')")} & ${Dedup.MinhashP}]
+                   ELSE list_transform(range(1, len(w) - 6),
+                          i -> ${duckHash64(
+                            "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || " +
+                            "w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]")}
+                            & ${Dedup.MinhashP})
+              END) AS gh
+            FROM t),
+      gd AS (SELECT gh, doc_id, count(*) AS cnt FROM g GROUP BY 1, 2),
+      nd AS (SELECT *, count(*) OVER (PARTITION BY gh) AS ndocs FROM gd)
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS shared_occ,
+             round(CAST(sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+                   / sum(cnt), 6) AS shared_frac
+      FROM nd GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** q80 — deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each row draws u ∈ (0,1] from its
+    * md5 hash and ranks by the exponential key -ln(u)/w; the k
+    * smallest keys are an exact weighted sample, reproducible across
+    * engines, partitionings and reruns (the property grid-search /
+    * data-ablation pipelines need). Weight = n_chars: longer docs
+    * proportionally likelier.
+    *
+    * Plan: map-only key computation + TakeOrderedAndProject — the
+    * top-k never materializes a sort of the full corpus; at 1000
+    * executors each task ships only its local k.
+    */
+  val q80 = Q("q80_weighted_sample",
+    (s, dir) => {
+      val p = Dedup.MinhashP
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .withColumn("_u",
+          ((graft.functions.Hashing.hash64(concat(lit("ws|"), col("doc_id")))
+            .bitwiseAND(lit(p)) + lit(1)).cast("double") / lit((p + 1).toDouble)))
+        .withColumn("_key", -log(col("_u")) / col("n_chars").cast("double"))
+      // 6-dp rounding BEFORE the ordering: both engines then rank the
+      // identical quantized keys (doc_id breaks ties), so the selected
+      // 100 can't flip on a 1-ulp ln() difference at the boundary
+      docs.select(col("doc_id"), col("n_chars"), round(col("_key"), 6).as("es_key"))
+        .orderBy(col("es_key").asc, col("doc_id").asc)
+        .limit(100)
+    },
+    Some(s"""
+      SELECT doc_id, n_chars,
+             round(-ln(CAST((${duckHash64("concat('ws|', CAST(doc_id AS VARCHAR))")}
+                             & ${Dedup.MinhashP}) + 1 AS DOUBLE)
+                       / ${(Dedup.MinhashP + 1).toDouble})
+                   / CAST(n_chars AS DOUBLE), 6) AS es_key
+      FROM documents WHERE n_chars > 0
+      ORDER BY es_key ASC, doc_id ASC LIMIT 100"""))
+
+  /** q81 — incremental dedup against a fingerprint store: the daily
+    * batch (doc_id ≡ 0 mod 5 stands in) survives only if its content
+    * fingerprint is (a) absent from the already-ingested store (the
+    * other docs) and (b) first within the batch. This is the CDC-shaped
+    * dedup a continuously-fed corpus runs instead of re-deduping 100 TB
+    * nightly: the store side is a parquet fingerprint index read
+    * fingerprint-bucketed, the anti-join shuffles only the new batch
+    * (or is broadcast when the batch is small), and the within-batch
+    * keep-first reuses the store's shuffle key.
+    */
+  val q81 = Q("q81_incremental_dedup",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("fp", TA.contentFingerprint(col("text")))
+      val store = docs.filter(col("doc_id") % 5 =!= 0).select(col("fp"))
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val fresh = batch.join(store, Seq("fp"), "left_anti")
+      graft.operators.Relational.dedupKeepFirst(fresh, Seq("fp"), Seq(col("doc_id").asc))
+        .select(col("doc_id"), col("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                 FROM documents),
+      store AS (SELECT fp FROM d WHERE doc_id % 5 <> 0),
+      batch AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+      fresh AS (SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM store))
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fresh)
+      WHERE rn = 1 ORDER BY doc_id"""))
+
+  /** q82 — BPE pair-count (the tokenizer-training step): across the
+    * corpus's letter-run words, count every adjacent character pair;
+    * the most frequent pair is the next BPE merge. One merge round =
+    * exactly this aggregation re-run on re-segmented words, so the
+    * distributed shape (two nested linear explodes → one pair-key
+    * shuffle → top-k) IS the trainer's inner loop. Explodes multiply
+    * rows but stay ∝ corpus bytes; the group key is a 2-char string
+    * (bounded alphabet² keyspace — the final agg is tiny regardless
+    * of corpus size).
+    */
+  val q82 = Q("q82_bpe_merge",
+    (s, dir) => {
+      val words = Tables.load(s, dir, "documents")
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("w"))
+        .filter(length(col("w")) >= 2)
+      words
+        .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(col("w").substr(col("i"), lit(2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(20)
+    },
+    Some("""
+      WITH words AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                     FROM documents),
+      pairs AS (SELECT substr(w, i, 2) AS pair
+                FROM words CROSS JOIN unnest(range(1, length(w))) AS u(i)
+                WHERE length(w) >= 2)
+      SELECT pair, count(*) AS cnt FROM pairs
+      GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(q77, q78, q79, q80, q81, q82)
+}
