@@ -88,6 +88,37 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("q79: duplicate-span detection is join-free linear aggregation + one window") {
+    val df = TrainQueries.q79.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan) // no pairwise work anywhere
+  }
+
+  test("q80: weighted sample is map-only + TakeOrderedAndProject (no global sort, no shuffle)") {
+    val plan = physical(TrainQueries.q80)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan) // selection never shuffles the corpus
+  }
+
+  test("q81: store lookup is an anti-join, batch keep-first shares its shuffle key") {
+    val df = TrainQueries.q81.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("q82: BPE pair counting is partial+final agg with top-k (no global sort)") {
+    val df = TrainQueries.q82.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_count"), plan) // map-side combine before the pair shuffle
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q38/q40: no join keyed only on a block column (the quadratic shape)") {
     // AQE buries join nodes inside leaf QueryStageExec wrappers, so
     // inspect the rendered tree: every equi-join's key list must name
