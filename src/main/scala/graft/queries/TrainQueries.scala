@@ -320,5 +320,244 @@ object TrainQueries {
       SELECT pair, count(*) AS cnt FROM pairs
       GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(q77, q78, q79, q80, q81, q82)
+  /** q83 — product-quantization ANN (the IVF-PQ memory path): 64-dim
+    * vectors become 8 one-byte codes (8 subspaces × 16-entry
+    * codebooks), and search runs against an asymmetric-distance table
+    * (query sub-vector ↔ codebook entry) instead of raw floats — the
+    * representation that makes billion-vector indexes fit executor
+    * memory (32× smaller than float32).
+    *
+    * Every stage is broadcast + linear: codebooks are 8×16 sub-vectors
+    * (seeded from the first 16 corpus vectors, the q74 convention);
+    * encoding explodes each vector into its 8 sub-vectors, scores the
+    * 16 codes per subspace under a broadcast codebook, and argmins per
+    * (vec_id, subspace); search joins each code against the broadcast
+    * query-side distance contributions and sums per vec_id. No
+    * pairwise joins, no corpus shuffle beyond the (vec_id, subspace)
+    * rollup.
+    */
+  val q83 = Q("q83_pq_ann",
+    (s, dir) => {
+      val S = 8; val D = 8; val K = 16
+      val emb = Tables.load(s, dir, "embeddings")
+      val subs = emb.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(S - 1))).as("sub"))
+        .select(col("vec_id"), col("sub"),
+          slice(col("embedding"), col("sub") * D + 1, lit(D)).as("subv"))
+      val codebook = subs.filter(col("vec_id") < K)
+        .select(col("vec_id").cast("int").as("code"), col("sub"),
+          col("subv").as("cv"))
+      // L2² via the dot identity on the codegen'd native kernel — an
+      // interpreted zip_with/aggregate here runs 16 codes × 8 subspaces
+      // per vector (measured ~3× slower end-to-end)
+      def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        Similarity.dotNative(a, a) - lit(2.0) * Similarity.dotNative(a, b) +
+          Similarity.dotNative(b, b)
+      val w = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("_d").asc, col("code").asc)
+      val codes = subs.join(broadcast(codebook), Seq("sub"))
+        .withColumn("_d", round(l2(col("subv"), col("cv")), 9))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("vec_id"), col("sub"), col("code"))
+      // asymmetric distance table: the query's 8×16 contributions
+      val adt = subs.filter(col("vec_id") === 0)
+        .select(col("sub").as("_qs"), col("subv").as("qv"))
+        .join(broadcast(codebook), col("_qs") === codebook("sub"))
+        .select(col("_qs").as("sub"), col("code"),
+          round(l2(col("qv"), col("cv")), 9).as("contrib"))
+      codes.join(broadcast(adt), Seq("sub", "code"))
+        .groupBy("vec_id")
+        .agg(round(sum(col("contrib")), 6).as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some(s"""
+      WITH subs AS (
+        SELECT vec_id, s.sub, embedding[s.sub * 8 + 1 : s.sub * 8 + 8] AS subv
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+      cb AS (SELECT CAST(vec_id AS INTEGER) AS code, sub, subv AS cv
+             FROM subs WHERE vec_id < 16),
+      scored AS (SELECT t.vec_id, t.sub, cb.code,
+                   round(${duckDot("t.subv", "t.subv")}
+                     - 2.0 * ${duckDot("t.subv", "cb.cv")}
+                     + ${duckDot("cb.cv", "cb.cv")}, 9) AS d
+                 FROM subs t JOIN cb USING (sub)),
+      codes AS (SELECT vec_id, sub, code FROM (
+                  SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+                  FROM scored) WHERE rn = 1),
+      adt AS (SELECT q.sub, cb.code,
+                round(${duckDot("q.subv", "q.subv")}
+                  - 2.0 * ${duckDot("q.subv", "cb.cv")}
+                  + ${duckDot("cb.cv", "cb.cv")}, 9) AS contrib
+              FROM (SELECT sub, subv FROM subs WHERE vec_id = 0) q
+              JOIN cb USING (sub))
+      SELECT c.vec_id, round(sum(contrib), 6) AS adc_dist
+      FROM codes c JOIN adt USING (sub, code)
+      GROUP BY c.vec_id ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"""))
+
+  /** q84 — sequence packing by concatenation: lay every document's
+    * tokens out on one global axis (ordered by doc_id), cut context
+    * windows of 512 tokens, and report where each document lands —
+    * the concat-and-chunk step that turns a curated corpus into
+    * fixed-length training sequences.
+    *
+    * The global running offset is the scale problem: a naive
+    * unpartitioned window moves the corpus through one task. Here it
+    * is a two-level prefix sum — per-shard token subtotals (tiny:
+    * one row per shard) broadcast back as shard base offsets, plus a
+    * within-shard running sum — so every task computes exact global
+    * offsets while shuffling only its shard. The oracle checks the
+    * distributed decomposition against the straightforward global
+    * window.
+    */
+  val q84 = Q("q84_sequence_pack",
+    (s, dir) => {
+      val ctx = 512L
+      val shardW = 100L
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TA.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("shard", (col("doc_id") / shardW).cast("long"))
+      val shardTotals = toks.groupBy("shard").agg(sum("n_tokens").as("_st"))
+      val shardBase = shardTotals
+        .withColumn("base",
+          coalesce(sum(col("_st")).over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col("shard"), col("base"))
+      val wIn = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks.join(broadcast(shardBase), Seq("shard"))
+        .withColumn("offset",
+          col("base") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("offset"),
+          (col("offset") / ctx).cast("long").as("first_seq"),
+          ((col("offset") + greatest(col("n_tokens"), lit(1L)) - 1) / ctx)
+            .cast("long").as("last_seq"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens
+                 FROM documents),
+      o AS (SELECT doc_id, n_tokens,
+              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+            FROM t)
+      SELECT doc_id, n_tokens, "offset",
+             CAST(floor("offset" / 512) AS BIGINT) AS first_seq,
+             CAST(floor(("offset" + greatest(n_tokens, 1) - 1) / 512) AS BIGINT) AS last_seq
+      FROM o ORDER BY doc_id"""))
+
+  /** q85 — vocabulary coverage: the 200 most frequent tokens with
+    * their corpus share and the running coverage curve — the
+    * truncate-the-vocab decision input for tokenizer / filter design.
+    * Token counting is one linear explode + hash agg; the top-200 is
+    * TakeOrderedAndProject (never a global sort); the cumulative sum
+    * runs over the 200 survivors only, so the window is trivially
+    * small no matter the corpus size; the corpus total rides in as a
+    * one-row broadcast.
+    */
+  val q85 = Q("q85_vocab_coverage",
+    (s, dir) => {
+      val counts = Tables.load(s, dir, "documents")
+        .select(explode(TA.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").as("_total"))
+      val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(200)
+      val w = Window.orderBy(col("cnt").desc, col("token").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("token").asc)))
+        .withColumn("coverage",
+          round(sum(col("cnt")).over(w).cast("double") / col("_total"), 6))
+        .select(col("rank"), col("token"), col("cnt"), col("coverage"))
+        .orderBy("rank")
+    },
+    Some(s"""
+      WITH c AS (SELECT unnest($duckTokens) AS token FROM documents),
+      counts AS (SELECT token, count(*) AS cnt FROM c GROUP BY 1),
+      total AS (SELECT sum(cnt) AS t FROM counts),
+      top AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 200)
+      SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+             token, cnt,
+             round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / (SELECT t FROM total), 6) AS coverage
+      FROM top ORDER BY rank"""))
+
+  /** q86 — temperature-scaled domain mixture (the mT5/data-mixing
+    * rule): per-source sampling weights p_i ∝ n_i^τ with τ = 0.7,
+    * and the expected number of documents each source contributes to
+    * a 10k-document epoch. Up-weights small domains, tempers large
+    * ones. One tiny groupBy + a one-row broadcast of the normalizer —
+    * the per-source table is bounded by the domain count regardless
+    * of corpus size, and the output rates then drive a q64-style
+    * hash-rank resample.
+    */
+  val q86 = Q("q86_domain_temperature",
+    (s, dir) => {
+      val tau = 0.7
+      val epoch = 10000L
+      val bySrc = Tables.load(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("_pw", pow(col("n_docs").cast("double"), lit(tau)))
+      // decimal accumulation: a multi-row double sum is reduction-order
+      // dependent (see CoreQueries' dsum note); rounding first pins the
+      // per-row value, decimal makes the sum order-free
+      val z = bySrc.agg(
+        sum(round(col("_pw"), 9).cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+          .cast("double").as("_z"))
+      bySrc.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"),
+          round(round(col("_pw"), 9) / col("_z"), 6).as("weight"),
+          round(lit(epoch.toDouble) * round(col("_pw"), 9) / col("_z"), 2)
+            .as("expected_docs"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH b AS (SELECT source, count(*) AS n_docs,
+                   round(pow(CAST(count(*) AS DOUBLE), 0.7), 9) AS pw
+                 FROM documents GROUP BY 1),
+      z AS (SELECT CAST(sum(CAST(pw AS DECIMAL(28,9))) AS DOUBLE) AS z FROM b)
+      SELECT source, n_docs,
+             round(pw / z, 6) AS weight,
+             round(10000.0 * pw / z, 2) AS expected_docs
+      FROM b CROSS JOIN z ORDER BY source"""))
+
+  /** q87 — RAG / retrieval chunking: overlapping token windows
+    * (64 tokens, stride 48) per document, each with its token count
+    * and fingerprint — the chunk table an embedding or retrieval
+    * stage consumes. Map-only: one explode of the per-doc chunk
+    * range; chunk text never shuffles (the fingerprint is computed
+    * in the same projection).
+    */
+  val q87 = Q("q87_rag_chunks",
+    (s, dir) => {
+      val win = 64; val stride = 48
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TA.tokens(col("text")).as("_t"))
+        .withColumn("_n", size(col("_t")))
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0), ((col("_n") - 1) / stride).cast("int"))))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(slice(col("_t"), col("chunk_idx") * stride + 1, lit(win)))
+            .as("n_chunk_tokens"),
+          md5(concat_ws(" ",
+            slice(col("_t"), col("chunk_idx") * stride + 1, lit(win))))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      ch AS (SELECT doc_id, w, unnest(range(0,
+               CAST(floor((len(w) - 1) / 48) AS BIGINT) + 1)) AS chunk_idx
+             FROM t)
+      SELECT doc_id, chunk_idx,
+             len(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS n_chunk_tokens,
+             md5(array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')) AS chunk_md5
+      FROM ch ORDER BY doc_id, chunk_idx"""))
+
+  val all: Seq[Q] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
 }

@@ -119,6 +119,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q83: PQ encode and search join only against broadcasts — the corpus never shuffle-joins") {
+    val df = TrainQueries.q83.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q84: global offsets come from a broadcast of shard bases, not one big window") {
+    val df = TrainQueries.q84.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the per-document window is partitioned (by shard); only the
+    // shard-count-sized base table sees an unpartitioned window
+    assert(plan.contains("Window [") || plan.contains("Window ["), plan)
+  }
+
+  test("q85: vocab top-k is TakeOrderedAndProject before the tiny coverage window") {
+    val df = TrainQueries.q85.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q38/q40: no join keyed only on a block column (the quadratic shape)") {
     // AQE buries join nodes inside leaf QueryStageExec wrappers, so
     // inspect the rendered tree: every equi-join's key list must name

@@ -80,6 +80,60 @@ class TrainQueriesSpec extends SparkSpec {
     assert(rowsOut.map(_._2).distinct.length == rowsOut.length)
   }
 
+  test("q83: PQ self-query ranks the query vector first at distance 0") {
+    val out = TrainQueries.q83.fn(spark, sf).collect()
+    assert(out.length == 10)
+    // vec 0 seeds the codebook, so its codes reproduce itself exactly
+    assert(out.head.getLong(0) == 0L && out.head.getDouble(1) == 0.0)
+    val dists = out.map(_.getDouble(1))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q84: packed offsets are contiguous — each doc starts where the previous ended") {
+    val out = TrainQueries.q84.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.head._3 == 0L)
+    out.sliding(2).foreach {
+      case Array((_, n1, o1, _, _), (_, _, o2, _, _)) => assert(o2 == o1 + n1)
+      case _ =>
+    }
+    assert(out.forall { case (_, _, _, first, last) => first <= last })
+  }
+
+  test("q85: coverage curve is non-decreasing and reaches 1 when the vocab fits the cap") {
+    val out = TrainQueries.q85.fn(spark, sf).collect()
+    val cov = out.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    if (out.length < 200) assert(cov.last == 1.0) // whole vocab listed
+  }
+
+  test("q86: temperature weights normalize and favor small domains over proportional share") {
+    val out = TrainQueries.q86.fn(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-3)
+    // τ < 1 compresses: per-doc weight must be higher for smaller domains
+    val perDoc = out.map { case (n, w) => (n, w / n) }.sortBy(_._1)
+    perDoc.sliding(2).foreach {
+      case Array((n1, d1), (n2, d2)) if n1 < n2 => assert(d1 > d2, s"$n1:$d1 vs $n2:$d2")
+      case _ =>
+    }
+  }
+
+  test("q87: chunks cover every document with the declared window/stride") {
+    val out = TrainQueries.q87.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(graft.operators.TextAnalysis.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.forall(_._3 <= 64))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet)
+    for ((doc, chunks) <- byDoc) {
+      val idxs = chunks.map(_._2).sorted
+      assert(idxs.head == 0 && idxs.length == 1 + (docs(doc) - 1) / 48)
+    }
+  }
+
   test("q82: pairs are adjacent lowercase 2-grams ranked by count") {
     val out = TrainQueries.q82.fn(spark, sf).collect()
     assert(out.length == 20)
