@@ -110,6 +110,62 @@ object StreamingOps {
         s"AND r.$rightTs <= l.$leftTs + interval $maxDelay"))
   }
 
+  final case class BandRow(band_hash: Long, doc_id: Long)
+  final case class NearDupCand(doc_id: Long, matches_doc: Long, band_hash: Long)
+
+  /** Streaming near-duplicate candidate detection — the incremental
+    * twin of the batch MinHash-LSH dedup (q36/q49): every arriving
+    * document's LSH band hashes (same compiled kernels as batch, so
+    * stream and batch agree on bucketing) are checked against
+    * per-bucket state holding the first document ever seen there; a
+    * collision emits a candidate pair for downstream exact-Jaccard
+    * verification. This is how a continuously-fed corpus rejects
+    * near-dups at ingest instead of re-running corpus-wide dedup.
+    *
+    * Scale: state is one long per occupied band bucket, sharded by
+    * bucket hash across executors like any grouped state. With a
+    * long-running processing-time trigger, pass `stateTtlMs > 0` to
+    * bound state to the dedup horizon (beyond it, the batch q81-style
+    * store takes over); leave it 0 for bounded runs — a pending
+    * processing-time timeout keeps a Trigger.AvailableNow query alive
+    * waiting to service it, so the TTL is strictly a continuous-mode
+    * knob. Within a micro-batch, rows sort by doc_id so the anchor
+    * choice is deterministic under replay.
+    */
+  def streamingNearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+                                 n: Int = 2, k: Int = 12, rowsPerBand: Int = 2,
+                                 stateTtlMs: Long = 0L): Dataset[NearDupCand] = {
+    val s = docs.sparkSession
+    graft.expressions.GraftExtensions.register(s)
+    import s.implicits._
+    val bands = docs.select(
+        explode(call_function("graft_minhash_bands",
+          call_function("graft_shingle_hashes", col(textCol), lit(n)),
+          lit(k), lit(rowsPerBand))).as("band_hash"),
+        col(idCol).cast("long").as("doc_id"))
+      .as[BandRow]
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    bands.groupByKey(_.band_hash)
+      .flatMapGroupsWithState[Long, NearDupCand](OutputMode.Append, timeoutConf) {
+        (bandHash: Long, rows: Iterator[BandRow], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.map(_.doc_id).toArray.sorted
+            var anchor = state.getOption.getOrElse(Long.MinValue)
+            val out = Seq.newBuilder[NearDupCand]
+            for (id <- sorted) {
+              if (anchor == Long.MinValue) anchor = id
+              else if (id != anchor) out += NearDupCand(id, anchor, bandHash)
+            }
+            if (anchor != Long.MinValue) state.update(anchor)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Run a streaming DataFrame to completion over the currently
     * available data (the reference's daily-batch cadence) into an
     * in-memory table; returns the result.

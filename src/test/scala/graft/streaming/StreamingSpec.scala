@@ -60,6 +60,41 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streamingNearDupCandidates flags later near-dups against the first-seen doc") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-neardup-stream").toFile
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (10L, base),
+      (11L, base),                                  // exact dup of 10
+      (12L, base + " tonight"),                     // near dup of 10
+      (13L, "completely different content with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
+    val cands = StreamingOps.streamingNearDupCandidates(stream, "doc_id", "text")
+    val out = StreamingOps.runAvailableNow(cands.toDF(), "neardup_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val pairs = out.select("doc_id", "matches_doc").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((11L, 10L)), s"exact dup not flagged: $pairs")
+    assert(pairs.contains((12L, 10L)), s"near dup not flagged: $pairs")
+    assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L),
+      s"unrelated doc flagged: $pairs")
+
+    // stream and batch agree on who is a duplicate: every doc the batch
+    // LSH (q36 machinery) pairs as the larger id must be flagged by the
+    // stream too (the stream anchors to the bucket's first doc, so pair
+    // endpoints differ inside one family, but the flagged set matches)
+    val batchDups = graft.operators.Dedup
+      .minhashLshPairs(docs, "doc_id", "text", n = 2, k = 12, rowsPerBand = 2,
+        threshold = 0.0)
+      .select(col("id_b").cast("long")).as[Long].collect().toSet
+    val streamDups = pairs.map(_._1)
+    assert(batchDups.subsetOf(streamDups), s"batch=$batchDups stream=$streamDups")
+  }
+
   test("stream-static dimension enrichment matches the batch broadcast join") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-enrich-stream").toFile
