@@ -559,5 +559,144 @@ object TrainQueries {
              md5(array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')) AS chunk_md5
       FROM ch ORDER BY doc_id, chunk_idx"""))
 
-  val all: Seq[Q] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
+  /** q88 — SimHash near-duplicate search (Manku-style web dedup):
+    * 60-bit simhash per document, candidates from Hamming-LSH banding
+    * (4 × 15-bit bands through the capped `Dedup.bucketPairs`
+    * machinery), exact popcount verify ≤ 10 bits. Complements q36's
+    * MinHash/Jaccard path: simhash distance tracks token-distribution
+    * similarity, costs one 8-byte signature per doc (the index a
+    * crawler keeps in memory for dedup-at-ingest), and the identical
+    * banding serves any 64-bit perceptual hash of decoded media.
+    *
+    * q37's 16-bit simhash builds each bit as an interpreted HOF
+    * aggregate (fine for 16, 60 would re-run the token fold per bit);
+    * here the token stream explodes ONCE and one groupBy computes all
+    * 60 bit balances as codegen'd conditional sums — one linear
+    * shuffle of (doc_id, hash) longs, then sig assembly per doc.
+    */
+  val q88 = Q("q88_simhash_neardup",
+    (s, dir) => {
+      val bits = 60
+      // bigram-feature simhash: the synthetic corpus draws from a tiny
+      // unigram vocabulary (~31 tokens), under which unigram simhashes
+      // collapse (every doc within distance 10 of every other); bigram
+      // features separate cleanly (planted near-dups ≤ 6 bits, random
+      // pairs ≈ 29). Token arrays materialize first so the gram lambda
+      // references an attribute, not an inlined re-tokenization per
+      // element (the element_at-over-computed-array trap).
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TA.tokens(col("text")).as("_t"))
+        .localCheckpoint(false)
+      val nT = size(col("_t"))
+      val toks = tok
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), greatest(nT - 1, lit(1))),
+            i => when(i < nT,
+                concat_ws(" ", element_at(col("_t"), i), element_at(col("_t"), i + 1)))
+              .otherwise(element_at(col("_t"), i))))).as("_g"))
+        .select(col("doc_id"), graft.functions.Hashing.hash64(col("_g")).as("_h"))
+      val balances = (0 until bits).map(b =>
+        sum(shiftright(col("_h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"_b$b"))
+      val sigs = toks.groupBy("doc_id")
+        .agg(balances.head, balances.tail: _*)
+        .select(col("doc_id"),
+          (0 until bits).map(b =>
+            when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("sig"))
+        .localCheckpoint(false) // banded + twice re-joined below
+      val bands = sigs.select(col("doc_id"),
+        posexplode(array((0 until 4).map(j =>
+          shiftright(col("sig"), 15 * j).bitwiseAND(lit(32767L))): _*))
+          .as(Seq("_j", "_bv")))
+      val cand = Dedup.bucketPairs(bands, "doc_id", Seq("_j", "_bv"))
+      cand
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("_sa")), Seq("id_a"))
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("_sb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      g AS (SELECT doc_id, list_distinct(
+              list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                i -> CASE WHEN i < len(w) THEN w[i] || ' ' || w[i+1]
+                          ELSE w[i] END)) AS gs FROM t),
+      h AS (SELECT doc_id,
+              list_transform(gs, x -> ${duckHash64("x")}) AS hs FROM g),
+      sigs AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 60), b ->
+                   CASE WHEN list_sum(list_transform(hs,
+                          v -> ((v >> b) & 1) * 2 - 1)) > 0
+                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
+               FROM h),
+      bands AS (SELECT doc_id, j, (sig >> (15 * CAST(j AS INTEGER))) & 32767 AS bv
+                FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS j) jj),
+      ok AS (SELECT j, bv FROM bands GROUP BY j, bv
+             HAVING count(*) > 1 AND count(*) <= ${Dedup.DefaultMaxBucket}),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN ok USING (j, bv)
+               JOIN bands b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+      FROM cand
+      JOIN sigs sa ON cand.id_a = sa.doc_id
+      JOIN sigs sb ON cand.id_b = sb.doc_id
+      WHERE bit_count(xor(sa.sig, sb.sig)) <= 6
+      ORDER BY id_a, id_b"""))
+
+  /** q89 — sequential conversion funnel (view → click → purchase):
+    * per user, the first view, the first click AT OR AFTER that view,
+    * and the first purchase at or after that click; reported as users
+    * surviving each stage with conversion rates. The event-analytics
+    * staple, shaped for scale: each stage is one linear pass over the
+    * events stream joined to the (one row per user) previous-stage
+    * table on user_id — the same shuffle key throughout, no window
+    * over unpartitioned data, no per-user event arrays.
+    */
+  val q89 = Q("q89_funnel",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t0"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") >= col("t0"))
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val nv = v.agg(count(lit(1)).as("n")).select(lit(1).as("stage_idx"),
+        lit("view").as("stage"), col("n"))
+      val nc = c.agg(count(lit(1)).as("n")).select(lit(2).as("stage_idx"),
+        lit("click_after_view").as("stage"), col("n"))
+      val np = p.agg(count(lit(1)).as("n")).select(lit(3).as("stage_idx"),
+        lit("purchase_after_click").as("stage"), col("n"))
+      val base = v.agg(count(lit(1)).as("_base"))
+      nv.union(nc).union(np).crossJoin(broadcast(base))
+        .select(col("stage_idx"), col("stage"), col("n").as("users"),
+          round(col("n").cast("double") / col("_base"), 6).as("rate"))
+        .orderBy("stage_idx")
+    },
+    Some("""
+      WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+            JOIN v ON e.user_id = v.user_id AND e.ts >= v.t0
+            WHERE e.event_type = 'click' GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+            JOIN c ON e.user_id = c.user_id AND e.ts >= c.t1
+            WHERE e.event_type = 'purchase' GROUP BY 1),
+      base AS (SELECT count(*) AS b FROM v),
+      st AS (SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS users FROM v
+             UNION ALL
+             SELECT 2, 'click_after_view', count(*) FROM c
+             UNION ALL
+             SELECT 3, 'purchase_after_click', count(*) FROM p)
+      SELECT stage_idx, stage, users,
+             round(CAST(users AS DOUBLE) / (SELECT b FROM base), 6) AS rate
+      FROM st ORDER BY stage_idx"""))
+
+  val all: Seq[Q] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
+    q88, q89)
 }

@@ -134,6 +134,34 @@ class TrainQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q88: simhash pairs are ordered, within threshold, and actually near-duplicates") {
+    val out = TrainQueries.q88.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.nonEmpty, "no near-dup pairs found — banding dead")
+    assert(out.forall { case (a, b, h) => a < b && h >= 0 && h <= 6 })
+    // the flagged pairs overwhelmingly share vocabulary: spot-check via
+    // exact bigram Jaccard of the worst (highest-hamming) pair
+    val (wa, wb, _) = out.maxBy(_._3)
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id").isin(wa, wb))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bigrams(t: String): Set[String] =
+      t.trim.split("\\s+").sliding(2).map(_.mkString(" ")).toSet
+    val (ba, bb) = (bigrams(texts(wa)), bigrams(texts(wb)))
+    val jac = ba.intersect(bb).size.toDouble / ba.union(bb).size
+    assert(jac >= 0.5, s"pair ($wa,$wb) jaccard $jac — not a near-dup")
+  }
+
+  test("q89: funnel stages only shrink and the first stage has rate 1") {
+    val out = TrainQueries.q89.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 3)
+    assert(out.head._3 == 1.0)
+    val users = out.map(_._2)
+    assert(users.zip(users.tail).forall { case (a, b) => b <= a })
+  }
+
   test("q82: pairs are adjacent lowercase 2-grams ranked by count") {
     val out = TrainQueries.q82.fn(spark, sf).collect()
     assert(out.length == 20)
