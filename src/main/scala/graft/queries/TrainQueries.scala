@@ -697,6 +697,100 @@ object TrainQueries {
              round(CAST(users AS DOUBLE) / (SELECT b FROM base), 6) AS rate
       FROM st ORDER BY stage_idx"""))
 
+  /** q90 — retention cohorts: users grouped by signup week, the
+    * fraction still active 0, 1, 2… weeks later — the engagement
+    * matrix behind every retention dashboard. All linear on user_id /
+    * (cohort, week) keys: first-signup agg, one events join, a
+    * distinct (cohort, weeks_since, user) rollup, cohort sizes
+    * re-entering as a broadcast.
+    */
+  val q90 = Q("q90_retention",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+      val active = ev.join(cohort, Seq("user_id"))
+        .select(col("user_id"), col("cohort_week"),
+          (datediff(date_trunc("week", col("ts")).cast("date"), col("cohort_week"))
+            / 7).cast("long").as("weeks_since"))
+        .filter(col("weeks_since") >= 0)
+        .distinct()
+      val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("_n"))
+      active.groupBy("cohort_week", "weeks_since")
+        .agg(count(lit(1)).as("active_users"))
+        .join(broadcast(sizes), Seq("cohort_week"))
+        .select(col("cohort_week").cast("string").as("cohort_week"),
+          col("weeks_since"), col("active_users"),
+          round(col("active_users").cast("double") / col("_n"), 6).as("retention"))
+        .orderBy("cohort_week", "weeks_since")
+    },
+    Some("""
+      WITH c AS (SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+                 FROM events WHERE event_type = 'signup' GROUP BY 1),
+      a AS (SELECT DISTINCT e.user_id, c.cohort_week,
+              CAST(floor(datediff('day', c.cohort_week,
+                CAST(date_trunc('week', e.ts) AS DATE)) / 7) AS BIGINT) AS weeks_since
+            FROM events e JOIN c USING (user_id)
+            WHERE CAST(date_trunc('week', e.ts) AS DATE) >= c.cohort_week),
+      sz AS (SELECT cohort_week, count(*) AS n FROM c GROUP BY 1)
+      SELECT CAST(a.cohort_week AS VARCHAR) AS cohort_week, weeks_since,
+             count(*) AS active_users,
+             round(CAST(count(*) AS DOUBLE) / sz.n, 6) AS retention
+      FROM a JOIN sz USING (cohort_week)
+      GROUP BY a.cohort_week, weeks_since, sz.n
+      ORDER BY cohort_week, weeks_since"""))
+
+  /** q91 — eval-side contamination containment (q62's symmetric
+    * complement, and the direction benchmark stewards actually run):
+    * for every EVAL document, what fraction of its distinct trigram
+    * shingles already exists ANYWHERE in the training corpus. The
+    * train side is the 100 TB one, so unlike q62 it carries no
+    * broadcast hint: its distinct shingle set reduces by hash (linear
+    * shuffle), the eval stream joins on the same hash key (the
+    * optimizer may still broadcast a small train set at toy scale;
+    * size stats force the shuffled join at real scale), and the
+    * verdict is a per-eval-doc rollup. High containment = the
+    * benchmark leaked into training.
+    */
+  val q91 = Q("q91_eval_containment",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val docs = Tables.load(s, dir, "documents")
+      val hs = call_function("graft_shingle_hashes", col("text"), lit(3))
+      val trainSet = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(explode(hs).as("h")).distinct()
+        .withColumn("_hit", lit(1))
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id"), explode(hs).as("h"))
+        .join(trainSet, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_contained"))
+        .withColumn("containment",
+          round(col("n_contained").cast("double") / col("n_grams"), 6))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      sh AS (SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS g
+             FROM t),
+      hh AS (SELECT doc_id,
+             list_distinct(list_transform(list_distinct(g),
+               s -> ${duckHash64("s")} & ${Dedup.MinhashP})) AS hs
+             FROM sh),
+      tr AS (SELECT DISTINCT unnest(hs) AS h FROM hh WHERE doc_id % 97 <> 0),
+      ev AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams, unnest(hs) AS h
+             FROM hh WHERE doc_id % 97 = 0)
+      SELECT ev.doc_id, ev.n_grams,
+             count(tr.h) AS n_contained,
+             round(CAST(count(tr.h) AS DOUBLE) / ev.n_grams, 6) AS containment
+      FROM ev LEFT JOIN tr USING (h)
+      GROUP BY ev.doc_id, ev.n_grams ORDER BY ev.doc_id"""))
+
   val all: Seq[Q] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89)
+    q88, q89, q90, q91)
 }

@@ -162,6 +162,26 @@ class TrainQueriesSpec extends SparkSpec {
     assert(users.zip(users.tail).forall { case (a, b) => b <= a })
   }
 
+  test("q90: retention rates are bounded and every cohort has a week-0 row") {
+    val out = TrainQueries.q90.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, w, u, rt) => w >= 0 && u >= 1 && rt > 0 && rt <= 1.0 })
+    val cohorts = out.map(_._1).distinct
+    assert(cohorts.forall(c => out.exists(r => r._1 == c && r._2 == 0L)))
+  }
+
+  test("q91: containment is bounded and covers exactly the eval docs") {
+    val out = TrainQueries.q91.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nEval = graft.Tables.load(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(97)) === 0).count()
+    assert(out.length == nEval)
+    assert(out.forall { case (id, n, c, f) =>
+      id % 97 == 0 && c <= n && f >= 0.0 && f <= 1.0
+    })
+  }
+
   test("q82: pairs are adjacent lowercase 2-grams ranked by count") {
     val out = TrainQueries.q82.fn(spark, sf).collect()
     assert(out.length == 20)
