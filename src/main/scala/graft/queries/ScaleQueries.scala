@@ -1,0 +1,425 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Hashing, ScalarFunctions}
+import graft.operators.{Similarity, TextAnalysis => TA}
+
+/** Round-3 batch 2 — cluster-engineering operators: the join/agg
+  * machinery a 100 TB deployment leans on beyond the analytic surface.
+  * Bloom-filtered semi-joins (prune the fact scan before its shuffle),
+  * BM25 retrieval scoring, deterministic corpus splits, SCD2 interval
+  * building, CUBE rollups, join-key skew diagnosis, contrastive
+  * hard-negative mining, winsorized robust means, and moment-based
+  * outlier detection.
+  *
+  * Determinism policy follows the module family: integer/fixed-point
+  * accumulation wherever a multi-row double sum would be reduction-order
+  * dependent, ln() through the round(x*1e6)::long recipe the gate
+  * already proves for q57/q77, and a total ORDER BY on every output.
+  */
+object ScaleQueries {
+
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def duckCos(a: String, b: String): String =
+    s"round(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
+
+  private def duckHash64(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  private val duckTokens = "string_split_regex(trim(text), '\\s+')"
+
+  // ---------------------------------------------------------------- q92
+
+  /** Bloom bits per key: k=2 positions in an m-bit filter. xxhash64 is
+    * fine here (no oracle ever recomputes it — false positives are
+    * removed by the exact join, so the RESULT is engine-portable even
+    * though the filter is not).
+    */
+  private def bloomBits(key: Column, m: Long): Column = array(
+    pmod(xxhash64(lit("bf0"), key), lit(m)),
+    pmod(xxhash64(lit("bf1"), key), lit(m)))
+
+  /** The bloom-pruned fact side of q92, exposed so the spec can measure
+    * the pruning ratio (probed rows ≪ fact rows, FP handful).
+    */
+  def bloomProbedOrders(s: SparkSession, dir: String): DataFrame = {
+    val m = 131072L // 2^17 bits = 2 KiB of filter — trivially broadcastable
+    val dim = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") < 5)
+      .select(col("c_custkey"))
+    // Filter build: one tiny shuffle on word index, then ONE row holding
+    // the whole bitmap as a map — never a driver-side collect.
+    val words = dim.select(explode(bloomBits(col("c_custkey"), m)).as("_bit"))
+      .distinct()
+      .groupBy((col("_bit") / 64).cast("long").as("_w"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        pmod(col("_bit"), lit(64L)).cast("int"))).as("_bits"))
+    val bf = words.agg(
+      map_from_entries(collect_list(struct(col("_w"), col("_bits")))).as("_bf"))
+    def hit(bit: Column): Column =
+      coalesce(element_at(col("_bf"), (bit / 64).cast("long")), lit(0L))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(bit, lit(64L)).cast("int"))) =!= 0L
+    Tables.load(s, dir, "orders")
+      .crossJoin(broadcast(bf))
+      .withColumn("_b", bloomBits(col("o_custkey"), m))
+      .filter(hit(element_at(col("_b"), 1)) && hit(element_at(col("_b"), 2)))
+      .drop("_bf", "_b")
+  }
+
+  /** q92 — bloom-filtered semi-join: a selective dimension's key set is
+    * folded into a 2 KiB bloom bitmap (k=2, m=2^17) that rides to every
+    * fact task as a one-row broadcast; the fact stream is pruned to
+    * ~the matching 4% BEFORE its shuffle, and an exact semi-join then
+    * removes the (≈1e-6 rate) false positives. This is the engine-level
+    * version of runtime row-group filtering: at 100 TB the win is that
+    * the eliminated 96% of the fact never enters the join exchange —
+    * only filter words move. The oracle is the plain semi-join, proving
+    * bloom + exact-verify changes nothing.
+    */
+  val q92 = Q("q92_bloom_semijoin",
+    (s, dir) => {
+      val dim = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") < 5)
+        .select(col("c_custkey"))
+      bloomProbedOrders(s, dir)
+        .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(ScalarFunctions.dsum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 5)
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q93
+
+  /** q93 — BM25 retrieval scoring (k1=1.2, b=0.75) of every document
+    * against a fixed term set — the lexical ranking that pairs with the
+    * ANN path (q39/q41/q48) in a hybrid retrieval stack. All linear:
+    * token explode → per-(doc,term) tf, per-doc length; N/avgdl ride in
+    * as a one-row broadcast, per-term df as a |terms|-row broadcast.
+    * idf goes through the fixed-point ln recipe and per-term
+    * contributions sum as exact longs, so the score is identical under
+    * any partitioning (the constants are written as literals in BOTH
+    * engines — 2.2 is NOT 1.2+1.0 in IEEE arithmetic).
+    */
+  val q93 = Q("q93_bm25",
+    (s, dir) => {
+      val terms = Seq("hash", "join", "merge")
+      val docs = Tables.load(s, dir, "documents")
+      val dl = docs.select(col("doc_id"), TA.tokenCount(col("text")).cast("long").as("dl"))
+      val tf = docs.select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val stats = dl.agg(count(lit(1)).as("_n"), sum("dl").as("_sdl"))
+      val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .join(broadcast(dfT), Seq("tok"))
+        .withColumn("_avgdl", col("_sdl").cast("double") / col("_n"))
+        .withColumn("_idf",
+          round(log((col("_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+            * 1e6).cast("long").cast("double") / 1e6)
+        .withColumn("_tfp",
+          col("tf").cast("double") * lit(2.2)
+            / (col("tf").cast("double")
+              + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("_avgdl"))))
+        .withColumn("_c", round(col("_idf") * col("_tfp") * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(round(sum(col("_c")).cast("double") / 1e6, 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+      tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+             WHERE tok IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+      st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+      dfT AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      c AS (SELECT tf.doc_id,
+              CAST(round(
+                (CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0) AS BIGINT)
+                   / 1000000.0)
+                * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sdl AS DOUBLE) / n))))
+                * 1000000.0) AS BIGINT) AS c
+            FROM tf JOIN dl USING (doc_id) CROSS JOIN st JOIN dfT USING (tok))
+      SELECT doc_id, round(CAST(sum(c) AS DOUBLE) / 1000000.0, 6) AS bm25
+      FROM c GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 20"""))
+
+  // ---------------------------------------------------------------- q94
+
+  /** q94 — deterministic train/valid/test split (90/5/5) by salted
+    * content-independent hash bucketing of doc_id: the split a training
+    * pipeline must be able to recompute identically forever (any node,
+    * any partitioning, any rerun). Map-only assignment + a tiny
+    * (split × source) aggregate.
+    */
+  val q94 = Q("q94_train_split",
+    (s, dir) => {
+      val bucket = pmod(Hashing.hash64(concat(lit("split|"),
+        col("doc_id").cast("string"))), lit(100L))
+      Tables.load(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("split", "source")
+    },
+    Some(s"""
+      WITH b AS (SELECT *,
+                   ${duckHash64("concat('split|', CAST(doc_id AS VARCHAR))")} % 100
+                     AS bucket
+                 FROM documents)
+      SELECT CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+             source, count(*) AS n_docs, sum(n_chars) AS total_chars
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q95
+
+  /** q95 — SCD type-2 interval build: each user's funnel-state history
+    * (view/click/purchase) collapsed into [valid_from, valid_to)
+    * versioned rows with an is_current flag — the dimension-versioning
+    * merge every warehouse runs. Shape: ties on (user, ts) resolved
+    * deterministically (max event_id), run-length collapse via lag,
+    * interval close via lead — three windows all partitioned by
+    * user_id, so one shuffle key end-to-end and no unpartitioned
+    * window anywhere.
+    */
+  val q95 = Q("q95_scd2",
+    (s, dir) => {
+      val wTie = Window.partitionBy("user_id", "us").orderBy(col("event_id").desc)
+      val wSeq = Window.partitionBy("user_id").orderBy("us")
+      val base = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("view", "click", "purchase") && col("user_id") < 30)
+        .select(col("user_id"), col("event_id"), col("event_type").as("status"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("_rn", row_number().over(wTie)).filter(col("_rn") === 1)
+      val changes = base
+        .withColumn("_prev", lag(col("status"), 1).over(wSeq))
+        .filter(col("_prev").isNull || col("_prev") =!= col("status"))
+      changes
+        .withColumn("valid_to_us", lead(col("us"), 1).over(wSeq))
+        .select(col("user_id"), col("status"), col("us").as("valid_from_us"),
+          col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from_us")
+    },
+    Some("""
+      WITH b AS (SELECT user_id, event_type AS status, epoch_us(ts) AS us
+                 FROM events
+                 WHERE event_type IN ('view', 'click', 'purchase') AND user_id < 30
+                 QUALIFY row_number() OVER (
+                   PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) = 1),
+      c AS (SELECT *, lag(status) OVER (PARTITION BY user_id ORDER BY us) AS prev
+            FROM b),
+      f AS (SELECT user_id, status, us FROM c
+            WHERE prev IS NULL OR prev <> status)
+      SELECT user_id, status, us AS valid_from_us,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us) AS valid_to_us,
+             (lead(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL) AS is_current
+      FROM f ORDER BY user_id, valid_from_us"""))
+
+  // ---------------------------------------------------------------- q96
+
+  /** q96 — CUBE with grouping indicators: all four (returnflag ×
+    * linestatus) grouping sets in ONE aggregation pass — each set's
+    * partials combine map-side, so the cube costs one shuffle like the
+    * plain groupBy (vs four separate jobs re-scanning 100 TB). The
+    * grouping() bits disambiguate data NULLs from subtotal rows.
+    */
+  val q96 = Q("q96_cube",
+    (s, dir) => Tables.load(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"),
+        round(ScalarFunctions.dsum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus"),
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+             count(*) AS n,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus"""))
+
+  // ---------------------------------------------------------------- q97
+
+  /** q97 — join-key skew diagnosis: the per-key row-count distribution
+    * of the fact side of a join (max/mean ratio, exact p50/p99) — the
+    * report that decides whether a key needs salting (q73) before a
+    * 1000-executor join. One shuffle on the key, then a single-row
+    * moment rollup; the exact percentile buffers only the per-KEY
+    * count table (|keys| rows), not the fact.
+    */
+  val q97 = Q("q97_skew_report",
+    (s, dir) => {
+      val counts = Tables.load(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      counts.agg(count(lit(1)).as("n_keys"), max("cnt").as("max_cnt"),
+          expr("percentile(cnt, 0.5)").as("p50_cnt"),
+          expr("percentile(cnt, 0.99)").as("p99_cnt"),
+          sum("cnt").as("_tot"))
+        .select(col("n_keys"), col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+          round(col("max_cnt").cast("double")
+            / (col("_tot").cast("double") / col("n_keys")), 6).as("skew_ratio"))
+    },
+    Some("""
+      WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1)
+      SELECT count(*) AS n_keys, max(cnt) AS max_cnt,
+             quantile_cont(cnt, 0.5) AS p50_cnt,
+             quantile_cont(cnt, 0.99) AS p99_cnt,
+             round(CAST(max(cnt) AS DOUBLE)
+               / (CAST(sum(cnt) AS DOUBLE) / count(*)), 6) AS skew_ratio
+      FROM c"""))
+
+  // ---------------------------------------------------------------- q98
+
+  /** q98 — contrastive hard-negative mining: for each anchor in a small
+    * query set, the 3 most-similar vectors with a DIFFERENT label —
+    * the negatives that make embedding training hard. The anchor side
+    * broadcasts (it is the per-batch anchor set, bounded by training
+    * batch size, not the corpus); the corpus is scored map-only with
+    * the codegen'd native dot kernel; per-anchor top-3 via a window
+    * whose partition count = |anchors|. For anchor sets beyond
+    * broadcast size this becomes the q48 IVF probe per anchor instead.
+    */
+  val q98 = Q("q98_hard_negatives",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val anchors = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("label").as("_al"),
+          col("embedding").as("_av"))
+      val w = Window.partitionBy("anchor_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      emb.crossJoin(broadcast(anchors))
+        .filter(col("label") =!= col("_al"))
+        .select(col("anchor_id"), col("vec_id"),
+          Similarity.cosine(col("embedding"), col("_av")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("anchor_id", "rank", "vec_id", "cos")
+        .orderBy("anchor_id", "rank")
+    },
+    Some(s"""
+      WITH a AS (SELECT vec_id AS anchor_id, label AS al, embedding AS av
+                 FROM embeddings WHERE vec_id < 8),
+      sc AS (SELECT anchor_id, e.vec_id,
+               ${duckCos("e.embedding", "a.av")} AS cos
+             FROM embeddings e CROSS JOIN a
+             WHERE e.label <> a.al),
+      r AS (SELECT *, row_number() OVER (
+              PARTITION BY anchor_id ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM sc)
+      SELECT anchor_id, rank, vec_id, cos FROM r
+      WHERE rank <= 3 ORDER BY anchor_id, rank"""))
+
+  // ---------------------------------------------------------------- q99
+
+  /** q99 — winsorized robust mean per source: clip n_chars to its
+    * group's exact [p05, p95] and compare raw vs clipped means — the
+    * outlier-robust document-length signal. The percentile table is one
+    * row per source (broadcast back); clipped values go through the
+    * fixed-point sum (clip boundaries are interpolated doubles — a
+    * decimal cast of those diverges between engines by 1 ulp, the
+    * round()::long path does not).
+    */
+  val q99 = Q("q99_winsorize",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("source"), col("n_chars"))
+      val pct = d.groupBy("source").agg(
+        expr("percentile(n_chars, 0.05)").as("p05"),
+        expr("percentile(n_chars, 0.95)").as("p95"))
+      d.join(broadcast(pct), Seq("source"))
+        .withColumn("_w",
+          least(greatest(col("n_chars").cast("double"), col("p05")), col("p95")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), min("p05").as("p05"), min("p95").as("p95"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("mean_raw"),
+          round(sum(round(col("_w") * 1e4).cast("long")).cast("double")
+            / count(lit(1)) / 1e4, 6).as("mean_winsorized"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH p AS (SELECT source, quantile_cont(n_chars, 0.05) AS p05,
+                        quantile_cont(n_chars, 0.95) AS p95
+                 FROM documents GROUP BY 1)
+      SELECT d.source, count(*) AS n_docs, min(p05) AS p05, min(p95) AS p95,
+             round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_raw,
+             round(CAST(sum(CAST(round(
+                 least(greatest(CAST(n_chars AS DOUBLE), p05), p95) * 10000.0)
+               AS BIGINT)) AS DOUBLE) / count(*) / 10000.0, 6) AS mean_winsorized
+      FROM documents d JOIN p USING (source)
+      GROUP BY d.source ORDER BY d.source"""))
+
+  // --------------------------------------------------------------- q100
+
+  /** q100 — moment-based outlier detection (3σ rule) per event type:
+    * mean/std assembled from exact fixed-point partial sums (the q69
+    * recipe — a double stddev would differ per partition count), then a
+    * second linear pass flags |z| > 3. Longs hold Σv² up to ~1e18 at
+    * bench scale; the same totals route through DECIMAL(38,0) when
+    * n·v² approaches 2^63.
+    */
+  val q100 = Q("q100_zscore_outliers",
+    (s, dir) => {
+      val b = Tables.load(s, dir, "events")
+        .select(col("event_type"), round(col("value") * 1e4).cast("long").as("_v"))
+      val m = b.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("_v").as("sv"), sum(col("_v") * col("_v")).as("svv"))
+        .withColumn("_mean", col("sv").cast("double") / col("n") / 1e4)
+        .withColumn("_std",
+          sqrt((col("svv").cast("double")
+            - col("sv").cast("double") * col("sv").cast("double") / col("n"))
+            / (col("n") - 1) / 1e8))
+      b.join(broadcast(m), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(min("n").as("n_events"),
+          round(min("_mean"), 6).as("mean_value"),
+          round(min("_std"), 6).as("std_value"),
+          sum(when(abs(col("_v").cast("double") / 1e4 - col("_mean"))
+            > lit(3.0) * col("_std"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH b AS (SELECT event_type, CAST(round(value * 10000.0) AS BIGINT) AS v
+                 FROM events),
+      m AS (SELECT event_type, count(*) AS n, sum(v) AS sv, sum(v*v) AS svv
+            FROM b GROUP BY 1),
+      s AS (SELECT event_type, n,
+              CAST(sv AS DOUBLE) / n / 10000.0 AS mean,
+              sqrt((CAST(svv AS DOUBLE)
+                - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1) / 1e8) AS std
+            FROM m)
+      SELECT b.event_type, min(s.n) AS n_events,
+             round(min(mean), 6) AS mean_value,
+             round(min(std), 6) AS std_value,
+             sum(CASE WHEN abs(CAST(v AS DOUBLE) / 10000.0 - mean) > 3.0 * std
+                      THEN 1 ELSE 0 END) AS n_outliers
+      FROM b JOIN s USING (event_type)
+      GROUP BY b.event_type ORDER BY b.event_type"""))
+
+  val all: Seq[Q] = Seq(q92, q93, q94, q95, q96, q97, q98, q99, q100)
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavioral properties of the cluster-engineering batch (q92–q100) —
+  * the oracle gate proves engine-vs-engine equality; these pin the
+  * invariants the oracle can't express (pruning soundness, interval
+  * algebra, distribution bounds, determinism under repartitioning).
+  */
+class ScaleQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q92: bloom probe has no false negatives and prunes most of the fact") {
+    val orders = graft.Tables.load(spark, sf, "orders")
+    val dimKeys = graft.Tables.load(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") < 5)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val total = orders.count()
+    val exact = orders.filter(col("o_custkey").isInCollection(dimKeys)).count()
+    val probed = ScaleQueries.bloomProbedOrders(spark, sf)
+    val probedKeys = probed.select("o_custkey").collect().map(_.getLong(0))
+    // soundness: every true match survives the bloom probe
+    assert(probed.filter(col("o_custkey").isInCollection(dimKeys)).count() == exact)
+    // pruning: the filter eliminates the overwhelming majority of the
+    // non-matching fact (m=2^17 bits for ~100 keys ⇒ FP rate ~1e-6)
+    assert(probedKeys.length < total / 5,
+      s"bloom kept ${probedKeys.length} of $total rows — not pruning")
+    val fps = probedKeys.count(!dimKeys.contains(_))
+    assert(fps <= 2, s"$fps bloom false positives — filter badly sized")
+  }
+
+  test("q92: bloom + exact verify equals the plain semi-join aggregate") {
+    val viaBloom = rows(ScaleQueries.q92.fn(spark, sf))
+    val dim = graft.Tables.load(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") < 5)
+      .select(col("c_custkey"))
+    val plain = graft.Tables.load(spark, sf, "orders")
+      .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(graft.functions.ScalarFunctions.dsum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+    assertRowsEqual(viaBloom, rows(plain))
+  }
+
+  test("q93: bm25 scores are positive and sorted descending with doc_id tiebreak") {
+    val out = ScaleQueries.q93.fn(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.forall(_.getAs[Double]("bm25") > 0.0))
+    val keys = out.map(r => (-r.getAs[Double]("bm25"), r.getAs[Long]("doc_id")))
+    assert(keys.sameElements(keys.sorted), "rows not in (bm25 desc, doc_id) order")
+  }
+
+  test("q94: split is a partition of the corpus with ~90/5/5 shares, stable under repartitioning") {
+    val out = ScaleQueries.q94.fn(spark, sf)
+    val total = graft.Tables.load(spark, sf, "documents").count()
+    val bySplit = out.groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == total)
+    assert(bySplit("train").toDouble / total > 0.8)
+    assert(bySplit("valid") > 0 && bySplit("test") > 0)
+    // hash bucketing ⇒ identical assignment whatever the layout
+    val again = ScaleQueries.q94.fn(spark, sf).repartition(7).orderBy("split", "source")
+    assertRowsEqual(rows(out), rows(again))
+  }
+
+  test("q95: SCD2 intervals chain per user, statuses alternate, exactly one current row") {
+    val out = ScaleQueries.q95.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (user, rs) =>
+      val seq = rs.sortBy(_._3)
+      // intervals chain: each valid_to equals the next valid_from
+      seq.sliding(2).foreach {
+        case Array((_, _, _, Some(to), _), (_, _, from, _, _)) =>
+          assert(to == from, s"user $user: gap/overlap $to vs $from")
+        case _ =>
+      }
+      // run-length collapsed: no two consecutive rows share a status
+      seq.sliding(2).foreach {
+        case Array((_, s1, _, _, _), (_, s2, _, _, _)) =>
+          assert(s1 != s2, s"user $user: uncollapsed run of $s1")
+        case _ =>
+      }
+      assert(seq.count(_._5) == 1, s"user $user: not exactly one current row")
+      assert(seq.last._4.isEmpty, s"user $user: current row has a valid_to")
+    }
+  }
+
+  test("q96: cube subtotals are consistent with the grand total") {
+    val out = ScaleQueries.q96.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    val grand = out.filter(t => t._1 == "ALL" && t._2 == "ALL")
+    assert(grand.length == 1 && grand.head._3 == 1 && grand.head._4 == 1)
+    val total = grand.head._5
+    assert(total == graft.Tables.load(spark, sf, "lineitem").count())
+    // each one-dimension margin sums back to the grand total
+    assert(out.filter(t => t._1 != "ALL" && t._2 == "ALL").map(_._5).sum == total)
+    assert(out.filter(t => t._1 == "ALL" && t._2 != "ALL").map(_._5).sum == total)
+    assert(out.filter(t => t._1 != "ALL" && t._2 != "ALL").map(_._5).sum == total)
+  }
+
+  test("q97: skew report orders its quantiles and ratio >= 1") {
+    val r = ScaleQueries.q97.fn(spark, sf).collect().head
+    val (maxC, p50, p99, ratio) = (r.getAs[Long]("max_cnt"), r.getAs[Double]("p50_cnt"),
+      r.getAs[Double]("p99_cnt"), r.getAs[Double]("skew_ratio"))
+    assert(p50 <= p99 && p99 <= maxC.toDouble)
+    assert(ratio >= 1.0)
+  }
+
+  test("q98: hard negatives never share the anchor's label and rank by similarity") {
+    val labels = graft.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = ScaleQueries.q98.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    assert(out.nonEmpty)
+    out.foreach { case (a, _, v, c) =>
+      assert(labels(v) != labels(a), s"negative $v shares label with anchor $a")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    out.groupBy(_._1).foreach { case (a, rs) =>
+      val seq = rs.sortBy(_._2)
+      assert(seq.map(_._2).sameElements(1 to seq.length), s"anchor $a ranks not 1..k")
+      assert(seq.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+        s"anchor $a: similarity not non-increasing in rank")
+    }
+  }
+
+  test("q99: winsorized mean lies within the clip bounds") {
+    val out = ScaleQueries.q99.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p05, p95) = (r.getAs[Double]("p05"), r.getAs[Double]("p95"))
+      val mw = r.getAs[Double]("mean_winsorized")
+      assert(p05 <= p95)
+      assert(mw >= p05 - 1e-6 && mw <= p95 + 1e-6,
+        s"winsorized mean $mw outside [$p05, $p95]")
+    }
+  }
+
+  test("q100: 3-sigma outliers are a small minority and moments are sane") {
+    val out = ScaleQueries.q100.fn(spark, sf).collect()
+    assert(out.length == 5) // one row per event type
+    out.foreach { r =>
+      val (n, std, k) = (r.getAs[Long]("n_events"), r.getAs[Double]("std_value"),
+        r.getAs[Long]("n_outliers"))
+      assert(std > 0.0)
+      assert(k <= n / 10, s"${r.getString(0)}: $k of $n flagged — not an outlier rule")
+    }
+  }
+}
