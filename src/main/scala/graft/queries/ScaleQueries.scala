@@ -421,5 +421,184 @@ object ScaleQueries {
       FROM b JOIN s USING (event_type)
       GROUP BY b.event_type ORDER BY b.event_type"""))
 
-  val all: Seq[Q] = Seq(q92, q93, q94, q95, q96, q97, q98, q99, q100)
+  // --------------------------------------------------------------- q101
+
+  /** q101 — heavy hitters from a deterministic hash sample: token
+    * frequencies estimated from the 1/8 of documents whose salted
+    * doc_id hash lands in the sample, scaled ×8, reported against the
+    * exact top-20. At 100 TB only the sampled pass runs (an 8× scan
+    * reduction that keeps the frequency ranking); this query is the
+    * calibration report that validates the estimator. The sample is
+    * HASH-based, not random(): any engine, any partitioning, any rerun
+    * selects the identical documents, so even the estimates are
+    * bit-reproducible (no tolerance band needed in the gate).
+    */
+  val q101 = Q("q101_sampled_heavy_hitters",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val sampled = docs.filter(pmod(Hashing.hash64(concat(lit("hh|"),
+        col("doc_id").cast("string"))), lit(8L)) === 0)
+      val exact = docs.select(explode(TA.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      val est = sampled.select(explode(TA.tokens(col("text"))).as("token"))
+        .groupBy("token").agg((count(lit(1)) * 8).as("est_cnt"))
+      exact.join(est, Seq("token"), "left")
+        .select(col("token"), col("exact_cnt"),
+          coalesce(col("est_cnt"), lit(0L)).as("est_cnt"))
+        .withColumn("rel_err",
+          round(abs(col("est_cnt") - col("exact_cnt")).cast("double")
+            / col("exact_cnt"), 6))
+        .orderBy(col("exact_cnt").desc, col("token").asc)
+        .limit(20)
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, unnest($duckTokens) AS token FROM documents),
+      exact AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY 1),
+      est AS (SELECT token, count(*) * 8 AS est_cnt FROM tok
+              WHERE ${duckHash64("concat('hh|', CAST(doc_id AS VARCHAR))")} % 8 = 0
+              GROUP BY 1)
+      SELECT exact.token, exact_cnt, coalesce(est_cnt, 0) AS est_cnt,
+             round(CAST(abs(coalesce(est_cnt, 0) - exact_cnt) AS DOUBLE)
+               / exact_cnt, 6) AS rel_err
+      FROM exact LEFT JOIN est USING (token)
+      ORDER BY exact_cnt DESC, token ASC LIMIT 20"""))
+
+  // --------------------------------------------------------------- q102
+
+  /** q102 — interval self-join via band rewriting: click→purchase
+    * pairs within 24 h for the same user. The naive plan is a theta
+    * join (`p.ts BETWEEN c.ts AND c.ts+24h`) that Spark executes as a
+    * nested-loop — quadratic per user. Rewrite: quantize time into
+    * window-sized bands; a click probes exactly its own and the next
+    * band (a purchase ≤ one window later can land nowhere else), so the
+    * plan is an EQUI-join on (user_id, band) with a fanout of exactly
+    * 2, then the exact range predicate. Each qualifying pair is found
+    * exactly once (the purchase's band is unique), so no dedup pass is
+    * needed.
+    */
+  val q102 = Q("q102_interval_selfjoin",
+    (s, dir) => {
+      val bandUs = 86400000000L
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+        .withColumn("band",
+          explode(array(floor(col("c_us") / bandUs).cast("long"),
+            floor(col("c_us") / bandUs).cast("long") + 1)))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .withColumn("band", floor(col("p_us") / bandUs).cast("long"))
+      clicks.join(purchases, Seq("user_id", "band"))
+        .filter(col("p_us") >= col("c_us") && col("p_us") <= col("c_us") + bandUs)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"), min(col("p_us") - col("c_us")).as("min_gap_us"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events
+                 WHERE event_type = 'click'),
+      p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+            WHERE event_type = 'purchase')
+      SELECT c.user_id, count(*) AS n_pairs, min(p_us - c_us) AS min_gap_us
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 86400000000
+      GROUP BY c.user_id ORDER BY c.user_id"""))
+
+  // --------------------------------------------------------------- q103
+
+  /** q103 — Z-order layout report: quantize two join/filter dimensions
+    * (customer key, order day) to a common 8-bit scale by their actual
+    * ranges, interleave the bits into one Morton code, cluster rows by
+    * its high bits, and report each cluster's min/max on BOTH
+    * dimensions. Narrow ranges on both axes is the property that lets
+    * a parquet reader skip files for predicates on EITHER column — the
+    * multi-dimensional data-layout trick single-column sorting can't
+    * give you. The range quantization matters: interleaving raw values
+    * of unequal bit width puts only the wide dimension in the high
+    * bits and localizes nothing else. One tiny min/max aggregate rides
+    * in as a one-row broadcast; the code itself is map-side codegen'd
+    * long arithmetic (16 shift-mask terms) plus one aggregate on the
+    * cluster id; no global sort or unpartitioned window anywhere.
+    */
+  val q103 = Q("q103_zorder_layout",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("_x"),
+          datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+            .cast("long").as("_y"))
+      val stats = o.agg(min("_x").as("_x0"), max("_x").as("_x1"),
+        min("_y").as("_y0"), max("_y").as("_y1"))
+      def q8(v: Column, lo: Column, hi: Column): Column =
+        floor(((v - lo) * 256).cast("double") / (hi - lo + 1)).cast("long")
+      val withQ = o.crossJoin(broadcast(stats))
+        .withColumn("_qx", q8(col("_x"), col("_x0"), col("_x1")))
+        .withColumn("_qy", q8(col("_y"), col("_y0"), col("_y1")))
+      val z = (0 until 8).map { b =>
+        shiftleft(shiftright(col("_qx"), b).bitwiseAND(lit(1L)), 2 * b) +
+          shiftleft(shiftright(col("_qy"), b).bitwiseAND(lit(1L)), 2 * b + 1)
+      }.reduce(_ + _)
+      withQ.withColumn("_z", z)
+        .groupBy(shiftright(col("_z"), 8).as("zcluster"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("_x").as("min_cust"), max("_x").as("max_cust"),
+          min("_y").as("min_day"), max("_y").as("max_day"))
+        .orderBy("zcluster")
+    },
+    Some("""
+      WITH b AS (SELECT o_orderkey, o_custkey AS x,
+                   CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS y
+                 FROM orders),
+      st AS (SELECT min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1 FROM b),
+      qz AS (SELECT x, y,
+               CAST(floor(CAST((x - x0) * 256 AS DOUBLE) / (x1 - x0 + 1)) AS BIGINT) AS qx,
+               CAST(floor(CAST((y - y0) * 256 AS DOUBLE) / (y1 - y0 + 1)) AS BIGINT) AS qy
+             FROM b CROSS JOIN st),
+      z AS (SELECT x, y,
+              CAST(list_sum(list_transform(range(0, 8), i ->
+                (((qx >> i) & 1) << (2 * i)) + (((qy >> i) & 1) << (2 * i + 1))))
+                AS BIGINT) AS zv
+            FROM qz)
+      SELECT zv >> 8 AS zcluster, count(*) AS n_rows,
+             min(x) AS min_cust, max(x) AS max_cust,
+             min(y) AS min_day, max(y) AS max_day
+      FROM z GROUP BY 1 ORDER BY 1"""))
+
+  // --------------------------------------------------------------- q104
+
+  /** q104 — incremental aggregate maintenance: yesterday's partial
+    * aggregates (per-status count + DECIMAL sum over orders before the
+    * cutoff) merged with today's delta slice — the decomposable-agg
+    * merge that updates a 100 TB rollup by scanning only the new data.
+    * The partials stay DECIMAL until the final projection, so
+    * merged-vs-recomputed equality is exact (the oracle recomputes
+    * from scratch — associativity is the thing being proved).
+    */
+  val q104 = Q("q104_incremental_agg",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cutoff = "1996-01-01"
+      val o = Tables.load(s, dir, "orders")
+      def partial(df: DataFrame): DataFrame = df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("_n"),
+          sum(col("o_totalprice").cast(DecimalType(28, 6))).as("_s"))
+      val store = partial(o.filter(col("o_orderdate") < lit(cutoff)))
+      val delta = partial(o.filter(col("o_orderdate") >= lit(cutoff)))
+      store.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(sum("_n").as("n_orders"), sum("_s").as("_total"))
+        .select(col("o_orderstatus"), col("n_orders"),
+          round(col("_total").cast("double"), 2).as("total_price"),
+          round(col("_total").cast("double") / col("n_orders"), 6).as("avg_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2)
+               AS total_price,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               / count(*), 6) AS avg_price
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[Q] = Seq(q92, q93, q94, q95, q96, q97, q98, q99, q100,
+    q101, q102, q103, q104)
 }

@@ -144,6 +144,70 @@ class ScaleQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q101: sampled estimates are deterministic multiples of 8 and track exact counts") {
+    val out = ScaleQueries.q101.fn(spark, sf)
+    val rows1 = rows(out)
+    rows1.foreach { r =>
+      assert(r(2).asInstanceOf[Long] % 8 == 0, "estimate not a multiple of the sampling rate")
+    }
+    // hash sampling ⇒ identical estimates on any layout
+    assertRowsEqual(rows1,
+      rows(ScaleQueries.q101.fn(spark, sf)
+        .repartition(5).orderBy(col("exact_cnt").desc, col("token").asc)))
+    // the 1/8 sample should track head tokens within a loose factor
+    val errs = rows1.map(_(3).asInstanceOf[Double])
+    assert(errs.count(_ < 0.5) >= errs.length / 2,
+      s"most head-token estimates off by >50%: $errs")
+  }
+
+  test("q102: band rewrite equals the naive theta join and plans no nested loop") {
+    val viaBands = ScaleQueries.q102.fn(spark, sf)
+    val ev = graft.Tables.load(spark, sf, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("_u2"), unix_micros(col("ts")).as("p_us"))
+    val theta = c.join(p, col("user_id") === col("_u2")
+        && col("p_us") >= col("c_us") && col("p_us") <= col("c_us") + 86400000000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), min(col("p_us") - col("c_us")).as("min_gap_us"))
+      .orderBy("user_id")
+    assertRowsEqual(rows(viaBands), rows(theta))
+    val plan = viaBands.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      "band rewrite still plans a nested-loop join")
+  }
+
+  test("q103: z-order clusters cover all rows and localize both dimensions") {
+    val out = ScaleQueries.q103.fn(spark, sf).collect()
+    val orders = graft.Tables.load(spark, sf, "orders")
+    assert(out.map(_.getAs[Long]("n_rows")).sum == orders.count())
+    val gCust = out.map(_.getAs[Long]("max_cust")).max - out.map(_.getAs[Long]("min_cust")).min
+    val gDay = out.map(_.getAs[Long]("max_day")).max - out.map(_.getAs[Long]("min_day")).min
+    // mean per-cluster extent must be well under the global extent on
+    // BOTH axes — the property single-column sorting can't deliver
+    def meanExtent(lo: String, hi: String): Double =
+      out.map(r => (r.getAs[Long](hi) - r.getAs[Long](lo)).toDouble).sum / out.length
+    assert(meanExtent("min_cust", "max_cust") < gCust * 0.8,
+      "clusters do not localize the customer dimension")
+    assert(meanExtent("min_day", "max_day") < gDay * 0.8,
+      "clusters do not localize the date dimension")
+  }
+
+  test("q104: merged partials equal a from-scratch aggregate") {
+    val merged = rows(ScaleQueries.q104.fn(spark, sf))
+    val direct = graft.Tables.load(spark, sf, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .as("_t"))
+      .select(col("o_orderstatus"), col("n_orders"),
+        round(col("_t").cast("double"), 2).as("total_price"),
+        round(col("_t").cast("double") / col("n_orders"), 6).as("avg_price"))
+      .orderBy("o_orderstatus")
+    assertRowsEqual(merged, rows(direct))
+  }
+
   test("q100: 3-sigma outliers are a small minority and moments are sane") {
     val out = ScaleQueries.q100.fn(spark, sf).collect()
     assert(out.length == 5) // one row per event type
