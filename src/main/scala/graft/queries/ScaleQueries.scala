@@ -599,6 +599,123 @@ object ScaleQueries {
                / count(*), 6) AS avg_price
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------------------- q105
+
+  /** q105 — asymmetric containment detection (doc-in-doc duplication):
+    * for candidate pairs sharing a capped 8-gram bucket, the fraction
+    * of EACH document's distinct trigram shingles present in the other.
+    * Jaccard (q38) is symmetric and misses a short document embedded in
+    * a long one; containment is the signal substring-level dedup needs
+    * to pick the direction. Candidates come from exact 8-gram buckets
+    * through the capped `Dedup.bucketPairs` (linear, hot-bucket-safe);
+    * verification is the native intersect-count kernel over each pair's
+    * trigram sets — never an all-pairs join.
+    */
+  val q105 = Q("q105_containment_pairs",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val docs = Tables.load(s, dir, "documents")
+      val g8 = docs.select(col("doc_id"),
+        explode(call_function("graft_shingle_hashes", col("text"), lit(8))).as("gh"))
+      val cand = graft.operators.Dedup.bucketPairs(g8, "doc_id", Seq("gh"))
+      val t3 = docs.select(col("doc_id"),
+          call_function("graft_shingle_hashes", col("text"), lit(3)).as("_t"))
+        .withColumn("_n", size(col("_t")))
+        .localCheckpoint(false) // joined against both pair sides below
+      cand
+        .join(t3.select(col("doc_id").as("id_a"), col("_t").as("_ta"),
+          col("_n").as("n_a")), Seq("id_a"))
+        .join(t3.select(col("doc_id").as("id_b"), col("_t").as("_tb"),
+          col("_n").as("n_b")), Seq("id_b"))
+        .withColumn("_i",
+          call_function("graft_intersect_count", col("_ta"), col("_tb")))
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+          round(col("_i").cast("double") / col("n_a"), 6).as("cont_a_in_b"),
+          round(col("_i").cast("double") / col("n_b"), 6).as("cont_b_in_a"))
+        .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      g8 AS (SELECT doc_id, list_distinct(list_transform(list_distinct(
+               CASE WHEN len(w) < 8
+                    THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 6),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                                || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+                                || ' ' || w[i+7])
+               END), s -> ${duckHash64("s")} & ${graft.operators.Dedup.MinhashP})) AS g
+             FROM t),
+      b AS (SELECT doc_id, unnest(g) AS gh FROM g8),
+      ok AS (SELECT gh FROM b GROUP BY gh
+             HAVING count(*) > 1 AND count(*) <= ${graft.operators.Dedup.DefaultMaxBucket}),
+      cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+               FROM b x JOIN ok USING (gh)
+               JOIN b y ON x.gh = y.gh AND x.doc_id < y.doc_id),
+      t3 AS (SELECT doc_id, list_distinct(list_transform(list_distinct(
+               CASE WHEN len(w) < 3
+                    THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               END), s -> ${duckHash64("s")} & ${graft.operators.Dedup.MinhashP})) AS l
+             FROM t),
+      sc AS (SELECT id_a, id_b, len(ta.l) AS n_a, len(tb.l) AS n_b,
+               len(list_intersect(ta.l, tb.l)) AS i
+             FROM cand JOIN t3 ta ON cand.id_a = ta.doc_id
+                       JOIN t3 tb ON cand.id_b = tb.doc_id)
+      SELECT id_a, id_b, n_a, n_b,
+             round(CAST(i AS DOUBLE) / n_a, 6) AS cont_a_in_b,
+             round(CAST(i AS DOUBLE) / n_b, 6) AS cont_b_in_a
+      FROM sc
+      WHERE greatest(round(CAST(i AS DOUBLE) / n_a, 6),
+                     round(CAST(i AS DOUBLE) / n_b, 6)) >= 0.5
+      ORDER BY id_a, id_b"""))
+
+  // --------------------------------------------------------------- q106
+
+  /** q106 — balanced shard packing: distribute documents over 8
+    * training shards so per-shard token totals are near-equal
+    * (round-robin over the size-descending global rank — the greedy
+    * bin-packing approximation). The global rank is the scale problem:
+    * a naive unpartitioned window is one task. Decomposition: band
+    * documents by quantized size (bands are value-ordered, so band
+    * order + within-band order IS the global order), broadcast the
+    * per-band running offsets (|bands| rows), and rank within bands
+    * only — the q84 two-level prefix-sum shape applied to ranking.
+    * The oracle computes the straightforward global window, proving
+    * the decomposition exact.
+    */
+  val q106 = Q("q106_balanced_shards",
+    (s, dir) => {
+      val k = 8
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TA.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("band", floor(col("n_tokens") / 16).cast("long"))
+      val bandBase = toks.groupBy("band").agg(count(lit(1)).as("_bc"))
+        .withColumn("base",
+          coalesce(sum(col("_bc")).over(
+            Window.orderBy(col("band").desc).rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("band", "base")
+      val wIn = Window.partitionBy("band")
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      toks.join(broadcast(bandBase), Seq("band"))
+        .withColumn("_grank", col("base") + row_number().over(wIn))
+        .withColumn("shard", pmod(col("_grank") - 1, lit(k.toLong)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("shard")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens
+                 FROM documents),
+      r AS (SELECT doc_id, n_tokens,
+              row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rn
+            FROM t)
+      SELECT (rn - 1) % 8 AS shard, count(*) AS n_docs,
+             sum(n_tokens) AS total_tokens
+      FROM r GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q92, q93, q94, q95, q96, q97, q98, q99, q100,
-    q101, q102, q103, q104)
+    q101, q102, q103, q104, q105, q106)
 }

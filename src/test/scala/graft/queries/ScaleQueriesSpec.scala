@@ -208,6 +208,45 @@ class ScaleQueriesSpec extends SparkSpec {
     assertRowsEqual(merged, rows(direct))
   }
 
+  test("q105: containment pairs share an 8-gram and bound the intersection") {
+    val out = ScaleQueries.q105.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    val g8 = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(8)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    out.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      val (ca, cb) = (r.getAs[Double]("cont_a_in_b"), r.getAs[Double]("cont_b_in_a"))
+      assert(a < b, "pairs not ordered")
+      assert(ca > 0.0 && ca <= 1.0 && cb > 0.0 && cb <= 1.0)
+      assert(math.max(ca, cb) >= 0.5)
+      assert(g8(a).intersect(g8(b)).nonEmpty, s"pair ($a,$b) shares no 8-gram")
+    }
+  }
+
+  test("q106: shards are count-balanced, token-balanced, and match the global window") {
+    val out = ScaleQueries.q106.fn(spark, sf).collect()
+    assert(out.length == 8)
+    val counts = out.map(_.getAs[Long]("n_docs"))
+    assert(counts.max - counts.min <= 1, "round-robin counts differ by more than 1")
+    val totals = out.map(_.getAs[Long]("total_tokens").toDouble)
+    val avg = totals.sum / totals.length
+    assert((totals.max - totals.min) / avg < 0.1,
+      s"token imbalance ${(totals.max - totals.min) / avg} too high")
+    // two-level prefix decomposition == straightforward global window
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    val direct = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(row_number().over(w) - 1, lit(8L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("shard")
+    assertRowsEqual(rows(ScaleQueries.q106.fn(spark, sf)), rows(direct))
+  }
+
   test("q100: 3-sigma outliers are a small minority and moments are sane") {
     val out = ScaleQueries.q100.fn(spark, sf).collect()
     assert(out.length == 5) // one row per event type
