@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Round-3 batch 3 — distribution and propagation operators: token
+  * Shannon entropy (the repetitiveness/quality signal rule-based
+  * scores miss), MAD-based robust outlier detection (median absolute
+  * deviation — resistant to the very outliers a z-score lets distort
+  * its own threshold), an equi-depth histogram built the scale-safe
+  * way (broadcast quantile boundaries + map-side bucketing, NOT a
+  * global-window ntile), and one PageRank iteration over the
+  * customer→supplier graph (the sparse matrix-vector product that is
+  * the unit of every iterative graph-centrality / web-quality job).
+  *
+  * Determinism policy follows the module family: ln() through the
+  * round(x*1eK)::long fixed-point recipe the gate proves for
+  * q57/q77/q107, exact long accumulation for every multi-row sum,
+  * and a total ORDER BY on each output.
+  */
+object StatQueries {
+
+  private val duckTokens = "string_split_regex(trim(text), '\\s+')"
+
+  /** md5-derived 60-bit hash (mirrors Hashing.hash64 / MinhashKernel). */
+  private def duckHash64(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  // --------------------------------------------------------------- q107
+
+  /** q107 — unigram Shannon entropy per document: H = ln(n) − Σ c·ln(c)/n
+    * over per-token occurrence counts c. Low entropy = a few tokens
+    * dominate = boilerplate/spam/keyword-stuffing; it is the standard
+    * cheap companion to the LM score (q77) in corpus quality gates
+    * (Gopher's "repetition" rules are thresholded versions of this).
+    *
+    * Plan shape: one compiled-kernel pass emits 8-byte token hashes
+    * (shuffle bytes ∝ token stream, never the strings), one
+    * (doc_id, hash) count, one doc_id re-group — two linear shuffles,
+    * nothing pairwise, nothing driver-side. Σ c·ln(c) accumulates as
+    * exact longs via the fixed-point ln recipe, so the result is
+    * partition-order independent; ln(n) and the final division are
+    * single-value double ops replayed identically by the oracle.
+    */
+  val q107 = Q("q107_token_entropy",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val cnt = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(call_function("graft_shingle_hash_list", col("text"), lit(1))).as("uh"))
+        .groupBy("doc_id", "uh").agg(count(lit(1)).as("c"))
+      cnt.groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(round(log(col("c").cast("double")) * 1e6).cast("long") * col("c")).as("_s"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(log(col("n_tokens").cast("double"))
+            - col("_s").cast("double") / col("n_tokens") / 1e6, 6).as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      tok AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(w)+1),
+                  i -> ${duckHash64("w[i]")} & ${Dedup.MinhashP})) AS uh
+              FROM t),
+      c AS (SELECT doc_id, uh, count(*) AS c FROM tok GROUP BY 1, 2)
+      SELECT doc_id,
+             sum(c) AS n_tokens,
+             count(*) AS n_distinct,
+             round(ln(CAST(sum(c) AS DOUBLE))
+               - CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) * c)
+                      AS DOUBLE) / sum(c) / 1000000.0, 6) AS entropy
+      FROM c GROUP BY doc_id ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------- q108
+
+  /** q108 — MAD robust outliers: per event_type, median and median
+    * absolute deviation, then count values beyond the 3σ-equivalent
+    * fence |v − med| > 3·1.4826·MAD. Unlike q100's z-score, the fence
+    * itself is immune to the outliers it hunts — the estimator every
+    * data-quality sweep reaches for when the column is heavy-tailed.
+    *
+    * Plan shape: two grouped exact-percentile passes with a broadcast
+    * join between them (group cardinality = |event_type|, tiny), then
+    * one counting pass. Exact `percentile` buffers each group's values
+    * (fine at |group| ≤ a few hundred million rows / executor memory);
+    * the 100 TB path swaps both medians for `approx_percentile` —
+    * q52's companion — with zero shape change. Doubles compare, never
+    * accumulate, so cross-engine parity is exact (percentile parity
+    * proven by q50).
+    */
+  val q108 = Q("q108_mad_outliers",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events").select(col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("_dev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(_dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(min("med"), 6).as("median_value"),
+          round(min("mad"), 6).as("mad_value"),
+          sum(when(col("_dev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                   FROM events GROUP BY 1),
+      dev AS (SELECT e.event_type, abs(e.value - med.med) AS dev, med.med
+              FROM events e JOIN med USING (event_type)),
+      mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+              FROM dev GROUP BY 1)
+      SELECT dev.event_type, count(*) AS n_events,
+             round(min(dev.med), 6) AS median_value,
+             round(min(mad.mad), 6) AS mad_value,
+             sum(CASE WHEN dev.dev > 4.4478 * mad.mad THEN 1 ELSE 0 END) AS n_outliers
+      FROM dev JOIN mad USING (event_type)
+      GROUP BY dev.event_type ORDER BY dev.event_type"""))
+
+  // --------------------------------------------------------------- q109
+
+  /** q109 — equi-depth histogram of order totals: 8 buckets bounded by
+    * the exact 12.5%-step interpolated quantiles, each row assigned
+    * map-side by counting boundaries strictly below its value. This is
+    * the optimizer-statistics / data-layout primitive (DuckDB, Spark
+    * CBO, and Delta clustering all keep equi-depth histograms), built
+    * the way it must be built at 100 TB: ONE exact-percentile
+    * aggregation produces a 7-value boundary row, broadcast to every
+    * task; assignment is a codegen'd array scan per row; the per-bucket
+    * rollup is one linear shuffle on an 8-value key. The naive form —
+    * `ntile(8) OVER (ORDER BY v)` — funnels the whole table through a
+    * single-task global sort and is exactly what this operator avoids.
+    * Ties at a boundary go to the lower bucket in both engines
+    * (strict `>` comparison on identical doubles), so bucket counts
+    * are only approximately n/8 under heavy ties — the real histogram
+    * semantics, not a defect.
+    *
+    * Fixed-point totals (cents as longs) keep the per-bucket sum
+    * reduction-order independent.
+    */
+  val q109 = Q("q109_equidepth_hist",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders").select(col("o_totalprice").as("v"))
+      val bounds = o.agg(expr(
+        "percentile(v, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))").as("bs"))
+      o.crossJoin(broadcast(bounds))
+        .select(col("v"),
+          size(filter(col("bs"), b => col("v") > b)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          round(min("v"), 2).as("min_price"),
+          round(max("v"), 2).as("max_price"),
+          (sum(round(col("v") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_price"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH o AS (SELECT o_totalprice AS v FROM orders),
+      b AS (SELECT quantile_cont(v, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+            FROM o),
+      asg AS (SELECT v, len(list_filter(bs, x -> v > x)) AS bucket FROM o CROSS JOIN b)
+      SELECT bucket, count(*) AS n_rows,
+             round(min(v), 2) AS min_price,
+             round(max(v), 2) AS max_price,
+             CAST(sum(CAST(round(v * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+      FROM asg GROUP BY bucket ORDER BY bucket"""))
+
+  // --------------------------------------------------------------- q110
+
+  /** q110 — one PageRank iteration over the customer→supplier purchase
+    * graph (edge = "customer bought from supplier", distinct pairs from
+    * orders ⋈ lineitem): rank(s) = (1−d)/N + d·(Σ_{c→s} r₀/deg(c) +
+    * dangling/N) with d = 0.85 and uniform r₀ = 1/N. The sparse
+    * matrix-vector product here is the unit step of every iterative
+    * graph-centrality job — web-graph quality weighting for corpus
+    * curation (Common Crawl harmonic/PageRank filtering) runs exactly
+    * this shape per iteration.
+    *
+    * Plan shape: the edge list is one fact⋈fact equi-join on orderkey
+    * + distinct (both shuffles on the join/edge key); out-degrees and
+    * incoming sums are linear groupBys; N and the dangling mass ride a
+    * broadcast 1-row frame. Nothing is ever collected to the driver —
+    * iterating just re-feeds ranks as the next round's r₀ (the q58
+    * connected-components loop shows the localCheckpoint cadence).
+    * Per-edge contributions 1/(N·deg) round to 1e-12 fixed-point longs
+    * and sum exactly, so the result is partition-order independent;
+    * suppliers are the only rank sinks (customers have no in-edges)
+    * and all-supplier dangling mass redistributes uniformly.
+    */
+  val q110 = Q("q110_pagerank_iter",
+    (s, dir) => {
+      val edges = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+        .distinct()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val sizes = edges.agg(
+        countDistinct(col("src")).as("nc"),
+        countDistinct(col("dst")).as("ns"))
+      edges.join(deg, Seq("src"))
+        .crossJoin(broadcast(sizes))
+        .select(col("dst"), col("ns"),
+          ((col("nc") + col("ns")).cast("double")).as("n"),
+          round(lit(1e12) / ((col("nc") + col("ns")) * col("deg")).cast("double"))
+            .cast("long").as("_c"))
+        .groupBy("dst")
+        .agg(count(lit(1)).as("in_deg"),
+          round(lit(0.15) / min(col("n"))
+            + lit(0.85) * (sum(col("_c")).cast("double") / 1e12
+              + min(col("ns")).cast("double") / min(col("n")) / min(col("n"))), 9)
+            .as("rank"))
+        .select(col("dst").as("s_suppkey"), col("in_deg"), col("rank"))
+        .orderBy("s_suppkey")
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      z AS (SELECT count(DISTINCT src) AS nc, count(DISTINCT dst) AS ns FROM e)
+      SELECT e.dst AS s_suppkey, count(*) AS in_deg,
+             round(0.15 / min(CAST(z.nc + z.ns AS DOUBLE))
+               + 0.85 * (CAST(sum(CAST(round(1e12
+                     / CAST((z.nc + z.ns) * d.deg AS DOUBLE)) AS BIGINT)) AS DOUBLE) / 1e12
+                 + CAST(min(z.ns) AS DOUBLE)
+                   / min(CAST(z.nc + z.ns AS DOUBLE))
+                   / min(CAST(z.nc + z.ns AS DOUBLE))), 9) AS rank
+      FROM e JOIN d USING (src) CROSS JOIN z
+      GROUP BY e.dst ORDER BY e.dst"""))
+
+  val all: Seq[Q] = Seq(q107, q108, q109, q110)
+}

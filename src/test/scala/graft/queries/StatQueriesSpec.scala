@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavioral properties of the distribution/propagation batch
+  * (q107–q110) — the oracle gate proves engine-vs-engine equality;
+  * these pin the invariants the oracle can't express (entropy bounds,
+  * robustness of the MAD fence, equi-depth balance, rank conservation,
+  * determinism under repartitioning).
+  */
+class StatQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q107: entropy bounded by ln(n_distinct) and nonnegative") {
+    val r = rows(StatQueries.q107.fn(spark, sf))
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val nDistinct = row(2).asInstanceOf[Long]
+      val h = row(3).asInstanceOf[Double]
+      assert(h >= -1e-6, s"negative entropy $h")
+      assert(h <= math.log(nDistinct.toDouble) + 1e-6,
+        s"entropy $h exceeds ln(n_distinct)=${math.log(nDistinct.toDouble)}")
+    }
+  }
+
+  test("q107: single-token document has zero entropy") {
+    import spark.implicits._
+    graft.expressions.GraftExtensions.register(spark)
+    val one = Seq((1L, "spark spark spark spark")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(call_function("graft_shingle_hash_list", col("text"), lit(1))).as("uh"))
+      .groupBy("doc_id", "uh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"),
+        sum(round(log(col("c").cast("double")) * 1e6).cast("long") * col("c")).as("_s"))
+      .select(round(log(col("n").cast("double"))
+        - col("_s").cast("double") / col("n") / 1e6, 6).as("entropy"))
+    assert(rows(one) == Seq(Seq(0.0)))
+  }
+
+  test("q108: MAD fence unmoved by planting extreme outliers") {
+    import spark.implicits._
+    // 100 well-behaved values + 3 extremes: the median/MAD fence must
+    // stay where the clean data puts it (a z-score fence would widen)
+    val clean = (1 to 100).map(i => ("a", 100.0 + (i % 11) - 5))
+    val dirty = clean ++ Seq(("a", 1e9), ("a", -1e9), ("a", 5e8))
+    def fence(vs: Seq[(String, Double)]): (Double, Double) = {
+      val df = vs.toDF("event_type", "value")
+      val med = df.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = df.join(broadcast(med), Seq("event_type"))
+        .withColumn("_dev", abs(col("value") - col("med")))
+      val r = dev.groupBy("event_type")
+        .agg(min("med").as("med"), expr("percentile(_dev, 0.5)").as("mad"))
+        .collect()(0)
+      (r.getDouble(1), r.getDouble(2))
+    }
+    val (medC, madC) = fence(clean)
+    val (medD, madD) = fence(dirty)
+    assert(math.abs(medC - medD) <= 1.0, s"median moved $medC -> $medD")
+    assert(math.abs(madC - madD) <= 1.0, s"MAD moved $madC -> $madD")
+  }
+
+  test("q108: outlier count is a small fraction of each group") {
+    val r = rows(StatQueries.q108.fn(spark, sf))
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val n = row(1).asInstanceOf[Long]
+      val out = row(4).asInstanceOf[Long]
+      assert(out <= n / 4, s"${row(0)}: $out outliers of $n — fence too tight")
+    }
+  }
+
+  test("q109: buckets cover all rows, are balanced, and tile the range") {
+    val r = rows(StatQueries.q109.fn(spark, sf))
+    assert(r.length == 8, s"expected 8 buckets, got ${r.length}")
+    val total = graft.Tables.load(spark, sf, "orders").count()
+    assert(r.map(_(1).asInstanceOf[Long]).sum == total)
+    val counts = r.map(_(1).asInstanceOf[Long])
+    val ideal = total / 8.0
+    counts.foreach(c => assert(math.abs(c - ideal) <= ideal * 0.05 + 2,
+      s"bucket count $c far from n/8=$ideal — not equi-depth"))
+    // buckets tile: each bucket's max <= next bucket's min
+    r.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo(3).asInstanceOf[Double] <= hi(2).asInstanceOf[Double] + 1e-9,
+        s"bucket overlap: ${lo(3)} > ${hi(2)}")
+    }
+  }
+
+  test("q109: plan broadcasts the boundary row — no global-sort window") {
+    val plan = StatQueries.q109.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"boundary row not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"global window sneaked in:\n$plan")
+  }
+
+  test("q110: total rank mass is conserved (sums to ~1 with customer ranks)") {
+    val r = StatQueries.q110.fn(spark, sf)
+    val e = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst")).distinct()
+    val nc = e.select("src").distinct().count()
+    val ns = e.select("dst").distinct().count()
+    val n = (nc + ns).toDouble
+    val supplierMass = r.agg(sum("rank")).collect()(0).getDouble(0)
+    // customers receive no edge mass: rank = 0.15/N + 0.85*dangling/N^2 each
+    val customerMass = nc * (0.15 / n + 0.85 * ns / n / n)
+    assert(math.abs(supplierMass + customerMass - 1.0) <= 1e-4,
+      s"rank mass ${supplierMass + customerMass} != 1")
+  }
+
+  test("q110: ranks identical under a different input partitioning") {
+    val base = rows(StatQueries.q110.fn(spark, sf))
+    val sp2 = spark.newSession()
+    graft.expressions.GraftExtensions.register(sp2)
+    sp2.conf.set("spark.sql.shuffle.partitions", "7")
+    val alt = rows(StatQueries.q110.fn(sp2, sf))
+    assert(base == alt, "q110 not partition-count independent")
+  }
+}
