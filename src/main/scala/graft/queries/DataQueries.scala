@@ -789,6 +789,71 @@ object DataQueries {
       CROSS JOIN (SELECT unnest(range(1, 65)) AS d) ds
       GROUP BY cid, d ORDER BY cid, dim"""))
 
+  /** q114 — canonical selection per near-dup cluster: q58's connected
+    * components joined with q34's quality scores; each document family
+    * keeps its highest-quality member (doc_id breaks exact ties). This
+    * is the survivor policy real curation uses instead of keep-first —
+    * a cluster of a clean original plus OCR-mangled mirrors should
+    * keep the original, wherever it sits in scan order.
+    *
+    * Plan shape on top of the cluster step: one linear join of the
+    * (doc_id, cluster_id) relation with per-row quality, then a
+    * per-cluster window — partitions are cluster-sized (bounded by
+    * family size, not corpus size). Quality ties are REAL here (near
+    * dups score identically), which is why the window order carries
+    * the doc_id tiebreak; both engines round quality to 1e-6 first,
+    * so the tie set itself is identical.
+    */
+  val q114 = Q("q114_cluster_canonical",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 2, k = 12, rowsPerBand = 2, threshold = 0.2)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val quality = docs.select(col("doc_id"),
+        TA.qualityScore(col("text"), stopwords).as("q"))
+      clusters.join(quality, Seq("doc_id"))
+        .withColumn("n_docs",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("cluster_id")
+            .orderBy(col("q").desc, col("doc_id").asc)))
+        .filter(col("_rn") === 1)
+        .select(col("cluster_id"), col("n_docs"),
+          col("doc_id").as("canonical_doc"), col("q").as("canonical_quality"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $duckMinhashPairCtes,
+      pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.2),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      cl AS (SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+             FROM reach GROUP BY id),
+      tq AS (SELECT doc_id, $duckTokens AS w,
+               round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+                     / length(text), 6) AS punct_ratio
+             FROM documents),
+      qual AS (SELECT doc_id,
+                 round(0.4 * least(1.0, len(w)::DOUBLE / 100.0)
+                   + 0.3 * (1.0 - punct_ratio)
+                   + 0.3 * round(len(list_filter(w, x -> list_contains(${duckList(stopwords)}, x)))::DOUBLE
+                                 / len(w), 6), 6) AS q
+               FROM tq)
+      SELECT cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS n_docs,
+             doc_id AS canonical_doc, q AS canonical_quality
+      FROM cl JOIN qual USING (doc_id)
+      QUALIFY row_number() OVER (
+        PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) = 1
+      ORDER BY cluster_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-    q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74)
+    q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114)
 }

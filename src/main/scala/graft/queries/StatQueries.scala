@@ -235,5 +235,164 @@ object StatQueries {
       FROM e JOIN d USING (src) CROSS JOIN z
       GROUP BY e.dst ORDER BY e.dst"""))
 
-  val all: Seq[Q] = Seq(q107, q108, q109, q110)
+  // --------------------------------------------------------------- q111
+
+  /** q111 — population-stability-index drift report: split orders at
+    * the median order date, bucket both cohorts by the REFERENCE
+    * cohort's equi-depth price boundaries (q109's machinery), and emit
+    * the per-bucket PSI term (p−q)·ln(p/q) with Laplace smoothing.
+    * PSI is the production data-drift gate — a new ingest batch whose
+    * feature distribution drifts past ~0.2 total gets quarantined
+    * before it poisons training.
+    *
+    * Plan shape: two single-row percentile aggregations (median date,
+    * 7 price boundaries) ride broadcasts; bucketing is a codegen'd
+    * array scan per row; the rollup keys on 8 bucket values. Two
+    * linear scans, zero wide shuffles. The PSI arithmetic happens on
+    * count ratios — exact rationals — with ln on identical doubles
+    * rounded at 1e-9 (the q57/q77 recipe), so cohort totals of any
+    * size reproduce bit-for-bit.
+    */
+  val q111 = Q("q111_psi_drift",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(unix_micros(col("o_orderdate")).as("us"), col("o_totalprice").as("v"))
+      val thr = o.agg(expr("percentile(us, 0.5)").as("thr"))
+      val tagged = o.crossJoin(broadcast(thr))
+        .select(col("v"), (col("us") < col("thr")).as("is_ref"))
+      val bounds = tagged.filter(col("is_ref")).agg(expr(
+        "percentile(v, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))").as("bs"))
+      val counts = tagged.crossJoin(broadcast(bounds))
+        .select(size(filter(col("bs"), b => col("v") > b)).as("bucket"), col("is_ref"))
+        .groupBy("bucket")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      val totals = counts.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          round(((col("n_ref") + 1).cast("double") / (col("tr") + 8)
+              - (col("n_cur") + 1).cast("double") / (col("tc") + 8))
+            * log(((col("n_ref") + 1).cast("double") / (col("tr") + 8))
+              / ((col("n_cur") + 1).cast("double") / (col("tc") + 8))), 9)
+            .as("psi_term"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH o AS (SELECT epoch_us(o_orderdate) AS us, o_totalprice AS v FROM orders),
+      thr AS (SELECT quantile_cont(us, 0.5) AS thr FROM o),
+      tg AS (SELECT v, us < thr AS is_ref FROM o CROSS JOIN thr),
+      b AS (SELECT quantile_cont(v, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+            FROM tg WHERE is_ref),
+      asg AS (SELECT len(list_filter(bs, x -> v > x)) AS bucket, is_ref
+              FROM tg CROSS JOIN b),
+      c AS (SELECT bucket,
+              sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+              sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+            FROM asg GROUP BY 1),
+      t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM c)
+      SELECT bucket, n_ref, n_cur,
+             round((CAST(n_ref + 1 AS DOUBLE) / (tr + 8)
+                 - CAST(n_cur + 1 AS DOUBLE) / (tc + 8))
+               * ln((CAST(n_ref + 1 AS DOUBLE) / (tr + 8))
+                 / (CAST(n_cur + 1 AS DOUBLE) / (tc + 8))), 9) AS psi_term
+      FROM c CROSS JOIN t ORDER BY bucket"""))
+
+  // --------------------------------------------------------------- q112
+
+  /** q112 — domain vocabulary overlap: token-set Jaccard between every
+    * pair of sources. The corpus-mixing diagnostic behind domain
+    * weighting (q86) — two "different" domains with 0.9 vocabulary
+    * overlap are one domain for mixture purposes, and a crawl snapshot
+    * whose overlap with an existing source jumps is a duplicate feed.
+    *
+    * Plan shape: the inverted (source, token-hash) relation is one
+    * distinct over the compiled-kernel hash stream (linear, 8-byte
+    * values); the self-join on token hash emits at most
+    * |domains|²/2 pairs PER TOKEN and aggregates to a |domains|²-keyed
+    * rollup — linear shuffle volume with a bounded output regardless
+    * of corpus size, because domain count, not document count, bounds
+    * the fan-out. Set sizes re-enter as a broadcast.
+    */
+  val q112 = Q("q112_domain_overlap",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val st = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          explode(call_function("graft_shingle_hash_list", col("text"), lit(1))).as("uh"))
+        .distinct()
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("n_tok"))
+      st.as("a").join(st.as("b"),
+          col("a.uh") === col("b.uh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.withColumnRenamed("source", "src_a")
+          .withColumnRenamed("n_tok", "n_a")), Seq("src_a"))
+        .join(broadcast(sizes.withColumnRenamed("source", "src_b")
+          .withColumnRenamed("n_tok", "n_b")), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          round(col("n_common").cast("double")
+            / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""
+      WITH t AS (SELECT source, $duckTokens AS w FROM documents),
+      tok AS (SELECT DISTINCT source,
+                unnest(list_transform(range(1, len(w)+1),
+                  i -> ${duckHash64("w[i]")} & ${Dedup.MinhashP})) AS uh
+              FROM t),
+      sz AS (SELECT source, count(*) AS n_tok FROM tok GROUP BY 1),
+      p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+            FROM tok a JOIN tok b ON a.uh = b.uh AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT src_a, src_b, n_common,
+             round(CAST(n_common AS DOUBLE)
+               / (za.n_tok + zb.n_tok - n_common), 6) AS jaccard
+      FROM p JOIN sz za ON src_a = za.source JOIN sz zb ON src_b = zb.source
+      ORDER BY src_a, src_b"""))
+
+  // --------------------------------------------------------------- q113
+
+  /** q113 — time-decayed aggregation: per user, Σ value·2^(−age_days)
+    * with age measured back from the corpus watermark — the
+    * feature-store primitive behind "recent activity" features, where
+    * yesterday counts double tomorrow's weight. Day-granular halving
+    * keeps the weights EXACT powers of two (both engines compute
+    * pow(0.5, k) for integer k without a libm rounding hazard), and
+    * each weighted term rounds to 1e-6 fixed-point longs before the
+    * exact sum — partition-order independent, so the same feature
+    * values come off 32 threads or 1000 executors.
+    *
+    * Plan shape: one-row watermark broadcast, per-row weight math in
+    * codegen, one linear groupBy on the user key. Incremental refresh
+    * at scale: yesterday's decayed sums halve and add today's
+    * partition — the q104 merge pattern.
+    */
+  val q113 = Q("q113_decayed_agg",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+      val wm = e.agg(max("us").as("mx"))
+      e.crossJoin(broadcast(wm))
+        .select(col("user_id"),
+          round(col("value")
+            * pow(lit(0.5), floor((col("mx") - col("us")).cast("double") / 86400e6))
+            * 1e6).cast("long").as("_t"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("_t").cast("double") / 1e6, 6).as("decayed_sum"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+      wm AS (SELECT max(us) AS mx FROM e),
+      t AS (SELECT user_id,
+              CAST(round(value
+                * power(0.5, floor(CAST(mx - us AS DOUBLE) / 86400000000.0))
+                * 1000000.0) AS BIGINT) AS t
+            FROM e CROSS JOIN wm)
+      SELECT user_id, count(*) AS n_events,
+             round(CAST(sum(t) AS DOUBLE) / 1000000.0, 6) AS decayed_sum
+      FROM t GROUP BY user_id ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113)
 }

@@ -112,6 +112,78 @@ class StatQueriesSpec extends SparkSpec {
       s"rank mass ${supplierMass + customerMass} != 1")
   }
 
+  test("q111: same-distribution cohorts read as no-drift; ref buckets balanced") {
+    val r = rows(StatQueries.q111.fn(spark, sf))
+    assert(r.length == 8)
+    // the synthetic halves come from one distribution: total PSI must sit
+    // far below the 0.1 "investigate" threshold practitioners use
+    val total = r.map(_(3).asInstanceOf[Double]).sum
+    assert(total < 0.05, s"PSI $total on same-distribution halves")
+    val refCounts = r.map(_(1).asInstanceOf[Long])
+    val ideal = refCounts.sum / 8.0
+    refCounts.foreach(c => assert(math.abs(c - ideal) <= ideal * 0.05 + 2,
+      s"reference bucket $c far from n/8=$ideal — boundaries not equi-depth"))
+  }
+
+  test("q111: planted drift in the current cohort is detected") {
+    import spark.implicits._
+    // ref uniform [0,1000); cur shifted +300 on the top half: PSI must jump
+    val ref = (0 until 2000).map(i => (0L, (i % 1000).toDouble))
+    val cur = (0 until 2000).map(i => (1L, (i % 1000).toDouble + (if (i % 2 == 0) 300 else 0)))
+    val df = (ref ++ cur).toDF("us", "v")
+    val thr = df.agg(expr("percentile(us, 0.5)").as("thr"))
+    val tagged = df.crossJoin(broadcast(thr))
+      .select(col("v"), (col("us") < col("thr")).as("is_ref"))
+    val bounds = tagged.filter(col("is_ref")).agg(expr(
+      "percentile(v, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))").as("bs"))
+    val counts = tagged.crossJoin(broadcast(bounds))
+      .select(size(filter(col("bs"), b => col("v") > b)).as("bucket"), col("is_ref"))
+      .groupBy("bucket")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val totals = counts.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+    val psi = counts.crossJoin(broadcast(totals))
+      .select((((col("n_ref") + 1).cast("double") / (col("tr") + 8)
+          - (col("n_cur") + 1).cast("double") / (col("tc") + 8))
+        * log(((col("n_ref") + 1).cast("double") / (col("tr") + 8))
+          / ((col("n_cur") + 1).cast("double") / (col("tc") + 8)))).as("t"))
+      .agg(sum("t")).collect()(0).getDouble(0)
+    assert(psi > 0.1, s"planted 30% shift only scored PSI $psi")
+  }
+
+  test("q112: pair coverage is all source pairs; jaccard within (0,1]") {
+    val r = rows(StatQueries.q112.fn(spark, sf))
+    val nSrc = graft.Tables.load(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(r.length == nSrc * (nSrc - 1) / 2,
+      s"${r.length} pairs for $nSrc sources")
+    r.foreach { row =>
+      val j = row(3).asInstanceOf[Double]
+      assert(j > 0.0 && j <= 1.0, s"jaccard $j out of range on $row")
+      assert(row(0).asInstanceOf[String] < row(1).asInstanceOf[String])
+    }
+  }
+
+  test("q113: decay shrinks sums; an all-today cohort is undamped") {
+    import spark.implicits._
+    val r = StatQueries.q113.fn(spark, sf)
+    val plain = graft.Tables.load(spark, sf, "events")
+      .groupBy("user_id").agg(sum("value").as("s"))
+    val joined = r.join(plain, Seq("user_id"))
+      .select(col("decayed_sum"), col("s")).collect()
+    joined.foreach(x => assert(x.getDouble(0) <= x.getDouble(1) + 1e-6,
+      s"decayed ${x.getDouble(0)} exceeds plain ${x.getDouble(1)}"))
+    // all events at the watermark instant → weight exactly 1
+    val today = Seq((1L, 10.0, 1000000L), (1L, 5.0, 1000000L)).toDF("user_id", "value", "us")
+    val wm = today.agg(max("us").as("mx"))
+    val out = today.crossJoin(broadcast(wm))
+      .select(round(col("value")
+        * pow(lit(0.5), floor((col("mx") - col("us")).cast("double") / 86400e6))
+        * 1e6).cast("long").as("_t"))
+      .agg(round(sum("_t").cast("double") / 1e6, 6)).collect()(0).getDouble(0)
+    assert(out == 15.0, s"undamped sum $out != 15.0")
+  }
+
   test("q110: ranks identical under a different input partitioning") {
     val base = rows(StatQueries.q110.fn(spark, sf))
     val sp2 = spark.newSession()
@@ -119,5 +191,27 @@ class StatQueriesSpec extends SparkSpec {
     sp2.conf.set("spark.sql.shuffle.partitions", "7")
     val alt = rows(StatQueries.q110.fn(sp2, sf))
     assert(base == alt, "q110 not partition-count independent")
+  }
+
+  test("q114: one canonical per cluster, and it is the cluster's best doc") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 2, k = 12, rowsPerBand = 2, threshold = 0.2)
+    val clusters = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    val quality = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.qualityScore(col("text"),
+        Seq("the", "a", "of", "and")).as("q"))
+    val bestByCluster = clusters.join(quality, Seq("doc_id"))
+      .groupBy("cluster_id").agg(max("q").as("maxq"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val r = rows(DataQueries.q114.fn(spark, sf))
+    assert(r.length == bestByCluster.size, "cluster count mismatch")
+    r.foreach { row =>
+      val (cid, n, q) = (row(0).asInstanceOf[Long], row(1).asInstanceOf[Long],
+        row(3).asInstanceOf[Double])
+      assert(q == bestByCluster(cid)._1, s"cluster $cid canonical q=$q != max ${bestByCluster(cid)._1}")
+      assert(n == bestByCluster(cid)._2, s"cluster $cid n_docs=$n != ${bestByCluster(cid)._2}")
+    }
   }
 }
