@@ -143,7 +143,7 @@ object DataQueries {
     * (bigram shingles, k=12, 6 bands × 2 rows, capped buckets) up to a
     * `j(doc_a, doc_b, jaccard)` relation — shared by q36 and q58.
     */
-  private def duckMinhashPairCtes: String = {
+  private[queries] def duckMinhashPairCtes: String = {
     // the affine min-hash coefficients, identical to Dedup.minhashCoeffs
     val sigExprs = Dedup.minhashCoeffs(12).map { case (a, b) =>
       s"list_min(list_transform(hl, h -> (${a} * h + ${b}) % ${Dedup.MinhashP}))"

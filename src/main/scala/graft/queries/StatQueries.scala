@@ -394,5 +394,150 @@ object StatQueries {
              round(CAST(sum(t) AS DOUBLE) / 1000000.0, 6) AS decayed_sum
       FROM t GROUP BY user_id ORDER BY user_id"""))
 
-  val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113)
+  // --------------------------------------------------------------- q115
+
+  /** q115 — count-min sketch calibration: a d=4 × w=512 CMS over the
+    * corpus token stream, read back against the exact counts of the
+    * top-20 tokens. The CMS is THE fixed-memory frequency sketch for
+    * streams too wide to count exactly — 2 KB of counters regardless
+    * of vocabulary size, one-sided error (never underestimates), and
+    * counter tables that MERGE by addition, so per-partition sketches
+    * combine exactly like partial aggregates.
+    *
+    * Plan shape: the token pass emits (row, bucket) pairs through the
+    * affine hash family (4 per occurrence) and aggregates to the
+    * 2,048-key counter table — bounded output, linear shuffle. The
+    * top-20 report joins the broadcast counter table back to the
+    * exact counts. Everything is integer arithmetic on md5-derived
+    * hashes; the oracle replays the sketch bit-for-bit.
+    */
+  val q115 = Q("q115_countmin",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val coeffs = Dedup.minhashCoeffs(4)
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(call_function("graft_shingle_hash_list", col("text"), lit(1))).as("uh"))
+      val cms = toks.select(explode(array(coeffs.zipWithIndex.map { case ((a, b), i) =>
+          struct(lit(i).as("row"),
+            pmod(lit(a) * col("uh") + lit(b), lit(Dedup.MinhashP)).mod(512).as("bucket"))
+        }: _*)).as("rb"))
+        .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = toks.groupBy("uh").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("uh").asc).limit(20)
+      val probes = top.select(col("uh"), col("exact"),
+        explode(array(coeffs.zipWithIndex.map { case ((a, b), i) =>
+          struct(lit(i).as("row"),
+            pmod(lit(a) * col("uh") + lit(b), lit(Dedup.MinhashP)).mod(512).as("bucket"))
+        }: _*)).as("rb"))
+        .select(col("uh"), col("exact"),
+          col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      probes.join(broadcast(cms), Seq("row", "bucket"))
+        .groupBy("uh", "exact")
+        .agg(min("cnt").as("estimate"))
+        .select(col("uh").as("token_hash"), col("exact"), col("estimate"),
+          (col("estimate") - col("exact")).as("overestimate"))
+        .orderBy(col("exact").desc, col("token_hash").asc)
+    },
+    Some {
+      val coeffs = Dedup.minhashCoeffs(4)
+      val bucketExprs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT $i AS row, (($a * uh + $b) % ${Dedup.MinhashP}) % 512 AS bucket, uh FROM tok"
+      }.mkString("\n            UNION ALL ")
+      s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      tok AS (SELECT unnest(list_transform(range(1, len(w)+1),
+                i -> ${duckHash64("w[i]")} & ${Dedup.MinhashP})) AS uh
+              FROM t),
+      rb AS ($bucketExprs),
+      cms AS (SELECT row, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
+      top AS (SELECT uh, count(*) AS exact FROM tok GROUP BY 1
+              ORDER BY exact DESC, uh ASC LIMIT 20),
+      probes AS (SELECT DISTINCT top.uh, top.exact, rb.row, rb.bucket
+                 FROM top JOIN rb ON top.uh = rb.uh)
+      SELECT probes.uh AS token_hash, probes.exact,
+             min(cms.cnt) AS estimate,
+             min(cms.cnt) - probes.exact AS overestimate
+      FROM probes JOIN cms USING (row, bucket)
+      GROUP BY probes.uh, probes.exact
+      ORDER BY probes.exact DESC, token_hash ASC"""
+    })
+
+  // --------------------------------------------------------------- q116
+
+  /** q116 — bounded edit-distance join: LSH candidates (the q36/q38
+    * machinery) exact-verified with Levenshtein, kept when the distance
+    * is within 50% of the longer text. Edit distance is the
+    * entity-resolution/OCR-dedup verifier n-gram Jaccard approximates;
+    * the O(len²) DP is affordable precisely BECAUSE it only ever runs
+    * on the linearly-generated candidate pairs, never all-pairs.
+    */
+  val q116 = Q("q116_editdist_join",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val txt = docs.select(col("doc_id"), col("text"))
+      Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 2, k = 12, rowsPerBand = 2, threshold = 0.2)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        .join(txt.select(col("doc_id").as("doc_a"), col("text").as("_ta")), Seq("doc_a"))
+        .join(txt.select(col("doc_id").as("doc_b"), col("text").as("_tb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("_ta"), col("_tb")).as("edit_dist"),
+          greatest(length(col("_ta")), length(col("_tb"))).as("max_len"))
+        .filter(col("edit_dist") * 2 <= col("max_len"))
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+          round(col("edit_dist").cast("double") / col("max_len"), 6).as("edit_ratio"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH ${DataQueries.duckMinhashPairCtes},
+      p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.2),
+      e AS (SELECT doc_a, doc_b,
+              levenshtein(da.text, db.text) AS edit_dist,
+              greatest(length(da.text), length(db.text)) AS max_len
+            FROM p JOIN documents da ON doc_a = da.doc_id
+                   JOIN documents db ON doc_b = db.doc_id)
+      SELECT doc_a, doc_b, edit_dist,
+             round(CAST(edit_dist AS DOUBLE) / max_len, 6) AS edit_ratio
+      FROM e WHERE edit_dist * 2 <= max_len
+      ORDER BY doc_a, doc_b"""))
+
+  // --------------------------------------------------------------- q117
+
+  /** q117 — stratified exact-k sample: the k=5 documents per source
+    * with the smallest salted doc_id hashes — the deterministic
+    * "carve a fixed-size eval set per domain" primitive. Hash-rank
+    * ordering makes the sample a function of the data, not the scan
+    * order: reruns, engine swaps, and backfills pick the same rows.
+    *
+    * Plan shape: rank ≤ k windows compile to WindowGroupLimit
+    * (spec-asserted) — each task keeps a k-row heap per group BEFORE
+    * the shuffle, so the exchange carries ~k rows per (partition ×
+    * group), not the corpus.
+    */
+  val q117 = Q("q117_stratified_sample",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          graft.functions.Hashing.hash64(concat(lit("strat|"), col("doc_id"))).as("_h"))
+        .withColumn("sample_rank", row_number().over(
+          Window.partitionBy("source").orderBy(col("_h").asc, col("doc_id").asc)))
+        .filter(col("sample_rank") <= 5)
+        .select(col("source"), col("sample_rank"), col("doc_id"))
+        .orderBy("source", "sample_rank")
+    },
+    Some(s"""
+      WITH h AS (SELECT source, doc_id,
+                   ${duckHash64("'strat|' || doc_id")} AS h
+                 FROM documents)
+      SELECT source, sample_rank, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC)
+                 AS sample_rank
+        FROM h)
+      WHERE sample_rank <= 5
+      ORDER BY source, sample_rank"""))
+
+  val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117)
 }

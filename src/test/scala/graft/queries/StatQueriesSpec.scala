@@ -193,6 +193,67 @@ class StatQueriesSpec extends SparkSpec {
     assert(base == alt, "q110 not partition-count independent")
   }
 
+  test("q115: CMS never underestimates, and sketches merge by addition") {
+    val r = rows(StatQueries.q115.fn(spark, sf))
+    assert(r.length == 20)
+    r.foreach { row =>
+      val (exact, est) = (row(1).asInstanceOf[Long], row(2).asInstanceOf[Long])
+      assert(est >= exact, s"CMS underestimated: $est < $exact on $row")
+    }
+    // mergeability: counter tables of two halves sum to the whole's
+    import spark.implicits._
+    graft.expressions.GraftExtensions.register(spark)
+    val coeffs = graft.operators.Dedup.minhashCoeffs(4)
+    def cms(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(call_function("graft_shingle_hash_list", col("text"), lit(1))).as("uh"))
+      .select(explode(array(coeffs.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(i).as("row"),
+          pmod(lit(a) * col("uh") + lit(b), lit(graft.operators.Dedup.MinhashP))
+            .mod(512).as("bucket"))
+      }: _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val whole = cms(docs).collect().map(x => (x.getInt(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val lo = cms(docs.filter(col("doc_id") % 2 === 0))
+      .collect().map(x => (x.getInt(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val hi = cms(docs.filter(col("doc_id") % 2 === 1))
+      .collect().map(x => (x.getInt(0), x.getLong(1)) -> x.getLong(2)).toMap
+    whole.foreach { case (k, v) =>
+      assert(lo.getOrElse(k, 0L) + hi.getOrElse(k, 0L) == v,
+        s"counter $k not additive")
+    }
+  }
+
+  test("q116: identical planted docs join at distance zero; ratios bounded") {
+    val r = rows(StatQueries.q116.fn(spark, sf))
+    r.foreach { row =>
+      assert(row(0).asInstanceOf[Long] < row(1).asInstanceOf[Long])
+      assert(row(3).asInstanceOf[Double] <= 0.5 + 1e-9)
+    }
+    // dist-zero sanity against a direct computation on one output pair
+    if (r.nonEmpty) {
+      val (a, b) = (r.head(0).asInstanceOf[Long], r.head(1).asInstanceOf[Long])
+      val docs = graft.Tables.load(spark, sf, "documents")
+      val d = docs.filter(col("doc_id").isin(a, b))
+        .agg(levenshtein(min("text"), max("text"))).collect()(0).getInt(0)
+      assert(d == r.head(2).asInstanceOf[Int], s"edit_dist mismatch for ($a,$b)")
+    }
+  }
+
+  test("q117: exactly k per stratum, stable across partitionings, group-limited plan") {
+    val r = rows(StatQueries.q117.fn(spark, sf))
+    val bySrc = r.groupBy(_(0))
+    bySrc.values.foreach(g =>
+      assert(g.map(_(1).asInstanceOf[Int]).sorted == (1 to g.length) && g.length <= 5))
+    val sp2 = spark.newSession()
+    sp2.conf.set("spark.sql.shuffle.partitions", "5")
+    assert(rows(StatQueries.q117.fn(sp2, sf)) == r, "sample not partition independent")
+    val plan = StatQueries.q117.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k window not compiled to WindowGroupLimit:\n$plan")
+  }
+
   test("q114: one canonical per cluster, and it is the cluster's best doc") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val pairs = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
