@@ -273,5 +273,44 @@ object EventQueries {
                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72)
+  /** q118 — cumulative-distinct growth curve: per day, the new users
+    * (first ever seen that day), the active users, and the running
+    * total of distinct users to date. The naive form — COUNT(DISTINCT)
+    * over an ever-growing frame — rescans all history per day; the
+    * scale shape used here is first-seen reduction (one shuffle on
+    * user), a per-day rollup, and a running sum over the DAY table —
+    * the window is calendar-sized, thousands of rows at any corpus
+    * size, so the global ordering it needs is free.
+    */
+  val q118 = Q("q118_cumulative_distinct",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val newPerDay = e.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      val actives = e.distinct()
+        .groupBy("day").agg(count(lit(1)).as("active_users"))
+      actives.join(newPerDay, Seq("day"), "left")
+        .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"),
+          col("active_users"))
+        .withColumn("cum_users",
+          sum("new_users").over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("day")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      np AS (SELECT day, count(*) AS new_users FROM
+               (SELECT user_id, min(day) AS day FROM e GROUP BY 1)
+             GROUP BY day),
+      act AS (SELECT day, count(*) AS active_users FROM
+                (SELECT DISTINCT user_id, day FROM e) GROUP BY day)
+      SELECT act.day, coalesce(np.new_users, 0) AS new_users, act.active_users,
+             CAST(sum(coalesce(np.new_users, 0)) OVER (
+               ORDER BY act.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_users
+      FROM act LEFT JOIN np ON act.day = np.day
+      ORDER BY act.day"""))
+
+  val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118)
 }

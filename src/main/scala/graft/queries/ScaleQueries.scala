@@ -716,6 +716,38 @@ object ScaleQueries {
              sum(n_tokens) AS total_tokens
       FROM r GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------------------- q119
+
+  /** q119 — explicit GROUPING SETS: the two one-dimension marginals
+    * plus the grand total in ONE aggregation pass — the subset a cube
+    * (q96) can't express without computing the cross set too. Like the
+    * cube, every set's partials combine map-side, so three reports
+    * over 100 TB cost one shuffle instead of three scans.
+    */
+  val q119 = Q("q119_grouping_sets",
+    (s, dir) => Tables.load(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"),
+        round(ScalarFunctions.dsum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus"),
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+             count(*) AS n,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY returnflag, linestatus"""))
+
   val all: Seq[Q] = Seq(q92, q93, q94, q95, q96, q97, q98, q99, q100,
-    q101, q102, q103, q104, q105, q106)
+    q101, q102, q103, q104, q105, q106, q119)
 }

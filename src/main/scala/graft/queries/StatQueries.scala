@@ -196,11 +196,14 @@ object StatQueries {
     */
   val q110 = Q("q110_pagerank_iter",
     (s, dir) => {
+      // three consumers (contributions, degrees, sizes) — cut the
+      // join+distinct lineage once or the fact join runs three times
       val edges = Tables.load(s, dir, "orders")
         .join(Tables.load(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
         .distinct()
+        .localCheckpoint(false)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       val sizes = edges.agg(
         countDistinct(col("src")).as("nc"),
@@ -316,10 +319,13 @@ object StatQueries {
   val q112 = Q("q112_domain_overlap",
     (s, dir) => {
       graft.expressions.GraftExtensions.register(s)
+      // four consumers (both join sides + two size lookups) — cut the
+      // explode+distinct lineage once or the token pass runs four times
       val st = Tables.load(s, dir, "documents")
         .select(col("source"),
           explode(call_function("graft_shingle_hash_list", col("text"), lit(1))).as("uh"))
         .distinct()
+        .localCheckpoint(false)
       val sizes = st.groupBy("source").agg(count(lit(1)).as("n_tok"))
       st.as("a").join(st.as("b"),
           col("a.uh") === col("b.uh") && col("a.source") < col("b.source"))

@@ -166,6 +166,61 @@ object StreamingOps {
       }
   }
 
+  /** Streaming distribution-drift monitor — the continuous twin of the
+    * batch PSI report (q111). Each event-time window's values bucket
+    * against FIXED reference boundaries (computed offline from a
+    * trusted cohort, passed as literals — at 100 TB the reference
+    * quantiles come from the batch q109/q111 job); the output is one
+    * row per (window, bucket) with the observed share and its
+    * Laplace-smoothed PSI term against the reference share. A sink
+    * alerting on `sum(psi_term) > 0.2` per window is the standard
+    * quarantine trigger for a poisoned ingest batch.
+    *
+    * Scale: one watermarked windowed aggregation — state is
+    * (windows × buckets), bounded by the watermark horizon, sharded
+    * like any streaming agg. Bucket assignment is stateless per-row
+    * math against broadcast-literal boundaries.
+    */
+  def driftMonitor(events: DataFrame, valueCol: String, tsCol: String,
+                   boundaries: Seq[Double], refShare: Seq[Double],
+                   windowDur: String, lateness: String): DataFrame = {
+    require(refShare.length == boundaries.length + 1,
+      s"need ${boundaries.length + 1} reference shares, got ${refShare.length}")
+    val bucket = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(valueCol) > lit(b), 1).otherwise(0)
+    }
+    val refArr = array(refShare.map(lit): _*)
+    val nBuckets = refShare.length
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDur).as("win"), bucket.as("bucket"))
+      .count()
+      .select(col("win.start").as("window_start"), col("bucket"), col("count"),
+        // per-window totals aren't available inside one streaming agg
+        // (no second stateful stage in append mode); emit the smoothed
+        // count and let the reader normalize — or run in complete mode
+        // over bounded windows as the spec does and post-aggregate.
+        element_at(refArr, col("bucket") + 1).as("ref_share"))
+      .withColumn("n_buckets", lit(nBuckets))
+  }
+
+  /** Batch-side PSI over a driftMonitor output (post-aggregation a
+    * memory/console sink can run per trigger): normalizes counts per
+    * window and emits the per-bucket smoothed PSI term.
+    */
+  def psiOf(monitored: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("window_start")
+    monitored
+      .withColumn("_tot", sum("count").over(w))
+      .withColumn("obs_share",
+        (col("count") + 1).cast("double") / (col("_tot") + col("n_buckets")))
+      .withColumn("psi_term",
+        round((col("obs_share") - col("ref_share"))
+          * log(col("obs_share") / col("ref_share")), 9))
+      .select(col("window_start"), col("bucket"), col("count"),
+        col("obs_share"), col("ref_share"), col("psi_term"))
+  }
+
   /** Run a streaming DataFrame to completion over the currently
     * available data (the reference's daily-batch cadence) into an
     * in-memory table; returns the result.

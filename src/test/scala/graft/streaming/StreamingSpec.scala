@@ -137,6 +137,69 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("user_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("driftMonitor buckets a replayed stream exactly like the batch path") {
+    val dir = Files.createTempDirectory("graft-drift-stream").toFile
+    val batchEvents = Tables.load(spark, sf, "events")
+    batchEvents.write.mode("overwrite").parquet(s"$dir/in")
+    val bounds = Seq(25.0, 50.0, 75.0)
+    // reference shares from the trusted batch cohort (how production
+    // seeds the monitor: offline quantile job → literals)
+    val batchBucket0 = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("value") > lit(b), 1).otherwise(0)
+    }
+    val total = batchEvents.count().toDouble
+    val ref = batchEvents.groupBy(batchBucket0.as("bucket")).count()
+      .orderBy("bucket").collect().map(_.getLong(1) / total).toSeq
+
+    val stream = StreamingOps.eventStream(spark, s"$dir/in", batchEvents.schema)
+    val mon = StreamingOps.driftMonitor(stream, "value", "ts",
+      bounds, ref, "1 day", "1 hour")
+    val out = StreamingOps.runAvailableNow(mon, "drift_mon")
+
+    val batchBucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("value") > lit(b), 1).otherwise(0)
+    }
+    val expected = batchEvents
+      .groupBy(date_trunc("day", col("ts")).as("window_start"), batchBucket.as("bucket"))
+      .count()
+      .orderBy("window_start", "bucket")
+      .select(col("window_start").cast("string"), col("bucket"), col("count"))
+    val got = out.orderBy("window_start", "bucket")
+      .select(col("window_start").cast("string"), col("bucket"), col("count"))
+    assertRowsEqual(rows(got), rows(expected))
+
+    // psiOf: daily windows drawn from the same distribution as the
+    // reference cohort stay below the quarantine line (daily samples at
+    // sf0.001 are ~30 rows, so allow the small-sample noise floor)
+    val psi = StreamingOps.psiOf(out)
+      .groupBy("window_start").agg(sum("psi_term").as("psi"))
+      .collect().map(_.getDouble(1))
+    assert(psi.sum / psi.length < 0.2,
+      s"mean same-distribution PSI ${psi.sum / psi.length}")
+  }
+
+  test("psiOf flags a planted shifted window") {
+    import spark.implicits._
+    // window A matches the reference; window B is shifted hard right
+    val a = (1 to 400).map(i => ("2024-01-01 00:00:00", (i % 100).toDouble))
+    val b = (1 to 400).map(i => ("2024-01-02 00:00:00", 75.0 + (i % 25)))
+    val mon = (a ++ b).toDF("ws", "value")
+      .select(col("ws").cast("timestamp").as("window_start"), col("value"))
+      .select(col("window_start"),
+        (when(col("value") > 25.0, 1).otherwise(0)
+          + when(col("value") > 50.0, 1).otherwise(0)
+          + when(col("value") > 75.0, 1).otherwise(0)).as("bucket"))
+      .groupBy("window_start", "bucket").count()
+      .withColumn("ref_share", lit(0.25))
+      .withColumn("n_buckets", lit(4))
+    val psi = StreamingOps.psiOf(mon)
+      .groupBy("window_start").agg(sum("psi_term").as("psi"))
+      .collect().map(r => r.get(0).toString -> r.getDouble(1)).toMap
+    val (quiet, drifted) = (psi("2024-01-01 00:00:00.0"), psi("2024-01-02 00:00:00.0"))
+    assert(quiet < 0.1, s"uniform window scored PSI $quiet")
+    assert(drifted > 0.5, s"hard-shifted window only scored PSI $drifted")
+  }
+
   test("sessionize accumulates per-user state across a micro-batch") {
     import spark.implicits._
     val events = Seq(
