@@ -748,6 +748,104 @@ object ScaleQueries {
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY returnflag, linestatus"""))
 
+  // --------------------------------------------------------------- q120
+
+  /** q120 — snapshot reconciliation via FULL OUTER join: yesterday's
+    * and today's order snapshots (deterministic modulo carve-outs of
+    * the same table, with a price restatement on a slice) full-outer
+    * join on the key and classify every key as added / removed /
+    * changed / unchanged, with the restated amount. This is the CDC
+    * derivation job — turning two warehouse snapshots into a change
+    * feed — and the one join type the rest of the surface doesn't
+    * exercise. One shuffle on the key; the classification is per-row
+    * codegen over the null pattern; fixed-point cents make the delta
+    * sum reduction-order independent.
+    */
+  val q120 = Q("q120_snapshot_diff",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val yesterday = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("key"), col("o_totalprice").as("price_a"))
+      val today = o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey").as("key"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).as("price_b"))
+      yesterday.join(today, Seq("key"), "full_outer")
+        .select(
+          when(col("price_a").isNull, "added")
+            .when(col("price_b").isNull, "removed")
+            .when(round(col("price_a") * 100).cast("long")
+              =!= round(col("price_b") * 100).cast("long"), "changed")
+            .otherwise("unchanged").as("change_type"),
+          coalesce(round(col("price_b") * 100).cast("long"), lit(0L))
+            .minus(coalesce(round(col("price_a") * 100).cast("long"), lit(0L)))
+            .as("_delta_cents"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_keys"),
+          (sum("_delta_cents").cast("double") / 100.0).as("delta_total"))
+        .orderBy("change_type")
+    },
+    Some("""
+      WITH y AS (SELECT o_orderkey AS key, o_totalprice AS price_a
+                 FROM orders WHERE o_orderkey % 3 <> 0),
+      t AS (SELECT o_orderkey AS key,
+              CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                   ELSE o_totalprice END AS price_b
+            FROM orders WHERE o_orderkey % 5 <> 0),
+      d AS (SELECT CASE WHEN price_a IS NULL THEN 'added'
+                        WHEN price_b IS NULL THEN 'removed'
+                        WHEN CAST(round(price_a * 100) AS BIGINT)
+                             <> CAST(round(price_b * 100) AS BIGINT) THEN 'changed'
+                        ELSE 'unchanged' END AS change_type,
+                   coalesce(CAST(round(price_b * 100) AS BIGINT), 0)
+                     - coalesce(CAST(round(price_a * 100) AS BIGINT), 0) AS delta_cents
+            FROM y FULL OUTER JOIN t USING (key))
+      SELECT change_type, count(*) AS n_keys,
+             CAST(sum(delta_cents) AS DOUBLE) / 100.0 AS delta_total
+      FROM d GROUP BY change_type ORDER BY change_type"""))
+
+  // --------------------------------------------------------------- q121
+
+  /** q121 — null-safe equi-join: grouping keys where NULL is a real
+    * category (suppressed/unknown region codes) join with <=> so NULL
+    * meets NULL — the semantics a plain equi-join silently drops rows
+    * under. Spark plans <=> as a hash join key like any other
+    * (EqualNullSafe is a valid shuffle key), so the scale shape is
+    * identical to the plain join.
+    */
+  val q121 = Q("q121_nullsafe_join",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("prio"),
+          col("o_totalprice"))
+      val rates = Tables.load(s, dir, "orders")
+        .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("prio"))
+        .distinct()
+        .withColumn("fee_rate",
+          when(col("prio").isNull, 0.05).otherwise(0.02))
+      o.join(broadcast(rates), o("prio") <=> rates("prio"))
+        .groupBy(coalesce(o("prio"), lit("UNKNOWN")).as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(min("fee_rate"), 2).as("fee_rate"),
+          (sum(round(col("o_totalprice") * col("fee_rate") * 100).cast("long"))
+            .cast("double") / 100.0).as("fee_total"))
+        .orderBy("priority")
+    },
+    Some("""
+      WITH o AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS prio, o_totalprice
+                 FROM orders),
+      r AS (SELECT prio,
+              CAST(CASE WHEN prio IS NULL THEN 0.05 ELSE 0.02 END AS DOUBLE) AS fee_rate
+            FROM (SELECT DISTINCT nullif(o_orderpriority, '3-MEDIUM') AS prio
+                  FROM orders))
+      SELECT coalesce(o.prio, 'UNKNOWN') AS priority,
+             count(*) AS n_orders,
+             round(min(fee_rate), 2) AS fee_rate,
+             CAST(sum(CAST(round(o_totalprice * fee_rate * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS fee_total
+      FROM o JOIN r ON o.prio IS NOT DISTINCT FROM r.prio
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q92, q93, q94, q95, q96, q97, q98, q99, q100,
-    q101, q102, q103, q104, q105, q106, q119)
+    q101, q102, q103, q104, q105, q106, q119, q120, q121)
 }

@@ -257,4 +257,31 @@ class ScaleQueriesSpec extends SparkSpec {
       assert(k <= n / 10, s"${r.getString(0)}: $k of $n flagged — not an outlier rule")
     }
   }
+
+  test("q120: change classes partition the key universe exactly") {
+    val keys = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val inY = keys.filter(_ % 3 != 0).toSet
+    val inT = keys.filter(_ % 5 != 0).toSet
+    val expect = Map(
+      "added" -> (inT -- inY).size.toLong,
+      "removed" -> (inY -- inT).size.toLong,
+      "changed" -> (inY & inT).count(_ % 7 == 0).toLong,
+      "unchanged" -> (inY & inT).count(_ % 7 != 0).toLong)
+    val got = rows(ScaleQueries.q120.fn(spark, sf))
+      .map(r => r(0).asInstanceOf[String] -> r(1).asInstanceOf[Long]).toMap
+    assert(got == expect, s"got $got expected $expect")
+  }
+
+  test("q121: null-safe join keeps the NULL-key rows a plain join drops") {
+    val r = rows(ScaleQueries.q121.fn(spark, sf))
+    val nullKeyed = graft.Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "3-MEDIUM").count()
+    val unknown = r.find(_(0) == "UNKNOWN").get
+    assert(unknown(1).asInstanceOf[Long] == nullKeyed,
+      s"null-safe join lost NULL keys: ${unknown(1)} != $nullKeyed")
+    val total = r.map(_(1).asInstanceOf[Long]).sum
+    assert(total == graft.Tables.load(spark, sf, "orders").count(),
+      "null-safe join must cover every order exactly once")
+  }
 }
