@@ -846,6 +846,66 @@ object ScaleQueries {
       FROM o JOIN r ON o.prio IS NOT DISTINCT FROM r.prio
       GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------------------- q122
+
+  /** q122 — declarative data-quality suite (the Deequ pattern): each
+    * ingest gate is a rule — key uniqueness, referential integrity,
+    * completeness, range — evaluated as an aggregate and emitted as
+    * (rule, n_checked, n_violations, passed). A 100 TB deployment runs
+    * this before publishing a partition; every rule here is one linear
+    * scan or one shuffle:
+    *  - uniqueness: one groupBy on the key (count − distinct);
+    *  - referential: LEFT ANTI join, orphans only, same shape as the
+    *    bloom-prunable semi-join (q92) when the parent side is huge;
+    *  - completeness/range: map-side predicate counts that fuse into
+    *    any same-table scan.
+    */
+  val q122 = Q("q122_dq_checks",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      val uniq = o.agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
+        .select(lit("orderkey_unique").as("rule"), col("n_checked"), col("n_violations"))
+      val refI = l.join(o.select("o_orderkey"),
+          l("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(l.agg(count(lit(1)).as("n_checked")))
+        .select(lit("lineitem_fk_orders").as("rule"), col("n_checked"), col("n_violations"))
+      val compl = o.agg(count(lit(1)).as("n_checked"),
+          sum(when(col("o_orderpriority").isNull
+            || col("o_orderpriority") === "", 1L).otherwise(0L)).as("n_violations"))
+        .select(lit("priority_complete").as("rule"), col("n_checked"), col("n_violations"))
+      val range = l.agg(count(lit(1)).as("n_checked"),
+          sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
+            .otherwise(0L)).as("n_violations"))
+        .select(lit("discount_in_unit_range").as("rule"), col("n_checked"), col("n_violations"))
+      uniq.unionByName(refI).unionByName(compl).unionByName(range)
+        .withColumn("passed", col("n_violations") === 0L)
+        .orderBy("rule")
+    },
+    Some("""
+      WITH u AS (SELECT 'orderkey_unique' AS rule, count(*) AS n_checked,
+                        count(*) - count(DISTINCT o_orderkey) AS n_violations
+                 FROM orders),
+      f AS (SELECT 'lineitem_fk_orders' AS rule,
+                   (SELECT count(*) FROM lineitem) AS n_checked,
+                   count(*) AS n_violations
+            FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      c AS (SELECT 'priority_complete' AS rule, count(*) AS n_checked,
+                   sum(CASE WHEN o_orderpriority IS NULL OR o_orderpriority = ''
+                            THEN 1 ELSE 0 END) AS n_violations
+            FROM orders),
+      r AS (SELECT 'discount_in_unit_range' AS rule, count(*) AS n_checked,
+                   sum(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+                            THEN 1 ELSE 0 END) AS n_violations
+            FROM lineitem)
+      SELECT rule, n_checked, CAST(n_violations AS BIGINT) AS n_violations,
+             n_violations = 0 AS passed
+      FROM (SELECT * FROM u UNION ALL SELECT * FROM f
+            UNION ALL SELECT * FROM c UNION ALL SELECT * FROM r)
+      ORDER BY rule"""))
+
   val all: Seq[Q] = Seq(q92, q93, q94, q95, q96, q97, q98, q99, q100,
-    q101, q102, q103, q104, q105, q106, q119, q120, q121)
+    q101, q102, q103, q104, q105, q106, q119, q120, q121, q122)
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+
+  test("pageRank matches hand computation on a 3-node chain") {
+    import spark.implicits._
+    // a -> b -> c; c dangles. N=3, uniform start 1/3, d=0.85.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r1 = GraphOps.pageRank(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // round 1: dangling = 1/3
+    // a: 0.05 + 0.85*(0 + (1/3)/3)            = 0.14444...
+    // b: 0.05 + 0.85*(1/3 + (1/3)/3)          = 0.42777...
+    // c: same as b
+    assert(math.abs(r1(1L) - (0.05 + 0.85 / 9)) < 1e-9, s"a=${r1(1L)}")
+    assert(math.abs(r1(2L) - (0.05 + 0.85 * (4.0 / 9))) < 1e-9, s"b=${r1(2L)}")
+    assert(math.abs(r1(3L) - (0.05 + 0.85 * (4.0 / 9))) < 1e-9, s"c=${r1(3L)}")
+  }
+
+  test("pageRank conserves total mass across iterations") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    for (it <- Seq(1, 3, 5)) {
+      val mass = GraphOps.pageRank(edges, "src", "dst", iters = it)
+        .agg(sum("rank")).collect()(0).getDouble(0)
+      assert(math.abs(mass - 1.0) < 1e-6, s"mass $mass after $it iters")
+    }
+  }
+
+  test("pageRank round 1 agrees with the oracle-gated q110 step") {
+    val sf = "/root/testdata/sf0.001"
+    // q110's bipartite math keeps customer and supplier id spaces
+    // disjoint; the generic edge list must encode that (raw keys
+    // collide numerically), so customers map to 2k, suppliers to 2k+1
+    val edges = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val lib = GraphOps.pageRank(edges, "src", "dst", iters = 1)
+      .select(col("id"), round(col("rank"), 9).as("rank"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows(graft.queries.StatQueries.q110.fn(spark, sf)).foreach { row =>
+      val (s, rk) = (row(0).asInstanceOf[Long], row(2).asInstanceOf[Double])
+      assert(math.abs(lib(s * 2 + 1) - rk) <= 1e-9,
+        s"supplier $s: lib ${lib(s * 2 + 1)} vs q110 $rk")
+    }
+  }
+}
