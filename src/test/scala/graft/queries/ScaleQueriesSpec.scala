@@ -258,6 +258,15 @@ class ScaleQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q119: three grouping sets evaluate through one Expand and one shuffle") {
+    val plan = ScaleQueries.q119.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"no Expand node — sets not fused:\n$plan")
+    val aggShuffles = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("spark_grouping_id"))
+    assert(aggShuffles == 1,
+      s"expected exactly one grouping-id shuffle, found $aggShuffles:\n$plan")
+  }
+
   test("q120: change classes partition the key universe exactly") {
     val keys = graft.Tables.load(spark, sf, "orders")
       .select(col("o_orderkey")).collect().map(_.getLong(0))
