@@ -551,5 +551,147 @@ object StatQueries {
       WHERE sample_rank <= 5
       ORDER BY source, sample_rank"""))
 
-  val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117)
+  // --------------------------------------------------------------- q123
+
+  /** q123 — temporal split with embargo: train = events before the 80th
+    * time percentile, test = events after an embargo gap past it, the
+    * gap itself quarantined. Hash splits (q94) leak for time-series
+    * targets — a model must not train on the minute before its test
+    * window — so forecasting/trading/ops pipelines split on the clock
+    * with an embargo at least as long as the label horizon. One
+    * single-row percentile broadcast + map-side classification + a
+    * per-split rollup; the cutoff is data-derived, so reruns and
+    * backfills reproduce it exactly.
+    */
+  val q123 = Q("q123_temporal_split",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      val cut = e.agg(expr("percentile(us, 0.8)").as("cut"))
+      val embargoUs = 12L * 3600 * 1000000 // 12 hours
+      e.crossJoin(broadcast(cut))
+        .select(col("event_type"), col("value"),
+          when(col("us").cast("double") < col("cut"), "train")
+            .when(col("us").cast("double") >= col("cut") + lit(embargoUs.toDouble), "test")
+            .otherwise("embargo").as("split"))
+        .groupBy("split", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 1e4).cast("long")).cast("double") / 1e4)
+            .as("sum_value"))
+        .orderBy("split", "event_type")
+    },
+    Some("""
+      WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+      c AS (SELECT quantile_cont(us, 0.8) AS cut FROM e),
+      t AS (SELECT event_type, value,
+              CASE WHEN CAST(us AS DOUBLE) < cut THEN 'train'
+                   WHEN CAST(us AS DOUBLE) >= cut + 43200000000.0 THEN 'test'
+                   ELSE 'embargo' END AS split
+            FROM e CROSS JOIN c)
+      SELECT split, event_type, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
+               AS sum_value
+      FROM t GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // --------------------------------------------------------------- q124
+
+  /** q124 — k-anonymity risk report: group customers by their
+    * quasi-identifier tuple (market segment × nation) and report, per
+    * group-size band, how many individuals sit in groups smaller than
+    * k — the re-identification audit a dataset must pass before
+    * release. Two linear aggregations (tuple → size, size → band);
+    * the quasi-identifier cardinality bounds the intermediate, never
+    * the row count.
+    */
+  val q124 = Q("q124_k_anonymity",
+    (s, dir) => {
+      val k = 10L
+      Tables.load(s, dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("_gsz"))
+        .groupBy((col("_gsz") >= k).as("anonymous"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum("_gsz").as("n_individuals"),
+          min("_gsz").as("min_group"),
+          max("_gsz").as("max_group"))
+        .orderBy("anonymous")
+    },
+    Some("""
+      WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS gsz
+                 FROM customer GROUP BY 1, 2)
+      SELECT gsz >= 10 AS anonymous, count(*) AS n_groups,
+             CAST(sum(gsz) AS BIGINT) AS n_individuals,
+             min(gsz) AS min_group, max(gsz) AS max_group
+      FROM g GROUP BY 1 ORDER BY 1"""))
+
+  // --------------------------------------------------------------- q125
+
+  /** q125 — two-sample Kolmogorov–Smirnov distance between the first
+    * two sources' quality-score distributions: D = max |F_a − F_b| over
+    * the pooled sample. The distribution-shape companion to PSI (q111):
+    * PSI needs pre-chosen buckets, KS does not, so it catches shape
+    * drift between domains that bucketed tests smear out.
+    *
+    * Exact and scale-shaped: the sample first collapses to per-DISTINCT-
+    * VALUE counts (one linear shuffle; quality scores round to 1e-6 in
+    * [0,1], so the value table is bounded at ~1e6 rows regardless of
+    * corpus size — calendar-sized, like q118's day table), then the CDF
+    * running sums window over that bounded table. Evaluating F only at
+    * distinct values is also the correct tie semantics — per-row
+    * running counts would report inflated mid-tie prefixes. Counts are
+    * integers, so F_a − F_b is an exact rational and the max is
+    * order-independent; group sizes ride a one-row broadcast.
+    */
+  val q125 = Q("q125_ks_test",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"),
+          graft.operators.TextAnalysis
+            .qualityScore(col("text"), Seq("the", "a", "of", "and")).as("q"))
+      val byVal = docs.groupBy("q").agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("da"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("db"))
+      val sizes = docs.groupBy().agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("na"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("nb"))
+      val w = Window.orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byVal.crossJoin(broadcast(sizes))
+        .withColumn("_ca", sum("da").over(w))
+        .withColumn("_cb", sum("db").over(w))
+        .select((abs(col("_ca") * col("nb") - col("_cb") * col("na"))).as("_num"),
+          (col("na") * col("nb")).as("_den"))
+        .agg(max(col("_num")).as("_maxnum"), min("_den").as("_d"))
+        .select(round(col("_maxnum").cast("double") / col("_d"), 9).as("ks_distance"),
+          col("_maxnum").cast("long").as("ks_numerator"),
+          col("_d").cast("long").as("ks_denominator"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT source,
+               round(0.4 * least(1.0, len($duckTokens)::DOUBLE / 100.0)
+                 + 0.3 * (1.0 - round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(text), 6))
+                 + 0.3 * round(len(list_filter($duckTokens,
+                     x -> list_contains(['the','a','of','and'], x)))::DOUBLE
+                     / len($duckTokens), 6), 6) AS q
+        FROM documents WHERE source IN ('src0', 'src1')),
+      v AS (SELECT q,
+              sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS da,
+              sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS db
+            FROM d GROUP BY q),
+      z AS (SELECT sum(da) AS na, sum(db) AS nb FROM v),
+      c AS (SELECT q,
+              sum(da) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+              sum(db) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+            FROM v)
+      SELECT round(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE) / (min(na * nb)), 9)
+               AS ks_distance,
+             CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS ks_numerator,
+             CAST(min(na * nb) AS BIGINT) AS ks_denominator
+      FROM c CROSS JOIN z"""))
+
+  val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
+    q123, q124, q125)
 }

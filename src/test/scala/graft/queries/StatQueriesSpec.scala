@@ -254,6 +254,66 @@ class StatQueriesSpec extends SparkSpec {
       s"rank<=k window not compiled to WindowGroupLimit:\n$plan")
   }
 
+  test("q123: splits cover all events and respect the embargo gap") {
+    val r = rows(StatQueries.q123.fn(spark, sf))
+    val total = graft.Tables.load(spark, sf, "events").count()
+    assert(r.map(_(2).asInstanceOf[Long]).sum == total)
+    val bySplit = r.groupBy(_(0)).view.mapValues(_.map(_(2).asInstanceOf[Long]).sum).toMap
+    val trainFrac = bySplit("train").toDouble / total
+    assert(math.abs(trainFrac - 0.8) < 0.02, s"train fraction $trainFrac")
+    assert(bySplit.getOrElse("embargo", 0L) > 0, "12h embargo captured no events")
+    // the gap is real: no test event within 12h after the cutoff
+    val e = graft.Tables.load(spark, sf, "events")
+      .select(unix_micros(col("ts")).as("us"))
+    val cut = e.agg(expr("percentile(us, 0.8)")).collect()(0).getDouble(0)
+    val leaked = e.filter(col("us").cast("double") >= cut
+      && col("us").cast("double") < cut + 12L * 3600 * 1000000).count()
+    assert(bySplit("train") + bySplit("test") + leaked == total)
+  }
+
+  test("q124: anonymity bands partition every individual") {
+    val r = rows(StatQueries.q124.fn(spark, sf))
+    val total = graft.Tables.load(spark, sf, "customer").count()
+    assert(r.map(_(2).asInstanceOf[Long]).sum == total)
+    r.foreach { row =>
+      val (anon, mn, mx) = (row(0).asInstanceOf[Boolean],
+        row(3).asInstanceOf[Long], row(4).asInstanceOf[Long])
+      if (anon) assert(mn >= 10, s"anonymous band has group of $mn")
+      else assert(mx < 10, s"risky band has group of $mx")
+    }
+  }
+
+  test("q125: KS is zero on identical samples and large on planted shift") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    def ks(df: org.apache.spark.sql.DataFrame): Double = {
+      val byVal = df.groupBy("q").agg(
+        sum(when(col("g") === "a", 1L).otherwise(0L)).as("da"),
+        sum(when(col("g") === "b", 1L).otherwise(0L)).as("db"))
+      val sizes = df.groupBy().agg(
+        sum(when(col("g") === "a", 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === "b", 1L).otherwise(0L)).as("nb"))
+      val w = Window.orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byVal.crossJoin(broadcast(sizes))
+        .withColumn("_ca", sum("da").over(w))
+        .withColumn("_cb", sum("db").over(w))
+        .select((abs(col("_ca") * col("nb") - col("_cb") * col("na"))
+          .cast("double") / (col("na") * col("nb"))).as("d"))
+        .agg(max("d")).collect()(0).getDouble(0)
+    }
+    val base = (1 to 200).map(i => ("a", (i % 50).toDouble)) ++
+      (1 to 200).map(i => ("b", (i % 50).toDouble))
+    assert(ks(base.toDF("g", "q")) == 0.0, "identical samples must score 0")
+    val shifted = (1 to 200).map(i => ("a", (i % 50).toDouble)) ++
+      (1 to 200).map(i => ("b", (i % 50).toDouble + 25))
+    assert(ks(shifted.toDF("g", "q")) >= 0.5, "half-range shift must score >= 0.5")
+    // the gated query itself: a valid distance in [0, 1]
+    val r = rows(StatQueries.q125.fn(spark, sf))
+    val d = r.head.head.asInstanceOf[Double]
+    assert(d >= 0.0 && d <= 1.0, s"KS distance $d out of range")
+  }
+
   test("q114: one canonical per cluster, and it is the cluster's best doc") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val pairs = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
