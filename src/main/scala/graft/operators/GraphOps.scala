@@ -29,6 +29,91 @@ object GraphOps {
     * id. 100 TB web graphs run exactly this loop with the iteration
     * count (or a rank-delta threshold) as the knob.
     */
+  /** Connected components by alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", 2014) — the label-doubling algorithm that converges in
+    * O(log n) rounds regardless of component diameter, where
+    * [[Dedup.connectedComponents]]'s min-label propagation needs
+    * O(diameter) rounds. On web-scale near-dup graphs (quote chains,
+    * mirror families) diameters of hundreds are routine, so this is
+    * the 100 TB shape; the min-label version stays as the simpler
+    * oracle-shaped twin (specs pin both to the same output).
+    *
+    *  - large-star: each node u attaches every LARGER neighbor to
+    *    m(u) = min(Γ(u) ∪ {u})   — one symmetric groupBy + one join.
+    *  - small-star: with edges oriented child>parent, each u attaches
+    *    its smaller neighbors and itself to m(u) — one groupBy + join.
+    *
+    * Both steps keep edges oriented (child > parent) and strictly
+    * shrink the potential Σ depth; the fixpoint is a disjoint union of
+    * stars centered at component minima. Convergence is detected by an
+    * exact order-independent signature (edge count + XOR of per-edge
+    * xxhash64) and then SEALED by a full set-equality check
+    * (`except` both ways), so a signature collision can never return
+    * early with wrong labels — it just costs one more round.
+    *
+    * @return (id, cluster_id) for every id present in `pairs`;
+    *         cluster_id = smallest id in the component (identical
+    *         contract to [[Dedup.connectedComponents]]).
+    */
+  def connectedComponentsAlternating(pairs: DataFrame, aCol: String, bCol: String,
+                                     maxIter: Int = 50): DataFrame = {
+    val allNodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id")))
+      .distinct().localCheckpoint(false)
+    // canonical child>parent orientation; self-loops carry no
+    // connectivity (their nodes re-enter via allNodes at the end)
+    var edges = pairs
+      .select(col(aCol).as("x"), col(bCol).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+      .distinct().localCheckpoint(false)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("_mn"))
+        .select(col("u").as("_c"), least(col("_mn"), col("u")).as("m"))
+      sym.join(mins, sym("u") === col("_c"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      e.join(mins.select(col("u").as("_c"), col("m")), e("u") === col("_c"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val nextSig = signature(next)
+      if (nextSig == sig) {
+        // exact seal: the signature says fixpoint — prove it (both
+        // difference directions evaluated in one job)
+        converged = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
+      }
+      edges = next
+      sig = nextSig
+      i += 1
+    }
+    require(converged,
+      s"connectedComponentsAlternating did not converge in $maxIter rounds")
+    val labels = edges.select(col("u").as("id"), col("v").as("cluster_id"))
+    allNodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
                iters: Int, d: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")

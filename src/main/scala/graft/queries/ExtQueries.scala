@@ -1,0 +1,418 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.{Dedup, GraphOps}
+
+/** Round-4 batch — graph label-doubling, exact set-similarity join,
+  * regression / χ² / skyline / PMI statistics, and CDC apply:
+  *
+  *  - q126: connected components via alternating large-star/small-star
+  *    (O(log n) rounds — the web-scale replacement for q58's
+  *    O(diameter) min-label propagation, same output contract).
+  *  - q127: per-group OLS regression assembled from exact integer /
+  *    decimal moments (the q69 recipe extended to slope/intercept/r²).
+  *  - q128: EXACT Jaccard set-similarity join via prefix filtering
+  *    (PPJoin-style) — the deterministic complement to q36's
+  *    probabilistic LSH: no false negatives at any scale.
+  *  - q129: two-cohort χ² homogeneity test over a categorical column.
+  *  - q130: 2-D Pareto frontier (skyline) with the two-level banded
+  *    prefix-max — no single-partition global window.
+  *  - q131: PMI collocation mining (top bigrams by pointwise mutual
+  *    information), the classic phrase-discovery signal.
+  *  - q132: CDC apply / MERGE INTO — upserts, deletes, and inserts
+  *    folded into a snapshot in one keyed reduction.
+  *
+  * Determinism policy as elsewhere: exact integer/decimal accumulation
+  * for every multi-row sum, per-row double expressions shared verbatim
+  * with the oracle, fixed-point rounding before any cross-row double
+  * fold, total ORDER BY on each output.
+  */
+object ExtQueries {
+
+  private val duckTokens = "string_split_regex(trim(text), '\\s+')"
+
+  /** md5-derived 60-bit hash (mirrors Hashing.hash64 / MinhashKernel). */
+  private def duckHash64(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  // --------------------------------------------------------------- q126
+
+  /** q126 — near-dup clustering by alternating large-star/small-star
+    * connected components over the same LSH candidate pairs as q58.
+    * Same labels, different asymptotics: min-label propagation (q58)
+    * needs O(diameter) rounds — fine for shallow near-dup families,
+    * fatal for quote chains and mirror cascades — while the
+    * alternating algorithm contracts depth multiplicatively and
+    * converges in O(log n) rounds on ANY topology (see
+    * GraphOps.connectedComponentsAlternating; the deep-chain spec
+    * shows a graph where q58's default round budget throws and this
+    * converges in 4). The oracle is the q58 recursive CTE — both
+    * algorithms must land on identical cluster labels.
+    */
+  val q126 = Q("q126_cc_alternating",
+    (s, dir) => {
+      val pairs = Dedup.minhashLshPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 2, k = 12, rowsPerBand = 2, threshold = 0.2)
+      GraphOps.connectedComponentsAlternating(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ${DataQueries.duckMinhashPairCtes},
+      pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.2),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+      SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+      FROM reach GROUP BY id ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------- q127
+
+  /** q127 — per-group ordinary least squares (price ~ quantity per
+    * return flag): slope, intercept and r² assembled from six
+    * decomposable moments, the q69 discipline extended to the full
+    * regression family. Built-in regr_slope-style aggregates fold
+    * doubles in partition order (answer depends on partition count);
+    * here every moment is an exact integer/decimal sum — quantity is
+    * integral, price becomes floor-cents, squared terms ride
+    * DECIMAL(38,0) because Σy² at 100 TB row counts overflows a long —
+    * and the final assembly is one per-row double expression replayed
+    * verbatim by the oracle. One shuffle on a 3-value key.
+    */
+  val q127 = Q("q127_ols_regression",
+    (s, dir) => {
+      val b = Tables.load(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") * 100).cast("long").as("y"))
+      val m = b.groupBy("g").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+      val nd = col("n").cast("double"); val sxd = col("sx").cast("double")
+      val syd = col("sy").cast("double"); val sxxd = col("sxx").cast("double")
+      val sxyd = col("sxy").cast("double"); val syyd = col("syy").cast("double")
+      val covn = nd * sxyd - sxd * syd   // n·Σxy − Σx·Σy
+      val varx = nd * sxxd - sxd * sxd   // n·Σx² − (Σx)²
+      val vary = nd * syyd - syd * syd
+      m.select(col("g").as("l_returnflag"), col("n"),
+          round(covn / varx / 100.0, 6).as("slope"),
+          round((syd - covn / varx * sxd) / nd / 100.0, 6).as("intercept"),
+          round(covn * covn / (varx * vary), 6).as("r2"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH b AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+                        CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+                 FROM lineitem),
+      m AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x*x) AS sxx,
+                   sum(CAST(x*y AS DECIMAL(38,0))) AS sxy,
+                   sum(CAST(y*y AS DECIMAL(38,0))) AS syy
+            FROM b GROUP BY g),
+      d AS (SELECT g, n,
+                   CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+                   CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+            FROM m)
+      SELECT g AS l_returnflag, n,
+             round((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) / 100.0, 6) AS slope,
+             round((syd - (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) * sxd) / nd / 100.0, 6)
+               AS intercept,
+             round((nd*sxyd - sxd*syd) * (nd*sxyd - sxd*syd)
+                   / ((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)), 6) AS r2
+      FROM d ORDER BY l_returnflag"""))
+
+  // --------------------------------------------------------------- q128
+
+  /** q128 — exact set-similarity join (Jaccard ≥ 0.6 over distinct
+    * word-trigram shingle-hash sets) via prefix filtering, the PPJoin family
+    * (Xiao et al., WWW'08): order every document's tokens by global
+    * rarity (document frequency, then hash — a total order), keep only
+    * the first |s| − ⌈t·|s|⌉ + 1 rarest tokens as the "prefix", and
+    * generate candidates from shared prefix tokens only. Any pair with
+    * J ≥ t is guaranteed to share a prefix token, so unlike LSH (q36)
+    * there are NO false negatives — this is the exact join at scale.
+    * Candidates are verified with the native intersect-count kernel and
+    * an integer-exact threshold test (10·|∩| ≥ 6·|∪| — no float
+    * boundary hazard).
+    *
+    * Scale shape: token-frequency table is one linear agg; prefixes
+    * shrink the candidate key stream to the rare end of the vocabulary
+    * (stop words never generate candidates unless a document consists
+    * of nothing else); pair generation reuses Dedup.bucketPairs'
+    * in-bucket enumeration (no self-join recompute). The prefix length
+    * is computed in pure integer arithmetic so the same document gets
+    * the same prefix on every engine and partition layout.
+    */
+  val q128 = Q("q128_setsim_join",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(
+            call_function("graft_shingle_hash_list", col("text"), lit(3))).as("hs"))
+        .withColumn("sz", size(col("hs")))
+        .localCheckpoint(false) // referenced by df-count, prefix gen, and both verify joins
+      val tok = docs.select(col("doc_id"), explode(col("hs")).as("h"))
+      val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+      val pref = tok.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+        .join(docs.select("doc_id", "sz"), "doc_id")
+        .select(col("doc_id"),
+          explode(slice(transform(col("ord"), x => x.getField("h")),
+            lit(1), expr("cast(sz - ((sz * 6 + 9) div 10) + 1 as int)"))).as("ph"))
+      val cand = Dedup.bucketPairs(pref, "doc_id", Seq("ph"), maxBucket = Int.MaxValue)
+      cand
+        .join(docs.select(col("doc_id").as("id_a"), col("hs").as("ha"), col("sz").as("sa")), "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hb"), col("sz").as("sb")), "id_b")
+        .withColumn("_it", call_function("graft_intersect_count", col("ha"), col("hb")).cast("long"))
+        .filter(col("_it") * 10 >= (col("sa") + col("sb") - col("_it")) * 6)
+        .select(col("id_a"), col("id_b"),
+          round(col("_it").cast("double") / (col("sa") + col("sb") - col("_it")), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               END AS g
+             FROM t),
+      hh AS (SELECT doc_id,
+               list_distinct(list_transform(list_distinct(g),
+                 x -> ${duckHash64("x")} & ${Dedup.MinhashP})) AS hs
+             FROM sh),
+      e AS (SELECT doc_id, unnest(hs) AS h FROM hh),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id),
+      j AS (SELECT id_a, id_b,
+              len(list_intersect(x.hs, y.hs)) AS it,
+              len(x.hs) AS sa, len(y.hs) AS sb
+            FROM cand JOIN hh x ON id_a = x.doc_id JOIN hh y ON id_b = y.doc_id)
+      SELECT id_a, id_b,
+             round(CAST(it AS DOUBLE) / (sa + sb - it), 6) AS jaccard
+      FROM j WHERE 10 * it >= 6 * (sa + sb - it)
+      ORDER BY id_a, id_b"""))
+
+  // --------------------------------------------------------------- q129
+
+  /** q129 — χ² homogeneity test: do two user cohorts draw their events
+    * from the same event-type distribution? The categorical drift gate
+    * that complements q111's PSI (binned continuous) and q125's KS
+    * (continuous CDF). Cell counts are exact integers from one linear
+    * shuffle; every remaining relation is bounded by
+    * |cohorts|×|categories|, so marginals ride broadcast joins. Cell
+    * terms (o−e)²/e quantize to 1e-9 fixed-point longs before the
+    * cross-cell sum — the χ² statistic is partition-order independent.
+    */
+  val q129 = Q("q129_chi2_homogeneity",
+    (s, dir) => {
+      val cells = Tables.load(s, dir, "events")
+        .select(when(pmod(col("user_id"), lit(2)) === 0, "a").otherwise("b").as("cohort"),
+          col("event_type"))
+        .groupBy("cohort", "event_type").agg(count(lit(1)).as("c"))
+      val rowT = cells.groupBy("cohort").agg(sum("c").as("rt"))
+      val colT = cells.groupBy("event_type").agg(sum("c").as("ct"))
+      val tot = cells.groupBy().agg(sum("c").as("nn"))
+      val dof = rowT.groupBy().agg(count(lit(1)).as("_r"))
+        .crossJoin(colT.groupBy().agg(count(lit(1)).as("_k")))
+        .select(((col("_r") - 1) * (col("_k") - 1)).as("dof"))
+      val e = (col("rt") * col("ct")).cast("double") / col("nn")
+      val term = (col("c") - e) * (col("c") - e) / e
+      cells.join(broadcast(rowT), "cohort")
+        .join(broadcast(colT), "event_type")
+        .crossJoin(broadcast(tot))
+        .agg(sum(round(term * 1e9).cast("long")).as("_s"), max(col("nn")).as("n"))
+        .crossJoin(broadcast(dof))
+        .select(round(col("_s").cast("double") / 1e9, 6).as("chi2"),
+          col("dof"), col("n"))
+    },
+    Some("""
+      WITH cells AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS cohort,
+                            event_type, count(*) AS c
+                     FROM events GROUP BY 1, 2),
+      rt AS (SELECT cohort, sum(c) AS rt FROM cells GROUP BY cohort),
+      ct AS (SELECT event_type, sum(c) AS ct FROM cells GROUP BY event_type),
+      tot AS (SELECT sum(c) AS nn FROM cells),
+      dof AS (SELECT (count(DISTINCT cohort) - 1) * (count(DISTINCT event_type) - 1) AS dof
+              FROM cells),
+      terms AS (SELECT CAST(round(
+                  (c - CAST(rt.rt * ct.ct AS DOUBLE) / nn)
+                  * (c - CAST(rt.rt * ct.ct AS DOUBLE) / nn)
+                  / (CAST(rt.rt * ct.ct AS DOUBLE) / nn) * 1e9) AS BIGINT) AS q,
+                  nn
+                FROM cells JOIN rt USING (cohort) JOIN ct USING (event_type)
+                CROSS JOIN tot)
+      SELECT round(CAST(sum(q) AS DOUBLE) / 1e9, 6) AS chi2,
+             (SELECT dof FROM dof) AS dof,
+             CAST(max(nn) AS BIGINT) AS n
+      FROM terms"""))
+
+  // --------------------------------------------------------------- q130
+
+  /** q130 — 2-D Pareto frontier (skyline): the parts no other part
+    * beats on BOTH price (lower better) and size (higher better) —
+    * the multi-objective shortlist query (cheapest-per-capability,
+    * best-quality-per-cost corpus picks). Naive skyline is an
+    * all-pairs dominance anti-join; the sort-based form needs a
+    * running "best size so far" over ALL smaller prices — a global
+    * window, i.e. one partition. Here the global prefix-max splits
+    * into two levels (the q84 recipe): per-price reduction, then a
+    * 64-band banded running max (bands partition the window; the
+    * 64-row band-max table's own prefix scan is trivially small and
+    * broadcast back). Keep a price point iff its best size strictly
+    * beats everything cheaper.
+    */
+  val q130 = Q("q130_skyline",
+    (s, dir) => {
+      val g = Tables.load(s, dir, "part")
+        .groupBy(col("p_retailprice").as("price"))
+        .agg(max("p_size").as("p_size"))
+      val mm = g.groupBy().agg(min("price").as("_mn"), max("price").as("_mx"))
+      val banded = g.crossJoin(broadcast(mm))
+        .withColumn("_band",
+          when(col("_mx") > col("_mn"),
+            least(lit(63), floor((col("price") - col("_mn"))
+              / ((col("_mx") - col("_mn")) / 64)).cast("int")))
+            .otherwise(0))
+      val wIn = Window.partitionBy("_band").orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bandMax = banded.groupBy("_band").agg(max("p_size").as("_bmax"))
+      val wB = Window.orderBy("_band").rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = bandMax.select(col("_band"), max("_bmax").over(wB).as("_pmax"))
+      banded
+        .withColumn("_runmax", max("p_size").over(wIn))
+        .join(broadcast(prefix), Seq("_band"))
+        .filter(coalesce(col("p_size") > greatest(col("_runmax"), col("_pmax")), lit(true)))
+        .select(col("price"), col("p_size"))
+        .orderBy("price")
+    },
+    Some("""
+      WITH g AS (SELECT p_retailprice AS price, max(p_size) AS p_size
+                 FROM part GROUP BY 1)
+      SELECT price, p_size FROM g a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM g b
+        WHERE b.price <= a.price AND b.p_size >= a.p_size
+          AND (b.price < a.price OR b.p_size > a.p_size))
+      ORDER BY price"""))
+
+  // --------------------------------------------------------------- q131
+
+  /** q131 — PMI collocation mining: the top word bigrams by pointwise
+    * mutual information ln(p(x,y)/(p(x)p(y))) with a minimum-count
+    * support floor — the classic phrase/compound discovery signal
+    * (tokenizer merge seeding, stop-phrase lists, NER gazetteers).
+    * Unigram and bigram counts are two linear aggregations; the PMI
+    * assembles per-row from five exact integers in LOG space (the
+    * integer product c_xy·N² overflows a long at corpus scale, a sum
+    * of lns never does), totals ride a one-row broadcast, and the
+    * result is a TakeOrdered top-20 on the 6-dp-rounded score with a
+    * full lexicographic tiebreak.
+    */
+  val q131 = Q("q131_pmi_bigrams",
+    (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      val uni = toks.select(explode(col("w")).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("cx"))
+      val big = toks.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS x, w[i + 1] AS y))")).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 5)
+      val tot = uni.groupBy().agg(sum("cx").as("nn"))
+        .crossJoin(big.groupBy().agg(sum("cxy").as("mm")))
+      big
+        .join(uni.select(col("x"), col("cx")), "x")
+        .join(uni.select(col("x").as("y"), col("cx").as("cy")), "y")
+        .crossJoin(broadcast(tot))
+        .select(col("x"), col("y"), col("cxy"),
+          round(log(col("cxy").cast("double")) + lit(2.0) * log(col("nn").cast("double"))
+            - log(col("mm").cast("double")) - log(col("cx").cast("double"))
+            - log(col("cy").cast("double")), 6).as("pmi"))
+        .orderBy(desc("pmi"), col("x"), col("y"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      uni AS (SELECT unnest(w) AS x FROM t),
+      uc AS (SELECT x, count(*) AS cx FROM uni GROUP BY x),
+      bi AS (SELECT unnest(range(1, len(w))) AS i, w FROM t WHERE len(w) >= 2),
+      b AS (SELECT w[i] AS x, w[i+1] AS y FROM bi),
+      bc AS (SELECT x, y, count(*) AS cxy FROM b GROUP BY x, y HAVING count(*) >= 5),
+      tot AS (SELECT (SELECT sum(cx) FROM uc) AS nn, (SELECT sum(cxy) FROM bc) AS mm)
+      SELECT bc.x, bc.y, cxy,
+             round(ln(CAST(cxy AS DOUBLE)) + 2.0 * ln(CAST(nn AS DOUBLE))
+                   - ln(CAST(mm AS DOUBLE)) - ln(CAST(ux.cx AS DOUBLE))
+                   - ln(CAST(uy.cx AS DOUBLE)), 6) AS pmi
+      FROM bc JOIN uc ux ON bc.x = ux.x JOIN uc uy ON bc.y = uy.x
+      CROSS JOIN tot
+      ORDER BY pmi DESC, bc.x, bc.y LIMIT 20"""))
+
+  // --------------------------------------------------------------- q132
+
+  /** q132 — CDC apply / MERGE INTO: fold a change batch (updates,
+    * deletes, inserts — derived deterministically from the snapshot
+    * itself so the oracle can re-derive it) into a base snapshot in
+    * ONE keyed reduction: base rows enter at priority 0, change rows
+    * at priority 1, `max_by(struct, priority)` keeps the winner per
+    * key, delete tombstones drop out in a final filter. The inverse of
+    * q120 (which DERIVES a changeset by diffing snapshots). One
+    * shuffle on the key at any scale; no join of base against each
+    * change class separately.
+    */
+  val q132 = Q("q132_cdc_apply",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+          lit("KEEP").as("op"), lit(0).as("_pri"))
+      val o = Tables.load(s, dir, "orders")
+      val deletes = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+          lit("D").as("op"), lit(1).as("_pri"))
+      val updates = o.filter(pmod(col("o_orderkey"), lit(3)) === 0 && pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 100.0).as("o_totalprice"),
+          lit("U").as("o_orderstatus"), lit("U").as("op"), lit(1).as("_pri"))
+      val inserts = o.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_totalprice"),
+          lit("I").as("o_orderstatus"), lit("I").as("op"), lit(1).as("_pri"))
+      base.unionByName(deletes).unionByName(updates).unionByName(inserts)
+        .groupBy("o_orderkey")
+        .agg(max_by(struct(col("o_totalprice"), col("o_orderstatus"), col("op")),
+          col("_pri")).as("r"))
+        .filter(col("r.op") =!= "D")
+        .select(col("o_orderkey"), col("r.o_totalprice").as("o_totalprice"),
+          col("r.o_orderstatus").as("o_orderstatus"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0),
+      up AS (SELECT o_orderkey, o_totalprice + 100.0 AS p, 'U' AS st
+             FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0),
+      ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice, 'I' AS o_orderstatus
+              FROM orders WHERE o_orderkey % 11 = 0)
+      SELECT b.o_orderkey,
+             coalesce(u.p, b.o_totalprice) AS o_totalprice,
+             coalesce(u.st, b.o_orderstatus) AS o_orderstatus
+      FROM orders b LEFT JOIN up u USING (o_orderkey)
+      WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM del)
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM ins
+      ORDER BY o_orderkey"""))
+
+  val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132)
+}

@@ -32,6 +32,37 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsAlternating matches min-label CC on mixed topology") {
+    import spark.implicits._
+    val chain = (10L to 15L).map(i => (i, i + 1))
+    val pairs = (Seq((2L, 1L), (2L, 3L), (4L, 3L), (7L, 8L), (20L, 20L)) ++ chain)
+      .toDF("id_a", "id_b")
+    val alt = GraphOps.connectedComponentsAlternating(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ml = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt == ml, s"alternating $alt vs min-label $ml")
+    assert(alt(20L) == 20L) // self-loop-only node keeps its own label
+    assert(Seq(1L, 2L, 3L, 4L).forall(alt(_) == 1L))
+    assert((10L to 16L).forall(alt(_) == 10L))
+  }
+
+  test("connectedComponentsAlternating converges in O(log n) rounds on a deep chain") {
+    import spark.implicits._
+    // a 60-edge path: diameter 60. Min-label propagation needs 60
+    // rounds (its default 25-round budget throws — proving why the
+    // alternating form is the scale shape); large/small-star halves
+    // depth every round and converges inside a tight budget.
+    val deep = (100L to 160L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(deep, "id_a", "id_b")
+    }
+    val out = GraphOps.connectedComponentsAlternating(deep, "id_a", "id_b", maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 61 && (100L to 160L).forall(out(_) == 100L))
+  }
+
   test("pageRank round 1 agrees with the oracle-gated q110 step") {
     val sf = "/root/testdata/sf0.001"
     // q110's bipartite math keeps customer and supplier id spaces
