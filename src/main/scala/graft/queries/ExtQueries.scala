@@ -414,5 +414,176 @@ object ExtQueries {
       SELECT o_orderkey, o_totalprice, o_orderstatus FROM ins
       ORDER BY o_orderkey"""))
 
-  val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132)
+  // --------------------------------------------------------------- q133
+
+  /** q133 — one HITS iteration (hubs & authorities, Kleinberg) on the
+    * customer→supplier graph: from a uniform hub start, authority =
+    * in-degree, then each customer's hub score is the sum of its
+    * suppliers' authorities — the mutual-reinforcement unit step that
+    * complements q110's PageRank (random-walk centrality) with the
+    * bipartite relevance notion behind link-based quality weighting.
+    * Both propagation phases stay exact integers (counts and sums of
+    * counts); normalization is ONE per-row division by a broadcast
+    * single-row total, so nothing double-typed ever crosses a shuffle.
+    */
+  val q133 = Q("q133_hits_step",
+    (s, dir) => {
+      val edges = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+        .distinct()
+        .localCheckpoint(false) // two consumers: authority agg + hub join
+      val auth = edges.groupBy("dst").agg(count(lit(1)).as("a_num"))
+      val hub = edges.join(auth, Seq("dst"))
+        .groupBy("src").agg(sum("a_num").as("h_num"))
+      val denom = hub.groupBy().agg(sum("h_num").as("hd"))
+      hub.crossJoin(broadcast(denom))
+        .select(col("src").as("c_custkey"), col("h_num"),
+          round(col("h_num").cast("double") / col("hd"), 9).as("hub"))
+        .orderBy(desc("h_num"), col("c_custkey"))
+        .limit(20)
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      a AS (SELECT dst, count(*) AS a_num FROM e GROUP BY dst),
+      h AS (SELECT src, sum(a_num) AS h_num FROM e JOIN a USING (dst) GROUP BY src),
+      z AS (SELECT sum(h_num) AS hd FROM h)
+      SELECT src AS c_custkey, CAST(h_num AS BIGINT) AS h_num,
+             round(CAST(h_num AS DOUBLE) / hd, 9) AS hub
+      FROM h CROSS JOIN z
+      ORDER BY h_num DESC, c_custkey LIMIT 20"""))
+
+  // --------------------------------------------------------------- q134
+
+  /** q134 — exact AUC (area under the ROC curve) of the q34 quality
+    * score as a predictor of document provenance, computed WITHOUT
+    * sorting individual rows: AUC is the Mann-Whitney rank statistic,
+    * so it reduces to per-distinct-score (positives, negatives) counts
+    * plus a prefix sum over the bounded distinct-score table (the q125
+    * CDF recipe — scores are 6-dp-rounded, so the relation is bounded
+    * regardless of corpus size, and tie handling is exact: tied pairs
+    * contribute ½). The whole statistic stays an integer rational
+    * 2·Σ[neg·(2·cum_pos + pos)] / (2·(2·n_pos·n_neg)) until one final
+    * division — partition-order independent by construction.
+    */
+  val q134 = Q("q134_auc",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(graft.operators.TextAnalysis
+          .qualityScore(col("text"), Seq("the", "a", "of", "and")).as("score"),
+          (col("source") === "src0").as("pos"))
+      val byScore = d.groupBy("score").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("pc"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nc"))
+      val tot = byScore.groupBy().agg(sum("pc").as("np"), sum("nc").as("nn"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byScore
+        .withColumn("cpb", coalesce(sum("pc").over(w), lit(0L)))
+        .select((col("nc") * (lit(2) * col("cpb") + col("pc"))).as("term"))
+        .agg(sum("term").as("num2"))
+        .crossJoin(broadcast(tot))
+        .select(
+          round(col("num2").cast("double") / (lit(2.0) * col("np") * col("nn")), 9).as("auc"),
+          col("np"), col("nn"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT round(0.4 * least(1.0, len($duckTokens)::DOUBLE / 100.0)
+                 + 0.3 * (1.0 - round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(text), 6))
+                 + 0.3 * round(len(list_filter($duckTokens,
+                     x -> list_contains(['the','a','of','and'], x)))::DOUBLE
+                     / len($duckTokens), 6), 6) AS score,
+               source = 'src0' AS pos
+        FROM documents),
+      v AS (SELECT score,
+              sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pc,
+              sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS nc
+            FROM d GROUP BY score),
+      c AS (SELECT score, pc, nc,
+              coalesce(sum(pc) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cpb
+            FROM v),
+      z AS (SELECT sum(pc) AS np, sum(nc) AS nn FROM v)
+      SELECT round(CAST(sum(nc * (2 * cpb + pc)) AS DOUBLE) / (2.0 * np * nn), 9) AS auc,
+             CAST(np AS BIGINT) AS np, CAST(nn AS BIGINT) AS nn
+      FROM c CROSS JOIN z GROUP BY np, nn"""))
+
+  // --------------------------------------------------------------- q135
+
+  /** q135 — sequential path mining: the most common 3-step event-type
+    * paths users actually take (the behavioral n-gram behind funnel
+    * design and anomalous-flow detection). One user_id shuffle carries
+    * both window leads; the path relation is then a linear count
+    * aggregation over a key space bounded by |event_type|³. Row order
+    * within a user is made total with (ts, event_id), so the paths —
+    * and therefore the counts — are identical on every engine and
+    * partitioning.
+    */
+  val q135 = Q("q135_event_paths",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("e2").as("s2"), col("e3").as("s3"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("s1"), col("s2"), col("s3"))
+        .limit(10)
+    },
+    Some("""
+      WITH o AS (SELECT user_id, event_type,
+                   lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+                   lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+                 FROM events)
+      SELECT event_type AS s1, e2 AS s2, e3 AS s3, count(*) AS cnt
+      FROM o WHERE e3 IS NOT NULL
+      GROUP BY 1, 2, 3
+      ORDER BY cnt DESC, s1, s2, s3 LIMIT 10"""))
+
+  // --------------------------------------------------------------- q136
+
+  /** q136 — market-basket co-occurrence: how often two parts ship in
+    * the same order (the item-item similarity primitive behind
+    * co-view/co-purchase recommenders and complement detection). The
+    * naive form is a fact⋈fact self-join on the order key; here the
+    * per-order item lists are BOUNDED (basket size, ~7), so after one
+    * order-key shuffle the pair enumeration is a map-side array
+    * expansion — per-task work is O(basket²) with a small constant,
+    * never O(catalog²). The same boundedness argument is why this
+    * shape survives 100 TB order logs while the self-join's skewed
+    * popular-item fanout does not.
+    */
+  val q136 = Q("q136_basket_pairs",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
+        // singleton baskets produce no pairs — and sequence(1, 0)
+        // DESCENDS in Spark, so they must not reach the enumerator
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(slice(ids, i + 1, size(ids)),
+                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("pa"), col("pb"))
+        .limit(20)
+    },
+    Some("""
+      WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM i a JOIN i b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+      SELECT pa, pb, count(*) AS cnt FROM p
+      GROUP BY pa, pb ORDER BY cnt DESC, pa, pb LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132,
+    q133, q134, q135, q136)
 }
