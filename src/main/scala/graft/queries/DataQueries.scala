@@ -30,11 +30,11 @@ object DataQueries {
 
   /** Left-fold double dot product of two list columns — bit-identical
     * to Similarity.dot (both fold products in index order). */
-  private def duckDot(a: String, b: String): String =
+  private[queries] def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
-  private def duckCos(a: String, b: String): String =
+  private[queries] def duckCos(a: String, b: String): String =
     s"round(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
 
   /** md5-derived 60-bit hash (mirrors Hashing.hash64). */

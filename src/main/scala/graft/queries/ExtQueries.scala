@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.operators.{Dedup, GraphOps}
+import graft.operators.{Dedup, GraphOps, Similarity}
 
 /** Round-4 batch — graph label-doubling, exact set-similarity join,
   * regression / χ² / skyline / PMI statistics, and CDC apply:
@@ -584,6 +584,266 @@ object ExtQueries {
       SELECT pa, pb, count(*) AS cnt FROM p
       GROUP BY pa, pb ORDER BY cnt DESC, pa, pb LIMIT 20"""))
 
+  // --------------------------------------------------------------- q137
+
+  /** q137 — multi-probe hyperplane-LSH ANN: q41's single-bucket probe
+    * trades recall for speed; multi-probe (Lv et al., VLDB'07) buys
+    * most of that recall back WITHOUT extra hash tables by also
+    * searching the Hamming-1 neighbor buckets of the query's bucket —
+    * the buckets a near-neighbor most likely fell into when one
+    * hyperplane's sign flipped. The probe set (1 + planes buckets) is
+    * a per-QUERY constant: the scan side is still bucket-pruned,
+    * nothing about the index changes, and the candidate volume is
+    * bounded by 9 buckets instead of 1. Same plan-baked literal
+    * hyperplanes as q41, so the oracle replays the sign bits exactly.
+    */
+  val q137 = Q("q137_ann_multiprobe",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val planes = 8
+      val emb = Tables.load(s, dir, "embeddings")
+      val bucketed = emb.withColumn("_bucket",
+        Similarity.hyperplaneBucket(col("embedding"), 64, planes))
+      val probes = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("_qvec"),
+          Similarity.hyperplaneBucket(col("embedding"), 64, planes).as("_qb"))
+        .select(col("_qvec"), explode(array(
+          col("_qb") +: (0 until planes).map(p => col("_qb").bitwiseXOR(lit(1 << p))): _*)).as("_pb"))
+      bucketed.join(broadcast(probes), col("_bucket") === col("_pb"))
+        .select(col("vec_id"), Similarity.cosine(col("embedding"), col("_qvec")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some {
+      val bitExprs = (0 until 8).map { p =>
+        val planeLit = (1 to 64)
+          .map { d =>
+            val n = graft.functions.Hashing.hash64Local(s"plane$p:$d") % 2001 - 1000
+            s"(${n}.0/1000.0)"
+          }
+          .mkString("[", ",", "]")
+        s"""CASE WHEN list_reduce(list_transform(range(1, 65),
+           d -> CAST(embedding[d] AS DOUBLE) * ($planeLit[d])), (a, b) -> a + b) > 0
+           THEN ${1 << p} ELSE 0 END"""
+      }.mkString(" + ")
+      val probeList = "[qb" + (0 until 8).map(p => s", xor(qb, ${1 << p})").mkString + "]"
+      s"""
+      WITH b AS (SELECT vec_id, embedding, CAST($bitExprs AS INTEGER) AS bucket
+             FROM embeddings),
+      q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+      pb AS (SELECT qv, unnest($probeList) AS p FROM q)
+      SELECT vec_id, ${DataQueries.duckCos("embedding", "qv")} AS cos_sim
+      FROM b JOIN pb ON bucket = p
+      ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
+    })
+
+  // --------------------------------------------------------------- q138
+
+  /** q138 — time-windowed deduplication: the same (user, action) seen
+    * again inside the same clock hour counts once — the batch twin of
+    * StreamingOps.dedupWithinWatermark (retry storms, at-least-once
+    * delivery, double-fires). Keep-first is total-ordered by
+    * (ts, event_id) so the survivor is unique on any partitioning.
+    * One shuffle on the dedup key; the hour column rides the same
+    * shuffle — at 100 TB the window bound is also what keeps the
+    * per-key state finite (exactly the argument the streaming twin's
+    * watermark makes).
+    */
+  val q138 = Q("q138_windowed_dedup",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"), col("ts"))
+      graft.operators.Relational
+        .dedupKeepFirst(e, Seq("user_id", "event_type", "hr"), Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("hr"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH d AS (SELECT event_id, user_id, event_type,
+                   date_trunc('hour', ts) AS hr,
+                   row_number() OVER (PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                                      ORDER BY ts, event_id) AS rn
+                 FROM events)
+      SELECT event_id, user_id, event_type, hr
+      FROM d WHERE rn = 1 ORDER BY event_id"""))
+
+  // --------------------------------------------------------------- q139
+
+  /** q139 — seasonal-baseline anomaly report: per (event_type,
+    * day-of-week) mean and standard deviation of the event value, and
+    * how many events sit beyond the 2σ fence of THEIR OWN seasonal
+    * cell — the time-series data-quality gate that a global 3σ rule
+    * (q100) gets wrong when weekday and weekend regimes differ.
+    * Moments are exact: values quantize to 1e-6 fixed-point longs,
+    * squares accumulate in DECIMAL(38,0); the 35-cell profile rides a
+    * broadcast join back onto the stream for the flag pass. Two scans,
+    * one shuffle, no per-row state.
+    */
+  val q139 = Q("q139_seasonal_anomaly",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), weekday(col("ts")).as("dow"),
+          floor(col("value") * 1e6).cast("long").as("v"))
+      val prof = e.groupBy("event_type", "dow").agg(
+        count(lit(1)).as("n"), sum("v").as("sv"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 0))).as("svv"))
+      val nd = col("n").cast("double"); val svd = col("sv").cast("double")
+      val svvd = col("svv").cast("double")
+      val profD = prof.select(col("event_type"), col("dow"), col("n"),
+        (svd / nd).as("_mean_s"),
+        (sqrt(nd * svvd - svd * svd) / nd).as("_sd_s"))
+      e.join(broadcast(profD), Seq("event_type", "dow"))
+        .groupBy("event_type", "dow")
+        .agg(max("n").as("n"),
+          round(max("_mean_s") / 1e6, 6).as("mean_value"),
+          round(max("_sd_s") / 1e6, 6).as("sd_value"),
+          sum(when(abs(col("v").cast("double") - col("_mean_s"))
+            > lit(2.0) * col("_sd_s"), 1L).otherwise(0L)).as("n_anomalies"))
+        .orderBy("event_type", "dow")
+    },
+    Some("""
+      WITH e AS (SELECT event_type, isodow(ts) - 1 AS dow,
+                        CAST(floor(value * 1e6) AS BIGINT) AS v
+                 FROM events),
+      m AS (SELECT event_type, dow, count(*) AS n, sum(v) AS sv,
+                   sum(CAST(v*v AS DECIMAL(38,0))) AS svv
+            FROM e GROUP BY 1, 2),
+      p AS (SELECT event_type, dow, n,
+                   CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_s,
+                   sqrt(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / CAST(n AS DOUBLE) AS sd_s
+            FROM m)
+      SELECT e.event_type, e.dow, max(n) AS n,
+             round(max(mean_s) / 1e6, 6) AS mean_value,
+             round(max(sd_s) / 1e6, 6) AS sd_value,
+             sum(CASE WHEN abs(CAST(v AS DOUBLE) - mean_s) > 2.0 * sd_s
+                      THEN 1 ELSE 0 END) AS n_anomalies
+      FROM e JOIN p USING (event_type, dow)
+      GROUP BY e.event_type, e.dow
+      ORDER BY event_type, dow"""))
+
+  // --------------------------------------------------------------- q140
+
+  /** q140 — lag-1 autocorrelation of the hourly value series per event
+    * type: is the stream bursty (positive memory) or mean-reverting?
+    * The series itself is a bounded relation (one row per type×hour),
+    * built with one linear shuffle of exact 1e-6 fixed-point sums;
+    * the lag pairing is a window over that bounded series sharing the
+    * same event_type key, and the correlation assembles from q69-style
+    * exact moments (squares in DECIMAL(38,0) — hourly sums are already
+    * ~1e13 at this scale). Nothing about the shape changes when the
+    * raw stream is 100 TB: only the bounded series participates past
+    * the first aggregation.
+    */
+  val q140 = Q("q140_lag_autocorr",
+    (s, dir) => {
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+      val pairs = hourly
+        .withColumn("y", lag("x", 1).over(w))
+        .filter(col("y").isNotNull)
+      val m = pairs.groupBy("event_type").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+        // hourly fixed-point sums reach ~1e12 — the squares MUST move
+        // to decimal BEFORE the multiply or the long product overflows
+        sum(col("x").cast(DecimalType(19, 0)) * col("x").cast(DecimalType(19, 0))).as("sxx"),
+        sum(col("y").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0))).as("syy"),
+        sum(col("x").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0))).as("sxy"))
+      val nd = col("n_pairs").cast("double")
+      val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+      val sxxd = col("sxx").cast("double"); val syyd = col("syy").cast("double")
+      val sxyd = col("sxy").cast("double")
+      m.select(col("event_type"), col("n_pairs"),
+          round((nd * sxyd - sxd * syd)
+            / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)), 6)
+            .as("autocorr"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                        sum(CAST(floor(value * 1e6) AS BIGINT)) AS x
+                 FROM events GROUP BY 1, 2),
+      p AS (SELECT event_type, x,
+                   lag(x, 1) OVER (PARTITION BY event_type ORDER BY hr) AS y
+            FROM h),
+      m AS (SELECT event_type, count(*) AS n_pairs,
+                   sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+                   sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+                   sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
+            FROM p WHERE y IS NOT NULL GROUP BY event_type)
+      SELECT event_type, n_pairs,
+             round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS autocorr
+      FROM m ORDER BY event_type"""))
+
+  // --------------------------------------------------------------- q141
+
+  /** q141 — chunk-level (paragraph-style) dedup with reassembly: split
+    * every document into 20-token chunks, keep each distinct chunk's
+    * FIRST occurrence corpus-wide (total order (doc_id, ord)), and
+    * rebuild every document from its surviving chunks — the
+    * MassiveText/RefinedWeb "repeated paragraph removal" shape, where
+    * boilerplate (headers, footers, license blocks) vanishes from
+    * every copy but its first. Chunking is a map-side array expansion;
+    * the keep-first is ONE shuffle on the chunk text; reassembly is
+    * one doc_id shuffle with an in-group ordinal sort. Outputs per-doc
+    * chunk counts and the md5 of the reassembled text so the oracle
+    * pins the exact byte-level result without shipping megabytes.
+    */
+  val q141 = Q("q141_chunk_dedup",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      val chunks = docs.select(col("doc_id"), explode(expr(
+          """transform(sequence(0, cast((size(w) - 1) / 20 as int)),
+             i -> struct(i AS ord, array_join(slice(w, i * 20 + 1, 20), ' ') AS chunk))""")).as("c"))
+        .select(col("doc_id"), col("c.ord").as("ord"), col("c.chunk").as("chunk"))
+        .localCheckpoint(false) // two consumers: totals + keep-first
+      val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val kept = graft.operators.Relational
+        .dedupKeepFirst(chunks, Seq("chunk"), Seq(col("doc_id"), col("ord")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("ord"), col("chunk")))),
+            x => x.getField("chunk")), " ")).as("fp"))
+      totals.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("fp"), md5(lit(""))).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      ch AS (SELECT doc_id, unnest(range(0, ((len(w) - 1) // 20) + 1)) AS ord, w FROM t),
+      c2 AS (SELECT doc_id, ord,
+               array_to_string(list_transform(
+                 range(ord * 20 + 1, least(ord * 20 + 20, len(w)) + 1),
+                 j -> w[j]), ' ') AS chunk
+             FROM ch),
+      k AS (SELECT doc_id, ord, chunk,
+              row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ord) AS rn
+            FROM c2),
+      tot AS (SELECT doc_id, count(*) AS n_chunks FROM c2 GROUP BY doc_id),
+      ka AS (SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(chunk, ' ' ORDER BY ord)) AS fp
+             FROM k WHERE rn = 1 GROUP BY doc_id)
+      SELECT tot.doc_id, n_chunks,
+             coalesce(n_kept, 0) AS n_kept,
+             coalesce(fp, md5('')) AS fp
+      FROM tot LEFT JOIN ka USING (doc_id) ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141)
 }
