@@ -844,6 +844,203 @@ object ExtQueries {
              coalesce(fp, md5('')) AS fp
       FROM tot LEFT JOIN ka USING (doc_id) ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q142
+
+  /** q142 — quantile normalization (CDF rank transform): map each
+    * event value to its mid-rank quantile within its event type —
+    * (count_below + ½·count_equal)/n, the rank-gauss preprocessing
+    * step minus the gaussianization, and exactly the tie semantics of
+    * q134's AUC. Built windowless-over-rows: one linear count per
+    * (type, 1e-6-quantized value), a prefix sum over the bounded
+    * distinct-value relation, and a broadcast join back onto the
+    * (deterministically sampled) rows being normalized. The raw
+    * stream is touched twice, shuffled once.
+    */
+  val q142 = Q("q142_quantile_norm",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 1e6).cast("long").as("v"))
+      val counts = ev.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+      val n = counts.groupBy("event_type").agg(sum("c").as("n"))
+      val w = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cdf = counts
+        .withColumn("cb", coalesce(sum("c").over(w), lit(0L)))
+        .join(broadcast(n), "event_type")
+        .select(col("event_type"), col("v"),
+          ((col("cb") + lit(0.5) * col("c")) / col("n")).as("_q"))
+      val sample = ev.filter(pmod(col("event_id"), lit(997)) === 0)
+      broadcast(sample).join(cdf, Seq("event_type", "v"))
+        .select(col("event_id"), col("event_type"),
+          round(col("v") / 1e6, 6).as("value6"),
+          round(col("_q"), 9).as("qnorm"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH ev AS (SELECT event_id, event_type,
+                    CAST(floor(value * 1e6) AS BIGINT) AS v
+                  FROM events),
+      c AS (SELECT event_type, v, count(*) AS c FROM ev GROUP BY 1, 2),
+      z AS (SELECT event_type, sum(c) AS n FROM c GROUP BY event_type),
+      f AS (SELECT event_type, v,
+              (coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + 0.5 * c) / n AS q
+            FROM c JOIN z USING (event_type))
+      SELECT event_id, ev.event_type,
+             round(v / 1e6, 6) AS value6, round(q, 9) AS qnorm
+      FROM ev JOIN f USING (event_type, v)
+      WHERE event_id % 997 = 0
+      ORDER BY event_id"""))
+
+  // --------------------------------------------------------------- q143
+
+  /** q143 — label-centroid cosine similarity matrix: which embedding
+    * clusters are close (merge candidates, taxonomy drift, SemDedup's
+    * cell-adjacency question). Centroids use q45's exact fixed-point
+    * accumulation, so the |labels|×dims relation is bounded and
+    * deterministic; the all-pairs join then runs on a
+    * |labels|-row relation — bounded all-pairs is the legitimate kind.
+    * Cosine folds the component products left-to-right in both
+    * engines (the q65 discipline) — bit-exact without a kernel.
+    */
+  val q143 = Q("q143_centroid_sim",
+    (s, dir) => {
+      val cent = Tables.load(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("_pos", "_v")))
+        .groupBy(col("label"), (col("_pos") + 1).as("dim"))
+        .agg((sum(round(col("_v").cast("double") * 1e6).cast("long")).cast("double")
+          / count(col("_v")) / 1e6).as("cv"))
+      val vecs = cent.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x.getField("cv")).as("vec"))
+      val a = vecs.select(col("label").as("la"), col("vec").as("va"))
+      val b = vecs.select(col("label").as("lb"), col("vec").as("vb"))
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      a.crossJoin(broadcast(b))
+        .filter(col("la") < col("lb"))
+        .select(col("la"), col("lb"),
+          round(dot(col("va"), col("vb"))
+            / (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))), 6)
+            .as("cos_sim"))
+        .orderBy("la", "lb")
+    },
+    Some(s"""
+      WITH c AS (SELECT label, d AS dim,
+               CAST(sum(CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000000.0 AS cv
+             FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) ds
+             GROUP BY label, d),
+      v AS (SELECT label, list(cv ORDER BY dim) AS vec FROM c GROUP BY label)
+      SELECT a.label AS la, b.label AS lb,
+             ${DataQueries.duckCos("a.vec", "b.vec")} AS cos_sim
+      FROM v a JOIN v b ON a.label < b.label
+      ORDER BY la, lb"""))
+
+  // --------------------------------------------------------------- q144
+
+  /** q144 — leave-one-out target encoding: replace a categorical key
+    * with the mean target of OTHER rows sharing it, (S_cat − y)/(n−1)
+    * — the encoding that avoids self-leakage in gradient-boosting /
+    * linear feature pipelines. Per-category sums ride DECIMAL(28,6)
+    * (dsum) so S_cat is identical on any partitioning; the per-row
+    * subtraction and division are single double ops replayed by the
+    * oracle. One linear aggregation + a broadcast map-side join; the
+    * output is a deterministic key sample so the gate stays bounded.
+    */
+  val q144 = Q("q144_target_encode_loo",
+    (s, dir) => {
+      import graft.functions.ScalarFunctions.dsum
+      val o = Tables.load(s, dir, "orders")
+      val agg = o.groupBy("o_orderpriority").agg(
+        dsum(col("o_totalprice")).as("sd"), count(lit(1)).as("n"))
+      o.filter(pmod(col("o_orderkey"), lit(997)) === 0)
+        .join(broadcast(agg), "o_orderpriority")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          when(col("n") > 1,
+            round((col("sd") - col("o_totalprice")) / (col("n") - 1), 6))
+            .otherwise(lit(null)).as("loo_mean"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH a AS (SELECT o_orderpriority,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sd,
+                   count(*) AS n
+                 FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+             CASE WHEN n > 1
+                  THEN round((sd - o_totalprice) / (n - 1), 6)
+                  ELSE NULL END AS loo_mean
+      FROM orders o JOIN a USING (o_orderpriority)
+      WHERE o_orderkey % 997 = 0
+      ORDER BY o_orderkey"""))
+
+  // --------------------------------------------------------------- q145
+
+  /** q145 — degree-distribution power-law fit: out-degree histogram of
+    * the customer→supplier graph, then OLS of ln(frequency) on
+    * ln(degree) — the α-exponent diagnostic that decides whether a
+    * graph needs skew handling (hub-heavy power-law ⇒ salting /
+    * hot-key splitting; q97's per-key report answers WHICH keys, this
+    * answers WHETHER the topology makes them inevitable). Two linear
+    * aggregations collapse the graph to a ≤max-degree-row relation;
+    * lns quantize to 1e-6 longs (the q57/q77 recipe) so every moment
+    * is an exact integer; the fit assembles per-row like q127.
+    */
+  val q145 = Q("q145_degree_powerlaw",
+    (s, dir) => {
+      val deg = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+        .distinct()
+        .groupBy("src").agg(count(lit(1)).as("d"))
+      val freq = deg.groupBy("d").agg(count(lit(1)).as("f"))
+        .select(round(log(col("d").cast("double")) * 1e6).cast("long").as("lx"),
+          round(log(col("f").cast("double")) * 1e6).cast("long").as("ly"))
+      val m = freq.groupBy().agg(
+        count(lit(1)).as("n"), sum("lx").as("sx"), sum("ly").as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("ly") * col("ly")).as("syy"),
+        sum(col("lx") * col("ly")).as("sxy"))
+      val nd = col("n").cast("double")
+      val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+      val sxxd = col("sxx").cast("double"); val syyd = col("syy").cast("double")
+      val sxyd = col("sxy").cast("double")
+      val covn = nd * sxyd - sxd * syd
+      val varx = nd * sxxd - sxd * sxd
+      val vary = nd * syyd - syd * syd
+      m.select(col("n").as("n_points"),
+        round(covn / varx, 6).as("slope"),
+        round((syd - covn / varx * sxd) / nd / 1e6, 6).as("intercept"),
+        round(covn * covn / (varx * vary), 6).as("r2"))
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      dg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      fr AS (SELECT CAST(round(ln(CAST(d AS DOUBLE)) * 1e6) AS BIGINT) AS lx,
+                    CAST(round(ln(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS ly
+             FROM dg GROUP BY d),
+      m AS (SELECT count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
+                   sum(lx*lx) AS sxx, sum(ly*ly) AS syy, sum(lx*ly) AS sxy
+            FROM fr),
+      d AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+                   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                   CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+                   CAST(sxy AS DOUBLE) AS sxyd
+            FROM m)
+      SELECT n AS n_points,
+             round((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd), 6) AS slope,
+             round((syd - (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) * sxd) / nd / 1e6, 6)
+               AS intercept,
+             round((nd*sxyd - sxd*syd) * (nd*sxyd - sxd*syd)
+                   / ((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)), 6) AS r2
+      FROM d"""))
+
   val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139, q140, q141)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141,
+    q142, q143, q144, q145)
 }
