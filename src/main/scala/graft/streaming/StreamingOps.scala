@@ -91,6 +91,27 @@ object StreamingOps {
                     keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Stream-static temporal (SCD2) lookup: each streaming row joined
+    * to the dimension VERSION current at its event time — the dim
+    * carries [fromCol, toCol) validity intervals (toCol NULL = open,
+    * the q95 SCD2 build's output shape). This is the correct streaming
+    * twin of a batch as-of join when the dimension is slowly changing:
+    * `enrichWithDim` would stamp every event with TODAY's version,
+    * silently rewriting history on replay. The static side
+    * re-broadcasts per micro-batch (new dim versions picked up between
+    * triggers) and the join keeps no state — the interval predicate is
+    * evaluated map-side against the broadcast table, so the stream
+    * side neither shuffles nor watermarks for this join.
+    */
+  def enrichAsOf(stream: DataFrame, dim: DataFrame, key: String,
+                 tsCol: String, fromCol: String, toCol: String): DataFrame = {
+    val s = stream.alias("s")
+    val d = dim.alias("d")
+    s.join(broadcast(d),
+      expr(s"s.$key = d.$key AND s.$tsCol >= d.$fromCol " +
+        s"AND (d.$toCol IS NULL OR s.$tsCol < d.$toCol)"), "left")
+  }
+
   /** Stream-stream interval join: rows of `left` matched to same-key
     * rows of `right` whose event time falls in [left.ts, left.ts +
     * maxDelay]. BOTH sides carry watermarks and the join condition

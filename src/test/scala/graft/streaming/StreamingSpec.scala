@@ -111,6 +111,42 @@ class StreamingSpec extends SparkSpec {
       rows(StreamingOps.enrichWithDim(events, dim, Seq("user_id")).orderBy("user_id")))
   }
 
+  test("stream-static SCD2 as-of enrichment stamps each event with its era's version") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-asof-stream").toFile
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00"), // before the tier change -> v1
+      (1L, "2024-03-01 10:00:00"), // after -> v2
+      (2L, "2024-02-01 10:00:00"), // user with one open version -> v1
+      (3L, "2024-02-01 10:00:00")) // no dim row -> null tier
+      .toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val dim = Seq(
+      (1L, "bronze", "2023-01-01 00:00:00", "2024-02-01 00:00:00"),
+      (1L, "gold", "2024-02-01 00:00:00", null),
+      (2L, "silver", "2023-01-01 00:00:00", null))
+      .toDF("user_id", "tier", "f", "t")
+      .select(col("user_id"), col("tier"),
+        col("f").cast("timestamp").as("valid_from"),
+        col("t").cast("timestamp").as("valid_to"))
+
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val enriched = StreamingOps.enrichAsOf(stream, dim, "user_id",
+      "ts", "valid_from", "valid_to")
+      .select(col("s.user_id").as("user_id"), col("ts"), col("tier"))
+    val out = StreamingOps.runAvailableNow(enriched, "asof_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("user_id", "ts")
+    val got = out.select("user_id", "tier").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "bronze"), (1L, "gold"), (2L, "silver"), (3L, null)))
+    // and the streaming result is exactly the batch interval join
+    val batch = StreamingOps.enrichAsOf(events, dim, "user_id",
+      "ts", "valid_from", "valid_to")
+      .select(col("s.user_id").as("user_id"), col("ts"), col("tier"))
+      .orderBy("user_id", "ts")
+    assertRowsEqual(rows(out), rows(batch))
+  }
+
   test("stream-stream interval join matches purchases within the delay window only") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ssjoin-stream").toFile
