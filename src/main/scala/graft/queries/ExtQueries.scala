@@ -1040,7 +1040,159 @@ object ExtQueries {
                    / ((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)), 6) AS r2
       FROM d"""))
 
+  // --------------------------------------------------------------- q146
+
+  /** q146 — reciprocal-rank fusion of two retrievers: the standard
+    * hybrid-search combiner (score = Σ 1/(60+rank) over the lists the
+    * item appears in). Ranker A is exact cosine against the query
+    * vector (q39); ranker B is cosine over int8-dequantized vectors
+    * (q65's compression path) — precisely the "cheap index list vs
+    * exact rerank list" pair a production retrieval stack fuses. Each
+    * retriever contributes only its top-100 via TakeOrderedAndProject;
+    * ranks come from windows over those BOUNDED 100-row shortlists
+    * (never the corpus), and the fusion is a full-outer join of two
+    * 100-row relations. Rank arithmetic is exact integers; 1/(60+r)
+    * is a per-row double replayed by the oracle.
+    */
+  val q146 = Q("q146_rrf_fusion",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      def foldDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      val emb = Tables.load(s, dir, "embeddings")
+      val dq = {
+        val sc = Similarity.int8Scale(col("embedding"))
+        transform(Similarity.quantizeInt8(col("embedding"), sc),
+          x => x.cast("double") * sc)
+      }
+      val corpus = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"), dq.as("_dq"))
+      val qrow = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("_qv"), dq.as("_qdq"))
+      val scored = corpus.crossJoin(broadcast(qrow))
+      val topA = scored
+        .select(col("vec_id"), Similarity.cosine(col("embedding"), col("_qv")).as("cs"))
+        .orderBy(desc("cs"), col("vec_id")).limit(100)
+        .withColumn("ra", row_number().over(Window.orderBy(desc("cs"), col("vec_id"))))
+        .select(col("vec_id"), col("ra").cast("long").as("ra"))
+      val topB = scored
+        .select(col("vec_id"),
+          round(foldDot(col("_dq"), col("_qdq"))
+            / (sqrt(foldDot(col("_dq"), col("_dq"))) * sqrt(foldDot(col("_qdq"), col("_qdq")))), 6)
+            .as("cs"))
+        .orderBy(desc("cs"), col("vec_id")).limit(100)
+        .withColumn("rb", row_number().over(Window.orderBy(desc("cs"), col("vec_id"))))
+        .select(col("vec_id"), col("rb").cast("long").as("rb"))
+      topA.join(topB, Seq("vec_id"), "full_outer")
+        .select(col("vec_id"), col("ra"), col("rb"),
+          round(coalesce(lit(1.0) / (lit(60) + col("ra")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)), 9).as("rrf"))
+        .orderBy(desc("rrf"), col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""
+      WITH q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      a AS (SELECT vec_id, ${DataQueries.duckCos("embedding", "qv")} AS cs
+            FROM embeddings CROSS JOIN q0 WHERE vec_id <> 0),
+      ta0 AS (SELECT vec_id, cs FROM a ORDER BY cs DESC, vec_id LIMIT 100),
+      ta AS (SELECT vec_id, row_number() OVER (ORDER BY cs DESC, vec_id) AS ra FROM ta0),
+      sc AS (SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+             FROM embeddings),
+      d AS (SELECT e.vec_id,
+              list_transform(e.embedding,
+                x -> CAST(CAST(round(CAST(x AS DOUBLE) / s) AS INTEGER) AS DOUBLE) * s) AS dq
+            FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id),
+      qd AS (SELECT dq AS qdq FROM d WHERE vec_id = 0),
+      b AS (SELECT vec_id,
+              round(${DataQueries.duckDot("dq", "qdq")}
+                / (sqrt(${DataQueries.duckDot("dq", "dq")})
+                   * sqrt(${DataQueries.duckDot("qdq", "qdq")})), 6) AS cs
+            FROM d CROSS JOIN qd WHERE vec_id <> 0),
+      tb0 AS (SELECT vec_id, cs FROM b ORDER BY cs DESC, vec_id LIMIT 100),
+      tb AS (SELECT vec_id, row_number() OVER (ORDER BY cs DESC, vec_id) AS rb FROM tb0),
+      f AS (SELECT coalesce(ta.vec_id, tb.vec_id) AS vec_id,
+                   CAST(ra AS BIGINT) AS ra, CAST(rb AS BIGINT) AS rb
+            FROM ta FULL JOIN tb ON ta.vec_id = tb.vec_id)
+      SELECT vec_id, ra, rb,
+             round(coalesce(1.0 / (60 + ra), 0.0) + coalesce(1.0 / (60 + rb), 0.0), 9) AS rrf
+      FROM f ORDER BY rrf DESC, vec_id LIMIT 10"""))
+
+  // --------------------------------------------------------------- q147
+
+  /** q147 — the hashing trick (feature hashing): bag-of-words folded
+    * into a fixed 64-dim signed vector — dim = token_hash mod 64, sign
+    * from the next hash bit — the unbounded-vocabulary-to-fixed-width
+    * step that makes per-token feature engineering possible without a
+    * fitted vocabulary (and therefore without a second pass) at
+    * 100 TB. Map-only until one (doc, dim) count shuffle; the doc
+    * sample is pushed into the scan (the filter prunes 99% of rows
+    * BEFORE any work). Output is the sparse (doc, dim, weight)
+    * relation itself.
+    */
+  val q147 = Q("q147_feature_hash",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id"),
+          explode(call_function("graft_shingle_hash_list", col("text"), lit(1))).as("uh"))
+        .select(col("doc_id"), pmod(col("uh"), lit(64)).as("dim"),
+          when(pmod(expr("uh div 64"), lit(2)) === 0, 1L).otherwise(-1L).as("sgn"))
+        .groupBy("doc_id", "dim").agg(sum("sgn").as("weight"))
+        .filter(col("weight") =!= 0)
+        .orderBy("doc_id", "dim")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents
+                 WHERE doc_id % 97 = 0),
+      tok AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(w)+1),
+                  i -> ${duckHash64("w[i]")} & ${Dedup.MinhashP})) AS uh
+              FROM t)
+      SELECT doc_id, uh % 64 AS dim,
+             sum(CASE WHEN (uh // 64) % 2 = 0 THEN 1 ELSE -1 END) AS weight
+      FROM tok GROUP BY doc_id, dim
+      HAVING sum(CASE WHEN (uh // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+      ORDER BY doc_id, dim"""))
+
+  // --------------------------------------------------------------- q148
+
+  /** q148 — vocabulary growth curve over ingest order: new-vs-seen
+    * distinct tokens per ingest batch and the cumulative vocabulary —
+    * the Heaps-law diagnostic that tells a corpus pipeline whether
+    * more data still buys new language or just repeats (and sizes the
+    * tokenizer's OOV budget). First-seen is ONE min-reduction on the
+    * token hash (combiner-friendly, no per-batch rescan of history);
+    * the cumulative sum runs over the bounded per-batch relation.
+    */
+  val q148 = Q("q148_vocab_growth",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val first = Tables.load(s, dir, "documents")
+        .select(expr("doc_id div 250").as("batch"),
+          explode(call_function("graft_shingle_hash_list", col("text"), lit(1))).as("uh"))
+        .groupBy("uh").agg(min("batch").as("batch"))
+      val w = Window.orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      first.groupBy("batch").agg(count(lit(1)).as("new_tokens"))
+        .withColumn("cum_tokens", sum("new_tokens").over(w))
+        .orderBy("batch")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      tok AS (SELECT doc_id // 250 AS batch,
+                unnest(list_transform(range(1, len(w)+1),
+                  i -> ${duckHash64("w[i]")} & ${Dedup.MinhashP})) AS uh
+              FROM t),
+      fs AS (SELECT uh, min(batch) AS batch FROM tok GROUP BY uh),
+      nb AS (SELECT batch, count(*) AS new_tokens FROM fs GROUP BY batch)
+      SELECT batch, new_tokens,
+             sum(new_tokens) OVER (ORDER BY batch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM nb ORDER BY batch"""))
+
   val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q144, q145)
+    q142, q143, q144, q145, q146, q147, q148)
 }
