@@ -526,9 +526,11 @@ object ExtQueries {
     (s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       Tables.load(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("e2", lead("event_type", 1).over(w))
-        .withColumn("e3", lead("event_type", 2).over(w))
+        // one select ⇒ one Window node (chained withColumn leaves two
+        // Window operators that CollapseWindow does not always merge)
+        .select(col("event_type"),
+          lead("event_type", 1).over(w).as("e2"),
+          lead("event_type", 2).over(w).as("e3"))
         .filter(col("e3").isNotNull)
         .groupBy(col("event_type").as("s1"), col("e2").as("s2"), col("e3").as("s3"))
         .agg(count(lit(1)).as("cnt"))

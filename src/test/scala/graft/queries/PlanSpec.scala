@@ -144,6 +144,39 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q128: exact similarity join has no cartesian/nested-loop node (prefix filter, not all-pairs)") {
+    val df = ExtQueries.q128.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q136: basket co-occurrence is join-free (bounded array expansion, no fact self-join)") {
+    val df = ExtQueries.q136.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q135: both path leads share one window (one user shuffle, not two)") {
+    val df = ExtQueries.q135.fn(spark, sf)
+    df.collect()
+    // AQE's rendering repeats the tree under "== Initial Plan ==" —
+    // count Window nodes in the final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows == 1, s"expected 1 Window node, got $windows\n$plan")
+  }
+
+  test("q144: target-encoding lookup is a broadcast join (fact side never shuffles)") {
+    val df = ExtQueries.q144.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q38/q40: no join keyed only on a block column (the quadratic shape)") {
     // AQE buries join nodes inside leaf QueryStageExec wrappers, so
     // inspect the rendered tree: every equi-join's key list must name
