@@ -1194,7 +1194,177 @@ object ExtQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
       FROM nb ORDER BY batch"""))
 
+  // --------------------------------------------------------------- q149
+
+  /** q149 — Spearman rank correlation (tie-corrected) between quantity
+    * and discount: Pearson over AVERAGE ranks, the robust monotone-
+    * dependence measure that q69's Pearson misreads under skew or
+    * outliers. No row ever gets sorted: average ranks come from the
+    * bounded distinct-value tables (rank(v) = count_below + (c+1)/2 —
+    * the q134/q142 CDF recipe), doubled to stay integral (2·rank =
+    * 2·cb + c + 1; Pearson is affine-invariant so ρ is unchanged).
+    * Rows pick up their rank pair through two broadcast joins
+    * (distinct-value tables are tiny), and the moments follow q140's
+    * pre-multiply DECIMAL(19,0) discipline.
+    */
+  val q149 = Q("q149_spearman",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_discount") * 100).cast("long").as("y"))
+      def ranks(c: String) = {
+        val w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
+        li.groupBy(c).agg(count(lit(1)).as("_c"))
+          .withColumn("_cb", coalesce(sum("_c").over(w), lit(0L)))
+          .select(col(c), (lit(2) * col("_cb") + col("_c") + 1).as(s"r$c"))
+      }
+      val ranked = li
+        .join(broadcast(ranks("x")), "x")
+        .join(broadcast(ranks("y")), "y")
+      val m = ranked.groupBy().agg(
+        count(lit(1)).as("n"),
+        sum(col("rx").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("ry").cast(DecimalType(38, 0))).as("sy"),
+        sum(col("rx").cast(DecimalType(19, 0)) * col("rx").cast(DecimalType(19, 0))).as("sxx"),
+        sum(col("ry").cast(DecimalType(19, 0)) * col("ry").cast(DecimalType(19, 0))).as("syy"),
+        sum(col("rx").cast(DecimalType(19, 0)) * col("ry").cast(DecimalType(19, 0))).as("sxy"))
+      val nd = col("n").cast("double")
+      val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+      val sxxd = col("sxx").cast("double"); val syyd = col("syy").cast("double")
+      val sxyd = col("sxy").cast("double")
+      m.select(col("n"),
+        round((nd * sxyd - sxd * syd)
+          / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)), 6)
+          .as("spearman_rho"))
+    },
+    Some("""
+      WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                        CAST(round(l_discount * 100) AS BIGINT) AS y
+                 FROM lineitem),
+      rx AS (SELECT x, 2 * coalesce(sum(count(*)) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + count(*) + 1 AS rx
+             FROM b GROUP BY x),
+      ry AS (SELECT y, 2 * coalesce(sum(count(*)) OVER (ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + count(*) + 1 AS ry
+             FROM b GROUP BY y),
+      r AS (SELECT rx, ry FROM b JOIN rx USING (x) JOIN ry USING (y)),
+      m AS (SELECT count(*) AS n,
+                   sum(CAST(rx AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(ry AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(rx AS DECIMAL(19,0)) * CAST(rx AS DECIMAL(19,0))) AS sxx,
+                   sum(CAST(ry AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0))) AS syy,
+                   sum(CAST(rx AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0))) AS sxy
+            FROM r)
+      SELECT n,
+             round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS spearman_rho
+      FROM m"""))
+
+  // --------------------------------------------------------------- q150
+
+  /** q150 — information gain of a categorical feature for a label:
+    * IG = H(source) − H(source | lang) from the contingency counts —
+    * the split criterion of every decision tree and the feature-
+    * selection score for categorical columns. One (lang, source)
+    * count shuffle collapses the corpus; every entropy term is the
+    * q107 fixed-point Σ c·ln(c) over BOUNDED relations, so the result
+    * is exact and partition-order independent. H(label|feature) uses
+    * the identity N·H_cond = Σ_f N_f·ln(N_f) − Σ_{f,c} c·ln(c) — no
+    * per-feature division until the single final expression.
+    */
+  val q150 = Q("q150_info_gain",
+    (s, dir) => {
+      val cells = Tables.load(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // three rollups below share it
+      def slnl(c: org.apache.spark.sql.Column) =
+        sum(round(log(c.cast("double")) * 1e6).cast("long") * c)
+      val byLabel = cells.groupBy("source").agg(sum("c").as("cl"))
+        .groupBy().agg(sum("cl").as("n"), slnl(col("cl")).as("sl"))
+      val byFeat = cells.groupBy("lang").agg(sum("c").as("cf"))
+        .groupBy().agg(slnl(col("cf")).as("sf"))
+      val byCell = cells.groupBy().agg(slnl(col("c")).as("sc"))
+      byLabel.crossJoin(byFeat).crossJoin(byCell)
+        .select(col("n"),
+          round(log(col("n").cast("double"))
+            - col("sl").cast("double") / col("n") / 1e6, 6).as("h_label"),
+          round((col("sf").cast("double") - col("sc").cast("double"))
+            / col("n") / 1e6, 6).as("h_cond"),
+          round((log(col("n").cast("double"))
+            - col("sl").cast("double") / col("n") / 1e6)
+            - ((col("sf").cast("double") - col("sc").cast("double"))
+              / col("n") / 1e6), 6).as("info_gain"))
+    },
+    Some("""
+      WITH cells AS (SELECT lang, source, count(*) AS c
+                     FROM documents GROUP BY 1, 2),
+      bl AS (SELECT sum(cl) AS n,
+                    sum(CAST(round(ln(CAST(cl AS DOUBLE)) * 1e6) AS BIGINT) * cl) AS sl
+             FROM (SELECT source, sum(c) AS cl FROM cells GROUP BY source)),
+      bf AS (SELECT sum(CAST(round(ln(CAST(cf AS DOUBLE)) * 1e6) AS BIGINT) * cf) AS sf
+             FROM (SELECT lang, sum(c) AS cf FROM cells GROUP BY lang)),
+      bc AS (SELECT sum(CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) * c) AS sc
+             FROM cells)
+      SELECT n,
+             round(ln(CAST(n AS DOUBLE)) - CAST(sl AS DOUBLE) / n / 1e6, 6) AS h_label,
+             round((CAST(sf AS DOUBLE) - CAST(sc AS DOUBLE)) / n / 1e6, 6) AS h_cond,
+             round((ln(CAST(n AS DOUBLE)) - CAST(sl AS DOUBLE) / n / 1e6)
+                   - ((CAST(sf AS DOUBLE) - CAST(sc AS DOUBLE)) / n / 1e6), 6) AS info_gain
+      FROM bl CROSS JOIN bf CROSS JOIN bc"""))
+
+  // --------------------------------------------------------------- q151
+
+  /** q151 — join-size profile WITHOUT running the join: |A⋈B| on a key
+    * equals Σ_k cA(k)·cB(k) over per-key counts — the cardinality
+    * estimate a planner needs to choose broadcast vs shuffle vs salt,
+    * computed from two linear aggregations and a join of the (much
+    * smaller) count relations. Also surfaces the heaviest key and its
+    * fanout product — the q97-style skew evidence — and the exact
+    * average fanout. Products accumulate in DECIMAL so the profile is
+    * exact at any scale.
+    */
+  val q151 = Q("q151_join_size_profile",
+    (s, dir) => {
+      val co = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+      val cl = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+      co.join(cl, "k")
+        .select(col("k"),
+          (col("ca").cast(DecimalType(19, 0)) * col("cb").cast(DecimalType(19, 0))).as("p"))
+        .groupBy().agg(
+          count(lit(1)).as("n_keys"),
+          sum("p").cast("long").as("join_rows"),
+          max("p").cast("long").as("max_key_fanout"),
+          // priority = p·1e9 − k: largest fanout wins, smallest key
+          // breaks ties — one integer both engines order identically
+          max_by(col("k"), col("p").cast("long") * lit(1000000000L) - col("k")).as("heaviest_key"))
+        .select(col("n_keys"), col("join_rows"), col("max_key_fanout"),
+          col("heaviest_key"),
+          round(col("join_rows").cast("double") / col("n_keys"), 6).as("avg_fanout"))
+    },
+    Some("""
+      WITH ca AS (SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY 1),
+      cb AS (SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY 1),
+      p AS (SELECT k, CAST(ca AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0)) AS p
+            FROM ca JOIN cb USING (k)),
+      m AS (SELECT count(*) AS n_keys,
+                   CAST(sum(p) AS BIGINT) AS join_rows,
+                   CAST(max(p) AS BIGINT) AS max_key_fanout,
+                   max_by(k, CAST(p AS BIGINT) * 1000000000 - k) AS heaviest_key
+            FROM p)
+      SELECT n_keys, join_rows, max_key_fanout, heaviest_key,
+             round(CAST(join_rows AS DOUBLE) / n_keys, 6) AS avg_fanout
+      FROM m"""))
+
   val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q144, q145, q146, q147, q148)
+    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151)
 }
