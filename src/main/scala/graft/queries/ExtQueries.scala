@@ -1364,7 +1364,45 @@ object ExtQueries {
              round(CAST(join_rows AS DOUBLE) / n_keys, 6) AS avg_fanout
       FROM m"""))
 
+  // --------------------------------------------------------------- q152
+
+  /** q152 — binary header parsing with built-in expressions: synthesize
+    * a PNG-shaped payload per document (8-byte signature + IHDR chunk
+    * with big-endian width/height derived from doc_id) and parse the
+    * dimensions BACK out of the raw bytes with `substring`/`hex`/`conv`
+    * — the codec-free half of image metadata extraction (magic-number
+    * sniffing, dimension reads, EXIF offsets) that a 100 TB media
+    * pipeline runs entirely inside whole-stage codegen before any
+    * decoder is invoked. The oracle computes the expected dimensions
+    * INDEPENDENTLY from doc_id arithmetic, so the gate proves the
+    * synthesize→parse round trip is byte-exact, not merely
+    * self-consistent. Map-only; zero shuffles.
+    */
+  val q152 = Q("q152_binary_header",
+    (s, dir) => {
+      val w = lit(64) + pmod(col("doc_id"), lit(512))
+      val h = lit(48) + pmod(col("doc_id"), lit(256))
+      val png = unhex(concat(
+        lit("89504E470D0A1A0A"), // PNG signature
+        lit("0000000D49484452"), // IHDR length + type
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+        lit("0806000000")))      // bit depth, color type, etc.
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), png.as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          (lower(hex(substring(col("payload"), 1, 8))) === "89504e470d0a1a0a").as("is_png"),
+          conv(hex(substring(col("payload"), 17, 4)), 16, 10).cast("long").as("width"),
+          conv(hex(substring(col("payload"), 21, 4)), 16, 10).cast("long").as("height"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, CAST(29 AS BIGINT) AS n_bytes, true AS is_png,
+             CAST(64 + doc_id % 512 AS BIGINT) AS width,
+             CAST(48 + doc_id % 256 AS BIGINT) AS height
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151)
+    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152)
 }
