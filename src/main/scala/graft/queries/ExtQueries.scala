@@ -1402,7 +1402,143 @@ object ExtQueries {
              CAST(48 + doc_id % 256 AS BIGINT) AS height
       FROM documents ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q153
+
+  /** q153 — source-level similarity via AGGREGATED minhash signatures:
+    * each source's shingle SET gets a 12-component signature where
+    * component j is min((a_j·h + b_j) mod P) over the set — a min is a
+    * declarative aggregate, so the signature builds with map-side
+    * combine in ONE linear pass regardless of how many billions of
+    * shingles a source has. Pairwise similarity is then the signature
+    * agreement fraction over the bounded |sources|² relation. The
+    * exact per-source set Jaccard rides alongside as calibration
+    * (q101/q115 pattern) — at 100 TB the exact column is what you
+    * drop, and the whole point is that the sketch column doesn't
+    * change shape.
+    */
+  val q153 = Q("q153_source_similarity",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val coeffs = Dedup.minhashCoeffs(12)
+      val hashed = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          explode(call_function("graft_shingle_hashes", col("text"), lit(2))).as("h"))
+        .distinct()
+      val minAggs = coeffs.zipWithIndex.map { case ((a, b), j) =>
+        min(pmod(lit(a) * col("h") + lit(b), lit(Dedup.MinhashP))).as(s"m$j")
+      }
+      val sigs = hashed.groupBy("source")
+        .agg(minAggs.head, minAggs.tail :+ count(lit(1)).as("nset")
+          :+ sort_array(collect_list(col("h"))).as("hs"): _*)
+        .select(col("source"),
+          array((0 until 12).map(j => col(s"m$j")): _*).as("sig"),
+          col("nset"), col("hs"))
+      val a = sigs.select(col("source").as("src_a"), col("sig").as("sa"),
+        col("nset").as("na"), col("hs").as("ha"))
+      val b = sigs.select(col("source").as("src_b"), col("sig").as("sb"),
+        col("nset").as("nb"), col("hs").as("hb"))
+      a.crossJoin(broadcast(b)).filter(col("src_a") < col("src_b"))
+        .withColumn("_agree",
+          size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), p => p)))
+        .withColumn("_it",
+          call_function("graft_intersect_count", col("ha"), col("hb")).cast("long"))
+        .select(col("src_a"), col("src_b"),
+          round(col("_agree").cast("double") / 12, 6).as("est_jaccard"),
+          round(col("_it").cast("double") / (col("na") + col("nb") - col("_it")), 6)
+            .as("exact_jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+    Some {
+      val sigExprs = Dedup.minhashCoeffs(12).map { case (a, b) =>
+        s"min((${a} * h + ${b}) % ${Dedup.MinhashP})"
+      }.mkString("[", ",\n                ", "]")
+      s"""
+      WITH t AS (SELECT source, $duckTokens AS w FROM documents),
+      sh AS (SELECT source,
+               CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+               END AS g
+             FROM t),
+      e AS (SELECT DISTINCT source,
+              unnest(list_transform(list_distinct(g),
+                x -> ${duckHash64("x")} & ${Dedup.MinhashP})) AS h
+            FROM sh),
+      sg AS (SELECT source, $sigExprs AS sig,
+                    count(*) AS nset, list_sort(list(h)) AS hs
+             FROM e GROUP BY source),
+      p AS (SELECT a.source AS src_a, b.source AS src_b,
+              len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) AS agree,
+              len(list_intersect(a.hs, b.hs)) AS it,
+              a.nset AS na, b.nset AS nb
+            FROM sg a JOIN sg b ON a.source < b.source)
+      SELECT src_a, src_b,
+             round(CAST(agree AS DOUBLE) / 12, 6) AS est_jaccard,
+             round(CAST(it AS DOUBLE) / (na + nb - it), 6) AS exact_jaccard
+      FROM p ORDER BY src_a, src_b"""
+    })
+
+  // --------------------------------------------------------------- q154
+
+  /** q154 — sketch mergeability proof: build per-shard minhash
+    * signatures, merge them with an elementwise min, and show the
+    * merged signature EQUALS the signature computed directly over the
+    * whole corpus — the algebraic property (commutative, associative,
+    * idempotent min) that lets 1000 executors sketch independently and
+    * combine without a second pass over the data. Same discipline as
+    * q104's incremental-aggregate maintenance, applied to the sketch
+    * family; the oracle replays both paths and the gate fails if any
+    * component diverges.
+    */
+  val q154 = Q("q154_sketch_merge",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val coeffs = Dedup.minhashCoeffs(12)
+      val hashed = Tables.load(s, dir, "documents")
+        .select(expr("doc_id div 100").as("shard"),
+          explode(call_function("graft_shingle_hashes", col("text"), lit(2))).as("h"))
+      def sigAggs = coeffs.zipWithIndex.map { case ((a, b), j) =>
+        min(pmod(lit(a) * col("h") + lit(b), lit(Dedup.MinhashP))).as(s"m$j")
+      }
+      val perShard = hashed.groupBy("shard").agg(sigAggs.head, sigAggs.tail: _*)
+      val merged = perShard
+        .select(posexplode(array((0 until 12).map(j => col(s"m$j")): _*)).as(Seq("j", "v")))
+        .groupBy("j").agg(min("v").as("merged"))
+      val direct = hashed.groupBy().agg(sigAggs.head, sigAggs.tail: _*)
+        .select(posexplode(array((0 until 12).map(j => col(s"m$j")): _*)).as(Seq("j", "v")))
+        .select(col("j"), col("v").as("direct"))
+      merged.join(direct, "j")
+        .select(col("j"), col("merged"), col("direct"),
+          (col("merged") === col("direct")).as("matches"))
+        .orderBy("j")
+    },
+    Some {
+      val sigExprs = Dedup.minhashCoeffs(12).map { case (a, b) =>
+        s"min((${a} * h + ${b}) % ${Dedup.MinhashP})"
+      }.mkString("[", ",\n                ", "]")
+      s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+               END AS g
+             FROM t),
+      e AS (SELECT doc_id // 100 AS shard,
+              unnest(list_transform(list_distinct(g),
+                x -> ${duckHash64("x")} & ${Dedup.MinhashP})) AS h
+            FROM sh),
+      ps AS (SELECT shard, $sigExprs AS sig FROM e GROUP BY shard),
+      mg AS (SELECT i - 1 AS j, min(sig[i]) AS merged
+             FROM ps CROSS JOIN (SELECT unnest(range(1, 13)) AS i) ii
+             GROUP BY i),
+      dr0 AS (SELECT $sigExprs AS sig FROM e),
+      dr AS (SELECT i - 1 AS j, sig[i] AS direct
+             FROM dr0 CROSS JOIN (SELECT unnest(range(1, 13)) AS i) ii)
+      SELECT j, merged, direct, merged = direct AS matches
+      FROM mg JOIN dr USING (j) ORDER BY j"""
+    })
+
   val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152)
+    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
+    q153, q154)
 }
