@@ -1537,8 +1537,81 @@ object ExtQueries {
       FROM mg JOIN dr USING (j) ORDER BY j"""
     })
 
+  // --------------------------------------------------------------- q155
+
+  /** q155 — two-phase distinct aggregation: COUNT(DISTINCT user) per
+    * event type, written as an explicit pre-distinct on the compound
+    * key followed by a plain count — the rewrite that keeps a skewed
+    * distinct-count scalable. A direct COUNT(DISTINCT) plans an
+    * Expand + a per-key distinct buffer that concentrates every hot
+    * key's values in one task; the pre-distinct shuffles once on the
+    * (type, user) COMPOUND key — cardinality spreads over the whole
+    * cluster — and the second aggregation is a trivial count with
+    * map-side combine. Paired with dsum partials riding the SAME
+    * first shuffle so the query also shows mixed distinct/plain
+    * aggregation without two scans of the raw table.
+    */
+  val q155 = Q("q155_twophase_distinct",
+    (s, dir) => {
+      import graft.functions.ScalarFunctions.dsum
+      val pre = Tables.load(s, dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("_n"), dsum(col("value")).as("_v"))
+      pre.groupBy("event_type")
+        .agg(count(lit(1)).as("distinct_users"),
+          sum("_n").as("n_events"),
+          round(sum(col("_v").cast(DecimalType(28, 6))).cast("double"), 6).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH pre AS (SELECT event_type, user_id, count(*) AS n,
+                     CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
+                   FROM events GROUP BY 1, 2)
+      SELECT event_type, count(*) AS distinct_users,
+             sum(n) AS n_events,
+             round(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_value
+      FROM pre GROUP BY event_type ORDER BY event_type"""))
+
+  // --------------------------------------------------------------- q156
+
+  /** q156 — the SQL front door: the same engine surface through
+    * `spark.sql` over registered views — a user migrating from the
+    * reference's Postgres serving layer writes ANSI SQL and gets the
+    * identical Catalyst plans the DataFrame API produces (the three
+    * FluReports queries already run the reference's own SQL strings;
+    * this pins the pattern on the synthetic schema, with a join +
+    * aggregate + HAVING + ORDER BY written purely as SQL text). The
+    * oracle is near-verbatim the same statement — the point being
+    * that the SQL dialect surface itself is part of the engine's API.
+    */
+  val q156 = Q("q156_sql_frontdoor",
+    (s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("v_orders")
+      Tables.load(s, dir, "customer").createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o.o_custkey) AS n_customers,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus <> 'X'
+        GROUP BY c.c_mktsegment
+        HAVING COUNT(*) > 10
+        ORDER BY c_mktsegment""")
+    },
+    Some("""
+      SELECT c.c_mktsegment,
+             COUNT(*) AS n_orders,
+             COUNT(DISTINCT o.o_custkey) AS n_customers,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderstatus <> 'X'
+      GROUP BY c.c_mktsegment
+      HAVING COUNT(*) > 10
+      ORDER BY c_mktsegment"""))
+
   val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154)
+    q153, q154, q155, q156)
 }
