@@ -1610,8 +1610,133 @@ object ExtQueries {
       HAVING COUNT(*) > 10
       ORDER BY c_mktsegment"""))
 
+  // --------------------------------------------------------------- q157
+
+  /** q157 — time-series gap filling (forward fill over a dense
+    * calendar): hourly totals per event type, re-gridded onto the
+    * complete hour range so missing hours appear as rows, then
+    * forward-filled with the last observed value — the
+    * regularization every downstream window/autocorrelation job
+    * assumes. The dense grid is generated from a broadcast (min, max)
+    * pair via sequence() — never a driver loop — and the fill is
+    * last-non-null over the same (type, hour) shuffle the totals
+    * already use. Output is a bounded per-(type, hour) relation with
+    * an is_observed flag so the fill provenance stays auditable.
+    */
+  val q157 = Q("q157_gap_fill",
+    (s, dir) => {
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("v"))
+      val bounds = hourly.groupBy().agg(min("hr").as("mn"), max("hr").as("mx"))
+      val grid = hourly.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hr"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"),
+          col("v").isNotNull.as("is_observed"),
+          last("v", ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy("event_type", "hr")
+    },
+    Some("""
+      WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                        sum(CAST(floor(value * 1e6) AS BIGINT)) AS v
+                 FROM events GROUP BY 1, 2),
+      b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+      g AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+            FROM (SELECT DISTINCT event_type FROM h) CROSS JOIN b),
+      j AS (SELECT g.event_type, g.hr, h.v FROM g LEFT JOIN h
+            ON g.event_type = h.event_type AND g.hr = h.hr)
+      SELECT event_type, hr,
+             v IS NOT NULL AS is_observed,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      FROM j ORDER BY event_type, hr"""))
+
+  // --------------------------------------------------------------- q158
+
+  /** q158 — dedup survivorship report: the audit a curation run ships
+    * with its output — how many duplicate families exist, how much of
+    * the corpus they hold, the largest family, and rows removed vs
+    * kept — from ONE fingerprint aggregation (q35's normalized
+    * content fingerprint) and a bounded rollup over family sizes.
+    * This is the evidence artifact for "dedup did what it claimed":
+    * kept = families, removed = rows − families, checked by the gate
+    * against the oracle's independent computation.
+    */
+  val q158 = Q("q158_dedup_report",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val fams = Tables.load(s, dir, "documents")
+        .select(graft.operators.TextAnalysis.contentFingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("sz"))
+      fams.groupBy().agg(
+        sum("sz").as("n_rows"),
+        count(lit(1)).as("n_families"),
+        (sum("sz") - count(lit(1))).as("n_removed"),
+        sum(when(col("sz") > 1, col("sz")).otherwise(0L)).as("rows_in_dup_families"),
+        sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_families"),
+        max("sz").as("max_family"))
+        .select(col("n_rows"), col("n_families"), col("n_removed"),
+          col("rows_in_dup_families"), col("n_dup_families"), col("max_family"),
+          round(col("n_removed").cast("double") / col("n_rows"), 6).as("removal_rate"))
+    },
+    Some("""
+      WITH f AS (SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+                        count(*) AS sz
+                 FROM documents GROUP BY 1)
+      SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+             count(*) AS n_families,
+             CAST(sum(sz) - count(*) AS BIGINT) AS n_removed,
+             CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT) AS rows_in_dup_families,
+             CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_families,
+             CAST(max(sz) AS BIGINT) AS max_family,
+             round(CAST(sum(sz) - count(*) AS DOUBLE) / sum(sz), 6) AS removal_rate
+      FROM f"""))
+
+  // --------------------------------------------------------------- q159
+
+  /** q159 — broadcast range-dimension lookup (tariff/tier/IP-geo
+    * shape): classify every event value into the interval of a tiny
+    * banded dimension via a non-equi broadcast join. A non-equi join
+    * against a BROADCAST side is a BroadcastNestedLoopJoin — the one
+    * place that operator is the right answer, because the inner side
+    * is bounded (here 5 bands) and the probe is map-side; the same
+    * query against a large interval table is q102's banding rewrite
+    * instead. Counts per tier + exact fixed-point value sums.
+    */
+  val q159 = Q("q159_range_lookup",
+    (s, dir) => {
+      val s0 = s
+      import s0.implicits._
+      val tiers = Seq(
+        ("t0_free", 0.0, 1.0), ("t1_low", 1.0, 10.0), ("t2_mid", 10.0, 50.0),
+        ("t3_high", 50.0, 200.0), ("t4_top", 200.0, 1e9))
+        .toDF("tier", "lo", "hi")
+      Tables.load(s, dir, "events")
+        .join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1e6).cast("long")).as("_sv"))
+        .select(col("tier"), col("n"),
+          round(col("_sv").cast("double") / 1e6, 6).as("sum_value"))
+        .orderBy("tier")
+    },
+    Some("""
+      WITH tiers(tier, lo, hi) AS (VALUES
+        ('t0_free', 0.0, 1.0), ('t1_low', 1.0, 10.0), ('t2_mid', 10.0, 50.0),
+        ('t3_high', 50.0, 200.0), ('t4_top', 200.0, 1e9))
+      SELECT tier, count(*) AS n,
+             round(CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6, 6)
+               AS sum_value
+      FROM events JOIN tiers ON value >= lo AND value < hi
+      GROUP BY tier ORDER BY tier"""))
+
   val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156)
+    q153, q154, q155, q156, q157, q158, q159)
 }
