@@ -1735,8 +1735,95 @@ object ExtQueries {
       FROM events JOIN tiers ON value >= lo AND value < hi
       GROUP BY tier ORDER BY tier"""))
 
+  // --------------------------------------------------------------- q160
+
+  /** q160 — Q-Q drift grid: the nine decile pairs of a value across
+    * two cohorts, with per-decile gaps — the data behind a Q-Q plot
+    * and the distribution-level complement to q111's scalar PSI
+    * (PSI says "drifted", the grid says WHERE in the distribution).
+    * One grouped percentile pass per cohort (exact here; at 100 TB
+    * the q52 `percentile_approx` swap applies unchanged, the q50/q108
+    * precedent), then the nine-row relations join on decile index.
+    */
+  val q160 = Q("q160_qq_drift_grid",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(when(pmod(col("o_orderkey"), lit(2)) === 0, "a").otherwise("b").as("cohort"),
+          col("o_totalprice").as("v"))
+      val deciles = (1 to 9).map(_ / 10.0)
+      val q = o.groupBy("cohort")
+        .agg(expr(s"percentile(v, array(${deciles.mkString(", ")}))").as("qs"))
+      val a = q.filter(col("cohort") === "a")
+        .select(posexplode(col("qs")).as(Seq("i", "pa")))
+      val b = q.filter(col("cohort") === "b")
+        .select(posexplode(col("qs")).as(Seq("i", "pb")))
+      a.join(b, "i")
+        .select(((col("i") + 1) * 10).as("pct"),
+          round(col("pa"), 6).as("p_even"), round(col("pb"), 6).as("p_odd"),
+          round(col("pb") - col("pa"), 6).as("gap"))
+        .orderBy("pct")
+    },
+    Some("""
+      WITH o AS (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS cohort,
+                        o_totalprice AS v
+                 FROM orders),
+      q AS (SELECT cohort,
+              quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+            FROM o GROUP BY cohort),
+      e AS (SELECT cohort, unnest(range(1, 10)) AS i, qs FROM q),
+      p AS (SELECT cohort, i, qs[i] AS pv FROM e)
+      SELECT a.i * 10 AS pct,
+             round(a.pv, 6) AS p_even, round(b.pv, 6) AS p_odd,
+             round(b.pv - a.pv, 6) AS gap
+      FROM p a JOIN p b ON a.i = b.i AND a.cohort = 'a' AND b.cohort = 'b'
+      ORDER BY pct"""))
+
+  // --------------------------------------------------------------- q161
+
+  /** q161 — conversion-latency distribution: per user, time from first
+    * click to first subsequent purchase, summarized as count /
+    * median / p90 / p99 — the funnel-health metric behind every
+    * "how long to convert" dashboard, and the latency twin of q89's
+    * who-converts funnel. Both firsts reduce on ONE user_id shuffle
+    * (conditional min aggregates — no join between event subsets, no
+    * window); the percentile summary runs over the bounded per-user
+    * relation. Latencies are integer seconds, so the exact percentile
+    * interpolation is reproducible to the 6-dp round.
+    */
+  val q161 = Q("q161_conversion_latency",
+    (s, dir) => {
+      val per = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "click", col("ts"))).as("c"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+        .filter(col("c").isNotNull && col("p").isNotNull && col("p") > col("c"))
+        .select((unix_timestamp(col("p")) - unix_timestamp(col("c"))).as("lat"))
+      per.groupBy().agg(
+        count(lit(1)).as("n_converted"),
+        expr("percentile(lat, 0.5)").as("p50_s"),
+        expr("percentile(lat, 0.9)").as("p90_s"),
+        expr("percentile(lat, 0.99)").as("p99_s"))
+        .select(col("n_converted"),
+          round(col("p50_s"), 6).as("p50_s"),
+          round(col("p90_s"), 6).as("p90_s"),
+          round(col("p99_s"), 6).as("p99_s"))
+    },
+    Some("""
+      WITH per AS (SELECT user_id,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+                   FROM events GROUP BY user_id),
+      lat AS (SELECT CAST(floor(epoch(p)) AS BIGINT) - CAST(floor(epoch(c)) AS BIGINT) AS lat
+              FROM per WHERE c IS NOT NULL AND p IS NOT NULL AND p > c)
+      SELECT count(*) AS n_converted,
+             round(quantile_cont(lat, 0.5), 6) AS p50_s,
+             round(quantile_cont(lat, 0.9), 6) AS p90_s,
+             round(quantile_cont(lat, 0.99), 6) AS p99_s
+      FROM lat"""))
+
   val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161)
 }

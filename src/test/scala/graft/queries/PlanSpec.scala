@@ -177,6 +177,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q155: two-phase distinct plans without Expand (the skew-safe rewrite)") {
+    val df = ExtQueries.q155.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Expand"), plan)
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+  }
+
+  test("q159: range lookup is a broadcast nested-loop against the bounded dim") {
+    val df = ExtQueries.q159.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q38/q40: no join keyed only on a block column (the quadratic shape)") {
     // AQE buries join nodes inside leaf QueryStageExec wrappers, so
     // inspect the rendered tree: every equi-join's key list must name
