@@ -1822,8 +1822,53 @@ object ExtQueries {
              round(quantile_cont(lat, 0.99), 6) AS p99_s
       FROM lat"""))
 
+  // --------------------------------------------------------------- q162
+
+  /** q162 — native session windows: the built-in `session_window`
+    * aggregation (one shuffle on the user key, sessions materialized
+    * by the operator itself) — the declarative twin of q55's manual
+    * running-sum sessionization, and the same operator Structured
+    * Streaming uses for stateful session aggregation, so batch and
+    * stream share session semantics by construction. NOTE the boundary
+    * differs from q55 deliberately: session windows are end-EXCLUSIVE
+    * (an event exactly `gap` after the last one starts a NEW session,
+    * i.e. new-session when diff ≥ gap), where q55's manual rule
+    * continues on equality — the oracle encodes the ≥ rule at exact
+    * microsecond precision.
+    */
+  val q162 = Q("q162_session_window",
+    (s, dir) => {
+      import graft.functions.ScalarFunctions.dsum
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("sw.start").cast("long").as("start_sec"),
+          col("sw.end").cast("long").as("end_sec"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "start_sec")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+      g AS (SELECT user_id, value, us,
+              CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+                   THEN 1 ELSE 0 END AS is_new
+            FROM e),
+      sess AS (SELECT user_id, value, us,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g)
+      SELECT user_id,
+             min(us) // 1000000 AS start_sec,
+             (max(us) + 1800000000) // 1000000 AS end_sec,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, start_sec"""))
+
   val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
 }

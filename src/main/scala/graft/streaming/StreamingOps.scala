@@ -91,6 +91,39 @@ object StreamingOps {
                     keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Keep-latest streaming upsert sink: maintain a parquet snapshot
+    * that always holds ONE row per key — the newest by `orderCol` —
+    * as micro-batches arrive. Each batch merges with the current
+    * snapshot through the same keep-first reduction as the batch CDC
+    * apply (q132), writes to a temp location, and swaps — a
+    * continuously-maintained MERGE INTO target. `orderCol` must be
+    * strictly monotone per key (a version/event-time) for the survivor
+    * to be well-defined. At scale the swap step is what a table format
+    * (Delta/Iceberg) replaces with an atomic commit; the merge shape —
+    * one shuffle on the key per batch, state IS the snapshot — is
+    * unchanged. Caller starts/awaits the returned writer.
+    */
+  def streamUpsert(stream: DataFrame, keys: Seq[String], orderCol: String,
+                   path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val cur = new org.apache.hadoop.fs.Path(path)
+        val fs = cur.getFileSystem(hconf)
+        val existing =
+          if (fs.exists(cur)) spark.read.schema(batch.schema).parquet(path)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        val merged = graft.operators.Relational.dedupKeepFirst(
+          existing.unionByName(batch.toDF()), keys, Seq(col(orderCol).desc))
+        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(cur, true)
+        fs.rename(tmp, cur)
+        ()
+      }
+
   /** Stream-static temporal (SCD2) lookup: each streaming row joined
     * to the dimension VERSION current at its event time — the dim
     * carries [fromCol, toCol) validity intervals (toCol NULL = open,

@@ -147,6 +147,30 @@ class StreamingSpec extends SparkSpec {
     assertRowsEqual(rows(out), rows(batch))
   }
 
+  test("streamUpsert maintains a keep-latest snapshot across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert-stream").toFile
+    // two input files; maxFilesPerTrigger=1 forces two micro-batches so
+    // the second batch must merge AGAINST the snapshot, not raw input
+    Seq((1L, 10L, "v1"), (2L, 10L, "v1")).toDF("k", "ver", "payload")
+      .write.parquet(s"$dir/in/b1")
+    Seq((2L, 20L, "v2"), (3L, 20L, "v2")).toDF("k", "ver", "payload")
+      .write.parquet(s"$dir/in/b2")
+    val stream = spark.readStream
+      .schema("k LONG, ver LONG, payload STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+    val q = StreamingOps.streamUpsert(stream, Seq("k"), "ver", s"$dir/snapshot")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$dir/snapshot")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 10L, "v1"), (2L, 20L, "v2"), (3L, 20L, "v2")),
+      out.toSeq.toString)
+  }
+
   test("stream-stream interval join matches purchases within the delay window only") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ssjoin-stream").toFile
