@@ -1867,8 +1867,90 @@ object ExtQueries {
       FROM sess GROUP BY user_id, sid
       ORDER BY user_id, start_sec"""))
 
+  // --------------------------------------------------------------- q163
+
+  /** q163 — triangle counting + global clustering coefficient on the
+    * co-purchase graph (parts sharing ≥2 orders): the canonical
+    * distributed graph benchmark, in the degree-oriented
+    * "compact-forward" shape — every edge points from its
+    * lower-(degree, id) endpoint to the higher, which bounds ANY
+    * node's out-neighborhood by O(√m) no matter how extreme the hub
+    * skew, so the per-apex wedge enumeration (the quadratic step) is
+    * bounded work per task. Wedges close against the undirected edge
+    * set with one equi-join; each triangle is counted exactly once,
+    * at its minimum-(degree, id) apex. The naive all-wedges form
+    * without orientation fans a celebrity hub into deg² pairs — the
+    * exact failure the orientation removes.
+    */
+  val q163 = Q("q163_triangle_count",
+    (s, dir) => {
+      val items = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = items.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(slice(ids, i + 1, size(ids)),
+                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(false) // consumers: degrees, orientation, wedge closing
+      val deg = pairs.select(explode(array(col("pa"), col("pb"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .localCheckpoint(false)
+      val oriented = pairs
+        .join(deg.select(col("v").as("pa"), col("d").as("da")), "pa")
+        .join(deg.select(col("v").as("pb"), col("d").as("db")), "pb")
+        .select(
+          when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")), col("pa"))
+            .otherwise(col("pb")).as("u"),
+          when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")), col("pb"))
+            .otherwise(col("pa")).as("w"))
+      val wedges = oriented.groupBy("u")
+        .agg(sort_array(collect_list(col("w"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(slice(ids, i + 1, size(ids)),
+                  b -> struct(element_at(ids, i) AS x, b AS y))))""")).as("p"))
+        .select(col("p.x").as("pa"), col("p.y").as("pb"))
+      val tri = wedges.join(pairs, Seq("pa", "pb"))
+        .groupBy().agg(count(lit(1)).as("n_triangles"))
+      val stats = deg.groupBy().agg(
+        count(lit(1)).as("n_nodes"),
+        (sum(expr("d * (d - 1) div 2"))).as("n_wedges"))
+      val ne = pairs.groupBy().agg(count(lit(1)).as("n_edges"))
+      stats.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+            .as("clustering_coeff"))
+    },
+    Some("""
+      WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      p0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cnt
+             FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2),
+      e AS (SELECT pa, pb FROM p0 WHERE cnt >= 2),
+      deg AS (SELECT v, count(*) AS d
+              FROM (SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)
+              GROUP BY v),
+      tri AS (SELECT count(*) AS t
+              FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                        JOIN e e3 ON e1.pa = e3.pa AND e2.pb = e3.pb),
+      st AS (SELECT count(*) AS n_nodes, sum(d * (d - 1) // 2) AS n_wedges FROM deg)
+      SELECT n_nodes,
+             (SELECT count(*) FROM e) AS n_edges,
+             CAST(n_wedges AS BIGINT) AS n_wedges,
+             (SELECT t FROM tri) AS n_triangles,
+             round(3.0 * (SELECT t FROM tri) / n_wedges, 6) AS clustering_coeff
+      FROM st"""))
+
   val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163)
 }
