@@ -134,9 +134,23 @@ object Bench {
         Seq(s"curation_${name}_rows" -> rows.toDouble,
           s"curation_${name}_sec" -> math.min(s1, s2))
       }
+      // deep-chain connected components: a 32-edge path, the topology
+      // where round count is the whole story — min-label propagation
+      // needs diameter rounds, the alternating large/small-star form
+      // O(log n). Same outputs (both spec-pinned); the measured gap is
+      // the evidence behind choosing the alternating form at scale.
+      val chain = spark.range(0L, 32L)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val ccMinlabel = sec(
+        graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 64).count())
+      val ccAltstar = sec(
+        graft.operators.GraphOps.connectedComponentsAlternating(chain, "id_a", "id_b").count())
+
       Seq("calib_sec" -> calib,
         "factjoin_plain_sec" -> plainSec,
-        "factjoin_bucketed_sec" -> bucketedSec) ++ stages
+        "factjoin_bucketed_sec" -> bucketedSec,
+        "cc_chain32_minlabel_sec" -> ccMinlabel,
+        "cc_chain32_altstar_sec" -> ccAltstar) ++ stages
     } catch {
       case e: Throwable =>
         errors.getOrElseUpdate("extras", e.toString.take(200))
