@@ -1949,8 +1949,103 @@ object ExtQueries {
              round(3.0 * (SELECT t FROM tri) / n_wedges, 6) AS clustering_coeff
       FROM st"""))
 
+  // --------------------------------------------------------------- q164
+
+  /** q164 — association rules over co-purchase pairs: support,
+    * confidence and lift for the strongest item pairs — the classic
+    * market-basket trio, assembled from q136's bounded in-basket pair
+    * counts plus broadcast per-item basket counts and the basket
+    * total. Every measure is an exact integer ratio evaluated in one
+    * per-row double expression (counts never leave integer space
+    * before it), and the top-15 selection orders by the 9-dp-rounded
+    * lift with a full lexicographic tiebreak.
+    */
+  val q164 = Q("q164_assoc_rules",
+    (s, dir) => {
+      val items = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint(false) // pair gen + item counts + basket total
+      val pairCnt = items.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(slice(ids, i + 1, size(ids)),
+                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 2)
+      val itemCnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("ci"))
+      val nBaskets = items.select("l_orderkey").distinct()
+        .groupBy().agg(count(lit(1)).as("nb"))
+      pairCnt
+        .join(broadcast(itemCnt.select(col("l_partkey").as("pa"), col("ci").as("ca"))), "pa")
+        .join(broadcast(itemCnt.select(col("l_partkey").as("pb"), col("ci").as("cb"))), "pb")
+        .crossJoin(broadcast(nBaskets))
+        .select(col("pa"), col("pb"), col("cab"),
+          round(col("cab").cast("double") / col("nb"), 9).as("support"),
+          round(col("cab").cast("double") / col("ca"), 9).as("confidence"),
+          round(col("cab").cast("double") * col("nb")
+            / (col("ca") * col("cb")), 9).as("lift"))
+        .orderBy(desc("lift"), col("pa"), col("pb"))
+        .limit(15)
+    },
+    Some("""
+      WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cab
+             FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+      ic AS (SELECT l_partkey, count(*) AS ci FROM i GROUP BY 1),
+      nb AS (SELECT count(DISTINCT l_orderkey) AS nb FROM i)
+      SELECT pa, pb, cab,
+             round(CAST(cab AS DOUBLE) / nb, 9) AS support,
+             round(CAST(cab AS DOUBLE) / ca.ci, 9) AS confidence,
+             round(CAST(cab AS DOUBLE) * nb / (ca.ci * cb.ci), 9) AS lift
+      FROM pc JOIN ic ca ON pc.pa = ca.l_partkey
+              JOIN ic cb ON pc.pb = cb.l_partkey
+              CROSS JOIN nb
+      ORDER BY lift DESC, pa, pb LIMIT 15"""))
+
+  // --------------------------------------------------------------- q165
+
+  /** q165 — first-order transition matrix of user event streams:
+    * P(next event type | current) with exact integer counts — the
+    * Markov-chain view behind q135's raw paths (paths show WHAT
+    * happens, the matrix shows the per-step dynamics and feeds
+    * simulation / anomaly scoring). One user shuffle carries the
+    * lead; the matrix relation is bounded by |types|², and every
+    * probability is one integer ratio rounded at 9 dp.
+    */
+  val q165 = Q("q165_transition_matrix",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val steps = Tables.load(s, dir, "events")
+        .select(col("event_type").as("cur"),
+          lead("event_type", 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+      val totals = steps.groupBy("cur").agg(sum("c").as("t"))
+      steps.join(broadcast(totals), "cur")
+        .select(col("cur"), col("nxt"), col("c"),
+          round(col("c").cast("double") / col("t"), 9).as("p"))
+        .orderBy("cur", "nxt")
+    },
+    Some("""
+      WITH o AS (SELECT event_type AS cur,
+                   lead(event_type, 1) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS nxt
+                 FROM events),
+      st AS (SELECT cur, nxt, count(*) AS c FROM o
+             WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+      tt AS (SELECT cur, sum(c) AS t FROM st GROUP BY cur)
+      SELECT cur, nxt, c, round(CAST(c AS DOUBLE) / t, 9) AS p
+      FROM st JOIN tt USING (cur)
+      ORDER BY cur, nxt"""))
+
   val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
+    q164, q165)
 }
