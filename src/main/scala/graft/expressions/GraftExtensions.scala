@@ -14,10 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    elsewhere (Verify/Bench, tests).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectOptimizerRule(_ => CartesianGuard)
+  }
 }
 
 object GraftExtensions {
@@ -39,9 +41,16 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinhashBands].getName, "graft_minhash_bands"),
       (children: Seq[Expression]) => MinhashBands(children.head, children(1), children(2))))
 
-  /** Idempotently register the functions on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently register the functions (and the CartesianGuard
+    * optimizer rule, via the runtime `extraOptimizations` hook) on an
+    * existing session.
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(CartesianGuard))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CartesianGuard
+  }
 }
