@@ -2043,9 +2043,106 @@ object ExtQueries {
       FROM st JOIN tt USING (cur)
       ORDER BY cur, nxt"""))
 
+  // --------------------------------------------------------------- q166
+
+  /** q166 — weighted PageRank step: q110's random walk, but with edge
+    * transition probability proportional to interaction STRENGTH (how
+    * many orders connect the customer to the supplier) instead of
+    * uniform over neighbors — the form real link-quality and
+    * recommendation walks use, where a 100-order relationship should
+    * pull more rank than a one-off. Same scale shape as q110: one
+    * dst-keyed shuffle of per-edge contributions, out-strength and
+    * node count on broadcasts, 1e-12 fixed-point mass so iteration is
+    * partition-order independent. The weighted contribution
+    * w/Σw_out·rank replaces 1/deg·rank; everything else is identical,
+    * which is exactly the point — weights are free at this shape.
+    */
+  val q166 = Q("q166_weighted_pagerank",
+    (s, dir) => {
+      val edges = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .localCheckpoint(false)
+      val strength = edges.groupBy("src").agg(sum("w").as("sw"))
+      val sizes = edges.groupBy().agg(
+        countDistinct(col("src")).as("nc"),
+        countDistinct(col("dst")).as("ns"))
+      edges.join(strength, Seq("src"))
+        .crossJoin(broadcast(sizes))
+        .select(col("dst"), col("ns"),
+          ((col("nc") + col("ns")).cast("double")).as("n"),
+          round(lit(1e12) * col("w") / ((col("nc") + col("ns")) * col("sw")).cast("double"))
+            .cast("long").as("_c"))
+        .groupBy("dst")
+        .agg(count(lit(1)).as("in_deg"),
+          round(lit(0.15) / min(col("n"))
+            + lit(0.85) * (sum(col("_c")).cast("double") / 1e12
+              + min(col("ns")).cast("double") / min(col("n")) / min(col("n"))), 9)
+            .as("rank"))
+        .select(col("dst").as("s_suppkey"), col("in_deg"), col("rank"))
+        .orderBy("s_suppkey")
+    },
+    Some("""
+      WITH e AS (SELECT o_custkey AS src, l_suppkey AS dst, count(*) AS w
+                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                 GROUP BY 1, 2),
+      st AS (SELECT src, sum(w) AS sw FROM e GROUP BY src),
+      z AS (SELECT count(DISTINCT src) AS nc, count(DISTINCT dst) AS ns FROM e)
+      SELECT e.dst AS s_suppkey, count(*) AS in_deg,
+             round(0.15 / min(CAST(z.nc + z.ns AS DOUBLE))
+               + 0.85 * (CAST(sum(CAST(round(1e12 * e.w
+                     / CAST((z.nc + z.ns) * st.sw AS DOUBLE)) AS BIGINT)) AS DOUBLE) / 1e12
+                 + CAST(min(z.ns) AS DOUBLE)
+                   / min(CAST(z.nc + z.ns AS DOUBLE))
+                   / min(CAST(z.nc + z.ns AS DOUBLE))), 9) AS rank
+      FROM e JOIN st USING (src) CROSS JOIN z
+      GROUP BY e.dst ORDER BY e.dst"""))
+
+  // --------------------------------------------------------------- q167
+
+  /** q167 — inter-event (dwell) time distribution: per event type, the
+    * median / p90 / p99 of the gap between a user's consecutive events
+    * of that type — the arrival-process fingerprint behind rate
+    * limiting, bot detection, and session-gap calibration (q55's
+    * 30-minute threshold should come FROM this table). One
+    * (user, type) shuffle carries the lag; gaps are integer
+    * microseconds so percentile interpolation replays exactly.
+    */
+  val q167 = Q("q167_dwell_times",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        .withColumn("_prev", lag(col("ts"), 1).over(w))
+        .filter(col("_prev").isNotNull)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) - unix_micros(col("_prev"))).as("gap_us"))
+      gaps.groupBy("event_type").agg(
+        count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5)") / 1e6, 6).as("p50_s"),
+        round(expr("percentile(gap_us, 0.9)") / 1e6, 6).as("p90_s"),
+        round(expr("percentile(gap_us, 0.99)") / 1e6, 6).as("p99_s"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH g AS (SELECT event_type,
+                   epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id)) AS gap_us
+                 FROM events),
+      k AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL)
+      SELECT event_type, count(*) AS n_gaps,
+             round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_s,
+             round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_s,
+             round(quantile_cont(gap_us, 0.99) / 1e6, 6) AS p99_s
+      FROM k GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
-    q164, q165)
+    q164, q165, q166, q167)
 }

@@ -147,6 +147,38 @@ class StreamingSpec extends SparkSpec {
     assertRowsEqual(rows(out), rows(batch))
   }
 
+  test("streaming session_window aggregation equals the batch q162 operator") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-session-stream").toFile
+    // user 99 is a watermark sentinel: append mode only emits sessions
+    // the watermark has passed, so a far-future event flushes every
+    // real session; the sentinel's own (still-open) session is
+    // excluded from the comparison on both sides
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0), (1L, "2024-01-01 10:10:00", 2.0), // one session
+      (1L, "2024-01-01 11:30:00", 3.0),                                   // gap > 30 min → new
+      (2L, "2024-01-01 10:00:00", 5.0),
+      (99L, "2024-01-02 00:00:00", 0.0))
+      .toDF("user_id", "s", "value")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"), col("value"))
+    events.write.mode("overwrite").parquet(s"$dir/in")
+
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .select(col("user_id"), col("sw.start").cast("long").as("start_sec"),
+        col("n"), col("v"))
+
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+      .withWatermark("ts", "1 minute")
+    val out = StreamingOps.runAvailableNow(sessions(stream), "session_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .filter(col("user_id") < 99).orderBy("user_id", "start_sec")
+    assertRowsEqual(rows(out),
+      rows(sessions(events).filter(col("user_id") < 99).orderBy("user_id", "start_sec")))
+    assert(out.count() == 3) // (1, two sessions), (2, one)
+  }
+
   test("streamUpsert maintains a keep-latest snapshot across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-upsert-stream").toFile
