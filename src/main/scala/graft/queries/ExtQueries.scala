@@ -2140,9 +2140,60 @@ object ExtQueries {
              round(quantile_cont(gap_us, 0.99) / 1e6, 6) AS p99_s
       FROM k GROUP BY event_type ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q168
+
+  /** q168 — sequence-likelihood anomaly scoring: score every user's
+    * event stream by the mean log-probability of its transitions under
+    * the corpus transition matrix (q165), and surface the least-likely
+    * users — behavioral anomaly detection with a model the engine just
+    * trained on the same data, no external artifact. The matrix is a
+    * |types|²-row broadcast; per-step ln p quantizes to 1e-6 longs so
+    * user sums are exact; one user shuffle for the lead + one for the
+    * per-user reduction; bottom-10 via TakeOrderedAndProject.
+    */
+  val q168 = Q("q168_sequence_anomaly",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val steps = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("cur"),
+          lead("event_type", 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .localCheckpoint(false) // feeds the matrix AND the scoring pass
+      val matrix = steps.groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+      val totals = matrix.groupBy("cur").agg(sum("c").as("t"))
+      val lnp = matrix.join(broadcast(totals), "cur")
+        .select(col("cur"), col("nxt"),
+          round(log(col("c").cast("double") / col("t")) * 1e6).cast("long").as("_lnp"))
+      steps.join(broadcast(lnp), Seq("cur", "nxt"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_steps"), sum("_lnp").as("_s"))
+        .filter(col("n_steps") >= 5)
+        .select(col("user_id"), col("n_steps"),
+          round(col("_s").cast("double") / col("n_steps") / 1e6, 6).as("mean_lnp"))
+        .orderBy(col("mean_lnp").asc, col("user_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH o AS (SELECT user_id, event_type AS cur,
+                   lead(event_type, 1) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS nxt
+                 FROM events),
+      st AS (SELECT user_id, cur, nxt FROM o WHERE nxt IS NOT NULL),
+      m AS (SELECT cur, nxt, count(*) AS c FROM st GROUP BY cur, nxt),
+      tt AS (SELECT cur, sum(c) AS t FROM m GROUP BY cur),
+      lp AS (SELECT cur, nxt,
+               CAST(round(ln(CAST(c AS DOUBLE) / t) * 1e6) AS BIGINT) AS lnp
+             FROM m JOIN tt USING (cur)),
+      u AS (SELECT user_id, count(*) AS n_steps, sum(lnp) AS s
+            FROM st JOIN lp USING (cur, nxt) GROUP BY user_id)
+      SELECT user_id, n_steps,
+             round(CAST(s AS DOUBLE) / n_steps / 1e6, 6) AS mean_lnp
+      FROM u WHERE n_steps >= 5
+      ORDER BY mean_lnp ASC, user_id ASC LIMIT 10"""))
+
   val all: Seq[Q] = Seq(q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
-    q164, q165, q166, q167)
+    q164, q165, q166, q167, q168)
 }
