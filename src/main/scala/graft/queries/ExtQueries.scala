@@ -719,8 +719,8 @@ object ExtQueries {
       SELECT e.event_type, e.dow, max(n) AS n,
              round(max(mean_s) / 1e6, 6) AS mean_value,
              round(max(sd_s) / 1e6, 6) AS sd_value,
-             sum(CASE WHEN abs(CAST(v AS DOUBLE) - mean_s) > 2.0 * sd_s
-                      THEN 1 ELSE 0 END) AS n_anomalies
+             CAST(sum(CASE WHEN abs(CAST(v AS DOUBLE) - mean_s) > 2.0 * sd_s
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
       FROM e JOIN p USING (event_type, dow)
       GROUP BY e.event_type, e.dow
       ORDER BY event_type, dow"""))
@@ -1153,7 +1153,8 @@ object ExtQueries {
                   i -> ${duckHash64("w[i]")} & ${Dedup.MinhashP})) AS uh
               FROM t)
       SELECT doc_id, uh % 64 AS dim,
-             sum(CASE WHEN (uh // 64) % 2 = 0 THEN 1 ELSE -1 END) AS weight
+             CAST(sum(CASE WHEN (uh // 64) % 2 = 0
+                           THEN 1 ELSE -1 END) AS BIGINT) AS weight
       FROM tok GROUP BY doc_id, dim
       HAVING sum(CASE WHEN (uh // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0
       ORDER BY doc_id, dim"""))
@@ -1190,8 +1191,9 @@ object ExtQueries {
       fs AS (SELECT uh, min(batch) AS batch FROM tok GROUP BY uh),
       nb AS (SELECT batch, count(*) AS new_tokens FROM fs GROUP BY batch)
       SELECT batch, new_tokens,
-             sum(new_tokens) OVER (ORDER BY batch
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             CAST(sum(new_tokens) OVER (ORDER BY batch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
       FROM nb ORDER BY batch"""))
 
   // --------------------------------------------------------------- q149
@@ -1305,7 +1307,7 @@ object ExtQueries {
     Some("""
       WITH cells AS (SELECT lang, source, count(*) AS c
                      FROM documents GROUP BY 1, 2),
-      bl AS (SELECT sum(cl) AS n,
+      bl AS (SELECT CAST(sum(cl) AS BIGINT) AS n,
                     sum(CAST(round(ln(CAST(cl AS DOUBLE)) * 1e6) AS BIGINT) * cl) AS sl
              FROM (SELECT source, sum(c) AS cl FROM cells GROUP BY source)),
       bf AS (SELECT sum(CAST(round(ln(CAST(cf AS DOUBLE)) * 1e6) AS BIGINT) * cf) AS sf
@@ -1568,7 +1570,7 @@ object ExtQueries {
                      CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
                    FROM events GROUP BY 1, 2)
       SELECT event_type, count(*) AS distinct_users,
-             sum(n) AS n_events,
+             CAST(sum(n) AS BIGINT) AS n_events,
              round(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_value
       FROM pre GROUP BY event_type ORDER BY event_type"""))
 
@@ -1643,7 +1645,7 @@ object ExtQueries {
     },
     Some("""
       WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-                        sum(CAST(floor(value * 1e6) AS BIGINT)) AS v
+                        CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS v
                  FROM events GROUP BY 1, 2),
       b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
       g AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr

@@ -188,7 +188,8 @@ object ScaleQueries {
                  FROM documents)
       SELECT CASE WHEN bucket < 90 THEN 'train'
                   WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
-             source, count(*) AS n_docs, sum(n_chars) AS total_chars
+             source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM b GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   // ---------------------------------------------------------------- q95
@@ -416,8 +417,8 @@ object ScaleQueries {
       SELECT b.event_type, min(s.n) AS n_events,
              round(min(mean), 6) AS mean_value,
              round(min(std), 6) AS std_value,
-             sum(CASE WHEN abs(CAST(v AS DOUBLE) / 10000.0 - mean) > 3.0 * std
-                      THEN 1 ELSE 0 END) AS n_outliers
+             CAST(sum(CASE WHEN abs(CAST(v AS DOUBLE) / 10000.0 - mean) > 3.0 * std
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       FROM b JOIN s USING (event_type)
       GROUP BY b.event_type ORDER BY b.event_type"""))
 
@@ -713,7 +714,7 @@ object ScaleQueries {
               row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rn
             FROM t)
       SELECT (rn - 1) % 8 AS shard, count(*) AS n_docs,
-             sum(n_tokens) AS total_tokens
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       FROM r GROUP BY 1 ORDER BY 1"""))
 
   // --------------------------------------------------------------- q119

@@ -68,7 +68,7 @@ object StatQueries {
               FROM t),
       c AS (SELECT doc_id, uh, count(*) AS c FROM tok GROUP BY 1, 2)
       SELECT doc_id,
-             sum(c) AS n_tokens,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
              count(*) AS n_distinct,
              round(ln(CAST(sum(c) AS DOUBLE))
                - CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) * c)
@@ -120,7 +120,8 @@ object StatQueries {
       SELECT dev.event_type, count(*) AS n_events,
              round(min(dev.med), 6) AS median_value,
              round(min(mad.mad), 6) AS mad_value,
-             sum(CASE WHEN dev.dev > 4.4478 * mad.mad THEN 1 ELSE 0 END) AS n_outliers
+             CAST(sum(CASE WHEN dev.dev > 4.4478 * mad.mad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       FROM dev JOIN mad USING (event_type)
       GROUP BY dev.event_type ORDER BY dev.event_type"""))
 
@@ -293,7 +294,8 @@ object StatQueries {
               sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
             FROM asg GROUP BY 1),
       t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM c)
-      SELECT bucket, n_ref, n_cur,
+      SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+             CAST(n_cur AS BIGINT) AS n_cur,
              round((CAST(n_ref + 1 AS DOUBLE) / (tr + 8)
                  - CAST(n_cur + 1 AS DOUBLE) / (tc + 8))
                * ln((CAST(n_ref + 1 AS DOUBLE) / (tr + 8))

@@ -441,8 +441,9 @@ object TrainQueries {
       WITH t AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens
                  FROM documents),
       o AS (SELECT doc_id, n_tokens,
-              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+              CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS "offset"
             FROM t)
       SELECT doc_id, n_tokens, "offset",
              CAST(floor("offset" / 512) AS BIGINT) AS first_seq,

@@ -6,8 +6,10 @@ Spark results Verify wrote.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, math
+import sys, json, glob, math, datetime
+from decimal import Decimal
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -15,18 +17,44 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def load_spark(outdir, name):
-    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    # Read EVERY part file — Verify coalesces to 1 today, but a future
+    # multi-part write must not silently compare a subset.
+    files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
     if not files:
         return None
-    return pq.read_table(files[0])
+    return pa.concat_tables([pq.read_table(f) for f in files])
 
 
 def canon(v):
+    """Type-SENSITIVE canonical form, mirroring the driver's hash: the
+    driver distinguishes Decimal('243') from 243 and -0.0 from 0.0,
+    so Python == is not enough (Decimal(243) == 243 is True)."""
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+            return ("float", "NaN")
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return ("float", "-0.0")
+        return ("float", repr(v))
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, Decimal):
+        return ("decimal", str(v))
+    # Spark writes ns timestamps (pandas.Timestamp), DuckDB returns us
+    # (datetime) — the driver's hash treats them as equal values (q30 is
+    # green there), so normalize both to one form. Timestamp subclasses
+    # datetime, so this catches both; check datetime before date.
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.to_pydatetime().isoformat()
+                if hasattr(v, "to_pydatetime") else v.isoformat())
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("list", tuple(canon(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, canon(x)) for k, x in v.items())))
+    return (type(v).__name__, v)
 
 
 def main(sfdir, outdir):
