@@ -227,7 +227,7 @@ object ExtQueries {
       val colT = cells.groupBy("event_type").agg(sum("c").as("ct"))
       val tot = cells.groupBy().agg(sum("c").as("nn"))
       val dof = rowT.groupBy().agg(count(lit(1)).as("_r"))
-        .crossJoin(colT.groupBy().agg(count(lit(1)).as("_k")))
+        .crossJoin(broadcast(colT.groupBy().agg(count(lit(1)).as("_k"))))
         .select(((col("_r") - 1) * (col("_k") - 1)).as("dof"))
       val e = (col("rt") * col("ct")).cast("double") / col("nn")
       val term = (col("c") - e) * (col("c") - e) / e
@@ -335,7 +335,7 @@ object ExtQueries {
         .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
         .filter(col("cxy") >= 5)
       val tot = uni.groupBy().agg(sum("cx").as("nn"))
-        .crossJoin(big.groupBy().agg(sum("cxy").as("mm")))
+        .crossJoin(broadcast(big.groupBy().agg(sum("cxy").as("mm"))))
       big
         .join(uni.select(col("x"), col("cx")), "x")
         .join(uni.select(col("x").as("y"), col("cx").as("cy")), "y")
@@ -1293,7 +1293,7 @@ object ExtQueries {
       val byFeat = cells.groupBy("lang").agg(sum("c").as("cf"))
         .groupBy().agg(slnl(col("cf")).as("sf"))
       val byCell = cells.groupBy().agg(slnl(col("c")).as("sc"))
-      byLabel.crossJoin(byFeat).crossJoin(byCell)
+      byLabel.crossJoin(broadcast(byFeat)).crossJoin(broadcast(byCell))
         .select(col("n"),
           round(log(col("n").cast("double"))
             - col("sl").cast("double") / col("n") / 1e6, 6).as("h_label"),

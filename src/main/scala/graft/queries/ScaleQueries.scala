@@ -871,7 +871,7 @@ object ScaleQueries {
       val refI = l.join(o.select("o_orderkey"),
           l("l_orderkey") === o("o_orderkey"), "left_anti")
         .agg(count(lit(1)).as("n_violations"))
-        .crossJoin(l.agg(count(lit(1)).as("n_checked")))
+        .crossJoin(broadcast(l.agg(count(lit(1)).as("n_checked"))))
         .select(lit("lineitem_fk_orders").as("rule"), col("n_checked"), col("n_violations"))
       val compl = o.agg(count(lit(1)).as("n_checked"),
           sum(when(col("o_orderpriority").isNull

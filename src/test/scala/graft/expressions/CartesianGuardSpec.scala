@@ -51,4 +51,22 @@ class CartesianGuardSpec extends SparkSpec {
       } finally spark.conf.unset(CartesianGuard.FailFlag)
     }
   }
+
+  test("fail-mode sweep: every declared query plans clean (all engine cross joins are broadcast-hinted)") {
+    withGuard {
+      spark.conf.set(CartesianGuard.FailFlag, "true")
+      try {
+        graft.SparkEntry.allQueries.foreach { q =>
+          // Forcing the optimized plan runs the guard without executing
+          // the query; iterative queries (CC, k-means, BPE) execute their
+          // inner rounds during fn() — with the flag on, those plans are
+          // checked too.
+          try q.fn(spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+          catch { case e: Throwable =>
+            fail(s"${q.name} failed to plan with $CartesianGuard fail mode on: ${e.getMessage}")
+          }
+        }
+      } finally spark.conf.unset(CartesianGuard.FailFlag)
+    }
+  }
 }
