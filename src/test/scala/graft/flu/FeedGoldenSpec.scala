@@ -8,7 +8,10 @@ import graft.sources.Fetch
 
 /** The CI-shaped cold-start gate: raw feed snapshots → buildFromFeeds →
   * all five tables equal the goldens (byte-copies of the reference's
-  * processed_files/*.csv) VALUE-EXACTLY, doubles included.
+  * processed_files CSVs) VALUE-EXACTLY, doubles included — except
+  * healthcare's three derived means, compared at 1e-12 relative
+  * tolerance (SURVEY §4 gotcha 1: pandas pairwise summation vs Spark
+  * sequential sum drifts the last bit of a double).
   *
   * The reference ships outputs but not its raw inputs, so the snapshots
   * under feeds_golden/ are inverted from the goldens by
@@ -46,16 +49,26 @@ class FeedGoldenSpec extends SparkSpec {
     for ((table, (file, schema)) <- goldens) {
       val expected = spark.read.option("header", "true").schema(schema)
         .csv(s"$goldenDir/$file.csv")
-      // order-insensitive, value-EXACT: String.valueOf is injective on
-      // doubles (Double.toString uniquely distinguishes adjacent
-      // values), so a one-ulp drift anywhere fails the compare
-      def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
-        df.collect().toSeq
-          .map(_.toSeq.map(String.valueOf).mkString("\u0000")).sorted
+      // order-insensitive. Non-double fields are compared via String.valueOf
+      // (injective, so any drift fails). Doubles are value-EXACT except in
+      // healthcare, whose means-over-distinct-tuples legitimately differ
+      // from pandas' pairwise summation in the last bit — those compare at
+      // 1e-12 relative tolerance (SURVEY §4 gotcha 1).
+      val relTol = if (table == "healthcare") 1e-12 else 0.0
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        df.collect().toSeq.map(_.toSeq)
+          .sortBy(_.map(String.valueOf).mkString("\u0000"))
+      def same(x: Any, y: Any): Boolean = (x, y) match {
+        case (a: Double, b: Double) =>
+          java.lang.Double.compare(a, b) == 0 ||
+            math.abs(a - b) <= relTol * math.max(math.abs(a), math.abs(b))
+        case _ => String.valueOf(x) == String.valueOf(y)
+      }
       val (a, e) = (canon(built(table)), canon(expected))
       assert(a.length == e.length, s"$table: ${a.length} rows vs golden ${e.length}")
       a.zip(e).zipWithIndex.foreach { case ((x, y), i) =>
-        assert(x == y, s"$table row $i:\n built=$x\ngolden=$y")
+        assert(x.length == y.length && x.zip(y).forall((same _).tupled),
+          s"$table row $i:\n built=${x.mkString(",")}\ngolden=${y.mkString(",")}")
       }
     }
   }

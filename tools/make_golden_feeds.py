@@ -142,6 +142,47 @@ def main():
                 rows.insert(i + 1, ("Greater Health Now", key, v))
                 break
 
+    # -------------------------------------------------- healthcare repair
+    # rhino.csv so far reproduces ILLNESS exactly, but healthcare's means
+    # run over DISTINCT (county, illness, care, pct) tuples of the raw
+    # feed — tuples the keep-first dedup dropped from illness still shaped
+    # the golden means. Spokane is the one county whose tuple set (BHT ∪
+    # GHN) the illness inversion under-covers: solve one extra GHN-only
+    # row per care type (GHN explodes to Spokane alone, so nothing else
+    # moves) making Spokane's mean land on the golden value. The epiweek
+    # key reuses one Spokane already occupies, so keep-first drops the
+    # row from illness and temporal/county_region are untouched.
+    tuples = set()
+    for ach, (ep, illtype, care), pct in rows:
+        if pct.strip() == "":
+            continue
+        for c in ACH_TO_COUNTIES[ach]:
+            tuples.add((c, illtype, care, float(pct)))
+    hc_by_name = {id2name[r["county_id"]]: r for r in hc}
+    for care, col in (("Hospitalizations", "hospitalization_percent"),
+                      ("Emergency Visits", "er_visit_percent")):
+        vals = [v for (c, i, ca, v) in tuples if c == "Spokane" and ca == care]
+        target = Fraction(float(hc_by_name["Spokane"][col]))
+        if sum(Fraction(v) for v in vals) / len(vals) == target:
+            continue
+        v = float(target * (len(vals) + 1) - sum(Fraction(x) for x in vals))
+        assert 0.0 < v < 100.0, (care, v)
+        key = next(k for k in sorted(bykey)
+                   if k[2] == care and "Spokane" in bykey[k])
+        assert ("Spokane", key[1], care, v) not in tuples, (key, v)
+        tuples.add(("Spokane", key[1], care, v))
+        rows.append(("Greater Health Now", key, repr(v)))
+    # self-check: every county's healthcare means now match the golden
+    # within 1e-12 relative (FeedGoldenSpec's sanctioned tolerance)
+    for name, r in hc_by_name.items():
+        for care, col in (("Hospitalizations", "hospitalization_percent"),
+                          ("Emergency Visits", "er_visit_percent")):
+            vs = [v for (c, i, ca, v) in tuples if c == name and ca == care]
+            got = sum(vs) / len(vs) if vs else 0.0
+            want = float(r[col])
+            assert abs(got - want) <= 1e-12 * max(abs(got), abs(want)), (
+                name, care, repr(got), repr(want))
+
     with open(f"{OUT}/rhino.csv", "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["Location", "Week Start", "Week End", "Week", "Season",
