@@ -102,27 +102,45 @@ object StreamingOps {
     * (Delta/Iceberg) replaces with an atomic commit; the merge shape —
     * one shuffle on the key per batch, state IS the snapshot — is
     * unchanged. Caller starts/awaits the returned writer.
+    *
+    * Crash safety: the swap is delete(cur) → rename(tmp, cur), and a
+    * crash between the two leaves only the tmp dir. [[upsertBatch]]
+    * therefore RECOVERS before reading: a missing snapshot with a
+    * completed tmp sitting next to it is renamed into place (the tmp is
+    * a fully-written merge — rename is the last step), so the replayed
+    * micro-batch re-merges against the recovered state instead of an
+    * empty one.
     */
   def streamUpsert(stream: DataFrame, keys: Seq[String], orderCol: String,
                    path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val hconf = spark.sparkContext.hadoopConfiguration
-        val cur = new org.apache.hadoop.fs.Path(path)
-        val fs = cur.getFileSystem(hconf)
-        val existing =
-          if (fs.exists(cur)) spark.read.schema(batch.schema).parquet(path)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-        val merged = graft.operators.Relational.dedupKeepFirst(
-          existing.unionByName(batch.toDF()), keys, Seq(col(orderCol).desc))
-        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(cur, true)
-        fs.rename(tmp, cur)
-        ()
+        upsertBatch(batch.toDF(), keys, orderCol, path)
       }
+
+  /** One micro-batch of [[streamUpsert]]: recover a half-completed swap,
+    * merge the batch into the snapshot, write-and-swap. Exposed so the
+    * crash-recovery path is directly testable.
+    */
+  def upsertBatch(batch: DataFrame, keys: Seq[String], orderCol: String,
+                  path: String): Unit = {
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val cur = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val fs = cur.getFileSystem(hconf)
+    if (!fs.exists(cur) && fs.exists(tmp)) fs.rename(tmp, cur)
+    val existing =
+      if (fs.exists(cur)) spark.read.schema(batch.schema).parquet(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    val merged = graft.operators.Relational.dedupKeepFirst(
+      existing.unionByName(batch), keys, Seq(col(orderCol).desc))
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(cur, true)
+    fs.rename(tmp, cur)
+    ()
+  }
 
   /** Stream-static temporal (SCD2) lookup: each streaming row joined
     * to the dimension VERSION current at its event time — the dim
@@ -261,6 +279,13 @@ object StreamingOps {
   /** Batch-side PSI over a driftMonitor output (post-aggregation a
     * memory/console sink can run per trigger): normalizes counts per
     * window and emits the per-bucket smoothed PSI term.
+    *
+    * Smoothing is SYMMETRIC, like q111's add-one on both cohorts: the
+    * reference share is re-smoothed against the same window total
+    * ((ref·tot + 1) / (tot + k)), so a zero reference bucket yields a
+    * finite psi_term instead of Infinity from the raw ln(p/0). A
+    * ref_share that already carries mass is essentially unchanged
+    * (0.25 at tot=400, k=4 smooths to 101/404 = 0.25 exactly).
     */
   def psiOf(monitored: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("window_start")
@@ -268,9 +293,11 @@ object StreamingOps {
       .withColumn("_tot", sum("count").over(w))
       .withColumn("obs_share",
         (col("count") + 1).cast("double") / (col("_tot") + col("n_buckets")))
+      .withColumn("_ref_sm",
+        (col("ref_share") * col("_tot") + 1) / (col("_tot") + col("n_buckets")))
       .withColumn("psi_term",
-        round((col("obs_share") - col("ref_share"))
-          * log(col("obs_share") / col("ref_share")), 9))
+        round((col("obs_share") - col("_ref_sm"))
+          * log(col("obs_share") / col("_ref_sm")), 9))
       .select(col("window_start"), col("bucket"), col("count"),
         col("obs_share"), col("ref_share"), col("psi_term"))
   }

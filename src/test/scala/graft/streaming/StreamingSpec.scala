@@ -203,6 +203,41 @@ class StreamingSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("upsertBatch recovers a half-completed swap (crash between delete and rename)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert-crash").toFile
+    val snap = s"$dir/snapshot"
+    // simulate the crash window: the previous batch's merge is fully
+    // written at .tmp, the old snapshot already deleted, rename never ran
+    Seq((1L, 10L, "v1"), (2L, 10L, "v1")).toDF("k", "ver", "payload")
+      .write.parquet(s"$snap.tmp")
+    assert(!new java.io.File(snap).exists())
+    // the replayed micro-batch must merge against the RECOVERED state
+    val batch = Seq((2L, 20L, "v2"), (3L, 20L, "v2")).toDF("k", "ver", "payload")
+    StreamingOps.upsertBatch(batch, Seq("k"), "ver", snap)
+    val out = spark.read.parquet(snap)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 10L, "v1"), (2L, 20L, "v2"), (3L, 20L, "v2")),
+      out.toSeq.toString)
+  }
+
+  test("psiOf stays finite when a reference bucket has zero share") {
+    import spark.implicits._
+    val mon = Seq(
+      ("2024-01-01 00:00:00", 0, 90L, 0.9),
+      ("2024-01-01 00:00:00", 1, 10L, 0.1),
+      ("2024-01-01 00:00:00", 2, 100L, 0.0)) // observed mass, zero reference
+      .toDF("ws", "bucket", "count", "ref_share")
+      .select(col("ws").cast("timestamp").as("window_start"),
+        col("bucket"), col("count"), col("ref_share"))
+      .withColumn("n_buckets", lit(3))
+    val terms = StreamingOps.psiOf(mon).collect()
+      .map(r => r.getInt(1) -> r.getDouble(5)).toMap
+    assert(terms.values.forall(v => !v.isInfinite && !v.isNaN), terms.toString)
+    // the zero-reference bucket carries a big (but finite) drift signal
+    assert(terms(2) > 1.0, terms.toString)
+  }
+
   test("stream-stream interval join matches purchases within the delay window only") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ssjoin-stream").toFile
