@@ -464,9 +464,12 @@ object ExtQueries {
     * plus a prefix sum over the bounded distinct-score table (the q125
     * CDF recipe — scores are 6-dp-rounded, so the relation is bounded
     * regardless of corpus size, and tie handling is exact: tied pairs
-    * contribute ½). The whole statistic stays an integer rational
-    * 2·Σ[neg·(2·cum_pos + pos)] / (2·(2·n_pos·n_neg)) until one final
-    * division — partition-order independent by construction.
+    * contribute ½). Orientation is the CONVENTIONAL one — P(score_pos >
+    * score_neg) + ½·P(tie), each positive credited with the negatives
+    * strictly below it — so 1.0 means the score perfectly ranks
+    * positives above negatives. The whole statistic stays an integer
+    * rational Σ[pos·(2·cum_neg + neg)] / (2·n_pos·n_neg) until one
+    * final division — partition-order independent by construction.
     */
   val q134 = Q("q134_auc",
     (s, dir) => {
@@ -481,8 +484,8 @@ object ExtQueries {
       val w = Window.orderBy("score")
         .rowsBetween(Window.unboundedPreceding, -1)
       byScore
-        .withColumn("cpb", coalesce(sum("pc").over(w), lit(0L)))
-        .select((col("nc") * (lit(2) * col("cpb") + col("pc"))).as("term"))
+        .withColumn("cnb", coalesce(sum("nc").over(w), lit(0L)))
+        .select((col("pc") * (lit(2) * col("cnb") + col("nc"))).as("term"))
         .agg(sum("term").as("num2"))
         .crossJoin(broadcast(tot))
         .select(
@@ -503,11 +506,11 @@ object ExtQueries {
               sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS nc
             FROM d GROUP BY score),
       c AS (SELECT score, pc, nc,
-              coalesce(sum(pc) OVER (ORDER BY score
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cpb
+              coalesce(sum(nc) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
             FROM v),
       z AS (SELECT sum(pc) AS np, sum(nc) AS nn FROM v)
-      SELECT round(CAST(sum(nc * (2 * cpb + pc)) AS DOUBLE) / (2.0 * np * nn), 9) AS auc,
+      SELECT round(CAST(sum(pc * (2 * cnb + nc)) AS DOUBLE) / (2.0 * np * nn), 9) AS auc,
              CAST(np AS BIGINT) AS np, CAST(nn AS BIGINT) AS nn
       FROM c CROSS JOIN z GROUP BY np, nn"""))
 
