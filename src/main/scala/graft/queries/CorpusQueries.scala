@@ -78,45 +78,60 @@ object CorpusQueries {
                    / sum(cnt), 6) AS dup_frac
       FROM gc GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** q62's engine — per-training-doc shingle overlap against an eval
+    * partition of the same corpus, with ONE code path serving both
+    * scales: the eval shingles ride a broadcast only when the eval side
+    * is VERIFIABLY bounded (a limit-capped pre-count of eval docs stays
+    * ≤ `maxBroadcastEvalDocs`); otherwise the hint is dropped and the
+    * join degrades to q91's one-linear-shuffle shape. The pre-count
+    * reads only the predicate's columns (pruned at the parquet scan)
+    * and stops at the cap + 1 — a cheap toll for never broadcasting an
+    * unbounded side. Real benchmark eval sets are a few thousand docs
+    * regardless of corpus size, so production takes the broadcast
+    * branch; the modulo stand-in grows with the corpus and trips the
+    * guard at scale.
+    *
+    * Shingle hashing uses the compiled LSH kernel
+    * (`graft_shingle_hashes`, 31-bit md5-derived, distinct per doc) —
+    * the declarative HOF chain re-did the trigram+md5 work 3× per row
+    * once the explode's inferred filters duplicated it (17-19 s at
+    * sf0.1; kernel form ~0.5 s).
+    */
+  def contaminationOverlap(docs: org.apache.spark.sql.DataFrame,
+                           evalPred: org.apache.spark.sql.Column,
+                           maxBroadcastEvalDocs: Long): org.apache.spark.sql.DataFrame = {
+    val hs = call_function("graft_shingle_hashes", col("text"), lit(3))
+    val evalGrams = docs.filter(evalPred)
+      .select(explode(hs).as("h")).distinct()
+      .withColumn("_hit", lit(1))
+    val cap = (maxBroadcastEvalDocs min (Int.MaxValue - 1L)).toInt
+    val bounded =
+      docs.filter(evalPred).select(lit(1)).limit(cap + 1).count() <= maxBroadcastEvalDocs
+    val evalSide = if (bounded) broadcast(evalGrams) else evalGrams
+    docs.filter(!evalPred)
+      .select(col("doc_id"), explode(hs).as("h"))
+      .join(evalSide, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_overlap"))
+      .filter(col("n_overlap") >= 1)
+      .withColumn("overlap_frac",
+        round(col("n_overlap").cast("double") / col("n_grams"), 6))
+      .orderBy("doc_id")
+  }
+
   /** q62 — benchmark-contamination check: which training documents
     * share word-trigram shingles with a held-out eval set (docs with
-    * doc_id % 97 = 0 stand in for the benchmark). Real benchmark eval
-    * sets are BOUNDED (a few thousand documents regardless of corpus
-    * size), so their distinct shingle hashes broadcast safely and the
-    * 100 TB training side is touched exactly once, map-side; per-doc
-    * overlap counts then re-group on doc_id (one linear shuffle). The
-    * modulo stand-in used here is NOT bounded — it grows linearly with
-    * the corpus — so at true scale this broadcast must be dropped
-    * (remove the hint; Spark falls back to a shuffled join) or the eval
-    * side pre-filtered to the real benchmark. The broadcast form is the
-    * production shape only because production eval sets are fixed-size.
-    *
-    * Shingle hashing reuses the LSH kernel (`graft_shingle_hashes` —
-    * 31-bit md5-derived, distinct per doc), so the oracle replays it
-    * bit-for-bit.
+    * doc_id % 97 = 0 stand in for the benchmark). All the machinery —
+    * including the size-guarded broadcast that picks between the
+    * map-side and q91-shuffled join shapes — is
+    * [[contaminationOverlap]]; the 100k-doc guard keeps the broadcast
+    * at every test SF while bounding it (~tens of MB of hashes) on any
+    * corpus.
     */
   val q62 = Q("q62_contamination",
-    (s, dir) => {
-      // the compiled kernel, not the declarative shingle chain: the
-      // explode's inferred size/isnotnull filters duplicate whatever
-      // expression produces the array, which for the interpreted HOF
-      // chain meant 3× the full trigram+md5 work per row (measured
-      // 17-19 s at sf0.1; kernel form ~0.5 s)
-      val docs = Tables.load(s, dir, "documents")
-      val hs = call_function("graft_shingle_hashes", col("text"), lit(3))
-      val evalGrams = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-        .select(explode(hs).as("h")).distinct()
-        .withColumn("_hit", lit(1))
-      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-        .select(col("doc_id"), explode(hs).as("h"))
-        .join(broadcast(evalGrams), Seq("h"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_overlap"))
-        .filter(col("n_overlap") >= 1)
-        .withColumn("overlap_frac",
-          round(col("n_overlap").cast("double") / col("n_grams"), 6))
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      contaminationOverlap(Tables.load(s, dir, "documents"),
+        pmod(col("doc_id"), lit(97)) === 0, maxBroadcastEvalDocs = 100000L),
     Some(s"""
       WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
       sh AS (SELECT doc_id,
