@@ -32,13 +32,21 @@ object FluApi {
 
   /** Start the API over `spark`'s registered temp views. `port` 0 binds
     * an ephemeral port (see `server.getAddress.getPort`). Caller stops
-    * it with `server.stop(0)`.
+    * it with `server.stop(0)`. The worker pool uses DAEMON threads:
+    * `HttpServer.stop` does not shut down its executor, so a non-daemon
+    * pool would outlive the server and hang JVM exit for any embedding
+    * app.
     */
   def start(spark: SparkSession, port: Int = 5000): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", exchange => route(spark, exchange))
     // small pool: report queries are sub-second over bounded relations
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+      (r: Runnable) => {
+        val t = new Thread(r, "flu-api-worker")
+        t.setDaemon(true)
+        t
+      }))
     server.start()
     server
   }
@@ -60,7 +68,11 @@ object FluApi {
       case other => respondJson(ex, 404, obj("error" -> s"not found: $other"))
     } catch {
       case e: Throwable => // reference returns 500 with the error text
-        respondJson(ex, 500, obj("error" -> String.valueOf(e.getMessage)))
+        // if the failure hit AFTER headers were sent (client disconnect
+        // mid-write), the 500 write throws again — swallow it rather
+        // than let a secondary exception escape to the dispatcher
+        try respondJson(ex, 500, obj("error" -> String.valueOf(e.getMessage)))
+        catch { case _: Exception => () }
     } finally ex.close()
 
   private val home: String = obj(
@@ -177,8 +189,19 @@ object FluApi {
     case d: Double => jsonDouble(d)
     case d: java.math.BigDecimal => d.toPlainString
     case d: BigDecimal => d.bigDecimal.toPlainString
-    case other => jsonString(other.toString) // dates, timestamps → ISO text
+    // Flask's jsonify renders date/datetime ROW values as RFC-1123
+    // http_date strings ("Wed, 02 Oct 2024 00:00:00 GMT"); only the
+    // summary blocks use str(date) ISO form (which .toString keeps)
+    case d: java.sql.Date => jsonString(httpDate(d.toLocalDate))
+    case d: java.time.LocalDate => jsonString(httpDate(d))
+    case other => jsonString(other.toString) // timestamps → ISO text
   }
+
+  private val httpDateFmt = java.time.format.DateTimeFormatter
+    .ofPattern("EEE, dd MMM yyyy HH:mm:ss 'GMT'", java.util.Locale.US)
+
+  private def httpDate(d: java.time.LocalDate): String =
+    httpDateFmt.format(d.atStartOfDay(java.time.ZoneOffset.UTC))
 
   private def jsonDouble(d: Double): String =
     if (d.isNaN || d.isInfinite) jsonString(d.toString) else d.toString

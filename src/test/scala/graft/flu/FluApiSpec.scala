@@ -82,6 +82,22 @@ class FluApiSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(body.contains(s""""Latest Week": "${first.getAs[Any]("week_end")}""""), body)
     assert(body.contains(""""Illness Type": """), body)
     assert(body.contains("\"data\": [") && body.contains("\"summary\": {"), body.take(200))
+    // data-row dates are Flask http_date strings (jsonify's rendering);
+    // only the summary's str(date) keeps the ISO form asserted above
+    val httpDate = java.time.format.DateTimeFormatter
+      .ofPattern("EEE, dd MMM yyyy HH:mm:ss 'GMT'", java.util.Locale.US)
+      .format(first.getAs[java.sql.Date]("week_end").toLocalDate
+        .atStartOfDay(java.time.ZoneOffset.UTC))
+    assert(body.contains(s""""week_end": "$httpDate""""), body.take(500))
+  }
+
+  test("API worker threads are daemons (server.stop cannot shut down its pool)") {
+    val (status, _, _) = get("/health") // force at least one worker alive
+    assert(status == 200)
+    val workers = Thread.getAllStackTraces.keySet.toArray(Array.empty[Thread])
+      .filter(_.getName == "flu-api-worker")
+    assert(workers.nonEmpty, "expected live flu-api-worker threads")
+    assert(workers.forall(_.isDaemon), "API pool must not block JVM exit")
   }
 
   test("healthcare-impact formats three percent columns and sums counties") {
