@@ -240,12 +240,13 @@ object Dedup {
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(false)
-    var labels = sym.select(col("src").as("id")).distinct()
+    val init = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint(false)
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
+    // silent non-convergence would return wrong (partially propagated)
+    // labels on a component whose diameter exceeds maxIter — the loop
+    // fails loudly instead
+    FixpointLoop.iterateUntilFixpoint(init, maxIter, "connectedComponents") { labels =>
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy("src").agg(min("cluster_id").as("_nbr"))
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
@@ -253,16 +254,9 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("_nbr"), col("cluster_id"))).as("_next"),
           col("cluster_id"))
         .localCheckpoint(false)
-      changed = next.filter(col("_next") < col("cluster_id")).count()
-      labels = next.select(col("id"), col("_next").as("cluster_id"))
-      i += 1
+      val changed = next.filter(col("_next") < col("cluster_id")).count()
+      (next.select(col("id"), col("_next").as("cluster_id")), changed == 0)
     }
-    // silent non-convergence would return wrong (partially propagated)
-    // labels on a component whose diameter exceeds maxIter — fail loudly
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still changing); raise maxIter for deep chains")
-    labels
   }
 
   /** SimHash: `bits`-wide locality-sensitive fingerprint of the distinct

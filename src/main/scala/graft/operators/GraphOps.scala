@@ -63,7 +63,7 @@ object GraphOps {
       .distinct().localCheckpoint(false)
     // canonical child>parent orientation; self-loops carry no
     // connectivity (their nodes re-enter via allNodes at the end)
-    var edges = pairs
+    val edges = pairs
       .select(col(aCol).as("x"), col(bCol).as("y"))
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
@@ -96,24 +96,20 @@ object GraphOps {
       (r.getLong(0), r.getLong(1))
     }
 
-    var sig = signature(edges)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+    var sig = signature(edges) // cross-round scalar lives in the closure
+    val fixed = FixpointLoop.iterateUntilFixpoint(edges, maxIter,
+        "connectedComponentsAlternating") { cur =>
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nextSig = signature(next)
-      if (nextSig == sig) {
-        // exact seal: the signature says fixpoint — prove it (both
-        // difference directions evaluated in one job)
-        converged = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
-      }
-      edges = next
+      // exact seal: the signature says fixpoint — prove it (both
+      // difference directions evaluated in one job), so a collision
+      // can never return early with wrong labels
+      val done = nextSig == sig &&
+        next.exceptAll(cur).union(cur.exceptAll(next)).isEmpty
       sig = nextSig
-      i += 1
+      (next, done)
     }
-    require(converged,
-      s"connectedComponentsAlternating did not converge in $maxIter rounds")
-    val labels = edges.select(col("u").as("id"), col("v").as("cluster_id"))
+    val labels = fixed.select(col("u").as("id"), col("v").as("cluster_id"))
     allNodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
@@ -130,8 +126,10 @@ object GraphOps {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(false)
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    // fixed iteration budget, not a fixpoint test: the loop never
+    // "converges", it just runs its `iters` rounds and takes the state
+    FixpointLoop.iterateUntilFixpoint(nodes.withColumn("rank", lit(1.0 / n)),
+        iters, "pageRank", requireConvergence = false) { ranks =>
       val withDeg = ranks.join(deg, ranks("id") === deg("src"), "left")
         .select(col("id"), col("rank"), col("deg"))
         .localCheckpoint(false)
@@ -142,13 +140,13 @@ object GraphOps {
         .select(col("dst"),
           round(col("rank") / col("deg") * 1e12).cast("long").as("_c"))
         .groupBy("dst").agg(sum("_c").as("_s"))
-      ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+      val next = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(col("id"),
           (lit((1.0 - d) / n)
             + lit(d) * (coalesce(col("_s"), lit(0L)).cast("double") / 1e12
               + lit(dangling / n))).as("rank"))
         .localCheckpoint(false)
+      (next, false)
     }
-    ranks
   }
 }

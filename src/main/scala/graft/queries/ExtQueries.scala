@@ -1746,9 +1746,16 @@ object ExtQueries {
     * two cohorts, with per-decile gaps — the data behind a Q-Q plot
     * and the distribution-level complement to q111's scalar PSI
     * (PSI says "drifted", the grid says WHERE in the distribution).
-    * One grouped percentile pass per cohort (exact here; at 100 TB
-    * the q52 `percentile_approx` swap applies unchanged, the q50/q108
-    * precedent), then the nine-row relations join on decile index.
+    * One grouped percentile pass per cohort, then the nine-row
+    * relations join on decile index.
+    *
+    * The percentile is conf-gated: `spark.graft.approxPercentile=true`
+    * swaps the exact `percentile` (full per-group sort — the oracle
+    * shape) for `percentile_approx`'s mergeable KLL-style sketch at
+    * `spark.graft.approxPercentile.accuracy` (default 10000, ~1e-4
+    * rank error), the q52 precedent. At 100 TB the sketch is the only
+    * sane plan — fixed memory per group, one pass, no sort — so the
+    * switch is a runtime conf, not a code edit.
     */
   val q160 = Q("q160_qq_drift_grid",
     (s, dir) => {
@@ -1756,8 +1763,12 @@ object ExtQueries {
         .select(when(pmod(col("o_orderkey"), lit(2)) === 0, "a").otherwise("b").as("cohort"),
           col("o_totalprice").as("v"))
       val deciles = (1 to 9).map(_ / 10.0)
-      val q = o.groupBy("cohort")
-        .agg(expr(s"percentile(v, array(${deciles.mkString(", ")}))").as("qs"))
+      val approx = s.conf.get("spark.graft.approxPercentile", "false") == "true"
+      val acc = s.conf.get("spark.graft.approxPercentile.accuracy", "10000").toInt
+      val pctAgg =
+        if (approx) percentile_approx(col("v"), array(deciles.map(lit): _*), lit(acc))
+        else expr(s"percentile(v, array(${deciles.mkString(", ")}))")
+      val q = o.groupBy("cohort").agg(pctAgg.as("qs"))
       val a = q.filter(col("cohort") === "a")
         .select(posexplode(col("qs")).as(Seq("i", "pa")))
       val b = q.filter(col("cohort") === "b")
