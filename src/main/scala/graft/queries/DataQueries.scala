@@ -804,6 +804,92 @@ object DataQueries {
     * the doc_id tiebreak; both engines round quality to 1e-6 first,
     * so the tie set itself is identical.
     */
+  /** q169 — embedding-space eval decontamination: the SEMANTIC twin of
+    * the shingle-based q62/q91 contamination checks. Training vectors
+    * that collide with any eval vector in the q40-family hyperplane-LSH
+    * buckets (6 seeded tables × 3 planes) are exactly cosine-verified;
+    * a training doc whose best match clears the threshold is flagged
+    * with that argmax eval id. Paraphrased leakage shares no shingles —
+    * this is the check that catches it.
+    *
+    * Scale: eval sets are bounded (a few thousand vectors regardless of
+    * corpus size), so the eval bucket table AND the eval verification
+    * vectors ride broadcasts; the 100 TB training side is touched once,
+    * map-side, and only bucket-collision candidates pay the exact
+    * cosine — the same no-cartesian discipline as every ANN query here.
+    * Candidate recall is the banded-LSH bound (1−(1−(1−θ/π)³)⁶ per
+    * pair); the oracle replays the identical seeded buckets, so the
+    * gate is exact over the same candidate set. The argmax ties break
+    * on (cos_sim DESC, eval_id ASC) over the 6-dp-rounded cosine —
+    * deterministic in both engines.
+    */
+  val q169 = Q("q169_embed_contamination",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tables = 6; val planes = 3
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("_norm", sqrt(Similarity.dotNative(col("embedding"), col("embedding"))))
+        .localCheckpoint(false) // three consumers: two bucket sides + verify
+      def buckets(df: org.apache.spark.sql.DataFrame, idAs: String) =
+        df.select(col("vec_id").as(idAs),
+          posexplode(array((0 until tables).map(t =>
+            Similarity.hyperplaneBucketSeeded(col("embedding"), 64, planes, s"q169t$t")): _*))
+            .as(Seq("_t", "_bk")))
+      val ev = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+      val tr = emb.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+      val cand = buckets(tr, "train_id")
+        .join(broadcast(buckets(ev, "eval_id")), Seq("_t", "_bk"))
+        .select("train_id", "eval_id").distinct()
+      cand
+        .join(emb.select(col("vec_id").as("train_id"),
+          col("embedding").as("vt"), col("_norm").as("nt")), Seq("train_id"))
+        .join(broadcast(ev.select(col("vec_id").as("eval_id"),
+          col("embedding").as("ve"), col("_norm").as("ne"))), Seq("eval_id"))
+        .select(col("train_id"), col("eval_id"),
+          round(Similarity.dotNative(col("vt"), col("ve")) / (col("nt") * col("ne")), 6)
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
+        .withColumn("_rn", row_number().over(Window.partitionBy("train_id")
+          .orderBy(col("cos_sim").desc, col("eval_id").asc)))
+        .filter(col("_rn") === 1)
+        .select("train_id", "eval_id", "cos_sim")
+        .orderBy("train_id")
+    },
+    Some {
+      val tables = 6; val planes = 3
+      def planeLit(seed: String, p: Int) = (1 to 64).map { d =>
+        val n = Hashing.hash64Local(s"$seed:p$p:d$d") % 2001 - 1000
+        s"(${n}.0/1000.0)"
+      }.mkString("[", ",", "]")
+      val bucketExprs = (0 until tables).map { t =>
+        val bits = (0 until planes).map { p =>
+          s"""CASE WHEN list_reduce(list_transform(range(1, 65),
+             d -> CAST(embedding[d] AS DOUBLE) * (${planeLit(s"q169t$t", p)}[d])), (a, b) -> a + b) > 0
+             THEN ${1 << p} ELSE 0 END"""
+        }.mkString(" + ")
+        s"CAST($bits AS INTEGER) AS bk$t"
+      }.mkString(",\n             ")
+      val bkCase = (0 until tables).map(t => s"WHEN $t THEN bk$t").mkString(" ")
+      s"""
+      WITH n AS (SELECT vec_id, embedding,
+                        sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+             $bucketExprs
+             FROM embeddings),
+      bk AS (SELECT vec_id, t, CASE t $bkCase END AS bkt
+             FROM n CROSS JOIN (SELECT unnest(range(0, $tables)) AS t) ts),
+      cand AS (SELECT DISTINCT tr.vec_id AS train_id, ev.vec_id AS eval_id
+               FROM bk tr
+               JOIN bk ev ON tr.t = ev.t AND tr.bkt = ev.bkt
+               WHERE tr.vec_id % 97 <> 0 AND ev.vec_id % 97 = 0),
+      p AS (SELECT train_id, eval_id,
+            round(${duckDot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm), 6) AS cos_sim
+            FROM cand JOIN n na ON train_id = na.vec_id JOIN n nb ON eval_id = nb.vec_id)
+      SELECT train_id, eval_id, cos_sim FROM p WHERE cos_sim >= 0.3
+      QUALIFY row_number() OVER (PARTITION BY train_id
+        ORDER BY cos_sim DESC, eval_id ASC) = 1
+      ORDER BY train_id"""
+    })
+
   val q114 = Q("q114_cluster_canonical",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -855,5 +941,5 @@ object DataQueries {
       ORDER BY cluster_id"""))
 
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-    q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114)
+    q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169)
 }
