@@ -890,6 +890,73 @@ object DataQueries {
       ORDER BY train_id"""
     })
 
+  /** q170 — leakage-free train/valid/test split: q94's deterministic
+    * 90/5/5 hash split, but keyed on the NEAR-DUP CLUSTER id (q58's
+    * MinHash-LSH + connected components; singletons are their own
+    * cluster), so near-duplicate documents can never straddle the
+    * split — the leak a per-doc hash split structurally cannot rule
+    * out, and the reason eval numbers go soft. The output carries the
+    * proof: `leaky_clusters` (clusters touching >1 split) is 0 by
+    * construction, re-checked by the oracle.
+    *
+    * Scale: LSH + CC is the q58 path (bucketed candidates, O(rounds)
+    * label propagation); the split itself is map-only on cluster_id
+    * and the summary is a tiny (3 × sources) aggregate. The leakage
+    * audit is one extra groupBy on cluster_id that re-enters as a
+    * broadcast single row.
+    */
+  val q170 = Q("q170_leakage_free_split",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 2, k = 12, rowsPerBand = 2, threshold = 0.2)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val withCluster = docs.select("doc_id")
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val bucket = pmod(Hashing.hash64(concat(lit("csplit|"),
+        col("cluster_id").cast("string"))), lit(100L))
+      val assigned = withCluster.withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test"))
+      val leaky = assigned.groupBy("cluster_id")
+        .agg(countDistinct("split").as("_ns"))
+        .agg(sum(when(col("_ns") > 1, 1L).otherwise(0L)).as("leaky_clusters"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("cluster_id").as("n_clusters"))
+        .crossJoin(broadcast(leaky))
+        .orderBy("split")
+    },
+    Some(s"""
+      WITH RECURSIVE $duckMinhashPairCtes,
+      prs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.2),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                UNION ALL SELECT doc_b, doc_a FROM prs),
+      reach(id, r) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      cc AS (SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+             FROM reach GROUP BY id),
+      d AS (SELECT documents.doc_id,
+                   coalesce(cc.cluster_id, documents.doc_id) AS cluster_id
+            FROM documents LEFT JOIN cc USING (doc_id)),
+      a AS (SELECT doc_id, cluster_id,
+              CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid'
+                   ELSE 'test' END AS split
+            FROM (SELECT *,
+                    ${duckHash64("concat('csplit|', CAST(cluster_id AS VARCHAR))")} % 100 AS b
+                  FROM d)),
+      l AS (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS leaky_clusters
+            FROM (SELECT cluster_id, count(DISTINCT split) AS ns
+                  FROM a GROUP BY 1))
+      SELECT split, count(*) AS n_docs,
+             count(DISTINCT cluster_id) AS n_clusters, leaky_clusters
+      FROM a CROSS JOIN l
+      GROUP BY split, leaky_clusters ORDER BY split"""))
+
   val q114 = Q("q114_cluster_canonical",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -941,5 +1008,5 @@ object DataQueries {
       ORDER BY cluster_id"""))
 
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-    q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169)
+    q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170)
 }
