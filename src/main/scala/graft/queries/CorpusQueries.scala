@@ -295,5 +295,80 @@ object CorpusQueries {
       SELECT canon_url, count(*) AS n_urls, min(doc_id) AS kept_doc
       FROM c GROUP BY canon_url ORDER BY canon_url"""))
 
-  val all: Seq[Q] = Seq(q61, q62, q63, q64, q76)
+  /** q171 — token-budget parity upsampling: deterministic REPEAT
+    * factors that bring every source up to the largest source's char
+    * budget — the upsampling twin of q64/q86 (which only subsample).
+    * Real mixtures repeat small high-quality sources for multiple
+    * epochs; the repeat plan must be exactly reproducible.
+    *
+    * Per source: base = ⌊target/avail⌋ whole copies for every doc
+    * (≥ 1 — target is the max, so `sequence(1, copies)` never sees an
+    * empty range), plus one extra copy for the first ⌊frac·n_docs⌋
+    * docs by salted-md5 rank — a deterministic fractional epoch. The
+    * materialization is the real explode path; the per-source summary
+    * re-aggregates it and carries the plan arithmetic for the oracle
+    * to re-derive (the oracle uses the sum(copies) identity instead
+    * of exploding — provably the same counts).
+    *
+    * Scale: one linear source aggregate + a one-row broadcast target;
+    * the md5 rank is a per-source window (at 100 TB swap in q84's
+    * two-level prefix sum, or threshold on the hash VALUE for an
+    * approximate extra count — both documented trades). The explode
+    * multiplies rows by a bounded small factor (≤ base+1).
+    */
+  val q171 = Q("q171_budget_repeat",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val per = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("avail_chars"))
+      val target = per.agg(max("avail_chars").as("target_chars"))
+      val planned = per.crossJoin(broadcast(target))
+        .withColumn("base",
+          floor(col("target_chars").cast("double") / col("avail_chars")).cast("long"))
+        // double math in a pinned order (rem → ×n_docs → ÷avail) so the
+        // oracle replays bit-identically; floor, never round (.5 hazard)
+        .withColumn("extra_docs",
+          floor((col("target_chars") - col("base") * col("avail_chars")).cast("double")
+            * col("n_docs") / col("avail_chars")).cast("long"))
+      val ranked = docs.join(broadcast(planned), Seq("source"))
+        .withColumn("_rk", row_number().over(Window.partitionBy("source")
+          .orderBy(Hashing.hash64(concat(lit("rep|"), col("doc_id").cast("string"))).asc,
+            col("doc_id").asc)))
+        .withColumn("copies",
+          col("base") + when(col("_rk") <= col("extra_docs"), 1L).otherwise(0L))
+      ranked
+        .select(col("source"), col("n_chars"), explode(expr("sequence(1L, copies)")).as("_c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("realized_docs"), sum("n_chars").as("realized_chars"))
+        .join(broadcast(planned), Seq("source"))
+        .select(col("source"), col("n_docs"), col("avail_chars"), col("base"),
+          col("extra_docs"), col("realized_docs"), col("realized_chars"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH per AS (SELECT source, count(*) AS n_docs,
+                          CAST(sum(n_chars) AS BIGINT) AS avail_chars
+                   FROM documents GROUP BY 1),
+      t AS (SELECT max(avail_chars) AS target_chars FROM per),
+      p AS (SELECT source, n_docs, avail_chars,
+              CAST(floor(CAST(target_chars AS DOUBLE) / avail_chars) AS BIGINT) AS base,
+              CAST(floor(CAST(target_chars - CAST(floor(CAST(target_chars AS DOUBLE) / avail_chars) AS BIGINT) * avail_chars AS DOUBLE)
+                   * n_docs / avail_chars) AS BIGINT) AS extra_docs
+            FROM per CROSS JOIN t),
+      r AS (SELECT d.source, d.n_chars, p.base, p.extra_docs,
+              row_number() OVER (PARTITION BY d.source
+                ORDER BY ${duckHash64("concat('rep|', CAST(doc_id AS VARCHAR))")} ASC,
+                         doc_id ASC) AS rk
+            FROM documents d JOIN p USING (source)),
+      c AS (SELECT source, n_chars,
+              base + CASE WHEN rk <= extra_docs THEN 1 ELSE 0 END AS copies
+            FROM r)
+      SELECT source, n_docs, avail_chars, base, extra_docs,
+             CAST(sum(copies) AS BIGINT) AS realized_docs,
+             CAST(sum(n_chars * copies) AS BIGINT) AS realized_chars
+      FROM c JOIN p USING (source)
+      GROUP BY source, n_docs, avail_chars, base, extra_docs
+      ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171)
 }
