@@ -15,6 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * mirror the reference:
   *
   *   - `/`                                 api/app.py:16-29
+  *   - `/viewer`                           api/app.py:40-212 (HTML dashboard)
   *   - `/health`                           api/app.py:31-38 (SELECT 1)
   *   - `/api/reports/weekly-trends`        api/app.py:215-257
   *   - `/api/reports/healthcare-impact`    api/app.py:259-303
@@ -22,8 +23,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `/api/export/csv?table=X`           api/app.py:350-378
   *
   * Built on the JDK's `com.sun.net.httpserver` (no new dependencies).
-  * The Flask HTML dashboard (`/viewer`, api/app.py:40-212) stays out of
-  * scope per SURVEY §7.5 — presentation, not engine semantics. This is
+  * `/viewer` is behavior parity with original markup: a static page
+  * whose script drives the same report/export endpoints. This is
   * a driver-side serving shim over already-small report relations, not
   * a data path: every query it runs is bounded (LIMIT 20 / per-region
   * rollup / LIMIT 1000), so collecting to the driver is the design.
@@ -54,6 +55,7 @@ object FluApi {
   private def route(spark: SparkSession, ex: HttpExchange): Unit =
     try ex.getRequestURI.getPath match {
       case "/" => respondJson(ex, 200, home)
+      case "/viewer" => respondHtml(ex, 200, viewerHtml)
       case "/health" => health(spark, ex)
       case "/api/reports/weekly-trends" =>
         report(ex, FluReports.formatWeeklyTrends(FluReports.weeklyTrends(spark)),
@@ -84,6 +86,90 @@ object FluApi {
       "/api/reports/healthcare-impact" -> "Healthcare system impact by ACH region",
       "/api/reports/historical-summary" -> "Historical flu season summary",
       "/api/export/csv?table=<table_name>" -> "Export table data as CSV")))
+
+  /** The HTML dashboard (reference api/app.py:40-212): a static page
+    * whose client-side script drives the SAME JSON/CSV endpoints this
+    * server exposes — one-click CSV export per allowlisted table, one
+    * card per report that fetches `/api/reports/<name>` and renders
+    * the summary metrics plus a data table. Original markup; behavior
+    * parity only (same endpoints, same table allowlist, same
+    * summary-then-table layout, N/A for nulls).
+    */
+  private val viewerHtml: String = {
+    val tables = Seq("county_region", "temporal", "illness", "healthcare", "historics")
+    val reports = Seq(
+      "weekly-trends" -> "Weekly Flu Activity Trends",
+      "healthcare-impact" -> "Healthcare Impact by ACH Region",
+      "historical-summary" -> "Historical Flu Season Summary")
+    val exportButtons = tables.map(t =>
+      s"""<button class="exp" onclick="dl('$t')">$t</button>""").mkString("\n      ")
+    val reportCards = reports.map { case (key, title) =>
+      s"""<div class="card" onclick="show('$key')"><h3>$title</h3></div>"""
+    }.mkString("\n      ")
+    val titleMap = reports.map { case (k, t) => s"'$k':'$t'" }.mkString("{", ",", "}")
+    s"""<!DOCTYPE html>
+<html>
+<head>
+  <title>Flu Data Analytics Dashboard</title>
+  <style>
+    body { font-family: sans-serif; margin: 1.5em; background: #fafafa; }
+    .card { display: inline-block; background: #fff; border: 1px solid #ccc;
+            border-radius: 6px; padding: 1em; margin: .5em; cursor: pointer; }
+    .card:hover { background: #eef; }
+    button.exp { margin: .25em; padding: .5em 1em; cursor: pointer; }
+    table { border-collapse: collapse; margin-top: 1em; }
+    th, td { border: 1px solid #bbb; padding: .4em .8em; text-align: left; }
+    th { background: #446; color: #fff; }
+    .metric { display: inline-block; margin-right: 2em; }
+    .metric b { font-size: 1.6em; display: block; }
+    .err { color: #a00; }
+  </style>
+</head>
+<body>
+  <h1>Flu Data Analytics Dashboard</h1>
+  <section>
+    <h3>Export tables (CSV)</h3>
+      $exportButtons
+  </section>
+  <section>
+      $reportCards
+  </section>
+  <div id="out"></div>
+  <script>
+    const titles = $titleMap;
+    function dl(t) { window.location.href = '/api/export/csv?table=' + t; }
+    async function show(r) {
+      const out = document.getElementById('out');
+      out.innerHTML = 'loading…';
+      try {
+        const resp = await fetch('/api/reports/' + r);
+        const body = await resp.json();
+        if (body.error) { out.innerHTML = '<p class="err">' + body.error + '</p>'; return; }
+        let h = '<h2>' + (titles[r] || r) + '</h2>';
+        for (const [k, v] of Object.entries(body.summary || {}))
+          h += '<span class="metric"><b>' + v + '</b>' + k + '</span>';
+        const rows = body.data || [];
+        if (rows.length) {
+          const cols = Object.keys(rows[0]);
+          h += '<table><tr>' + cols.map(c => '<th>' + c + '</th>').join('') + '</tr>'
+            + rows.map(x => '<tr>' + cols.map(c =>
+                '<td>' + (x[c] === null ? 'N/A' : x[c]) + '</td>').join('') + '</tr>').join('')
+            + '</table>';
+        } else h += '<p>No data</p>';
+        out.innerHTML = h;
+      } catch (e) { out.innerHTML = '<p class="err">' + e + '</p>'; }
+    }
+  </script>
+</body>
+</html>"""
+  }
+
+  private def respondHtml(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+  }
 
   /** `SELECT 1` through the engine — the reference's DB liveness probe. */
   private def health(spark: SparkSession, ex: HttpExchange): Unit =

@@ -13,12 +13,23 @@ import java.nio.file.{Files, Paths}
   *     CSV, FluView JSON) → ingestion shim → the five tables → the
   *     reports. Swap the snapshot transport for `Fetch.http()` to hit
   *     the reference's live endpoints (this container has no egress).
+  *
+  * Append `--serve [port]` (default 5000) to either mode to start the
+  * live HTTP API + dashboard (FluApi) over the loaded tables instead
+  * of printing the reports — browse `/viewer`, Ctrl-C to stop.
   */
 object FluDemo {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.create(master = "local[4]", shufflePartitions = 4)
 
-    val tables = args.toSeq match {
+    val (serveMode, port, rest) = args.toSeq.indexOf("--serve") match {
+      case -1 => (false, 0, args.toSeq)
+      case i =>
+        val p = args.toSeq.drop(i + 1).headOption.flatMap(_.toIntOption).getOrElse(5000)
+        (true, p, args.toSeq.take(i))
+    }
+
+    val tables = rest match {
       case Seq("--from-feeds", dir) =>
         def snap(name: String) = new String(
           Files.readAllBytes(Paths.get(s"$dir/$name")), StandardCharsets.UTF_8)
@@ -41,6 +52,12 @@ object FluDemo {
     }
 
     FluReports.registerViews(tables)
+    if (serveMode) {
+      val server = FluApi.start(spark, port)
+      println(s"serving http://localhost:${server.getAddress.getPort}/viewer (Ctrl-C to stop)")
+      Thread.currentThread.join() // worker pool is daemon; hold the JVM open
+      return
+    }
     println("== weekly-trends ==")
     FluReports.formatWeeklyTrends(FluReports.weeklyTrends(spark)).show(20, truncate = false)
     println("== healthcare-impact ==")

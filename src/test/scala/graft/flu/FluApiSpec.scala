@@ -91,6 +91,18 @@ class FluApiSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(body.contains(s""""week_end": "$httpDate""""), body.take(500))
   }
 
+  test("/viewer serves the HTML dashboard wired to the live endpoints") {
+    val (status, body, headers) = get("/viewer")
+    assert(status == 200)
+    assert(headers("Content-Type").startsWith("text/html"), headers.toString)
+    // every export button and report card targets a live endpoint
+    for (t <- Seq("county_region", "temporal", "illness", "healthcare", "historics"))
+      assert(body.contains(s"dl('$t')"), t)
+    for (r <- Seq("weekly-trends", "healthcare-impact", "historical-summary"))
+      assert(body.contains(s"show('$r')"), r)
+    assert(body.contains("/api/reports/") && body.contains("/api/export/csv?table="))
+  }
+
   test("API worker threads are daemons (server.stop cannot shut down its pool)") {
     val (status, _, _) = get("/health") // force at least one worker alive
     assert(status == 200)
