@@ -82,6 +82,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q169: eval side rides broadcasts, candidates equi-join — no cartesian anywhere") {
+    val df = DataQueries.q169.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan) // train side never shuffles for a join
+  }
+
+  test("q170: split+audit stage — no unhinted cartesian; the audit row is the one sanctioned single-row broadcast cross") {
+    val df = DataQueries.q170.fn(spark, sf) // runs the CC loop eagerly
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly one BNLJ: the broadcast of the single-row leakage audit
+    // (count in the final section only — AQE repeats the tree under
+    // "== Initial Plan ==", the q135 counting recipe)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.split("BroadcastNestedLoopJoin").length - 1 == 1, plan)
+  }
+
+  test("q171: repeat plan joins only against broadcasts; one per-source window") {
+    val df = CorpusQueries.q171.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Generate explode"), plan) // the real materialization path
+  }
+
   test("q63: shard assignment is one hash shuffle + per-shard sort (no join, no global sort before ranking)") {
     val plan = CorpusQueries.q63.fn(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(shard"), plan) // the one data shuffle
