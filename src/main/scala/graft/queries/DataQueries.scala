@@ -957,6 +957,52 @@ object DataQueries {
       FROM a CROSS JOIN l
       GROUP BY split, leaky_clusters ORDER BY split"""))
 
+  /** q172 — stale-embedding detection: text near-dup pairs (q58's
+    * MinHash-LSH candidates, exact-Jaccard verified) whose EMBEDDINGS
+    * disagree (cosine below threshold). In a maintained embedding
+    * store, two near-identical texts must embed near-identically; a
+    * pair where the text says "duplicate" but the vectors say
+    * "unrelated" is a stale or corrupted cache entry — this is the
+    * invalidation audit an embedding-backed dedup/ANN stack runs after
+    * model upgrades or partial re-embeds.
+    *
+    * Scale: the pair relation is LSH-bounded (never all-pairs); each
+    * pair fetches two vectors through id equi-joins and pays one
+    * 64-dim dot. Jaccard rides raw (exact rational, the q36
+    * precedent), cosine at the 6-dp round.
+    */
+  val q172 = Q("q172_stale_embeddings",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 2, k = 12, rowsPerBand = 2, threshold = 0.2)
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("_norm", sqrt(Similarity.dotNative(col("embedding"), col("embedding"))))
+      pairs
+        .join(emb.select(col("vec_id").as("id_a"),
+          col("embedding").as("va"), col("_norm").as("na")), Seq("id_a"))
+        .join(emb.select(col("vec_id").as("id_b"),
+          col("embedding").as("vb"), col("_norm").as("nb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          round(Similarity.dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+            .as("cos_sim"))
+        .filter(col("cos_sim") < 0.8)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH $duckMinhashPairCtes,
+      prs AS (SELECT doc_a AS id_a, doc_b AS id_b, jaccard FROM j
+              WHERE jaccard >= 0.2),
+      n AS (SELECT vec_id, embedding,
+                   sqrt(${duckDot("embedding", "embedding")}) AS nrm
+            FROM embeddings)
+      SELECT id_a, id_b, jaccard,
+             round(${duckDot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm), 6)
+               AS cos_sim
+      FROM prs JOIN n na ON id_a = na.vec_id JOIN n nb ON id_b = nb.vec_id
+      WHERE round(${duckDot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm), 6) < 0.8
+      ORDER BY id_a, id_b"""))
+
   val q114 = Q("q114_cluster_canonical",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1008,5 +1054,6 @@ object DataQueries {
       ORDER BY cluster_id"""))
 
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-    q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170)
+    q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
+    q172)
 }
