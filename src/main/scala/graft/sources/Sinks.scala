@@ -49,4 +49,23 @@ object Sinks {
     */
   def pkViolations(df: DataFrame, pk: Seq[String]): Long =
     df.groupBy(pk.map(col): _*).count().filter(col("count") > 1).count()
+
+  /** JSONL training shards — the interchange format every LLM data
+    * pipeline exports: one `shard=K/` directory per value of
+    * `shardCol`, one `.json` lines file inside each (q63's
+    * deterministic md5 shard assignment is the intended key). The
+    * repartition on the shard column routes every shard to a single
+    * task, so each directory holds exactly one part file; with
+    * `orderCol` set, rows within a shard are written in that order
+    * (q63's `pos` makes the byte layout reproducible run-to-run).
+    * Shard count scales with corpus size — this is the "write the
+    * epoch" job, one shuffle total.
+    */
+  def jsonlShards(df: DataFrame, path: String, shardCol: String,
+                  numShards: Int, orderCol: Option[String] = None): Unit = {
+    val routed = df.repartition(numShards, col(shardCol))
+    val laid = orderCol.fold(routed)(o =>
+      routed.sortWithinPartitions(col(shardCol), col(o)))
+    laid.write.mode("overwrite").partitionBy(shardCol).json(path)
+  }
 }

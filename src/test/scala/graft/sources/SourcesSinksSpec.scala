@@ -46,6 +46,25 @@ class SourcesSinksSpec extends SparkSpec {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(s"))
   }
 
+  test("jsonlShards writes one ordered JSONL file per shard and round-trips") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val docs = (0L until 40L).map(i => (i, s"doc $i", i % 4)).toDF("doc_id", "text", "shard")
+    Sinks.jsonlShards(docs, s"$dir/shards", "shard", numShards = 4,
+      orderCol = Some("doc_id"))
+    for (k <- 0 until 4) {
+      val files = new java.io.File(s"$dir/shards/shard=$k").listFiles
+        .filter(_.getName.endsWith(".json"))
+      assert(files.length == 1, s"shard=$k has ${files.length} part files")
+      // orderCol makes the byte layout reproducible: lines in doc_id order
+      val ids = scala.io.Source.fromFile(files.head).getLines()
+        .map(l => """"doc_id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong).toSeq
+      assert(ids == ids.sorted && ids.nonEmpty, s"shard=$k order: $ids")
+    }
+    val back = spark.read.json(s"$dir/shards")
+    assert(back.count() == 40)
+    assert(back.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == (0L until 40L))
+  }
+
   test("upsertKeepFirst reproduces ON CONFLICT DO NOTHING under arrival order") {
     val df = Seq((1, "first", 10L), (1, "second", 20L), (2, "only", 5L))
       .toDF("id", "payload", "arrival")
