@@ -10,12 +10,16 @@ import graft.operators.Relational.dedupKeepFirst
   * actually runs, built from the engine's operators —
   *
   *   quality filter → language filter → exact dedup → near-dup removal
+  *   [→ eval decontamination, when an eval corpus is supplied]
   *
   * Each stage is a lazy DataFrame transform; Catalyst fuses the per-row
   * stages (quality, language, fingerprint) into one scan pass. The only
   * shuffles are the two dedups — exactly the minimum the semantics
   * require. Near-dup removal keeps the lowest doc id of each MinHash
-  * pair (greedy per-pair survivor, deterministic).
+  * pair (greedy per-pair survivor, deterministic). Decontamination
+  * drops survivors whose trigram-shingle overlap with the eval set
+  * reaches `maxEvalOverlap` (Dedup.shingleOverlapVsEval — broadcast
+  * under a size guard, q91's shuffled shape otherwise).
   */
 object CurationPipeline {
 
@@ -32,7 +36,10 @@ object CurationPipeline {
       shingleWidth: Int = 2,
       minhashK: Int = 12,
       rowsPerBand: Int = 2,
-      nearDupJaccard: Double = 0.5)
+      nearDupJaccard: Double = 0.5,
+      contamShingleWidth: Int = 3,
+      maxEvalOverlap: Double = 0.2,
+      maxBroadcastEvalDocs: Long = 100000L)
 
   final case class StageCounts(input: Long, afterQuality: Long,
       afterLang: Long, afterExactDedup: Long, afterNearDedup: Long)
@@ -42,7 +49,8 @@ object CurationPipeline {
     * until an action).
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-             cfg: Config = Config()): DataFrame = {
+             cfg: Config = Config(),
+             evalDocs: Option[DataFrame] = None): DataFrame = {
     val scored = docs
       .withColumn("_quality", TextAnalysis.qualityScore(col(textCol), cfg.stopwords))
       .withColumn("_lang", TextAnalysis.langId(col(textCol), cfg.markerSets))
@@ -60,9 +68,16 @@ object CurationPipeline {
         cfg.shingleWidth, cfg.minhashK, cfg.rowsPerBand, cfg.nearDupJaccard)
       .select(col("id_b").as(idCol))
       .distinct()
-    exact
+    val deduped = exact
       .join(nearDupLosers, Seq(idCol), "left_anti")
       .drop("_fp")
+    evalDocs.fold(deduped) { ev =>
+      val contaminated = Dedup.shingleOverlapVsEval(deduped, ev, idCol, textCol,
+          cfg.contamShingleWidth, cfg.maxBroadcastEvalDocs)
+        .filter(col("overlap_frac") >= cfg.maxEvalOverlap)
+        .select(col(idCol))
+      deduped.join(contaminated, Seq(idCol), "left_anti")
+    }
   }
 
   /** Per-stage rows + wall seconds (each stage timed by its own

@@ -273,4 +273,35 @@ object Dedup {
     }
     bitCols.reduce(_ + _)
   }
+
+  /** Per-train-doc shingle overlap against an eval corpus — the engine
+    * behind the contamination checks (q62 delegates here) and the
+    * curation pipeline's decontamination stage. The eval side's
+    * distinct shingle hashes ride a broadcast only when the eval doc
+    * count is verifiably bounded (a limit-capped pre-count stays
+    * ≤ `maxBroadcastEvalDocs`); otherwise the join degrades to the
+    * q91 one-linear-shuffle shape. Returns one row per train doc:
+    * (idCol, n_grams, n_overlap, overlap_frac) — callers threshold.
+    */
+  def shingleOverlapVsEval(train: DataFrame, evalDocs: DataFrame,
+                           idCol: String, textCol: String, n: Int,
+                           maxBroadcastEvalDocs: Long): DataFrame = {
+    graft.expressions.GraftExtensions.register(train.sparkSession)
+    val evalGrams = evalDocs
+      .select(explode(call_function("graft_shingle_hashes", col(textCol), lit(n))).as("h"))
+      .distinct()
+      .withColumn("_hit", lit(1))
+    val cap = (maxBroadcastEvalDocs min (Int.MaxValue - 1L)).toInt
+    val bounded =
+      evalDocs.select(lit(1)).limit(cap + 1).count() <= maxBroadcastEvalDocs
+    val evalSide = if (bounded) broadcast(evalGrams) else evalGrams
+    train
+      .select(col(idCol),
+        explode(call_function("graft_shingle_hashes", col(textCol), lit(n))).as("h"))
+      .join(evalSide, Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_overlap"))
+      .withColumn("overlap_frac",
+        round(col("n_overlap").cast("double") / col("n_grams"), 6))
+  }
 }

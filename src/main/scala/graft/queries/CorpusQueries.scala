@@ -99,25 +99,11 @@ object CorpusQueries {
     */
   def contaminationOverlap(docs: org.apache.spark.sql.DataFrame,
                            evalPred: org.apache.spark.sql.Column,
-                           maxBroadcastEvalDocs: Long): org.apache.spark.sql.DataFrame = {
-    val hs = call_function("graft_shingle_hashes", col("text"), lit(3))
-    val evalGrams = docs.filter(evalPred)
-      .select(explode(hs).as("h")).distinct()
-      .withColumn("_hit", lit(1))
-    val cap = (maxBroadcastEvalDocs min (Int.MaxValue - 1L)).toInt
-    val bounded =
-      docs.filter(evalPred).select(lit(1)).limit(cap + 1).count() <= maxBroadcastEvalDocs
-    val evalSide = if (bounded) broadcast(evalGrams) else evalGrams
-    docs.filter(!evalPred)
-      .select(col("doc_id"), explode(hs).as("h"))
-      .join(evalSide, Seq("h"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_overlap"))
+                           maxBroadcastEvalDocs: Long): org.apache.spark.sql.DataFrame =
+    Dedup.shingleOverlapVsEval(docs.filter(!evalPred), docs.filter(evalPred),
+        "doc_id", "text", n = 3, maxBroadcastEvalDocs)
       .filter(col("n_overlap") >= 1)
-      .withColumn("overlap_frac",
-        round(col("n_overlap").cast("double") / col("n_grams"), 6))
       .orderBy("doc_id")
-  }
 
   /** q62 — benchmark-contamination check: which training documents
     * share word-trigram shingles with a held-out eval set (docs with

@@ -1003,6 +1003,111 @@ object DataQueries {
       WHERE round(${duckDot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm), 6) < 0.8
       ORDER BY id_a, id_b"""))
 
+  /** q173 — the FULL curation composition with the decontamination
+    * stage wired in: quality → language → exact dedup → near-dup
+    * removal → eval decontamination (drop survivors whose
+    * trigram-shingle overlap with the held-out eval set reaches 5%).
+    * This is q49 extended to what a production pipeline actually ships
+    * — curated AND clean of benchmark leakage — exercising
+    * `CurationPipeline.curate(evalDocs = …)` end-to-end against one
+    * oracle. Eval docs ride raw (a benchmark is given as-is, never
+    * curated); the overlap join follows Dedup.shingleOverlapVsEval's
+    * size-guarded broadcast.
+    */
+  val q173 = Q("q173_curation_decontam",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.curation.CurationPipeline.curate(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0), "doc_id", "text",
+          graft.curation.CurationPipeline.Config(minQuality = 0.5,
+            allowedLangs = Seq("en"), nearDupJaccard = 0.5, maxEvalOverlap = 0.05),
+          evalDocs = Some(docs.filter(pmod(col("doc_id"), lit(97)) === 0)))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some {
+      val sigExprs = Dedup.minhashCoeffs(12).map { case (a, b) =>
+        s"list_min(list_transform(hl, h -> (${a} * h + ${b}) % ${Dedup.MinhashP}))"
+      }.mkString("[", ",\n                ", "]")
+      s"""
+      WITH t AS (SELECT doc_id, text, n_chars, $duckTokens AS w FROM documents
+                 WHERE doc_id % 97 <> 0),
+      sc AS (SELECT doc_id, text, n_chars, w,
+             round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+                   / length(text), 6) AS pr,
+             round(len(list_filter(w, x -> list_contains(['the','a','of','and'], x)))::DOUBLE
+                   / len(w), 6) AS sr,
+             len(list_filter(w, x -> list_contains(['the','a'], x))) AS s_en,
+             len(list_filter(w, x -> list_contains(['der','und','das'], x))) AS s_de,
+             len(list_filter(w, x -> list_contains(['el','los','que'], x))) AS s_es,
+             len(list_filter(w, x -> list_contains(['le','la','et'], x))) AS s_fr,
+             len(list_filter(w, x -> list_contains(['zh1','zh2'], x))) AS s_zh
+             FROM t),
+      f AS (SELECT doc_id, text, n_chars, w FROM sc
+            WHERE round(0.4 * least(1.0, len(w)::DOUBLE / 100.0)
+                        + 0.3 * (1.0 - pr) + 0.3 * sr, 6) >= 0.5
+              AND CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+                       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+                       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+                       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+                       ELSE 'zh' END = 'en'),
+      e AS (SELECT doc_id, text, n_chars, w FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                ORDER BY doc_id) AS rn
+              FROM f) WHERE rn = 1),
+      sh AS (SELECT doc_id,
+             CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                  ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS g
+             FROM e),
+      hh AS (SELECT doc_id,
+             list_distinct(list_transform(list_distinct(g), s2 -> ${duckHash64("s2")} & ${Dedup.MinhashP})) AS hl
+             FROM sh),
+      sig AS (SELECT doc_id, hl, $sigExprs AS sg FROM hh),
+      bands AS (SELECT doc_id, b,
+                ${duckHash64("'band' || b || '|' || sg[2*b+1] || '|' || sg[2*b+2]")} AS h
+                FROM sig CROSS JOIN (SELECT unnest(range(0, 6)) AS b) bs),
+      ok AS (SELECT b, h FROM bands GROUP BY b, h
+             HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN ok ON a.b = ok.b AND a.h = ok.h
+               JOIN bands b ON a.b = b.b AND a.h = b.h AND a.doc_id < b.doc_id),
+      j AS (SELECT doc_a, doc_b,
+            round(len(list_intersect(ga.hl, gb.hl))::DOUBLE /
+                  (len(ga.hl) + len(gb.hl) - len(list_intersect(ga.hl, gb.hl))), 6) AS jac
+            FROM cand JOIN hh ga ON doc_a = ga.doc_id JOIN hh gb ON doc_b = gb.doc_id),
+      losers AS (SELECT DISTINCT doc_b FROM j WHERE jac >= 0.5),
+      surv AS (SELECT doc_id, n_chars, w FROM e
+               WHERE doc_id NOT IN (SELECT doc_b FROM losers)),
+      evt AS (SELECT doc_id, $duckTokens AS w FROM documents WHERE doc_id % 97 = 0),
+      evs AS (SELECT doc_id,
+              CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                   ELSE list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS g
+              FROM evt),
+      evg AS (SELECT DISTINCT unnest(list_distinct(list_transform(list_distinct(g),
+                s2 -> ${duckHash64("s2")} & ${Dedup.MinhashP}))) AS h
+              FROM evs),
+      tsh AS (SELECT doc_id,
+              CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                   ELSE list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS g
+              FROM surv),
+      thh AS (SELECT doc_id,
+              list_distinct(list_transform(list_distinct(g),
+                s2 -> ${duckHash64("s2")} & ${Dedup.MinhashP})) AS hs
+              FROM tsh),
+      ovx AS (SELECT doc_id, len(hs) AS n_grams, unnest(hs) AS h FROM thh),
+      ov AS (SELECT ovx.doc_id, any_value(ovx.n_grams) AS n_grams,
+                    count(evg.h) AS n_overlap
+             FROM ovx LEFT JOIN evg USING (h) GROUP BY ovx.doc_id),
+      dirty AS (SELECT doc_id FROM ov
+                WHERE round(n_overlap::DOUBLE / n_grams, 6) >= 0.05)
+      SELECT doc_id, n_chars FROM surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+      ORDER BY doc_id"""
+    })
+
   val q114 = Q("q114_cluster_canonical",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1055,5 +1160,5 @@ object DataQueries {
 
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
-    q172)
+    q172, q173)
 }

@@ -25,6 +25,24 @@ class CurationPipelineSpec extends SparkSpec {
     assert(c == c2)
   }
 
+  test("decontamination stage drops exactly the survivors that overlap the eval set") {
+    val docs = Seq(
+      (1L, "the a quick brown fox jumps over the lazy dog every single day"),
+      (2L, "the a slow green turtle walks under the busy bridge every night"),
+      (3L, "the a completely different document about spark query engines"))
+      .toDF("doc_id", "text")
+    // eval doc shares doc 1's trigrams almost verbatim, nothing of 2/3
+    val eval = Seq((100L, "the a quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val cfg = CurationPipeline.Config(minQuality = 0.0, maxEvalOverlap = 0.2)
+    val withEval = CurationPipeline.curate(docs, "doc_id", "text", cfg, Some(eval))
+      .select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
+    val without = CurationPipeline.curate(docs, "doc_id", "text", cfg)
+      .select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
+    assert(without == Seq(1L, 2L, 3L))
+    assert(withEval == Seq(2L, 3L), s"contaminated doc 1 must drop: $withEval")
+  }
+
   test("near-dup removal keeps the lower id of a planted duplicate pair") {
     val docs = Seq(
       (1L, "the a quick brown fox jumps over the lazy dog again and again"),
