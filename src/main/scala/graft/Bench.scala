@@ -148,9 +148,15 @@ object Bench {
 
       val docs = Tables.load(spark, sfDir, "documents")
       // best-of-2 per stage: one-shot counts on shared hardware carry
-      // 2-4x noise that previously read as a q49 regression
-      val run1 = graft.curation.CurationPipeline.stageTimings(docs, "doc_id", "text")
-      val run2 = graft.curation.CurationPipeline.stageTimings(docs, "doc_id", "text")
+      // 2-4x noise that previously read as a q49 regression. The eval
+      // split also times the q173 decontamination stage.
+      val evalSplit = Some(docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+      def runStages() = graft.curation.CurationPipeline.stageTimings(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0), "doc_id", "text",
+        cfg = graft.curation.CurationPipeline.Config(maxEvalOverlap = 0.05),
+        evalDocs = evalSplit)
+      val run1 = runStages()
+      val run2 = runStages()
       val stages = run1.zip(run2).flatMap { case ((name, rows, s1), (_, _, s2)) =>
         Seq(s"curation_${name}_rows" -> rows.toDouble,
           s"curation_${name}_sec" -> math.min(s1, s2))

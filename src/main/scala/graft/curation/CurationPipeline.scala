@@ -86,7 +86,8 @@ object CurationPipeline {
     * the round's BASELINE evidence).
     */
   def stageTimings(docs: DataFrame, idCol: String, textCol: String,
-                   cfg: Config = Config()): Seq[(String, Long, Double)] = {
+                   cfg: Config = Config(),
+                   evalDocs: Option[DataFrame] = None): Seq[(String, Long, Double)] = {
     def timed(name: String, df: DataFrame): (String, Long, Double) = {
       val t0 = System.nanoTime()
       val n = df.count()
@@ -102,7 +103,9 @@ object CurationPipeline {
       timed("quality", q),
       timed("language", l),
       timed("exact_dedup", e),
-      timed("near_dedup", curate(docs, idCol, textCol, cfg)))
+      timed("near_dedup", curate(docs, idCol, textCol, cfg))) ++
+      evalDocs.map(ev =>
+        timed("decontam", curate(docs, idCol, textCol, cfg, Some(ev)))).toSeq
   }
 
   /** Per-stage row counts (runs the pipeline stage by stage — four
