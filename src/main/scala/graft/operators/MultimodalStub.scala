@@ -39,6 +39,26 @@ object MultimodalStub {
       lower(hex(substring(col(payloadCol), 1, 4))).as("header_hex"),
       md5(col(payloadCol)).as("content_md5"))
 
+  /** Nearest-neighbor "resize" of a binary payload to `targetBytes`
+    * bytes — the codec-free stand-in for thumbnailing an image (or
+    * downsampling an audio clip): strided byte subsampling, position
+    * k picks byte 1 + ⌊(len−1)·k/(target−1)⌋, so the output is
+    * structure-preserving (similar payloads → similar thumbs),
+    * deterministic, and length-exact whether down- or up-sampling.
+    * Pure codegen'd expressions (a concat of computed-position
+    * substrs, no UDF); a real pipeline swaps this for the codec's
+    * scaler without touching callers. Empty payloads pass through.
+    */
+  def resizeStub(payload: org.apache.spark.sql.Column, targetBytes: Int): org.apache.spark.sql.Column = {
+    require(targetBytes >= 2, s"targetBytes must be >= 2, got $targetBytes")
+    val len = length(payload)
+    val picks = (0 until targetBytes).map { k =>
+      val pos = floor((len - 1).cast("double") * k / (targetBytes - 1)).cast("int") + 1
+      payload.substr(pos, lit(1))
+    }
+    when(len === 0, payload).otherwise(concat(picks: _*))
+  }
+
   /** Per-partition (iterator) variant of [[extractFeatures]] — the
     * codec-shaped path: batch-amortized setup (digest instance here;
     * a real decoder's codec context / model handle in production),

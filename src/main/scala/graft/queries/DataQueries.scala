@@ -1003,6 +1003,35 @@ object DataQueries {
       WHERE round(${duckDot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm), 6) < 0.8
       ORDER BY id_a, id_b"""))
 
+  /** q174 — media thumbnailing (the brief's resize step): every payload
+    * nearest-neighbor-resized to a 16-byte thumb via
+    * [[MultimodalStub.resizeStub]] — strided byte subsampling standing
+    * in for the codec's scaler, with the Spark-side shape (binary in,
+    * fixed-size binary out, map-only, fully codegen'd) real. The
+    * oracle replays the exact pick positions over the hex encoding.
+    */
+  val q174 = Q("q174_media_resize",
+    (s, dir) => {
+      val target = 16
+      MultimodalStub.attachPayload(Tables.load(s, dir, "documents"), "text", "payload")
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          lower(hex(MultimodalStub.resizeStub(col("payload"), target))).as("thumb_hex"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val target = 16
+      val slices = (0 until target).map { k =>
+        val pos = s"CAST(floor(((octet_length(encode(text)) - 1) * $k) / ${target - 1}.0) AS INTEGER) + 1"
+        s"substr(hex(encode(text)), 2 * ($pos) - 1, 2)"
+      }.mkString("concat(", ", ", ")")
+      s"""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             lower($slices) AS thumb_hex
+      FROM documents ORDER BY doc_id"""
+    })
+
   /** q173 — the FULL curation composition with the decontamination
     * stage wired in: quality → language → exact dedup → near-dup
     * removal → eval decontamination (drop survivors whose
@@ -1160,5 +1189,5 @@ object DataQueries {
 
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
-    q172, q173)
+    q172, q173, q174)
 }

@@ -94,6 +94,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(expr == part)
   }
 
+  test("multimodal stub: resizeStub nearest-neighbor samples down and up") {
+    val df = Seq((1L, "abcdefgh"), (2L, "ab"), (3L, "")).toDF("doc_id", "text")
+    val out = MultimodalStub.attachPayload(df, "text", "payload")
+      .select(col("doc_id"),
+        MultimodalStub.resizeStub(col("payload"), 4).cast("string").as("thumb"))
+      .orderBy("doc_id").collect()
+    // 8 bytes → 4: positions 1+floor(7k/3) = 1,3,5,8 → a,c,e,h
+    assert(out(0).getString(1) == "aceh", out(0).getString(1))
+    // 2 bytes → 4 upsamples: 1+floor(1*k/3) = 1,1,1,2 → a,a,a,b
+    assert(out(1).getString(1) == "aaab", out(1).getString(1))
+    // empty payload passes through
+    assert(out(2).getString(1) == "", out(2).getString(1))
+  }
+
   test("hot LSH bucket is capped: 10k identical docs don't explode, normal pairs survive") {
     // 10_000 identical docs → one band bucket of 10k ids; uncapped that's
     // ~50M pairs in a single straggler task. With the cap the bucket is
