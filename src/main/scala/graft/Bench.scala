@@ -79,6 +79,7 @@ object Bench {
     java.nio.file.Files.write(outPath,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val calib = extras.collectFirst { case ("calib_sec", v) => v }
+    val calibScan = extras.collectFirst { case ("calib_scan_sec", v) => v }
     // quiet-host calib is ~0.090 s (BASELINE.md); total_norm_sec rescales
     // the total to that reference so rounds compare across host load
     val norm = calib.filter(_ > 0).map(c => total * (0.090 / c))
@@ -88,6 +89,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_sec":${fmt(total)}""" +
         calib.map(c => s""","calib_sec":${fmt(c)}""").getOrElse("") +
+        calibScan.map(c => s""","calib_scan_sec":${fmt(c)}""").getOrElse("") +
         norm.map(n => s""","total_norm_sec":${fmt(n)}""").getOrElse("") +
         s""","n_queries":${results.size},"n_errors":${errors.size}""" +
         s""","queries":$slowest,"full_record":"$outPath","sf":"$sfDir"}"""
@@ -124,6 +126,16 @@ object Bench {
       val calib = (1 to 3).map { _ =>
         sec(spark.range(0L, 200000000L, 1L, spark.sparkContext.defaultParallelism)
           .select(bit_xor(xxhash64(col("id")))).collect())
+      }.min
+      // second canary axis: the CPU canary above misses IO/scheduler
+      // contention (round-5 closing runs read 60.8 vs 79.3 s at
+      // IDENTICAL cpu calib). A fixed parquet scan+hash is
+      // shuffle-free but file- and task-dispatch-bound, so a run where
+      // calib_scan_sec inflates while calib_sec holds was taken under
+      // multi-core/IO load. Comparable within one SF only.
+      val calibScan = (1 to 3).map { _ =>
+        sec(Tables.load(spark, sfDir, "lineitem")
+          .select(bit_xor(xxhash64(col("l_orderkey"), col("l_quantity")))).collect())
       }.min
 
       // a previous run's table locations survive in the warehouse dir
@@ -174,6 +186,7 @@ object Bench {
         graft.operators.GraphOps.connectedComponentsAlternating(chain, "id_a", "id_b").count())
 
       Seq("calib_sec" -> calib,
+        "calib_scan_sec" -> calibScan,
         "factjoin_plain_sec" -> plainSec,
         "factjoin_bucketed_sec" -> bucketedSec,
         "cc_chain32_minlabel_sec" -> ccMinlabel,
