@@ -74,7 +74,7 @@ object Bench {
     // file, and stdout carries one SHORT schema-compliant line: totals,
     // the calibration canary, the five slowest queries, and the path.
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$exJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$exJson,"sf":${jstr(sfDir)}}"""
     val outPath = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
     java.nio.file.Files.write(outPath,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -92,7 +92,7 @@ object Bench {
         calibScan.map(c => s""","calib_scan_sec":${fmt(c)}""").getOrElse("") +
         norm.map(n => s""","total_norm_sec":${fmt(n)}""").getOrElse("") +
         s""","n_queries":${results.size},"n_errors":${errors.size}""" +
-        s""","queries":$slowest,"full_record":"$outPath","sf":"$sfDir"}"""
+        s""","queries":$slowest,"full_record":${jstr(outPath.toString)},"sf":${jstr(sfDir)}}"""
     println(line)
     spark.stop()
   }

@@ -282,6 +282,14 @@ object Dedup {
     * ≤ `maxBroadcastEvalDocs`); otherwise the join degrades to the
     * q91 one-linear-shuffle shape. Returns one row per train doc:
     * (idCol, n_grams, n_overlap, overlap_frac) — callers threshold.
+    *
+    * NOTE — eager action at construction: deciding broadcast-vs-shuffle
+    * needs the eval doc count, so building the returned DataFrame runs
+    * one limit-capped `count()` job over `evalDocs` (scans at most
+    * `maxBroadcastEvalDocs + 1` rows, no full pass) even if the result
+    * is never executed, and re-runs it on every call. Callers invoking
+    * this repeatedly on the same eval corpus should cache `evalDocs`
+    * (the pipeline does) or pre-compute the decision once.
     */
   def shingleOverlapVsEval(train: DataFrame, evalDocs: DataFrame,
                            idCol: String, textCol: String, n: Int,

@@ -300,22 +300,38 @@ object CorpusQueries {
     * the md5 rank is a per-source window (at 100 TB swap in q84's
     * two-level prefix sum, or threshold on the hash VALUE for an
     * approximate extra count — both documented trades). The explode
-    * multiplies rows by a bounded small factor (≤ base+1).
+    * multiplies rows by up to base+1 — and base = ⌊target/avail⌋ is
+    * UNBOUNDED when one source is tiny next to the corpus max, so
+    * copies is capped at [[maxRepeat]] (mirrored in the oracle: the
+    * cap is part of the operator's semantics, matching real mixture
+    * recipes which never repeat a source 10k+ epochs). Sources with
+    * avail_chars = 0 (all-empty docs) are excluded up front — the
+    * base division is undefined for them and they contribute no
+    * training tokens anyway.
     */
+  /** Epoch cap for q171: no source is repeated more than this many
+    * times, bounding the explode fan-out (and each task's row count)
+    * regardless of how small a source is relative to the target. */
+  val maxRepeat = 10000L
   val q171 = Q("q171_budget_repeat",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars")
       val per = docs.groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("avail_chars"))
+        .filter(col("avail_chars") > 0L)
       val target = per.agg(max("avail_chars").as("target_chars"))
       val planned = per.crossJoin(broadcast(target))
-        .withColumn("base",
+        .withColumn("base_raw",
           floor(col("target_chars").cast("double") / col("avail_chars")).cast("long"))
+        .withColumn("base", least(col("base_raw"), lit(maxRepeat)))
         // double math in a pinned order (rem → ×n_docs → ÷avail) so the
-        // oracle replays bit-identically; floor, never round (.5 hazard)
+        // oracle replays bit-identically; floor, never round (.5 hazard).
+        // A capped source gets no fractional epoch — it's already at the cap.
         .withColumn("extra_docs",
-          floor((col("target_chars") - col("base") * col("avail_chars")).cast("double")
-            * col("n_docs") / col("avail_chars")).cast("long"))
+          when(col("base_raw") >= lit(maxRepeat), lit(0L))
+            .otherwise(floor((col("target_chars") - col("base") * col("avail_chars")).cast("double")
+              * col("n_docs") / col("avail_chars")).cast("long")))
+        .drop("base_raw")
       val ranked = docs.join(broadcast(planned), Seq("source"))
         .withColumn("_rk", row_number().over(Window.partitionBy("source")
           .orderBy(Hashing.hash64(concat(lit("rep|"), col("doc_id").cast("string"))).asc,
@@ -334,13 +350,18 @@ object CorpusQueries {
     Some(s"""
       WITH per AS (SELECT source, count(*) AS n_docs,
                           CAST(sum(n_chars) AS BIGINT) AS avail_chars
-                   FROM documents GROUP BY 1),
+                   FROM documents GROUP BY 1
+                   HAVING CAST(sum(n_chars) AS BIGINT) > 0),
       t AS (SELECT max(avail_chars) AS target_chars FROM per),
-      p AS (SELECT source, n_docs, avail_chars,
-              CAST(floor(CAST(target_chars AS DOUBLE) / avail_chars) AS BIGINT) AS base,
-              CAST(floor(CAST(target_chars - CAST(floor(CAST(target_chars AS DOUBLE) / avail_chars) AS BIGINT) * avail_chars AS DOUBLE)
-                   * n_docs / avail_chars) AS BIGINT) AS extra_docs
+      praw AS (SELECT source, n_docs, avail_chars, target_chars,
+              CAST(floor(CAST(target_chars AS DOUBLE) / avail_chars) AS BIGINT) AS base_raw
             FROM per CROSS JOIN t),
+      p AS (SELECT source, n_docs, avail_chars,
+              LEAST(base_raw, 10000) AS base,
+              CASE WHEN base_raw >= 10000 THEN 0
+                   ELSE CAST(floor(CAST(target_chars - LEAST(base_raw, 10000) * avail_chars AS DOUBLE)
+                        * n_docs / avail_chars) AS BIGINT) END AS extra_docs
+            FROM praw),
       r AS (SELECT d.source, d.n_chars, p.base, p.extra_docs,
               row_number() OVER (PARTITION BY d.source
                 ORDER BY ${duckHash64("concat('rep|', CAST(doc_id AS VARCHAR))")} ASC,

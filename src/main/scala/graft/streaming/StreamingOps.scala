@@ -106,10 +106,12 @@ object StreamingOps {
     * Crash safety: the swap is delete(cur) → rename(tmp, cur), and a
     * crash between the two leaves only the tmp dir. [[upsertBatch]]
     * therefore RECOVERS before reading: a missing snapshot with a
-    * completed tmp sitting next to it is renamed into place (the tmp is
-    * a fully-written merge — rename is the last step), so the replayed
-    * micro-batch re-merges against the recovered state instead of an
-    * empty one.
+    * COMPLETED tmp sitting next to it is renamed into place. A tmp is
+    * only trusted when it carries the `_SUCCESS` marker Spark writes as
+    * the job-commit step — a crash mid-write of the very first
+    * micro-batch (no snapshot yet) leaves a marker-less partial tmp,
+    * which is deleted, not promoted; the replayed batch then rebuilds
+    * from empty, which is exactly that batch's correct input state.
     */
   def streamUpsert(stream: DataFrame, keys: Seq[String], orderCol: String,
                    path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -129,7 +131,10 @@ object StreamingOps {
     val cur = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     val fs = cur.getFileSystem(hconf)
-    if (!fs.exists(cur) && fs.exists(tmp)) fs.rename(tmp, cur)
+    if (!fs.exists(cur) && fs.exists(tmp)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) fs.rename(tmp, cur)
+      else fs.delete(tmp, true)
+    }
     val existing =
       if (fs.exists(cur)) spark.read.schema(batch.schema).parquet(path)
       else spark.createDataFrame(

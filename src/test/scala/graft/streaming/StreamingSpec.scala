@@ -221,6 +221,23 @@ class StreamingSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("upsertBatch discards a partial tmp with no _SUCCESS marker (crash mid-first-write)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert-partial").toFile
+    val snap = s"$dir/snapshot"
+    // simulate a crash mid-write of the very first micro-batch: a tmp dir
+    // exists but was never job-committed (no _SUCCESS), and no snapshot yet
+    Seq((9L, 99L, "garbage")).toDF("k", "ver", "payload")
+      .write.parquet(s"$snap.tmp")
+    assert(new java.io.File(s"$snap.tmp/_SUCCESS").delete())
+    val batch = Seq((1L, 10L, "v1")).toDF("k", "ver", "payload")
+    StreamingOps.upsertBatch(batch, Seq("k"), "ver", snap)
+    // the marker-less tmp must NOT have been promoted into the state
+    val out = spark.read.parquet(snap)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 10L, "v1")), out.toSeq.toString)
+  }
+
   test("psiOf stays finite when a reference bucket has zero share") {
     import spark.implicits._
     val mon = Seq(
