@@ -1,10 +1,11 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Hashing
-import graft.operators.{Dedup, MultimodalStub, Similarity, TextAnalysis => TA}
+import graft.operators.{Dedup, MultimodalCodec, MultimodalStub, Similarity, TextAnalysis => TA}
 import graft.operators.Relational.dedupKeepFirst
 
 /** Training-data pipeline operators over the `documents` and
@@ -1003,34 +1004,105 @@ object DataQueries {
       WHERE round(${duckDot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm), 6) < 0.8
       ORDER BY id_a, id_b"""))
 
-  /** q174 — media thumbnailing (the brief's resize step): every payload
-    * nearest-neighbor-resized to a 16-byte thumb via
-    * [[MultimodalStub.resizeStub]] — strided byte subsampling standing
-    * in for the codec's scaler, with the Spark-side shape (binary in,
-    * fixed-size binary out, map-only, fully codegen'd) real. The
-    * oracle replays the exact pick positions over the hex encoding.
+  /** Deterministic grayscale test-card per document, for the real-codec
+    * queries (q174/q175): content is keyed by doc_id % 50 (so exactly 50
+    * distinct images exist at every scale — genuine near-dup clusters),
+    * a uniform brightness shift is keyed by doc_id % 40, and dims run
+    * 13–28 × 11–23 (never multiples of the 8×8 / 4×4 target grids, so
+    * nearest-neighbor resize hits uneven strides).
+    * pixel = (k·37 + x·7 + y·13 + ((x·y) mod 31)·5) mod 201 + shift —
+    * bounded ≤ 239, so the shift never wraps and stays uniform.
+    */
+  private def synthCard(docId: Long): (Int, Int, (Int, Int) => Int) = {
+    val k = (docId % 50).toInt
+    val shift = (docId % 40).toInt
+    val w = 13 + k % 16
+    val h = 11 + k % 13
+    (w, h, (x, y) => (k * 37 + x * 7 + y * 13 + ((x * y) % 31) * 5) % 201 + shift)
+  }
+
+  /** (doc_id, payload) with payload = the test-card encoded to REAL PNG
+    * bytes through the JDK's ImageIO writer — downstream queries must
+    * run an actual PNG decode to get the pixels back.
+    */
+  private def synthPngPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h, f) = synthCard(id)
+          (id, MultimodalCodec.encodeGrayPng(w, h, f))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q174 — media thumbnailing with a REAL codec: each document's
+    * test-card is encoded to actual PNG bytes and decoded back through
+    * `javax.imageio` before a pixel-true nearest-neighbor resize to 4×4
+    * ([[MultimodalCodec.thumbnail]]). The oracle replays the card
+    * formula plus the integer sampling arithmetic directly — so the
+    * gate proves encode → real PNG decode → pixel resize equals pure
+    * arithmetic, byte-exact rather than merely self-consistent.
+    * Map-only, one codec pass per partition; zero shuffles.
     */
   val q174 = Q("q174_media_resize",
-    (s, dir) => {
-      val target = 16
-      MultimodalStub.attachPayload(Tables.load(s, dir, "documents"), "text", "payload")
-        .select(col("doc_id"),
-          length(col("payload")).cast("long").as("n_bytes"),
-          lower(hex(MultimodalStub.resizeStub(col("payload"), target))).as("thumb_hex"))
-        .orderBy("doc_id")
-    },
-    Some {
-      val target = 16
-      val slices = (0 until target).map { k =>
-        val pos = s"CAST(floor(((octet_length(encode(text)) - 1) * $k) / ${target - 1}.0) AS INTEGER) + 1"
-        s"substr(hex(encode(text)), 2 * ($pos) - 1, 2)"
-      }.mkString("concat(", ", ", ")")
-      s"""
-      SELECT doc_id,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             lower($slices) AS thumb_hex
-      FROM documents ORDER BY doc_id"""
-    })
+    (s, dir) =>
+      MultimodalCodec.thumbnail(synthPngPayloads(s, dir), "doc_id", "payload", 4, 4)
+        .orderBy("doc_id"),
+    Some("""
+      WITH p AS (SELECT doc_id, doc_id % 50 AS k, doc_id % 40 AS s,
+                        13 + (doc_id % 50) % 16 AS w, 11 + (doc_id % 50) % 13 AS h
+                 FROM documents)
+      SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             array_to_string(list_transform(range(16), i ->
+               printf('%02x', (k*37 + (((i % 4) * w) // 4) * 7 + (((i // 4) * h) // 4) * 13
+                               + (((((i % 4) * w) // 4) * (((i // 4) * h) // 4)) % 31) * 5) % 201 + s)),
+               '') AS thumb_hex
+      FROM p ORDER BY doc_id"""))
+
+  /** q175 — perceptual near-dup grouping by average hash: payloads run
+    * through the real PNG decode, hash to the 8×8 aHash
+    * ([[MultimodalCodec.aHash64]]), and group by hash value. The
+    * fixture plants TRUE near-dups — same card content (doc_id % 50) at
+    * different uniform brightness (doc_id % 40) — and aHash's
+    * integer-exact mean compare is provably brightness-invariant, so
+    * each bucket collects visually-identical images that byte-level
+    * md5/minhash would scatter; `n_brightness > 1` in the output is the
+    * carried proof. The oracle replays card + sampling + hash-bit
+    * arithmetic, nibble by nibble. Decode is map-only; the only
+    * shuffle is the 50-bucket hash groupBy.
+    */
+  val q175 = Q("q175_image_ahash_dedup",
+    (s, dir) =>
+      MultimodalCodec.decodeImageFeatures(synthPngPayloads(s, dir), "doc_id", "payload")
+        .groupBy("ahash_hex")
+        .agg(count(lit(1)).as("n_imgs"),
+          min("doc_id").as("canonical_doc"),
+          countDistinct(pmod(col("doc_id"), lit(40L))).as("n_brightness"))
+        .orderBy("ahash_hex"),
+    Some("""
+      WITH p AS (SELECT doc_id, doc_id % 50 AS k, doc_id % 40 AS s,
+                        13 + (doc_id % 50) % 16 AS w, 11 + (doc_id % 50) % 13 AS h
+                 FROM documents),
+      g AS (SELECT doc_id, s,
+              list_transform(range(64), i ->
+                (k*37 + (((i % 8) * w) // 8) * 7 + (((i // 8) * h) // 8) * 13
+                 + (((((i % 8) * w) // 8) * (((i // 8) * h) // 8)) % 31) * 5) % 201 + s) AS px
+            FROM p),
+      b AS (SELECT doc_id, s,
+              list_transform(px, v -> CASE WHEN v * 64 > list_sum(px) THEN 1 ELSE 0 END) AS bits
+            FROM g),
+      hx AS (SELECT doc_id, s,
+              array_to_string(list_transform(range(16), j ->
+                substr('0123456789abcdef',
+                  CAST(bits[4*j+1]*8 + bits[4*j+2]*4 + bits[4*j+3]*2 + bits[4*j+4] + 1 AS INT), 1)),
+                '') AS ahash_hex
+             FROM b)
+      SELECT ahash_hex, CAST(count(*) AS BIGINT) AS n_imgs,
+             CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+             CAST(count(DISTINCT s) AS BIGINT) AS n_brightness
+      FROM hx GROUP BY ahash_hex ORDER BY ahash_hex"""))
 
   /** q173 — the FULL curation composition with the decontamination
     * stage wired in: quality → language → exact dedup → near-dup
@@ -1189,5 +1261,5 @@ object DataQueries {
 
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
-    q172, q173, q174)
+    q172, q173, q174, q175)
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalCodecSpec extends SparkSpec {
+
+  test("PNG encode → decode round-trips grayscale pixels exactly") {
+    val w = 13
+    val h = 7
+    val f = (x: Int, y: Int) => (x * 17 + y * 29) % 256
+    val png = MultimodalCodec.encodeGrayPng(w, h, f)
+    // a real PNG: magic signature present
+    assert(png.take(4).map(b => f"$b%02x").mkString == "89504e47")
+    val Some((dw, dh, pix)) = MultimodalCodec.decodeGray(png)
+    assert(dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(pix(y * w + x) == f(x, y), s"pixel ($x,$y)")
+  }
+
+  test("decodeGray collapses multi-band images by integer 601 luma") {
+    // hand-built RGB PNG through the same ImageIO writer
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff8040) // r=255 g=128 b=64
+    img.setRGB(1, 0, 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val Some((_, _, pix)) = MultimodalCodec.decodeGray(bos.toByteArray)
+    assert(pix(0) == ((77 * 255 + 150 * 128 + 29 * 64) >> 8))
+    assert(pix(1) == 0)
+  }
+
+  test("decodeGray returns None on undecodable bytes") {
+    assert(MultimodalCodec.decodeGray(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MultimodalCodec.decodeGray(Array.empty[Byte]).isEmpty)
+  }
+
+  test("resizeNearest picks integer floor-division source positions") {
+    // 4×2 → 2×2: x picks {0,2}, y picks {0,1}
+    val pix = Array(0, 1, 2, 3,
+                    4, 5, 6, 7)
+    assert(MultimodalCodec.resizeNearest(4, 2, pix, 2, 2).toSeq == Seq(0, 2, 4, 6))
+    // upsample 2×1 → 4×1: x*2/4 = {0,0,1,1}
+    assert(MultimodalCodec.resizeNearest(2, 1, Array(9, 5), 4, 1).toSeq == Seq(9, 9, 5, 5))
+  }
+
+  test("aHash64 is exactly invariant under uniform brightness shift") {
+    val w = 19
+    val h = 15
+    val base = (x: Int, y: Int) => (x * 7 + y * 13 + (x * y) % 31) % 200
+    def hashOf(shift: Int): Long = {
+      val png = MultimodalCodec.encodeGrayPng(w, h, (x, y) => base(x, y) + shift)
+      val Some((dw, dh, pix)) = MultimodalCodec.decodeGray(png)
+      MultimodalCodec.aHash64(dw, dh, pix)
+    }
+    assert(hashOf(0) == hashOf(39))
+    // different content ⇒ different hash (not a constant function)
+    val other = MultimodalCodec.encodeGrayPng(w, h, (x, y) => (x * 31 + y * 3) % 200)
+    val Some((dw, dh, pix)) = MultimodalCodec.decodeGray(other)
+    assert(MultimodalCodec.aHash64(dw, dh, pix) != hashOf(0))
+  }
+
+  test("decodeImageFeatures surfaces undecodable payloads as rows") {
+    import spark.implicits._
+    val good = MultimodalCodec.encodeGrayPng(3, 3, (x, y) => x + y)
+    val df = Seq((1L, good), (2L, Array[Byte](0, 1, 2))).toDF("id", "payload")
+    val out = MultimodalCodec.decodeImageFeatures(df, "id", "payload")
+      .orderBy("id").collect()
+    assert(out(0).getBoolean(1) && out(0).getInt(2) == 3 && out(0).getInt(3) == 3)
+    // sum over 3×3 of x+y = 18
+    assert(out(0).getLong(4) == 18L)
+    assert(out(0).getString(5).length == 16)
+    assert(!out(1).getBoolean(1) && out(1).isNullAt(5))
+  }
+
+  test("thumbnail emits row-major 2-hex-char pixels from the decoded image") {
+    import spark.implicits._
+    val png = MultimodalCodec.encodeGrayPng(4, 2, (x, y) => y * 4 + x)
+    val df = Seq((7L, png)).toDF("id", "payload")
+    val out = MultimodalCodec.thumbnail(df, "id", "payload", 2, 2).collect()(0)
+    assert(out.getInt(1) == 4 && out.getInt(2) == 2)
+    // same picks as the resizeNearest case above: 0,2,4,6
+    assert(out.getString(3) == "00020406")
+  }
+}
