@@ -223,6 +223,42 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("global-window audit: partition-less windows only at whitelisted bounded sites") {
+    // A Window with an empty partitionSpec funnels the whole relation
+    // through ONE task — the classic 100 TB scale-killer. Each
+    // whitelisted site below operates on a relation already bounded by
+    // construction (a top-k, a per-group rollup of ≤ |groups| rows, a
+    // quantile grid, shard bases of n/shardW rows), where one task is
+    // the correct plan. Any OTHER query growing a partition-less window
+    // fails here — and a whitelisted query that stops needing one also
+    // fails, so the list can't go stale.
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    // (the round-5 review predicted q142/q160 here too — their optimized
+    // plans in fact carry no partition-less window, which this audit
+    // proved by failing on the stale entries)
+    val whitelist = Set(
+      "q18_dense_id",           // reference-parity rank over the 25-row nation dim (scale variant: zipWithIndexOrdered)
+      "q84_sequence_pack",      // level-1 prefix sum over n/shardW shard bases
+      "q85_vocab_coverage",     // coverage cumsum over the top-200 vocab
+      "q106_balanced_shards",   // band-base offsets over the |bands| rollup (the q84 shape for ranking)
+      "q118_cumulative_distinct", // growth curve over ≤ |windows| rows
+      "q125_ks_test",           // CDF running sums over the ≤1e6-row distinct-value table
+      "q130_skyline",           // rank over the skyline candidate set
+      "q134_auc",               // ROC rank over the scored eval sample
+      "q146_rrf_fusion",        // fused rank over two bounded top-k lists
+      "q148_vocab_growth",      // growth curve over ≤ |batches| rows
+      "q149_spearman")          // rank offsets over the bounded distinct-value tables
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        val bad = plan.collect { case w: Window if w.partitionSpec.isEmpty => w }
+        if (bad.nonEmpty) Some(name) else None
+    }.toSet
+    assert(offenders == whitelist,
+      s"unexpected global windows: ${(offenders -- whitelist).toSeq.sorted}; " +
+        s"stale whitelist entries: ${(whitelist -- offenders).toSeq.sorted}")
+  }
+
   test("q38/q40: no join keyed only on a block column (the quadratic shape)") {
     // AQE buries join nodes inside leaf QueryStageExec wrappers, so
     // inspect the rendered tree: every equi-join's key list must name
