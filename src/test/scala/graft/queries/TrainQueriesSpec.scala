@@ -182,6 +182,15 @@ class TrainQueriesSpec extends SparkSpec {
     })
   }
 
+  test("q84: shard-width decomposition is exact at any width (conf override ≡ default √n)") {
+    val byDefault = TrainQueries.q84.fn(spark, sf).collect().map(_.toSeq)
+    spark.conf.set("spark.graft.shardWidth", "7")
+    try {
+      val byConf = TrainQueries.q84.fn(spark, sf).collect().map(_.toSeq)
+      assert(byConf.toSeq == byDefault.toSeq)
+    } finally spark.conf.unset("spark.graft.shardWidth")
+  }
+
   test("q82: pairs are adjacent lowercase 2-grams ranked by count") {
     val out = TrainQueries.q82.fn(spark, sf).collect()
     assert(out.length == 20)
