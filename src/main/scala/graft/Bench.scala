@@ -112,6 +112,19 @@ object Bench {
     *     layouts, not the join strategy, are what differ.
     *   - per-stage curation timings (rows + seconds per stage) for the
     *     q49 pipeline on the documents table.
+    *   - z-order layout evidence: orders written round-robin vs
+    *     ScaleOps.writeZOrdered on (custkey, order day); recorded
+    *     numbers are the average per-file min/max SPAN on each dim —
+    *     the quantity file-skipping scales with. Both spans must
+    *     shrink together (single-column sort shrinks only one).
+    *   - skew-join strategy comparison on a PLANTED-skew layout (one
+    *     key holds ~25% of the fact side): the same join timed with
+    *     the manual q73 salt (AQE skew split off) and with
+    *     spark.sql.adaptive.skewJoin enabled at thresholds that
+    *     trigger on this data size — documenting when the engine's
+    *     runtime split can replace the explicit salt at scale.
+    *     Broadcast is disabled for both so the shuffle shape is what
+    *     differs.
     */
   private def measureExtras(spark: SparkSession, sfDir: String,
       errors: scala.collection.mutable.LinkedHashMap[String, String]): Seq[(String, Double)] =
@@ -185,12 +198,77 @@ object Bench {
       val ccAltstar = sec(
         graft.operators.GraphOps.connectedComponentsAlternating(chain, "id_a", "id_b").count())
 
+      // z-order layout: per-file spans on both dims, plain vs morton
+      val zdir = "/tmp/graft_bench_zorder"
+      val zpath = new org.apache.hadoop.fs.Path(zdir)
+      zpath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(zpath, true)
+      val zo = Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("x"),
+          datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).cast("long").as("y"))
+      zo.repartition(8).write.parquet(s"$zdir/plain")
+      graft.operators.ScaleOps.writeZOrdered(zo, Seq("x", "y"), s"$zdir/zord", 8)
+      def spans(path: String): (Double, Double) = {
+        val r = spark.read.parquet(path)
+          .groupBy(input_file_name())
+          .agg((max("x") - min("x")).cast("double").as("sx"),
+            (max("y") - min("y")).cast("double").as("sy"))
+          .agg(avg("sx"), avg("sy")).collect()(0)
+        (r.getDouble(0), r.getDouble(1))
+      }
+      val (plainX, plainY) = spans(s"$zdir/plain")
+      val (zordX, zordY) = spans(s"$zdir/zord")
+
+      // planted-skew join: collapse 1/4 of fact keys onto one hot key,
+      // dim side stays unique per key; broadcast off so both runs are
+      // genuine shuffle joins and the skew handling is what differs
+      val hotFact = Tables.load(spark, sfDir, "lineitem").select(
+        when(pmod(col("l_orderkey"), lit(4)) === 0, 0L)
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_quantity"))
+      val dimU = Tables.load(spark, sfDir, "orders").select(
+          when(pmod(col("o_orderkey"), lit(4)) === 0, 0L)
+            .otherwise(col("o_orderkey")).as("k"),
+          col("o_totalprice"))
+        .groupBy("k").agg(max("o_totalprice").as("o_totalprice"))
+      val skewConfs = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      val saved = skewConfs.map(k => k -> spark.conf.getOption(k))
+      val (manualSec, aqeSec) =
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+          val m = best2(
+            graft.operators.ScaleOps.saltedJoin(hotFact, dimU, Seq("k"), salts = 8)
+              .agg(sum(col("l_quantity") * col("o_totalprice"))).count())
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+          spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+          spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+          spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+          val a = best2(
+            hotFact.join(dimU, Seq("k"))
+              .agg(sum(col("l_quantity") * col("o_totalprice"))).count())
+          (m, a)
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+
       Seq("calib_sec" -> calib,
         "calib_scan_sec" -> calibScan,
         "factjoin_plain_sec" -> plainSec,
         "factjoin_bucketed_sec" -> bucketedSec,
         "cc_chain32_minlabel_sec" -> ccMinlabel,
-        "cc_chain32_altstar_sec" -> ccAltstar) ++ stages
+        "cc_chain32_altstar_sec" -> ccAltstar,
+        "zorder_plain_span_cust" -> plainX,
+        "zorder_plain_span_day" -> plainY,
+        "zorder_zord_span_cust" -> zordX,
+        "zorder_zord_span_day" -> zordY,
+        "skewjoin_manual_sec" -> manualSec,
+        "skewjoin_aqe_sec" -> aqeSec) ++ stages
     } catch {
       case e: Throwable =>
         errors.getOrElseUpdate("extras", e.toString.take(200))

@@ -44,4 +44,40 @@ object ScaleOps {
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+
+  /** Write `df` as `files` parquet files clustered by the Morton
+    * (Z-order) code over `dims` — the layout whose effect the q103
+    * report measures: each file spans a NARROW range on every listed
+    * dimension at once, so a reader's min/max file skipping works for
+    * predicates on any of them, which single-column sorting gives only
+    * to its one column. Same construction as q103: each dim quantized
+    * to 8 bits against its actual min/max (one tiny broadcast
+    * aggregate — interleaving unquantized values of unequal width
+    * would localize only the widest dim), bits interleaved round-robin
+    * (dim i holds positions b·|dims|+i), then `repartitionByRange` on
+    * the code (range-sampled, so files get near-equal row counts, no
+    * global sort) + a within-partition sort and the code column
+    * dropped on write. Cost: one extra linear shuffle at write time —
+    * bought back on every dimension-filtered read thereafter.
+    */
+  def writeZOrdered(df: DataFrame, dims: Seq[String], path: String, files: Int): Unit = {
+    require(dims.size >= 2, "z-ordering needs at least two dimensions")
+    val nd = dims.size
+    val aggs = dims.flatMap(d => Seq(
+      min(col(d).cast("long")).as(s"_lo_$d"), max(col(d).cast("long")).as(s"_hi_$d")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val z = (0 until 8).flatMap { b =>
+      dims.zipWithIndex.map { case (d, i) =>
+        val q = floor(((col(d).cast("long") - col(s"_lo_$d")) * 256).cast("double") /
+          (col(s"_hi_$d") - col(s"_lo_$d") + 1)).cast("long")
+        shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * nd + i)
+      }
+    }.reduce(_ + _)
+    df.crossJoin(broadcast(stats))
+      .withColumn("_z", z)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .select(df.columns.toIndexedSeq.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

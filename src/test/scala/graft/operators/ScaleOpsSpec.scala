@@ -34,6 +34,37 @@ class ScaleOpsSpec extends SparkSpec {
       ScaleOps.saltedJoin(df, df, Seq("k"), salts = 2, joinType = jt)
   }
 
+  test("writeZOrdered round-trips rows and shrinks per-file spans on BOTH dims vs plain layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toFile
+    val o = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("x"),
+        datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).cast("long").as("y"))
+    o.repartition(8).write.parquet(s"$dir/plain")
+    ScaleOps.writeZOrdered(o, Seq("x", "y"), s"$dir/zord", 8)
+
+    // same rows, no aux columns leaked
+    val back = spark.read.parquet(s"$dir/zord")
+    assert(back.columns.toSeq == Seq("o_orderkey", "x", "y"))
+    assert(back.orderBy("o_orderkey").collect().map(_.toSeq).toSeq ==
+      o.orderBy("o_orderkey").collect().map(_.toSeq).toSeq)
+
+    // layout evidence: average per-file (max-min) span on each dim
+    def avgSpans(path: String): (Double, Double) = {
+      val r = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("x") - min("x")).cast("double").as("sx"),
+          (max("y") - min("y")).cast("double").as("sy"))
+        .agg(avg("sx"), avg("sy")).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (px, py) = avgSpans(s"$dir/plain")
+    val (zx, zy) = avgSpans(s"$dir/zord")
+    // round-robin files span ~the full range on both dims; the morton
+    // clustering must cut both substantially at once
+    assert(zx < px * 0.6, s"x span $zx vs plain $px")
+    assert(zy < py * 0.6, s"y span $zy vs plain $py")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val warehouse = spark.conf.getOption("spark.sql.warehouse.dir")
     val l = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
