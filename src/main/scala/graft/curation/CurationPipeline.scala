@@ -80,6 +80,129 @@ object CurationPipeline {
     }
   }
 
+  /** Incremental curation — one NEW batch of documents against an
+    * already-ingested corpus, without re-curating it: the q81 CDC shape
+    * applied to the whole pipeline. Each batch doc is tagged with its
+    * outcome, in pipeline order:
+    *
+    *   quality_fail | lang_fail | store_dup (fingerprint already
+    *   ingested) | batch_dup (later same-fingerprint doc within the
+    *   batch) | contaminated (trigram overlap with the eval corpus ≥
+    *   `maxEvalOverlap`) | kept
+    *
+    * Plan shape: the per-row stages (quality, language, fingerprint)
+    * fuse into the batch scan; the store anti-check is a left join on
+    * `_fp` and the within-batch keep-first is a window on the SAME key,
+    * so both ride one shuffle of the (small) batch — the store is never
+    * re-shuffled beyond its join side, and nothing touches the already-
+    * curated corpus. The eval guard runs only over the surviving
+    * candidates (size-guarded broadcast via
+    * [[Dedup.shingleOverlapVsEval]]). The tagged frame keeps `_fp` so
+    * callers can append survivors' fingerprints back to the store —
+    * which is exactly what [[streamCurate]] does per micro-batch.
+    */
+  def curateIncrementalTagged(batch: DataFrame, storeFps: DataFrame,
+      idCol: String, textCol: String, cfg: Config = Config(),
+      evalDocs: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val store = storeFps.select(col(storeFps.columns.head).as("_fp"))
+      .distinct().withColumn("_in_store", lit(true))
+    val eligible = col("_q_ok") && col("_l_ok") && !col("_in_store")
+    val tagged0 = batch
+      .withColumn("_q_ok",
+        TextAnalysis.qualityScore(col(textCol), cfg.stopwords) >= cfg.minQuality)
+      .withColumn("_l_ok",
+        TextAnalysis.langId(col(textCol), cfg.markerSets).isin(cfg.allowedLangs: _*))
+      .withColumn("_fp", TextAnalysis.contentFingerprint(col(textCol)))
+      .join(store, Seq("_fp"), "left")
+      .withColumn("_in_store", coalesce(col("_in_store"), lit(false)))
+      .withColumn("_keeper",
+        min(when(eligible, col(idCol))).over(Window.partitionBy("_fp")))
+    val withContam = evalDocs.fold(tagged0.withColumn("_contam", lit(false))) { ev =>
+      val cand = tagged0.filter(eligible && col(idCol) === col("_keeper"))
+      val dirty = Dedup.shingleOverlapVsEval(cand, ev, idCol, textCol,
+          cfg.contamShingleWidth, cfg.maxBroadcastEvalDocs)
+        .filter(col("overlap_frac") >= cfg.maxEvalOverlap)
+        .select(col(idCol)).withColumn("_contam", lit(true))
+      tagged0.join(dirty, Seq(idCol), "left")
+        .withColumn("_contam", coalesce(col("_contam"), lit(false)))
+    }
+    withContam
+      .withColumn("outcome",
+        when(!col("_q_ok"), "quality_fail")
+          .when(!col("_l_ok"), "lang_fail")
+          .when(col("_in_store"), "store_dup")
+          .when(col(idCol) =!= col("_keeper"), "batch_dup")
+          .when(col("_contam"), "contaminated")
+          .otherwise("kept"))
+      .drop("_q_ok", "_l_ok", "_in_store", "_keeper", "_contam")
+  }
+
+  /** The surviving rows of [[curateIncrementalTagged]] (original batch
+    * columns plus `_fp`).
+    */
+  def curateIncremental(batch: DataFrame, storeFps: DataFrame,
+      idCol: String, textCol: String, cfg: Config = Config(),
+      evalDocs: Option[DataFrame] = None): DataFrame =
+    curateIncrementalTagged(batch, storeFps, idCol, textCol, cfg, evalDocs)
+      .filter(col("outcome") === "kept").drop("outcome")
+
+  /** One-row survivorship report over a tagged batch — the q158-style
+    * audit artifact an incremental run ships with each batch.
+    */
+  def batchReport(tagged: DataFrame): DataFrame = {
+    val outcomes = Seq("quality_fail", "lang_fail", "store_dup",
+      "batch_dup", "contaminated", "kept")
+    val aggs = outcomes.map(o =>
+      sum(when(col("outcome") === o, 1L).otherwise(0L)).as(s"n_$o"))
+    tagged.groupBy()
+      .agg(count(lit(1)).as("n_input"), aggs: _*)
+      .withColumn("removal_rate",
+        round(lit(1.0) - col("n_kept").cast("double") / col("n_input"), 6))
+  }
+
+  /** One micro-batch of [[streamCurate]]: read the on-disk fingerprint
+    * store, curate the batch against it, append survivors to `outPath`
+    * and their fingerprints to the store — so the NEXT batch sees them
+    * as `store_dup`. Exposed so batch/streaming parity is directly
+    * testable: a stream of N micro-batches produces exactly the
+    * survivor set of the equivalent one-shot runs.
+    */
+  def curateBatchStep(batch: DataFrame, storePath: String, outPath: String,
+      idCol: String, textCol: String, cfg: Config = Config(),
+      evalDocs: Option[DataFrame] = None): Unit = {
+    val spark = batch.sparkSession
+    val sp = new org.apache.hadoop.fs.Path(storePath)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store =
+      if (fs.exists(sp)) spark.read.schema("_fp STRING").parquet(storePath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_fp",
+            org.apache.spark.sql.types.StringType))))
+    // two consumers (survivor rows + fingerprint append): materialize
+    // the tagging once instead of re-running the store join per sink
+    val kept = curateIncrementalTagged(batch, store, idCol, textCol, cfg, evalDocs)
+      .filter(col("outcome") === "kept").drop("outcome")
+      .localCheckpoint(false)
+    kept.write.mode("append").parquet(outPath)
+    kept.select("_fp").write.mode("append").parquet(storePath)
+  }
+
+  /** Continuous curation: each micro-batch runs [[curateBatchStep]] —
+    * the batch/streaming unification where the stream IS a sequence of
+    * incremental batches sharing one fingerprint store. Caller
+    * starts/awaits the returned writer.
+    */
+  def streamCurate(stream: DataFrame, storePath: String, outPath: String,
+      idCol: String, textCol: String, cfg: Config = Config(),
+      evalDocs: Option[DataFrame] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        curateBatchStep(b.toDF(), storePath, outPath, idCol, textCol, cfg, evalDocs)
+      }
+
   /** Per-stage rows + wall seconds (each stage timed by its own
     * count() action, cumulative lineage per stage — audit/bench
     * instrumentation, not the hot path; Bench publishes these into

@@ -1209,6 +1209,100 @@ object DataQueries {
       ORDER BY doc_id"""
     })
 
+  /** q176 — incremental curation, oracle-gated per-doc: one new batch
+    * (doc_id ≡ 0 mod 5, eval docs excluded) curated against the
+    * already-ingested fingerprint store (the other non-eval docs) with
+    * the eval corpus (doc_id ≡ 0 mod 97) as decontamination guard —
+    * `CurationPipeline.curateIncrementalTagged` end-to-end. The output
+    * is every batch doc with its outcome tag, so the oracle re-derives
+    * the FULL decision tree (quality score, language id, store
+    * fingerprint membership, within-batch keeper, trigram eval
+    * overlap) — a wrong outcome anywhere in the cascade flips a row.
+    * This is q81's CDC shape promoted to the whole pipeline: the batch
+    * shuffles once on the fingerprint (store join + keeper window share
+    * the key); the 100 TB corpus itself is never re-read beyond the
+    * store's join side. The streaming twin (same code path per
+    * micro-batch) is pinned in StreamingSpec.
+    */
+  val q176 = Q("q176_incremental_curation",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val isEval = pmod(col("doc_id"), lit(97)) === 0
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0 && !isEval)
+      val store = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0 && !isEval)
+        .select(TA.contentFingerprint(col("text")).as("_fp"))
+      graft.curation.CurationPipeline.curateIncrementalTagged(
+          batch, store, "doc_id", "text",
+          graft.curation.CurationPipeline.Config(maxEvalOverlap = 0.05),
+          evalDocs = Some(docs.filter(isEval)))
+        .select(col("doc_id"), col("outcome"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, text, $duckTokens AS w,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                 FROM documents WHERE doc_id % 5 = 0 AND doc_id % 97 <> 0),
+      storefp AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                  FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 97 <> 0),
+      sc AS (SELECT doc_id, w, fp,
+             round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+                   / length(text), 6) AS pr,
+             round(len(list_filter(w, x -> list_contains(['the','a','of','and'], x)))::DOUBLE
+                   / len(w), 6) AS sr,
+             len(list_filter(w, x -> list_contains(['the','a'], x))) AS s_en,
+             len(list_filter(w, x -> list_contains(['der','und','das'], x))) AS s_de,
+             len(list_filter(w, x -> list_contains(['el','los','que'], x))) AS s_es,
+             len(list_filter(w, x -> list_contains(['le','la','et'], x))) AS s_fr,
+             len(list_filter(w, x -> list_contains(['zh1','zh2'], x))) AS s_zh
+             FROM t),
+      d AS (SELECT doc_id, w, fp,
+              (round(0.4 * least(1.0, len(w)::DOUBLE / 100.0)
+                     + 0.3 * (1.0 - pr) + 0.3 * sr, 6) >= 0.5) AS q_ok,
+              (CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+                    ELSE 'zh' END = 'en') AS l_ok,
+              (fp IN (SELECT fp FROM storefp)) AS in_store
+            FROM sc),
+      k AS (SELECT *, min(CASE WHEN q_ok AND l_ok AND NOT in_store THEN doc_id END)
+                OVER (PARTITION BY fp) AS keeper
+            FROM d),
+      cand AS (SELECT doc_id, w FROM k
+               WHERE q_ok AND l_ok AND NOT in_store AND doc_id = keeper),
+      evt AS (SELECT doc_id, $duckTokens AS w FROM documents WHERE doc_id % 97 = 0),
+      evs AS (SELECT doc_id,
+              CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                   ELSE list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS g
+              FROM evt),
+      evg AS (SELECT DISTINCT unnest(list_distinct(list_transform(list_distinct(g),
+                s2 -> ${duckHash64("s2")} & ${Dedup.MinhashP}))) AS h
+              FROM evs),
+      tsh AS (SELECT doc_id,
+              CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                   ELSE list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS g
+              FROM cand),
+      thh AS (SELECT doc_id,
+              list_distinct(list_transform(list_distinct(g),
+                s2 -> ${duckHash64("s2")} & ${Dedup.MinhashP})) AS hs
+              FROM tsh),
+      ovx AS (SELECT doc_id, len(hs) AS n_grams, unnest(hs) AS h FROM thh),
+      ov AS (SELECT ovx.doc_id, any_value(ovx.n_grams) AS n_grams,
+                    count(evg.h) AS n_overlap
+             FROM ovx LEFT JOIN evg USING (h) GROUP BY ovx.doc_id),
+      dirty AS (SELECT doc_id FROM ov
+                WHERE round(n_overlap::DOUBLE / n_grams, 6) >= 0.05)
+      SELECT doc_id,
+             CASE WHEN NOT q_ok THEN 'quality_fail'
+                  WHEN NOT l_ok THEN 'lang_fail'
+                  WHEN in_store THEN 'store_dup'
+                  WHEN doc_id <> keeper THEN 'batch_dup'
+                  WHEN doc_id IN (SELECT doc_id FROM dirty) THEN 'contaminated'
+                  ELSE 'kept' END AS outcome
+      FROM k ORDER BY doc_id"""))
+
   val q114 = Q("q114_cluster_canonical",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1261,5 +1355,5 @@ object DataQueries {
 
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
-    q172, q173, q174, q175)
+    q172, q173, q174, q175, q176)
 }

@@ -43,6 +43,25 @@ class CurationPipelineSpec extends SparkSpec {
     assert(withEval == Seq(2L, 3L), s"contaminated doc 1 must drop: $withEval")
   }
 
+  test("batchReport outcomes partition the batch and sum to n_input") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val isEval = pmod(col("doc_id"), lit(97)) === 0
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0 && !isEval)
+    val store = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0 && !isEval)
+      .select(graft.operators.TextAnalysis.contentFingerprint(col("text")).as("_fp"))
+    val tagged = CurationPipeline.curateIncrementalTagged(
+      batch, store, "doc_id", "text",
+      CurationPipeline.Config(maxEvalOverlap = 0.05),
+      evalDocs = Some(docs.filter(isEval)))
+    // one tag per batch doc, no doc lost or duplicated by the joins
+    assert(tagged.count() == batch.count())
+    val r = CurationPipeline.batchReport(tagged).collect()(0)
+    val parts = (1 to 6).map(r.getLong)
+    assert(parts.sum == r.getLong(0), s"${parts.mkString("+")} != ${r.getLong(0)}")
+    assert(r.getLong(6) > 0) // n_kept
+    assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
+  }
+
   test("near-dup removal keeps the lower id of a planted duplicate pair") {
     val docs = Seq(
       (1L, "the a quick brown fox jumps over the lazy dog again and again"),

@@ -238,6 +238,51 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 10L, "v1")), out.toSeq.toString)
   }
 
+  test("streamCurate micro-batches reproduce the one-shot incremental curation survivors") {
+    val dir = Files.createTempDirectory("graft-curate-stream").toFile
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val isEval = pmod(col("doc_id"), lit(97)) === 0
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0 && !isEval)
+      .select("doc_id", "text")
+    val storeFps = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0 && !isEval)
+      .select(graft.operators.TextAnalysis.contentFingerprint(col("text")).as("_fp"))
+    val evalDocs = Some(docs.filter(isEval))
+    val cfg = graft.curation.CurationPipeline.Config(maxEvalOverlap = 0.05)
+
+    val oneShot = graft.curation.CurationPipeline
+      .curateIncremental(batch, storeFps, "doc_id", "text", cfg, evalDocs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // split the batch into two micro-batch files, ids ascending across
+    // the split so sequential keep-first agrees with the global one;
+    // distinct mtimes pin the file-stream processing order
+    val mid = batch.agg(expr("percentile(doc_id, 0.5)")).collect()(0).getDouble(0)
+    storeFps.write.parquet(s"$dir/store")
+    batch.filter(col("doc_id") <= mid).write.parquet(s"$dir/in/b1")
+    Thread.sleep(1100)
+    batch.filter(col("doc_id") > mid).write.parquet(s"$dir/in/b2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+    val q = graft.curation.CurationPipeline
+      .streamCurate(stream, s"$dir/store", s"$dir/out", "doc_id", "text", cfg, evalDocs)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == oneShot,
+      s"stream-only: ${(streamed -- oneShot).toSeq.sorted}; one-shot-only: ${(oneShot -- streamed).toSeq.sorted}")
+    // the store accumulated exactly the survivors' fingerprints
+    val storeN = spark.read.parquet(s"$dir/store").count()
+    val initialN = storeFps.count()
+    assert(storeN == initialN + streamed.size, s"$storeN vs $initialN + ${streamed.size}")
+  }
+
   test("psiOf stays finite when a reference bucket has zero share") {
     import spark.implicits._
     val mon = Seq(
