@@ -191,12 +191,29 @@ object Bench {
       // needs diameter rounds, the alternating large/small-star form
       // O(log n). Same outputs (both spec-pinned); the measured gap is
       // the evidence behind choosing the alternating form at scale.
+      // rounds-to-convergence recorded via the onRound hooks so drift
+      // in convergence behavior is visible across rounds' records, not
+      // just inside specs
       val chain = spark.range(0L, 32L)
         .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      var mlRounds = 0
       val ccMinlabel = sec(
-        graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 64).count())
+        graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 64,
+          onRound = (r, _) => mlRounds = r).count())
+      var asRounds = 0
       val ccAltstar = sec(
-        graft.operators.GraphOps.connectedComponentsAlternating(chain, "id_a", "id_b").count())
+        graft.operators.GraphOps.connectedComponentsAlternating(chain, "id_a", "id_b",
+          onRound = (r, _) => asRounds = r).count())
+      // k-means on a fixed 256-vector slice: rounds + final movement —
+      // the convergence-drift canary for the Lloyd loop
+      var kmRounds = 0
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(256)
+        .localCheckpoint(false)
+      val kinit = emb.orderBy("vec_id").limit(4)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val kmSec = sec(graft.operators.KMeansOps.fit(emb, "vec_id", "embedding", kinit,
+        maxIter = 20, onRound = (r, _) => kmRounds = r).count())
 
       // z-order layout: per-file spans on both dims, plain vs morton
       val zdir = "/tmp/graft_bench_zorder"
@@ -263,6 +280,10 @@ object Bench {
         "factjoin_bucketed_sec" -> bucketedSec,
         "cc_chain32_minlabel_sec" -> ccMinlabel,
         "cc_chain32_altstar_sec" -> ccAltstar,
+        "cc_chain32_minlabel_rounds" -> mlRounds.toDouble,
+        "cc_chain32_altstar_rounds" -> asRounds.toDouble,
+        "kmeans256_sec" -> kmSec,
+        "kmeans256_rounds" -> kmRounds.toDouble,
         "zorder_plain_span_cust" -> plainX,
         "zorder_plain_span_day" -> plainY,
         "zorder_zord_span_cust" -> zordX,

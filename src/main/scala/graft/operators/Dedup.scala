@@ -236,7 +236,8 @@ object Dedup {
     *         cluster_id = smallest id in the component.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          onRound: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(false)
@@ -246,7 +247,8 @@ object Dedup {
     // silent non-convergence would return wrong (partially propagated)
     // labels on a component whose diameter exceeds maxIter — the loop
     // fails loudly instead
-    FixpointLoop.iterateUntilFixpoint(init, maxIter, "connectedComponents") { labels =>
+    FixpointLoop.iterateUntilFixpoint(init, maxIter, "connectedComponents",
+        onRound = onRound) { labels =>
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy("src").agg(min("cluster_id").as("_nbr"))
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")

@@ -19,13 +19,21 @@ import org.apache.spark.sql.DataFrame
   */
 object FixpointLoop {
 
+  /** @param onRound observer called after every completed round with
+    *        (1-based round number, that round's state) — telemetry only
+    *        (Bench records rounds-to-convergence so cross-round drift in
+    *        convergence behavior shows up in the record, not just in
+    *        specs); the default no-op adds nothing to the hot path.
+    */
   def iterateUntilFixpoint(init: DataFrame, maxIter: Int, opName: String,
-                           requireConvergence: Boolean = true)
+                           requireConvergence: Boolean = true,
+                           onRound: (Int, DataFrame) => Unit = (_, _) => ())
                           (step: DataFrame => (DataFrame, Boolean)): DataFrame = {
     var cur = init
     var i = 0
     while (i < maxIter) {
       val (next, done) = step(cur)
+      onRound(i + 1, next)
       if (done) return next
       cur = next
       i += 1

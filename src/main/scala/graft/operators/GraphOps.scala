@@ -57,7 +57,8 @@ object GraphOps {
     *         contract to [[Dedup.connectedComponents]]).
     */
   def connectedComponentsAlternating(pairs: DataFrame, aCol: String, bCol: String,
-                                     maxIter: Int = 50): DataFrame = {
+                                     maxIter: Int = 50,
+                                     onRound: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     val allNodes = pairs.select(col(aCol).as("id"))
       .union(pairs.select(col(bCol).as("id")))
       .distinct().localCheckpoint(false)
@@ -98,7 +99,7 @@ object GraphOps {
 
     var sig = signature(edges) // cross-round scalar lives in the closure
     val fixed = FixpointLoop.iterateUntilFixpoint(edges, maxIter,
-        "connectedComponentsAlternating") { cur =>
+        "connectedComponentsAlternating", onRound = onRound) { cur =>
       val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nextSig = signature(next)
       // exact seal: the signature says fixpoint — prove it (both

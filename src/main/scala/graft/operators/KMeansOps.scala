@@ -58,7 +58,8 @@ object KMeansOps {
     * pageRank's dangling mass and connectedComponents' change count.
     */
   def fit(vecs: DataFrame, idCol: String, vecCol: String,
-          init: DataFrame, maxIter: Int = 20, tol: Double = 1e-6): DataFrame = {
+          init: DataFrame, maxIter: Int = 20, tol: Double = 1e-6,
+          onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     require(maxIter >= 1, "maxIter must be >= 1")
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -79,6 +80,7 @@ object KMeansOps {
       last = next
       cent = next.select(col("cid"), col("cv")).localCheckpoint(false)
       i += 1
+      onRound(i, moved) // telemetry only (round, max centroid movement²)
     }
     last // maxIter >= 1 ⇒ at least one step ran; (cid, cv, n_vecs)
   }
