@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
   * decode UDFs: one iterator pass per partition, typed output schema,
   * no per-row task overhead).
   *
-  * The decode step here is a STUB for the codecs this environment
-  * genuinely lacks (JPEG's JDK reader is present but audio/video codecs
-  * are not, and nothing here exercises lossy decode) — the "features"
-  * are deterministic byte-level facts (length, header bytes, md5). For
-  * PNG the decode is REAL: [[MultimodalCodec]] runs the JDK-native
-  * `javax.imageio` reader with pixel-true resize + perceptual hashing
-  * (q174/q175). The Spark-side shape here stays the template a further
-  * codec would drop into without touching the plumbing.
+  * The decode step here is a STUB only for the codecs this environment
+  * genuinely lacks (audio/video) — the "features" are deterministic
+  * byte-level facts (length, header bytes, md5). For images the decode
+  * is REAL: [[MultimodalCodec]] runs the JDK-native `javax.imageio`
+  * reader with pixel-true resize + perceptual hashing, oracle-gated on
+  * lossless PNG (q174/q175) and spec-proven on lossy JPEG (no
+  * arithmetic oracle is possible for a lossy codec). The Spark-side
+  * shape here stays the template a further codec would drop into
+  * without touching the plumbing.
   */
 object MultimodalStub {
 

@@ -61,6 +61,24 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(MultimodalCodec.aHash64(dw, dh, pix) != hashOf(0))
   }
 
+  test("decodeGray also reads JDK-encoded JPEG (lossy: dims exact, pixels near)") {
+    // the JDK ships a JPEG reader/writer too; lossy round-trip means no
+    // arithmetic oracle (hence no qNNN), but the decode path itself is
+    // the same decodeGray the PNG queries gate
+    val w = 24
+    val h = 16
+    val f = (x: Int, y: Int) => 64 + ((x * 5 + y * 3) % 64) // smooth-ish ramp
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, f(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val Some((dw, dh, pix)) = MultimodalCodec.decodeGray(bos.toByteArray)
+    assert(dw == w && dh == h)
+    // DCT quantization error on a smooth ramp stays small
+    val maxErr = (0 until w * h).map(i => math.abs(pix(i) - f(i % w, i / w))).max
+    assert(maxErr <= 24, s"max pixel error $maxErr")
+  }
+
   test("decodeImageFeatures surfaces undecodable payloads as rows") {
     import spark.implicits._
     val good = MultimodalCodec.encodeGrayPng(3, 3, (x, y) => x + y)
