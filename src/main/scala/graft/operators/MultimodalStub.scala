@@ -10,14 +10,17 @@ import org.apache.spark.sql.functions._
   * no per-row task overhead).
   *
   * The decode step here is a STUB only for the codecs this environment
-  * genuinely lacks (audio/video) — the "features" are deterministic
-  * byte-level facts (length, header bytes, md5). For images the decode
-  * is REAL: [[MultimodalCodec]] runs the JDK-native `javax.imageio`
-  * reader with pixel-true resize + perceptual hashing, oracle-gated on
-  * lossless PNG (q174/q175) and spec-proven on lossy JPEG (no
-  * arithmetic oracle is possible for a lossy codec). The Spark-side
-  * shape here stays the template a further codec would drop into
-  * without touching the plumbing.
+  * genuinely lacks (lossy audio like MP3/AAC, and video) — the
+  * "features" are deterministic byte-level facts (length, header
+  * bytes, md5). For images the decode is REAL: [[MultimodalCodec]]
+  * runs the JDK-native `javax.imageio` reader with pixel-true resize +
+  * perceptual hashing, oracle-gated on lossless PNG (q174/q175) and
+  * spec-proven on lossy JPEG (no arithmetic oracle is possible for a
+  * lossy codec). For audio the decode is REAL too: [[AudioCodec]]
+  * chunk-walks RIFF/WAVE 16-bit PCM with sample-exact stats + a
+  * gain-invariant envelope hash, oracle-gated in q177/q178. The
+  * Spark-side shape here stays the template a further codec would
+  * drop into without touching the plumbing.
   */
 object MultimodalStub {
 

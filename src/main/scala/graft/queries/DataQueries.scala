@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Hashing
-import graft.operators.{Dedup, MultimodalCodec, MultimodalStub, Similarity, TextAnalysis => TA}
+import graft.operators.{AudioCodec, Dedup, MultimodalCodec, MultimodalStub, Similarity, TextAnalysis => TA}
 import graft.operators.Relational.dedupKeepFirst
 
 /** Training-data pipeline operators over the `documents` and
@@ -1303,6 +1303,117 @@ object DataQueries {
                   ELSE 'kept' END AS outcome
       FROM k ORDER BY doc_id"""))
 
+  /** Deterministic mono waveform per document, for the real-container
+    * audio queries (q177/q178): content is keyed by doc_id % 50 (50
+    * distinct waveforms at every scale — genuine near-dup clusters), a
+    * uniform integer gain is keyed by doc_id % 7, lengths run 64–120
+    * samples (≥ 64 so every envelope bucket is nonempty, never a
+    * multiple of 64 so bucketing hits uneven strides), and sample
+    * rates cycle 8/16/24 kHz.
+    * sample_j = (((k·61 + j·37) mod 401) − 200) · g — bounded ±1400,
+    * well inside Int16, and gain factors out of |sample| exactly.
+    */
+  private def synthWave(docId: Long): (Int, Array[Short]) = {
+    val k = (docId % 50).toInt
+    val g = 1 + (docId % 7).toInt
+    val n = 64 + k % 57
+    val sr = 8000 * (1 + k % 3)
+    val samples = new Array[Short](n)
+    var j = 0
+    while (j < n) {
+      samples(j) = ((((k * 61 + j * 37) % 401) - 200) * g).toShort
+      j += 1
+    }
+    (sr, samples)
+  }
+
+  /** (doc_id, payload) with payload = the waveform encoded to REAL
+    * RIFF/WAVE bytes — downstream queries must run an actual container
+    * chunk-walk to get the samples back.
+    */
+  private def synthWavPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (sr, samples) = synthWave(id)
+          (id, AudioCodec.encodePcmWav(sr, 1, samples))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q177 — audio decode with a REAL container parse: each document's
+    * waveform is encoded to actual RIFF/WAVE bytes and decoded back
+    * through [[AudioCodec.decodePcmWav]]'s chunk-walk before
+    * integer-exact magnitude/sign stats. The oracle replays the
+    * waveform formula arithmetically — so the gate proves encode →
+    * real WAV decode → sample math equals pure arithmetic, byte-exact
+    * (possible precisely because PCM is lossless; MP3/AAC could only
+    * ever be self-consistent). Map-only, one parser pass per
+    * partition; zero shuffles.
+    */
+  val q177 = Q("q177_audio_decode",
+    (s, dir) =>
+      AudioCodec.decodeAudioFeatures(synthWavPayloads(s, dir), "doc_id", "payload")
+        .select("doc_id", "sample_rate", "n_samples", "sum_abs", "peak_abs",
+          "zero_crossings")
+        .orderBy("doc_id"),
+    Some("""
+      WITH p AS (SELECT doc_id, doc_id % 50 AS k, 1 + doc_id % 7 AS g FROM documents),
+      d AS (SELECT doc_id, k, g, 64 + (k % 57) AS n, 8000 * (1 + k % 3) AS sr FROM p),
+      s AS (SELECT doc_id, k, g, n, sr, unnest(range(n)) AS j FROM d),
+      v AS (SELECT doc_id, n, sr, j, (((k*61 + j*37) % 401) - 200) * g AS val FROM s),
+      w AS (SELECT doc_id, n, sr, val,
+              lag(val) OVER (PARTITION BY doc_id ORDER BY j) AS pv FROM v)
+      SELECT doc_id, CAST(any_value(sr) AS INT) AS sample_rate,
+             CAST(any_value(n) AS BIGINT) AS n_samples,
+             CAST(sum(abs(val)) AS BIGINT) AS sum_abs,
+             CAST(max(abs(val)) AS BIGINT) AS peak_abs,
+             CAST(count(CASE WHEN val * pv < 0 THEN 1 END) AS BIGINT) AS zero_crossings
+      FROM w GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** q178 — audio near-dup grouping by energy envelope: payloads run
+    * through the real WAV decode, hash to the 64-bucket envelope
+    * fingerprint ([[AudioCodec.envelopeHash64]]), and group by hash.
+    * The fixture plants TRUE near-dups — the same waveform (doc_id %
+    * 50) at seven integer gains (doc_id % 7) — and the hash's
+    * integer-exact mean compare is provably gain-invariant, so each
+    * bucket collects same-sounding clips that byte-level md5 would
+    * scatter; `n_gains > 1` in the output is the carried proof (the
+    * 1-D twin of q175's brightness-invariant aHash). The oracle
+    * replays bucket-sum + hash-bit arithmetic, nibble by nibble.
+    * Decode is map-only; the only shuffle is the ≤50-bucket groupBy.
+    */
+  val q178 = Q("q178_audio_envelope_dedup",
+    (s, dir) =>
+      AudioCodec.decodeAudioFeatures(synthWavPayloads(s, dir), "doc_id", "payload")
+        .groupBy("envelope_hex")
+        .agg(count(lit(1)).as("n_clips"),
+          min("doc_id").as("canonical_doc"),
+          countDistinct(pmod(col("doc_id"), lit(7L))).as("n_gains"))
+        .orderBy("envelope_hex"),
+    Some("""
+      WITH p AS (SELECT doc_id, doc_id % 50 AS k, 1 + doc_id % 7 AS g FROM documents),
+      d AS (SELECT doc_id, k, g, 64 + (k % 57) AS n FROM p),
+      s AS (SELECT doc_id, k, g, n, unnest(range(n)) AS j FROM d),
+      v AS (SELECT doc_id, n, j, abs((((k*61 + j*37) % 401) - 200) * g) AS a FROM s),
+      be AS (SELECT doc_id, (j*64)//n AS b, sum(a) AS eb FROM v GROUP BY doc_id, (j*64)//n),
+      tot AS (SELECT doc_id, sum(eb) AS te FROM be GROUP BY doc_id),
+      bt AS (SELECT be.doc_id, b, CASE WHEN eb*64 > te THEN 1 ELSE 0 END AS bit
+             FROM be JOIN tot ON be.doc_id = tot.doc_id),
+      bl AS (SELECT doc_id, list(bit ORDER BY b) AS bits FROM bt GROUP BY doc_id),
+      hx AS (SELECT doc_id,
+               array_to_string(list_transform(range(16), q ->
+                 substr('0123456789abcdef',
+                   CAST(bits[4*q+1]*8 + bits[4*q+2]*4 + bits[4*q+3]*2 + bits[4*q+4] + 1 AS INT), 1)),
+                 '') AS envelope_hex
+             FROM bl)
+      SELECT envelope_hex, CAST(count(*) AS BIGINT) AS n_clips,
+             CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+             CAST(count(DISTINCT doc_id % 7) AS BIGINT) AS n_gains
+      FROM hx GROUP BY envelope_hex ORDER BY envelope_hex"""))
+
   val q114 = Q("q114_cluster_canonical",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1355,5 +1466,5 @@ object DataQueries {
 
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
-    q172, q173, q174, q175, q176)
+    q172, q173, q174, q175, q176, q177, q178)
 }
