@@ -9,18 +9,19 @@ import org.apache.spark.sql.functions._
   * decode UDFs: one iterator pass per partition, typed output schema,
   * no per-row task overhead).
   *
-  * The decode step here is a STUB only for the codecs this environment
-  * genuinely lacks (lossy audio like MP3/AAC, and video) — the
+  * The decode step here is a STUB only for the lossy/inter-frame
+  * codecs this environment genuinely lacks (MP3/AAC, H.264/VP9) — the
   * "features" are deterministic byte-level facts (length, header
-  * bytes, md5). For images the decode is REAL: [[MultimodalCodec]]
-  * runs the JDK-native `javax.imageio` reader with pixel-true resize +
-  * perceptual hashing, oracle-gated on lossless PNG (q174/q175) and
-  * spec-proven on lossy JPEG (no arithmetic oracle is possible for a
-  * lossy codec). For audio the decode is REAL too: [[AudioCodec]]
-  * chunk-walks RIFF/WAVE 16-bit PCM with sample-exact stats + a
-  * gain-invariant envelope hash, oracle-gated in q177/q178. The
-  * Spark-side shape here stays the template a further codec would
-  * drop into without touching the plumbing.
+  * bytes, md5). Each modality has a REAL decode path for its lossless
+  * format: images via [[MultimodalCodec]] (JDK-native `javax.imageio`
+  * with pixel-true resize + perceptual hashing, oracle-gated on PNG in
+  * q174/q175, spec-proven on lossy JPEG where no arithmetic oracle is
+  * possible), audio via [[AudioCodec]] (RIFF/WAVE 16-bit PCM
+  * chunk-walk with sample-exact stats + a gain-invariant envelope
+  * hash, q177/q178), and video via [[VideoCodec]] (RIFF/AVI
+  * uncompressed-DIB frame decode with exact temporal motion energy,
+  * q179). The Spark-side shape here stays the template a further
+  * codec would drop into without touching the plumbing.
   */
 object MultimodalStub {
 

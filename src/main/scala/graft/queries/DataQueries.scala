@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Hashing
-import graft.operators.{AudioCodec, Dedup, MultimodalCodec, MultimodalStub, Similarity, TextAnalysis => TA}
+import graft.operators.{AudioCodec, Dedup, MultimodalCodec, MultimodalStub, Similarity, VideoCodec, TextAnalysis => TA}
 import graft.operators.Relational.dedupKeepFirst
 
 /** Training-data pipeline operators over the `documents` and
@@ -1414,6 +1414,65 @@ object DataQueries {
              CAST(count(DISTINCT doc_id % 7) AS BIGINT) AS n_gains
       FROM hx GROUP BY envelope_hex ORDER BY envelope_hex"""))
 
+  /** Deterministic clip per document, for the real-container video
+    * query (q179): content keyed by doc_id % 50, widths 12–20 (mostly
+    * NOT multiples of 4, so DIB's 4-byte row stride is exercised on
+    * every decode), heights 10–16, 3–6 frames, and a per-frame drift
+    * term so motion energy is nonzero and frame-order-sensitive.
+    * pixel(x,y,t) = (k·37 + x·7 + y·13 + t·29) mod 211 — 8-bit safe.
+    */
+  private def synthAviPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 50).toInt
+          val w = 12 + k % 9
+          val h = 10 + k % 7
+          val f = 3 + k % 4
+          val frames = (0 until f).map(t =>
+            Array.tabulate(w * h)(i =>
+              (k * 37 + (i % w) * 7 + (i / w) * 13 + t * 29) % 211))
+          (id, VideoCodec.encodeDibAvi(w, h, 10, frames))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q179 — video decode with a REAL container parse: each document's
+    * clip is encoded to actual RIFF/AVI bytes (uncompressed 8-bit DIB
+    * frames — a true 1992-vintage video format, lossless by
+    * construction) and decoded back through
+    * [[VideoCodec.decodeDibAvi]]'s nested-LIST chunk-walk, undoing
+    * DIB's bottom-up row order and stride padding, before integer
+    * temporal features. `motion_abs` — the exact Σ|frame_t −
+    * frame_{t−1}| — is the scene-change/static-clip signal a media
+    * curation pipeline filters on; the oracle replays the pixel
+    * formula at t and t−1 arithmetically, so a parser that flipped
+    * row order, mis-strode a row, or dropped/reordered a frame fails
+    * the gate. Map-only, one parser pass per partition; zero shuffles.
+    */
+  val q179 = Q("q179_video_motion",
+    (s, dir) =>
+      VideoCodec.decodeVideoFeatures(synthAviPayloads(s, dir), "doc_id", "payload")
+        .select("doc_id", "n_frames", "width", "height", "sum_first", "motion_abs")
+        .orderBy("doc_id"),
+    Some("""
+      WITH p AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+      d AS (SELECT doc_id, k, 12 + k % 9 AS w, 10 + k % 7 AS h, 3 + k % 4 AS f FROM p),
+      s AS (SELECT doc_id, k, w, h, f, unnest(range(f)) AS t FROM d),
+      px AS (SELECT doc_id, k, w, h, f, t, unnest(range(w*h)) AS i FROM s),
+      v AS (SELECT doc_id, w, h, f, t,
+              (k*37 + (i % w)*7 + (i // w)*13 + t*29) % 211 AS cur,
+              (k*37 + (i % w)*7 + (i // w)*13 + (t-1)*29) % 211 AS prev
+            FROM px)
+      SELECT doc_id, CAST(any_value(f) AS BIGINT) AS n_frames,
+             CAST(any_value(w) AS INT) AS width,
+             CAST(any_value(h) AS INT) AS height,
+             CAST(sum(CASE WHEN t = 0 THEN cur ELSE 0 END) AS BIGINT) AS sum_first,
+             CAST(sum(CASE WHEN t > 0 THEN abs(cur - prev) ELSE 0 END) AS BIGINT) AS motion_abs
+      FROM v GROUP BY doc_id ORDER BY doc_id"""))
+
   val q114 = Q("q114_cluster_canonical",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1466,5 +1525,5 @@ object DataQueries {
 
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
-    q172, q173, q174, q175, q176, q177, q178)
+    q172, q173, q174, q175, q176, q177, q178, q179)
 }
