@@ -104,6 +104,7 @@ object AudioCodec {
     */
   def resampleNearest(samples: Array[Short], outN: Int): Array[Short] = {
     val n = samples.length
+    require(n > 0 || outN == 0, "cannot resample an empty clip to a nonzero length")
     val out = new Array[Short](outN)
     var i = 0
     while (i < outN) { out(i) = samples(i * n / outN); i += 1 }

@@ -39,6 +39,7 @@ object VideoCodec {
     */
   def encodeDibAvi(width: Int, height: Int, fps: Int,
                    frames: Seq[Array[Int]]): Array[Byte] = {
+    require(fps > 0, s"fps must be positive, got $fps")
     require(frames.nonEmpty && frames.forall(_.length == width * height),
       s"every frame must be $width x $height")
     val stride = (width + 3) & ~3
