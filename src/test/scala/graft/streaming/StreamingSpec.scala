@@ -283,6 +283,44 @@ class StreamingSpec extends SparkSpec {
     assert(storeN == initialN + streamed.size, s"$storeN vs $initialN + ${streamed.size}")
   }
 
+  test("media decode over a payload stream equals the batch codec features") {
+    // the codec paths are stateless mapPartitions — the same call runs
+    // unchanged on a streaming DataFrame, so a media-ingest pipeline
+    // (decode on arrival, store features) needs no batch/stream fork;
+    // AudioCodec/VideoCodec share the exact shape
+    val dir = Files.createTempDirectory("graft-media-stream").toFile
+    import spark.implicits._
+    val payloads = (0L until 40L).map { id =>
+      val k = (id % 10).toInt
+      (id, graft.operators.MultimodalCodec.encodeGrayPng(
+        8 + k, 6 + k, (x, y) => (k * 37 + x * 7 + y * 13) % 211))
+    }
+    val df = payloads.toDF("doc_id", "payload")
+    val batch = graft.operators.MultimodalCodec
+      .decodeImageFeatures(df, "doc_id", "payload")
+      .collect().map(_.toSeq).toSet
+
+    df.filter(col("doc_id") < 20).write.parquet(s"$dir/in/b1")
+    Thread.sleep(1100) // distinct mtimes pin the file-stream order
+    df.filter(col("doc_id") >= 20).write.parquet(s"$dir/in/b2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, payload BINARY")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+    val q = graft.operators.MultimodalCodec
+      .decodeImageFeatures(stream, "doc_id", "payload")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(s"$dir/out").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.size == 40)
+  }
+
   test("psiOf stays finite when a reference bucket has zero share") {
     import spark.implicits._
     val mon = Seq(
