@@ -68,7 +68,10 @@ object ScaleOps {
     val stats = df.agg(aggs.head, aggs.tail: _*)
     val z = (0 until 8).flatMap { b =>
       dims.zipWithIndex.map { case (d, i) =>
-        val q = floor(((col(d).cast("long") - col(s"_lo_$d")) * 256).cast("double") /
+        // widen BEFORE the ×256: a long multiply first would overflow on
+        // dims with ranges beyond ~2^55 (epoch-nanos); below 2^52 the
+        // double path is bit-identical
+        val q = floor((col(d).cast("long") - col(s"_lo_$d")).cast("double") * 256 /
           (col(s"_hi_$d") - col(s"_lo_$d") + 1)).cast("long")
         shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * nd + i)
       }
