@@ -377,5 +377,38 @@ object CorpusQueries {
       GROUP BY source, n_docs, avail_chars, base, extra_docs
       ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171)
+  /** q180 — shard integrity manifest: the reproducibility artifact a
+    * training-data export ships alongside its shards (q63's layout) —
+    * per shard, the row count, character count, and an
+    * ORDER-INDEPENDENT content hash (sum of per-row md5-derived 60-bit
+    * hashes mod 2^61−1, exact DECIMAL accumulation). Because addition
+    * commutes, the hash is invariant under re-partitioning, task
+    * retries, and engine choice: the oracle recomputes it from the raw
+    * table with no ordering agreement, and any row lost, duplicated, or
+    * altered anywhere in a 100 TB export flips its shard's hash. One
+    * partial-aggregated groupBy — map-side combine does almost all the
+    * work; shuffle volume is shards × 4 values.
+    */
+  val q180 = Q("q180_shard_manifest",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(
+          pmod(Hashing.hash64(concat(lit("shard|"), col("doc_id").cast("string"))),
+            lit(8)).as("shard"),
+          concat_ws("|", col("doc_id"), col("source"), col("text")).as("_payload"))
+      graft.sources.Sinks.shardManifest(docs, "shard", "_payload")
+        .orderBy("shard")
+    },
+    Some(s"""
+      WITH a AS (SELECT
+          ${duckHash64("concat('shard|', CAST(doc_id AS VARCHAR))")} % 8 AS shard,
+          concat_ws('|', doc_id, source, text) AS payload
+        FROM documents)
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(length(payload)) AS BIGINT) AS n_chars,
+             CAST(sum(${duckHash64("payload")}) % ${graft.sources.Sinks.ManifestP}
+                  AS BIGINT) AS content_hash
+      FROM a GROUP BY shard ORDER BY shard"""))
+
+  val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180)
 }

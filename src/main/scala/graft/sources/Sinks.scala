@@ -68,4 +68,29 @@ object Sinks {
       routed.sortWithinPartitions(col(shardCol), col(o)))
     laid.write.mode("overwrite").partitionBy(shardCol).json(path)
   }
+
+  /** 2^61 − 1, the fold modulus for [[shardManifest]]'s content hash. */
+  val ManifestP: Long = (1L << 61) - 1
+
+  /** Integrity manifest for a sharded export: one row per shard with
+    * `n_rows`, `n_chars`, and `content_hash` — the sum of per-row
+    * md5-derived 60-bit hashes, folded mod 2^61−1. The hash is
+    * ORDER-INDEPENDENT (addition commutes), so it is stable across
+    * re-partitioning, task retries, and engine re-runs — any engine can
+    * recompute it with one scan and verify an export byte-for-byte at
+    * the row level without agreeing on an order first. Accumulation is
+    * exact DECIMAL(38,0) (row hashes < 2^60, so ~10^18 rows fit with
+    * headroom); the fold happens once per shard after the sum. One
+    * partial-aggregated groupBy on the shard key — the manifest job is
+    * a rounding error next to the export it certifies.
+    */
+  def shardManifest(df: DataFrame, shardCol: String, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(col(shardCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(length(col(payloadCol))).as("n_chars"),
+        pmod(sum(graft.functions.Hashing.hash64(col(payloadCol)).cast("decimal(38,0)")),
+          lit(ManifestP)).cast("long").as("content_hash"))
+  }
 }

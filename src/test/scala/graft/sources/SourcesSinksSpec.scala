@@ -73,4 +73,26 @@ class SourcesSinksSpec extends SparkSpec {
       Seq(Seq(1, "first"), Seq(2, "only")))
     assert(Sinks.pkViolations(out, Seq("id")) == 0)
   }
+
+  test("shardManifest content hash is order- and partitioning-independent") {
+    val df = (1L to 300L).map(i => (i % 5, s"payload-$i-${"x" * (i % 17).toInt}"))
+      .toDF("shard", "payload")
+    val base = graft.sources.Sinks.shardManifest(df, "shard", "payload")
+      .orderBy("shard").collect().map(_.toSeq)
+    // reversed input order, different partitioning: identical manifest
+    val shuffled = df.orderBy(org.apache.spark.sql.functions.col("payload").desc)
+      .repartition(13)
+    val again = graft.sources.Sinks.shardManifest(shuffled, "shard", "payload")
+      .orderBy("shard").collect().map(_.toSeq)
+    assert(base.toSeq == again.toSeq)
+    // a single altered row flips exactly its shard's hash
+    val tampered = df.withColumn("payload",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("payload") === "payload-7-xxxxxxx",
+        "payload-7-TAMPERED").otherwise(org.apache.spark.sql.functions.col("payload")))
+    val tm = graft.sources.Sinks.shardManifest(tampered, "shard", "payload")
+      .orderBy("shard").collect().map(_.toSeq)
+    val diffs = base.zip(tm).count { case (a, b) => a != b }
+    assert(diffs == 1, s"expected exactly one shard hash to change, got $diffs")
+  }
 }
