@@ -79,6 +79,22 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(maxErr <= 24, s"max pixel error $maxErr")
   }
 
+  test("decodeGray reads JDK-encoded BMP and GIF exactly (both lossless for 8-bit gray)") {
+    val w = 11
+    val h = 9
+    val f = (x: Int, y: Int) => (x * 19 + y * 7) % 256
+    for (fmt <- Seq("bmp", "gif")) {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      val Some((dw, dh, pix)) = MultimodalCodec.decodeGray(bos.toByteArray)
+      assert(dw == w && dh == h, fmt)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(pix(y * w + x) == f(x, y), s"$fmt pixel ($x,$y)")
+    }
+  }
+
   test("decodeImageFeatures surfaces undecodable payloads as rows") {
     import spark.implicits._
     val good = MultimodalCodec.encodeGrayPng(3, 3, (x, y) => x + y)
