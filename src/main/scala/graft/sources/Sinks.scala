@@ -30,6 +30,12 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Partitioned ORC — the Hive-interchange twin of [[parquet]]. */
+  def orc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Idempotent PK load: `ON CONFLICT (pk) DO NOTHING` ≡ keep the first
     * row per key under an explicit arrival order (reference K4:
     * dags/flu_data_airflow_v2.py:579-733; keep-first discussion SURVEY

@@ -37,4 +37,11 @@ object Sources {
   /** Parquet with pinned schema — the engine's preferred interchange. */
   def parquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(path)
+
+  /** ORC with pinned schema — the other columnar interchange a lake
+    * migration encounters (Hive-era tables). Same pushdown/pruning
+    * properties as parquet through Spark's vectorized ORC reader.
+    */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

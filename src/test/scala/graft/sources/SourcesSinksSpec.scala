@@ -95,4 +95,23 @@ class SourcesSinksSpec extends SparkSpec {
     val diffs = base.zip(tm).count { case (a, b) => a != b }
     assert(diffs == 1, s"expected exactly one shard hash to change, got $diffs")
   }
+
+  test("orc sink/source round-trips a partitioned write with pushdown-friendly schema") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val df = Seq((1, 1.5, "a", "x"), (2, 2.5, "b", "y"), (3, 3.5, "c", "x"))
+      .toDF("id", "v", "s", "part")
+    graft.sources.Sinks.orc(df, s"$dir/t", partitionBy = Seq("part"))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", DoubleType),
+      StructField("s", StringType), StructField("part", StringType)))
+    val back = graft.sources.Sources.orc(spark, s"$dir/t", schema)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+    // partition pruning: a part filter reads one directory
+    val pruned = back.filter(org.apache.spark.sql.functions.col("part") === "x")
+    assert(pruned.count() == 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || pruned.inputFiles.length == 1,
+      s"expected partition pruning evidence\n$plan")
+  }
 }
