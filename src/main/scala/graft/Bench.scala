@@ -13,10 +13,20 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft_bench_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftExtensions.register(spark)
+    // Encoding-drift canary (throws on drift) + the data fingerprint the
+    // record is stamped with: per-table row counts, decoded ts year
+    // range, and parquet file mtimes. A claim in BASELINE.md is only
+    // reproducible against data matching this fingerprint.
+    val fp = Canary.check(spark, sfDir)
+    val mtimes = Tables.names.map { n =>
+      val f = new java.io.File(s"$sfDir/$n.parquet")
+      n -> (if (f.exists) f.lastModified / 1000 else -1L)
+    }
     // best-of-3: per-query times on shared hardware show 2-3x noise;
     // the minimum is the stable signal the round is graded on
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -73,8 +83,14 @@ object Bench {
     // parsed:null, truncated mid-JSON). So the FULL record goes to a
     // file, and stdout carries one SHORT schema-compliant line: totals,
     // the calibration canary, the five slowest queries, and the path.
+    val fpJson = {
+      val rows = fp.rows.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+      val mt = mtimes.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+      s""","data_fp":{"rows":$rows,"ts_years":[${fp.tsMinYear},${fp.tsMaxYear}],"mtimes":$mt}"""
+    }
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$exJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$exJson$fpJson,"sf":${jstr(sfDir)}}"""
     val outPath = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
     java.nio.file.Files.write(outPath,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

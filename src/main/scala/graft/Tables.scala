@@ -64,16 +64,21 @@ object Tables {
     StructField("r_regionkey", IntegerType),
     StructField("r_name", StringType)))
 
-  // ts is written as parquet timestamp[ns] (INT64 nanos), which Spark's
-  // vectorized reader refuses to widen to TimestampType — read the raw
-  // nanos and convert to micros in load().
+  // ts is parquet timestamp[us] in current driver data — Spark reads the
+  // logical type natively. Earlier generations wrote raw INT64 nanos (no
+  // logical annotation), which Spark infers as LongType; load() sniffs
+  // the footer and converts only in that legacy case.
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Legacy events layout: ts as unannotated INT64 epoch-nanos. */
+  val eventsRawNs: StructType = StructType(
+    events.fields.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
 
   val documents: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -93,15 +98,42 @@ object Tables {
     "region" -> region, "events" -> events, "documents" -> documents,
     "embeddings" -> embeddings)
 
+  /** All table names in the sf directories. */
+  def names: Seq[String] = schemas.keys.toSeq.sorted
+
   /** Load one table from an sf directory with its pinned schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // nanos → micros with integer div (a double division would lose
-      // precision: ns epochs exceed 2^53)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    val path = s"$sfDir/$name.parquet"
+    if (name == "events") {
+      // Footer sniff (one metadata read, cached per path). Three
+      // encodings have shipped in driver testdata:
+      //   timestamp[us, tz=UTC]  → inferred TimestampType: read natively;
+      //   timestamp[us] (no tz)  → inferred TimestampNTZType: pin NTZ and
+      //     cast (all graft sessions pin spark.sql.session.timeZone=UTC,
+      //     so the cast is value-identical to DuckDB's epoch_us view);
+      //   unannotated INT64 ns   → inferred LongType: div-1000 to micros.
+      // Pinning the wrong one silently warps epochs 1000x (round-6 bug),
+      // so decide per-footer and let the Canary catch anything new.
+      val inferred = tsInferred.computeIfAbsent(path, p =>
+        spark.read.parquet(p).schema("ts").dataType)
+      inferred match {
+        case TimestampType => spark.read.schema(events).parquet(path)
+        case TimestampNTZType =>
+          val ntz = StructType(events.fields.map(f =>
+            if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+          spark.read.schema(ntz).parquet(path)
+            .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+        case _ =>
+          spark.read.schema(eventsRawNs).parquet(path)
+            // nanos → micros with integer div (a double division would lose
+            // precision: ns epochs exceed 2^53)
+            .withColumn("ts",
+              org.apache.spark.sql.functions.timestamp_micros(
+                org.apache.spark.sql.functions.expr("ts div 1000")))
+      }
+    } else spark.read.schema(schemas(name)).parquet(path)
   }
+
+  private val tsInferred =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
 }

@@ -21,6 +21,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftExtensions.register(spark)
+    // Fail loudly BEFORE dumping anything if the testdata encoding
+    // drifted (round-6 lesson: a silent ts mis-decode red-flagged 16
+    // queries). Throws IllegalStateException naming the drift.
+    val fp = Canary.check(spark, sfDir)
+    System.err.println(s"[verify] canary ok: $fp")
     new java.io.File(outDir).mkdirs()
     // Spark sessions are thread-safe; submitting queries from a small
     // pool overlaps their stages and cuts the wall time ~3-4x.
