@@ -166,6 +166,116 @@ object Dedup {
       .distinct() // one pair, however many buckets matched
   }
 
+  /** Exact variant of [[bucketPairs]]: NO bucket is dropped (required by
+    * exact joins like q128's PPJoin, where skipping a bucket loses true
+    * pairs), yet no task ever materializes a whole oversized bucket's
+    * pair set.
+    *
+    * Buckets of ≤ `chunk` ids take the [[bucketPairs]] array path. A
+    * bigger bucket is split into id-ordered chunks of ≤ `chunk`; each
+    * (chunkᵢ, chunkⱼ) combination with i ≤ j becomes ONE row, the rows
+    * are hash-repartitioned so a degenerate bucket's ~(m/chunk)²/2
+    * chunk-pairs spread across the cluster, and each row explodes at
+    * most chunk² pairs. Work per task is bounded by chunk² regardless of
+    * bucket size — the quadratic OUTPUT of a pathological bucket is
+    * inherent to exactness, but it streams from many bounded tasks
+    * instead of one straggler holding an O(bucket²) array.
+    *
+    * Chunks are id-ordered, so i < j guarantees every id in chunkᵢ is
+    * less than every id in chunkⱼ and cross-chunk pairs are born
+    * ordered; the i = j case reuses the triangular enumeration.
+    */
+  def bucketPairsExact(df: DataFrame, idCol: String, bucketCols: Seq[String],
+                       chunk: Int = 256): DataFrame = {
+    val bcols = bucketCols.map(col)
+    // One exchange for the whole bucketing: collect each bucket's sorted
+    // ids (a bucket row holds m IDS — linear, fine even for pathological
+    // m — never the m² pairs), then explode the (i ≤ j) chunk-pair GRID
+    // with two nested sequence-explodes and slice the two ≤ chunk-id
+    // windows out BEFORE the spreading repartition. Generates pipeline
+    // row-at-a-time, so the full _ids array is never copied per grid
+    // cell, and post-slice rows carry at most 2·chunk ids. No self-join:
+    // an earlier join-based version re-executed the entire producing
+    // plan on the broadcast side.
+    val buckets = df.groupBy(bcols: _*)
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .withColumn("_nc", ((size(col("_ids")) + chunk - 1) / chunk).cast("int"))
+    val tri = flatten(transform(
+      sequence(lit(1), size(col("_ia")) - 1),
+      i => transform(slice(col("_ia"), i + 1, size(col("_ia"))),
+        b => struct(element_at(col("_ia"), i).as("id_a"), b.as("id_b")))))
+    val cross = flatten(transform(col("_ia"),
+      a => transform(col("_ib"), b => struct(a.as("id_a"), b.as("id_b")))))
+    buckets
+      .select(bcols ++ Seq(col("_ids"), col("_nc"),
+        explode(sequence(lit(0), col("_nc") - 1)).as("_ca")): _*)
+      .select(bcols ++ Seq(col("_ids"), col("_ca"),
+        explode(sequence(col("_ca"), col("_nc") - 1)).as("_cb")): _*)
+      .select(bcols ++ Seq(col("_ca"), col("_cb"),
+        slice(col("_ids"), col("_ca") * chunk + 1, lit(chunk)).as("_ia"),
+        slice(col("_ids"), col("_cb") * chunk + 1, lit(chunk)).as("_ib")): _*)
+      // spread one bucket's chunk-pair grid across tasks — without this
+      // the bucket-key partitioning keeps the whole grid colocated
+      .repartition(bcols ++ Seq(col("_ca"), col("_cb")): _*)
+      .select(explode(
+        when(col("_ca") < col("_cb"), cross) // id-ordered chunks ⇒ a < b already
+          .when(size(col("_ia")) > 1, tri) // sequence(1,0) would yield [1,0], not []
+          .otherwise(array().cast("array<struct<id_a:long,id_b:long>>"))).as("_p"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      .distinct() // one pair, however many buckets matched
+  }
+
+  /** All unordered member pairs (least, greatest) from each row's two id
+    * arrays, chunk-bounded like [[bucketPairsExact]]: used to expand a
+    * matched GROUP pair (two sets of exact-duplicate documents) into
+    * document pairs without one row ever holding |a|·|b| structs. Rows
+    * where `aCol` and `bCol` name the same column expand the triangular
+    * within-group pairs instead.
+    */
+  def expandMemberPairs(df: DataFrame, aCol: String, bCol: String,
+                        carry: Seq[String], chunk: Int = 256): DataFrame = {
+    val nChunks = (c: Column) => ((size(c) + chunk - 1) / chunk).cast("int")
+    val slices = (c: Column) =>
+      transform(sequence(lit(0), nChunks(c) - 1), i => slice(c, i * chunk + 1, lit(chunk)))
+    val within = aCol == bCol
+    val both =
+      if (within) {
+        val base = df.select(carry.map(col) :+
+          posexplode(slices(col(aCol))).as(Seq("_ca", "_ia")): _*)
+        base.join(
+          df.select(carry.map(col) :+
+            posexplode(slices(col(aCol))).as(Seq("_cb", "_ib")): _*),
+          carry).filter(col("_ca") <= col("_cb"))
+      } else {
+        // one generator per select: explode a-chunks first (keeping the
+        // b array), then b-chunks
+        df.select(carry.map(col) ++ Seq(col(bCol)) :+
+            posexplode(slices(col(aCol))).as(Seq("_ca", "_ia")): _*)
+          .select(carry.map(col) ++ Seq(col("_ca"), col("_ia")) :+
+            posexplode(slices(col(bCol))).as(Seq("_cb", "_ib")): _*)
+      }
+    val tri = flatten(transform(
+      sequence(lit(1), size(col("_ia")) - 1),
+      i => transform(slice(col("_ia"), i + 1, size(col("_ia"))),
+        b => struct(element_at(col("_ia"), i).as("id_a"), b.as("id_b")))))
+    val cross = flatten(transform(col("_ia"),
+      a => transform(col("_ib"),
+        b => struct(least(a, b).as("id_a"), greatest(a, b).as("id_b")))))
+    val ordered = flatten(transform(col("_ia"),
+      a => transform(col("_ib"), b => struct(a.as("id_a"), b.as("id_b")))))
+    val pairsCol =
+      if (within)
+        when(col("_ca") < col("_cb"), ordered) // id-ordered chunks: a < b already
+          .when(size(col("_ia")) > 1, tri)
+          .otherwise(array().cast("array<struct<id_a:long,id_b:long>>"))
+      else cross
+    both
+      .repartition(carry.map(col) ++ Seq(col("_ca"), col("_cb")): _*)
+      .select(carry.map(col) :+ explode(pairsCol).as("_p"): _*)
+      .select(carry.map(col) ++ Seq(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b")): _*)
+  }
+
   /** End-to-end MinHash-LSH near-duplicate pairs.
     *
     * @param df       input

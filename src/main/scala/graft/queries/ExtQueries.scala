@@ -159,28 +159,9 @@ object ExtQueries {
       graft.expressions.GraftExtensions.register(s)
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          array_distinct(
-            call_function("graft_shingle_hash_list", col("text"), lit(3))).as("hs"))
-        .withColumn("sz", size(col("hs")))
-        .localCheckpoint(false) // referenced by df-count, prefix gen, and both verify joins
-      val tok = docs.select(col("doc_id"), explode(col("hs")).as("h"))
-      val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
-      val pref = tok.join(dfreq, "h")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
-        .join(docs.select("doc_id", "sz"), "doc_id")
-        .select(col("doc_id"),
-          explode(slice(transform(col("ord"), x => x.getField("h")),
-            lit(1), expr("cast(sz - ((sz * 6 + 9) div 10) + 1 as int)"))).as("ph"))
-      val cand = Dedup.bucketPairs(pref, "doc_id", Seq("ph"), maxBucket = Int.MaxValue)
-      cand
-        .join(docs.select(col("doc_id").as("id_a"), col("hs").as("ha"), col("sz").as("sa")), "id_a")
-        .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hb"), col("sz").as("sb")), "id_b")
-        .withColumn("_it", call_function("graft_intersect_count", col("ha"), col("hb")).cast("long"))
-        .filter(col("_it") * 10 >= (col("sa") + col("sb") - col("_it")) * 6)
-        .select(col("id_a"), col("id_b"),
-          round(col("_it").cast("double") / (col("sa") + col("sb") - col("_it")), 6).as("jaccard"))
-        .orderBy("id_a", "id_b")
+          sort_array(array_distinct(
+            call_function("graft_shingle_hash_list", col("text"), lit(3)))).as("hs"))
+      graft.operators.SetSimJoin.pairs(s, docs, 6, 10).orderBy("id_a", "id_b")
     },
     Some(s"""
       WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
