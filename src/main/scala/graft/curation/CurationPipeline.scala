@@ -18,8 +18,9 @@ import graft.operators.Relational.dedupKeepFirst
   * require. Near-dup removal keeps the lowest doc id of each MinHash
   * pair (greedy per-pair survivor, deterministic). Decontamination
   * drops survivors whose trigram-shingle overlap with the eval set
-  * reaches `maxEvalOverlap` (Dedup.shingleOverlapVsEval — broadcast
-  * under a size guard, q91's shuffled shape otherwise).
+  * reaches `maxEvalOverlap` (Dedup.shingleOverlapVsEval — AQE picks
+  * broadcast vs q91's shuffled shape from the eval side's true
+  * runtime size).
   */
 object CurationPipeline {
 

@@ -388,20 +388,21 @@ object Dedup {
 
   /** Per-train-doc shingle overlap against an eval corpus — the engine
     * behind the contamination checks (q62 delegates here) and the
-    * curation pipeline's decontamination stage. The eval side's
-    * distinct shingle hashes ride a broadcast only when the eval doc
-    * count is verifiably bounded (a limit-capped pre-count stays
-    * ≤ `maxBroadcastEvalDocs`); otherwise the join degrades to the
-    * q91 one-linear-shuffle shape. Returns one row per train doc:
-    * (idCol, n_grams, n_overlap, overlap_frac) — callers threshold.
+    * curation pipeline's decontamination stage. Returns one row per
+    * train doc: (idCol, n_grams, n_overlap, overlap_frac) — callers
+    * threshold.
     *
-    * NOTE — eager action at construction: deciding broadcast-vs-shuffle
-    * needs the eval doc count, so building the returned DataFrame runs
-    * one limit-capped `count()` job over `evalDocs` (scans at most
-    * `maxBroadcastEvalDocs + 1` rows, no full pass) even if the result
-    * is never executed, and re-runs it on every call. Callers invoking
-    * this repeatedly on the same eval corpus should cache `evalDocs`
-    * (the pipeline does) or pre-compute the decision once.
+    * Broadcast-vs-shuffle for the eval side is left to ADAPTIVE
+    * execution: the distinct eval-gram relation sits behind a shuffle,
+    * so AQE sees its true materialized size at runtime and converts the
+    * join to broadcast-hash exactly when it fits — a better signal than
+    * any doc-count heuristic (one 10-gram doc of 1 MB ≠ one tweet), one
+    * code path at every scale, and no eager job at plan construction
+    * (an earlier version ran a limit-capped count() on every call —
+    * a driver round-trip even when the result was never executed).
+    * `maxBroadcastEvalDocs` is retained for signature stability and as
+    * documentation of the intended boundedness contract; it no longer
+    * triggers any eager work.
     */
   def shingleOverlapVsEval(train: DataFrame, evalDocs: DataFrame,
                            idCol: String, textCol: String, n: Int,
@@ -411,10 +412,7 @@ object Dedup {
       .select(explode(call_function("graft_shingle_hashes", col(textCol), lit(n))).as("h"))
       .distinct()
       .withColumn("_hit", lit(1))
-    val cap = (maxBroadcastEvalDocs min (Int.MaxValue - 1L)).toInt
-    val bounded =
-      evalDocs.select(lit(1)).limit(cap + 1).count() <= maxBroadcastEvalDocs
-    val evalSide = if (bounded) broadcast(evalGrams) else evalGrams
+    val evalSide = evalGrams
     train
       .select(col(idCol),
         explode(call_function("graft_shingle_hashes", col(textCol), lit(n))).as("h"))

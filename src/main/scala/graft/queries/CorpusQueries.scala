@@ -80,16 +80,14 @@ object CorpusQueries {
 
   /** q62's engine — per-training-doc shingle overlap against an eval
     * partition of the same corpus, with ONE code path serving both
-    * scales: the eval shingles ride a broadcast only when the eval side
-    * is VERIFIABLY bounded (a limit-capped pre-count of eval docs stays
-    * ≤ `maxBroadcastEvalDocs`); otherwise the hint is dropped and the
-    * join degrades to q91's one-linear-shuffle shape. The pre-count
-    * reads only the predicate's columns (pruned at the parquet scan)
-    * and stops at the cap + 1 — a cheap toll for never broadcasting an
-    * unbounded side. Real benchmark eval sets are a few thousand docs
-    * regardless of corpus size, so production takes the broadcast
-    * branch; the modulo stand-in grows with the corpus and trips the
-    * guard at scale.
+    * scales: the distinct eval shingles sit behind a shuffle, so
+    * ADAPTIVE execution reads their true materialized size at runtime
+    * and converts the join to broadcast-hash exactly when they fit —
+    * otherwise it stays q91's one-linear-shuffle shape. Real benchmark
+    * eval sets are a few thousand docs regardless of corpus size, so
+    * production takes the broadcast conversion; an unbounded eval side
+    * simply keeps the shuffled join. No plan-construction-time count
+    * is involved (an earlier version ran one per call).
     *
     * Shingle hashing uses the compiled LSH kernel
     * (`graft_shingle_hashes`, 31-bit md5-derived, distinct per doc) —
@@ -108,11 +106,8 @@ object CorpusQueries {
   /** q62 — benchmark-contamination check: which training documents
     * share word-trigram shingles with a held-out eval set (docs with
     * doc_id % 97 = 0 stand in for the benchmark). All the machinery —
-    * including the size-guarded broadcast that picks between the
-    * map-side and q91-shuffled join shapes — is
-    * [[contaminationOverlap]]; the 100k-doc guard keeps the broadcast
-    * at every test SF while bounding it (~tens of MB of hashes) on any
-    * corpus.
+    * including the AQE runtime choice between the map-side and
+    * q91-shuffled join shapes — is [[contaminationOverlap]].
     */
   val q62 = Q("q62_contamination",
     (s, dir) =>
