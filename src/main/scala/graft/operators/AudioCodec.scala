@@ -7,12 +7,12 @@ import org.apache.spark.sql.functions._
 
 /** Real audio decode over opaque `binary` payload columns — the audio
   * half of the codec step [[MultimodalStub]] stubs out, made real for
-  * the one audio container that needs no codec at all: RIFF/WAVE
-  * carrying 16-bit PCM (WAV format tag 1). PCM samples are stored
-  * literally, so a correct chunk-walk of the container IS the decode —
-  * zero new dependencies, byte-exact, and therefore arithmetically
-  * replayable by an external oracle (q177/q178), unlike lossy codecs
-  * (MP3/AAC stay honestly stubbed).
+  * two RIFF/WAVE formats: 16-bit PCM (tag 1 — samples stored
+  * literally, a correct chunk-walk IS the decode, q177/q178) and IMA
+  * ADPCM (tag 0x11 — a REAL lossy codec whose decode is deterministic
+  * integer math, so even its 4→16-bit expansion is arithmetically
+  * replayable by an external oracle, q181). Perceptual-transform
+  * codecs (MP3/AAC) stay honestly stubbed.
   *
   * Spark-side shape mirrors [[MultimodalCodec]]: binary in → typed
   * integer features out, one parser pass per partition, map-only — on
@@ -98,6 +98,173 @@ object AudioCodec {
     None
   }
 
+  // ------------------------------------------------------------------
+  // IMA ADPCM (WAV format tag 0x11) — a REAL lossy audio codec, decoded
+  // for real: 4-bit differential nibbles expand through the standard
+  // 89-entry step table with a clamped predictor. Unlike MP3/AAC
+  // (perceptual transforms — still honestly stubbed), ADPCM decode is
+  // pure deterministic integer math, so an external oracle can replay
+  // it bit-for-bit (q181 does, in SQL).
+  // Tables per the IMA/DVI specification (public, e.g. RFC 3551 §4.5.1
+  // references DVI4; identical tables in every published decoder).
+
+  /** The 89 quantizer step sizes of the IMA ADPCM spec. */
+  val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499,
+    2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+    9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767)
+
+  /** Step-index adjustment per nibble value. */
+  val AdpcmIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode one IMA ADPCM nibble stream given the block-header state.
+    * Output sample 0 IS the header predictor (per spec); each nibble
+    * then produces one sample. Pure integer: diff accumulates
+    * step>>3 (+ step>>2 / step>>1 / step per magnitude bit), bit 3 is
+    * the sign, predictor clamps to int16, index clamps to [0, 88].
+    */
+  def adpcmDecodeNibbles(pred0: Int, idx0: Int, nibbles: Array[Int]): Array[Short] = {
+    var pred = pred0
+    var idx = idx0
+    val out = new Array[Short](nibbles.length + 1)
+    out(0) = pred.toShort
+    var i = 0
+    while (i < nibbles.length) {
+      val n = nibbles(i)
+      val step = AdpcmStepTable(idx)
+      var diff = step >> 3
+      if ((n & 1) != 0) diff += step >> 2
+      if ((n & 2) != 0) diff += step >> 1
+      if ((n & 4) != 0) diff += step
+      pred = if ((n & 8) != 0) pred - diff else pred + diff
+      if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+      idx += AdpcmIndexTable(n)
+      if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+      out(i + 1) = pred.toShort
+      i += 1
+    }
+    out
+  }
+
+  /** Encode an IMA ADPCM WAV (format tag 0x11, mono) directly from
+    * block states — the fixture generator for q181 and the specs: the
+    * nibble stream is the ground truth, so the decode has an exact
+    * arithmetic oracle even though the CODEC is lossy. Each block is
+    * (initial predictor, initial step index, nibbles); all blocks must
+    * carry the same nibble count except possibly the last.
+    */
+  def encodeImaAdpcmWav(sampleRate: Int,
+                        blocks: Seq[(Int, Int, Array[Int])]): Array[Byte] = {
+    require(blocks.nonEmpty, "need at least one block")
+    val nibblesPerBlock = blocks.head._3.length
+    val blockAlign = 4 + (nibblesPerBlock + 1) / 2
+    val samplesPerBlock = nibblesPerBlock + 1
+    val totalSamples = blocks.map(_._3.length + 1).sum
+    val dataLen = blocks.map(b => 4 + (b._3.length + 1) / 2).sum
+    val bos = new ByteArrayOutputStream(60 + dataLen)
+    def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff); bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    ascii("RIFF"); le32(4 + (8 + 20) + (8 + 4) + (8 + dataLen) + (dataLen & 1)); ascii("WAVE")
+    ascii("fmt "); le32(20)
+    le16(0x11) // IMA ADPCM
+    le16(1)    // mono
+    le32(sampleRate)
+    le32(sampleRate * blockAlign / samplesPerBlock) // nominal byte rate
+    le16(blockAlign)
+    le16(4)    // bits per (encoded) sample
+    le16(2)    // cbSize
+    le16(samplesPerBlock)
+    ascii("fact"); le32(4); le32(totalSamples)
+    ascii("data"); le32(dataLen)
+    blocks.foreach { case (pred0, idx0, nibbles) =>
+      le16(pred0 & 0xffff)
+      bos.write(idx0 & 0xff)
+      bos.write(0)
+      var i = 0
+      while (i < nibbles.length) {
+        val lo = nibbles(i) & 0xf
+        val hi = if (i + 1 < nibbles.length) nibbles(i + 1) & 0xf else 0
+        bos.write(lo | (hi << 4)) // low nibble first, per spec
+        i += 2
+      }
+    }
+    if ((dataLen & 1) != 0) bos.write(0) // RIFF word alignment
+    bos.toByteArray
+  }
+
+  /** Decode a mono IMA ADPCM WAV (format tag 0x11): same chunk-walk
+    * discipline as [[decodePcmWav]] (unknown chunks skipped, pad bytes
+    * honored, fmt-before-data enforced), then per-block state decode.
+    * The optional `fact` chunk caps the emitted sample count (the last
+    * block's trailing pad nibble is dropped through it). Returns
+    * (sampleRate, 1, samples); anything non-ADPCM/multichannel → None.
+    */
+  def decodeImaAdpcmWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def s16(i: Int): Int = le16(i).toShort.toInt
+    def tag(i: Int, s: String): Boolean =
+      s.indices.forall(j => bytes(i + j) == s.charAt(j).toByte)
+    if (bytes.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos = 12
+    var sampleRate = -1
+    var blockAlign = -1
+    var samplesPerBlock = -1
+    var factSamples = -1
+    var ok = false
+    while (pos + 8 <= bytes.length) {
+      val size = le32(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (tag(pos, "fmt ")) {
+        if (size < 16) return None
+        val fmt = le16(pos + 8)
+        val channels = le16(pos + 10)
+        sampleRate = le32(pos + 12)
+        blockAlign = le16(pos + 20)
+        val bits = le16(pos + 22)
+        if (fmt != 0x11 || bits != 4 || channels != 1 || blockAlign < 5) return None
+        samplesPerBlock =
+          if (size >= 20) le16(pos + 26) else (blockAlign - 4) * 2 + 1
+        ok = true
+      } else if (tag(pos, "fact")) {
+        if (size >= 4) factSamples = le32(pos + 8)
+      } else if (tag(pos, "data")) {
+        if (!ok) return None // fmt must precede data
+        val out = Array.newBuilder[Short]
+        var bp = pos + 8
+        val end = pos + 8 + size
+        while (bp + 4 <= end) {
+          val blockEnd = math.min(bp + blockAlign, end)
+          val pred0 = s16(bp)
+          val idx0 = u8(bp + 2)
+          if (idx0 > 88) return None
+          val nNibbles = math.min((blockEnd - bp - 4) * 2, samplesPerBlock - 1)
+          val nibbles = new Array[Int](nNibbles)
+          var i = 0
+          while (i < nNibbles) {
+            val b = u8(bp + 4 + i / 2)
+            nibbles(i) = if (i % 2 == 0) b & 0xf else (b >> 4) & 0xf
+            i += 1
+          }
+          out ++= adpcmDecodeNibbles(pred0, idx0, nibbles)
+          bp += blockAlign
+        }
+        val all = out.result()
+        val trimmed = if (factSamples >= 0 && factSamples < all.length)
+          java.util.Arrays.copyOf(all, factSamples) else all
+        return Some((sampleRate, 1, trimmed))
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned: odd sizes carry a pad byte
+    }
+    None
+  }
+
   /** Nearest-neighbor resample: output index `i` samples source
     * `(i·n)/outN` — integer floor division, the 1-D twin of
     * [[MultimodalCodec.resizeNearest]], replayed verbatim by oracles.
@@ -151,7 +318,8 @@ object AudioCodec {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          decodePcmWav(bytes) match {
+          // one parser pass: PCM (tag 1) first, else IMA ADPCM (tag 0x11)
+          decodePcmWav(bytes).orElse(decodeImaAdpcmWav(bytes)) match {
             case Some((sr, _, s)) =>
               var sumAbs = 0L
               var peak = 0L

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * palettized bitmaps, so a correct chunk-walk of the container plus
   * DIB row-order/stride handling IS the decode — zero new
   * dependencies, byte-exact, and therefore arithmetically replayable
-  * by an external oracle (q179), unlike inter-frame codecs (H.264/VP9
-  * stay honestly stubbed).
+  * by an external oracle (q179). Motion-JPEG AVIs (fourcc 'MJPG' —
+  * genuinely compressed intra-frame video) decode for real through
+  * the shared ImageIO JPEG path with structure-exact oracles (q182);
+  * inter-frame codecs (H.264/VP9) stay honestly stubbed.
   *
   * The parse is a real AVI walk, not a fixed-offset read: nested
   * `LIST` chunks (`hdrl` → `strl`, `movi`), the `avih` main header for
@@ -178,6 +180,180 @@ object VideoCodec {
     }
     if (!walk(12, bytes.length, inMovi = false)) return None
     if (!fmtOk || nFrames == 0) None else Some((width, height, frames.result()))
+  }
+
+  /** 'MJPG' as the little-endian BITMAPINFOHEADER biCompression value. */
+  val MjpgFourcc: Int = 'M'.toInt | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+
+  /** Encode frames as a REAL Motion-JPEG AVI: each frame is an actual
+    * JPEG (JDK ImageIO encoder — DCT, quantization, Huffman), carried
+    * in `00dc` chunks of a `movi` LIST with fourcc/biCompression
+    * 'MJPG'. Unlike the DIB path this is a genuinely COMPRESSED video
+    * format (intra-frame lossy, the hardware-capture format of the
+    * MJPEG era) — so round-trips are near-exact, not byte-exact, and
+    * oracles must stick to structure + wide-margin luma features
+    * (q182). Fixture generator for the specs and q182.
+    */
+  def encodeMjpegAvi(width: Int, height: Int, fps: Int,
+                     frames: Seq[Array[Int]]): Array[Byte] = {
+    require(fps > 0, s"fps must be positive, got $fps")
+    require(frames.nonEmpty && frames.forall(_.length == width * height),
+      s"every frame must be $width x $height")
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(8 + body.length + 1)
+      bos.write(tag.getBytes("US-ASCII")); le32(bos, body.length); bos.write(body)
+      if ((body.length & 1) == 1) bos.write(0) // RIFF word alignment
+      bos.toByteArray
+    }
+    def list(listType: String, bodies: Array[Byte]*): Array[Byte] = {
+      val inner = bodies.foldLeft(Array.empty[Byte])(_ ++ _)
+      chunk("LIST", listType.getBytes("US-ASCII") ++ inner)
+    }
+    val jpegFrames = frames.map { pix =>
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var i = 0
+      while (i < pix.length) { r.setSample(i % width, i / width, 0, pix(i) & 0xff); i += 1 }
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val maxFrame = jpegFrames.map(_.length).max
+    val avih = {
+      val b = new ByteArrayOutputStream(56)
+      le32(b, 1000000 / fps); le32(b, maxFrame * fps)
+      le32(b, 0); le32(b, 0)
+      le32(b, frames.length)
+      le32(b, 0); le32(b, 1)
+      le32(b, maxFrame)
+      le32(b, width); le32(b, height)
+      (0 until 4).foreach(_ => le32(b, 0))
+      b.toByteArray
+    }
+    val strh = {
+      val b = new ByteArrayOutputStream(56)
+      b.write("vids".getBytes("US-ASCII")); b.write("MJPG".getBytes("US-ASCII"))
+      le32(b, 0); le32(b, 0); le32(b, 0)
+      le32(b, 1); le32(b, fps)
+      le32(b, 0); le32(b, frames.length)
+      le32(b, maxFrame); le32(b, -1)
+      le32(b, 0); le32(b, 0); le32(b, 0)
+      b.toByteArray
+    }
+    val strf = {
+      val b = new ByteArrayOutputStream(40)
+      le32(b, 40)
+      le32(b, width); le32(b, height)
+      le16(b, 1); le16(b, 24)      // planes, bits (MJPG convention)
+      le32(b, MjpgFourcc)          // biCompression = 'MJPG'
+      le32(b, maxFrame)
+      le32(b, 0); le32(b, 0); le32(b, 0); le32(b, 0)
+      b.toByteArray
+    }
+    val riffBody = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih), list("strl", chunk("strh", strh), chunk("strf", strf))) ++
+      list("movi", jpegFrames.map(chunk("00dc", _)): _*)
+    val out = new ByteArrayOutputStream(8 + riffBody.length)
+    out.write("RIFF".getBytes("US-ASCII")); le32(out, riffBody.length); out.write(riffBody)
+    out.toByteArray
+  }
+
+  /** Decode a Motion-JPEG AVI to (width, height, frames of row-major
+    * top-down 8-bit grayscale): the same nested-LIST walk discipline
+    * as [[decodeDibAvi]], but `strf` must declare biCompression
+    * 'MJPG' and every `00dc` payload is a complete JPEG decoded
+    * through the shared ImageIO path
+    * ([[MultimodalCodec.decodeGray]] — RGB collapses by integer ITU-R
+    * 601 luma). A frame whose decoded dimensions disagree with the
+    * stream header, or that isn't a decodable JPEG, fails the clip
+    * (None), as does anything non-AVI/truncated.
+    */
+  def decodeMjpegAvi(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le32i(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int, s: String): Boolean =
+      s.indices.forall(j => bytes(i + j) == s.charAt(j).toByte)
+    if (bytes.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    var width = -1
+    var height = -1
+    var fmtOk = false
+    val frames = Seq.newBuilder[Array[Int]]
+    var nFrames = 0
+    var corrupt = false
+    def walk(from: Int, until: Int, inMovi: Boolean): Boolean = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val size = le32i(pos + 4)
+        if (size < 0 || pos + 8 + size > until) return false
+        if (tag(pos, "LIST")) {
+          if (size < 4) return false
+          val sub = if (tag(pos + 8, "movi")) true else inMovi
+          if (!walk(pos + 12, pos + 8 + size, sub)) return false
+        } else if (tag(pos, "strf")) {
+          if (size < 40) return false
+          width = le32i(pos + 12)
+          height = le32i(pos + 16)
+          fmtOk = le32i(pos + 24) == MjpgFourcc && width > 0 && height > 0
+        } else if (inMovi && size > 0 &&
+            bytes(pos + 2) == 'd'.toByte && bytes(pos + 3) == 'c'.toByte) {
+          if (!fmtOk) return false
+          val payload = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size)
+          MultimodalCodec.decodeGray(payload) match {
+            case Some((w, h, pix)) if w == width && h == height =>
+              frames += pix
+              nFrames += 1
+            case _ => corrupt = true; return false
+          }
+        }
+        pos += 8 + size + (size & 1)
+      }
+      true
+    }
+    if (!walk(12, bytes.length, inMovi = false) || corrupt) return None
+    if (!fmtOk || nFrames == 0) None else Some((width, height, frames.result()))
+  }
+
+  /** Decode a payload column (DIB or Motion-JPEG AVI — one parser
+    * pass tries both) to per-clip luma statistics: (idCol, decodable,
+    * n_frames, width, height, bright_frames, motion_abs).
+    * `bright_frames` counts frames whose pixel sum clears mean 128
+    * (`Σp > 128·w·h` — integer-exact) and `motion_abs` is the exact
+    * Σ|p_t − p_{t−1}| of the DECODED frames. For MJPEG clips the
+    * decoded pixels carry bounded JPEG error, so downstream features
+    * must keep wide margins (q182's fixtures are flat frames at luma
+    * 30/220 — two orders of magnitude clear of every threshold).
+    */
+  def decodeVideoLumaStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeDibAvi(bytes).orElse(decodeMjpegAvi(bytes)) match {
+            case Some((w, h, fs)) =>
+              val npx = w.toLong * h
+              var bright = 0L
+              fs.foreach { f =>
+                var s = 0L; var i = 0
+                while (i < f.length) { s += f(i); i += 1 }
+                if (s > 128L * npx) bright += 1
+              }
+              var motion = 0L
+              var t = 1
+              while (t < fs.length) {
+                val a = fs(t - 1); val b = fs(t)
+                var j = 0
+                while (j < b.length) { motion += math.abs(b(j) - a(j)); j += 1 }
+                t += 1
+              }
+              (id, true, fs.length.toLong, w, h, bright, motion)
+            case None => (id, false, 0L, 0, 0, 0L, 0L)
+          }
+        }
+      }
+      .toDF(idCol, "decodable", "n_frames", "width", "height", "bright_frames", "motion_abs")
   }
 
   /** Decode a payload column to per-clip video features: (idCol,

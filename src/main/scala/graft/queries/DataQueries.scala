@@ -1473,6 +1473,147 @@ object DataQueries {
              CAST(sum(CASE WHEN t > 0 THEN abs(cur - prev) ELSE 0 END) AS BIGINT) AS motion_abs
       FROM v GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Deterministic IMA ADPCM bitstream per document for q181: the
+    * 4-bit nibble stream itself is the formula (k-keyed, like every
+    * media fixture), wrapped in a real tag-0x11 WAV container. Because
+    * the GROUND TRUTH is the bitstream — not pre-compression samples —
+    * the lossy codec's decode has an exact arithmetic oracle: the
+    * oracle replays the published step-table expansion sample by
+    * sample in SQL and must land on identical integers.
+    */
+  private def synthAdpcmPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 50).toInt
+          val nn = 48 + k % 57
+          val sr = 8000 * (1 + k % 3)
+          val pred0 = (k * 127) % 1024 - 512
+          val idx0 = (k * 13) % 89
+          val nibbles = Array.tabulate(nn)(j => (k * 7 + j * 5) % 16)
+          (id, AudioCodec.encodeImaAdpcmWav(sr, Seq((pred0, idx0, nibbles))))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q181 — REAL lossy-codec decode, oracle-gated: IMA ADPCM (WAV tag
+    * 0x11) payloads run through [[AudioCodec.decodeImaAdpcmWav]]'s
+    * chunk-walk + 89-step-table expansion into the same integer
+    * feature family as q177. ADPCM is lossy, but its DECODE is pure
+    * deterministic integer arithmetic — so unlike MP3/AAC the oracle
+    * can replay it independently: a recursive CTE steps the
+    * (predictor, index) state machine over the same nibble formula
+    * with the step/index tables as SQL literals. Any divergence in
+    * clamping, nibble order (low-first), sign bit, or table content
+    * fails the hash compare. Decode is map-only per partition; the
+    * 64-deep recursion is over documents × samples — trivially
+    * parallel at any corpus size.
+    */
+  val q181 = Q("q181_adpcm_decode",
+    (s, dir) =>
+      AudioCodec.decodeAudioFeatures(synthAdpcmPayloads(s, dir), "doc_id", "payload")
+        .select("doc_id", "sample_rate", "n_samples", "sum_abs", "peak_abs",
+          "zero_crossings")
+        .orderBy("doc_id"),
+    Some("""
+      WITH RECURSIVE
+      p AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+      d AS (SELECT doc_id, k, 48 + (k % 57) AS nn, 8000 * (1 + (k % 3)) AS sr,
+              ((k * 127) % 1024) - 512 AS pred0, (k * 13) % 89 AS idx0 FROM p),
+      st AS (SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,
+                     34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,
+                     157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,
+                     724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+                     2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,
+                     9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,
+                     27086,29794,32767] AS s),
+      it AS (SELECT [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8] AS t),
+      dec(doc_id, j, pred, idx) AS (
+        SELECT doc_id, 0, pred0, idx0 FROM d
+        UNION ALL
+        SELECT dec.doc_id, j + 1,
+          GREATEST(-32768, LEAST(32767, pred
+            + CASE WHEN ((k*7 + j*5) % 16) >= 8 THEN -1 ELSE 1 END
+            * (s[idx+1] // 8
+               + CASE WHEN ((k*7 + j*5) % 16) % 2 = 1 THEN s[idx+1] // 4 ELSE 0 END
+               + CASE WHEN (((k*7 + j*5) % 16) // 2) % 2 = 1 THEN s[idx+1] // 2 ELSE 0 END
+               + CASE WHEN ((k*7 + j*5) % 16) % 8 >= 4 THEN s[idx+1] ELSE 0 END))),
+          GREATEST(0, LEAST(88, idx + t[((k*7 + j*5) % 16) + 1]))
+        FROM dec JOIN d USING (doc_id), st, it WHERE j < nn),
+      w AS (SELECT doc_id, j, pred,
+              lag(pred) OVER (PARTITION BY doc_id ORDER BY j) AS pv FROM dec)
+      SELECT d.doc_id, CAST(any_value(sr) AS INT) AS sample_rate,
+             CAST(any_value(nn) + 1 AS BIGINT) AS n_samples,
+             CAST(sum(abs(pred)) AS BIGINT) AS sum_abs,
+             CAST(max(abs(pred)) AS BIGINT) AS peak_abs,
+             CAST(count(CASE WHEN pred * pv < 0 THEN 1 END) AS BIGINT) AS zero_crossings
+      FROM w JOIN d ON w.doc_id = d.doc_id
+      GROUP BY d.doc_id ORDER BY d.doc_id"""))
+
+  /** Deterministic Motion-JPEG clip per document for q182: flat frames
+    * at luma 220 ("bright") or 30 ("dark"), alternating per frame
+    * except every fifth content key, which is all-bright (a static
+    * clip). Flat frames are the right fixture for a LOSSY codec with
+    * an exact oracle: JPEG reproduces a constant block to within a
+    * couple of gray levels, so thresholds at mean>128 and the
+    * static-motion test sit two orders of magnitude clear of the
+    * compression error.
+    */
+  private def synthMjpegPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 50).toInt
+          val w = 16 + k % 9
+          val h = 12 + k % 7
+          val f = 3 + k % 4
+          val frames = (0 until f).map { t =>
+            val bright = k % 5 == 0 || (k + t) % 2 == 0
+            Array.fill(w * h)(if (bright) 220 else 30)
+          }
+          (id, VideoCodec.encodeMjpegAvi(w, h, 10, frames))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q182 — REAL compressed-video decode, oracle-gated on structure:
+    * Motion-JPEG AVI payloads (every frame an actual ImageIO JPEG —
+    * DCT, quantization, Huffman) run through
+    * [[VideoCodec.decodeMjpegAvi]]'s container walk + JPEG decode.
+    * Lossy codecs can't be replayed arithmetically in SQL, so the
+    * oracle pins what survives compression exactly: frame count and
+    * dimensions (container parse), per-frame brightness classification
+    * and the static-clip test (decoded luma with two-orders-of-
+    * magnitude margins). A decoder that drops/reorders frames,
+    * mis-sizes, or garbles JPEG luma fails; JPEG's ±2 gray levels on
+    * flat frames cannot. Map-only, one parser pass per partition.
+    */
+  val q182 = Q("q182_mjpeg_structure",
+    (s, dir) =>
+      VideoCodec.decodeVideoLumaStats(synthMjpegPayloads(s, dir), "doc_id", "payload")
+        .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
+          col("bright_frames"),
+          (col("motion_abs") < col("width").cast("long") * col("height") * 95L)
+            .as("is_static"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH p AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+      d AS (SELECT doc_id, k, 16 + k % 9 AS w, 12 + k % 7 AS h, 3 + k % 4 AS f FROM p),
+      t AS (SELECT doc_id, k, f, unnest(range(f)) AS t FROM d),
+      b AS (SELECT doc_id,
+              CASE WHEN k % 5 = 0 OR (k + t) % 2 = 0 THEN 1 ELSE 0 END AS br
+            FROM t)
+      SELECT d.doc_id, CAST(any_value(f) AS BIGINT) AS n_frames,
+             CAST(any_value(w) AS INT) AS width,
+             CAST(any_value(h) AS INT) AS height,
+             CAST(sum(br) AS BIGINT) AS bright_frames,
+             any_value(k % 5 = 0) AS is_static
+      FROM b JOIN d USING (doc_id) GROUP BY d.doc_id ORDER BY d.doc_id"""))
+
   val q114 = Q("q114_cluster_canonical",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1525,5 +1666,5 @@ object DataQueries {
 
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
-    q172, q173, q174, q175, q176, q177, q178, q179)
+    q172, q173, q174, q175, q176, q177, q178, q179, q181, q182)
 }
