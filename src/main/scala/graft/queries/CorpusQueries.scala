@@ -405,5 +405,54 @@ object CorpusQueries {
                   AS BIGINT) AS content_hash
       FROM a GROUP BY shard ORDER BY shard"""))
 
-  val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180)
+  /** q183 — corpus snapshot diff: the bookkeeping step every
+    * incremental-ingest pipeline runs between two corpus versions —
+    * which documents were added, removed, changed, or untouched. The
+    * stand-in snapshots carve the documents table (old: id % 11 ≠ 0;
+    * new: id % 13 ≠ 0, with id % 7 = 0 docs edited), fingerprint each
+    * side with md5, and FULL OUTER join on the id. Scale shape: the
+    * join ships only (id, 32-char fingerprint) — never document bodies
+    * — so diffing a 100 TB corpus shuffles gigabytes, not terabytes;
+    * classification is a per-row case; the output is a ≤4-row rollup
+    * with a sum-of-ids checksum so the oracle pins membership, not
+    * just counts. One fingerprint scan per side, one shuffle each for
+    * the join, map-side-combined aggregation.
+    */
+  val q183 = Q("q183_corpus_diff",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val old = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .select(col("doc_id"), Hashing.fingerprint(col("text")).as("fp_old"))
+      val neu = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .select(col("doc_id"),
+          Hashing.fingerprint(
+            when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("fp_new"))
+      old.join(neu, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("fp_old").isNull, "added")
+            .when(col("fp_new").isNull, "removed")
+            .when(col("fp_old") =!= col("fp_new"), "changed")
+            .otherwise("unchanged"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+        .orderBy("status")
+    },
+    Some("""
+      WITH o AS (SELECT doc_id, md5(text) AS fp_old
+                 FROM documents WHERE doc_id % 11 <> 0),
+      n AS (SELECT doc_id,
+              md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp_new
+            FROM documents WHERE doc_id % 13 <> 0),
+      j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN fp_old IS NULL THEN 'added'
+                   WHEN fp_new IS NULL THEN 'removed'
+                   WHEN fp_old <> fp_new THEN 'changed'
+                   ELSE 'unchanged' END AS status
+            FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+      SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      FROM j GROUP BY status ORDER BY status"""))
+
+  val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183)
 }

@@ -806,6 +806,61 @@ object TrainQueries {
       FROM ev LEFT JOIN tr USING (h)
       GROUP BY ev.doc_id, ev.n_grams ORDER BY ev.doc_id"""))
 
+  /** q184 — exact token-budget apportionment (largest-remainder /
+    * Hamilton method): allocate an integer token budget B across
+    * sources proportionally to their token mass, with Σ quota = B
+    * EXACTLY — the mixture-weighting step that decides how much of
+    * each domain a training run actually ingests (fractional quotas
+    * rounded naively drift by up to |sources| tokens; the
+    * largest-remainder rule is the standard fix). Everything is
+    * integer arithmetic: base_i = ⌊B·t_i / W⌋ with the product in
+    * DECIMAL(38,0) (B and t_i can both be ~10^15 at corpus scale —
+    * a long product overflows, HUGEINT on the oracle side), and the
+    * B − Σ base leftover goes to the largest remainders (B·t_i mod W,
+    * source as the total-order tiebreak). Scale shape: one linear
+    * token count + groupBy(source); the apportionment itself runs on
+    * the ≤|sources| rollup — its global windows are bounded by
+    * construction (PlanSpec-whitelisted).
+    */
+  val q184 = Q("q184_token_budget",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tok = docs
+        .select(col("source"), size(TA.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("n_tokens"))
+      val wAll = Window.partitionBy()
+      tok
+        .withColumn("W", sum("n_tokens").over(wAll))
+        .withColumn("B", expr("W div 3"))
+        .withColumn("p", expr(
+          "CAST(B AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0))"))
+        .withColumn("base", expr("CAST(p div CAST(W AS DECIMAL(38,0)) AS BIGINT)"))
+        .withColumn("rem", expr("CAST(p % CAST(W AS DECIMAL(38,0)) AS BIGINT)"))
+        .withColumn("extra", col("B") - sum("base").over(wAll))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+        .withColumn("quota",
+          col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+        .select("source", "n_tokens", "quota")
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH t AS (SELECT source, CAST(len($duckTokens) AS BIGINT) AS nt FROM documents),
+      g AS (SELECT source, sum(nt) AS n_tokens FROM t GROUP BY source),
+      w AS (SELECT source, n_tokens, sum(n_tokens) OVER () AS W FROM g),
+      b AS (SELECT source, n_tokens, W, W // 3 AS B FROM w),
+      p AS (SELECT source, n_tokens, W, B,
+              CAST(B AS HUGEINT) * n_tokens AS pp FROM b),
+      q AS (SELECT source, n_tokens, B,
+              CAST(pp // W AS BIGINT) AS base,
+              CAST(pp % W AS BIGINT) AS rem FROM p),
+      e AS (SELECT source, n_tokens, base,
+              B - sum(base) OVER () AS extra,
+              row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q)
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM e ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91)
+    q88, q89, q90, q91, q184)
 }

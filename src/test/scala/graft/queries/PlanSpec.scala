@@ -247,7 +247,8 @@ class PlanSpec extends SparkSpec {
       "q134_auc",               // ROC rank over the scored eval sample
       "q146_rrf_fusion",        // fused rank over two bounded top-k lists
       "q148_vocab_growth",      // growth curve over ≤ |batches| rows
-      "q149_spearman")          // rank offsets over the bounded distinct-value tables
+      "q149_spearman",          // rank offsets over the bounded distinct-value tables
+      "q184_token_budget")      // Hamilton apportionment over the ≤ |sources| rollup
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.optimizedPlan

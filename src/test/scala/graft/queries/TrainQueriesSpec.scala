@@ -198,4 +198,45 @@ class TrainQueriesSpec extends SparkSpec {
     val counts = out.map(_.getLong(1))
     assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
   }
+
+  test("q184: quotas sum EXACTLY to the budget and follow largest remainders") {
+    val out = TrainQueries.q184.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val wTot = out.map(_._2).sum
+    val budget = wTot / 3
+    assert(out.map(_._3).sum == budget, "Hamilton apportionment must hit B exactly")
+    // every quota is the floor share or floor+1, never further away
+    out.foreach { case (src, nt, q) =>
+      val base = (BigInt(budget) * nt / wTot).toLong
+      assert(q == base || q == base + 1, s"$src: quota $q vs base $base")
+    }
+    // and the +1s go to the LARGEST remainders: no bumped source may
+    // have a strictly smaller remainder than an unbumped one (ties
+    // break by source name, asc)
+    val byRem = out.map { case (src, nt, q) =>
+      val p = BigInt(budget) * nt
+      (src, (p % wTot).toLong, q - (p / wTot).toLong)
+    }
+    for ((s1, r1, b1) <- byRem; (s2, r2, b2) <- byRem
+         if b1 == 1 && b2 == 0)
+      assert(r1 > r2 || (r1 == r2 && s1 < s2), s"$s1 bumped over $s2")
+  }
+
+  test("q183: diff statuses partition both snapshots; checksums pin membership") {
+    val rows = graft.queries.CorpusQueries.q183.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ids = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    def inOld(i: Long) = i % 11 != 0
+    def inNew(i: Long) = i % 13 != 0
+    val want = ids.groupBy { i =>
+      if (!inOld(i) && inNew(i)) "added"
+      else if (inOld(i) && !inNew(i)) "removed"
+      else if (inOld(i) && inNew(i) && i % 7 == 0) "changed"
+      else if (inOld(i) && inNew(i)) "unchanged"
+      else "absent"
+    }.collect { case (k, v) if k != "absent" => k -> ((v.length.toLong, v.sum)) }
+    assert(rows.map(r => r._1 -> ((r._2, r._3))).toMap == want)
+  }
 }
