@@ -30,6 +30,12 @@ object MultimodalCodec {
   // probe for X11 when AWT classes initialize
   System.setProperty("java.awt.headless", "true")
 
+  // ImageIO's default stream cache is a TEMP FILE per read/write — for
+  // a media corpus decoded as millions of small in-memory payloads
+  // that is one disk round-trip per image. Cache in memory instead
+  // (payloads are already byte arrays; nothing here streams from disk).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Encode an 8-bit grayscale pixel function as real PNG bytes
     * (ImageIO writer, color type 0 — lossless, so decode returns the
     * exact samples). Also the test-fixture generator: specs and the

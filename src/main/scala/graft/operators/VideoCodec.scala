@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   */
 object VideoCodec {
 
+  // the MJPEG path uses ImageIO both ways; same headless + in-memory
+  // stream-cache pinning as MultimodalCodec (global JVM settings, set
+  // in both objects so whichever classloads first wins)
+  System.setProperty("java.awt.headless", "true")
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Encode frames of row-major top-down 8-bit grayscale pixels as a
     * minimal valid RIFF/AVI with one uncompressed 8-bpp DIB video
     * stream (grayscale palette, bottom-up rows, 4-byte row stride).
