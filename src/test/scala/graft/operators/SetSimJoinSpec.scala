@@ -78,6 +78,39 @@ class SetSimJoinSpec extends SparkSpec {
     assert(cross.filter(col("id_a") >= col("id_b")).count() == 0)
   }
 
+  test("property: seeded random corpora match brute force exactly (20 trials)") {
+    // PPJoin's whole claim is NO false negatives at any threshold; the
+    // trials vary vocabulary overlap so jaccards land on both sides of
+    // (and occasionally exactly ON) the 0.6 boundary, plus planted
+    // exact duplicates so the group-collapse path is exercised
+    val rnd = new scala.util.Random(48)
+    import spark.implicits._
+    for (trial <- 0 until 20) {
+      val vocab = Vector.tabulate(12 + rnd.nextInt(10))(i => s"w${i}t$trial")
+      val nDocs = 8 + rnd.nextInt(10)
+      val base = (0 until nDocs).map { i =>
+        val n = 4 + rnd.nextInt(8)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // plant exact duplicates of a few docs at new ids
+      val dups = (0 until rnd.nextInt(3)).map { j =>
+        val src = base(rnd.nextInt(base.size))
+        (1000L + j, src._2)
+      }
+      val sets = shingleSets((base ++ dups).toDF("doc_id", "text"))
+      val got = SetSimJoin.pairs(spark, sets, 6, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val hs = sets.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val want = (for {
+        a <- hs.keys; b <- hs.keys if a < b
+        it = (hs(a) & hs(b)).size; un = (hs(a) | hs(b)).size
+        if it * 10 >= un * 6
+      } yield (a, b, math.rint(it.toDouble / un * 1e6) / 1e6)).toSet
+      assert(got == want, s"trial $trial: got ${got.size} want ${want.size}\n" +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
   test("planted degenerate corpus: 10k identical docs answer in full, chunk-bounded") {
     // The exact join's output here IS quadratic — C(10k,2) ≈ 50M pairs —
     // so the assertion is that it streams from bounded tasks (group

@@ -321,6 +321,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size == 40)
   }
 
+  test("lossy-codec decode over a payload stream equals the batch features") {
+    // same stateless-mapPartitions argument as the PNG parity test, now
+    // through the REAL lossy codecs: ADPCM audio features and MJPEG
+    // luma stats must be bit-identical batch vs decode-on-arrival
+    val dir = Files.createTempDirectory("graft-lossy-stream").toFile
+    import spark.implicits._
+    val payloads = (0L until 30L).map { id =>
+      val k = (id % 6).toInt
+      if (id % 2 == 0)
+        (id, graft.operators.AudioCodec.encodeImaAdpcmWav(8000 * (1 + k % 3),
+          Seq((k * 200 - 500, k * 11 % 89, Array.tabulate(20 + k)(j => (k + j * 5) % 16)))))
+      else
+        (id, graft.operators.VideoCodec.encodeMjpegAvi(10 + k, 8 + k, 10,
+          Seq.fill(2 + k % 3)(Array.fill((10 + k) * (8 + k))(if (k % 2 == 0) 220 else 30))))
+    }
+    val df = payloads.toDF("doc_id", "payload")
+    val audioBatch = graft.operators.AudioCodec
+      .decodeAudioFeatures(df, "doc_id", "payload").collect().map(_.toSeq).toSet
+    val videoBatch = graft.operators.VideoCodec
+      .decodeVideoLumaStats(df, "doc_id", "payload").collect().map(_.toSeq).toSet
+    df.write.parquet(s"$dir/in/b1")
+    val stream = spark.readStream
+      .schema("doc_id LONG, payload BINARY")
+      .parquet(s"$dir/in/*")
+    for ((name, out) <- Seq("audio" -> graft.operators.AudioCodec
+        .decodeAudioFeatures(stream, "doc_id", "payload"),
+      "video" -> graft.operators.VideoCodec
+        .decodeVideoLumaStats(stream, "doc_id", "payload"))) {
+      out.writeStream.format("parquet")
+        .option("path", s"$dir/out-$name")
+        .option("checkpointLocation", s"$dir/ckpt-$name")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(spark.read.parquet(s"$dir/out-audio").collect().map(_.toSeq).toSet == audioBatch)
+    assert(spark.read.parquet(s"$dir/out-video").collect().map(_.toSeq).toSet == videoBatch)
+    // the audio half decoded, the video half did not (and vice versa)
+    assert(audioBatch.count(_(1) == true) == 15)
+    assert(videoBatch.count(_(1) == true) == 15)
+  }
+
   test("psiOf stays finite when a reference bucket has zero share") {
     import spark.implicits._
     val mon = Seq(
