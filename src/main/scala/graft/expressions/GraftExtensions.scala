@@ -31,6 +31,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[LongArrayIntersectCount].getName, "graft_intersect_count"),
       (children: Seq[Expression]) => LongArrayIntersectCount(children.head, children(1))),
+    (FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+      (children: Seq[Expression]) => CmsEstimate(children.head, children(1))),
     (FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head, children(1))),

@@ -454,5 +454,47 @@ object CorpusQueries {
              CAST(sum(doc_id) AS BIGINT) AS sum_ids
       FROM j GROUP BY status ORDER BY status"""))
 
-  val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183)
+  /** q185 — sketch-pruned EXACT heavy hitters: the two-pass pattern
+    * that finds every token with count ≥ N/200 over a 100 TB stream
+    * without ever shuffling the full vocabulary's counts. Pass 1
+    * aggregates Spark's built-in mergeable count-min sketch (map-side
+    * partials, bytes per executor ∝ sketch size, not vocab) plus the
+    * exact stream length; the one-row result broadcast-joins onto the
+    * distinct vocabulary and the custom `graft_cms_estimate` expression
+    * reads each token's estimate inside the plan — no driver collect,
+    * no closure capture. Because CMS error is ONE-SIDED (estimate ≥
+    * true), the pruned candidates are a superset of the true answer, so
+    * pass 2's exact count over the candidate-semi-joined stream returns
+    * EXACTLY the true heavy hitters no matter how coarse the sketch —
+    * which is why a DuckDB oracle that knows nothing about sketches can
+    * gate it. Shuffle volume: pass 2 only moves candidate-token rows.
+    */
+  val q185 = Q("q185_cms_heavy_hitters",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val tok = Tables.load(s, dir, "documents")
+        .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
+      val sketch = tok.agg(
+        expr("count_min_sketch(token, 0.0005d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("n"))
+      val cand = tok.distinct()
+        .join(broadcast(sketch))
+        .filter(call_function("graft_cms_estimate", col("sk"), col("token"))
+          >= expr("n div 200"))
+        .select(col("token"))
+      tok.join(broadcast(cand), Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(sketch.select(col("n"))))
+        .filter(col("cnt") >= expr("n div 200"))
+        .select(col("token"), col("cnt"))
+        .orderBy("token")
+    },
+    Some(s"""
+      WITH tok AS (SELECT unnest($duckTokens) AS token FROM documents),
+      n AS (SELECT count(*) AS n FROM tok)
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok, n GROUP BY token, n.n
+      HAVING count(*) >= n // 200 ORDER BY token"""))
+
+  val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185)
 }
