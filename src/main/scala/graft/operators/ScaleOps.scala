@@ -83,4 +83,38 @@ object ScaleOps {
       .select(df.columns.toIndexedSeq.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Compact a parquet dataset into ~`targetBytes` output files — the
+    * small-files hygiene job every long-lived 100 TB table needs after
+    * streaming/incremental writes fragment it (each tiny file costs a
+    * task, a footer read, and a NameNode/listing entry per query).
+    *
+    * The output file count is planned from FILE METADATA ONLY (sum of
+    * on-disk lengths — no data scan, no sampling job), then one
+    * round-robin shuffle rewrites the data into uniformly sized files.
+    * Round-robin deliberately ignores content: compaction is already a
+    * full rewrite, and uniform output size is the goal; when the table
+    * also wants a query-aware layout, compact THROUGH
+    * [[writeZOrdered]]/[[writeBucketed]] instead — same cost, layout
+    * included.
+    *
+    * Returns (input file count, output file count) as the evidence pair
+    * a table-maintenance job logs.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hPath).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val totalBytes = parts.map(_.getLen).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    (parts.length, n)
+  }
 }

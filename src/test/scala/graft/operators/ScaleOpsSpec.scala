@@ -88,4 +88,30 @@ class ScaleOpsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_orders")
     }
   }
+
+  test("compact: plans file count from metadata, preserves rows, hits the size target") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // fragment: 64 tiny files
+    val df = (1L to 20000L).map(i => (i, s"row-$i-${"x" * 40}")).toDF("id", "payload")
+    df.repartition(64).write.parquet(s"$dir/in")
+    val inFiles = new java.io.File(s"$dir/in").listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(inFiles == 64)
+    val totalBytes = new java.io.File(s"$dir/in").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = totalBytes / 4 // expect ~4-5 outputs
+    val (nIn, nOut) = ScaleOps.compact(spark, s"$dir/in", s"$dir/out", target)
+    assert(nIn == 64)
+    assert(nOut == ((totalBytes + target - 1) / target).toInt)
+    val outFiles = new java.io.File(s"$dir/out").listFiles
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(outFiles.length == nOut)
+    // row-identical, and round-robin made the outputs near-uniform
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 20000L)
+    assert(back.except(df).count() == 0 && df.except(back).count() == 0)
+    val sizes = outFiles.map(_.length)
+    assert(sizes.max < sizes.min * 2, s"uneven outputs: ${sizes.toSeq.sorted}")
+  }
 }
