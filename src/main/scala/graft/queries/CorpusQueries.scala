@@ -496,5 +496,33 @@ object CorpusQueries {
       FROM tok, n GROUP BY token, n.n
       HAVING count(*) >= n // 200 ORDER BY token"""))
 
-  val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185)
+  /** q186 — categorical dictionary encoding: the train-prep step that
+    * turns a string column into dense integer codes (embedding-table
+    * row ids). Codes are assigned by (frequency desc, value asc) — a
+    * total order, so the same corpus yields the same dictionary on any
+    * engine/layout, and the most frequent category gets code 1 (the
+    * convention that lets a model truncate its embedding table to the
+    * top-k). The dictionary build is one groupBy(value) rollup
+    * (map-side combined — shuffle rows = cardinality, not corpus), and
+    * id assignment uses the scale path (zipWithIndexOrdered — a
+    * zipWithIndex over the sorted rollup, no single-partition window),
+    * so a 10^9-cardinality id column encodes as comfortably as a
+    * 20-value source tag.
+    */
+  val q186 = Q("q186_categorical_encode",
+    (s, dir) => {
+      val counts = Tables.load(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      graft.operators.Relational
+        .zipWithIndexOrdered(counts, "code", col("n_docs").desc, col("source").asc)
+        .select(col("source"), col("n_docs"), col("code"))
+        .orderBy("code")
+    },
+    Some("""
+      WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(row_number() OVER (ORDER BY n_docs DESC, source) AS BIGINT) AS code
+      FROM c ORDER BY code"""))
+
+  val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186)
 }

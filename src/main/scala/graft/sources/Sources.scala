@@ -44,4 +44,41 @@ object Sources {
     */
   def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
+
+  /** CSV read with a bad-row quarantine: (good, bad). Rows that fail
+    * the pinned schema parse land in `bad` VERBATIM (the raw line plus
+    * its source file), instead of silently nulling out (PERMISSIVE, the
+    * `csv` reader above — right for the reference's known feeds) or
+    * killing a 100 TB ingest hours in (FAILFAST). Production pipelines
+    * quarantine: the job completes on the parsable majority while the
+    * reject file preserves every original byte for replay after the
+    * upstream fix.
+    *
+    * One scan serves both outputs: the parse runs PERMISSIVE with
+    * `columnNameOfCorruptRecord` capturing raw text on failed rows —
+    * `good` filters it null, `bad` filters it set. (Spark requires the
+    * corrupt-record column selected for it to be populated; both
+    * branches project it away from their results.)
+    */
+  def csvWithQuarantine(spark: SparkSession, path: String,
+                        schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val corrupt = "_graft_corrupt"
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(corrupt, org.apache.spark.sql.types.StringType))
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .schema(withCorrupt)
+      .csv(path)
+      // input_file_name() is only defined inside the scan task — resolve
+      // it BEFORE the cache boundary or quarantined rows lose provenance
+      .withColumn("_graft_file", input_file_name())
+      .cache() // one parse feeds both branches
+    val good = raw.filter(col(corrupt).isNull).select(schema.fieldNames.map(col): _*)
+    val bad = raw.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_line"), col("_graft_file").as("source_file"))
+    (good, bad)
+  }
 }

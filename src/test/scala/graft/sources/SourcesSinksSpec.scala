@@ -114,4 +114,27 @@ class SourcesSinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || pruned.inputFiles.length == 1,
       s"expected partition pruning evidence\n$plan")
   }
+
+  test("csvWithQuarantine: good rows parse, bad rows preserved verbatim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quarantine").toString
+    val lines = Seq(
+      "id,score,name",
+      "1,10.5,alpha",
+      "2,not_a_number,beta",   // bad numeric
+      "3,30.25,gamma",
+      "4,40.0,delta,EXTRA")    // too many columns
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in.csv"),
+      String.join("\n", lines: _*).getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    val (good, bad) = Sources.csvWithQuarantine(spark, s"$dir/in.csv", schema)
+    val g = good.collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSet
+    assert(g == Set((1, 10.5, "alpha"), (3, 30.25, "gamma")))
+    val b = bad.collect().map(_.getString(0)).toSet
+    assert(b == Set("2,not_a_number,beta", "4,40.0,delta,EXTRA"),
+      s"quarantine must keep the original bytes, got $b")
+    assert(bad.collect().forall(_.getString(1).endsWith("in.csv")))
+  }
 }
