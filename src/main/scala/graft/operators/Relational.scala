@@ -82,6 +82,35 @@ object Relational {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Extend a categorical dictionary with a new batch WITHOUT moving
+    * any existing code — the property that keeps embedding-table rows,
+    * serialized features, and downstream checkpoints valid across
+    * retraining runs (q186 builds the initial dictionary; this is its
+    * incremental twin). Categories already in `dict` keep their codes
+    * verbatim; unseen categories get contiguous codes after the current
+    * max, ordered by (batch frequency desc, value asc) — the same total
+    * order as the initial build, so "extend from empty" ≡ "build".
+    *
+    * Scale shape: one left-anti join to find unseen values (shuffle =
+    * batch cardinality), one rollup, id assignment via the
+    * zipWithIndexOrdered scale path, and the current max code rides a
+    * 1-row broadcast. The existing dictionary streams through
+    * untouched.
+    */
+  def extendDictionary(dict: DataFrame, data: DataFrame,
+                       valueCol: String, codeCol: String): DataFrame = {
+    val newCounts = data
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("_n"))
+      .join(dict.select(col(valueCol)), Seq(valueCol), "left_anti")
+    val maxCode = dict.agg(coalesce(max(col(codeCol)), lit(0L)).as("_max"))
+    val assigned = zipWithIndexOrdered(
+        newCounts, "_idx", col("_n").desc, col(valueCol).asc)
+      .crossJoin(broadcast(maxCode))
+      .select(col(valueCol), (col("_max") + col("_idx")).as(codeCol))
+    dict.select(col(valueCol), col(codeCol).cast("long").as(codeCol))
+      .unionByName(assigned)
+  }
+
   /** One-shot column profiling — the `df.describe()` shape (reference
     * G9: dags/flu_data_airflow_v2.py:230) as ONE aggregation pass:
     * every statistic for every column computes in the same partial+final

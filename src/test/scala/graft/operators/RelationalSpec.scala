@@ -74,4 +74,24 @@ class RelationalSpec extends SparkSpec {
     val plan = profile(df, Seq("id", "d", "s")).queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan)
   }
+
+  test("extendDictionary: existing codes frozen, new codes contiguous, extend-from-empty = build") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dict = Seq(("web", 1L), ("books", 2L), ("wiki", 3L)).toDF("source", "code")
+    val batch = Seq("wiki", "wiki", "arxiv", "arxiv", "arxiv", "code", "web")
+      .toDF("source")
+    val out = Relational.extendDictionary(dict, batch, "source", "code")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // untouched existing codes
+    assert(out("web") == 1L && out("books") == 2L && out("wiki") == 3L)
+    // new values after current max, by (freq desc, value asc): arxiv(3) then code(1)
+    assert(out("arxiv") == 4L && out("code") == 5L)
+    assert(out.size == 5)
+    // extending an EMPTY dictionary reproduces the initial build order
+    val empty = dict.filter(lit(false))
+    val built = Relational.extendDictionary(empty, batch, "source", "code")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(built == Map("wiki" -> 2L, "arxiv" -> 1L, "code" -> 3L, "web" -> 4L))
+  }
 }
