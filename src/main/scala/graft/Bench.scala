@@ -290,6 +290,21 @@ object Bench {
           case (k, None) => spark.conf.unset(k)
         }
 
+      // sketch-pruned vs full-shuffle heavy hitters on the token stream:
+      // at this SF the vocabulary fits one partition, so the sketch's
+      // extra pass usually LOSES here — recorded anyway because the
+      // comparison harness (not the toy-scale winner) is the evidence;
+      // the crossover arrives when distinct-token count dwarfs memory
+      // and the full groupBy's shuffle does not fit (q185's scaladoc).
+      val tokAll = Tables.load(spark, sfDir, "documents")
+        .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
+      val hhFullSec = best2(
+        tokAll.groupBy("token").agg(count(lit(1)).as("cnt"))
+          .join(broadcast(tokAll.agg(count(lit(1)).as("n"))))
+          .filter(col("cnt") >= expr("n div 200")).count())
+      val hhSketchSec = best2(
+        graft.SparkEntry.queries("q185_cms_heavy_hitters")(spark, sfDir).count())
+
       Seq("calib_sec" -> calib,
         "calib_scan_sec" -> calibScan,
         "factjoin_plain_sec" -> plainSec,
@@ -305,7 +320,9 @@ object Bench {
         "zorder_zord_span_cust" -> zordX,
         "zorder_zord_span_day" -> zordY,
         "skewjoin_manual_sec" -> manualSec,
-        "skewjoin_aqe_sec" -> aqeSec) ++ stages
+        "skewjoin_aqe_sec" -> aqeSec,
+        "heavyhitters_full_sec" -> hhFullSec,
+        "heavyhitters_sketch_sec" -> hhSketchSec) ++ stages
     } catch {
       case e: Throwable =>
         errors.getOrElseUpdate("extras", e.toString.take(200))
