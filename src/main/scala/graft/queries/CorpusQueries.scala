@@ -524,5 +524,38 @@ object CorpusQueries {
              CAST(row_number() OVER (ORDER BY n_docs DESC, source) AS BIGINT) AS code
       FROM c ORDER BY code"""))
 
-  val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186)
+  /** q187 — capped inverted index: the retrieval-side artifact (token →
+    * document-frequency + first-k posting list) a corpus ships next to
+    * its shards for term lookup and BM25-style scoring (q93 consumes
+    * these statistics). The ORDER of operations is the scale content:
+    * the per-token posting cap applies via a token-partitioned
+    * row_number BEFORE any list materializes, so a stop-word whose full
+    * posting list is the corpus itself still costs k rows — a
+    * collect-then-slice would hold the billion-element list first. The
+    * window, the df rollup, and the capped collect all cluster on
+    * token: one exchange feeds all three.
+    */
+  val q187 = Q("q187_inverted_index",
+    (s, dir) => {
+      val post = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
+        .distinct()
+      val ranked = post.withColumn("_rn",
+        row_number().over(Window.partitionBy("token").orderBy("doc_id")))
+      post.groupBy("token").agg(count(lit(1)).as("df"))
+        .join(ranked.filter(col("_rn") <= 8)
+          .groupBy("token").agg(sort_array(collect_list("doc_id")).as("postings")),
+          Seq("token"))
+        .filter(col("df") >= 50)
+        .orderBy("token")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, unnest($duckTokens) AS token FROM documents),
+      d AS (SELECT DISTINCT token, doc_id FROM t)
+      SELECT token, CAST(count(*) AS BIGINT) AS df,
+             (list(doc_id ORDER BY doc_id))[1:8] AS postings
+      FROM d GROUP BY token HAVING count(*) >= 50 ORDER BY token"""))
+
+  val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187)
 }
