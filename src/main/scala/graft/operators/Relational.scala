@@ -111,6 +111,45 @@ object Relational {
       .unionByName(assigned)
   }
 
+  /** One incremental dictionary-maintenance step against a parquet
+    * store: read the dictionary at `dictPath` (empty on first batch),
+    * [[extendDictionary]] with this batch, and swap the full result
+    * back with the `_SUCCESS`-gated delete→rename protocol
+    * (StreamingOps.upsertBatch's crash discipline: a marker-less
+    * partial tmp is deleted, never promoted). The batch/streaming
+    * unification for vocabularies: the stream IS a sequence of
+    * incremental batches sharing one dictionary, and every code ever
+    * issued stays frozen across micro-batches, runs, and crashes.
+    */
+  def extendDictionaryBatchStep(batch: DataFrame, dictPath: String,
+                                valueCol: String, codeCol: String): Unit = {
+    val spark = batch.sparkSession
+    val cur = new org.apache.hadoop.fs.Path(dictPath)
+    val tmp = new org.apache.hadoop.fs.Path(dictPath + ".tmp")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cur) && fs.exists(tmp)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) fs.rename(tmp, cur)
+      else fs.delete(tmp, true)
+    }
+    val dictSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(valueCol,
+        batch.schema(valueCol).dataType),
+      org.apache.spark.sql.types.StructField(codeCol,
+        org.apache.spark.sql.types.LongType)))
+    val dict =
+      if (fs.exists(cur)) spark.read.schema(dictSchema).parquet(dictPath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dictSchema)
+    // materialize BEFORE the swap: the extended plan reads the current
+    // dictionary files, which the swap is about to delete
+    val extended = extendDictionary(dict, batch, valueCol, codeCol)
+      .localCheckpoint(true)
+    extended.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(cur, true)
+    fs.rename(tmp, cur)
+    ()
+  }
+
   /** One-shot column profiling — the `df.describe()` shape (reference
     * G9: dags/flu_data_airflow_v2.py:230) as ONE aggregation pass:
     * every statistic for every column computes in the same partial+final

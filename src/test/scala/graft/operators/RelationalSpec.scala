@@ -94,4 +94,32 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(built == Map("wiki" -> 2L, "arxiv" -> 1L, "code" -> 3L, "web" -> 4L))
   }
+
+  test("extendDictionaryBatchStep: codes frozen across micro-batches and a crashed swap recovers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dictPath = java.nio.file.Files.createTempDirectory("graft-dict").toString + "/dict"
+    Relational.extendDictionaryBatchStep(
+      Seq("web", "web", "wiki").toDF("source"), dictPath, "source", "code")
+    val d1 = spark.read.parquet(dictPath).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d1 == Map("web" -> 1L, "wiki" -> 2L))
+    // batch 2: existing codes untouched, new value appended
+    Relational.extendDictionaryBatchStep(
+      Seq("wiki", "arxiv", "arxiv").toDF("source"), dictPath, "source", "code")
+    val d2 = spark.read.parquet(dictPath).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d2 == Map("web" -> 1L, "wiki" -> 2L, "arxiv" -> 3L))
+    // crash simulation: a COMPLETED tmp next to a missing current dir is
+    // promoted on the next step; a marker-less partial tmp is discarded
+    val fs = new org.apache.hadoop.fs.Path(dictPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dictPath),
+      new org.apache.hadoop.fs.Path(dictPath + ".tmp"))
+    Relational.extendDictionaryBatchStep(
+      Seq("code").toDF("source"), dictPath, "source", "code")
+    val d3 = spark.read.parquet(dictPath).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d3 == Map("web" -> 1L, "wiki" -> 2L, "arxiv" -> 3L, "code" -> 4L))
+  }
 }
