@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   * by an external oracle (q179). Motion-JPEG AVIs (fourcc 'MJPG' —
   * genuinely compressed intra-frame video) decode for real through
   * the shared ImageIO JPEG path with structure-exact oracles (q182);
-  * inter-frame codecs (H.264/VP9) stay honestly stubbed.
+  * Microsoft RLE8 AVIs (biCompression = BI_RLE8) are decoded with a
+  * persistent canvas whose delta-skips carry prior-frame pixels
+  * forward — a true INTER-FRAME format, losslessly decodable and so
+  * exactly oracle-gated (q188); modern entropy-coded inter-frame
+  * codecs (H.264/VP9) stay honestly stubbed.
   *
   * The parse is a real AVI walk, not a fixed-offset read: nested
   * `LIST` chunks (`hdrl` → `strl`, `movi`), the `avih` main header for
@@ -188,6 +192,226 @@ object VideoCodec {
     if (!fmtOk || nFrames == 0) None else Some((width, height, frames.result()))
   }
 
+  /** BITMAPINFOHEADER biCompression value for Microsoft RLE8. */
+  val Rle8Compression: Int = 1 // BI_RLE8
+
+  /** Encode frames as a REAL inter-frame AVI: Microsoft RLE8 (fourcc
+    * 'mrle', biCompression = BI_RLE8 — the run-length codec Video for
+    * Windows shipped alongside raw DIB). Frame 0 is encoded absolutely
+    * as (count, index) runs; every later frame is a DELTA: pixels equal
+    * to the previous frame are never emitted — the encoder skips them
+    * with the `00 02 dx dy` delta escape and bare end-of-line escapes,
+    * and the decoder's persistent canvas carries them forward. That
+    * prior-frame dependency is what makes RLE8 a true INTER-FRAME
+    * format (the property H.264's P-frames scale up), while staying
+    * lossless — so, unlike perceptual codecs, the decode has an exact
+    * arithmetic oracle (q188). Rows run bottom-up as in all DIBs.
+    */
+  def encodeRle8Avi(width: Int, height: Int, fps: Int,
+                    frames: Seq[Array[Int]]): Array[Byte] = {
+    require(fps > 0, s"fps must be positive, got $fps")
+    require(frames.nonEmpty && frames.forall(_.length == width * height),
+      s"every frame must be $width x $height")
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(8 + body.length + 1)
+      bos.write(tag.getBytes("US-ASCII")); le32(bos, body.length); bos.write(body)
+      if ((body.length & 1) == 1) bos.write(0)
+      bos.toByteArray
+    }
+    def list(listType: String, bodies: Array[Byte]*): Array[Byte] = {
+      val inner = bodies.foldLeft(Array.empty[Byte])(_ ++ _)
+      chunk("LIST", listType.getBytes("US-ASCII") ++ inner)
+    }
+
+    // encode one frame against the previous canvas (null ⇒ key frame:
+    // every pixel is "changed"). Storage order is bottom-up: encoded
+    // row r is top-down row height-1-r.
+    def encodeFrame(pix: Array[Int], prev: Array[Int]): Array[Byte] = {
+      val b = new ByteArrayOutputStream(width * height / 4 + 16)
+      var r = 0
+      while (r < height) {
+        val rowOff = (height - 1 - r) * width // top-down index of storage row r
+        var x = 0
+        while (x < width) {
+          if (prev != null && pix(rowOff + x) == prev(rowOff + x)) {
+            // unchanged run → delta-skip (dx ≤ 255 per escape)
+            var n = 0
+            while (x + n < width && pix(rowOff + x + n) == prev(rowOff + x + n)) n += 1
+            if (x + n >= width) {
+              x = width // trailing unchanged pixels: bare EOL moves the position
+            } else {
+              var left = n
+              while (left > 0) {
+                val d = math.min(left, 255)
+                b.write(0); b.write(2); b.write(d); b.write(0)
+                left -= d
+              }
+              x += n
+            }
+          } else {
+            // changed run of one repeated value (count ≤ 255 per packet)
+            val v = pix(rowOff + x)
+            var n = 0
+            while (x + n < width && pix(rowOff + x + n) == v &&
+              !(prev != null && pix(rowOff + x + n) == prev(rowOff + x + n))) n += 1
+            var left = n
+            while (left > 0) {
+              val c = math.min(left, 255)
+              b.write(c); b.write(v & 0xff)
+              left -= c
+            }
+            x += n
+          }
+        }
+        if (r < height - 1) { b.write(0); b.write(0) } // EOL
+        r += 1
+      }
+      b.write(0); b.write(1) // end of bitmap
+      b.toByteArray
+    }
+
+    val encoded = frames.zipWithIndex.map { case (f, i) =>
+      encodeFrame(f, if (i == 0) null else frames(i - 1))
+    }
+    val maxFrame = encoded.map(_.length).max
+    val avih = {
+      val b = new ByteArrayOutputStream(56)
+      le32(b, 1000000 / fps); le32(b, maxFrame * fps)
+      le32(b, 0); le32(b, 0)
+      le32(b, frames.length)
+      le32(b, 0); le32(b, 1)
+      le32(b, maxFrame)
+      le32(b, width); le32(b, height)
+      (0 until 4).foreach(_ => le32(b, 0))
+      b.toByteArray
+    }
+    val strh = {
+      val b = new ByteArrayOutputStream(56)
+      b.write("vids".getBytes("US-ASCII")); b.write("mrle".getBytes("US-ASCII"))
+      le32(b, 0); le32(b, 0); le32(b, 0)
+      le32(b, 1); le32(b, fps)
+      le32(b, 0); le32(b, frames.length)
+      le32(b, maxFrame); le32(b, -1)
+      le32(b, 0); le32(b, 0); le32(b, 0)
+      b.toByteArray
+    }
+    val strf = {
+      val b = new ByteArrayOutputStream(40 + 1024)
+      le32(b, 40)
+      le32(b, width); le32(b, height)
+      le16(b, 1); le16(b, 8)
+      le32(b, Rle8Compression)
+      le32(b, maxFrame)
+      le32(b, 0); le32(b, 0)
+      le32(b, 256); le32(b, 0)
+      var i = 0
+      while (i < 256) { b.write(i); b.write(i); b.write(i); b.write(0); i += 1 }
+      b.toByteArray
+    }
+    val riffBody = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih), list("strl", chunk("strh", strh), chunk("strf", strf))) ++
+      list("movi", encoded.map(chunk("00dc", _)): _*)
+    val out = new ByteArrayOutputStream(8 + riffBody.length)
+    out.write("RIFF".getBytes("US-ASCII")); le32(out, riffBody.length); out.write(riffBody)
+    out.toByteArray
+  }
+
+  /** Decode an RLE8 AVI to (width, height, frames of row-major
+    * top-down 8-bit grayscale). The canvas PERSISTS across frames —
+    * pixels a delta frame skips (via `00 02 dx dy` delta escapes or
+    * early end-of-line) keep their previous-frame values, which is the
+    * inter-frame semantics of the format; the first frame must
+    * therefore be self-contained (the encoder's key frame). Escapes:
+    * `00 00` end-of-line, `00 01` end-of-bitmap, `00 02 dx dy`
+    * positional delta, `00 n` (n ≥ 3) absolute mode (word-aligned),
+    * anything else is a (count, index) run. Corrupt streams — runs
+    * past the row end, positions past the top row, truncation —
+    * fail the clip (None).
+    */
+  def decodeRle8Avi(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le32i(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16i(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def tag(i: Int, s: String): Boolean =
+      s.indices.forall(j => bytes(i + j) == s.charAt(j).toByte)
+    if (bytes.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+
+    var width = -1
+    var height = -1
+    var fmtOk = false
+    var canvas: Array[Int] = null // storage order: bottom-up rows
+    val frames = Seq.newBuilder[Array[Int]]
+    var nFrames = 0
+
+    // decode one frame chunk onto the persistent canvas; false = corrupt
+    def decodeFrame(from: Int, until: Int): Boolean = {
+      var pos = from
+      var cx = 0
+      var cr = 0 // storage row, bottom-up
+      while (pos + 2 <= until) {
+        val b0 = u8(pos); val b1 = u8(pos + 1); pos += 2
+        if (b0 > 0) { // encoded run
+          if (cr >= height || cx + b0 > width) return false
+          var i = 0
+          while (i < b0) { canvas(cr * width + cx + i) = b1; i += 1 }
+          cx += b0
+        } else b1 match {
+          case 0 => cx = 0; cr += 1 // end of line
+          case 1 => // end of bitmap
+            val pix = new Array[Int](width * height)
+            var y = 0
+            while (y < height) {
+              System.arraycopy(canvas, (height - 1 - y) * width, pix, y * width, width)
+              y += 1
+            }
+            frames += pix
+            nFrames += 1
+            return true
+          case 2 => // delta: skip dx right, dy up (bottom-up rows)
+            if (pos + 2 > until) return false
+            cx += u8(pos); cr += u8(pos + 1); pos += 2
+            if (cx > width || cr > height) return false
+          case n => // absolute mode: n literal indices, word-aligned
+            val padded = (n + 1) & ~1
+            if (pos + padded > until || cr >= height || cx + n > width) return false
+            var i = 0
+            while (i < n) { canvas(cr * width + cx + i) = u8(pos + i); i += 1 }
+            cx += n
+            pos += padded
+        }
+      }
+      false // ran out of bytes before end-of-bitmap
+    }
+
+    def walk(from: Int, until: Int, inMovi: Boolean): Boolean = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val size = le32i(pos + 4)
+        if (size < 0 || pos + 8 + size > until) return false
+        if (tag(pos, "LIST")) {
+          if (size < 4) return false
+          val sub = if (tag(pos + 8, "movi")) true else inMovi
+          if (!walk(pos + 12, pos + 8 + size, sub)) return false
+        } else if (tag(pos, "strf")) {
+          if (size < 40) return false
+          width = le32i(pos + 12)
+          height = le32i(pos + 16)
+          fmtOk = le16i(pos + 22) == 8 && le32i(pos + 24) == Rle8Compression &&
+            width > 0 && height > 0
+          if (fmtOk) canvas = new Array[Int](width * height)
+        } else if (inMovi && size > 0 &&
+            bytes(pos + 2) == 'd'.toByte && bytes(pos + 3) == 'c'.toByte) {
+          if (!fmtOk) return false
+          if (!decodeFrame(pos + 8, pos + 8 + size)) return false
+        }
+        pos += 8 + size + (size & 1)
+      }
+      true
+    }
+    if (!walk(12, bytes.length, inMovi = false)) return None
+    if (!fmtOk || nFrames == 0) None else Some((width, height, frames.result()))
+  }
+
   /** 'MJPG' as the little-endian BITMAPINFOHEADER biCompression value. */
   val MjpgFourcc: Int = 'M'.toInt | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
 
@@ -320,8 +544,8 @@ object VideoCodec {
     if (!fmtOk || nFrames == 0) None else Some((width, height, frames.result()))
   }
 
-  /** Decode a payload column (DIB or Motion-JPEG AVI — one parser
-    * pass tries both) to per-clip luma statistics: (idCol, decodable,
+  /** Decode a payload column (DIB, RLE8, or Motion-JPEG AVI — one
+    * parser pass tries each) to per-clip luma statistics: (idCol, decodable,
     * n_frames, width, height, bright_frames, motion_abs).
     * `bright_frames` counts frames whose pixel sum clears mean 128
     * (`Σp > 128·w·h` — integer-exact) and `motion_abs` is the exact
@@ -337,7 +561,8 @@ object VideoCodec {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          decodeDibAvi(bytes).orElse(decodeMjpegAvi(bytes)) match {
+          decodeDibAvi(bytes).orElse(decodeRle8Avi(bytes))
+            .orElse(decodeMjpegAvi(bytes)) match {
             case Some((w, h, fs)) =>
               val npx = w.toLong * h
               var bright = 0L
@@ -377,7 +602,7 @@ object VideoCodec {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          decodeDibAvi(bytes) match {
+          decodeDibAvi(bytes).orElse(decodeRle8Avi(bytes)) match {
             case Some((w, h, fs)) =>
               var sumFirst = 0L
               val f0 = fs.head

@@ -1614,6 +1614,86 @@ object DataQueries {
              any_value(k % 5 = 0) AS is_static
       FROM b JOIN d USING (doc_id) GROUP BY d.doc_id ORDER BY d.doc_id"""))
 
+  /** Deterministic RLE8 clip per document for q188: frame 0 is the
+    * q179 base formula; every later frame rewrites EXACTLY ONE row
+    * ((t*3 + k) mod h, k-staggered so docs differ) with a t-keyed
+    * formula and carries every other pixel forward. Most of each
+    * delta frame is therefore prior-frame content the encoder never
+    * emits — the fixture that forces the decoder's persistent canvas
+    * (skipped pixel ⇒ wrong value ⇒ hash mismatch), i.e. real
+    * inter-frame decode under an exact oracle.
+    */
+  private def synthRle8Payloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 50).toInt
+          val w = 12 + k % 9
+          val h = 10 + k % 7
+          val f = 3 + k % 4
+          val frames = new Array[Array[Int]](f)
+          frames(0) = Array.tabulate(w * h)(i =>
+            (k * 37 + (i % w) * 7 + (i / w) * 13) % 211)
+          var t = 1
+          while (t < f) {
+            frames(t) = frames(t - 1).clone()
+            val y = (t * 3 + k) % h
+            var x = 0
+            while (x < w) { frames(t)(y * w + x) = (k * 53 + x * 11 + t * 17) % 199; x += 1 }
+            t += 1
+          }
+          (id, VideoCodec.encodeRle8Avi(w, h, 10, frames.toSeq))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q188 — REAL inter-frame video decode, exactly oracle-gated:
+    * Microsoft RLE8 AVI payloads (fourcc 'mrle', biCompression =
+    * BI_RLE8 — the delta codec Video for Windows shipped) run through
+    * [[VideoCodec.decodeRle8Avi]]. Delta frames encode only changed
+    * pixels; everything else is a positional skip the decoder must
+    * satisfy from the PREVIOUS frame's canvas — the same
+    * reference-frame dependency H.264's P-frames scale up, but
+    * lossless, so unlike perceptual codecs the oracle replays the
+    * pixel values arithmetically: for each frame the value of a row
+    * is determined by its LAST WRITER (the most recent frame that
+    * rewrote it, else the base frame), reconstructed in SQL with a
+    * self-join over the write schedule. A decoder that dropped a
+    * skip, cleared the canvas between frames, or mis-walked an
+    * escape diverges on `motion_abs`/`sum_first` and fails the hash
+    * compare. Map-only, one parser pass per partition; zero shuffles.
+    */
+  val q188 = Q("q188_rle8_interframe",
+    (s, dir) =>
+      VideoCodec.decodeVideoFeatures(synthRle8Payloads(s, dir), "doc_id", "payload")
+        .select("doc_id", "n_frames", "width", "height", "sum_first", "motion_abs")
+        .orderBy("doc_id"),
+    Some("""
+      WITH p AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+      d AS (SELECT doc_id, k, 12 + k % 9 AS w, 10 + k % 7 AS h, 3 + k % 4 AS f FROM p),
+      b AS (SELECT doc_id, k, w, h, unnest(range(w*h)) AS i FROM d),
+      s0 AS (SELECT doc_id, sum((k*37 + (i % w)*7 + (i // w)*13) % 211) AS sum_first
+             FROM b GROUP BY doc_id),
+      wy AS (SELECT doc_id, k, w, h, t, (t*3 + k) % h AS y
+             FROM (SELECT doc_id, k, w, h, unnest(range(1, f)) AS t FROM d)),
+      pv AS (SELECT a.doc_id, a.k, a.w, a.t, a.y, max(b2.t) AS pt
+             FROM wy a LEFT JOIN wy b2
+               ON a.doc_id = b2.doc_id AND b2.y = a.y AND b2.t < a.t
+             GROUP BY a.doc_id, a.k, a.w, a.t, a.y),
+      xx AS (SELECT doc_id, k, t, y, pt, unnest(range(w)) AS x FROM pv),
+      mo AS (SELECT doc_id,
+               sum(abs( (k*53 + x*11 + t*17) % 199
+                 - CASE WHEN pt IS NULL THEN (k*37 + x*7 + y*13) % 211
+                        ELSE (k*53 + x*11 + pt*17) % 199 END )) AS motion_abs
+             FROM xx GROUP BY doc_id)
+      SELECT d.doc_id, CAST(d.f AS BIGINT) AS n_frames, CAST(d.w AS INT) AS width,
+             CAST(d.h AS INT) AS height, CAST(s0.sum_first AS BIGINT) AS sum_first,
+             CAST(COALESCE(mo.motion_abs, 0) AS BIGINT) AS motion_abs
+      FROM d JOIN s0 USING (doc_id) LEFT JOIN mo USING (doc_id)
+      ORDER BY doc_id"""))
+
   val q114 = Q("q114_cluster_canonical",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1666,5 +1746,5 @@ object DataQueries {
 
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
-    q172, q173, q174, q175, q176, q177, q178, q179, q181, q182)
+    q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188)
 }
