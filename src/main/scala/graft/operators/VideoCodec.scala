@@ -44,6 +44,14 @@ object VideoCodec {
   System.setProperty("java.awt.headless", "true")
   javax.imageio.ImageIO.setUseCache(false)
 
+  /** LIST nesting cap for the recursive container walks. Real AVIs
+    * nest 3–4 deep (hdrl → strl, odml); a crafted payload can nest a
+    * LIST per 12 bytes, deep enough to overflow an executor's stack —
+    * in an untrusted corpus that is a task-killer, so anything deeper
+    * than this is rejected as corrupt rather than recursed into.
+    */
+  val MaxListDepth: Int = 64
+
   /** Encode frames of row-major top-down 8-bit grayscale pixels as a
     * minimal valid RIFF/AVI with one uncompressed 8-bpp DIB video
     * stream (grayscale palette, bottom-up rows, 4-byte row stride).
@@ -152,7 +160,8 @@ object VideoCodec {
     var nFrames = 0
 
     // walk [from, until) at one nesting level; returns false on corruption
-    def walk(from: Int, until: Int, inMovi: Boolean): Boolean = {
+    def walk(from: Int, until: Int, inMovi: Boolean, depth: Int): Boolean = {
+      if (depth > MaxListDepth) return false // adversarial nesting, not a real AVI
       var pos = from
       while (pos + 8 <= until) {
         val size = le32i(pos + 4)
@@ -160,7 +169,7 @@ object VideoCodec {
         if (tag(pos, "LIST")) {
           if (size < 4) return false
           val sub = if (tag(pos + 8, "movi")) true else inMovi
-          if (!walk(pos + 12, pos + 8 + size, sub)) return false
+          if (!walk(pos + 12, pos + 8 + size, sub, depth + 1)) return false
         } else if (tag(pos, "strf")) {
           if (size < 40) return false
           width = le32i(pos + 12)
@@ -188,7 +197,7 @@ object VideoCodec {
       }
       true
     }
-    if (!walk(12, bytes.length, inMovi = false)) return None
+    if (!walk(12, bytes.length, inMovi = false, depth = 0)) return None
     if (!fmtOk || nFrames == 0) None else Some((width, height, frames.result()))
   }
 
@@ -383,7 +392,8 @@ object VideoCodec {
       false // ran out of bytes before end-of-bitmap
     }
 
-    def walk(from: Int, until: Int, inMovi: Boolean): Boolean = {
+    def walk(from: Int, until: Int, inMovi: Boolean, depth: Int): Boolean = {
+      if (depth > MaxListDepth) return false // adversarial nesting, not a real AVI
       var pos = from
       while (pos + 8 <= until) {
         val size = le32i(pos + 4)
@@ -391,7 +401,7 @@ object VideoCodec {
         if (tag(pos, "LIST")) {
           if (size < 4) return false
           val sub = if (tag(pos + 8, "movi")) true else inMovi
-          if (!walk(pos + 12, pos + 8 + size, sub)) return false
+          if (!walk(pos + 12, pos + 8 + size, sub, depth + 1)) return false
         } else if (tag(pos, "strf")) {
           if (size < 40) return false
           width = le32i(pos + 12)
@@ -408,7 +418,7 @@ object VideoCodec {
       }
       true
     }
-    if (!walk(12, bytes.length, inMovi = false)) return None
+    if (!walk(12, bytes.length, inMovi = false, depth = 0)) return None
     if (!fmtOk || nFrames == 0) None else Some((width, height, frames.result()))
   }
 
@@ -511,7 +521,8 @@ object VideoCodec {
     val frames = Seq.newBuilder[Array[Int]]
     var nFrames = 0
     var corrupt = false
-    def walk(from: Int, until: Int, inMovi: Boolean): Boolean = {
+    def walk(from: Int, until: Int, inMovi: Boolean, depth: Int): Boolean = {
+      if (depth > MaxListDepth) return false // adversarial nesting, not a real AVI
       var pos = from
       while (pos + 8 <= until) {
         val size = le32i(pos + 4)
@@ -519,7 +530,7 @@ object VideoCodec {
         if (tag(pos, "LIST")) {
           if (size < 4) return false
           val sub = if (tag(pos + 8, "movi")) true else inMovi
-          if (!walk(pos + 12, pos + 8 + size, sub)) return false
+          if (!walk(pos + 12, pos + 8 + size, sub, depth + 1)) return false
         } else if (tag(pos, "strf")) {
           if (size < 40) return false
           width = le32i(pos + 12)
@@ -540,7 +551,7 @@ object VideoCodec {
       }
       true
     }
-    if (!walk(12, bytes.length, inMovi = false) || corrupt) return None
+    if (!walk(12, bytes.length, inMovi = false, depth = 0) || corrupt) return None
     if (!fmtOk || nFrames == 0) None else Some((width, height, frames.result()))
   }
 

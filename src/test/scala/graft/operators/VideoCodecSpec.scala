@@ -59,6 +59,28 @@ class VideoCodecSpec extends SparkSpec {
     assert(!out(1).getBoolean(1))
   }
 
+  test("adversarially deep LIST nesting is rejected, not recursed into") {
+    // a LIST per 12 bytes: 100k levels would overflow the stack if the
+    // walk recursed unbounded — all three decoders must return None
+    val depth = 100000
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    out.write("RIFF".getBytes("US-ASCII")); le32(4 + depth * 12)
+    out.write("AVI ".getBytes("US-ASCII"))
+    for (i <- 0 until depth) {
+      out.write("LIST".getBytes("US-ASCII"))
+      le32((depth - 1 - i) * 12 + 4) // each level wraps the next exactly
+      out.write("xxxx".getBytes("US-ASCII"))
+    }
+    val bytes = out.toByteArray
+    assert(VideoCodec.decodeDibAvi(bytes).isEmpty)
+    assert(VideoCodec.decodeRle8Avi(bytes).isEmpty)
+    assert(VideoCodec.decodeMjpegAvi(bytes).isEmpty)
+  }
+
   test("a static clip has exactly zero motion") {
     val f = frame(7, 6, 3)
     val avi = VideoCodec.encodeDibAvi(7, 6, 10, Seq(f, f, f))
