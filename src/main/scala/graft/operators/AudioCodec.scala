@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
 
 /** Real audio decode over opaque `binary` payload columns — the audio
   * half of the codec step [[MultimodalStub]] stubs out, made real for
-  * two RIFF/WAVE formats: 16-bit PCM (tag 1 — samples stored
-  * literally, a correct chunk-walk IS the decode, q177/q178) and IMA
+  * three RIFF/WAVE formats: 16-bit PCM (tag 1 — samples stored
+  * literally, a correct chunk-walk IS the decode, q177/q178), IMA
   * ADPCM (tag 0x11 — a REAL lossy codec whose decode is deterministic
   * integer math, so even its 4→16-bit expansion is arithmetically
-  * replayable by an external oracle, q181). Perceptual-transform
-  * codecs (MP3/AAC) stay honestly stubbed.
+  * replayable by an external oracle, q181), and G.711 µ-law (tag 7 —
+  * the telephone network's companding codec, one closed-form integer
+  * expansion per byte, q189). Perceptual-transform codecs (MP3/AAC)
+  * stay honestly stubbed.
   *
   * Spark-side shape mirrors [[MultimodalCodec]]: binary in → typed
   * integer features out, one parser pass per partition, map-only — on
@@ -265,6 +267,106 @@ object AudioCodec {
     None
   }
 
+  // ------------------------------------------------------------------
+  // G.711 µ-law (WAV format tag 7) — the logarithmic-companding codec
+  // of the telephone network (8 kHz voice, RFC 3551's PCMU). Lossy like
+  // ADPCM, but its DECODE is a single closed-form integer expression
+  // per byte — no state machine at all — so the oracle replays it as
+  // plain arithmetic (q189): sample = ±(((mant·8 + 132) << exp) − 132)
+  // from the bit-complemented byte's sign/exponent/mantissa fields.
+
+  /** Expand one µ-law byte to its 16-bit linear sample (G.711 §B). */
+  def mulawDecodeByte(b: Int): Short = {
+    val u = ~b & 0xff // µ-law bytes are stored complemented
+    val exp = (u >> 4) & 7
+    val mant = u & 0x0f
+    val mag = (((mant << 3) + 0x84) << exp) - 0x84
+    (if ((u & 0x80) != 0) -mag else mag).toShort
+  }
+
+  /** Compress one 16-bit linear sample to its µ-law byte (G.711 §B:
+    * clip to 32635, add bias 132, locate the segment, keep the top 4
+    * mantissa bits, complement). Inverse of [[mulawDecodeByte]] up to
+    * the codec's logarithmic quantization.
+    */
+  def mulawEncodeSample(sample: Int): Int = {
+    var s = sample
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > 32635) s = 32635
+    s += 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (s >> (exp + 3)) & 0x0f
+    ~(sign | (exp << 4) | mant) & 0xff
+  }
+
+  /** Encode a µ-law WAV (format tag 7, mono, 8 bits per sample)
+    * directly from the µ-law byte stream — like
+    * [[encodeImaAdpcmWav]], the fixture generator keeps the BITSTREAM
+    * as ground truth so the lossy codec's decode has an exact
+    * arithmetic oracle (q189).
+    */
+  def encodeMulawWav(sampleRate: Int, ulaw: Array[Int]): Array[Byte] = {
+    val dataLen = ulaw.length
+    val bos = new ByteArrayOutputStream(46 + dataLen)
+    def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff); bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    ascii("RIFF"); le32(4 + (8 + 18) + (8 + 4) + (8 + dataLen) + (dataLen & 1)); ascii("WAVE")
+    ascii("fmt "); le32(18)
+    le16(7) // WAVE_FORMAT_MULAW
+    le16(1) // mono
+    le32(sampleRate)
+    le32(sampleRate) // byte rate: one byte per sample
+    le16(1)          // block align
+    le16(8)          // bits per sample
+    le16(0)          // cbSize
+    ascii("fact"); le32(4); le32(dataLen)
+    ascii("data"); le32(dataLen)
+    ulaw.foreach(b => bos.write(b & 0xff))
+    if ((dataLen & 1) != 0) bos.write(0) // RIFF word alignment
+    bos.toByteArray
+  }
+
+  /** Decode a mono µ-law WAV (format tag 7): the [[decodePcmWav]]
+    * chunk-walk discipline, then one closed-form expansion per data
+    * byte. Returns (sampleRate, 1, samples); anything
+    * non-µ-law/multichannel/truncated → None.
+    */
+  def decodeMulawWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def tag(i: Int, s: String): Boolean =
+      s.indices.forall(j => bytes(i + j) == s.charAt(j).toByte)
+    if (bytes.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos = 12
+    var sampleRate = -1
+    var ok = false
+    while (pos + 8 <= bytes.length) {
+      val size = le32(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (tag(pos, "fmt ")) {
+        if (size < 16) return None
+        val fmt = le16(pos + 8)
+        val channels = le16(pos + 10)
+        sampleRate = le32(pos + 12)
+        val bits = le16(pos + 22)
+        if (fmt != 7 || bits != 8 || channels != 1) return None
+        ok = true
+      } else if (tag(pos, "data")) {
+        if (!ok) return None // fmt must precede data
+        val out = new Array[Short](size)
+        var i = 0
+        while (i < size) { out(i) = mulawDecodeByte(u8(pos + 8 + i)); i += 1 }
+        return Some((sampleRate, 1, out))
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned: odd sizes carry a pad byte
+    }
+    None
+  }
+
   /** Nearest-neighbor resample: output index `i` samples source
     * `(i·n)/outN` — integer floor division, the 1-D twin of
     * [[MultimodalCodec.resizeNearest]], replayed verbatim by oracles.
@@ -318,8 +420,9 @@ object AudioCodec {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // one parser pass: PCM (tag 1) first, else IMA ADPCM (tag 0x11)
-          decodePcmWav(bytes).orElse(decodeImaAdpcmWav(bytes)) match {
+          // one parser pass: PCM (tag 1), else IMA ADPCM (0x11), else µ-law (7)
+          decodePcmWav(bytes).orElse(decodeImaAdpcmWav(bytes))
+            .orElse(decodeMulawWav(bytes)) match {
             case Some((sr, _, s)) =>
               var sumAbs = 0L
               var peak = 0L

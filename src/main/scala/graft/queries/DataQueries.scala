@@ -1694,6 +1694,61 @@ object DataQueries {
       FROM d JOIN s0 USING (doc_id) LEFT JOIN mo USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Deterministic µ-law bitstream per document for q189 — like the
+    * ADPCM fixture, the ground truth is the COMPRESSED byte stream
+    * (b(j) = (k·11 + j·7) mod 256), wrapped in a real tag-7 WAV, so
+    * the lossy codec's decode gates exactly.
+    */
+  private def synthMulawPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 50).toInt
+          val n = 48 + k % 57
+          val sr = 8000 * (1 + k % 3)
+          val ulaw = Array.tabulate(n)(j => (k * 11 + j * 7) % 256)
+          (id, AudioCodec.encodeMulawWav(sr, ulaw))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q189 — G.711 µ-law decode, exactly oracle-gated: tag-7 WAV
+    * payloads (PCMU — the telephone network's companding codec) run
+    * through [[AudioCodec.decodeMulawWav]]'s chunk-walk + per-byte
+    * expansion into the q177/q181 feature family. µ-law is lossy, but
+    * where ADPCM's decode needed a recursive-CTE state machine, µ-law
+    * expands each byte INDEPENDENTLY by one closed-form integer
+    * expression — the oracle inlines sign/exponent/mantissa extraction
+    * and ±(((mant·8 + 132) << exp) − 132) as plain SQL arithmetic. Any
+    * divergence in bit complement, bias, or segment shift hash-fails.
+    * Map-only, one parser pass per partition; zero shuffles.
+    */
+  val q189 = Q("q189_mulaw_decode",
+    (s, dir) =>
+      AudioCodec.decodeAudioFeatures(synthMulawPayloads(s, dir), "doc_id", "payload")
+        .select("doc_id", "sample_rate", "n_samples", "sum_abs", "peak_abs",
+          "zero_crossings")
+        .orderBy("doc_id"),
+    Some("""
+      WITH p AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+      d AS (SELECT doc_id, k, 48 + k % 57 AS n, 8000 * (1 + k % 3) AS sr FROM p),
+      s AS (SELECT doc_id, k, n, sr, unnest(range(n)) AS j FROM d),
+      u AS (SELECT doc_id, n, sr, j, 255 - ((k*11 + j*7) % 256) AS u FROM s),
+      v AS (SELECT doc_id, n, sr, j,
+              CASE WHEN u >= 128 THEN -(((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132)
+                   ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132 END AS smp
+            FROM u),
+      w AS (SELECT doc_id, n, sr, smp,
+              lag(smp) OVER (PARTITION BY doc_id ORDER BY j) AS pv FROM v)
+      SELECT doc_id, CAST(any_value(sr) AS INT) AS sample_rate,
+             CAST(any_value(n) AS BIGINT) AS n_samples,
+             CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+             CAST(max(abs(smp)) AS BIGINT) AS peak_abs,
+             CAST(count(CASE WHEN smp * pv < 0 THEN 1 END) AS BIGINT) AS zero_crossings
+      FROM w GROUP BY doc_id ORDER BY doc_id"""))
+
   val q114 = Q("q114_cluster_canonical",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1746,5 +1801,5 @@ object DataQueries {
 
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
-    q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188)
+    q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189)
 }
