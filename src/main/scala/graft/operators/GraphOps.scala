@@ -115,6 +115,54 @@ object GraphOps {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** Multi-source BFS: exact minimum hop distance from ANY source node,
+    * by frontier expansion — the distributed unweighted-shortest-path
+    * primitive (landmark distances, seed-set reach, blast-radius
+    * queries). Each round is one equi-join of the CURRENT FRONTIER
+    * (not the whole visited set) against the edge list, a min-groupBy
+    * on the destination, and an anti-join that keeps only never-seen
+    * nodes — so per-round work is proportional to the frontier's edge
+    * neighborhood and the loop runs O(diameter) rounds (frontier
+    * empties ⇒ done, short-circuiting `maxIter`). Distances are exact
+    * because BFS visits in nondecreasing depth: a node's first
+    * discovery IS its minimum distance, so no relaxation/re-visit
+    * rounds are ever needed.
+    *
+    * Pass a symmetrized edge list for undirected distance. Nodes not
+    * reachable within `maxIter` hops are absent from the result (the
+    * caller left-joins and fills, q190 pins them at -1).
+    *
+    * @param edges0  directed edge list (deduplicated internally)
+    * @param sources distinct source node ids, distance 0
+    * @return (id, dist) for every node reached within maxIter hops
+    */
+  def bfsDistances(edges0: DataFrame, srcCol: String, dstCol: String,
+                   sources: DataFrame, idCol: String,
+                   maxIter: Int = 30): DataFrame = {
+    val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(false)
+    val init = sources.select(col(idCol).as("id")).distinct()
+      .select(col("id"), lit(0L).as("dist"), lit(true).as("_fr"))
+      .localCheckpoint(false)
+    // fixed hop budget, early-exit on an empty frontier; a capped BFS
+    // is a partial MAP, not a wrong one (unreached = absent), so
+    // convergence is not mandatory
+    FixpointLoop.iterateUntilFixpoint(init, maxIter, "bfsDistances",
+        requireConvergence = false) { cur =>
+      val fresh = cur.filter(col("_fr"))
+        .join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
+        .groupBy("id").agg(min("dist").as("dist"))
+        .join(cur.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("dist"), lit(true).as("_fr"))
+        .localCheckpoint(false)
+      val next = cur.select(col("id"), col("dist"), lit(false).as("_fr"))
+        .union(fresh)
+        .localCheckpoint(false)
+      (next, fresh.isEmpty)
+    }.select(col("id"), col("dist"))
+  }
+
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
                iters: Int, d: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")

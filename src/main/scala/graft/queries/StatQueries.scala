@@ -703,6 +703,136 @@ object StatQueries {
              CAST(min(na * nb) AS BIGINT) AS ks_denominator
       FROM c CROSS JOIN z"""))
 
+  // --------------------------------------------------------------- q190
+
+  /** q190 — multi-source BFS hop distances ([[GraphOps.bfsDistances]])
+    * on the undirected customer↔supplier purchase graph (q110's edge
+    * set, symmetrized; customers encoded as 2c, suppliers as 2s+1 so
+    * both key spaces share one node id space): exact minimum hops
+    * from the seed suppliers (s_suppkey ≡ 1 mod 100) to every node,
+    * unreached nodes pinned at −1 — the landmark-distance /
+    * blast-radius primitive (supply-chain exposure, contamination
+    * reach, affiliate rings). Per round the FRONTIER alone joins the
+    * edge list (one shuffle + min-groupBy + anti-join), O(diameter)
+    * rounds with an empty-frontier short-circuit; the oracle is an
+    * independent recursive-CTE BFS over the same encoded graph with
+    * the same 20-hop cap.
+    */
+  val q190 = Q("q190_bfs_distances",
+    (s, dir) => {
+      import graft.operators.GraphOps
+      // consumers: symmetrized edges (x2), sources, node universe (x2)
+      val e = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+        .localCheckpoint(false)
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      val sources = e.select(col("b").as("id")).distinct()
+        .filter(expr("((id - 1) div 2) % 100 = 1"))
+      val dist = GraphOps.bfsDistances(sym, "src", "dst", sources, "id",
+        maxIter = 20)
+      val nodes = e.select(col("a").as("id"))
+        .union(e.select(col("b").as("id"))).distinct()
+      nodes.join(dist, Seq("id"), "left")
+        .select(
+          when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("kind"),
+          expr("id div 2").as("node_key"),
+          coalesce(col("dist"), lit(-1L)).as("dist"))
+        .orderBy("kind", "node_key")
+    },
+    Some("""
+      WITH RECURSIVE
+      e AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      ed AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      srcs AS (SELECT DISTINCT b AS v FROM e WHERE ((b - 1) // 2) % 100 = 1),
+      bfs(v, d) AS (
+        SELECT v, 0 FROM srcs
+        UNION
+        SELECT ed.dst, bfs.d + 1 FROM bfs JOIN ed ON bfs.v = ed.src
+        WHERE bfs.d < 20),
+      md AS (SELECT v, min(d) AS dist FROM bfs GROUP BY v),
+      -- explicit DISTINCT: inside a WITH RECURSIVE list DuckDB keeps
+      -- bag semantics for a plain UNION in a non-recursive CTE
+      n AS (SELECT DISTINCT v
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e))
+      SELECT CASE WHEN n.v % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+             n.v // 2 AS node_key,
+             CAST(coalesce(md.dist, -1) AS BIGINT) AS dist
+      FROM n LEFT JOIN md ON n.v = md.v
+      ORDER BY kind, node_key"""))
+
+  // --------------------------------------------------------------- q191
+
+  /** q191 — exact covariance matrix of the embedding dimensions (the
+    * d×d second-moment structure behind PCA whitening, decorrelation
+    * checks, and dead/duplicated-dimension detection on an embedding
+    * corpus). Upper triangle only (2080 cells at d=64).
+    *
+    * Determinism: per-row products are quantized to 1e-9 fixed-point
+    * longs (the q57/q77/q107 recipe) and sum EXACTLY, so Σxy, Σx, Σy
+    * are partition-order independent; the covariance assembles from
+    * those exact sums in one identical double expression per engine.
+    *
+    * Plan/scale: one explode of the per-row upper-triangle product
+    * array → groupBy(i,j) — partial aggregation collapses every
+    * partition to ≤2080 cells BEFORE the exchange, so the shuffle is
+    * O(partitions·d²) no matter the corpus row count; the per-dim
+    * sums (64 rows) broadcast-join back. No driver-side math, no d×d
+    * matrix on any single row.
+    */
+  val q191 = Q("q191_cov_matrix",
+    (s, dir) => {
+      val dims = Tables.load(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("i").cast("long").as("i"),
+          expr("CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)").as("xq"))
+        .groupBy("i").agg(sum("xq").as("sx"), count(lit(1)).as("n"))
+      val pairs = Tables.load(s, dir, "embeddings")
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(embedding) - 1),
+             i -> transform(sequence(i, size(embedding) - 1),
+               j -> struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                 CAST(round(CAST(element_at(embedding, i + 1) AS DOUBLE)
+                          * CAST(element_at(embedding, j + 1) AS DOUBLE)
+                          * 1e9) AS BIGINT) AS pq))))""")).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"), col("p.pq").as("pq"))
+        .groupBy("i", "j").agg(sum("pq").as("sxy"))
+      pairs
+        .join(broadcast(dims.select(col("i"), col("sx").as("_sxi"), col("n"))), Seq("i"))
+        .join(broadcast(dims.select(col("i").as("j"), col("sx").as("_sxj"))), Seq("j"))
+        .select(col("i"), col("j"),
+          round((col("sxy").cast("double") / 1e9
+            - (col("_sxi").cast("double") / 1e9)
+              * (col("_sxj").cast("double") / 1e9) / col("n"))
+            / col("n"), 6).plus(lit(0.0)).as("cov")) // +0.0: fold -0.0 to +0.0 (sign-sensitive hash compare)
+        .orderBy("i", "j")
+    },
+    Some("""
+      WITH si AS (SELECT vec_id, embedding,
+                    unnest(range(len(embedding))) AS i FROM embeddings),
+      dims AS (SELECT i,
+                 sum(CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e9) AS BIGINT)) AS sx,
+                 count(*) AS n
+               FROM si GROUP BY i),
+      sij AS (SELECT vec_id, embedding, i,
+                unnest(range(i, len(embedding))) AS j FROM si),
+      pq AS (SELECT i, j,
+               sum(CAST(round(CAST(embedding[i + 1] AS DOUBLE)
+                            * CAST(embedding[j + 1] AS DOUBLE)
+                            * 1e9) AS BIGINT)) AS sxy
+             FROM sij GROUP BY i, j)
+      SELECT pq.i, pq.j,
+             round((CAST(sxy AS DOUBLE) / 1e9
+               - (CAST(a.sx AS DOUBLE) / 1e9)
+                 * (CAST(b.sx AS DOUBLE) / 1e9) / a.n) / a.n, 6) + 0 AS cov
+      FROM pq JOIN dims a ON pq.i = a.i JOIN dims b ON pq.j = b.i
+      ORDER BY pq.i, pq.j"""))
+
   val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
-    q123, q124, q125)
+    q123, q124, q125, q190, q191)
 }

@@ -21,6 +21,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(r1(3L) - (0.05 + 0.85 * (4.0 / 9))) < 1e-9, s"c=${r1(3L)}")
   }
 
+  test("bfsDistances: exact hops on a path, unreachable nodes absent") {
+    import spark.implicits._
+    // undirected path 1-2-3-4-5 plus isolated edge 6-7
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+    val sym = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val d = GraphOps.bfsDistances(sym, "src", "dst",
+        Seq(1L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("bfsDistances: multi-source takes the minimum over sources") {
+    import spark.implicits._
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val d = GraphOps.bfsDistances(sym, "src", "dst",
+        Seq(1L, 5L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("bfsDistances: maxIter caps the explored radius") {
+    import spark.implicits._
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val d = GraphOps.bfsDistances(sym, "src", "dst",
+        Seq(1L).toDF("id"), "id", maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4, 5 beyond the cap
+  }
+
   test("pageRank conserves total mass across iterations") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
