@@ -833,6 +833,134 @@ object StatQueries {
       FROM pq JOIN dims a ON pq.i = a.i JOIN dims b ON pq.j = b.i
       ORDER BY pq.i, pq.j"""))
 
+  // --------------------------------------------------------------- q192
+
+  /** q192 — top principal component by POWER ITERATION on the q191
+    * covariance matrix (the PCA/whitening primitive: dominant
+    * direction, its eigenvalue, and variance-explained). The
+    * data-scaled work is building A (same partial-agg explode as
+    * q191); the iteration then runs on the d×d matrix itself —
+    * 12 fixed rounds of v ← A·v/‖A·v‖ as join + groupBy with the
+    * per-round norm broadcast back, the [[graft.operators.FixpointLoop]]
+    * discipline (no driver-side math, O(d²) rows per round regardless
+    * of corpus size).
+    *
+    * Determinism: every Σ over matrix/vector terms quantizes its
+    * products to 1e-15 fixed-point longs first, so each round's v is
+    * bit-identical across engines and partitionings — which is what
+    * lets the oracle replay ALL 12 rounds in a recursive CTE and
+    * hash-match the loadings even where the spectrum is too flat for
+    * the iteration to have converged (parity, not convergence, is the
+    * gate; λ = v'Av is exact for whatever direction v is).
+    */
+  val q192 = Q("q192_pca_power",
+    (s, dir) => {
+      import graft.operators.FixpointLoop
+      val emb = Tables.load(s, dir, "embeddings")
+      val dims = emb
+        .select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("i").cast("long").as("i"),
+          expr("CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)").as("xq"))
+        .groupBy("i").agg(sum("xq").as("sx"), count(lit(1)).as("n"))
+      val pq = emb
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(embedding) - 1),
+             i -> transform(sequence(i, size(embedding) - 1),
+               j -> struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                 CAST(round(CAST(element_at(embedding, i + 1) AS DOUBLE)
+                          * CAST(element_at(embedding, j + 1) AS DOUBLE)
+                          * 1e9) AS BIGINT) AS pq))))""")).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"), col("p.pq").as("pq"))
+        .groupBy("i", "j").agg(sum("pq").as("sxy"))
+      // consumers: amat (x2) and the trace
+      val cu = pq
+        .join(broadcast(dims.select(col("i"), col("sx").as("_sxi"), col("n"))), Seq("i"))
+        .join(broadcast(dims.select(col("i").as("j"), col("sx").as("_sxj"))), Seq("j"))
+        .select(col("i"), col("j"),
+          ((col("sxy").cast("double") / 1e9
+            - (col("_sxi").cast("double") / 1e9)
+              * (col("_sxj").cast("double") / 1e9) / col("n"))
+            / col("n")).as("a"))
+        .localCheckpoint(false)
+      // consumers: 12 iteration rounds + the final A·v
+      val amat = cu.select("i", "j", "a")
+        .union(cu.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("a")))
+        .localCheckpoint(false)
+      def mul(v: org.apache.spark.sql.DataFrame) =
+        amat.join(v.select(col("i").as("j"), col("v")), Seq("j"))
+          .groupBy("i")
+          .agg((sum(expr("CAST(round(a * v * 1e15) AS BIGINT)"))
+            .cast("double") / 1e15).as("w"))
+      val init = dims.select(col("i"), lit(0.125).as("v")).localCheckpoint(false)
+      val vt = FixpointLoop.iterateUntilFixpoint(init, 12, "pcaPower",
+          requireConvergence = false) { v =>
+        val w = mul(v)
+        val nrm = w.agg(sum(expr("CAST(round(w * w * 1e15) AS BIGINT)")).as("nq"))
+        val next = w.crossJoin(broadcast(nrm))
+          .select(col("i"),
+            (col("w") / sqrt(col("nq").cast("double") / 1e15)).as("v"))
+          .localCheckpoint(false)
+        (next, false)
+      }
+      val lam = mul(vt).join(vt, Seq("i"))
+        .agg((sum(expr("CAST(round(w * v * 1e15) AS BIGINT)"))
+          .cast("double") / 1e15).as("l"))
+      val tr = cu.filter(col("i") === col("j"))
+        .agg((sum(expr("CAST(round(a * 1e15) AS BIGINT)"))
+          .cast("double") / 1e15).as("t"))
+      vt.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+        .select(col("i"),
+          (round(col("v"), 6) + lit(0.0)).as("loading"), // fold -0.0
+          round(col("l"), 6).as("eigenvalue"),
+          round(col("l") / col("t"), 6).as("var_explained"))
+        .orderBy("i")
+    },
+    Some("""
+      WITH RECURSIVE
+      si AS (SELECT vec_id, embedding,
+               unnest(range(len(embedding))) AS i FROM embeddings),
+      dims AS (SELECT i,
+                 sum(CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e9) AS BIGINT)) AS sx,
+                 count(*) AS n
+               FROM si GROUP BY i),
+      sij AS (SELECT vec_id, embedding, i,
+                unnest(range(i, len(embedding))) AS j FROM si),
+      pq AS (SELECT i, j,
+               sum(CAST(round(CAST(embedding[i + 1] AS DOUBLE)
+                            * CAST(embedding[j + 1] AS DOUBLE)
+                            * 1e9) AS BIGINT)) AS sxy
+             FROM sij GROUP BY i, j),
+      cu AS (SELECT pq.i, pq.j,
+               (CAST(sxy AS DOUBLE) / 1e9
+                 - (CAST(a.sx AS DOUBLE) / 1e9)
+                   * (CAST(b.sx AS DOUBLE) / 1e9) / a.n) / a.n AS a
+             FROM pq JOIN dims a ON pq.i = a.i JOIN dims b ON pq.j = b.i),
+      amat AS (SELECT i, j, a FROM cu
+               UNION ALL SELECT j, i, a FROM cu WHERE i <> j),
+      pv(iter, i, v) AS (
+        SELECT 0, i, CAST(0.125 AS DOUBLE) FROM dims
+        UNION ALL
+        SELECT iter + 1, i,
+               w / sqrt(CAST(sum(CAST(round(w*w*1e15) AS BIGINT)) OVER () AS DOUBLE)/1e15)
+        FROM (
+          SELECT p.iter AS iter, a.i AS i,
+                 CAST(sum(CAST(round(a.a * p.v * 1e15) AS BIGINT)) AS DOUBLE)/1e15 AS w
+          FROM pv p JOIN amat a ON a.j = p.i
+          WHERE p.iter < 12
+          GROUP BY p.iter, a.i)),
+      vt AS (SELECT i, v FROM pv WHERE iter = 12),
+      av AS (SELECT a.i, CAST(sum(CAST(round(a.a * v.v * 1e15) AS BIGINT)) AS DOUBLE)/1e15 AS w
+             FROM amat a JOIN vt v ON a.j = v.i GROUP BY a.i),
+      lam AS (SELECT CAST(sum(CAST(round(av.w * v.v * 1e15) AS BIGINT)) AS DOUBLE)/1e15 AS l
+              FROM av JOIN vt v ON av.i = v.i),
+      tr AS (SELECT CAST(sum(CAST(round(a * 1e15) AS BIGINT)) AS DOUBLE)/1e15 AS t
+             FROM cu WHERE i = j)
+      SELECT vt.i, round(vt.v, 6) + 0 AS loading,
+             round(lam.l, 6) AS eigenvalue,
+             round(lam.l / tr.t, 6) AS var_explained
+      FROM vt, lam, tr ORDER BY vt.i"""))
+
   val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
-    q123, q124, q125, q190, q191)
+    q123, q124, q125, q190, q191, q192)
 }
