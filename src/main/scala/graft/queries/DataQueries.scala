@@ -1749,6 +1749,83 @@ object DataQueries {
              CAST(count(CASE WHEN smp * pv < 0 THEN 1 END) AS BIGINT) AS zero_crossings
       FROM w GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** q193 — per-label simplified silhouette (centroid-based): for each
+    * vector, a = distance to its OWN label centroid, b = distance to
+    * the nearest OTHER centroid, s = (b−a)/max(a,b); reported as the
+    * per-label mean — the standard clustering-quality readout
+    * (silhouette > 0 ⇔ the label is geometrically coherent) for an
+    * embedding corpus with cluster/label structure, in the LINEAR
+    * centroid form (the exact silhouette is all-pairs quadratic — a
+    * non-starter at corpus scale; the centroid form is what sklearn
+    * users fall back to for the same reason).
+    *
+    * Plan: one (label, dim) shuffle builds the ≤|labels| centroid
+    * arrays, broadcast; every vector computes its |labels| distances
+    * map-side (per-dim squared differences quantized to 1e-12
+    * fixed-point longs, summed in one codegen'd `aggregate` — exact,
+    * order-independent); one (vec) rollup takes a²/min b², one (label)
+    * rollup means the quantized scores. Nothing pairwise, nothing
+    * driver-side.
+    */
+  val q193 = Q("q193_silhouette",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("_pos", "_v")))
+        .groupBy(col("label"), col("_pos"))
+        .agg((sum(round(col("_v").cast("double") * 1e6).cast("long")).cast("double")
+          / count(col("_v")) / 1e6).as("c"))
+        .groupBy(col("label").as("clabel"))
+        .agg(expr("transform(array_sort(collect_list(struct(_pos, c))), x -> x.c)")
+          .as("cvec"))
+      emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          expr("""aggregate(transform(sequence(0, size(embedding) - 1),
+              d -> CAST(round((CAST(element_at(embedding, d + 1) AS DOUBLE)
+                               - element_at(cvec, d + 1))
+                            * (CAST(element_at(embedding, d + 1) AS DOUBLE)
+                               - element_at(cvec, d + 1)) * 1e12) AS BIGINT)),
+            CAST(0 AS BIGINT), (acc, t) -> acc + t)""").as("d2q"))
+        .groupBy("vec_id", "label")
+        .agg(max(when(col("clabel") === col("label"), col("d2q"))).as("a2"),
+          min(when(col("clabel") =!= col("label"), col("d2q"))).as("b2"))
+        .select(col("label"),
+          ((sqrt(col("b2").cast("double") / 1e12) - sqrt(col("a2").cast("double") / 1e12))
+            / greatest(sqrt(col("a2").cast("double") / 1e12),
+              sqrt(col("b2").cast("double") / 1e12))).as("s"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(round(col("s") * 1e9).cast("long")).cast("double")
+            / count(lit(1)) / 1e9, 6).as("mean_silhouette"))
+        .orderBy("label")
+    },
+    Some("""
+      WITH cd AS (SELECT label, d,
+              CAST(sum(CAST(round(CAST(embedding[d] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+                / count(*) / 1e6 AS c
+            FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) ds
+            GROUP BY label, d),
+      cv AS (SELECT label AS clabel, list(c ORDER BY d) AS cvec FROM cd GROUP BY label),
+      dd AS (SELECT e.vec_id, e.label, cv.clabel,
+               list_sum(list_transform(range(1, 65),
+                 d -> CAST(round((CAST(e.embedding[d] AS DOUBLE) - cv.cvec[d])
+                               * (CAST(e.embedding[d] AS DOUBLE) - cv.cvec[d])
+                               * 1e12) AS BIGINT))) AS d2q
+             FROM embeddings e CROSS JOIN cv),
+      ab AS (SELECT vec_id, label,
+               max(CASE WHEN clabel = label THEN d2q END) AS a2,
+               min(CASE WHEN clabel <> label THEN d2q END) AS b2
+             FROM dd GROUP BY vec_id, label),
+      sc AS (SELECT label,
+               (sqrt(CAST(b2 AS DOUBLE) / 1e12) - sqrt(CAST(a2 AS DOUBLE) / 1e12))
+                 / greatest(sqrt(CAST(a2 AS DOUBLE) / 1e12),
+                            sqrt(CAST(b2 AS DOUBLE) / 1e12)) AS s
+             FROM ab)
+      SELECT label, count(*) AS n_vecs,
+             round(CAST(sum(CAST(round(s * 1e9) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1e9, 6) AS mean_silhouette
+      FROM sc GROUP BY label ORDER BY label"""))
+
   val q114 = Q("q114_cluster_canonical",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1801,5 +1878,5 @@ object DataQueries {
 
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
-    q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189)
+    q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193)
 }
