@@ -327,14 +327,24 @@ class StreamingSpec extends SparkSpec {
     // luma stats must be bit-identical batch vs decode-on-arrival
     val dir = Files.createTempDirectory("graft-lossy-stream").toFile
     import spark.implicits._
-    val payloads = (0L until 30L).map { id =>
+    val payloads = (0L until 40L).map { id =>
       val k = (id % 6).toInt
-      if (id % 2 == 0)
-        (id, graft.operators.AudioCodec.encodeImaAdpcmWav(8000 * (1 + k % 3),
-          Seq((k * 200 - 500, k * 11 % 89, Array.tabulate(20 + k)(j => (k + j * 5) % 16)))))
-      else
-        (id, graft.operators.VideoCodec.encodeMjpegAvi(10 + k, 8 + k, 10,
-          Seq.fill(2 + k % 3)(Array.fill((10 + k) * (8 + k))(if (k % 2 == 0) 220 else 30))))
+      (id % 4) match {
+        case 0 =>
+          (id, graft.operators.AudioCodec.encodeImaAdpcmWav(8000 * (1 + k % 3),
+            Seq((k * 200 - 500, k * 11 % 89, Array.tabulate(20 + k)(j => (k + j * 5) % 16)))))
+        case 1 =>
+          (id, graft.operators.VideoCodec.encodeMjpegAvi(10 + k, 8 + k, 10,
+            Seq.fill(2 + k % 3)(Array.fill((10 + k) * (8 + k))(if (k % 2 == 0) 220 else 30))))
+        case 2 => // µ-law: same shared audio-feature path, third format tag
+          (id, graft.operators.AudioCodec.encodeMulawWav(8000,
+            Array.tabulate(30 + k)(j => (k * 11 + j * 7) % 256)))
+        case _ => // RLE8: inter-frame skips must decode identically on a stream
+          val (w, h) = (6 + k, 5 + k)
+          val f0 = Array.tabulate(w * h)(i => (k * 37 + i * 7) % 211)
+          val f1 = f0.clone(); (0 until w).foreach(x => f1(x) = (k * 53 + x * 11) % 199)
+          (id, graft.operators.VideoCodec.encodeRle8Avi(w, h, 10, Seq(f0, f1, f1)))
+      }
     }
     val df = payloads.toDF("doc_id", "payload")
     val audioBatch = graft.operators.AudioCodec
@@ -357,9 +367,10 @@ class StreamingSpec extends SparkSpec {
     }
     assert(spark.read.parquet(s"$dir/out-audio").collect().map(_.toSeq).toSet == audioBatch)
     assert(spark.read.parquet(s"$dir/out-video").collect().map(_.toSeq).toSet == videoBatch)
-    // the audio half decoded, the video half did not (and vice versa)
-    assert(audioBatch.count(_(1) == true) == 15)
-    assert(videoBatch.count(_(1) == true) == 15)
+    // the audio half (ADPCM + µ-law) decoded through the audio path,
+    // the video half (MJPEG + RLE8) through the video path — not both
+    assert(audioBatch.count(_(1) == true) == 20)
+    assert(videoBatch.count(_(1) == true) == 20)
   }
 
   test("psiOf stays finite when a reference bucket has zero share") {
