@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Hashing
-import graft.operators.{AudioCodec, Dedup, MultimodalCodec, MultimodalStub, Similarity, VideoCodec, TextAnalysis => TA}
+import graft.operators.{AudioCodec, Dedup, MultimodalCodec, MultimodalStub, Similarity, TextCodec, VideoCodec, TextAnalysis => TA}
 import graft.operators.Relational.dedupKeepFirst
 
 /** Training-data pipeline operators over the `documents` and
@@ -1826,6 +1826,45 @@ object DataQueries {
                / count(*) / 1e9, 6) AS mean_silhouette
       FROM sc GROUP BY label ORDER BY label"""))
 
+  /** q194 — gzip-compressed corpus scan: each document's text is
+    * stored as REAL gzip bytes (RFC 1952 / DEFLATE — LZ77 + canonical
+    * Huffman, the framing of every web-crawl and log archive) and
+    * decoded through [[TextCodec.decodeTextPayloads]]'s capped
+    * inflater before the standard text features run UNCHANGED on the
+    * decompressed column. Because DEFLATE is lossless, the oracle
+    * needs no codec at all: it computes the same features directly on
+    * the plain `documents` table — any inflater fault, charset slip,
+    * or silent truncation (the bomb cap rejects, never trims)
+    * hash-fails against text that must match byte-for-byte. Map-only
+    * decode, zero shuffles.
+    */
+  val q194 = Q("q194_gzip_corpus",
+    (s, dir) => {
+      import s.implicits._
+      val gz = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(it => it.map { case (id, t) => (id, TextCodec.gzipUtf8(t)) })
+        .toDF("doc_id", "payload")
+      TextCodec.decodeTextPayloads(gz, "doc_id", "payload")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(TA.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          TA.rollingFingerprint(col("text")).as("roll_fp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, text,
+             list_transform($duckTokens, x -> ${duckHash64("x")} & ${Dedup.MinhashP}) AS hs
+             FROM documents)
+      SELECT doc_id,
+             length(text) AS n_chars,
+             CAST(len($duckTokens) AS BIGINT) AS n_ws_tokens,
+             CASE WHEN len(hs) = 0 THEN 0
+                  ELSE list_reduce(hs, (acc, h) -> (acc * 131 + h) % ${Dedup.MinhashP})
+             END AS roll_fp
+      FROM t ORDER BY doc_id"""))
+
   val q114 = Q("q114_cluster_canonical",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1878,5 +1917,6 @@ object DataQueries {
 
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
-    q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193)
+    q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
+    q194)
 }
