@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   * literally, a correct chunk-walk IS the decode, q177/q178), IMA
   * ADPCM (tag 0x11 — a REAL lossy codec whose decode is deterministic
   * integer math, so even its 4→16-bit expansion is arithmetically
-  * replayable by an external oracle, q181), and G.711 µ-law (tag 7 —
-  * the telephone network's companding codec, one closed-form integer
-  * expansion per byte, q189). Perceptual-transform codecs (MP3/AAC)
-  * stay honestly stubbed.
+  * replayable by an external oracle, q181), and both G.711 companding
+  * laws — µ-law (tag 7, q189) and A-law (tag 6, q195), each one
+  * closed-form integer expansion per byte. Perceptual-transform
+  * codecs (MP3/AAC) stay honestly stubbed.
   *
   * Spark-side shape mirrors [[MultimodalCodec]]: binary in → typed
   * integer features out, one parser pass per partition, map-only — on
@@ -301,13 +301,66 @@ object AudioCodec {
     ~(sign | (exp << 4) | mant) & 0xff
   }
 
+  /** Expand one A-law byte to its 16-bit linear sample (G.711 §A —
+    * the European/international companding twin of µ-law, WAV format
+    * tag 6). Even bits arrive inverted (XOR 0x55); sign bit 1 means
+    * POSITIVE (opposite of µ-law); segment 0 is linear, segments 1–7
+    * double. Per the public-domain CCITT reference expansion.
+    */
+  def alawDecodeByte(b: Int): Short = {
+    val a = (b ^ 0x55) & 0xff
+    val seg = (a & 0x70) >> 4
+    val t = (a & 0x0f) << 4
+    val mag = seg match {
+      case 0 => t + 8
+      case 1 => t + 0x108
+      case n => (t + 0x108) << (n - 1)
+    }
+    (if ((a & 0x80) != 0) mag else -mag).toShort
+  }
+
+  /** Compress one 16-bit linear sample to its A-law byte (inverse of
+    * [[alawDecodeByte]] up to the codec's logarithmic quantization:
+    * segment e covers magnitudes [0x100·2^(e−1), 0x100·2^e) with a
+    * 2^(e+3) step, segment 0 is linear with step 16).
+    */
+  def alawEncodeSample(sample: Int): Int = {
+    var s = sample
+    val sign = if (s >= 0) 0x80 else { s = -s; 0 } // A-law: sign bit 1 = positive
+    if (s > 32767) s = 32767
+    var e = 0
+    while (e < 7 && s >= (0x100 << e)) e += 1
+    val mant =
+      if (e == 0) (s >> 4) & 0x0f
+      else ((s - (0x100 << (e - 1))) >> (e + 3)) & 0x0f
+    ((sign | (e << 4) | mant) ^ 0x55) & 0xff
+  }
+
+  /** Encode an A-law WAV (format tag 6, mono, 8 bits per sample)
+    * directly from the A-law byte stream — the q195 fixture keeps the
+    * bitstream as ground truth, like every lossy-codec fixture here.
+    */
+  def encodeAlawWav(sampleRate: Int, alaw: Array[Int]): Array[Byte] =
+    encodeG711Wav(6, sampleRate, alaw)
+
+  /** Decode a mono A-law WAV (format tag 6). */
+  def decodeAlawWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    decodeG711Wav(6, alawDecodeByte, bytes)
+
   /** Encode a µ-law WAV (format tag 7, mono, 8 bits per sample)
     * directly from the µ-law byte stream — like
     * [[encodeImaAdpcmWav]], the fixture generator keeps the BITSTREAM
     * as ground truth so the lossy codec's decode has an exact
     * arithmetic oracle (q189).
     */
-  def encodeMulawWav(sampleRate: Int, ulaw: Array[Int]): Array[Byte] = {
+  def encodeMulawWav(sampleRate: Int, ulaw: Array[Int]): Array[Byte] =
+    encodeG711Wav(7, sampleRate, ulaw)
+
+  /** Shared G.711 WAV writer: format `tag` (6 = A-law, 7 = µ-law),
+    * mono, one byte per sample.
+    */
+  private def encodeG711Wav(fmtTag: Int, sampleRate: Int,
+                            ulaw: Array[Int]): Array[Byte] = {
     val dataLen = ulaw.length
     val bos = new ByteArrayOutputStream(46 + dataLen)
     def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
@@ -315,7 +368,7 @@ object AudioCodec {
     def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
     ascii("RIFF"); le32(4 + (8 + 18) + (8 + 4) + (8 + dataLen) + (dataLen & 1)); ascii("WAVE")
     ascii("fmt "); le32(18)
-    le16(7) // WAVE_FORMAT_MULAW
+    le16(fmtTag) // 6 = WAVE_FORMAT_ALAW, 7 = WAVE_FORMAT_MULAW
     le16(1) // mono
     le32(sampleRate)
     le32(sampleRate) // byte rate: one byte per sample
@@ -334,7 +387,14 @@ object AudioCodec {
     * byte. Returns (sampleRate, 1, samples); anything
     * non-µ-law/multichannel/truncated → None.
     */
-  def decodeMulawWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+  def decodeMulawWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    decodeG711Wav(7, mulawDecodeByte, bytes)
+
+  /** Shared G.711 WAV reader: format `tag` gates the `fmt ` chunk,
+    * `expand` maps each data byte to its linear sample.
+    */
+  private def decodeG711Wav(fmtTag: Int, expand: Int => Short,
+                            bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
     def u8(i: Int): Int = bytes(i) & 0xff
     def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -353,13 +413,13 @@ object AudioCodec {
         val channels = le16(pos + 10)
         sampleRate = le32(pos + 12)
         val bits = le16(pos + 22)
-        if (fmt != 7 || bits != 8 || channels != 1) return None
+        if (fmt != fmtTag || bits != 8 || channels != 1) return None
         ok = true
       } else if (tag(pos, "data")) {
         if (!ok) return None // fmt must precede data
         val out = new Array[Short](size)
         var i = 0
-        while (i < size) { out(i) = mulawDecodeByte(u8(pos + 8 + i)); i += 1 }
+        while (i < size) { out(i) = expand(u8(pos + 8 + i)); i += 1 }
         return Some((sampleRate, 1, out))
       }
       pos += 8 + size + (size & 1) // chunks are word-aligned: odd sizes carry a pad byte
@@ -420,9 +480,10 @@ object AudioCodec {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // one parser pass: PCM (tag 1), else IMA ADPCM (0x11), else µ-law (7)
+          // one parser pass: PCM (tag 1), else IMA ADPCM (0x11), else
+          // G.711 µ-law (7) / A-law (6)
           decodePcmWav(bytes).orElse(decodeImaAdpcmWav(bytes))
-            .orElse(decodeMulawWav(bytes)) match {
+            .orElse(decodeMulawWav(bytes)).orElse(decodeAlawWav(bytes)) match {
             case Some((sr, _, s)) =>
               var sumAbs = 0L
               var peak = 0L

@@ -1826,6 +1826,52 @@ object DataQueries {
                / count(*) / 1e9, 6) AS mean_silhouette
       FROM sc GROUP BY label ORDER BY label"""))
 
+  /** q195 — G.711 A-law decode, the second companding law (WAV tag 6,
+    * the European/international twin of q189's µ-law — together they
+    * close the whole G.711 family): even bits arrive inverted
+    * (XOR 0x55), sign bit 1 means POSITIVE, segment 0 is linear and
+    * higher segments double. Same bitstream-as-ground-truth fixture
+    * and closed-form SQL oracle as q189; the two laws' different bit
+    * conventions mean a decoder that confused them fails both gates.
+    */
+  val q195 = Q("q195_alaw_decode",
+    (s, dir) => {
+      import s.implicits._
+      val gz = Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val k = (id % 50).toInt
+            val n = 48 + k % 57
+            val alaw = Array.tabulate(n)(j => (k * 13 + j * 11) % 256)
+            (id, AudioCodec.encodeAlawWav(8000, alaw))
+          }
+        }
+        .toDF("doc_id", "payload")
+      AudioCodec.decodeAudioFeatures(gz, "doc_id", "payload")
+        .select("doc_id", "sample_rate", "n_samples", "sum_abs", "peak_abs",
+          "zero_crossings")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+      d AS (SELECT doc_id, k, 48 + k % 57 AS n FROM p),
+      s AS (SELECT doc_id, k, n, unnest(range(n)) AS j FROM d),
+      u AS (SELECT doc_id, n, j, xor((k*13 + j*11) % 256, 85) AS a FROM s),
+      m AS (SELECT doc_id, n, j, a,
+              CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                   ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1)) END AS mag
+            FROM u),
+      v AS (SELECT doc_id, n, j,
+              CASE WHEN a >= 128 THEN mag ELSE -mag END AS smp FROM m),
+      w AS (SELECT doc_id, n, smp,
+              lag(smp) OVER (PARTITION BY doc_id ORDER BY j) AS pv FROM v)
+      SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+             CAST(any_value(n) AS BIGINT) AS n_samples,
+             CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+             CAST(max(abs(smp)) AS BIGINT) AS peak_abs,
+             CAST(count(CASE WHEN smp * pv < 0 THEN 1 END) AS BIGINT) AS zero_crossings
+      FROM w GROUP BY doc_id ORDER BY doc_id"""))
+
   /** q194 — gzip-compressed corpus scan: each document's text is
     * stored as REAL gzip bytes (RFC 1952 / DEFLATE — LZ77 + canonical
     * Huffman, the framing of every web-crawl and log archive) and
@@ -1918,5 +1964,5 @@ object DataQueries {
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
-    q194)
+    q194, q195)
 }

@@ -54,6 +54,36 @@ class MulawSpec extends SparkSpec {
     assert(AudioCodec.decodePcmWav(wav).isEmpty)
   }
 
+  test("A-law corner values decode to the published extremes") {
+    // code 0x2A (binary 00101010 ^ 0x55 = 0x7F: sign 0, seg 7, mant 15)
+    // is the negative rail; 0xAA the positive — CCITT expansion ±32256
+    assert(AudioCodec.alawDecodeByte(0x2A) == -32256)
+    assert(AudioCodec.alawDecodeByte(0xAA) == 32256)
+    // the two smallest-magnitude codes: ±8
+    assert(AudioCodec.alawDecodeByte(0x55) == -8)
+    assert(AudioCodec.alawDecodeByte(0xD5) == 8)
+  }
+
+  test("A-law encode(decode(b)) == b for all 256 codes") {
+    // unlike µ-law, A-law has no redundant zero code: every byte is
+    // canonical and must survive a decode/encode round-trip
+    for (b <- 0 to 255)
+      assert(AudioCodec.alawEncodeSample(AudioCodec.alawDecodeByte(b)) == b,
+        f"code 0x$b%02x")
+  }
+
+  test("A-law WAV round-trips and is not claimed by the µ-law decoder") {
+    val alaw = Array.tabulate(77)(j => (j * 13 + 5) % 256)
+    val wav = AudioCodec.encodeAlawWav(8000, alaw)
+    val Some((sr, ch, samples)) = AudioCodec.decodeAlawWav(wav)
+    assert(sr == 8000 && ch == 1 && samples.length == 77)
+    for (j <- alaw.indices)
+      assert(samples(j) == AudioCodec.alawDecodeByte(alaw(j)), s"sample $j")
+    assert(AudioCodec.decodeMulawWav(wav).isEmpty)
+    assert(AudioCodec.decodeAlawWav(
+      AudioCodec.encodeMulawWav(8000, alaw)).isEmpty)
+  }
+
   test("decodeAudioFeatures decodes µ-law payloads through the shared path") {
     import spark.implicits._
     // codes 0x00 (−32124) and 0x80 (+32124): one sign change, symmetric sums
