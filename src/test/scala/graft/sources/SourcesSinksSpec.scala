@@ -24,6 +24,33 @@ class SourcesSinksSpec extends SparkSpec {
       Seq(Seq(1, 2.5, "a"), Seq(2, null, "b")))
   }
 
+  test("gzip CSV reads transparently but costs splittability — the scale caveat") {
+    val dir = Files.createTempDirectory("graft-srcgz").toString
+    val body = new StringBuilder("id,v,s\n")
+    (1 to 40000).foreach(i => body.append(s"$i,${i % 97}.5,row-padding-$i\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"), body.toString)
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/t.csv.gz"))
+    gz.write(body.toString.getBytes("UTF-8")); gz.close()
+
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val plain = Sources.csv(spark, s"$dir/t.csv", schema)
+      val packed = Sources.csv(spark, s"$dir/t.csv.gz", schema)
+      // same rows either way — Spark dispatches the codec by extension
+      assert(packed.count() == 40000 && plain.count() == 40000)
+      assert(rows(packed.orderBy("id").limit(1)) == rows(plain.orderBy("id").limit(1)))
+      // the ~1 MB plain file splits into many input partitions at a
+      // 64 KiB target; the gzip stream CANNOT split — one task must
+      // inflate the whole file. This is why a 100 TB ingest wants many
+      // medium .gz files (or zstd/bzip2 splittable framing), never one
+      // giant gzip member.
+      assert(plain.rdd.getNumPartitions > 4, s"plain=${plain.rdd.getNumPartitions}")
+      assert(packed.rdd.getNumPartitions == 1, s"gz=${packed.rdd.getNumPartitions}")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("jsonRecords parses a REST-style record array with pinned schema") {
     val records = Seq("""{"id":1,"v":1.5,"s":"x"}""", """{"id":2,"v":null,"s":"y"}""")
     val df = Sources.jsonRecords(spark, records, schema)
