@@ -40,6 +40,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_shingle_hash_list"),
       new ExpressionInfo(classOf[ShingleHashList].getName, "graft_shingle_hash_list"),
       (children: Seq[Expression]) => ShingleHashList(children.head, children(1))),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)),
     (FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinhashBands].getName, "graft_minhash_bands"),
       (children: Seq[Expression]) => MinhashBands(children.head, children(1), children(2))))

@@ -557,5 +557,83 @@ object CorpusQueries {
              (list(doc_id ORDER BY doc_id))[1:8] AS postings
       FROM d GROUP BY token HAVING count(*) >= 50 ORDER BY token"""))
 
-  val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187)
+  /** q196 — exact duplicated-substring spans (the span-level
+    * counterpart of document dedup, after "Deduplicating Training Data
+    * Makes Language Models Better", Lee et al. 2021): every 8-token
+    * window that appears VERBATIM in ≥2 distinct documents, merged per
+    * document into maximal token spans `[start_tok, end_tok]`. A
+    * curation pipeline cuts these spans out of the surviving copy too —
+    * boilerplate, licenses, and templated passages recur across
+    * documents that are nowhere near whole-document duplicates, which
+    * is why MinHash/SimHash never see them.
+    *
+    * Plan, and why it holds at 100 TB:
+    *  1. one scan → `graft_shingle_hash_list(text, 8)` (the compiled
+    *     single-pass kernel) + posexplode — windows travel as
+    *     (doc_id, pos, 61-bit hash), never as gram strings, so the
+    *     exploded shuffle is ~20 bytes/token;
+    *  2. shared-window detection is a groupBy(hash) with map-side
+    *     partial counts — O(distinct windows) state, no pairwise work;
+    *  3. the (tiny) shared-hash set joins back to the window stream —
+    *     AQE reads its true size and broadcasts it in production
+    *     (boilerplate is a vanishing fraction of distinct windows);
+    *  4. span merging is gaps-and-islands per document
+    *     (pos − row_number over doc_id): partition cardinality is one
+    *     document's windows, bounded by document length, never corpus
+    *     size.
+    * Both engines hash windows identically (md5-60-bit & 2^31−1), so
+    * even hash collisions — which at corpus scale a production run
+    * would verify-pass like q36 — cannot diverge the gate.
+    *
+    * Sub-8-token documents contribute their whole-text hash at pos 0
+    * (kernel semantics, uniform with q36/q38/q61); the synthetic corpus
+    * has none (min 10 tokens), and the oracle mirrors the branch.
+    */
+  val q196 = Q("q196_dup_spans",
+    (s, dir) => {
+      val wins = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(call_function("graft_shingle_hash_list", col("text"), lit(8))))
+        .toDF("doc_id", "pos", "gh")
+        .withColumn("pos", col("pos").cast("long"))
+      val shared = wins.groupBy("gh")
+        .agg(countDistinct("doc_id").as("_nd"))
+        .filter(col("_nd") > 1)
+        .select("gh")
+      val hit = wins.join(shared, Seq("gh"))
+      hit
+        .withColumn("_grp",
+          col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+        .groupBy(col("doc_id"), col("_grp"))
+        .agg(min("pos").as("start_tok"),
+          (max(col("pos")) + lit(7L)).as("end_tok"),
+          count(lit(1)).as("n_windows"))
+        .select(col("doc_id"), col("start_tok"), col("end_tok"),
+          (col("end_tok") - col("start_tok") + lit(1L)).as("span_tokens"),
+          col("n_windows"))
+        .orderBy("doc_id", "start_tok")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      win AS (
+        SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+               ${duckHash64("array_to_string(w[u.i:u.i+7], ' ')")} & ${Dedup.MinhashP} AS gh
+        FROM t, unnest(range(1, len(w) - 6)) AS u(i)
+        WHERE len(w) >= 8
+        UNION ALL
+        SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+               ${duckHash64("array_to_string(w, ' ')")} & ${Dedup.MinhashP} AS gh
+        FROM t WHERE len(w) < 8),
+      sh AS (SELECT gh FROM win GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+      hit AS (SELECT doc_id, pos FROM win WHERE gh IN (SELECT gh FROM sh)),
+      g AS (SELECT doc_id, pos,
+              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM hit)
+      SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
+             max(pos) + 7 - min(pos) + 1 AS span_tokens,
+             CAST(count(*) AS BIGINT) AS n_windows
+      FROM g GROUP BY doc_id, grp ORDER BY doc_id, start_tok"""))
+
+  val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
+    q196)
 }

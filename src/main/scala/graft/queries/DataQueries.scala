@@ -1961,8 +1961,49 @@ object DataQueries {
         PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) = 1
       ORDER BY cluster_id"""))
 
+  /** q197 — Unicode NFC normalization (TR-15 canonical composition)
+    * via the codegen'd `graft_nfc` expression. Web corpora mix
+    * composed (U+00E9 'é') and decomposed (U+0065 U+0301) encodings of
+    * the same visible text; every hash-keyed operator (exact-dup
+    * fingerprints, MinHash shingles, token counts) sees them as
+    * different bytes, so curation normalizes first. The corpus is
+    * ASCII, so the query derives decomposed text deterministically
+    * in-plan (e → e+COMBINING ACUTE, a → a+COMBINING RING ABOVE) and
+    * normalizes it back; the oracle replays the same derivation and
+    * gates with DuckDB's independent `nfc_normalize` (utf8proc — a
+    * different implementation of the same standard, which is the
+    * point). Map-only, no shuffle besides the output sort; the
+    * kernel's quick-check fast path returns already-normal text
+    * without allocating, so the production no-op case costs one scan.
+    */
+  val q197 = Q("q197_nfc_normalize",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("_dec",
+          replace(replace(col("text"), lit("e"), lit("é")),
+            lit("a"), lit("å")))
+        .withColumn("_norm", call_function("graft_nfc", col("_dec")))
+        .select(col("doc_id"),
+          length(col("_dec")).cast("long").as("n_decomposed"),
+          length(col("_norm")).cast("long").as("n_composed"),
+          (col("_norm") =!= col("_dec")).as("recomposed"),
+          md5(col("_norm").cast("binary")).as("norm_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+             replace(replace(text, 'e', 'e' || chr(769)), 'a', 'a' || chr(778)) AS dec
+           FROM documents),
+      n AS (SELECT doc_id, dec, nfc_normalize(dec) AS norm FROM d)
+      SELECT doc_id,
+             CAST(length(dec) AS BIGINT) AS n_decomposed,
+             CAST(length(norm) AS BIGINT) AS n_composed,
+             norm <> dec AS recomposed,
+             md5(norm) AS norm_md5
+      FROM n ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
-    q194, q195)
+    q194, q195, q197)
 }

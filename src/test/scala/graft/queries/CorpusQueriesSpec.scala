@@ -30,6 +30,36 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
   }
 
+  test("q196 dup spans == brute-force maximal shared-window spans") {
+    graft.expressions.GraftExtensions.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    // Brute force: literal 8-token windows (gram strings, no hashing),
+    // windows shared by >=2 distinct docs, merged into maximal runs.
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val wins = docs.flatMap { case (id, toks) =>
+      if (toks.length < 8) Seq((id, 0, toks.mkString(" ")))
+      else toks.sliding(8).zipWithIndex.map { case (w, i) => (id, i, w.mkString(" ")) }
+    }
+    val shared = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.length > 1).keySet
+    val expected = wins.filter(w => shared(w._3)).groupBy(_._1).toSeq.flatMap {
+      case (id, ws) =>
+        val ps = ws.map(_._2).sorted
+        // split sorted positions into consecutive runs
+        val runs = ps.foldLeft(List.empty[List[Int]]) {
+          case (acc @ (h :: t), p) if h.nonEmpty && p == h.head + 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }.map(_.reverse).reverse
+        runs.map(r => (id, r.head.toLong, r.last.toLong + 7,
+          r.last.toLong + 7 - r.head + 1, r.length.toLong))
+    }.sortBy(r => (r._1, r._2))
+    val actual = CorpusQueries.q196.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(actual.nonEmpty, "sf0.001 must contain planted shared spans")
+    assert(actual.toSeq == expected.toSeq)
+  }
+
   test("contaminationOverlap runs no job at plan construction") {
     graft.expressions.GraftExtensions.register(spark)
     import spark.implicits._
