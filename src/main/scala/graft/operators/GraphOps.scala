@@ -163,6 +163,107 @@ object GraphOps {
     }.select(col("id"), col("dist"))
   }
 
+  /** The k-core of an undirected graph: the maximal subgraph in which
+    * every node has degree ≥ k — the standard "dense part" extractor
+    * (spam/link-farm mining, community seeding, graph sparsification
+    * before an expensive all-pairs stage).
+    *
+    * Algorithm: iterative peeling. Each round drops every edge with an
+    * endpoint of current degree < k; the surviving edge set shrinks
+    * monotonically to a fixpoint. The k-core is UNIQUE and
+    * order-independent (peeling is confluent), so simultaneous edge
+    * peeling reaches the same fixpoint as the textbook node-at-a-time
+    * formulation — which is what makes the result engine-checkable.
+    *
+    * Scale: each round is one degree groupBy on `src` plus two
+    * semi-join-shaped filters against the (shrinking) survivor set —
+    * shuffle volume is O(|E_surviving|) per round, no pairwise work;
+    * rounds are bounded by the peel depth (small in practice: most
+    * mass leaves in the first rounds). Convergence is mandatory — a
+    * partial peel is a WRONG k-core, not an approximation.
+    *
+    * @param edges0 symmetrized edge list (both directions present);
+    *               degrees are per-`src` counts of the distinct set.
+    * @return the k-core's surviving (src, dst) edge set.
+    */
+  def kCore(edges0: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIter: Int = 40): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(false)
+    var prevCount = edges.count()
+    FixpointLoop.iterateUntilFixpoint(edges, maxIter, "kCore") { cur =>
+      if (prevCount == 0L) (cur, true)
+      else {
+        val ok = cur.groupBy("src").agg(count(lit(1)).as("_deg"))
+          .filter(col("_deg") >= k).select("src")
+          .localCheckpoint(false) // feeds both endpoint filters
+        val next = cur
+          .join(ok.select(col("src").as("_oks")), col("src") === col("_oks"))
+          .drop("_oks")
+          .join(ok.select(col("src").as("_okd")), col("dst") === col("_okd"))
+          .drop("_okd")
+          .localCheckpoint(false)
+        val n = next.count()
+        val done = n == prevCount
+        prevCount = n
+        (next, done)
+      }
+    }
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) with a
+    * deterministic vote: after `rounds` full rounds, each node carries
+    * the label that won the plurality of its neighborhood's votes,
+    * ties broken toward the SMALLEST label. Every node also casts one
+    * vote for its own current label (a self-loop in the vote graph) —
+    * the standard damping that stops the two sides of a bipartite
+    * graph from swapping labels forever.
+    *
+    * Determinism is the whole design: synchronous rounds + exact
+    * integer vote counts + min-label tie-break make the result a pure
+    * function of the edge set, independent of partitioning and engine
+    * — each round's argmax is `max(struct(votes, -label))`, a
+    * lexicographic comparison both Spark and the oracle's SQL evaluate
+    * identically. (Classic randomized-order LPA is irreproducible by
+    * construction — useless in a pipeline that must be auditable.)
+    *
+    * Scale: per round, one shuffle of the edge list keyed on the vote
+    * target plus a groupBy on (node, label) with map-side partials;
+    * state is one row per node. A fixed round budget (not convergence)
+    * bounds the cost, like [[pageRank]].
+    *
+    * @param edges0 symmetrized edge list (both directions present).
+    * @return (id, community) — community = the surviving label.
+    */
+  def labelPropagation(edges0: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(false)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct().localCheckpoint(false)
+    // self-loops carry the self-vote through the same join as
+    // neighbor votes — one code path, and the oracle mirrors it
+    val voteEdges = edges
+      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .localCheckpoint(false)
+    FixpointLoop.iterateUntilFixpoint(
+        nodes.select(col("id"), col("id").as("lab")),
+        rounds, "labelPropagation", requireConvergence = false) { cur =>
+      val votes = cur.join(voteEdges, col("id") === col("src"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("_cnt"))
+      val next = votes
+        .select(col("dst").as("id"),
+          struct(col("_cnt"), (-col("lab")).as("_nl")).as("_v"))
+        .groupBy("id").agg(max("_v").as("_v"))
+        .select(col("id"), (-col("_v._nl")).as("lab"))
+        .localCheckpoint(false)
+      (next, false)
+    }.select(col("id"), col("lab").as("community"))
+  }
+
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
                iters: Int, d: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")

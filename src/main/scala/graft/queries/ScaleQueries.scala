@@ -907,6 +907,57 @@ object ScaleQueries {
             UNION ALL SELECT * FROM c UNION ALL SELECT * FROM r)
       ORDER BY rule"""))
 
+  // --------------------------------------------------------------- q200
+
+  /** q200 — rendezvous (highest-random-weight) shard assignment: doc d
+    * lands on argmax_j hash('rdv|' || d || '|' || j). The property a
+    * consistent-hash deployment buys: growing 8 → 9 shards moves a doc
+    * IFF the new shard wins its hash race, so exactly the winners of
+    * shard 8 move (≈1/9 of the corpus) and every mover goes TO the new
+    * shard — no doc ever moves between two old shards, unlike
+    * mod-N sharding where reshaping reshuffles everything. The query
+    * computes both assignments and the per-doc movement flag; the spec
+    * pins the all-movers-go-to-the-new-shard invariant.
+    *
+    * Scale: map-only — one hash per (doc, shard) evaluated in a
+    * per-row transform, no shuffle, no coordination state; the
+    * assignment is a pure function any executor (or any other engine)
+    * recomputes identically, which is also what makes incremental
+    * re-sharding auditable. Ties (60-bit hash equality) break to the
+    * first max via array_position — mirrored exactly in the oracle.
+    */
+  val q200 = Q("q200_rendezvous",
+    (s, dir) => {
+      def weights(n: Int): Column = transform(sequence(lit(0), lit(n - 1)),
+        j => Hashing.hash64(concat(lit("rdv|"), col("doc_id").cast("string"),
+          lit("|"), j.cast("string"))))
+      def shard(n: Int): Column = {
+        val w = weights(n)
+        (array_position(w, array_max(w)) - 1).cast("long")
+      }
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          shard(8).as("shard8"),
+          shard(9).as("shard9"))
+        .withColumn("moved", col("shard8") =!= col("shard9"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH a AS (
+        SELECT doc_id,
+          list_transform(range(0, 8), j ->
+            ${duckHash64("concat('rdv|', CAST(doc_id AS VARCHAR), '|', CAST(j AS VARCHAR))")}) AS w8,
+          list_transform(range(0, 9), j ->
+            ${duckHash64("concat('rdv|', CAST(doc_id AS VARCHAR), '|', CAST(j AS VARCHAR))")}) AS w9
+        FROM documents),
+      b AS (
+        SELECT doc_id,
+          CAST(list_position(w8, list_max(w8)) - 1 AS BIGINT) AS shard8,
+          CAST(list_position(w9, list_max(w9)) - 1 AS BIGINT) AS shard9
+        FROM a)
+      SELECT doc_id, shard8, shard9, shard8 <> shard9 AS moved
+      FROM b ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q92, q93, q94, q95, q96, q97, q98, q99, q100,
-    q101, q102, q103, q104, q105, q106, q119, q120, q121, q122)
+    q101, q102, q103, q104, q105, q106, q119, q120, q121, q122, q200)
 }

@@ -961,6 +961,118 @@ object StatQueries {
              round(lam.l / tr.t, 6) AS var_explained
       FROM vt, lam, tr ORDER BY vt.i"""))
 
+  // --------------------------------------------------------------- q198
+
+  /** q198 — k-core extraction ([[GraphOps.kCore]], k=12) on q190's
+    * encoded customer↔supplier graph: the maximal subgraph where every
+    * node keeps degree ≥ 12 after iterative peeling — the dense-part
+    * extractor (link-farm mining, community seeding, sparsifying a
+    * graph before an expensive all-pairs stage). Output is each core
+    * node's IN-CORE degree — the number that changed from its raw
+    * degree is exactly what peeling did.
+    *
+    * The k-core is unique and peel-order-independent (peeling is
+    * confluent), so Spark's run-to-fixpoint loop and the oracle's
+    * fixed 12-round recursive-CTE unroll land on the same set — the
+    * extra oracle rounds past the fixpoint re-emit it unchanged.
+    */
+  val q198 = Q("q198_kcore",
+    (s, dir) => {
+      import graft.operators.GraphOps
+      val e = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+        .localCheckpoint(false)
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      GraphOps.kCore(sym, "src", "dst", k = 12)
+        .groupBy("src").agg(count(lit(1)).as("core_deg"))
+        .select(
+          when(col("src") % 2 === 0, lit("c")).otherwise(lit("s")).as("kind"),
+          expr("src div 2").as("node_key"),
+          col("core_deg"))
+        .orderBy("kind", "node_key")
+    },
+    Some("""
+      WITH RECURSIVE
+      e AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      ed AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      kc(r, src, dst) AS (
+        SELECT 0, src, dst FROM ed
+        UNION ALL
+        SELECT r + 1, src, dst FROM (
+          SELECT r, src, dst,
+            count(*) OVER (PARTITION BY r, src) AS ds,
+            count(*) OVER (PARTITION BY r, dst) AS dd
+          FROM kc)
+        WHERE r < 12 AND ds >= 12 AND dd >= 12)
+      SELECT CASE WHEN src % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+             src // 2 AS node_key,
+             CAST(count(*) AS BIGINT) AS core_deg
+      FROM kc WHERE r = 12
+      GROUP BY src ORDER BY kind, node_key"""))
+
+  // --------------------------------------------------------------- q199
+
+  /** q199 — deterministic label-propagation communities
+    * ([[GraphOps.labelPropagation]], 4 synchronous rounds) on the same
+    * encoded graph: plurality vote over neighbor labels plus one
+    * self-vote, ties to the smallest label. Randomized-order LPA is
+    * irreproducible by construction; the synchronous + exact-count +
+    * min-tie-break variant is a pure function of the edge set, which
+    * is what lets an independent engine replay all 4 rounds and match
+    * per-node labels bit-for-bit (the `max(struct(votes, −label))`
+    * argmax is the same lexicographic comparison in both engines).
+    */
+  val q199 = Q("q199_label_propagation",
+    (s, dir) => {
+      import graft.operators.GraphOps
+      val e = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+        .localCheckpoint(false)
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      GraphOps.labelPropagation(sym, "src", "dst", rounds = 4)
+        .select(
+          when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("kind"),
+          expr("id div 2").as("node_key"),
+          when(col("community") % 2 === 0, lit("c")).otherwise(lit("s")).as("community_kind"),
+          expr("community div 2").as("community_key"))
+        .orderBy("kind", "node_key")
+    },
+    Some("""
+      WITH RECURSIVE
+      e AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      ed AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      n AS (SELECT DISTINCT v
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+      ed2 AS (SELECT src, dst FROM ed UNION ALL SELECT v, v FROM n),
+      lp(r, v, lab) AS (
+        SELECT 0, v, v FROM n
+        UNION ALL
+        SELECT r + 1, v, -((mx).nl) FROM (
+          SELECT r, dst AS v, max({'c': cnt, 'nl': -lab}) AS mx FROM (
+            SELECT l.r AS r, ed2.dst AS dst, l.lab AS lab,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM lp l JOIN ed2 ON l.v = ed2.src
+            WHERE l.r < 4
+            GROUP BY 1, 2, 3)
+          GROUP BY 1, 2))
+      SELECT CASE WHEN v % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+             v // 2 AS node_key,
+             CASE WHEN lab % 2 = 0 THEN 'c' ELSE 's' END AS community_kind,
+             lab // 2 AS community_key
+      FROM lp WHERE r = 4 ORDER BY kind, node_key"""))
+
   val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
-    q123, q124, q125, q190, q191, q192)
+    q123, q124, q125, q190, q191, q192, q198, q199)
 }

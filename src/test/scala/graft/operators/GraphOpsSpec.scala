@@ -94,6 +94,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.size == 61 && (100L to 160L).forall(out(_) == 100L))
   }
 
+  test("kCore peels a pendant chain off a clique over multiple rounds") {
+    import spark.implicits._
+    // K5 (nodes 0-4) + appendage 5,6,7: node 7 (deg 2) dies in round 1,
+    // which drops 5 and 6 to degree 2 so they die in round 2 — degrees
+    // that only fall below k AFTER a neighbor peels, a genuinely
+    // multi-round cascade for k=3.
+    val clique = for { a <- 0 to 4; b <- 0 to 4 if a != b } yield (a.toLong, b.toLong)
+    val extra = Seq((5L, 6L), (5L, 7L), (6L, 7L), (5L, 0L), (6L, 0L))
+    val sym = (clique ++ extra.flatMap { case (a, b) => Seq((a, b), (b, a)) })
+      .toDF("src", "dst")
+    val core = GraphOps.kCore(sym, "src", "dst", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core == clique.toSet, s"3-core of K5+chain must be exactly K5, got $core")
+    // k above the max degree: peel cascades to empty, still converges
+    assert(GraphOps.kCore(sym, "src", "dst", k = 10).isEmpty)
+  }
+
+  test("labelPropagation: two planted communities, deterministic labels") {
+    import spark.implicits._
+    // two triangles {0,1,2} and {10,11,12} bridged by one edge 2-10.
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (2L, 10L))
+    val sym = tri.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val out = GraphOps.labelPropagation(sym, "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-replay: min-label tie-breaking floods 0 through the left
+    // triangle; the bridge briefly pulls node 10 to label 2 in round 1,
+    // but its own triangle's majority reclaims it — the planted split
+    assert(Set(0L, 1L, 2L).forall(v => out(v) == 0L), out.toString)
+    assert(Set(10L, 11L, 12L).forall(v => out(v) == 10L), out.toString)
+    // determinism: a second run is identical
+    val again = GraphOps.labelPropagation(sym, "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
   test("pageRank round 1 agrees with the oracle-gated q110 step") {
     val sf = "/root/testdata/sf0.001"
     // q110's bipartite math keeps customer and supplier id spaces

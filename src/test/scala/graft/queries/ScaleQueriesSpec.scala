@@ -293,4 +293,24 @@ class ScaleQueriesSpec extends SparkSpec {
     assert(total == graft.Tables.load(spark, sf, "orders").count(),
       "null-safe join must cover every order exactly once")
   }
+
+  test("q200: rendezvous resharding moves only winners, all to the new shard") {
+    val r = rows(ScaleQueries.q200.fn(spark, sf))
+    assert(r.nonEmpty)
+    val moved = r.filter(_(3).asInstanceOf[Boolean])
+    // the HRW invariant: a doc moves IFF the new shard (index 8) wins
+    // its hash race — so every mover lands on shard 8 and nothing
+    // shuffles between old shards
+    assert(moved.forall(_(2).asInstanceOf[Long] == 8L),
+      s"movers must all land on the new shard: ${moved.take(5)}")
+    r.filterNot(_(3).asInstanceOf[Boolean]).foreach { row =>
+      assert(row(1) == row(2), s"non-mover changed shard: $row")
+    }
+    // expected movement is 1/9 of the corpus; allow a generous band
+    val frac = moved.length.toDouble / r.length
+    assert(frac > 0.02 && frac < 0.25, s"moved fraction $frac implausible for 1/9")
+    // balance: with 500 docs over 8 shards, every shard is populated
+    val byShard = r.groupBy(_(1).asInstanceOf[Long]).view.mapValues(_.size)
+    assert(byShard.keys.toSet == (0L to 7L).toSet, byShard.toMap.toString)
+  }
 }
