@@ -312,5 +312,98 @@ object EventQueries {
       FROM act LEFT JOIN np ON act.day = np.day
       ORDER BY act.day"""))
 
-  val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118)
+  // --------------------------------------------------------------- q201
+
+  /** Round-to-nearest division by 10 on scaled longs, sign-symmetric —
+    * written out as a CASE so the Spark lambda and the DuckDB CTE
+    * evaluate the IDENTICAL integer expression (Spark `div` truncates,
+    * DuckDB `//` floors; they differ on negatives, so all divisions
+    * here run on non-negative operands only).
+    */
+  private def rdiv10(x: String, idiv: String): String =
+    s"(CASE WHEN ($x) < 0 THEN -(((-($x)) + 5) $idiv 10) ELSE (($x) + 5) $idiv 10 END)"
+
+  /** q201 — Holt double-exponential smoothing (level + linear trend,
+    * α=0.5 β=0.3) over the daily event count of each event_type: the
+    * standard pipeline-monitoring forecaster (is today's ingest volume
+    * where the trend says it should be?). Output per day: the smoothed
+    * level, trend, and one-step-ahead forecast error, all in exact
+    * micro-units.
+    *
+    * Determinism: the recurrence runs on 1e6-scaled longs with an
+    * explicit sign-symmetric round-half-away division after each
+    * update, so every (level, trend) state is an INTEGER both engines
+    * compute bit-for-bit — no accumulated float drift, the property
+    * that lets the oracle replay the whole recursion.
+    *
+    * Scale: smoothing is inherently sequential ALONG a series, so the
+    * parallel axis is ACROSS series — one groupBy(key, day) rollup
+    * (map-side partials), then one fold per key over its sorted daily
+    * array via the codegen'd `aggregate` HOF. State is O(series
+    * length) per key — bounded (daily grain: 365/year) no matter how
+    * many raw events feed each day; a 100 TB deployment has millions
+    * of keys, not long series, and each fold is one task-local pass.
+    */
+  val q201 = Q("q201_holt_smoothing",
+    (s, dir) => {
+      val d = rdiv10(_: String, "DIV")
+      val nlv = d("5 * e.y * 1000000 + 5 * (acc.lv + acc.tr)")
+      val ntr = d(s"3 * ($nlv - acc.lv) + 7 * acc.tr")
+      val holt = s"""
+        aggregate(
+          ys,
+          named_struct(
+            'lv', CAST(0 AS BIGINT), 'tr', CAST(0 AS BIGINT), 'i', 0,
+            'out', CAST(array() AS ARRAY<STRUCT<day: DATE, y: BIGINT,
+                                                lv: BIGINT, tr: BIGINT, err: BIGINT>>)),
+          (acc, e) -> CASE WHEN acc.i = 0 THEN named_struct(
+              'lv', e.y * CAST(1000000 AS BIGINT), 'tr', CAST(0 AS BIGINT), 'i', 1,
+              'out', array(named_struct('day', e.day, 'y', e.y,
+                'lv', e.y * CAST(1000000 AS BIGINT), 'tr', CAST(0 AS BIGINT),
+                'err', CAST(0 AS BIGINT))))
+            ELSE named_struct(
+              'lv', $nlv, 'tr', $ntr, 'i', acc.i + 1,
+              'out', concat(acc.out, array(named_struct('day', e.day, 'y', e.y,
+                'lv', $nlv, 'tr', $ntr,
+                'err', e.y * 1000000 - (acc.lv + acc.tr)))))
+            END,
+          acc -> acc.out)"""
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("ys"))
+        .select(col("event_type"), explode(expr(holt)).as("r"))
+        .select(col("event_type"), col("r.day").as("day"), col("r.y").as("y"),
+          col("r.lv").as("level_micro"), col("r.tr").as("trend_micro"),
+          col("r.err").as("err_micro"))
+        .orderBy("event_type", "day")
+    },
+    Some {
+      val d = rdiv10(_: String, "//")
+      val nlv = d("5 * x.y * 1000000 + 5 * (h.lv + h.tr)")
+      val ntr = d(s"3 * ($nlv - h.lv) + 7 * h.tr")
+      s"""
+      WITH RECURSIVE
+      daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2),
+      ix AS (SELECT event_type, day, y,
+                    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+             FROM daily),
+      h(event_type, i, day, y, lv, tr, err) AS (
+        SELECT event_type, i, day, y, y * 1000000,
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM ix WHERE i = 1
+        UNION ALL
+        SELECT x.event_type, x.i, x.day, x.y,
+               $nlv, $ntr,
+               x.y * 1000000 - (h.lv + h.tr)
+        FROM h JOIN ix x ON x.event_type = h.event_type AND x.i = h.i + 1)
+      SELECT event_type, day, y, lv AS level_micro, tr AS trend_micro,
+             err AS err_micro
+      FROM h ORDER BY event_type, day"""
+    })
+
+  val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1073,6 +1074,137 @@ object StatQueries {
              lab // 2 AS community_key
       FROM lp WHERE r = 4 ORDER BY kind, node_key"""))
 
+  // --------------------------------------------------------------- q202
+
+  /** q202 — Adamic-Adar link prediction over the customer↔supplier
+    * bipartite graph: for supplier pairs, Σ over common customers of
+    * 1/ln(customer's supplier-degree) — common neighbors weighted so a
+    * promiscuous hub certifies little (the classic link-prediction /
+    * record-linkage-affinity score). Top 100 pairs, ≥3 common
+    * customers.
+    *
+    * Scale: the quadratic hazard is per-customer pair fan-out, so the
+    * enumeration caps each customer at its 50 SMALLEST supplier ids
+    * (deterministic, mirrored in the oracle) — fan-out ≤ C(50,2) rows
+    * per customer regardless of hub size, the q36 hot-bucket
+    * discipline. Pairs expand from one sorted per-customer array
+    * (single groupBy exchange, no self-join re-shuffle); degrees are
+    * computed on the UNCAPPED set (the true AA weight) and join back
+    * broadcast-sized. Weights take the proven round(1e6/ln)::long
+    * recipe, so the aggregated score is an exact integer sum.
+    */
+  val q202 = Q("q202_adamic_adar",
+    (s, dir) => {
+      val cs = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+        .localCheckpoint(false) // feeds degree + capped enumeration
+      val deg = cs.groupBy("c").agg(count(lit(1)).as("dc"))
+      val capped = cs
+        .withColumn("_rn",
+          row_number().over(Window.partitionBy("c").orderBy("sp")))
+        .filter(col("_rn") <= 50)
+        .groupBy("c").agg(sort_array(collect_list("sp")).as("ss"))
+      capped.join(deg, Seq("c"))
+        .withColumn("w", expr("CAST(round(1000000 / ln(dc)) AS BIGINT)"))
+        .select(col("w"), explode(expr(
+          """flatten(transform(ss,
+             (x, i) -> transform(slice(ss, i + 2, size(ss)),
+                                 y -> named_struct('s1', x, 's2', y))))""")).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum("w").as("aa_micro"), count(lit(1)).as("common"))
+        .filter(col("common") >= 3)
+        .orderBy(desc("aa_micro"), col("s1"), col("s2"))
+        .limit(100)
+    },
+    Some("""
+      WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      deg AS (SELECT c, CAST(count(*) AS BIGINT) AS dc FROM cs GROUP BY c),
+      cap AS (SELECT c, sp FROM (
+                SELECT c, sp, row_number() OVER (PARTITION BY c ORDER BY sp) AS rn
+                FROM cs) WHERE rn <= 50),
+      p AS (SELECT a.c, a.sp AS s1, b.sp AS s2
+            FROM cap a JOIN cap b ON a.c = b.c AND a.sp < b.sp),
+      w AS (SELECT p.s1, p.s2,
+                   CAST(round(1000000 / ln(deg.dc)) AS BIGINT) AS w
+            FROM p JOIN deg ON p.c = deg.c)
+      SELECT s1, s2, CAST(sum(w) AS BIGINT) AS aa_micro,
+             CAST(count(*) AS BIGINT) AS common
+      FROM w GROUP BY s1, s2 HAVING count(*) >= 3
+      ORDER BY aa_micro DESC, s1, s2 LIMIT 100"""))
+
+  // --------------------------------------------------------------- q203
+
+  /** q203 — Benford first-significant-digit fingerprint of
+    * `o_totalprice` per order priority: observed digit counts vs the
+    * Benford expectation with the per-digit χ² contribution — the
+    * classic fabricated-/synthetic-data smell test (real multi-scale
+    * monetary data follows log-uniform mantissas; generated or
+    * tampered columns usually don't, and the per-digit χ² says WHERE
+    * they deviate). The engine reports the statistic; judging
+    * conformance is the caller's threshold.
+    *
+    * Engine-portability details: the first digit comes from the
+    * DECIMAL-exact integer cents value via its decimal-string length
+    * (integer→string is unambiguous in every engine — no log10() on
+    * doubles, whose last-ulp behavior is libm-specific), and the nine
+    * Benford probabilities are spelled as identical literals on both
+    * sides rather than computed, so the χ² arithmetic is the same
+    * IEEE expression everywhere. One groupBy, map-side partials; the
+    * 9-digit expectation join is a literal inline table.
+    */
+  val q203 = Q("q203_benford",
+    (s, dir) => {
+      val benford = Seq(
+        1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+        3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+        5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+        7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+        9 -> 0.04575749056067514)
+      import s.implicits._
+      val exp = benford.toDF("digit", "p_benford")
+      val obs = Tables.load(s, dir, "orders")
+        .withColumn("_cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .withColumn("digit",
+          expr("CAST(_cents div CAST(pow(10, length(CAST(_cents AS STRING)) - 1) AS BIGINT) AS INT)"))
+        .groupBy(col("o_orderpriority").as("priority"), col("digit"))
+        .agg(count(lit(1)).as("observed"))
+      val tot = obs.groupBy("priority").agg(sum("observed").as("_n"))
+      obs.join(broadcast(exp), Seq("digit"))
+        .join(tot, Seq("priority"))
+        .select(col("priority"), col("digit"), col("observed"),
+          round(col("_n") * col("p_benford"), 6).as("expected"),
+          round(pow(col("observed") - col("_n") * col("p_benford"), 2)
+            / (col("_n") * col("p_benford")), 6).as("chi2_term"))
+        .orderBy("priority", "digit")
+    },
+    Some("""
+      WITH exp0(digit, p0) AS (VALUES
+        (1, 0.3010299956639812), (2, 0.17609125905568124),
+        (3, 0.12493873660829993), (4, 0.09691001300805642),
+        (5, 0.07918124604762482), (6, 0.06694678963061322),
+        (7, 0.05799194697768673), (8, 0.05115252244738129),
+        (9, 0.04575749056067514)),
+      exp AS (SELECT digit, CAST(p0 AS DOUBLE) AS p_benford FROM exp0),
+      c AS (SELECT o_orderpriority AS priority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders),
+      o AS (SELECT priority,
+                   CAST(cents // CAST(pow(10, length(CAST(cents AS VARCHAR)) - 1) AS BIGINT) AS INT) AS digit,
+                   CAST(count(*) AS BIGINT) AS observed
+            FROM c GROUP BY 1, 2),
+      t AS (SELECT priority, CAST(sum(observed) AS BIGINT) AS n FROM o GROUP BY 1)
+      SELECT o.priority, o.digit, o.observed,
+             round(t.n * e.p_benford, 6) AS expected,
+             round(pow(o.observed - t.n * e.p_benford, 2)
+                   / (t.n * e.p_benford), 6) AS chi2_term
+      FROM o JOIN exp e ON o.digit = e.digit
+      JOIN t ON o.priority = t.priority
+      ORDER BY o.priority, o.digit"""))
+
   val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
-    q123, q124, q125, q190, q191, q192, q198, q199)
+    q123, q124, q125, q190, q191, q192, q198, q199, q202, q203)
 }

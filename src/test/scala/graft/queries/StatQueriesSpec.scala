@@ -355,4 +355,82 @@ class StatQueriesSpec extends SparkSpec {
       assert(n == bestByCluster(cid)._2, s"cluster $cid n_docs=$n != ${bestByCluster(cid)._2}")
     }
   }
+
+  test("q201: Holt recurrence replays exactly on integer state") {
+    import org.apache.spark.sql.functions._
+    // independent Scala replay of the scaled-long recurrence over the
+    // same daily counts
+    val daily = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    def rdiv10(x: Long): Long = if (x < 0) -((-x + 5) / 10) else (x + 5) / 10
+    val expected = daily.toSeq.flatMap { case (et, days) =>
+      var lv = 0L; var tr = 0L
+      days.zipWithIndex.map { case ((_, day, y), i) =>
+        if (i == 0) { lv = y * 1000000L; tr = 0L; (et, day, y, lv, tr, 0L) }
+        else {
+          val err = y * 1000000L - (lv + tr)
+          val nlv = rdiv10(5 * y * 1000000L + 5 * (lv + tr))
+          val ntr = rdiv10(3 * (nlv - lv) + 7 * tr)
+          lv = nlv; tr = ntr
+          (et, day, y, nlv, ntr, err)
+        }
+      }
+    }.sortBy(t => (t._1, t._2))
+    val actual = graft.queries.EventQueries.q201.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(actual == expected)
+  }
+
+  test("q202: Adamic-Adar matches a brute-force recomputation") {
+    import org.apache.spark.sql.functions._
+    val cs = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCust = cs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val scores = collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    byCust.foreach { case (_, sups) =>
+      val capped = sups.take(50)
+      val w = math.round(1000000.0 / math.log(sups.length.toDouble))
+      for (i <- capped.indices; j <- i + 1 until capped.length) {
+        val k = (capped(i), capped(j))
+        val (a, n) = scores.getOrElse(k, (0L, 0L))
+        scores(k) = (a + w, n + 1)
+      }
+    }
+    val expected = scores.toSeq.collect { case ((s1, s2), (aa, n)) if n >= 3 =>
+      (s1, s2, aa, n) }
+      .sortBy(t => (-t._3, t._1, t._2)).take(100)
+    val actual = graft.queries.StatQueries.q202.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(actual == expected)
+  }
+
+  test("q203: Benford digit counts partition each priority's orders") {
+    import org.apache.spark.sql.functions._
+    val r = rows(graft.queries.StatQueries.q203.fn(spark, sf))
+    assert(r.nonEmpty)
+    val perPriority = graft.Tables.load(spark, sf, "orders")
+      .groupBy("o_orderpriority").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.groupBy(_(0)).foreach { case (p, digitRows) =>
+      val obs = digitRows.map(_(2).asInstanceOf[Long]).sum
+      assert(obs == perPriority(p.asInstanceOf[String]),
+        s"priority $p: digit counts $obs must cover all orders")
+      val expSum = digitRows.map(_(3).asInstanceOf[Double]).sum
+      // expected sums to n only if all 9 digits appear; allow slack for
+      // absent digits but require the bulk
+      assert(expSum <= obs * 1.001 && expSum > obs * 0.5, s"$p: $expSum vs $obs")
+      digitRows.foreach { row =>
+        assert(row(4).asInstanceOf[Double] >= 0.0, s"chi2 term negative: $row")
+        val d = row(1).asInstanceOf[Int]
+        assert(d >= 1 && d <= 9, s"digit out of range: $row")
+      }
+    }
+  }
 }
