@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -2002,8 +2003,93 @@ object DataQueries {
              md5(norm) AS norm_md5
       FROM n ORDER BY doc_id"""))
 
+  /** q204 — HYBRID lexical+fingerprint retrieval fusion (RRF, k=60)
+    * against query doc 0: ranker A is word-trigram shingle overlap
+    * (`graft_intersect_count` on the compiled shingle-hash sets, the
+    * BM25-family lexical signal), ranker B is 16-bit SimHash hamming
+    * distance (the fingerprint/embedding-family signal). q146 fuses
+    * two DENSE-vector rankings (exact vs int8-dequantized); this is
+    * the other production pair — sparse lexical against a bitwise
+    * fingerprint, where score calibration is impossible and RRF's
+    * rank-only combination is the standard answer. Σ round(1e6/(60+rank)) per ranking keeps
+    * the fused score an exact integer.
+    *
+    * Scale: each ranking pre-truncates to its top-200 candidates via
+    * orderBy+limit (TakeOrderedAndProject — per-partition heaps, no
+    * global sort); the global row_number then ranks 200 rows, a
+    * bounded whitelisted window. The query side broadcasts as a
+    * 1-row dimension; the corpus side never self-joins.
+    */
+  val q204 = Q("q204_hybrid_fusion",
+    (s, dir) => {
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          call_function("graft_shingle_hashes", col("text"), lit(3)).as("hs"),
+          Dedup.simhash(col("text"), 16).as("sh"))
+      val q0 = sh.filter(col("doc_id") === 0)
+        .select(col("hs").as("q_hs"), col("sh").as("q_sh"))
+      val scored = sh.filter(col("doc_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("doc_id"),
+          call_function("graft_intersect_count", col("hs"), col("q_hs"))
+            .cast("long").as("overlap"),
+          expr("CAST(bit_count(sh ^ q_sh) AS BIGINT)").as("hamming"))
+        .localCheckpoint(false) // feeds both rankings
+      val rankA = scored.orderBy(desc("overlap"), col("doc_id")).limit(200)
+        .withColumn("rank_lex",
+          row_number().over(Window.orderBy(desc("overlap"), col("doc_id"))))
+        .select("doc_id", "rank_lex")
+      val rankB = scored.orderBy(col("hamming"), col("doc_id")).limit(200)
+        .withColumn("rank_fp",
+          row_number().over(Window.orderBy(col("hamming"), col("doc_id"))))
+        .select("doc_id", "rank_fp")
+      rankA.join(rankB, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          expr("coalesce(CAST(round(1000000 / (60 + rank_lex)) AS BIGINT), 0) + " +
+            "coalesce(CAST(round(1000000 / (60 + rank_fp)) AS BIGINT), 0)"))
+        .orderBy(desc("rrf_micro"), col("doc_id"))
+        .limit(50)
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      sgrams AS (SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS g
+             FROM t),
+      hh AS (SELECT doc_id,
+             list_distinct(list_transform(list_distinct(g),
+               s -> ${duckHash64("s")} & ${Dedup.MinhashP})) AS hs
+             FROM sgrams),
+      sim AS (SELECT t.doc_id,
+             CAST(list_sum(list_transform(range(0, 16), b ->
+               CASE WHEN list_sum(list_transform(
+                      list_transform(list_distinct(w), x -> ${duckHash64("x")}),
+                      v -> ((v >> b) & 1) * 2 - 1)) > 0
+                    THEN 1 << b ELSE 0 END)) AS BIGINT) AS sh
+             FROM t),
+      scored AS (
+        SELECT h.doc_id,
+               CAST(len(list_intersect(h.hs, q.hs)) AS BIGINT) AS overlap,
+               CAST(bit_count(xor(s.sh, qs.sh))       AS BIGINT) AS hamming
+        FROM hh h JOIN sim s ON h.doc_id = s.doc_id,
+             (SELECT hs FROM hh WHERE doc_id = 0) q,
+             (SELECT sh FROM sim WHERE doc_id = 0) qs
+        WHERE h.doc_id <> 0),
+      ra AS (SELECT doc_id, row_number() OVER (ORDER BY overlap DESC, doc_id) AS rank_lex
+             FROM scored ORDER BY overlap DESC, doc_id LIMIT 200),
+      rb AS (SELECT doc_id, row_number() OVER (ORDER BY hamming ASC, doc_id) AS rank_fp
+             FROM scored ORDER BY hamming ASC, doc_id LIMIT 200)
+      SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+             CAST(ra.rank_lex AS INT) AS rank_lex,
+             CAST(rb.rank_fp AS INT) AS rank_fp,
+             coalesce(CAST(round(1000000 / (60 + ra.rank_lex)) AS BIGINT), 0) +
+             coalesce(CAST(round(1000000 / (60 + rb.rank_fp)) AS BIGINT), 0) AS rrf_micro
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+      ORDER BY rrf_micro DESC, doc_id LIMIT 50"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
-    q194, q195, q197)
+    q194, q195, q197, q204)
 }

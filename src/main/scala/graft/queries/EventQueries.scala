@@ -405,5 +405,83 @@ object EventQueries {
       FROM h ORDER BY event_type, day"""
     })
 
-  val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201)
+  // --------------------------------------------------------------- q205
+
+  /** q205 — peak concurrent sessions per day by sweep-line: q55's
+    * 30-minute-gap sessions become (+1 at start, −1 at end) deltas;
+    * a running sum ordered by (time, starts-before-ends) is the live
+    * concurrency, and its per-day max + first time it is reached is
+    * the answer. This is the scale-safe REPLACEMENT for counting
+    * overlaps with an interval self-join (q102's shape): the sweep is
+    * O(n log n) — sort + prefix sum — where the self-join is O(n²) on
+    * dense days.
+    *
+    * Scale/determinism: sessions split at midnight so the sweep
+    * window partitions BY DAY (bounded, never corpus-global); within
+    * equal timestamps +1 sorts before −1, and although ties among
+    * equal deltas order arbitrarily, the running sum's per-group value
+    * MULTISET is order-independent, so the max and its first time are
+    * exact — the oracle replays the identical window.
+    */
+  val q205 = Q("q205_peak_concurrency",
+    (s, dir) => {
+      val wu = Window.partitionBy("user_id").orderBy(col("_sec").asc, col("event_id").asc)
+      val sess = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts").cast("long").as("_sec"))
+        .withColumn("_gap", col("_sec") - lag(col("_sec"), 1).over(wu))
+        .withColumn("_new", when(col("_gap").isNull || col("_gap") > 1800, 1L).otherwise(0L))
+        .withColumn("_sid", sum(col("_new")).over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "_sid")
+        .agg(min(col("_sec")).as("s"), max(col("_sec")).as("e"))
+      val perDay = sess
+        .select(explode(expr("sequence(s div 86400, e div 86400)")).as("day"),
+          col("s"), col("e"))
+        .select(col("day"),
+          greatest(col("s"), col("day") * 86400).as("cs"),
+          least(col("e"), col("day") * 86400 + 86399).as("ce"))
+      val pts = perDay.select(col("day"), col("cs").as("t"), lit(1L).as("d"))
+        .union(perDay.select(col("day"), col("ce").as("t"), lit(-1L).as("d")))
+      val wd = Window.partitionBy("day").orderBy(col("t").asc, col("d").desc)
+      val run = pts.withColumn("run", sum(col("d")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val peak = run.groupBy("day").agg(max("run").as("peak"))
+      run.join(peak, Seq("day")).filter(col("run") === col("peak"))
+        .groupBy(col("day"), col("peak"))
+        .agg(min(col("t")).as("peak_sec"))
+        .select(col("day"), col("peak").as("peak_concurrency"), col("peak_sec"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec FROM events),
+      g AS (
+        SELECT user_id, event_id, sec,
+               CASE WHEN sec - lag(sec) OVER w IS NULL
+                         OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC)),
+      sx AS (
+        SELECT user_id, sec,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g),
+      b AS (SELECT user_id, sid, min(sec) AS s, max(sec) AS e
+            FROM sx GROUP BY 1, 2),
+      d AS (SELECT u.day,
+                   greatest(s, u.day * 86400) AS cs,
+                   least(e, u.day * 86400 + 86399) AS ce
+            FROM b, unnest(generate_series(s // 86400, e // 86400)) AS u(day)),
+      p AS (SELECT day, cs AS t, CAST(1 AS BIGINT) AS dd FROM d
+            UNION ALL SELECT day, ce, CAST(-1 AS BIGINT) FROM d),
+      r AS (SELECT day, t,
+                   sum(dd) OVER (PARTITION BY day ORDER BY t ASC, dd DESC
+                                 ROWS UNBOUNDED PRECEDING) AS run
+            FROM p),
+      pk AS (SELECT day, max(run) AS peak FROM r GROUP BY day)
+      SELECT r.day, CAST(pk.peak AS BIGINT) AS peak_concurrency,
+             min(r.t) AS peak_sec
+      FROM r JOIN pk ON r.day = pk.day AND r.run = pk.peak
+      GROUP BY r.day, pk.peak ORDER BY r.day"""))
+
+  val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201, q205)
 }
