@@ -794,13 +794,8 @@ object StatQueries {
           expr("CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)").as("xq"))
         .groupBy("i").agg(sum("xq").as("sx"), count(lit(1)).as("n"))
       val pairs = Tables.load(s, dir, "embeddings")
-        .select(explode(expr(
-          """flatten(transform(sequence(0, size(embedding) - 1),
-             i -> transform(sequence(i, size(embedding) - 1),
-               j -> struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-                 CAST(round(CAST(element_at(embedding, i + 1) AS DOUBLE)
-                          * CAST(element_at(embedding, j + 1) AS DOUBLE)
-                          * 1e9) AS BIGINT) AS pq))))""")).as("p"))
+        .select(explode(
+          call_function("graft_tri_products", col("embedding"))).as("p"))
         .select(col("p.i").as("i"), col("p.j").as("j"), col("p.pq").as("pq"))
         .groupBy("i", "j").agg(sum("pq").as("sxy"))
       pairs
@@ -864,13 +859,8 @@ object StatQueries {
           expr("CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)").as("xq"))
         .groupBy("i").agg(sum("xq").as("sx"), count(lit(1)).as("n"))
       val pq = emb
-        .select(explode(expr(
-          """flatten(transform(sequence(0, size(embedding) - 1),
-             i -> transform(sequence(i, size(embedding) - 1),
-               j -> struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-                 CAST(round(CAST(element_at(embedding, i + 1) AS DOUBLE)
-                          * CAST(element_at(embedding, j + 1) AS DOUBLE)
-                          * 1e9) AS BIGINT) AS pq))))""")).as("p"))
+        .select(explode(
+          call_function("graft_tri_products", col("embedding"))).as("p"))
         .select(col("p.i").as("i"), col("p.j").as("j"), col("p.pq").as("pq"))
         .groupBy("i", "j").agg(sum("pq").as("sxy"))
       // consumers: amat (x2) and the trace
