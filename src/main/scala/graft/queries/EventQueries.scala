@@ -483,5 +483,128 @@ object EventQueries {
       FROM r JOIN pk ON r.day = pk.day AND r.run = pk.peak
       GROUP BY r.day, pk.peak ORDER BY r.day"""))
 
-  val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201, q205)
+  // --------------------------------------------------------------- q206
+
+  /** q206 — position-based (40/20/40) marketing attribution: every
+    * purchase credits its user's click/view touchpoints from the
+    * preceding 7 days — 40% to the first touch, 40% to the last, 20%
+    * split over the middles. The report is credit mass per touchpoint
+    * type.
+    *
+    * Exactness: credits are integer micro-units that sum to EXACTLY
+    * 1e6 per attributed conversion — middles get 200000 div (k−2)
+    * each and the division remainder rides on the first touch, a
+    * deterministic largest-remainder-style rule both engines replay
+    * (float credit splitting would drift in the 12th decimal and the
+    * gate would see it).
+    *
+    * Scale: the touch↔purchase association is an equi-join on user_id
+    * plus a time-band predicate — the shuffle is keyed on user, never
+    * a cross product; per-purchase position windows partition by
+    * (user, purchase) and are bounded by one user's 7-day touch
+    * count. Purchases with no trailing touches drop out (inner join) —
+    * unattributable conversions are a separate report.
+    */
+  val q206 = Q("q206_attribution",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("_sec"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("_sec").as("p_sec"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id").as("t_id"),
+          col("event_type").as("touch_type"), col("_sec").as("t_sec"))
+      val wp = Window.partitionBy("user_id", "p_id")
+        .orderBy(col("t_sec").asc, col("t_id").asc)
+      purchases.join(touches, Seq("user_id"))
+        .filter(col("t_sec") >= col("p_sec") - 7L * 86400 && col("t_sec") < col("p_sec"))
+        .withColumn("_pos", row_number().over(wp))
+        .withColumn("_k", count(lit(1)).over(Window.partitionBy("user_id", "p_id")))
+        .withColumn("credit_micro",
+          when(col("_k") === 1, 1000000L)
+            .when(col("_k") === 2, 500000L)
+            .when(col("_pos") === 1,
+              lit(400000L) + (lit(200000L) % (col("_k") - 2)))
+            .when(col("_pos") === col("_k"), 400000L)
+            .otherwise(expr("200000L div (_k - 2)")))
+        .groupBy("touch_type")
+        .agg(sum("credit_micro").as("credit_micro"),
+          count(lit(1)).as("n_touches"),
+          countDistinct(col("user_id"), col("p_id")).as("n_conversions"))
+        .orderBy("touch_type")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(ts) // 1000000 AS sec FROM events),
+      p AS (SELECT user_id, event_id AS p_id, sec AS p_sec
+            FROM e WHERE event_type = 'purchase'),
+      t AS (SELECT user_id, event_id AS t_id, event_type AS touch_type,
+                   sec AS t_sec
+            FROM e WHERE event_type IN ('click', 'view')),
+      j AS (SELECT p.user_id, p.p_id, t.t_id, t.touch_type, t.t_sec,
+                   row_number() OVER (PARTITION BY p.user_id, p.p_id
+                                      ORDER BY t.t_sec ASC, t.t_id ASC) AS pos,
+                   count(*) OVER (PARTITION BY p.user_id, p.p_id) AS k
+            FROM p JOIN t ON p.user_id = t.user_id
+            WHERE t.t_sec >= p.p_sec - 7 * 86400 AND t.t_sec < p.p_sec),
+      c AS (SELECT touch_type, user_id, p_id,
+                   CASE WHEN k = 1 THEN 1000000
+                        WHEN k = 2 THEN 500000
+                        WHEN pos = 1 THEN 400000 + (200000 % (k - 2))
+                        WHEN pos = k THEN 400000
+                        ELSE 200000 // (k - 2) END AS credit_micro
+            FROM j)
+      SELECT touch_type,
+             CAST(sum(credit_micro) AS BIGINT) AS credit_micro,
+             CAST(count(*) AS BIGINT) AS n_touches,
+             CAST(count(DISTINCT (user_id, p_id)) AS BIGINT) AS n_conversions
+      FROM c GROUP BY touch_type ORDER BY touch_type"""))
+
+  // --------------------------------------------------------------- q208
+
+  /** q208 — event-type transition matrix (first-order Markov
+    * structure of user journeys): consecutive event pairs per user,
+    * counts and row-normalized probabilities — the sequence-mining
+    * rollup behind journey analysis, anomaly detection on flows, and
+    * Markov attribution.
+    *
+    * Exactness: probabilities are (1e6·cnt) div rowTotal — integer
+    * arithmetic, no float division. One user-keyed window (lag) and
+    * one small groupBy; shuffle volume is the event stream, state is
+    * |types|² cells.
+    */
+  val q208 = Q("q208_transition_matrix",
+    (s, dir) => {
+      val wu = Window.partitionBy("user_id").orderBy(col("_sec").asc, col("event_id").asc)
+      val pairs = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("_sec"))
+        .withColumn("_next", lead(col("event_type"), 1).over(wu))
+        .filter(col("_next").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("_next").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = pairs.groupBy("from_type").agg(sum("cnt").as("_tot"))
+      pairs.join(tot, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("cnt"),
+          expr("(1000000 * cnt) div _tot").as("prob_micro"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(ts) // 1000000 AS sec FROM events),
+      nx AS (SELECT event_type AS from_type,
+                    lead(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY sec ASC, event_id ASC) AS to_type
+             FROM e),
+      c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+            FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.cnt,
+             (1000000 * c.cnt) // t.tot AS prob_micro
+      FROM c JOIN t ON c.from_type = t.from_type
+      ORDER BY c.from_type, c.to_type"""))
+
+  val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201, q205,
+    q206, q208)
 }

@@ -1195,6 +1195,102 @@ object StatQueries {
       JOIN t ON o.priority = t.priority
       ORDER BY o.priority, o.digit"""))
 
+  // --------------------------------------------------------------- q207
+
+  /** q207 — bootstrap confidence interval for the mean order value per
+    * priority, by the POISSON bootstrap: instead of materializing B
+    * resamples of n draws each (O(n·B) shuffled index lookups and an
+    * n-row global rank — the textbook method, unusable at corpus
+    * scale), every row independently draws a Poisson(1) weight per
+    * replicate — the classic single-pass approximation whose replicate
+    * sizes concentrate at n (Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams", the standard massive-data bootstrap).
+    * One map-side explode of B=100 weights per row, one groupBy — no
+    * per-replicate pass, no global window.
+    *
+    * Determinism: the Poisson draw inverts the CDF on
+    * u = hash64('bs|'||key||'|'||b)/2^60 against literal cumulative
+    * thresholds (identical strings both sides); weights are exact
+    * small integers, the weighted sums are exact longs, and each
+    * replicate mean is (1e6·Σwx) div Σw — so the oracle replays every
+    * replicate bit-for-bit. CI bounds are the 3rd and 98th of the 100
+    * sorted replicate means (2.5%/97.5% for B=100), ranked by a
+    * per-priority window over exactly 100 rows.
+    */
+  val q207 = Q("q207_bootstrap_ci",
+    (s, dir) => {
+      import graft.functions.Hashing
+      // cumulative Poisson(1) thresholds for w = 0..5 (≥6 beyond)
+      val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+        0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("priority"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .localCheckpoint(false) // feeds the point estimate and 100 replicates
+      val point = orders.groupBy("priority")
+        .agg(expr("(1000000 * sum(cents)) div count(*)").as("point_micro"))
+      val u = Hashing.hash64(concat(lit("bs|"), col("o_orderkey").cast("string"),
+        lit("|"), col("b").cast("string")))
+        .cast("double") / lit(1152921504606846976.0) // 2^60
+      val weighted = orders
+        .select(col("priority"), col("o_orderkey"), col("cents"),
+          explode(sequence(lit(0), lit(99))).as("b"))
+        .withColumn("_u", u)
+        .withColumn("w",
+          when(col("_u") < cdf(0), 0L).when(col("_u") < cdf(1), 1L)
+            .when(col("_u") < cdf(2), 2L).when(col("_u") < cdf(3), 3L)
+            .when(col("_u") < cdf(4), 4L).when(col("_u") < cdf(5), 5L)
+            .otherwise(6L))
+        .filter(col("w") > 0)
+      val means = weighted.groupBy("priority", "b")
+        .agg(expr("(1000000 * sum(w * cents)) div sum(w)").as("mean_micro"))
+      val ranked = means.withColumn("_rn",
+        row_number().over(Window.partitionBy("priority")
+          .orderBy(col("mean_micro").asc, col("b").asc)))
+      point
+        .join(ranked.filter(col("_rn") === 3)
+          .select(col("priority"), col("mean_micro").as("ci_lo_micro")), Seq("priority"))
+        .join(ranked.filter(col("_rn") === 98)
+          .select(col("priority"), col("mean_micro").as("ci_hi_micro")), Seq("priority"))
+        .orderBy("priority")
+    },
+    Some(s"""
+      WITH o AS (SELECT o_orderpriority AS priority, o_orderkey,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+      pt AS (SELECT priority,
+                    (1000000 * CAST(sum(cents) AS BIGINT)) // count(*) AS point_micro
+             FROM o GROUP BY 1),
+      x AS (SELECT priority, o_orderkey, cents, u.b AS b,
+                   ${duckHash64("concat('bs|', CAST(o_orderkey AS VARCHAR), '|', CAST(u.b AS VARCHAR))")}
+                     / 1152921504606846976.0 AS uu
+            FROM o, unnest(range(0, 100)) AS u(b)),
+      wgt AS (SELECT priority, b, cents,
+                     CASE WHEN uu < 0.36787944117144233 THEN 0
+                          WHEN uu < 0.7357588823428847 THEN 1
+                          WHEN uu < 0.9196986029286058 THEN 2
+                          WHEN uu < 0.9810118431238462 THEN 3
+                          WHEN uu < 0.9963401531726563 THEN 4
+                          WHEN uu < 0.9994058151824183 THEN 5
+                          ELSE 6 END AS w
+              FROM x),
+      m AS (SELECT priority, b,
+                   (1000000 * CAST(sum(w * cents) AS BIGINT))
+                     // CAST(sum(w) AS BIGINT) AS mean_micro
+            FROM wgt WHERE w > 0 GROUP BY 1, 2),
+      r AS (SELECT priority, b, mean_micro,
+                   row_number() OVER (PARTITION BY priority
+                                      ORDER BY mean_micro ASC, b ASC) AS rn
+            FROM m)
+      SELECT pt.priority, pt.point_micro,
+             lo.mean_micro AS ci_lo_micro, hi.mean_micro AS ci_hi_micro
+      FROM pt
+      JOIN (SELECT priority, mean_micro FROM r WHERE rn = 3) lo
+        ON pt.priority = lo.priority
+      JOIN (SELECT priority, mean_micro FROM r WHERE rn = 98) hi
+        ON pt.priority = hi.priority
+      ORDER BY pt.priority"""))
+
   val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
-    q123, q124, q125, q190, q191, q192, q198, q199, q202, q203)
+    q123, q124, q125, q190, q191, q192, q198, q199, q202, q203, q207)
 }

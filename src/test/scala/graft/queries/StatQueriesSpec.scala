@@ -411,6 +411,39 @@ class StatQueriesSpec extends SparkSpec {
     assert(actual == expected)
   }
 
+  test("q207: Poisson-bootstrap replicates replay exactly; CI brackets the point") {
+    import org.apache.spark.sql.functions._
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    val orders = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def weight(key: Long, b: Int): Long = {
+      val u = graft.functions.Hashing.hash64Local(s"bs|$key|$b").toDouble /
+        1152921504606846976.0
+      cdf.indexWhere(u < _) match { case -1 => 6L; case i => i.toLong }
+    }
+    val expected = orders.groupBy(_._1).toSeq.map { case (p, rows) =>
+      val point = 1000000L * rows.map(_._3).sum / rows.length
+      val means = (0 until 100).flatMap { b =>
+        var sw = 0L; var swx = 0L
+        rows.foreach { case (_, k, x) =>
+          val w = weight(k, b); sw += w; swx += w * x
+        }
+        if (sw > 0) Some((1000000L * swx / sw, b.toLong)) else None
+      }.sorted
+      (p, point, means(2)._1, means(97)._1)
+    }.sortBy(_._1)
+    val actual = StatQueries.q207.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(actual == expected)
+    actual.foreach { case (p, point, lo, hi) =>
+      assert(lo < hi, s"$p: degenerate CI")
+      assert(lo <= point && point <= hi, s"$p: point $point outside [$lo, $hi]")
+    }
+  }
+
   test("q203: Benford digit counts partition each priority's orders") {
     import org.apache.spark.sql.functions._
     val r = rows(graft.queries.StatQueries.q203.fn(spark, sf))
