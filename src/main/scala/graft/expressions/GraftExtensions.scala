@@ -40,6 +40,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_shingle_hash_list"),
       new ExpressionInfo(classOf[ShingleHashList].getName, "graft_shingle_hash_list"),
       (children: Seq[Expression]) => ShingleHashList(children.head, children(1))),
+    (FunctionIdentifier("graft_hash64"),
+      new ExpressionInfo(classOf[Hash64].getName, "graft_hash64"),
+      (children: Seq[Expression]) => Hash64(children.head)),
     (FunctionIdentifier("graft_tri_products"),
       new ExpressionInfo(classOf[TriQuantProducts].getName, "graft_tri_products"),
       (children: Seq[Expression]) => TriQuantProducts(children.head)),

@@ -3,7 +3,7 @@ package graft.expressions
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
@@ -232,6 +232,35 @@ case class ShingleHashList(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "graft_shingle_hash_list"
+}
+
+/** `graft_hash64(s)` → bigint: the engine's 60-bit md5-derived hash
+  * (first 15 hex chars of md5, = `Hashing.hash64` /
+  * `MinhashKernel.hash60`), as ONE compiled digest over the UTF-8
+  * bytes. The declarative chain (`conv(substring(md5(s),1,15),16,10)`)
+  * detours through a 32-char hex string and a radix-parse per row —
+  * ~3 µs/row; this is the hot-loop form for row×replicate fan-outs
+  * (q207 evaluates it 15M times at sf0.1).
+  */
+case class Hash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName: argument must be string")
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(t: Any): Any =
+    MinhashKernel.hash60(t.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.expressions.MinhashKernel.hash60($t.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hash64"
 }
 
 /** `graft_minhash_bands(hashes, k, rowsPerBand)` → array<long>: LSH

@@ -264,6 +264,52 @@ object GraphOps {
     }.select(col("id"), col("lab").as("community"))
   }
 
+  /** Single-source (or multi-source) shortest paths with non-negative
+    * integer edge weights — frontier-pruned Bellman-Ford, the
+    * map-reduce SSSP: per round only nodes whose distance IMPROVED
+    * last round relax their out-edges (join + min-groupBy + compare),
+    * so work per round is O(frontier·degree), and the loop stops when
+    * no distance improves. Weighted generalization of
+    * [[bfsDistances]]; with all weights 1 they coincide.
+    *
+    * Convergence is mandatory: a Bellman-Ford stopped early reports
+    * WRONG (over-estimated) distances, not approximate ones. With
+    * non-negative weights the improvement loop always terminates.
+    *
+    * @param edges0 directed weighted edges; parallel edges collapse to
+    *               their minimum weight.
+    * @return (id, dist) for every node reachable from `sources`.
+    */
+  def ssspDistances(edges0: DataFrame, srcCol: String, dstCol: String,
+                    wCol: String, sources: DataFrame, idCol: String,
+                    maxIter: Int = 30): DataFrame = {
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).as("w"))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .localCheckpoint(false)
+    val init = sources.select(col(idCol).as("id")).distinct()
+      .select(col("id"), lit(0L).as("dist"), lit(true).as("_fr"))
+      .localCheckpoint(false)
+    FixpointLoop.iterateUntilFixpoint(init, maxIter, "ssspDistances") { cur =>
+      val cand = cur.filter(col("_fr"))
+        .join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+        .groupBy("id").agg(min("dist").as("dist"))
+      val improved = cand
+        .join(cur.select(col("id"), col("dist").as("_old")), Seq("id"), "left")
+        .filter(col("_old").isNull || col("dist") < col("_old"))
+        .select(col("id"), col("dist"), lit(true).as("_fr"))
+        .localCheckpoint(false)
+      val next = cur.select("id", "dist")
+        .join(improved.select(col("id").as("_iid")),
+          col("id") === col("_iid"), "left_anti")
+        .select(col("id"), col("dist"), lit(false).as("_fr"))
+        .union(improved)
+        .localCheckpoint(false)
+      (next, improved.isEmpty)
+    }.select(col("id"), col("dist"))
+  }
+
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
                iters: Int, d: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")

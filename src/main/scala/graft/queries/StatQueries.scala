@@ -1229,8 +1229,9 @@ object StatQueries {
         .localCheckpoint(false) // feeds the point estimate and 100 replicates
       val point = orders.groupBy("priority")
         .agg(expr("(1000000 * sum(cents)) div count(*)").as("point_micro"))
-      val u = Hashing.hash64(concat(lit("bs|"), col("o_orderkey").cast("string"),
-        lit("|"), col("b").cast("string")))
+      val u = call_function("graft_hash64",
+        concat(lit("bs|"), col("o_orderkey").cast("string"),
+          lit("|"), col("b").cast("string")))
         .cast("double") / lit(1152921504606846976.0) // 2^60
       val weighted = orders
         .select(col("priority"), col("o_orderkey"), col("cents"),
@@ -1244,6 +1245,9 @@ object StatQueries {
         .filter(col("w") > 0)
       val means = weighted.groupBy("priority", "b")
         .agg(expr("(1000000 * sum(w * cents)) div sum(w)").as("mean_micro"))
+        // |groups|·B rows; cut — the CI lo/hi branches would otherwise
+        // each re-run the full n·B hash pass
+        .localCheckpoint(false)
       val ranked = means.withColumn("_rn",
         row_number().over(Window.partitionBy("priority")
           .orderBy(col("mean_micro").asc, col("b").asc)))
@@ -1291,6 +1295,159 @@ object StatQueries {
         ON pt.priority = hi.priority
       ORDER BY pt.priority"""))
 
+  // --------------------------------------------------------------- q209
+
+  /** q209 — weighted single-source shortest paths
+    * ([[GraphOps.ssspDistances]]: frontier-pruned Bellman-Ford) from
+    * q190's seed suppliers over the encoded customer↔supplier graph
+    * with per-edge costs w = 1 + (a+b) mod 3 — the weighted
+    * generalization of q190's BFS (cheapest-route exposure, weighted
+    * blast radius). Unreached nodes pin at −1.
+    *
+    * Oracle strategy: plain recursive CTEs explode on weighted path
+    * sums (every path has a near-unique cost, so UNION dedup never
+    * prunes) — UNLESS weights are small integers: then (node, dist)
+    * pairs dedup into at most |V|·maxDist states and the recursion is
+    * polynomial. That is why the costs here live in {1,2,3} with a
+    * distance cap of 60 — far above the true eccentricities, so the
+    * capped oracle and the run-to-fixpoint engine agree exactly.
+    */
+  val q209 = Q("q209_sssp",
+    (s, dir) => {
+      import graft.operators.GraphOps
+      val e = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+        .localCheckpoint(false)
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+        .withColumn("w", lit(1L) + (col("src") + col("dst")) % 3)
+      val sources = e.select(col("b").as("id")).distinct()
+        .filter(expr("((id - 1) div 2) % 100 = 1"))
+      val dist = GraphOps.ssspDistances(sym, "src", "dst", "w", sources, "id")
+      val nodes = e.select(col("a").as("id"))
+        .union(e.select(col("b").as("id"))).distinct()
+      nodes.join(dist, Seq("id"), "left")
+        .select(
+          when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("kind"),
+          expr("id div 2").as("node_key"),
+          coalesce(col("dist"), lit(-1L)).as("dist"))
+        .orderBy("kind", "node_key")
+    },
+    Some("""
+      WITH RECURSIVE
+      e AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      ed AS (SELECT src, dst, 1 + (src + dst) % 3 AS w FROM (
+               SELECT a AS src, b AS dst FROM e
+               UNION ALL SELECT b, a FROM e)),
+      srcs AS (SELECT DISTINCT b AS v FROM e WHERE ((b - 1) // 2) % 100 = 1),
+      sp(v, d) AS (
+        SELECT v, CAST(0 AS BIGINT) FROM srcs
+        UNION
+        SELECT ed.dst, sp.d + ed.w FROM sp JOIN ed ON sp.v = ed.src
+        WHERE sp.d < 60),
+      md AS (SELECT v, min(d) AS dist FROM sp GROUP BY v),
+      n AS (SELECT DISTINCT v
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e))
+      SELECT CASE WHEN n.v % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+             n.v // 2 AS node_key,
+             CAST(coalesce(md.dist, -1) AS BIGINT) AS dist
+      FROM n LEFT JOIN md ON n.v = md.v
+      ORDER BY kind, node_key"""))
+
+  // --------------------------------------------------------------- q210
+
+  /** q210 — isotonic regression (monotone calibration) of
+    * P(status = 'F') against order value, per priority: the standard
+    * score-calibration step (Platt's rival) a training pipeline runs
+    * before thresholding a model score. Raw rows first roll up into
+    * ≤100 value bins per group — at corpus scale you CANNOT sort the
+    * raw score column, and binned PAVA is how production calibration
+    * actually runs; the isotonic fit then lives on the bounded bin
+    * table.
+    *
+    * The fit is computed through the minimax identity
+    * fit(i) = max_{j≤i} min_{k≥i} avg(y_j..y_k) — O(m³) on m ≤ 100
+    * bins is trivial, embarrassingly parallel, and (unlike the O(m)
+    * pool-adjacent-violators stack) has no sequential merge loop to
+    * replay, so BOTH engines evaluate the same closed form: bin
+    * averages as exact (1e6·Σy) div Σc integers, min/max over
+    * integers. An algorithm-independent gate: the spec separately
+    * checks the fit against a real stack-based PAVA.
+    */
+  val q210 = Q("q210_isotonic",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val mx = o.agg(max("cents").as("_mx"))
+      val bins = o.crossJoin(broadcast(mx))
+        .withColumn("b", least(lit(99L), expr("(cents * 100) div (_mx + 1)")))
+        .groupBy("g", "b")
+        .agg(count(lit(1)).as("c"), sum("y").as("p"))
+      val wg = Window.partitionBy("g").orderBy("b")
+      val idx = bins
+        .withColumn("i", row_number().over(wg))
+        .withColumn("cc", sum("c").over(
+          wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cp", sum("p").over(
+          wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint(false) // feeds pairs (x2 sides) and the output join
+      val base = idx.select(col("g"), col("i"), col("cc"), col("cp"))
+      val prev = base.select(col("g"), (col("i") + 1).as("j"),
+        col("cc").as("pcc"), col("cp").as("pcp"))
+      val pairs = base
+        .join(base.select(col("g"), col("i").as("j")), Seq("g"))
+        .filter(col("j") <= col("i"))
+        .join(prev, Seq("g", "j"), "left")
+        .select(col("g"), col("j"), col("i").as("k"),
+          expr("(1000000 * (cp - coalesce(pcp, 0L))) div (cc - coalesce(pcc, 0L))")
+            .as("avg_micro"))
+      val fit = pairs
+        .select(col("g"), col("j"), col("k"), col("avg_micro"),
+          explode(sequence(col("j"), col("k"))).as("i"))
+        .groupBy("g", "j", "i").agg(min("avg_micro").as("m"))
+        .groupBy("g", "i").agg(max("m").as("fit_micro"))
+      idx.join(fit, Seq("g", "i"))
+        .select(col("g"), col("i"), col("b"), col("c"), col("p"),
+          expr("(1000000 * p) div c").as("rate_micro"), col("fit_micro"))
+        .orderBy("g", "i")
+    },
+    Some("""
+      WITH o AS (SELECT o_orderpriority AS g,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+                 FROM orders),
+      mx AS (SELECT max(cents) AS m FROM o),
+      bins AS (SELECT g, least(99, (cents * 100) // (mx.m + 1)) AS b,
+                      CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+               FROM o, mx GROUP BY 1, 2),
+      idx AS (SELECT g, b, c, p,
+                     row_number() OVER w AS i,
+                     sum(c) OVER (w ROWS UNBOUNDED PRECEDING) AS cc,
+                     sum(p) OVER (w ROWS UNBOUNDED PRECEDING) AS cp
+              FROM bins WINDOW w AS (PARTITION BY g ORDER BY b)),
+      pairs AS (SELECT k.g, j.i AS j, k.i AS k,
+                       (1000000 * (k.cp - coalesce(pj.cp, 0)))
+                         // (k.cc - coalesce(pj.cc, 0)) AS avg_micro
+                FROM idx k
+                JOIN idx j ON j.g = k.g AND j.i <= k.i
+                LEFT JOIN idx pj ON pj.g = k.g AND pj.i = j.i - 1),
+      m1 AS (SELECT g, j, u.i AS i, min(avg_micro) AS m
+             FROM pairs, unnest(generate_series(j, k)) AS u(i)
+             GROUP BY 1, 2, 3),
+      fit AS (SELECT g, i, max(m) AS fit_micro FROM m1 GROUP BY 1, 2)
+      SELECT idx.g, CAST(idx.i AS INT) AS i, idx.b, idx.c, idx.p,
+             (1000000 * idx.p) // idx.c AS rate_micro,
+             CAST(fit.fit_micro AS BIGINT) AS fit_micro
+      FROM idx JOIN fit ON idx.g = fit.g AND idx.i = fit.i
+      ORDER BY idx.g, idx.i"""))
+
   val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
-    q123, q124, q125, q190, q191, q192, q198, q199, q202, q203, q207)
+    q123, q124, q125, q190, q191, q192, q198, q199, q202, q203, q207, q209, q210)
 }

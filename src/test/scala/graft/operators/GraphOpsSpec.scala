@@ -130,6 +130,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("ssspDistances == Dijkstra on a planted weighted graph") {
+    import spark.implicits._
+    val edges = Seq(
+      (0L, 1L, 4L), (0L, 2L, 1L), (2L, 1L, 2L), (1L, 3L, 1L),
+      (2L, 3L, 5L), (3L, 4L, 3L), (0L, 4L, 100L), (5L, 6L, 1L),
+      (0L, 2L, 9L)) // parallel edge: must collapse to min weight 1
+    val df = edges.toDF("src", "dst", "w")
+    val out = GraphOps.ssspDistances(df, "src", "dst", "w",
+        Seq(0L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Dijkstra by hand: 0->0, 2->1, 1->3 (via 2), 3->4, 4->7 (via 3)
+    assert(out == Map(0L -> 0L, 2L -> 1L, 1L -> 3L, 3L -> 4L, 4L -> 7L),
+      out.toString) // 5,6 unreachable: absent
+  }
+
   test("pageRank round 1 agrees with the oracle-gated q110 step") {
     val sf = "/root/testdata/sf0.001"
     // q110's bipartite math keeps customer and supplier id spaces

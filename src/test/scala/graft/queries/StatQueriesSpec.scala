@@ -444,6 +444,37 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q210: minimax fit equals a real stack-based PAVA, and is monotone") {
+    val rows = graft.queries.StatQueries.q210.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(3), r.getLong(4), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (g, bs) =>
+      val sorted = bs.sortBy(_._2)
+      // monotone non-decreasing fit
+      val fits = sorted.map(_._5)
+      assert(fits.zip(fits.drop(1)).forall { case (a, b) => a <= b },
+        s"$g: fit not monotone: ${fits.toSeq}")
+      // independent pool-adjacent-violators on the same (c, p) bins:
+      // pool while the previous pool's mean >= the next's, comparing
+      // p/c rationals exactly via cross-multiplication
+      var stack = List.empty[(Long, Long, Int)] // (c, p, nbins), top first
+      sorted.foreach { case (_, _, c, p, _) =>
+        stack = (c, p, 1) :: stack
+        var merged = true
+        while (merged) stack match {
+          case (bc, bp, bn) :: (ac, ap, an) :: rest if ap * bc >= bp * ac =>
+            stack = (ac + bc, ap + bp, an + bn) :: rest
+          case _ => merged = false
+        }
+      }
+      val pavaFit = stack.reverse.flatMap { case (c, p, n) =>
+        Seq.fill(n)(1000000L * p / c)
+      }
+      assert(pavaFit == fits.toList,
+        s"$g: PAVA $pavaFit != minimax ${fits.toSeq}")
+    }
+  }
+
   test("q203: Benford digit counts partition each priority's orders") {
     import org.apache.spark.sql.functions._
     val r = rows(graft.queries.StatQueries.q203.fn(spark, sf))
