@@ -1448,6 +1448,105 @@ object StatQueries {
       FROM idx JOIN fit ON idx.g = fit.g AND idx.i = fit.i
       ORDER BY idx.g, idx.i"""))
 
+  // --------------------------------------------------------------- q211
+
+  /** q211 — Kaplan-Meier survival curves (user churn) per acquisition
+    * cohort: duration = first→last activity in hours; a user whose
+    * last event falls in the final 48 h of the observation window is
+    * CENSORED (still alive when the data ends), everyone else churned
+    * at their duration — the right-censoring that separates survival
+    * analysis from a plain histogram, and the estimator product
+    * S(t) = Π_{u≤t} (1 − d_u/n_u) over the at-risk counts.
+    *
+    * Determinism: the product goes through exp(Σ ln(1 − d/n)) with
+    * each ln term quantized to a 1e9 long (the proven q57/q77 recipe)
+    * — the cumulative sum is integer-exact in any order, and exp +
+    * round run once per output row. If d = n (everyone at risk dies)
+    * the survival pins to exactly 0 on both sides instead of ln(0).
+    *
+    * Scale: one groupBy(user) for lifetimes, one groupBy(cohort,
+    * duration) rollup, then windows partitioned BY COHORT over ≤
+    * |distinct durations| rows — bounded, never corpus-global. The
+    * observation-window max is a broadcast 1-row aggregate.
+    */
+  val q211 = Q("q211_kaplan_meier",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("_sec"))
+      val wu = Window.partitionBy("user_id").orderBy(col("_sec").asc, col("event_id").asc)
+      val users = ev
+        .withColumn("_rn", row_number().over(wu))
+        .groupBy("user_id")
+        .agg(min("_sec").as("first_sec"), max("_sec").as("last_sec"),
+          max(when(col("_rn") === 1, col("event_type"))).as("cohort"))
+      val wmax = ev.agg(max("_sec").as("_wmax"))
+      val lives = users.crossJoin(broadcast(wmax))
+        .select(col("cohort"),
+          expr("(last_sec - first_sec) div 3600").as("dur_h"),
+          when(col("last_sec") < col("_wmax") - 48L * 3600, 1L).otherwise(0L).as("died"))
+      val grid = lives.groupBy("cohort", "dur_h")
+        .agg(count(lit(1)).as("n_at"), sum("died").as("deaths"))
+      val wc = Window.partitionBy("cohort").orderBy(col("dur_h").asc)
+      val curve = grid
+        .withColumn("n_risk", sum("n_at").over(
+          wc.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .withColumn("_lnq",
+          when(col("deaths") === col("n_risk"), lit(null))
+            .otherwise(expr(
+              "CAST(round(ln(1.0 - CAST(deaths AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)")))
+        .withColumn("_cum", sum("_lnq").over(
+          wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("_dead_all", max(when(col("deaths") === col("n_risk"), 1)
+          .otherwise(0)).over(wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      curve.select(col("cohort"), col("dur_h"), col("n_risk"), col("deaths"),
+          when(col("_dead_all") === 1, 0.0)
+            .otherwise(expr("round(exp(CAST(_cum AS DOUBLE) / 1e9), 6)"))
+            .as("survival"))
+        .orderBy("cohort", "dur_h")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(ts) // 1000000 AS sec FROM events),
+      fe AS (SELECT user_id, event_type,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY sec ASC, event_id ASC) AS rn
+             FROM e),
+      u AS (SELECT e.user_id, min(sec) AS first_sec, max(sec) AS last_sec
+            FROM e GROUP BY 1),
+      uc AS (SELECT u.user_id, u.first_sec, u.last_sec, fe.event_type AS cohort
+             FROM u JOIN fe ON u.user_id = fe.user_id AND fe.rn = 1),
+      wm AS (SELECT max(sec) AS wmax FROM e),
+      lives AS (SELECT cohort,
+                       (last_sec - first_sec) // 3600 AS dur_h,
+                       CASE WHEN last_sec < wm.wmax - 48 * 3600 THEN 1 ELSE 0 END AS died
+                FROM uc, wm),
+      grid AS (SELECT cohort, dur_h, CAST(count(*) AS BIGINT) AS n_at,
+                      CAST(sum(died) AS BIGINT) AS deaths
+               FROM lives GROUP BY 1, 2),
+      curve AS (SELECT cohort, dur_h, deaths,
+                       sum(n_at) OVER (PARTITION BY cohort ORDER BY dur_h ASC
+                                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                         AS n_risk
+                FROM grid),
+      lnq AS (SELECT cohort, dur_h, n_risk, deaths,
+                     CASE WHEN deaths = n_risk THEN NULL
+                          ELSE CAST(round(ln(1.0 - CAST(deaths AS DOUBLE)
+                                               / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)
+                     END AS t
+              FROM curve),
+      acc AS (SELECT cohort, dur_h, n_risk, deaths,
+                     sum(t) OVER w AS cum,
+                     max(CASE WHEN deaths = n_risk THEN 1 ELSE 0 END) OVER w AS dead_all
+              FROM lnq
+              WINDOW w AS (PARTITION BY cohort ORDER BY dur_h ASC
+                           ROWS UNBOUNDED PRECEDING))
+      SELECT cohort, dur_h, CAST(n_risk AS BIGINT) AS n_risk, deaths,
+             CASE WHEN dead_all = 1 THEN 0.0
+                  ELSE round(exp(CAST(cum AS DOUBLE) / 1e9), 6) END AS survival
+      FROM acc ORDER BY cohort, dur_h"""))
+
   val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
-    q123, q124, q125, q190, q191, q192, q198, q199, q202, q203, q207, q209, q210)
+    q123, q124, q125, q190, q191, q192, q198, q199, q202, q203, q207, q209, q210,
+    q211)
 }

@@ -60,6 +60,47 @@ object StreamingOps {
       }
   }
 
+  final case class TEvent(user_id: Long, event_id: Long,
+                          ts: java.sql.Timestamp, event_type: String)
+  final case class TransPair(user_id: Long, from_type: String, to_type: String)
+  final case class LastEvt(sec: Long, eid: Long, typ: String)
+
+  /** Streaming twin of q208's journey transition pairs: per-user state
+    * carries the LAST event seen, and every arriving event emits one
+    * (from → to) pair — an incremental Markov-structure feed whose
+    * grouped counts equal the batch lag-window exactly.
+    *
+    * Exactness discipline (the stream≡batch parity pin): events are
+    * sorted by (event time, event_id) WITHIN each micro-batch's group
+    * iterator (Spark guarantees no order), and the carried state ends
+    * each batch at the group's latest event — so as long as the file
+    * source feeds batches in non-decreasing event-time order (one
+    * landing file per interval, the production layout), the emitted
+    * multiset of pairs is identical to the batch `lag` window. State
+    * is O(1) per user — this scales to any stream length.
+    */
+  def transitionPairs(events: Dataset[TEvent]): Dataset[TransPair] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvt, TransPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[TEvent], state: GroupState[LastEvt]) =>
+          // floor-to-second + event_id: the SAME total order as the
+          // batch lag window (q208), so sub-second timestamp jitter
+          // cannot flip tie order between the two paths
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[TransPair]
+          sorted.foreach { e =>
+            last.foreach(l => out += TransPair(uid, l.typ, e.event_type))
+            last = Some(LastEvt(e.ts.getTime / 1000, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** File-source stream over a directory of parquet events with the
     * given schema — at scale this is the bridge from a landing zone
     * (object store prefix) into the incremental queries above.

@@ -479,6 +479,49 @@ class StreamingSpec extends SparkSpec {
     assert(drifted > 0.5, s"hard-shifted window only scored PSI $drifted")
   }
 
+  test("transitionPairs over a file stream reproduce the batch transition matrix") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-trans").toFile
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    // one landing file per time bucket with ASCENDING modification
+    // times — the time-ordered arrival the operator's parity contract
+    // assumes (the file source schedules batches by mtime, so files
+    // written in one burst can arrive out of event-time order)
+    new java.io.File(s"$dir/in").mkdirs()
+    val bounds = ev.select(
+        min(col("ts").cast("long")).as("lo"), max(col("ts").cast("long")).as("hi"))
+      .first()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1) + 1)
+    val step = math.max(1L, (hi - lo) / 8 + 1)
+    (0 until 8).foreach { i =>
+      val bucket = ev.filter(col("ts").cast("long") >= lo + i * step &&
+        col("ts").cast("long") < lo + (i + 1) * step)
+      val tmp = s"$dir/tmp$i"
+      bucket.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$dir/in/evt-000$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$dir/in")
+      .as[StreamingOps.TEvent]
+    val pairs = StreamingOps.transitionPairs(stream)
+    val streamed = StreamingOps.runAvailableNow(pairs.toDF(), "trans_pairs",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("from_type", "to_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = graft.queries.EventQueries.q208.fn(spark, sf)
+      .select("from_type", "to_type", "cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch, s"stream transition counts != batch")
+  }
+
   test("sessionize accumulates per-user state across a micro-batch") {
     import spark.implicits._
     val events = Seq(
