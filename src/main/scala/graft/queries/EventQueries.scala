@@ -605,6 +605,239 @@ object EventQueries {
       FROM c JOIN t ON c.from_type = t.from_type
       ORDER BY c.from_type, c.to_type"""))
 
+  // --------------------------------------------------------------- q212
+
+  /** q212 — two-sided CUSUM changepoint detection over each
+    * event_type's daily volume: the classic sequential drift detector
+    * (has the ingest rate shifted up or down from its historical
+    * mean?) that pipeline monitoring runs after q201's forecaster.
+    *
+    * The CUSUM recurrence hi_t = max(0, hi_{t-1} + dev_t − slack) is
+    * sequential, but it has a WINDOW-COMPUTABLE closed form:
+    * hi_t = P_t − min(0, min_{j≤t} P_j) where P is the prefix sum of
+    * (dev − slack) — the max-drawdown identity. So no recursion, no
+    * fold: two ordered windows per key (prefix sum + running min),
+    * both partitioned BY event_type and bounded by days-per-key, never
+    * corpus-global. The oracle replays the identical windows.
+    *
+    * Exactness: dev_t = n·y_t − S is n·(y_t − mean) kept integer (no
+    * mean division); slack = S div 4 (quarter-mean allowance, S ≥ 0 so
+    * Spark `div` ≡ DuckDB `//`); alarm threshold = S (one average
+    * day's worth of cumulative excess). Everything is int64: P_t is
+    * bounded by n·Σy ≤ days·totalEvents.
+    */
+  val q212 = Q("q212_cusum_changepoint",
+    (s, dir) => {
+      val byType = Window.partitionBy("event_type")
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("_n", count(lit(1)).over(byType))
+        .withColumn("_s", sum(col("y")).over(byType))
+        .withColumn("dev", col("_n") * col("y") - col("_s"))
+        .withColumn("_slack", expr("_s div 4"))
+        .withColumn("_p", sum(col("dev") - col("_slack")).over(wOrd))
+        .withColumn("_q", sum(-col("dev") - col("_slack")).over(wOrd))
+        .withColumn("cusum_hi", col("_p") - least(lit(0L), min(col("_p")).over(wOrd)))
+        .withColumn("cusum_lo", col("_q") - least(lit(0L), min(col("_q")).over(wOrd)))
+        .select(col("event_type"), col("day"), col("y"), col("dev"),
+          col("cusum_hi"), col("cusum_lo"),
+          (col("cusum_hi") > col("_s")).as("alarm_hi"),
+          (col("cusum_lo") > col("_s")).as("alarm_lo"))
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      base AS (
+        SELECT event_type, day, y,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS s
+        FROM daily),
+      dv AS (
+        SELECT event_type, day, y, n * y - s AS dev, s // 4 AS slack, s
+        FROM base),
+      pf AS (
+        SELECT event_type, day, y, dev, s,
+               sum(dev - slack) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+               sum(-dev - slack) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q
+        FROM dv),
+      cs AS (
+        SELECT event_type, day, y, dev, s,
+               p - least(CAST(0 AS BIGINT), min(p) OVER (PARTITION BY event_type
+                 ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 AS cusum_hi,
+               q - least(CAST(0 AS BIGINT), min(q) OVER (PARTITION BY event_type
+                 ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 AS cusum_lo
+        FROM pf)
+      SELECT event_type, day, y, dev,
+             CAST(cusum_hi AS BIGINT) AS cusum_hi,
+             CAST(cusum_lo AS BIGINT) AS cusum_lo,
+             cusum_hi > s AS alarm_hi, cusum_lo > s AS alarm_lo
+      FROM cs ORDER BY event_type, day"""))
+
+  // --------------------------------------------------------------- q213
+
+  /** q213 — seasonal decomposition (STL-lite) of each event_type's
+    * daily volume: trend = centered 7-day moving average, seasonal =
+    * per-day-of-week mean of the detrended series, residual = what
+    * neither explains — the decomposition behind "is Tuesday always
+    * low, or is this Tuesday anomalous?".
+    *
+    * Exactness: trend_micro = (1e6·Σ₇y) div 7 on the non-negative
+    * 7-day sum; detrended values can be negative, so the seasonal
+    * index divides with an explicit sign-symmetric truncating CASE
+    * (Spark `div` truncates, DuckDB `//` floors — they differ on
+    * negatives). Only full 7-day windows emit rows (edge days have no
+    * centered trend), making null semantics a non-issue.
+    *
+    * Scale: one daily rollup (map-side partials), per-key bounded
+    * windows, one |types|·7-cell seasonal groupBy joined back
+    * broadcast. Nothing corpus-global.
+    */
+  val q213 = Q("q213_seasonal_decomp",
+    (s, dir) => {
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("_w", count(lit(1)).over(w7))
+        .withColumn("_s7", sum(col("y")).over(w7))
+        .withColumn("trend_micro", expr("(1000000 * _s7) div 7"))
+        .filter(col("_w") === 7)
+        .withColumn("det_micro", lit(1000000L) * col("y") - col("trend_micro"))
+        .withColumn("dow", dayofweek(col("day")))
+      val seas = daily.groupBy("event_type", "dow")
+        .agg(sum("det_micro").as("_sd"), count(lit(1)).as("_sc"))
+        .withColumn("seas_micro", expr(
+          "CASE WHEN _sd < 0 THEN -((-_sd) div _sc) ELSE _sd div _sc END"))
+        .select("event_type", "dow", "seas_micro")
+      daily.join(broadcast(seas), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("y"), col("trend_micro"),
+          col("seas_micro"),
+          (col("det_micro") - col("seas_micro")).as("resid_micro"))
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      tr AS (
+        SELECT event_type, day, y,
+               CAST(count(*) OVER w AS BIGINT) AS wn,
+               (1000000 * CAST(sum(y) OVER w AS BIGINT)) // 7 AS trend_micro,
+               CAST(dayofweek(day) AS INT) + 1 AS dow
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      dt AS (
+        SELECT event_type, day, y, trend_micro, dow,
+               1000000 * y - trend_micro AS det_micro
+        FROM tr WHERE wn = 7),
+      seas AS (
+        SELECT event_type, dow,
+               CASE WHEN sum(det_micro) < 0
+                 THEN -((-CAST(sum(det_micro) AS BIGINT)) // CAST(count(*) AS BIGINT))
+                 ELSE CAST(sum(det_micro) AS BIGINT) // CAST(count(*) AS BIGINT) END
+                 AS seas_micro
+        FROM dt GROUP BY 1, 2)
+      SELECT d.event_type, d.day, d.y, d.trend_micro, s.seas_micro,
+             d.det_micro - s.seas_micro AS resid_micro
+      FROM dt d JOIN seas s ON d.event_type = s.event_type AND d.dow = s.dow
+      ORDER BY d.event_type, d.day"""))
+
+  // --------------------------------------------------------------- q215
+
+  /** q215 — lead-lag cross-correlation between event-type daily
+    * volumes: for every ordered type pair and lag 0..7, how strongly
+    * does type A's volume on day t predict type B's on day t+lag —
+    * the lead-indicator scan behind "clicks lead purchases by 2 days"
+    * dashboards and feature-engineering for forecasting.
+    *
+    * Exactness: the Pearson square root is avoided by reporting the
+    * SIGNED SQUARED correlation sign(cov)·(1e12·cov²) div (varx·vary)
+    * with cov = n·Σxy − Σx·Σy etc. — every product runs in
+    * DECIMAL(38,0)/HUGEINT (q184's recipe), including the Σxy terms
+    * themselves (daily counts at petabyte grain overflow an int64
+    * product), so both engines are bit-exact. NULL when a series is
+    * constant (zero variance).
+    *
+    * Scale: one daily rollup (map-side partials) to a |types|·days
+    * table; the lag alignment is a self-join of that BOUNDED rollup
+    * (8 lags exploded on the left), never of raw events; the final
+    * groupBy is |types|²·8 cells.
+    */
+  val q215 = Q("q215_lead_lag_xcorr",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val a = daily
+        .select(col("event_type").as("ta"), col("day"), col("y").as("x"))
+        .withColumn("lag", explode(expr("sequence(0, 7)")))
+        .withColumn("_bday", expr("date_add(day, lag)"))
+      val b = daily.select(col("event_type").as("tb"),
+        col("day").as("_bday"), col("y").as("yv"))
+      a.join(b, Seq("_bday")).filter(col("ta") =!= col("tb"))
+        .groupBy("ta", "tb", "lag")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("yv").as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * yv")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(yv AS DECIMAL(38,0)) * yv")).as("syy"))
+        .withColumn("_cov", expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+        .withColumn("_vx", expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .withColumn("_vy", expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+        .select(col("ta"), col("tb"), col("lag"), col("n"),
+          expr("CAST(_cov AS BIGINT)").as("cov_num"),
+          expr("""CASE WHEN _vx = 0 OR _vy = 0 THEN NULL ELSE
+            CAST((CASE WHEN _cov < 0 THEN -1 ELSE 1 END) *
+              ((CAST(1000000000000 AS DECIMAL(38,0)) * _cov * _cov)
+               div (_vx * _vy)) AS BIGINT) END""").as("corr2_pico"))
+        .orderBy("ta", "tb", "lag")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      lagged AS (
+        SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+               a.y AS x, b.y AS yv
+        FROM daily a
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS lag) l
+        JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+                    AND b.event_type <> a.event_type),
+      agg AS (
+        SELECT ta, tb, lag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * yv) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(yv AS HUGEINT) * yv) AS syy
+        FROM lagged GROUP BY 1, 2, 3),
+      cv AS (
+        SELECT ta, tb, lag, n,
+               CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov,
+               CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vx,
+               CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vy
+        FROM agg)
+      SELECT ta, tb, CAST(lag AS INT) AS lag, n,
+             CAST(cov AS BIGINT) AS cov_num,
+             CASE WHEN vx = 0 OR vy = 0 THEN NULL ELSE
+               CAST((CASE WHEN cov < 0 THEN -1 ELSE 1 END) *
+                 ((CAST(1000000000000 AS HUGEINT) * cov * cov)
+                  // (vx * vy)) AS BIGINT) END AS corr2_pico
+      FROM cv ORDER BY ta, tb, lag"""))
+
   val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201, q205,
-    q206, q208)
+    q206, q208, q212, q213, q215)
 }

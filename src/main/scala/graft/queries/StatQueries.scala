@@ -1546,7 +1546,188 @@ object StatQueries {
                   ELSE round(exp(CAST(cum AS DOUBLE) / 1e9), 6) END AS survival
       FROM acc ORDER BY cohort, dur_h"""))
 
+  // --------------------------------------------------------------- q214
+
+  /** q214 — HyperLogLog distinct-count sketch (m=64 registers) per
+    * event_type, gated EXACTLY: the register table is a deterministic
+    * function of the data (md5-derived hash → register = h mod 64,
+    * rho = leading-zero rank of the remaining 54 bits), so the oracle
+    * recomputes every register, the harmonic sum, and the integer
+    * estimate bit-for-bit — no "approximate results can't be gated"
+    * cop-out. The exact distinct count rides along so the output
+    * certifies the sketch's own error.
+    *
+    * WHY a sketch when countDistinct exists: HLL registers are
+    * MERGEABLE (max per register) — the shape that turns a 100 TB
+    * distinct-count into map-side partial maxes over 64·|groups| cells
+    * instead of a shuffle of every distinct key. The groupBy(type,
+    * register).max IS the mergeable partial: Spark's partial
+    * aggregation computes per-partition register maxes before the one
+    * tiny shuffle.
+    *
+    * Exactness: harmonic sum Z = Σ 2^(−M_j) is kept integer as
+    * T = Σ 2^(55−M_j) (empty registers contribute 2^55); the estimate
+    * α·m²/Z becomes (α_micro · 4096 · 2^55) div T with the product in
+    * DECIMAL(38,0)/HUGEINT (q184's recipe). α_micro = 709374
+    * (0.7213/(1+1.079/64), the standard m=64 constant) is the same
+    * literal on both sides. All divisions run on non-negative
+    * operands, so Spark `div` ≡ DuckDB `//`.
+    *
+    * Small-range correction: the raw estimator biases high when most
+    * registers are empty, so below 2.5m (raw ≤ 160e6 micro, V > 0)
+    * the standard LinearCounting branch m·ln(m/V) applies — the
+    * branch condition is integer (both engines agree exactly) and the
+    * one ln() is micro-quantized through round(), the q57/q211 recipe.
+    */
+  val q214 = Q("q214_hll_sketch",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events").select("event_type", "user_id")
+      val reg = ev
+        .withColumn("_h", graft.functions.Hashing.hash64(col("user_id").cast("string")))
+        .withColumn("_j", col("_h") % 64)
+        .withColumn("_w", expr("_h div 64"))
+        .withColumn("_rho", expr(
+          "CAST(CASE WHEN _w = 0 THEN 55 ELSE 55 - length(bin(_w)) END AS INT)"))
+        .groupBy("event_type", "_j").agg(max("_rho").as("m"))
+      val sk = reg.groupBy("event_type")
+        .agg(count(lit(1)).as("z_registers"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).as("_tp"))
+        .withColumn("t_sum",
+          col("_tp") + (lit(64L) - col("z_registers")) * lit(36028797018963968L))
+        .withColumn("_raw", expr(
+          """CAST((CAST(709374 AS DECIMAL(38,0)) * 4096 *
+             CAST(36028797018963968 AS DECIMAL(38,0)))
+             div CAST(t_sum AS DECIMAL(38,0)) AS BIGINT)"""))
+        .withColumn("est_micro", expr(
+          """CASE WHEN z_registers < 64 AND _raw <= 160000000
+             THEN CAST(round(64 * ln(64.0 / (64 - z_registers)) * 1000000) AS BIGINT)
+             ELSE _raw END"""))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      sk.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("z_registers"),
+          col("t_sum"), col("est_micro"),
+          expr("(abs(est_micro - 1000000 * n_exact) * 100) div (1000000 * n_exact)")
+            .as("err_pct"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type, user_id FROM events),
+      h AS (SELECT event_type, user_id,
+              ${duckHash64("CAST(user_id AS VARCHAR)")} AS h
+            FROM e),
+      r AS (SELECT event_type, h % 64 AS j,
+              CASE WHEN h // 64 = 0 THEN 55
+                   ELSE 55 - length(bin(h // 64)) END AS rho
+            FROM h),
+      m AS (SELECT event_type, j, max(rho) AS m FROM r GROUP BY 1, 2),
+      sk AS (SELECT event_type,
+               CAST(count(*) AS BIGINT) AS z_registers,
+               CAST(sum(CAST(1 AS BIGINT) << (55 - m)) AS BIGINT)
+                 + (64 - CAST(count(*) AS BIGINT)) * 36028797018963968
+                 AS t_sum
+             FROM m GROUP BY 1),
+      x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM e GROUP BY 1),
+      raw AS (SELECT sk.event_type, x.n_exact, sk.z_registers, sk.t_sum,
+                CAST((CAST(709374 AS HUGEINT) * 4096 * 36028797018963968)
+                     // sk.t_sum AS BIGINT) AS r
+              FROM sk JOIN x ON sk.event_type = x.event_type),
+      est AS (SELECT event_type, n_exact, z_registers, t_sum,
+                CASE WHEN z_registers < 64 AND r <= 160000000
+                  THEN CAST(round(64 * ln(64.0 / (64 - z_registers)) * 1000000) AS BIGINT)
+                  ELSE r END AS est_micro
+              FROM raw)
+      SELECT event_type, n_exact, z_registers, t_sum, est_micro,
+             (abs(est_micro - 1000000 * n_exact) * 100)
+               // (1000000 * n_exact) AS err_pct
+      FROM est ORDER BY event_type"""))
+
+  // --------------------------------------------------------------- q216
+
+  /** q216 — Kendall tau-b rank correlation between per-user click and
+    * purchase activity: the tie-aware rank correlation that
+    * complements Spearman (q131's family) when the variables are
+    * small discrete counts — exactly where Spearman's midrank
+    * arithmetic is noisiest and tau-b's explicit tie correction
+    * matters.
+    *
+    * Scale shape: the O(n²) pair comparison collapses onto the JOINT
+    * FREQUENCY GRID — one groupBy(user) pass, one groupBy(x, y) cell
+    * rollup (cells are bounded: activity counts, not raw values),
+    * then concordant/discordant counted by a self-join of the tiny
+    * cell table (broadcast, |cells|² products of precomputed
+    * frequencies — never user×user). Ties come from the marginals.
+    *
+    * Exactness: C, D, and the tie terms are exact int64 products of
+    * cell counts; tau-b's square root is avoided by reporting the
+    * SIGNED SQUARED statistic sign(C−D)·(1e12·(C−D)²) div
+    * ((n0−n1)(n0−n2)) with products in DECIMAL(38,0)/HUGEINT — all
+    * divisions on non-negative operands.
+    */
+  val q216 = Q("q216_kendall_tau",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val ux = ev.groupBy("user_id")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val cells = ux.groupBy("x", "y").agg(count(lit(1)).as("f"))
+      val c2 = cells.select(col("x").as("x2"), col("y").as("y2"), col("f").as("f2"))
+      val pairs = cells.join(broadcast(c2), col("x") < col("x2"))
+        .agg(
+          coalesce(sum(when(col("y") < col("y2"), col("f") * col("f2"))
+            .otherwise(0L)), lit(0L)).as("c_pairs"),
+          coalesce(sum(when(col("y") > col("y2"), col("f") * col("f2"))
+            .otherwise(0L)), lit(0L)).as("d_pairs"))
+      val tot = cells.agg(
+        sum("f").as("n"),
+        sum(expr("f * (f - 1) div 2")).as("_tie_xy"))
+      val tx = cells.groupBy("x").agg(sum("f").as("fx"))
+        .agg(sum(expr("fx * (fx - 1) div 2")).as("n1"))
+      val ty = cells.groupBy("y").agg(sum("f").as("fy"))
+        .agg(sum(expr("fy * (fy - 1) div 2")).as("n2"))
+      pairs.crossJoin(broadcast(tot)).crossJoin(broadcast(tx))
+        .crossJoin(broadcast(ty))
+        .withColumn("n0", expr("n * (n - 1) div 2"))
+        .select(col("c_pairs"), col("d_pairs"), col("n0"), col("n1"), col("n2"),
+          expr("""CASE WHEN n0 = n1 OR n0 = n2 THEN NULL ELSE
+            CAST(CASE WHEN c_pairs < d_pairs THEN -1 ELSE 1 END *
+              ((CAST(1000000000000 AS DECIMAL(38,0)) *
+                CAST(c_pairs - d_pairs AS DECIMAL(38,0)) *
+                CAST(c_pairs - d_pairs AS DECIMAL(38,0)))
+               div (CAST(n0 - n1 AS DECIMAL(38,0)) *
+                    CAST(n0 - n2 AS DECIMAL(38,0)))) AS BIGINT) END""")
+            .as("tau2_pico"))
+    },
+    Some("""
+      WITH ux AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1),
+      cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS f FROM ux GROUP BY 1, 2),
+      pairs AS (
+        SELECT
+          CAST(coalesce(sum(CASE WHEN a.y < b.y THEN a.f * b.f END), 0) AS BIGINT) AS c_pairs,
+          CAST(coalesce(sum(CASE WHEN a.y > b.y THEN a.f * b.f END), 0) AS BIGINT) AS d_pairs
+        FROM cells a JOIN cells b ON a.x < b.x),
+      tot AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM cells),
+      tx AS (SELECT CAST(sum(fx * (fx - 1) // 2) AS BIGINT) AS n1
+             FROM (SELECT sum(f) AS fx FROM cells GROUP BY x)),
+      ty AS (SELECT CAST(sum(fy * (fy - 1) // 2) AS BIGINT) AS n2
+             FROM (SELECT sum(f) AS fy FROM cells GROUP BY y))
+      SELECT p.c_pairs, p.d_pairs,
+             t.n * (t.n - 1) // 2 AS n0, tx.n1, ty.n2,
+             CASE WHEN t.n * (t.n - 1) // 2 = tx.n1
+                    OR t.n * (t.n - 1) // 2 = ty.n2 THEN NULL ELSE
+               CAST(CASE WHEN p.c_pairs < p.d_pairs THEN -1 ELSE 1 END *
+                 ((CAST(1000000000000 AS HUGEINT) *
+                   (p.c_pairs - p.d_pairs) * (p.c_pairs - p.d_pairs))
+                  // (CAST(t.n * (t.n - 1) // 2 - tx.n1 AS HUGEINT) *
+                     (t.n * (t.n - 1) // 2 - ty.n2))) AS BIGINT) END AS tau2_pico
+      FROM pairs p, tot t, tx, ty"""))
+
   val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
     q123, q124, q125, q190, q191, q192, q198, q199, q202, q203, q207, q209, q210,
-    q211)
+    q211, q214, q216)
 }

@@ -90,6 +90,96 @@ class EventQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q212: closed-form CUSUM equals the literal recurrence replay") {
+    val daily = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (ty, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val n = sorted.length.toLong
+      val s = sorted.map(_._3).sum
+      val slack = s / 4 // s >= 0 so truncating == flooring
+      var hi = 0L; var lo = 0L
+      sorted.map { case (_, day, y) =>
+        val dev = n * y - s
+        hi = math.max(0L, hi + dev - slack)
+        lo = math.max(0L, lo - dev - slack)
+        (ty, day, y, dev, hi, lo, hi > s, lo > s)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val actual = EventQueries.q212.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7))).toSeq
+    assert(actual == expected)
+    // the detector must actually fire somewhere on this data, or the
+    // spec is vacuous
+    assert(actual.exists(r => r._7 || r._8))
+  }
+
+  test("q213: seasonal decomposition replays trend/seasonal/residual exactly") {
+    val daily = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    def tdiv(x: Long, d: Long): Long = if (x < 0) -((-x) / d) else x / d
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (ty, rows) =>
+      val sorted = rows.sortBy(_._2.toString)
+      val det = sorted.indices.collect {
+        case i if i >= 3 && i <= sorted.length - 4 =>
+          val s7 = (i - 3 to i + 3).map(j => sorted(j)._3).sum
+          val trend = (1000000L * s7) / 7
+          val d = sorted(i)._2
+          // java.sql.Date -> day-of-week 1=Sunday..7=Saturday (Spark's)
+          val dow = d.toLocalDate.getDayOfWeek.getValue % 7 + 1
+          (d.toString, sorted(i)._3, trend, 1000000L * sorted(i)._3 - trend, dow)
+      }
+      val seas = det.groupBy(_._5).view.mapValues { g =>
+        tdiv(g.map(_._4).sum, g.length.toLong)
+      }.toMap
+      det.map { case (day, y, trend, dm, dow) =>
+        (ty, day, y, trend, seas(dow), dm - seas(dow))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val actual = EventQueries.q213.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(actual == expected)
+  }
+
+  test("q215: signed squared cross-correlation replays from the daily series") {
+    val daily = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byType = daily.groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val types = byType.keys.toSeq.sorted
+    val expected = (for {
+      ta <- types; tb <- types if ta != tb; lag <- 0 to 7
+    } yield {
+      val pairs = byType(ta).toSeq.flatMap { case (d, x) =>
+        byType(tb).get(d.plusDays(lag)).map(yv => (x, yv))
+      }
+      val n = BigInt(pairs.length)
+      val sx = BigInt(pairs.map(_._1).sum); val sy = BigInt(pairs.map(_._2).sum)
+      val sxy = pairs.map { case (x, y) => BigInt(x) * y }.sum
+      val sxx = pairs.map { case (x, _) => BigInt(x) * x }.sum
+      val syy = pairs.map { case (_, y) => BigInt(y) * y }.sum
+      val cov = n * sxy - sx * sy
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      val corr2 = if (vx == 0 || vy == 0) None
+        else Some(((BigInt(1000000000000L) * cov * cov / (vx * vy))
+          * (if (cov < 0) -1 else 1)).toLong)
+      (ta, tb, lag, n.toLong, cov.toLong, corr2)
+    }).filter(_._4 > 0).sortBy(t => (t._1, t._2, t._3))
+    val actual = EventQueries.q215.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(actual == expected)
+    // Cauchy-Schwarz: |corr²| never exceeds 1 (1e12 pico-units)
+    actual.flatMap(_._6).foreach(v => assert(math.abs(v) <= 1000000000000L))
+  }
+
   test("q208: transition matrix equals brute-force consecutive-pair counts") {
     val ev = graft.Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),

@@ -497,4 +497,62 @@ class StatQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("q214: HLL registers, harmonic sum, and estimate replay from hash64Local") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).toSeq.map { case (ty, rows) =>
+      val regs = collection.mutable.Map.empty[Long, Int]
+      rows.map(_._2).distinct.foreach { uid =>
+        val h = graft.functions.Hashing.hash64Local(uid.toString)
+        val j = h % 64
+        val w = h / 64
+        val rho = if (w == 0) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs.getOrElse(j, 0)) regs(j) = rho
+      }
+      val t = regs.values.map(m => 1L << (55 - m)).sum +
+        (64L - regs.size) * (1L << 55)
+      val raw = (BigInt(709374) * 4096 * (BigInt(1) << 55) / t).toLong
+      val est = if (regs.size < 64 && raw <= 160000000L)
+        math.round(64 * math.log(64.0 / (64 - regs.size)) * 1000000)
+      else raw
+      val nExact = rows.map(_._2).distinct.length.toLong
+      val err = (est - 1000000L * nExact).abs * 100 / (1000000L * nExact)
+      (ty, nExact, regs.size.toLong, t, est, err)
+    }.sortBy(_._1)
+    val actual = StatQueries.q214.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(actual == expected)
+    // m=64 gives ~13% relative error; anything past 50% means the
+    // register pipeline is broken, not just unlucky
+    actual.foreach(r => assert(r._6 <= 50, s"HLL error ${r._6}% for ${r._1}"))
+  }
+
+  test("q216: Kendall tau-b components equal the O(n^2) pair scan") {
+    val ux = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).toSeq.map { case (_, rs) =>
+        (rs.count(_._2 == "click").toLong, rs.count(_._2 == "purchase").toLong)
+      }
+    var c = 0L; var d = 0L
+    for (i <- ux.indices; j <- i + 1 until ux.length) {
+      val ((x1, y1), (x2, y2)) = (ux(i), ux(j))
+      val sx = (x1 - x2).sign; val sy = (y1 - y2).sign
+      if (sx * sy > 0) c += 1 else if (sx * sy < 0) d += 1
+    }
+    val n = ux.length.toLong
+    val n0 = n * (n - 1) / 2
+    val n1 = ux.groupBy(_._1).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val n2 = ux.groupBy(_._2).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val r = StatQueries.q216.fn(spark, sf).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4)) == ((c, d, n0, n1, n2)))
+    val tau2 = (BigInt(1000000000000L) * BigInt(c - d) * BigInt(c - d) /
+      (BigInt(n0 - n1) * BigInt(n0 - n2))).toLong * (if (c < d) -1 else 1)
+    assert(r(0).getLong(5) == tau2)
+  }
 }
