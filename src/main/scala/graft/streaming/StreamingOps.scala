@@ -101,6 +101,56 @@ object StreamingOps {
       }
   }
 
+  final case class DailyPoint(key: String, day: java.sql.Date, y: Long)
+  final case class CusumState(hi: Long, lo: Long)
+  final case class CusumOut(key: String, day: java.sql.Date, y: Long, dev: Long,
+                            cusum_hi: Long, cusum_lo: Long,
+                            alarm_hi: Boolean, alarm_lo: Boolean)
+
+  /** Streaming twin of q212's two-sided CUSUM changepoint detector:
+    * per-key O(1) state (the two CUSUM accumulators) advanced by the
+    * LITERAL recurrence hi=max(0,hi+dev−slack) as daily points arrive
+    * — where the batch query uses the window closed form, the stream
+    * IS the recurrence, and the two provably agree (EventQueriesSpec
+    * pins closed-form ≡ recurrence; StreamingSpec pins stream ≡
+    * batch).
+    *
+    * `refStats` maps each monitored key to its reference (n, S) —
+    * series length and total from a trusted window, computed offline
+    * by the batch job exactly as driftMonitor takes its boundaries:
+    * a LIVE detector cannot know the final-series mean the batch
+    * query centers on, so the reference is pinned configuration, and
+    * feeding the batch job's own (n, S) reproduces its output
+    * bit-for-bit. Keys without an entry are ignored. Points sort by
+    * day within each micro-batch group; parity holds under
+    * day-ordered file arrival (one landing file per interval).
+    */
+  def cusumMonitor(points: Dataset[DailyPoint],
+                   refStats: Map[String, (Long, Long)]): Dataset[CusumOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[DailyPoint], state: GroupState[CusumState]) =>
+          refStats.get(key) match {
+            case None => Iterator.empty
+            case Some((n, s)) =>
+              val slack = s / 4
+              var st = state.getOption.getOrElse(CusumState(0L, 0L))
+              val out = Seq.newBuilder[CusumOut]
+              it.toSeq.sortBy(_.day.toString).foreach { p =>
+                val dev = n * p.y - s
+                val hi = math.max(0L, st.hi + dev - slack)
+                val lo = math.max(0L, st.lo - dev - slack)
+                st = CusumState(hi, lo)
+                out += CusumOut(key, p.day, p.y, dev, hi, lo, hi > s, lo > s)
+              }
+              state.update(st)
+              out.result().iterator
+          }
+      }
+  }
+
   /** File-source stream over a directory of parquet events with the
     * given schema — at scale this is the bridge from a landing zone
     * (object store prefix) into the incremental queries above.
