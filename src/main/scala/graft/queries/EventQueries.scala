@@ -838,6 +838,51 @@ object EventQueries {
                   // (vx * vy)) AS BIGINT) END AS corr2_pico
       FROM cv ORDER BY ta, tb, lag"""))
 
+  // --------------------------------------------------------------- q219
+
+  /** q219 — top journey trigrams (sequential pattern mining, the
+    * contiguous-window slice): the 20 most common consecutive
+    * 3-event-type sequences across user journeys, with how many
+    * distinct users exhibit each — the order-2 extension of q208's
+    * transition matrix and the cheap first pass of PrefixSpan-style
+    * funnels ("view→click→purchase happens 4× more than
+    * click→view→purchase").
+    *
+    * Scale: two lead windows on the same user-keyed sort (ONE
+    * shuffle — both leads share the window frame), a ≤|types|³
+    * groupBy, and a top-20 that compiles to TakeOrderedAndProject
+    * (per-partition heaps, no global sort). Tie-break is total
+    * (support desc, then the three types).
+    */
+  val q219 = Q("q219_journey_trigrams",
+    (s, dir) => {
+      val wu = Window.partitionBy("user_id").orderBy(col("_sec").asc, col("event_id").asc)
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("_sec"))
+        .withColumn("t2", lead(col("event_type"), 1).over(wu))
+        .withColumn("t3", lead(col("event_type"), 2).over(wu))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("t2").as("s2"), col("t3").as("s3"))
+        .agg(count(lit(1)).as("support"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("support").desc, col("s1"), col("s2"), col("s3"))
+        .limit(20)
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(ts) // 1000000 AS sec FROM events),
+      tri AS (SELECT user_id, event_type AS s1,
+                     lead(event_type, 1) OVER w AS s2,
+                     lead(event_type, 2) OVER w AS s3
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC)),
+      g AS (SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS support,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM tri WHERE s3 IS NOT NULL GROUP BY 1, 2, 3)
+      SELECT s1, s2, s3, support, n_users
+      FROM g ORDER BY support DESC, s1, s2, s3 LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201, q205,
-    q206, q208, q212, q213, q215)
+    q206, q208, q212, q213, q215, q219)
 }

@@ -1727,7 +1727,177 @@ object StatQueries {
                      (t.n * (t.n - 1) // 2 - ty.n2))) AS BIGINT) END AS tau2_pico
       FROM pairs p, tot t, tx, ty"""))
 
+  // --------------------------------------------------------------- q217
+
+  /** q217 — mutual information between event_type and day-of-week:
+    * the feature-selection / dependence-mining primitive ("does
+    * behavior depend on the weekday, and how much?") computed from
+    * the contingency table, with both marginal entropies and the
+    * normalized MI riding along.
+    *
+    * Exactness: every per-cell ln((n·c)/(r·cC)) and per-marginal
+    * ln(n/r) goes through the proven round(x·1e9)::long quantization
+    * (textually identical double expressions both sides, q57/q211's
+    * recipe), accumulated as exact longs weighted by integer counts;
+    * the final divisions are sign-symmetric CASEs (the MI sum can
+    * round slightly negative near independence). Normalized MI
+    * divides by the smaller marginal entropy, NULL if degenerate.
+    *
+    * Scale: one |types|·7-cell contingency rollup (map-side
+    * partials), marginals and total re-aggregated from the CELLS (not
+    * the raw events), everything after the first groupBy is broadcast
+    * joins over bounded tables. No windows at all.
+    */
+  val q217 = Q("q217_mutual_info",
+    (s, dir) => {
+      val tdivN = "CASE WHEN %s < 0 THEN -((-(%s)) div n) ELSE (%s) div n END"
+      val cells = Tables.load(s, dir, "events")
+        .select(col("event_type").as("t"),
+          dayofweek(to_date(col("ts"))).as("d"))
+        .groupBy("t", "d").agg(count(lit(1)).as("c"))
+      val r = cells.groupBy("t").agg(sum("c").as("r"))
+      val cc = cells.groupBy("d").agg(sum("c").as("cc"))
+      val n = cells.agg(sum("c").as("n"))
+      val mi = cells.join(broadcast(r), Seq("t")).join(broadcast(cc), Seq("d"))
+        .crossJoin(broadcast(n))
+        .withColumn("term", expr(
+          "c * CAST(round(ln((CAST(n AS DOUBLE) * c) / (CAST(r AS DOUBLE) * cc)) * 1e9) AS BIGINT)"))
+        .agg(sum("term").as("term_sum"), count(lit(1)).as("n_cells"))
+      val ht = r.crossJoin(broadcast(n)).agg(sum(expr(
+        "r * CAST(round(ln(CAST(n AS DOUBLE) / r) * 1e9) AS BIGINT)")).as("ht_sum"))
+      val hd = cc.crossJoin(broadcast(n)).agg(sum(expr(
+        "cc * CAST(round(ln(CAST(n AS DOUBLE) / cc) * 1e9) AS BIGINT)")).as("hd_sum"))
+      mi.crossJoin(ht).crossJoin(hd).crossJoin(n)
+        .withColumn("mi_nano", expr(tdivN.format("term_sum", "term_sum", "term_sum")))
+        .withColumn("h_type_nano", expr("ht_sum div n"))
+        .withColumn("h_dow_nano", expr("hd_sum div n"))
+        .withColumn("nmi_micro", expr(
+          """CASE WHEN least(h_type_nano, h_dow_nano) <= 0 THEN NULL
+             WHEN mi_nano < 0 THEN -((-(1000000 * mi_nano)) div least(h_type_nano, h_dow_nano))
+             ELSE (1000000 * mi_nano) div least(h_type_nano, h_dow_nano) END"""))
+        .select("n", "n_cells", "mi_nano", "h_type_nano", "h_dow_nano", "nmi_micro")
+    },
+    Some("""
+      WITH e AS (SELECT event_type AS t,
+                        CAST(dayofweek(CAST(ts AS DATE)) AS INT) + 1 AS d
+                 FROM events),
+      cells AS (SELECT t, d, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+      r AS (SELECT t, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1),
+      cc AS (SELECT d, CAST(sum(c) AS BIGINT) AS cc FROM cells GROUP BY 1),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+      mi AS (SELECT CAST(sum(c * CAST(round(ln((CAST(n.n AS DOUBLE) * c)
+                      / (CAST(r.r AS DOUBLE) * cc.cc)) * 1e9) AS BIGINT)) AS BIGINT)
+                      AS term_sum,
+                    CAST(count(*) AS BIGINT) AS n_cells
+             FROM cells JOIN r USING (t) JOIN cc USING (d) CROSS JOIN n),
+      ht AS (SELECT CAST(sum(r * CAST(round(ln(CAST(n.n AS DOUBLE) / r) * 1e9)
+                      AS BIGINT)) AS BIGINT) AS ht_sum
+             FROM r CROSS JOIN n),
+      hd AS (SELECT CAST(sum(cc * CAST(round(ln(CAST(n.n AS DOUBLE) / cc) * 1e9)
+                      AS BIGINT)) AS BIGINT) AS hd_sum
+             FROM cc CROSS JOIN n),
+      fin AS (SELECT n.n, mi.n_cells,
+                CASE WHEN mi.term_sum < 0 THEN -((-(mi.term_sum)) // n.n)
+                     ELSE mi.term_sum // n.n END AS mi_nano,
+                ht.ht_sum // n.n AS h_type_nano,
+                hd.hd_sum // n.n AS h_dow_nano
+              FROM mi CROSS JOIN ht CROSS JOIN hd CROSS JOIN n)
+      SELECT n, n_cells, mi_nano, h_type_nano, h_dow_nano,
+             CASE WHEN least(h_type_nano, h_dow_nano) <= 0 THEN NULL
+                  WHEN mi_nano < 0
+                    THEN -((-(1000000 * mi_nano)) // least(h_type_nano, h_dow_nano))
+                  ELSE (1000000 * mi_nano) // least(h_type_nano, h_dow_nano) END
+               AS nmi_micro
+      FROM fin"""))
+
+  // --------------------------------------------------------------- q218
+
+  /** q218 — binned Lorenz curve / Gini concentration per market
+    * segment: how unequally is order revenue distributed across a
+    * segment's customers — the heavy-tail audit behind "1% of
+    * customers drive 40% of revenue" and, on corpora, "1% of domains
+    * drive 40% of tokens".
+    *
+    * Scale shape: at corpus scale you cannot globally SORT customers
+    * by revenue, so revenue bins FIRST (map-side: 1000 fixed-width
+    * bins against a broadcast global max) and the Lorenz/Gini math
+    * runs on the bounded per-segment bin table — the grouped-data
+    * Gini G = 1 − Σ n_b·(2·CumS_before + s_b)/(N·S), windows
+    * partitioned BY SEGMENT over ≤1000 bins. Within-bin order doesn't
+    * enter the grouped formula, so the statistic is exact FOR THE
+    * BINNED distribution and deterministic.
+    *
+    * Exactness: revenue in integer cents (round(price·100), q203's
+    * recipe), all cumulative sums exact longs, the Gini numerator in
+    * DECIMAL(38,0)/HUGEINT (n_b·CumS products overflow int64 at
+    * scale), every division on non-negative operands.
+    */
+  val q218 = Q("q218_gini_concentration",
+    (s, dir) => {
+      val rev = Tables.load(s, dir, "orders")
+        .withColumn("_cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .groupBy("o_custkey").agg(sum("_cents").as("rev"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val base = cust.join(rev, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("segment"), coalesce(col("rev"), lit(0L)).as("rev"))
+      val mx = base.agg(max("rev").as("_mx"))
+      val bins = base.crossJoin(broadcast(mx))
+        .withColumn("bin", expr("(rev * 1000) div (_mx + 1)"))
+        .groupBy("segment", "bin")
+        .agg(count(lit(1)).as("n_b"), sum("rev").as("s_b"))
+      val ws = Window.partitionBy("segment").orderBy("bin")
+      bins
+        .withColumn("_cum_before",
+          coalesce(sum("s_b").over(ws.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("_num", expr(
+          "CAST(n_b AS DECIMAL(38,0)) * (2 * CAST(_cum_before AS DECIMAL(38,0)) + s_b)"))
+        .groupBy("segment")
+        .agg(sum("n_b").as("n_customers"), sum("s_b").as("total_cents"),
+          sum("_num").as("_num_sum"),
+          sum(when(col("bin") >= 900, col("s_b")).otherwise(0L)).as("_top_band"))
+        .select(col("segment"), col("n_customers"), col("total_cents"),
+          expr("""CAST(1000000 - (CAST(1000000 AS DECIMAL(38,0)) * _num_sum)
+                 div (CAST(n_customers AS DECIMAL(38,0)) * total_cents) AS BIGINT)""")
+            .as("gini_micro"),
+          expr("(1000000 * _top_band) div total_cents").as("top_band_share_micro"))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        FROM orders GROUP BY 1),
+      base AS (
+        SELECT c.c_mktsegment AS segment, coalesce(r.rev, 0) AS rev
+        FROM customer c LEFT JOIN rev r ON c.c_custkey = r.o_custkey),
+      mx AS (SELECT max(rev) AS mx FROM base),
+      bins AS (
+        SELECT segment, (rev * 1000) // (mx.mx + 1) AS bin,
+               CAST(count(*) AS BIGINT) AS n_b, CAST(sum(rev) AS BIGINT) AS s_b
+        FROM base CROSS JOIN mx GROUP BY 1, 2),
+      cum AS (
+        SELECT segment, bin, n_b, s_b,
+               CAST(coalesce(sum(s_b) OVER (PARTITION BY segment ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS cum_before
+        FROM bins),
+      agg AS (
+        SELECT segment,
+               CAST(sum(n_b) AS BIGINT) AS n_customers,
+               CAST(sum(s_b) AS BIGINT) AS total_cents,
+               sum(CAST(n_b AS HUGEINT) * (2 * CAST(cum_before AS HUGEINT) + s_b))
+                 AS num_sum,
+               CAST(sum(CASE WHEN bin >= 900 THEN s_b ELSE 0 END) AS BIGINT)
+                 AS top_band
+        FROM cum GROUP BY 1)
+      SELECT segment, n_customers, total_cents,
+             CAST(1000000 - (CAST(1000000 AS HUGEINT) * num_sum)
+               // (CAST(n_customers AS HUGEINT) * total_cents) AS BIGINT)
+               AS gini_micro,
+             (1000000 * top_band) // total_cents AS top_band_share_micro
+      FROM agg ORDER BY segment"""))
+
   val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
     q123, q124, q125, q190, q191, q192, q198, q199, q202, q203, q207, q209, q210,
-    q211, q214, q216)
+    q211, q214, q216, q217, q218)
 }

@@ -180,6 +180,29 @@ class EventQueriesSpec extends SparkSpec {
     actual.flatMap(_._6).foreach(v => assert(math.abs(v) <= 1000000000000L))
   }
 
+  test("q219: trigram support equals brute-force subsequence counting") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val support = collection.mutable.Map.empty[(String, String, String), (Long, Set[Long])]
+    ev.groupBy(_._1).foreach { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._2)).map(_._3)
+      sorted.sliding(3).filter(_.length == 3).foreach { w =>
+        val k = (w(0), w(1), w(2))
+        val (c, us) = support.getOrElse(k, (0L, Set.empty[Long]))
+        support(k) = (c + 1, us + uid)
+      }
+    }
+    val expected = support.toSeq
+      .map { case ((a, b, c), (n, us)) => (a, b, c, n, us.size.toLong) }
+      .sortBy(t => (-t._4, t._1, t._2, t._3)).take(20)
+    val actual = EventQueries.q219.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(actual == expected)
+  }
+
   test("q208: transition matrix equals brute-force consecutive-pair counts") {
     val ev = graft.Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),

@@ -555,4 +555,62 @@ class StatQueriesSpec extends SparkSpec {
       (BigInt(n0 - n1) * BigInt(n0 - n2))).toLong * (if (c < d) -1 else 1)
     assert(r(0).getLong(5) == tau2)
   }
+
+  test("q217: mutual information replays from the contingency table") {
+    val cells = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), dayofweek(to_date(col("ts"))).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    val n = cells.values.sum
+    val r = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cc = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    def qln(x: Double): Long = math.round(math.log(x) * 1e9)
+    val termSum = cells.map { case ((t, d), c) =>
+      c * qln((n.toDouble * c) / (r(t).toDouble * cc(d)))
+    }.sum
+    def tdiv(x: Long, dv: Long): Long = if (x < 0) -((-x) / dv) else x / dv
+    val miNano = tdiv(termSum, n)
+    val htNano = r.values.map(v => v * qln(n.toDouble / v)).sum / n
+    val hdNano = cc.values.map(v => v * qln(n.toDouble / v)).sum / n
+    val out = StatQueries.q217.fn(spark, sf).collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3), out(0).getLong(4)) ==
+      ((n, cells.size.toLong, miNano, htNano, hdNano)))
+    assert(out(0).getLong(5) == tdiv(1000000L * miNano, math.min(htNano, hdNano)))
+    // MI is bounded by both marginal entropies
+    assert(miNano <= math.min(htNano, hdNano) + 1000)
+  }
+
+  test("q218: binned Gini replays in BigInt and sits in [0, 1e6)") {
+    val rev = graft.Tables.load(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = graft.Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_mktsegment")
+      .collect().map(r => (r.getString(1), rev.getOrElse(r.getLong(0), 0L)))
+    val mx = base.map(_._2).max
+    val expected = base.groupBy(_._1).toSeq.map { case (seg, rows) =>
+      val bins = rows.map { case (_, v) => ((v * 1000) / (mx + 1), v) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, vs) => (b, vs.length.toLong, vs.map(_._2).sum) }
+      val nC = bins.map(_._2).sum; val tot = bins.map(_._3).sum
+      var cum = 0L; var num = BigInt(0); var top = 0L
+      bins.foreach { case (b, nB, sB) =>
+        num += BigInt(nB) * (2 * BigInt(cum) + sB)
+        cum += sB
+        if (b >= 900) top += sB
+      }
+      val gini = (BigInt(1000000) - BigInt(1000000) * num / (BigInt(nC) * tot)).toLong
+      (seg, nC, tot, gini, 1000000L * top / tot)
+    }.sortBy(_._1)
+    val actual = StatQueries.q218.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(actual == expected)
+    actual.foreach { r =>
+      assert(r._4 >= 0 && r._4 < 1000000, s"gini out of range: $r")
+    }
+  }
 }
