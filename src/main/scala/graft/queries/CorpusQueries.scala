@@ -634,6 +634,74 @@ object CorpusQueries {
              CAST(count(*) AS BIGINT) AS n_windows
       FROM g GROUP BY doc_id, grp ORDER BY doc_id, start_tok"""))
 
+  // --------------------------------------------------------------- q221
+
+  /** q221 — PMI collocations: the top-20 adjacent word pairs by
+    * pointwise mutual information (min support 5) — the collocation
+    * miner ("new york", "machine learning") behind phrase detection
+    * in word2vec-style preprocessing and tokenizer-vocabulary design.
+    *
+    * Scale shape: bigram pairs are generated MAP-SIDE from each
+    * document's token array (an index-transform over the array — no
+    * per-token shuffle, no window), then one pair rollup and one
+    * unigram rollup; the support filter runs BEFORE the unigram
+    * joins, so the joined candidate set is the rare-pair tail, which
+    * AQE turns into broadcasts. Corpus totals re-enter as broadcast
+    * 1-row aggregates.
+    *
+    * Exactness: PMI = ln(c_xy·Nt²/(Np·c_x·c_y)) through the proven
+    * round(·1e9)::long quantization, identical double expressions
+    * both sides; ordering is total (pmi desc, then the pair).
+    */
+  val q221 = Q("q221_pmi_collocations",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.tokens(col("text")).as("w"))
+      val pairs = base.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS x, w[i + 1] AS y))")).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+      val cxy = pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      val uni = base
+        .select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val nt = uni.agg(sum("c").as("_nt"))
+      val np = cxy.agg(sum("c_xy").as("_np"))
+      cxy.filter(col("c_xy") >= 5)
+        .join(uni.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+        .join(uni.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(np))
+        .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+          expr("""CAST(round(ln((CAST(c_xy AS DOUBLE) * _nt * _nt)
+                 / (CAST(_np AS DOUBLE) * c_x * c_y)) * 1e9) AS BIGINT)""")
+            .as("pmi_nano"))
+        .orderBy(col("pmi_nano").desc, col("x"), col("y"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      pairs AS (
+        SELECT w[u.i] AS x, w[u.i + 1] AS y
+        FROM t, unnest(range(1, len(w))) AS u(i)
+        WHERE len(w) >= 2),
+      cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+              FROM pairs GROUP BY 1, 2),
+      uni AS (SELECT unnest(w) AS tok FROM t),
+      uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+      nt AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM uc),
+      np AS (SELECT CAST(sum(c_xy) AS BIGINT) AS np FROM cxy)
+      SELECT cxy.x, cxy.y, cxy.c_xy, ux.c AS c_x, uy.c AS c_y,
+             CAST(round(ln((CAST(c_xy AS DOUBLE) * nt.nt * nt.nt)
+               / (CAST(np.np AS DOUBLE) * ux.c * uy.c)) * 1e9) AS BIGINT)
+               AS pmi_nano
+      FROM cxy
+      JOIN uc ux ON cxy.x = ux.tok
+      JOIN uc uy ON cxy.y = uy.tok
+      CROSS JOIN nt CROSS JOIN np
+      WHERE cxy.c_xy >= 5
+      ORDER BY pmi_nano DESC, cxy.x, cxy.y LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
-    q196)
+    q196, q221)
 }

@@ -883,6 +883,55 @@ object EventQueries {
       SELECT s1, s2, s3, support, n_users
       FROM g ORDER BY support DESC, s1, s2, s3 LIMIT 20"""))
 
+  // --------------------------------------------------------------- q220
+
+  /** q220 — rolling 7-day active users (WAU) with same-day DAU and the
+    * DAU/WAU stickiness ratio: the canonical engagement rollup, done
+    * EXACTLY — a rolling COUNT DISTINCT is not a windowed sum, so the
+    * scale-safe shape is the interval-explode: each distinct
+    * (user, active-day) contributes to the 7 window-end days it
+    * supports, and the per-day count of distinct contributors is a
+    * plain groupBy. Blow-up factor = window length (bounded, 7×), one
+    * dedup shuffle + one count shuffle — never a per-day re-scan of
+    * the trailing week and never a corpus-global window.
+    *
+    * Only days with a full trailing window emit (day ≥ min_day+6), and
+    * only days that actually appear in the data (the DAU inner join),
+    * so the output is deterministic. Stickiness is (1e6·dau) div wau —
+    * non-negative integers.
+    */
+  val q220 = Q("q220_rolling_actives",
+    (s, dir) => {
+      val ud = Tables.load(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val wau = ud
+        .withColumn("_i", explode(expr("sequence(0, 6)")))
+        .select(col("user_id"), expr("date_add(day, _i)").as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau7"))
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val lo = ud.agg(min("day").as("_lo"))
+      dau.join(wau, Seq("day")).crossJoin(broadcast(lo))
+        .filter(expr("day >= date_add(_lo, 6)"))
+        .select(col("day"), col("dau"), col("wau7"),
+          expr("(1000000 * dau) div wau7").as("stickiness_micro"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      ends AS (
+        SELECT DISTINCT user_id, day + CAST(u.i AS INT) AS day
+        FROM ud, unnest(range(0, 7)) AS u(i)),
+      wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau7 FROM ends GROUP BY 1),
+      dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+      lo AS (SELECT min(day) AS lo FROM ud)
+      SELECT d.day, d.dau, w.wau7,
+             (1000000 * d.dau) // w.wau7 AS stickiness_micro
+      FROM dau d JOIN wau w ON d.day = w.day CROSS JOIN lo
+      WHERE d.day >= lo.lo + 6
+      ORDER BY d.day"""))
+
   val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201, q205,
-    q206, q208, q212, q213, q215, q219)
+    q206, q208, q212, q213, q215, q219, q220)
 }

@@ -1098,7 +1098,11 @@ object StatQueries {
         .filter(col("_rn") <= 50)
         .groupBy("c").agg(sort_array(collect_list("sp")).as("ss"))
       capped.join(deg, Seq("c"))
-        .withColumn("w", expr("CAST(round(1000000 / ln(dc)) AS BIGINT)"))
+        // dc = 1 customers hold one supplier and expand to zero pairs,
+        // but ANSI mode still evaluates w on their rows — and ln(1)=0
+        // would divide by zero. The guard value never reaches a pair.
+        .withColumn("w", expr(
+          "CASE WHEN dc < 2 THEN 0 ELSE CAST(round(1000000 / ln(dc)) AS BIGINT) END"))
         .select(col("w"), explode(expr(
           """flatten(transform(ss,
              (x, i) -> transform(slice(ss, i + 2, size(ss)),

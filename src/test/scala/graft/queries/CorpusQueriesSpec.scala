@@ -71,4 +71,27 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(after == before,
       s"plan construction launched ${after - before} job(s); must be lazy")
   }
+
+  test("q221: PMI replays from brute-force bigram and unigram counts") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val toks = docs.map(_.trim.split("\\s+").toSeq)
+    val pairCnt = collection.mutable.Map.empty[(String, String), Long]
+    toks.foreach(w => w.zip(w.drop(1)).foreach { p =>
+      pairCnt(p) = pairCnt.getOrElse(p, 0L) + 1
+    })
+    val uniCnt = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nt = uniCnt.values.sum
+    val np = pairCnt.values.sum
+    val expected = pairCnt.toSeq.filter(_._2 >= 5).map { case ((x, y), c) =>
+      val pmi = math.round(math.log((c.toDouble * nt * nt)
+        / (np.toDouble * uniCnt(x) * uniCnt(y))) * 1e9)
+      (x, y, c, uniCnt(x), uniCnt(y), pmi)
+    }.sortBy(t => (-t._6, t._1, t._2)).take(20)
+    val actual = graft.queries.CorpusQueries.q221.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(actual == expected)
+  }
 }

@@ -203,6 +203,25 @@ class EventQueriesSpec extends SparkSpec {
     assert(actual == expected)
   }
 
+  test("q220: rolling 7-day actives equal a literal trailing-window recount") {
+    val ud = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = ud.map(_._2).distinct.sorted(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val lo = days.head
+    val expected = days.filter(d => !d.isBefore(lo.plusDays(6))).map { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter(u => !u._2.isAfter(d) && !u._2.isBefore(d.minusDays(6)))
+        .map(_._1).distinct.length.toLong
+      (d.toString, dau, wau, 1000000L * dau / wau)
+    }.toSeq
+    val actual = EventQueries.q220.fn(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(actual == expected)
+    // DAU never exceeds WAU; stickiness in (0, 1e6]
+    actual.foreach(r => assert(r._2 <= r._3 && r._4 > 0 && r._4 <= 1000000L))
+  }
+
   test("q208: transition matrix equals brute-force consecutive-pair counts") {
     val ev = graft.Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
