@@ -1901,7 +1901,129 @@ object StatQueries {
              (1000000 * top_band) // total_cents AS top_band_share_micro
       FROM agg ORDER BY segment"""))
 
+  // --------------------------------------------------------------- q222
+
+  /** q222 — market-basket affinity: part pairs that co-occur in
+    * orders far more than chance, scored by lift = P(x,y)/(P(x)P(y))
+    * — the association-rule primitive behind "frequently bought
+    * together" and, on corpora, tag/domain co-occurrence mining.
+    *
+    * Scale: the quadratic hazard is per-order pair fan-out, so each
+    * order caps at its 50 smallest part ids before expansion (q202's
+    * hot-bucket discipline, mirrored in the oracle) and pairs expand
+    * from one sorted per-order array — single groupBy exchange, no
+    * self-join. Single-part supports are the TRUE uncapped counts
+    * (they join back onto the support-filtered pair tail, which AQE
+    * broadcasts). Lift products run in DECIMAL(38,0)/HUGEINT.
+    *
+    * Output: top-50 by lift (support ≥ 3), exact integer micro-lift,
+    * total tie-break.
+    */
+  val q222 = Q("q222_basket_lift",
+    (s, dir) => {
+      val op = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val supp = op.groupBy("p").agg(count(lit(1)).as("sp"))
+      val n = op.select("o").distinct().agg(count(lit(1)).as("_n"))
+      val pairs = op
+        .withColumn("_rn", row_number().over(Window.partitionBy("o").orderBy("p")))
+        .filter(col("_rn") <= 50)
+        .groupBy("o").agg(sort_array(collect_list("p")).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps,
+             (x, i) -> transform(slice(ps, i + 2, size(ps)),
+                                 y -> named_struct('x', x, 'y', y))))""")).as("pr"))
+        .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3)
+      pairs
+        .join(supp.select(col("p").as("x"), col("sp").as("sx")), Seq("x"))
+        .join(supp.select(col("p").as("y"), col("sp").as("sy")), Seq("y"))
+        .crossJoin(broadcast(n))
+        .select(col("x"), col("y"), col("support"), col("sx"), col("sy"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * support * _n)
+                 div (CAST(sx AS DECIMAL(38,0)) * sy) AS BIGINT)""").as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("x"), col("y"))
+        .limit(50)
+    },
+    Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      supp AS (SELECT p, CAST(count(*) AS BIGINT) AS sp FROM op GROUP BY 1),
+      n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM op),
+      cap AS (SELECT o, p FROM (
+                SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rn
+                FROM op) WHERE rn <= 50),
+      pr AS (SELECT a.p AS x, b.p AS y
+             FROM cap a JOIN cap b ON a.o = b.o AND a.p < b.p),
+      ps AS (SELECT x, y, CAST(count(*) AS BIGINT) AS support
+             FROM pr GROUP BY 1, 2 HAVING count(*) >= 3)
+      SELECT ps.x, ps.y, ps.support, sx.sp AS sx, sy.sp AS sy,
+             CAST((CAST(1000000 AS HUGEINT) * ps.support * n.n)
+               // (CAST(sx.sp AS HUGEINT) * sy.sp) AS BIGINT) AS lift_micro
+      FROM ps
+      JOIN supp sx ON ps.x = sx.p
+      JOIN supp sy ON ps.y = sy.p
+      CROSS JOIN n
+      ORDER BY lift_micro DESC, ps.x, ps.y LIMIT 50"""))
+
+  // --------------------------------------------------------------- q223
+
+  /** q223 — inter-event rhythm per event type: each user's gaps
+    * between consecutive same-type events, aggregated per type into
+    * mean gap and the squared coefficient of variation — the
+    * point-process health check (CoV² ≈ 1 reads as Poisson/memoryless
+    * arrivals; ≫ 1 reads as bursty bot-or-batch traffic; ≪ 1 as
+    * heartbeat/cron regularity).
+    *
+    * Scale: one (user, type)-keyed lag window — bounded per user —
+    * then one |types| rollup with map-side partials. The Σg² sums run
+    * in DECIMAL(38,0)/HUGEINT from the first row (gap² at year-scale
+    * epochs overflows int64 sums long before the rollup finishes).
+    * CoV² = (n·Σg² − (Σg)²)·1e6 div (Σg)², all non-negative integer
+    * arithmetic; types with fewer than 2 gaps or an all-zero gap sum
+    * are excluded (no variance to report).
+    */
+  val q223 = Q("q223_interarrival_rhythm",
+    (s, dir) => {
+      val wu = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("_sec").asc, col("event_id").asc)
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("_sec"))
+        .withColumn("_gap", col("_sec") - lag(col("_sec"), 1).over(wu))
+        .filter(col("_gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum("_gap").as("_sg"),
+          sum(expr("CAST(_gap AS DECIMAL(38,0)) * _gap")).as("_sg2"))
+        .filter(col("n_gaps") >= 2 && col("_sg") > 0)
+        .select(col("event_type"), col("n_gaps"),
+          expr("_sg div n_gaps").as("mean_gap_sec"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) *
+                 (CAST(n_gaps AS DECIMAL(38,0)) * _sg2 - CAST(_sg AS DECIMAL(38,0)) * _sg))
+                 div (CAST(_sg AS DECIMAL(38,0)) * _sg) AS BIGINT)""").as("cov2_micro"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(ts) // 1000000 AS sec FROM events),
+      g AS (SELECT event_type,
+                   sec - lag(sec) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY sec ASC, event_id ASC) AS gap
+            FROM e),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap) AS BIGINT) AS sg,
+                   sum(CAST(gap AS HUGEINT) * gap) AS sg2
+            FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      SELECT event_type, n_gaps, sg // n_gaps AS mean_gap_sec,
+             CAST((CAST(1000000 AS HUGEINT) *
+               (CAST(n_gaps AS HUGEINT) * sg2 - CAST(sg AS HUGEINT) * sg))
+               // (CAST(sg AS HUGEINT) * sg) AS BIGINT) AS cov2_micro
+      FROM a WHERE n_gaps >= 2 AND sg > 0
+      ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
     q123, q124, q125, q190, q191, q192, q198, q199, q202, q203, q207, q209, q210,
-    q211, q214, q216, q217, q218)
+    q211, q214, q216, q217, q218, q222, q223)
 }

@@ -613,4 +613,68 @@ class StatQueriesSpec extends SparkSpec {
       assert(r._4 >= 0 && r._4 < 1000000, s"gini out of range: $r")
     }
   }
+
+  test("q222: basket lift replays from brute-force co-occurrence counting") {
+    val op = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val supp = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nOrders = op.map(_._1).distinct.length.toLong
+    val pairCnt = collection.mutable.Map.empty[(Long, Long), Long]
+    op.groupBy(_._1).values.foreach { rows =>
+      val ps = rows.map(_._2).sorted.take(50)
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        pairCnt((ps(i), ps(j))) = pairCnt.getOrElse((ps(i), ps(j)), 0L) + 1
+    }
+    val expected = pairCnt.toSeq.filter(_._2 >= 3).map { case ((x, y), c) =>
+      val lift = (BigInt(1000000) * c * nOrders /
+        (BigInt(supp(x)) * supp(y))).toLong
+      (x, y, c, supp(x), supp(y), lift)
+    }.sortBy(t => (-t._6, t._1, t._2)).take(50)
+    val actual = StatQueries.q222.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(actual == expected)
+  }
+
+  test("q223: rhythm stats replay; a planted regular series reads CoV2 ~ 0") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val gaps = ev.groupBy(r => (r._1, r._3)).values.toSeq.flatMap { rows =>
+      val s = rows.sortBy(r => (r._4, r._2)).map(_._4)
+      s.zip(s.drop(1)).map { case (a, b) => (rows.head._3, b - a) }
+    }
+    val expected = gaps.groupBy(_._1).toSeq.map { case (ty, gs) =>
+      val n = gs.length.toLong
+      val sg = gs.map(_._2).sum
+      val sg2 = gs.map(g => BigInt(g._2) * g._2).sum
+      (ty, n, sg / n,
+        (BigInt(1000000) * (BigInt(n) * sg2 - BigInt(sg) * sg) /
+          (BigInt(sg) * sg)).toLong)
+    }.filter(t => t._2 >= 2).sortBy(_._1)
+    val actual = StatQueries.q223.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(actual == expected)
+    // a strictly periodic synthetic series must read as CoV2 == 0
+    import spark.implicits._
+    val regular = (1 to 50).map(i => (1L, i.toLong, "tick",
+      new java.sql.Timestamp(i * 60000L)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("_sec").asc, col("event_id").asc)
+    val cov2 = regular
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("_sec"))
+      .withColumn("_gap", col("_sec") - lag(col("_sec"), 1).over(wu))
+      .filter(col("_gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("_gap").as("sg"),
+        sum(expr("CAST(_gap AS DECIMAL(38,0)) * _gap")).as("sg2"))
+      .select(expr("CAST((1000000 * (n * sg2 - CAST(sg AS DECIMAL(38,0)) * sg)) div (CAST(sg AS DECIMAL(38,0)) * sg) AS BIGINT)"))
+      .collect()(0).getLong(0)
+    assert(cov2 == 0L, s"periodic series scored CoV2 $cov2")
+  }
 }
