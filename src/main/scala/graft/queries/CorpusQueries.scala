@@ -702,6 +702,96 @@ object CorpusQueries {
       WHERE cxy.c_xy >= 5
       ORDER BY pmi_nano DESC, cxy.x, cxy.y LIMIT 20"""))
 
+  // --------------------------------------------------------------- q224
+
+  /** q224 — Zipf slope of the corpus term-frequency distribution: OLS
+    * of ln(freq) on ln(rank) over the top-1000 terms — natural text
+    * sits near slope −1, and a corpus that drifts away (synthetic
+    * spam, template floods, truncated crawls) moves the slope; this
+    * is the corpus-law fingerprint companion to q203's Benford test
+    * on numbers.
+    *
+    * Scale: term counts are one linear rollup; the rank only exists
+    * on the top-1000 shortlist (TakeOrderedAndProject with a total
+    * tie-break), so the one global row_number runs over ≤1000 rows —
+    * a PlanSpec-whitelisted bounded site. The OLS runs on
+    * micro-quantized ln values (proven recipe) with every moment
+    * product in DECIMAL(38,0)/HUGEINT and sign-symmetric final
+    * divisions; slope lands in exact micro-units (Zipf ≈ −1e6).
+    */
+  val q224 = Q("q224_zipf_slope",
+    (s, dir) => {
+      val top = Tables.load(s, dir, "documents")
+        .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("tok").asc)
+        .limit(1000)
+      val xy = top
+        .withColumn("_rk",
+          row_number().over(Window.orderBy(col("f").desc, col("tok").asc)))
+        .select(
+          expr("CAST(round(ln(CAST(_rk AS DOUBLE)) * 1e6) AS BIGINT)").as("x"),
+          expr("CAST(round(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT)").as("y"))
+      xy.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+        .withColumn("_num", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+        .withColumn("_den", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .withColumn("_dyy", expr(
+          "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+        // r² squares _num — at 1e6-quantized moments that exceeds 38
+        // digits, so the r² path first reduces each moment by 1e6
+        // (identical integer reduction both engines; r² stays exact
+        // w.r.t. the reduced moments)
+        .withColumn("_numm", expr(
+          "CASE WHEN _num < 0 THEN -((-_num) div 1000000) ELSE _num div 1000000 END"))
+        .withColumn("_denm", expr("_den div 1000000"))
+        .withColumn("_dyym", expr("_dyy div 1000000"))
+        .select(col("n"),
+          expr("""CAST(CASE WHEN _num < 0
+                 THEN -((-(1000000 * _num)) div _den)
+                 ELSE (1000000 * _num) div _den END AS BIGINT)""").as("slope_micro"),
+          expr("""CASE WHEN _dyym = 0 OR _denm = 0 THEN NULL ELSE
+                 CAST((CAST(1000000 AS DECIMAL(38,0)) * _numm * _numm)
+                      div (CAST(_denm AS DECIMAL(38,0)) * _dyym) AS BIGINT) END""")
+            .as("r2_micro"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT unnest($duckTokens) AS tok FROM documents),
+      tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+      top AS (SELECT tok, f FROM tf ORDER BY f DESC, tok ASC LIMIT 1000),
+      xy AS (SELECT
+               CAST(round(ln(CAST(row_number() OVER (ORDER BY f DESC, tok ASC)
+                 AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+               CAST(round(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS y
+             FROM top),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM xy),
+      d AS (SELECT n,
+                   CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+                   CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+                   CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dyy
+            FROM m),
+      r AS (SELECT n, num, den, dyy,
+                   CASE WHEN num < 0 THEN -((-num) // 1000000)
+                        ELSE num // 1000000 END AS numm,
+                   den // 1000000 AS denm, dyy // 1000000 AS dyym
+            FROM d)
+      SELECT n,
+             CAST(CASE WHEN num < 0 THEN -((-(1000000 * num)) // den)
+                  ELSE (1000000 * num) // den END AS BIGINT) AS slope_micro,
+             CASE WHEN dyym = 0 OR denm = 0 THEN NULL ELSE
+               CAST((1000000 * numm * numm) // (denm * dyym) AS BIGINT) END AS r2_micro
+      FROM r"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
-    q196, q221)
+    q196, q221, q224)
 }

@@ -958,6 +958,89 @@ object ScaleQueries {
       SELECT doc_id, shard8, shard9, shard8 <> shard9 AS moved
       FROM b ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q225
+
+  /** q225 — referential-integrity audit across the star schema: for
+    * every foreign-key edge, the child row count, the orphan count
+    * (children whose parent is missing), and the orphan rate — the
+    * data-quality constraint check a lakehouse runs after every load,
+    * since parquet enforces no FKs (the reference enforces PKs at
+    * load, K4/D3; this is the cross-TABLE complement).
+    *
+    * Scale shape: each edge is one LEFT ANTI join on its key — the
+    * parent side deduplicates to its key column first (column-pruned
+    * scan), small parents broadcast, the big fact edges shuffle on
+    * the join key exactly once. The per-edge results are 1-row
+    * aggregates unioned into a ≤|edges| report. The orphan COUNT
+    * being zero on clean data is itself the assertion: the spec
+    * plants orphans to prove the detector fires.
+    */
+  val q225 = Q("q225_fk_audit",
+    (s, dir) => {
+      def edge(name: String, child: DataFrame, childKey: String,
+               parent: DataFrame, parentKey: String): DataFrame = {
+        val orphans = child.select(col(childKey).as("_k"))
+          .join(parent.select(col(parentKey).as("_k")).distinct(), Seq("_k"), "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("edge"), col("n_child"), col("n_orphans"),
+            expr("(1000000 * n_orphans) div n_child").as("orphan_rate_micro"))
+      }
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val su = Tables.load(s, dir, "supplier")
+      val p = Tables.load(s, dir, "part")
+      val na = Tables.load(s, dir, "nation")
+      val re = Tables.load(s, dir, "region")
+      Seq(
+        edge("customer.nation->nation", c, "c_nationkey", na, "n_nationkey"),
+        edge("lineitem.order->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.part->part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem.supp->supplier", li, "l_suppkey", su, "s_suppkey"),
+        edge("nation.region->region", na, "n_regionkey", re, "r_regionkey"),
+        edge("orders.cust->customer", o, "o_custkey", c, "c_custkey"),
+        edge("supplier.nation->nation", su, "s_nationkey", na, "n_nationkey"))
+        .reduce(_ unionByName _)
+        .orderBy("edge")
+    },
+    Some("""
+      WITH e1 AS (SELECT 'customer.nation->nation' AS edge,
+                    CAST(count(*) AS BIGINT) AS n_child,
+                    CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+                  FROM customer LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+                    ON c_nationkey = n_nationkey),
+      e2 AS (SELECT 'lineitem.order->orders' AS edge,
+                    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+               ON l_orderkey = o_orderkey),
+      e3 AS (SELECT 'lineitem.part->part' AS edge,
+                    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+               ON l_partkey = p_partkey),
+      e4 AS (SELECT 'lineitem.supp->supplier' AS edge,
+                    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+               ON l_suppkey = s_suppkey),
+      e5 AS (SELECT 'nation.region->region' AS edge,
+                    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             FROM nation LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
+               ON n_regionkey = r_regionkey),
+      e6 AS (SELECT 'orders.cust->customer' AS edge,
+                    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+               ON o_custkey = c_custkey),
+      e7 AS (SELECT 'supplier.nation->nation' AS edge,
+                    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             FROM supplier LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+               ON s_nationkey = n_nationkey),
+      u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+            UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5
+            UNION ALL SELECT * FROM e6 UNION ALL SELECT * FROM e7)
+      SELECT edge, n_child, n_orphans,
+             (1000000 * n_orphans) // n_child AS orphan_rate_micro
+      FROM u ORDER BY edge"""))
+
   val all: Seq[Q] = Seq(q92, q93, q94, q95, q96, q97, q98, q99, q100,
-    q101, q102, q103, q104, q105, q106, q119, q120, q121, q122, q200)
+    q101, q102, q103, q104, q105, q106, q119, q120, q121, q122, q200, q225)
 }

@@ -94,4 +94,34 @@ class CorpusQueriesSpec extends SparkSpec {
         r.getLong(4), r.getLong(5))).toSeq
     assert(actual == expected)
   }
+
+  test("q224: Zipf OLS replays in BigInt; natural-ish corpus slopes negative") {
+    val sf = "/root/testdata/sf0.001"
+    val tf = graft.Tables.load(spark, sf, "documents")
+      .select("text").collect().flatMap(_.getString(0).trim.split("\\s+"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(1000)
+    val xy = tf.zipWithIndex.map { case ((_, f), i) =>
+      (math.round(math.log((i + 1).toDouble) * 1e6),
+        math.round(math.log(f.toDouble) * 1e6))
+    }
+    val n = BigInt(xy.length)
+    val sx = BigInt(xy.map(_._1).sum); val sy = BigInt(xy.map(_._2).sum)
+    val sxy = xy.map { case (x, y) => BigInt(x) * y }.sum
+    val sxx = xy.map { case (x, _) => BigInt(x) * x }.sum
+    val syy = xy.map { case (_, y) => BigInt(y) * y }.sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val dyy = n * syy - sy * sy
+    def tdiv(a: BigInt, b: BigInt): BigInt = if (a < 0) -((-a) / b) else a / b
+    val slope = tdiv(BigInt(1000000) * num, den).toLong
+    val (numm, denm, dyym) = (tdiv(num, 1000000), den / 1000000, dyy / 1000000)
+    val r2 = (BigInt(1000000) * numm * numm / (denm * dyym)).toLong
+    val out = graft.queries.CorpusQueries.q224.fn(spark, sf).collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2)) ==
+      ((n.toLong, slope, r2)))
+    assert(slope < 0, s"Zipf slope must be negative, got $slope")
+    assert(r2 >= 0 && r2 <= 1000000L, s"r2 out of range: $r2")
+  }
 }

@@ -249,7 +249,8 @@ class PlanSpec extends SparkSpec {
       "q148_vocab_growth",      // growth curve over ≤ |batches| rows
       "q149_spearman",          // rank offsets over the bounded distinct-value tables
       "q184_token_budget",      // Hamilton apportionment over the ≤ |sources| rollup
-      "q204_hybrid_fusion")     // fused rank over two bounded top-200 shortlists (q146's shape)
+      "q204_hybrid_fusion",     // fused rank over two bounded top-200 shortlists (q146's shape)
+      "q224_zipf_slope")        // ln(rank) over the bounded top-1000 term shortlist
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.optimizedPlan

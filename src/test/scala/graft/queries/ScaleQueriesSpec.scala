@@ -313,4 +313,33 @@ class ScaleQueriesSpec extends SparkSpec {
     val byShard = r.groupBy(_(1).asInstanceOf[Long]).view.mapValues(_.size)
     assert(byShard.keys.toSet == (0L to 7L).toSet, byShard.toMap.toString)
   }
+
+  test("q225: clean star schema audits orphan-free; planted orphans fire") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.ScaleQueries.q225.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 7)
+    out.foreach { r =>
+      assert(r._3 == 0L && r._4 == 0L, s"clean data read orphans: $r")
+    }
+    // doctored copy: two customers point at a nation that does not exist
+    val dir = java.nio.file.Files.createTempDirectory("graft-fk").toString
+    graft.Tables.names.foreach { t =>
+      val df = graft.Tables.load(spark, sf, t)
+      val doctored =
+        if (t == "customer")
+          df.withColumn("c_nationkey",
+            when(col("c_custkey") <= 2, lit(9999)).otherwise(col("c_nationkey")))
+        else df
+      doctored.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val planted = graft.Tables.load(spark, sf, "customer")
+      .filter(col("c_custkey") <= 2).count()
+    assert(planted > 0)
+    val audited = graft.queries.ScaleQueries.q225.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(audited("customer.nation->nation") == planted,
+      s"planted orphans not detected: $audited")
+    assert(audited.filterNot(_._1 == "customer.nation->nation").values.forall(_ == 0L))
+  }
 }
