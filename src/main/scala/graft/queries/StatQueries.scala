@@ -1212,41 +1212,60 @@ object StatQueries {
     * One map-side explode of B=100 weights per row, one groupBy — no
     * per-replicate pass, no global window.
     *
-    * Determinism: the Poisson draw inverts the CDF on
-    * u = hash64('bs|'||key||'|'||b)/2^60 against literal cumulative
-    * thresholds (identical strings both sides); weights are exact
-    * small integers, the weighted sums are exact longs, and each
-    * replicate mean is (1e6·Σwx) div Σw — so the oracle replays every
-    * replicate bit-for-bit. CI bounds are the 3rd and 98th of the 100
-    * sorted replicate means (2.5%/97.5% for B=100), ranked by a
-    * per-priority window over exactly 100 rows.
+    * Determinism: the Poisson draw inverts the CDF against literal
+    * integer thresholds in the 30-bit domain — each 60-bit
+    * hash64('bs|'||key||'|'||pb) digest yields TWO independent 30-bit
+    * uniforms (top and bottom halves), so 50 digests drive 100
+    * replicates; the digest is the per-row cost that dominates this
+    * query, and halving it plus dropping the w=0 rows INSIDE the
+    * per-row array (explode ships only surviving weights) cut the
+    * fan-out stage ~2×. Weights are exact small integers, the
+    * weighted sums are exact longs, and each replicate mean is
+    * (1e6·Σwx) div Σw — so the oracle replays every replicate
+    * bit-for-bit. CI bounds are the 3rd and 98th of the 100 sorted
+    * replicate means (2.5%/97.5% for B=100), ranked by a per-priority
+    * window over exactly 100 rows.
     */
   val q207 = Q("q207_bootstrap_ci",
     (s, dir) => {
-      import graft.functions.Hashing
-      // cumulative Poisson(1) thresholds for w = 0..5 (≥6 beyond)
-      val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
-        0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+      // cumulative Poisson(1) thresholds for w = 0..5 (≥6 beyond),
+      // scaled to the 30-bit uniform domain: floor(cdf_k · 2^30)
+      val thr = Seq(395007542L, 790015084L, 987518855L, 1053353445L,
+        1069812093L, 1073103822L)
+      def caseW(u: String): String =
+        s"""CASE WHEN $u < ${thr(0)} THEN CAST(0 AS BIGINT)
+            WHEN $u < ${thr(1)} THEN CAST(1 AS BIGINT)
+            WHEN $u < ${thr(2)} THEN CAST(2 AS BIGINT)
+            WHEN $u < ${thr(3)} THEN CAST(3 AS BIGINT)
+            WHEN $u < ${thr(4)} THEN CAST(4 AS BIGINT)
+            WHEN $u < ${thr(5)} THEN CAST(5 AS BIGINT)
+            ELSE CAST(6 AS BIGINT) END"""
       val orders = Tables.load(s, dir, "orders")
         .select(col("o_orderpriority").as("priority"), col("o_orderkey"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        // orders is one small parquet file = ONE input split; without
+        // this shuffle the whole 50-digest-per-row fan-out below runs
+        // single-task. Repartitioning 150k narrow rows costs ~nothing
+        // and spreads the digest work across the cluster.
+        .repartition(col("o_orderkey"))
         .localCheckpoint(false) // feeds the point estimate and 100 replicates
       val point = orders.groupBy("priority")
         .agg(expr("(1000000 * sum(cents)) div count(*)").as("point_micro"))
-      val u = call_function("graft_hash64",
-        concat(lit("bs|"), col("o_orderkey").cast("string"),
-          lit("|"), col("b").cast("string")))
-        .cast("double") / lit(1152921504606846976.0) // 2^60
       val weighted = orders
         .select(col("priority"), col("o_orderkey"), col("cents"),
-          explode(sequence(lit(0), lit(99))).as("b"))
-        .withColumn("_u", u)
-        .withColumn("w",
-          when(col("_u") < cdf(0), 0L).when(col("_u") < cdf(1), 1L)
-            .when(col("_u") < cdf(2), 2L).when(col("_u") < cdf(3), 3L)
-            .when(col("_u") < cdf(4), 4L).when(col("_u") < cdf(5), 5L)
-            .otherwise(6L))
-        .filter(col("w") > 0)
+          explode(sequence(lit(0), lit(49))).as("pb"))
+        .withColumn("_h", call_function("graft_hash64",
+          concat(lit("bs|"), col("o_orderkey").cast("string"),
+            lit("|"), col("pb").cast("string"))))
+        .select(col("priority"), col("cents"), explode(expr(
+          s"""filter(array(
+                named_struct('b', CAST(2 * pb AS BIGINT),
+                             'w', ${caseW("(_h div 1073741824)")}),
+                named_struct('b', CAST(2 * pb + 1 AS BIGINT),
+                             'w', ${caseW("(_h % 1073741824)")})),
+              p -> p.w > 0)""")).as("p"))
+        .select(col("priority"), col("p.b").as("b"), col("p.w").as("w"),
+          col("cents"))
       val means = weighted.groupBy("priority", "b")
         .agg(expr("(1000000 * sum(w * cents)) div sum(w)").as("mean_micro"))
         // |groups|·B rows; cut — the CI lo/hi branches would otherwise
@@ -1269,19 +1288,23 @@ object StatQueries {
       pt AS (SELECT priority,
                     (1000000 * CAST(sum(cents) AS BIGINT)) // count(*) AS point_micro
              FROM o GROUP BY 1),
-      x AS (SELECT priority, o_orderkey, cents, u.b AS b,
-                   ${duckHash64("concat('bs|', CAST(o_orderkey AS VARCHAR), '|', CAST(u.b AS VARCHAR))")}
-                     / 1152921504606846976.0 AS uu
-            FROM o, unnest(range(0, 100)) AS u(b)),
+      x AS (SELECT priority, o_orderkey, cents, u.pb AS pb,
+                   ${duckHash64("concat('bs|', CAST(o_orderkey AS VARCHAR), '|', CAST(u.pb AS VARCHAR))")}
+                     AS hh
+            FROM o, unnest(range(0, 50)) AS u(pb)),
+      x2 AS (SELECT priority, cents, 2 * pb + hf.half AS b,
+                    CASE WHEN hf.half = 0 THEN hh // 1073741824
+                         ELSE hh % 1073741824 END AS uu
+             FROM x, (SELECT unnest([0, 1]) AS half) hf),
       wgt AS (SELECT priority, b, cents,
-                     CASE WHEN uu < 0.36787944117144233 THEN 0
-                          WHEN uu < 0.7357588823428847 THEN 1
-                          WHEN uu < 0.9196986029286058 THEN 2
-                          WHEN uu < 0.9810118431238462 THEN 3
-                          WHEN uu < 0.9963401531726563 THEN 4
-                          WHEN uu < 0.9994058151824183 THEN 5
+                     CASE WHEN uu < 395007542 THEN 0
+                          WHEN uu < 790015084 THEN 1
+                          WHEN uu < 987518855 THEN 2
+                          WHEN uu < 1053353445 THEN 3
+                          WHEN uu < 1069812093 THEN 4
+                          WHEN uu < 1073103822 THEN 5
                           ELSE 6 END AS w
-              FROM x),
+              FROM x2),
       m AS (SELECT priority, b,
                    (1000000 * CAST(sum(w * cents) AS BIGINT))
                      // CAST(sum(w) AS BIGINT) AS mean_micro
@@ -2023,7 +2046,89 @@ object StatQueries {
       FROM a WHERE n_gaps >= 2 AND sg > 0
       ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q226
+
+  /** q226 — HyperBall: per-supplier 2-hop neighborhood size
+    * (co-purchase reach over the customer↔supplier graph) estimated
+    * by PROPAGATING HLL REGISTERS instead of enumerating pairs — the
+    * neighborhood-function algorithm that computes ball sizes on
+    * billion-edge graphs where q202's capped pair expansion (let
+    * alone a self-join) is impossible. Two rounds of
+    * join + groupBy(node, register).max move O(|E|·64) registers
+    * total; nothing ever materializes a neighbor SET.
+    *
+    * Exactly gated like q214: the register table after two
+    * propagation rounds is a deterministic function of the graph, so
+    * the oracle recomputes every register by its own (naive) 2-hop
+    * expansion and must land on the same (z, T, estimate) triple —
+    * the sketch transport is verified bit-for-bit even though the
+    * estimate itself is approximate. Same m=64 layout, integer
+    * harmonic sum, DECIMAL(38,0) estimate, LinearCounting branch on
+    * an integer condition. The spec measures estimate-vs-exact error
+    * against a brute-force ball on the small graph.
+    */
+  val q226 = Q("q226_hyperball",
+    (s, dir) => {
+      val cs = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val init = cs.select("sp").distinct()
+        .withColumn("_h", graft.functions.Hashing.hash64(
+          concat(lit("hb|"), col("sp").cast("string"))))
+        .withColumn("j", col("_h") % 64)
+        .withColumn("rho", expr(
+          "CAST(CASE WHEN _h div 64 = 0 THEN 55 ELSE 55 - length(bin(_h div 64)) END AS INT)"))
+        .select("sp", "j", "rho")
+      val creg = cs.join(init, Seq("sp"))
+        .groupBy("c", "j").agg(max("rho").as("rho"))
+      val sreg = cs.join(creg, Seq("c"))
+        .groupBy("sp", "j").agg(max("rho").as("m"))
+      sreg.groupBy("sp")
+        .agg(count(lit(1)).as("z_registers"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).as("_tp"))
+        .withColumn("t_sum",
+          col("_tp") + (lit(64L) - col("z_registers")) * lit(36028797018963968L))
+        .withColumn("_raw", expr(
+          """CAST((CAST(709374 AS DECIMAL(38,0)) * 4096 *
+             CAST(36028797018963968 AS DECIMAL(38,0)))
+             div CAST(t_sum AS DECIMAL(38,0)) AS BIGINT)"""))
+        .select(col("sp"), col("z_registers"), col("t_sum"),
+          expr("""CASE WHEN z_registers < 64 AND _raw <= 160000000
+                 THEN CAST(round(64 * ln(64.0 / (64 - z_registers)) * 1000000) AS BIGINT)
+                 ELSE _raw END""").as("est_micro"))
+        .orderBy("sp")
+    },
+    Some(s"""
+      WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      ball AS (SELECT DISTINCT a.sp AS sp, b.sp AS nb
+               FROM cs a JOIN cs b ON a.c = b.c),
+      h AS (SELECT sp, nb,
+              ${duckHash64("concat('hb|', CAST(nb AS VARCHAR))")} AS hh
+            FROM ball),
+      r AS (SELECT sp, hh % 64 AS j,
+              CASE WHEN hh // 64 = 0 THEN 55
+                   ELSE 55 - length(bin(hh // 64)) END AS rho
+            FROM h),
+      m AS (SELECT sp, j, max(rho) AS m FROM r GROUP BY 1, 2),
+      sk AS (SELECT sp,
+               CAST(count(*) AS BIGINT) AS z_registers,
+               CAST(sum(CAST(1 AS BIGINT) << (55 - m)) AS BIGINT)
+                 + (64 - CAST(count(*) AS BIGINT)) * 36028797018963968 AS t_sum
+             FROM m GROUP BY 1),
+      est AS (SELECT sp, z_registers, t_sum,
+                CAST((CAST(709374 AS HUGEINT) * 4096 * 36028797018963968)
+                     // t_sum AS BIGINT) AS r
+              FROM sk)
+      SELECT sp, z_registers, t_sum,
+             CASE WHEN z_registers < 64 AND r <= 160000000
+               THEN CAST(round(64 * ln(64.0 / (64 - z_registers)) * 1000000) AS BIGINT)
+               ELSE r END AS est_micro
+      FROM est ORDER BY sp"""))
+
   val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
     q123, q124, q125, q190, q191, q192, q198, q199, q202, q203, q207, q209, q210,
-    q211, q214, q216, q217, q218, q222, q223)
+    q211, q214, q216, q217, q218, q222, q223, q226)
 }

@@ -413,16 +413,18 @@ class StatQueriesSpec extends SparkSpec {
 
   test("q207: Poisson-bootstrap replicates replay exactly; CI brackets the point") {
     import org.apache.spark.sql.functions._
-    val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
-      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    val thr = Seq(395007542L, 790015084L, 987518855L, 1053353445L,
+      1069812093L, 1073103822L)
     val orders = graft.Tables.load(spark, sf, "orders")
       .select(col("o_orderpriority"), col("o_orderkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     def weight(key: Long, b: Int): Long = {
-      val u = graft.functions.Hashing.hash64Local(s"bs|$key|$b").toDouble /
-        1152921504606846976.0
-      cdf.indexWhere(u < _) match { case -1 => 6L; case i => i.toLong }
+      // replicate b rides digest pb = b/2: top 30 bits for even b,
+      // bottom 30 for odd
+      val h = graft.functions.Hashing.hash64Local(s"bs|$key|${b / 2}")
+      val u = if (b % 2 == 0) h >> 30 else h & ((1L << 30) - 1)
+      thr.indexWhere(u < _) match { case -1 => 6L; case i => i.toLong }
     }
     val expected = orders.groupBy(_._1).toSeq.map { case (p, rows) =>
       val point = 1000000L * rows.map(_._3).sum / rows.length
@@ -676,5 +678,44 @@ class StatQueriesSpec extends SparkSpec {
       .select(expr("CAST((1000000 * (n * sg2 - CAST(sg AS DECIMAL(38,0)) * sg)) div (CAST(sg AS DECIMAL(38,0)) * sg) AS BIGINT)"))
       .collect()(0).getLong(0)
     assert(cov2 == 0L, s"periodic series scored CoV2 $cov2")
+  }
+
+  test("q226: propagated registers equal a 2-hop ball replay; error bounded") {
+    val cs = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCust = cs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val balls = cs.groupBy(_._2).view.mapValues { rows =>
+      rows.map(_._1).toSet.flatMap((c: Long) => byCust(c))
+    }.toMap
+    val expected = balls.toSeq.map { case (sp, ball) =>
+      val regs = collection.mutable.Map.empty[Long, Int]
+      ball.foreach { nb =>
+        val h = graft.functions.Hashing.hash64Local(s"hb|$nb")
+        val j = h % 64
+        val w = h / 64
+        val rho = if (w == 0) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs.getOrElse(j, 0)) regs(j) = rho
+      }
+      val t = regs.values.map(m => 1L << (55 - m)).sum +
+        (64L - regs.size) * (1L << 55)
+      val raw = (BigInt(709374) * 4096 * (BigInt(1) << 55) / t).toLong
+      val est = if (regs.size < 64 && raw <= 160000000L)
+        math.round(64 * math.log(64.0 / (64 - regs.size)) * 1000000)
+      else raw
+      (sp, regs.size.toLong, t, est, ball.size)
+    }.sortBy(_._1)
+    val actual = StatQueries.q226.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(actual == expected.map(e => (e._1, e._2, e._3, e._4)))
+    // estimate quality: median relative error of an m=64 HLL with the
+    // LC branch should sit well under 50%
+    val errs = expected.map { case (_, _, _, est, exact) =>
+      math.abs(est / 1000000.0 - exact) / exact
+    }.sorted
+    assert(errs(errs.length / 2) <= 0.5,
+      s"median HLL ball error ${errs(errs.length / 2)}")
   }
 }
