@@ -932,6 +932,182 @@ object EventQueries {
       WHERE d.day >= lo.lo + 6
       ORDER BY d.day"""))
 
+  // --------------------------------------------------------------- q227
+
+  /** q227 — time-to-convert distribution per signup-week cohort:
+    * hours from a user's first view to their first purchase, rolled
+    * up to the cohort's exact median and p90 — the funnel-latency
+    * report behind "how long does activation take, and is it
+    * drifting across cohorts".
+    *
+    * Exactness: quantiles come from the bounded distinct-value CDF
+    * (q125's recipe) — per-cohort (tt_hours, count) grid, running
+    * cumulative, median = smallest t with 2·cum ≥ n, p90 = smallest t
+    * with 10·cum ≥ 9·n — no percentile() interpolation semantics to
+    * reconcile between engines, everything integer. Cohort weeks
+    * truncate Monday-start in both engines.
+    *
+    * Scale: two filtered groupBy(user) mins, one join, a
+    * (cohort, hour) grid rollup, and windows partitioned BY COHORT
+    * over ≤ distinct-hours rows.
+    */
+  val q227 = Q("q227_time_to_convert",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("_sec"))
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("_sec").as("v"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("_sec").as("p"))
+      val conv = fv.join(fp, Seq("user_id")).filter(col("p") > col("v"))
+        .select(
+          expr("CAST(date_trunc('week', to_date(timestamp_seconds(v))) AS DATE)").as("cohort"),
+          expr("(p - v) div 3600").as("tt_h"))
+      val grid = conv.groupBy("cohort", "tt_h").agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("cohort").orderBy("tt_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy("cohort")
+      grid
+        .withColumn("_cum", sum("c").over(wc))
+        .withColumn("_n", sum("c").over(wn))
+        .groupBy("cohort")
+        .agg(max("_n").as("n_converts"),
+          min(when(lit(2) * col("_cum") >= col("_n"), col("tt_h"))).as("median_h"),
+          min(when(lit(10) * col("_cum") >= lit(9) * col("_n"), col("tt_h"))).as("p90_h"))
+        .orderBy("cohort")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type,
+                        epoch_us(ts) // 1000000 AS sec FROM events),
+      fv AS (SELECT user_id, min(sec) AS v FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      fp AS (SELECT user_id, min(sec) AS p FROM e
+             WHERE event_type = 'purchase' GROUP BY 1),
+      conv AS (SELECT CAST(date_trunc('week', CAST(to_timestamp(v) AS DATE)) AS DATE)
+                        AS cohort,
+                      (p - v) // 3600 AS tt_h
+               FROM fv JOIN fp USING (user_id) WHERE p > v),
+      grid AS (SELECT cohort, tt_h, CAST(count(*) AS BIGINT) AS c
+               FROM conv GROUP BY 1, 2),
+      cum AS (SELECT cohort, tt_h, c,
+                     sum(c) OVER (PARTITION BY cohort ORDER BY tt_h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(c) OVER (PARTITION BY cohort) AS n
+              FROM grid)
+      SELECT cohort, CAST(max(n) AS BIGINT) AS n_converts,
+             min(CASE WHEN 2 * cum >= n THEN tt_h END) AS median_h,
+             min(CASE WHEN 10 * cum >= 9 * n THEN tt_h END) AS p90_h
+      FROM cum GROUP BY cohort ORDER BY cohort"""))
+
+  // --------------------------------------------------------------- q228
+
+  /** q228 — Markov next-event backtest: learn q208's transition
+    * argmax on the FIRST 80% of the time range, score next-event
+    * prediction accuracy on the LAST 20% — the in-SQL train/eval
+    * harness that turns the transition matrix into a measured model
+    * instead of a descriptive table (and the template for backtesting
+    * any aggregate-derived predictor without leaving the engine).
+    *
+    * Leakage discipline: a pair belongs to train/test by BOTH events'
+    * membership in the period — pairs straddling the cutoff are
+    * DROPPED, not assigned (the temporal-split embargo rule, q123's
+    * discipline at pair grain). Cutoff = min + 4·span div 5 from a
+    * broadcast 1-row aggregate. Prediction ties break (cnt desc,
+    * to_type asc) — total and mirrored in the oracle.
+    */
+  val q228 = Q("q228_markov_backtest",
+    (s, dir) => {
+      val wu = Window.partitionBy("user_id").orderBy(col("_sec").asc, col("event_id").asc)
+      val pairs = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("_sec"))
+        .withColumn("_nt", lead(col("event_type"), 1).over(wu))
+        .withColumn("_ns", lead(col("_sec"), 1).over(wu))
+        .filter(col("_nt").isNotNull)
+        .select(col("event_type").as("from_type"), col("_nt").as("to_type"),
+          col("_sec").as("s1"), col("_ns").as("s2"))
+      val bounds = pairs.agg(min("s1").as("_lo"), max("s2").as("_hi"))
+        .select(expr("_lo + 4 * (_hi - _lo) div 5").as("_cut"))
+      val tagged = pairs.crossJoin(broadcast(bounds))
+      val pred = tagged.filter(col("s2") < col("_cut"))
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy("from_type").orderBy(col("cnt").desc, col("to_type").asc)))
+        .filter(col("_rk") === 1)
+        .select(col("from_type"), col("to_type").as("predicted"))
+      tagged.filter(col("s1") >= col("_cut"))
+        .join(pred, Seq("from_type"))
+        .groupBy("from_type", "predicted")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("from_type"), col("predicted"), col("n_test"), col("n_correct"),
+          expr("(1000000 * n_correct) div n_test").as("acc_micro"))
+        .orderBy("from_type")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(ts) // 1000000 AS sec FROM events),
+      p AS (SELECT event_type AS from_type,
+                   lead(event_type) OVER w AS to_type,
+                   sec AS s1, lead(sec) OVER w AS s2
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC)),
+      pp AS (SELECT * FROM p WHERE to_type IS NOT NULL),
+      cut AS (SELECT min(s1) + 4 * (max(s2) - min(s1)) // 5 AS cut FROM pp),
+      tr AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+             FROM pp, cut WHERE s2 < cut GROUP BY 1, 2),
+      pred AS (SELECT from_type, to_type AS predicted FROM (
+                 SELECT from_type, to_type, row_number() OVER (
+                   PARTITION BY from_type ORDER BY cnt DESC, to_type ASC) AS rk
+                 FROM tr) WHERE rk = 1),
+      te AS (SELECT pp.from_type, pp.to_type FROM pp, cut WHERE pp.s1 >= cut)
+      SELECT te.from_type, pred.predicted,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN te.to_type = pred.predicted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+             (1000000 * CAST(sum(CASE WHEN te.to_type = pred.predicted THEN 1 ELSE 0 END) AS BIGINT))
+               // count(*) AS acc_micro
+      FROM te JOIN pred ON te.from_type = pred.from_type
+      GROUP BY te.from_type, pred.predicted
+      ORDER BY te.from_type"""))
+
+  // --------------------------------------------------------------- q229
+
+  /** q229 — rolling 7-day exact median of each event_type's daily
+    * volume: the robust companion to q213's moving-average trend — a
+    * single spike day drags a mean but leaves the median still, which
+    * is why monitoring baselines prefer it. The window holds exactly
+    * 7 values (full windows only), so the median is the 4th order
+    * statistic — exact integer, no interpolation semantics to
+    * reconcile. Windows partition BY TYPE over days — bounded.
+    */
+  val q229 = Q("q229_rolling_median",
+    (s, dir) => {
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("_w", count(lit(1)).over(w7))
+        .withColumn("med7", element_at(sort_array(collect_list(col("y")).over(w7)), 4))
+        .filter(col("_w") === 7)
+        .select("event_type", "day", "y", "med7")
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      r AS (SELECT event_type, day, y,
+                   count(*) OVER w AS wn,
+                   list_sort(list(y) OVER w)[4] AS med7
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+      SELECT event_type, day, y, med7
+      FROM r WHERE wn = 7 ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201, q205,
-    q206, q208, q212, q213, q215, q219, q220)
+    q206, q208, q212, q213, q215, q219, q220, q227, q228, q229)
 }

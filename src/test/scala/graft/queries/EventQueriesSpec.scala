@@ -222,6 +222,84 @@ class EventQueriesSpec extends SparkSpec {
     actual.foreach(r => assert(r._2 <= r._3 && r._4 > 0 && r._4 <= 1000000L))
   }
 
+  test("q227: cohort conversion quantiles replay from a sorted brute-force list") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val conv = ev.groupBy(_._1).values.flatMap { rows =>
+      val v = rows.filter(_._2 == "view").map(_._3).minOption
+      val p = rows.filter(_._2 == "purchase").map(_._3).minOption
+      (v, p) match {
+        case (Some(a), Some(b)) if b > a =>
+          val d = java.time.Instant.ofEpochSecond(a)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDate
+          val monday = d.minusDays((d.getDayOfWeek.getValue - 1).toLong)
+          Some((monday.toString, (b - a) / 3600))
+        case _ => None
+      }
+    }.toSeq
+    val expected = conv.groupBy(_._1).toSeq.map { case (cohort, rows) =>
+      val tts = rows.map(_._2).sorted
+      val n = tts.length
+      def q(mult: Int, num: Int): Long =
+        tts(tts.indices.find(i => mult * (i + 1) >= num * n).get)
+      (cohort, n.toLong, q(2, 1), q(10, 9))
+    }.sortBy(_._1)
+    val actual = EventQueries.q227.fn(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(actual == expected)
+  }
+
+  test("q228: backtest accuracy replays; pairs straddling the cutoff are dropped") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val pairs = ev.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val s = rows.sortBy(r => (r._4, r._2))
+      s.zip(s.drop(1)).map { case (a, b) => (a._3, b._3, a._4, b._4) }
+    }
+    val lo = pairs.map(_._3).min
+    val hi = pairs.map(_._4).max
+    val cut = lo + 4 * (hi - lo) / 5
+    val train = pairs.filter(_._4 < cut)
+    val test = pairs.filter(_._3 >= cut)
+    // straddlers exist and belong to neither split
+    assert(pairs.exists(p => p._4 >= cut && p._3 < cut))
+    val pred = train.groupBy(_._1).view.mapValues { g =>
+      g.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (to, c) => (-c, to) }.head._1
+    }.toMap
+    val expected = test.groupBy(_._1).toSeq.collect {
+      case (from, rows) if pred.contains(from) =>
+        val correct = rows.count(_._2 == pred(from)).toLong
+        (from, pred(from), rows.length.toLong, correct,
+          1000000L * correct / rows.length)
+    }.sortBy(_._1)
+    val actual = EventQueries.q228.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(actual == expected)
+  }
+
+  test("q229: rolling median is the 4th order statistic and spike-resistant") {
+    val daily = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (ty, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.indices.collect {
+        case i if i >= 3 && i <= sorted.length - 4 =>
+          val med = (i - 3 to i + 3).map(j => sorted(j)._3).sorted.apply(3)
+          (ty, sorted(i)._2, sorted(i)._3, med)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val actual = EventQueries.q229.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3))).toSeq
+    assert(actual == expected)
+  }
+
   test("q208: transition matrix equals brute-force consecutive-pair counts") {
     val ev = graft.Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
