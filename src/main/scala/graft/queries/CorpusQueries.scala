@@ -792,6 +792,83 @@ object CorpusQueries {
                CAST((1000000 * numm * numm) // (denm * dyym) AS BIGINT) END AS r2_micro
       FROM r"""))
 
+  // --------------------------------------------------------------- q231
+
+  /** q231 — held-out bigram perplexity per source: train an add-one
+    * smoothed bigram LM on 80% of documents (doc_id % 5 ≠ 0), score
+    * the held-out 20%, report per-source mean negative log-likelihood
+    * and perplexity — the LM-eval harness proper, where q77 scores
+    * with an in-corpus model: train/eval separation is what turns
+    * "fluency prior" into a measured quality signal, and a source
+    * whose held-out perplexity explodes is distributionally alien to
+    * the rest of the corpus.
+    *
+    * Exactness: each bigram's −ln((c_xy+1)/(c_x+V)) is per-row double
+    * → round(·1e9)::long (the proven recipe) before any multi-row
+    * sum; unseen bigrams/unigrams coalesce to 0 BEFORE the identical
+    * double expression; V is the train vocab size as a broadcast
+    * 1-row aggregate; perplexity exponentiates once per output row.
+    *
+    * Scale: bigrams generated map-side from token arrays (q221's
+    * shape), two linear count rollups, eval joins shuffle on the
+    * bigram/unigram keys — all linear in the token stream.
+    */
+  val q231 = Q("q231_heldout_perplexity",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.operators.TextAnalysis.tokens(col("text")).as("w"))
+      val tr = base.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val ev = base.filter(pmod(col("doc_id"), lit(5)) === 0)
+      def bigrams(df: org.apache.spark.sql.DataFrame) = df
+        .filter(size(col("w")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS x, w[i + 1] AS y))")).as("p"))
+        .select(col("source"), col("p.x").as("x"), col("p.y").as("y"))
+      val cxy = bigrams(tr).groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+      val cx = tr.select(explode(col("w")).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("cx"))
+      val v = cx.agg(count(lit(1)).as("_v"))
+      bigrams(ev)
+        .join(cxy, Seq("x", "y"), "left")
+        .join(cx, Seq("x"), "left")
+        .crossJoin(broadcast(v))
+        .withColumn("_nll", expr(
+          """CAST(round(-ln((coalesce(cxy, 0) + 1.0)
+             / (coalesce(cx, 0) + _v)) * 1e9) AS BIGINT)"""))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bigrams"), sum("_nll").as("_s"))
+        .select(col("source"), col("n_bigrams"),
+          expr("_s div n_bigrams").as("nll_nano"),
+          expr("round(exp(CAST(_s div n_bigrams AS DOUBLE) / 1e9), 6)").as("ppl"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH base AS (SELECT doc_id, source, $duckTokens AS w FROM documents),
+      tr AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+      ev AS (SELECT * FROM base WHERE doc_id % 5 = 0),
+      trb AS (SELECT w[u.i] AS x, w[u.i + 1] AS y
+              FROM tr, unnest(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
+      cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cxy FROM trb GROUP BY 1, 2),
+      cx AS (SELECT unnest(w) AS x FROM tr),
+      cxa AS (SELECT x, CAST(count(*) AS BIGINT) AS cx FROM cx GROUP BY 1),
+      v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cxa),
+      evb AS (SELECT source, w[u.i] AS x, w[u.i + 1] AS y
+              FROM ev, unnest(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
+      nll AS (SELECT evb.source,
+                     CAST(round(-ln((coalesce(cxy.cxy, 0) + 1.0)
+                       / (coalesce(cxa.cx, 0) + v.v)) * 1e9) AS BIGINT) AS t
+              FROM evb
+              LEFT JOIN cxy ON evb.x = cxy.x AND evb.y = cxy.y
+              LEFT JOIN cxa ON evb.x = cxa.x
+              CROSS JOIN v),
+      agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(t) AS BIGINT) AS s
+              FROM nll GROUP BY 1)
+      SELECT source, n_bigrams, s // n_bigrams AS nll_nano,
+             round(exp(CAST(s // n_bigrams AS DOUBLE) / 1e9), 6) AS ppl
+      FROM agg ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
-    q196, q221, q224)
+    q196, q221, q224, q231)
 }

@@ -2088,8 +2088,113 @@ object DataQueries {
       FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
       ORDER BY rrf_micro DESC, doc_id LIMIT 50"""))
 
+  // --------------------------------------------------------------- q230
+
+  /** q230 — reliability diagram + Brier decomposition inputs for a
+    * nearest-centroid classifier on the embeddings table: train a
+    * one-vs-rest "label 0" centroid on the even-id half, score the
+    * odd-id half by cosine, and report the calibration curve (per
+    * decile bin: predicted vs observed positive rate) with per-bin
+    * Brier mass — the model-eval primitive that says WHERE a score is
+    * over/under-confident, feeding q210's isotonic recalibration.
+    *
+    * Determinism: the centroid's per-dim mean goes through
+    * DECIMAL(28,6) sums (dsum's recipe — order-independent), is cast
+    * to float32 (both engines round the same binary value), and every
+    * cosine rounds 6dp via the proven graft_dot ↔ list_reduce fold;
+    * downstream everything is integer: the Brier term is
+    * (pm − 1e6·y)² on the micro-probability (a chained double multiply
+    * here diverged in the last ulp between engines — FMA contraction),
+    * and bin stats are exact integer divisions.
+    *
+    * Scale: one posexplode + 64-row groupBy for the centroid (map-side
+    * partials), the centroid re-enters broadcast, scoring is map-only,
+    * and the final rollup is 10 bins.
+    */
+  val q230 = Q("q230_reliability_brier",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          when(col("label") === 0, 1L).otherwise(0L).as("y"))
+      val cent = emb.filter(pmod(col("vec_id"), lit(2)) === 0 && col("y") === 1)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("dim")
+        // per-value integer micro quantization BEFORE summing: Spark's
+        // float→DECIMAL cast rounds the float's shortest string repr
+        // while DuckDB rounds the exact binary value — they disagree on
+        // string-tie values. round() on the (exact) float→double value
+        // is the same operation in both engines, and integer sums are
+        // order-independent. micro/1e6 at the end is one IEEE division
+        // both engines agree on.
+        .agg(sum(expr("CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)")).as("_sm"),
+          count(lit(1)).as("_c"))
+        .withColumn("_cm", expr(
+          "CASE WHEN _sm < 0 THEN -((-_sm) div _c) ELSE _sm div _c END"))
+        .select(col("dim"), expr("CAST(_cm AS DOUBLE) / 1e6").as("cv"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("cv")))).as("_a"))
+        .select(expr("transform(_a, p -> CAST(p.cv AS FLOAT))").as("cvec"))
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .crossJoin(broadcast(cent))
+        .withColumn("_s", graft.operators.Similarity.cosine(col("embedding"), col("cvec")))
+        // p = (s+1)/2 lands on a 7th-decimal tie for half the 6dp
+        // scores, and Spark's round() rounds the double's SHORTEST
+        // STRING while DuckDB rounds the binary value — so p is
+        // derived in integer HALF-MICRO units instead (no rounding
+        // after the one proven round(s·1e6))
+        .withColumn("_pmh", expr("CAST(round(_s * 1e6) AS BIGINT) + 1000000"))
+        .select(col("y"),
+          expr("least(CAST(_pmh div 200000 AS INT), 9)").as("bin"),
+          expr("_pmh div 2").as("_pm"))
+        // Brier term from the INTEGER micro-probability — (pm−1e6·y)²
+        // is exact int64; a chained double multiply here diverged in
+        // the last ulp between engines (FMA contraction)
+        .withColumn("_br", expr("(_pm - 1000000 * y) * (_pm - 1000000 * y)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+          expr("sum(_pm) div count(*)").as("mean_p_micro"),
+          expr("(1000000 * sum(y)) div count(*)").as("obs_rate_micro"),
+          sum("_br").as("brier_micro2_sum"))
+        .orderBy("bin")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding,
+                        CASE WHEN label = 0 THEN CAST(1 AS BIGINT)
+                             ELSE CAST(0 AS BIGINT) END AS y
+                 FROM embeddings),
+      tr AS (SELECT embedding FROM e WHERE vec_id % 2 = 0 AND y = 1),
+      cd0 AS (SELECT i.i AS dim,
+                     CAST(sum(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6)
+                       AS BIGINT)) AS BIGINT) AS sm,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM tr, unnest(range(1, len(embedding) + 1)) AS i(i)
+              GROUP BY 1),
+      cd AS (SELECT dim,
+                    CAST(CASE WHEN sm < 0 THEN -((-sm) // c)
+                         ELSE sm // c END AS DOUBLE) / 1e6 AS cv
+             FROM cd0),
+      cent AS (SELECT list(CAST(cv AS FLOAT) ORDER BY dim) AS cvec FROM cd),
+      sc AS (SELECT e.y,
+                    round(${duckDot("e.embedding", "cent.cvec")}
+                      / (sqrt(${duckDot("e.embedding", "e.embedding")})
+                         * sqrt(${duckDot("cent.cvec", "cent.cvec")})), 6) AS s
+             FROM e CROSS JOIN cent WHERE e.vec_id % 2 = 1),
+      p AS (SELECT y, CAST(round(s * 1e6) AS BIGINT) + 1000000 AS pmh FROM sc),
+      b AS (SELECT least(CAST(pmh // 200000 AS INT), 9) AS bin, y,
+                   pmh // 2 AS pm
+            FROM p),
+      b2 AS (SELECT bin, y, pm,
+                    (pm - 1000000 * y) * (pm - 1000000 * y) AS br
+             FROM b)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(pm) AS BIGINT) // count(*) AS mean_p_micro,
+             (1000000 * CAST(sum(y) AS BIGINT)) // count(*) AS obs_rate_micro,
+             CAST(sum(br) AS BIGINT) AS brier_micro2_sum
+      FROM b2 GROUP BY bin ORDER BY bin"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
-    q194, q195, q197, q204)
+    q194, q195, q197, q204, q230)
 }

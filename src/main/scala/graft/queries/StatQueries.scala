@@ -1245,9 +1245,11 @@ object StatQueries {
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
         // orders is one small parquet file = ONE input split; without
         // this shuffle the whole 50-digest-per-row fan-out below runs
-        // single-task. Repartitioning 150k narrow rows costs ~nothing
-        // and spreads the digest work across the cluster.
-        .repartition(col("o_orderkey"))
+        // single-task. The partition count is EXPLICIT because AQE
+        // would coalesce a ~5 MB shuffle back to one partition — it
+        // sizes on shuffle bytes and cannot see the 50× explode
+        // downstream.
+        .repartition(s.sparkContext.defaultParallelism, col("o_orderkey"))
         .localCheckpoint(false) // feeds the point estimate and 100 replicates
       val point = orders.groupBy("priority")
         .agg(expr("(1000000 * sum(cents)) div count(*)").as("point_micro"))
@@ -1257,13 +1259,17 @@ object StatQueries {
         .withColumn("_h", call_function("graft_hash64",
           concat(lit("bs|"), col("o_orderkey").cast("string"),
             lit("|"), col("pb").cast("string"))))
+        // plain array + explode + row filter — deliberately NOT a
+        // filter() HOF: higher-order lambdas are CodegenFallback
+        // (interpreted per element) and would break the whole-stage
+        // pipeline this 7.5M-row stage lives in
         .select(col("priority"), col("cents"), explode(expr(
-          s"""filter(array(
+          s"""array(
                 named_struct('b', CAST(2 * pb AS BIGINT),
                              'w', ${caseW("(_h div 1073741824)")}),
                 named_struct('b', CAST(2 * pb + 1 AS BIGINT),
-                             'w', ${caseW("(_h % 1073741824)")})),
-              p -> p.w > 0)""")).as("p"))
+                             'w', ${caseW("(_h % 1073741824)")}))""")).as("p"))
+        .filter(col("p.w") > 0)
         .select(col("priority"), col("p.b").as("b"), col("p.w").as("w"),
           col("cents"))
       val means = weighted.groupBy("priority", "b")

@@ -124,4 +124,35 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(slope < 0, s"Zipf slope must be negative, got $slope")
     assert(r2 >= 0 && r2 <= 1000000L, s"r2 out of range: $r2")
   }
+
+  test("q231: held-out perplexity replays from a brute-force bigram LM") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).trim.split("\\s+").toSeq))
+    val tr = docs.filter(_._1 % 5 != 0)
+    val ev = docs.filter(_._1 % 5 == 0)
+    val cxy = collection.mutable.Map.empty[(String, String), Long]
+    tr.foreach(d => d._3.zip(d._3.drop(1)).foreach { p =>
+      cxy(p) = cxy.getOrElse(p, 0L) + 1
+    })
+    val cx = tr.flatMap(_._3).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val v = cx.size.toLong
+    val expected = ev.flatMap(d => d._3.zip(d._3.drop(1)).map(p => (d._2, p)))
+      .groupBy(_._1).toSeq.map { case (src, rows) =>
+        val nlls = rows.map { case (_, (x, y)) =>
+          math.round(-math.log((cxy.getOrElse((x, y), 0L) + 1.0)
+            / (cx.getOrElse(x, 0L) + v)) * 1e9)
+        }
+        val n = nlls.length.toLong
+        val avg = nlls.sum / n
+        (src, n, avg, BigDecimal(math.exp(avg.toDouble / 1e9))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy(_._1)
+    val actual = graft.queries.CorpusQueries.q231.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(actual == expected)
+    // perplexity must exceed 1 and unseen-heavy sources must not be NaN
+    actual.foreach(r => assert(r._4 > 1.0 && !r._4.isNaN))
+  }
 }

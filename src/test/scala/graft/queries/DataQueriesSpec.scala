@@ -32,4 +32,43 @@ class DataQueriesSpec extends SparkSpec {
       assert(ranks.forall(r => r >= 1 && r <= 200))
     }
   }
+
+  test("q230: reliability bins replay from a driver-side centroid scorer") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, if (r.getInt(2) == 0) 1L else 0L))
+    val pos = emb.filter(e => e._1 % 2 == 0 && e._3 == 1L)
+    val dims = pos.head._2.length
+    val cent = (0 until dims).map { d =>
+      // per-value integer micro quantization, then the quantized mean —
+      // mirrors the query's cross-engine determinism recipe
+      // away-from-zero half rounding (Scala math.round is floor(x+.5),
+      // which differs on negative ties)
+      val sm = BigInt(pos.map(e => BigDecimal(e._2(d).toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum)
+      val cm = if (sm < 0) -((-sm) / pos.length) else sm / pos.length
+      (cm.toDouble / 1e6).toFloat
+    }.toArray
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def rnd(x: Double, p: Int): Double =
+      BigDecimal(x).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val binsExp = emb.filter(_._1 % 2 == 1).map { case (_, v, y) =>
+      val s = rnd(dot(v, cent) / (math.sqrt(dot(v, v)) * math.sqrt(dot(cent, cent))), 6)
+      val pmh = math.round(s * 1e6) + 1000000L
+      val bin = math.min((pmh / 200000).toInt, 9)
+      val pm = pmh / 2
+      (bin, y, pm, (pm - 1000000L * y) * (pm - 1000000L * y))
+    }
+    val expected = binsExp.groupBy(_._1).toSeq.map { case (bin, rows) =>
+      val n = rows.length.toLong
+      val npos = rows.map(_._2).sum
+      (bin, n, npos, rows.map(_._3).sum / n, 1000000L * npos / n, rows.map(_._4).sum)
+    }.sortBy(_._1)
+    val actual = DataQueries.q230.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(actual == expected)
+  }
 }
