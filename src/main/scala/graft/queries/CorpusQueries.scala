@@ -869,6 +869,84 @@ object CorpusQueries {
              round(exp(CAST(s // n_bigrams AS DOUBLE) / 1e9), 6) AS ppl
       FROM agg ORDER BY source"""))
 
+  // --------------------------------------------------------------- q232
+
+  /** q232 — leave-one-source-out corpus ablation: for EVERY source,
+    * the corpus statistics (doc count, token mass, mean doc length,
+    * exact-duplicate count and rate) of the corpus WITHOUT that
+    * source — the data-valuation report ("which source is dragging
+    * the mix") computed for all N ablations in ONE pass, never
+    * re-scanning the corpus per source.
+    *
+    * The additive stats are trivially algebraic (total − per-source
+    * sums). The interesting one is the DUPLICATE count, which is not
+    * additive: removing a source changes whether other sources' docs
+    * still have a twin. It decomposes exactly as
+    * Σ_fp f(c_t − c_s) = Σ_fp f(c_t) + Σ_{fp: c_s>0} [f(c_t−c_s) −
+    * f(c_t)] with f(x) = x·1[x≥2] — a global term plus corrections
+    * only over (fingerprint, source) pairs that EXIST, i.e. one join
+    * of the per-(fp, source) counts against broadcast-joined fp
+    * totals. All integer.
+    */
+  val q232 = Q("q232_loo_ablation",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("nt"),
+          md5(col("text")).as("fp"))
+      val perSrc = docs.groupBy("source")
+        .agg(count(lit(1)).as("sd"), sum("nt").as("st"), sum("n_chars").as("sc"))
+      val tot = perSrc.agg(sum("sd").as("td"), sum("st").as("tt"), sum("sc").as("tc"))
+      val fpt = docs.groupBy("fp").agg(count(lit(1)).as("ct"))
+      val g = fpt.agg(sum(when(col("ct") >= 2, col("ct")).otherwise(0L)).as("gdup"))
+      val corr = docs.groupBy("fp", "source").agg(count(lit(1)).as("cs"))
+        .join(fpt, Seq("fp"))
+        .withColumn("_rem", col("ct") - col("cs"))
+        .withColumn("_delta",
+          when(col("_rem") >= 2, col("_rem")).otherwise(lit(0L))
+            - when(col("ct") >= 2, col("ct")).otherwise(lit(0L)))
+        .groupBy("source").agg(sum("_delta").as("dcorr"))
+      perSrc.join(corr, Seq("source"), "left")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(g))
+        .select(col("source"),
+          (col("td") - col("sd")).as("n_docs_rem"),
+          (col("tt") - col("st")).as("n_tokens_rem"),
+          expr("(1000000 * (tt - st)) div (td - sd)").as("mean_tok_micro_rem"),
+          (col("gdup") + coalesce(col("dcorr"), lit(0L))).as("dup_docs_rem"),
+          expr("(1000000 * (gdup + coalesce(dcorr, 0))) div (td - sd)")
+            .as("dup_rate_micro_rem"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH d AS (SELECT source, n_chars,
+                        CAST(len($duckTokens) AS BIGINT) AS nt,
+                        md5(text) AS fp
+                 FROM documents),
+      ps AS (SELECT source, CAST(count(*) AS BIGINT) AS sd,
+                    CAST(sum(nt) AS BIGINT) AS st,
+                    CAST(sum(n_chars) AS BIGINT) AS sc
+             FROM d GROUP BY 1),
+      tot AS (SELECT CAST(sum(sd) AS BIGINT) AS td, CAST(sum(st) AS BIGINT) AS tt,
+                     CAST(sum(sc) AS BIGINT) AS tc FROM ps),
+      fpt AS (SELECT fp, CAST(count(*) AS BIGINT) AS ct FROM d GROUP BY 1),
+      g AS (SELECT CAST(sum(CASE WHEN ct >= 2 THEN ct ELSE 0 END) AS BIGINT) AS gdup
+            FROM fpt),
+      cs AS (SELECT fp, source, CAST(count(*) AS BIGINT) AS cs FROM d GROUP BY 1, 2),
+      corr AS (SELECT cs.source,
+                      CAST(sum((CASE WHEN fpt.ct - cs.cs >= 2 THEN fpt.ct - cs.cs ELSE 0 END)
+                        - (CASE WHEN fpt.ct >= 2 THEN fpt.ct ELSE 0 END)) AS BIGINT) AS dcorr
+               FROM cs JOIN fpt ON cs.fp = fpt.fp GROUP BY 1)
+      SELECT ps.source,
+             tot.td - ps.sd AS n_docs_rem,
+             tot.tt - ps.st AS n_tokens_rem,
+             (1000000 * (tot.tt - ps.st)) // (tot.td - ps.sd) AS mean_tok_micro_rem,
+             g.gdup + coalesce(corr.dcorr, 0) AS dup_docs_rem,
+             (1000000 * (g.gdup + coalesce(corr.dcorr, 0))) // (tot.td - ps.sd)
+               AS dup_rate_micro_rem
+      FROM ps LEFT JOIN corr ON ps.source = corr.source
+      CROSS JOIN tot CROSS JOIN g
+      ORDER BY ps.source"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
-    q196, q221, q224, q231)
+    q196, q221, q224, q231, q232)
 }

@@ -155,4 +155,51 @@ class CorpusQueriesSpec extends SparkSpec {
     // perplexity must exceed 1 and unseen-heavy sources must not be NaN
     actual.foreach(r => assert(r._4 > 1.0 && !r._4.isNaN))
   }
+
+  test("q232: algebraic ablation equals literally rebuilding each reduced corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("source", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def fp(t: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sources = docs.map(_._1).distinct.sorted
+    val expected = sources.map { s =>
+      // the naive way: actually rebuild the corpus without s
+      val rem = docs.filter(_._1 != s)
+      val nd = rem.length.toLong
+      val nt = rem.map(_._3.trim.split("\\s+").length.toLong).sum
+      val dups = rem.groupBy(r => fp(r._3)).values
+        .filter(_.size >= 2).map(_.size.toLong).sum
+      (s, nd, nt, 1000000L * nt / nd, dups, 1000000L * dups / nd)
+    }.toSeq
+    val actual = graft.queries.CorpusQueries.q232.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(actual == expected)
+    // the synthetic corpus has no exact duplicates, which would leave
+    // the dup-correction leg vacuous — plant cross-source twins in a
+    // doctored copy and check the non-additive decomposition there
+    val dir = java.nio.file.Files.createTempDirectory("graft-loo").toString
+    graft.Tables.names.foreach { t =>
+      val df = graft.Tables.load(spark, sf, t)
+      val doctored =
+        if (t == "documents")
+          df.withColumn("text",
+            when(col("doc_id") < 10, lit("planted twin body")).otherwise(col("text")))
+        else df
+      doctored.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val docs2 = graft.Tables.load(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected2 = docs2.map(_._1).distinct.sorted.map { s =>
+      val rem = docs2.filter(_._1 != s)
+      rem.groupBy(r => fp(r._2)).values.filter(_.size >= 2).map(_.size.toLong).sum
+    }.toSeq
+    assert(expected2.exists(_ > 0), "planting produced no duplicates")
+    val actual2 = graft.queries.CorpusQueries.q232.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(4))).sortBy(_._1).map(_._2).toSeq
+    assert(actual2 == expected2)
+  }
 }
