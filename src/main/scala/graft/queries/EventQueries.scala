@@ -1108,6 +1108,76 @@ object EventQueries {
       SELECT event_type, day, y, med7
       FROM r WHERE wn = 7 ORDER BY event_type, day"""))
 
+  // --------------------------------------------------------------- q233
+
+  /** q233 — session entry/exit profile: for every (entry event type,
+    * exit event type) pair, how many of q55's 30-minute-gap sessions
+    * start and end that way, how many are single-event bounces, and
+    * each cell's share within its entry type — the landing/exit-page
+    * analysis that tells a funnel owner where journeys begin and
+    * where they die.
+    *
+    * Determinism: entry/exit are the min/max of the session's
+    * (second, event_id) total order, extracted via min/max on the
+    * packed struct — tie-free. One user-keyed window chain (q55's)
+    * plus two bounded rollups; shares are exact integer micro.
+    */
+  val q233 = Q("q233_session_entry_exit",
+    (s, dir) => {
+      val wu = Window.partitionBy("user_id").orderBy(col("_sec").asc, col("event_id").asc)
+      val sess = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("_sec"))
+        .withColumn("_gap", col("_sec") - lag(col("_sec"), 1).over(wu))
+        .withColumn("_new", when(col("_gap").isNull || col("_gap") > 1800, 1L).otherwise(0L))
+        .withColumn("_sid", sum(col("_new")).over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "_sid")
+        .agg(min(struct(col("_sec"), col("event_id"), col("event_type"))).as("_first"),
+          max(struct(col("_sec"), col("event_id"), col("event_type"))).as("_last"),
+          count(lit(1)).as("_n"))
+      val grid = sess.groupBy(col("_first.event_type").as("entry_type"),
+          col("_last.event_type").as("exit_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("_n") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      val tot = grid.groupBy("entry_type").agg(sum("n_sessions").as("_te"))
+      grid.join(broadcast(tot), Seq("entry_type"))
+        .select(col("entry_type"), col("exit_type"), col("n_sessions"),
+          col("n_bounce"),
+          expr("(1000000 * n_sessions) div _te").as("share_micro"))
+        .orderBy("entry_type", "exit_type")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(ts) // 1000000 AS sec FROM events),
+      g AS (SELECT user_id, event_id, event_type, sec,
+                   CASE WHEN sec - lag(sec) OVER w > 1800
+                          OR lag(sec) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC)),
+      sid AS (SELECT user_id, event_id, event_type, sec,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM g),
+      sess AS (SELECT user_id, sid,
+                      min(struct_pack(sec := sec, eid := event_id,
+                                      et := event_type)) AS first_e,
+                      max(struct_pack(sec := sec, eid := event_id,
+                                      et := event_type)) AS last_e,
+                      count(*) AS n
+               FROM sid GROUP BY 1, 2),
+      grid AS (SELECT first_e['et'] AS entry_type,
+                      last_e['et'] AS exit_type,
+                      CAST(count(*) AS BIGINT) AS n_sessions,
+                      CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+               FROM sess GROUP BY 1, 2),
+      tot AS (SELECT entry_type, CAST(sum(n_sessions) AS BIGINT) AS te
+              FROM grid GROUP BY 1)
+      SELECT g.entry_type, g.exit_type, g.n_sessions, g.n_bounce,
+             (1000000 * g.n_sessions) // t.te AS share_micro
+      FROM grid g JOIN tot t ON g.entry_type = t.entry_type
+      ORDER BY g.entry_type, g.exit_type"""))
+
   val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201, q205,
-    q206, q208, q212, q213, q215, q219, q220, q227, q228, q229)
+    q206, q208, q212, q213, q215, q219, q220, q227, q228, q229, q233)
 }

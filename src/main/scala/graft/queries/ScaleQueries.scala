@@ -982,7 +982,7 @@ object ScaleQueries {
         val orphans = child.select(col(childKey).as("_k"))
           .join(parent.select(col(parentKey).as("_k")).distinct(), Seq("_k"), "left_anti")
         child.agg(count(lit(1)).as("n_child"))
-          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
           .select(lit(name).as("edge"), col("n_child"), col("n_orphans"),
             expr("(1000000 * n_orphans) div n_child").as("orphan_rate_micro"))
       }

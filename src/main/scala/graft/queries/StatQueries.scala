@@ -1800,7 +1800,7 @@ object StatQueries {
         "r * CAST(round(ln(CAST(n AS DOUBLE) / r) * 1e9) AS BIGINT)")).as("ht_sum"))
       val hd = cc.crossJoin(broadcast(n)).agg(sum(expr(
         "cc * CAST(round(ln(CAST(n AS DOUBLE) / cc) * 1e9) AS BIGINT)")).as("hd_sum"))
-      mi.crossJoin(ht).crossJoin(hd).crossJoin(n)
+      mi.crossJoin(broadcast(ht)).crossJoin(broadcast(hd)).crossJoin(broadcast(n))
         .withColumn("mi_nano", expr(tdivN.format("term_sum", "term_sum", "term_sum")))
         .withColumn("h_type_nano", expr("ht_sum div n"))
         .withColumn("h_dow_nano", expr("hd_sum div n"))

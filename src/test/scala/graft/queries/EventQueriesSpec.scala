@@ -300,6 +300,43 @@ class EventQueriesSpec extends SparkSpec {
     assert(actual == expected)
   }
 
+  test("q233: entry/exit grid replays from brute-force sessionization") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val sessions = ev.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      val out = collection.mutable.ArrayBuffer.empty[Vector[(Long, Long, String, Long)]]
+      sorted.foreach { e =>
+        if (out.nonEmpty && e._4 - out.last.last._4 <= 1800)
+          out(out.length - 1) = out.last :+ e
+        else out += Vector(e)
+      }
+      out
+    }
+    val grid = sessions.groupBy(s => (s.head._3, s.last._3)).toSeq
+      .map { case ((en, ex), ss) =>
+        (en, ex, ss.length.toLong, ss.count(_.length == 1).toLong)
+      }
+    val tot = grid.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val expected = grid.map { case (en, ex, n, b) =>
+      (en, ex, n, b, 1000000L * n / tot(en))
+    }.sortBy(t => (t._1, t._2))
+    val actual = EventQueries.q233.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(actual == expected)
+    // every bounce is a same-type cell, and shares sum to ~1e6 per entry
+    actual.filter(r => r._4 > 0 && r._3 == r._4)
+      .foreach(r => assert(r._1 == r._2 || r._4 < r._3))
+    actual.groupBy(_._1).values.foreach { g =>
+      val s = g.map(_._5).sum
+      assert(s <= 1000000L && s > 1000000L - g.length,
+        s"shares sum $s for ${g.head._1}")
+    }
+  }
+
   test("q208: transition matrix equals brute-force consecutive-pair counts") {
     val ev = graft.Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
