@@ -2134,7 +2134,62 @@ object StatQueries {
                ELSE r END AS est_micro
       FROM est ORDER BY sp"""))
 
+  // --------------------------------------------------------------- q234
+
+  /** q234 — weighted quantiles per group: the median and p90 of
+    * lineitem price weighted by QUANTITY (each row counts as its
+    * shipped units, not once) — the "median unit actually sold at"
+    * statistic that an unweighted median misstates whenever cheap
+    * items ship in bulk.
+    *
+    * Scale shape: prices bin to $10 cells map-side (the q218/q210
+    * argument — at corpus scale you cannot sort raw values, and the
+    * binned weighted CDF is how production quantiles run), then the
+    * weighted CDF scan is a per-group window over ≤ |bins| rows.
+    * Quantile rule: smallest bin with k·cumW ≥ q·totW — all integer,
+    * both engines replay it exactly.
+    */
+  val q234 = Q("q234_weighted_quantiles",
+    (s, dir) => {
+      val grid = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 1000").as("bin"),
+          expr("CAST(l_quantity AS BIGINT)").as("w"))
+        .groupBy("flag", "bin").agg(sum("w").as("bw"))
+      val wc = Window.partitionBy("flag").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy("flag")
+      grid
+        .withColumn("_cum", sum("bw").over(wc))
+        .withColumn("_tot", sum("bw").over(wn))
+        .groupBy("flag")
+        .agg(max("_tot").as("total_units"),
+          min(when(lit(2) * col("_cum") >= col("_tot"), col("bin"))).as("median_bin"),
+          min(when(lit(10) * col("_cum") >= lit(9) * col("_tot"), col("bin"))).as("p90_bin"))
+        .select(col("flag"), col("total_units"),
+          (col("median_bin") * 10).as("median_usd"),
+          (col("p90_bin") * 10).as("p90_usd"))
+        .orderBy("flag")
+    },
+    Some("""
+      WITH g AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) // 1000 AS bin,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem),
+      grid AS (SELECT flag, bin, CAST(sum(w) AS BIGINT) AS bw
+               FROM g GROUP BY 1, 2),
+      c AS (SELECT flag, bin, bw,
+                   sum(bw) OVER (PARTITION BY flag ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(bw) OVER (PARTITION BY flag) AS tot
+            FROM grid)
+      SELECT flag, CAST(max(tot) AS BIGINT) AS total_units,
+             min(CASE WHEN 2 * cum >= tot THEN bin END) * 10 AS median_usd,
+             min(CASE WHEN 10 * cum >= 9 * tot THEN bin END) * 10 AS p90_usd
+      FROM c GROUP BY flag ORDER BY flag"""))
+
   val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
     q123, q124, q125, q190, q191, q192, q198, q199, q202, q203, q207, q209, q210,
-    q211, q214, q216, q217, q218, q222, q223, q226)
+    q211, q214, q216, q217, q218, q222, q223, q226, q234)
 }

@@ -718,4 +718,28 @@ class StatQueriesSpec extends SparkSpec {
     assert(errs(errs.length / 2) <= 0.5,
       s"median HLL ball error ${errs(errs.length / 2)}")
   }
+
+  test("q234: weighted quantiles replay; weighting actually moves the median") {
+    val rows = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 1000").as("bin"),
+        expr("CAST(l_quantity AS BIGINT)").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).toSeq.map { case (flag, rs) =>
+      val grid = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tot = grid.map(_._2).sum
+      var cum = 0L; var med = -1L; var p90 = -1L
+      grid.foreach { case (bin, bw) =>
+        cum += bw
+        if (med < 0 && 2 * cum >= tot) med = bin
+        if (p90 < 0 && 10 * cum >= 9 * tot) p90 = bin
+      }
+      (flag, tot, med * 10, p90 * 10)
+    }.sortBy(_._1)
+    val actual = StatQueries.q234.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(actual == expected)
+    // sanity: p90 >= median for every group
+    actual.foreach(r => assert(r._4 >= r._3))
+  }
 }
