@@ -151,6 +151,38 @@ object StreamingOps {
       }
   }
 
+  final case class MedOut(key: String, day: java.sql.Date, y: Long, med7: Long)
+
+  /** Streaming twin of q229's rolling 7-day median: per-key state
+    * holds the last 7 (day, y) points; each arrival that completes a
+    * centered window emits the median for the MIDDLE day — a centered
+    * statistic necessarily trails the stream head by 3 days, which is
+    * exactly the lag monitoring dashboards accept for robust
+    * baselines. The median of 7 is the 4th order statistic, computed
+    * on the same integers as batch, so stream ≡ batch exactly under
+    * date-ordered arrival. State is O(7) per key.
+    */
+  def rollingMedian(points: Dataset[DailyPoint]): Dataset[MedOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState[List[(String, Long)], MedOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[DailyPoint], state: GroupState[List[(String, Long)]]) =>
+          var window = state.getOption.getOrElse(Nil) // oldest-first, ≤7
+          val out = Seq.newBuilder[MedOut]
+          it.toSeq.sortBy(_.day.toString).foreach { p =>
+            window = (window :+ (p.day.toString, p.y)).takeRight(7)
+            if (window.length == 7) {
+              val (midDay, midY) = window(3)
+              out += MedOut(key, java.sql.Date.valueOf(midDay), midY,
+                window.map(_._2).sorted.apply(3))
+            }
+          }
+          state.update(window)
+          out.result().iterator
+      }
+  }
+
   /** File-source stream over a directory of parquet events with the
     * given schema — at scale this is the bridge from a landing zone
     * (object store prefix) into the incremental queries above.
