@@ -1178,6 +1178,107 @@ object EventQueries {
       FROM grid g JOIN tot t ON g.entry_type = t.entry_type
       ORDER BY g.entry_type, g.exit_type"""))
 
+  // --------------------------------------------------------------- q235
+
+  /** q235 — point-in-time-correct training-set assembly for churn
+    * prediction: per user, features computed ONLY from events strictly
+    * before the cutoff (activity counts in trailing 7/30-day windows,
+    * recency, purchase value mass) and a purchases-in-the-next-3-days label (short enough that both classes exist at every test scale) — the feature-store discipline that makes a supervised table
+    * leakage-free by construction (every feature timestamp < cutoff ≤
+    * every label timestamp; no row mixes the two).
+    *
+    * Scale: one filtered groupBy(user) for features (conditional
+    * aggregates, map-side partials), one for labels, one left join on
+    * user. The cutoff (min + 3·span div 5) comes from a broadcast
+    * 1-row aggregate. All integer arithmetic.
+    */
+  val q235 = Q("q235_churn_features",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("ts").cast("long").as("_sec"))
+      val cut = ev.agg(min("_sec").as("_lo"), max("_sec").as("_hi"))
+        .select(expr("_lo + 3 * (_hi - _lo) div 5").as("_cut"))
+      val tagged = ev.crossJoin(broadcast(cut))
+      val feats = tagged.filter(col("_sec") < col("_cut"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("_sec") >= col("_cut") - 7L * 86400, 1L).otherwise(0L)).as("n_7d"),
+          sum(when(col("_sec") >= col("_cut") - 30L * 86400, 1L).otherwise(0L)).as("n_30d"),
+          sum(when(col("event_type") === "purchase",
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("purchase_cents"),
+          max("_sec").as("_last"))
+      val labels = tagged
+        .filter(col("event_type") === "purchase" &&
+          col("_sec") >= col("_cut") && col("_sec") < col("_cut") + 3L * 86400)
+        .select("user_id").distinct().withColumn("label", lit(1L))
+      feats.crossJoin(broadcast(cut))
+        .withColumn("recency_h", expr("(_cut - _last) div 3600"))
+        .join(labels, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_7d"), col("n_30d"), col("purchase_cents"),
+          col("recency_h"), coalesce(col("label"), lit(0L)).as("label"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, value,
+                        epoch_us(ts) // 1000000 AS sec FROM events),
+      cut AS (SELECT min(sec) + 3 * (max(sec) - min(sec)) // 5 AS cut FROM e),
+      f AS (SELECT user_id,
+                   CAST(sum(CASE WHEN sec >= cut - 7 * 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+                   CAST(sum(CASE WHEN sec >= cut - 30 * 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_30d,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+                     AS purchase_cents,
+                   (cut - max(sec)) // 3600 AS recency_h
+            FROM e, cut WHERE sec < cut GROUP BY user_id, cut),
+      l AS (SELECT DISTINCT user_id FROM e, cut
+            WHERE event_type = 'purchase'
+              AND sec >= cut AND sec < cut + 3 * 86400)
+      SELECT f.user_id, f.n_7d, f.n_30d, f.purchase_cents, f.recency_h,
+             CAST(CASE WHEN l.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS label
+      FROM f LEFT JOIN l ON f.user_id = l.user_id
+      ORDER BY f.user_id"""))
+
+  // --------------------------------------------------------------- q236
+
+  /** q236 — skip-gram journey patterns: (a, *, b) pairs — event types
+    * two steps apart, one arbitrary step between — per user journey,
+    * top-20 by support with the contiguous-pair baseline riding
+    * along. Non-contiguous patterns are what separate sequential
+    * pattern mining from q208's adjacency: "view … purchase with ONE
+    * detour" survives noise a strict bigram misses.
+    *
+    * One lead(2) window on the same user-keyed sort as q208/q219
+    * (shared shuffle shape), ≤|types|² rollup, TakeOrderedAndProject
+    * top-20 with a total tie-break.
+    */
+  val q236 = Q("q236_skipgram_patterns",
+    (s, dir) => {
+      val wu = Window.partitionBy("user_id").orderBy(col("_sec").asc, col("event_id").asc)
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("_sec"))
+        .withColumn("_skip", lead(col("event_type"), 2).over(wu))
+        .filter(col("_skip").isNotNull)
+        .groupBy(col("event_type").as("a"), col("_skip").as("b"))
+        .agg(count(lit(1)).as("support"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy(col("support").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(ts) // 1000000 AS sec FROM events),
+      sg AS (SELECT user_id, event_type AS a,
+                    lead(event_type, 2) OVER (PARTITION BY user_id
+                      ORDER BY sec ASC, event_id ASC) AS b
+             FROM e),
+      g AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM sg WHERE b IS NOT NULL GROUP BY 1, 2)
+      SELECT a, b, support, n_users
+      FROM g ORDER BY support DESC, a, b LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201, q205,
-    q206, q208, q212, q213, q215, q219, q220, q227, q228, q229, q233)
+    q206, q208, q212, q213, q215, q219, q220, q227, q228, q229, q233, q235, q236)
 }

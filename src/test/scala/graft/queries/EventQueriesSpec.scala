@@ -337,6 +337,54 @@ class EventQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q235: features use only pre-cutoff events; labels only post-cutoff") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts").cast("long").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val lo = ev.map(_._4).min; val hi = ev.map(_._4).max
+    val cut = lo + 3 * (hi - lo) / 5
+    val expected = ev.filter(_._4 < cut).groupBy(_._1).toSeq.map { case (u, rows) =>
+      val n7 = rows.count(_._4 >= cut - 7 * 86400).toLong
+      val n30 = rows.count(_._4 >= cut - 30 * 86400).toLong
+      val pc = rows.filter(_._2 == "purchase")
+        .map(r => BigDecimal(r._3 * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      val rec = (cut - rows.map(_._4).max) / 3600
+      val label = if (ev.exists(e => e._1 == u && e._2 == "purchase" &&
+        e._4 >= cut && e._4 < cut + 3 * 86400)) 1L else 0L
+      (u, n7, n30, pc, rec, label)
+    }.sortBy(_._1)
+    val actual = EventQueries.q235.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(actual == expected)
+    // leakage guard: both label classes must occur, and every feature
+    // row must belong to a user seen before the cutoff
+    assert(actual.exists(_._6 == 1L) && actual.exists(_._6 == 0L))
+    val preUsers = ev.filter(_._4 < cut).map(_._1).toSet
+    actual.foreach(r => assert(preUsers.contains(r._1)))
+  }
+
+  test("q236: skip-gram supports equal brute-force two-apart counting") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val sup = collection.mutable.Map.empty[(String, String), (Long, Set[Long])]
+    ev.groupBy(_._1).foreach { case (uid, rows) =>
+      val s = rows.sortBy(r => (r._4, r._2)).map(_._3)
+      s.zip(s.drop(2)).foreach { p =>
+        val (c, us) = sup.getOrElse(p, (0L, Set.empty[Long]))
+        sup(p) = (c + 1, us + uid)
+      }
+    }
+    val expected = sup.toSeq.map { case ((a, b), (c, us)) => (a, b, c, us.size.toLong) }
+      .sortBy(t => (-t._3, t._1, t._2)).take(20)
+    val actual = EventQueries.q236.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(actual == expected)
+  }
+
   test("q208: transition matrix equals brute-force consecutive-pair counts") {
     val ev = graft.Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
