@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, CorpusQueries, DataQueries, EventQueries, ExtQueries, Q, ScaleQueries, StatQueries, TrainQueries}
+import graft.queries.{CoreQueries, CorpusQueries, DataQueries, EventQueries, ExtQueries, InferQueries, Q, ScaleQueries, StatQueries, TrainQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ object SparkEntry {
   /** Every declared query, in stable order. */
   def allQueries: Seq[Q] =
     CoreQueries.all ++ DataQueries.all ++ EventQueries.all ++ CorpusQueries.all ++
-      TrainQueries.all ++ ScaleQueries.all ++ StatQueries.all ++ ExtQueries.all
+      TrainQueries.all ++ ScaleQueries.all ++ StatQueries.all ++ ExtQueries.all ++
+      InferQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

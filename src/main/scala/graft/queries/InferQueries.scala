@@ -1,0 +1,612 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Round-8 batch 1 — classical statistical inference at scale: the
+  * hypothesis-test family (rank-sum, Welch, ANOVA, Brown-Forsythe,
+  * log-rank), robust trend estimation (Theil-Sen), inter-rater
+  * agreement (Cohen's kappa) and distribution distance
+  * (Jensen-Shannon). These are the tests every data-quality /
+  * experimentation platform runs over aggregates; each is expressed
+  * as exact integer/DECIMAL moments plus a final, single-evaluation
+  * double formula, so the answer is independent of partition count
+  * and reduction order — the module family's determinism policy
+  * (CoreQueries scaladoc).
+  *
+  * Scale shapes: every test reduces the corpus with linear grouped
+  * passes; pairwise work (Theil-Sen) fans out only within a bounded
+  * per-group grid; the only partition-less windows are over
+  * distinct-value tables bounded by construction (and registered in
+  * PlanSpec's global-window whitelist).
+  */
+object InferQueries {
+
+  private val duckTokens = "string_split_regex(trim(text), '\\s+')"
+
+  /** md5-derived 60-bit hash (mirrors Hashing.hash64 / MinhashKernel). */
+  private def duckHash64(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  // --------------------------------------------------------------- q237
+
+  /** q237 — Mann-Whitney U rank-sum test: is `l_quantity` of returned
+    * lineitems ('R') stochastically larger than accepted ones ('A')?
+    * The non-parametric two-sample test of choice when the metric is
+    * ordinal or heavy-tailed (where q238's t-test loses power).
+    *
+    * No row is ever ranked individually: quantities are small
+    * integers, so average ranks come from the ≤50-row distinct-value
+    * grid (rank(v) = count_below + (c+1)/2, doubled to stay integral
+    * — the q149 recipe), and the rank-sum is Σ c₁(v)·2r(v) — one
+    * grouped pass plus a 50-row window. The tie-corrected normal
+    * approximation σ² = (n₁n₂/12)·((N+1) − Σ(t³−t)/(N(N−1))) uses
+    * Σ(t³−t) accumulated exactly as longs.
+    */
+  val q237 = Q("q237_mann_whitney",
+    (s, dir) => {
+      val b = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_quantity").cast("long").as("v"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("g1"))
+      val grid = b.groupBy("v")
+        .agg(sum("g1").as("c1"), count(lit(1)).as("c"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val m = grid
+        .withColumn("_cb", coalesce(sum("c").over(w), lit(0L)))
+        .groupBy()
+        .agg(sum("c1").as("n1"), sum(col("c") - col("c1")).as("n2"),
+          sum(col("c1") * (lit(2) * col("_cb") + col("c") + 1)).as("r1d"),
+          sum(col("c") * col("c") * col("c") - col("c")).as("tie"))
+      val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+      val nn = (col("n1") + col("n2")).cast("double")
+      val sigma = sqrt(n1 * n2 / 12.0
+        * (nn + 1.0 - col("tie").cast("double") / (nn * (nn - 1.0))))
+      m.select(col("n1"), col("n2"),
+        ((col("r1d") - col("n1") * (col("n1") + 1)).cast("double") / 2.0).as("u1"),
+        round(((col("r1d") - col("n1") * (col("n1") + 1)).cast("double")
+          - n1 * n2) / (lit(2.0) * sigma), 6).as("z"))
+    },
+    Some("""
+      WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+                        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1
+                 FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      grid AS (SELECT v, CAST(sum(g1) AS BIGINT) AS c1,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM b GROUP BY v),
+      cb AS (SELECT v, c1, c,
+                    coalesce(sum(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             FROM grid),
+      m AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c - c1) AS BIGINT) AS n2,
+                   CAST(sum(c1 * (2 * cb + c + 1)) AS BIGINT) AS r1d,
+                   CAST(sum(c * c * c - c) AS BIGINT) AS tie
+            FROM cb)
+      SELECT n1, n2,
+             CAST(r1d - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+             round((CAST(r1d - n1 * (n1 + 1) AS DOUBLE)
+                    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                   / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                       * (CAST(n1 + n2 AS DOUBLE) + 1.0
+                          - CAST(tie AS DOUBLE)
+                            / (CAST(n1 + n2 AS DOUBLE)
+                               * (CAST(n1 + n2 AS DOUBLE) - 1.0))))), 6) AS z
+      FROM m"""))
+
+  // --------------------------------------------------------------- q238
+
+  /** q238 — Welch's unequal-variance t-test: do urgent orders
+    * ('1-URGENT') carry a different mean value than low-priority ones
+    * ('5-LOW')? The default two-sample mean test (pooled-variance
+    * Student's t is wrong whenever group variances differ, which in
+    * real data is always), with Welch–Satterthwaite degrees of
+    * freedom.
+    *
+    * One grouped pass collects n/Σx/Σx² per group as exact
+    * DECIMAL(38,0) over integer cents; means, sample variances, t and
+    * df are then single-evaluation double formulas spelled in the
+    * same operation order on both engines.
+    */
+  val q238 = Q("q238_welch_ttest",
+    (s, dir) => {
+      val b = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(2).as("g"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("ct"))
+      val g = b.groupBy("g").agg(
+        count(lit(1)).as("n"),
+        sum(col("ct").cast(DecimalType(38, 0))).as("s"),
+        sum(col("ct").cast(DecimalType(19, 0)) * col("ct").cast(DecimalType(19, 0))).as("ss"))
+      def m(i: Int, c: String) = max(when(col("g") === i, col(c)))
+      val agg = g.groupBy().agg(
+        m(1, "n").as("n1"), m(1, "s").as("s1"), m(1, "ss").as("ss1"),
+        m(2, "n").as("n2"), m(2, "s").as("s2"), m(2, "ss").as("ss2"))
+      val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+      val mean1 = col("s1").cast("double") / n1
+      val mean2 = col("s2").cast("double") / n2
+      val v1 = (col("ss1").cast("double") - col("s1").cast("double") * col("s1").cast("double") / n1) / (n1 - 1.0)
+      val v2 = (col("ss2").cast("double") - col("s2").cast("double") * col("s2").cast("double") / n2) / (n2 - 1.0)
+      val se1 = v1 / n1; val se2 = v2 / n2
+      agg.select(col("n1"), col("n2"),
+        round(mean1, 6).as("mean1_cents"), round(mean2, 6).as("mean2_cents"),
+        round((mean1 - mean2) / sqrt(se1 + se2), 6).as("t_welch"),
+        round((se1 + se2) * (se1 + se2)
+          / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0)), 6).as("df"))
+    },
+    Some("""
+      WITH b AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS ct
+                 FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      gr AS (SELECT g, count(*) AS n,
+                    sum(CAST(ct AS DECIMAL(38,0))) AS s,
+                    sum(CAST(ct AS DECIMAL(19,0)) * CAST(ct AS DECIMAL(19,0))) AS ss
+             FROM b GROUP BY g),
+      a AS (SELECT max(CASE WHEN g = 1 THEN n END) AS n1,
+                   max(CASE WHEN g = 1 THEN s END) AS s1,
+                   max(CASE WHEN g = 1 THEN ss END) AS ss1,
+                   max(CASE WHEN g = 2 THEN n END) AS n2,
+                   max(CASE WHEN g = 2 THEN s END) AS s2,
+                   max(CASE WHEN g = 2 THEN ss END) AS ss2
+            FROM gr)
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS mean1_cents,
+             round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS mean2_cents,
+             round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   / sqrt((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+                        + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE)), 6) AS t_welch,
+             round(((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+                    + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE))
+                   * ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+                    + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE))
+                   / ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+                      * ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE))
+                      / (CAST(n1 AS DOUBLE) - 1.0)
+                    + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE)
+                      * ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE))
+                      / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS df
+      FROM a"""))
+
+  // --------------------------------------------------------------- q239
+
+  /** q239 — one-way ANOVA F across the three `l_returnflag` groups on
+    * `l_extendedprice`: between/within sum-of-squares from per-group
+    * exact moments — the k-sample generalization of q238 and the
+    * gatekeeper test before any per-group drill-down.
+    *
+    * SSB = Σ s_g²/n_g − S²/N and SSW = Σ ss_g − Σ s_g²/n_g come from
+    * one grouped pass (3 rows) + one 3-row reduce; integer cents in
+    * DECIMAL(38,0) until the final doubles.
+    */
+  val q239 = Q("q239_anova_f",
+    (s, dir) => {
+      val g = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("ct"))
+        .groupBy("g").agg(
+          count(lit(1)).as("n"),
+          sum(col("ct").cast(DecimalType(38, 0))).as("s"),
+          sum(col("ct").cast(DecimalType(19, 0)) * col("ct").cast(DecimalType(19, 0))).as("ss"))
+      // The k-row reduce never sums raw doubles: Σx² stays DECIMAL and
+      // Σ(s_g²/n_g) is quantized per group to a 1e6-unit long (values
+      // ~1e21 exceed long at unit scale), so both cross-group sums are
+      // exact in any reduction order.
+      val a = g.select(col("n"), col("s"), col("ss"),
+          expr("CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6) AS BIGINT)").as("sq_n_m"))
+        .groupBy().agg(
+          count(lit(1)).as("k"), sum("n").as("n_total"),
+          sum(col("s")).as("s_all"), sum(col("ss")).as("ss_all"),
+          sum("sq_n_m").as("sqn_m"))
+      val sqn = col("sqn_m").cast("double") * 1e6
+      val ssb = sqn - col("s_all").cast("double") * col("s_all").cast("double") / col("n_total").cast("double")
+      val ssw = col("ss_all").cast("double") - sqn
+      a.select(col("k"), col("n_total"),
+        round(ssb / (col("k").cast("double") - 1.0)
+          / (ssw / (col("n_total").cast("double") - col("k").cast("double"))), 6).as("f_stat"))
+    },
+    Some("""
+      WITH g AS (SELECT l_returnflag AS g, count(*) AS n,
+                        sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS s,
+                        sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(19,0))
+                            * CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(19,0))) AS ss
+                 FROM lineitem GROUP BY 1),
+      a AS (SELECT count(*) AS k, sum(n) AS n_total, sum(s) AS s_all,
+                   sum(ss) AS ss_all,
+                   sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE) / 1e6) AS BIGINT)) AS sqn_m
+            FROM g)
+      SELECT CAST(k AS BIGINT) AS k, CAST(n_total AS BIGINT) AS n_total,
+             round((CAST(sqn_m AS DOUBLE) * 1e6
+                      - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n_total AS DOUBLE))
+                     / (CAST(k AS DOUBLE) - 1.0)
+                   / ((CAST(ss_all AS DOUBLE) - CAST(sqn_m AS DOUBLE) * 1e6)
+                      / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat
+      FROM a"""))
+
+  // --------------------------------------------------------------- q240
+
+  /** q240 — Brown-Forsythe test (Levene with medians): do the five
+    * order-priority groups have equal spread in `o_totalprice`? ANOVA
+    * on |x − group-median| — the robust variance-homogeneity check
+    * run before trusting any pooled-variance analysis, immune to the
+    * heavy tails that break classic Levene-with-means.
+    *
+    * Group medians are exact lower-medians off the per-group
+    * distinct-value CDF (windows PARTITIONED BY GROUP over each
+    * group's distinct cents — never corpus-global); deviations are
+    * integers, so the second-pass ANOVA reuses q239's exact-moment
+    * recipe unchanged.
+    */
+  val q240 = Q("q240_brown_forsythe",
+    (s, dir) => {
+      val b = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("ct"))
+      val wg = Window.partitionBy("g").orderBy("ct")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = b.groupBy("g", "ct").agg(count(lit(1)).as("c"))
+        .withColumn("_cum", sum("c").over(wg))
+        .withColumn("_n", sum("c").over(Window.partitionBy("g")))
+        .groupBy("g")
+        .agg(min(when(lit(2) * col("_cum") >= col("_n"), col("ct"))).as("med"))
+      val dev = b.join(broadcast(med), Seq("g"))
+        .select(col("g"), abs(col("ct") - col("med")).as("d"))
+      val g = dev.groupBy("g").agg(
+        count(lit(1)).as("n"),
+        sum(col("d").cast(DecimalType(38, 0))).as("s"),
+        sum(col("d").cast(DecimalType(19, 0)) * col("d").cast(DecimalType(19, 0))).as("ss"))
+      // Same exact-reduce discipline as q239: DECIMAL Σd² and 1e6-unit
+      // quantized Σ(s_g²/n_g) — no cross-group double accumulation.
+      val a = g.select(col("n"), col("s"), col("ss"),
+          expr("CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6) AS BIGINT)").as("sq_n_m"))
+        .groupBy().agg(
+          count(lit(1)).as("k"), sum("n").as("n_total"),
+          sum(col("s")).as("s_all"), sum(col("ss")).as("ss_all"),
+          sum("sq_n_m").as("sqn_m"))
+      val sqn = col("sqn_m").cast("double") * 1e6
+      val ssb = sqn - col("s_all").cast("double") * col("s_all").cast("double") / col("n_total").cast("double")
+      val ssw = col("ss_all").cast("double") - sqn
+      a.select(col("k"), col("n_total"),
+        round(ssb / (col("k").cast("double") - 1.0)
+          / (ssw / (col("n_total").cast("double") - col("k").cast("double"))), 6).as("f_bf"))
+    },
+    Some("""
+      WITH b AS (SELECT o_orderpriority AS g,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS ct
+                 FROM orders),
+      grid AS (SELECT g, ct, count(*) AS c FROM b GROUP BY 1, 2),
+      cdf AS (SELECT g, ct, c,
+                     sum(c) OVER (PARTITION BY g ORDER BY ct
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(c) OVER (PARTITION BY g) AS n
+              FROM grid),
+      med AS (SELECT g, min(CASE WHEN 2 * cum >= n THEN ct END) AS med
+              FROM cdf GROUP BY g),
+      dev AS (SELECT b.g, abs(b.ct - med.med) AS d
+              FROM b JOIN med ON b.g = med.g),
+      g2 AS (SELECT g, count(*) AS n,
+                    sum(CAST(d AS DECIMAL(38,0))) AS s,
+                    sum(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS ss
+             FROM dev GROUP BY g),
+      a AS (SELECT count(*) AS k, sum(n) AS n_total, sum(s) AS s_all,
+                   sum(ss) AS ss_all,
+                   sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE) / 1e6) AS BIGINT)) AS sqn_m
+            FROM g2)
+      SELECT CAST(k AS BIGINT) AS k, CAST(n_total AS BIGINT) AS n_total,
+             round((CAST(sqn_m AS DOUBLE) * 1e6
+                      - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n_total AS DOUBLE))
+                     / (CAST(k AS DOUBLE) - 1.0)
+                   / ((CAST(ss_all AS DOUBLE) - CAST(sqn_m AS DOUBLE) * 1e6)
+                      / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_bf
+      FROM a"""))
+
+  // --------------------------------------------------------------- q241
+
+  /** q241 — Theil-Sen robust trend per nation: the (lower-)median of
+    * all pairwise slopes of the monthly revenue series — the slope
+    * estimator that shrugs off the outlier months OLS (q127) chases
+    * (29% breakdown point).
+    *
+    * Pair fan-out is bounded by construction: the series is first
+    * reduced to ≤|months| (~80) exact-cents points per nation, so the
+    * equi-join on nation expands to ≤ m(m−1)/2 ≈ 3.2k slope pairs per
+    * nation — never row-level pairs. Each slope Δy/Δx is a single
+    * IEEE division of exact integers (bit-identical on both engines);
+    * the median picks rank ⌈p/2⌉ through a window PARTITIONED BY
+    * NATION.
+    */
+  val q241 = Q("q241_theil_sen",
+    (s, dir) => {
+      val monthly = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("m"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+      val a = monthly.select(col("nation"), col("m").as("m1"), col("y").as("y1"))
+      val b = monthly.select(col("nation"), col("m").as("m2"), col("y").as("y2"))
+      val pairs = a.join(broadcast(b), Seq("nation")).filter(col("m1") < col("m2"))
+        .select(col("nation"),
+          ((col("y2") - col("y1")).cast("double")
+            / (col("m2") - col("m1")).cast("double")).as("slope"))
+      val wn = Window.partitionBy("nation").orderBy("slope")
+      pairs
+        .withColumn("_rn", row_number().over(wn))
+        .withColumn("_np", count(lit(1)).over(Window.partitionBy("nation")))
+        .filter(expr("_rn = (_np + 1) div 2"))
+        .select(col("nation"), col("_np").as("n_pairs"),
+          round(col("slope"), 6).as("sen_slope_cents_per_month"))
+        .orderBy("nation")
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT n_name AS nation,
+               (CAST(year(o_orderdate) AS BIGINT) - 1995) * 12
+                 + CAST(month(o_orderdate) AS BIGINT) - 1 AS m,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      pairs AS (SELECT a.nation,
+                       CAST(b.y - a.y AS DOUBLE) / CAST(b.m - a.m AS DOUBLE) AS slope
+                FROM monthly a JOIN monthly b
+                  ON a.nation = b.nation AND a.m < b.m),
+      r AS (SELECT nation, slope,
+                   row_number() OVER (PARTITION BY nation ORDER BY slope) AS rn,
+                   count(*) OVER (PARTITION BY nation) AS np
+            FROM pairs)
+      SELECT nation, CAST(np AS BIGINT) AS n_pairs,
+             round(slope, 6) AS sen_slope_cents_per_month
+      FROM r WHERE rn = (np + 1) // 2
+      ORDER BY nation"""))
+
+  // --------------------------------------------------------------- q242
+
+  /** q242 — log-rank test: do users acquired via 'click' churn at a
+    * different rate than users acquired via 'view'? The standard
+    * censoring-aware comparison of two survival curves (the test
+    * behind every retention A/B readout), over q211's lifetime
+    * derivation: duration = first→last activity hours, censored if
+    * still active in the final 48 h.
+    *
+    * At each distinct death time the hypergeometric term
+    * E₁ = d·n₁/N and V = d·(n₁/N)(n₂/N)(N−d)/(N−1) is quantized to a
+    * 1e6 long from exact integer at-risk counts, then summed exactly
+    * — order-independent, and the χ² is one final double. The event
+    * grid is ≤720 rows (hours in the 30-day window), so its
+    * partition-less cumulative window is bounded by construction
+    * (PlanSpec-whitelisted).
+    */
+  val q242 = Q("q242_logrank",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("_sec"))
+      val wu = Window.partitionBy("user_id").orderBy(col("_sec").asc, col("event_id").asc)
+      val users = ev
+        .withColumn("_rn", row_number().over(wu))
+        .groupBy("user_id")
+        .agg(min("_sec").as("first_sec"), max("_sec").as("last_sec"),
+          max(when(col("_rn") === 1, col("event_type"))).as("cohort"))
+        .filter(col("cohort").isin("click", "view"))
+      val wmax = ev.agg(max("_sec").as("_wmax"))
+      val lives = users.crossJoin(broadcast(wmax))
+        .select(when(col("cohort") === "click", 1L).otherwise(0L).as("g1"),
+          expr("(last_sec - first_sec) div 3600").as("dur_h"),
+          when(col("last_sec") < col("_wmax") - 48L * 3600, 1L).otherwise(0L).as("died"))
+      val grid = lives.groupBy("dur_h").agg(
+        sum("g1").as("a1"), sum(lit(1) - col("g1")).as("a2"),
+        sum(col("g1") * col("died")).as("d1"),
+        sum((lit(1) - col("g1")) * col("died")).as("d2"))
+      val wt = Window.orderBy("dur_h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val terms = grid
+        .withColumn("r1", sum("a1").over(wt))
+        .withColumn("r2", sum("a2").over(wt))
+        .filter(col("d1") + col("d2") > 0)
+        .select(col("d1"),
+          expr("""CAST(round(1e6 * CAST((d1 + d2) * r1 AS DOUBLE)
+                  / CAST(r1 + r2 AS DOUBLE)) AS BIGINT)""").as("e1u"),
+          expr("""CASE WHEN r1 + r2 < 2 THEN 0 ELSE
+                  CAST(round(1e6 * CAST((d1 + d2) * r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE)
+                       * (CAST(r2 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
+                       * (CAST(r1 + r2 - d1 - d2 AS DOUBLE) / CAST(r1 + r2 - 1 AS DOUBLE)))
+                    AS BIGINT) END""").as("vu"))
+      terms.groupBy().agg(
+          sum("d1").as("o1"), sum("e1u").as("_e1u"), sum("vu").as("_vu"))
+        .select(col("o1"),
+          round(col("_e1u").cast("double") / 1e6, 6).as("e1"),
+          round(pow(col("o1").cast("double") - col("_e1u").cast("double") / 1e6, 2)
+            / (col("_vu").cast("double") / 1e6), 6).as("chi2_logrank"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(ts) // 1000000 AS sec FROM events),
+      fe AS (SELECT user_id, event_type,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY sec ASC, event_id ASC) AS rn
+             FROM e),
+      u AS (SELECT e.user_id, min(sec) AS first_sec, max(sec) AS last_sec
+            FROM e GROUP BY 1),
+      uc AS (SELECT u.user_id, u.first_sec, u.last_sec, fe.event_type AS cohort
+             FROM u JOIN fe ON u.user_id = fe.user_id AND fe.rn = 1
+             WHERE fe.event_type IN ('click', 'view')),
+      wm AS (SELECT max(sec) AS wmax FROM e),
+      lives AS (SELECT CASE WHEN cohort = 'click' THEN 1 ELSE 0 END AS g1,
+                       (last_sec - first_sec) // 3600 AS dur_h,
+                       CASE WHEN last_sec < wm.wmax - 48 * 3600 THEN 1 ELSE 0 END AS died
+                FROM uc, wm),
+      grid AS (SELECT dur_h,
+                      CAST(sum(g1) AS BIGINT) AS a1,
+                      CAST(sum(1 - g1) AS BIGINT) AS a2,
+                      CAST(sum(g1 * died) AS BIGINT) AS d1,
+                      CAST(sum((1 - g1) * died) AS BIGINT) AS d2
+               FROM lives GROUP BY 1),
+      risk AS (SELECT *,
+                      sum(a1) OVER (ORDER BY dur_h
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS r1,
+                      sum(a2) OVER (ORDER BY dur_h
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS r2
+               FROM grid),
+      terms AS (SELECT d1,
+                       CAST(round(1e6 * CAST((d1 + d2) * r1 AS DOUBLE)
+                            / CAST(r1 + r2 AS DOUBLE)) AS BIGINT) AS e1u,
+                       CASE WHEN r1 + r2 < 2 THEN 0 ELSE
+                         CAST(round(1e6 * CAST((d1 + d2) * r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE)
+                              * (CAST(r2 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
+                              * (CAST(r1 + r2 - d1 - d2 AS DOUBLE) / CAST(r1 + r2 - 1 AS DOUBLE)))
+                           AS BIGINT) END AS vu
+                FROM risk WHERE d1 + d2 > 0),
+      m AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+                   CAST(sum(e1u) AS BIGINT) AS e1u,
+                   CAST(sum(vu) AS BIGINT) AS vu
+            FROM terms)
+      SELECT o1, round(CAST(e1u AS DOUBLE) / 1e6, 6) AS e1,
+             round(pow(CAST(o1 AS DOUBLE) - CAST(e1u AS DOUBLE) / 1e6, 2)
+                   / (CAST(vu AS DOUBLE) / 1e6), 6) AS chi2_logrank
+      FROM m"""))
+
+  // --------------------------------------------------------------- q243
+
+  /** q243 — Cohen's kappa between two deterministic document raters
+    * (rater A: length ≥ 300 chars; rater B: ≥ 50 whitespace tokens):
+    * chance-corrected agreement — the metric that exposes how much of
+    * two quality filters' raw agreement is just marginal-rate
+    * coincidence, the first diagnostic before ensembling labelers or
+    * auto-raters.
+    *
+    * One linear pass builds the 2×2 contingency as four conditional
+    * counts; po, pe, κ are single-evaluation doubles from longs.
+    */
+  val q243 = Q("q243_cohens_kappa",
+    (s, dir) => {
+      val r = Tables.load(s, dir, "documents")
+        .select(when(col("n_chars") >= 300, 1L).otherwise(0L).as("a"),
+          when(size(split(trim(col("text")), "\\s+")) >= 50, 1L).otherwise(0L).as("b"))
+      val m = r.groupBy().agg(
+        count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1) - col("b"))).as("n10"),
+        sum((lit(1) - col("a")) * col("b")).as("n01"),
+        sum((lit(1) - col("a")) * (lit(1) - col("b"))).as("n00"))
+      val nd = col("n").cast("double")
+      val po = (col("n11") + col("n00")).cast("double") / nd
+      val pe = ((col("n11") + col("n10")).cast("double") * (col("n11") + col("n01")).cast("double")
+        + (col("n01") + col("n00")).cast("double") * (col("n10") + col("n00")).cast("double")) / (nd * nd)
+      m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    },
+    Some(s"""
+      WITH r AS (SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+                        CASE WHEN len($duckTokens) >= 50
+                             THEN 1 ELSE 0 END AS b
+                 FROM documents),
+      m AS (SELECT count(*) AS n,
+                   CAST(sum(a * b) AS BIGINT) AS n11,
+                   CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+                   CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+                   CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+            FROM r)
+      SELECT n, n11, n10, n01, n00,
+             round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+             round((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                    + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+             round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                       + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   / (1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                             + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa
+      FROM m"""))
+
+  // --------------------------------------------------------------- q244
+
+  /** q244 — Jensen-Shannon divergence between the unigram
+    * distributions of two corpus sources (src0 vs src1): the
+    * symmetric, bounded distribution distance used for domain-shift
+    * scoring and mixture tuning where q111's PSI (binned, asymmetric
+    * conventions) is too blunt. JSD = ½KL(P‖M) + ½KL(Q‖M),
+    * M = (P+Q)/2.
+    *
+    * Token streams reduce to 8-byte hashes via the compiled shingle
+    * kernel (shuffle ∝ token count, never strings); one (hash) group
+    * holds both sources' counts; each present-side log-ratio
+    * ln(2·c_p·N_q / (c_p·N_q + c_q·N_p)) — integer arguments, exact
+    * in double — is quantized to a 1e9 long and weighted by its count,
+    * so both partial sums are exact longs in any reduction order.
+    */
+  val q244 = Q("q244_js_divergence",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val tok = Tables.load(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(when(col("source") === "src0", 1L).otherwise(0L).as("p"),
+          explode(call_function("graft_shingle_hash_list", col("text"), lit(1))).as("uh"))
+      val grid = tok.groupBy("uh").agg(
+        sum("p").as("cp"), sum(lit(1) - col("p")).as("cq"))
+      val tot = grid.groupBy().agg(
+        sum("cp").as("np"), sum("cq").as("nq"), count(lit(1)).as("n_distinct"))
+      val t = grid.crossJoin(broadcast(tot))
+        .select(col("np"), col("nq"), col("n_distinct"),
+          when(col("cp") > 0, col("cp")
+            * expr("""CAST(round(ln(2.0 * CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)
+                      / (CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)
+                         + CAST(cq AS DOUBLE) * CAST(np AS DOUBLE))) * 1e9) AS BIGINT)"""))
+            .otherwise(0L).as("tp"),
+          when(col("cq") > 0, col("cq")
+            * expr("""CAST(round(ln(2.0 * CAST(cq AS DOUBLE) * CAST(np AS DOUBLE)
+                      / (CAST(cq AS DOUBLE) * CAST(np AS DOUBLE)
+                         + CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE))) * 1e9) AS BIGINT)"""))
+            .otherwise(0L).as("tq"))
+      t.groupBy(col("np"), col("nq"), col("n_distinct"))
+        .agg(sum("tp").as("_sp"), sum("tq").as("_sq"))
+        .select(col("np").as("n_tokens_p"), col("nq").as("n_tokens_q"),
+          col("n_distinct"),
+          round((col("_sp").cast("double") / col("np").cast("double")
+            + col("_sq").cast("double") / col("nq").cast("double")) / 2.0 / 1e9, 6)
+            .as("jsd_nats"))
+    },
+    Some(s"""
+      WITH t AS (SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS p,
+                        $duckTokens AS w
+                 FROM documents WHERE source IN ('src0', 'src1')),
+      tok AS (SELECT p,
+                unnest(list_transform(range(1, len(w)+1),
+                  i -> ${duckHash64("w[i]")} & ${Dedup.MinhashP})) AS uh
+              FROM t),
+      grid AS (SELECT uh, CAST(sum(p) AS BIGINT) AS cp,
+                      CAST(sum(1 - p) AS BIGINT) AS cq
+               FROM tok GROUP BY 1),
+      tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+                     CAST(sum(cq) AS BIGINT) AS nq,
+                     count(*) AS n_distinct FROM grid),
+      terms AS (SELECT np, nq, n_distinct,
+                       CASE WHEN cp > 0 THEN cp
+                         * CAST(round(ln(2.0 * CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)
+                               / (CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)
+                                  + CAST(cq AS DOUBLE) * CAST(np AS DOUBLE))) * 1e9) AS BIGINT)
+                         ELSE 0 END AS tp,
+                       CASE WHEN cq > 0 THEN cq
+                         * CAST(round(ln(2.0 * CAST(cq AS DOUBLE) * CAST(np AS DOUBLE)
+                               / (CAST(cq AS DOUBLE) * CAST(np AS DOUBLE)
+                                  + CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE))) * 1e9) AS BIGINT)
+                         ELSE 0 END AS tq
+                FROM grid, tot)
+      SELECT np AS n_tokens_p, nq AS n_tokens_q, n_distinct,
+             round((CAST(sum(tp) AS DOUBLE) / CAST(np AS DOUBLE)
+                    + CAST(sum(tq) AS DOUBLE) / CAST(nq AS DOUBLE)) / 2.0 / 1e9, 6)
+               AS jsd_nats
+      FROM terms GROUP BY np, nq, n_distinct"""))
+
+  val all: Seq[Q] = Seq(q237, q238, q239, q240, q241, q242, q243, q244)
+}

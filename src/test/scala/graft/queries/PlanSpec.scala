@@ -250,7 +250,9 @@ class PlanSpec extends SparkSpec {
       "q149_spearman",          // rank offsets over the bounded distinct-value tables
       "q184_token_budget",      // Hamilton apportionment over the ≤ |sources| rollup
       "q204_hybrid_fusion",     // fused rank over two bounded top-200 shortlists (q146's shape)
-      "q224_zipf_slope")        // ln(rank) over the bounded top-1000 term shortlist
+      "q224_zipf_slope",        // ln(rank) over the bounded top-1000 term shortlist
+      "q237_mann_whitney",      // rank offsets over the ≤50-row distinct-quantity grid
+      "q242_logrank")           // at-risk cumsum over the ≤720-row duration-hour grid
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.optimizedPlan
