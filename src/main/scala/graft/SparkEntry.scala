@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, CorpusQueries, DataQueries, EventQueries, ExtQueries, InferQueries, Q, ScaleQueries, StatQueries, TrainQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CorpusQueries, DataQueries, EventQueries, ExtQueries, InferQueries, Q, ScaleQueries, StatQueries, TrainQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     CoreQueries.all ++ DataQueries.all ++ EventQueries.all ++ CorpusQueries.all ++
       TrainQueries.all ++ ScaleQueries.all ++ StatQueries.all ++ ExtQueries.all ++
-      InferQueries.all
+      InferQueries.all ++ AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

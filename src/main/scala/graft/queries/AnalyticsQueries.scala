@@ -1,0 +1,650 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-8 batch 2 — applied analytics over the star schema: graph
+  * locality (per-node clustering, partition modularity), customer
+  * value (RFM, cohort LTV), ordinal dynamics (permutation entropy),
+  * storage-layout simulation (zone-map pruning), distribution
+  * matching (quota resampling), and ranking evaluation (MRR/NDCG).
+  *
+  * Scale discipline is inherited from the earlier batches: graphs go
+  * through the q163 degree-oriented compact-forward shape (O(√m)
+  * neighborhoods under any hub skew), quantile boundaries are
+  * broadcast — rows are never globally ranked — and every multi-row
+  * reduction is integer/DECIMAL-exact with one final double formula.
+  */
+object AnalyticsQueries {
+
+  private val duckTokens = "string_split_regex(trim(text), '\\s+')"
+
+  /** md5-derived 60-bit hash (mirrors Hashing.hash64 / MinhashKernel). */
+  private def duckHash64(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  // --------------------------------------------------------------- q245
+
+  /** q245 — per-node local clustering coefficient on the co-purchase
+    * graph (q163's edge set: parts sharing ≥2 orders):
+    * cc(v) = 2·t(v)/(d(v)·(d(v)−1)) — the node-level "how clique-like
+    * is my neighborhood" signal behind community seeding and spam/bot
+    * detection, where q163 only reports the global ratio.
+    *
+    * Triangles are enumerated once at their minimum-(degree, id) apex
+    * via the same compact-forward orientation (per-task work stays
+    * O(√m) under hub skew); each closed wedge then credits ALL THREE
+    * corners through a 3-way explode, so t(v) needs no per-node
+    * re-enumeration.
+    */
+  val q245 = Q("q245_local_clustering",
+    (s, dir) => {
+      val items = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = items.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(slice(ids, i + 1, size(ids)),
+                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(false) // consumers: degrees, orientation, wedge closing
+      val deg = pairs.select(explode(array(col("pa"), col("pb"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .localCheckpoint(false)
+      val oriented = pairs
+        .join(deg.select(col("v").as("pa"), col("d").as("da")), "pa")
+        .join(deg.select(col("v").as("pb"), col("d").as("db")), "pb")
+        .select(
+          when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")), col("pa"))
+            .otherwise(col("pb")).as("u"),
+          when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")), col("pb"))
+            .otherwise(col("pa")).as("w"))
+      val wedges = oriented.groupBy("u")
+        .agg(sort_array(collect_list(col("w"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(col("u"), explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(slice(ids, i + 1, size(ids)),
+                  b -> struct(element_at(ids, i) AS x, b AS y))))""")).as("p"))
+        .select(col("u"), col("p.x").as("pa"), col("p.y").as("pb"))
+      val triNodes = wedges.join(pairs, Seq("pa", "pb"))
+        .select(explode(array(col("u"), col("pa"), col("pb"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("t"))
+      deg.filter(col("d") >= 2)
+        .join(triNodes, Seq("v"), "left")
+        .select(col("v"), col("d"),
+          coalesce(col("t"), lit(0L)).as("n_tri"),
+          round(lit(2.0) * coalesce(col("t"), lit(0L))
+            / (col("d") * (col("d") - 1)), 6).as("local_cc"))
+        .orderBy("v")
+    },
+    Some("""
+      WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      p0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cnt
+             FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2),
+      e AS (SELECT pa, pb FROM p0 WHERE cnt >= 2),
+      deg AS (SELECT v, count(*) AS d
+              FROM (SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)
+              GROUP BY v),
+      tri AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+              FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                        JOIN e e3 ON e1.pa = e3.pa AND e2.pb = e3.pb),
+      tn AS (SELECT v, CAST(count(*) AS BIGINT) AS t
+             FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c FROM tri)
+             GROUP BY v)
+      SELECT deg.v, CAST(deg.d AS BIGINT) AS d,
+             coalesce(tn.t, 0) AS n_tri,
+             round(2.0 * coalesce(tn.t, 0) / (deg.d * (deg.d - 1)), 6) AS local_cc
+      FROM deg LEFT JOIN tn ON deg.v = tn.v
+      WHERE deg.d >= 2 ORDER BY deg.v"""))
+
+  // --------------------------------------------------------------- q246
+
+  /** q246 — modularity of the brand partition on the co-purchase
+    * graph: per community c, Q_c = e_c/m − (deg_c/2m)² — how much
+    * denser each brand's internal wiring is than a degree-preserving
+    * random rewiring. The objective Louvain greedily climbs, here
+    * evaluated for a GIVEN labeling (the audit you run on any
+    * clustering output); Σ Q_c is the graph's modularity.
+    *
+    * Everything reduces to three integers per community (intra-edge
+    * count, degree mass, node count) via two broadcast lookups of the
+    * 1-row part→brand dim — no pairwise work beyond q163's bounded
+    * edge list.
+    */
+  val q246 = Q("q246_modularity",
+    (s, dir) => {
+      val items = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = items.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(slice(ids, i + 1, size(ids)),
+                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(false) // consumers: intra-count, degree mass, m
+      val brand = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val lab = pairs
+        .join(broadcast(brand.select(col("p_partkey").as("pa"), col("p_brand").as("ba"))), "pa")
+        .join(broadcast(brand.select(col("p_partkey").as("pb"), col("p_brand").as("bb"))), "pb")
+      val m = pairs.groupBy().agg(count(lit(1)).as("m"))
+      val intra = lab.filter(col("ba") === col("bb"))
+        .groupBy(col("ba").as("community")).agg(count(lit(1)).as("e_in"))
+      val degMass = lab
+        .select(explode(array(col("ba"), col("bb"))).as("community"))
+        .groupBy("community").agg(count(lit(1)).as("deg_mass"))
+      degMass.join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("community"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_mass"),
+          round(coalesce(col("e_in"), lit(0L)).cast("double") / col("m").cast("double")
+            - (col("deg_mass").cast("double") / (lit(2.0) * col("m").cast("double")))
+              * (col("deg_mass").cast("double") / (lit(2.0) * col("m").cast("double"))), 6)
+            .as("q_contrib"))
+        .orderBy("community")
+    },
+    Some("""
+      WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      p0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cnt
+             FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2),
+      e AS (SELECT pa, pb FROM p0 WHERE cnt >= 2),
+      lab AS (SELECT ba.p_brand AS ba, bb.p_brand AS bb
+              FROM e JOIN part ba ON e.pa = ba.p_partkey
+                     JOIN part bb ON e.pb = bb.p_partkey),
+      m AS (SELECT count(*) AS m FROM e),
+      intra AS (SELECT ba AS community, CAST(count(*) AS BIGINT) AS e_in
+                FROM lab WHERE ba = bb GROUP BY 1),
+      dm AS (SELECT community, CAST(count(*) AS BIGINT) AS deg_mass
+             FROM (SELECT ba AS community FROM lab
+                   UNION ALL SELECT bb FROM lab)
+             GROUP BY 1)
+      SELECT dm.community, coalesce(intra.e_in, 0) AS e_in, dm.deg_mass,
+             round(CAST(coalesce(intra.e_in, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+               - (CAST(dm.deg_mass AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+                 * (CAST(dm.deg_mass AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))), 6)
+               AS q_contrib
+      FROM dm LEFT JOIN intra ON dm.community = intra.community, m
+      ORDER BY dm.community"""))
+
+  // --------------------------------------------------------------- q247
+
+  /** q247 — RFM segmentation: every customer scored 1–5 on Recency
+    * (days since last order), Frequency (order count) and Monetary
+    * (lifetime cents), output as the 125-cell segment census — the
+    * workhorse customer-value partitioning behind retention targeting.
+    *
+    * Scores come from quintile boundaries computed on the bounded
+    * distinct-value grids (recency ≤ |days|, frequency ≤ |max count|,
+    * monetary binned to $100) and broadcast as one 4-value row per
+    * dimension — customers are never globally ranked (the ntile
+    * anti-pattern q109 exists to avoid). Boundary convention: b_k =
+    * min v with 5·cum ≥ k·n; score = 1 + #{boundaries strictly
+    * below v} on both engines.
+    */
+  val q247 = Q("q247_rfm_segments",
+    (s, dir) => {
+      val mx = Tables.load(s, dir, "orders")
+        .agg(max(col("o_orderdate").cast("long")).as("mxsec"))
+      val cust = Tables.load(s, dir, "orders")
+        .crossJoin(broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(min(expr("(mxsec - CAST(o_orderdate AS LONG)) div 86400")).as("rec"),
+          count(lit(1)).as("freq"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("mon"))
+        .withColumn("monb", expr("mon div 10000"))
+      def bounds(c: String): org.apache.spark.sql.DataFrame = {
+        val w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cust.groupBy(c).agg(count(lit(1)).as("_c"))
+          .withColumn("_cum", sum("_c").over(w))
+          .withColumn("_n", sum("_c").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .groupBy()
+          .agg(min(when(col("_cum") * 5 >= col("_n"), col(c))).as(s"${c}_b1"),
+            min(when(col("_cum") * 5 >= col("_n") * 2, col(c))).as(s"${c}_b2"),
+            min(when(col("_cum") * 5 >= col("_n") * 3, col(c))).as(s"${c}_b3"),
+            min(when(col("_cum") * 5 >= col("_n") * 4, col(c))).as(s"${c}_b4"))
+      }
+      def score(c: String) =
+        lit(1) + when(col(c) > col(s"${c}_b1"), 1).otherwise(0) +
+          when(col(c) > col(s"${c}_b2"), 1).otherwise(0) +
+          when(col(c) > col(s"${c}_b3"), 1).otherwise(0) +
+          when(col(c) > col(s"${c}_b4"), 1).otherwise(0)
+      cust
+        .crossJoin(broadcast(bounds("rec")))
+        .crossJoin(broadcast(bounds("freq")))
+        .crossJoin(broadcast(bounds("monb")))
+        // recency: smaller = better, so invert the quintile to 6-s
+        .select((lit(6) - score("rec")).as("r_score"),
+          score("freq").as("f_score"), score("monb").as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+    Some("""
+      WITH mx AS (SELECT max(epoch_us(o_orderdate) // 1000000) AS mxsec FROM orders),
+      cust AS (SELECT o_custkey,
+                      min((mx.mxsec - epoch_us(o_orderdate) // 1000000) // 86400) AS rec,
+                      CAST(count(*) AS BIGINT) AS freq,
+                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon
+               FROM orders, mx GROUP BY o_custkey, mx.mxsec),
+      c2 AS (SELECT *, mon // 10000 AS monb FROM cust),
+      rb AS (SELECT min(CASE WHEN cum * 5 >= n THEN v END) AS b1,
+                    min(CASE WHEN cum * 5 >= n * 2 THEN v END) AS b2,
+                    min(CASE WHEN cum * 5 >= n * 3 THEN v END) AS b3,
+                    min(CASE WHEN cum * 5 >= n * 4 THEN v END) AS b4
+             FROM (SELECT v, sum(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(c) OVER () AS n
+                   FROM (SELECT rec AS v, count(*) AS c FROM c2 GROUP BY 1))),
+      fb AS (SELECT min(CASE WHEN cum * 5 >= n THEN v END) AS b1,
+                    min(CASE WHEN cum * 5 >= n * 2 THEN v END) AS b2,
+                    min(CASE WHEN cum * 5 >= n * 3 THEN v END) AS b3,
+                    min(CASE WHEN cum * 5 >= n * 4 THEN v END) AS b4
+             FROM (SELECT v, sum(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(c) OVER () AS n
+                   FROM (SELECT freq AS v, count(*) AS c FROM c2 GROUP BY 1))),
+      mb AS (SELECT min(CASE WHEN cum * 5 >= n THEN v END) AS b1,
+                    min(CASE WHEN cum * 5 >= n * 2 THEN v END) AS b2,
+                    min(CASE WHEN cum * 5 >= n * 3 THEN v END) AS b3,
+                    min(CASE WHEN cum * 5 >= n * 4 THEN v END) AS b4
+             FROM (SELECT v, sum(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(c) OVER () AS n
+                   FROM (SELECT monb AS v, count(*) AS c FROM c2 GROUP BY 1)))
+      SELECT 6 - (1 + (rec > rb.b1)::INT + (rec > rb.b2)::INT
+                    + (rec > rb.b3)::INT + (rec > rb.b4)::INT) AS r_score,
+             1 + (freq > fb.b1)::INT + (freq > fb.b2)::INT
+               + (freq > fb.b3)::INT + (freq > fb.b4)::INT AS f_score,
+             1 + (monb > mb.b1)::INT + (monb > mb.b2)::INT
+               + (monb > mb.b3)::INT + (monb > mb.b4)::INT AS m_score,
+             count(*) AS n_customers
+      FROM c2, rb, fb, mb
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  // --------------------------------------------------------------- q248
+
+  /** q248 — cohort LTV curves: customers grouped by first-order month,
+    * cumulative revenue per cohort member as the cohort ages — the
+    * payback-period readout (q90's retention counts, upgraded to
+    * value). One grouped pass for cohorts, one for the
+    * (cohort, age)-cell revenue grid, then a cumulative window
+    * PARTITIONED BY COHORT over ≤|months| cells.
+    */
+  val q248 = Q("q248_cohort_ltv",
+    (s, dir) => {
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("m"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("ct"))
+      val cohort = ords.groupBy("o_custkey").agg(min("m").as("cm"))
+      val csize = cohort.groupBy("cm").agg(count(lit(1)).as("n_customers"))
+      val grid = ords.join(cohort, "o_custkey")
+        .groupBy(col("cm"), (col("m") - col("cm")).as("age"))
+        .agg(sum("ct").as("rev"))
+      val wc = Window.partitionBy("cm").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("cum", sum("rev").over(wc))
+        .join(broadcast(csize), "cm")
+        .select(col("cm").as("cohort_month"), col("age"), col("n_customers"),
+          col("cum").as("cum_cents"),
+          round(col("cum").cast("double") / col("n_customers").cast("double"), 6)
+            .as("ltv_cents_per_cust"))
+        .orderBy("cohort_month", "age")
+    },
+    Some("""
+      WITH o AS (SELECT o_custkey,
+                        (CAST(year(o_orderdate) AS BIGINT) - 1995) * 12
+                          + CAST(month(o_orderdate) AS BIGINT) - 1 AS m,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS ct
+                 FROM orders),
+      cohort AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1),
+      csize AS (SELECT cm, count(*) AS n_customers FROM cohort GROUP BY 1),
+      grid AS (SELECT c.cm, o.m - c.cm AS age, CAST(sum(o.ct) AS BIGINT) AS rev
+               FROM o JOIN cohort c ON o.o_custkey = c.o_custkey
+               GROUP BY 1, 2),
+      cum AS (SELECT cm, age,
+                     CAST(sum(rev) OVER (PARTITION BY cm ORDER BY age
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              FROM grid)
+      SELECT cum.cm AS cohort_month, cum.age, csize.n_customers,
+             cum.cum AS cum_cents,
+             round(CAST(cum.cum AS DOUBLE) / CAST(csize.n_customers AS DOUBLE), 6)
+               AS ltv_cents_per_cust
+      FROM cum JOIN csize ON cum.cm = csize.cm
+      ORDER BY cohort_month, age"""))
+
+  // --------------------------------------------------------------- q249
+
+  /** q249 — permutation entropy of the per-user event-value series:
+    * consecutive value triples reduce to one of 8 ordinal patterns
+    * (the three pairwise comparisons), and the Shannon entropy of the
+    * pattern distribution measures how far the dynamics are from
+    * deterministic (low H: trending/periodic; high H: noise) —
+    * Bandt-Pompe complexity, computable without ever materializing
+    * the series on one machine.
+    *
+    * Triples come from two leads inside each user's partition
+    * (windows never global); the entropy follows q107's exact
+    * fixed-point ln recipe over the ≤8 pattern counts.
+    */
+  val q249 = Q("q249_permutation_entropy",
+    (s, dir) => {
+      val wu = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val pat = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("v2", lead("value", 1).over(wu))
+        .withColumn("v3", lead("value", 2).over(wu))
+        .filter(col("v2").isNotNull && col("v3").isNotNull)
+        .select((when(col("value") < col("v2"), 4).otherwise(0)
+          + when(col("v2") < col("v3"), 2).otherwise(0)
+          + when(col("value") < col("v3"), 1).otherwise(0)).as("pattern"))
+      val cnt = pat.groupBy("pattern").agg(count(lit(1)).as("c"))
+      cnt.groupBy()
+        .agg(sum("c").as("n_triples"), count(lit(1)).as("n_patterns"),
+          sum(expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) * c")).as("_s"))
+        .select(col("n_triples"), col("n_patterns"),
+          round(log(col("n_triples").cast("double"))
+            - col("_s").cast("double") / col("n_triples") / 1e6, 6)
+            .as("perm_entropy_nats"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, value,
+                        epoch_us(ts) AS us FROM events),
+      t AS (SELECT value AS v1,
+                   lead(value, 1) OVER w AS v2,
+                   lead(value, 2) OVER w AS v3
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+      p AS (SELECT (v1 < v2)::INT * 4 + (v2 < v3)::INT * 2 + (v1 < v3)::INT AS pattern
+            FROM t WHERE v2 IS NOT NULL AND v3 IS NOT NULL),
+      c AS (SELECT pattern, count(*) AS c FROM p GROUP BY 1)
+      SELECT CAST(sum(c) AS BIGINT) AS n_triples,
+             count(*) AS n_patterns,
+             round(ln(CAST(sum(c) AS DOUBLE))
+               - CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) * c)
+                      AS DOUBLE) / sum(c) / 1e6, 6) AS perm_entropy_nats
+      FROM c"""))
+
+  // --------------------------------------------------------------- q250
+
+  /** q250 — zone-map pruning simulator: lineitem laid out as files of
+    * contiguous order ranges, each carrying (min,max) zone maps on
+    * ship-date and price; for a predicate workload, how many files
+    * and rows would a min/max-pruning scan actually touch? The
+    * decision tool for layout choices (this is exactly the statistic
+    * the q103 z-order writer improves), computed from metadata-sized
+    * aggregates: |files| zone rows × |predicates| literals.
+    */
+  val q250 = Q("q250_zonemap_prune",
+    (s, dir) => {
+      import s.implicits._
+      // (pid, kind, lo, hi): epoch-seconds ranges for ship-date
+      // predicates, cents ranges for price predicates
+      val preds = Seq(
+        (1, "date", 820454400L, 852076799L),   // 1996
+        (2, "date", 852076800L, 883612799L),   // 1997
+        (3, "date", 883612800L, 915148799L),   // 1998
+        (4, "date", 946684800L, 978307199L),   // 2000
+        (5, "price", 0L, 1000000L),            // ≤ $10k
+        (6, "price", 5000000L, 7000000L),      // $50k–$70k
+        (7, "price", 9000000L, 10500000L),     // $90k–$105k
+        (8, "price", 10000000L, Long.MaxValue) // ≥ $100k
+      ).toDF("pid", "kind", "lo", "hi")
+      val files = Tables.load(s, dir, "lineitem")
+        .groupBy(expr("l_orderkey div 1000").as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_shipdate").cast("long")).as("dmin"),
+          max(col("l_shipdate").cast("long")).as("dmax"),
+          min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("pmin"),
+          max(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("pmax"))
+      files.crossJoin(broadcast(preds))
+        .withColumn("hit",
+          when(col("kind") === "date",
+            (col("dmax") >= col("lo")) && (col("dmin") <= col("hi")))
+            .otherwise((col("pmax") >= col("lo")) && (col("pmin") <= col("hi"))))
+        .groupBy("pid", "kind")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_scanned"),
+          sum(when(col("hit"), col("n_rows")).otherwise(0L)).as("rows_scanned"),
+          round(lit(1.0) - sum(when(col("hit"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double"), 6).as("prune_frac"))
+        .orderBy("pid")
+    },
+    Some("""
+      WITH preds(pid, kind, lo, hi) AS (VALUES
+        (1, 'date', 820454400, 852076799),
+        (2, 'date', 852076800, 883612799),
+        (3, 'date', 883612800, 915148799),
+        (4, 'date', 946684800, 978307199),
+        (5, 'price', 0, 1000000),
+        (6, 'price', 5000000, 7000000),
+        (7, 'price', 9000000, 10500000),
+        (8, 'price', 10000000, 9223372036854775807)),
+      files AS (SELECT l_orderkey // 1000 AS file_id,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       min(epoch_us(l_shipdate) // 1000000) AS dmin,
+                       max(epoch_us(l_shipdate) // 1000000) AS dmax,
+                       min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS pmin,
+                       max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS pmax
+                FROM lineitem GROUP BY 1),
+      hits AS (SELECT pid, kind, n_rows,
+                      CASE WHEN kind = 'date'
+                           THEN dmax >= lo AND dmin <= hi
+                           ELSE pmax >= lo AND pmin <= hi END AS hit
+               FROM files, preds)
+      SELECT pid, kind,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+             CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+             round(1.0 - CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS prune_frac
+      FROM hits GROUP BY pid, kind ORDER BY pid"""))
+
+  // --------------------------------------------------------------- q251
+
+  /** q251 — distribution-matched resampling: reshape src1's length
+    * distribution to match src0's by per-bin quotas — the
+    * deterministic core of importance resampling for domain mixing
+    * (keep counts ∝ target mass, capped by availability, selection by
+    * stable in-bin rank — no RNG, so the sample is reproducible
+    * across engines and runs).
+    *
+    * quota_b = round-half-up(S·t_b/T) in pure integer arithmetic
+    * ((2·S·t_b + T) div 2T), capped at s_b; kept docs are the first
+    * quota_b by doc_id within the bin (row_number PARTITIONED BY
+    * BIN).
+    */
+  val q251 = Q("q251_dist_match_sample",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tgt = docs.filter(col("source") === "src0")
+        .groupBy(expr("n_chars div 50").as("bin")).agg(count(lit(1)).as("t"))
+      val srcAll = docs.filter(col("source") === "src1")
+        .select(col("doc_id"), expr("n_chars div 50").as("bin"))
+      val src = srcAll.groupBy("bin").agg(count(lit(1)).as("s_count"))
+      val tots = tgt.groupBy().agg(sum("t").as("tt"))
+        .crossJoin(src.groupBy().agg(sum("s_count").as("ss")))
+      val quota = src.join(tgt, Seq("bin"), "left")
+        .crossJoin(broadcast(tots))
+        .select(col("bin"), col("s_count"),
+          coalesce(col("t"), lit(0L)).as("t_count"),
+          least(col("s_count"),
+            expr("(2 * ss * coalesce(t, 0) + tt) div (2 * tt)")).as("quota"))
+      val wb = Window.partitionBy("bin").orderBy("doc_id")
+      val kept = srcAll.withColumn("_rn", row_number().over(wb))
+        .join(broadcast(quota.select(col("bin"), col("quota"))), "bin")
+        .filter(col("_rn") <= col("quota"))
+        .groupBy("bin").agg(count(lit(1)).as("n_kept"))
+      quota.join(kept, Seq("bin"), "left")
+        .select(col("bin"), col("t_count"), col("s_count"), col("quota"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH tgt AS (SELECT n_chars // 50 AS bin, CAST(count(*) AS BIGINT) AS t
+                   FROM documents WHERE source = 'src0' GROUP BY 1),
+      srcall AS (SELECT doc_id, n_chars // 50 AS bin
+                 FROM documents WHERE source = 'src1'),
+      src AS (SELECT bin, CAST(count(*) AS BIGINT) AS s_count
+              FROM srcall GROUP BY 1),
+      tots AS (SELECT (SELECT sum(t) FROM tgt) AS tt,
+                      (SELECT sum(s_count) FROM src) AS ss),
+      quota AS (SELECT src.bin, src.s_count,
+                       coalesce(tgt.t, 0) AS t_count,
+                       least(src.s_count,
+                             (2 * tots.ss * coalesce(tgt.t, 0) + tots.tt)
+                               // (2 * tots.tt)) AS quota
+                FROM src LEFT JOIN tgt ON src.bin = tgt.bin, tots),
+      kept AS (SELECT r.bin, CAST(count(*) AS BIGINT) AS n_kept
+               FROM (SELECT bin, row_number() OVER
+                       (PARTITION BY bin ORDER BY doc_id) AS rn
+                     FROM srcall) r
+               JOIN quota q ON r.bin = q.bin
+               WHERE r.rn <= q.quota GROUP BY 1)
+      SELECT q.bin, q.t_count, q.s_count, CAST(q.quota AS BIGINT) AS quota,
+             coalesce(k.n_kept, 0) AS n_kept
+      FROM quota q LEFT JOIN kept k ON q.bin = k.bin
+      ORDER BY q.bin"""))
+
+  // --------------------------------------------------------------- q252
+
+  /** q252 — retrieval evaluation (MRR + DCG/NDCG@10): every 100th
+    * document is a query; candidates are ranked by distinct-token
+    * overlap (document-frequency-pruned — tokens in >20% of docs are
+    * dropped BEFORE the join, bounding hot-token fan-out); a result
+    * is relevant iff it shares the query's source. The eval loop
+    * every retrieval/RAG stack runs, with the classic
+    * position-discounted gain.
+    *
+    * The log2 discounts are spelled as ten integer-micro literals
+    * shared by both engines (no runtime transcendentals), so
+    * DCG/IDCG sums are exact longs; NDCG and MRR are one final double
+    * each. Top-10 selection is a window PARTITIONED BY QUERY with a
+    * total (overlap desc, doc) order.
+    */
+  val q252 = Q("q252_retrieval_metrics",
+    (s, dir) => {
+      import s.implicits._
+      graft.expressions.GraftExtensions.register(s)
+      val disc = Seq((1, 1000000L), (2, 630930L), (3, 500000L), (4, 430677L),
+        (5, 386853L), (6, 356207L), (7, 333333L), (8, 315465L),
+        (9, 301030L), (10, 289065L)).toDF("rnk", "disc_u")
+      val cumdisc = Seq((1, 1000000L), (2, 1630930L), (3, 2130930L),
+        (4, 2561607L), (5, 2948460L), (6, 3304667L), (7, 3638000L),
+        (8, 3953465L), (9, 4254495L), (10, 4543560L)).toDF("upto", "idcg_u")
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint(false) // tokens + qrels + query set share it
+      // corpus size enters as a broadcast 1-row relation, not an eager
+      // driver count at plan construction
+      val ndocs = docs.groupBy().agg(count(lit(1)).as("_nd"))
+      val tok0 = docs.select(col("doc_id"), col("source"),
+          explode(call_function("graft_shingle_hash_list", col("text"), lit(1))).as("h"))
+        .distinct()
+      val df = tok0.groupBy("h").agg(count(lit(1)).as("df"))
+      val tok = tok0.join(broadcast(df.crossJoin(broadcast(ndocs))
+          .filter(col("df") * 5 > col("_nd"))
+          .select(col("h"), lit(1).as("_drop"))), Seq("h"), "left")
+        .filter(col("_drop").isNull)
+        .select(col("doc_id"), col("source"), col("h"))
+      val qtok = tok.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"), col("source").as("qsrc"), col("h"))
+      val overlap = qtok.join(tok.select(col("doc_id").as("did"),
+          col("source").as("dsrc"), col("h")), "h")
+        .filter(col("qid") =!= col("did"))
+        .groupBy("qid", "qsrc", "did", "dsrc")
+        .agg(count(lit(1)).as("ov"))
+      val wq = Window.partitionBy("qid").orderBy(desc("ov"), col("did"))
+      val top = overlap.withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") <= 10)
+        .withColumn("rel", when(col("qsrc") === col("dsrc"), 1L).otherwise(0L))
+      val perq = top.join(broadcast(disc), "rnk")
+        .groupBy("qid")
+        .agg(sum(col("rel") * col("disc_u")).as("dcg_u"),
+          min(when(col("rel") === 1, col("rnk"))).as("first_rel"))
+      val nrel = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"), col("source").as("qsrc"))
+        .join(docs.groupBy(col("source").as("qsrc")).agg(count(lit(1)).as("nsrc")), "qsrc")
+        .select(col("qid"), (col("nsrc") - 1).as("n_rel"))
+      nrel.join(perq, Seq("qid"), "left")
+        .withColumn("upto", least(col("n_rel"), lit(10L)).cast("int"))
+        .join(broadcast(cumdisc), Seq("upto"), "left")
+        .select(col("qid"), col("n_rel"),
+          round(coalesce(col("dcg_u"), lit(0L)).cast("double") / 1e6, 6).as("dcg10"),
+          when(col("n_rel") === 0, lit(null))
+            .otherwise(round(coalesce(col("dcg_u"), lit(0L)).cast("double")
+              / col("idcg_u").cast("double"), 6)).as("ndcg10"),
+          round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"))
+        .orderBy("qid")
+    },
+    Some(s"""
+      WITH disc(rnk, disc_u) AS (VALUES
+        (1, 1000000), (2, 630930), (3, 500000), (4, 430677), (5, 386853),
+        (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065)),
+      cumdisc(upto, idcg_u) AS (VALUES
+        (1, 1000000), (2, 1630930), (3, 2130930), (4, 2561607), (5, 2948460),
+        (6, 3304667), (7, 3638000), (8, 3953465), (9, 4254495), (10, 4543560)),
+      d0 AS (SELECT doc_id, source, $duckTokens AS w FROM documents),
+      nd AS (SELECT count(*) AS n FROM d0),
+      tok0 AS (SELECT DISTINCT doc_id, source,
+                 unnest(list_transform(range(1, len(w)+1),
+                   i -> ${duckHash64("w[i]")} & ${graft.operators.Dedup.MinhashP})) AS h
+               FROM d0),
+      dfreq AS (SELECT h, count(*) AS df FROM tok0 GROUP BY 1),
+      tok AS (SELECT t.doc_id, t.source, t.h
+              FROM tok0 t JOIN dfreq f ON t.h = f.h, nd
+              WHERE f.df * 5 <= nd.n),
+      qtok AS (SELECT doc_id AS qid, source AS qsrc, h FROM tok
+               WHERE doc_id % 100 = 0),
+      ov AS (SELECT q.qid, q.qsrc, t.doc_id AS did, t.source AS dsrc,
+                    CAST(count(*) AS BIGINT) AS ov
+             FROM qtok q JOIN tok t ON q.h = t.h AND q.qid <> t.doc_id
+             GROUP BY 1, 2, 3, 4),
+      top AS (SELECT *, row_number() OVER
+                (PARTITION BY qid ORDER BY ov DESC, did ASC) AS rnk
+              FROM ov),
+      t10 AS (SELECT qid, rnk,
+                     CASE WHEN qsrc = dsrc THEN 1 ELSE 0 END AS rel
+              FROM top WHERE rnk <= 10),
+      perq AS (SELECT qid,
+                      CAST(sum(rel * disc_u) AS BIGINT) AS dcg_u,
+                      min(CASE WHEN rel = 1 THEN t10.rnk END) AS first_rel
+               FROM t10 JOIN disc ON t10.rnk = disc.rnk GROUP BY qid),
+      nrel AS (SELECT q.doc_id AS qid, CAST(s.c - 1 AS BIGINT) AS n_rel
+               FROM documents q
+               JOIN (SELECT source, count(*) AS c FROM documents GROUP BY 1) s
+                 ON q.source = s.source
+               WHERE q.doc_id % 100 = 0)
+      SELECT n.qid, n.n_rel,
+             round(CAST(coalesce(p.dcg_u, 0) AS DOUBLE) / 1e6, 6) AS dcg10,
+             CASE WHEN n.n_rel = 0 THEN NULL
+                  ELSE round(CAST(coalesce(p.dcg_u, 0) AS DOUBLE)
+                       / CAST(c.idcg_u AS DOUBLE), 6) END AS ndcg10,
+             round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr
+      FROM nrel n
+      LEFT JOIN perq p ON n.qid = p.qid
+      LEFT JOIN cumdisc c ON c.upto = least(n.n_rel, 10)
+      ORDER BY n.qid"""))
+
+  val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252)
+}

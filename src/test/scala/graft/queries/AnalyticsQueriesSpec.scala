@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+/** Behavioral properties of the applied-analytics batch (q245–q252) —
+  * cross-query conservation laws and brute-force replays the oracle
+  * gate can't express.
+  */
+class AnalyticsQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q245: per-node triangle counts conserve q163's total (each counted at 3 corners)") {
+    val perNode = rows(AnalyticsQueries.q245.fn(spark, sf))
+    val total = rows(ExtQueries.q163.fn(spark, sf)).head(3).asInstanceOf[Long]
+    val sumTri = perNode.map(_(2).asInstanceOf[Long]).sum
+    assert(sumTri == 3 * total, s"sum of per-node t = $sumTri, 3*total = ${3 * total}")
+    perNode.foreach { r =>
+      val cc = r(3).asInstanceOf[Double]
+      assert(cc >= 0.0 && cc <= 1.0 + 1e-9, s"cc out of range: $r")
+    }
+  }
+
+  test("q246: degree mass sums to 2m, intra-edges to at most m, Q in [-1, 1]") {
+    val out = rows(AnalyticsQueries.q246.fn(spark, sf))
+    val eIn = out.map(_(1).asInstanceOf[Long]).sum
+    val degMass = out.map(_(2).asInstanceOf[Long]).sum
+    val q = out.map(_(3).asInstanceOf[Double]).sum
+    assert(degMass % 2 == 0 && degMass / 2 >= eIn, s"degMass $degMass, eIn $eIn")
+    assert(q >= -1.0 && q <= 1.0, s"modularity $q")
+  }
+
+  test("q247: segment census covers every ordering customer, scores in 1..5") {
+    val out = rows(AnalyticsQueries.q247.fn(spark, sf))
+    val covered = out.map(_(3).asInstanceOf[Long]).sum
+    val nCust = Tables.load(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(covered == nCust, s"covered $covered vs $nCust customers")
+    out.foreach { r =>
+      (0 to 2).foreach { i =>
+        val sc = r(i).asInstanceOf[Int]
+        assert(sc >= 1 && sc <= 5, s"score out of range: $r")
+      }
+    }
+  }
+
+  test("q248: LTV is non-decreasing within each cohort and conserves total revenue") {
+    val out = rows(AnalyticsQueries.q248.fn(spark, sf))
+      .map(r => (r(0).asInstanceOf[Int], r(1).asInstanceOf[Int], r(3).asInstanceOf[Long]))
+    out.groupBy(_._1).values.foreach { c =>
+      val sorted = c.sortBy(_._2).map(_._3)
+      assert(sorted == sorted.sorted, "cum revenue decreased within a cohort")
+    }
+    val finalTotal = out.groupBy(_._1).values.map(_.maxBy(_._2)._3).sum
+    val expect = Tables.load(spark, sf, "orders")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))).collect()(0).getLong(0)
+    assert(finalTotal == expect, s"LTV total $finalTotal vs revenue $expect")
+  }
+
+  test("q249: permutation entropy matches a brute-force replay of the triples") {
+    val out = rows(AnalyticsQueries.q249.fn(spark, sf)).head
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts").cast("long"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val pats = ev.groupBy(_._1).values.flatMap { es =>
+      val vs = es.sortBy(e => (e._2, e._3)).map(_._4)
+      vs.sliding(3).filter(_.length == 3).map { t =>
+        (if (t(0) < t(1)) 4 else 0) + (if (t(1) < t(2)) 2 else 0) + (if (t(0) < t(2)) 1 else 0)
+      }
+    }.toSeq
+    val n = pats.length.toDouble
+    val h = math.log(n) - pats.groupBy(identity).values
+      .map(g => math.round(math.log(g.size.toDouble) * 1e6).toDouble * g.size).sum / n / 1e6
+    assert(out(0).asInstanceOf[Long] == pats.length)
+    assert(math.abs(out(2).asInstanceOf[Double] - h) < 1e-5, s"H ${out(2)} vs $h")
+    assert(out(2).asInstanceOf[Double] <= math.log(8.0) + 1e-9)
+  }
+
+  test("q249: ts-ordering matters — sliding window uses event order, not value order") {
+    // a monotone series has exactly one pattern and zero entropy
+    import spark.implicits._
+    val mono = Seq.tabulate(20)(i => (1L, i.toLong, i.toLong, i.toDouble))
+      .toDF("user_id", "sec", "event_id", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("sec").asc, col("event_id").asc)
+    val pat = mono
+      .withColumn("v2", lead("value", 1).over(w))
+      .withColumn("v3", lead("value", 2).over(w))
+      .filter(col("v2").isNotNull && col("v3").isNotNull)
+      .select((when(col("value") < col("v2"), 4).otherwise(0)
+        + when(col("v2") < col("v3"), 2).otherwise(0)
+        + when(col("value") < col("v3"), 1).otherwise(0)).as("p"))
+      .distinct().collect()
+    assert(pat.length == 1 && pat(0).getInt(0) == 7)
+  }
+
+  test("q250: pruning fractions match a brute-force zone-map replay") {
+    val out = rows(AnalyticsQueries.q250.fn(spark, sf))
+      .map(r => r(0).asInstanceOf[Int] -> (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long]))
+      .toMap
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(expr("l_orderkey div 1000"), col("l_shipdate").cast("long"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val files = li.groupBy(_._1).map { case (_, rs) =>
+      (rs.map(_._2).min, rs.map(_._2).max, rs.map(_._3).min, rs.map(_._3).max)
+    }.toSeq
+    val preds = Seq(
+      (1, true, 820454400L, 852076799L), (2, true, 852076800L, 883612799L),
+      (3, true, 883612800L, 915148799L), (4, true, 946684800L, 978307199L),
+      (5, false, 0L, 1000000L), (6, false, 5000000L, 7000000L),
+      (7, false, 9000000L, 10500000L), (8, false, 10000000L, Long.MaxValue))
+    preds.foreach { case (pid, isDate, lo, hi) =>
+      val scanned = files.count { case (dmin, dmax, pmin, pmax) =>
+        if (isDate) dmax >= lo && dmin <= hi else pmax >= lo && pmin <= hi
+      }
+      assert(out(pid) == ((files.size.toLong, scanned.toLong)),
+        s"pid $pid: ${out(pid)} vs (${files.size}, $scanned)")
+    }
+  }
+
+  test("q251: quotas are met exactly and match the target proportions") {
+    val out = rows(AnalyticsQueries.q251.fn(spark, sf))
+    // totals from the data, not the output: target bins with no source
+    // counterpart still contribute to T (the output's left join drops them)
+    val tt = Tables.load(spark, sf, "documents")
+      .filter(col("source") === "src0").count()
+    val ss = Tables.load(spark, sf, "documents")
+      .filter(col("source") === "src1").count()
+    out.foreach { r =>
+      val (t, s, quota, kept) = (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long],
+        r(3).asInstanceOf[Long], r(4).asInstanceOf[Long])
+      assert(kept == quota, s"kept != quota in $r")
+      assert(quota <= s, s"quota exceeds availability in $r")
+      // round-half-up(S*t/T) capped at s
+      val want = math.min(s, (2 * ss * t + tt) / (2 * tt))
+      assert(quota == want, s"quota $quota vs $want in $r")
+    }
+  }
+
+  test("q252: NDCG bounded by 1, MRR in [0,1], and a relevant hit implies positive DCG") {
+    val out = rows(AnalyticsQueries.q252.fn(spark, sf))
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val dcg = r(2).asInstanceOf[Double]
+      val mrr = r(4).asInstanceOf[Double]
+      assert(dcg >= 0.0)
+      if (r(3) != null) {
+        val ndcg = r(3).asInstanceOf[Double]
+        assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"ndcg out of range: $r")
+      }
+      assert(mrr >= 0.0 && mrr <= 1.0 + 1e-9, s"mrr out of range: $r")
+      assert((mrr > 0) == (dcg > 0), s"mrr/dcg inconsistent: $r")
+    }
+  }
+}
