@@ -49,6 +49,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalize(children.head)),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinkler(children.head, children(1))),
     (FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinhashBands].getName, "graft_minhash_bands"),
       (children: Seq[Expression]) => MinhashBands(children.head, children(1), children(2))))

@@ -646,5 +646,47 @@ object AnalyticsQueries {
       LEFT JOIN cumdisc c ON c.upto = least(n.n_rel, 10)
       ORDER BY n.qid"""))
 
-  val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252)
+  // --------------------------------------------------------------- q253
+
+  /** q253 — fuzzy title linkage: document "titles" (first 48 chars)
+    * joined by Jaro-Winkler ≥ 0.9 within first-token blocks — the
+    * record-linkage primitive (name/address matching) that
+    * edit-distance (q116) and shingle similarity miss: JW weights
+    * shared prefixes and tolerates transpositions, the typo shapes of
+    * human-entered strings.
+    *
+    * The similarity runs as the native codegen'd
+    * `graft_jaro_winkler` expression (UTF-8 byte semantics pinned
+    * bit-exact to the oracle's implementation — see
+    * expressions/JaroWinkler.scala); candidates are bounded by
+    * first-token equality blocking BEFORE any pair materializes, the
+    * same contract as every similarity join in the engine — never
+    * all-pairs.
+    */
+  val q253 = Q("q253_jw_fuzzy_join",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val p = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 48).as("t"),
+          element_at(split(col("text"), " "), 1).as("blk"))
+      val a = p.select(col("doc_id").as("da"), col("t").as("ta"), col("blk"))
+      val b = p.select(col("doc_id").as("db"), col("t").as("tb"), col("blk"))
+      a.join(b, "blk")
+        .filter(col("da") < col("db"))
+        .withColumn("jw", call_function("graft_jaro_winkler", col("ta"), col("tb")))
+        .filter(col("jw") >= 0.9)
+        .select(col("da"), col("db"), round(col("jw"), 6).as("jw"))
+        .orderBy("da", "db")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id, substr(text, 1, 48) AS t,
+                        split_part(text, ' ', 1) AS blk
+                 FROM documents)
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             round(jaro_winkler_similarity(a.t, b.t), 6) AS jw
+      FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE jaro_winkler_similarity(a.t, b.t) >= 0.9
+      ORDER BY da, db"""))
+
+  val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252, q253)
 }
