@@ -191,6 +191,33 @@ object StreamingOps {
                   schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Streaming twin of q115's count-min sketch: the d×w counter table
+    * maintained as a streaming aggregation over (row, bucket) pairs
+    * from the same affine hash family.
+    *
+    * CMS counters are pure additive aggregates — order-independent
+    * and mergeable — so after ANY sequence of micro-batches the
+    * streaming table equals the batch sketch over the same rows
+    * EXACTLY (StreamingSpec pins it, split across triggers). That is
+    * the property that makes CMS the right streaming frequency
+    * summary: state is bounded at d·w counters no matter how wide
+    * the vocabulary grows, and a cluster merges per-partition
+    * sketches like any partial aggregate.
+    *
+    * `hashes` must carry a `uh` int64 column (token hashes from
+    * `graft_shingle_hash_list`, or any keyed stream).
+    */
+  def cmsSketch(hashes: DataFrame, d: Int, w: Int): DataFrame = {
+    val coeffs = graft.operators.Dedup.minhashCoeffs(d)
+    hashes.select(explode(array(coeffs.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(i).as("row"),
+          pmod(lit(a) * col("uh") + lit(b), lit(graft.operators.Dedup.MinhashP))
+            .mod(w).as("bucket"))
+      }: _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming exact dedup: keep the first arrival of each key, with
     * state bounded by the event-time watermark (duplicates are only
     * expected within the lateness window — e.g. re-delivered feed rows

@@ -609,6 +609,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "streaming rolling median != batch q229")
   }
 
+  test("cmsSketch over a multi-trigger file stream equals the batch q115 counter table") {
+    graft.expressions.GraftExtensions.register(spark)
+    val dir = Files.createTempDirectory("graft-cms").toFile
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    // two landing files → two micro-batches under maxFilesPerTrigger=1:
+    // the sketch must merge across triggers exactly
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+
+    def tokens(df: org.apache.spark.sql.DataFrame) = df.select(
+      explode(call_function("graft_shingle_hash_list", col("text"), lit(1))).as("uh"))
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val streamed = StreamingOps.runAvailableNow(
+      StreamingOps.cmsSketch(tokens(stream), d = 4, w = 512), "cms_stream")
+      .orderBy("row", "bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val batch = StreamingOps.cmsSketch(tokens(docs), d = 4, w = 512)
+      .orderBy("row", "bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch, "streaming CMS != batch CMS")
+    assert(batch.map(_._1).distinct.sorted == Seq(0, 1, 2, 3))
+    // counters conserve the token stream: each row sums to N tokens
+    val perRow = batch.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perRow.values.toSet.size == 1, s"rows disagree on mass: $perRow")
+  }
+
   test("sessionize accumulates per-user state across a micro-batch") {
     import spark.implicits._
     val events = Seq(
