@@ -608,5 +608,412 @@ object InferQueries {
                AS jsd_nats
       FROM terms GROUP BY np, nq, n_distinct"""))
 
-  val all: Seq[Q] = Seq(q237, q238, q239, q240, q241, q242, q243, q244)
+  // --------------------------------------------------------------- q254
+
+  /** q254 — Mann-Kendall trend test per nation on the monthly revenue
+    * series: S = Σ_{i<j} sign(y_j − y_i) with the tie-corrected
+    * variance Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 and
+    * continuity-corrected z — the distribution-free "is there a
+    * monotone trend at all" test that pairs with q241's Theil-Sen
+    * slope (MK decides significance, Sen sizes the effect).
+    *
+    * Same bounded pair fan-out as q241 (≤ m²/2 per nation off the
+    * monthly rollup); S and the tie sums are exact integers, z is one
+    * final double.
+    */
+  val q254 = Q("q254_mann_kendall",
+    (s, dir) => {
+      val monthly = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("m"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+      val a = monthly.select(col("nation"), col("m").as("m1"), col("y").as("y1"))
+      val b = monthly.select(col("nation"), col("m").as("m2"), col("y").as("y2"))
+      val sstat = a.join(broadcast(b), Seq("nation")).filter(col("m1") < col("m2"))
+        .groupBy("nation")
+        .agg(sum(signum(col("y2") - col("y1")).cast("long")).as("s_stat"))
+      val nmon = monthly.groupBy("nation").agg(count(lit(1)).as("n"))
+      val ties = monthly.groupBy("nation", "y").agg(count(lit(1)).as("t"))
+        .groupBy("nation")
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tsum"))
+      val varS = (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tsum"))
+        .cast("double") / 18.0
+      sstat.join(nmon, "nation").join(ties, "nation")
+        .select(col("nation"), col("n").as("n_months"), col("s_stat"),
+          round(when(varS <= 0.0, 0.0)
+            .when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") / sqrt(varS))
+            .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") / sqrt(varS))
+            .otherwise(0.0), 6).as("z_mk"))
+        .orderBy("nation")
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT n_name AS nation,
+               (CAST(year(o_orderdate) AS BIGINT) - 1995) * 12
+                 + CAST(month(o_orderdate) AS BIGINT) - 1 AS m,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      s AS (SELECT a.nation,
+                   CAST(sum(CASE WHEN b.y > a.y THEN 1
+                                 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM monthly a JOIN monthly b
+              ON a.nation = b.nation AND a.m < b.m
+            GROUP BY 1),
+      nm AS (SELECT nation, CAST(count(*) AS BIGINT) AS n FROM monthly GROUP BY 1),
+      ties AS (SELECT nation,
+                      CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+               FROM (SELECT nation, y, count(*) AS t FROM monthly GROUP BY 1, 2)
+               GROUP BY 1)
+      SELECT s.nation, nm.n AS n_months, s.s_stat,
+             round(CASE
+               WHEN CAST(nm.n * (nm.n - 1) * (2 * nm.n + 5) - ties.tsum AS DOUBLE) / 18.0 <= 0.0 THEN 0.0
+               WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                 / sqrt(CAST(nm.n * (nm.n - 1) * (2 * nm.n + 5) - ties.tsum AS DOUBLE) / 18.0)
+               WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                 / sqrt(CAST(nm.n * (nm.n - 1) * (2 * nm.n + 5) - ties.tsum AS DOUBLE) / 18.0)
+               ELSE 0.0 END, 6) AS z_mk
+      FROM s JOIN nm ON s.nation = nm.nation
+      JOIN ties ON s.nation = ties.nation
+      ORDER BY s.nation"""))
+
+  // --------------------------------------------------------------- q255
+
+  /** q255 — single-changepoint localization by binary segmentation on
+    * the per-type daily count series: the split maximizing the
+    * between-segment gain n₁n₂/n·(m₁−m₂)² (equivalently
+    * (S₁n₂−S₂n₁)²/(n·n₁·n₂) — computed in that integer-numerator
+    * form). The first step of every binary-segmentation /
+    * changepoint-tree detector; where q212's CUSUM asks "did it
+    * drift past a threshold", this asks "WHERE does one break explain
+    * the series best".
+    *
+    * Prefix sums ride a window PARTITIONED BY TYPE over ≤|days|
+    * rows; the gain is quantized to a 1e6 long off exact integer
+    * sums, so the argmax (gain desc, day asc) is an integer
+    * comparison — no float-tie ambiguity between engines.
+    */
+  val q255 = Q("q255_binseg_changepoint",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("d"))
+        .agg(count(lit(1)).as("y"))
+      val we = Window.partitionBy("event_type").orderBy("d")
+      val wa = Window.partitionBy("event_type")
+      val cand = daily
+        .withColumn("n1", row_number().over(we))
+        .withColumn("s1", sum("y").over(we.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(wa))
+        .withColumn("st", sum("y").over(wa))
+        .filter(col("n1") < col("n"))
+        .withColumn("gain_u", expr(
+          """CAST(round(1e6 * CAST((s1 * (n - n1) - (st - s1) * n1) AS DOUBLE)
+             * CAST((s1 * (n - n1) - (st - s1) * n1) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE))) AS BIGINT)"""))
+      cand
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(desc("gain_u"), col("d"))))
+        .filter(col("_rk") === 1)
+        .select(col("event_type"), col("n").as("n_days"), col("d").as("split_day"),
+          round(col("s1").cast("double") / col("n1"), 6).as("mean_left"),
+          round((col("st") - col("s1")).cast("double") / (col("n") - col("n1")), 6)
+            .as("mean_right"),
+          round(col("gain_u").cast("double") / 1e6, 6).as("gain"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH daily AS (SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS d,
+                            CAST(count(*) AS BIGINT) AS y
+                     FROM events GROUP BY 1, 2),
+      c AS (SELECT event_type, d, y,
+                   row_number() OVER w AS n1,
+                   sum(y) OVER (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+                   count(*) OVER (PARTITION BY event_type) AS n,
+                   sum(y) OVER (PARTITION BY event_type) AS st
+            FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+      g AS (SELECT *,
+                   CAST(round(1e6 * CAST((s1 * (n - n1) - (st - s1) * n1) AS DOUBLE)
+                        * CAST((s1 * (n - n1) - (st - s1) * n1) AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n1 AS DOUBLE)
+                           * CAST(n - n1 AS DOUBLE))) AS BIGINT) AS gain_u
+            FROM c WHERE n1 < n),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY event_type ORDER BY gain_u DESC, d ASC) AS rk
+            FROM g)
+      SELECT event_type, CAST(n AS BIGINT) AS n_days, d AS split_day,
+             round(CAST(s1 AS DOUBLE) / n1, 6) AS mean_left,
+             round(CAST(st - s1 AS DOUBLE) / (n - n1), 6) AS mean_right,
+             round(CAST(gain_u AS DOUBLE) / 1e6, 6) AS gain
+      FROM r WHERE rk = 1 ORDER BY event_type"""))
+
+  // --------------------------------------------------------------- q256
+
+  /** q256 — seasonal-naive backtest (MASE): over each type's daily
+    * count series, compare the 1-day-naive forecast |y_t − y_{t−1}|
+    * against the weekly-seasonal-naive |y_t − y_{t−7}| on the common
+    * evaluable region — MASE = MAE₁/MAE₇. The scale-free forecast
+    * skill score (Hyndman) every demand/capacity pipeline reports;
+    * MASE < 1 ⇒ yesterday beats last-week, i.e. weekly seasonality
+    * is NOT the dominant signal.
+    *
+    * Lags are per-type windows; absolute errors are exact integers,
+    * each MAE and the ratio a single final double.
+    */
+  val q256 = Q("q256_mase_backtest",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("d"))
+        .agg(count(lit(1)).as("y"))
+      val we = Window.partitionBy("event_type").orderBy("d")
+      daily
+        .withColumn("l1", lag("y", 1).over(we))
+        .withColumn("l7", lag("y", 7).over(we))
+        .filter(col("l7").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("y") - col("l1"))).as("_e1"),
+          sum(abs(col("y") - col("l7"))).as("_e7"))
+        .select(col("event_type"), col("n_eval"),
+          round(col("_e1").cast("double") / col("n_eval"), 6).as("mae_naive1"),
+          round(col("_e7").cast("double") / col("n_eval"), 6).as("mae_snaive7"),
+          round(col("_e1").cast("double") / col("_e7").cast("double"), 6).as("mase"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH daily AS (SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS d,
+                            CAST(count(*) AS BIGINT) AS y
+                     FROM events GROUP BY 1, 2),
+      l AS (SELECT event_type, y,
+                   lag(y, 1) OVER w AS l1, lag(y, 7) OVER w AS l7
+            FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d))
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+             round(CAST(sum(abs(y - l1)) AS DOUBLE) / count(*), 6) AS mae_naive1,
+             round(CAST(sum(abs(y - l7)) AS DOUBLE) / count(*), 6) AS mae_snaive7,
+             round(CAST(sum(abs(y - l1)) AS DOUBLE)
+                   / CAST(sum(abs(y - l7)) AS DOUBLE), 6) AS mase
+      FROM l WHERE l7 IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""))
+
+  // --------------------------------------------------------------- q257
+
+  /** q257 — delete-one-group jackknife for a ratio estimator: the
+    * standard error of "mean order value" (ΣS/ΣN) under nation-level
+    * resampling — the variance tool for estimators that DON'T
+    * decompose as per-row means (ratios, rates), with groups as the
+    * natural resampling unit on clustered data.
+    *
+    * One grouped pass gives per-nation (s_i, n_i); each leave-one-out
+    * replicate (S−s_i)/(N−n_i) is quantized to a 1e9-unit long and
+    * the 25-replicate moments accumulate exactly (squares in
+    * DECIMAL(38,0)) — no cross-group double summation.
+    */
+  val q257 = Q("q257_jackknife_ratio",
+    (s, dir) => {
+      val g = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("si"),
+          count(lit(1)).as("ni"))
+      val tot = g.groupBy().agg(sum("si").as("st"), sum("ni").as("nt"))
+      val reps = g.crossJoin(broadcast(tot))
+        .select(expr("""CAST(round(1e9 * CAST(st - si AS DOUBLE)
+                        / CAST(nt - ni AS DOUBLE)) AS BIGINT)""").as("ru"),
+          col("st"), col("nt"))
+      val m = reps.groupBy("st", "nt").agg(
+        count(lit(1)).as("g"), sum("ru").as("sr"),
+        sum(col("ru").cast(DecimalType(19, 0)) * col("ru").cast(DecimalType(19, 0))).as("srr"))
+      val gd = col("g").cast("double")
+      val sse = col("srr").cast("double") -
+        col("sr").cast("double") * col("sr").cast("double") / gd
+      m.select(col("g").as("n_groups"),
+        round(col("st").cast("double") / col("nt").cast("double"), 6).as("r_full_cents"),
+        round(sqrt((gd - 1.0) / gd * sse) / 1e9, 6).as("se_jack_cents"))
+    },
+    Some("""
+      WITH g AS (SELECT c_nationkey,
+                        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS si,
+                        CAST(count(*) AS BIGINT) AS ni
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 GROUP BY 1),
+      tot AS (SELECT CAST(sum(si) AS BIGINT) AS st,
+                     CAST(sum(ni) AS BIGINT) AS nt FROM g),
+      reps AS (SELECT CAST(round(1e9 * CAST(tot.st - g.si AS DOUBLE)
+                           / CAST(tot.nt - g.ni AS DOUBLE)) AS BIGINT) AS ru,
+                      tot.st, tot.nt
+               FROM g, tot),
+      m AS (SELECT st, nt, count(*) AS g, CAST(sum(ru) AS BIGINT) AS sr,
+                   sum(CAST(ru AS DECIMAL(19,0)) * CAST(ru AS DECIMAL(19,0))) AS srr
+            FROM reps GROUP BY st, nt)
+      SELECT CAST(g AS BIGINT) AS n_groups,
+             round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS r_full_cents,
+             round(sqrt((CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE)
+                   * (CAST(srr AS DOUBLE)
+                      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(g AS DOUBLE)))
+                   / 1e9, 6) AS se_jack_cents
+      FROM m"""))
+
+  // --------------------------------------------------------------- q258
+
+  /** q258 — capture-recapture vocabulary estimate: treat src0 and
+    * src1 as two independent "captures" of the corpus vocabulary and
+    * estimate the total from their overlap with the bias-corrected
+    * Chapman estimator (n₁+1)(n₂+1)/(m+1) − 1 — the ecology trick
+    * that transfers directly to "how many distinct X exist beyond
+    * what we sampled" (vocab, users, entities). The true two-source
+    * union rides along, so the output exposes the estimator's error
+    * on this corpus.
+    */
+  val q258 = Q("q258_capture_recapture",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val tok = Tables.load(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"),
+          explode(call_function("graft_shingle_hash_list", col("text"), lit(1))).as("uh"))
+        .distinct()
+      val per = tok.groupBy("uh").agg(
+        max(when(col("source") === "src0", 1L).otherwise(0L)).as("p1"),
+        max(when(col("source") === "src1", 1L).otherwise(0L)).as("p2"))
+      per.groupBy().agg(
+          sum("p1").as("n1"), sum("p2").as("n2"),
+          sum(col("p1") * col("p2")).as("overlap"),
+          count(lit(1)).as("union_vocab"))
+        .select(col("n1"), col("n2"), col("overlap"), col("union_vocab"),
+          round((col("n1") + 1).cast("double") * (col("n2") + 1).cast("double")
+            / (col("overlap") + 1).cast("double") - 1.0, 6).as("chapman_est"))
+    },
+    Some(s"""
+      WITH t AS (SELECT source, $duckTokens AS w FROM documents
+                 WHERE source IN ('src0', 'src1')),
+      tok AS (SELECT DISTINCT source,
+                unnest(list_transform(range(1, len(w)+1),
+                  i -> ${duckHash64("w[i]")} & ${Dedup.MinhashP})) AS uh
+              FROM t),
+      per AS (SELECT uh,
+                     max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS p1,
+                     max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS p2
+              FROM tok GROUP BY 1)
+      SELECT CAST(sum(p1) AS BIGINT) AS n1,
+             CAST(sum(p2) AS BIGINT) AS n2,
+             CAST(sum(p1 * p2) AS BIGINT) AS overlap,
+             count(*) AS union_vocab,
+             round(CAST(sum(p1) + 1 AS DOUBLE) * CAST(sum(p2) + 1 AS DOUBLE)
+                   / CAST(sum(p1 * p2) + 1 AS DOUBLE) - 1.0, 6) AS chapman_est
+      FROM per"""))
+
+  // --------------------------------------------------------------- q259
+
+  /** q259 — cumulative gains / lift table: embeddings scored by
+    * similarity to the class-0 centroid, bucketed into score deciles
+    * (boundaries broadcast off the bounded distinct-score grid — rows
+    * never globally ranked), with per-decile and cumulative response
+    * rates and lift — the targeting readout ("top 20% of scores
+    * captures X% of positives") behind every campaign/triage model
+    * review.
+    *
+    * The centroid and per-row dot reuse q143's quantized-mean +
+    * index-ordered-fold recipe, so scores are bit-identical across
+    * engines; deciles then compare integer micro-scores against the
+    * 9 broadcast boundaries (decile 1 = highest scores).
+    */
+  val q259 = Q("q259_cumulative_gains",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cent = emb.filter(col("label") === 0)
+        .select(posexplode(col("embedding")).as(Seq("_pos", "_v")))
+        .groupBy((col("_pos") + 1).as("dim"))
+        .agg((sum(round(col("_v").cast("double") * 1e6).cast("long")).cast("double")
+          / count(col("_v")) / 1e6).as("cv"))
+        .groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x.getField("cv")).as("cvec"))
+      val scored = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"),
+          when(col("label") === 0, 1L).otherwise(0L).as("resp"),
+          expr("""CAST(round(1e6 * aggregate(zip_with(embedding, cvec,
+                  (p, q) -> CAST(p AS DOUBLE) * q), CAST(0.0 AS DOUBLE),
+                  (acc, v) -> acc + v)) AS BIGINT)""").as("su"))
+      val wcdf = Window.orderBy("su").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bounds = scored.groupBy("su").agg(count(lit(1)).as("_c"))
+        .withColumn("_cum", sum("_c").over(wcdf))
+        .withColumn("_n", sum("_c").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .groupBy()
+        .agg(min(when(col("_cum") * 10 >= col("_n"), col("su"))).as("b1"),
+          (2 to 9).map(k =>
+            min(when(col("_cum") * 10 >= col("_n") * k, col("su"))).as(s"b$k")): _*)
+      val dec = scored.crossJoin(broadcast(bounds))
+        .select(col("resp"),
+          (lit(11) - (lit(1) + (1 to 9).map(k =>
+            when(col("su") > col(s"b$k"), 1).otherwise(0)).reduce(_ + _))).as("decile"))
+      val grid = dec.groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum("resp").as("responders"))
+      val wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = grid.groupBy().agg(sum("n").as("tn"), sum("responders").as("tr"))
+      grid
+        .withColumn("cum_n", sum("n").over(wd))
+        .withColumn("cum_r", sum("responders").over(wd))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n"), col("responders"),
+          round(col("responders").cast("double") / col("n"), 6).as("resp_rate"),
+          round(col("cum_r").cast("double") / col("cum_n"), 6).as("cum_rate"),
+          round(col("cum_r").cast("double") / col("cum_n")
+            / (col("tr").cast("double") / col("tn").cast("double")), 6).as("lift"))
+        .orderBy("decile")
+    },
+    Some(s"""
+      WITH c AS (SELECT d AS dim,
+               CAST(sum(CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000000.0 AS cv
+             FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) ds
+             WHERE label = 0 GROUP BY d),
+      v AS (SELECT list(cv ORDER BY dim) AS cvec FROM c),
+      scored AS (SELECT vec_id,
+                        CASE WHEN label = 0 THEN 1 ELSE 0 END AS resp,
+                        CAST(round(1e6 * list_reduce(list_transform(range(1, len(embedding)+1),
+                          i -> CAST(embedding[i] AS DOUBLE) * cvec[i]), (x, y) -> x + y))
+                          AS BIGINT) AS su
+                 FROM embeddings, v),
+      bounds AS (SELECT min(CASE WHEN cum * 10 >= n * 1 THEN su END) AS b1,
+                        min(CASE WHEN cum * 10 >= n * 2 THEN su END) AS b2,
+                        min(CASE WHEN cum * 10 >= n * 3 THEN su END) AS b3,
+                        min(CASE WHEN cum * 10 >= n * 4 THEN su END) AS b4,
+                        min(CASE WHEN cum * 10 >= n * 5 THEN su END) AS b5,
+                        min(CASE WHEN cum * 10 >= n * 6 THEN su END) AS b6,
+                        min(CASE WHEN cum * 10 >= n * 7 THEN su END) AS b7,
+                        min(CASE WHEN cum * 10 >= n * 8 THEN su END) AS b8,
+                        min(CASE WHEN cum * 10 >= n * 9 THEN su END) AS b9
+                 FROM (SELECT su, sum(c) OVER (ORDER BY su
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                         sum(c) OVER () AS n
+                       FROM (SELECT su, count(*) AS c FROM scored GROUP BY 1))),
+      dec AS (SELECT resp,
+                     11 - (1 + (su > b1)::INT + (su > b2)::INT + (su > b3)::INT
+                         + (su > b4)::INT + (su > b5)::INT + (su > b6)::INT
+                         + (su > b7)::INT + (su > b8)::INT + (su > b9)::INT) AS decile
+              FROM scored, bounds),
+      grid AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(resp) AS BIGINT) AS responders
+               FROM dec GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                     CAST(sum(responders) AS BIGINT) AS tr FROM grid),
+      cum AS (SELECT decile, n, responders,
+                     sum(n) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                     sum(responders) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r
+              FROM grid)
+      SELECT decile, n, responders,
+             round(CAST(responders AS DOUBLE) / n, 6) AS resp_rate,
+             round(CAST(cum_r AS DOUBLE) / cum_n, 6) AS cum_rate,
+             round(CAST(cum_r AS DOUBLE) / cum_n
+                   / (CAST(tot.tr AS DOUBLE) / CAST(tot.tn AS DOUBLE)), 6) AS lift
+      FROM cum, tot ORDER BY decile"""))
+
+  val all: Seq[Q] = Seq(q237, q238, q239, q240, q241, q242, q243, q244,
+    q254, q255, q256, q257, q258, q259)
 }

@@ -188,6 +188,103 @@ class InferQueriesSpec extends SparkSpec {
     assert(out(7).asInstanceOf[Double] <= 1.0 + 1e-9)
   }
 
+  test("q254: S matches a brute-force pairwise sign count per nation") {
+    val out = rows(InferQueries.q254.fn(spark, sf))
+      .map(r => r(0).asInstanceOf[String] -> (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])).toMap
+    val monthly = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    monthly.groupBy(_._1).foreach { case (nation, pts) =>
+      val s = (for { a <- pts; b <- pts if a._2 < b._2 }
+        yield java.lang.Long.signum(b._3 - a._3).toLong).sum
+      assert(out(nation) == ((pts.length.toLong, s)), s"$nation: ${out(nation)} vs ($s)")
+    }
+  }
+
+  test("q255: chosen split maximizes the brute-force between-segment gain") {
+    val out = rows(InferQueries.q255.fn(spark, sf))
+      .map(r => r(0).asInstanceOf[String] -> (r(2).asInstanceOf[Long], r(5).asInstanceOf[Double])).toMap
+    val daily = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (et, pts0) =>
+      val pts = pts0.sortBy(_._2)
+      val n = pts.length
+      if (n >= 2) {
+        val gains = (1 until n).map { k =>
+          val s1 = pts.take(k).map(_._3).sum; val s2 = pts.drop(k).map(_._3).sum
+          val d = (s1 * (n - k) - s2 * k).toDouble
+          (pts(k - 1)._2, math.round(1e6 * d * d / (n.toDouble * k * (n - k))))
+        }
+        val best = gains.minBy { case (day, g) => (-g, day) }
+        assert(out(et)._1 == best._1, s"$et: split ${out(et)._1} vs ${best._1}")
+        assert(math.abs(out(et)._2 - best._2 / 1e6) < 1e-5)
+      }
+    }
+  }
+
+  test("q256: MASE is the exact ratio of the two integer error sums") {
+    val out = rows(InferQueries.q256.fn(spark, sf))
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r(1).asInstanceOf[Long].toDouble
+      val mae1 = r(2).asInstanceOf[Double]; val mae7 = r(3).asInstanceOf[Double]
+      val mase = r(4).asInstanceOf[Double]
+      assert(mae1 >= 0 && mae7 >= 0)
+      assert(math.abs(mase - mae1 / mae7) < 1e-4, s"inconsistent row $r")
+      assert(n > 0 && n <= 23, s"eval region must be days 8..30: $r")
+    }
+  }
+
+  test("q257: jackknife SE matches a direct leave-one-out replay") {
+    val out = rows(InferQueries.q257.fn(spark, sf)).head
+    val g = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("si"),
+        count(lit(1)).as("ni"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val st = g.map(_._1).sum; val nt = g.map(_._2).sum; val k = g.length
+    val reps = g.map { case (si, ni) => math.round(1e9 * (st - si).toDouble / (nt - ni)) }
+    val mean = reps.sum.toDouble / k
+    val sse = reps.map(r => (r - mean) * (r - mean)).sum
+    val se = math.sqrt((k - 1.0) / k * sse) / 1e9
+    assert(out(0).asInstanceOf[Long] == k.toLong)
+    assert(math.abs(out(1).asInstanceOf[Double] - st.toDouble / nt) < 1e-4)
+    assert(math.abs(out(2).asInstanceOf[Double] / se - 1.0) < 1e-6, s"se $out vs $se")
+  }
+
+  test("q258: Chapman estimate is consistent with its inputs and bounded below by the overlap identity") {
+    val out = rows(InferQueries.q258.fn(spark, sf)).head
+    val (n1, n2, m, u) = (out(0).asInstanceOf[Long], out(1).asInstanceOf[Long],
+      out(2).asInstanceOf[Long], out(3).asInstanceOf[Long])
+    assert(u == n1 + n2 - m, "inclusion-exclusion violated")
+    val chapman = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    assert(math.abs(out(4).asInstanceOf[Double] - chapman) < 1e-4)
+    assert(chapman >= u - 1e-9, "estimate below the observed union")
+  }
+
+  test("q259: gains table is consistent — counts conserve, lift ends at 1") {
+    val out = rows(InferQueries.q259.fn(spark, sf))
+    val n = out.map(_(1).asInstanceOf[Long]).sum
+    val r = out.map(_(2).asInstanceOf[Long]).sum
+    val emb = Tables.load(spark, sf, "embeddings")
+    assert(n == emb.count())
+    assert(r == emb.filter(col("label") === 0).count())
+    val last = out.maxBy(_(0).asInstanceOf[Int])
+    assert(math.abs(last(5).asInstanceOf[Double] - 1.0) < 1e-6,
+      s"cumulative lift at decile 10 must be 1: $last")
+    // deciles near-balanced: boundaries are exact-CDF quantiles
+    val sizes = out.map(_(1).asInstanceOf[Long])
+    assert(sizes.max - sizes.min <= math.max(4, n / 5),
+      s"deciles badly unbalanced: $sizes")
+  }
+
   test("q244: JSD bounded by ln 2 and symmetric under source swap") {
     val out = rows(InferQueries.q244.fn(spark, sf)).head
     val jsd = out(3).asInstanceOf[Double]
