@@ -688,5 +688,427 @@ object AnalyticsQueries {
       WHERE jaro_winkler_similarity(a.t, b.t) >= 0.9
       ORDER BY da, db"""))
 
-  val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252, q253)
+  // --------------------------------------------------------------- q260
+
+  /** q260 — average precision (area under the precision-recall curve,
+    * hit-interpolated): the eval-set ranking from q259's centroid
+    * scores, judged against the class-0 labels. AP is the metric of
+    * record when positives are rare and q134's ROC-AUC flatters
+    * (ROC's false-positive axis barely moves on an imbalanced set).
+    *
+    * AP = (1/R)·Σ_{hits} P@k, with each P@k = hits_so_far/k quantized
+    * to a 1e9 long — the running sums are exact in any order. The
+    * global rank runs over the bounded scored eval sample (q134's
+    * whitelisted shape).
+    */
+  val q260 = Q("q260_average_precision",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cent = emb.filter(col("label") === 0)
+        .select(posexplode(col("embedding")).as(Seq("_pos", "_v")))
+        .groupBy((col("_pos") + 1).as("dim"))
+        .agg((sum(round(col("_v").cast("double") * 1e6).cast("long")).cast("double")
+          / count(col("_v")) / 1e6).as("cv"))
+        .groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x.getField("cv")).as("cvec"))
+      val scored = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"),
+          when(col("label") === 0, 1L).otherwise(0L).as("rel"),
+          expr("""CAST(round(1e6 * aggregate(zip_with(embedding, cvec,
+                  (p, q) -> CAST(p AS DOUBLE) * q), CAST(0.0 AS DOUBLE),
+                  (acc, v) -> acc + v)) AS BIGINT)""").as("su"))
+      val w = Window.orderBy(desc("su"), col("vec_id"))
+      val ranked = scored
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("cum_rel", sum("rel").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ranked.groupBy()
+        .agg(count(lit(1)).as("n"), sum("rel").as("n_pos"),
+          sum(when(col("rel") === 1,
+            expr("CAST(round(1e9 * CAST(cum_rel AS DOUBLE) / CAST(rnk AS DOUBLE)) AS BIGINT)"))
+            .otherwise(0L)).as("_ap_u"),
+          max(when(col("rnk") === 100, col("cum_rel"))).as("_c100"))
+        .select(col("n"), col("n_pos"),
+          round(col("_ap_u").cast("double") / col("n_pos").cast("double") / 1e9, 6)
+            .as("avg_precision"),
+          round(col("_c100").cast("double") / 100.0, 6).as("p_at_100"))
+    },
+    Some("""
+      WITH c AS (SELECT d AS dim,
+               CAST(sum(CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000000.0 AS cv
+             FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) ds
+             WHERE label = 0 GROUP BY d),
+      v AS (SELECT list(cv ORDER BY dim) AS cvec FROM c),
+      scored AS (SELECT vec_id,
+                        CASE WHEN label = 0 THEN 1 ELSE 0 END AS rel,
+                        CAST(round(1e6 * list_reduce(list_transform(range(1, len(embedding)+1),
+                          i -> CAST(embedding[i] AS DOUBLE) * cvec[i]), (x, y) -> x + y))
+                          AS BIGINT) AS su
+                 FROM embeddings, v),
+      ranked AS (SELECT rel,
+                        row_number() OVER (ORDER BY su DESC, vec_id ASC) AS rnk,
+                        sum(rel) OVER (ORDER BY su DESC, vec_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rel
+                 FROM scored)
+      SELECT count(*) AS n, CAST(sum(rel) AS BIGINT) AS n_pos,
+             round(CAST(sum(CASE WHEN rel = 1 THEN
+                       CAST(round(1e9 * CAST(cum_rel AS DOUBLE) / CAST(rnk AS DOUBLE)) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(rel) AS DOUBLE) / 1e9, 6) AS avg_precision,
+             round(CAST(max(CASE WHEN rnk = 100 THEN cum_rel END) AS DOUBLE) / 100.0, 6)
+               AS p_at_100
+      FROM ranked"""))
+
+  // --------------------------------------------------------------- q261
+
+  /** q261 — two-proportion z-test: do 'click'-acquired users convert
+    * (purchase within 72 h of acquisition — time-bounded, so the
+    * metric can't saturate the way lifetime-ever conversion does on a
+    * dense stream) at a different rate than 'view'-acquired users?
+    * The pooled-variance conversion test behind every A/B readout.
+    *
+    * Degenerate inputs (an empty cohort, all-convert or none-convert
+    * — both make the pooled variance 0) yield a NULL z on both
+    * engines rather than an ANSI divide-by-zero.
+    */
+  val q261 = Q("q261_two_proportion_z",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("_sec"))
+      val wu = Window.partitionBy("user_id").orderBy(col("_sec").asc, col("event_id").asc)
+      val users = ev
+        .withColumn("_rn", row_number().over(wu))
+        .withColumn("_fsec", min("_sec").over(Window.partitionBy("user_id")))
+        .groupBy("user_id")
+        .agg(max(when(col("_rn") === 1, col("event_type"))).as("cohort"),
+          max(when(col("event_type") === "purchase"
+            && col("_sec") <= col("_fsec") + 259200L, 1L).otherwise(0L)).as("conv"))
+        .filter(col("cohort").isin("click", "view"))
+      val m = users.groupBy().agg(
+        sum(when(col("cohort") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("cohort") === "click", col("conv")).otherwise(0L)).as("x1"),
+        sum(when(col("cohort") === "view", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("cohort") === "view", col("conv")).otherwise(0L)).as("x2"))
+      val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+      val p1 = col("x1").cast("double") / n1
+      val p2 = col("x2").cast("double") / n2
+      val pp = (col("x1") + col("x2")).cast("double") / (n1 + n2)
+      val degenerate = col("n1") === 0 || col("n2") === 0 ||
+        col("x1") + col("x2") === 0 || col("x1") + col("x2") === col("n1") + col("n2")
+      m.select(col("n1"), col("x1"), col("n2"), col("x2"),
+        when(col("n1") === 0, lit(null)).otherwise(round(p1, 6)).as("rate1"),
+        when(col("n2") === 0, lit(null)).otherwise(round(p2, 6)).as("rate2"),
+        when(degenerate, lit(null))
+          .otherwise(round((p1 - p2)
+            / sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2)), 6))
+          .as("z_two_prop"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(ts) // 1000000 AS sec FROM events),
+      fe AS (SELECT user_id, event_type,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY sec ASC, event_id ASC) AS rn,
+                    min(sec) OVER (PARTITION BY user_id) AS fsec
+             FROM e),
+      u AS (SELECT e.user_id, f.fsec,
+                   max(CASE WHEN e.event_type = 'purchase'
+                                 AND e.sec <= f.fsec + 259200
+                            THEN 1 ELSE 0 END) AS conv
+            FROM e JOIN (SELECT DISTINCT user_id, fsec FROM fe) f
+              ON e.user_id = f.user_id
+            GROUP BY 1, 2),
+      uc AS (SELECT u.user_id, fe.event_type AS cohort, u.conv
+             FROM u JOIN fe ON u.user_id = fe.user_id AND fe.rn = 1
+             WHERE fe.event_type IN ('click', 'view')),
+      m AS (SELECT
+              CAST(sum(CASE WHEN cohort = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              CAST(sum(CASE WHEN cohort = 'click' THEN conv ELSE 0 END) AS BIGINT) AS x1,
+              CAST(sum(CASE WHEN cohort = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+              CAST(sum(CASE WHEN cohort = 'view' THEN conv ELSE 0 END) AS BIGINT) AS x2
+            FROM uc)
+      SELECT n1, x1, n2, x2,
+             CASE WHEN n1 = 0 THEN NULL
+                  ELSE round(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) END AS rate1,
+             CASE WHEN n2 = 0 THEN NULL
+                  ELSE round(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) END AS rate2,
+             CASE WHEN n1 = 0 OR n2 = 0 OR x1 + x2 = 0 OR x1 + x2 = n1 + n2 THEN NULL
+                  ELSE round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                              - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                       / sqrt(CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+                              * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                              * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6)
+             END AS z_two_prop
+      FROM m"""))
+
+  // --------------------------------------------------------------- q262
+
+  /** q262 — fuzzy entity resolution: q253's Jaro-Winkler link pairs
+    * (≥0.9 within first-token blocks) closed into entities by
+    * min-label connected components — the blocking → pairwise-match →
+    * transitive-closure pipeline every master-data/entity-resolution
+    * system runs, here composed entirely from the engine's own
+    * operators (JW expression + Dedup.connectedComponents fixpoint).
+    *
+    * The oracle replays the closure with a recursive CTE — label
+    * propagation as recursive SQL — practical because matched
+    * components are tiny even when the corpus is not (the blocking
+    * contract).
+    */
+  val q262 = Q("q262_fuzzy_entity_clusters",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val p = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 48).as("t"),
+          element_at(split(col("text"), " "), 1).as("blk"))
+      val a = p.select(col("doc_id").as("da"), col("t").as("ta"), col("blk"))
+      val b = p.select(col("doc_id").as("db"), col("t").as("tb"), col("blk"))
+      val pairs = a.join(b, "blk")
+        .filter(col("da") < col("db"))
+        .filter(call_function("graft_jaro_winkler", col("ta"), col("tb")) >= 0.9)
+        .select("da", "db")
+      graft.operators.Dedup.connectedComponents(pairs, "da", "db")
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
+        .orderBy("cluster_id")
+    },
+    Some("""
+      WITH RECURSIVE p AS (
+        SELECT doc_id, substr(text, 1, 48) AS t,
+               split_part(text, ' ', 1) AS blk
+        FROM documents),
+      pr AS (SELECT a.doc_id AS da, b.doc_id AS db
+             FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+             WHERE jaro_winkler_similarity(a.t, b.t) >= 0.9),
+      e AS (SELECT da AS u, db AS v FROM pr
+            UNION ALL SELECT db, da FROM pr),
+      n AS (SELECT DISTINCT u AS id FROM e),
+      r(id, lab) AS (
+        SELECT id, id FROM n
+        UNION
+        SELECT e.v, r.lab FROM r JOIN e ON r.id = e.u),
+      comp AS (SELECT id, min(lab) AS cluster_id FROM r GROUP BY id)
+      SELECT cluster_id, count(*) AS n_docs
+      FROM comp GROUP BY cluster_id ORDER BY cluster_id"""))
+
+  // --------------------------------------------------------------- q263
+
+  /** q263 — Cochran-Armitage trend test: does the share of high-value
+    * orders (> $250k) trend monotonically across the FIVE ORDERED
+    * priority classes? The dose-response test for a binary outcome
+    * against an ordered factor — χ² (q129) would only say "different
+    * somewhere"; this scores the ordering itself, with integer scores
+    * w = 1..5 taken from the priority digit.
+    *
+    * z = Σw(xᵢ − p̄nᵢ) / √(p̄(1−p̄)(Σw²nᵢ − (Σwnᵢ)²/N)) — five-group
+    * exact counts in, one double out.
+    */
+  val q263 = Q("q263_cochran_armitage",
+    (s, dir) => {
+      val g = Tables.load(s, dir, "orders")
+        .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("w"),
+          when(expr("CAST(round(o_totalprice * 100) AS BIGINT)") > 25000000L, 1L)
+            .otherwise(0L).as("hi"))
+        .groupBy("w").agg(count(lit(1)).as("n"), sum("hi").as("x"))
+      val m = g.groupBy().agg(
+        sum("n").as("nt"), sum("x").as("xt"),
+        sum(col("w") * col("x")).as("swx"),
+        sum(col("w") * col("n")).as("swn"),
+        sum(col("w") * col("w") * col("n")).as("swwn"))
+      val ntd = col("nt").cast("double")
+      val pbar = col("xt").cast("double") / ntd
+      m.select(col("nt").as("n_total"), col("xt").as("x_total"),
+        round((col("swx").cast("double") - pbar * col("swn").cast("double"))
+          / sqrt(pbar * (lit(1.0) - pbar)
+            * (col("swwn").cast("double")
+              - col("swn").cast("double") * col("swn").cast("double") / ntd)), 6)
+          .as("z_trend"))
+    },
+    Some("""
+      WITH g AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+                        count(*) AS n,
+                        CAST(sum(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                                          > 25000000 THEN 1 ELSE 0 END) AS BIGINT) AS x
+                 FROM orders GROUP BY 1),
+      m AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(x) AS BIGINT) AS xt,
+                   CAST(sum(w * x) AS BIGINT) AS swx,
+                   CAST(sum(w * n) AS BIGINT) AS swn,
+                   CAST(sum(w * w * n) AS BIGINT) AS swwn
+            FROM g)
+      SELECT nt AS n_total, xt AS x_total,
+             round((CAST(swx AS DOUBLE)
+                    - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE) * CAST(swn AS DOUBLE))
+                   / sqrt(CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+                          * (1.0 - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+                          * (CAST(swwn AS DOUBLE)
+                             - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+                               / CAST(nt AS DOUBLE))), 6) AS z_trend
+      FROM m"""))
+
+  // --------------------------------------------------------------- q264
+
+  /** q264 — Ljung-Box portmanteau test (lags 1–7) per event type:
+    * Q = n(n+2)·Σ ρ̂ₖ²/(n−k) over the daily count series — "is there
+    * ANY autocorrelation structure in the first week of lags", the
+    * whiteness test q140's single-lag autocorrelation can't answer.
+    *
+    * Each lag's products come from one equi-join of the daily rollup
+    * against itself shifted k days (k from a 7-row literal, join keys
+    * (type, day) — never a cross join); ρ̂ₖ is assembled from exact
+    * integer sums and quantized to a 1e9 long, so the 7-term sum is
+    * exact and Q is one final double per type.
+    */
+  val q264 = Q("q264_ljung_box",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("d"))
+        .agg(count(lit(1)).as("y"))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+      val lags = (1 to 7).toDF("k")
+      val la = daily.select(col("event_type"), col("d"), col("y").as("ya"))
+        .crossJoin(broadcast(lags))
+      val lb = daily.select(col("event_type"),
+        col("d").as("d2"), col("y").as("yb"))
+      val prods = la.join(lb,
+          la("event_type") === lb("event_type") && col("d2") === col("d") + col("k"))
+        .groupBy(la("event_type").as("et"), col("k"))
+        .agg(count(lit(1)).as("nk"), sum(col("ya") * col("yb")).as("pk"),
+          sum("ya").as("ak"), sum("yb").as("bk"))
+      val rho = prods.join(tot.withColumnRenamed("event_type", "et"), "et")
+        .withColumn("_ybar", col("sy").cast("double") / col("n").cast("double"))
+        .withColumn("_den",
+          col("syy").cast("double") - col("sy").cast("double") * col("_ybar"))
+        .withColumn("rho_u", expr(
+          """CAST(round(1e9 * (CAST(pk AS DOUBLE) - _ybar * CAST(ak + bk AS DOUBLE)
+             + CAST(nk AS DOUBLE) * _ybar * _ybar) / _den) AS BIGINT)"""))
+      rho.groupBy(col("et").as("event_type"))
+        .agg(max("n").as("n_days"),
+          sum(expr(
+            """CAST(round(1e9 * (CAST(rho_u AS DOUBLE) / 1e9) * (CAST(rho_u AS DOUBLE) / 1e9)
+               / CAST(n - k AS DOUBLE)) AS BIGINT)""")).as("_q_u"))
+        .select(col("event_type"), col("n_days"),
+          round(col("n_days").cast("double") * (col("n_days") + 2).cast("double")
+            * col("_q_u").cast("double") / 1e9, 6).as("q_ljung_box"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH daily AS (SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS d,
+                            CAST(count(*) AS BIGINT) AS y
+                     FROM events GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM daily GROUP BY 1),
+      lags AS (SELECT unnest(range(1, 8)) AS k),
+      prods AS (SELECT a.event_type AS et, lags.k,
+                       CAST(count(*) AS BIGINT) AS nk,
+                       CAST(sum(a.y * b.y) AS BIGINT) AS pk,
+                       CAST(sum(a.y) AS BIGINT) AS ak,
+                       CAST(sum(b.y) AS BIGINT) AS bk
+                FROM daily a CROSS JOIN lags
+                JOIN daily b ON b.event_type = a.event_type
+                            AND b.d = a.d + lags.k
+                GROUP BY 1, 2),
+      rho AS (SELECT p.et, p.k, t.n,
+                     CAST(round(1e9 * (CAST(p.pk AS DOUBLE)
+                          - (CAST(t.sy AS DOUBLE) / CAST(t.n AS DOUBLE))
+                            * CAST(p.ak + p.bk AS DOUBLE)
+                          + CAST(p.nk AS DOUBLE)
+                            * (CAST(t.sy AS DOUBLE) / CAST(t.n AS DOUBLE))
+                            * (CAST(t.sy AS DOUBLE) / CAST(t.n AS DOUBLE)))
+                          / (CAST(t.syy AS DOUBLE)
+                             - CAST(t.sy AS DOUBLE)
+                               * (CAST(t.sy AS DOUBLE) / CAST(t.n AS DOUBLE))))
+                       AS BIGINT) AS rho_u
+              FROM prods p JOIN tot t ON p.et = t.event_type)
+      SELECT et AS event_type, CAST(max(n) AS BIGINT) AS n_days,
+             round(CAST(max(n) AS DOUBLE) * CAST(max(n) + 2 AS DOUBLE)
+                   * CAST(sum(CAST(round(1e9 * (CAST(rho_u AS DOUBLE) / 1e9)
+                         * (CAST(rho_u AS DOUBLE) / 1e9)
+                         / CAST(n - k AS DOUBLE)) AS BIGINT)) AS DOUBLE) / 1e9, 6)
+               AS q_ljung_box
+      FROM rho GROUP BY et ORDER BY et"""))
+
+  // --------------------------------------------------------------- q265
+
+  /** q265 — Simpson's-paradox audit: compare urgent-vs-low mean order
+    * value POOLED and WITHIN each nation stratum, counting strata
+    * whose sign agrees with / flips against the pooled sign. The
+    * aggregation-reversal check every metrics review needs before
+    * trusting a pooled difference; all sign decisions are exact
+    * integer cross-multiplications (s₁n₂ vs s₂n₁) — no float
+    * comparisons anywhere.
+    */
+  val q265 = Q("q265_simpson_audit",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nat"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("g1"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("ct"))
+      val strata = o.groupBy("nat").agg(
+        sum(when(col("g1") === 1, col("ct")).otherwise(0L)).as("s1"),
+        sum("g1").as("n1"),
+        sum(when(col("g1") === 0, col("ct")).otherwise(0L)).as("s2"),
+        sum(lit(1L) - col("g1")).as("n2"))
+        .filter(col("n1") > 0 && col("n2") > 0)
+      val pooled = strata.groupBy().agg(
+        sum("s1").as("ps1"), sum("n1").as("pn1"),
+        sum("s2").as("ps2"), sum("n2").as("pn2"))
+      val sgn = signum((col("s1") * col("n2") - col("s2") * col("n1")).cast("double")).cast("int")
+      val psgn = signum((col("ps1") * col("pn2") - col("ps2") * col("pn1")).cast("double")).cast("int")
+      strata.crossJoin(broadcast(pooled))
+        .select(sgn.as("d"), psgn.as("pd"),
+          col("ps1"), col("pn1"), col("ps2"), col("pn2"))
+        .groupBy("pd", "ps1", "pn1", "ps2", "pn2")
+        .agg(count(lit(1)).as("n_strata"),
+          sum(when(col("d") === col("pd"), 1L).otherwise(0L)).as("n_agree"),
+          sum(when(col("d") === -col("pd"), 1L).otherwise(0L)).as("n_flip"),
+          sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_tie"))
+        .select(col("n_strata"), col("n_agree"), col("n_flip"), col("n_tie"),
+          col("pd").as("pooled_sign"),
+          round(col("ps1").cast("double") / col("pn1").cast("double")
+            - col("ps2").cast("double") / col("pn2").cast("double"), 6)
+            .as("pooled_diff_cents"),
+          (col("n_flip") > col("n_agree")).as("simpson_flag"))
+    },
+    Some("""
+      WITH o AS (SELECT c_nationkey AS nat,
+                        CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS ct
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      strata AS (SELECT nat,
+                        CAST(sum(CASE WHEN g1 = 1 THEN ct ELSE 0 END) AS BIGINT) AS s1,
+                        CAST(sum(g1) AS BIGINT) AS n1,
+                        CAST(sum(CASE WHEN g1 = 0 THEN ct ELSE 0 END) AS BIGINT) AS s2,
+                        CAST(sum(1 - g1) AS BIGINT) AS n2
+                 FROM o GROUP BY 1
+                 HAVING sum(g1) > 0 AND sum(1 - g1) > 0),
+      pooled AS (SELECT CAST(sum(s1) AS BIGINT) AS ps1, CAST(sum(n1) AS BIGINT) AS pn1,
+                        CAST(sum(s2) AS BIGINT) AS ps2, CAST(sum(n2) AS BIGINT) AS pn2
+                 FROM strata),
+      j AS (SELECT sign(s1 * n2 - s2 * n1) AS d,
+                   sign(ps1 * pn2 - ps2 * pn1) AS pd,
+                   ps1, pn1, ps2, pn2
+            FROM strata, pooled)
+      SELECT count(*) AS n_strata,
+             CAST(sum(CASE WHEN d = pd THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+             CAST(sum(CASE WHEN d = -pd THEN 1 ELSE 0 END) AS BIGINT) AS n_flip,
+             CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie,
+             CAST(pd AS INT) AS pooled_sign,
+             round(CAST(ps1 AS DOUBLE) / CAST(pn1 AS DOUBLE)
+                   - CAST(ps2 AS DOUBLE) / CAST(pn2 AS DOUBLE), 6) AS pooled_diff_cents,
+             sum(CASE WHEN d = -pd THEN 1 ELSE 0 END)
+               > sum(CASE WHEN d = pd THEN 1 ELSE 0 END) AS simpson_flag
+      FROM j GROUP BY pd, ps1, pn1, ps2, pn2"""))
+
+  val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252, q253,
+    q260, q261, q262, q263, q264, q265)
 }

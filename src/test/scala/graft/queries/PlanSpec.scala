@@ -254,7 +254,8 @@ class PlanSpec extends SparkSpec {
       "q237_mann_whitney",      // rank offsets over the ≤50-row distinct-quantity grid
       "q242_logrank",           // at-risk cumsum over the ≤720-row duration-hour grid
       "q247_rfm_segments",      // quintile boundaries over the 3 bounded distinct-value grids
-      "q259_cumulative_gains")  // decile boundaries + 10-row gains rollup over the scored eval set
+      "q259_cumulative_gains",  // decile boundaries + 10-row gains rollup over the scored eval set
+      "q260_average_precision") // PR rank over the scored eval sample (q134's shape)
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.optimizedPlan
