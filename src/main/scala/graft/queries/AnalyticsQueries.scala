@@ -1109,6 +1109,299 @@ object AnalyticsQueries {
                > sum(CASE WHEN d = pd THEN 1 ELSE 0 END) AS simpson_flag
       FROM j GROUP BY pd, ps1, pn1, ps2, pn2"""))
 
+  // --------------------------------------------------------------- q266
+
+  /** q266 — timed funnel: view → click → purchase with EVERY step
+    * required within 1 h of the previous one — the time-constrained
+    * sequence-pattern count (MATCH_RECOGNIZE territory) that q89's
+    * unbounded funnel overstates: a click three weeks after the view
+    * is not the same journey.
+    *
+    * Stage k is the earliest qualifying event after stage k−1's
+    * timestamp within its window — each stage one grouped min over an
+    * equi-joined filter, so the whole funnel is three linear passes,
+    * no per-user sequence materialization.
+    */
+  val q266 = Q("q266_timed_funnel",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("sec").as("t0"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("sec") >= col("t0") && col("sec") <= col("t0") + 3600L)
+        .groupBy("user_id").agg(min("sec").as("t1"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("sec") >= col("t1") && col("sec") <= col("t1") + 3600L)
+        .groupBy("user_id").agg(min("sec").as("t2"))
+      val nv = v.agg(count(lit(1)).as("n")).select(lit(1).as("stage_idx"),
+        lit("view").as("stage"), col("n"))
+      val nc = c.agg(count(lit(1)).as("n")).select(lit(2).as("stage_idx"),
+        lit("click_within_1h").as("stage"), col("n"))
+      val np = p.agg(count(lit(1)).as("n")).select(lit(3).as("stage_idx"),
+        lit("purchase_within_1h").as("stage"), col("n"))
+      nv.union(nc).union(np).orderBy("stage_idx")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type,
+                        epoch_us(ts) // 1000000 AS sec FROM events),
+      v AS (SELECT user_id, min(sec) AS t0 FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.sec) AS t1
+            FROM e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click'
+              AND e.sec >= v.t0 AND e.sec <= v.t0 + 3600
+            GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.sec) AS t2
+            FROM e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.sec >= c.t1 AND e.sec <= c.t1 + 3600
+            GROUP BY 1)
+      SELECT 1 AS stage_idx, 'view' AS stage,
+             CAST((SELECT count(*) FROM v) AS BIGINT) AS n
+      UNION ALL
+      SELECT 2, 'click_within_1h', CAST((SELECT count(*) FROM c) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'purchase_within_1h', CAST((SELECT count(*) FROM p) AS BIGINT)
+      ORDER BY stage_idx"""))
+
+  // --------------------------------------------------------------- q267
+
+  /** q267 — degree assortativity of the co-purchase graph: the
+    * Pearson correlation of endpoint degrees over edges (both
+    * orientations) — do hubs attach to hubs (assortative, r>0) or to
+    * leaves (disassortative, r<0)? The one-number wiring fingerprint
+    * distinguishing social-style graphs from dependency-style graphs,
+    * off the same bounded edge list as q163/q245/q246.
+    *
+    * Degrees are integers ≤ √(2m) after the cnt≥2 filter, so all five
+    * moments fit exact longs; r is one final double.
+    */
+  val q267 = Q("q267_assortativity",
+    (s, dir) => {
+      val items = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = items.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(slice(ids, i + 1, size(ids)),
+                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(false) // degrees + directed edge expansion
+      val deg = pairs.select(explode(array(col("pa"), col("pb"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val ends = pairs
+        .select(col("pa").as("u"), col("pb").as("w"))
+        .union(pairs.select(col("pb").as("u"), col("pa").as("w")))
+        .join(deg.select(col("v").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("v").as("w"), col("d").as("dw")), "w")
+      val m = ends.groupBy().agg(
+        count(lit(1)).as("n"),
+        sum("du").as("sx"), sum("dw").as("sy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dw") * col("dw")).as("syy"),
+        sum(col("du") * col("dw")).as("sxy"))
+      val nd = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      m.select(col("n").as("n_edge_ends"),
+        round((nd * col("sxy").cast("double") - sx * sy)
+          / (sqrt(nd * col("sxx").cast("double") - sx * sx)
+            * sqrt(nd * col("syy").cast("double") - sy * sy)), 6)
+          .as("assortativity_r"))
+    },
+    Some("""
+      WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      p0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cnt
+             FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2),
+      e AS (SELECT pa, pb FROM p0 WHERE cnt >= 2),
+      deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)
+              GROUP BY v),
+      ends AS (SELECT du.d AS du, dw.d AS dw
+               FROM (SELECT pa AS u, pb AS w FROM e
+                     UNION ALL SELECT pb, pa FROM e) x
+               JOIN deg du ON x.u = du.v
+               JOIN deg dw ON x.w = dw.v),
+      m AS (SELECT count(*) AS n,
+                   CAST(sum(du) AS BIGINT) AS sx, CAST(sum(dw) AS BIGINT) AS sy,
+                   CAST(sum(du * du) AS BIGINT) AS sxx,
+                   CAST(sum(dw * dw) AS BIGINT) AS syy,
+                   CAST(sum(du * dw) AS BIGINT) AS sxy
+            FROM ends)
+      SELECT CAST(n AS BIGINT) AS n_edge_ends,
+             round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS assortativity_r
+      FROM m"""))
+
+  // --------------------------------------------------------------- q268
+
+  /** q268 — mutual nearest neighbors in embedding space: pairs (a, b)
+    * where b is a's top cosine neighbor AND a is b's — the
+    * reciprocal-best-match criterion behind bitext mining and
+    * high-precision near-dup linking (one-sided NN chains through hub
+    * vectors; mutuality kills the hubs). Brute-force scoring via the
+    * codegen'd `graft_dot` over the broadcast eval set; at corpus
+    * scale the same mutuality test runs over q41/q48's LSH/IVF
+    * shortlists instead — the operator contract (top-1 each side,
+    * tie-broken by id) is unchanged.
+    */
+  val q268 = Q("q268_mutual_nn",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      // norms once per vector BEFORE the pair fan-out, not once per pair
+      val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+        expr("""sqrt(aggregate(zip_with(embedding, embedding,
+               (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
+               CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))""").as("na"))
+      val b = emb.select(col("vec_id").as("nb"), col("embedding").as("eb"),
+        col("na").as("nn"))
+      val sims = emb.join(broadcast(b), col("vec_id") =!= col("nb"))
+        .select(col("vec_id"), col("nb"),
+          (call_function("graft_dot", col("embedding"), col("eb"))
+            / (col("na") * col("nn"))).as("cos"))
+      val wv = Window.partitionBy("vec_id").orderBy(desc("cos"), col("nb"))
+      val top1 = sims.withColumn("_r", row_number().over(wv))
+        .filter(col("_r") === 1)
+        .select(col("vec_id"), col("nb"), col("cos"))
+      val fwd = top1.filter(col("vec_id") < col("nb"))
+        .select(col("vec_id").as("a"), col("nb").as("b"), col("cos"))
+      val bwd = top1.filter(col("vec_id") > col("nb"))
+        .select(col("nb").as("a"), col("vec_id").as("b"))
+      fwd.join(bwd, Seq("a", "b"))
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos_sim"))
+        .orderBy("a", "b")
+    },
+    Some(s"""
+      WITH sims AS (SELECT a.vec_id, b.vec_id AS nb,
+                           ${DataQueries.duckDot("a.embedding", "b.embedding")}
+                             / (sqrt(${DataQueries.duckDot("a.embedding", "a.embedding")})
+                                * sqrt(${DataQueries.duckDot("b.embedding", "b.embedding")})) AS cos
+                    FROM embeddings a JOIN embeddings b
+                      ON a.vec_id <> b.vec_id),
+      top1 AS (SELECT vec_id, nb, cos FROM (
+                 SELECT *, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY cos DESC, nb ASC) AS r
+                 FROM sims) WHERE r = 1),
+      fwd AS (SELECT vec_id AS a, nb AS b, cos FROM top1 WHERE vec_id < nb),
+      bwd AS (SELECT nb AS a, vec_id AS b FROM top1 WHERE vec_id > nb)
+      SELECT fwd.a, fwd.b, round(fwd.cos, 6) AS cos_sim
+      FROM fwd JOIN bwd ON fwd.a = bwd.a AND fwd.b = bwd.b
+      ORDER BY fwd.a, fwd.b"""))
+
+  // --------------------------------------------------------------- q269
+
+  /** q269 — disparate-impact audit: high-value-order rate per market
+    * segment versus the best-off segment, flagging groups under the
+    * four-fifths rule (selection rate < 80% of the reference's) — the
+    * standard first-pass fairness screen, run here exactly as a
+    * curation pipeline would audit any per-group selection rate
+    * (quality-filter pass rates by language, say).
+    *
+    * Reference selection uses exact integer cross-multiplication
+    * (max by x·n_ref comparisons via a 5-row broadcast), and the 0.8
+    * threshold compares 5·x·n_ref ≥ 4·x_ref·n in integers — no float
+    * thresholds anywhere.
+    */
+  val q269 = Q("q269_disparate_impact",
+    (s, dir) => {
+      val g = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(expr("CAST(round(o_totalprice * 100) AS BIGINT)") > 25000000L, 1L)
+            .otherwise(0L)).as("x"))
+      val wref = Window.orderBy(
+        (col("x").cast("double") / col("n").cast("double")).desc_nulls_last,
+        col("segment"))
+      // the reference row: highest rate (partition-less window over the
+      // 5-row segment rollup — bounded by construction, whitelisted)
+      g.crossJoin(broadcast(
+          g.withColumn("_r", row_number().over(wref)).filter(col("_r") === 1)
+            .select(col("segment").as("ref_segment"), col("n").as("nr"), col("x").as("xr"))))
+        .select(col("segment"), col("n"), col("x"),
+          round(col("x").cast("double") / col("n").cast("double"), 6).as("rate"),
+          col("ref_segment"),
+          round(col("x").cast("double") * col("nr").cast("double")
+            / (col("xr").cast("double") * col("n").cast("double")), 6).as("impact_ratio"),
+          (col("x") * col("nr") * 5 < col("xr") * col("n") * 4).as("four_fifths_flag"))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH g AS (SELECT c_mktsegment AS segment, count(*) AS n,
+                        CAST(sum(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                                          > 25000000 THEN 1 ELSE 0 END) AS BIGINT) AS x
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 GROUP BY 1),
+      ref AS (SELECT segment AS ref_segment, n AS nr, x AS xr FROM (
+                SELECT *, row_number() OVER
+                  (ORDER BY CAST(x AS DOUBLE) / CAST(n AS DOUBLE) DESC, segment ASC) AS r
+                FROM g) WHERE r = 1)
+      SELECT g.segment, CAST(g.n AS BIGINT) AS n, g.x,
+             round(CAST(g.x AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS rate,
+             ref.ref_segment,
+             round(CAST(g.x AS DOUBLE) * CAST(ref.nr AS DOUBLE)
+                   / (CAST(ref.xr AS DOUBLE) * CAST(g.n AS DOUBLE)), 6) AS impact_ratio,
+             g.x * ref.nr * 5 < ref.xr * g.n * 4 AS four_fifths_flag
+      FROM g, ref ORDER BY g.segment"""))
+
+  // --------------------------------------------------------------- q270
+
+  /** q270 — Hill tail-index estimator on order values: over the top-k
+    * order statistics, α̂ = k / Σ ln(x_i/x_{(k+1)}) — how heavy is the
+    * spend distribution's tail (α < 2: infinite variance, whale-
+    * dominated; α > 3: thin). The capacity-planning / risk statistic
+    * that moments can't give you on power-law data.
+    *
+    * The top-(k+1) selection is a TakeOrderedAndProject (bounded
+    * k = 500), each ln is quantized to a 1e9 long against the
+    * BROADCAST threshold value, and the sum is exact.
+    */
+  val q270 = Q("q270_hill_tail_index",
+    (s, dir) => {
+      val k = 500
+      val top = Tables.load(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("ct"))
+        .orderBy(desc("ct")).limit(k + 1)
+      val thr = top.orderBy(col("ct").asc).limit(1)
+        .select(col("ct").as("xk1"))
+      top.crossJoin(broadcast(thr))
+        .filter(col("ct") > col("xk1"))
+        .groupBy(col("xk1"))
+        .agg(count(lit(1)).as("k_used"),
+          sum(expr(
+            "CAST(round(1e9 * ln(CAST(ct AS DOUBLE) / CAST(xk1 AS DOUBLE))) AS BIGINT)"))
+            .as("_s_u"))
+        .select(col("k_used"), col("xk1").as("threshold_cents"),
+          round(col("k_used").cast("double") / (col("_s_u").cast("double") / 1e9), 6)
+            .as("hill_alpha"))
+    },
+    Some("""
+      WITH top AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS ct
+                   FROM orders ORDER BY ct DESC LIMIT 501),
+      thr AS (SELECT min(ct) AS xk1 FROM top),
+      t AS (SELECT ct, xk1 FROM top, thr WHERE ct > xk1)
+      SELECT CAST(count(*) AS BIGINT) AS k_used,
+             CAST(max(xk1) AS BIGINT) AS threshold_cents,
+             round(CAST(count(*) AS DOUBLE)
+                   / (CAST(sum(CAST(round(1e9 * ln(CAST(ct AS DOUBLE)
+                        / CAST(xk1 AS DOUBLE))) AS BIGINT)) AS DOUBLE) / 1e9), 6)
+               AS hill_alpha
+      FROM t"""))
+
   val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q260, q261, q262, q263, q264, q265)
+    q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270)
 }

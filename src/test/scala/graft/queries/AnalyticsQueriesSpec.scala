@@ -238,6 +238,95 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(math.signum(pooledDiff).toInt == pooledSign)
   }
 
+  test("q266: timed funnel is monotone and never exceeds the untimed q89 funnel") {
+    val timed = rows(AnalyticsQueries.q266.fn(spark, sf)).map(_(2).asInstanceOf[Long])
+    assert(timed == timed.sorted.reverse, s"funnel not monotone: $timed")
+    val untimed = rows(TrainQueries.all.find(_.name == "q89_funnel")
+      .getOrElse(EventQueries.all.find(_.name == "q89_funnel").get).fn(spark, sf))
+      .map(_(2).asInstanceOf[Long])
+    timed.zip(untimed).zipWithIndex.foreach { case ((t, u), i) =>
+      if (i == 0) assert(t == u, "stage 1 has no time constraint")
+      else assert(t <= u, s"timed stage $i exceeds untimed: $t > $u")
+    }
+  }
+
+  test("q267: assortativity matches a brute-force edge-end correlation") {
+    val out = rows(AnalyticsQueries.q267.fn(spark, sf)).head
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cnt = scala.collection.mutable.Map.empty[(Long, Long), Int].withDefaultValue(0)
+    li.groupBy(_._1).values.foreach { g =>
+      val ids = g.map(_._2).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        cnt((ids(i), ids(j))) += 1
+    }
+    val pairs = cnt.iterator.filter(_._2 >= 2).map(_._1).toSeq
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ends = pairs.flatMap(p => Seq((deg(p._1), deg(p._2)), (deg(p._2), deg(p._1))))
+    val n = ends.length.toDouble
+    val sx = ends.map(_._1).sum.toDouble; val sy = ends.map(_._2).sum.toDouble
+    val sxx = ends.map(e => e._1 * e._1).sum.toDouble
+    val syy = ends.map(e => e._2 * e._2).sum.toDouble
+    val sxy = ends.map(e => e._1 * e._2).sum.toDouble
+    val r = (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(out(0).asInstanceOf[Long] == ends.length)
+    assert(math.abs(out(1).asInstanceOf[Double] - r) < 1e-5, s"r ${out(1)} vs $r")
+  }
+
+  test("q268: mutual-NN pairs are exactly the reciprocal top-1 matches") {
+    val out = rows(AnalyticsQueries.q268.fn(spark, sf))
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    val emb = Tables.load(spark, sf, "embeddings")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val top1 = emb.map { case (id, v) =>
+      id -> emb.filter(_._1 != id)
+        .map { case (j, w) => (j, cos(v, w)) }
+        .minBy { case (j, c) => (-c, j) }._1
+    }.toMap
+    val want = top1.collect {
+      case (a, b) if a < b && top1(b) == a => (a, b)
+    }.toSeq.sorted
+    assert(out.sorted == want, s"got ${out.size} pairs, want ${want.size}")
+  }
+
+  test("q269: reference segment has impact ratio 1 and no flag; ratios in (0, 1]") {
+    val out = rows(AnalyticsQueries.q269.fn(spark, sf))
+    val ref = out.find(r => r(0) == r(4)).get
+    assert(ref(5).asInstanceOf[Double] == 1.0 && !ref(6).asInstanceOf[Boolean])
+    out.foreach { r =>
+      val ratio = r(5).asInstanceOf[Double]
+      assert(ratio > 0 && ratio <= 1.0 + 1e-9, s"ratio out of range: $r")
+      assert(r(6).asInstanceOf[Boolean] == (ratio < 0.8 - 1e-9) ||
+        math.abs(ratio - 0.8) < 1e-6, s"flag inconsistent: $r")
+    }
+  }
+
+  test("q270: Hill alpha matches a brute-force top-k computation") {
+    val out = rows(AnalyticsQueries.q270.fn(spark, sf)).head
+    val cents = Tables.load(spark, sf, "orders")
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(_.getLong(0)).sorted.reverse.take(501)
+    val xk1 = cents.last
+    val used = cents.filter(_ > xk1)
+    val sU = used.map(c => math.round(1e9 * math.log(c.toDouble / xk1))).sum
+    val alpha = used.length / (sU / 1e9)
+    assert(out(0).asInstanceOf[Long] == used.length.toLong)
+    assert(out(1).asInstanceOf[Long] == xk1)
+    assert(math.abs(out(2).asInstanceOf[Double] - alpha) < 1e-5, s"alpha $out vs $alpha")
+  }
+
   test("q252: NDCG bounded by 1, MRR in [0,1], and a relevant hit implies positive DCG") {
     val out = rows(AnalyticsQueries.q252.fn(spark, sf))
     assert(out.nonEmpty)
