@@ -972,11 +972,11 @@ object AnalyticsQueries {
       val lags = (1 to 7).toDF("k")
       val la = daily.select(col("event_type"), col("d"), col("y").as("ya"))
         .crossJoin(broadcast(lags))
-      val lb = daily.select(col("event_type"),
+      val lb = daily.select(col("event_type").as("et2"),
         col("d").as("d2"), col("y").as("yb"))
       val prods = la.join(lb,
-          la("event_type") === lb("event_type") && col("d2") === col("d") + col("k"))
-        .groupBy(la("event_type").as("et"), col("k"))
+          col("et2") === col("event_type") && col("d2") === col("d") + col("k"))
+        .groupBy(col("event_type").as("et"), col("k"))
         .agg(count(lit(1)).as("nk"), sum(col("ya") * col("yb")).as("pk"),
           sum("ya").as("ak"), sum("yb").as("bk"))
       val rho = prods.join(tot.withColumnRenamed("event_type", "et"), "et")
