@@ -1402,6 +1402,226 @@ object AnalyticsQueries {
                AS hill_alpha
       FROM t"""))
 
+  // --------------------------------------------------------------- q271
+
+  /** q271 — journey alignment join: users whose first-10-event
+    * journeys (one initial per event) are within Levenshtein ≤ 3 —
+    * behavioral twins for cohort matching / bot-ring detection, where
+    * set-based similarity is blind to ORDER. Both engines' built-in
+    * `levenshtein` is the classic integer DP, so the join predicate
+    * is exact.
+    *
+    * Pairs are blocked by first event initial before any fan-out
+    * (same contract as every similarity join here); journeys are
+    * assembled with an order-pinned array sort, never a
+    * nondeterministic string_agg.
+    */
+  val q271 = Q("q271_journey_align",
+    (s, dir) => {
+      val wu = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+      val jny = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("us"),
+          substring(col("event_type"), 1, 1).as("init"))
+        .withColumn("_rn", row_number().over(wu))
+        .filter(col("_rn") <= 10)
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"), col("init")))),
+          x => x.getField("init")), "").as("jny"))
+        .withColumn("blk", substring(col("jny"), 1, 1))
+      val a = jny.select(col("user_id").as("ua"), col("jny").as("ja"), col("blk"))
+      val b = jny.select(col("user_id").as("ub"), col("jny").as("jb"), col("blk"))
+      a.join(b, "blk")
+        .filter(col("ua") < col("ub"))
+        .withColumn("dist", levenshtein(col("ja"), col("jb")))
+        .filter(col("dist") <= 3)
+        .select(col("ua"), col("ub"), col("ja"), col("jb"), col("dist"))
+        .orderBy("ua", "ub")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                        substr(event_type, 1, 1) AS init
+                 FROM events),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY us ASC, event_id ASC) AS rn FROM e),
+      j AS (SELECT user_id,
+                   string_agg(init, '' ORDER BY us ASC, event_id ASC) AS jny
+            FROM r WHERE rn <= 10 GROUP BY user_id),
+      jb AS (SELECT user_id, jny, substr(jny, 1, 1) AS blk FROM j)
+      SELECT a.user_id AS ua, b.user_id AS ub,
+             a.jny AS ja, b.jny AS jb,
+             CAST(levenshtein(a.jny, b.jny) AS INT) AS dist
+      FROM jb a JOIN jb b ON a.blk = b.blk AND a.user_id < b.user_id
+      WHERE levenshtein(a.jny, b.jny) <= 3
+      ORDER BY ua, ub"""))
+
+  // --------------------------------------------------------------- q272
+
+  /** q272 — burst interval detection: per event type, maximal runs of
+    * consecutive days whose count exceeds the type's median daily
+    * count — the thresholded two-state burst model (Kleinberg's
+    * automaton collapsed to its practical core) behind trend surfacing
+    * and incident detection. The multiplier is 1× here because the
+    * synthetic stream is rate-stable (a 2× gate on ±1σ noise returns
+    * the empty set at every SF — a vacuous gate row); on bursty
+    * production data the same operator runs with the gate raised. The
+    * gaps-and-islands trick (day − row number is constant within a
+    * run) turns runs into group keys with one partitioned window —
+    * no sequential scan.
+    */
+  val q272 = Q("q272_burst_intervals",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("d"))
+        .agg(count(lit(1)).as("y"))
+      val wcdf = Window.partitionBy("event_type").orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = daily.groupBy("event_type", "y").agg(count(lit(1)).as("c"))
+        .withColumn("_cum", sum("c").over(wcdf))
+        .withColumn("_n", sum("c").over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(min(when(lit(2) * col("_cum") >= col("_n"), col("y"))).as("med"))
+      val wd = Window.partitionBy("event_type").orderBy("d")
+      daily.join(broadcast(med), "event_type")
+        .filter(col("y") > col("med"))
+        .withColumn("_grp", col("d") - row_number().over(wd))
+        .groupBy("event_type", "_grp")
+        .agg(min("d").as("start_day"), max("d").as("end_day"),
+          count(lit(1)).as("n_days"), max("y").as("peak"),
+          max("med").as("median_daily"))
+        .select("event_type", "start_day", "end_day", "n_days", "peak", "median_daily")
+        .orderBy("event_type", "start_day")
+    },
+    Some("""
+      WITH daily AS (SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS d,
+                            CAST(count(*) AS BIGINT) AS y
+                     FROM events GROUP BY 1, 2),
+      grid AS (SELECT event_type, y, count(*) AS c FROM daily GROUP BY 1, 2),
+      cdf AS (SELECT event_type, y,
+                     sum(c) OVER (PARTITION BY event_type ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(c) OVER (PARTITION BY event_type) AS n
+              FROM grid),
+      med AS (SELECT event_type,
+                     min(CASE WHEN 2 * cum >= n THEN y END) AS med
+              FROM cdf GROUP BY 1),
+      b AS (SELECT daily.event_type, d, y, med.med,
+                   d - row_number() OVER (PARTITION BY daily.event_type
+                                          ORDER BY d) AS grp
+            FROM daily JOIN med ON daily.event_type = med.event_type
+            WHERE y > med.med)
+      SELECT event_type, min(d) AS start_day, max(d) AS end_day,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(max(y) AS BIGINT) AS peak,
+             CAST(max(med) AS BIGINT) AS median_daily
+      FROM b GROUP BY event_type, grp
+      ORDER BY event_type, start_day"""))
+
+  // --------------------------------------------------------------- q273
+
+  /** q273 — weight of evidence + information value: customer account
+    * balance binned into quintiles, scored against "has an urgent
+    * order" — the credit-scoring feature-power standard (IV < 0.02:
+    * useless; > 0.3: strong) that q150's categorical info-gain can't
+    * produce for a CONTINUOUS feature without a binning contract.
+    *
+    * Quintile boundaries come off the bounded distinct-value grid
+    * (broadcast, never a global rank of customers); each bin's
+    * WoE = ln((bad share)/(good share)) is quantized to a 1e9 long
+    * from exact integer counts, and IV accumulates the quantized
+    * terms exactly.
+    */
+  val q273 = Q("q273_woe_iv",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"))
+      val urgent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+        .withColumn("_bad", lit(1L))
+      val lab = cust.join(urgent, Seq("c_custkey"), "left")
+        .select(col("bal"), coalesce(col("_bad"), lit(0L)).as("bad"))
+      val wcdf = Window.orderBy("bal").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bounds = lab.groupBy("bal").agg(count(lit(1)).as("_c"))
+        .withColumn("_cum", sum("_c").over(wcdf))
+        .withColumn("_n", sum("_c").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .groupBy()
+        .agg(min(when(col("_cum") * 5 >= col("_n"), col("bal"))).as("b1"),
+          min(when(col("_cum") * 5 >= col("_n") * 2, col("bal"))).as("b2"),
+          min(when(col("_cum") * 5 >= col("_n") * 3, col("bal"))).as("b3"),
+          min(when(col("_cum") * 5 >= col("_n") * 4, col("bal"))).as("b4"))
+      val binned = lab.crossJoin(broadcast(bounds))
+        .select(col("bad"),
+          (lit(1) + when(col("bal") > col("b1"), 1).otherwise(0)
+            + when(col("bal") > col("b2"), 1).otherwise(0)
+            + when(col("bal") > col("b3"), 1).otherwise(0)
+            + when(col("bal") > col("b4"), 1).otherwise(0)).as("bin"))
+      val grid = binned.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("bad").as("bads"))
+        .withColumn("goods", col("n") - col("bads"))
+      val tot = grid.groupBy().agg(sum("bads").as("tb"), sum("goods").as("tg"))
+      val terms = grid.crossJoin(broadcast(tot))
+        .withColumn("woe_u", expr(
+          """CAST(round(1e9 * ln((CAST(bads AS DOUBLE) / CAST(tb AS DOUBLE))
+             / (CAST(goods AS DOUBLE) / CAST(tg AS DOUBLE)))) AS BIGINT)"""))
+        .withColumn("iv_u", expr(
+          """CAST(round((CAST(bads AS DOUBLE) / CAST(tb AS DOUBLE)
+             - CAST(goods AS DOUBLE) / CAST(tg AS DOUBLE))
+             * CAST(woe_u AS DOUBLE)) AS BIGINT)"""))
+      val iv = terms.groupBy().agg(sum("iv_u").as("_iv"))
+      terms.crossJoin(broadcast(iv))
+        .select(col("bin"), col("n"), col("bads"), col("goods"),
+          round(col("woe_u").cast("double") / 1e9, 6).as("woe"),
+          round(col("_iv").cast("double") / 1e9, 6).as("iv_total"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH cust AS (SELECT c_custkey,
+                           CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                    FROM customer),
+      urgent AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                 WHERE o_orderpriority = '1-URGENT'),
+      lab AS (SELECT cust.bal,
+                     CASE WHEN urgent.c_custkey IS NULL THEN 0 ELSE 1 END AS bad
+              FROM cust LEFT JOIN urgent ON cust.c_custkey = urgent.c_custkey),
+      cdf AS (SELECT bal, sum(c) OVER (ORDER BY bal
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(c) OVER () AS n
+              FROM (SELECT bal, count(*) AS c FROM lab GROUP BY 1)),
+      bounds AS (SELECT min(CASE WHEN cum * 5 >= n THEN bal END) AS b1,
+                        min(CASE WHEN cum * 5 >= n * 2 THEN bal END) AS b2,
+                        min(CASE WHEN cum * 5 >= n * 3 THEN bal END) AS b3,
+                        min(CASE WHEN cum * 5 >= n * 4 THEN bal END) AS b4
+                 FROM cdf),
+      binned AS (SELECT bad,
+                        1 + (bal > b1)::INT + (bal > b2)::INT
+                          + (bal > b3)::INT + (bal > b4)::INT AS bin
+                 FROM lab, bounds),
+      grid AS (SELECT bin, count(*) AS n, CAST(sum(bad) AS BIGINT) AS bads,
+                      CAST(count(*) - sum(bad) AS BIGINT) AS goods
+               FROM binned GROUP BY 1),
+      tot AS (SELECT CAST(sum(bads) AS BIGINT) AS tb,
+                     CAST(sum(goods) AS BIGINT) AS tg FROM grid),
+      terms AS (SELECT bin, n, bads, goods,
+                       CAST(round(1e9 * ln((CAST(bads AS DOUBLE) / CAST(tb AS DOUBLE))
+                            / (CAST(goods AS DOUBLE) / CAST(tg AS DOUBLE)))) AS BIGINT) AS woe_u,
+                       CAST(round((CAST(bads AS DOUBLE) / CAST(tb AS DOUBLE)
+                            - CAST(goods AS DOUBLE) / CAST(tg AS DOUBLE))
+                            * CAST(CAST(round(1e9 * ln((CAST(bads AS DOUBLE) / CAST(tb AS DOUBLE))
+                                / (CAST(goods AS DOUBLE) / CAST(tg AS DOUBLE)))) AS BIGINT)
+                              AS DOUBLE)) AS BIGINT) AS iv_u
+                FROM grid, tot),
+      iv AS (SELECT CAST(sum(iv_u) AS BIGINT) AS ivt FROM terms)
+      SELECT bin, CAST(n AS BIGINT) AS n, bads, goods,
+             round(CAST(woe_u AS DOUBLE) / 1e9, 6) AS woe,
+             round(CAST(iv.ivt AS DOUBLE) / 1e9, 6) AS iv_total
+      FROM terms, iv ORDER BY bin"""))
+
   val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270)
+    q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
+    q271, q272, q273)
 }

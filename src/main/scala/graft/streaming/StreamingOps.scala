@@ -218,6 +218,51 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  final case class FunnelHit(user_id: Long, stage_idx: Int)
+  final case class FunnelState(t0: Long, t1: Long, t2: Long) // -1 = unreached
+
+  /** Streaming twin of q266's timed funnel (view → click → purchase,
+    * each step within `stepSec` of the previous): per-user O(1) state
+    * holds the three stage timestamps; a stage fires the moment its
+    * first qualifying event arrives, exactly the "min qualifying
+    * time" the batch query computes — so under time-ordered arrival
+    * the emitted stage counts equal batch q266 across ANY micro-batch
+    * split (StreamingSpec pins it). This is the live-funnel shape:
+    * the batch query re-scans history, the stream answers the same
+    * question per event with state the size of the funnel.
+    */
+  def timedFunnel(events: Dataset[Event], stepSec: Long): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = Seq.newBuilder[FunnelHit]
+          // same-second tie order: a click in the same second as the
+          // first view QUALIFIES in the batch semantics (sec >= t0), so
+          // stages must advance in funnel order within a tied second
+          val stageRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+          it.toSeq.sortBy(e =>
+            (e.ts.getTime / 1000, stageRank.getOrElse(e.event_type, 3))).foreach { e =>
+            val sec = e.ts.getTime / 1000
+            e.event_type match {
+              case "view" if st.t0 < 0 =>
+                st = st.copy(t0 = sec); out += FunnelHit(uid, 1)
+              case "click" if st.t0 >= 0 && st.t1 < 0 &&
+                sec >= st.t0 && sec <= st.t0 + stepSec =>
+                st = st.copy(t1 = sec); out += FunnelHit(uid, 2)
+              case "purchase" if st.t1 >= 0 && st.t2 < 0 &&
+                sec >= st.t1 && sec <= st.t1 + stepSec =>
+                st = st.copy(t2 = sec); out += FunnelHit(uid, 3)
+              case _ =>
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup: keep the first arrival of each key, with
     * state bounded by the event-time watermark (duplicates are only
     * expected within the lateness window — e.g. re-delivered feed rows

@@ -327,6 +327,71 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(math.abs(out(2).asInstanceOf[Double] - alpha) < 1e-5, s"alpha $out vs $alpha")
   }
 
+  test("q271: pair set matches a brute-force Levenshtein sweep over journeys") {
+    val out = rows(AnalyticsQueries.q271.fn(spark, sf))
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long], r(4).asInstanceOf[Int]))
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"),
+        substring(col("event_type"), 1, 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val jny = ev.groupBy(_._1).view.mapValues { es =>
+      es.sortBy(e => (e._2, e._3)).take(10).map(_._4).mkString
+    }.toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ua, ja) <- jny.toSeq; (ub, jb) <- jny.toSeq
+      if ua < ub && ja.take(1) == jb.take(1)
+      d = lev(ja, jb) if d <= 3
+    } yield (ua, ub, d)).sortBy(t => (t._1, t._2))
+    assert(out.sortBy(t => (t._1, t._2)) == want,
+      s"got ${out.size} pairs, want ${want.size}")
+  }
+
+  test("q272: every burst day beats the median and runs are maximal") {
+    val out = rows(AnalyticsQueries.q272.fn(spark, sf))
+      .map(r => (r(0).asInstanceOf[String], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Long], r(3).asInstanceOf[Long], r(5).asInstanceOf[Long]))
+    assert(out.nonEmpty, "rate-stable data still has above-median runs")
+    val daily = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    out.foreach { case (et, s, e, n, med) =>
+      assert(e - s + 1 == n, s"island not contiguous: $et $s..$e n=$n")
+      (s to e).foreach(d => assert(daily(et)(d) > med, s"day $d not above median"))
+      // maximality: neighbors outside the run are NOT above the median
+      daily(et).get(s - 1).foreach(y => assert(y <= med, s"$et run not maximal at ${s - 1}"))
+      daily(et).get(e + 1).foreach(y => assert(y <= med, s"$et run not maximal at ${e + 1}"))
+    }
+  }
+
+  test("q273: WoE signs track bad-share vs good-share and IV sums the terms") {
+    val out = rows(AnalyticsQueries.q273.fn(spark, sf))
+    val tb = out.map(_(2).asInstanceOf[Long]).sum.toDouble
+    val tg = out.map(_(3).asInstanceOf[Long]).sum.toDouble
+    var iv = 0.0
+    out.foreach { r =>
+      val (bads, goods, woe) = (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long],
+        r(4).asInstanceOf[Double])
+      val bs = bads / tb; val gs = goods / tg
+      assert(math.signum(woe) == math.signum(bs - gs) || math.abs(bs - gs) < 1e-9,
+        s"WoE sign inconsistent: $r")
+      iv += (bs - gs) * woe
+    }
+    val ivOut = out.head(5).asInstanceOf[Double]
+    assert(math.abs(ivOut - iv) < 1e-4, s"IV $ivOut vs $iv")
+    assert(out.map(_(0).asInstanceOf[Int]).sorted == Seq(1, 2, 3, 4, 5))
+  }
+
   test("q252: NDCG bounded by 1, MRR in [0,1], and a relevant hit implies positive DCG") {
     val out = rows(AnalyticsQueries.q252.fn(spark, sf))
     assert(out.nonEmpty)

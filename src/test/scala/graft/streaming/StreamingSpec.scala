@@ -640,6 +640,32 @@ class StreamingSpec extends SparkSpec {
     assert(perRow.values.toSet.size == 1, s"rows disagree on mass: $perRow")
   }
 
+  test("timedFunnel over a date-split file stream reproduces batch q266 counts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-funnel").toFile
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    // two landing files split at mid-month → state must carry t0/t1
+    // across the trigger boundary
+    ev.filter(col("ts") < lit("2024-01-15").cast("timestamp"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    ev.filter(col("ts") >= lit("2024-01-15").cast("timestamp"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .as[StreamingOps.Event]
+    val hits = StreamingOps.timedFunnel(stream, stepSec = 3600L)
+    val streamed = StreamingOps.runAvailableNow(hits.toDF(), "funnel_stream",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .groupBy("stage_idx").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = rows(graft.queries.AnalyticsQueries.q266.fn(spark, sf))
+      .map(r => r(0).asInstanceOf[Int] -> r(2).asInstanceOf[Long]).toMap
+    assert((1 to 3).forall(i => streamed.getOrElse(i, 0L) == batch(i)),
+      s"stream $streamed vs batch $batch")
+  }
+
   test("sessionize accumulates per-user state across a micro-batch") {
     import spark.implicits._
     val events = Seq(
