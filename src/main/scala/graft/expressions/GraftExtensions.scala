@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     ext.injectOptimizerRule(_ => CartesianGuard)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 
@@ -67,5 +68,6 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(CartesianGuard))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CartesianGuard
+    graft.plans.TopKPerKey.registerStrategy(spark)
   }
 }

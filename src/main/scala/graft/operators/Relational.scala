@@ -192,4 +192,15 @@ object Relational {
     }
     one.select(explode(array(perCol: _*)).as("_p")).select(col("_p.*"))
   }
+
+  /** Exact top-k rows per key through the engine's custom physical
+    * operator (graft.plans.TopKPerKey): partial bounded-heap per map
+    * task → key-hash shuffle of ≤ k·|keys| candidates → final heap —
+    * the map-side-combine shape Spark's Window + rank≤k lacks (which
+    * shuffles EVERY row). `orderBy` must be a total order for
+    * deterministic results.
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[String],
+                 orderBy: Seq[org.apache.spark.sql.Column], k: Int): DataFrame =
+    graft.plans.TopKPerKey(df, keys, orderBy, k)
 }

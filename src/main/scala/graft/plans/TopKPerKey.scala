@@ -1,0 +1,150 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Top-k rows per key as a first-class physical operator.
+  *
+  * Spark has no map-side partial for `row_number() OVER (PARTITION BY
+  * …) <= k`: the Window route shuffles EVERY row of the fact table,
+  * sorts each partition, then discards all but k per key — at 100 TB
+  * the shuffle is the job. This operator plans as
+  *
+  *   TopKPerKeyExec(partial) → Exchange(hash by keys) → TopKPerKeyExec(final)
+  *
+  * so each map task keeps only its local best k per key in a bounded
+  * heap and the shuffle carries ≤ k·|keys| rows per map partition —
+  * the same partial/final contract as a hash aggregate, applied to
+  * order statistics. Results are EXACT (top-k distributes over
+  * set union), provided the caller's sort order is total — same
+  * requirement every deterministic top-k in the engine already has.
+  *
+  * The logical node erases to the child's schema; the planner strategy
+  * (injected via SparkSessionExtensions, like the engine's expressions)
+  * rewrites it to the two-stage physical form, and EnsureRequirements
+  * inserts the key-hash exchange demanded by the final stage's
+  * required distribution.
+  */
+final case class TopKPerKeyPlan(
+    groupExprs: Seq[Expression],
+    sortOrders: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyPlan(g, s, k, child) =>
+      val part = TopKPerKeyExec(g, s, k, partial = true, planLater(child))
+      TopKPerKeyExec(g, s, k, partial = false, part) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class TopKPerKeyExec(
+    groupExprs: Seq[Expression],
+    sortOrders: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // generated projections/orderings are NOT serializable — capture
+    // only the expressions + schema and build them per partition
+    val gExprs = groupExprs
+    val sOrders = sortOrders
+    val childOutput = child.output
+    val kk = k
+    child.execute().mapPartitions ({ iter =>
+      val groupProj = UnsafeProjection.create(gExprs, childOutput)
+      val ordering =
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .create(sOrders, childOutput)
+      // per key: a bounded "worst on top" heap of copied rows — memory
+      // is O(|keys in partition| · k), not O(rows)
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      val reverse = ordering.reversed()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = groupProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kk + 1, reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < kk) heap.add(row.copy())
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy())
+        }
+      }
+      val out = Seq.newBuilder[InternalRow]
+      heaps.values().forEach(h => h.forEach(r => out += r))
+      out.result().iterator
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
+}
+
+/** Builder: wraps a DataFrame in the logical node (resolved against the
+  * child's analyzed output) and returns a DataFrame over it.
+  */
+object TopKPerKey {
+  def apply(df: org.apache.spark.sql.DataFrame,
+            keyCols: Seq[String],
+            orderBy: Seq[org.apache.spark.sql.Column],
+            k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    registerStrategy(spark)
+    val analyzed = df.queryExecution.analyzed
+    val attrs = analyzed.output.map(a => a.name -> a).toMap
+    val groupExprs = keyCols.map(c => attrs.getOrElse(c,
+      throw new IllegalArgumentException(s"unknown key column $c")))
+    val orders = orderBy.map { c =>
+      org.apache.spark.sql.graft.GraftSqlBridge.expr(c) match {
+        case so: SortOrder => bind(so, analyzed.output)
+        case e => SortOrder(bindExpr(e, analyzed.output),
+          org.apache.spark.sql.catalyst.expressions.Ascending)
+      }
+    }
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark,
+      TopKPerKeyPlan(groupExprs, orders, k, analyzed))
+  }
+
+  private def bind(so: SortOrder, output: Seq[Attribute]): SortOrder =
+    so.copy(child = bindExpr(so.child, output))
+
+  private def bindExpr(e: Expression, output: Seq[Attribute]): Expression =
+    e.transform {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        output.find(_.name == u.name).getOrElse(
+          throw new IllegalArgumentException(s"unknown order column ${u.name}"))
+    }
+
+  /** Idempotently add the planner strategy to a session. */
+  def registerStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+}
+

@@ -1621,7 +1621,40 @@ object AnalyticsQueries {
              round(CAST(iv.ivt AS DOUBLE) / 1e9, 6) AS iv_total
       FROM terms, iv ORDER BY bin"""))
 
+  // --------------------------------------------------------------- q274
+
+  /** q274 — top-3 orders per nation, executed by the engine's custom
+    * TopKPerKey physical operator (graft/plans/TopKPerKey.scala): a
+    * partial bounded heap per map task, a key-hash shuffle of ≤
+    * k·|keys| candidate rows, a final heap — where the Window +
+    * rank ≤ k plan shuffles and sorts the ENTIRE fact table. Same
+    * exact answer (top-k distributes over union under the total
+    * (value desc, key) order); PlansSpec pins plan shape, exactness
+    * vs the Window route, and partition-invariance.
+    */
+  val q274 = Q("q274_topk_per_group",
+    (s, dir) => {
+      val df = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.operators.Relational.topKPerKey(df, Seq("nation"),
+          Seq(col("cents").desc, col("o_orderkey").asc), 3)
+        .orderBy(col("nation"), col("cents").desc, col("o_orderkey"))
+    },
+    Some("""
+      WITH j AS (SELECT n_name AS nation, o_orderkey,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 JOIN nation ON c_nationkey = n_nationkey),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY nation ORDER BY cents DESC, o_orderkey ASC) AS rn
+            FROM j)
+      SELECT nation, o_orderkey, cents FROM r WHERE rn <= 3
+      ORDER BY nation, cents DESC, o_orderkey"""))
+
   val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
-    q271, q272, q273)
+    q271, q272, q273, q274)
 }
