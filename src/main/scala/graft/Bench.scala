@@ -314,6 +314,27 @@ object Bench {
       val hhSketchSec = best2(
         graft.SparkEntry.queries("q185_cms_heavy_hitters")(spark, sfDir).count())
 
+      // custom TopKPerKey operator vs the Window+rank route on the same
+      // fact relation: the Window plan shuffles EVERY row then sorts per
+      // partition; the custom plan shuffles ≤ k·|keys| candidates per
+      // map task. The measured gap is the evidence behind
+      // plans/TopKPerKey.scala (PlansSpec pins exactness + shuffle
+      // volume; this records wall-clock at the current SF).
+      val fact = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val topkWindowSec = best2 {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_partkey")
+          .orderBy(col("cents").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        fact.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= 3).count()
+      }
+      val topkCustomSec = best2(
+        graft.plans.TopKPerKey(fact, Seq("l_partkey"),
+          Seq(col("cents").desc, col("l_orderkey").asc, col("l_linenumber").asc), 3)
+          .count())
+
       Seq("calib_sec" -> calib,
         "calib_scan_sec" -> calibScan,
         "factjoin_plain_sec" -> plainSec,
@@ -331,7 +352,9 @@ object Bench {
         "skewjoin_manual_sec" -> manualSec,
         "skewjoin_aqe_sec" -> aqeSec,
         "heavyhitters_full_sec" -> hhFullSec,
-        "heavyhitters_sketch_sec" -> hhSketchSec) ++ stages
+        "heavyhitters_sketch_sec" -> hhSketchSec,
+        "topk_window_sec" -> topkWindowSec,
+        "topk_custom_sec" -> topkCustomSec) ++ stages
     } catch {
       case e: Throwable =>
         errors.getOrElseUpdate("extras", e.toString.take(200))
