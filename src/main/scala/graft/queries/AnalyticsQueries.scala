@@ -302,13 +302,15 @@ object AnalyticsQueries {
         .agg(sum("ct").as("rev"))
       val wc = Window.partitionBy("cm").orderBy("age")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // per-customer LTV in integer MICROcents via floor division — a
+      // round(x, 6) here lands on half-decimal coin flips (row 79 at
+      // sf0.1 flipped between engines; DESIGN.md float catalog)
       grid
         .withColumn("cum", sum("rev").over(wc))
         .join(broadcast(csize), "cm")
         .select(col("cm").as("cohort_month"), col("age"), col("n_customers"),
           col("cum").as("cum_cents"),
-          round(col("cum").cast("double") / col("n_customers").cast("double"), 6)
-            .as("ltv_cents_per_cust"))
+          expr("(cum * 1000000) div n_customers").as("ltv_microcents_per_cust"))
         .orderBy("cohort_month", "age")
     },
     Some("""
@@ -328,8 +330,8 @@ object AnalyticsQueries {
               FROM grid)
       SELECT cum.cm AS cohort_month, cum.age, csize.n_customers,
              cum.cum AS cum_cents,
-             round(CAST(cum.cum AS DOUBLE) / CAST(csize.n_customers AS DOUBLE), 6)
-               AS ltv_cents_per_cust
+             CAST((cum.cum * 1000000) // csize.n_customers AS BIGINT)
+               AS ltv_microcents_per_cust
       FROM cum JOIN csize ON cum.cm = csize.cm
       ORDER BY cohort_month, age"""))
 

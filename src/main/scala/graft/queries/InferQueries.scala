@@ -1014,6 +1014,255 @@ object InferQueries {
                    / (CAST(tot.tr AS DOUBLE) / CAST(tot.tn AS DOUBLE)), 6) AS lift
       FROM cum, tot ORDER BY decile"""))
 
+  // --------------------------------------------------------------- q275
+
+  /** q275 — weighted Jaccard between two sources' token MULTISETS:
+    * Σ min(c_p, c_q) / Σ max(c_p, c_q) over per-token counts — the
+    * frequency-aware overlap that binary Jaccard (q38/q112) overstates
+    * when one source repeats a small vocabulary. Pure integer
+    * arithmetic end to end; one grouped pass over the hashed token
+    * stream.
+    */
+  val q275 = Q("q275_weighted_jaccard",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val tok = Tables.load(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(when(col("source") === "src0", 1L).otherwise(0L).as("p"),
+          explode(call_function("graft_shingle_hash_list", col("text"), lit(1))).as("uh"))
+      tok.groupBy("uh")
+        .agg(sum("p").as("cp"), sum(lit(1) - col("p")).as("cq"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_tokens_distinct"),
+          sum(least(col("cp"), col("cq"))).as("s_min"),
+          sum(greatest(col("cp"), col("cq"))).as("s_max"))
+        .select(col("n_tokens_distinct"), col("s_min"), col("s_max"),
+          round(col("s_min").cast("double") / col("s_max").cast("double"), 6)
+            .as("weighted_jaccard"))
+    },
+    Some(s"""
+      WITH t AS (SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS p,
+                        $duckTokens AS w
+                 FROM documents WHERE source IN ('src0', 'src1')),
+      tok AS (SELECT p,
+                unnest(list_transform(range(1, len(w)+1),
+                  i -> ${duckHash64("w[i]")} & ${Dedup.MinhashP})) AS uh
+              FROM t),
+      grid AS (SELECT uh, CAST(sum(p) AS BIGINT) AS cp,
+                      CAST(sum(1 - p) AS BIGINT) AS cq
+               FROM tok GROUP BY 1)
+      SELECT count(*) AS n_tokens_distinct,
+             CAST(sum(least(cp, cq)) AS BIGINT) AS s_min,
+             CAST(sum(greatest(cp, cq)) AS BIGINT) AS s_max,
+             round(CAST(sum(least(cp, cq)) AS DOUBLE)
+                   / CAST(sum(greatest(cp, cq)) AS DOUBLE), 6) AS weighted_jaccard
+      FROM grid"""))
+
+  // --------------------------------------------------------------- q276
+
+  /** q276 — partial correlation of quantity and price CONTROLLING for
+    * discount, from the exact 3-variable moment matrix:
+    * r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) — the
+    * confounder-removal step between q69's raw Pearson and a real
+    * model, detecting whether an x–y association survives holding z
+    * fixed. One grouped pass collects the 9 exact sums (integer
+    * cents/units in DECIMAL), then one closed-form double.
+    */
+  val q276 = Q("q276_partial_correlation",
+    (s, dir) => {
+      val b = Tables.load(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("z"))
+      val m = b.groupBy().agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+        sum(col("x").cast(DecimalType(19, 0)) * col("x").cast(DecimalType(19, 0))).as("sxx"),
+        sum(col("y").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0))).as("syy"),
+        sum(col("z").cast(DecimalType(19, 0)) * col("z").cast(DecimalType(19, 0))).as("szz"),
+        sum(col("x").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0))).as("sxy"),
+        sum(col("x").cast(DecimalType(19, 0)) * col("z").cast(DecimalType(19, 0))).as("sxz"),
+        sum(col("y").cast(DecimalType(19, 0)) * col("z").cast(DecimalType(19, 0))).as("syz"))
+      val nd = col("n").cast("double")
+      def c(sab: String, sa: String, sb: String) =
+        nd * col(sab).cast("double") - col(sa).cast("double") * col(sb).cast("double")
+      val rxy = c("sxy", "sx", "sy") / sqrt(c("sxx", "sx", "sx") * c("syy", "sy", "sy"))
+      val rxz = c("sxz", "sx", "sz") / sqrt(c("sxx", "sx", "sx") * c("szz", "sz", "sz"))
+      val ryz = c("syz", "sy", "sz") / sqrt(c("syy", "sy", "sy") * c("szz", "sz", "sz"))
+      m.select(col("n"),
+        round(rxy, 6).as("r_xy"),
+        round((rxy - rxz * ryz)
+          / sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6).as("r_xy_given_z"))
+    },
+    Some("""
+      WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+                        CAST(round(l_discount * 100) AS BIGINT) AS z
+                 FROM lineitem),
+      m AS (SELECT count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(z) AS BIGINT) AS sz,
+                   sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+                   sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+                   sum(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))) AS szz,
+                   sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+                   sum(CAST(x AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))) AS sxz,
+                   sum(CAST(y AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))) AS syz
+            FROM b)
+      SELECT n,
+             round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS r_xy,
+             round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    - (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+                      * (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+                        / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                               * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))))
+                   / sqrt((1.0 - (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+                                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+                                 * (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+                                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                          * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))))
+                          * (1.0 - (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+                                   / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                                          * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+                                   * (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+                                     / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                                            * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))))), 6)
+               AS r_xy_given_z
+      FROM m"""))
+
+  // --------------------------------------------------------------- q277
+
+  /** q277 — rank-biased overlap (p = 0.9, depth 50) between two
+    * document rankings (by characters vs by token count): the
+    * top-weighted ranking agreement measure for comparing retrieval /
+    * scoring variants, where Kendall (q216) weights all positions
+    * equally and set overlap ignores order entirely.
+    *
+    * The per-depth sum telescopes per document:
+    * RBO = (1−p)·Σ_d p^{d−1}·X_d/d = (1−p)·Σ_{doc∈both} W(max(r_a,r_b)),
+    * W(m) = Σ_{d=m}^{50} p^{d−1}/d — spelled as a 50-entry integer-
+    * micro literal shared by both engines (the table IS the spec; no
+    * runtime pow). Top-50 lists are TakeOrderedAndProject-bounded;
+    * their 50-row rank windows are whitelisted.
+    */
+  val q277 = Q("q277_rank_biased_overlap",
+    (s, dir) => {
+      import s.implicits._
+      val wTab = Seq(2557551L, 1557551L, 1107551L, 837551L, 655301L, 524081L,
+        425666L, 349746L, 289959L, 242129L, 203387L, 171689L, 145538L, 123813L,
+        105657L, 90406L, 77538L, 66637L, 57372L, 49473L, 42718L, 36929L, 31955L,
+        27674L, 23981L, 20790L, 18029L, 15636L, 13559L, 11755L, 10185L, 8817L,
+        7625L, 6584L, 5675L, 4881L, 4186L, 3577L, 3043L, 2575L, 2165L, 1804L,
+        1487L, 1209L, 964L, 749L, 559L, 392L, 244L, 115L)
+        .zipWithIndex.map { case (w, i) => (i + 1, w) }.toDF("m", "w_u")
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+        .localCheckpoint(false) // both rankings read it
+      val topA = docs.orderBy(desc("n_chars"), col("doc_id")).limit(50)
+        .withColumn("ra", row_number().over(
+          Window.orderBy(desc("n_chars"), col("doc_id"))))
+        .select(col("doc_id"), col("ra"))
+      val topB = docs.orderBy(desc("n_tok"), col("doc_id")).limit(50)
+        .withColumn("rb", row_number().over(
+          Window.orderBy(desc("n_tok"), col("doc_id"))))
+        .select(col("doc_id"), col("rb"))
+      topA.join(topB, "doc_id")
+        .select(greatest(col("ra"), col("rb")).as("m"))
+        .join(broadcast(wTab), "m")
+        .groupBy()
+        .agg(count(lit(1)).as("n_common"), sum("w_u").as("_s"))
+        .select(col("n_common"),
+          round(lit(0.1) * col("_s").cast("double") / 1e6, 6).as("rbo_p09_d50"))
+    },
+    Some(s"""
+      WITH wtab(m, w_u) AS (VALUES
+        (1,2557551),(2,1557551),(3,1107551),(4,837551),(5,655301),(6,524081),
+        (7,425666),(8,349746),(9,289959),(10,242129),(11,203387),(12,171689),
+        (13,145538),(14,123813),(15,105657),(16,90406),(17,77538),(18,66637),
+        (19,57372),(20,49473),(21,42718),(22,36929),(23,31955),(24,27674),
+        (25,23981),(26,20790),(27,18029),(28,15636),(29,13559),(30,11755),
+        (31,10185),(32,8817),(33,7625),(34,6584),(35,5675),(36,4881),(37,4186),
+        (38,3577),(39,3043),(40,2575),(41,2165),(42,1804),(43,1487),(44,1209),
+        (45,964),(46,749),(47,559),(48,392),(49,244),(50,115)),
+      d AS (SELECT doc_id, n_chars,
+                   len($duckTokens) AS n_tok
+            FROM documents),
+      ta AS (SELECT doc_id, row_number() OVER
+               (ORDER BY n_chars DESC, doc_id ASC) AS ra
+             FROM d ORDER BY n_chars DESC, doc_id ASC LIMIT 50),
+      tb AS (SELECT doc_id, row_number() OVER
+               (ORDER BY n_tok DESC, doc_id ASC) AS rb
+             FROM d ORDER BY n_tok DESC, doc_id ASC LIMIT 50),
+      c AS (SELECT greatest(ta.ra, tb.rb) AS m
+            FROM ta JOIN tb ON ta.doc_id = tb.doc_id)
+      SELECT count(*) AS n_common,
+             round(0.1 * CAST(sum(w_u) AS DOUBLE) / 1e6, 6) AS rbo_p09_d50
+      FROM c JOIN wtab ON c.m = wtab.m"""))
+
+  // --------------------------------------------------------------- q278
+
+  /** q278 — frequent triples (Apriori level 3): itemsets of three
+    * brands co-purchased in ≥3 orders (brand-level sets stay dense at
+    * every SF where part-level triples are all support-1), with
+    * support counted by
+    * in-basket enumeration AFTER level-1 pruning — the Apriori trick
+    * that bounds the cubic fan-out: only items individually frequent
+    * (≥3 baskets) enter the triple generator, so a degenerate giant
+    * basket of one-off items costs nothing. Per-basket work is then
+    * C(|frequent items in basket|, 3) — bounded by the prune, not the
+    * raw basket.
+    */
+  val q278 = Q("q278_apriori_triples",
+    (s, dir) => {
+      val items = Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+        .localCheckpoint(false) // level-1 counts + basket rebuild
+      val freq1 = items.groupBy("p_brand").agg(count(lit(1)).as("c1"))
+        .filter(col("c1") >= 3).select("p_brand")
+      val triples = items.join(broadcast(freq1), "p_brand")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("p_brand"))).as("ids"))
+        .filter(size(col("ids")) >= 3)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 2), i ->
+             flatten(transform(sequence(i + 1, size(ids) - 1), j ->
+               transform(slice(ids, j + 1, size(ids)), c ->
+                 struct(element_at(ids, i) AS a, element_at(ids, j) AS b,
+                        c AS c))))))""")).as("t"))
+        .groupBy(col("t.a").as("pa"), col("t.b").as("pb"), col("t.c").as("pc"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3)
+      triples
+        .orderBy(desc("support"), col("pa"), col("pb"), col("pc"))
+        .limit(20)
+    },
+    Some("""
+      WITH i0 AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem
+                  JOIN part ON l_partkey = p_partkey),
+      f1 AS (SELECT p_brand FROM i0 GROUP BY 1 HAVING count(*) >= 3),
+      i AS (SELECT i0.l_orderkey, i0.p_brand
+            FROM i0 JOIN f1 ON i0.p_brand = f1.p_brand),
+      t AS (SELECT a.p_brand AS pa, b.p_brand AS pb, c.p_brand AS pc,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+                             AND a.p_brand < b.p_brand
+                     JOIN i c ON a.l_orderkey = c.l_orderkey
+                             AND b.p_brand < c.p_brand
+            GROUP BY 1, 2, 3
+            HAVING count(*) >= 3)
+      SELECT pa, pb, pc, support FROM t
+      ORDER BY support DESC, pa, pb, pc LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q237, q238, q239, q240, q241, q242, q243, q244,
-    q254, q255, q256, q257, q258, q259)
+    q254, q255, q256, q257, q258, q259, q275, q276, q277, q278)
 }

@@ -285,6 +285,80 @@ class InferQueriesSpec extends SparkSpec {
       s"deciles badly unbalanced: $sizes")
   }
 
+  test("q275: weighted Jaccard bounded by binary Jaccard of the supports") {
+    val out = rows(InferQueries.q275.fn(spark, sf)).head
+    val (n, smin, smax) = (out(0).asInstanceOf[Long], out(1).asInstanceOf[Long],
+      out(2).asInstanceOf[Long])
+    val wj = out(3).asInstanceOf[Double]
+    assert(smin <= smax && wj >= 0.0 && wj <= 1.0)
+    assert(math.abs(wj - smin.toDouble / smax) < 1e-6)
+    assert(n > 0)
+  }
+
+  test("q276: partial correlation matches a brute-force residualization") {
+    val out = rows(InferQueries.q276.fn(spark, sf)).head
+    val data = Tables.load(spark, sf, "lineitem")
+      .select(col("l_quantity").cast("long"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0).toDouble, r.getLong(1).toDouble, r.getLong(2).toDouble))
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length
+      val ma = a.sum / n; val mb = b.sum / n
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum * b.map(y => (y - mb) * (y - mb)).sum)
+    }
+    val (xs, ys, zs) = (data.map(_._1).toSeq, data.map(_._2).toSeq, data.map(_._3).toSeq)
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    val want = (rxy - rxz * ryz) / math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    assert(math.abs(out(1).asInstanceOf[Double] - rxy) < 1e-4)
+    assert(math.abs(out(2).asInstanceOf[Double] - want) < 1e-4,
+      s"partial r ${out(2)} vs $want")
+  }
+
+  test("q277: RBO equals a direct per-depth overlap walk and sits in [0,1]") {
+    val out = rows(InferQueries.q277.fn(spark, sf)).head
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val listA = docs.sortBy(d => (-d._2, d._1)).take(50).map(_._1)
+    val listB = docs.sortBy(d => (-d._3, d._1)).take(50).map(_._1)
+    val p = 0.9
+    var rbo = 0.0
+    (1 to 50).foreach { d =>
+      val x = listA.take(d).toSet.intersect(listB.take(d).toSet).size
+      rbo += math.pow(p, d - 1) * x / d
+    }
+    rbo *= (1 - p)
+    assert(out(1).asInstanceOf[Double] >= 0.0 && out(1).asInstanceOf[Double] <= 1.0)
+    // the engine uses the quantized W table; agreement within its grain
+    assert(math.abs(out(1).asInstanceOf[Double] - rbo) < 1e-3,
+      s"rbo ${out(1)} vs $rbo")
+  }
+
+  test("q278: triple supports match brute-force basket enumeration") {
+    val out = rows(InferQueries.q278.fn(spark, sf))
+      .map(r => ((r(0).asInstanceOf[String], r(1).asInstanceOf[String],
+        r(2).asInstanceOf[String]), r(3).asInstanceOf[Long]))
+    assert(out.nonEmpty && out.size <= 20)
+    val rowsB = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val freq1 = rowsB.groupBy(_._2).collect { case (b, o) if o.size >= 3 => b }.toSet
+    val cnt = scala.collection.mutable.Map.empty[(String, String, String), Long]
+      .withDefaultValue(0L)
+    rowsB.filter(t => freq1(t._2)).groupBy(_._1).values.foreach { g =>
+      val bs = g.map(_._2).sorted
+      for (i <- bs.indices; j <- (i + 1) until bs.length; k <- (j + 1) until bs.length)
+        cnt((bs(i), bs(j), bs(k))) += 1
+    }
+    val want = cnt.toSeq.filter(_._2 >= 3)
+      .sortBy { case ((a, b, c), s) => (-s, a, b, c) }.take(20)
+    assert(out == want, s"got ${out.take(3)}..., want ${want.take(3)}...")
+  }
+
   test("q244: JSD bounded by ln 2 and symmetric under source swap") {
     val out = rows(InferQueries.q244.fn(spark, sf)).head
     val jsd = out(3).asInstanceOf[Double]
