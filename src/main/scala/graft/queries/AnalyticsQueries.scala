@@ -1656,7 +1656,64 @@ object AnalyticsQueries {
       SELECT nation, o_orderkey, cents FROM r WHERE rn <= 3
       ORDER BY nation, cents DESC, o_orderkey"""))
 
+  // --------------------------------------------------------------- q279
+
+  /** q279 — LSH quality audit: for every candidate pair the banded
+    * MinHash scheme surfaces (q36's exact config, NO verify
+    * threshold), compare the signature-agreement estimate (matching
+    * slots / k) against the exact shingle Jaccard — candidate
+    * precision at the 0.2 working threshold plus the estimator's MAE.
+    * This is the engine auditing its own sketch: banding parameters
+    * are chosen from the (r, b) S-curve, and this query measures where
+    * the curve ACTUALLY sits on this corpus — the number you check
+    * before trusting the near-dup pipeline at a new threshold.
+    *
+    * Per-pair error quantizes to a 1e6 long (both factors already
+    * engine-identical: the estimate is an integer ratio, the exact
+    * Jaccard the 6-dp verify value), so the MAE reduce is exact.
+    */
+  val q279 = Q("q279_lsh_quality_audit",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val cands = graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", n = 2, k = 12, rowsPerBand = 2, threshold = 0.0)
+      val sig = docs.select(col("doc_id"),
+        graft.operators.Dedup.minhashSignature(
+          call_function("graft_shingle_hashes", col("text"), lit(2)), 12).as("sg"))
+      cands
+        .join(sig.select(col("doc_id").as("id_a"), col("sg").as("sa")), "id_a")
+        .join(sig.select(col("doc_id").as("id_b"), col("sg").as("sb")), "id_b")
+        .select(col("jaccard"),
+          expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))").as("m"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jaccard") >= 0.2, 1L).otherwise(0L)).as("n_above_02"),
+          sum(expr(
+            "CAST(round(1e6 * abs(CAST(m AS DOUBLE) / 12.0 - jaccard)) AS BIGINT)"))
+            .as("_err_u"))
+        .select(col("n_candidates"), col("n_above_02"),
+          round(col("n_above_02").cast("double") / col("n_candidates").cast("double"), 6)
+            .as("precision_at_02"),
+          round(col("_err_u").cast("double") / col("n_candidates").cast("double") / 1e6, 6)
+            .as("minhash_mae"))
+    },
+    Some(s"""
+      WITH ${DataQueries.duckMinhashPairCtes},
+      est AS (SELECT j.doc_a, j.doc_b, j.jaccard,
+                     len(list_filter(range(1, 13),
+                       i -> sa.sg[i] = sb.sg[i])) AS m
+              FROM j JOIN sig sa ON j.doc_a = sa.doc_id
+                     JOIN sig sb ON j.doc_b = sb.doc_id)
+      SELECT count(*) AS n_candidates,
+             CAST(sum(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above_02,
+             round(CAST(sum(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 6) AS precision_at_02,
+             round(CAST(sum(CAST(round(1e6 * abs(CAST(m AS DOUBLE) / 12.0 - jaccard))
+                       AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS minhash_mae
+      FROM est"""))
+
   val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
-    q271, q272, q273, q274)
+    q271, q272, q273, q274, q279)
 }

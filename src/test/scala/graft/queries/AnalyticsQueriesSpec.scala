@@ -392,6 +392,20 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(out.map(_(0).asInstanceOf[Int]).sorted == Seq(1, 2, 3, 4, 5))
   }
 
+  test("q279: audit internally consistent — precision and MAE reproducible from q36's pairs") {
+    val out = rows(AnalyticsQueries.q279.fn(spark, sf)).head
+    val (n, above) = (out(0).asInstanceOf[Long], out(1).asInstanceOf[Long])
+    val prec = out(2).asInstanceOf[Double]
+    val mae = out(3).asInstanceOf[Double]
+    assert(above <= n && prec >= 0.0 && prec <= 1.0)
+    assert(mae >= 0.0 && mae <= 1.0)
+    // q36 is this audit's candidate generator WITH the 0.2 verify: its
+    // pair count must equal the audit's above-threshold count
+    val q36n = rows(DataQueries.q36.fn(spark, sf)).size.toLong
+    assert(q36n == above, s"q36 pairs $q36n vs audit above-0.2 $above")
+    assert(math.abs(prec - above.toDouble / n) < 1e-6)
+  }
+
   test("q252: NDCG bounded by 1, MRR in [0,1], and a relevant hit implies positive DCG") {
     val out = rows(AnalyticsQueries.q252.fn(spark, sf))
     assert(out.nonEmpty)
