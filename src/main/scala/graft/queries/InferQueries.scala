@@ -1263,6 +1263,213 @@ object InferQueries {
       SELECT pa, pb, pc, support FROM t
       ORDER BY support DESC, pa, pb, pc LIMIT 20"""))
 
+  // --------------------------------------------------------------- q280
+
+  /** q280 — Kruskal-Wallis H: do the three return-flag populations
+    * ('A'/'N'/'R') draw `l_quantity` from the same distribution? The
+    * k-group generalization of q237's rank-sum (one-way ANOVA on
+    * ranks), the first test run when k>2 cohorts need a single
+    * any-difference answer before pairwise drilldown.
+    *
+    * Same no-row-ranked recipe as q237: per-group counts on the
+    * ≤50-row distinct-quantity grid, doubled average ranks
+    * r_d(v) = 2·count_below + c + 1 from one bounded window, doubled
+    * rank sums R_g_d = Σ c_g·r_d as exact longs. Then one double
+    * formula: H = 12/(N(N+1))·Σ (R_g_d/2)²/n_g − 3(N+1), tie-corrected
+    * by C = 1 − Σ(t³−t)/(N³−N). Groups pivot to fixed columns (q238's
+    * max-when trick) so the 3-term Σ has one spelled evaluation order.
+    */
+  val q280 = Q("q280_kruskal_wallis",
+    (s, dir) => {
+      val b = Tables.load(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("v"), col("l_returnflag").as("g"))
+      val grid = b.groupBy("v").agg(
+        sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === "N", 1L).otherwise(0L)).as("cn"),
+        sum(when(col("g") === "R", 1L).otherwise(0L)).as("cr"),
+        count(lit(1)).as("c"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val m = grid
+        .withColumn("rd", lit(2) * coalesce(sum("c").over(w), lit(0L)) + col("c") + 1)
+        .groupBy()
+        .agg(sum("ca").as("na"), sum("cn").as("nn"), sum("cr").as("nr"),
+          sum(col("ca") * col("rd")).as("rad"),
+          sum(col("cn") * col("rd")).as("rnd"),
+          sum(col("cr") * col("rd")).as("rrd"),
+          sum(col("c") * col("c") * col("c") - col("c")).as("tie"))
+      def r2n(rd: String, n: String) = {
+        val r = col(rd).cast("double") / 2.0
+        r * r / col(n).cast("double")
+      }
+      val nN = (col("na") + col("nn") + col("nr")).cast("double")
+      val h = lit(12.0) / (nN * (nN + 1.0)) *
+        (r2n("rad", "na") + r2n("rnd", "nn") + r2n("rrd", "nr")) - lit(3.0) * (nN + 1.0)
+      val corr = lit(1.0) - col("tie").cast("double") / (nN * nN * nN - nN)
+      m.select(col("na"), col("nn"), col("nr"),
+        round(h, 6).as("h"), round(h / corr, 6).as("h_tie_corrected"))
+    },
+    Some("""
+      WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag AS g
+                 FROM lineitem),
+      grid AS (SELECT v,
+                      CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                      CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cn,
+                      CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM b GROUP BY v),
+      rk AS (SELECT ca, cn, cr, c,
+                    2 * coalesce(sum(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      + c + 1 AS rd
+             FROM grid),
+      m AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cn) AS BIGINT) AS nn,
+                   CAST(sum(cr) AS BIGINT) AS nr,
+                   CAST(sum(ca * rd) AS BIGINT) AS rad,
+                   CAST(sum(cn * rd) AS BIGINT) AS rnd,
+                   CAST(sum(cr * rd) AS BIGINT) AS rrd,
+                   CAST(sum(c * c * c - c) AS BIGINT) AS tie
+            FROM rk)
+      SELECT na, nn, nr,
+             round(12.0 / (CAST(na + nn + nr AS DOUBLE) * (CAST(na + nn + nr AS DOUBLE) + 1.0))
+                   * ((CAST(rad AS DOUBLE) / 2.0) * (CAST(rad AS DOUBLE) / 2.0) / CAST(na AS DOUBLE)
+                      + (CAST(rnd AS DOUBLE) / 2.0) * (CAST(rnd AS DOUBLE) / 2.0) / CAST(nn AS DOUBLE)
+                      + (CAST(rrd AS DOUBLE) / 2.0) * (CAST(rrd AS DOUBLE) / 2.0) / CAST(nr AS DOUBLE))
+                   - 3.0 * (CAST(na + nn + nr AS DOUBLE) + 1.0), 6) AS h,
+             round((12.0 / (CAST(na + nn + nr AS DOUBLE) * (CAST(na + nn + nr AS DOUBLE) + 1.0))
+                    * ((CAST(rad AS DOUBLE) / 2.0) * (CAST(rad AS DOUBLE) / 2.0) / CAST(na AS DOUBLE)
+                       + (CAST(rnd AS DOUBLE) / 2.0) * (CAST(rnd AS DOUBLE) / 2.0) / CAST(nn AS DOUBLE)
+                       + (CAST(rrd AS DOUBLE) / 2.0) * (CAST(rrd AS DOUBLE) / 2.0) / CAST(nr AS DOUBLE))
+                    - 3.0 * (CAST(na + nn + nr AS DOUBLE) + 1.0))
+                   / (1.0 - CAST(tie AS DOUBLE)
+                            / (CAST(na + nn + nr AS DOUBLE) * CAST(na + nn + nr AS DOUBLE)
+                               * CAST(na + nn + nr AS DOUBLE) - CAST(na + nn + nr AS DOUBLE))), 6)
+               AS h_tie_corrected
+      FROM m"""))
+
+  // --------------------------------------------------------------- q281
+
+  /** q281 — Cramér's V over the region × order-priority contingency
+    * table: the normalized effect size ([0,1]) behind q129's raw χ² —
+    * the number a data-quality report actually prints, comparable
+    * across tables of any shape, answering "HOW strongly does
+    * geography associate with priority mix", not just "is it
+    * significant at this n".
+    *
+    * Cell/margin counts are exact longs (the 5×5 table is a grouped
+    * rollup; margins come from re-aggregating the 25-row cell table —
+    * no partition-less window). Each cell's (o−e)²/e is one double
+    * evaluated identically on both engines, then quantized to
+    * integer nanos (q230's one-quantization rule) so the 25-term sum
+    * is order-independent; χ² and V are final double formulas.
+    */
+  val q281 = Q("q281_cramers_v",
+    (s, dir) => {
+      val dim = Tables.load(s, dir, "customer")
+        .join(broadcast(Tables.load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name"))
+      val cells = Tables.load(s, dir, "orders")
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("r_name"), col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint(false) // consumers: margins ×2 + the cell scan
+      val rt = cells.groupBy("r_name").agg(sum("o").as("rt"))
+      val ct = cells.groupBy("prio").agg(sum("o").as("ct"))
+      val n = cells.groupBy().agg(sum("o").as("n"))
+      val withN = cells
+        .join(broadcast(rt), "r_name").join(broadcast(ct), "prio")
+        .crossJoin(broadcast(n))
+        .select(col("n"), col("rt"), col("ct"),
+          expr("""CAST(round(1e9 * (
+                    (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)))) AS BIGINT)""").as("t_nano"))
+      val k = cells.groupBy().agg(
+        countDistinct(col("r_name")).as("r"), countDistinct(col("prio")).as("c"))
+      withN.groupBy().agg(max("n").as("n"), sum("t_nano").as("chi_nano"))
+        .crossJoin(broadcast(k))
+        .select(col("n"), col("r"), col("c"),
+          round(col("chi_nano").cast("double") / 1e9, 6).as("chi2"),
+          round(sqrt(col("chi_nano").cast("double") / 1e9
+            / (col("n").cast("double")
+               * (least(col("r"), col("c")) - 1).cast("double"))), 6).as("cramers_v"))
+    },
+    Some("""
+      WITH cells AS (SELECT r_name, o_orderpriority AS prio,
+                            CAST(count(*) AS BIGINT) AS o
+                     FROM orders
+                     JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+                     GROUP BY 1, 2),
+      rt AS (SELECT r_name, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      ct AS (SELECT prio, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      k AS (SELECT CAST(count(DISTINCT r_name) AS BIGINT) AS r,
+                   CAST(count(DISTINCT prio) AS BIGINT) AS c FROM cells),
+      t AS (SELECT n.n,
+                   CAST(round(1e9 * (
+                     (CAST(o AS DOUBLE) - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+                     * (CAST(o AS DOUBLE) - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+                     / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE)))) AS BIGINT) AS t_nano
+            FROM cells JOIN rt ON cells.r_name = rt.r_name
+                       JOIN ct ON cells.prio = ct.prio
+                       CROSS JOIN n),
+      m AS (SELECT max(n) AS n, CAST(sum(t_nano) AS BIGINT) AS chi_nano FROM t)
+      SELECT m.n, k.r, k.c,
+             round(CAST(chi_nano AS DOUBLE) / 1e9, 6) AS chi2,
+             round(sqrt(CAST(chi_nano AS DOUBLE) / 1e9
+                        / (CAST(m.n AS DOUBLE) * CAST(least(k.r, k.c) - 1 AS DOUBLE))), 6)
+               AS cramers_v
+      FROM m CROSS JOIN k"""))
+
+  // --------------------------------------------------------------- q282
+
+  /** q282 — McNemar's paired test on user activity: among users seen
+    * in the events stream, did the active-user population CHANGE
+    * between the first and second calendar month? Paired binary
+    * outcomes (active-in-Jan, active-in-Feb per user) make the
+    * two-proportion z (q261) wrong — only the DISCORDANT pairs carry
+    * information, which is exactly what McNemar tests:
+    * χ² = (|b−c|−1)²/(b+c) with continuity correction.
+    *
+    * One grouped pass per user (max-when presence flags), one rollup
+    * to the 2×2 concordance counts — all exact longs, one final
+    * double.
+    */
+  val q282 = Q("q282_mcnemar",
+    (s, dir) => {
+      val flags = Tables.load(s, dir, "events")
+        .select(col("user_id"), month(col("ts")).as("m"))
+        .groupBy("user_id")
+        .agg(max(when(col("m") === 1, 1L).otherwise(0L)).as("y1"),
+          max(when(col("m") === 2, 1L).otherwise(0L)).as("y2"))
+      val m = flags.groupBy().agg(
+        sum(when(col("y1") === 1 && col("y2") === 1, 1L).otherwise(0L)).as("n11"),
+        sum(when(col("y1") === 1 && col("y2") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("y1") === 0 && col("y2") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("y1") === 0 && col("y2") === 0, 1L).otherwise(0L)).as("n00"))
+      m.select(col("n11"), col("b"), col("c"), col("n00"),
+        round((abs(col("b") - col("c")) - 1).cast("double")
+          * (abs(col("b") - col("c")) - 1).cast("double")
+          / (col("b") + col("c")).cast("double"), 6).as("chi2_cc"))
+    },
+    Some("""
+      WITH flags AS (SELECT user_id,
+                            max(CASE WHEN month(ts) = 1 THEN 1 ELSE 0 END) AS y1,
+                            max(CASE WHEN month(ts) = 2 THEN 1 ELSE 0 END) AS y2
+                     FROM events GROUP BY user_id),
+      m AS (SELECT CAST(sum(CASE WHEN y1 = 1 AND y2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                   CAST(sum(CASE WHEN y1 = 1 AND y2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                   CAST(sum(CASE WHEN y1 = 0 AND y2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN y1 = 0 AND y2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+            FROM flags)
+      SELECT n11, b, c, n00,
+             round(CAST(abs(b - c) - 1 AS DOUBLE) * CAST(abs(b - c) - 1 AS DOUBLE)
+                   / CAST(b + c AS DOUBLE), 6) AS chi2_cc
+      FROM m"""))
+
   val all: Seq[Q] = Seq(q237, q238, q239, q240, q241, q242, q243, q244,
-    q254, q255, q256, q257, q258, q259, q275, q276, q277, q278)
+    q254, q255, q256, q257, q258, q259, q275, q276, q277, q278,
+    q280, q281, q282)
 }

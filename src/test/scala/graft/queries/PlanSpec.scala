@@ -258,7 +258,8 @@ class PlanSpec extends SparkSpec {
       "q260_average_precision", // PR rank over the scored eval sample (q134's shape)
       "q269_disparate_impact",  // reference-group pick over the ≤|segments| rollup
       "q273_woe_iv",            // quintile boundaries over the distinct-balance grid (q125's CDF shape)
-      "q277_rank_biased_overlap") // rank over the two bounded top-50 lists (q146's shape)
+      "q277_rank_biased_overlap", // rank over the two bounded top-50 lists (q146's shape)
+      "q280_kruskal_wallis")    // rank offsets over the ≤50-row distinct-quantity grid (q237's shape)
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.optimizedPlan
