@@ -1713,7 +1713,201 @@ object AnalyticsQueries {
                        AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS minhash_mae
       FROM est"""))
 
+  // --------------------------------------------------------------- q283
+
+  /** q283 — item-item collaborative filtering: top-3 "customers also
+    * bought" neighbors per brand by co-occurrence cosine
+    * cos(i,j) = n_ij / √(n_i·n_j) over order baskets — the
+    * memory-based recommender primitive, where q222's lift measures
+    * association strength but cosine is the score production
+    * recommenders actually rank by (it damps popular-item dominance
+    * symmetrically).
+    *
+    * Pairs come from per-basket sorted-combination enumeration (the
+    * q245 shape — work is C(|basket brands|,2), never |items|²);
+    * basket counts n_i are a bounded rollup broadcast onto the pair
+    * table; the cosine is quantized to integer micros (one double per
+    * pair, identical text both engines) so the per-item top-3 window
+    * ranks on exact (micros DESC, neighbor) — no float tie coin-flips.
+    */
+  val q283 = Q("q283_item_cf",
+    (s, dir) => {
+      val items = Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+        .localCheckpoint(false) // consumers: item counts + pair enumeration
+      val ni = items.groupBy("p_brand").agg(count(lit(1)).as("n"))
+      val pairs = items.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("p_brand"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(slice(ids, i + 1, size(ids)),
+                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("nij"))
+      val sym = pairs.select(col("pa").as("item"), col("pb").as("nbr"), col("nij"))
+        .unionByName(pairs.select(col("pb").as("item"), col("pa").as("nbr"), col("nij")))
+      val scored = sym
+        .join(broadcast(ni.select(col("p_brand").as("item"), col("n").as("n_i"))), "item")
+        .join(broadcast(ni.select(col("p_brand").as("nbr"), col("n").as("n_j"))), "nbr")
+        .select(col("item"), col("nbr"),
+          expr("""CAST(round(1e6 * CAST(nij AS DOUBLE)
+                    / sqrt(CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE))) AS BIGINT)""")
+            .as("cos_micro"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("item").orderBy(desc("cos_micro"), col("nbr"))))
+        .filter(col("rk") <= 3)
+        .select(col("item"), col("rk"), col("nbr"),
+          round(col("cos_micro").cast("double") / 1e6, 6).as("cosine"))
+        .orderBy("item", "rk")
+    },
+    Some("""
+      WITH i AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem
+                 JOIN part ON l_partkey = p_partkey),
+      ni AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n FROM i GROUP BY 1),
+      p AS (SELECT a.p_brand AS pa, b.p_brand AS pb,
+                   CAST(count(*) AS BIGINT) AS nij
+            FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+                             AND a.p_brand < b.p_brand
+            GROUP BY 1, 2),
+      sym AS (SELECT pa AS item, pb AS nbr, nij FROM p
+              UNION ALL
+              SELECT pb AS item, pa AS nbr, nij FROM p),
+      sc AS (SELECT item, nbr,
+                    CAST(round(1e6 * CAST(nij AS DOUBLE)
+                      / sqrt(CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE))) AS BIGINT)
+                      AS cos_micro
+             FROM sym JOIN ni a ON sym.item = a.p_brand
+                      JOIN ni b ON sym.nbr = b.p_brand),
+      rk AS (SELECT item, nbr, cos_micro,
+                    row_number() OVER (PARTITION BY item
+                      ORDER BY cos_micro DESC, nbr) AS rk
+             FROM sc)
+      SELECT item, rk, nbr, round(CAST(cos_micro AS DOUBLE) / 1e6, 6) AS cosine
+      FROM rk WHERE rk <= 3 ORDER BY item, rk"""))
+
+  // --------------------------------------------------------------- q284
+
+  /** q284 — grid-density outliers in embedding space: project onto
+    * dims (1,2), bucket into 0.05-wide grid cells, and flag vectors
+    * whose 3×3 cell neighborhood holds < 3 points — the cell-based
+    * approximation of density outlier detection (DBSCAN's noise
+    * class) that replaces the O(n²) pairwise ε-scan with two grouped
+    * passes and a 9-way bounded cell join, the only shape that
+    * survives 100 TB of vectors.
+    *
+    * Cell ids floor the IDENTICAL double product both engines
+    * (float→double cast is exact); the neighborhood sum joins the
+    * occupied-cell rollup to its 9 offset cells (cells ≤ points, the
+    * offset table is a 9-row literal), then points inherit their
+    * cell's neighborhood count by one broadcast-able join.
+    */
+  val q284 = Q("q284_grid_density",
+    (s, dir) => {
+      import s.implicits._
+      val pts = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 20.0) AS BIGINT)").as("cx"),
+          expr("CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) * 20.0) AS BIGINT)").as("cy"))
+        .localCheckpoint(false) // consumers: cell rollup + per-point lookup
+      val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("c"))
+      val offsets = Seq(-1L, 0L, 1L).flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy)))
+        .toDF("dx", "dy")
+      val nbh = cells.crossJoin(broadcast(offsets))
+        .groupBy((col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+        .agg(sum("c").as("nbh"))
+      pts.join(nbh, Seq("cx", "cy"))
+        .filter(col("nbh") < 3)
+        .select(col("vec_id"), col("cx"), col("cy"), col("nbh"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH pts AS (SELECT vec_id,
+                          CAST(floor(CAST(embedding[1] AS DOUBLE) * 20.0) AS BIGINT) AS cx,
+                          CAST(floor(CAST(embedding[2] AS DOUBLE) * 20.0) AS BIGINT) AS cy
+                   FROM embeddings),
+      cells AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS c
+                FROM pts GROUP BY 1, 2),
+      offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                              (1,-1),(1,0),(1,1)),
+      nbh AS (SELECT cells.cx + dx AS cx, cells.cy + dy AS cy,
+                     CAST(sum(c) AS BIGINT) AS nbh
+              FROM cells CROSS JOIN offs GROUP BY 1, 2)
+      SELECT vec_id, pts.cx, pts.cy, nbh
+      FROM pts JOIN nbh ON pts.cx = nbh.cx AND pts.cy = nbh.cy
+      WHERE nbh < 3 ORDER BY vec_id"""))
+
+  // --------------------------------------------------------------- q285
+
+  /** q285 — l-diversity audit: q124 guarantees each (mktsegment ×
+    * nation) quasi-identifier group is LARGE, but a large group whose
+    * members all share one sensitive value still leaks it — the
+    * homogeneity attack l-diversity exists to catch. Sensitive
+    * attribute: the account-balance band (width 2500). Per QI group:
+    * distinct-l, entropy-l (e^H — the effective number of sensitive
+    * values an attacker must distinguish), and the audit rollup of
+    * groups failing l ≥ 3 under each definition.
+    *
+    * Entropy per group is Σ over (group, band) cells of
+    * cnt·ln(n/cnt) — each ln goes through the q217 round(·1e9)::long
+    * quantization weighted by exact integer counts, so the per-group
+    * sum is order-independent; e^H is a final double per group.
+    * Shapes: two grouped passes over cells bounded by |QI|·|bands|.
+    */
+  val q285 = Q("q285_l_diversity",
+    (s, dir) => {
+      val cells = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+          expr("CAST(floor(c_acctbal / 2500.0) AS BIGINT)").as("band"))
+        .groupBy("seg", "nat", "band").agg(count(lit(1)).as("cnt"))
+      val grp = cells.groupBy("seg", "nat").agg(
+        sum("cnt").as("n"), count(lit(1)).as("l_distinct"))
+      val ent = cells.join(grp.select(col("seg"), col("nat"), col("n")), Seq("seg", "nat"))
+        .select(col("seg"), col("nat"),
+          (col("cnt") * expr(
+            "CAST(round(1e9 * ln(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE))) AS BIGINT)"))
+            .as("t_nano"))
+        .groupBy("seg", "nat").agg(sum("t_nano").as("h_nano_n"))
+      val per = grp.join(ent, Seq("seg", "nat"))
+        .select(col("seg"), col("nat"), col("n"), col("l_distinct"),
+          exp(col("h_nano_n").cast("double") / 1e9 / col("n").cast("double"))
+            .as("_el"))
+      per.groupBy()
+        .agg(count(lit(1)).as("n_groups"),
+          min("l_distinct").as("min_l_distinct"),
+          sum(when(col("l_distinct") < 3, 1L).otherwise(0L)).as("groups_below_l3"),
+          sum(when(col("_el") < 3.0, 1L).otherwise(0L)).as("groups_below_entropy_l3"),
+          round(min("_el"), 6).as("min_entropy_l"))
+    },
+    Some("""
+      WITH cells AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+                            CAST(floor(c_acctbal / 2500.0) AS BIGINT) AS band,
+                            CAST(count(*) AS BIGINT) AS cnt
+                     FROM customer GROUP BY 1, 2, 3),
+      grp AS (SELECT seg, nat, CAST(sum(cnt) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS l_distinct
+              FROM cells GROUP BY 1, 2),
+      ent AS (SELECT cells.seg, cells.nat,
+                     CAST(sum(cnt * CAST(round(1e9 *
+                       ln(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE))) AS BIGINT)) AS BIGINT)
+                       AS h_nano_n
+              FROM cells JOIN grp ON cells.seg = grp.seg AND cells.nat = grp.nat
+              GROUP BY 1, 2),
+      per AS (SELECT grp.seg, grp.nat, n, l_distinct,
+                     exp(CAST(h_nano_n AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)) AS el
+              FROM grp JOIN ent ON grp.seg = ent.seg AND grp.nat = ent.nat)
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             min(l_distinct) AS min_l_distinct,
+             CAST(sum(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_below_l3,
+             CAST(sum(CASE WHEN el < 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_below_entropy_l3,
+             round(min(el), 6) AS min_entropy_l
+      FROM per"""))
+
   val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
-    q271, q272, q273, q274, q279)
+    q271, q272, q273, q274, q279, q283, q284, q285)
 }
