@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -1907,7 +1908,168 @@ object AnalyticsQueries {
              round(min(el), 6) AS min_entropy_l
       FROM per"""))
 
+  /** Round-to-nearest division by 10 on scaled longs (q201's helper —
+    * operands here are always non-negative, where `DIV` and `//`
+    * agree, so the two engines evaluate the identical integer
+    * expression). */
+  private def rdiv10nn(x: String, idiv: String): String =
+    s"((($x) + 5) $idiv 10)"
+
+  // --------------------------------------------------------------- q286
+
+  /** q286 — Croston's method for intermittent demand: per part, the
+    * shipped-quantity series is mostly zero-days with occasional
+    * demand spikes — exactly where Holt (q201) degenerates (the
+    * zeros drag the level to nothing between spikes). Croston runs
+    * TWO EWMAs (α=0.2): one over nonzero demand SIZES, one over
+    * inter-demand INTERVALS; forecast demand rate = size/interval.
+    *
+    * Determinism is q201's recipe verbatim: the recurrences run on
+    * 1e6-scaled longs with round-half-away division after each
+    * update (operands non-negative, so `DIV`/`//` agree), so every
+    * (z, g) state is an integer both engines replay bit-for-bit —
+    * the oracle walks the same recursion as a RECURSIVE CTE.
+    *
+    * Scale: sequential ALONG a part's demand series, parallel ACROSS
+    * parts — one (part, day) rollup with map-side partials, then one
+    * task-local fold per part over its sorted demand events (~tens
+    * of states per series regardless of raw row count).
+    */
+  val q286 = Q("q286_croston",
+    (s, dir) => {
+      val d = rdiv10nn(_: String, "DIV")
+      val nz = d("2 * e.q * 1000000 + 8 * acc.z")
+      val ng = d("2 * CAST(datediff(e.day, acc.day) AS BIGINT) * 1000000 + 8 * acc.g")
+      val croston = s"""
+        aggregate(
+          ys,
+          named_struct('z', CAST(0 AS BIGINT), 'g', CAST(0 AS BIGINT),
+                       'k', 0, 'day', CAST(NULL AS DATE)),
+          (acc, e) -> CASE
+            WHEN acc.k = 0 THEN named_struct(
+              'z', e.q * CAST(1000000 AS BIGINT), 'g', CAST(0 AS BIGINT),
+              'k', 1, 'day', e.day)
+            WHEN acc.k = 1 THEN named_struct(
+              'z', $nz,
+              'g', CAST(datediff(e.day, acc.day) AS BIGINT) * 1000000,
+              'k', 2, 'day', e.day)
+            ELSE named_struct('z', $nz, 'g', $ng, 'k', acc.k + 1, 'day', e.day)
+            END,
+          acc -> named_struct('k', acc.k, 'z', acc.z, 'g', acc.g))"""
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("day"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+        .groupBy("l_partkey")
+        .agg(sort_array(collect_list(struct(col("day"), col("q")))).as("ys"))
+        .select(col("l_partkey"), expr(croston).as("r"))
+        .filter(col("r.k") >= 3)
+        .select(col("l_partkey"), col("r.k").as("n_demands"),
+          col("r.z").as("size_micro"), col("r.g").as("interval_micro"),
+          round(col("r.z").cast("double") / col("r.g").cast("double"), 6)
+            .as("demand_rate"))
+        .orderBy("l_partkey")
+    },
+    Some {
+      val d = rdiv10nn(_: String, "//")
+      val nz = d("2 * x.q * 1000000 + 8 * h.z")
+      val ng = d("2 * (x.day - h.day) * 1000000 + 8 * h.g")
+      s"""
+      WITH RECURSIVE
+      daily AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+                FROM lineitem GROUP BY 1, 2),
+      ix AS (SELECT l_partkey, day, q,
+                    row_number() OVER (PARTITION BY l_partkey ORDER BY day) AS i
+             FROM daily),
+      h(l_partkey, i, day, z, g) AS (
+        SELECT l_partkey, i, day, q * 1000000, CAST(0 AS BIGINT)
+        FROM ix WHERE i = 1
+        UNION ALL
+        SELECT x.l_partkey, x.i, x.day,
+               $nz,
+               CASE WHEN h.i = 1 THEN (x.day - h.day) * 1000000 ELSE $ng END
+        FROM h JOIN ix x ON x.l_partkey = h.l_partkey AND x.i = h.i + 1),
+      last AS (SELECT l_partkey, max(i) AS k FROM h GROUP BY 1)
+      SELECT h.l_partkey, h.i AS n_demands, z AS size_micro, g AS interval_micro,
+             round(CAST(z AS DOUBLE) / CAST(g AS DOUBLE), 6) AS demand_rate
+      FROM h JOIN last ON h.l_partkey = last.l_partkey AND h.i = last.k
+      WHERE h.i >= 3
+      ORDER BY h.l_partkey"""
+    })
+
+  // --------------------------------------------------------------- q287
+
+  /** q287 — SAX motif mining over the daily-revenue series: z-score
+    * each day's total revenue, discretize into 4 symbols at the
+    * standard-normal quartile breakpoints (±0.6745, 0), and count
+    * 3-day symbolic motifs — the Symbolic Aggregate approXimation
+    * pipeline behind "what shape does a typical 3-day window take"
+    * pattern mining, where raw-value matching would never repeat.
+    *
+    * Moments are exact (cents summed in DECIMAL); each day's z and
+    * symbol come from one identical double comparison per engine.
+    * Trigrams are built by CONSECUTIVE-day self-joins on the bounded
+    * daily rollup (day+1/day+2 equi-joins — no partition-less
+    * window, and calendar gaps simply produce no motif), then one
+    * grouped count and a top-5.
+    */
+  val q287 = Q("q287_sax_motifs",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+        .localCheckpoint(false) // consumers: moments + the symbol scan
+      val m = daily.groupBy().agg(
+        count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(col("cents").cast(DecimalType(19, 0))
+          * col("cents").cast(DecimalType(19, 0))).as("ss"))
+      val sym = daily.crossJoin(broadcast(m))
+        .select(col("day"), expr("""
+          CASE WHEN (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) < -0.6745 THEN 'a'
+               WHEN (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) < 0.0 THEN 'b'
+               WHEN (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) < 0.6745 THEN 'c'
+               ELSE 'd' END""").as("sym"))
+        .localCheckpoint(false) // three self-join arms
+      val s1 = sym.select(col("day"), col("sym").as("s0"))
+      val s2 = sym.select(date_sub(col("day"), 1).as("day"), col("sym").as("s1"))
+      val s3 = sym.select(date_sub(col("day"), 2).as("day"), col("sym").as("s2"))
+      s1.join(s2, "day").join(s3, "day")
+        .select(concat(col("s0"), col("s1"), col("s2")).as("motif"))
+        .groupBy("motif").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("motif")).limit(5)
+    },
+    Some("""
+      WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+                            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                                 AS BIGINT) AS cents
+                     FROM lineitem GROUP BY 1),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+                   sum(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS ss
+            FROM daily),
+      sym AS (SELECT day,
+                     CASE WHEN (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                               / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                       / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) < -0.6745 THEN 'a'
+                          WHEN (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                               / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                       / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) < 0.0 THEN 'b'
+                          WHEN (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                               / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                       / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) < 0.6745 THEN 'c'
+                          ELSE 'd' END AS sym
+              FROM daily CROSS JOIN m)
+      SELECT concat(a.sym, b.sym, c.sym) AS motif, CAST(count(*) AS BIGINT) AS cnt
+      FROM sym a JOIN sym b ON b.day = a.day + 1
+                 JOIN sym c ON c.day = a.day + 2
+      GROUP BY 1 ORDER BY cnt DESC, motif LIMIT 5"""))
+
   val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
-    q271, q272, q273, q274, q279, q283, q284, q285)
+    q271, q272, q273, q274, q279, q283, q284, q285, q286, q287)
 }
