@@ -947,6 +947,102 @@ object CorpusQueries {
       CROSS JOIN tot CROSS JOIN g
       ORDER BY ps.source"""))
 
+  // --------------------------------------------------------------- q288
+
+  /** q288 — greedy set-cover corpus selection: pick 5 sources, one
+    * per round, each maximizing the count of NOT-yet-covered distinct
+    * word-trigram shingles (unigram vocabularies saturate after one
+    * pick on any corpus with a shared core vocabulary) — the classical (1−1/e)-approximate data-selection loop
+    * ("which 5 crawls buy the most vocabulary?") behind
+    * coverage-driven corpus budgeting.
+    *
+    * Greedy is INHERENTLY sequential in rounds, so the driver loop is
+    * the correct shape: each round is one distributed anti-join +
+    * grouped count over the (source, shingle) set, and only the 1-row
+    * argmax and the covered-count scalar ever reach the driver — 5
+    * rounds = ~10 tiny jobs regardless of corpus size. Ties break on
+    * source name; all numbers are exact longs. The oracle unrolls the
+    * same 5 rounds as CTEs.
+    */
+  val q288 = Q("q288_set_cover",
+    (s, dir) => {
+      import s.implicits._
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("source"), graft.operators.TextAnalysis.tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, size(w) - 3),
+             i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))""")).as("token"))
+        .distinct()
+        .localCheckpoint(false) // re-scanned once per greedy round
+      var covered: org.apache.spark.sql.DataFrame = null
+      var chosen = List.empty[String]
+      var out = List.empty[(Int, String, Long, Long)]
+      for (r <- 1 to 5) {
+        val cand = if (covered == null) tok
+          else tok.join(covered, Seq("token"), "left_anti")
+        val notChosen = if (chosen.isEmpty) cand
+          else cand.filter(!col("source").isin(chosen: _*))
+        val g = notChosen
+          .groupBy("source").agg(count(lit(1)).as("gain"))
+          .orderBy(desc("gain"), col("source")).limit(1).collect()(0)
+        val (src, gain) = (g.getString(0), g.getLong(1))
+        chosen = chosen :+ src
+        val mine = tok.filter(col("source") === src).select("token")
+        covered = (if (covered == null) mine else covered.union(mine))
+          .distinct().localCheckpoint(false)
+        out = out :+ ((r, src, gain, covered.count()))
+      }
+      out.toDF("round", "source", "gain", "cum_tokens")
+    },
+    Some(s"""
+      WITH t AS (SELECT source, $duckTokens AS w FROM documents),
+      tok AS (SELECT DISTINCT source,
+                     concat(w[u.i], ' ', w[u.i + 1], ' ', w[u.i + 2]) AS token
+              FROM t, unnest(range(1, len(w) - 1)) AS u(i)
+              WHERE len(w) >= 3),
+      p1 AS (SELECT source, CAST(count(*) AS BIGINT) AS gain FROM tok
+             GROUP BY 1 ORDER BY gain DESC, source LIMIT 1),
+      c1 AS (SELECT DISTINCT token FROM tok
+             WHERE source IN (SELECT source FROM p1)),
+      p2 AS (SELECT source, CAST(count(*) AS BIGINT) AS gain FROM tok
+             WHERE token NOT IN (SELECT token FROM c1)
+               AND source NOT IN (SELECT source FROM p1)
+             GROUP BY 1 ORDER BY gain DESC, source LIMIT 1),
+      c2 AS (SELECT token FROM c1 UNION
+             SELECT token FROM tok WHERE source IN (SELECT source FROM p2)),
+      p3 AS (SELECT source, CAST(count(*) AS BIGINT) AS gain FROM tok
+             WHERE token NOT IN (SELECT token FROM c2)
+               AND source NOT IN (SELECT source FROM p1 UNION ALL SELECT source FROM p2)
+             GROUP BY 1 ORDER BY gain DESC, source LIMIT 1),
+      c3 AS (SELECT token FROM c2 UNION
+             SELECT token FROM tok WHERE source IN (SELECT source FROM p3)),
+      p4 AS (SELECT source, CAST(count(*) AS BIGINT) AS gain FROM tok
+             WHERE token NOT IN (SELECT token FROM c3)
+               AND source NOT IN (SELECT source FROM p1 UNION ALL SELECT source FROM p2
+                                  UNION ALL SELECT source FROM p3)
+             GROUP BY 1 ORDER BY gain DESC, source LIMIT 1),
+      c4 AS (SELECT token FROM c3 UNION
+             SELECT token FROM tok WHERE source IN (SELECT source FROM p4)),
+      p5 AS (SELECT source, CAST(count(*) AS BIGINT) AS gain FROM tok
+             WHERE token NOT IN (SELECT token FROM c4)
+               AND source NOT IN (SELECT source FROM p1 UNION ALL SELECT source FROM p2
+                                  UNION ALL SELECT source FROM p3 UNION ALL SELECT source FROM p4)
+             GROUP BY 1 ORDER BY gain DESC, source LIMIT 1),
+      c5 AS (SELECT token FROM c4 UNION
+             SELECT token FROM tok WHERE source IN (SELECT source FROM p5))
+      SELECT CAST(1 AS INTEGER) AS round, source, gain,
+             (SELECT CAST(count(*) AS BIGINT) FROM c1) AS cum_tokens FROM p1
+      UNION ALL SELECT 2, source, gain,
+             (SELECT CAST(count(*) AS BIGINT) FROM c2) FROM p2
+      UNION ALL SELECT 3, source, gain,
+             (SELECT CAST(count(*) AS BIGINT) FROM c3) FROM p3
+      UNION ALL SELECT 4, source, gain,
+             (SELECT CAST(count(*) AS BIGINT) FROM c4) FROM p4
+      UNION ALL SELECT 5, source, gain,
+             (SELECT CAST(count(*) AS BIGINT) FROM c5) FROM p5
+      ORDER BY round"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
-    q196, q221, q224, q231, q232)
+    q196, q221, q224, q231, q232, q288)
 }
