@@ -1469,7 +1469,203 @@ object InferQueries {
                    / CAST(b + c AS DOUBLE), 6) AS chi2_cc
       FROM m"""))
 
+  // --------------------------------------------------------------- q289
+
+  /** q289 — split conformal prediction for regression: fit OLS
+    * (price ~ quantity) on the TRAIN split, take the
+    * ⌈0.9·(n+1)⌉-th smallest absolute residual on a disjoint
+    * CALIBRATION split as the interval half-width τ, and report
+    * empirical coverage on a TEST split — the distribution-free
+    * uncertainty wrapper (Vovk; Lei et al.) that guarantees ≥90%
+    * coverage for ANY model and ANY data distribution, now standard
+    * in production forecasting.
+    *
+    * Splits hash on orderkey (calib: %5=1, test: %5=2, train: rest).
+    * OLS coefficients are doubles from exact moments (q127's
+    * discipline); each |residual| is quantized ONCE to integer
+    * micro-cents, so the calibration quantile is an exact order
+    * statistic over the distinct-residual CDF (q125's bounded-grid
+    * window, whitelisted) and test coverage is an exact count ratio.
+    */
+  val q289 = Q("q289_conformal",
+    (s, dir) => {
+      val b = Tables.load(s, dir, "lineitem").select(
+        pmod(col("l_orderkey"), lit(5)).as("f"),
+        col("l_quantity").cast("long").as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+        .localCheckpoint(false) // train moments + calib + test scans
+      val m = b.filter(col("f") =!= 1 && col("f") =!= 2).groupBy().agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"))
+      val resid = b.filter(col("f").isin(1, 2)).crossJoin(broadcast(m))
+        .select(col("f"), col("n").as("n_train"), expr("""
+          CAST(round(1e6 * abs(CAST(y AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * CAST(x AS DOUBLE)
+               + (CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)))) AS BIGINT)""").as("r_u"))
+        .localCheckpoint(false) // calib CDF + test coverage
+      val kRow = resid.filter(col("f") === 1).groupBy()
+        .agg(count(lit(1)).as("n_cal"))
+        .select(col("n_cal"),
+          expr("(9 * (n_cal + 1) + 9) DIV 10").as("k"))
+      val grid = resid.filter(col("f") === 1)
+        .groupBy("r_u").agg(count(lit(1)).as("c"))
+      val tau = grid
+        .withColumn("cum", sum("c").over(
+          Window.orderBy("r_u").rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(kRow))
+        .filter(col("cum") >= col("k"))
+        .groupBy().agg(max("n_cal").as("n_cal"), min("r_u").as("tau_u"))
+      resid.filter(col("f") === 2).crossJoin(broadcast(tau))
+        .groupBy().agg(
+          max("n_cal").as("n_cal"),
+          count(lit(1)).as("n_test"),
+          max("tau_u").as("tau_u"),
+          sum(when(col("r_u") <= col("tau_u"), 1L).otherwise(0L)).as("covered"))
+        .select(col("n_cal"), col("n_test"),
+          round(col("tau_u").cast("double") / 1e6 / 100.0, 6).as("tau_dollars"),
+          round(col("covered").cast("double") / col("n_test").cast("double"), 6)
+            .as("coverage"))
+    },
+    Some("""
+      WITH b AS (SELECT l_orderkey % 5 AS f, CAST(l_quantity AS BIGINT) AS x,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                 FROM lineitem),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+                   sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+            FROM b WHERE f <> 1 AND f <> 2),
+      resid AS (SELECT f,
+                  CAST(round(1e6 * abs(CAST(y AS DOUBLE)
+                    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * CAST(x AS DOUBLE)
+                       + (CAST(sy AS DOUBLE)
+                          - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)))) AS BIGINT) AS r_u
+                FROM b CROSS JOIN m WHERE f IN (1, 2)),
+      kr AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+                    (9 * (CAST(count(*) AS BIGINT) + 1) + 9) // 10 AS k
+             FROM resid WHERE f = 1),
+      grid AS (SELECT r_u, CAST(count(*) AS BIGINT) AS c
+               FROM resid WHERE f = 1 GROUP BY 1),
+      cdf AS (SELECT r_u, sum(c) OVER (ORDER BY r_u
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM grid),
+      tau AS (SELECT max(n_cal) AS n_cal, min(r_u) AS tau_u
+              FROM cdf CROSS JOIN kr WHERE cum >= k)
+      SELECT max(n_cal) AS n_cal, CAST(count(*) AS BIGINT) AS n_test,
+             round(CAST(max(tau_u) AS DOUBLE) / 1e6 / 100.0, 6) AS tau_dollars,
+             round(CAST(sum(CASE WHEN r_u <= tau_u THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS coverage
+      FROM resid CROSS JOIN tau WHERE f = 2"""))
+
+  // --------------------------------------------------------------- q290
+
+  /** q290 — 5-fold cross-validated OLS (price ~ quantity): each fold's
+    * coefficients fit on the OTHER four folds (complement moments =
+    * broadcast total − fold moments, so the whole fit family costs ONE
+    * grouped pass — no 5× re-scan), then per-fold out-of-fold MSE. The
+    * model-selection loop every feature pipeline runs; the
+    * moment-complement trick is what makes it one-pass at 100 TB.
+    *
+    * Folds hash on orderkey. Coefficients are doubles from exact
+    * moments; each out-of-fold residual is quantized once to integer
+    * micro-cents, squared in DECIMAL, so per-fold MSE sums are
+    * order-independent.
+    */
+  val q290 = Q("q290_kfold_cv",
+    (s, dir) => {
+      val b = Tables.load(s, dir, "lineitem").select(
+        pmod(col("l_orderkey"), lit(5)).as("f"),
+        col("l_quantity").cast("long").as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+        .localCheckpoint(false) // fold moments + residual scan
+      val mf = b.groupBy("f").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"))
+      val tot = mf.groupBy().agg(
+        sum("n").as("tn"), sum("sx").as("tsx"), sum("sy").as("tsy"),
+        sum("sxx").as("tsxx"), sum("sxy").as("tsxy"))
+      val coef = mf.crossJoin(broadcast(tot)).select(col("f"), expr("""
+          (CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)
+           - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))
+          / (CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)
+             - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE))""").as("slope"),
+        expr("""
+          (CAST(tsy - sy AS DOUBLE)
+           - (CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)
+              - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))
+             / (CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)
+                - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE))
+             * CAST(tsx - sx AS DOUBLE)) / CAST(tn - n AS DOUBLE)""").as("icept"))
+      b.join(broadcast(coef), "f")
+        .select(col("f"), expr(
+          "CAST(round(1e3 * (CAST(y AS DOUBLE) - (slope * CAST(x AS DOUBLE) + icept))) AS BIGINT)")
+          .as("r_m"), col("slope"), col("icept"))
+        .groupBy("f").agg(
+          count(lit(1)).as("n_test"),
+          max(col("slope")).as("_sl"), max(col("icept")).as("_ic"),
+          sum((col("r_m").cast(DecimalType(19, 0))
+            * col("r_m").cast(DecimalType(19, 0)))).as("sse_milli2"))
+        // MSE rounds via exact integer arithmetic ((2a+d) div 2d on the
+        // DECIMAL sse) — a double division here lands on a .5·10⁻⁶
+        // boundary and Spark/DuckDB round() split on it (observed on
+        // fold 2 at sf0.01)
+        .select(col("f").as("fold"), col("n_test"),
+          round(col("_sl") / lit(100.0), 6).as("slope_dollars"),
+          round(col("_ic") / lit(100.0), 6).as("intercept_dollars"),
+          round(expr("""CAST((2 * sse_milli2 + n_test * 10000)
+                        div (2 * n_test * 10000) AS BIGINT)""").cast("double")
+            / 1e6, 6).as("mse_dollars2"))
+        .orderBy("fold")
+    },
+    Some("""
+      WITH b AS (SELECT l_orderkey % 5 AS f, CAST(l_quantity AS BIGINT) AS x,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                 FROM lineitem),
+      mf AS (SELECT f, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+                    sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+             FROM b GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT) AS tsx,
+                     CAST(sum(sy) AS BIGINT) AS tsy, CAST(sum(sxx) AS BIGINT) AS tsxx,
+                     sum(sxy) AS tsxy
+              FROM mf),
+      coef AS (SELECT f,
+                 (CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)
+                  - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))
+                 / (CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)
+                    - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE)) AS slope,
+                 (CAST(tsy - sy AS DOUBLE)
+                  - (CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)
+                     - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))
+                    / (CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)
+                       - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE))
+                    * CAST(tsx - sx AS DOUBLE)) / CAST(tn - n AS DOUBLE) AS icept
+               FROM mf CROSS JOIN tot),
+      r AS (SELECT b.f,
+                   CAST(round(1e3 * (CAST(y AS DOUBLE)
+                     - (slope * CAST(x AS DOUBLE) + icept))) AS BIGINT) AS r_m,
+                   slope, icept
+            FROM b JOIN coef ON b.f = coef.f)
+      SELECT f AS fold, CAST(count(*) AS BIGINT) AS n_test,
+             round(max(slope) / 100.0, 6) AS slope_dollars,
+             round(max(icept) / 100.0, 6) AS intercept_dollars,
+             round(CAST(CAST((2 * sum(CAST(r_m AS HUGEINT) * r_m)
+                              + CAST(count(*) AS HUGEINT) * 10000)
+                             // (2 * CAST(count(*) AS HUGEINT) * 10000)
+                        AS BIGINT) AS DOUBLE) / 1e6, 6) AS mse_dollars2
+      FROM r GROUP BY f ORDER BY fold"""))
+
   val all: Seq[Q] = Seq(q237, q238, q239, q240, q241, q242, q243, q244,
     q254, q255, q256, q257, q258, q259, q275, q276, q277, q278,
-    q280, q281, q282)
+    q280, q281, q282, q289, q290)
 }
