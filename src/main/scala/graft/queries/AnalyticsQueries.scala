@@ -486,7 +486,7 @@ object AnalyticsQueries {
         .select(col("doc_id"), expr("n_chars div 50").as("bin"))
       val src = srcAll.groupBy("bin").agg(count(lit(1)).as("s_count"))
       val tots = tgt.groupBy().agg(sum("t").as("tt"))
-        .crossJoin(src.groupBy().agg(sum("s_count").as("ss")))
+        .crossJoin(broadcast(src.groupBy().agg(sum("s_count").as("ss"))))
       val quota = src.join(tgt, Seq("bin"), "left")
         .crossJoin(broadcast(tots))
         .select(col("bin"), col("s_count"),

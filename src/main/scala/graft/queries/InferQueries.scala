@@ -1665,7 +1665,111 @@ object InferQueries {
                         AS BIGINT) AS DOUBLE) / 1e6, 6) AS mse_dollars2
       FROM r GROUP BY f ORDER BY fold"""))
 
+  // --------------------------------------------------------------- q291
+
+  /** q291 — logistic regression by Newton-Raphson (3 steps):
+    * P(urgent | order value) with y = 1{'1-URGENT'}, x = value in
+    * hundred-k-dollar units. The binary-outcome workhorse OLS (q127)
+    * cannot express, and the exact IRLS loop every calibration /
+    * propensity pipeline runs — plus the final sample log-loss.
+    *
+    * Each step is ONE distributed pass: the five score/Hessian sums
+    * (Σ(p−y), Σ(p−y)x, Σw, Σwx, Σwx², w = p(1−p)) accumulate per-row
+    * 1e-9-quantized longs (the q217 ln recipe applied to exp), and the
+    * 2×2 Newton solve runs INSIDE the same plan (textually identical
+    * in the oracle's unrolled CTEs), so each θ state is a pair of
+    * integers both engines agree on; only those two longs reach the
+    * driver between passes. Sequential in iterations (3 by design),
+    * linear and shuffle-free within each.
+    */
+  val q291 = Q("q291_logistic_newton",
+    (s, dir) => {
+      val b = Tables.load(s, dir, "orders").select(
+        when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0).as("y"),
+        (expr("CAST(round(o_totalprice * 100) AS BIGINT)").cast("double") / 1e7).as("x"))
+        .localCheckpoint(false) // 3 Newton passes + the loss pass
+      def p(t0: String, t1: String) =
+        s"1.0 / (1.0 + exp(-(CAST($t0 AS DOUBLE) / 1e9 + CAST($t1 AS DOUBLE) / 1e9 * x)))"
+      def sums(pp: String) = Seq(
+        s"CAST(sum(CAST(round(1e9 * ($pp - y)) AS BIGINT)) AS BIGINT) AS g0",
+        s"CAST(sum(CAST(round(1e9 * (($pp - y) * x)) AS BIGINT)) AS BIGINT) AS g1",
+        s"CAST(sum(CAST(round(1e9 * ($pp * (1.0 - $pp))) AS BIGINT)) AS BIGINT) AS w",
+        s"CAST(sum(CAST(round(1e9 * ($pp * (1.0 - $pp) * x)) AS BIGINT)) AS BIGINT) AS wx",
+        s"CAST(sum(CAST(round(1e9 * ($pp * (1.0 - $pp) * x * x)) AS BIGINT)) AS BIGINT) AS wxx")
+      def upd(t0: String, t1: String) = Seq(
+        s"""CAST($t0 - round(1e9 *
+            ((CAST(wxx AS DOUBLE) / 1e9 * (CAST(g0 AS DOUBLE) / 1e9)
+              - CAST(wx AS DOUBLE) / 1e9 * (CAST(g1 AS DOUBLE) / 1e9))
+             / (CAST(w AS DOUBLE) / 1e9 * (CAST(wxx AS DOUBLE) / 1e9)
+                - CAST(wx AS DOUBLE) / 1e9 * (CAST(wx AS DOUBLE) / 1e9)))) AS BIGINT) AS t0n""",
+        s"""CAST($t1 - round(1e9 *
+            ((CAST(w AS DOUBLE) / 1e9 * (CAST(g1 AS DOUBLE) / 1e9)
+              - CAST(wx AS DOUBLE) / 1e9 * (CAST(g0 AS DOUBLE) / 1e9))
+             / (CAST(w AS DOUBLE) / 1e9 * (CAST(wxx AS DOUBLE) / 1e9)
+                - CAST(wx AS DOUBLE) / 1e9 * (CAST(wx AS DOUBLE) / 1e9)))) AS BIGINT) AS t1n""")
+      var t0n = 0L; var t1n = 0L
+      for (_ <- 1 to 3) {
+        val r = b.selectExpr(sums(p(t0n.toString, t1n.toString)): _*)
+          .selectExpr(upd(t0n.toString, t1n.toString): _*)
+          .collect()(0)
+        t0n = r.getLong(0); t1n = r.getLong(1)
+      }
+      val pf = p(t0n.toString, t1n.toString)
+      b.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n",
+        "CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos",
+        s"CAST($t0n AS BIGINT) AS theta0_nano",
+        s"CAST($t1n AS BIGINT) AS theta1_nano",
+        s"""round(CAST(sum(CAST(round(1e9 * -(y * ln($pf)
+             + (1.0 - y) * ln(1.0 - $pf))) AS BIGINT)) AS DOUBLE)
+           / 1e9 / CAST(count(*) AS DOUBLE), 6) AS mean_logloss""")
+    },
+    Some {
+      def p(t0: String, t1: String) =
+        s"1.0 / (1.0 + exp(-(CAST($t0 AS DOUBLE) / 1e9 + CAST($t1 AS DOUBLE) / 1e9 * x)))"
+      def aCte(name: String, pp: String, from: String) = s"""
+      $name AS (SELECT
+        CAST(sum(CAST(round(1e9 * ($pp - y)) AS BIGINT)) AS BIGINT) AS g0,
+        CAST(sum(CAST(round(1e9 * (($pp - y) * x)) AS BIGINT)) AS BIGINT) AS g1,
+        CAST(sum(CAST(round(1e9 * ($pp * (1.0 - $pp))) AS BIGINT)) AS BIGINT) AS w,
+        CAST(sum(CAST(round(1e9 * ($pp * (1.0 - $pp) * x)) AS BIGINT)) AS BIGINT) AS wx,
+        CAST(sum(CAST(round(1e9 * ($pp * (1.0 - $pp) * x * x)) AS BIGINT)) AS BIGINT) AS wxx
+        FROM $from)"""
+      def tCte(name: String, a: String, t0: String, t1: String) = s"""
+      $name AS (SELECT
+        CAST($t0 - round(1e9 *
+          ((CAST(wxx AS DOUBLE) / 1e9 * (CAST(g0 AS DOUBLE) / 1e9)
+            - CAST(wx AS DOUBLE) / 1e9 * (CAST(g1 AS DOUBLE) / 1e9))
+           / (CAST(w AS DOUBLE) / 1e9 * (CAST(wxx AS DOUBLE) / 1e9)
+              - CAST(wx AS DOUBLE) / 1e9 * (CAST(wx AS DOUBLE) / 1e9)))) AS BIGINT) AS t0n,
+        CAST($t1 - round(1e9 *
+          ((CAST(w AS DOUBLE) / 1e9 * (CAST(g1 AS DOUBLE) / 1e9)
+            - CAST(wx AS DOUBLE) / 1e9 * (CAST(g0 AS DOUBLE) / 1e9))
+           / (CAST(w AS DOUBLE) / 1e9 * (CAST(wxx AS DOUBLE) / 1e9)
+              - CAST(wx AS DOUBLE) / 1e9 * (CAST(wx AS DOUBLE) / 1e9)))) AS BIGINT) AS t1n
+        FROM $a)"""
+      val pf = p("(SELECT t0n FROM t3)", "(SELECT t1n FROM t3)")
+      s"""
+      WITH b AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y,
+                        CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 1e7 AS x
+                 FROM orders),
+      ${aCte("a1", p("0", "0"), "b")},
+      ${tCte("t1", "a1", "0", "0")},
+      ${aCte("a2", p("(SELECT t0n FROM t1)", "(SELECT t1n FROM t1)"), "b")},
+      ${tCte("t2", "a2", "(SELECT t0n FROM t1)", "(SELECT t1n FROM t1)")},
+      ${aCte("a3", p("(SELECT t0n FROM t2)", "(SELECT t1n FROM t2)"), "b")},
+      ${tCte("t3", "a3", "(SELECT t0n FROM t2)", "(SELECT t1n FROM t2)")}
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+             (SELECT t0n FROM t3) AS theta0_nano,
+             (SELECT t1n FROM t3) AS theta1_nano,
+             round(CAST(sum(CAST(round(1e9 * -(y * ln($pf)
+                 + (1.0 - y) * ln(1.0 - $pf))) AS BIGINT)) AS DOUBLE)
+               / 1e9 / CAST(count(*) AS DOUBLE), 6) AS mean_logloss
+      FROM b"""
+    })
+
   val all: Seq[Q] = Seq(q237, q238, q239, q240, q241, q242, q243, q244,
     q254, q255, q256, q257, q258, q259, q275, q276, q277, q278,
-    q280, q281, q282, q289, q290)
+    q280, q281, q282, q289, q290, q291)
 }
