@@ -151,6 +151,48 @@ object StreamingOps {
       }
   }
 
+  final case class CrostonState(z: Long, g: Long, k: Int, day: String)
+  final case class CrostonOut(key: String, day: java.sql.Date, n_demands: Int,
+                              size_micro: Long, interval_micro: Long)
+
+  /** Streaming twin of q286's Croston intermittent-demand smoother:
+    * per-key O(1) state — the two EWMA accumulators (demand size,
+    * inter-demand interval) as 1e6-scaled longs plus the previous
+    * demand day — advanced by the LITERAL integer recurrence
+    * (α=0.2: s' = ⌊(2x·10⁶ + 8s + 5)/10⌋) as demand events arrive.
+    * The batch query folds the same recurrence over each part's
+    * sorted demand array, so under date-ordered arrival the stream's
+    * last emission per key equals the batch row bit-for-bit
+    * (StreamingSpec pins it). Emits every update (a live forecast
+    * revises on each demand), so monitoring reads the latest row.
+    */
+  def crostonMonitor(points: Dataset[DailyPoint]): Dataset[CrostonOut] = {
+    import points.sparkSession.implicits._
+    def rdiv10(x: Long): Long = (x + 5) / 10
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState[CrostonState, CrostonOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[DailyPoint], state: GroupState[CrostonState]) =>
+          var st = state.getOption.getOrElse(CrostonState(0L, 0L, 0, ""))
+          val out = Seq.newBuilder[CrostonOut]
+          it.toSeq.sortBy(_.day.toString).foreach { p =>
+            val dd = if (st.k == 0) 0L
+              else java.time.temporal.ChronoUnit.DAYS.between(
+                java.time.LocalDate.parse(st.day), p.day.toLocalDate)
+            st = st.k match {
+              case 0 => CrostonState(p.y * 1000000L, 0L, 1, p.day.toString)
+              case 1 => CrostonState(rdiv10(2 * p.y * 1000000L + 8 * st.z),
+                dd * 1000000L, 2, p.day.toString)
+              case k => CrostonState(rdiv10(2 * p.y * 1000000L + 8 * st.z),
+                rdiv10(2 * dd * 1000000L + 8 * st.g), k + 1, p.day.toString)
+            }
+            out += CrostonOut(key, p.day, st.k, st.z, st.g)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class MedOut(key: String, day: java.sql.Date, y: Long, med7: Long)
 
   /** Streaming twin of q229's rolling 7-day median: per-key state

@@ -609,6 +609,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "streaming rolling median != batch q229")
   }
 
+  test("crostonMonitor over a date-ordered file stream reproduces batch q286") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-croston").toFile
+    val daily = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_partkey").cast("string").as("key"),
+        to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_quantity").cast("long")).as("y"))
+    new java.io.File(s"$dir/in").mkdirs()
+    val days = daily.select(min("day"), max("day")).first()
+    val (d0, d1) = (days.getDate(0).toLocalDate, days.getDate(1).toLocalDate)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
+    val step = math.max(1L, span / 6 + 1)
+    (0 until 6).foreach { i =>
+      val bucket = daily.filter(
+        datediff(col("day"), lit(java.sql.Date.valueOf(d0))) >= i * step &&
+        datediff(col("day"), lit(java.sql.Date.valueOf(d0))) < (i + 1) * step)
+      val tmp = s"$dir/tmp$i"
+      bucket.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$dir/in/day-000$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = spark.readStream
+      .schema(daily.schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$dir/in")
+      .as[StreamingOps.DailyPoint]
+    // the live forecast revises on every demand — the LATEST row per key
+    // is the one the batch fold reports
+    val streamed = StreamingOps.runAvailableNow(
+        StreamingOps.crostonMonitor(stream).toDF(), "croston_stream",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .groupBy("key")
+      .agg(max(struct(col("n_demands"), col("size_micro"), col("interval_micro")))
+        .as("last"))
+      .select(col("key"), col("last.n_demands"), col("last.size_micro"),
+        col("last.interval_micro"))
+      .filter(col("n_demands") >= 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val batch = graft.queries.AnalyticsQueries.q286.fn(spark, sf)
+      .collect().map(r => (r.getLong(0).toString, r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(streamed == batch, "streaming Croston != batch q286")
+  }
+
   test("cmsSketch over a multi-trigger file stream equals the batch q115 counter table") {
     graft.expressions.GraftExtensions.register(spark)
     val dir = Files.createTempDirectory("graft-cms").toFile
