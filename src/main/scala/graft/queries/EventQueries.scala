@@ -1279,6 +1279,87 @@ object EventQueries {
       SELECT a, b, support, n_users
       FROM g ORDER BY support DESC, a, b LIMIT 20"""))
 
+  // --------------------------------------------------------------- q293
+
+  /** q293 — exact Shapley-value channel attribution: each user's
+    * touched-channel set (click/error/signup/view, a 4-bit mask) and
+    * converted flag (any purchase) define the empirical coalition
+    * value v(T) = conversion rate of users touching exactly T; each
+    * channel's Shapley credit is Σ_T w(|T|)·(v(T∪i)−v(T)) with the
+    * classic s!(n−1−s)!/n! weights — the game-theoretic attribution
+    * q206's positional rules approximate, fair by construction
+    * (efficiency/symmetry axioms).
+    *
+    * Scale shape: ONE grouped pass builds per-user masks (bit-sum of
+    * distinct-type flags), one rollup gives the ≤2⁴-row coalition
+    * table; the Shapley sum is a 32-row literal (channel, subset)
+    * frame joined twice against the broadcast coalition table.
+    * Rates are micro-quantized once; weights are exact 24ths, so the
+    * final value is one double division of exact integers.
+    */
+  val q293 = Q("q293_shapley_attribution",
+    (s, dir) => {
+      import s.implicits._
+      val bits = Seq(("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+      val masks = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(bits.map { case (t, b) =>
+            max(when(col("event_type") === t, b).otherwise(0))
+          }.reduce(_ + _).as("mask"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      val cells = masks.groupBy("mask")
+        .agg(count(lit(1)).as("nu"), sum("conv").as("nc"))
+        .select(col("mask"),
+          expr("CAST((2 * nc * 1000000 + nu) DIV (2 * nu) AS BIGINT)").as("v_u"))
+      val pairs = for ((name, b) <- bits; t <- 0 until 16; if (t & b) == 0)
+        yield (name, t, t | b, Integer.bitCount(t))
+      val frame = pairs.toDF("channel", "t_mask", "ti_mask", "t_size")
+      frame
+        .join(broadcast(cells.select(col("mask").as("t_mask"), col("v_u").as("v_t"))),
+          Seq("t_mask"), "left")
+        .join(broadcast(cells.select(col("mask").as("ti_mask"), col("v_u").as("v_ti"))),
+          Seq("ti_mask"), "left")
+        .select(col("channel"),
+          (when(col("t_size") === 0, 6L).when(col("t_size") === 3, 6L).otherwise(2L)
+            * (coalesce(col("v_ti"), lit(0L)) - coalesce(col("v_t"), lit(0L))))
+            .as("term24u"))
+        .groupBy("channel").agg(sum("term24u").as("s24u"))
+        // /24 lands on half-micros (s24u ≡ 12 mod 24) — round via the
+        // sign-symmetric integer division, not a double (q201's rdiv)
+        .select(col("channel"), col("s24u"),
+          round(expr("""CASE WHEN s24u < 0 THEN -((-s24u + 12) DIV 24)
+                        ELSE (s24u + 12) DIV 24 END""").cast("double") / 1e6, 6)
+            .as("shapley"))
+        .orderBy("channel")
+    },
+    Some("""
+      WITH bits(t, b) AS (VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)),
+      masks AS (SELECT user_id,
+                       CAST(coalesce(sum(DISTINCT b), 0) AS BIGINT) AS mask,
+                       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                FROM events LEFT JOIN bits ON event_type = t
+                GROUP BY user_id),
+      cells AS (SELECT mask, CAST((2 * CAST(sum(conv) AS BIGINT) * 1000000
+                                   + count(*)) // (2 * count(*)) AS BIGINT) AS v_u
+                FROM masks GROUP BY mask),
+      frame AS (SELECT t AS channel, b, tm.range AS t_mask,
+                       tm.range | b AS ti_mask, bit_count(tm.range) AS t_size
+                FROM bits, range(16) tm
+                WHERE (tm.range & b) = 0)
+      , terms AS (SELECT channel,
+                    CAST(sum(CASE WHEN t_size IN (0, 3) THEN 6 ELSE 2 END
+                             * (coalesce(vi.v_u, 0) - coalesce(vt.v_u, 0))) AS BIGINT)
+                      AS s24u
+             FROM frame
+             LEFT JOIN cells vt ON frame.t_mask = vt.mask
+             LEFT JOIN cells vi ON frame.ti_mask = vi.mask
+             GROUP BY channel)
+      SELECT channel, s24u,
+             round(CAST(CASE WHEN s24u < 0 THEN -((-s24u + 12) // 24)
+                        ELSE (s24u + 12) // 24 END AS DOUBLE) / 1e6, 6) AS shapley
+      FROM terms ORDER BY channel"""))
+
   val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201, q205,
-    q206, q208, q212, q213, q215, q219, q220, q227, q228, q229, q233, q235, q236)
+    q206, q208, q212, q213, q215, q219, q220, q227, q228, q229, q233, q235, q236,
+    q293)
 }

@@ -1252,12 +1252,15 @@ object InferQueries {
       f1 AS (SELECT p_brand FROM i0 GROUP BY 1 HAVING count(*) >= 3),
       i AS (SELECT i0.l_orderkey, i0.p_brand
             FROM i0 JOIN f1 ON i0.p_brand = f1.p_brand),
-      t AS (SELECT a.p_brand AS pa, b.p_brand AS pb, c.p_brand AS pc,
+      bk AS (SELECT l_orderkey, list_sort(list(p_brand)) AS ids
+             FROM i GROUP BY 1 HAVING count(*) >= 3),
+      t AS (SELECT ids[x.a] AS pa, ids[y.b] AS pb, ids[z.c] AS pc,
                    CAST(count(*) AS BIGINT) AS support
-            FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
-                             AND a.p_brand < b.p_brand
-                     JOIN i c ON a.l_orderkey = c.l_orderkey
-                             AND b.p_brand < c.p_brand
+            FROM bk,
+                 unnest(range(1, len(ids) + 1)) AS x(a),
+                 unnest(range(1, len(ids) + 1)) AS y(b),
+                 unnest(range(1, len(ids) + 1)) AS z(c)
+            WHERE x.a < y.b AND y.b < z.c
             GROUP BY 1, 2, 3
             HAVING count(*) >= 3)
       SELECT pa, pb, pc, support FROM t
@@ -1727,6 +1730,9 @@ object InferQueries {
     Some {
       def p(t0: String, t1: String) =
         s"1.0 / (1.0 + exp(-(CAST($t0 AS DOUBLE) / 1e9 + CAST($t1 AS DOUBLE) / 1e9 * x)))"
+      // sums CTEs CROSS JOIN the 1-row θ state and carry it through —
+      // scalar subqueries in per-row expressions re-evaluate the whole
+      // chain per row in DuckDB (59 s → 0.2 s at sf0.01)
       def aCte(name: String, pp: String, from: String) = s"""
       $name AS (SELECT
         CAST(sum(CAST(round(1e9 * ($pp - y)) AS BIGINT)) AS BIGINT) AS g0,
@@ -1748,28 +1754,97 @@ object InferQueries {
            / (CAST(w AS DOUBLE) / 1e9 * (CAST(wxx AS DOUBLE) / 1e9)
               - CAST(wx AS DOUBLE) / 1e9 * (CAST(wx AS DOUBLE) / 1e9)))) AS BIGINT) AS t1n
         FROM $a)"""
-      val pf = p("(SELECT t0n FROM t3)", "(SELECT t1n FROM t3)")
+      val pf = p("t0n", "t1n")
       s"""
       WITH b AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y,
                         CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 1e7 AS x
                  FROM orders),
       ${aCte("a1", p("0", "0"), "b")},
       ${tCte("t1", "a1", "0", "0")},
-      ${aCte("a2", p("(SELECT t0n FROM t1)", "(SELECT t1n FROM t1)"), "b")},
-      ${tCte("t2", "a2", "(SELECT t0n FROM t1)", "(SELECT t1n FROM t1)")},
-      ${aCte("a3", p("(SELECT t0n FROM t2)", "(SELECT t1n FROM t2)"), "b")},
-      ${tCte("t3", "a3", "(SELECT t0n FROM t2)", "(SELECT t1n FROM t2)")}
+      ${aCte("a2", p("t0n", "t1n"), "b CROSS JOIN t1")},
+      ${tCte("t2", "a2 CROSS JOIN t1", "t1.t0n", "t1.t1n")},
+      ${aCte("a3", p("t0n", "t1n"), "b CROSS JOIN t2")},
+      ${tCte("t3", "a3 CROSS JOIN t2", "t2.t0n", "t2.t1n")}
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
-             (SELECT t0n FROM t3) AS theta0_nano,
-             (SELECT t1n FROM t3) AS theta1_nano,
+             max(t0n) AS theta0_nano,
+             max(t1n) AS theta1_nano,
              round(CAST(sum(CAST(round(1e9 * -(y * ln($pf)
                  + (1.0 - y) * ln(1.0 - $pf))) AS BIGINT)) AS DOUBLE)
                / 1e9 / CAST(count(*) AS DOUBLE), 6) AS mean_logloss
-      FROM b"""
+      FROM b CROSS JOIN t3"""
     })
+
+  // --------------------------------------------------------------- q292
+
+  /** q292 — 1-Wasserstein (earth-mover's) distance between the
+    * returned ('R') and accepted ('A') price distributions:
+    * W₁ = ∫|F₁−F₂| dv — the drift metric that reports HOW FAR mass
+    * moved in value units, where KS (q125) reports only the worst
+    * single gap and PSI (q111) needs arbitrary bins. The standard
+    * "did this feature's distribution shift, and by how many dollars"
+    * number in training-data monitoring.
+    *
+    * Exact: on the sorted distinct-cents grid, W₁·n₁·n₂ =
+    * Σ |n₂C₁(v) − n₁C₂(v)|·(v₊−v) accumulates in DECIMAL from
+    * integer counts; the final normalization rounds via the exact
+    * (2a+d) div 2d integer recipe (q290's MSE lesson — a double
+    * division here can land on a .5·10⁻⁶ boundary). One grouped pass
+    * + one bounded distinct-value window (q125's whitelisted shape).
+    */
+  val q292 = Q("q292_wasserstein",
+    (s, dir) => {
+      val b = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("g1"))
+      val grid = b.groupBy("v")
+        .agg(sum("g1").as("c1"), sum(lit(1L) - col("g1")).as("c2"))
+      val w = Window.orderBy("v")
+      val m = grid
+        .withColumn("cc1", sum("c1").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cc2", sum("c2").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("dv", lead("v", 1).over(w) - col("v"))
+        .filter(col("dv").isNotNull)
+        .crossJoin(broadcast(b.groupBy().agg(
+          sum("g1").as("n1"), sum(lit(1L) - col("g1")).as("n2"))))
+        .groupBy()
+        .agg(max("n1").as("n1"), max("n2").as("n2"),
+          sum((abs(col("n2") * col("cc1") - col("n1") * col("cc2"))
+            .cast(DecimalType(19, 0)) * col("dv").cast(DecimalType(19, 0))))
+            .as("num"))
+      m.select(col("n1"), col("n2"),
+        round(expr("""CAST((2 * num * 1000000 + n1 * n2 * 10000)
+                      div (2 * n1 * n2 * 10000) AS BIGINT)""").cast("double")
+          / 1e6, 6).as("w1_dollars"))
+    },
+    Some("""
+      WITH b AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1
+                 FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      n AS (SELECT CAST(sum(g1) AS BIGINT) AS n1,
+                   CAST(sum(1 - g1) AS BIGINT) AS n2 FROM b),
+      grid AS (SELECT v, CAST(sum(g1) AS BIGINT) AS c1,
+                      CAST(sum(1 - g1) AS BIGINT) AS c2
+               FROM b GROUP BY v),
+      cdf AS (SELECT v,
+                     sum(c1) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc1,
+                     sum(c2) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc2,
+                     lead(v, 1) OVER (ORDER BY v) - v AS dv
+              FROM grid),
+      m AS (SELECT max(n1) AS n1, max(n2) AS n2,
+                   sum(CAST(abs(n2 * cc1 - n1 * cc2) AS HUGEINT)
+                       * CAST(dv AS HUGEINT)) AS num
+            FROM cdf CROSS JOIN n WHERE dv IS NOT NULL)
+      SELECT n1, n2,
+             round(CAST(CAST((2 * num * 1000000 + CAST(n1 AS HUGEINT) * n2 * 10000)
+                             // (2 * CAST(n1 AS HUGEINT) * n2 * 10000)
+                        AS BIGINT) AS DOUBLE) / 1e6, 6) AS w1_dollars
+      FROM m"""))
 
   val all: Seq[Q] = Seq(q237, q238, q239, q240, q241, q242, q243, q244,
     q254, q255, q256, q257, q258, q259, q275, q276, q277, q278,
-    q280, q281, q282, q289, q290, q291)
+    q280, q281, q282, q289, q290, q291, q292)
 }
