@@ -1359,7 +1359,78 @@ object EventQueries {
                         ELSE (s24u + 12) // 24 END AS DOUBLE) / 1e6, 6) AS shapley
       FROM terms ORDER BY channel"""))
 
+  // --------------------------------------------------------------- q294
+
+  /** q294 — dynamic time warping distance between every pair of
+    * event-type daily-volume series: the elastic-alignment distance
+    * ("are these two activity curves the same shape, allowing local
+    * time shifts?") behind series clustering and template matching,
+    * where lead-lag xcorr (q215) only handles one GLOBAL shift.
+    *
+    * The full O(n·m) DP runs task-local per pair as a nested
+    * aggregate fold (outer over series A, inner building each dp row
+    * left-to-right — the column recurrence is inherently sequential,
+    * so an array fold IS the right shape); costs and dp states are
+    * exact longs, so dtw is an exact integer both engines replay.
+    * The parallel axis is ACROSS pairs: a fleet of millions of series
+    * pairs fans out one task each, state O(series length) — never
+    * O(n·m) memory (only two rows live).
+    */
+  val q294 = Q("q294_dtw_pairs",
+    (s, dir) => {
+      val big = "CAST(9000000000000000 AS BIGINT)"
+      val arr = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy("event_type")
+        .agg(expr("transform(sort_array(collect_list(struct(day, y))), e -> e.y)").as("ys"))
+      val pairs = arr.select(col("event_type").as("ta"), col("ys").as("ya"))
+        .join(broadcast(arr.select(col("event_type").as("tb"), col("ys").as("yb"))),
+          col("ta") < col("tb"))
+      pairs.select(col("ta"), col("tb"),
+        size(col("ya")).as("n_a"), size(col("yb")).as("n_b"),
+        expr(s"""
+          element_at(
+            aggregate(
+              ya,
+              concat(array(CAST(0 AS BIGINT)), transform(yb, x -> $big)),
+              (acc, av) -> aggregate(
+                yb,
+                array($big),
+                (racc, bv) -> concat(racc, array(
+                  abs(av - bv) + least(
+                    element_at(acc, size(racc) + 1),
+                    element_at(acc, size(racc)),
+                    element_at(racc, size(racc))))))),
+            size(yb) + 1)""").as("dtw"))
+        .orderBy("ta", "tb")
+    },
+    Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(count(*) AS BIGINT) AS y
+                     FROM events GROUP BY 1, 2),
+      arr AS (SELECT event_type, list(y ORDER BY day) AS ys
+              FROM daily GROUP BY 1),
+      pairs AS (SELECT a.event_type AS ta, a.ys AS ya,
+                       b.event_type AS tb, b.ys AS yb
+                FROM arr a JOIN arr b ON a.event_type < b.event_type)
+      SELECT ta, tb,
+             CAST(len(ya) AS INTEGER) AS n_a, CAST(len(yb) AS INTEGER) AS n_b,
+             list_reduce(
+               list_prepend(
+                 list_prepend(0::BIGINT,
+                   list_transform(yb, x -> 9000000000000000::BIGINT)),
+                 list_transform(ya, v -> [v])),
+               (acc, ax) -> list_reduce(
+                 list_prepend([9000000000000000::BIGINT],
+                   list_transform(yb, v -> [v])),
+                 (racc, bx) -> list_append(racc,
+                   abs(ax[1] - bx[1]) + least(acc[len(racc) + 1], acc[len(racc)],
+                                              racc[len(racc)]))))
+             [len(yb) + 1] AS dtw
+      FROM pairs ORDER BY ta, tb"""))
+
   val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201, q205,
     q206, q208, q212, q213, q215, q219, q220, q227, q228, q229, q233, q235, q236,
-    q293)
+    q293, q294)
 }
