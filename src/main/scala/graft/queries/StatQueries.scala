@@ -2189,7 +2189,114 @@ object StatQueries {
              min(CASE WHEN 10 * cum >= 9 * tot THEN bin END) * 10 AS p90_usd
       FROM c GROUP BY flag ORDER BY flag"""))
 
+  // --------------------------------------------------------------- q295
+
+  /** q295 — personalized PageRank (random walk with restart) on the
+    * co-purchase part graph (q163's edge set): 3 power iterations
+    * with restart mass 0.15 concentrated on a SEED set (every 97th
+    * part) instead of q110's uniform vector — the "more like these"
+    * graph-expansion primitive behind related-item feeds and
+    * seed-based corpus expansion.
+    *
+    * All arithmetic is pico-fixed-point integer (restart base and
+    * per-edge contributions use truncating DIV on non-negative
+    * operands, identical in both engines), so every rank vector is
+    * exact and partition-order independent — the oracle unrolls the
+    * same 3 sparse matrix-vector products. Per iteration: one
+    * rank⋈edges equi-join + one grouped sum; the seed table and
+    * degree rollup ride broadcasts. Top-20 by TakeOrdered.
+    */
+  val q295 = Q("q295_ppr",
+    (s, dir) => {
+      val items = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = items.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(slice(ids, i + 1, size(ids)),
+                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select("pa", "pb")
+      val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+        .localCheckpoint(false) // deg + 3 iteration joins
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false)
+      val seeds = deg.select(col("src").as("v"))
+        .filter(pmod(col("v"), lit(97)) === 0)
+      val base = seeds.groupBy().agg(count(lit(1)).as("ns"))
+        .select(col("ns"),
+          expr("(15 * (1000000000000 DIV ns)) DIV 100").as("restart"),
+          expr("1000000000000 DIV ns").as("r0"))
+      var ranks = seeds.crossJoin(broadcast(base))
+        .select(col("v"), col("r0").as("r"))
+        .localCheckpoint(false)
+      for (_ <- 1 to 3) {
+        val contrib = ranks
+          .join(edges, col("v") === col("src"))
+          .join(broadcast(deg), Seq("src"))
+          .select(col("dst"), expr("r DIV deg").as("c"))
+          .groupBy("dst").agg(sum("c").as("inflow"))
+        ranks = contrib
+          .join(broadcast(seeds.withColumn("is_seed", lit(1L))),
+            col("dst") === col("v"), "full_outer")
+          .crossJoin(broadcast(base))
+          .select(coalesce(col("dst"), col("v")).as("v"),
+            (when(col("is_seed") === 1L, col("restart")).otherwise(0L)
+              + expr("(85 * coalesce(inflow, 0)) DIV 100")).as("r"))
+          .localCheckpoint(false)
+      }
+      ranks
+        .orderBy(desc("r"), col("v"))
+        .limit(20)
+        .select(col("v").as("p_partkey"), col("r").as("ppr_pico"))
+    },
+    Some("""
+      WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      p0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+      e AS (SELECT pa AS src, pb AS dst FROM p0
+            UNION ALL SELECT pb, pa FROM p0),
+      d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      seeds AS (SELECT src AS v FROM d WHERE src % 97 = 0),
+      base AS (SELECT CAST(count(*) AS BIGINT) AS ns,
+                      (15 * (1000000000000 // count(*))) // 100 AS restart,
+                      1000000000000 // count(*) AS r0
+               FROM seeds),
+      r1s AS (SELECT e.dst, CAST(sum((SELECT r0 FROM base) // d.deg) AS BIGINT) AS inflow
+              FROM seeds JOIN e ON seeds.v = e.src JOIN d ON e.src = d.src
+              GROUP BY e.dst),
+      r1 AS (SELECT coalesce(r1s.dst, seeds.v) AS v,
+                    CASE WHEN seeds.v IS NOT NULL THEN (SELECT restart FROM base)
+                         ELSE 0 END
+                    + (85 * coalesce(inflow, 0)) // 100 AS r
+             FROM r1s FULL OUTER JOIN seeds ON r1s.dst = seeds.v),
+      r2s AS (SELECT e.dst, CAST(sum(r1.r // d.deg) AS BIGINT) AS inflow
+              FROM r1 JOIN e ON r1.v = e.src JOIN d ON e.src = d.src
+              GROUP BY e.dst),
+      r2 AS (SELECT coalesce(r2s.dst, seeds.v) AS v,
+                    CASE WHEN seeds.v IS NOT NULL THEN (SELECT restart FROM base)
+                         ELSE 0 END
+                    + (85 * coalesce(inflow, 0)) // 100 AS r
+             FROM r2s FULL OUTER JOIN seeds ON r2s.dst = seeds.v),
+      r3s AS (SELECT e.dst, CAST(sum(r2.r // d.deg) AS BIGINT) AS inflow
+              FROM r2 JOIN e ON r2.v = e.src JOIN d ON e.src = d.src
+              GROUP BY e.dst),
+      r3 AS (SELECT coalesce(r3s.dst, seeds.v) AS v,
+                    CASE WHEN seeds.v IS NOT NULL THEN (SELECT restart FROM base)
+                         ELSE 0 END
+                    + (85 * coalesce(inflow, 0)) // 100 AS r
+             FROM r3s FULL OUTER JOIN seeds ON r3s.dst = seeds.v)
+      SELECT v AS p_partkey, r AS ppr_pico
+      FROM r3 ORDER BY r DESC, v LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
     q123, q124, q125, q190, q191, q192, q198, q199, q202, q203, q207, q209, q210,
-    q211, q214, q216, q217, q218, q222, q223, q226, q234)
+    q211, q214, q216, q217, q218, q222, q223, q226, q234, q295)
 }
