@@ -2193,8 +2193,131 @@ object DataQueries {
              CAST(sum(br) AS BIGINT) AS brier_micro2_sum
       FROM b2 GROUP BY bin ORDER BY bin"""))
 
+  // --------------------------------------------------------------- q296
+
+  /** q296 — maximal marginal relevance (MMR) re-ranking: take the
+    * top-30 cosine shortlist for a query vector, then greedily pick
+    * 10 results maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-picked (λ=0.7) — the diversity re-rank every RAG
+    * retrieval stack runs so the context window isn't 10 copies of
+    * the same passage (Carbonell & Goldstein '98).
+    *
+    * Scale split: relevance scoring + top-30 is the distributed part
+    * (brute-force scan, TakeOrdered — q39's shape; swap in the LSH
+    * shortlist at corpus scale); the greedy re-rank is O(k·n²) on the
+    * BOUNDED shortlist, so it runs as one task-local fold over the
+    * collected (rels, sim-matrix) arrays — never a driver loop, never
+    * a per-round job. All similarities are micro-quantized longs, so
+    * the argmax (ties → better-relevance position) is exact; the
+    * oracle replays the identical fold via list_reduce.
+    */
+  val q296 = Q("q296_mmr_rerank",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("_norm", sqrt(Similarity.dotNative(col("embedding"), col("embedding"))))
+        .localCheckpoint(false) // query pick + relevance scan + pair sims
+      val qv = emb.orderBy("vec_id").limit(1)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("_norm").as("qn"))
+      val short = emb.crossJoin(broadcast(qv)).filter(col("vec_id") =!= col("qid"))
+        .select(col("vec_id"), col("embedding"), col("_norm"),
+          (round(Similarity.dotNative(col("embedding"), col("qv"))
+            / (col("_norm") * col("qn")) * 1e6)).cast("long").as("rel_u"))
+        .orderBy(desc("rel_u"), col("vec_id")).limit(30)
+        .withColumn("pos", row_number().over(
+          Window.orderBy(desc("rel_u"), col("vec_id"))))
+        .localCheckpoint(false) // pair matrix + id lookup + fold input
+      val pairs = short.select(col("pos").as("i"), col("embedding").as("va"),
+          col("_norm").as("na"))
+        .crossJoin(broadcast(short.select(col("pos").as("j"),
+          col("embedding").as("vb"), col("_norm").as("nb"))))
+        .select(col("i"), col("j"),
+          (round(Similarity.dotNative(col("va"), col("vb"))
+            / (col("na") * col("nb")) * 1e6)).cast("long").as("sim_u"))
+      val simRow = pairs.groupBy().agg(
+        expr("transform(sort_array(collect_list(struct(i, j, sim_u))), e -> e.sim_u)")
+          .as("sim"))
+      val relRow = short.groupBy().agg(
+        expr("transform(sort_array(collect_list(struct(pos, rel_u))), e -> e.rel_u)")
+          .as("rels"))
+      val sel = relRow.crossJoin(broadcast(simRow)).select(expr("""
+        aggregate(
+          sequence(1, 10),
+          CAST(array() AS ARRAY<INT>),
+          (sel, r) -> concat(sel, array(
+            aggregate(
+              filter(sequence(1, size(rels)), i -> NOT array_contains(sel, i)),
+              named_struct('sc', CAST(-9000000000000000 AS BIGINT), 'id', 0),
+              (best, i) -> CASE WHEN
+                  7 * element_at(rels, i) - 3 * (CASE WHEN size(sel) = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE array_max(transform(sel,
+                      s -> element_at(sim, (i - 1) * size(rels) + s))) END)
+                  > best.sc
+                THEN named_struct('sc',
+                  7 * element_at(rels, i) - 3 * (CASE WHEN size(sel) = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE array_max(transform(sel,
+                      s -> element_at(sim, (i - 1) * size(rels) + s))) END),
+                  'id', i)
+                ELSE best END).id)))""").as("sel"))
+      sel.select(posexplode(col("sel")).as(Seq("rk0", "pos")))
+        .select((col("rk0") + 1).as("rank"), col("pos"))
+        .join(broadcast(short.select(col("pos"), col("vec_id"), col("rel_u"))), Seq("pos"))
+        .select(col("rank"), col("vec_id"),
+          round(col("rel_u").cast("double") / 1e6, 6).as("relevance"))
+        .orderBy("rank")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+                        sqrt(${duckDot("embedding", "embedding")}) AS qn
+                 FROM embeddings ORDER BY vec_id LIMIT 1),
+      scored AS (SELECT vec_id, embedding,
+                        sqrt(${duckDot("embedding", "embedding")}) AS nn,
+                        CAST(round(${duckDot("embedding", "qv")}
+                          / (sqrt(${duckDot("embedding", "embedding")}) * qn) * 1e6)
+                          AS BIGINT) AS rel_u
+                 FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
+      short AS (SELECT vec_id, embedding, nn, rel_u,
+                       row_number() OVER (ORDER BY rel_u DESC, vec_id) AS pos
+                FROM scored ORDER BY rel_u DESC, vec_id LIMIT 30),
+      pairs AS (SELECT a.pos AS i, b.pos AS j,
+                       CAST(round(${duckDot("a.embedding", "b.embedding")}
+                         / (a.nn * b.nn) * 1e6) AS BIGINT) AS sim_u
+                FROM short a CROSS JOIN short b),
+      arrs AS (SELECT (SELECT list(sim_u ORDER BY i, j) FROM pairs) AS sim,
+                      (SELECT list(rel_u ORDER BY pos) FROM short) AS rels),
+      sel AS (SELECT list_reduce(
+                list_prepend([]::BIGINT[], list_transform(range(1, 11), r -> [r])),
+                (sel, rr) -> list_append(sel,
+                  list_reduce(
+                    list_prepend([-9000000000000000::BIGINT, 0::BIGINT],
+                      list_transform(
+                        list_filter(range(1, len(rels) + 1),
+                          i -> NOT list_contains(sel, i)),
+                        i -> [i::BIGINT])),
+                    (best, xx) -> CASE WHEN
+                        7 * rels[xx[1]] - 3 * (CASE WHEN len(sel) = 0
+                          THEN 0::BIGINT
+                          ELSE list_max(list_transform(sel,
+                            s -> sim[(xx[1] - 1) * len(rels) + s])) END)
+                        > best[1]
+                      THEN [7 * rels[xx[1]] - 3 * (CASE WHEN len(sel) = 0
+                          THEN 0::BIGINT
+                          ELSE list_max(list_transform(sel,
+                            s -> sim[(xx[1] - 1) * len(rels) + s])) END), xx[1]]
+                      ELSE best END)[2])) AS picks
+              FROM arrs),
+      ranked AS (SELECT unnest(list_transform(range(1, len(picks) + 1),
+                   r -> {'rank': r, 'pos': picks[r]})) AS u
+                 FROM sel)
+      SELECT u.rank, short.vec_id,
+             round(CAST(short.rel_u AS DOUBLE) / 1e6, 6) AS relevance
+      FROM ranked JOIN short ON short.pos = u.pos
+      ORDER BY u.rank"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
-    q194, q195, q197, q204, q230)
+    q194, q195, q197, q204, q230, q296)
 }
