@@ -1043,6 +1043,77 @@ object CorpusQueries {
              (SELECT CAST(count(*) AS BIGINT) FROM c5) FROM p5
       ORDER BY round"""))
 
+  // --------------------------------------------------------------- q297
+
+  /** q297 — Kneser-Ney smoothed bigram language model: the classic
+    * absolute-discounting estimator (d = 0.75) whose back-off weight
+    * is the CONTINUATION probability (how many distinct contexts a
+    * word follows) rather than raw frequency — the difference that
+    * makes "Francisco" unlikely after anything but "San". q77's
+    * unsmoothed bigram LM assigns zero to unseen pairs; this is the
+    * model production text-quality scorers actually use.
+    *
+    * P(w|v) = (c(vw)−d)⁺/c(v) + d·N₁₊(v·)/c(v) · N₁₊(·w)/T.
+    * All five count families are linear grouped passes over the
+    * bigram stream (shuffles keyed on v, w, or the pair — never
+    * pairwise); d = 3/4 is exact in quarter-units, so the formula is
+    * one double over exact integers, nano-quantized once. Top-20 by
+    * smoothed probability.
+    */
+  val q297 = Q("q297_kneser_ney",
+    (s, dir) => {
+      val pairs = Tables.load(s, dir, "documents")
+        .select(graft.operators.TextAnalysis.tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS v, w[i + 1] AS t))")).as("p"))
+        .select(col("p.v").as("v"), col("p.t").as("t"))
+      val cvw = pairs.groupBy("v", "t").agg(count(lit(1)).as("c_vw"))
+        .localCheckpoint(false) // 4 count-family consumers
+      val cv = cvw.groupBy("v").agg(sum("c_vw").as("c_v"))
+      val fanout = cvw.groupBy("v").agg(count(lit(1)).as("n1p_v"))
+      val contin = cvw.groupBy("t").agg(count(lit(1)).as("n1p_w"))
+      val types = cvw.groupBy().agg(count(lit(1)).as("tt"))
+      cvw
+        .join(broadcast(cv), Seq("v"))
+        .join(broadcast(fanout), Seq("v"))
+        .join(broadcast(contin), Seq("t"))
+        .crossJoin(broadcast(types))
+        .select(col("v"), col("t").as("w"), col("c_vw"),
+          expr("""CAST(round(1e9 * (
+              CAST(greatest(4 * c_vw - 3, 0) AS DOUBLE) / CAST(4 * c_v AS DOUBLE)
+              + 3.0 * CAST(n1p_v AS DOUBLE) / CAST(4 * c_v AS DOUBLE)
+                * CAST(n1p_w AS DOUBLE) / CAST(tt AS DOUBLE))) AS BIGINT)""")
+            .as("p_nano"))
+        .orderBy(desc("p_nano"), col("v"), col("w"))
+        .limit(20)
+        .select(col("v"), col("w"), col("c_vw"),
+          round(col("p_nano").cast("double") / 1e9, 6).as("p_kn"))
+    },
+    Some(s"""
+      WITH t0 AS (SELECT $duckTokens AS w FROM documents),
+      pairs AS (SELECT w[u.i] AS v, w[u.i + 1] AS t
+                FROM t0, unnest(range(1, len(w))) AS u(i)
+                WHERE len(w) >= 2),
+      cvw AS (SELECT v, t, CAST(count(*) AS BIGINT) AS c_vw
+              FROM pairs GROUP BY 1, 2),
+      cv AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v FROM cvw GROUP BY 1),
+      fanout AS (SELECT v, CAST(count(*) AS BIGINT) AS n1p_v FROM cvw GROUP BY 1),
+      contin AS (SELECT t, CAST(count(*) AS BIGINT) AS n1p_w FROM cvw GROUP BY 1),
+      types AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM cvw),
+      scored AS (SELECT cvw.v, cvw.t AS w, c_vw,
+                   CAST(round(1e9 * (
+                     CAST(greatest(4 * c_vw - 3, 0) AS DOUBLE) / CAST(4 * c_v AS DOUBLE)
+                     + 3.0 * CAST(n1p_v AS DOUBLE) / CAST(4 * c_v AS DOUBLE)
+                       * CAST(n1p_w AS DOUBLE) / CAST(tt AS DOUBLE))) AS BIGINT)
+                     AS p_nano
+                 FROM cvw JOIN cv ON cvw.v = cv.v
+                          JOIN fanout ON cvw.v = fanout.v
+                          JOIN contin ON cvw.t = contin.t
+                          CROSS JOIN types)
+      SELECT v, w, c_vw, round(CAST(p_nano AS DOUBLE) / 1e9, 6) AS p_kn
+      FROM scored ORDER BY p_nano DESC, v, w LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
-    q196, q221, q224, q231, q232, q288)
+    q196, q221, q224, q231, q232, q288, q297)
 }
