@@ -1844,7 +1844,175 @@ object InferQueries {
                         AS BIGINT) AS DOUBLE) / 1e6, 6) AS w1_dollars
       FROM m"""))
 
+  // --------------------------------------------------------------- q298
+
+  /** q298 — AdaBoost with decision stumps (3 rounds) on the
+    * (quantity, returned?) grid: per round, pick the threshold/
+    * polarity stump minimizing weighted error, reweight by
+    * exp(−α·y·h), and report the stump, its ε and α, and the
+    * ensemble's running training error — the classic boosting loop
+    * (Freund & Schapire '97) that turns the week-one baseline
+    * learner into a usable classifier.
+    *
+    * The whole state lives on the ≤2·|distinct x| cell grid, because
+    * stumps depend only on x: cell weights are nano-scaled longs
+    * re-quantized once per round (exp(−α·y·h) is one double per
+    * cell, identical text both engines, from the in-plan
+    * nano-quantized α — the q291 Newton discipline); stump search is
+    * a |θ|×|cells| bounded broadcast expansion with exact integer
+    * comparisons, so the argmin (ties → smaller θ, then polarity) is
+    * deterministic. ε and ensemble-error ratios round via the exact
+    * (2a+d) div 2d recipe. Rounds are inherently sequential; each is
+    * one tiny grid job at any data scale.
+    */
+  val q298 = Q("q298_adaboost_stumps",
+    (s, dir) => {
+      val grid = Tables.load(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"),
+          when(col("l_returnflag") === "R", 1).otherwise(-1).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // stump searches + ensemble error rows
+      val thetas = grid.select(col("x").as("theta")).distinct()
+      var cells = grid.withColumn("w", col("n") * lit(1000000000L))
+        .localCheckpoint(false)
+      var picks = List.empty[(Long, Int, Long, Long)] // (theta, pol, alpha_nano, eps_micro)
+      for (t <- 1 to 3) {
+        val e = cells.crossJoin(broadcast(thetas))
+          .groupBy("theta").agg(
+            sum(when(col("y") === 1 && col("x") <= col("theta"), col("w"))
+              .otherwise(0L)).as("wpLe"),
+            sum(when(col("y") === -1 && col("x") <= col("theta"), col("w"))
+              .otherwise(0L)).as("wnLe"),
+            sum(when(col("y") === 1, col("w")).otherwise(0L)).as("wpTot"),
+            sum(col("w")).as("wTot"))
+        val cand = e.select(col("theta"), lit(1).as("pol"),
+            (col("wnLe") + col("wpTot") - col("wpLe")).as("err"), col("wTot"))
+          .unionByName(e.select(col("theta"), lit(-1).as("pol"),
+            (col("wTot") - (col("wnLe") + col("wpTot") - col("wpLe"))).as("err"),
+            col("wTot")))
+        val p = cand.orderBy(col("err"), col("theta"), col("pol")).limit(1)
+          .select(col("theta"), col("pol"),
+            expr("CAST(round(1e9 * ln(CAST(wTot - err AS DOUBLE) / CAST(err AS DOUBLE)) / 2) AS BIGINT)")
+              .as("an"),
+            expr("""CAST((2 * CAST(err AS DECIMAL(38,0)) * 1000000 + wTot)
+                    div (2 * wTot) AS BIGINT)""").as("eps_micro"))
+          .collect()(0)
+        val (th, pol, an) = (p.getLong(0), p.getInt(1), p.getLong(2))
+        picks = picks :+ ((th, pol, an, p.getLong(3)))
+        val h = s"(CASE WHEN x <= $th THEN $pol ELSE ${-pol} END)"
+        cells = cells.select(col("x"), col("y"), col("n"),
+          expr(s"""CAST(round(CAST(w AS DOUBLE)
+                   * exp(CAST(${-an} AS DOUBLE) / 1e9 * y * $h)) AS BIGINT)""").as("w"))
+          .localCheckpoint(false)
+      }
+      val out = picks.zipWithIndex.map { case ((th, pol, an, eps), i) =>
+        val score = picks.take(i + 1).map { case (t2, p2, a2, _) =>
+          s"$a2 * (CASE WHEN x <= $t2 THEN $p2 ELSE ${-p2} END)"
+        }.mkString(" + ")
+        grid.groupBy().agg(
+          sum(when(expr(s"($score) * y").leq(0), col("n")).otherwise(0L)).as("wrong"),
+          sum(col("n")).as("tot"))
+          .select(lit(i + 1).as("round"), lit(th).as("theta"), lit(pol).as("polarity"),
+            round(lit(eps).cast("double") / 1e6, 6).as("eps"),
+            lit(an).as("alpha_nano"),
+            round(expr("CAST((2 * wrong * 1000000 + tot) DIV (2 * tot) AS BIGINT)")
+              .cast("double") / 1e6, 6).as("ens_err"))
+      }
+      out.reduce(_ unionByName _).orderBy("round")
+    },
+    Some("""
+      WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                        CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y
+                 FROM lineitem),
+      grid AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+      th AS (SELECT DISTINCT x AS theta FROM grid),
+      c0 AS (SELECT x, y, n, n * 1000000000 AS w FROM grid),
+
+      e1 AS (SELECT theta,
+               CAST(sum(CASE WHEN y = 1 AND x <= theta THEN w ELSE 0 END) AS BIGINT) AS wpLe,
+               CAST(sum(CASE WHEN y = -1 AND x <= theta THEN w ELSE 0 END) AS BIGINT) AS wnLe,
+               CAST(sum(CASE WHEN y = 1 THEN w ELSE 0 END) AS BIGINT) AS wpTot,
+               CAST(sum(w) AS BIGINT) AS wTot
+             FROM c0 CROSS JOIN th GROUP BY theta),
+      d1 AS (SELECT theta, 1 AS pol, wnLe + wpTot - wpLe AS err, wTot FROM e1
+             UNION ALL
+             SELECT theta, -1, wTot - (wnLe + wpTot - wpLe), wTot FROM e1),
+      p1 AS (SELECT theta, pol,
+               CAST(round(1e9 * ln(CAST(wTot - err AS DOUBLE) / CAST(err AS DOUBLE)) / 2) AS BIGINT) AS an,
+               CAST((2 * CAST(err AS HUGEINT) * 1000000 + wTot) // (2 * wTot) AS BIGINT) AS eps_micro
+             FROM d1 ORDER BY err, theta, pol LIMIT 1),
+      c1 AS (SELECT x, y, n,
+               CAST(round(CAST(w AS DOUBLE) * exp(CAST(-an AS DOUBLE) / 1e9 * y
+                 * (CASE WHEN x <= theta THEN pol ELSE -pol END))) AS BIGINT) AS w
+             FROM c0 CROSS JOIN p1),
+
+      e2 AS (SELECT theta,
+               CAST(sum(CASE WHEN y = 1 AND x <= theta THEN w ELSE 0 END) AS BIGINT) AS wpLe,
+               CAST(sum(CASE WHEN y = -1 AND x <= theta THEN w ELSE 0 END) AS BIGINT) AS wnLe,
+               CAST(sum(CASE WHEN y = 1 THEN w ELSE 0 END) AS BIGINT) AS wpTot,
+               CAST(sum(w) AS BIGINT) AS wTot
+             FROM c1 CROSS JOIN th GROUP BY theta),
+      d2 AS (SELECT theta, 1 AS pol, wnLe + wpTot - wpLe AS err, wTot FROM e2
+             UNION ALL
+             SELECT theta, -1, wTot - (wnLe + wpTot - wpLe), wTot FROM e2),
+      p2 AS (SELECT theta, pol,
+               CAST(round(1e9 * ln(CAST(wTot - err AS DOUBLE) / CAST(err AS DOUBLE)) / 2) AS BIGINT) AS an,
+               CAST((2 * CAST(err AS HUGEINT) * 1000000 + wTot) // (2 * wTot) AS BIGINT) AS eps_micro
+             FROM d2 ORDER BY err, theta, pol LIMIT 1),
+      c2 AS (SELECT x, y, n,
+               CAST(round(CAST(w AS DOUBLE) * exp(CAST(-an AS DOUBLE) / 1e9 * y
+                 * (CASE WHEN x <= theta THEN pol ELSE -pol END))) AS BIGINT) AS w
+             FROM c1 CROSS JOIN p2),
+
+      e3 AS (SELECT theta,
+               CAST(sum(CASE WHEN y = 1 AND x <= theta THEN w ELSE 0 END) AS BIGINT) AS wpLe,
+               CAST(sum(CASE WHEN y = -1 AND x <= theta THEN w ELSE 0 END) AS BIGINT) AS wnLe,
+               CAST(sum(CASE WHEN y = 1 THEN w ELSE 0 END) AS BIGINT) AS wpTot,
+               CAST(sum(w) AS BIGINT) AS wTot
+             FROM c2 CROSS JOIN th GROUP BY theta),
+      d3 AS (SELECT theta, 1 AS pol, wnLe + wpTot - wpLe AS err, wTot FROM e3
+             UNION ALL
+             SELECT theta, -1, wTot - (wnLe + wpTot - wpLe), wTot FROM e3),
+      p3 AS (SELECT theta, pol,
+               CAST(round(1e9 * ln(CAST(wTot - err AS DOUBLE) / CAST(err AS DOUBLE)) / 2) AS BIGINT) AS an,
+               CAST((2 * CAST(err AS HUGEINT) * 1000000 + wTot) // (2 * wTot) AS BIGINT) AS eps_micro
+             FROM d3 ORDER BY err, theta, pol LIMIT 1),
+
+      s1 AS (SELECT p1.an * (CASE WHEN grid.x <= p1.theta THEN p1.pol ELSE -p1.pol END) AS sc,
+                    grid.x, grid.y, grid.n
+             FROM grid CROSS JOIN p1),
+      n1 AS (SELECT CAST(sum(CASE WHEN sc * y <= 0 THEN n ELSE 0 END) AS BIGINT) AS wrong,
+                    CAST(sum(n) AS BIGINT) AS tot FROM s1),
+      s2 AS (SELECT s1.sc + p2.an * (CASE WHEN s1.x <= p2.theta THEN p2.pol ELSE -p2.pol END) AS sc,
+                    s1.x, s1.y, s1.n
+             FROM s1 CROSS JOIN p2),
+      n2 AS (SELECT CAST(sum(CASE WHEN sc * y <= 0 THEN n ELSE 0 END) AS BIGINT) AS wrong,
+                    CAST(sum(n) AS BIGINT) AS tot FROM s2),
+      s3 AS (SELECT s2.sc + p3.an * (CASE WHEN s2.x <= p3.theta THEN p3.pol ELSE -p3.pol END) AS sc,
+                    s2.y, s2.n
+             FROM s2 CROSS JOIN p3),
+      n3 AS (SELECT CAST(sum(CASE WHEN sc * y <= 0 THEN n ELSE 0 END) AS BIGINT) AS wrong,
+                    CAST(sum(n) AS BIGINT) AS tot FROM s3)
+      SELECT 1 AS round, theta, pol AS polarity,
+             round(CAST(eps_micro AS DOUBLE) / 1e6, 6) AS eps, an AS alpha_nano,
+             round(CAST(CAST((2 * wrong * 1000000 + tot) // (2 * tot) AS BIGINT)
+                   AS DOUBLE) / 1e6, 6) AS ens_err
+      FROM p1 CROSS JOIN n1
+      UNION ALL
+      SELECT 2, theta, pol,
+             round(CAST(eps_micro AS DOUBLE) / 1e6, 6), an,
+             round(CAST(CAST((2 * wrong * 1000000 + tot) // (2 * tot) AS BIGINT)
+                   AS DOUBLE) / 1e6, 6)
+      FROM p2 CROSS JOIN n2
+      UNION ALL
+      SELECT 3, theta, pol,
+             round(CAST(eps_micro AS DOUBLE) / 1e6, 6), an,
+             round(CAST(CAST((2 * wrong * 1000000 + tot) // (2 * tot) AS BIGINT)
+                   AS DOUBLE) / 1e6, 6)
+      FROM p3 CROSS JOIN n3
+      ORDER BY round"""))
+
   val all: Seq[Q] = Seq(q237, q238, q239, q240, q241, q242, q243, q244,
     q254, q255, q256, q257, q258, q259, q275, q276, q277, q278,
-    q280, q281, q282, q289, q290, q291, q292)
+    q280, q281, q282, q289, q290, q291, q292, q298)
 }
