@@ -2012,7 +2012,136 @@ object InferQueries {
       FROM p3 CROSS JOIN n3
       ORDER BY round"""))
 
+  // --------------------------------------------------------------- q299
+
+  /** q299 — EM for a two-component 1-D Gaussian mixture over order
+    * values (3 iterations): soft-clusters the value distribution into
+    * a "small orders" and "large orders" regime with means, variances
+    * and mixing weight — the model-based alternative to k-means'
+    * (q74) hard assignment, and the EM loop itself is the template
+    * for every latent-variable fit.
+    *
+    * Same engine-parity discipline as q291's Newton: each iteration
+    * is ONE distributed pass accumulating the six weighted moments
+    * (Σr, Σrx, Σrx² per component) as per-row nano-quantized longs —
+    * responsibilities use the textually-identical Gaussian density on
+    * both engines — and the M-step runs INSIDE the same plan, so the
+    * parameter state between iterations is five exact nano-longs
+    * (μ₁, μ₂, σ₁², σ₂², π₁). Deterministic moment-based init
+    * (μ = mean ∓ sd/2, σ² = var, π₁ = ½). The oracle unrolls the
+    * three E/M passes with CROSS JOINed state CTEs.
+    */
+  val q299 = Q("q299_em_mixture",
+    (s, dir) => {
+      val b = Tables.load(s, dir, "orders").select(
+        (expr("CAST(round(o_totalprice * 100) AS BIGINT)").cast("double") / 1e7).as("x"))
+        .localCheckpoint(false) // init moments + 3 EM passes
+      val init = b.groupBy().agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+        .select(
+          expr("CAST(round(1e9 * (sx / n - sqrt(sxx / n - (sx / n) * (sx / n)) / 2)) AS BIGINT)").as("m1"),
+          expr("CAST(round(1e9 * (sx / n + sqrt(sxx / n - (sx / n) * (sx / n)) / 2)) AS BIGINT)").as("m2"),
+          expr("CAST(round(1e9 * (sxx / n - (sx / n) * (sx / n))) AS BIGINT)").as("v1"),
+          expr("CAST(round(1e9 * (sxx / n - (sx / n) * (sx / n))) AS BIGINT)").as("v2"),
+          expr("CAST(500000000 AS BIGINT)").as("p1"))
+        .collect()(0)
+      def phi(m: String, v: String) =
+        s"""(exp(-(x - CAST($m AS DOUBLE) / 1e9) * (x - CAST($m AS DOUBLE) / 1e9)
+            / (2.0 * CAST($v AS DOUBLE) / 1e9))
+            / sqrt(CAST($v AS DOUBLE) / 1e9) / 2.5066282746310002)"""
+      def r1(m1: String, m2: String, v1: String, v2: String, p1: String) =
+        s"""(CAST($p1 AS DOUBLE) / 1e9 * ${phi(m1, v1)}
+            / (CAST($p1 AS DOUBLE) / 1e9 * ${phi(m1, v1)}
+               + (1.0 - CAST($p1 AS DOUBLE) / 1e9) * ${phi(m2, v2)}))"""
+      def sums(rr: String) = Seq(
+        "CAST(count(*) AS BIGINT) AS n",
+        s"CAST(sum(CAST(round(1e9 * $rr) AS BIGINT)) AS BIGINT) AS sr",
+        s"CAST(sum(CAST(round(1e9 * ($rr * x)) AS BIGINT)) AS BIGINT) AS srx",
+        s"CAST(sum(CAST(round(1e9 * ($rr * x * x)) AS BIGINT)) AS BIGINT) AS srxx",
+        "CAST(sum(CAST(round(1e9 * x) AS BIGINT)) AS BIGINT) AS stx",
+        "CAST(sum(CAST(round(1e9 * (x * x)) AS BIGINT)) AS BIGINT) AS stxx")
+      // M-step: μk = Σrx/Σr; σ²k = Σrx²/Σr − μk²; π₁ = Σr/n — all from
+      // the exact sums, one double formula each, re-quantized to nano
+      val upd = Seq(
+        """CAST(round(1e9 * (CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE))) AS BIGINT) AS m1""",
+        """CAST(round(1e9 * (CAST(stx - srx AS DOUBLE) / CAST(n * 1000000000 - sr AS DOUBLE))) AS BIGINT) AS m2""",
+        """CAST(round(1e9 * (CAST(srxx AS DOUBLE) / CAST(sr AS DOUBLE)
+             - (CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE)) * (CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE)))) AS BIGINT) AS v1""",
+        """CAST(round(1e9 * (CAST(stxx - srxx AS DOUBLE) / CAST(n * 1000000000 - sr AS DOUBLE)
+             - (CAST(stx - srx AS DOUBLE) / CAST(n * 1000000000 - sr AS DOUBLE))
+               * (CAST(stx - srx AS DOUBLE) / CAST(n * 1000000000 - sr AS DOUBLE)))) AS BIGINT) AS v2""",
+        """CAST(round(1e9 * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) / 1e9)) AS BIGINT) AS p1""")
+      var st = (init.getLong(0), init.getLong(1), init.getLong(2), init.getLong(3),
+        init.getLong(4))
+      for (_ <- 1 to 3) {
+        val rr = r1(st._1.toString, st._2.toString, st._3.toString, st._4.toString,
+          st._5.toString)
+        val r = b.selectExpr(sums(rr): _*).selectExpr(upd: _*).collect()(0)
+        st = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      }
+      b.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n",
+        s"CAST(${st._1} AS BIGINT) AS mu1_nano",
+        s"CAST(${st._2} AS BIGINT) AS mu2_nano",
+        s"CAST(${st._3} AS BIGINT) AS var1_nano",
+        s"CAST(${st._4} AS BIGINT) AS var2_nano",
+        s"CAST(${st._5} AS BIGINT) AS pi1_nano")
+    },
+    Some {
+      def phi(m: String, v: String) =
+        s"""(exp(-(x - CAST($m AS DOUBLE) / 1e9) * (x - CAST($m AS DOUBLE) / 1e9)
+            / (2.0 * CAST($v AS DOUBLE) / 1e9))
+            / sqrt(CAST($v AS DOUBLE) / 1e9) / 2.5066282746310002)"""
+      def r1(unused: String) =
+        s"""(CAST(p1 AS DOUBLE) / 1e9 * ${phi("m1", "v1")}
+            / (CAST(p1 AS DOUBLE) / 1e9 * ${phi("m1", "v1")}
+               + (1.0 - CAST(p1 AS DOUBLE) / 1e9) * ${phi("m2", "v2")}))"""
+      def aCte(name: String, from: String) = s"""
+      $name AS (SELECT
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(1e9 * ${r1(name)}) AS BIGINT)) AS BIGINT) AS sr,
+        CAST(sum(CAST(round(1e9 * (${r1(name)} * x)) AS BIGINT)) AS BIGINT) AS srx,
+        CAST(sum(CAST(round(1e9 * (${r1(name)} * x * x)) AS BIGINT)) AS BIGINT) AS srxx,
+        CAST(sum(CAST(round(1e9 * x) AS BIGINT)) AS BIGINT) AS stx,
+        CAST(sum(CAST(round(1e9 * (x * x)) AS BIGINT)) AS BIGINT) AS stxx
+        FROM $from)"""
+      def tCte(name: String, a: String) = s"""
+      $name AS (SELECT
+        CAST(round(1e9 * (CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE))) AS BIGINT) AS m1,
+        CAST(round(1e9 * (CAST(stx - srx AS DOUBLE) / CAST(n * 1000000000 - sr AS DOUBLE))) AS BIGINT) AS m2,
+        CAST(round(1e9 * (CAST(srxx AS DOUBLE) / CAST(sr AS DOUBLE)
+          - (CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE)) * (CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE)))) AS BIGINT) AS v1,
+        CAST(round(1e9 * (CAST(stxx - srxx AS DOUBLE) / CAST(n * 1000000000 - sr AS DOUBLE)
+          - (CAST(stx - srx AS DOUBLE) / CAST(n * 1000000000 - sr AS DOUBLE))
+            * (CAST(stx - srx AS DOUBLE) / CAST(n * 1000000000 - sr AS DOUBLE)))) AS BIGINT) AS v2,
+        CAST(round(1e9 * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) / 1e9)) AS BIGINT) AS p1
+        FROM $a)"""
+      s"""
+      WITH b AS (SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 1e7 AS x
+                 FROM orders),
+      i0 AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(x * x) AS sxx
+             FROM b),
+      t0 AS (SELECT
+        CAST(round(1e9 * (sx / n - sqrt(sxx / n - (sx / n) * (sx / n)) / 2)) AS BIGINT) AS m1,
+        CAST(round(1e9 * (sx / n + sqrt(sxx / n - (sx / n) * (sx / n)) / 2)) AS BIGINT) AS m2,
+        CAST(round(1e9 * (sxx / n - (sx / n) * (sx / n))) AS BIGINT) AS v1,
+        CAST(round(1e9 * (sxx / n - (sx / n) * (sx / n))) AS BIGINT) AS v2,
+        CAST(500000000 AS BIGINT) AS p1
+        FROM i0),
+      ${aCte("a1", "b CROSS JOIN t0")},
+      ${tCte("t1", "a1")},
+      ${aCte("a2", "b CROSS JOIN t1")},
+      ${tCte("t2", "a2")},
+      ${aCte("a3", "b CROSS JOIN t2")},
+      ${tCte("t3", "a3")}
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             max(m1) AS mu1_nano, max(m2) AS mu2_nano,
+             max(v1) AS var1_nano, max(v2) AS var2_nano,
+             max(p1) AS pi1_nano
+      FROM b CROSS JOIN t3"""
+    })
+
   val all: Seq[Q] = Seq(q237, q238, q239, q240, q241, q242, q243, q244,
     q254, q255, q256, q257, q258, q259, q275, q276, q277, q278,
-    q280, q281, q282, q289, q290, q291, q292, q298)
+    q280, q281, q282, q289, q290, q291, q292, q298, q299)
 }
