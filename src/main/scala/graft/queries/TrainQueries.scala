@@ -861,6 +861,97 @@ object TrainQueries {
              CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS quota
       FROM e ORDER BY source"""))
 
+  // --------------------------------------------------------------- q300
+
+  /** q300 — one ALS alternation (rank 2, ridge λ=0.1) on the implicit
+    * customer×brand rating matrix (rating = total quantity bought):
+    * with item factors fixed at a deterministic hash-seeded init,
+    * solve every user's 2×2 ridge normal equations in closed form —
+    * the exact unit step of alternating least squares, the workhorse
+    * collaborative-filtering factorizer (Koren et al.), expressed so
+    * a full fit is just this step alternated.
+    *
+    * Engine parity is free of float folds: item factors are
+    * milli-integer components (hash64 % 2001 − 1000), so the per-user
+    * Gram matrix (micro units) and moment vector (milli·rating units)
+    * accumulate as EXACT longs in one grouped pass; the 2×2 solve is
+    * one double formula per user from those ints, nano-quantized.
+    * One shuffle on user; factors ride a broadcast brand dim.
+    */
+  val q300 = Q("q300_als_step",
+    (s, dir) => {
+      val facs = Tables.load(s, dir, "part")
+        .select(col("p_brand")).distinct()
+        .select(col("p_brand"),
+          (graft.functions.Hashing.hash64(concat(lit("alsv1|"), col("p_brand"))) % 2001
+            - 1000).as("v1m"),
+          (graft.functions.Hashing.hash64(concat(lit("alsv2|"), col("p_brand"))) % 2001
+            - 1000).as("v2m"))
+      val ratings = Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("p_brand"))
+        .agg(sum(col("l_quantity").cast("long")).as("r"))
+      ratings.join(broadcast(facs), Seq("p_brand"))
+        .groupBy("u").agg(
+          count(lit(1)).as("n_items"),
+          sum(col("v1m") * col("v1m")).as("a11u"),
+          sum(col("v1m") * col("v2m")).as("a12u"),
+          sum(col("v2m") * col("v2m")).as("a22u"),
+          sum(col("r") * col("v1m")).as("c1m"),
+          sum(col("r") * col("v2m")).as("c2m"))
+        .select(col("u").as("c_custkey"), col("n_items"), expr("""
+            CAST(round(1e9 * (
+              (CAST(a22u + 100000 AS DOUBLE) / 1e6 * (CAST(c1m AS DOUBLE) / 1e3)
+               - CAST(a12u AS DOUBLE) / 1e6 * (CAST(c2m AS DOUBLE) / 1e3))
+              / (CAST(a11u + 100000 AS DOUBLE) / 1e6 * (CAST(a22u + 100000 AS DOUBLE) / 1e6)
+                 - CAST(a12u AS DOUBLE) / 1e6 * (CAST(a12u AS DOUBLE) / 1e6)))) AS BIGINT)""")
+            .as("u1_nano"), expr("""
+            CAST(round(1e9 * (
+              (CAST(a11u + 100000 AS DOUBLE) / 1e6 * (CAST(c2m AS DOUBLE) / 1e3)
+               - CAST(a12u AS DOUBLE) / 1e6 * (CAST(c1m AS DOUBLE) / 1e3))
+              / (CAST(a11u + 100000 AS DOUBLE) / 1e6 * (CAST(a22u + 100000 AS DOUBLE) / 1e6)
+                 - CAST(a12u AS DOUBLE) / 1e6 * (CAST(a12u AS DOUBLE) / 1e6)))) AS BIGINT)""")
+            .as("u2_nano"))
+        .orderBy("c_custkey")
+        .limit(20)
+    },
+    Some(s"""
+      WITH brands AS (SELECT DISTINCT p_brand FROM part),
+      facs AS (SELECT p_brand,
+                      ${duckHash64("'alsv1|' || p_brand")} % 2001 - 1000 AS v1m,
+                      ${duckHash64("'alsv2|' || p_brand")} % 2001 - 1000 AS v2m
+               FROM brands),
+      ratings AS (SELECT o_custkey AS u, p_brand,
+                         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+                  FROM lineitem
+                  JOIN part ON l_partkey = p_partkey
+                  JOIN orders ON l_orderkey = o_orderkey
+                  GROUP BY 1, 2),
+      m AS (SELECT u, CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(v1m * v1m) AS BIGINT) AS a11u,
+                   CAST(sum(v1m * v2m) AS BIGINT) AS a12u,
+                   CAST(sum(v2m * v2m) AS BIGINT) AS a22u,
+                   CAST(sum(r * v1m) AS BIGINT) AS c1m,
+                   CAST(sum(r * v2m) AS BIGINT) AS c2m
+            FROM ratings JOIN facs USING (p_brand) GROUP BY u)
+      SELECT u AS c_custkey, n_items,
+             CAST(round(1e9 * (
+               (CAST(a22u + 100000 AS DOUBLE) / 1e6 * (CAST(c1m AS DOUBLE) / 1e3)
+                - CAST(a12u AS DOUBLE) / 1e6 * (CAST(c2m AS DOUBLE) / 1e3))
+               / (CAST(a11u + 100000 AS DOUBLE) / 1e6 * (CAST(a22u + 100000 AS DOUBLE) / 1e6)
+                  - CAST(a12u AS DOUBLE) / 1e6 * (CAST(a12u AS DOUBLE) / 1e6)))) AS BIGINT)
+               AS u1_nano,
+             CAST(round(1e9 * (
+               (CAST(a11u + 100000 AS DOUBLE) / 1e6 * (CAST(c2m AS DOUBLE) / 1e3)
+                - CAST(a12u AS DOUBLE) / 1e6 * (CAST(c1m AS DOUBLE) / 1e3))
+               / (CAST(a11u + 100000 AS DOUBLE) / 1e6 * (CAST(a22u + 100000 AS DOUBLE) / 1e6)
+                  - CAST(a12u AS DOUBLE) / 1e6 * (CAST(a12u AS DOUBLE) / 1e6)))) AS BIGINT)
+               AS u2_nano
+      FROM m ORDER BY u LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q184)
+    q88, q89, q90, q91, q184, q300)
 }
