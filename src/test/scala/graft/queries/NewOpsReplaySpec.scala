@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+/** Brute-force replays and invariants for the round-8 continuation
+  * batch (q280–q300). The oracle gate proves engine-vs-engine
+  * equality; these pin the MATH against independent in-process
+  * reimplementations (plain Scala collections at sf0.001) and the
+  * axioms a wrong-but-consistent implementation would break
+  * (Shapley efficiency, EM mean preservation, conformal coverage).
+  */
+class NewOpsReplaySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q280: tie-corrected H matches a direct average-rank brute force") {
+    val out = rows(InferQueries.q280.fn(spark, sf)).head
+    val data = Tables.load(spark, sf, "lineitem")
+      .select(col("l_quantity").cast("long"), col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val sorted = data.map(_._1).sorted
+    val rankOf = sorted.distinct.map { v =>
+      val below = sorted.count(_ < v); val c = sorted.count(_ == v)
+      v -> (below + (c + 1) / 2.0)
+    }.toMap
+    val n = data.length.toDouble
+    val groups = Seq("A", "N", "R").map(g => data.filter(_._2 == g))
+    val hRaw = 12.0 / (n * (n + 1)) * groups.map { g =>
+      val r = g.map(t => rankOf(t._1)).sum; r * r / g.length
+    }.sum - 3 * (n + 1)
+    val ties = sorted.groupBy(identity).values
+      .map(c => { val s = c.size.toLong; s * s * s - s }).sum.toDouble
+    val hc = hRaw / (1.0 - ties / (n * n * n - n))
+    assert(math.abs(out(3).asInstanceOf[Double] - hRaw) < 1e-5, s"$out vs $hRaw")
+    assert(math.abs(out(4).asInstanceOf[Double] - hc) < 1e-5, s"$out vs $hc")
+  }
+
+  test("q292: W1 matches a direct two-sample CDF-walk brute force") {
+    val out = rows(InferQueries.q292.fn(spark, sf)).head
+    val data = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"), col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val a = data.filter(_._2 == "R").map(_._1).sorted
+    val b = data.filter(_._2 == "A").map(_._1).sorted
+    val grid = (a ++ b).distinct.sorted
+    var w1 = BigInt(0)
+    grid.zip(grid.tail).foreach { case (v, nxt) =>
+      val c1 = a.count(_ <= v).toLong; val c2 = b.count(_ <= v).toLong
+      w1 += BigInt((b.length * c1 - a.length * c2).abs) * (nxt - v)
+    }
+    val expect = w1.toDouble / a.length / b.length / 1e4
+    assert(math.abs(out(2).asInstanceOf[Double] - expect) < 1e-5,
+      s"$out vs $expect")
+  }
+
+  test("q293: Shapley credits satisfy the efficiency axiom (sum to v(N) − v(∅))") {
+    val out = rows(EventQueries.q293.fn(spark, sf))
+    assert(out.size == 4)
+    // Σᵢ φᵢ telescopes to v(full mask) − v(empty mask) for the
+    // exactly-T empirical value function
+    val masks = Tables.load(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(Seq(("click", 1), ("error", 2), ("signup", 4), ("view", 8)).map {
+          case (t, bb) => max(when(col("event_type") === t, bb).otherwise(0))
+        }.reduce(_ + _).as("mask"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    def vU(mask: Int): Double = {
+      val in = masks.filter(_._1 == mask)
+      if (in.isEmpty) 0.0
+      // mirror the query's exact integer micro rounding of conv/users
+      else ((2L * in.map(_._2).sum * 1000000L + in.length) / (2L * in.length)) / 1e6
+    }
+    val total = out.map(_(1).asInstanceOf[Long]).sum / 24.0 / 1e6
+    assert(math.abs(total - (vU(15) - vU(0))) < 1e-4,
+      s"efficiency: $total vs ${vU(15) - vU(0)}")
+  }
+
+  test("q294: DTW matches a direct O(nm) DP brute force") {
+    val out = rows(EventQueries.q294.fn(spark, sf))
+    val daily = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    def series(t: String) = daily.filter(_._1 == t).sortBy(_._2).map(_._3)
+    def dtw(a: Seq[Long], b: Seq[Long]): Long = {
+      val inf = 9000000000000000L
+      var prev = 0L +: Seq.fill(b.length)(inf)
+      a.foreach { av =>
+        val row = new Array[Long](b.length + 1); row(0) = inf
+        b.indices.foreach { j =>
+          row(j + 1) = (av - b(j)).abs +
+            math.min(prev(j + 1), math.min(prev(j), row(j)))
+        }
+        prev = row.toSeq
+      }
+      prev.last
+    }
+    out.foreach { r =>
+      val expect = dtw(series(r(0).asInstanceOf[String]), series(r(1).asInstanceOf[String]))
+      assert(r(4).asInstanceOf[Long] == expect, s"$r vs $expect")
+    }
+  }
+
+  test("q296: selection matches a direct greedy MMR brute force") {
+    val out = rows(DataQueries.q296.fn(spark, sf))
+    val embs = Tables.load(spark, sf, "embeddings")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def norm(a: Array[Float]) = math.sqrt(dot(a, a))
+    val (qid, qv) = embs.head
+    def cosU(a: Array[Float], b: Array[Float]): Long =
+      math.round(dot(a, b) / (norm(a) * norm(b)) * 1e6)
+    val short = embs.filter(_._1 != qid)
+      .map { case (id, v) => (id, v, cosU(v, qv)) }
+      .sortBy(t => (-t._3, t._1)).take(30)
+    var sel = List.empty[Int] // positions 0-based
+    (1 to 10).foreach { _ =>
+      val best = short.indices.filterNot(sel.contains).maxBy { i =>
+        val pen = if (sel.isEmpty) 0L
+          else sel.map(s => cosU(short(i)._2, short(s)._2)).max
+        (7 * short(i)._3 - 3 * pen, -i) // max score, tie → earlier position
+      }
+      sel = sel :+ best
+    }
+    val expectIds = sel.map(short(_)._1)
+    assert(out.map(_(1).asInstanceOf[Long]) == expectIds,
+      s"${out.map(_(1))} vs $expectIds")
+  }
+
+  test("q295: integer PPR replays exactly in Scala") {
+    val out = rows(StatQueries.q295.fn(spark, sf))
+    // rebuild the graph brute-force
+    val items = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairInstances = items.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val ids = basket.map(_._2).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }
+    val pcnt = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    pairInstances.foreach(pp => pcnt(pp) = pcnt.getOrElse(pp, 0) + 1)
+    val pairs = pcnt.iterator.collect { case (pp, c) if c >= 2 => pp }.toSeq
+    val edges = pairs.flatMap(p => Seq(p, p.swap))
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    val seeds = deg.keys.filter(_ % 97 == 0).toSeq.sorted
+    val r0 = 1000000000000L / seeds.length
+    val restart = 15L * r0 / 100L
+    var ranks: Map[Long, Long] = seeds.map(_ -> r0).toMap
+    (1 to 3).foreach { _ =>
+      val inflow = edges.flatMap { case (s, d) =>
+        ranks.get(s).map(r => d -> r / deg(s))
+      }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      val nodes = inflow.keySet ++ seeds
+      ranks = nodes.map { v =>
+        v -> ((if (seeds.contains(v)) restart else 0L)
+          + 85L * inflow.getOrElse(v, 0L) / 100L)
+      }.toMap
+    }
+    val expect = ranks.toSeq.sortBy(t => (-t._2, t._1)).take(20)
+    assert(out.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])) == expect,
+      s"$out vs $expect")
+  }
+
+  test("q299: EM M-step preserves the sample mean (π₁μ₁ + π₂μ₂ = x̄)") {
+    val out = rows(InferQueries.q299.fn(spark, sf)).head
+    val xs = Tables.load(spark, sf, "orders")
+      .select((expr("CAST(round(o_totalprice * 100) AS BIGINT)").cast("double") / 1e7))
+      .collect().map(_.getDouble(0))
+    val mean = xs.sum / xs.length
+    val mu1 = out(1).asInstanceOf[Long] / 1e9
+    val mu2 = out(2).asInstanceOf[Long] / 1e9
+    val p1 = out(4 + 1).asInstanceOf[Long] / 1e9
+    assert(p1 > 0 && p1 < 1, s"pi1 $p1")
+    assert(out(3).asInstanceOf[Long] > 0 && out(4).asInstanceOf[Long] > 0)
+    assert(mu1 < mu2, s"ordered means: $mu1 $mu2")
+    assert(math.abs(p1 * mu1 + (1 - p1) * mu2 - mean) < 1e-4,
+      s"mean preservation: ${p1 * mu1 + (1 - p1) * mu2} vs $mean")
+  }
+
+  test("q289: empirical test coverage is near the 90% conformal target") {
+    val out = rows(InferQueries.q289.fn(spark, sf)).head
+    val cov = out(3).asInstanceOf[Double]
+    assert(cov >= 0.82 && cov <= 1.0, s"coverage $cov")
+  }
+
+  test("q286: Croston state replays a hand fold for every part") {
+    val out = rows(AnalyticsQueries.q286.fn(spark, sf))
+      .map(r => r(0).asInstanceOf[Long] ->
+        (r(1).asInstanceOf[Int], r(2).asInstanceOf[Long], r(3).asInstanceOf[Long]))
+      .toMap
+    val daily = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    def rdiv10(x: Long) = (x + 5) / 10
+    val expect = daily.groupBy(_._1).flatMap { case (pk, rows0) =>
+      val es = rows0.sortBy(_._2.toString)
+      var z = 0L; var g = 0L; var k = 0; var last: java.time.LocalDate = null
+      es.foreach { case (_, day, q) =>
+        val dd = if (k == 0) 0L
+          else java.time.temporal.ChronoUnit.DAYS.between(last, day)
+        k match {
+          case 0 => z = q * 1000000L
+          case 1 => z = rdiv10(2 * q * 1000000L + 8 * z); g = dd * 1000000L
+          case _ => z = rdiv10(2 * q * 1000000L + 8 * z)
+                    g = rdiv10(2 * dd * 1000000L + 8 * g)
+        }
+        k += 1; last = day
+      }
+      if (k >= 3) Some(pk -> ((k, z, g))) else None
+    }
+    assert(out == expect, s"${out.size} vs ${expect.size}")
+  }
+
+  test("q300: per-user factors match a direct 2x2 ridge solve") {
+    val out = rows(TrainQueries.q300.fn(spark, sf))
+    assert(out.nonEmpty)
+    // replay the first output user from raw data
+    val u0 = out.head(0).asInstanceOf[Long]
+    val facs = rows(Tables.load(spark, sf, "part").select(col("p_brand")).distinct()
+      .select(col("p_brand"),
+        (graft.functions.Hashing.hash64(concat(lit("alsv1|"), col("p_brand"))) % 2001 - 1000),
+        (graft.functions.Hashing.hash64(concat(lit("alsv2|"), col("p_brand"))) % 2001 - 1000)))
+      .map(r => r(0).asInstanceOf[String] ->
+        (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])).toMap
+    val ratings = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") === u0)
+      .groupBy("p_brand").agg(sum(col("l_quantity").cast("long")).as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var (a11, a12, a22, c1, c2) = (0L, 0L, 0L, 0L, 0L)
+    ratings.foreach { case (b, r) =>
+      val (v1, v2) = facs(b)
+      a11 += v1 * v1; a12 += v1 * v2; a22 += v2 * v2
+      c1 += r * v1; c2 += r * v2
+    }
+    val (a11d, a12d, a22d) = ((a11 + 100000) / 1e6, a12 / 1e6, (a22 + 100000) / 1e6)
+    val (c1d, c2d) = (c1 / 1e3, c2 / 1e3)
+    val det = a11d * a22d - a12d * a12d
+    val u1 = math.round(1e9 * ((a22d * c1d - a12d * c2d) / det))
+    val u2 = math.round(1e9 * ((a11d * c2d - a12d * c1d) / det))
+    assert(math.abs(out.head(2).asInstanceOf[Long] - u1) <= 1,
+      s"${out.head} vs $u1")
+    assert(math.abs(out.head(3).asInstanceOf[Long] - u2) <= 1,
+      s"${out.head} vs $u2")
+  }
+}
