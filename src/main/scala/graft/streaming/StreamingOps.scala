@@ -151,6 +151,45 @@ object StreamingOps {
       }
   }
 
+  final case class HoltState(lv: Long, tr: Long, i: Int)
+  final case class HoltOut(key: String, day: java.sql.Date, y: Long,
+                           level_micro: Long, trend_micro: Long, err_micro: Long)
+
+  /** Streaming twin of q201's Holt double-exponential smoother: per-key
+    * O(1) state (level, trend as 1e6-scaled longs) advanced by the
+    * LITERAL integer recurrence (α=0.5 β=0.3 with the sign-symmetric
+    * round-half-away division) as daily points arrive — the batch
+    * query folds the identical recurrence over each key's sorted daily
+    * array, so under date-ordered arrival stream ≡ batch bit-for-bit
+    * (StreamingSpec pins every row of every key).
+    */
+  def holtMonitor(points: Dataset[DailyPoint]): Dataset[HoltOut] = {
+    import points.sparkSession.implicits._
+    def rdiv10(x: Long): Long =
+      if (x < 0) -((-x + 5) / 10) else (x + 5) / 10
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[DailyPoint], state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(HoltState(0L, 0L, 0))
+          val out = Seq.newBuilder[HoltOut]
+          it.toSeq.sortBy(_.day.toString).foreach { p =>
+            if (st.i == 0) {
+              st = HoltState(p.y * 1000000L, 0L, 1)
+              out += HoltOut(key, p.day, p.y, st.lv, st.tr, 0L)
+            } else {
+              val err = p.y * 1000000L - (st.lv + st.tr)
+              val nlv = rdiv10(5 * p.y * 1000000L + 5 * (st.lv + st.tr))
+              val ntr = rdiv10(3 * (nlv - st.lv) + 7 * st.tr)
+              out += HoltOut(key, p.day, p.y, nlv, ntr, err)
+              st = HoltState(nlv, ntr, st.i + 1)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class CrostonState(z: Long, g: Long, k: Int, day: String)
   final case class CrostonOut(key: String, day: java.sql.Date, n_demands: Int,
                               size_micro: Long, interval_micro: Long)

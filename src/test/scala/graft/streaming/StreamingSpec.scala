@@ -609,6 +609,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "streaming rolling median != batch q229")
   }
 
+  test("holtMonitor over a date-ordered file stream reproduces batch q201 row-for-row") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-holt").toFile
+    val daily = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type").as("key"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    new java.io.File(s"$dir/in").mkdirs()
+    val days = daily.select(min("day"), max("day")).first()
+    val (d0, d1) = (days.getDate(0).toLocalDate, days.getDate(1).toLocalDate)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
+    val step = math.max(1L, span / 6 + 1)
+    (0 until 6).foreach { i =>
+      val bucket = daily.filter(
+        datediff(col("day"), lit(java.sql.Date.valueOf(d0))) >= i * step &&
+        datediff(col("day"), lit(java.sql.Date.valueOf(d0))) < (i + 1) * step)
+      val tmp = s"$dir/tmp$i"
+      bucket.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$dir/in/day-000$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = spark.readStream
+      .schema(daily.schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$dir/in")
+      .as[StreamingOps.DailyPoint]
+    val streamed = StreamingOps.runAvailableNow(
+        StreamingOps.holtMonitor(stream).toDF(), "holt_stream",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val batch = graft.queries.EventQueries.q201.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(streamed == batch, "streaming Holt != batch q201")
+  }
+
   test("crostonMonitor over a date-ordered file stream reproduces batch q286") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-croston").toFile
