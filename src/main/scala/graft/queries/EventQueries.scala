@@ -1430,7 +1430,119 @@ object EventQueries {
              [len(yb) + 1] AS dtw
       FROM pairs ORDER BY ta, tb"""))
 
+  // --------------------------------------------------------------- q301
+
+  /** q301 — Holt-Winters additive seasonal smoothing (α=0.5 β=0.3
+    * γ=0.3, weekly period) over each event_type's daily volume: q201's
+    * level+trend forecaster plus the 7-slot seasonal state that makes
+    * "is Monday's dip normal?" answerable — the standard seasonal
+    * pipeline-volume monitor.
+    *
+    * Determinism is q201's recipe extended to the seasonal vector:
+    * every recurrence runs on 1e6-scaled longs with the
+    * sign-symmetric round-half-away division (seasonal deviations go
+    * negative), so the whole (level, trend, s[0..6]) state is integer
+    * and the oracle replays the recursion as a RECURSIVE CTE carrying
+    * the seasonal LIST. Slots key on epoch-day mod 7 (Spark and
+    * DuckDB disagree on dayofweek numbering), init is the first-7-row
+    * mean + per-slot deviations (last row wins per slot via max_by,
+    * identical both engines), and the fold starts at row 8.
+    * Scale: parallel ACROSS keys, one task-local fold per series.
+    */
+  val q301 = Q("q301_holt_winters",
+    (s, dir) => {
+      val d = rdiv10(_: String, "DIV")
+      val sOld = "element_at(acc.s, e.slot + 1)"
+      val nlv = d(s"5 * (e.y * 1000000 - $sOld) + 5 * (acc.lv + acc.tr)")
+      val ntr = d(s"3 * ($nlv - acc.lv) + 7 * acc.tr")
+      val snew = d(s"3 * (e.y * 1000000 - $nlv) + 7 * $sOld")
+      val hw = s"""
+        aggregate(
+          ys,
+          named_struct('lv', lv0, 'tr', CAST(0 AS BIGINT), 's', s0,
+            'out', CAST(array() AS ARRAY<STRUCT<day: DATE, y: BIGINT, lv: BIGINT,
+                                               tr: BIGINT, su: BIGINT, err: BIGINT>>)),
+          (acc, e) -> named_struct(
+            'lv', $nlv, 'tr', $ntr,
+            's', transform(sequence(1, 7),
+                   k -> IF(k = e.slot + 1, $snew, element_at(acc.s, k))),
+            'out', concat(acc.out, array(named_struct(
+              'day', e.day, 'y', e.y, 'lv', $nlv, 'tr', $ntr, 'su', $sOld,
+              'err', e.y * 1000000 - (acc.lv + acc.tr + $sOld))))),
+          acc -> acc.out)"""
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("slot",
+          expr("CAST(datediff(day, DATE '1970-01-01') % 7 AS INT)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")))
+        .localCheckpoint(false) // init rows + fold rows
+      val lv0 = daily.filter(col("rn") <= 7).groupBy("event_type")
+        .agg(expr("CAST((2 * sum(y) * 1000000 + 7) DIV 14 AS BIGINT)").as("lv0"))
+      val init = daily.filter(col("rn") <= 7)
+        .groupBy("event_type", "slot").agg(expr("max_by(y, rn)").as("yy"))
+        .join(lv0, Seq("event_type"))
+        .groupBy(col("event_type"), col("lv0"))
+        .agg(array((0 to 6).map(k =>
+          coalesce(max(when(col("slot") === k, col("yy"))) * 1000000L - col("lv0"),
+            lit(0L))): _*).as("s0"))
+      val folded = daily.filter(col("rn") >= 8)
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("y"), col("slot")))).as("ys"))
+        .join(init, Seq("event_type"))
+        .select(col("event_type"), explode(expr(hw)).as("r"))
+      folded.select(col("event_type"), col("r.day").as("day"), col("r.y").as("y"),
+          col("r.lv").as("level_micro"), col("r.tr").as("trend_micro"),
+          col("r.su").as("seasonal_micro"), col("r.err").as("err_micro"))
+        .orderBy("event_type", "day")
+    },
+    Some {
+      val d = rdiv10(_: String, "//")
+      val sOld = "h.s[x.slot + 1]"
+      val nlv = d(s"5 * (x.y * 1000000 - $sOld) + 5 * (h.lv + h.tr)")
+      val ntr = d(s"3 * ($nlv - h.lv) + 7 * h.tr")
+      val snew = d(s"3 * (x.y * 1000000 - $nlv) + 7 * $sOld")
+      val sInit = (0 to 6).map(k =>
+        s"coalesce(max(CASE WHEN slot = $k THEN yy END) * 1000000 - lv.lv0, 0)")
+        .mkString("[", ",\n           ", "]")
+      s"""
+      WITH RECURSIVE
+      daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2),
+      ix AS (SELECT event_type, day, y,
+                    CAST((day - DATE '1970-01-01') % 7 AS INTEGER) AS slot,
+                    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+             FROM daily),
+      lv AS (SELECT event_type,
+                    CAST((2 * CAST(sum(y) AS BIGINT) * 1000000 + 7) // 14 AS BIGINT) AS lv0
+             FROM ix WHERE rn <= 7 GROUP BY 1),
+      sm AS (SELECT event_type, slot, max_by(y, rn) AS yy
+             FROM ix WHERE rn <= 7 GROUP BY 1, 2),
+      init AS (SELECT lv.event_type, lv.lv0,
+          $sInit AS s0
+        FROM sm JOIN lv ON sm.event_type = lv.event_type
+        GROUP BY lv.event_type, lv.lv0),
+      h(event_type, rn, day, y, lv, tr, s, su, err) AS (
+        SELECT event_type, 7, CAST(NULL AS DATE), CAST(NULL AS BIGINT),
+               lv0, CAST(0 AS BIGINT), s0,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        FROM init
+        UNION ALL
+        SELECT x.event_type, x.rn, x.day, x.y,
+               $nlv, $ntr,
+               list_transform(range(1, 8),
+                 k -> CASE WHEN k = x.slot + 1 THEN $snew ELSE h.s[k] END),
+               $sOld,
+               x.y * 1000000 - (h.lv + h.tr + $sOld)
+        FROM h JOIN ix x ON x.event_type = h.event_type AND x.rn = h.rn + 1)
+      SELECT event_type, day, y, lv AS level_micro, tr AS trend_micro,
+             su AS seasonal_micro, err AS err_micro
+      FROM h WHERE rn >= 8 ORDER BY event_type, day"""
+    })
+
   val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201, q205,
     q206, q208, q212, q213, q215, q219, q220, q227, q228, q229, q233, q235, q236,
-    q293, q294)
+    q293, q294, q301)
 }
