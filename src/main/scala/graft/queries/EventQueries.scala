@@ -1542,7 +1542,109 @@ object EventQueries {
       FROM h WHERE rn >= 8 ORDER BY event_type, day"""
     })
 
+  /** 4×4 determinant as the explicit 24-term permutation expansion over
+    * named entries — `ent(i, j)` supplies the entry text, `bigCast`
+    * wraps each term's first factor so products ride DECIMAL/HUGEINT
+    * (entry magnitudes ~1e5 ⇒ 4-products ~1e21, past BIGINT). Shared
+    * by the Spark plan and the DuckDB oracle so both engines evaluate
+    * the IDENTICAL integer polynomial.
+    */
+  private def det4(ent: (Int, Int) => String, bigCast: String => String): String = {
+    val perms = Seq(1, 2, 3, 4).permutations.toSeq
+    def sign(p: Seq[Int]): Int = {
+      var s = 1
+      for (i <- p.indices; j <- i + 1 until p.length; if p(i) > p(j)) s = -s
+      s
+    }
+    perms.map { p =>
+      val term = (1 to 4).map(i => if (i == 1) bigCast(ent(1, p(0)))
+        else ent(i, p(i - 1))).mkString(" * ")
+      (if (sign(p) > 0) " + " else " - ") + s"($term)"
+    }.mkString("(", "", ")")
+  }
+
+  // --------------------------------------------------------------- q302
+
+  /** q302 — absorbing-Markov expected steps to conversion: model the
+    * four browsing states (click/error/signup/view) as transient and
+    * purchase as absorbing; from the per-user consecutive-event
+    * transition counts, the expected number of steps to absorption
+    * from state i solves (diag(r) − C)·t = r — the fundamental-matrix
+    * answer ("how many more events until this user buys?") that q208's
+    * raw transition matrix only hints at.
+    *
+    * EXACT, no iteration and no float inverse: clearing Q = C/r row
+    * denominators makes M = diag(r) − C an INTEGER matrix, Cramer's
+    * rule gives t_i = det(M_i)/det(M) as ratios of exact integer
+    * 4×4 determinants (24-term expansion, DECIMAL/HUGEINT products,
+    * generated from ONE Scala helper for both engines), and the
+    * 6-dp output rounds via (2a+d) div 2d. The distributed part is
+    * one lead-window pass for pairs + a 25-cell rollup; the algebra
+    * is a 1-row computation.
+    */
+  val q302 = Q("q302_absorbing_markov",
+    (s, dir) => {
+      val states = Seq("click", "error", "signup", "view")
+      val pairs = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(
+            Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+            .as("dst"))
+        .filter(col("dst").isNotNull && col("src").isin(states: _*))
+      val cells = pairs.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      def cOf(i: Int, j: Int) =
+        s"coalesce(max(CASE WHEN src = '${states(i - 1)}' AND dst = '${states(j - 1)}' THEN c END), 0)"
+      def rOf(i: Int) = s"sum(CASE WHEN src = '${states(i - 1)}' THEN c ELSE 0 END)"
+      val wide = cells.selectExpr(
+        ((for (i <- 1 to 4; j <- 1 to 4) yield s"CAST(${cOf(i, j)} AS BIGINT) AS c$i$j")
+          ++ (1 to 4).map(i => s"CAST(${rOf(i)} AS BIGINT) AS r$i")): _*)
+      def m(i: Int, j: Int) = if (i == j) s"(r$i - c$i$j)" else s"(0 - c$i$j)"
+      def mi(k: Int)(i: Int, j: Int) = if (j == k) s"r$i" else m(i, j)
+      val cast = (x: String) => s"CAST($x AS DECIMAL(38,0))"
+      val detM = det4(m, cast)
+      val exprs = (1 to 4).map { k =>
+        val dk = det4(mi(k), cast)
+        s"""round(CAST(CAST((2 * $dk * 1000000 + $detM) div (2 * $detM) AS BIGINT)
+            AS DOUBLE) / 1e6, 6) AS steps_${states(k - 1)}"""
+      }
+      wide.selectExpr((Seq("r1 + r2 + r3 + r4 AS n_transitions") ++ exprs): _*)
+    },
+    Some {
+      val states = Seq("click", "error", "signup", "view")
+      def cOf(i: Int, j: Int) =
+        s"coalesce(max(CASE WHEN src = '${states(i - 1)}' AND dst = '${states(j - 1)}' THEN c END), 0)"
+      def rOf(i: Int) = s"sum(CASE WHEN src = '${states(i - 1)}' THEN c ELSE 0 END)"
+      def m(i: Int, j: Int) = if (i == j) s"(r$i - c$i$j)" else s"(0 - c$i$j)"
+      def mi(k: Int)(i: Int, j: Int) = if (j == k) s"r$i" else m(i, j)
+      val cast = (x: String) => s"CAST($x AS HUGEINT)"
+      val detM = det4(m, cast)
+      val sel = (1 to 4).map { k =>
+        val dk = det4(mi(k), cast)
+        s"""round(CAST(CAST((2 * $dk * 1000000 + $detM) // (2 * $detM) AS BIGINT)
+            AS DOUBLE) / 1e6, 6) AS steps_${states(k - 1)}"""
+      }.mkString(",\n             ")
+      val ccols = (for (i <- 1 to 4; j <- 1 to 4)
+        yield s"CAST(${cOf(i, j)} AS BIGINT) AS c$i$j").mkString(",\n               ")
+      val rcols = (1 to 4).map(i => s"CAST(${rOf(i)} AS BIGINT) AS r$i")
+        .mkString(",\n               ")
+      s"""
+      WITH p AS (SELECT user_id, event_type AS src,
+                        lead(event_type, 1) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS dst
+                 FROM events),
+      cells AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+                FROM p WHERE dst IS NOT NULL
+                  AND src IN ('click', 'error', 'signup', 'view')
+                GROUP BY 1, 2),
+      wide AS (SELECT $ccols,
+               $rcols
+               FROM cells)
+      SELECT r1 + r2 + r3 + r4 AS n_transitions,
+             $sel
+      FROM wide"""
+    })
+
   val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201, q205,
     q206, q208, q212, q213, q215, q219, q220, q227, q228, q229, q233, q235, q236,
-    q293, q294, q301)
+    q293, q294, q301, q302)
 }
