@@ -952,6 +952,163 @@ object TrainQueries {
                AS u2_nano
       FROM m ORDER BY u LIMIT 20"""))
 
+  // --------------------------------------------------------------- q303
+
+  /** q303 — deterministic negative sampling for recommender / embedding
+    * training: for every (customer, brand) purchase pair (sampled
+    * users), emit up to 3 NEGATIVE brands the customer did not buy —
+    * drawn by a seeded hash sequence with rejection (8 deterministic
+    * candidates, anti-join the positives, keep the first 3 by draw
+    * index). The word2vec/BPR data-prep step, reproducible across
+    * engines, re-runs and repartitioning — which `rand()` negatives
+    * never are.
+    *
+    * Shapes: positives are one distinct rollup; candidate fan-out is
+    * a bounded ×8 explode; the rejection is one anti-join keyed on
+    * (customer, brand); survivors rank in a per-positive window.
+    * Everything is hash-derived integers — no randomness, no floats.
+    */
+  val q303 = Q("q303_negative_sampling",
+    (s, dir) => {
+      val brands = Tables.load(s, dir, "part")
+        .select(col("p_brand")).distinct()
+        .groupBy().agg(sort_array(collect_list(col("p_brand"))).as("bl"))
+      val pos = Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("p_brand")).distinct()
+        .localCheckpoint(false) // sampled fan-out + the rejection anti-join
+      val cand = pos.filter(pmod(col("u"), lit(97)) === 0)
+        .crossJoin(broadcast(brands))
+        .select(col("u"), col("p_brand"), col("bl"),
+          explode(expr("sequence(0, 7)")).as("i"))
+        .select(col("u"), col("p_brand").as("pos_brand"), col("i"),
+          expr("""element_at(bl, CAST(
+              CAST(conv(substr(md5(concat('neg|', CAST(u AS STRING), '|', p_brand,
+                '|', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)
+              % size(bl) + 1 AS INT))""").as("neg_brand"))
+      cand
+        .join(pos.select(col("u"), col("p_brand").as("neg_brand"))
+          .withColumn("_hit", lit(1)), Seq("u", "neg_brand"), "left_anti")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("u", "pos_brand").orderBy("i")))
+        .filter(col("rk") <= 3)
+        .select(col("u").as("c_custkey"), col("pos_brand"), col("rk"),
+          col("neg_brand"))
+        .orderBy("c_custkey", "pos_brand", "rk")
+    },
+    Some("""
+      WITH brands AS (SELECT list_sort(list(DISTINCT p_brand)) AS bl FROM part),
+      pos AS (SELECT DISTINCT o_custkey AS u, p_brand
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey),
+      cand AS (SELECT u, p_brand AS pos_brand, i.range AS i,
+                      bl[CAST(CAST(concat('0x', substr(md5(concat('neg|',
+                          CAST(u AS VARCHAR), '|', p_brand, '|',
+                          CAST(i.range AS VARCHAR))), 1, 15)) AS BIGINT)
+                        % len(bl) + 1 AS INTEGER)] AS neg_brand
+               FROM pos CROSS JOIN brands, range(8) i
+               WHERE u % 97 = 0),
+      kept AS (SELECT cand.*,
+                      row_number() OVER (PARTITION BY u, pos_brand ORDER BY i) AS rk
+               FROM cand
+               WHERE NOT EXISTS (SELECT 1 FROM pos p2
+                                 WHERE p2.u = cand.u
+                                   AND p2.p_brand = cand.neg_brand))
+      SELECT u AS c_custkey, pos_brand, rk, neg_brand
+      FROM kept WHERE rk <= 3
+      ORDER BY c_custkey, pos_brand, rk"""))
+
+  // --------------------------------------------------------------- q304
+
+  /** q304 — Qini curve for uplift evaluation: with a hash-assigned
+    * "campaign" flag over customers (the deterministic stand-in for
+    * the experiment split) and conversion = placed an urgent order,
+    * rank customers by an account-balance-decile targeting score and
+    * report, per decile prefix, the incremental conversions
+    * Qini(k) = conv_T(k) − conv_C(k)·N_T(k)/N_C(k) — the standard
+    * "who should we target" evaluation where q259's gains curve
+    * ignores the control arm entirely.
+    *
+    * Counts are exact longs per (decile, arm) cell; prefix sums ride
+    * a 10-row bounded window; the one ratio rounds via the exact
+    * (2a+d) div 2d recipe.
+    */
+  val q304 = Q("q304_qini_uplift",
+    (s, dir) => {
+      val conv = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("u")).distinct()
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("u"),
+          pmod(graft.functions.Hashing.hash64(
+            concat(lit("arm|"), col("c_custkey").cast("string"))), lit(2)).as("t"),
+          expr("least(9, greatest(0, CAST(floor(c_acctbal / 1200.0) AS INT)))")
+            .as("decile"))
+        .join(conv.withColumn("_c", lit(1L)), Seq("u"), "left")
+        .select(col("u"), col("t"), col("decile"),
+          coalesce(col("_c"), lit(0L)).as("y"))
+      val cells = base.groupBy("decile").agg(
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("t") === 1, col("y")).otherwise(0L)).as("ct"),
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("t") === 0, col("y")).otherwise(0L)).as("cc"))
+      val w = Window.orderBy(desc("decile")).rowsBetween(Window.unboundedPreceding, 0)
+      cells
+        .withColumn("cnt", sum("nt").over(w)).withColumn("cct", sum("ct").over(w))
+        .withColumn("cnc", sum("nc").over(w)).withColumn("ccc", sum("cc").over(w))
+        .select(col("decile"), col("cnt").as("n_treated"), col("cct").as("conv_treated"),
+          col("cnc").as("n_control"), col("ccc").as("conv_control"),
+          // a can be negative and Spark div truncates where DuckDB //
+          // floors — round |a| with non-negative operands, reapply sign
+          round(expr("""CAST(CASE WHEN cct * cnc - ccc * cnt < 0
+                        THEN -((2 * (ccc * cnt - cct * cnc) * 1000000 + cnc)
+                               div (2 * cnc))
+                        ELSE ((2 * (cct * cnc - ccc * cnt) * 1000000 + cnc)
+                              div (2 * cnc)) END AS BIGINT)""").cast("double") / 1e6, 6)
+            .as("qini"))
+        .orderBy(desc("decile"))
+    },
+    Some("""
+      WITH conv AS (SELECT DISTINCT o_custkey AS u FROM orders
+                    WHERE o_orderpriority = '1-URGENT'),
+      base AS (SELECT c_custkey AS u,
+                      CAST(concat('0x', substr(md5(concat('arm|',
+                        CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 2 AS t,
+                      least(9, greatest(0, CAST(floor(c_acctbal / 1200.0) AS INTEGER)))
+                        AS decile,
+                      CASE WHEN conv.u IS NOT NULL THEN 1 ELSE 0 END AS y
+               FROM customer LEFT JOIN conv ON c_custkey = conv.u),
+      cells AS (SELECT decile,
+                       CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                       CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS ct,
+                       CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                       CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS cc
+                FROM base GROUP BY 1),
+      cum AS (SELECT decile,
+                     sum(nt) OVER (ORDER BY decile DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt,
+                     sum(ct) OVER (ORDER BY decile DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cct,
+                     sum(nc) OVER (ORDER BY decile DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnc,
+                     sum(cc) OVER (ORDER BY decile DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccc
+              FROM cells)
+      SELECT decile, CAST(cnt AS BIGINT) AS n_treated,
+             CAST(cct AS BIGINT) AS conv_treated,
+             CAST(cnc AS BIGINT) AS n_control,
+             CAST(ccc AS BIGINT) AS conv_control,
+             round(CAST(CAST(CASE WHEN cct * cnc - ccc * cnt < 0
+                   THEN -((2 * (ccc * cnt - cct * cnc) * 1000000 + cnc)
+                          // (2 * cnc))
+                   ELSE ((2 * (cct * cnc - ccc * cnt) * 1000000 + cnc)
+                         // (2 * cnc)) END AS BIGINT) AS DOUBLE) / 1e6, 6) AS qini
+      FROM cum ORDER BY decile DESC"""))
+
   val all: Seq[Q] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q184, q300)
+    q88, q89, q90, q91, q184, q300, q303, q304)
 }
