@@ -1109,6 +1109,104 @@ object TrainQueries {
                          // (2 * cnc)) END AS BIGINT) AS DOUBLE) / 1e6, 6) AS qini
       FROM cum ORDER BY decile DESC"""))
 
+  // --------------------------------------------------------------- q305
+
+  /** q305 — propensity-style nearest-neighbor matching (with
+    * replacement) + ATT estimate: treated = BUILDING-segment
+    * customers, controls = everyone else, matching covariate =
+    * account balance (exact cents), outcome = total order spend.
+    * Each treated customer takes the closest control by |Δbalance|
+    * (ties → smaller control id); ATT = mean(outcome_t −
+    * outcome_match) — the workhorse observational-causal estimator
+    * the audit queries (q265/q269) stop short of.
+    *
+    * Scale shape: NOT a sorted global merge — balances bucket into
+    * $100 bands and each treated row joins only its 3 adjacent bands
+    * (bounded fan-out, one equi-join shuffle); the exact argmin rides
+    * a min(struct) aggregate, so the match is deterministic. A
+    * treated row whose 3-band window holds no control reports
+    * unmatched. Outcome sums are exact cents; ATT rounds via the
+    * sign-symmetric (2a+d) div 2d recipe.
+    */
+  val q305 = Q("q305_propensity_match",
+    (s, dir) => {
+      val spend = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("u"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("u"),
+          when(col("c_mktsegment") === "BUILDING", 1).otherwise(0).as("t"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("sc"))
+        .join(spend, Seq("u"), "left")
+        .select(col("u"), col("t"), col("sc"), coalesce(col("y"), lit(0L)).as("y"))
+        .localCheckpoint(false) // treated fan-out + control band table
+      // buckets on (sc + 1e6) so the operand is non-negative — DIV and
+      // DuckDB's // disagree on negative balances otherwise
+      val controls = base.filter(col("t") === 0)
+        .select(expr("(sc + 1000000) DIV 10000").as("b"),
+          col("u").as("cu"), col("sc").as("csc"), col("y").as("cy"))
+      val matched = base.filter(col("t") === 1)
+        .select(col("u"), col("sc"), col("y"),
+          explode(expr("array((sc + 1000000) DIV 10000 - 1, " +
+            "(sc + 1000000) DIV 10000, (sc + 1000000) DIV 10000 + 1)")).as("b"))
+        .join(controls, Seq("b"))
+        // pack (distance, control id) into one sortable long: argmin is
+        // then a plain min/min_by, deterministic, no struct-ordering
+        // dependence across engines
+        .select(col("u"), col("sc"), col("y"), col("cy"),
+          (abs(col("csc") - col("sc")) * 100000000L + col("cu")).as("ad2"))
+        .groupBy("u", "sc", "y")
+        .agg(expr("min(ad2) DIV 100000000").as("ad"),
+          expr("min_by(cy, ad2)").as("mcy"))
+      val treatedN = base.filter(col("t") === 1).groupBy().agg(count(lit(1)).as("n_treated"))
+      matched.groupBy()
+        .agg(count(lit(1)).as("n_matched"),
+          sum(col("y") - col("mcy")).as("dsum"),
+          sum(col("ad")).as("adsum"))
+        .crossJoin(broadcast(treatedN))
+        .select(col("n_treated"), col("n_matched"),
+          round(expr("""CAST(CASE WHEN dsum < 0
+                THEN -((2 * (-dsum) * 10000 + n_matched) div (2 * n_matched))
+                ELSE ((2 * dsum * 10000 + n_matched) div (2 * n_matched)) END
+                AS BIGINT)""").cast("double") / 1e6, 6).as("att_dollars"),
+          round(expr("CAST((2 * adsum * 10000 + n_matched) div (2 * n_matched) AS BIGINT)")
+            .cast("double") / 1e6, 6).as("mean_match_dist_dollars"))
+    },
+    Some("""
+      WITH spend AS (SELECT o_custkey AS u,
+                            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+                     FROM orders GROUP BY 1),
+      base AS (SELECT c_custkey AS u,
+                      CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS sc,
+                      coalesce(y, 0) AS y
+               FROM customer LEFT JOIN spend ON c_custkey = spend.u),
+      controls AS (SELECT (sc + 1000000) // 10000 AS b, u AS cu,
+                          sc AS csc, y AS cy
+                   FROM base WHERE t = 0),
+      fan AS (SELECT u, sc, y, (sc + 1000000) // 10000 + d.delta AS b
+              FROM base, (VALUES (-1), (0), (1)) d(delta)
+              WHERE t = 1),
+      matched AS (SELECT u, sc, y,
+                         CAST(min(abs(csc - sc) * 100000000 + cu) // 100000000
+                              AS BIGINT) AS ad,
+                         min_by(cy, abs(csc - sc) * 100000000 + cu) AS mcy
+                  FROM fan JOIN controls USING (b)
+                  GROUP BY u, sc, y),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+                     CAST(sum(y - mcy) AS BIGINT) AS dsum,
+                     CAST(sum(ad) AS BIGINT) AS adsum
+              FROM matched),
+      tn AS (SELECT CAST(count(*) AS BIGINT) AS n_treated FROM base WHERE t = 1)
+      SELECT n_treated, n_matched,
+             round(CAST(CAST(CASE WHEN dsum < 0
+                   THEN -((2 * (-dsum) * 10000 + n_matched) // (2 * n_matched))
+                   ELSE ((2 * dsum * 10000 + n_matched) // (2 * n_matched)) END
+                   AS BIGINT) AS DOUBLE) / 1e6, 6) AS att_dollars,
+             round(CAST(CAST((2 * adsum * 10000 + n_matched) // (2 * n_matched)
+                   AS BIGINT) AS DOUBLE) / 1e6, 6) AS mean_match_dist_dollars
+      FROM agg CROSS JOIN tn"""))
+
   val all: Seq[Q] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q184, q300, q303, q304)
+    q88, q89, q90, q91, q184, q300, q303, q304, q305)
 }
