@@ -2296,7 +2296,128 @@ object StatQueries {
       SELECT v AS p_partkey, r AS ppr_pico
       FROM r3 ORDER BY r DESC, v LIMIT 20"""))
 
+  // --------------------------------------------------------------- q306
+
+  /** q306 — sampled-source Brandes betweenness (6-hop horizon) on the
+    * co-purchase part graph: exact shortest-path counts σ by 6
+    * unrolled BFS levels from the q295 seed set, then the backward
+    * dependency accumulation δ(v) = Σ_{w∈succ(v)} σ_v·(1+δ_w)/σ_w —
+    * the bridge-detection centrality (who sits BETWEEN communities)
+    * that degree/PageRank measures miss entirely. Sampling sources is
+    * THE standard scale answer (Brandes-Pich): per-source cost is a
+    * BFS, so the fleet picks k sources, not O(V) of them.
+    *
+    * Exactness: σ is an exact integer (level-frontier sums with
+    * anti-join dedup); δ rides nano-scaled longs with truncating
+    * integer division per EDGE term (operands non-negative, so DIV
+    * and // agree — the division order is part of the statistic's
+    * definition, spelled identically in both engines); DECIMAL/
+    * HUGEINT guards the σ·(1e9+δ) products. Both directions are
+    * fixed 6-step unrolls — no data-dependent driver decisions.
+    */
+  val q306 = Q("q306_betweenness",
+    (s, dir) => {
+      val items = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val p0 = items.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(slice(ids, i + 1, size(ids)),
+                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+      val edges = p0.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionByName(p0.select(col("pb").as("src"), col("pa").as("dst")))
+        .localCheckpoint(false) // 12 traversal joins
+      val seeds = edges.select(col("src").as("v")).distinct()
+        .filter(pmod(col("v"), lit(97)) === 0)
+      // forward: exact shortest-path counts per (source, node, level)
+      var levels = List(seeds.select(col("v").as("s"), col("v"), lit(1L).as("sigma"))
+        .localCheckpoint(false))
+      var visited = levels.head.select("s", "v").localCheckpoint(false)
+      for (_ <- 1 to 6) {
+        val nxt = levels.head.join(edges, col("v") === col("src"))
+          .select(col("s"), col("dst").as("v"), col("sigma"))
+          .join(visited, Seq("s", "v"), "left_anti")
+          .groupBy("s", "v").agg(sum("sigma").as("sigma"))
+          .localCheckpoint(false)
+        levels = nxt :: levels
+        visited = visited.union(nxt.select("s", "v")).localCheckpoint(false)
+      }
+      // backward: dependency accumulation from the deepest level
+      val fwd = levels.reverse.toIndexedSeq // (level 0 .. 6)
+      var deltas = List(fwd(6).withColumn("dw", lit(0L)))
+      for (l <- 5 to 0 by -1) {
+        val nxtLvl = deltas.head.select(col("s"), col("v").as("_w"),
+          col("sigma").as("sw"), col("dw"))
+        val lvl = fwd(l)
+        val dl = lvl
+          .join(edges, col("v") === col("src"), "left")
+          .join(nxtLvl, lvl("s") === nxtLvl("s") && col("dst") === col("_w"), "left")
+          .select(lvl("s").as("s"), col("v"), col("sigma"),
+            expr("""CAST(CAST(sigma AS DECIMAL(38,0)) * (1000000000 + dw)
+                    div sw AS BIGINT)""").as("term"))
+          .groupBy("s", "v", "sigma")
+          .agg(coalesce(sum("term"), lit(0L)).as("dw"))
+          .localCheckpoint(false)
+        deltas = dl :: deltas
+      }
+      // betweenness contribution: levels 1..5 (sources excluded, the
+      // horizon level carries dw = 0 by construction)
+      deltas.drop(1).dropRight(1).map(_.select(col("v"), col("dw")))
+        .reduce(_ unionByName _)
+        .groupBy("v").agg(sum("dw").as("bc_nano"))
+        .orderBy(desc("bc_nano"), col("v"))
+        .limit(20)
+        .select(col("v").as("p_partkey"), col("bc_nano"),
+          round(col("bc_nano").cast("double") / 1e9, 6).as("betweenness"))
+    },
+    Some {
+      val fwd = (1 to 6).map { l =>
+        s"""
+      f$l AS MATERIALIZED (SELECT f${l - 1}.s, e.dst AS v, CAST(sum(f${l - 1}.sigma) AS BIGINT) AS sigma
+              FROM f${l - 1} JOIN e ON f${l - 1}.v = e.src
+              WHERE NOT EXISTS (SELECT 1 FROM v${l - 1} p
+                                WHERE p.s = f${l - 1}.s AND p.v = e.dst)
+              GROUP BY 1, 2),
+      v$l AS MATERIALIZED (SELECT s, v FROM v${l - 1} UNION ALL SELECT s, v FROM f$l)"""
+      }.mkString(",")
+      val bwd = (5 to 0 by -1).map { l =>
+        s"""
+      b$l AS MATERIALIZED (SELECT f$l.s, f$l.v, f$l.sigma,
+                CAST(coalesce(sum(CAST(CAST(f$l.sigma AS HUGEINT)
+                       * (1000000000 + b${l + 1}.dw) // b${l + 1}.sigma AS BIGINT)), 0)
+                     AS BIGINT) AS dw
+              FROM f$l LEFT JOIN e ON f$l.v = e.src
+                       LEFT JOIN b${l + 1} ON b${l + 1}.s = f$l.s
+                                          AND b${l + 1}.v = e.dst
+              GROUP BY 1, 2, 3)"""
+      }.mkString(",")
+      val uni = (1 to 5).map(l => s"SELECT v, dw FROM b$l").mkString("\n             UNION ALL ")
+      s"""
+      WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      p0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+      e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM p0
+            UNION ALL SELECT pb, pa FROM p0),
+      f0 AS MATERIALIZED (SELECT DISTINCT src AS s, src AS v, CAST(1 AS BIGINT) AS sigma
+             FROM e WHERE src % 97 = 0),
+      v0 AS MATERIALIZED (SELECT s, v FROM f0),$fwd,
+      b6 AS (SELECT s, v, sigma, CAST(0 AS BIGINT) AS dw FROM f6),$bwd,
+      bc AS (SELECT v, CAST(sum(dw) AS BIGINT) AS bc_nano
+             FROM ($uni)
+             GROUP BY v)
+      SELECT v AS p_partkey, bc_nano,
+             round(CAST(bc_nano AS DOUBLE) / 1e9, 6) AS betweenness
+      FROM bc ORDER BY bc_nano DESC, v LIMIT 20"""
+    })
+
   val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
     q123, q124, q125, q190, q191, q192, q198, q199, q202, q203, q207, q209, q210,
-    q211, q214, q216, q217, q218, q222, q223, q226, q234, q295)
+    q211, q214, q216, q217, q218, q222, q223, q226, q234, q295, q306)
 }
