@@ -2141,7 +2141,149 @@ object InferQueries {
       FROM b CROSS JOIN t3"""
     })
 
+  // --------------------------------------------------------------- q307
+
+  /** q307 — Fellegi-Sunter record-linkage EM: over nation-blocked
+    * customer pairs compared on three fields (market segment,
+    * $250 balance band, same last-key-digit as a noisy key proxy),
+    * estimate the match-class parameters (prevalence p, per-field
+    * agreement probabilities m_k among matches, u_k among
+    * non-matches) by 3 EM iterations — the 1969 theory underneath
+    * every production entity-resolution scorer, turning q253/q262's
+    * ad-hoc similarity thresholds into calibrated match weights.
+    *
+    * The entire EM state lives on the 2³-row agreement-pattern
+    * rollup (pattern counts are exact longs from ONE blocked
+    * pair-enumeration pass — q245's combination shape, never
+    * all-pairs); responsibilities are pure products of nano-quantized
+    * probabilities (no transcendentals at all), the M-step runs
+    * in-plan (q299's discipline), and 7 nano-longs cross the driver
+    * per iteration. The oracle unrolls the same three E/M passes.
+    */
+  val q307 = Q("q307_linkage_em",
+    (s, dir) => {
+      val pats = Tables.load(s, dir, "customer")
+        .select(col("c_nationkey").as("blk"), col("c_custkey").as("id"),
+          col("c_mktsegment").as("f1"),
+          expr("CAST(floor(c_acctbal / 250.0) AS BIGINT)").as("f2"),
+          expr("c_custkey % 10").as("f3"))
+        .groupBy("blk")
+        .agg(sort_array(collect_list(struct(col("id"), col("f1"), col("f2"), col("f3"))))
+          .as("xs"))
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(xs) - 1),
+             i -> transform(slice(xs, i + 1, size(xs)),
+                  b -> struct(
+                    IF(element_at(xs, i).f1 = b.f1, 1, 0) AS a1,
+                    IF(element_at(xs, i).f2 = b.f2, 1, 0) AS a2,
+                    IF(element_at(xs, i).f3 = b.f3, 1, 0) AS a3))))""")).as("g"))
+        .groupBy(col("g.a1").as("a1"), col("g.a2").as("a2"), col("g.a3").as("a3"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // 3 EM passes + the final scoring pass
+      def lik(pn: Long, m: Seq[Long], u: Seq[Long]) = {
+        def f(k: Int, v: Seq[Long]) =
+          s"(CAST(a$k AS DOUBLE) * (CAST(${v(k - 1)} AS DOUBLE) / 1e9) " +
+            s"+ CAST(1 - a$k AS DOUBLE) * (1.0 - CAST(${v(k - 1)} AS DOUBLE) / 1e9))"
+        val pm = s"(CAST($pn AS DOUBLE) / 1e9 * ${f(1, m)} * ${f(2, m)} * ${f(3, m)})"
+        val pu = s"((1.0 - CAST($pn AS DOUBLE) / 1e9) * ${f(1, u)} * ${f(2, u)} * ${f(3, u)})"
+        s"CAST(round(1e9 * ($pm / ($pm + $pu))) AS BIGINT)"
+      }
+      def estep(pn: Long, m: Seq[Long], u: Seq[Long]) = {
+        val w = lik(pn, m, u)
+        Seq(
+          "CAST(sum(n) AS BIGINT) AS nt",
+          s"CAST(sum(n * $w) AS BIGINT) AS sw",
+          s"CAST(sum(n * a1 * $w) AS BIGINT) AS sw1",
+          s"CAST(sum(n * a2 * $w) AS BIGINT) AS sw2",
+          s"CAST(sum(n * a3 * $w) AS BIGINT) AS sw3",
+          s"CAST(sum(n * a1 * (1000000000 - $w)) AS BIGINT) AS su1",
+          s"CAST(sum(n * a2 * (1000000000 - $w)) AS BIGINT) AS su2",
+          s"CAST(sum(n * a3 * (1000000000 - $w)) AS BIGINT) AS su3")
+      }
+      val mstep = Seq(
+        "CAST(round(1e9 * (CAST(sw AS DOUBLE) / CAST(nt AS DOUBLE) / 1e9)) AS BIGINT) AS p",
+        "CAST(round(1e9 * (CAST(sw1 AS DOUBLE) / CAST(sw AS DOUBLE))) AS BIGINT) AS m1",
+        "CAST(round(1e9 * (CAST(sw2 AS DOUBLE) / CAST(sw AS DOUBLE))) AS BIGINT) AS m2",
+        "CAST(round(1e9 * (CAST(sw3 AS DOUBLE) / CAST(sw AS DOUBLE))) AS BIGINT) AS m3",
+        "CAST(round(1e9 * (CAST(su1 AS DOUBLE) / CAST(nt * 1000000000 - sw AS DOUBLE))) AS BIGINT) AS u1",
+        "CAST(round(1e9 * (CAST(su2 AS DOUBLE) / CAST(nt * 1000000000 - sw AS DOUBLE))) AS BIGINT) AS u2",
+        "CAST(round(1e9 * (CAST(su3 AS DOUBLE) / CAST(nt * 1000000000 - sw AS DOUBLE))) AS BIGINT) AS u3")
+      var p = 100000000L // 0.1
+      var m = Seq(900000000L, 900000000L, 900000000L)
+      var u = Seq(500000000L, 500000000L, 500000000L)
+      for (_ <- 1 to 3) {
+        val r = pats.selectExpr(estep(p, m, u): _*).selectExpr(mstep: _*).collect()(0)
+        p = r.getLong(0)
+        m = Seq(r.getLong(1), r.getLong(2), r.getLong(3))
+        u = Seq(r.getLong(4), r.getLong(5), r.getLong(6))
+      }
+      pats.select(col("a1"), col("a2"), col("a3"), col("n"),
+          expr(lik(p, m, u)).as("w_nano"))
+        .crossJoin(broadcast(pats.selectExpr(
+          (Seq(s"CAST($p AS BIGINT) AS p_nano") ++
+            (1 to 3).map(k => s"CAST(${m(k - 1)} AS BIGINT) AS m$k") ++
+            (1 to 3).map(k => s"CAST(${u(k - 1)} AS BIGINT) AS u$k")): _*).limit(1)))
+        .orderBy("a1", "a2", "a3")
+    },
+    Some {
+      def f(k: Int, v: String) =
+        s"(CAST(a$k AS DOUBLE) * (CAST($v$k AS DOUBLE) / 1e9) " +
+          s"+ CAST(1 - a$k AS DOUBLE) * (1.0 - CAST($v$k AS DOUBLE) / 1e9))"
+      val pm = s"(CAST(p AS DOUBLE) / 1e9 * ${f(1, "m")} * ${f(2, "m")} * ${f(3, "m")})"
+      val pu = s"((1.0 - CAST(p AS DOUBLE) / 1e9) * ${f(1, "u")} * ${f(2, "u")} * ${f(3, "u")})"
+      val w = s"CAST(round(1e9 * ($pm / ($pm + $pu))) AS BIGINT)"
+      def aCte(name: String, from: String) = s"""
+      $name AS (SELECT
+        CAST(sum(n) AS BIGINT) AS nt,
+        CAST(sum(n * $w) AS BIGINT) AS sw,
+        CAST(sum(n * a1 * $w) AS BIGINT) AS sw1,
+        CAST(sum(n * a2 * $w) AS BIGINT) AS sw2,
+        CAST(sum(n * a3 * $w) AS BIGINT) AS sw3,
+        CAST(sum(n * a1 * (1000000000 - $w)) AS BIGINT) AS su1,
+        CAST(sum(n * a2 * (1000000000 - $w)) AS BIGINT) AS su2,
+        CAST(sum(n * a3 * (1000000000 - $w)) AS BIGINT) AS su3
+        FROM $from)"""
+      def tCte(name: String, a: String) = s"""
+      $name AS (SELECT
+        CAST(round(1e9 * (CAST(sw AS DOUBLE) / CAST(nt AS DOUBLE) / 1e9)) AS BIGINT) AS p,
+        CAST(round(1e9 * (CAST(sw1 AS DOUBLE) / CAST(sw AS DOUBLE))) AS BIGINT) AS m1,
+        CAST(round(1e9 * (CAST(sw2 AS DOUBLE) / CAST(sw AS DOUBLE))) AS BIGINT) AS m2,
+        CAST(round(1e9 * (CAST(sw3 AS DOUBLE) / CAST(sw AS DOUBLE))) AS BIGINT) AS m3,
+        CAST(round(1e9 * (CAST(su1 AS DOUBLE) / CAST(nt * 1000000000 - sw AS DOUBLE))) AS BIGINT) AS u1,
+        CAST(round(1e9 * (CAST(su2 AS DOUBLE) / CAST(nt * 1000000000 - sw AS DOUBLE))) AS BIGINT) AS u2,
+        CAST(round(1e9 * (CAST(su3 AS DOUBLE) / CAST(nt * 1000000000 - sw AS DOUBLE))) AS BIGINT) AS u3
+        FROM $a)"""
+      s"""
+      WITH c AS (SELECT c_nationkey AS blk, c_custkey AS id,
+                        c_mktsegment AS f1,
+                        CAST(floor(c_acctbal / 250.0) AS BIGINT) AS f2,
+                        c_custkey % 10 AS f3
+                 FROM customer),
+      pats AS MATERIALIZED (
+        SELECT CASE WHEN a.f1 = b.f1 THEN 1 ELSE 0 END AS a1,
+               CASE WHEN a.f2 = b.f2 THEN 1 ELSE 0 END AS a2,
+               CASE WHEN a.f3 = b.f3 THEN 1 ELSE 0 END AS a3,
+               CAST(count(*) AS BIGINT) AS n
+        FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        GROUP BY 1, 2, 3),
+      t0 AS (SELECT CAST(100000000 AS BIGINT) AS p,
+                    CAST(900000000 AS BIGINT) AS m1, CAST(900000000 AS BIGINT) AS m2,
+                    CAST(900000000 AS BIGINT) AS m3,
+                    CAST(500000000 AS BIGINT) AS u1, CAST(500000000 AS BIGINT) AS u2,
+                    CAST(500000000 AS BIGINT) AS u3),
+      ${aCte("a1c", "pats CROSS JOIN t0")},
+      ${tCte("t1", "a1c")},
+      ${aCte("a2c", "pats CROSS JOIN t1")},
+      ${tCte("t2", "a2c")},
+      ${aCte("a3c", "pats CROSS JOIN t2")},
+      ${tCte("t3", "a3c")}
+      SELECT a1, a2, a3, n, $w AS w_nano,
+             p AS p_nano, m1, m2, m3, u1, u2, u3
+      FROM pats CROSS JOIN t3
+      ORDER BY a1, a2, a3"""
+    })
+
   val all: Seq[Q] = Seq(q237, q238, q239, q240, q241, q242, q243, q244,
     q254, q255, q256, q257, q258, q259, q275, q276, q277, q278,
-    q280, q281, q282, q289, q290, q291, q292, q298, q299)
+    q280, q281, q282, q289, q290, q291, q292, q298, q299, q307)
 }
