@@ -2069,7 +2069,165 @@ object AnalyticsQueries {
                  JOIN sym c ON c.day = a.day + 2
       GROUP BY 1 ORDER BY cnt DESC, motif LIMIT 5"""))
 
+  // --------------------------------------------------------------- q309
+
+  /** q309 — t-closeness audit (Li/Li/Venkatasubramanian 2007), the
+    * step past k-anonymity (q124) and l-diversity (q285): a
+    * quasi-identifier group leaks when the DISTRIBUTION of its
+    * sensitive attribute strays from the global one, measured by the
+    * Earth Mover's Distance over the ordered sensitive domain. For an
+    * ordinal attribute with m values and unit spacing, EMD is the
+    * mean absolute gap between the group and global CDFs:
+    * t = Σ_{i<m-1} |F_g(i) − F(i)| / (m−1).
+    *
+    * Exactness: CDF gaps are cross-multiplied counts —
+    * |cum_g(i)·N − cum(i)·n_g| in DECIMAL(38,0)/HUGEINT — summed
+    * exactly, then nano-quantized with ONE truncating division by
+    * n_g·N·(m−1) (all operands non-negative, so Spark DIV and DuckDB
+    * // agree). Scale shape: two linear grouped passes (group×value
+    * cells, global values), a groups×4-threshold densify so absent
+    * cells still contribute their full CDF gap, and the 4-row global
+    * CDF rides a broadcast — no window touches fact-scale data.
+    */
+  val q309 = Q("q309_t_closeness",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          expr("CAST(floor(c_acctbal / 1000.0) AS INT)").as("band"),
+          expr("CAST(c_nationkey % 5 AS INT)").as("v"))
+      val tot = c.groupBy().agg(count(lit(1)).as("ntot"))
+      val grp = c.groupBy("seg", "band").agg(count(lit(1)).as("ng"))
+      val gcum = c.groupBy("v").agg(count(lit(1)).as("gcnt"))
+        .filter(col("v") <= 3)
+        .select(explode(expr("sequence(v, 3)")).as("i"), col("gcnt"))
+        .groupBy("i").agg(sum("gcnt").as("gcum"))
+      val cum = c.filter(col("v") <= 3)
+        .groupBy("seg", "band", "v").agg(count(lit(1)).as("cnt"))
+        .select(col("seg"), col("band"), explode(expr("sequence(v, 3)")).as("i"), col("cnt"))
+        .groupBy("seg", "band", "i").agg(sum("cnt").as("cumg"))
+      grp.select(col("seg"), col("band"), col("ng"),
+          explode(expr("sequence(0, 3)")).as("i"))
+        .join(cum, Seq("seg", "band", "i"), "left")
+        .join(broadcast(gcum), Seq("i"))
+        .crossJoin(broadcast(tot))
+        .select(col("seg"), col("band"), col("ng"), col("ntot"),
+          expr("""abs(CAST(coalesce(cumg, 0) AS DECIMAL(38,0)) * ntot
+                  - CAST(gcum AS DECIMAL(38,0)) * ng)""").as("term"))
+        .groupBy("seg", "band", "ng", "ntot")
+        .agg(sum("term").as("tsum"))
+        .select(col("seg"), col("band"), col("ng"),
+          expr("""CAST((tsum * 1000000000)
+                  div (CAST(ng AS DECIMAL(38,0)) * ntot * 4) AS BIGINT)""").as("t_nano"))
+        .orderBy(desc("t_nano"), col("seg"), col("band"))
+        .limit(15)
+    },
+    Some("""
+      WITH c AS (SELECT c_mktsegment AS seg,
+                        CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS band,
+                        CAST(c_nationkey % 5 AS INTEGER) AS v
+                 FROM customer),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM c),
+      grp AS (SELECT seg, band, CAST(count(*) AS BIGINT) AS ng FROM c GROUP BY 1, 2),
+      gd AS (SELECT v, CAST(count(*) AS BIGINT) AS gcnt FROM c GROUP BY 1),
+      gcum AS (SELECT i.range AS i, CAST(sum(gcnt) AS BIGINT) AS gcum
+               FROM range(4) i JOIN gd ON gd.v <= i.range GROUP BY 1),
+      cg AS (SELECT seg, band, v, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2, 3),
+      cum AS (SELECT grp.seg, grp.band, i.range AS i,
+                     CAST(coalesce(sum(cg.cnt), 0) AS BIGINT) AS cumg
+              FROM grp CROSS JOIN range(4) i
+                   LEFT JOIN cg ON cg.seg = grp.seg AND cg.band = grp.band
+                                AND cg.v <= i.range
+              GROUP BY 1, 2, 3),
+      terms AS (SELECT cum.seg, cum.band, grp.ng, t.ntot,
+                       abs(CAST(cum.cumg AS HUGEINT) * t.ntot
+                           - CAST(gcum.gcum AS HUGEINT) * grp.ng) AS term
+                FROM cum
+                     JOIN gcum ON cum.i = gcum.i
+                     JOIN grp ON grp.seg = cum.seg AND grp.band = cum.band
+                     CROSS JOIN tot t)
+      SELECT seg, band, ng,
+             CAST((sum(term) * 1000000000)
+                  // (CAST(ng AS HUGEINT) * ntot * 4) AS BIGINT) AS t_nano
+      FROM terms
+      GROUP BY seg, band, ng, ntot
+      ORDER BY t_nano DESC, seg, band
+      LIMIT 15"""))
+
+  // --------------------------------------------------------------- q312
+
+  /** q312 — equalized-odds audit: per market segment, the TPR and FPR
+    * of a fixed spend-threshold classifier against the urgency label,
+    * plus the fleet-wide max−min gap on each rate — the group-fairness
+    * criterion (Hardt et al. 2016) that q269's disparate impact
+    * (prediction rates alone) cannot see: a model can match positive
+    * rates across groups while erring on completely different people.
+    *
+    * Exactness: the four confusion cells per group are one
+    * conditional rollup of exact longs; rates are micro-quantized by
+    * (2a+d) div 2d (non-negative operands); the gaps are max−min over
+    * the 5-row rate table, broadcast back — no window, two tiny
+    * shuffles beyond the customer⋈orders equi-join.
+    */
+  val q312 = Q("q312_equalized_odds",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS BIGINT)")
+            .as("y"),
+          expr("CAST(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS BIGINT)").as("p"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      val cells = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("seg")
+        .agg(expr("sum(y * p)").as("tp"), expr("sum(y * (1 - p))").as("fn"),
+          expr("sum((1 - y) * p)").as("fp"), expr("sum((1 - y) * (1 - p))").as("tn"))
+        .select(col("seg"), col("tp"), col("fn"), col("fp"), col("tn"),
+          expr("CASE WHEN tp + fn = 0 THEN 0 ELSE (2 * tp * 1000000 + (tp + fn)) div (2 * (tp + fn)) END")
+            .as("tpr_micro"),
+          expr("CASE WHEN fp + tn = 0 THEN 0 ELSE (2 * fp * 1000000 + (fp + tn)) div (2 * (fp + tn)) END")
+            .as("fpr_micro"))
+        .localCheckpoint(false) // 5-row relation feeds both the rows and the gap
+      val gaps = cells.groupBy()
+        .agg(expr("max(tpr_micro) - min(tpr_micro)").as("tpr_gap_micro"),
+          expr("max(fpr_micro) - min(fpr_micro)").as("fpr_gap_micro"))
+      cells.crossJoin(broadcast(gaps))
+        .select(col("seg"), col("tp"), col("fn"), col("fp"), col("tn"),
+          round(col("tpr_micro").cast("double") / 1e6, 6).as("tpr"),
+          round(col("fpr_micro").cast("double") / 1e6, 6).as("fpr"),
+          round(col("tpr_gap_micro").cast("double") / 1e6, 6).as("tpr_gap"),
+          round(col("fpr_gap_micro").cast("double") / 1e6, 6).as("fpr_gap"))
+        .orderBy("seg")
+    },
+    Some("""
+      WITH j AS (SELECT c.c_mktsegment AS seg,
+                        CAST(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END AS BIGINT) AS y,
+                        CAST(CASE WHEN o.o_totalprice > 150000 THEN 1 ELSE 0 END AS BIGINT) AS p
+                 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      cells AS (SELECT seg,
+                       CAST(sum(y * p) AS BIGINT) AS tp,
+                       CAST(sum(y * (1 - p)) AS BIGINT) AS fn,
+                       CAST(sum((1 - y) * p) AS BIGINT) AS fp,
+                       CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn
+                FROM j GROUP BY 1),
+      rates AS (SELECT *,
+                       CASE WHEN tp + fn = 0 THEN 0
+                            ELSE (2 * tp * 1000000 + (tp + fn)) // (2 * (tp + fn)) END AS tpr_micro,
+                       CASE WHEN fp + tn = 0 THEN 0
+                            ELSE (2 * fp * 1000000 + (fp + tn)) // (2 * (fp + tn)) END AS fpr_micro
+                FROM cells),
+      gaps AS (SELECT max(tpr_micro) - min(tpr_micro) AS tg,
+                      max(fpr_micro) - min(fpr_micro) AS fg
+               FROM rates)
+      SELECT seg, tp, fn, fp, tn,
+             round(CAST(tpr_micro AS DOUBLE) / 1e6, 6) AS tpr,
+             round(CAST(fpr_micro AS DOUBLE) / 1e6, 6) AS fpr,
+             round(CAST(tg AS DOUBLE) / 1e6, 6) AS tpr_gap,
+             round(CAST(fg AS DOUBLE) / 1e6, 6) AS fpr_gap
+      FROM rates CROSS JOIN gaps
+      ORDER BY seg"""))
+
   val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
-    q271, q272, q273, q274, q279, q283, q284, q285, q286, q287)
+    q271, q272, q273, q274, q279, q283, q284, q285, q286, q287, q309, q312)
 }

@@ -1644,7 +1644,84 @@ object EventQueries {
       FROM wide"""
     })
 
+  // --------------------------------------------------------------- q313
+
+  /** q313 — Allen interval-algebra census: per user, each event
+    * type's activity interval [min ts, max ts]; for every ordered
+    * type pair the pair's temporal relation under Allen's 13-relation
+    * algebra (before/meets/overlaps/starts/during/finishes, their
+    * inverses, equals) — the exhaustive, mutually-exclusive vocabulary
+    * for "how do two activity spans relate", underneath every
+    * temporal-reasoning and overlap-analysis job (q102's interval
+    * self-join asks ONE of these relations; this classifies them
+    * all).
+    *
+    * Exactness: pure microsecond-timestamp comparisons, zero
+    * arithmetic. The pair fan-out is the q307 in-group combination
+    * shape — bounded by the 5-type vocabulary (≤10 pairs/user), never
+    * all-pairs across users. The CASE ladder is branch-for-branch
+    * identical in both engines, and its guard order makes the 13
+    * branches exhaustive and mutually exclusive even for degenerate
+    * point intervals (s = e).
+    */
+  val q313 = Q("q313_allen_relations",
+    (s, dir) => {
+      val relCase = """
+        CASE WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+             WHEN e1 < s2 THEN 'before'
+             WHEN e2 < s1 THEN 'after'
+             WHEN e1 = s2 THEN 'meets'
+             WHEN e2 = s1 THEN 'met_by'
+             WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+             WHEN s1 = s2 THEN 'started_by'
+             WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+             WHEN e1 = e2 THEN 'finished_by'
+             WHEN s1 > s2 AND e1 < e2 THEN 'during'
+             WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+             WHEN s1 < s2 THEN 'overlaps'
+             ELSE 'overlapped_by' END"""
+      Tables.load(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(min("ts").as("st"), max("ts").as("en"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("event_type").as("t"),
+          col("st"), col("en")))).as("xs"))
+        .filter(size(col("xs")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(xs) - 1),
+             i -> transform(slice(xs, i + 1, size(xs)),
+                  b -> struct(element_at(xs, i).st AS s1, element_at(xs, i).en AS e1,
+                              b.st AS s2, b.en AS e2))))""")).as("p"))
+        .select(col("p.s1").as("s1"), col("p.e1").as("e1"),
+          col("p.s2").as("s2"), col("p.e2").as("e2"))
+        .select(expr(relCase).as("rel"))
+        .groupBy("rel").agg(count(lit(1)).as("cnt"))
+        .orderBy("rel")
+    },
+    Some("""
+      WITH iv AS (SELECT user_id, event_type AS t, min(ts) AS st, max(ts) AS en
+                  FROM events GROUP BY 1, 2),
+      pr AS (SELECT a.st AS s1, a.en AS e1, b.st AS s2, b.en AS e2
+             FROM iv a JOIN iv b ON a.user_id = b.user_id AND a.t < b.t),
+      rels AS (SELECT
+        CASE WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+             WHEN e1 < s2 THEN 'before'
+             WHEN e2 < s1 THEN 'after'
+             WHEN e1 = s2 THEN 'meets'
+             WHEN e2 = s1 THEN 'met_by'
+             WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+             WHEN s1 = s2 THEN 'started_by'
+             WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+             WHEN e1 = e2 THEN 'finished_by'
+             WHEN s1 > s2 AND e1 < e2 THEN 'during'
+             WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+             WHEN s1 < s2 THEN 'overlaps'
+             ELSE 'overlapped_by' END AS rel
+        FROM pr)
+      SELECT rel, CAST(count(*) AS BIGINT) AS cnt
+      FROM rels GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201, q205,
     q206, q208, q212, q213, q215, q219, q220, q227, q228, q229, q233, q235, q236,
-    q293, q294, q301, q302)
+    q293, q294, q301, q302, q313)
 }

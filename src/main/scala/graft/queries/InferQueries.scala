@@ -2283,7 +2283,188 @@ object InferQueries {
       ORDER BY a1, a2, a3"""
     })
 
+  // --------------------------------------------------------------- q310
+
+  /** q310 — instrumental-variable (Wald) estimator: with a binary
+    * instrument z (a deterministic key parity standing in for random
+    * assignment), the causal effect of order count x on spend y is
+    * β = (ȳ₁−ȳ₀)/(x̄₁−x̄₀) — reduced form over first stage, the
+    * simplest 2SLS and the workhorse of encouragement-design A/B
+    * analyses where compliance is partial.
+    *
+    * Exactness: y is exact cents, x exact counts; both mean
+    * differences are cross-multiplied integer ratios
+    * (Sy₁n₀ − Sy₀n₁ over n₁n₀) so β is a single rational
+    * num/den in DECIMAL(38,0)/HUGEINT, micro-rounded by the
+    * sign-symmetric (2a+d) div 2d recipe after normalizing the
+    * denominator positive. One grouped pass per customer (LEFT join
+    * keeps never-ordered customers as true zeros — dropping them
+    * biases the first stage), one 2-cell conditional rollup; nothing
+    * but 1 row crosses stages.
+    */
+  val q310 = Q("q310_iv_wald",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), expr("CAST(c_custkey % 2 AS INT)").as("z"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val per = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "z")
+        .agg(count(col("o_custkey")).as("x"),
+          coalesce(sum("cents"), lit(0L)).as("y"))
+      per.groupBy()
+        .agg(sum("z").as("n1"), expr("count(*) - sum(z)").as("n0"),
+          expr("sum(z * x)").as("sx1"), expr("sum((1 - z) * x)").as("sx0"),
+          expr("sum(z * y)").as("sy1"), expr("sum((1 - z) * y)").as("sy0"))
+        .select(col("n1"), col("n0"),
+          expr("""CAST(CAST(sy1 AS DECIMAL(38,0)) * n0
+                  - CAST(sy0 AS DECIMAL(38,0)) * n1 AS DECIMAL(38,0))""").as("rf"),
+          expr("""CAST(CAST(sx1 AS DECIMAL(38,0)) * n0
+                  - CAST(sx0 AS DECIMAL(38,0)) * n1 AS DECIMAL(38,0))""").as("fs"),
+          expr("CAST(CAST(n1 AS DECIMAL(38,0)) * n0 AS DECIMAL(38,0))").as("nn"))
+        .select(col("n1"), col("n0"),
+          expr("""round(CAST(CASE WHEN rf < 0
+                    THEN -CAST((-2 * rf * 1000000 + nn) div (2 * nn) AS BIGINT)
+                    ELSE CAST((2 * rf * 1000000 + nn) div (2 * nn) AS BIGINT) END
+                  AS DOUBLE) / 1e6, 6)""").as("itt_cents"),
+          expr("""round(CAST(CASE WHEN fs < 0
+                    THEN -CAST((-2 * fs * 1000000 + nn) div (2 * nn) AS BIGINT)
+                    ELSE CAST((2 * fs * 1000000 + nn) div (2 * nn) AS BIGINT) END
+                  AS DOUBLE) / 1e6, 6)""").as("first_stage"),
+          expr("""round(CAST(CASE
+                    WHEN (CASE WHEN fs < 0 THEN -rf ELSE rf END) < 0
+                    THEN -CAST((-2 * (CASE WHEN fs < 0 THEN -rf ELSE rf END) * 1000000
+                                + abs(fs)) div (2 * abs(fs)) AS BIGINT)
+                    ELSE CAST((2 * (CASE WHEN fs < 0 THEN -rf ELSE rf END) * 1000000
+                               + abs(fs)) div (2 * abs(fs)) AS BIGINT) END
+                  AS DOUBLE) / 1e6, 6)""").as("beta_wald"))
+    },
+    Some("""
+      WITH per AS (SELECT c.c_custkey, CAST(c.c_custkey % 2 AS INTEGER) AS z,
+                          CAST(count(o.o_custkey) AS BIGINT) AS x,
+                          CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                               AS BIGINT) AS y
+                   FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                   GROUP BY 1, 2),
+      w AS (SELECT CAST(sum(z) AS BIGINT) AS n1,
+                   CAST(count(*) - sum(z) AS BIGINT) AS n0,
+                   CAST(sum(z * x) AS BIGINT) AS sx1,
+                   CAST(sum((1 - z) * x) AS BIGINT) AS sx0,
+                   CAST(sum(z * y) AS BIGINT) AS sy1,
+                   CAST(sum((1 - z) * y) AS BIGINT) AS sy0
+            FROM per),
+      r AS (SELECT n1, n0,
+                   CAST(sy1 AS HUGEINT) * n0 - CAST(sy0 AS HUGEINT) * n1 AS rf,
+                   CAST(sx1 AS HUGEINT) * n0 - CAST(sx0 AS HUGEINT) * n1 AS fs,
+                   CAST(n1 AS HUGEINT) * n0 AS nn
+            FROM w)
+      SELECT n1, n0,
+             round(CAST(CASE WHEN rf < 0
+                     THEN -CAST((-2 * rf * 1000000 + nn) // (2 * nn) AS BIGINT)
+                     ELSE CAST((2 * rf * 1000000 + nn) // (2 * nn) AS BIGINT) END
+                   AS DOUBLE) / 1e6, 6) AS itt_cents,
+             round(CAST(CASE WHEN fs < 0
+                     THEN -CAST((-2 * fs * 1000000 + nn) // (2 * nn) AS BIGINT)
+                     ELSE CAST((2 * fs * 1000000 + nn) // (2 * nn) AS BIGINT) END
+                   AS DOUBLE) / 1e6, 6) AS first_stage,
+             round(CAST(CASE
+                     WHEN (CASE WHEN fs < 0 THEN -rf ELSE rf END) < 0
+                     THEN -CAST((-2 * (CASE WHEN fs < 0 THEN -rf ELSE rf END) * 1000000
+                                 + abs(fs)) // (2 * abs(fs)) AS BIGINT)
+                     ELSE CAST((2 * (CASE WHEN fs < 0 THEN -rf ELSE rf END) * 1000000
+                                + abs(fs)) // (2 * abs(fs)) AS BIGINT) END
+                   AS DOUBLE) / 1e6, 6) AS beta_wald
+      FROM r"""))
+
+  // --------------------------------------------------------------- q311
+
+  /** q311 — difference-in-differences: treated nations (key parity)
+    * vs control, orders before vs after 1998-01-01; the DID estimate
+    * (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) removes both the
+    * group-level and the period-level confound — the canonical
+    * quasi-experimental readout for "the policy changed in region X
+    * mid-year, did spend respond?".
+    *
+    * Exactness: the four cell sums are exact cents/longs from ONE
+    * conditional rollup; the DID combines them over the common
+    * denominator nₐn_bn_cn_d in DECIMAL(38,0)/HUGEINT (magnitudes
+    * ≤1e33 at sf1, inside both types), micro-rounded
+    * sign-symmetrically. Cell means are (2a+d) div 2d on
+    * non-negative sums. The customer→orders join is a plain shuffle
+    * equi-join (AQE may broadcast at small SF); no window anywhere.
+    */
+  val q311 = Q("q311_did",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), expr("CAST(c_nationkey % 2 AS INT)").as("treat"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          expr("CAST(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' THEN 1 ELSE 0 END AS INT)")
+            .as("post"))
+      val cells = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy().agg(
+          expr("sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END)").as("na"),
+          expr("sum(CASE WHEN treat = 1 AND post = 1 THEN cents ELSE 0 END)").as("sa"),
+          expr("sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END)").as("nb"),
+          expr("sum(CASE WHEN treat = 1 AND post = 0 THEN cents ELSE 0 END)").as("sb"),
+          expr("sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END)").as("nc"),
+          expr("sum(CASE WHEN treat = 0 AND post = 1 THEN cents ELSE 0 END)").as("sc"),
+          expr("sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END)").as("nd"),
+          expr("sum(CASE WHEN treat = 0 AND post = 0 THEN cents ELSE 0 END)").as("sd"))
+      def mean(sum: String, n: String) =
+        s"""round(CAST(CAST((2 * CAST($sum AS DECIMAL(38,0)) * 1000000 + $n)
+            div (2 * CAST($n AS DECIMAL(38,0))) AS BIGINT) AS DOUBLE) / 1e6, 6)"""
+      cells.select(col("na"), col("nb"), col("nc"), col("nd"),
+        expr(mean("sa", "na")).as("m_treat_post"),
+        expr(mean("sb", "nb")).as("m_treat_pre"),
+        expr(mean("sc", "nc")).as("m_ctrl_post"),
+        expr(mean("sd", "nd")).as("m_ctrl_pre"),
+        expr("""CAST((CAST(sa AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0)) * na)
+                * nc * nd
+                - (CAST(sc AS DECIMAL(38,0)) * nd - CAST(sd AS DECIMAL(38,0)) * nc)
+                * na * nb AS DECIMAL(38,0))""").as("num"),
+        expr("""CAST(CAST(na AS DECIMAL(38,0)) * nb * nc * nd AS DECIMAL(38,0))""").as("den"))
+        .select(col("na"), col("nb"), col("nc"), col("nd"),
+          col("m_treat_post"), col("m_treat_pre"), col("m_ctrl_post"), col("m_ctrl_pre"),
+          expr("""round(CAST(CASE WHEN num < 0
+                    THEN -CAST((-2 * num * 1000000 + den) div (2 * den) AS BIGINT)
+                    ELSE CAST((2 * num * 1000000 + den) div (2 * den) AS BIGINT) END
+                  AS DOUBLE) / 1e6, 6)""").as("did_cents"))
+    },
+    Some {
+      def mean(sum: String, n: String) =
+        s"""round(CAST(CAST((2 * CAST($sum AS HUGEINT) * 1000000 + $n)
+            // (2 * CAST($n AS HUGEINT)) AS BIGINT) AS DOUBLE) / 1e6, 6)"""
+      s"""
+      WITH cells AS (SELECT
+        CAST(sum(CASE WHEN c.c_nationkey % 2 = 1 AND o.o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(sum(CASE WHEN c.c_nationkey % 2 = 1 AND o.o_orderdate >= TIMESTAMP '1998-01-01' THEN CAST(round(o.o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+        CAST(sum(CASE WHEN c.c_nationkey % 2 = 1 AND o.o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        CAST(sum(CASE WHEN c.c_nationkey % 2 = 1 AND o.o_orderdate < TIMESTAMP '1998-01-01' THEN CAST(round(o.o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sb,
+        CAST(sum(CASE WHEN c.c_nationkey % 2 = 0 AND o.o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        CAST(sum(CASE WHEN c.c_nationkey % 2 = 0 AND o.o_orderdate >= TIMESTAMP '1998-01-01' THEN CAST(round(o.o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sc,
+        CAST(sum(CASE WHEN c.c_nationkey % 2 = 0 AND o.o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        CAST(sum(CASE WHEN c.c_nationkey % 2 = 0 AND o.o_orderdate < TIMESTAMP '1998-01-01' THEN CAST(round(o.o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sd
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+      SELECT na, nb, nc, nd,
+             ${mean("sa", "na")} AS m_treat_post,
+             ${mean("sb", "nb")} AS m_treat_pre,
+             ${mean("sc", "nc")} AS m_ctrl_post,
+             ${mean("sd", "nd")} AS m_ctrl_pre,
+             round(CAST(CASE WHEN num < 0
+                     THEN -CAST((-2 * num * 1000000 + den) // (2 * den) AS BIGINT)
+                     ELSE CAST((2 * num * 1000000 + den) // (2 * den) AS BIGINT) END
+                   AS DOUBLE) / 1e6, 6) AS did_cents
+      FROM (SELECT *,
+              (CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na) * nc * nd
+              - (CAST(sc AS HUGEINT) * nd - CAST(sd AS HUGEINT) * nc) * na * nb AS num,
+              CAST(na AS HUGEINT) * nb * nc * nd AS den
+            FROM cells)"""
+    })
+
   val all: Seq[Q] = Seq(q237, q238, q239, q240, q241, q242, q243, q244,
     q254, q255, q256, q257, q258, q259, q275, q276, q277, q278,
-    q280, q281, q282, q289, q290, q291, q292, q298, q299, q307)
+    q280, q281, q282, q289, q290, q291, q292, q298, q299, q307, q310, q311)
 }

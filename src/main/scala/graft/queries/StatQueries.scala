@@ -1,10 +1,11 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, GraphOps}
 
 /** Round-3 batch 3 — distribution and propagation operators: token
   * Shannon entropy (the repetitiveness/quality signal rule-based
@@ -2417,7 +2418,120 @@ object StatQueries {
       FROM bc ORDER BY bc_nano DESC, v LIMIT 20"""
     })
 
+  // --------------------------------------------------------------- q308
+
+  /** q308 — Borůvka minimum spanning tree of the inter-nation trade
+    * graph: nodes are the 25 nations, an edge's weight is inverse
+    * trade volume (heavier trade = shorter distance), and the MST is
+    * the cheapest backbone connecting every nation — the classic
+    * network-design / single-linkage-clustering primitive. Borůvka is
+    * THE distributed MST algorithm (GraphX/Pregel lineage): every
+    * component picks its minimum outgoing edge simultaneously, so
+    * components at least halve per round and O(log V) rounds suffice
+    * at any scale — unlike Prim/Kruskal, whose sequential edge picks
+    * cannot fan out.
+    *
+    * Uniqueness/exactness: weights are packed longs
+    * `(1e9 - cnt)*1000 + a*30 + b` — strictly distinct per pair, so
+    * the MST is unique and the oracle may compute it with a DIFFERENT
+    * algorithm (24 unrolled Prim cut-picks over a LIST-carried
+    * visited set, every CTE MATERIALIZED per the q306 rule). A
+    * consecutive-nation sentinel ring at weight 2e12+i guarantees
+    * connectivity on any draw of the data, so both sides always span
+    * all 25 nodes. Component merging reuses the audited O(log n)
+    * alternating-star CC operator; 5 fixed Borůvka rounds cover
+    * ⌈log₂ 25⌉ with a margin (late rounds see no cross edges and
+    * no-op).
+    */
+  val q308 = Q("q308_boruvka_mst",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("cn"))
+      val supp = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("sn"))
+      val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val trade = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("cn") =!= col("sn"))
+        .select(least(col("cn"), col("sn")).as("a"), greatest(col("cn"), col("sn")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+        .select(col("a"), col("b"),
+          expr("(1000000000 - cnt) * 1000 + a * 30 + b").as("w"))
+      val nat = Tables.load(s, dir, "nation").select(col("n_nationkey"))
+      val ring = nat.select(col("n_nationkey").as("a"))
+        .join(nat.select(col("n_nationkey").as("b")), col("b") === col("a") + 1)
+        .select(col("a"), col("b"),
+          expr("CAST(2000000000 AS BIGINT) * 1000 + a * 30 + b").as("w"))
+      val edges = trade.unionByName(ring)
+        .groupBy("a", "b").agg(min("w").as("w"))
+        .localCheckpoint(false) // 5 Borůvka rounds re-read the edge list
+      var comp = nat.select(col("n_nationkey").as("v"), col("n_nationkey").as("c"))
+        .localCheckpoint(false)
+      var mst: DataFrame = edges.select("a", "b", "w").limit(0)
+      for (_ <- 1 to 5) {
+        val ec = edges
+          .join(comp.select(col("v").as("_va"), col("c").as("ca")), col("a") === col("_va"))
+          .join(comp.select(col("v").as("_vb"), col("c").as("cb")), col("b") === col("_vb"))
+          .filter(col("ca") =!= col("cb"))
+          .select(col("a"), col("b"), col("w"), col("ca"), col("cb"))
+        val sel = ec.select(col("ca").as("g"), struct(col("w"), col("a"), col("b"),
+            col("ca"), col("cb")).as("e"))
+          .unionByName(ec.select(col("cb").as("g"), struct(col("w"), col("a"), col("b"),
+            col("ca"), col("cb")).as("e")))
+          .groupBy("g").agg(min("e").as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"),
+            col("e.ca").as("ca"), col("e.cb").as("cb"))
+          .distinct()
+          .localCheckpoint(false)
+        mst = mst.unionByName(sel.select("a", "b", "w"))
+        val relabel = GraphOps.connectedComponentsAlternating(
+          sel.select("ca", "cb"), "ca", "cb")
+        comp = comp.join(relabel, comp("c") === relabel("id"), "left")
+          .select(col("v"), coalesce(col("cluster_id"), col("c")).as("c"))
+          .localCheckpoint(false)
+      }
+      mst.orderBy("w")
+        .select(col("a").as("n_a"), col("b").as("n_b"), col("w").as("w_packed"))
+    },
+    Some {
+      val steps = (1 to 24).map { k =>
+        s"""
+      p$k AS MATERIALIZED (SELECT e.a, e.b, e.w FROM e, s${k - 1}
+             WHERE list_contains(s${k - 1}.vis, e.a) <> list_contains(s${k - 1}.vis, e.b)
+             ORDER BY e.w LIMIT 1),
+      s$k AS MATERIALIZED (SELECT list_append(s${k - 1}.vis,
+               CASE WHEN list_contains(s${k - 1}.vis, p$k.a) THEN p$k.b ELSE p$k.a END) AS vis
+             FROM s${k - 1}, p$k)"""
+      }.mkString(",")
+      val uni = (1 to 24).map(k => s"SELECT a, b, w FROM p$k").mkString("\n             UNION ALL ")
+      s"""
+      WITH tr AS (SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+                         greatest(c.c_nationkey, s.s_nationkey) AS b,
+                         CAST(count(*) AS BIGINT) AS cnt
+                  FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey
+                       JOIN customer c ON o.o_custkey = c.c_custkey
+                       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                  WHERE c.c_nationkey <> s.s_nationkey
+                  GROUP BY 1, 2),
+      ring AS (SELECT n1.n_nationkey AS a, n2.n_nationkey AS b,
+                      CAST(2000000000 AS BIGINT) * 1000
+                        + n1.n_nationkey * 30 + n2.n_nationkey AS w
+               FROM nation n1 JOIN nation n2 ON n2.n_nationkey = n1.n_nationkey + 1),
+      e AS MATERIALIZED (SELECT a, b, CAST(min(w) AS BIGINT) AS w
+           FROM (SELECT a, b, (1000000000 - cnt) * 1000 + a * 30 + b AS w FROM tr
+                 UNION ALL SELECT a, b, w FROM ring)
+           GROUP BY 1, 2),
+      s0 AS MATERIALIZED (SELECT [CAST(0 AS INTEGER)] AS vis),$steps
+      SELECT a AS n_a, b AS n_b, w AS w_packed
+      FROM ($uni)
+      ORDER BY w_packed"""
+    })
+
   val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
     q123, q124, q125, q190, q191, q192, q198, q199, q202, q203, q207, q209, q210,
-    q211, q214, q216, q217, q218, q222, q223, q226, q234, q295, q306)
+    q211, q214, q216, q217, q218, q222, q223, q226, q234, q295, q306, q308)
 }

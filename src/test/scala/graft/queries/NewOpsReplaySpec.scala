@@ -257,4 +257,94 @@ class NewOpsReplaySpec extends SparkSpec {
     assert(math.abs(out.head(3).asInstanceOf[Long] - u2) <= 1,
       s"${out.head} vs $u2")
   }
+
+  test("q308: Borůvka MST matches a union-find Kruskal brute force") {
+    // third algorithm: the query runs Borůvka, the oracle runs Prim;
+    // unique weights make all three agree edge-for-edge
+    val out = rows(StatQueries.q308.fn(spark, sf))
+      .map(r => (r(0).asInstanceOf[Int], r(1).asInstanceOf[Int], r(2).asInstanceOf[Long]))
+    val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    val ord = Tables.load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    val cn = Tables.load(spark, sf, "customer")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val sn = Tables.load(spark, sf, "supplier")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val oc = ord.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trade = li.collect()
+      .map(r => (cn(oc(r.getLong(0))), sn(r.getLong(1))))
+      .filter(t => t._1 != t._2)
+      .map(t => (math.min(t._1, t._2), math.max(t._1, t._2)))
+      .groupBy(identity).map { case ((a, b), xs) =>
+        (a, b) -> ((1000000000L - xs.length) * 1000 + a * 30 + b)
+      }
+    val ring = (0 to 23).map(i => (i, i + 1) -> (2000000000L * 1000 + i * 30 + i + 1))
+    val edges = (trade.toSeq ++ ring).groupBy(_._1)
+      .map { case (k, vs) => (k._1, k._2, vs.map(_._2).min) }
+      .toSeq.sortBy(_._3)
+    val parent = Array.tabulate(25)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    val kruskal = edges.filter { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; true } else false
+    }
+    assert(out == kruskal, s"spark=$out\nkruskal=$kruskal")
+  }
+
+  test("q309: t-closeness matches a direct CDF-gap brute force") {
+    val out = rows(AnalyticsQueries.q309.fn(spark, sf))
+      .map(r => (r(0).asInstanceOf[String], r(1).asInstanceOf[Int]) ->
+        (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long])).toMap
+    val data = Tables.load(spark, sf, "customer").collect().map { r =>
+      (r.getString(4), math.floor(r.getDouble(3) / 1000.0).toInt, (r.getInt(2) % 5))
+    }
+    val n = data.length.toLong
+    val gcum = (0 to 3).map(i => data.count(_._3 <= i).toLong)
+    val expect = data.groupBy(t => (t._1, t._2)).map { case (g, xs) =>
+      val ng = xs.length.toLong
+      val tnum = (0 to 3).map(i =>
+        (BigInt(xs.count(_._3 <= i)) * n - BigInt(gcum(i)) * ng).abs).sum
+      g -> (ng, (tnum * 1000000000 / (BigInt(ng) * n * 4)).toLong)
+    }
+    out.foreach { case (g, v) => assert(expect(g) == v, s"$g: ${expect(g)} vs $v") }
+    // the query returns the TOP-15 by t: nothing unreturned may beat the floor
+    val floor = out.values.map(_._2).min
+    val returned = out.keySet
+    expect.filterNot(kv => returned(kv._1)).foreach { case (g, (_, t)) =>
+      assert(t <= floor, s"unreturned $g has t=$t above returned floor $floor")
+    }
+  }
+
+  test("q310/q311: IV and DID match direct cell-mean arithmetic") {
+    val iv = rows(InferQueries.q310.fn(spark, sf)).head
+    val cust = Tables.load(spark, sf, "customer").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val ords = Tables.load(spark, sf, "orders").collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(3) * 100),
+        r.getTimestamp(4).getTime >= java.sql.Timestamp.valueOf("1998-01-01 00:00:00").getTime))
+    val per = cust.keys.toSeq.map { ck =>
+      val mine = ords.filter(_._1 == ck)
+      (ck % 2, mine.length.toLong, mine.map(_._2).sum)
+    }
+    def cells(z: Long) = {
+      val g = per.filter(_._1 == z)
+      (g.length.toLong, g.map(_._2).sum, g.map(_._3).sum)
+    }
+    val ((n1, sx1, sy1), (n0, sx0, sy0)) = (cells(1), cells(0))
+    val itt = (BigInt(sy1) * n0 - BigInt(sy0) * n1).toDouble / (n1.toDouble * n0) / 100
+    val beta = (BigInt(sy1) * n0 - BigInt(sy0) * n1).toDouble /
+      (BigInt(sx1) * n0 - BigInt(sx0) * n1).toDouble
+    assert(math.abs(iv(2).asInstanceOf[Double] - itt * 100) < 1e-4, s"$iv vs ${itt * 100}")
+    assert(math.abs(iv(4).asInstanceOf[Double] - beta) < 1e-4, s"$iv vs $beta")
+
+    val did = rows(InferQueries.q311.fn(spark, sf)).head
+    def cell(treat: Int, post: Boolean) = {
+      val g = ords.filter(o => cust(o._1) % 2 == treat && o._3 == post)
+      (g.length.toLong, g.map(_._2).sum)
+    }
+    val (na, sa) = cell(1, post = true); val (nb, sb) = cell(1, post = false)
+    val (nc, sc) = cell(0, post = true); val (nd, sd) = cell(0, post = false)
+    val expDid = (sa.toDouble / na - sb.toDouble / nb) - (sc.toDouble / nc - sd.toDouble / nd)
+    assert(did(0) == na && did(1) == nb && did(2) == nc && did(3) == nd, did)
+    assert(math.abs(did(8).asInstanceOf[Double] - expDid) < 1e-4, s"$did vs $expDid")
+  }
 }
