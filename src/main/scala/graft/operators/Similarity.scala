@@ -150,4 +150,120 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** EXACT all-pairs top-1 cosine neighbour per vector, as a
+    * distributed block-nested-loop — the scale-correct shape for the
+    * mutual-NN / reciprocal-best-match family when the data has no
+    * near-dup structure for LSH to exploit (exact kNN is O(n²) work
+    * no matter what; the engineering content is WHERE that work runs
+    * and what a task holds):
+    *
+    *  - the index side collapses into chunk rows of ≤ ~2·`chunkSize`
+    *    (id, vec, norm) structs — BOUNDED row size, unlike a
+    *    per-key collect of a whole blocking group;
+    *  - the probe side replicates once per chunk via an equi-join on
+    *    a broadcast grid of CHUNK IDS ONLY (numChunks longs — plan
+    *    metadata, not data; the vector table itself is never
+    *    broadcast), then shuffle-joins chunk rows on the chunk key,
+    *    so tiles spread over all executors;
+    *  - each (probe row × chunk row) computes its LOCAL argmax inside
+    *    the row with higher-order functions (one codegen'd
+    *    `graft_dot` per candidate) — n·numChunks rows materialize,
+    *    never n²;
+    *  - the global argmax is `max(struct(cos, -id))` — an ordinary
+    *    hash aggregate with map-side partial combine (a window over
+    *    n² rows would shuffle them all).
+    *
+    * Ties break toward the smaller neighbour id. Output:
+    * (idCol, nb, cos) — one row per vector, cos UNROUNDED (callers
+    * round at presentation; selection must compare full doubles).
+    */
+  def top1Exact(vectors: DataFrame, idCol: String, vecCol: String,
+                chunkSize: Int = 256): DataFrame = {
+    val spark = vectors.sparkSession
+    graft.expressions.GraftExtensions.register(spark)
+    val n = vectors.count()
+    val numChunks = math.max(1L, (n + chunkSize - 1) / chunkSize)
+    val withNorm = vectors.select(
+      col(idCol).cast("long").as("_id"), col(vecCol).as("_vec"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("_nrm"),
+      pmod(xxhash64(col(idCol).cast("long")), lit(numChunks)).as("_ck"))
+    val chunks = withNorm.groupBy("_ck").agg(
+      collect_list(struct(col("_id").as("nb"), col("_vec").as("eb"),
+        col("_nrm").as("nn"))).as("_arr"))
+    val grid = spark.range(numChunks).select(col("id").as("_ck"))
+    val tiles = withNorm.drop("_ck")
+      .join(broadcast(grid))                 // replicate probes: chunk ids only
+      .join(chunks, Seq("_ck"))              // shuffle equi-join on the chunk key
+    val local = tiles.select(col("_id"), col("_nrm"),
+      expr("""aggregate(
+                transform(_arr, s -> named_struct(
+                  'cos', graft_dot(_vec, s.eb) / (_nrm * s.nn), 'nb', s.nb)),
+                named_struct('cos', CAST(-2.0 AS DOUBLE), 'nb', CAST(-1 AS BIGINT)),
+                (acc, s) -> IF(s.nb = _id, acc,
+                  IF(s.cos > acc.cos OR (s.cos = acc.cos AND s.nb < acc.nb), s, acc)))
+           """).as("_best"))
+    local.filter(col("_best.nb") >= 0)
+      .groupBy(col("_id"))
+      .agg(max(struct(col("_best.cos").as("cos"), (-col("_best.nb")).as("negnb"))).as("_m"))
+      .select(col("_id").as(idCol), (-col("_m.negnb")).as("nb"), col("_m.cos").as("cos"))
+  }
+
+  /** Mutual nearest neighbours (reciprocal best match) from a top-1
+    * relation of shape (id, nb, cos): pairs (a, b), a < b, where each
+    * is the other's top-1. Linear — two filters and an equi-join on n
+    * rows.
+    */
+  def mutualFromTop1(top1: DataFrame, idCol: String): DataFrame = {
+    val fwd = top1.filter(col(idCol) < col("nb"))
+      .select(col(idCol).as("a"), col("nb").as("b"), col("cos"))
+    val bwd = top1.filter(col(idCol) > col("nb"))
+      .select(col("nb").as("a"), col(idCol).as("b"))
+    fwd.join(bwd, Seq("a", "b")).select(col("a"), col("b"), col("cos"))
+  }
+
+  /** SHORTLIST mutual-NN: the same reciprocal-best-match contract
+    * evaluated over banded hyperplane-LSH candidates instead of all
+    * pairs — the production path when vectors DO have near-dup
+    * structure (bitext mining, near-dup linking: mutual pairs sit at
+    * cosine ≫ background, where per-table collision probability
+    * (1-θ/π)^planes is high and `tables` independent families push
+    * recall → 1). Candidate generation is an equi-join on
+    * (table, bucket) with a hot-bucket cap (`maxBucket` smallest-id
+    * rows per bucket — the q202/bucketPairs discipline: no bucket ever
+    * fans out quadratically uncapped), so a stop-word-like hub bucket
+    * costs O(maxBucket²) pairs, not O(bucket²). Exactness is
+    * empirical-by-structure, pinned against [[top1Exact]] by spec on
+    * clustered fixtures; on structureless data use [[top1Exact]].
+    */
+  def mutualNNShortlist(vectors: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, planes: Int, tables: Int,
+                        maxBucket: Int = 500): DataFrame = {
+    graft.expressions.GraftExtensions.register(vectors.sparkSession)
+    val withNorm = vectors.select(
+      col(idCol).cast("long").as("_id"), col(vecCol).as("_vec"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("_nrm"))
+    val banded = withNorm.select(col("_id"), col("_vec"), col("_nrm"),
+      posexplode(array((0 until tables).map(t =>
+        hyperplaneBucketSeeded(col("_vec"), dim, planes, s"mnn$t")): _*))
+        .as(Seq("_tbl", "_bkt")))
+    val capped = banded.withColumn("_rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("_tbl", "_bkt").orderBy("_id")))
+      .filter(col("_rn") <= maxBucket).drop("_rn")
+    val a = capped.select(col("_tbl"), col("_bkt"), col("_id"),
+      col("_vec"), col("_nrm"))
+    val b = capped.select(col("_tbl"), col("_bkt"), col("_id").as("_nb"),
+      col("_vec").as("_eb"), col("_nrm").as("_nn"))
+    val cand = a.join(b, Seq("_tbl", "_bkt"))
+      .filter(col("_id") =!= col("_nb"))
+      .select(col("_id"), col("_nb"),
+        (dotNative(col("_vec"), col("_eb")) / (col("_nrm") * col("_nn"))).as("cos"))
+      .groupBy("_id", "_nb").agg(first("cos").as("cos")) // dedup multi-table hits
+    val top1 = cand
+      .groupBy(col("_id"))
+      .agg(max(struct(col("cos"), (-col("_nb")).as("negnb"))).as("_m"))
+      .select(col("_id").as(idCol), (-col("_m.negnb")).as("nb"), col("_m.cos").as("cos"))
+    mutualFromTop1(top1, idCol)
+  }
 }

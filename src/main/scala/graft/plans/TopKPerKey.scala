@@ -59,6 +59,12 @@ final case class TopKPerKeyExec(
 
   override def output: Seq[Attribute] = child.output
 
+  // both stages are per-partition maps: key-hash layout flows through,
+  // so a downstream aggregate/join on the same keys adds no exchange
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
@@ -70,31 +76,62 @@ final case class TopKPerKeyExec(
     val sOrders = sortOrders
     val childOutput = child.output
     val kk = k
+    val isPartial = partial
     child.execute().mapPartitions ({ iter =>
       val groupProj = UnsafeProjection.create(gExprs, childOutput)
       val ordering =
         org.apache.spark.sql.catalyst.expressions.RowOrdering
           .create(sOrders, childOutput)
       // per key: a bounded "worst on top" heap of copied rows — memory
-      // is O(|keys in partition| · k), not O(rows)
+      // is O(|keys in partition| · k), not O(rows). High-cardinality
+      // guard (partial stage only): past MAX_KEYS distinct keys the
+      // stage flushes its buffered rows downstream and clears — a
+      // partial may emit a SUPERSET of its local top-k (the final
+      // stage re-filters), so flushing is always correct; worst case
+      // degenerates to the Window route's shuffle-everything, never
+      // to OOM. The final stage's input is already ≤ k·|keys| rows
+      // (the partials' contract), so its map is post-reduction size —
+      // the same O(|keys in partition|) residency as a hash-agg final.
+      val MaxKeys = 1 << 18
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       val reverse = ordering.reversed()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = groupProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1, reverse)
-          heaps.put(key.copy(), heap)
+      new Iterator[InternalRow] {
+        private var drain: java.util.Iterator[InternalRow] =
+          java.util.Collections.emptyIterator[InternalRow]()
+        private var exhausted = false
+        // move the buffered rows downstream and free the map — the
+        // shuffle writer consumes them as we iterate, so residency
+        // really drops (unlike an accumulate-then-emit buffer)
+        private def drainHeaps(): java.util.Iterator[InternalRow] = {
+          val buf = new java.util.ArrayList[InternalRow]()
+          heaps.values().forEach(h => h.forEach(r => buf.add(r)))
+          heaps.clear()
+          buf.iterator()
         }
-        if (heap.size() < kk) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
+        private def refill(): Unit = {
+          while (!drain.hasNext && !exhausted) {
+            if (!iter.hasNext) {
+              exhausted = true
+              drain = drainHeaps()
+            } else {
+              val row = iter.next()
+              val key = groupProj(row)
+              var heap = heaps.get(key)
+              if (heap == null) {
+                if (isPartial && heaps.size() >= MaxKeys) drain = drainHeaps()
+                heap = new java.util.PriorityQueue[InternalRow](kk + 1, reverse)
+                heaps.put(key.copy(), heap)
+              }
+              if (heap.size() < kk) heap.add(row.copy())
+              else if (ordering.compare(row, heap.peek()) < 0) {
+                heap.poll(); heap.add(row.copy())
+              }
+            }
+          }
         }
+        override def hasNext: Boolean = { refill(); drain.hasNext }
+        override def next(): InternalRow = { refill(); drain.next() }
       }
-      val out = Seq.newBuilder[InternalRow]
-      heaps.values().forEach(h => h.forEach(r => out += r))
-      out.result().iterator
     }, preservesPartitioning = true)
   }
 
@@ -117,13 +154,21 @@ object TopKPerKey {
     val spark = df.sparkSession
     registerStrategy(spark)
     val analyzed = df.queryExecution.analyzed
-    val attrs = analyzed.output.map(a => a.name -> a).toMap
-    val groupExprs = keyCols.map(c => attrs.getOrElse(c,
-      throw new IllegalArgumentException(s"unknown key column $c")))
+    // resolve through the session's resolver (case-sensitivity per
+    // spark.sql.caseSensitive, qualified names, ambiguity errors) —
+    // not a bare case-sensitive name map
+    val resolver = spark.sessionState.conf.resolver
+    def resolveName(name: String): Expression =
+      analyzed.resolveQuoted(name, resolver).getOrElse(
+        throw new IllegalArgumentException(s"unknown column $name")) match {
+        case org.apache.spark.sql.catalyst.expressions.Alias(child, _) => child
+        case e => e
+      }
+    val groupExprs = keyCols.map(resolveName)
     val orders = orderBy.map { c =>
       org.apache.spark.sql.graft.GraftSqlBridge.expr(c) match {
-        case so: SortOrder => bind(so, analyzed.output)
-        case e => SortOrder(bindExpr(e, analyzed.output),
+        case so: SortOrder => bind(so, resolveName)
+        case e => SortOrder(bindExpr(e, resolveName),
           org.apache.spark.sql.catalyst.expressions.Ascending)
       }
     }
@@ -131,14 +176,13 @@ object TopKPerKey {
       TopKPerKeyPlan(groupExprs, orders, k, analyzed))
   }
 
-  private def bind(so: SortOrder, output: Seq[Attribute]): SortOrder =
-    so.copy(child = bindExpr(so.child, output))
+  private def bind(so: SortOrder, resolve: String => Expression): SortOrder =
+    so.copy(child = bindExpr(so.child, resolve))
 
-  private def bindExpr(e: Expression, output: Seq[Attribute]): Expression =
+  private def bindExpr(e: Expression, resolve: String => Expression): Expression =
     e.transform {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        output.find(_.name == u.name).getOrElse(
-          throw new IllegalArgumentException(s"unknown order column ${u.name}"))
+        resolve(u.name)
     }
 
   /** Idempotently add the planner strategy to a session. */

@@ -856,6 +856,17 @@ object AnalyticsQueries {
     * system runs, here composed entirely from the engine's own
     * operators (JW expression + Dedup.connectedComponents fixpoint).
     *
+    * Pair enumeration goes through [[graft.operators.Dedup
+    * .bucketPairsExact]] — the chunk-grid discipline: a block bigger
+    * than one chunk becomes a grid of ≤ chunk² tile rows spread by
+    * repartition, so a stop-word-headed block at corpus scale streams
+    * its (inherently quadratic, the oracle's own semantics) pair set
+    * from many bounded tasks instead of one O(block²) straggler. No
+    * block is dropped — exactness is the contract here, unlike the
+    * capped LSH path. Texts rejoin by id AFTER enumeration (two
+    * hash-join shuffles on ids), so pair rows carry 16 bytes until
+    * the JW filter needs the 48-char prefixes.
+    *
     * The oracle replays the closure with a recursive CTE — label
     * propagation as recursive SQL — practical because matched
     * components are tiny even when the corpus is not (the blocking
@@ -867,12 +878,12 @@ object AnalyticsQueries {
       val p = Tables.load(s, dir, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 48).as("t"),
           element_at(split(col("text"), " "), 1).as("blk"))
-      val a = p.select(col("doc_id").as("da"), col("t").as("ta"), col("blk"))
-      val b = p.select(col("doc_id").as("db"), col("t").as("tb"), col("blk"))
-      val pairs = a.join(b, "blk")
-        .filter(col("da") < col("db"))
+      val cand = graft.operators.Dedup.bucketPairsExact(p, "doc_id", Seq("blk"))
+      val pairs = cand
+        .join(p.select(col("doc_id").as("id_a"), col("t").as("ta")), Seq("id_a"))
+        .join(p.select(col("doc_id").as("id_b"), col("t").as("tb")), Seq("id_b"))
         .filter(call_function("graft_jaro_winkler", col("ta"), col("tb")) >= 0.9)
-        .select("da", "db")
+        .select(col("id_a").as("da"), col("id_b").as("db"))
       graft.operators.Dedup.connectedComponents(pairs, "da", "db")
         .groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
         .orderBy("cluster_id")
@@ -1256,35 +1267,22 @@ object AnalyticsQueries {
     * where b is a's top cosine neighbor AND a is b's — the
     * reciprocal-best-match criterion behind bitext mining and
     * high-precision near-dup linking (one-sided NN chains through hub
-    * vectors; mutuality kills the hubs). Brute-force scoring via the
-    * codegen'd `graft_dot` over the broadcast eval set; at corpus
-    * scale the same mutuality test runs over q41/q48's LSH/IVF
-    * shortlists instead — the operator contract (top-1 each side,
-    * tie-broken by id) is unchanged.
+    * vectors; mutuality kills the hubs). Exact top-1 via
+    * [[graft.operators.Similarity.top1Exact]] — a distributed
+    * block-nested-loop: bounded chunk rows of the index side, a
+    * broadcast of CHUNK IDS only (never the vector table), in-row
+    * local argmax via higher-order functions, and a map-side-combined
+    * `max(struct)` global argmax (no window over n² rows, no
+    * full-table broadcast). Where the data has near-dup structure the
+    * same mutuality contract runs over LSH shortlists instead —
+    * [[graft.operators.Similarity.mutualNNShortlist]], spec-pinned ≡
+    * brute force on clustered fixtures (MutualNNSpec).
     */
   val q268 = Q("q268_mutual_nn",
     (s, dir) => {
-      graft.expressions.GraftExtensions.register(s)
-      // norms once per vector BEFORE the pair fan-out, not once per pair
-      val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
-        expr("""sqrt(aggregate(zip_with(embedding, embedding,
-               (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
-               CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))""").as("na"))
-      val b = emb.select(col("vec_id").as("nb"), col("embedding").as("eb"),
-        col("na").as("nn"))
-      val sims = emb.join(broadcast(b), col("vec_id") =!= col("nb"))
-        .select(col("vec_id"), col("nb"),
-          (call_function("graft_dot", col("embedding"), col("eb"))
-            / (col("na") * col("nn"))).as("cos"))
-      val wv = Window.partitionBy("vec_id").orderBy(desc("cos"), col("nb"))
-      val top1 = sims.withColumn("_r", row_number().over(wv))
-        .filter(col("_r") === 1)
-        .select(col("vec_id"), col("nb"), col("cos"))
-      val fwd = top1.filter(col("vec_id") < col("nb"))
-        .select(col("vec_id").as("a"), col("nb").as("b"), col("cos"))
-      val bwd = top1.filter(col("vec_id") > col("nb"))
-        .select(col("nb").as("a"), col("vec_id").as("b"))
-      fwd.join(bwd, Seq("a", "b"))
+      val emb = Tables.load(s, dir, "embeddings")
+      val top1 = graft.operators.Similarity.top1Exact(emb, "vec_id", "embedding")
+      graft.operators.Similarity.mutualFromTop1(top1, "vec_id")
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos_sim"))
         .orderBy("a", "b")
     },

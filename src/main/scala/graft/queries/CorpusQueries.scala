@@ -545,7 +545,9 @@ object CorpusQueries {
         row_number().over(Window.partitionBy("token").orderBy("doc_id")))
       post.groupBy("token").agg(count(lit(1)).as("df"))
         .join(ranked.filter(col("_rn") <= 8)
-          .groupBy("token").agg(sort_array(collect_list("doc_id")).as("postings")),
+          .groupBy("token").agg(
+            concat_ws(",", sort_array(collect_list("doc_id")).cast("array<string>"))
+              .as("postings")),
           Seq("token"))
         .filter(col("df") >= 50)
         .orderBy("token")
@@ -554,7 +556,7 @@ object CorpusQueries {
       WITH t AS (SELECT doc_id, unnest($duckTokens) AS token FROM documents),
       d AS (SELECT DISTINCT token, doc_id FROM t)
       SELECT token, CAST(count(*) AS BIGINT) AS df,
-             (list(doc_id ORDER BY doc_id))[1:8] AS postings
+             array_to_string((list(doc_id ORDER BY doc_id))[1:8], ',') AS postings
       FROM d GROUP BY token HAVING count(*) >= 50 ORDER BY token"""))
 
   /** q196 — exact duplicated-substring spans (the span-level

@@ -2034,10 +2034,21 @@ object InferQueries {
   val q299 = Q("q299_em_mixture",
     (s, dir) => {
       val b = Tables.load(s, dir, "orders").select(
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"),
         (expr("CAST(round(o_totalprice * 100) AS BIGINT)").cast("double") / 1e7).as("x"))
         .localCheckpoint(false) // init moments + 3 EM passes
+      // init moments accumulate EXACTLY like the iteration passes:
+      // integer cents (sum fits long) and DECIMAL(38,0) for Σc² (Σ can
+      // pass 2⁶³); the double mean/variance come from ONE formula over
+      // the exact sums, so the seed is independent of reduction order
+      // on either engine (a raw double Σx Σx² here was the module's
+      // one order-dependent aggregate — a last-ulp flip would seed 3 EM
+      // rounds and break the exact hash gate)
       val init = b.groupBy().agg(
-        count(lit(1)).as("n"), sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+        count(lit(1)).as("n"), sum("c").as("sc"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))")).as("scc"))
+        .withColumn("sx", expr("CAST(sc AS DOUBLE) / 1e7"))
+        .withColumn("sxx", expr("CAST(scc AS DOUBLE) / 1e14"))
         .select(
           expr("CAST(round(1e9 * (sx / n - sqrt(sxx / n - (sx / n) * (sx / n)) / 2)) AS BIGINT)").as("m1"),
           expr("CAST(round(1e9 * (sx / n + sqrt(sxx / n - (sx / n) * (sx / n)) / 2)) AS BIGINT)").as("m2"),
@@ -2117,9 +2128,12 @@ object InferQueries {
         CAST(round(1e9 * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) / 1e9)) AS BIGINT) AS p1
         FROM $a)"""
       s"""
-      WITH b AS (SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 1e7 AS x
+      WITH b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                        CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 1e7 AS x
                  FROM orders),
-      i0 AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(x * x) AS sxx
+      i0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(c) AS DOUBLE) / 1e7 AS sx,
+                    CAST(sum(c * c) AS DOUBLE) / 1e14 AS sxx
              FROM b),
       t0 AS (SELECT
         CAST(round(1e9 * (sx / n - sqrt(sxx / n - (sx / n) * (sx / n)) / 2)) AS BIGINT) AS m1,
@@ -2159,24 +2173,51 @@ object InferQueries {
     * probabilities (no transcendentals at all), the M-step runs
     * in-plan (q299's discipline), and 7 nano-longs cross the driver
     * per iteration. The oracle unrolls the same three E/M passes.
+    *
+    * Pair enumeration is the chunk-grid shape (bucketPairsExact's
+    * discipline, carried here with field structs): each block splits
+    * into id-ordered chunks of ≤ 256 rows, the (i ≤ j) chunk-pair
+    * grid spreads by repartition, and each tile explodes ≤ 256²
+    * agreement rows STRAIGHT into the map-side-combined pattern
+    * rollup — no row ever holds a whole block (a 60k-member block at
+    * 100× is ~235 tile tasks, not one 1.8 B-pair straggler row).
     */
   val q307 = Q("q307_linkage_em",
     (s, dir) => {
-      val pats = Tables.load(s, dir, "customer")
+      val chunkSz = 256
+      val ranked = Tables.load(s, dir, "customer")
         .select(col("c_nationkey").as("blk"), col("c_custkey").as("id"),
           col("c_mktsegment").as("f1"),
           expr("CAST(floor(c_acctbal / 250.0) AS BIGINT)").as("f2"),
           expr("c_custkey % 10").as("f3"))
-        .groupBy("blk")
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("blk").orderBy("id")))
+        .withColumn("_ck", ((col("_rn") - 1) / chunkSz).cast("int"))
+      val chunks = ranked.groupBy(col("blk"), col("_ck"))
         .agg(sort_array(collect_list(struct(col("id"), col("f1"), col("f2"), col("f3"))))
-          .as("xs"))
+          .as("xs"),
+          (((max(col("_rn")) + chunkSz - 1) / chunkSz)).cast("int").as("_hi"))
+      val nc = chunks.groupBy("blk").agg(max(col("_hi")).as("_nc"))
+      val tiles = chunks.join(nc, Seq("blk"))
+        .select(col("blk"), col("_ck").as("_ca"), col("xs").as("_xa"),
+          explode(sequence(col("_ck"), col("_nc") - 1)).as("_cb"))
+        .join(chunks.select(col("blk"), col("_ck").as("_cb"), col("xs").as("_xb")),
+          Seq("blk", "_cb"))
+        .repartition(col("blk"), col("_ca"), col("_cb"))
+      def agreeWith(a: String) =
+        s"""named_struct('a1', IF($a.f1 = b.f1, 1, 0),
+                         'a2', IF($a.f2 = b.f2, 1, 0),
+                         'a3', IF($a.f3 = b.f3, 1, 0))"""
+      val pats = tiles
         .select(explode(expr(
-          """flatten(transform(sequence(1, size(xs) - 1),
-             i -> transform(slice(xs, i + 1, size(xs)),
-                  b -> struct(
-                    IF(element_at(xs, i).f1 = b.f1, 1, 0) AS a1,
-                    IF(element_at(xs, i).f2 = b.f2, 1, 0) AS a2,
-                    IF(element_at(xs, i).f3 = b.f3, 1, 0) AS a3))))""")).as("g"))
+          s"""CASE WHEN _ca < _cb THEN
+                flatten(transform(_xa, a -> transform(_xb, b -> ${agreeWith("a")})))
+              WHEN size(_xa) > 1 THEN
+                flatten(transform(sequence(1, size(_xa) - 1),
+                  i -> transform(slice(_xa, i + 1, size(_xa)),
+                       b -> ${agreeWith("element_at(_xa, i)")})))
+              ELSE CAST(array() AS array<struct<a1:int,a2:int,a3:int>>) END"""))
+          .as("g"))
         .groupBy(col("g.a1").as("a1"), col("g.a2").as("a2"), col("g.a3").as("a3"))
         .agg(count(lit(1)).as("n"))
         .localCheckpoint(false) // 3 EM passes + the final scoring pass

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{SparkSpec, Tables}
+
+/** Mutual-NN contract pins (VERDICT r8 item 2):
+  *
+  *  - the EXACT path ([[Similarity.top1Exact]], q268's engine) must
+  *    reproduce a naive all-pairs argmax — same neighbour ids, same
+  *    tie-breaks — while its plan never broadcasts the vector table
+  *    (the only broadcast is the chunk-id grid);
+  *  - the SHORTLIST path ([[Similarity.mutualNNShortlist]]) must
+  *    equal brute force on clustered data — the regime (near-dup
+  *    linking / bitext mining) where banded hyperplane LSH's recall
+  *    argument actually applies.
+  */
+class MutualNNSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Naive reference: collect, score all pairs with the same
+    * left-to-right double fold the engine uses, argmax per vector with
+    * the (cos desc, id asc) tie-break.
+    */
+  private def naiveTop1(vecs: Seq[(Long, Array[Float])]): Map[Long, (Long, Double)] = {
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val norms = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    vecs.map { case (id, v) =>
+      var bestId = -1L; var bestCos = -2.0
+      vecs.foreach { case (jd, w) =>
+        if (jd != id) {
+          val c = dot(v, w) / (norms(id) * norms(jd))
+          if (c > bestCos || (c == bestCos && jd < bestId)) { bestCos = c; bestId = jd }
+        }
+      }
+      id -> (bestId, bestCos)
+    }.toMap
+  }
+
+  test("top1Exact ≡ naive all-pairs argmax (sf0.001 embeddings)") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val expect = naiveTop1(vecs)
+    val got = Similarity.top1Exact(emb, "vec_id", "embedding", chunkSize = 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, (nb, cos)) =>
+      assert(nb == expect(id)._1, s"vec $id: nb $nb != ${expect(id)._1}")
+      assert(math.abs(cos - expect(id)._2) < 1e-12, s"vec $id cos")
+    }
+  }
+
+  test("q268's plan broadcasts only the chunk-id grid, never the vector table") {
+    val df = graft.queries.AnalyticsQueries.q268.fn(spark, sf)
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.nonEmpty, "expected the chunk-id grid broadcast hint")
+    hinted.foreach { h =>
+      val leaves = h.child.collectLeaves().map(_.getClass.getSimpleName)
+      assert(leaves.forall(_.contains("Range")),
+        s"broadcast hint over non-grid child: $leaves — the vector table " +
+          "must never be hint-broadcast (size-based auto-broadcast at tiny SF is fine; " +
+          "a hint would force it at any scale)")
+    }
+  }
+
+  test("shortlist mutual-NN ≡ brute force on clustered vectors") {
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    // 70 tight pairs (cos ≈ 0.999) — the near-dup-linking regime the
+    // shortlist path is for; cross-cluster cosines stay far below
+    val data = (0 until 70).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val twin = base.map(v => (v + 0.02f * rnd.nextGaussian().toFloat))
+      Seq((2L * i, base), (2L * i + 1, twin))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map { case (id, v) => Row(id, v.toSeq) }),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val exact = Similarity.mutualFromTop1(
+      Similarity.top1Exact(df, "vec_id", "embedding", chunkSize = 16), "vec_id")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val short = Similarity.mutualNNShortlist(df, "vec_id", "embedding",
+      dim = dim, planes = 8, tables = 6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == (0 until 70).map(i => (2L * i, 2L * i + 1)).toSet,
+      "fixture broken: exact mutual pairs should be the 70 planted twins")
+    assert(short == exact, s"shortlist missed ${exact -- short}, invented ${short -- exact}")
+  }
+}
