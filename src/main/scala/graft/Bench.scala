@@ -27,10 +27,22 @@ object Bench {
       val f = new java.io.File(s"$sfDir/$n.parquet")
       n -> (if (f.exists) f.lastModified / 1000 else -1L)
     }
+    // Optional subset cap for drift profiling (SPARK_GRAFT_MAX_Q=236
+    // keeps only queries whose number is ≤ 236): lets a "subset alone"
+    // run be compared against the same subset's times inside the full
+    // 313-query process to separate per-query regressions from
+    // cumulative JVM/bench-process pressure. Driver runs without it.
+    val maxQ = sys.env.get("SPARK_GRAFT_MAX_Q").map(_.toInt)
+    def qNum(name: String): Int =
+      name.drop(1).takeWhile(_.isDigit) match { case "" => Int.MaxValue; case d => d.toInt }
+    val selected = maxQ match {
+      case Some(m) => SparkEntry.queries.filter { case (n, _) => qNum(n) <= m }
+      case None => SparkEntry.queries
+    }
     // best-of-3: per-query times on shared hardware show 2-3x noise;
     // the minimum is the stable signal the round is graded on
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   * decode UDFs: one iterator pass per partition, typed output schema,
   * no per-row task overhead).
   *
-  * The decode step here is a STUB only for the lossy/inter-frame
-  * codecs this environment genuinely lacks (MP3/AAC, H.264/VP9) — the
-  * "features" are deterministic byte-level facts (length, header
-  * bytes, md5). Each modality has a REAL decode path for its lossless
+  * The decode step here is a STUB only for the entropy-coded payload
+  * of codecs this environment genuinely lacks (MP3/AAC Huffman/MDCT,
+  * H.264/VP9) — the "features" are deterministic byte-level facts
+  * (length, header bytes, md5). The boundary moved one notch in r9:
+  * MP3 *frame headers* are closed-form bit fields, so triage metadata
+  * (duration, bitrate plan, CBR/VBR, ID3 overhead) is REAL via
+  * [[MpegAudio]]'s header walk (q314, adversarial-input spec'd) —
+  * only the entropy decode itself remains out of scope. Each modality has a REAL decode path for its lossless
   * format: images via [[MultimodalCodec]] (JDK-native `javax.imageio`
   * with pixel-true resize + perceptual hashing, oracle-gated on PNG in
   * q174/q175, spec-proven on lossy JPEG where no arithmetic oracle is

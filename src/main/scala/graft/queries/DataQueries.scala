@@ -2316,8 +2316,80 @@ object DataQueries {
       FROM ranked JOIN short ON short.pos = u.pos
       ORDER BY u.rank"""))
 
+  /** Deterministic MPEG-1 Layer III stream per document for q314: an
+    * ID3v2 tag of k%200 body bytes, then 5+k%9 frames whose
+    * (bitrate-index, padding) plan is a closed function of (k, j) —
+    * the ground truth is the header ARITHMETIC, so the walker's
+    * bit-field parse and frame-length hops gate exactly (the filler
+    * payload bytes are irrelevant by construction: the walker hops by
+    * computed length and never scans them).
+    */
+  private def synthMp3Payloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 50).toInt
+          val frames = (0 until 5 + k % 9)
+            .map(j => (1 + (k + j) % 14, (k + j) % 2))
+          (id, graft.operators.MpegAudio.encodeSynthetic(k % 200, k % 3, frames))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q314 — MP3 frame-header walk, exactly oracle-gated: triage
+    * metadata (duration, bitrate plan, CBR/VBR, tag overhead) for the
+    * dominant lossy audio format WITHOUT entropy decode — the honest
+    * next notch past [[graft.operators.MultimodalStub]]'s boundary
+    * (Huffman/MDCT stay out of scope; headers are closed-form bit
+    * fields). [[graft.operators.MpegAudio.parse]] skips the ID3v2
+    * syncsafe prefix and hops complete frames by
+    * `144·bitrate/samplerate + padding`, reading 4 bytes per ~400 —
+    * map-only, zero shuffles, the access pattern that makes metadata
+    * triage affordable on a 100 TB audio corpus. The oracle replays
+    * the frame plan (a closed function of doc_id) in SQL arithmetic;
+    * any divergence in sync/index validation, syncsafe decoding, or
+    * the length formula hash-fails. Adversarial inputs (truncation,
+    * free bitrate, reserved indices, mid-stream rate change) are
+    * spec-pinned in MpegAudioSpec.
+    */
+  val q314 = Q("q314_mp3_headers",
+    (s, dir) =>
+      graft.operators.MpegAudio.mp3Features(synthMp3Payloads(s, dir), "doc_id", "payload")
+        .select(col("doc_id"),
+          col("id3_bytes").cast("long").as("id3_bytes"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_frames"), col("sum_bitrate_kbps"),
+          col("n_distinct_bitrates").cast("long").as("n_distinct_bitrates"),
+          col("n_padded"), col("duration_us"), col("trailing_bytes"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH p AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      d AS (SELECT doc_id, k, 10 + k % 200 AS id3,
+                   [44100, 48000, 32000][CAST(1 + k % 3 AS INT)] AS sr,
+                   5 + k % 9 AS nf
+            FROM p),
+      f AS (SELECT doc_id, k, id3, sr, nf, unnest(range(nf)) AS j FROM d),
+      b AS (SELECT doc_id, id3, sr, nf, j,
+                   1 + (k + j) % 14 AS br_idx,
+                   [0,32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                     [CAST(2 + (k + j) % 14 AS INT)] AS kbps,
+                   (k + j) % 2 AS pad
+            FROM f)
+      SELECT doc_id,
+             CAST(any_value(id3) AS BIGINT) AS id3_bytes,
+             CAST(any_value(sr) AS BIGINT) AS sample_rate,
+             CAST(any_value(nf) AS BIGINT) AS n_frames,
+             CAST(sum(kbps) AS BIGINT) AS sum_bitrate_kbps,
+             CAST(count(DISTINCT br_idx) AS BIGINT) AS n_distinct_bitrates,
+             CAST(sum(pad) AS BIGINT) AS n_padded,
+             CAST(any_value(nf) * 1152 * 1000000 // any_value(sr) AS BIGINT) AS duration_us,
+             CAST(0 AS BIGINT) AS trailing_bytes
+      FROM b GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
-    q194, q195, q197, q204, q230, q296)
+    q194, q195, q197, q204, q230, q296, q314)
 }
