@@ -135,6 +135,120 @@ object MpegAudio {
       bytes.length - pos)
   }
 
+  // ------------------------------------------------------------ ADTS
+
+  /** ADTS (AAC transport) sample-rate table, Hz; indices 13/14
+    * reserved, 15 forbidden.
+    */
+  val AdtsSampleRateHz: Array[Int] = Array(
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350)
+
+  final case class AdtsMeta(
+      sampleRate: Int,     // from the FIRST frame (0 if none)
+      profile: Int,        // audio_object_type − 1 from the first frame
+      channelConfig: Int,
+      nFrames: Int,
+      nRawBlocks: Long,    // Σ (number_of_raw_data_blocks + 1)
+      sumFrameBytes: Long,
+      nCrcFrames: Int,
+      durationUs: Long,    // nRawBlocks·1024·1e6 / sampleRate, truncating
+      trailingBytes: Int)
+
+  /** Build a deterministic ADTS stream: frames with the given
+    * (payloadLen, withCrc, rawBlocksMinus1) plan. Header is the real
+    * 7/9-byte ADTS bit layout; payload is filler (the walker hops by
+    * the explicit 13-bit frame length and never reads it).
+    */
+  def encodeSyntheticAdts(srIndex: Int, profile: Int, chanCfg: Int,
+                          frames: Seq[(Int, Boolean, Int)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    frames.zipWithIndex.foreach { case ((payloadLen, withCrc, rawM1), j) =>
+      val hdrLen = if (withCrc) 9 else 7
+      val frameLen = hdrLen + payloadLen
+      bos.write(0xff)
+      bos.write(0xf0 | (0 << 3) | (0 << 1) | (if (withCrc) 0 else 1)) // MPEG-4, layer 00
+      bos.write((profile << 6) | (srIndex << 2) | ((chanCfg >> 2) & 1))
+      bos.write(((chanCfg & 3) << 6) | ((frameLen >> 11) & 0x3))
+      bos.write((frameLen >> 3) & 0xff)
+      bos.write(((frameLen & 0x7) << 5) | 0x1f)      // buffer fullness high
+      bos.write(0xfc | (rawM1 & 0x3))                // fullness low + raw blocks
+      if (withCrc) { bos.write((j * 17) % 256); bos.write((j * 29 + 3) % 256) }
+      var i = 0
+      while (i < payloadLen) { bos.write((i * 11 + j * 5) % 256); i += 1 }
+    }
+    bos.toByteArray
+  }
+
+  /** ADTS walk: hop complete frames by the header's explicit 13-bit
+    * frame length; stop at the first invalid/truncated header (sync,
+    * layer ≠ 00, reserved sample-rate index, length < header size,
+    * mid-stream rate change) — the same stop-don't-guess contract as
+    * the MP3 walker. AAC frames carry 1024 samples per raw data
+    * block.
+    */
+  def parseAdts(bytes: Array[Byte]): AdtsMeta = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    var pos = 0
+    var sr = 0; var prof = -1; var chan = -1
+    var nFrames = 0; var rawBlocks = 0L; var sumBytes = 0L; var nCrc = 0
+    var ok = true
+    while (ok && pos + 7 <= bytes.length) {
+      val b0 = u8(pos); val b1 = u8(pos + 1)
+      if (b0 != 0xff || (b1 & 0xf0) != 0xf0 || ((b1 >> 1) & 0x3) != 0) ok = false
+      else {
+        val noCrc = (b1 & 1) == 1
+        val b2 = u8(pos + 2); val b3 = u8(pos + 3); val b4 = u8(pos + 4); val b5 = u8(pos + 5)
+        val srIdx = (b2 >> 2) & 0xf
+        if (srIdx >= AdtsSampleRateHz.length) ok = false
+        else {
+          val thisSr = AdtsSampleRateHz(srIdx)
+          val hdrLen = if (noCrc) 7 else 9
+          val frameLen = ((b3 & 0x3) << 11) | (b4 << 3) | ((b5 >> 5) & 0x7)
+          if (sr != 0 && thisSr != sr) ok = false
+          else if (frameLen < hdrLen || pos + frameLen > bytes.length) ok = false
+          else {
+            if (sr == 0) {
+              sr = thisSr
+              prof = (b2 >> 6) & 0x3
+              chan = (((b2 & 1) << 2) | ((b3 >> 6) & 0x3))
+            }
+            val rawM1 = u8(pos + 6) & 0x3
+            nFrames += 1
+            rawBlocks += rawM1 + 1
+            sumBytes += frameLen
+            if (!noCrc) nCrc += 1
+            pos += frameLen
+          }
+        }
+      }
+    }
+    val durUs = if (sr == 0) 0L else rawBlocks * 1024L * 1000000L / sr
+    AdtsMeta(sr, if (prof < 0) 0 else prof, if (chan < 0) 0 else chan,
+      nFrames, rawBlocks, sumBytes, nCrc, durUs, bytes.length - pos)
+  }
+
+  /** Dataset-level ADTS metadata — same map-only shape as
+    * [[mp3Features]].
+    */
+  def adtsFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = parseAdts(bytes)
+          (id, m.sampleRate, m.profile, m.channelConfig, m.nFrames.toLong,
+            m.nRawBlocks, m.sumFrameBytes, m.nCrcFrames.toLong, m.durationUs,
+            m.trailingBytes.toLong)
+        }
+      }
+      .toDF(idCol, "sample_rate", "profile", "channel_config", "n_frames",
+        "n_raw_blocks", "sum_frame_bytes", "n_crc_frames", "duration_us",
+        "trailing_bytes")
+  }
+
   /** Dataset-level metadata extraction: one parser instance per
     * partition, map-only (zero shuffles) — the q177/q189 codec shape.
     */

@@ -1116,6 +1116,144 @@ object CorpusQueries {
       SELECT v, w, c_vw, round(CAST(p_nano AS DOUBLE) / 1e9, 6) AS p_kn
       FROM scored ORDER BY p_nano DESC, v, w LIMIT 20"""))
 
+  /** q316 — HTML → text extraction (the WET step of crawl curation),
+    * exactly oracle-gated: every document wrapped in a deterministic
+    * HTML shell (head/style/script subtrees, comments, tag soup, the
+    * full fixed entity set incl. a double-escape probe) and run
+    * through [[graft.operators.HtmlText.extract]] — script/style
+    * SUBTREE removal, comment and tag stripping, one-level entity
+    * decode (`&amp;` last), explicit-class whitespace collapse. The
+    * whole extraction is codegen'd built-ins (regexp_replace/replace):
+    * one map-only projection over the scan, no UDF, no shuffle — at
+    * 100 TB this runs at parquet-scan speed. The oracle applies the
+    * IDENTICAL chain (HtmlText.duckSql — engine and oracle generated
+    * from one entity table, so they cannot drift silently) to the
+    * identically-constructed shell; any divergence in subtree
+    * boundaries, decode order, or whitespace classes hash-fails.
+    */
+  val q316 = Q("q316_html_extract",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"), lit("</title>\n"),
+        lit("<style type=\"text/css\">body { color: #333; }</style>\n"),
+        lit("<script>var s = \"<b>&amp;</b>\"; if ("), col("doc_id") % 7,
+        lit(" < 5) { track(); }</script>\n"),
+        lit("</head><body>\n<h1>"), col("source"), lit(" &amp; corpus</h1>\n"),
+        lit("<!-- crawl "), col("doc_id"), lit(" <meta> -->\n"),
+        lit("<p class=\"main\">"), col("text"), lit("</p>\n"),
+        lit("<p>&lt;raw&gt;&nbsp;tail&apos;s &quot;quote&quot; &amp;lt;keep</p>\n"),
+        lit("</body></html>"))
+      d.select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"), length(col("html")).cast("long").as("n_chars_raw"),
+          graft.operators.HtmlText.extract(col("html")).as("text_clean"))
+        .withColumn("n_chars_clean", length(col("text_clean")).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val htmlExpr = """'<html><head><title>Doc ' || doc_id || '</title>' || chr(10) ||
+        '<style type="text/css">body { color: #333; }</style>' || chr(10) ||
+        '<script>var s = "<b>&amp;</b>"; if (' || (doc_id % 7) ||
+        ' < 5) { track(); }</script>' || chr(10) ||
+        '</head><body>' || chr(10) || '<h1>' || source || ' &amp; corpus</h1>' || chr(10) ||
+        '<!-- crawl ' || doc_id || ' <meta> -->' || chr(10) ||
+        '<p class="main">' || text || '</p>' || chr(10) ||
+        '<p>&lt;raw&gt;&nbsp;tail&apos;s &quot;quote&quot; &amp;lt;keep</p>' || chr(10) ||
+        '</body></html>'"""
+      s"""
+      WITH h AS (SELECT doc_id, $htmlExpr AS html FROM documents)
+      SELECT doc_id, CAST(length(html) AS BIGINT) AS n_chars_raw,
+             ${graft.operators.HtmlText.duckSql("html")} AS text_clean,
+             CAST(length(${graft.operators.HtmlText.duckSql("html")}) AS BIGINT)
+               AS n_chars_clean
+      FROM h ORDER BY doc_id"""
+    })
+
+  /** q317 — URL normalization + registrable-domain rollup, exactly
+    * oracle-gated: messy deterministic URLs (mixed-case scheme/host,
+    * default ports, fragments, utm_* tracking params) normalize
+    * through [[graft.operators.UrlOps.normalize]] and roll up per
+    * registrable domain (mini public-suffix set) — the crawl-curation
+    * pass behind per-site quotas, host dedup keys and domain-level
+    * mixture weights. Map-side normalization is all codegen'd
+    * regexp/string built-ins; the single shuffle is the domain rollup
+    * (exactly the aggregation a 100 TB crawl needs anyway). Oracle
+    * generated from the same UrlOps source of truth.
+    */
+  val q317 = Q("q317_url_normalize",
+    (s, dir) => {
+      import graft.operators.UrlOps
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("k", (col("doc_id") % 60).cast("long"))
+      val schemeStr = element_at(
+        array(lit("http"), lit("https"), lit("HTTP"), lit("HTTPS")),
+        (col("k") % 4).cast("int") + 1)
+      val hostStr = when(col("k") % 3 === 0,
+          concat(lit("WWW.Shop"), (col("k") % 7).cast("string"), lit(".COM")))
+        .when(col("k") % 3 === 1,
+          concat(lit("cdn"), (col("k") % 5).cast("string"),
+            lit(".News"), (col("k") % 4).cast("string"), lit(".co.uk")))
+        .otherwise(concat(lit("Blog"), (col("k") % 9).cast("string"),
+          lit(".Example.ORG")))
+      val portStr = when(col("k") % 5 === 0,
+          when(col("k") % 4 === 1 || col("k") % 4 === 3, lit(":443"))
+            .otherwise(lit(":80")))
+        .otherwise(lit(""))
+      val queryStr = when(col("k") % 4 === 0,
+          concat(lit("?utm_source=feed&utm_medium=rss&ref="), col("k").cast("string")))
+        .when(col("k") % 4 === 1,
+          concat(lit("?id="), col("k").cast("string"), lit("&utm_campaign=x")))
+        .when(col("k") % 4 === 2, concat(lit("?id="), col("k").cast("string")))
+        .otherwise(lit(""))
+      val fragStr = when(col("k") % 2 === 0,
+        concat(lit("#sec"), col("k").cast("string"))).otherwise(lit(""))
+      val url = concat(schemeStr, lit("://"), hostStr, portStr,
+        lit("/item/"), col("doc_id").cast("string"), queryStr, fragStr)
+      d.select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          UrlOps.normalize(col("url")).as("norm_url"),
+          UrlOps.scheme(col("url")).as("sch"),
+          UrlOps.host(col("url")).as("host"))
+        .withColumn("domain", UrlOps.registrableDomain(col("host")))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(when(col("sch") === "https", 1L).otherwise(0L)).as("n_https"),
+          min(col("norm_url")).as("min_url"))
+        .orderBy("domain")
+    },
+    Some {
+      import graft.operators.UrlOps
+      val urlExpr = """
+        (['http','https','HTTP','HTTPS'][CAST(1 + k % 4 AS INT)]) || '://' ||
+        (CASE WHEN k % 3 = 0 THEN 'WWW.Shop' || (k % 7) || '.COM'
+              WHEN k % 3 = 1 THEN 'cdn' || (k % 5) || '.News' || (k % 4) || '.co.uk'
+              ELSE 'Blog' || (k % 9) || '.Example.ORG' END) ||
+        (CASE WHEN k % 5 = 0 THEN
+                CASE WHEN k % 4 IN (1, 3) THEN ':443' ELSE ':80' END
+              ELSE '' END) ||
+        '/item/' || doc_id ||
+        (CASE WHEN k % 4 = 0 THEN '?utm_source=feed&utm_medium=rss&ref=' || k
+              WHEN k % 4 = 1 THEN '?id=' || k || '&utm_campaign=x'
+              WHEN k % 4 = 2 THEN '?id=' || k
+              ELSE '' END) ||
+        (CASE WHEN k % 2 = 0 THEN '#sec' || k ELSE '' END)"""
+      s"""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 60 AS BIGINT) AS k FROM documents),
+      u AS (SELECT doc_id, $urlExpr AS url FROM d),
+      n AS (SELECT doc_id,
+              ${UrlOps.duckNormalizeSql("url")} AS norm_url,
+              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+              lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host
+            FROM u),
+      r AS (SELECT *, ${UrlOps.duckRegistrableSql("host")} AS domain FROM n)
+      SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+             CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+             CAST(sum(CASE WHEN sch = 'https' THEN 1 ELSE 0 END) AS BIGINT) AS n_https,
+             min(norm_url) AS min_url
+      FROM r GROUP BY domain ORDER BY domain"""
+    })
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
-    q196, q221, q224, q231, q232, q288, q297)
+    q196, q221, q224, q231, q232, q288, q297, q316, q317)
 }

@@ -2388,8 +2388,76 @@ object DataQueries {
              CAST(0 AS BIGINT) AS trailing_bytes
       FROM b GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Deterministic ADTS/AAC stream per document for q315 — same
+    * contract as q314's fixture: real headers, closed-form
+    * (payload-length, CRC, raw-block) plan, filler payload the walker
+    * never reads.
+    */
+  private def synthAdtsPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 50).toInt
+          val frames = (0 until 4 + k % 7).map { j =>
+            (30 + (k * 3 + j * 7) % 200, (k + j) % 3 == 0, (k + j) % 3)
+          }
+          (id, graft.operators.MpegAudio.encodeSyntheticAdts(
+            k % 13, k % 4, 1 + k % 6, frames))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q315 — ADTS/AAC header walk, exactly oracle-gated: the lossy-audio
+    * triage pair is complete (q314 MP3 + this). ADTS is even cheaper
+    * than MP3 — the 13-bit frame length is EXPLICIT in the header, so
+    * the walker hops without a bitrate table; per raw data block an
+    * AAC frame carries 1024 samples, giving duration from headers
+    * alone. Same stop-don't-guess contract (sync/layer/reserved-index
+    * validation, truncation, mid-stream rate change ⇒ stop + report
+    * trailing). Map-only, zero shuffles; the oracle replays the
+    * closed-form frame plan.
+    */
+  val q315 = Q("q315_adts_headers",
+    (s, dir) =>
+      graft.operators.MpegAudio.adtsFeatures(synthAdtsPayloads(s, dir), "doc_id", "payload")
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("profile").cast("long").as("profile"),
+          col("channel_config").cast("long").as("channel_config"),
+          col("n_frames"), col("n_raw_blocks"), col("sum_frame_bytes"),
+          col("n_crc_frames"), col("duration_us"), col("trailing_bytes"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH p AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      d AS (SELECT doc_id, k,
+                   [96000,88200,64000,48000,44100,32000,24000,22050,16000,12000,11025,8000,7350]
+                     [CAST(1 + k % 13 AS INT)] AS sr,
+                   k % 4 AS prof, 1 + k % 6 AS chan, 4 + k % 7 AS nf
+            FROM p),
+      f AS (SELECT doc_id, k, sr, prof, chan, nf, unnest(range(nf)) AS j FROM d),
+      b AS (SELECT doc_id, sr, prof, chan, nf, j,
+                   30 + (k * 3 + j * 7) % 200 AS payload_len,
+                   CASE WHEN (k + j) % 3 = 0 THEN 1 ELSE 0 END AS crc,
+                   (k + j) % 3 AS raw_m1
+            FROM f)
+      SELECT doc_id,
+             CAST(any_value(sr) AS BIGINT) AS sample_rate,
+             CAST(any_value(prof) AS BIGINT) AS profile,
+             CAST(any_value(chan) AS BIGINT) AS channel_config,
+             CAST(any_value(nf) AS BIGINT) AS n_frames,
+             CAST(sum(raw_m1 + 1) AS BIGINT) AS n_raw_blocks,
+             CAST(sum(payload_len + CASE WHEN crc = 1 THEN 9 ELSE 7 END) AS BIGINT)
+               AS sum_frame_bytes,
+             CAST(sum(crc) AS BIGINT) AS n_crc_frames,
+             CAST(sum(raw_m1 + 1) * 1024 * 1000000 // any_value(sr) AS BIGINT)
+               AS duration_us,
+             CAST(0 AS BIGINT) AS trailing_bytes
+      FROM b GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
-    q194, q195, q197, q204, q230, q296, q314)
+    q194, q195, q197, q204, q230, q296, q314, q315)
 }

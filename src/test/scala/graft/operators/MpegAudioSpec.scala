@@ -90,6 +90,56 @@ class MpegAudioSpec extends SparkSpec {
     assert(MpegAudio.parse(Array[Byte](0xff.toByte, 0xfb.toByte)).trailingBytes == 2)
   }
 
+  // ------------------------------------------------------------ ADTS
+
+  private def adtsFrames(n: Int, k: Int): Seq[(Int, Boolean, Int)] =
+    (0 until n).map(j => (30 + (k * 3 + j * 7) % 200, (k + j) % 3 == 0, (k + j) % 3))
+
+  test("ADTS round-trip: parse recovers the synthetic frame plan exactly") {
+    for (k <- 0 until 50) {
+      val frames = adtsFrames(4 + k % 7, k)
+      val bytes = MpegAudio.encodeSyntheticAdts(k % 13, k % 4, 1 + k % 6, frames)
+      val m = MpegAudio.parseAdts(bytes)
+      assert(m.sampleRate == MpegAudio.AdtsSampleRateHz(k % 13))
+      assert(m.profile == k % 4 && m.channelConfig == 1 + k % 6)
+      assert(m.nFrames == frames.length)
+      assert(m.nRawBlocks == frames.map(_._3 + 1).sum.toLong)
+      assert(m.sumFrameBytes ==
+        frames.map(f => f._1 + (if (f._2) 9 else 7)).sum.toLong)
+      assert(m.nCrcFrames == frames.count(_._2))
+      assert(m.durationUs ==
+        frames.map(_._3 + 1).sum.toLong * 1024L * 1000000L /
+          MpegAudio.AdtsSampleRateHz(k % 13))
+      assert(m.trailingBytes == 0)
+    }
+  }
+
+  test("ADTS truncated final frame and trailing garbage are reported, not guessed") {
+    val full = MpegAudio.encodeSyntheticAdts(4, 1, 2, adtsFrames(4, 5))
+    val m1 = MpegAudio.parseAdts(full.dropRight(3))
+    assert(m1.nFrames == 3)
+    val m2 = MpegAudio.parseAdts(full ++ Array.fill(11)(0x42.toByte))
+    assert(m2.nFrames == 4 && m2.trailingBytes == 11)
+  }
+
+  test("ADTS reserved sample-rate index and layer != 00 stop the walk") {
+    val good = MpegAudio.encodeSyntheticAdts(0, 0, 1, adtsFrames(2, 1))
+    // srIdx 13 (reserved): byte2 = (prof<<6)|(13<<2)
+    val badSr = Array(0xff, 0xf1, (0 << 6) | (13 << 2), 0x40, 0x10, 0x3f, 0xfc)
+      .map(_.toByte)
+    assert(MpegAudio.parseAdts(good ++ badSr).nFrames == 2)
+    val badLayer = Array(0xff, 0xf7, 0x10, 0x40, 0x10, 0x3f, 0xfc).map(_.toByte)
+    assert(MpegAudio.parseAdts(good ++ badLayer).nFrames == 2)
+  }
+
+  test("ADTS frame length below header size stops (malformed, would loop forever)") {
+    // frameLen = 5 < 7: bytes 3-5 encode len
+    val hdr = Array(0xff, 0xf1, 0x10, 0x40 | 0x0, (5 >> 3) & 0xff,
+      ((5 & 7) << 5) | 0x1f, 0xfc).map(_.toByte)
+    val m = MpegAudio.parseAdts(hdr ++ Array.fill(30)(0x00.toByte))
+    assert(m.nFrames == 0 && m.trailingBytes == 37)
+  }
+
   test("mp3Features DataFrame path matches parse row-for-row") {
     import spark.implicits._
     // built driver-side: the closure must not capture the (non-serializable) spec
