@@ -1254,6 +1254,87 @@ object CorpusQueries {
       FROM r GROUP BY domain ORDER BY domain"""
     })
 
+  /** q320 — robots.txt fetchability audit, exactly oracle-gated: the
+    * policy pass of the crawl suite (q317 normalizes, q316 extracts,
+    * this decides what may be fetched). Deterministic per-domain
+    * robots texts parse through [[graft.operators.RobotsOps
+    * .parseRules]] (map-side line explode) and every URL gets the
+    * documented longest-match decision ([[graft.operators.RobotsOps
+    * .decide]]: longest matching prefix wins, ties to Allow, no match
+    * ⇒ allowed) via a domain equi-join + bounded per-url window —
+    * the fact table shuffles once, on its natural key. The oracle
+    * replays both the parse and the longest-match window in SQL.
+    */
+  val q320 = Q("q320_robots_audit",
+    (s, dir) => {
+      import graft.operators.RobotsOps
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("k", (col("doc_id") % 60).cast("long"))
+      val domain = when(col("k") % 3 === 0,
+          concat(lit("shop"), (col("k") % 7).cast("string"), lit(".com")))
+        .when(col("k") % 3 === 1,
+          concat(lit("news"), (col("k") % 4).cast("string"), lit(".co.uk")))
+        .otherwise(lit("example.org"))
+      val urls = d.select(domain.as("domain"),
+        concat(lit("/item/"), col("doc_id").cast("string")).as("path"))
+      val kd = (length(col("domain")) * 7 + ascii(col("domain"))) % 10
+      val robots = urls.select("domain").distinct()
+        .withColumn("kd", kd)
+        .withColumn("robots_txt", concat(
+          lit("User-agent: *\nDisallow: /item/"), col("kd").cast("string"),
+          when(col("kd") % 2 === 0,
+            concat(lit("\nAllow: /item/"), col("kd").cast("string"), lit("2")))
+            .otherwise(lit("")),
+          when(col("kd") % 3 === 0, lit("\nDisallow: /private")).otherwise(lit(""))))
+      val rules = RobotsOps.parseRules(robots, "domain", "robots_txt")
+      RobotsOps.decide(urls, rules)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(lit(1L) - col("allowed")).as("n_blocked"),
+          min(when(col("allowed") === 0, col("path"))).as("min_blocked_path"))
+        .orderBy("domain")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 60 AS BIGINT) AS k FROM documents),
+      urls AS (SELECT CASE WHEN k % 3 = 0 THEN 'shop' || (k % 7) || '.com'
+                           WHEN k % 3 = 1 THEN 'news' || (k % 4) || '.co.uk'
+                           ELSE 'example.org' END AS domain,
+                      '/item/' || doc_id AS path
+               FROM d),
+      doms AS (SELECT DISTINCT domain,
+                      (length(domain) * 7 + ascii(domain)) % 10 AS kd
+               FROM urls),
+      robots AS (SELECT domain,
+                   'User-agent: *' || chr(10) || 'Disallow: /item/' || kd ||
+                   (CASE WHEN kd % 2 = 0
+                         THEN chr(10) || 'Allow: /item/' || kd || '2' ELSE '' END) ||
+                   (CASE WHEN kd % 3 = 0
+                         THEN chr(10) || 'Disallow: /private' ELSE '' END) AS txt
+                 FROM doms),
+      lines AS (SELECT domain, unnest(string_split(txt, chr(10))) AS line FROM robots),
+      rules AS (SELECT domain,
+                       regexp_extract(line, '^(Allow|Disallow): (.*)$', 1) AS rule,
+                       regexp_extract(line, '^(Allow|Disallow): (.*)$', 2) AS prefix
+                FROM lines
+                WHERE regexp_extract(line, '^(Allow|Disallow): (.*)$', 1) <> ''
+                  AND regexp_extract(line, '^(Allow|Disallow): (.*)$', 2) <> ''),
+      j AS (SELECT u.domain, u.path, r.rule, r.prefix,
+                   (r.prefix IS NOT NULL AND
+                    substr(u.path, 1, length(r.prefix)) = r.prefix) AS m,
+                   length(r.prefix) AS plen
+            FROM urls u LEFT JOIN rules r ON u.domain = r.domain),
+      ranked AS (SELECT *, row_number() OVER
+                   (PARTITION BY domain, path
+                    ORDER BY m DESC, plen DESC, rule ASC) AS rn
+                 FROM j),
+      dec AS (SELECT domain, path,
+                     CASE WHEN m AND rule = 'Disallow' THEN 0 ELSE 1 END AS allowed
+              FROM ranked WHERE rn = 1)
+      SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+             CAST(sum(1 - allowed) AS BIGINT) AS n_blocked,
+             min(CASE WHEN allowed = 0 THEN path END) AS min_blocked_path
+      FROM dec GROUP BY domain ORDER BY domain"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
-    q196, q221, q224, q231, q232, q288, q297, q316, q317)
+    q196, q221, q224, q231, q232, q288, q297, q316, q317, q320)
 }

@@ -2456,8 +2456,128 @@ object DataQueries {
              CAST(0 AS BIGINT) AS trailing_bytes
       FROM b GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Deterministic Annex-B stream per document for q318: SPS + PPS,
+    * then 2+k%3 GOPs of [optional SEI] + IDR + 1+(k+g)%4 slices;
+    * payload lengths are closed functions of (k, type, g, s) so the
+    * oracle replays the plan with two nested range-unnests. Long
+    * (4-byte) start codes front SPS/PPS/IDR, short elsewhere — the
+    * realistic access-unit convention.
+    */
+  private def synthNalPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 50).toInt
+          def len(t: Int, g: Int, sl: Int) = 20 + (k * 5 + g * 13 + sl * 11 + t) % 90
+          val plan = Seq((7, len(7, 0, 0), true), (8, len(8, 0, 0), true)) ++
+            (0 until 2 + k % 3).flatMap { g =>
+              (if ((k + g) % 2 == 0) Seq((6, len(6, g, 0), false)) else Nil) ++
+                Seq((5, len(5, g, 0), true)) ++
+                (1 to 1 + (k + g) % 4).map(sl => (1, len(1, g, sl), false))
+            }
+          (id, graft.operators.NalCensus.encodeSynthetic(plan))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q318 — H.264 Annex-B NAL census, exactly oracle-gated: the video
+    * member of the header-walk triage family (q314 MP3, q315 ADTS).
+    * [[graft.operators.NalCensus.parse]] walks start codes and
+    * classifies the 5-bit nal_unit_type — parameter sets, IDR
+    * random-access points, slice/SEI mix, NAL size mass — without
+    * touching CABAC/CAVLC bits (the honest MultimodalStub boundary
+    * for entropy-coded video). Map-only, zero shuffles; the oracle
+    * replays the GOP plan with nested range-unnests. Adversarial
+    * inputs (leading garbage, forbidden bit, truncation) are
+    * spec-pinned in NalCensusSpec.
+    */
+  val q318 = Q("q318_nal_census",
+    (s, dir) =>
+      graft.operators.NalCensus.nalFeatures(synthNalPayloads(s, dir), "doc_id", "payload")
+        .orderBy("doc_id"),
+    Some("""
+      WITH p AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      g AS (SELECT doc_id, k, unnest(range(2 + k % 3)) AS gi FROM p),
+      sl AS (SELECT doc_id, k, gi, unnest(range(1, 2 + (k + gi) % 4)) AS si FROM g),
+      -- one row per NAL: type, payload len, long-start flag
+      nals AS (
+        SELECT doc_id, 7 AS t, 20 + (k * 5 + 7) % 90 AS len, 1 AS l4 FROM p
+        UNION ALL
+        SELECT doc_id, 8, 20 + (k * 5 + 8) % 90, 1 FROM p
+        UNION ALL
+        SELECT doc_id, 6, 20 + (k * 5 + gi * 13 + 6) % 90, 0 FROM g WHERE (k + gi) % 2 = 0
+        UNION ALL
+        SELECT doc_id, 5, 20 + (k * 5 + gi * 13 + 5) % 90, 1 FROM g
+        UNION ALL
+        SELECT doc_id, 1, 20 + (k * 5 + gi * 13 + si * 11 + 1) % 90, 0 FROM sl)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_nals,
+             CAST(sum(CASE WHEN t = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_idr,
+             CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_slice,
+             CAST(sum(CASE WHEN t = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_sps,
+             CAST(sum(CASE WHEN t = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_pps,
+             CAST(sum(CASE WHEN t = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_sei,
+             CAST(0 AS BIGINT) AS n_other,
+             CAST(sum(l4) AS BIGINT) AS n_4byte_starts,
+             CAST(sum(len + 1) AS BIGINT) AS sum_nal_bytes,
+             CAST(0 AS BIGINT) AS trailing_bytes
+      FROM nals GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Deterministic ISO-BMFF skeleton per document for q319 —
+    * ftyp + moov[mvhd + trak[tkhd]·n] + mdat, all parameters closed
+    * functions of doc_id.
+    */
+  private def synthBmffPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        val brands = Array("isom", "mp42", "avc1", "M4A ")
+        it.map { id =>
+          val k = (id % 50).toInt
+          (id, graft.operators.IsoBmff.encodeSynthetic(
+            brands(k % 4), 600 * (1 + k % 5), 1000 + k * 37, 1 + k % 3,
+            100 + (k * 29) % 400))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q319 — ISO-BMFF (MP4) box-tree walk, exactly oracle-gated: the
+    * container member of the header-walk triage family. Brand, movie
+    * timescale/duration, track count, metadata-vs-sample mass and
+    * tree depth come from box headers + the fixed-layout `mvhd`
+    * alone — [[graft.operators.IsoBmff.parse]] recurses the known
+    * container set and stops (reporting trailing bytes) on any
+    * malformed size, so a corrupt 100 TB corpus triages safely at
+    * scan speed. Map-only, zero shuffles; oracle replays the skeleton
+    * plan arithmetic (box sizes are closed sums of the plan).
+    */
+  val q319 = Q("q319_mp4_boxes",
+    (s, dir) =>
+      graft.operators.IsoBmff.bmffFeatures(synthBmffPayloads(s, dir), "doc_id", "payload")
+        .orderBy("doc_id"),
+    Some("""
+      WITH p AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      d AS (SELECT doc_id,
+                   ['isom','mp42','avc1','M4A '][CAST(1 + k % 4 AS INT)] AS brand,
+                   600 * (1 + k % 5) AS ts, 1000 + k * 37 AS dur,
+                   1 + k % 3 AS nt, 100 + (k * 29) % 400 AS mlen
+            FROM p)
+      SELECT doc_id, brand,
+             CAST(4 + 2 * nt AS BIGINT) AS n_boxes,
+             CAST(nt AS BIGINT) AS n_tracks,
+             CAST(ts AS BIGINT) AS timescale,
+             CAST(dur AS BIGINT) AS duration,
+             CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+             CAST(mlen AS BIGINT) AS mdat_bytes,
+             CAST(3 AS BIGINT) AS max_depth,
+             CAST(0 AS BIGINT) AS trailing_bytes
+      FROM d ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
-    q194, q195, q197, q204, q230, q296, q314, q315)
+    q194, q195, q197, q204, q230, q296, q314, q315, q318, q319)
 }

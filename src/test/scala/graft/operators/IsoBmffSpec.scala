@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[IsoBmff]] — the MP4 box walker behind q319. */
+class IsoBmffSpec extends SparkSpec {
+
+  test("round-trip: skeleton facts recovered") {
+    val b = IsoBmff.encodeSynthetic("mp42", 1200, 6000, 2, 250)
+    val m = IsoBmff.parse(b)
+    assert(m.brand == "mp42" && m.nBoxes == 8 && m.nTracks == 2)
+    assert(m.timescale == 1200L && m.duration == 6000L && m.durationMs == 5000L)
+    assert(m.mdatBytes == 250L && m.maxDepth == 3 && m.trailingBytes == 0L)
+  }
+
+  test("size smaller than header halts with trailing report") {
+    val good = IsoBmff.encodeSynthetic("isom", 600, 600, 1, 10)
+    val bad = Array[Byte](0, 0, 0, 4, 'f', 'r', 'e', 'e') // size 4 < 8
+    val m = IsoBmff.parse(good ++ bad)
+    assert(m.nBoxes == 6 && m.trailingBytes == 8L)
+  }
+
+  test("size overrunning the file halts") {
+    val good = IsoBmff.encodeSynthetic("isom", 600, 600, 1, 10)
+    val bad = Array[Byte](0, 0, 2, 0, 'f', 'r', 'e', 'e') // claims 512 bytes
+    val m = IsoBmff.parse(good ++ bad)
+    assert(m.trailingBytes == 8L)
+  }
+
+  test("largesize (size==1) boxes parse") {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val payload = Array.fill(12)(7.toByte)
+    val large = be32(1) ++ "mdat".getBytes("US-ASCII") ++
+      Array.fill(4)(0.toByte) ++ be32(16 + payload.length) ++ payload
+    val m = IsoBmff.parse(large)
+    assert(m.nBoxes == 1 && m.mdatBytes == 12L && m.trailingBytes == 0L)
+  }
+
+  test("size==0 box extends to EOF") {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val b = be32(0) ++ "mdat".getBytes("US-ASCII") ++ Array.fill(33)(1.toByte)
+    val m = IsoBmff.parse(b)
+    assert(m.nBoxes == 1 && m.mdatBytes == 33L && m.trailingBytes == 0L)
+  }
+
+  test("sub-header slack is trailing, not a phantom box") {
+    val good = IsoBmff.encodeSynthetic("isom", 600, 600, 1, 10)
+    val m = IsoBmff.parse(good ++ Array[Byte](0, 0, 0))
+    assert(m.trailingBytes == 3L)
+  }
+
+  test("empty input is safe") {
+    val m = IsoBmff.parse(Array.emptyByteArray)
+    assert(m.nBoxes == 0 && m.trailingBytes == 0L)
+  }
+}
