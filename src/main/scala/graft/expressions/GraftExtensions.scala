@@ -55,7 +55,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => JaroWinkler(children.head, children(1))),
     (FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinhashBands].getName, "graft_minhash_bands"),
-      (children: Seq[Expression]) => MinhashBands(children.head, children(1), children(2))))
+      (children: Seq[Expression]) => MinhashBands(children.head, children(1), children(2))),
+    (FunctionIdentifier("graft_gear_chunks"),
+      new ExpressionInfo(classOf[GearChunks].getName, "graft_gear_chunks"),
+      (children: Seq[Expression]) => GearChunks(children.head, children(1))))
 
   /** Idempotently register the functions (and the CartesianGuard
     * optimizer rule, via the runtime `extraOptimizations` hook) on an

@@ -1335,6 +1335,136 @@ object CorpusQueries {
              min(CASE WHEN allowed = 0 THEN path END) AS min_blocked_path
       FROM dec GROUP BY domain ORDER BY domain"""))
 
+  /** q321 — PII detection + redaction, exactly oracle-gated: the
+    * safety pass an LLM corpus runs first. Deterministic
+    * email/IPv4/phone injections ride on every document; the engine
+    * counts matches per type ([[graft.operators.PiiOps.countMatches]]
+    * — the portable split-size trick, codegen'd) and emits typed-
+    * placeholder redacted text ([[PiiOps.redact]] — literal
+    * replacements, fixed order, no group references). Map-only at
+    * scan speed; any divergence in patterns, order, or placeholder
+    * text hash-fails against the same-source oracle chain.
+    */
+  val q321 = Q("q321_pii_redact",
+    (s, dir) => {
+      import graft.operators.PiiOps
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("k", (col("doc_id") % 50).cast("long"))
+      val injected = concat(col("text"),
+        when(col("k") % 3 === 0,
+          concat(lit(" Contact user"), col("k").cast("string"), lit("@example"),
+            (col("k") % 5).cast("string"), lit(".com now"))).otherwise(lit("")),
+        when(col("k") % 4 === 0,
+          concat(lit(" Server 10."), (col("k") % 256).cast("string"), lit(".0."),
+            (col("k") % 100).cast("string"), lit(" up"))).otherwise(lit("")),
+        when(col("k") % 5 === 0,
+          concat(lit(" Call +1-555-"), (lit(100) + col("k") % 900).cast("string"),
+            lit("-"), (lit(1000) + (col("k") * 7) % 9000).cast("string")))
+          .otherwise(lit("")))
+      d.select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          PiiOps.countMatches(col("t"), PiiOps.EmailRe).as("n_emails"),
+          PiiOps.countMatches(col("t"), PiiOps.Ipv4Re).as("n_ips"),
+          PiiOps.countMatches(col("t"), PiiOps.PhoneRe).as("n_phones"),
+          PiiOps.redact(col("t")).as("text_redacted"))
+        .withColumn("n_chars_redacted", length(col("text_redacted")).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some {
+      import graft.operators.PiiOps
+      s"""
+      WITH d AS (SELECT doc_id, text, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      t AS (SELECT doc_id, text ||
+              (CASE WHEN k % 3 = 0 THEN ' Contact user' || k || '@example' ||
+                      (k % 5) || '.com now' ELSE '' END) ||
+              (CASE WHEN k % 4 = 0 THEN ' Server 10.' || (k % 256) || '.0.' ||
+                      (k % 100) || ' up' ELSE '' END) ||
+              (CASE WHEN k % 5 = 0 THEN ' Call +1-555-' || (100 + k % 900) ||
+                      '-' || (1000 + (k * 7) % 9000) ELSE '' END) AS t
+            FROM d)
+      SELECT doc_id,
+             ${PiiOps.duckCountSql("t", PiiOps.EmailRe)} AS n_emails,
+             ${PiiOps.duckCountSql("t", PiiOps.Ipv4Re)} AS n_ips,
+             ${PiiOps.duckCountSql("t", PiiOps.PhoneRe)} AS n_phones,
+             ${PiiOps.duckRedactSql("t")} AS text_redacted,
+             CAST(length(${PiiOps.duckRedactSql("t")}) AS BIGINT) AS n_chars_redacted
+      FROM t ORDER BY doc_id"""
+    })
+
+  /** q322 — content-defined chunking (Gear CDC) dedup census, exactly
+    * oracle-gated: each document's head (240 bytes — bounds the
+    * oracle's recursion; the kernel itself is unbounded) chunks at
+    * gear-hash boundaries (`h ← (h<<1)+gear[b]`, boundary when the low
+    * 6 bits are zero ⇒ ~64-byte expected chunks) via the compiled
+    * [[graft.expressions.GearChunks]] kernel — ONE codegen'd pass per
+    * row, the MinhashKernel discipline. Content-defined boundaries
+    * survive insert/delete edits (fixed-size chunking shifts every
+    * downstream boundary), which is what makes chunk-fingerprint
+    * dedup work on near-identical documents — the rsync/LBFS recipe
+    * at corpus scale: explode chunks, ONE fingerprint rollup, join
+    * doc-counts back. The oracle replays the whole state machine as a
+    * recursive CTE in HUGEINT mod 2⁶⁴ with the gear table re-derived
+    * from the same md5 formula — any divergence in the fold, the
+    * reset-on-boundary, or the chunk fingerprints hash-fails.
+    */
+  val q322 = Q("q322_cdc_chunks",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 240).as("s"))
+      val ch = d.select(col("doc_id"),
+        explode(call_function("graft_gear_chunks", col("s"), lit(6))).as("c"))
+        .select(col("doc_id"), col("c.fp").as("fp"), col("c.len").as("clen"))
+      val fd = ch.groupBy("fp").agg(countDistinct("doc_id").as("nd"))
+      ch.join(fd, Seq("fp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("clen")).cast("long").as("sum_chunk_len"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      gear AS (SELECT b, CAST(concat('0x', substr(md5('gear:' || b), 1, 15)) AS BIGINT) AS g
+               FROM (SELECT unnest(range(256)) AS b)),
+      t AS (SELECT doc_id, substr(text, 1, 240) AS s FROM documents),
+      seq(doc_id, pos, h, bnd) AS (
+        SELECT doc_id, 0, CAST(0 AS HUGEINT), FALSE FROM t
+        UNION ALL
+        SELECT seq.doc_id, seq.pos + 1,
+               CASE WHEN ((seq.h * 2 + g.g) % 18446744073709551616) % 64 = 0
+                    THEN CAST(0 AS HUGEINT)
+                    ELSE (seq.h * 2 + g.g) % 18446744073709551616 END,
+               ((seq.h * 2 + g.g) % 18446744073709551616) % 64 = 0
+        FROM seq JOIN t ON seq.doc_id = t.doc_id
+        JOIN gear g ON g.b = ascii(substr(t.s, seq.pos + 1, 1))
+        WHERE seq.pos < length(t.s)),
+      b AS (SELECT doc_id, pos FROM seq WHERE bnd),
+      -- explicit DISTINCT over UNION ALL: inside a WITH RECURSIVE
+      -- statement DuckDB parses a bare UNION CTE body as recursive-CTE
+      -- syntax and does NOT apply plain set-dedup semantics
+      e AS (SELECT DISTINCT doc_id, pos FROM (
+              SELECT doc_id, pos FROM b
+              UNION ALL
+              SELECT doc_id, CAST(length(s) AS INTEGER) FROM t
+              WHERE length(s) > 0) u),
+      c AS (SELECT doc_id,
+              coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) + 1 AS st,
+              pos AS en
+            FROM e),
+      ch AS (SELECT c.doc_id,
+               CAST(concat('0x', substr(md5(substr(t.s, c.st, c.en - c.st + 1)), 1, 15))
+                 AS BIGINT) AS fp,
+               c.en - c.st + 1 AS clen
+             FROM c JOIN t ON c.doc_id = t.doc_id),
+      fd AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM ch GROUP BY fp)
+      SELECT ch.doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(clen) AS BIGINT) AS sum_chunk_len,
+             CAST(sum(CASE WHEN fd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks
+      FROM ch JOIN fd ON ch.fp = fd.fp
+      GROUP BY ch.doc_id ORDER BY ch.doc_id"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
-    q196, q221, q224, q231, q232, q288, q297, q316, q317, q320)
+    q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322)
 }
