@@ -347,8 +347,47 @@ object Bench {
           Seq(col("cents").desc, col("l_orderkey").asc, col("l_linenumber").asc), 3)
           .count())
 
+      // exact top-1 cosine NN: the r9 chunked block-nested-loop
+      // (bounded chunk rows, chunk-id-only broadcast, map-side max_by)
+      // vs the full-table-broadcast + n²-row window route it replaced.
+      // At this SF the broadcast route can win on constants; the
+      // chunked shape is the one that still EXISTS at 100× (an 8 GB
+      // broadcast limit and an n²-row window do not) — recorded so the
+      // constant-factor cost of scale-correctness is a measured number,
+      // not a claim.
+      val embNN = Tables.load(spark, sfDir, "embeddings")
+      val nnChunkedSec = best2(
+        graft.operators.Similarity.top1Exact(embNN, "vec_id", "embedding").count())
+      val nnBroadcastSec = best2 {
+        val e = embNN.select(col("vec_id"), col("embedding"),
+          sqrt(call_function("graft_dot", col("embedding"), col("embedding"))).as("na"))
+        val b = e.select(col("vec_id").as("nb"), col("embedding").as("eb"),
+          col("na").as("nn"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(desc("cos"), col("nb"))
+        e.join(broadcast(b), col("vec_id") =!= col("nb"))
+          .select(col("vec_id"), col("nb"),
+            (call_function("graft_dot", col("embedding"), col("eb"))
+              / (col("na") * col("nn"))).as("cos"))
+          .withColumn("_r", row_number().over(w)).filter(col("_r") === 1).count()
+      }
+
+      // CDC gear-chunking throughput: the compiled one-pass kernel over
+      // every document's full text (bytes/sec is the number a 100 TB
+      // chunk-dedup pass is budgeted with)
+      val cdcBytes = Tables.load(spark, sfDir, "documents")
+        .agg(sum(length(col("text")))).collect()(0).getLong(0)
+      val cdcSec = best2(
+        Tables.load(spark, sfDir, "documents")
+          .select(explode(call_function("graft_gear_chunks", col("text"), lit(6))))
+          .count())
+
       Seq("calib_sec" -> calib,
         "calib_scan_sec" -> calibScan,
+        "mutualnn_chunked_sec" -> nnChunkedSec,
+        "mutualnn_broadcast_sec" -> nnBroadcastSec,
+        "cdc_chunk_sec" -> cdcSec,
+        "cdc_chunk_mb" -> cdcBytes / 1e6,
         "factjoin_plain_sec" -> plainSec,
         "factjoin_bucketed_sec" -> bucketedSec,
         "cc_chain32_minlabel_sec" -> ccMinlabel,

@@ -295,4 +295,34 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("q316/q321: text extraction and PII redaction are map-only scans " +
+    "(only the presentation sort exchanges)") {
+    for (q <- Seq(CorpusQueries.q316, CorpusQueries.q321)) {
+      val df = q.fn(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning"), s"${q.name} shuffled:\n$plan")
+      assert(!plan.contains("Join"), s"${q.name}:\n$plan")
+      assert(plan.contains("*("), s"${q.name} fell out of codegen:\n$plan")
+    }
+  }
+
+  test("q314/q315/q318/q319: header walkers are single-pass mapPartitions, no joins") {
+    for (q <- Seq(DataQueries.q314, DataQueries.q315, DataQueries.q318, DataQueries.q319)) {
+      val df = q.fn(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"${q.name}:\n$plan")
+      assert(!plan.contains("hashpartitioning"), s"${q.name} shuffled:\n$plan")
+    }
+  }
+
+  test("q322: CDC chunking runs the compiled kernel inside codegen") {
+    val df = CorpusQueries.q322.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_gear_chunks"), plan)
+    assert(plan.contains("HashAggregate"), plan) // fingerprint rollup map-side combines
+  }
 }
