@@ -2576,8 +2576,80 @@ object DataQueries {
              CAST(0 AS BIGINT) AS trailing_bytes
       FROM d ORDER BY doc_id"""))
 
+  /** Deterministic WARC archive per document for q323: one warcinfo,
+    * then 1+k%4 request/response pairs sharing a target URI, then a
+    * metadata record when k%3==0 — all payload lengths closed
+    * functions of (k, pair), so the oracle replays the framing
+    * arithmetic (header bytes = fixed field widths + value lengths).
+    */
+  private def synthWarcPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 50).toInt
+          val plan = Seq(("warcinfo", None: Option[String], 40 + (k * 7) % 50)) ++
+            (0 until 1 + k % 4).flatMap { p =>
+              val uri = s"http://ex$k.com/p$p"
+              Seq(("request", Some(uri), 30 + (k * 11 + p * 13) % 60),
+                ("response", Some(uri), 120 + (k * 17 + p * 29) % 400))
+            } ++
+            (if (k % 3 == 0) Seq(("metadata", None: Option[String], 25 + (k * 5) % 40))
+             else Nil)
+          (id, graft.operators.WarcOps.encodeSynthetic(plan))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q323 — WARC record census, exactly oracle-gated: the container
+    * member of the crawl-curation family (Common Crawl's storage
+    * format — the shape a 100 TB web corpus actually arrives in).
+    * [[graft.operators.WarcOps.parse]] walks Content-Length framing
+    * (never re-syncs on the `WARC/` magic — response payloads can
+    * contain it verbatim) and reports record-type mix, payload mass
+    * vs header overhead, and undecodable tail. Map-only, zero
+    * shuffles; the oracle replays the synthetic plan's framing
+    * arithmetic (header bytes = fixed widths + digit/URI lengths).
+    * Adversarial inputs (truncation, bad Content-Length, missing
+    * blank line, embedded magic) are spec-pinned in WarcOpsSpec.
+    */
+  val q323 = Q("q323_warc_census",
+    (s, dir) =>
+      graft.operators.WarcOps.warcFeatures(synthWarcPayloads(s, dir), "doc_id", "payload")
+        .orderBy("doc_id"),
+    Some("""
+      WITH p AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      pr AS (SELECT doc_id, k, unnest(range(1 + k % 4)) AS pi FROM p),
+      recs AS (
+        SELECT doc_id, 'warcinfo' AS t, CAST(NULL AS VARCHAR) AS uri,
+               40 + (k * 7) % 50 AS clen FROM p
+        UNION ALL
+        SELECT doc_id, 'request', 'http://ex' || k || '.com/p' || pi,
+               30 + (k * 11 + pi * 13) % 60 FROM pr
+        UNION ALL
+        SELECT doc_id, 'response', 'http://ex' || k || '.com/p' || pi,
+               120 + (k * 17 + pi * 29) % 400 FROM pr
+        UNION ALL
+        SELECT doc_id, 'metadata', NULL, 25 + (k * 5) % 40 FROM p WHERE k % 3 = 0)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_records,
+             CAST(sum(CASE WHEN t = 'warcinfo' THEN 1 ELSE 0 END) AS BIGINT) AS n_warcinfo,
+             CAST(sum(CASE WHEN t = 'request' THEN 1 ELSE 0 END) AS BIGINT) AS n_request,
+             CAST(sum(CASE WHEN t = 'response' THEN 1 ELSE 0 END) AS BIGINT) AS n_response,
+             CAST(sum(CASE WHEN t = 'metadata' THEN 1 ELSE 0 END) AS BIGINT) AS n_metadata,
+             CAST(0 AS BIGINT) AS n_other,
+             CAST(sum(clen) AS BIGINT) AS sum_payload_bytes,
+             -- 10 version + 13+|type| WARC-Type + (19+|uri| if present)
+             -- + 18+digits Content-Length + 2 blank
+             CAST(sum(43 + length(t) + length(CAST(clen AS VARCHAR)) +
+                      CASE WHEN uri IS NULL THEN 0 ELSE 19 + length(uri) END)
+               AS BIGINT) AS sum_header_bytes,
+             CAST(0 AS BIGINT) AS trailing_bytes
+      FROM recs GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
-    q194, q195, q197, q204, q230, q296, q314, q315, q318, q319)
+    q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323)
 }
