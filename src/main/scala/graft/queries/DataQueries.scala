@@ -2648,8 +2648,74 @@ object DataQueries {
              CAST(0 AS BIGINT) AS trailing_bytes
       FROM recs GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Deterministic WebDataset-style tar shard per document for q324:
+    * 2+k%3 samples, each a `.jpg` + `.json` pair plus a `.txt` when
+    * (k+s)%2==0 — payload lengths closed functions of (k, s), so the
+    * oracle replays the 512-byte block arithmetic exactly.
+    */
+  private def synthTarPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 50).toInt
+          val files = (0 until 2 + k % 3).flatMap { sm =>
+            val base = s"s$k-$sm"
+            Seq(s"$base.jpg" -> (400 + (k * 31 + sm * 17) % 800),
+              s"$base.json" -> (60 + (k * 7 + sm * 5) % 100)) ++
+              (if ((k + sm) % 2 == 0) Seq(s"$base.txt" -> (30 + (k * 3 + sm * 11) % 50))
+               else Nil)
+          }
+          (id, graft.operators.TarOps.encodeSynthetic(files))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q324 — WebDataset tar-shard audit, exactly oracle-gated: the
+    * multimodal-shard member of the container family (how image/text
+    * training sets actually ship). [[graft.operators.TarOps.parse]]
+    * walks ustar headers (checksum-VERIFIED — a flipped size byte
+    * desynchronizes every later entry), groups files into samples by
+    * basename, and reports entry/sample counts, payload vs
+    * padding+header overhead, and samples missing required
+    * components (jpg+json+txt here) — the incomplete ones silently
+    * drop from training. Map-only, zero shuffles; oracle replays the
+    * 512-byte block arithmetic. Adversarial inputs (checksum flip,
+    * bad octal, truncation, lone zero block) spec-pinned in
+    * TarOpsSpec.
+    */
+  val q324 = Q("q324_tar_shard_audit",
+    (s, dir) =>
+      graft.operators.TarOps.tarFeatures(synthTarPayloads(s, dir), "doc_id", "payload",
+        Seq("jpg", "json", "txt"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH p AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      sm AS (SELECT doc_id, k, unnest(range(2 + k % 3)) AS s FROM p),
+      files AS (
+        SELECT doc_id, k, s, 400 + (k * 31 + s * 17) % 800 AS len FROM sm
+        UNION ALL
+        SELECT doc_id, k, s, 60 + (k * 7 + s * 5) % 100 FROM sm
+        UNION ALL
+        SELECT doc_id, k, s, 30 + (k * 3 + s * 11) % 50 FROM sm WHERE (k + s) % 2 = 0),
+      f AS (SELECT doc_id, len, (len + 511) // 512 * 512 AS padded FROM files),
+      comp AS (SELECT doc_id, count(*) AS nc FROM sm WHERE (k + s) % 2 = 0
+               GROUP BY doc_id)
+      SELECT f.doc_id,
+             CAST(count(*) AS BIGINT) AS n_entries,
+             CAST(any_value(2 + p.k % 3) AS BIGINT) AS n_samples,
+             CAST(coalesce(any_value(comp.nc), 0) AS BIGINT) AS n_complete_samples,
+             CAST(sum(len) AS BIGINT) AS sum_file_bytes,
+             CAST(sum(padded - len) AS BIGINT) AS sum_padding_bytes,
+             CAST(512 * count(*) + sum(padded) + 1024 AS BIGINT) AS archive_bytes,
+             CAST(0 AS BIGINT) AS trailing_bytes
+      FROM f JOIN p ON f.doc_id = p.doc_id
+      LEFT JOIN comp ON comp.doc_id = f.doc_id
+      GROUP BY f.doc_id ORDER BY f.doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
-    q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323)
+    q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324)
 }
