@@ -2714,8 +2714,93 @@ object DataQueries {
       LEFT JOIN comp ON comp.doc_id = f.doc_id
       GROUP BY f.doc_id ORDER BY f.doc_id"""))
 
+  /** q325 — DSIR importance resampling (Xie et al. 2023), exactly
+    * oracle-gated: the data-SELECTION pass of a training pipeline —
+    * score every raw document by how much it looks like a small
+    * high-quality target corpus (here: lang='en' ∧ source='src0'),
+    * then keep the top 20%. Features are hashed uni+bigrams in 64
+    * buckets (md5 — engine-portable); bucket log-likelihood ratios
+    * `ln(p̂_target/q̂_raw)` (add-1 smoothed) are quantized to 1e9
+    * longs ONCE PER BUCKET, so each document's score is an exact
+    * integer dot product `Σ count_b·λ_b` — order-independent, the
+    * module's per-row-quantized determinism policy. Scale shape: two
+    * linear token shuffles for the 64-row bucket stats, a broadcast
+    * λ join, one per-doc aggregate, and a TakeOrdered top-K — no
+    * all-pairs anything; the target corpus being small is the DSIR
+    * premise, not a limitation.
+    */
+  val q325 = Q("q325_dsir_importance",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val toks = d.select(col("doc_id"), col("lang"), col("source"),
+        split(trim(col("text")), "\\s+").as("t"))
+      val feats = toks.select(col("doc_id"), col("lang"), col("source"),
+        concat(col("t"),
+          expr("zip_with(slice(t, 1, greatest(size(t)-1, 0)), " +
+            "slice(t, 2, greatest(size(t)-1, 0)), (a, b) -> concat(a, ' ', b))"))
+          .as("fs"))
+      val f = feats.select(col("doc_id"), col("lang"), col("source"),
+        explode(col("fs")).as("f"))
+        .withColumn("b", Hashing.hash64(col("f")) % 64)
+      val isTarget = col("lang") === "en" && col("source") === "src0"
+      val cr = f.groupBy("b").agg(count(lit(1)).as("cr"))
+      val ct = f.filter(isTarget).groupBy("b").agg(count(lit(1)).as("ct"))
+      val tot = f.agg(count(lit(1)).as("R"),
+        sum(when(isTarget, 1L).otherwise(0L)).as("T"))
+      val lam = s.range(64).toDF("b")
+        .join(cr, Seq("b"), "left").join(ct, Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("b"),
+          expr("""CAST(round(1e9 * ln(
+              (CAST(coalesce(ct, 0) + 1 AS DOUBLE) * CAST(R + 64 AS DOUBLE)) /
+              (CAST(coalesce(cr, 0) + 1 AS DOUBLE) * CAST(T + 64 AS DOUBLE))))
+            AS BIGINT)""").as("lam"))
+      val w = f.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(lam), Seq("b"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt") * col("lam")).as("lr_nano"))
+      val k = math.ceil(d.count() / 5.0).toInt
+      w.orderBy(col("lr_nano").desc, col("doc_id")).limit(k)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lang, source,
+                        string_split_regex(trim(text), '\s+') AS t FROM documents),
+      f AS (SELECT doc_id, lang, source, unnest(t) AS f FROM d
+            UNION ALL
+            SELECT doc_id, lang, source,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+            FROM d),
+      fb AS (SELECT doc_id, lang, source,
+                    CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 64 AS b
+             FROM f),
+      cr AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+      ct AS (SELECT b, count(*) AS ct FROM fb
+             WHERE lang = 'en' AND source = 'src0' GROUP BY b),
+      tot AS (SELECT count(*) AS R,
+                     sum(CASE WHEN lang = 'en' AND source = 'src0' THEN 1 ELSE 0 END) AS T
+              FROM fb),
+      lam AS (SELECT g.b,
+                     CAST(round(1e9 * ln(
+                         (CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) * CAST(tot.R + 64 AS DOUBLE)) /
+                         (CAST(coalesce(cr.cr, 0) + 1 AS DOUBLE) * CAST(tot.T + 64 AS DOUBLE))))
+                       AS BIGINT) AS lam
+              FROM (SELECT unnest(range(64)) AS b) g
+              LEFT JOIN cr ON cr.b = g.b
+              LEFT JOIN ct ON ct.b = g.b
+              CROSS JOIN tot),
+      w AS (SELECT doc_id, sum(cnt * lam) AS lr_nano
+            FROM (SELECT doc_id, b, count(*) AS cnt FROM fb GROUP BY doc_id, b) c
+            JOIN lam ON lam.b = c.b
+            GROUP BY doc_id),
+      r AS (SELECT doc_id, CAST(lr_nano AS BIGINT) AS lr_nano,
+                   row_number() OVER (ORDER BY lr_nano DESC, doc_id) AS rn
+            FROM w)
+      SELECT doc_id, lr_nano FROM r
+      WHERE rn <= (SELECT ceil(count(*) / 5.0) FROM documents)
+      ORDER BY lr_nano DESC, doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
-    q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324)
+    q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325)
 }
