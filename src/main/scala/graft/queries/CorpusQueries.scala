@@ -1465,6 +1465,150 @@ object CorpusQueries {
       FROM ch JOIN fd ON ch.fp = fd.fp
       GROUP BY ch.doc_id ORDER BY ch.doc_id"""))
 
+  /** q326 — Unicode script/mojibake census, exactly oracle-gated: the
+    * script-mixing triage pass (CCNet/fineweb-style) a multilingual
+    * crawl runs before language-ID can be trusted — mixed-script text
+    * is usually boilerplate, spam, or encoding damage, and zero-width
+    * / control characters are the classic token-smuggling vector.
+    * Deterministic CJK / Cyrillic / ZWSP / control injections ride on
+    * the ASCII corpus (the q321 discipline); counts use the portable
+    * split-size trick over EXPLICIT `[\x{…}-\x{…}]` code-point
+    * classes — the one range syntax java.util.regex and RE2 share
+    * (`\p{Han}` vs `\p{IsHan}` spellings diverge, so script names are
+    * designed out). Map-only, zero shuffles, all codegen'd built-ins.
+    */
+  val q326 = Q("q326_script_census",
+    (s, dir) => {
+      val k = (col("doc_id") % 50).cast("long")
+      // Spark's chr() is ASCII-only (n % 256) — inject real code points
+      // via array-literal lookup instead (still codegen'd constants)
+      val cjkChars = array((0 until 50).map(i =>
+        lit(String.valueOf((0x4E00 + i).toChar))): _*)
+      val cyrChars = array((0 until 32).map(i =>
+        lit(String.valueOf((0x410 + i).toChar))): _*)
+      val injected = concat(col("text"),
+        when(k % 4 === 0, repeat(element_at(cjkChars, (k + 1).cast("int")),
+          (lit(4) + k % 7).cast("int"))).otherwise(lit("")),
+        when(k % 5 === 0, repeat(element_at(cyrChars, (k % 32 + 1).cast("int")), 3))
+          .otherwise(lit("")),
+        when(k % 6 === 0, lit("\u200B")).otherwise(lit("")),
+        when(k % 7 === 0, lit("\u0007")).otherwise(lit("")))
+      def cnt(c: org.apache.spark.sql.Column, cls: String) =
+        (size(split(c, cls)) - 1).cast("long")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          cnt(col("t"), "[A-Za-z]").as("n_latin"),
+          cnt(col("t"), "[\\x{4E00}-\\x{9FFF}]").as("n_cjk"),
+          cnt(col("t"), "[\\x{0400}-\\x{04FF}]").as("n_cyr"),
+          cnt(col("t"), "[\\x{200B}-\\x{200D}]").as("n_zwsp"),
+          cnt(col("t"), "[\\x{0001}-\\x{0008}\\x{000E}-\\x{001F}]").as("n_ctrl"))
+        .withColumn("mixed_script",
+          ((col("n_cjk") > 0 || col("n_cyr") > 0) && col("n_latin") > 0)
+            .cast("long"))
+        .withColumn("suspicious", (col("n_zwsp") + col("n_ctrl") > 0).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k, text FROM documents),
+      t AS (SELECT doc_id, text ||
+              (CASE WHEN k % 4 = 0 THEN repeat(chr(CAST(19968 + k AS INT)), CAST(4 + k % 7 AS INT)) ELSE '' END) ||
+              (CASE WHEN k % 5 = 0 THEN repeat(chr(CAST(1040 + k % 32 AS INT)), 3) ELSE '' END) ||
+              (CASE WHEN k % 6 = 0 THEN chr(8203) ELSE '' END) ||
+              (CASE WHEN k % 7 = 0 THEN chr(7) ELSE '' END) AS t
+            FROM d),
+      c AS (SELECT doc_id,
+              CAST(length(string_split_regex(t, '[A-Za-z]')) - 1 AS BIGINT) AS n_latin,
+              CAST(length(string_split_regex(t, '[\x{4E00}-\x{9FFF}]')) - 1 AS BIGINT) AS n_cjk,
+              CAST(length(string_split_regex(t, '[\x{0400}-\x{04FF}]')) - 1 AS BIGINT) AS n_cyr,
+              CAST(length(string_split_regex(t, '[\x{200B}-\x{200D}]')) - 1 AS BIGINT) AS n_zwsp,
+              CAST(length(string_split_regex(t, '[\x{0001}-\x{0008}\x{000E}-\x{001F}]')) - 1 AS BIGINT) AS n_ctrl
+            FROM t)
+      SELECT doc_id, n_latin, n_cjk, n_cyr, n_zwsp, n_ctrl,
+             CAST(CASE WHEN (n_cjk > 0 OR n_cyr > 0) AND n_latin > 0 THEN 1 ELSE 0 END
+               AS BIGINT) AS mixed_script,
+             CAST(CASE WHEN n_zwsp + n_ctrl > 0 THEN 1 ELSE 0 END AS BIGINT) AS suspicious
+      FROM c ORDER BY doc_id"""))
+
+  /** q327 — source-overlap matrix ("which crawl dumps overlap"),
+    * exactly oracle-gated: corpus-LEVEL dedup triage — before any
+    * doc-level pass, a 100 TB ingest wants the pairwise overlap of
+    * its source dumps to know which pairs are worth deduping against
+    * each other. Two estimators side by side: (1) EXACT 3-token-
+    * shingle Jaccard, computed scalably because a shingle's distinct-
+    * source list is bounded by the source count (≤ ~20 ⇒ ≤ 190 pairs
+    * per shingle — never doc×doc); (2) the 32-family MinHash
+    * signature agreement (md5 hash families, exact integer mins) —
+    * the sketch that replaces (1) when the source count grows. Both
+    * are deterministic integers except the two round-6 ratios.
+    */
+  val q327 = Q("q327_source_overlap",
+    (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("source"), split(trim(col("text")), "\\s+").as("t"))
+      val sh = toks.select(col("source"), explode(expr(
+        """CASE WHEN size(t) >= 3
+             THEN transform(sequence(0, size(t)-3),
+                            i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+             ELSE CAST(array() AS ARRAY<STRING>) END""")).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val common = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val exact = common
+        .join(broadcast(sizes).withColumnRenamed("source", "src_a")
+          .withColumnRenamed("n", "na"), Seq("src_a"))
+        .join(broadcast(sizes).withColumnRenamed("source", "src_b")
+          .withColumnRenamed("n", "nb"), Seq("src_b"))
+      val hs = explode(array((0 until 32).map(lit(_)): _*)).as("h")
+      val sig = sh.select(col("source"), col("sh"), hs)
+        .select(col("source"), col("h"),
+          Hashing.hash64(concat(col("sh"), lit("#"), col("h"))).as("hv"))
+        .groupBy("source", "h").agg(min("hv").as("mv"))
+      val agree = sig.as("x").join(sig.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(sum(when(col("x.mv") === col("y.mv"), 1L).otherwise(0L)).as("n_sig_agree"))
+      exact.join(agree, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("na") + col("nb") - col("n_common")), 6).as("jaccard_exact"),
+          coalesce(col("n_sig_agree"), lit(0L)).as("n_sig_agree"),
+          round(coalesce(col("n_sig_agree"), lit(0L)).cast("double") / 32, 6)
+            .as("jaccard_est"))
+        .orderBy("src_a", "src_b")
+    },
+    Some("""
+      WITH d AS (SELECT source, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT DISTINCT source,
+                    unnest(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+             FROM d),
+      sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      common AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+                 GROUP BY 1, 2),
+      sig AS (SELECT source, h,
+                     min(CAST(concat('0x', substr(md5(sh || '#' || h), 1, 15)) AS BIGINT)) AS mv
+              FROM sh CROSS JOIN (SELECT unnest(range(32)) AS h) hh
+              GROUP BY source, h),
+      agree AS (SELECT x.source AS src_a, y.source AS src_b,
+                       sum(CASE WHEN x.mv = y.mv THEN 1 ELSE 0 END) AS n_sig_agree
+                FROM sig x JOIN sig y ON x.h = y.h AND x.source < y.source
+                GROUP BY 1, 2)
+      SELECT c.src_a, c.src_b,
+             CAST(c.n_common AS BIGINT) AS n_common,
+             round(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common), 6) AS jaccard_exact,
+             CAST(coalesce(g.n_sig_agree, 0) AS BIGINT) AS n_sig_agree,
+             round(CAST(coalesce(g.n_sig_agree, 0) AS DOUBLE) / 32, 6) AS jaccard_est
+      FROM common c
+      JOIN sizes sa ON sa.source = c.src_a
+      JOIN sizes sb ON sb.source = c.src_b
+      LEFT JOIN agree g ON g.src_a = c.src_a AND g.src_b = c.src_b
+      ORDER BY c.src_a, c.src_b"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
-    q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322)
+    q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327)
 }
