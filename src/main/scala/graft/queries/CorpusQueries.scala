@@ -1609,6 +1609,95 @@ object CorpusQueries {
       LEFT JOIN agree g ON g.src_a = c.src_a AND g.src_b = c.src_b
       ORDER BY c.src_a, c.src_b"""))
 
+  /** q328 — Luhn card-number audit, exactly oracle-gated: the
+    * STRUCTURED-PII complement to q321's pattern pass — a 16-digit
+    * run is only a live card number if its mod-10 check digit
+    * verifies, and the distinction (valid card vs random digits)
+    * drives whether a redaction pipeline escalates. Card-shaped
+    * injections ride on every 2nd doc (check digit correct when
+    * k%3==0, off-by-one otherwise); the engine extracts the run and
+    * VERIFIES Luhn with integer array folds (`aggregate`/
+    * `list_reduce` — all codegen'd, no UDF), and the oracle
+    * re-derives the verdict with its own independent fold. Map-only,
+    * zero shuffles.
+    */
+  val q328 = Q("q328_luhn_audit",
+    (s, dir) => {
+      val k = (col("doc_id") % 50).cast("long")
+      // 16 deterministic digits: d0 = 4, d1..d14 = (k·7+i·13)%10, d15 =
+      // Luhn check over d0..d14, +1 mod 10 when k%3≠0 (invalid)
+      val digits = (0 until 15).map {
+        case 0 => lit(4L)
+        case i => (k * 7 + i * 13) % 10
+      }
+      // doubling applies at even left indices for a 16-digit number
+      val partial = digits.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 0) {
+          val dd = d * 2
+          when(dd > 9, dd - 9).otherwise(dd)
+        } else d
+      }.reduce(_ + _)
+      val check = (lit(10L) - partial % 10) % 10
+      val checkUsed = when(k % 3 === 0, check).otherwise((check + 1) % 10)
+      val cardStr = concat((digits :+ checkUsed).map(_.cast("string")): _*)
+      val injected = when(k % 2 === 0,
+        concat(col("text"), lit(" card "), cardStr, lit(" on file")))
+        .otherwise(col("text"))
+      // verify: fold the 16 extracted digits with the same doubling rule
+      val luhnSum = expr(
+        """aggregate(transform(sequence(1, 16),
+             i -> CASE WHEN i % 2 = 1
+                       THEN CASE WHEN CAST(substring(cc, i, 1) AS INT) * 2 > 9
+                                 THEN CAST(substring(cc, i, 1) AS INT) * 2 - 9
+                                 ELSE CAST(substring(cc, i, 1) AS INT) * 2 END
+                       ELSE CAST(substring(cc, i, 1) AS INT) END),
+           0, (acc, x) -> acc + x)""")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), injected.as("t"))
+        .withColumn("cc", regexp_extract(col("t"), "[0-9]{16}", 0))
+        .select(col("doc_id"),
+          (length(col("cc")) === 16).cast("long").as("card_found"),
+          when(length(col("cc")) === 16 && luhnSum % 10 === 0, 1L).otherwise(0L)
+            .as("luhn_valid"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k, text FROM documents),
+      gen AS (SELECT doc_id, k,
+                     list_transform(range(0, 15),
+                       i -> CASE WHEN i = 0 THEN 4 ELSE (k * 7 + i * 13) % 10 END) AS ds
+              FROM d),
+      chk AS (SELECT doc_id, k, ds,
+                     (10 - list_sum(list_transform(range(1, 16),
+                        i -> CASE WHEN (i - 1) % 2 = 0
+                                  THEN CASE WHEN ds[i] * 2 > 9 THEN ds[i] * 2 - 9
+                                            ELSE ds[i] * 2 END
+                                  ELSE ds[i] END)) % 10) % 10 AS c
+              FROM gen),
+      t AS (SELECT c2.doc_id,
+                   CASE WHEN c2.k % 2 = 0
+                        THEN d.text || ' card ' ||
+                             list_aggregate(list_transform(c2.ds, x -> CAST(x AS VARCHAR)), 'string_agg', '') ||
+                             CAST(CASE WHEN c2.k % 3 = 0 THEN c2.c ELSE (c2.c + 1) % 10 END AS VARCHAR) ||
+                             ' on file'
+                        ELSE d.text END AS t
+            FROM chk c2 JOIN d ON c2.doc_id = d.doc_id),
+      x AS (SELECT doc_id, regexp_extract(t, '[0-9]{16}', 0) AS cc FROM t),
+      v AS (SELECT doc_id, cc,
+                   list_sum(list_transform(range(1, 17),
+                     i -> CASE WHEN i % 2 = 1
+                               THEN CASE WHEN CAST(substr(cc, CAST(i AS INT), 1) AS INT) * 2 > 9
+                                         THEN CAST(substr(cc, CAST(i AS INT), 1) AS INT) * 2 - 9
+                                         ELSE CAST(substr(cc, CAST(i AS INT), 1) AS INT) * 2 END
+                               ELSE CAST(substr(cc, CAST(i AS INT), 1) AS INT) END)) AS s
+            FROM x WHERE length(cc) = 16)
+      SELECT d.doc_id,
+             CAST(CASE WHEN v.cc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS card_found,
+             CAST(CASE WHEN v.s % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS luhn_valid
+      FROM d LEFT JOIN v ON v.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
-    q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327)
+    q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
+    q328)
 }
