@@ -2799,8 +2799,79 @@ object DataQueries {
       WHERE rn <= (SELECT ceil(count(*) / 5.0) FROM documents)
       ORDER BY lr_nano DESC, doc_id"""))
 
+  /** Deterministic Ogg/Opus-shaped stream per document for q329:
+    * BOS (19-byte OpusHead-sized packet) + tags page + 3+k%4 data
+    * pages (1+(k+p)%3 segments each, continued flag on interior
+    * pages where (k+p)%5==0, EOS on the last, granule 960·(p+1)) —
+    * all lengths closed functions of (k, p, s) so the oracle replays
+    * the page plan with nested range-unnests.
+    */
+  private def synthOggPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 50).toInt
+          val nData = 3 + k % 4
+          val plan = Seq((2, 0L, Seq(19)), (0, 0L, Seq(30 + k % 20))) ++
+            (0 until nData).map { p =>
+              val cont = p > 0 && p < nData - 1 && (k + p) % 5 == 0
+              val hType = (if (p == nData - 1) 4 else 0) | (if (cont) 1 else 0)
+              val segs = (0 until 1 + (k + p) % 3)
+                .map(sg => 50 + (k * 7 + p * 11 + sg * 13) % 150)
+              (hType, 960L * (p + 1), segs)
+            }
+          (id, graft.operators.OggOps.encodeSynthetic(plan))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q329 — Ogg page census, exactly oracle-gated: the open-container
+    * member of the audio-triage family (q314 MP3, q315 ADTS — this is
+    * the format Opus/Vorbis corpora actually ship in). Pages are
+    * CRC-VERIFIED during the walk (Ogg CRC-32, unreflected
+    * 0x04C11DB7 over the page with the CRC field zeroed — a corrupt
+    * segment table otherwise desynchronizes every later page);
+    * duration comes from the final granule position (48 kHz ticks).
+    * Map-only, zero shuffles; the oracle replays the page plan with
+    * nested range-unnests. Adversarial inputs (CRC flip, truncation,
+    * bad version, segment-table overrun) spec-pinned in OggOpsSpec.
+    */
+  val q329 = Q("q329_ogg_census",
+    (s, dir) =>
+      graft.operators.OggOps.oggFeatures(synthOggPayloads(s, dir), "doc_id", "payload")
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      pg AS (SELECT doc_id, k, unnest(range(3 + k % 4)) AS p FROM d),
+      sg AS (SELECT doc_id, k, p, unnest(range(1 + (k + p) % 3)) AS s FROM pg),
+      dataseg AS (SELECT doc_id,
+                         sum(50 + (k * 7 + p * 11 + s * 13) % 150) AS dbytes
+                  FROM sg GROUP BY doc_id),
+      pgagg AS (SELECT doc_id,
+                       sum(27 + 1 + (k + p) % 3) AS dheader,
+                       sum(CASE WHEN p > 0 AND p < 2 + k % 4 AND (k + p) % 5 = 0
+                                THEN 1 ELSE 0 END) AS ncont
+                FROM pg GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(5 + k % 4 AS BIGINT) AS n_pages,
+             CAST(1 AS BIGINT) AS n_bos,
+             CAST(1 AS BIGINT) AS n_eos,
+             CAST(pgagg.ncont AS BIGINT) AS n_continued,
+             CAST(19 + 30 + k % 20 + dataseg.dbytes AS BIGINT) AS payload_bytes,
+             CAST(28 + 28 + pgagg.dheader AS BIGINT) AS header_bytes,
+             CAST(960 * (3 + k % 4) AS BIGINT) AS last_granule,
+             CAST(20 * (3 + k % 4) AS BIGINT) AS duration_ms,
+             CAST(0 AS BIGINT) AS trailing_bytes
+      FROM d
+      JOIN dataseg ON dataseg.doc_id = d.doc_id
+      JOIN pgagg ON pgagg.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
-    q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325)
+    q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
+    q329)
 }
