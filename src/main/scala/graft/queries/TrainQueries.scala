@@ -861,6 +861,67 @@ object TrainQueries {
              CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS quota
       FROM e ORDER BY source"""))
 
+  /** q330 — temperature-scaled language mixture (the multilingual
+    * α-sampling rule: w_i ∝ c_i^α, α = 0.3 — upweights low-resource
+    * languages relative to raw proportional sampling; the standard
+    * knob in multilingual pretraining), composed with q184's exact
+    * Hamilton apportionment so the final per-language quotas sum to
+    * the budget EXACTLY. Determinism: c_i^α is nano-quantized ONCE
+    * per language (one exp/ln double per ≤|langs| row — no float
+    * folds), and everything after is integer: Σ s_i, DECIMAL(38,0)
+    * products for the quota bases, largest-remainder distribution
+    * with lang as the total-order tiebreak. Scale shape: one linear
+    * token count + groupBy(lang); the mixture math runs on the
+    * ≤|langs| rollup (global windows bounded by construction —
+    * PlanSpec-whitelisted).
+    */
+  val q330 = Q("q330_mixture_temperature",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tok = docs
+        .select(col("lang"), size(TA.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("lang").agg(sum("nt").as("n_tokens"))
+      val wAll = Window.partitionBy()
+      tok
+        .withColumn("s_nano", expr(
+          "CAST(round(1e9 * exp(0.3 * ln(CAST(n_tokens AS DOUBLE)))) AS BIGINT)"))
+        .withColumn("S", sum("s_nano").over(wAll))
+        .withColumn("w_nano", expr(
+          "CAST(round(1e9 * CAST(s_nano AS DOUBLE) / CAST(S AS DOUBLE)) AS BIGINT)"))
+        .withColumn("p", expr(
+          "CAST(1000000 AS DECIMAL(38,0)) * CAST(s_nano AS DECIMAL(38,0))"))
+        .withColumn("base", expr("CAST(p div CAST(S AS DECIMAL(38,0)) AS BIGINT)"))
+        .withColumn("rem", expr("CAST(p % CAST(S AS DECIMAL(38,0)) AS BIGINT)"))
+        .withColumn("extra", lit(1000000L) - sum("base").over(wAll))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+        .withColumn("quota",
+          col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+        .select("lang", "n_tokens", "s_nano", "w_nano", "quota")
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH t AS (SELECT lang, CAST(len($duckTokens) AS BIGINT) AS nt FROM documents),
+      g AS (SELECT lang, sum(nt) AS n_tokens FROM t GROUP BY lang),
+      sc AS (SELECT lang, n_tokens,
+                    CAST(round(1e9 * exp(0.3 * ln(CAST(n_tokens AS DOUBLE)))) AS BIGINT) AS s_nano
+             FROM g),
+      w AS (SELECT lang, n_tokens, s_nano, sum(s_nano) OVER () AS S FROM sc),
+      p AS (SELECT lang, n_tokens, s_nano, S,
+                   CAST(round(1e9 * CAST(s_nano AS DOUBLE) / CAST(S AS DOUBLE))
+                     AS BIGINT) AS w_nano,
+                   CAST(1000000 AS HUGEINT) * s_nano AS pp
+            FROM w),
+      q AS (SELECT lang, n_tokens, s_nano, w_nano,
+                   CAST(pp // S AS BIGINT) AS base,
+                   CAST(pp % S AS BIGINT) AS rem FROM p),
+      e AS (SELECT lang, n_tokens, s_nano, w_nano, base,
+                   1000000 - sum(base) OVER () AS extra,
+                   row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM q)
+      SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens, s_nano, w_nano,
+             CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM e ORDER BY lang"""))
+
   // --------------------------------------------------------------- q300
 
   /** q300 — one ALS alternation (rank 2, ridge λ=0.1) on the implicit
@@ -1208,5 +1269,5 @@ object TrainQueries {
       FROM agg CROSS JOIN tn"""))
 
   val all: Seq[Q] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q184, q300, q303, q304, q305)
+    q88, q89, q90, q91, q184, q300, q303, q304, q305, q330)
 }
