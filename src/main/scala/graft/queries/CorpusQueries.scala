@@ -1697,7 +1697,82 @@ object CorpusQueries {
       FROM d LEFT JOIN v ON v.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** q331 — corpus snapshot diff (the incremental-crawl changelog):
+    * between two dataset versions a 100 TB pipeline wants per-source
+    * added/removed/changed/unchanged counts and byte churn BEFORE
+    * deciding what to re-process — the diff runs on fingerprints
+    * (md5), never on text comparison. Version 2 is derived
+    * deterministically from version 1 (k%11 docs removed, k%7 texts
+    * edited, k%13 docs cloned as new ids — the q321 injection
+    * discipline), and the diff itself is ONE full-outer join on
+    * doc_id over (fingerprint, length) pairs + a per-source rollup.
+    * Scale shape: fingerprints are computed map-side; the join
+    * shuffles two narrow columns, not text.
+    */
+  val q331 = Q("q331_snapshot_diff",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("k", (col("doc_id") % 50).cast("long"))
+      val v1 = d.select(col("doc_id"), col("source"),
+        md5(col("text")).as("f"), length(col("text")).cast("long").as("len"))
+      val v2base = d.filter(col("k") % 11 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("k") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("t"))
+      val v2new = d.filter(col("k") % 13 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("source"),
+          concat(col("text"), lit(" new")).as("t"))
+      val v2 = v2base.union(v2new)
+        .select(col("doc_id"), col("source").as("source2"),
+          md5(col("t")).as("f2"), length(col("t")).cast("long").as("len2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("source"), col("source2")).as("src"),
+          when(col("f").isNull, 1L).otherwise(0L).as("added"),
+          when(col("f2").isNull, 1L).otherwise(0L).as("removed"),
+          when(col("f").isNotNull && col("f2").isNotNull && col("f") =!= col("f2"), 1L)
+            .otherwise(0L).as("changed"),
+          when(col("f") === col("f2"), 1L).otherwise(0L).as("unchanged"),
+          when(col("f").isNull, col("len2")).otherwise(0L).as("ba"),
+          when(col("f2").isNull, col("len")).otherwise(0L).as("br"))
+        .groupBy(col("src").as("source"))
+        .agg(sum("added").as("n_added"), sum("removed").as("n_removed"),
+          sum("changed").as("n_changed"), sum("unchanged").as("n_unchanged"),
+          sum("ba").as("bytes_added"), sum("br").as("bytes_removed"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source, text, CAST(doc_id % 50 AS BIGINT) AS k
+                 FROM documents),
+      v1 AS (SELECT doc_id, source, md5(text) AS f,
+                    CAST(length(text) AS BIGINT) AS len FROM d),
+      v2 AS (SELECT doc_id, source AS source2,
+                    md5(CASE WHEN k % 7 = 0 THEN text || ' v2' ELSE text END) AS f2,
+                    CAST(length(CASE WHEN k % 7 = 0 THEN text || ' v2' ELSE text END)
+                      AS BIGINT) AS len2
+             FROM d WHERE k % 11 <> 0
+             UNION ALL
+             SELECT doc_id + 1000000000, source, md5(text || ' new'),
+                    CAST(length(text || ' new') AS BIGINT)
+             FROM d WHERE k % 13 = 0),
+      j AS (SELECT coalesce(v1.source, v2.source2) AS source,
+                   CASE WHEN v1.f IS NULL THEN 1 ELSE 0 END AS added,
+                   CASE WHEN v2.f2 IS NULL THEN 1 ELSE 0 END AS removed,
+                   CASE WHEN v1.f IS NOT NULL AND v2.f2 IS NOT NULL AND v1.f <> v2.f2
+                        THEN 1 ELSE 0 END AS changed,
+                   CASE WHEN v1.f = v2.f2 THEN 1 ELSE 0 END AS unchanged,
+                   CASE WHEN v1.f IS NULL THEN v2.len2 ELSE 0 END AS ba,
+                   CASE WHEN v2.f2 IS NULL THEN v1.len ELSE 0 END AS br
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      SELECT source,
+             CAST(sum(added) AS BIGINT) AS n_added,
+             CAST(sum(removed) AS BIGINT) AS n_removed,
+             CAST(sum(changed) AS BIGINT) AS n_changed,
+             CAST(sum(unchanged) AS BIGINT) AS n_unchanged,
+             CAST(sum(ba) AS BIGINT) AS bytes_added,
+             CAST(sum(br) AS BIGINT) AS bytes_removed
+      FROM j GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
-    q328)
+    q328, q331)
 }

@@ -2869,9 +2869,75 @@ object DataQueries {
       JOIN pgagg ON pgagg.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Deterministic ZIP per document for q332: 2+k%4 entries (stored
+    * when (k+f)%3==0, deflated otherwise; compressed size a closed
+    * ratio of the uncompressed), payload filler deliberately
+    * containing `PK` runs — discovery must come from the EOCD
+    * backward scan, not signature hunting.
+    */
+  private def synthZipPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 50).toInt
+          val entries = (0 until 2 + k % 4).map { f =>
+            val usize = 100 + (k * 13 + f * 7) % 300
+            val stored = (k + f) % 3 == 0
+            val csize = if (stored) usize else usize * (40 + (k + f) % 30) / 100
+            (s"e$k-$f.txt", if (stored) 0 else 8, csize, usize)
+          }
+          (id, graft.operators.ZipOps.encodeSynthetic(entries))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q332 — ZIP archive audit, exactly oracle-gated: the last
+    * ubiquitous dataset container (q323 WARC, q324 tar) — public
+    * datasets overwhelmingly arrive as .zip.
+    * [[graft.operators.ZipOps.parse]] finds the EOCD by BACKWARD
+    * scan (the only correct discovery — entry payloads legally
+    * contain signature bytes), walks the central directory, and
+    * cross-checks every entry's local header at its recorded offset
+    * (central↔local disagreement is the zip-smuggling vector —
+    * counted, not guessed through). Stored/deflated mix and
+    * compressed-vs-uncompressed mass double as quality/dup triage
+    * signals. Map-only, zero shuffles; oracle replays the directory
+    * arithmetic. Adversarial inputs spec-pinned in ZipOpsSpec.
+    */
+  val q332 = Q("q332_zip_audit",
+    (s, dir) =>
+      graft.operators.ZipOps.zipFeatures(synthZipPayloads(s, dir), "doc_id", "payload")
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      e AS (SELECT doc_id, k, unnest(range(2 + k % 4)) AS f FROM d),
+      x AS (SELECT doc_id, k, f,
+                   100 + (k * 13 + f * 7) % 300 AS usize,
+                   CASE WHEN (k + f) % 3 = 0 THEN 1 ELSE 0 END AS stored,
+                   length('e' || k || '-' || f || '.txt') AS nlen
+            FROM e),
+      y AS (SELECT doc_id, k, stored, usize, nlen,
+                   CASE WHEN stored = 1 THEN usize
+                        ELSE usize * (40 + (k + f) % 30) // 100 END AS csize
+            FROM x)
+      SELECT doc_id,
+             CAST(1 AS BIGINT) AS eocd_found,
+             CAST(count(*) AS BIGINT) AS n_entries,
+             CAST(sum(stored) AS BIGINT) AS n_stored,
+             CAST(sum(1 - stored) AS BIGINT) AS n_deflated,
+             CAST(0 AS BIGINT) AS n_other_method,
+             CAST(sum(csize) AS BIGINT) AS sum_comp_bytes,
+             CAST(sum(usize) AS BIGINT) AS sum_uncomp_bytes,
+             CAST(sum(46 + nlen) AS BIGINT) AS central_bytes,
+             CAST(0 AS BIGINT) AS n_local_mismatch,
+             CAST(0 AS BIGINT) AS trailing_bytes
+      FROM y GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
-    q329)
+    q329, q332)
 }

@@ -311,7 +311,7 @@ class PlanSpec extends SparkSpec {
 
   test("q314/q315/q318/q319/q323/q324/q329: header walkers are single-pass mapPartitions, no joins") {
     for (q <- Seq(DataQueries.q314, DataQueries.q315, DataQueries.q318, DataQueries.q319,
-        DataQueries.q323, DataQueries.q324, DataQueries.q329)) {
+        DataQueries.q323, DataQueries.q324, DataQueries.q329, DataQueries.q332)) {
       val df = q.fn(spark, sf)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
