@@ -382,7 +382,26 @@ object Bench {
           .select(explode(call_function("graft_gear_chunks", col("text"), lit(6))))
           .count())
 
+      // blocklist scan: the compiled Aho-Corasick one-pass kernel vs
+      // P independent split-count evaluations of the same 8 phrases —
+      // the per-byte work ratio a P-phrase policy filter pays without
+      // the automaton (grows with P; the kernel does not)
+      val blkPhrases = Seq("table", "fast table", "slow fast", "value part",
+        "spark", "order data", "row scan", "the")
+      val blkDocs = Tables.load(spark, sfDir, "documents")
+      val blkAcSec = best2(
+        blkDocs.select(expr(
+          s"aggregate(graft_multi_match(text, array(${blkPhrases.map(p => s"'$p'").mkString(",")})), 0, (a, x) -> a + x)").as("n"))
+          .agg(sum("n")).collect())
+      val blkSplitSec = best2(
+        blkDocs.select(blkPhrases.map(p =>
+          (size(split(col("text"), java.util.regex.Pattern.quote(p))) - 1).as(s"c"))
+          .reduce(_ + _).as("n"))
+          .agg(sum("n")).collect())
+
       Seq("calib_sec" -> calib,
+        "blocklist_ac_sec" -> blkAcSec,
+        "blocklist_split8_sec" -> blkSplitSec,
         "calib_scan_sec" -> calibScan,
         "mutualnn_chunked_sec" -> nnChunkedSec,
         "mutualnn_broadcast_sec" -> nnBroadcastSec,

@@ -58,7 +58,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => MinhashBands(children.head, children(1), children(2))),
     (FunctionIdentifier("graft_gear_chunks"),
       new ExpressionInfo(classOf[GearChunks].getName, "graft_gear_chunks"),
-      (children: Seq[Expression]) => GearChunks(children.head, children(1))))
+      (children: Seq[Expression]) => GearChunks(children.head, children(1))),
+    (FunctionIdentifier("graft_multi_match"),
+      new ExpressionInfo(classOf[MultiMatch].getName, "graft_multi_match"),
+      (children: Seq[Expression]) => MultiMatch(children.head, children(1))))
 
   /** Idempotently register the functions (and the CartesianGuard
     * optimizer rule, via the runtime `extraOptimizations` hook) on an

@@ -1772,7 +1772,56 @@ object CorpusQueries {
              CAST(sum(br) AS BIGINT) AS bytes_removed
       FROM j GROUP BY source ORDER BY source"""))
 
+  /** One source of truth for the q333 blocklist — both engine and
+    * oracle are generated from this list, so they cannot drift. The
+    * set deliberately contains a phrase-inside-phrase pair (`table` ⊂
+    * `fast table` — exercises the automaton's output links on real
+    * data) and adjacent-overlap pairs (`slow fast`/`fast table`).
+    */
+  private val blocklist = Seq("table", "fast table", "slow fast", "value part",
+    "spark", "order data", "row scan", "the")
+
+  /** q333 — blocklist scan via the compiled Aho–Corasick kernel,
+    * exactly oracle-gated: the policy-filter pass of crawl curation
+    * (ban-phrase hit counts decide document fate). P phrases scanned
+    * with P regex passes read a 100 TB corpus P times; the
+    * [[graft.expressions.MultiMatch]] automaton reads each byte ONCE
+    * regardless of P — built at plan time from the foldable phrase
+    * array, shipped as a codegen reference object, leftmost
+    * non-overlapping per phrase (exactly a literal-split scan, which
+    * is what the oracle replays per phrase). Map-only, zero shuffles,
+    * inside whole-stage codegen.
+    */
+  val q333 = Q("q333_blocklist_scan",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val arr = s"array(${blocklist.map(p => s"'$p'").mkString(",")})"
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), expr(s"graft_multi_match(text, $arr)").as("c"))
+        .select(col("doc_id"),
+          expr("CAST(aggregate(c, 0, (a, x) -> a + x) AS BIGINT)").as("n_total"),
+          expr("CAST(size(filter(c, x -> x > 0)) AS BIGINT)").as("n_phrases_hit"),
+          expr("""CAST(CASE WHEN aggregate(c, 0, (a, x) -> a + x) > 0
+                       THEN array_position(c, array_max(c)) ELSE 0 END AS BIGINT)""")
+            .as("top_idx"))
+        .withColumn("blocked", (col("n_total") >= 20).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val cols = blocklist
+        .map(p => s"length(string_split(text, '$p')) - 1").mkString(", ")
+      s"""
+      WITH c AS (SELECT doc_id, [$cols] AS c FROM documents)
+      SELECT doc_id,
+             CAST(list_sum(c) AS BIGINT) AS n_total,
+             CAST(len(list_filter(c, x -> x > 0)) AS BIGINT) AS n_phrases_hit,
+             CAST(CASE WHEN list_sum(c) > 0 THEN list_position(c, list_max(c))
+                       ELSE 0 END AS BIGINT) AS top_idx,
+             CAST(CASE WHEN list_sum(c) >= 20 THEN 1 ELSE 0 END AS BIGINT) AS blocked
+      FROM c ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
-    q328, q331)
+    q328, q331, q333)
 }
