@@ -1821,7 +1821,72 @@ object CorpusQueries {
       FROM c ORDER BY doc_id"""
     })
 
+  /** q334 — JSONL field census, exactly oracle-gated: JSONL is the
+    * LLM-data interchange format, and the FIRST question about an
+    * unfamiliar dump is its effective schema — which fields exist,
+    * how often, with what nesting. Deterministic JSON lines are
+    * synthesized from the corpus (optional `meta.lang` object,
+    * `tags` array, numeric `score` — presence closed functions of k),
+    * and the census runs on real JSON-path evaluation
+    * (`get_json_object` / `json_extract_string` — nested paths AND
+    * array indexing exercised, not regex). Per-source presence
+    * counts + one value-level rollup; one narrow shuffle.
+    */
+  val q334 = Q("q334_json_field_census",
+    (s, dir) => {
+      val k = (col("doc_id") % 50).cast("long")
+      val j = concat(lit("{\"id\":"), col("doc_id").cast("string"),
+        lit(",\"title\":\"t"), k.cast("string"), lit("\""),
+        when(k % 2 === 0, concat(lit(",\"meta\":{\"lang\":\""), col("lang"), lit("\"}")))
+          .otherwise(lit("")),
+        when(k % 3 === 0, lit(",\"tags\":[\"a\",\"b\"]")).otherwise(lit("")),
+        when(k % 5 === 0, concat(lit(",\"score\":"), k.cast("string")))
+          .otherwise(lit("")),
+        lit("}"))
+      Tables.load(s, dir, "documents")
+        .select(col("source"), j.as("j"))
+        .select(col("source"),
+          get_json_object(col("j"), "$.id").isNotNull.cast("long").as("has_id"),
+          get_json_object(col("j"), "$.meta.lang").isNotNull.cast("long").as("has_lang"),
+          get_json_object(col("j"), "$.tags[0]").isNotNull.cast("long").as("has_tags"),
+          get_json_object(col("j"), "$.score").isNotNull.cast("long").as("has_score"),
+          (get_json_object(col("j"), "$.meta.lang") === "en").cast("long").as("lang_en"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("has_id").as("n_id"),
+          sum("has_lang").as("n_lang"),
+          sum("has_tags").as("n_tags"),
+          sum("has_score").as("n_score"),
+          sum(coalesce(col("lang_en"), lit(0L))).as("n_lang_en"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source, lang, CAST(doc_id % 50 AS BIGINT) AS k
+                 FROM documents),
+      t AS (SELECT source,
+                   '{"id":' || doc_id || ',"title":"t' || k || '"' ||
+                   (CASE WHEN k % 2 = 0 THEN ',"meta":{"lang":"' || lang || '"}' ELSE '' END) ||
+                   (CASE WHEN k % 3 = 0 THEN ',"tags":["a","b"]' ELSE '' END) ||
+                   (CASE WHEN k % 5 = 0 THEN ',"score":' || k ELSE '' END) ||
+                   '}' AS j
+            FROM d),
+      c AS (SELECT source,
+                   CASE WHEN json_extract_string(j, '$.id') IS NOT NULL THEN 1 ELSE 0 END AS has_id,
+                   CASE WHEN json_extract_string(j, '$.meta.lang') IS NOT NULL THEN 1 ELSE 0 END AS has_lang,
+                   CASE WHEN json_extract_string(j, '$.tags[0]') IS NOT NULL THEN 1 ELSE 0 END AS has_tags,
+                   CASE WHEN json_extract_string(j, '$.score') IS NOT NULL THEN 1 ELSE 0 END AS has_score,
+                   CASE WHEN json_extract_string(j, '$.meta.lang') = 'en' THEN 1 ELSE 0 END AS lang_en
+            FROM t)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(has_id) AS BIGINT) AS n_id,
+             CAST(sum(has_lang) AS BIGINT) AS n_lang,
+             CAST(sum(has_tags) AS BIGINT) AS n_tags,
+             CAST(sum(has_score) AS BIGINT) AS n_score,
+             CAST(sum(lang_en) AS BIGINT) AS n_lang_en
+      FROM c GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
-    q328, q331, q333)
+    q328, q331, q333, q334)
 }

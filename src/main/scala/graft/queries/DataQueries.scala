@@ -2935,9 +2935,80 @@ object DataQueries {
              CAST(0 AS BIGINT) AS trailing_bytes
       FROM y GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** q335 — embedding-table quality audit, exactly oracle-gated: the
+    * referential + numeric health check a multimodal pipeline runs
+    * before any ANN/dedup pass trusts its vectors — dimension
+    * mismatches, zero-norm rows (cosine is undefined), NaN
+    * components (poison every distance they touch), documents
+    * missing vectors, and orphan vectors. Anomalies are injected
+    * deterministically on the clean table (truncated dims k%13,
+    * zeroed k%17, NaN k%19, dropped k%23, orphan clones k%29 — the
+    * q321 discipline). Scale shape: per-vector checks are map-side
+    * array folds; the two referential checks are anti-joins on the
+    * id (broadcast here, sort-merge at scale); output is ONE row.
+    */
+  val q335 = Q("q335_embedding_audit",
+    (s, dir) => {
+      val k = (col("vec_id") % 50).cast("long")
+      val base = Tables.load(s, dir, "embeddings")
+      val mutated = base.filter(k % 23 =!= 0)
+        .select(col("vec_id"),
+          when(k % 13 === 0, expr("slice(embedding, 1, 32)"))
+            .when(k % 17 === 0, expr("transform(embedding, x -> CAST(0.0 AS FLOAT))"))
+            .when(k % 19 === 0,
+              expr("concat(array(CAST('NaN' AS FLOAT)), slice(embedding, 2, size(embedding) - 1))"))
+            .otherwise(col("embedding")).as("embedding"))
+      val audited = mutated.union(
+        base.filter(k % 29 === 0)
+          .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding")))
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val perVec = audited.select(
+        (size(col("embedding")) =!= 64).cast("long").as("dim_bad"),
+        (expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))") === 0.0)
+          .cast("long").as("zero_norm"),
+        expr("exists(embedding, x -> isnan(x))").cast("long").as("has_nan"))
+      val missing = docs.join(audited, col("doc_id") === col("vec_id"), "left_anti").count()
+      val orphans = audited.join(docs, col("vec_id") === col("doc_id"), "left_anti").count()
+      perVec.agg(
+        count(lit(1)).as("n_vecs"),
+        sum("dim_bad").as("n_dim_mismatch"),
+        sum("zero_norm").as("n_zero_norm"),
+        sum("has_nan").as("n_with_nan"))
+        .withColumn("n_docs_missing_vec", lit(missing))
+        .withColumn("n_orphan_vecs", lit(orphans))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding, CAST(vec_id % 50 AS BIGINT) AS k
+                 FROM embeddings),
+      m AS (SELECT vec_id,
+                   CASE WHEN k % 13 = 0 THEN embedding[1:32]
+                        WHEN k % 17 = 0 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+                        WHEN k % 19 = 0 THEN list_prepend(CAST('NaN' AS FLOAT), embedding[2:])
+                        ELSE embedding END AS embedding
+            FROM e WHERE k % 23 <> 0
+            UNION ALL
+            SELECT vec_id + 1000000000, embedding FROM e WHERE k % 29 = 0),
+      pv AS (SELECT
+               CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END AS dim_bad,
+               CASE WHEN list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0 THEN 1 ELSE 0 END AS zero_norm,
+               CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0 THEN 1 ELSE 0 END AS has_nan
+             FROM m)
+      SELECT CAST((SELECT count(*) FROM m) AS BIGINT) AS n_vecs,
+             CAST(sum(dim_bad) AS BIGINT) AS n_dim_mismatch,
+             CAST(sum(zero_norm) AS BIGINT) AS n_zero_norm,
+             CAST(sum(has_nan) AS BIGINT) AS n_with_nan,
+             CAST((SELECT count(*) FROM documents d
+                   WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.vec_id = d.doc_id))
+               AS BIGINT) AS n_docs_missing_vec,
+             CAST((SELECT count(*) FROM m
+                   WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = m.vec_id))
+               AS BIGINT) AS n_orphan_vecs
+      FROM pv"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
-    q329, q332)
+    q329, q332, q335)
 }
