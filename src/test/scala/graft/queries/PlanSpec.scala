@@ -320,6 +320,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q333: blocklist scan runs the AC kernel inside codegen, map-only") {
+    val df = CorpusQueries.q333.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_multi_match"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("hashpartitioning"), plan) // only the presentation sort exchanges
+    assert(plan.contains("*("), s"q333 fell out of codegen:\n$plan")
+  }
+
   test("q322: CDC chunking runs the compiled kernel inside codegen") {
     val df = CorpusQueries.q322.fn(spark, sf)
     df.collect()
