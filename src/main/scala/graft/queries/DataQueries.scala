@@ -3006,9 +3006,66 @@ object DataQueries {
                AS BIGINT) AS n_orphan_vecs
       FROM pv"""))
 
+  /** q337 — FLAC metadata census, exactly oracle-gated: the lossless
+    * member of the audio-triage family (q314 MP3, q315 ADTS, q329
+    * Ogg). Everything triage needs — sample rate, channels, bit
+    * depth, EXACT duration — lives in STREAMINFO's packed 64-bit
+    * field, read with zero entropy-coded frames touched (the honest
+    * MultimodalStub boundary). [[graft.operators.FlacOps.parse]]
+    * walks the metadata-block chain (STREAMINFO must lead, per
+    * spec), classifies PADDING/VORBIS_COMMENT overhead, and reports
+    * the frame-region mass. Map-only, zero shuffles; oracle replays
+    * the closed-form synth plan. Adversarial inputs spec-pinned in
+    * FlacOpsSpec.
+    */
+  val q337 = Q("q337_flac_info",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          val rates = Array(8000, 16000, 22050, 24000, 32000, 44100, 48000)
+          it.map { id =>
+            val k = (id % 50).toInt
+            val extras =
+              (if (k % 2 == 0) Seq((1, 10 + k % 50)) else Nil) ++
+                (if (k % 3 == 0) Seq((4, 20 + k % 30)) else Nil)
+            (id, graft.operators.FlacOps.encodeSynthetic(
+              rates(k % 7), 1 + k % 2, 16, 480L * (k + 1) * (1 + k % 3),
+              extras, 100 + (k * 13) % 200))
+          }
+        }
+        .toDF("doc_id", "payload")
+      graft.operators.FlacOps.flacFeatures(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      p AS (SELECT doc_id, k,
+                   [8000,16000,22050,24000,32000,44100,48000][CAST(1 + k % 7 AS INT)] AS rate,
+                   480 * (k + 1) * (1 + k % 3) AS total,
+                   CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS haspad,
+                   CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS hasvc
+            FROM d)
+      SELECT doc_id,
+             CAST(1 AS BIGINT) AS valid,
+             CAST(rate AS BIGINT) AS sample_rate,
+             CAST(1 + k % 2 AS BIGINT) AS channels,
+             CAST(16 AS BIGINT) AS bits_per_sample,
+             CAST(total AS BIGINT) AS total_samples,
+             CAST(total * 1000 // rate AS BIGINT) AS duration_ms,
+             CAST(1 + haspad + hasvc AS BIGINT) AS n_meta_blocks,
+             CAST(38 + haspad * (4 + 10 + k % 50) + hasvc * (4 + 20 + k % 30)
+               AS BIGINT) AS meta_bytes,
+             CAST(haspad AS BIGINT) AS n_padding,
+             CAST(hasvc AS BIGINT) AS n_vorbis_comment,
+             CAST(100 + (k * 13) % 200 AS BIGINT) AS audio_bytes,
+             CAST(0 AS BIGINT) AS trailing_bytes
+      FROM p ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
-    q329, q332, q335)
+    q329, q332, q335, q337)
 }
