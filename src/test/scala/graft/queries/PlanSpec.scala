@@ -320,6 +320,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q325: DSIR selection broadcasts the 64-row lambda table and top-Ks without a global sort") {
+    val df = DataQueries.q325.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan) // λ and totals ride broadcasts
+    assert(!plan.contains("SortMergeJoin"), plan)    // nothing big joins big
+    assert(plan.contains("TakeOrderedAndProject"), plan) // top-20% is a top-K, not a full sort
+  }
+
   test("q333: blocklist scan runs the AC kernel inside codegen, map-only") {
     val df = CorpusQueries.q333.fn(spark, sf)
     df.collect()
