@@ -1886,7 +1886,105 @@ object CorpusQueries {
              CAST(sum(lang_en) AS BIGINT) AS n_lang_en
       FROM c GROUP BY source ORDER BY source"""))
 
+  /** q338 — curation VERDICT pipeline, exactly oracle-gated: the
+    * composition flagship for the crawl-policy family — one pass
+    * assigns every document its fate with a fixed reason precedence
+    * (the order IS the contract: `pii_heavy` → `blocked` →
+    * `too_short` → `duplicate` → `keep`), composing q321's PII
+    * counts+redaction, q333's Aho–Corasick blocklist kernel, token
+    * counting, and exact keep-first dedup ON THE REDACTED text (dedup
+    * before redaction double-counts docs differing only in their
+    * PII — the subtle ordering bug this query pins). Scale shape:
+    * everything is map-side except ONE fingerprint min-rollup join
+    * for the dup check. The q321 injections ride along so the PII
+    * gate actually fires.
+    */
+  val q338 = Q("q338_curation_verdict",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      import graft.operators.PiiOps
+      val k = (col("doc_id") % 50).cast("long")
+      // q321's injection, verbatim — one source of PII-bearing text;
+      // k=47 docs collapse to one boilerplate page so the duplicate
+      // branch fires (47 is coprime to the PII moduli, so they stay
+      // PII-clean and long enough to pass the length gate)
+      val base = when(k === 47,
+        lit("lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor incididunt ut labore et dolore magna aliqua enim ad minim veniam quis nostrud exercitation ullamco laboris nisi ut aliquip")).otherwise(col("text"))
+      val injected = concat(base,
+        when(k % 3 === 0,
+          concat(lit(" Contact user"), k.cast("string"), lit("@example"),
+            (k % 5).cast("string"), lit(".com now"))).otherwise(lit("")),
+        when(k % 4 === 0,
+          concat(lit(" Server 10."), (k % 256).cast("string"), lit(".0."),
+            (k % 100).cast("string"), lit(" up"))).otherwise(lit("")),
+        when(k % 5 === 0,
+          concat(lit(" Call +1-555-"), (lit(100) + k % 900).cast("string"),
+            lit("-"), (lit(1000) + (k * 7) % 9000).cast("string")))
+          .otherwise(lit("")))
+      val arr = s"array(${blocklist.map(p => s"'$p'").mkString(",")})"
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          (PiiOps.countMatches(col("t"), PiiOps.EmailRe) +
+            PiiOps.countMatches(col("t"), PiiOps.Ipv4Re) +
+            PiiOps.countMatches(col("t"), PiiOps.PhoneRe)).as("n_pii"),
+          PiiOps.redact(col("t")).as("red"))
+        .withColumn("n_block",
+          expr(s"CAST(aggregate(graft_multi_match(red, $arr), 0, (a, x) -> a + x) AS BIGINT)"))
+        .withColumn("n_tokens",
+          size(split(trim(col("red")), "\\s+")).cast("long"))
+        .withColumn("fp", md5(col("red")))
+      val first = scored.groupBy("fp").agg(min("doc_id").as("keeper"))
+      scored.join(first, Seq("fp"))
+        .select(col("doc_id"), col("n_pii"), col("n_block"), col("n_tokens"),
+          (col("doc_id") =!= col("keeper")).cast("long").as("is_dup"))
+        .withColumn("verdict",
+          when(col("n_pii") > 2, "pii_heavy")
+            .when(col("n_block") >= 15, "blocked")
+            .when(col("n_tokens") < 30, "too_short")
+            .when(col("is_dup") === 1, "duplicate")
+            .otherwise("keep"))
+        .orderBy("doc_id")
+    },
+    Some {
+      import graft.operators.PiiOps
+      val blockCols = blocklist
+        .map(p => s"length(string_split(red, '$p')) - 1").mkString(" + ")
+      s"""
+      WITH d AS (SELECT doc_id, text, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      t AS (SELECT doc_id,
+              (CASE WHEN k = 47 THEN 'lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor incididunt ut labore et dolore magna aliqua enim ad minim veniam quis nostrud exercitation ullamco laboris nisi ut aliquip' ELSE text END) ||
+              (CASE WHEN k % 3 = 0 THEN ' Contact user' || k || '@example' ||
+                      (k % 5) || '.com now' ELSE '' END) ||
+              (CASE WHEN k % 4 = 0 THEN ' Server 10.' || (k % 256) || '.0.' ||
+                      (k % 100) || ' up' ELSE '' END) ||
+              (CASE WHEN k % 5 = 0 THEN ' Call +1-555-' || (100 + k % 900) ||
+                      '-' || (1000 + (k * 7) % 9000) ELSE '' END) AS t
+            FROM d),
+      sc AS (SELECT doc_id,
+               ${PiiOps.duckCountSql("t", PiiOps.EmailRe)} +
+               ${PiiOps.duckCountSql("t", PiiOps.Ipv4Re)} +
+               ${PiiOps.duckCountSql("t", PiiOps.PhoneRe)} AS n_pii,
+               ${PiiOps.duckRedactSql("t")} AS red
+             FROM t),
+      sb AS (SELECT doc_id, n_pii,
+               CAST($blockCols AS BIGINT) AS n_block,
+               CAST(length(string_split_regex(trim(red), '\\s+')) AS BIGINT) AS n_tokens,
+               md5(red) AS fp
+             FROM sc),
+      f AS (SELECT fp, min(doc_id) AS keeper FROM sb GROUP BY fp)
+      SELECT sb.doc_id, sb.n_pii, sb.n_block, sb.n_tokens,
+             CAST(CASE WHEN sb.doc_id <> f.keeper THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+             CASE WHEN sb.n_pii > 2 THEN 'pii_heavy'
+                  WHEN sb.n_block >= 15 THEN 'blocked'
+                  WHEN sb.n_tokens < 30 THEN 'too_short'
+                  WHEN sb.doc_id <> f.keeper THEN 'duplicate'
+                  ELSE 'keep' END AS verdict
+      FROM sb JOIN f ON sb.fp = f.fp
+      ORDER BY sb.doc_id"""
+    })
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
-    q328, q331, q333, q334)
+    q328, q331, q333, q334, q338)
 }
