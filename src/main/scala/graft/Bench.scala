@@ -163,7 +163,7 @@ object Bench {
     *     Broadcast is disabled for both so the shuffle shape is what
     *     differs.
     */
-  private def measureExtras(spark: SparkSession, sfDir: String,
+  private[graft] def measureExtras(spark: SparkSession, sfDir: String,
       errors: scala.collection.mutable.LinkedHashMap[String, String]): Seq[(String, Double)] =
     try {
       def sec(f: => Unit): Double = {
@@ -188,12 +188,15 @@ object Bench {
           .select(bit_xor(xxhash64(col("l_orderkey"), col("l_quantity")))).collect())
       }.min
 
-      // a previous run's table locations survive in the warehouse dir
-      // while the in-memory catalog starts empty — clear both sides
-      for (t <- Seq("bench_b_lineitem", "bench_b_orders"))
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = new org.apache.hadoop.fs.Path("/tmp/graft_bench_warehouse")
-      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+      // Table names carry the JVM pid: the r9 driver bench lost its whole
+      // extras record to an "eagerly executed command failed" when a
+      // concurrent bench JVM (orphaned session run vs driver run) deleted
+      // the shared warehouse path mid-saveAsTable. Per-process names keep
+      // two benches from stomping each other; stale same-pid leftovers
+      // are still dropped.
+      val pid = ProcessHandle.current().pid()
+      val (tblLi, tblOr) = (s"bench_b_lineitem_$pid", s"bench_b_orders_$pid")
+      for (t <- Seq(tblLi, tblOr)) spark.sql(s"DROP TABLE IF EXISTS $t")
 
       val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
       val or = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
@@ -202,10 +205,10 @@ object Bench {
           .join(o.hint("merge"), l("l_orderkey") === o("o_orderkey"))
           .agg(sum(col("l_quantity") * col("o_totalprice"))).count()
       val plainSec = best2(joinAgg(li, or))
-      graft.operators.ScaleOps.writeBucketed(li, "bench_b_lineitem", Seq("l_orderkey"), 16)
-      graft.operators.ScaleOps.writeBucketed(or, "bench_b_orders", Seq("o_orderkey"), 16)
-      val bl = spark.table("bench_b_lineitem")
-      val bo = spark.table("bench_b_orders")
+      graft.operators.ScaleOps.writeBucketed(li, tblLi, Seq("l_orderkey"), 16)
+      graft.operators.ScaleOps.writeBucketed(or, tblOr, Seq("o_orderkey"), 16)
+      val bl = spark.table(tblLi)
+      val bo = spark.table(tblOr)
       val bucketedSec = best2(joinAgg(bl, bo))
 
       val docs = Tables.load(spark, sfDir, "documents")
@@ -253,7 +256,8 @@ object Bench {
         maxIter = 20, onRound = (r, _) => kmRounds = r).count())
 
       // z-order layout: per-file spans on both dims, plain vs morton
-      val zdir = "/tmp/graft_bench_zorder"
+      // (pid-suffixed for the same concurrent-bench reason as the tables)
+      val zdir = s"/tmp/graft_bench_zorder_$pid"
       val zpath = new org.apache.hadoop.fs.Path(zdir)
       zpath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(zpath, true)
       val zo = Tables.load(spark, sfDir, "orders")
@@ -427,7 +431,12 @@ object Bench {
         "topk_custom_sec" -> topkCustomSec) ++ stages
     } catch {
       case e: Throwable =>
-        errors.getOrElseUpdate("extras", e.toString.take(200))
+        // record the innermost cause too — Spark wraps command failures in
+        // an opaque "[INTERNAL_ERROR] Eagerly executed command failed"
+        var root = e
+        while (root.getCause != null && (root.getCause ne root)) root = root.getCause
+        val msg = if (root eq e) e.toString else s"${e.toString} <- ${root.toString}"
+        errors.getOrElseUpdate("extras", msg.take(300))
         Seq.empty
     }
 }

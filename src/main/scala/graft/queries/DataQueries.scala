@@ -3063,9 +3063,70 @@ object DataQueries {
              CAST(0 AS BIGINT) AS trailing_bytes
       FROM p ORDER BY doc_id"""))
 
+  /** q339 — EXIF/TIFF IFD census, exactly oracle-gated: the image
+    * side's provenance-and-PII triage (the pair of the audio family's
+    * q314/q315/q329/q337). [[graft.operators.ExifOps.parse]] walks
+    * SOI → APP1 "Exif\u0000\u0000" → TIFF header (BOTH byte
+    * orders — II and MM each cover half the fixtures) → IFD0,
+    * surfacing orientation, capture-time/make presence, and the
+    * curation-critical `has_gps` flag (tag 0x8825 = location PII →
+    * redaction escalation, same path as q328's verified card
+    * numbers). ~50 bytes touched per file, zero pixels decoded;
+    * map-only, zero shuffles. The oracle recomputes every field —
+    * including the APP1 byte mass — from the synth plan's closed-form
+    * layout arithmetic, so the gate proves the encode→walk round trip
+    * byte-exact. Adversarial inputs (truncation, wrong magic, lying
+    * APP1 length, IFD overrun) are spec-pinned in ExifOpsSpec.
+    */
+  val q339 = Q("q339_exif_census",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val k = (id % 60).toInt
+            (id, graft.operators.ExifOps.encodeSynthetic(
+              littleEndian = k % 2 == 0,
+              orientation = 1 + k % 8,
+              withGps = k % 3 == 0,
+              withExifIfd = k % 4 == 0,
+              withDateTime = k % 5 == 0,
+              withMake = k % 7 < 3,
+              imageLen = 50 + (k * 11) % 150))
+          }
+        }
+        .toDF("doc_id", "payload")
+      graft.operators.ExifOps.exifFeatures(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 60 AS BIGINT) AS k FROM documents),
+      f AS (SELECT doc_id, k,
+                   CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS le,
+                   CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS gp,
+                   CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS ex,
+                   CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS dt,
+                   CASE WHEN k % 7 < 3 THEN 1 ELSE 0 END AS mk
+            FROM d)
+      SELECT doc_id,
+             CAST(1 AS BIGINT) AS valid,
+             CAST(le AS BIGINT) AS little_endian,
+             CAST(1 + mk + dt + ex + gp AS BIGINT) AS n_ifd0_entries,
+             CAST(1 + k % 8 AS BIGINT) AS orientation,
+             CAST(gp AS BIGINT) AS has_gps,
+             CAST(ex AS BIGINT) AS has_exif_ifd,
+             CAST(dt AS BIGINT) AS has_datetime,
+             CAST(mk AS BIGINT) AS has_make,
+             CAST(24 + 12 * (1 + mk + dt + ex + gp)
+                  + 6 * (mk + ex + gp) + 20 * dt AS BIGINT) AS app1_bytes,
+             CAST(50 + (k * 11) % 150 AS BIGINT) AS image_bytes,
+             CAST(0 AS BIGINT) AS trailing_bytes
+      FROM f ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
-    q329, q332, q335, q337)
+    q329, q332, q335, q337, q339)
 }
