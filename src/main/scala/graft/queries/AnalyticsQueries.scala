@@ -2225,7 +2225,130 @@ object AnalyticsQueries {
       FROM rates CROSS JOIN gaps
       ORDER BY seg"""))
 
+  // --------------------------------------------------------------- q340
+
+  /** q340 — Bradley-Terry preference-strength fit (Hunter 2004 MM
+    * algorithm): the model behind RLHF preference data — pairwise
+    * "A beat B" judgments → a latent strength per player — and the
+    * data-QA step that runs before a reward model trains on those
+    * judgments (inconsistent or degenerate preference sets surface as
+    * pathological θ). Comparisons are synthesized from orders under
+    * the TRUE BT model: players a = okey%8, b = (a+1+(okey div 8)%7)%8,
+    * and the winner draw `(okey div 56) % (a+b+2) ≤ max(a,b)` makes
+    * the stronger (higher-indexed) player win with probability
+    * exactly (hi+1)/(a+b+2) = θ_hi/(θ_lo+θ_hi) for θ_i = i+1 — so the
+    * fit genuinely recovers a planted strength ladder, not noise.
+    *
+    * Scale shape: ONE distributed pass reduces the comparison stream
+    * to the bounded 28-cell pair matrix (the only shuffle); the 5 MM
+    * iterations run driver-side over ≤8 longs of state (the q307
+    * discipline — iterating Spark jobs over an 8-row table would be
+    * scheduler overhead, not parallelism). Every iteration is
+    * nano/pico-quantized to exact integers (per-pair terms to 1e15
+    * fixed-point, summed exactly; θ renormalized to Σθ=8e9 nanos), so
+    * engine and oracle agree bit-for-bit with NO order-dependent
+    * double reduction anywhere. The oracle unrolls all 5 iterations
+    * as CTE stages over the same quantized arithmetic.
+    */
+  val q340 = Q("q340_bradley_terry",
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables.load(s, dir, "orders")
+        .selectExpr("o_orderkey % 8 AS a",
+          "(o_orderkey % 8 + 1 + (o_orderkey div 8) % 7) % 8 AS b",
+          "o_orderkey AS okey")
+        .selectExpr("least(a, b) AS lo", "greatest(a, b) AS hi",
+          "CASE WHEN (okey div 56) % (a + b + 2) <= greatest(a, b) " +
+            "THEN greatest(a, b) ELSE least(a, b) END AS winner")
+        .groupBy("lo", "hi")
+        .agg(count(lit(1)).as("nij"),
+          sum(when(col("winner") === col("hi"), 1L).otherwise(0L)).as("whi"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy { case (lo, hi, _, _) => (lo, hi) }
+      val n = 8
+      val nij = Array.ofDim[Long](n, n)
+      val wins = new Array[Long](n)
+      val games = new Array[Long](n)
+      cells.foreach { case (lo, hi, nn, whi) =>
+        nij(lo.toInt)(hi.toInt) = nn; nij(hi.toInt)(lo.toInt) = nn
+        wins(hi.toInt) += whi; wins(lo.toInt) += nn - whi
+        games(lo.toInt) += nn; games(hi.toInt) += nn
+      }
+      // MM loop over bounded state; quantization mirrors the oracle's
+      // round() (half-away-from-zero == floor(x+0.5) for positives)
+      def q(x: Double): Long = math.floor(x + 0.5).toLong
+      var th = Array.fill(n)(1000000000L)
+      for (_ <- 1 to 5) {
+        val raw = (0 until n).map { i =>
+          var den = 0L
+          var j = 0
+          while (j < n) {
+            if (j != i && nij(i)(j) > 0)
+              den += q((1e15 * nij(i)(j)) / (th(i) + th(j)).toDouble)
+            j += 1
+          }
+          q((1e15 * wins(i)) / den.toDouble)
+        }.toArray
+        val sRaw = raw.sum
+        th = raw.map(r => q((r.toDouble * 8e9) / sRaw.toDouble))
+      }
+      val rows = (0 until n).map(i => (i.toLong, games(i), wins(i), th(i)))
+        .sortBy { case (i, _, _, t) => (-t, i) }
+        .zipWithIndex
+        .map { case ((i, g, w, t), r) => (i, g, w, t, (r + 1).toLong) }
+        .sortBy(_._1)
+      s.createDataFrame(rows)
+        .toDF("player", "games", "wins", "theta_nanos", "rank")
+    },
+    Some {
+      val iters = (1 to 5).map { k =>
+        s"""      d$k AS (
+      SELECT w.i, w.wi,
+             CAST(sum(CAST(round((1e15 * p.nij) / CAST(ti.th + tj.th AS DOUBLE)) AS BIGINT)) AS BIGINT) AS den
+      FROM wins w JOIN pairs p ON p.i = w.i
+      JOIN t${k - 1} ti ON ti.i = p.i JOIN t${k - 1} tj ON tj.i = p.j
+      GROUP BY w.i, w.wi),
+      r$k AS (SELECT i, CAST(round((1e15 * wi) / CAST(den AS DOUBLE)) AS BIGINT) AS raw FROM d$k),
+      t$k AS (SELECT i, CAST(round((CAST(raw AS DOUBLE) * 8e9) / CAST(z.s AS DOUBLE)) AS BIGINT) AS th
+              FROM r$k CROSS JOIN (SELECT CAST(sum(raw) AS BIGINT) AS s FROM r$k) z)"""
+      }.mkString(",\n")
+      s"""
+      WITH g AS (
+        SELECT o_orderkey % 8 AS a,
+               (o_orderkey % 8 + 1 + (o_orderkey // 8) % 7) % 8 AS b,
+               o_orderkey AS okey
+        FROM orders),
+      m AS (
+        SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+               CASE WHEN (okey // 56) % (a + b + 2) <= greatest(a, b)
+                    THEN greatest(a, b) ELSE least(a, b) END AS winner
+        FROM g),
+      cells AS (
+        SELECT lo, hi, CAST(count(*) AS BIGINT) AS nij,
+               CAST(sum(CASE WHEN winner = hi THEN 1 ELSE 0 END) AS BIGINT) AS whi
+        FROM m GROUP BY lo, hi),
+      players AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 8)),
+      wins AS (
+        SELECT p.i,
+               CAST(coalesce(sum(CASE WHEN c.hi = p.i THEN c.whi
+                                      WHEN c.lo = p.i THEN c.nij - c.whi END), 0) AS BIGINT) AS wi,
+               CAST(coalesce(sum(c.nij), 0) AS BIGINT) AS games
+        FROM players p LEFT JOIN cells c ON p.i = c.lo OR p.i = c.hi
+        GROUP BY p.i),
+      pairs AS (
+        SELECT lo AS i, hi AS j, nij FROM cells
+        UNION ALL SELECT hi, lo, nij FROM cells),
+      t0 AS (SELECT i, CAST(1000000000 AS BIGINT) AS th FROM players),
+$iters
+      SELECT w.i AS player, w.games, w.wi AS wins, t5.th AS theta_nanos,
+             CAST(row_number() OVER (ORDER BY t5.th DESC, w.i) AS BIGINT) AS rank
+      FROM wins w JOIN t5 ON t5.i = w.i
+      ORDER BY player"""
+    })
+
   val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
-    q271, q272, q273, q274, q279, q283, q284, q285, q286, q287, q309, q312)
+    q271, q272, q273, q274, q279, q283, q284, q285, q286, q287, q309, q312,
+    q340)
 }

@@ -347,4 +347,39 @@ class NewOpsReplaySpec extends SparkSpec {
     assert(did(0) == na && did(1) == nb && did(2) == nc && did(3) == nd, did)
     assert(math.abs(did(8).asInstanceOf[Double] - expDid) < 1e-4, s"$did vs $expDid")
   }
+
+  test("q340: BT fit recovers the planted ladder and replays a float MM") {
+    val out = rows(AnalyticsQueries.q340.fn(spark, sf))
+    assert(out.size == 8)
+    val theta = out.map(_(3).asInstanceOf[Long])
+    // renormalization invariant: Σθ = 8e9 nanos up to per-player rounding
+    assert(math.abs(theta.sum - 8000000000L) <= 8, theta)
+    // the winner rule plants θ_i ∝ i+1 — the fit must recover the order
+    assert(theta == theta.sorted, s"not monotone: $theta")
+    assert(out.map(_(4).asInstanceOf[Long]) == (8L to 1L by -1L), "rank")
+    // independent replay: unquantized float MM from the raw order keys
+    val okeys = Tables.load(spark, sf, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val nij = Array.ofDim[Double](8, 8); val wins = new Array[Double](8)
+    okeys.foreach { k =>
+      val a = (k % 8).toInt; val b = ((a + 1 + (k / 8) % 7) % 8).toInt
+      val lo = math.min(a, b); val hi = math.max(a, b)
+      val w = if ((k / 56) % (a + b + 2) <= hi) hi else lo
+      nij(lo)(hi) += 1; nij(hi)(lo) += 1; wins(w) += 1
+    }
+    var th = Array.fill(8)(1.0)
+    for (_ <- 1 to 5) {
+      val raw = (0 until 8).map { i =>
+        val den = (0 until 8).filter(j => j != i && nij(i)(j) > 0)
+          .map(j => nij(i)(j) / (th(i) + th(j))).sum
+        wins(i) / den
+      }.toArray
+      val s = raw.sum
+      th = raw.map(_ * 8 / s)
+    }
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r(3).asInstanceOf[Long] / 1e9 - th(i)) < 1e-4,
+        s"player $i: ${r(3)} vs ${th(i)}")
+    }
+  }
 }
