@@ -346,4 +346,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("graft_gear_chunks"), plan)
     assert(plan.contains("HashAggregate"), plan) // fingerprint rollup map-side combines
   }
+
+  test("q339: EXIF census is map-only — no join, no aggregation exchange") {
+    val df = DataQueries.q339.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("hashpartitioning"), plan) // only the presentation sort exchanges
+  }
+
+  test("q340: BT fit's one distributed job reduces to the bounded pair matrix") {
+    // the fit's output side is a driver-built 8-row frame — the plan to pin
+    // is the REDUCTION: comparisons → 28 cells through one hash aggregate
+    // with a map-side partial (no window, no join, no raw-row shuffle)
+    val cellsPlan = graft.Tables.load(spark, sf, "orders")
+      .selectExpr("o_orderkey % 8 AS a",
+        "(o_orderkey % 8 + 1 + (o_orderkey div 8) % 7) % 8 AS b",
+        "o_orderkey AS okey")
+      .selectExpr("least(a, b) AS lo", "greatest(a, b) AS hi",
+        "CASE WHEN (okey div 56) % (a + b + 2) <= greatest(a, b) " +
+          "THEN greatest(a, b) ELSE least(a, b) END AS winner")
+      .groupBy("lo", "hi")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("nij"))
+      .queryExecution.executedPlan.toString
+    assert(cellsPlan.contains("HashAggregate"), cellsPlan)
+    assert(!cellsPlan.contains("Join"), cellsPlan)
+    assert(!cellsPlan.contains("Window"), cellsPlan)
+    val df = AnalyticsQueries.q340.fn(spark, sf)
+    assert(df.count() == 8)
+  }
 }
