@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1268,6 +1269,107 @@ object TrainQueries {
                    AS BIGINT) AS DOUBLE) / 1e6, 6) AS mean_match_dist_dollars
       FROM agg CROSS JOIN tn"""))
 
+  // --------------------------------------------------------------- q341
+
+  /** q341 — padded-packing waste audit: q84 packs by CONCATENATION
+    * (documents split across context windows, zero padding); the other
+    * production mode keeps every document whole in one ctx=128 window
+    * and pays PADDING instead — and the padding bill is what this
+    * audit measures, for the two greedy fills a packer actually
+    * chooses between: arrival order (what a streaming packer does) vs
+    * length-sorted descending (the classic pre-sort trick). The
+    * waste_sorted ≤ waste_arrival gap per shard is the measured
+    * evidence for sorting before packing; `n_truncated` counts docs
+    * longer than the window (truncate-to-ctx is this variant's
+    * contract — q84 is the splitting alternative).
+    *
+    * Scale shape: shards of 64 docs (`doc_id div 64`) are the
+    * parallel unit — real packers shard exactly like this so packing
+    * is embarrassingly parallel. ONE shuffle clusters each shard's
+    * ≤64 (doc_id, tokens) structs; both greedy fills then run as
+    * pure-expression `aggregate` folds over the bounded sorted
+    * arrays (no window, no driver loop, codegen-resident). The
+    * oracle replays both folds as lockstep recursive CTEs.
+    */
+  val q341 = Q("q341_packing_audit",
+    (s, dir) => {
+      val ctx = 128L
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          least(TA.tokenCount(col("text")).cast("long"), lit(ctx)).as("t"),
+          (TA.tokenCount(col("text")).cast("long") > ctx).cast("long").as("trunc"),
+          expr("doc_id div 64").as("shard"))
+      def packFold(arr: Column): Column = {
+        val init = struct(lit(0L).as("bins"), lit(0L).as("fill"), lit(0L).as("waste"))
+        val folded = aggregate(arr, init, (st, x) => {
+          val bins = st.getField("bins"); val fill = st.getField("fill")
+          val waste = st.getField("waste"); val t = x.getField("t")
+          when(bins === lit(0L),
+            struct(lit(1L).as("bins"), t.as("fill"), lit(0L).as("waste")))
+            .when(fill + t <= lit(ctx),
+              struct(bins.as("bins"), (fill + t).as("fill"), waste.as("waste")))
+            .otherwise(
+              struct((bins + lit(1L)).as("bins"), t.as("fill"),
+                (waste + lit(ctx) - fill).as("waste")))
+        })
+        struct(folded.getField("bins").as("bins"),
+          when(folded.getField("bins") > lit(0L),
+            folded.getField("waste") + lit(ctx) - folded.getField("fill"))
+            .otherwise(lit(0L)).as("waste"))
+      }
+      tok.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"),
+          sum("trunc").as("n_truncated"),
+          packFold(sort_array(collect_list(struct(col("doc_id"), col("t")))))
+            .as("pa"),
+          packFold(sort_array(collect_list(
+            struct((lit(ctx) - col("t")).as("k"), col("doc_id").as("doc_id"),
+              col("t").as("t"))))).as("ps"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_truncated"),
+          col("pa.bins").as("bins_arrival"), col("pa.waste").as("waste_arrival"),
+          col("ps.bins").as("bins_sorted"), col("ps.waste").as("waste_sorted"))
+        .orderBy("shard")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      tok AS (SELECT doc_id, doc_id // 64 AS shard,
+                     CAST(least(CAST(len($duckTokens) AS BIGINT), 128) AS BIGINT) AS t,
+                     CASE WHEN len($duckTokens) > 128 THEN 1 ELSE 0 END AS trunc
+              FROM documents),
+      a AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS seq FROM tok),
+      b AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY t DESC, doc_id) AS seq FROM tok),
+      ra AS (
+        SELECT shard, seq, CAST(1 AS BIGINT) AS bins, t AS fill, CAST(0 AS BIGINT) AS waste
+        FROM a WHERE seq = 1
+        UNION ALL
+        SELECT n.shard, n.seq,
+               CASE WHEN r.fill + n.t <= 128 THEN r.bins ELSE r.bins + 1 END,
+               CASE WHEN r.fill + n.t <= 128 THEN r.fill + n.t ELSE n.t END,
+               CASE WHEN r.fill + n.t <= 128 THEN r.waste ELSE r.waste + 128 - r.fill END
+        FROM ra r JOIN a n ON n.shard = r.shard AND n.seq = r.seq + 1),
+      rb AS (
+        SELECT shard, seq, CAST(1 AS BIGINT) AS bins, t AS fill, CAST(0 AS BIGINT) AS waste
+        FROM b WHERE seq = 1
+        UNION ALL
+        SELECT n.shard, n.seq,
+               CASE WHEN r.fill + n.t <= 128 THEN r.bins ELSE r.bins + 1 END,
+               CASE WHEN r.fill + n.t <= 128 THEN r.fill + n.t ELSE n.t END,
+               CASE WHEN r.fill + n.t <= 128 THEN r.waste ELSE r.waste + 128 - r.fill END
+        FROM rb r JOIN b n ON n.shard = r.shard AND n.seq = r.seq + 1),
+      cnt AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(t) AS BIGINT) AS n_tokens,
+                     CAST(sum(trunc) AS BIGINT) AS n_truncated
+              FROM tok GROUP BY shard),
+      fa AS (SELECT r.shard, r.bins, r.waste + 128 - r.fill AS waste
+             FROM ra r JOIN cnt c ON c.shard = r.shard AND r.seq = c.n_docs),
+      fb AS (SELECT r.shard, r.bins, r.waste + 128 - r.fill AS waste
+             FROM rb r JOIN cnt c ON c.shard = r.shard AND r.seq = c.n_docs)
+      SELECT c.shard, c.n_docs, c.n_tokens, c.n_truncated,
+             fa.bins AS bins_arrival, fa.waste AS waste_arrival,
+             fb.bins AS bins_sorted, fb.waste AS waste_sorted
+      FROM cnt c JOIN fa ON fa.shard = c.shard JOIN fb ON fb.shard = c.shard
+      ORDER BY c.shard"""))
+
   val all: Seq[Q] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q184, q300, q303, q304, q305, q330)
+    q88, q89, q90, q91, q184, q300, q303, q304, q305, q330, q341)
 }

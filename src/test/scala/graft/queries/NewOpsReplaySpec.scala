@@ -382,4 +382,38 @@ class NewOpsReplaySpec extends SparkSpec {
         s"player $i: ${r(3)} vs ${th(i)}")
     }
   }
+
+  test("q341: packing folds replay a hand fold and conserve bin capacity") {
+    val out = rows(TrainQueries.q341.fn(spark, sf))
+    assert(out.nonEmpty)
+    // independent replay: per-shard greedy fills over collected counts
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        least(graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"),
+          lit(128L)).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def pack(ts: Seq[Long]): (Long, Long) = {
+      var bins = 0L; var fill = 0L; var waste = 0L
+      ts.foreach { t =>
+        if (bins == 0L) { bins = 1; fill = t }
+        else if (fill + t <= 128L) fill += t
+        else { bins += 1; waste += 128L - fill; fill = t }
+      }
+      if (bins > 0) waste += 128L - fill
+      (bins, waste)
+    }
+    val byShard = toks.groupBy(_._1 / 64)
+    out.foreach { r =>
+      val Seq(shard, nDocs, nTok, _, binsA, wasteA, binsS, wasteS) =
+        r.map(_.asInstanceOf[Long])
+      val docs = byShard(shard).sortBy(_._1)
+      assert(nDocs == docs.length && nTok == docs.map(_._2).sum)
+      // capacity conservation: every opened bin is tokens + padding
+      assert(binsA * 128 == nTok + wasteA, s"shard $shard arrival")
+      assert(binsS * 128 == nTok + wasteS, s"shard $shard sorted")
+      assert((binsA, wasteA) == pack(docs.map(_._2)), s"shard $shard arrival")
+      val sorted = docs.sortBy { case (id, t) => (-t, id) }
+      assert((binsS, wasteS) == pack(sorted.map(_._2)), s"shard $shard sorted")
+    }
+  }
 }
