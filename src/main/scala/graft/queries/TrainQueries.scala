@@ -1370,6 +1370,98 @@ object TrainQueries {
       FROM cnt c JOIN fa ON fa.shard = c.shard JOIN fb ON fb.shard = c.shard
       ORDER BY c.shard"""))
 
+  // --------------------------------------------------------------- q342
+
+  /** q342 — training token-budget LEDGER: the number a data team
+    * actually ships — per source, how many tokens survive curation,
+    * what share of a fixed 1M-token budget the α=0.5 temperature
+    * mixture assigns, and how many EPOCHS of the surviving data that
+    * quota implies (epochs > 4 is the repeat-diminishing-returns
+    * threshold from the data-constrained scaling playbook, Muennighoff
+    * et al. 2023 — the `repeat_flag` a mixture designer acts on).
+    * Composes the chains this engine already gates one step deeper:
+    * survivor gates (exact keep-first dedup + min-length, q338's
+    * contract), q330's exact Hamilton apportionment (nano-quantized
+    * c^α per ≤|sources| row, DECIMAL(38,0) largest-remainder, quotas
+    * summing to the budget EXACTLY), and exact integer epoch
+    * accounting (micro-epochs by DECIMAL division — no doubles
+    * anywhere after the one c^α quantization).
+    *
+    * Scale shape: one fingerprint min-rollup join (the dedup gate) +
+    * one rollup shuffle to the bounded |sources| ledger; the
+    * apportionment's global windows run over that bounded relation
+    * (whitelisted, q330's shape).
+    */
+  val q342 = Q("q342_token_ledger",
+    (s, dir) => {
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TA.tokenCount(col("text")).cast("long").as("nt"),
+          md5(col("text")).as("fp"))
+      val first = scored.groupBy("fp").agg(min("doc_id").as("keeper"))
+      val led = scored.join(first, Seq("fp"))
+        .withColumn("keep",
+          (col("nt") >= 30 && col("doc_id") === col("keeper")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("raw_docs"), sum("nt").as("raw_tokens"),
+          sum("keep").as("surv_docs"),
+          sum(when(col("keep") === 1L, col("nt")).otherwise(0L)).as("surv_tokens"))
+      val wAll = Window.partitionBy()
+      led
+        .withColumn("s_nano", expr(
+          "CAST(round(1e9 * exp(0.5 * ln(CAST(surv_tokens AS DOUBLE)))) AS BIGINT)"))
+        .withColumn("S", sum("s_nano").over(wAll))
+        .withColumn("p", expr(
+          "CAST(1000000 AS DECIMAL(38,0)) * CAST(s_nano AS DECIMAL(38,0))"))
+        .withColumn("base", expr("CAST(p div CAST(S AS DECIMAL(38,0)) AS BIGINT)"))
+        .withColumn("rem", expr("CAST(p % CAST(S AS DECIMAL(38,0)) AS BIGINT)"))
+        .withColumn("extra", lit(1000000L) - sum("base").over(wAll))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+        .withColumn("quota",
+          col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+        .withColumn("epochs_micro", expr(
+          "CAST((CAST(quota AS DECIMAL(38,0)) * 1000000) div CAST(surv_tokens AS DECIMAL(38,0)) AS BIGINT)"))
+        .withColumn("repeat_flag", (col("epochs_micro") > 4000000L).cast("long"))
+        .select("source", "raw_docs", "raw_tokens", "surv_docs", "surv_tokens",
+          "quota", "epochs_micro", "repeat_flag")
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH sc AS (SELECT doc_id, source,
+                         CAST(len($duckTokens) AS BIGINT) AS nt,
+                         md5(text) AS fp
+                  FROM documents),
+      f AS (SELECT fp, min(doc_id) AS keeper FROM sc GROUP BY fp),
+      k AS (SELECT sc.source, sc.nt,
+                   CASE WHEN sc.nt >= 30 AND sc.doc_id = f.keeper
+                        THEN 1 ELSE 0 END AS keep
+            FROM sc JOIN f ON sc.fp = f.fp),
+      led AS (SELECT source, CAST(count(*) AS BIGINT) AS raw_docs,
+                     CAST(sum(nt) AS BIGINT) AS raw_tokens,
+                     CAST(sum(keep) AS BIGINT) AS surv_docs,
+                     CAST(sum(CASE WHEN keep = 1 THEN nt ELSE 0 END) AS BIGINT)
+                       AS surv_tokens
+              FROM k GROUP BY source),
+      sn AS (SELECT *, CAST(round(1e9 * exp(0.5 * ln(CAST(surv_tokens AS DOUBLE))))
+                         AS BIGINT) AS s_nano FROM led),
+      w AS (SELECT *, sum(s_nano) OVER () AS S,
+                   CAST(1000000 AS HUGEINT) * s_nano AS pp FROM sn),
+      q AS (SELECT *, CAST(pp // S AS BIGINT) AS base,
+                   CAST(pp % S AS BIGINT) AS rem FROM w),
+      e AS (SELECT *, 1000000 - sum(base) OVER () AS extra,
+                   row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q),
+      z AS (SELECT source, raw_docs, raw_tokens, surv_docs, surv_tokens,
+                   CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+                     AS quota
+            FROM e)
+      SELECT source, raw_docs, raw_tokens, surv_docs, surv_tokens, quota,
+             CAST((CAST(quota AS HUGEINT) * 1000000) // surv_tokens AS BIGINT)
+               AS epochs_micro,
+             CAST(CASE WHEN (CAST(quota AS HUGEINT) * 1000000) // surv_tokens
+                            > 4000000 THEN 1 ELSE 0 END AS BIGINT) AS repeat_flag
+      FROM z ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q184, q300, q303, q304, q305, q330, q341)
+    q88, q89, q90, q91, q184, q300, q303, q304, q305, q330, q341, q342)
 }

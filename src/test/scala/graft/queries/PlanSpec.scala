@@ -263,7 +263,8 @@ class PlanSpec extends SparkSpec {
       "q289_conformal",         // calibration CDF over the bounded distinct-residual grid (q125's shape)
       "q292_wasserstein",       // two-sample CDF walk over the bounded distinct-value grid (q125's shape)
       "q304_qini_uplift",       // prefix sums over the 10-row decile rollup (q259's shape)
-      "q330_mixture_temperature") // α-scaled apportionment over the ≤|langs| rollup (q184's shape)
+      "q330_mixture_temperature", // α-scaled apportionment over the ≤|langs| rollup (q184's shape)
+      "q342_token_ledger")      // apportionment + epoch accounting over the ≤|sources| rollup (q330's shape)
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.optimizedPlan
