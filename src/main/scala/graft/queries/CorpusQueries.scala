@@ -1984,7 +1984,113 @@ object CorpusQueries {
       ORDER BY sb.doc_id"""
     })
 
+  // --------------------------------------------------------------- q343
+
+  /** q343 — chat-template audit: the SFT-data QA pass. Instruction
+    * corpora ship as JSON chat transcripts, and a trainer's collator
+    * assumes a contract this query verifies per document: at most one
+    * leading `system` turn, then STRICT user/assistant alternation
+    * ending on `assistant`, no empty contents — plus the loss-masking
+    * numbers the collator derives (assistant tokens train, user/system
+    * tokens mask → `trained_ratio_micro`). Transcripts are synthesized
+    * as REAL JSON per doc (violations planted: a doubled user turn at
+    * k%7=3, an empty final assistant at k%11=5) and parsed back with
+    * `from_json` into `array<struct<role,content>>`; the alternation
+    * check is a pure-expression `aggregate` fold over the turn array
+    * (expected-role state flips user↔assistant, q341's fold
+    * discipline), per-role token mass an expression fold too — all
+    * codegen-resident, map-only, zero shuffles. The oracle recomputes
+    * every output from the synth plan's closed-form arithmetic, so the
+    * gate proves the synthesize→parse→audit round trip, not
+    * self-consistency.
+    */
+  val q343 = Q("q343_chat_template_audit",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val k = (id % 12).toInt
+            val nPairs = 1 + k % 3
+            val sb = new StringBuilder("[")
+            def turn(role: String, words: Seq[String]): Unit = {
+              if (sb.length > 1) sb.append(',')
+              sb.append("{\"role\":\"").append(role)
+                .append("\",\"content\":\"").append(words.mkString(" ")).append("\"}")
+            }
+            if (k % 3 == 0) turn("system", Seq.fill(4)("sys"))
+            for (i <- 1 to nPairs) {
+              turn("user", Seq.fill(2 + (k + i) % 4)("ask"))
+              if (k % 7 == 3 && i == 1) turn("user", Seq.fill(2)("oops"))
+              val aw = if (k % 11 == 5 && i == nPairs) 0 else 3 + (k + 2 * i) % 5
+              turn("assistant", Seq.fill(aw)("ok"))
+            }
+            (id, sb.append(']').toString)
+          }
+        }
+        .toDF("doc_id", "payload")
+      def roleTokens(role: String) = expr(
+        s"""CAST(aggregate(turns, CAST(0 AS BIGINT), (a, t) -> a +
+           |  CASE WHEN t.role = '$role' AND t.content <> ''
+           |       THEN size(split(trim(t.content), '\\\\s+')) ELSE 0 END)
+           |AS BIGINT)""".stripMargin)
+      synth
+        .withColumn("turns",
+          from_json(col("payload"), "array<struct<role:string,content:string>>",
+            Map.empty[String, String]))
+        .select(col("doc_id"),
+          size(col("turns")).cast("long").as("n_turns"),
+          (element_at(col("turns"), 1).getField("role") === "system")
+            .cast("long").as("has_system"),
+          expr("""CAST(aggregate(
+              slice(turns, CASE WHEN element_at(turns, 1).role = 'system'
+                           THEN 2 ELSE 1 END, size(turns)),
+              named_struct('expect', 'user', 'ok', true),
+              (s, t) -> named_struct(
+                'expect', CASE WHEN s.expect = 'user' THEN 'assistant' ELSE 'user' END,
+                'ok', s.ok AND t.role = s.expect),
+              s -> s.ok AND s.expect = 'user') AS BIGINT)""").as("alternation_ok"),
+          size(expr("filter(turns, t -> t.content = '')")).cast("long").as("n_empty"),
+          roleTokens("user").as("user_tokens"),
+          roleTokens("assistant").as("assistant_tokens"),
+          roleTokens("system").as("system_tokens"))
+        .withColumn("trained_ratio_micro", expr(
+          """CAST((CAST(assistant_tokens AS DECIMAL(38,0)) * 1000000)
+            |div CAST(user_tokens + assistant_tokens + system_tokens AS DECIMAL(38,0))
+            |AS BIGINT)""".stripMargin))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 12 AS BIGINT) AS k FROM documents),
+      i AS (SELECT d.doc_id, d.k, r.range AS i
+            FROM d, range(1, 4) r WHERE r.range <= 1 + d.k % 3),
+      s AS (SELECT doc_id, k,
+                   CAST(sum(2 + (k + i) % 4) AS BIGINT) AS utok,
+                   CAST(sum(CASE WHEN i = 1 + k % 3 AND k % 11 = 5 THEN 0
+                                 ELSE 3 + (k + 2 * i) % 5 END) AS BIGINT) AS atok
+            FROM i GROUP BY doc_id, k),
+      f AS (SELECT doc_id, k,
+                   utok + CASE WHEN k % 7 = 3 THEN 2 ELSE 0 END AS user_tokens,
+                   atok AS assistant_tokens,
+                   CASE WHEN k % 3 = 0 THEN 4 ELSE 0 END AS system_tokens
+            FROM s)
+      SELECT doc_id,
+             CAST(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END
+                  + 2 * (1 + k % 3)
+                  + CASE WHEN k % 7 = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_turns,
+             CAST(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS has_system,
+             CAST(CASE WHEN k % 7 = 3 THEN 0 ELSE 1 END AS BIGINT) AS alternation_ok,
+             CAST(CASE WHEN k % 11 = 5 THEN 1 ELSE 0 END AS BIGINT) AS n_empty,
+             CAST(user_tokens AS BIGINT) AS user_tokens,
+             CAST(assistant_tokens AS BIGINT) AS assistant_tokens,
+             CAST(system_tokens AS BIGINT) AS system_tokens,
+             CAST((CAST(assistant_tokens AS HUGEINT) * 1000000)
+                  // (user_tokens + assistant_tokens + system_tokens)
+                  AS BIGINT) AS trained_ratio_micro
+      FROM f ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
-    q328, q331, q333, q334, q338)
+    q328, q331, q333, q334, q338, q343)
 }

@@ -348,6 +348,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan) // fingerprint rollup map-side combines
   }
 
+  test("q343: chat audit is map-only and every violation branch fires") {
+    val df = CorpusQueries.q343.fn(spark, sf)
+    val out = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("hashpartitioning"), plan) // only the presentation sort exchanges
+    assert(out.map(_.getLong(3)).toSet == Set(0L, 1L), "alternation branches")
+    assert(out.map(_.getLong(4)).toSet == Set(0L, 1L), "empty-content branches")
+    assert(out.forall(r => r.getLong(8) > 0 && r.getLong(8) < 1000000),
+      "trained ratio is a proper fraction")
+  }
+
   test("q339: EXIF census is map-only — no join, no aggregation exchange") {
     val df = DataQueries.q339.fn(spark, sf)
     df.collect()
