@@ -2090,7 +2090,60 @@ object CorpusQueries {
                   AS BIGINT) AS trained_ratio_micro
       FROM f ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q345
+
+  /** q345 — prefix-cache ROI census: serving stacks (vLLM-style
+    * automatic prefix caching) reuse the KV cache across requests
+    * sharing a token PREFIX — shared system prompts, templated
+    * few-shot headers. This audit measures, per source, how much
+    * prefix mass a corpus would actually share: docs grouped by their
+    * first-8-token prefix (a doc shorter than 8 tokens IS its own
+    * prefix — group identity is the literal token sequence, so a
+    * 5-token doc never collides with an 8-token prefix), then
+    * `cacheable_tokens = Σ_groups (size−1)·prefix_len` — every group
+    * member after the first hits the cache. `cacheable_ratio_micro`
+    * (cacheable / total prefix tokens, exact integer division) is the
+    * expected KV-cache hit mass the serving fleet provisions against.
+    * Scale shape: prefix extraction is map-side (`slice` of the token
+    * split — no UDF), ONE groupBy on (source, prefix-hash) with
+    * map-side combine, one bounded per-source rollup.
+    */
+  val q345 = Q("q345_prefix_cache",
+    (s, dir) => {
+      val toks = graft.operators.TextAnalysis.tokens(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          md5(concat_ws(" ", slice(toks, 1, 8))).as("pfx"),
+          least(size(toks).cast("long"), lit(8L)).as("plen"))
+        .groupBy("source", "pfx", "plen")
+        .agg(count(lit(1)).as("gsize"))
+        .groupBy("source")
+        .agg(sum("gsize").as("n_docs"),
+          count(lit(1)).as("n_groups"),
+          sum(col("gsize") - 1L).as("shared_docs"),
+          sum((col("gsize") - 1L) * col("plen")).as("cacheable_tokens"),
+          sum(col("gsize") * col("plen")).as("prefix_tokens"))
+        .withColumn("cacheable_ratio_micro", expr(
+          "CAST((CAST(cacheable_tokens AS DECIMAL(38,0)) * 1000000) div prefix_tokens AS BIGINT)"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH p AS (SELECT source,
+                        md5(array_to_string(($duckTokens)[1:8], ' ')) AS pfx,
+                        least(CAST(len($duckTokens) AS BIGINT), 8) AS plen
+                 FROM documents),
+      g AS (SELECT source, pfx, plen, CAST(count(*) AS BIGINT) AS gsize
+            FROM p GROUP BY source, pfx, plen)
+      SELECT source, CAST(sum(gsize) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(gsize - 1) AS BIGINT) AS shared_docs,
+             CAST(sum((gsize - 1) * plen) AS BIGINT) AS cacheable_tokens,
+             CAST(sum(gsize * plen) AS BIGINT) AS prefix_tokens,
+             CAST((CAST(sum((gsize - 1) * plen) AS HUGEINT) * 1000000)
+                  // sum(gsize * plen) AS BIGINT) AS cacheable_ratio_micro
+      FROM g GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
-    q328, q331, q333, q334, q338, q343)
+    q328, q331, q333, q334, q338, q343, q345)
 }

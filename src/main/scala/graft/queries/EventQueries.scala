@@ -1721,7 +1721,60 @@ object EventQueries {
       SELECT rel, CAST(count(*) AS BIGINT) AS cnt
       FROM rels GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------------------- q344
+
+  /** q344 — unbiased pass@k (Chen et al. 2021, the HumanEval
+    * estimator): the metric every code/reasoning eval harness
+    * aggregates — per task, n sampled attempts with c successes give
+    * `pass@k = 1 − C(n−c, k)/C(n, k)`, the probability a random
+    * k-subset contains a success. The naive `1 − (1 − c/n)^k` is
+    * biased; the combinatorial form is exact, and here it is computed
+    * EXACTLY: the ratio telescopes to `Π_{i=0..k-1} (n−c−i)/(n−i)`,
+    * whose numerator/denominator products are small integers
+    * (n ≤ a few hundred → fits BIGINT with room), so `pass@k` lands
+    * as micro-units by integer division — bit-identical on both
+    * engines, no floats anywhere. Tasks = users, attempts = their
+    * events, success = `event_id % 3 = 0` (integer rule, no
+    * float-rounding hazard); tasks need n ≥ 5 so pass@5 is defined.
+    * Scale shape: ONE map-side-combined groupBy on user_id, then
+    * map-only arithmetic — the same plan at any corpus size.
+    */
+  val q344 = Q("q344_pass_at_k",
+    (s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_id") % 3 === 0, 1L).otherwise(0L)).as("c"))
+        .filter(col("n") >= 5)
+        .withColumn("f", col("n") - col("c")) // failures
+        .withColumn("pass1_micro",
+          expr("CAST((CAST(c AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)"))
+        .withColumn("pass5_micro", expr(
+          // promote to DECIMAL before the falling-factorial products: at
+          // 100× a hot task's n⁵ would overflow BIGINT (ANSI error)
+          """CAST(1000000 - CASE WHEN f < 5 THEN 0 ELSE
+            |  (CAST(f AS DECIMAL(38,0)) * (f-1) * (f-2) * (f-3) * (f-4) * 1000000)
+            |  div (CAST(n AS DECIMAL(38,0)) * (n-1) * (n-2) * (n-3) * (n-4))
+            |  END AS BIGINT)""".stripMargin))
+        .select("user_id", "n", "c", "pass1_micro", "pass5_micro")
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS c
+                 FROM events GROUP BY user_id HAVING count(*) >= 5),
+      f AS (SELECT user_id, n, c, n - c AS f FROM t)
+      SELECT user_id, n, c,
+             CAST((CAST(c AS HUGEINT) * 1000000) // n AS BIGINT) AS pass1_micro,
+             CAST(1000000 - CASE WHEN f < 5 THEN 0 ELSE
+                    (CAST(f AS HUGEINT) * (f-1) * (f-2) * (f-3) * (f-4) * 1000000)
+                    // (CAST(n AS HUGEINT) * (n-1) * (n-2) * (n-3) * (n-4))
+                    END AS BIGINT)
+               AS pass5_micro
+      FROM f ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201, q205,
     q206, q208, q212, q213, q215, q219, q220, q227, q228, q229, q233, q235, q236,
-    q293, q294, q301, q302, q313)
+    q293, q294, q301, q302, q313, q344)
 }

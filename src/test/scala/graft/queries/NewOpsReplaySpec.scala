@@ -416,4 +416,62 @@ class NewOpsReplaySpec extends SparkSpec {
       assert((binsS, wasteS) == pack(sorted.map(_._2)), s"shard $shard sorted")
     }
   }
+
+  test("q344: pass@k matches a BigInt falling-factorial replay") {
+    val out = rows(EventQueries.q344.fn(spark, sf))
+    assert(out.nonEmpty)
+    val ev = Tables.load(spark, sf, "events")
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = ev.groupBy(_._1).map { case (u, g) =>
+      u -> (g.length.toLong, g.count(_._2 % 3 == 0).toLong)
+    }
+    assert(out.map(_(0).asInstanceOf[Long]).toSet ==
+      byUser.filter(_._2._1 >= 5).keySet)
+    out.foreach { r =>
+      val Seq(u, n, c, p1, p5) = r.map(_.asInstanceOf[Long])
+      assert((n, c) == byUser(u), s"user $u counts")
+      assert(p1 == (BigInt(c) * 1000000 / n).toLong, s"user $u pass@1")
+      val f = n - c
+      val exp5 =
+        if (f < 5) 1000000L
+        else {
+          val num = (0 until 5).map(i => BigInt(f - i)).product * 1000000
+          val den = (0 until 5).map(i => BigInt(n - i)).product
+          (1000000 - num / den).toLong
+        }
+      assert(p5 == exp5, s"user $u pass@5: $p5 vs $exp5")
+      // unbiasedness sanity: pass@5 ≥ pass@1, both in [0, 1e6]
+      assert(p5 >= p1 && p1 >= 0 && p5 <= 1000000L, s"user $u bounds")
+    }
+  }
+
+  test("q345: prefix-cache census matches a per-group replay") {
+    val out = rows(CorpusQueries.q345.fn(spark, sf))
+    assert(out.nonEmpty)
+    // collect each doc's (source, first-8-token prefix, plen) once via the
+    // same tokenizer column, then redo ALL grouping/rollup math in Scala
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("source"), concat_ws(" ", slice(toks, 1, 8)).as("pfx"),
+        least(size(toks).cast("long"), lit(8L)).as("plen"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySource = docs.groupBy(_._1)
+    assert(out.map(_(0).asInstanceOf[String]) == bySource.keys.toSeq.sorted)
+    out.foreach { r =>
+      val src = r(0).asInstanceOf[String]
+      val Seq(nDocs, nGroups, shared, cacheable, prefix, ratio) =
+        r.drop(1).map(_.asInstanceOf[Long])
+      val groups = bySource(src).groupBy(d => (d._2, d._3)).values.toSeq
+      assert(nDocs == bySource(src).length && nGroups == groups.length)
+      assert(shared == nDocs - nGroups, s"$src shared")
+      val expCache = groups.map(g => (g.length - 1).toLong * g.head._3).sum
+      val expPrefix = groups.map(g => g.length.toLong * g.head._3).sum
+      assert(cacheable == expCache && prefix == expPrefix, s"$src tokens")
+      assert(ratio == (BigInt(expCache) * 1000000 / expPrefix).toLong, src)
+      // every cached token is a stored token: cacheable < prefix strictly
+      // (each group's first member is always a miss)
+      assert(cacheable < prefix, s"$src: cache cannot cover the first visit")
+    }
+  }
 }
