@@ -2143,7 +2143,67 @@ object CorpusQueries {
                   // sum(gsize * plen) AS BIGINT) AS cacheable_ratio_micro
       FROM g GROUP BY source ORDER BY source"""))
 
+  // --------------------------------------------------------------- q349
+
+  /** q349 — training-order shuffle-quality audit: a corpus written in
+    * crawl order feeds SGD long same-source runs, and the fix (a
+    * global shuffle) is expensive enough that teams first MEASURE how
+    * bad the ordering is. Per source: of the adjacent pairs this
+    * source leads in shipped `doc_id` order, how many continue into
+    * the same source (`same_pairs`), vs the exact expectation under a
+    * uniform random permutation (`lead_pairs · (n_s−1)/(N−1)`, in
+    * micro units by integer division). `obs_over_exp_micro` ≫ 1e6
+    * means clumped (shuffle before training); ≈ 1e6 means the order
+    * is already permutation-like. All arithmetic is exact integer —
+    * no floats. Scale shape: adjacency is ONE self-equi-join on
+    * `doc_id+1` (dense ids — the shard manifest's row_number at
+    * 100 TB), rolled up map-side-combined to the bounded |sources|
+    * relation; the corpus size enters as one driver scalar.
+    */
+  val q349 = Q("q349_shuffle_quality",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+      val n = docs.count() // ONE bounded scalar (the corpus row count)
+      val pairs = docs.as("a")
+        .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.source").as("src"),
+          (col("a.source") === col("b.source")).cast("long").as("same"))
+        .groupBy("src")
+        .agg(count(lit(1)).as("lead_pairs"), sum("same").as("same_pairs"))
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(pairs, col("source") === col("src")).drop("src")
+        .withColumn("expected_same_micro", expr(
+          s"CAST((CAST(lead_pairs AS DECIMAL(38,0)) * (n_docs - 1) * 1000000) div ${n - 1}L AS BIGINT)"))
+        .withColumn("obs_over_exp_micro", expr(
+          s"""CASE WHEN n_docs > 1 THEN
+             |  CAST((CAST(same_pairs AS DECIMAL(38,0)) * 1000000 * ${n - 1}L)
+             |       div (CAST(lead_pairs AS DECIMAL(38,0)) * (n_docs - 1)) AS BIGINT)
+             |ELSE CAST(NULL AS BIGINT) END""".stripMargin))
+        .select("source", "n_docs", "lead_pairs", "same_pairs",
+          "expected_same_micro", "obs_over_exp_micro")
+        .orderBy("source")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source FROM documents),
+      p AS (SELECT a.source AS src,
+                   CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS same
+            FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+      c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY source),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM d),
+      g AS (SELECT src, CAST(count(*) AS BIGINT) AS lead_pairs,
+                   CAST(sum(same) AS BIGINT) AS same_pairs
+            FROM p GROUP BY src)
+      SELECT c.source, c.n_docs, g.lead_pairs, g.same_pairs,
+             CAST((CAST(g.lead_pairs AS HUGEINT) * (c.n_docs - 1) * 1000000)
+                  // (nn.N - 1) AS BIGINT) AS expected_same_micro,
+             CASE WHEN c.n_docs > 1 THEN
+               CAST((CAST(g.same_pairs AS HUGEINT) * 1000000 * (nn.N - 1))
+                    // (CAST(g.lead_pairs AS HUGEINT) * (c.n_docs - 1)) AS BIGINT)
+             ELSE NULL END AS obs_over_exp_micro
+      FROM c JOIN g ON g.src = c.source CROSS JOIN nn
+      ORDER BY c.source"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
-    q328, q331, q333, q334, q338, q343, q345)
+    q328, q331, q333, q334, q338, q343, q345, q349)
 }

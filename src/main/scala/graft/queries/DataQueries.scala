@@ -3124,9 +3124,105 @@ object DataQueries {
              CAST(0 AS BIGINT) AS trailing_bytes
       FROM f ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q346
+
+  /** q346 — int8 quantization audit for the embedding store: before a
+    * vector index ships its vectors as int8 (4× smaller, SIMD
+    * distance kernels), the pipeline must measure what the rounding
+    * costs. Two standard absmax schemes are audited side by side:
+    * PER-VECTOR (scale = absmax(row)/127 — the llama.cpp/row-wise
+    * scheme, adapts to row norms) and PER-DIMENSION (scale_d =
+    * absmax(column d)/127 — the FAISS-SQ8 shape, adapts to feature
+    * ranges). For each, elements quantize `q = clamp(floor(x/s + ½),
+    * ±127)` and the reconstruction error `(x − q·s)²` is quantized
+    * per ELEMENT to pico units before any sum — both engines add
+    * integers, so group totals are order-independent and the exact
+    * hash gate holds. Scale shape: the per-dim pass is ONE bounded
+    * 64-row reduction broadcast back as a literal array (no per-row
+    * join); everything else is map-side list folds + one
+    * map-side-combined groupBy(label).
+    */
+  val q346 = Q("q346_int8_quant",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val dimScales = emb
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(max(abs(col("x").cast("double"))).as("am"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, am))), p -> p.am / 127.0)").as("ds"))
+      emb.crossJoin(broadcast(dimScales))
+        .withColumn("sv", expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) / 127.0"))
+        .select(col("label").cast("long").as("label"),
+          expr("""CASE WHEN sv = 0.0 THEN CAST(0 AS BIGINT) ELSE
+                aggregate(transform(embedding,
+                  x -> CAST(x AS DOUBLE) - CAST(greatest(CAST(-127 AS BIGINT),
+                    least(CAST(127 AS BIGINT), floor(CAST(x AS DOUBLE) / sv + 0.5d))) AS DOUBLE) * sv),
+                  CAST(0 AS BIGINT),
+                  (a, e) -> a + CAST(floor(1e12 * e * e + 0.5d) AS BIGINT)) END""").as("pv_pico"),
+          expr("""aggregate(zip_with(embedding, ds,
+                  (x, sd) -> CASE WHEN sd = 0.0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(x AS DOUBLE) - CAST(greatest(CAST(-127 AS BIGINT),
+                      least(CAST(127 AS BIGINT), floor(CAST(x AS DOUBLE) / sd + 0.5d))) AS DOUBLE) * sd END),
+                  CAST(0 AS BIGINT),
+                  (a, e) -> a + CAST(floor(1e12 * e * e + 0.5d) AS BIGINT))""").as("pd_pico"),
+          expr("CAST(floor(1e9 * sv + 0.5d) AS BIGINT)").as("sv_nano"),
+          size(col("embedding")).cast("long").as("nelem"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(expr("CAST(pv_pico AS DECIMAL(38,0))")).as("pvs"),
+          sum(expr("CAST(pd_pico AS DECIMAL(38,0))")).as("pds"),
+          sum(expr("CAST(sv_nano AS DECIMAL(38,0))")).as("svs"),
+          sum("nelem").as("ne"))
+        .select(col("label"), col("n_vecs"),
+          expr("CAST(pvs AS BIGINT)").as("pv_err_pico"),
+          expr("CAST(pds AS BIGINT)").as("pd_err_pico"),
+          expr("CAST(pvs div ne AS BIGINT)").as("pv_err_per_elem_pico"),
+          expr("CAST(pds div ne AS BIGINT)").as("pd_err_per_elem_pico"),
+          expr("CAST(svs div n_vecs AS BIGINT)").as("avg_scale_nano"))
+        .orderBy("label")
+    },
+    Some("""
+      WITH e AS (SELECT CAST(label AS BIGINT) AS label, embedding,
+                        list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sv
+                 FROM embeddings),
+      dims AS (SELECT pos, max(abs(CAST(x AS DOUBLE))) / 127.0 AS sd
+               FROM (SELECT generate_subscripts(embedding, 1) AS pos,
+                            unnest(embedding) AS x FROM embeddings)
+               GROUP BY pos),
+      dl AS (SELECT list(sd ORDER BY pos) AS ds FROM dims),
+      per AS (SELECT label,
+        CASE WHEN sv = 0.0 THEN CAST(0 AS BIGINT) ELSE
+          CAST(list_sum(list_transform(embedding, x ->
+            CAST(floor(1e12
+              * (CAST(x AS DOUBLE) - greatest(-127.0, least(127.0,
+                   floor(CAST(x AS DOUBLE) / sv + 0.5))) * sv)
+              * (CAST(x AS DOUBLE) - greatest(-127.0, least(127.0,
+                   floor(CAST(x AS DOUBLE) / sv + 0.5))) * sv)
+              + 0.5) AS BIGINT))) AS BIGINT) END AS pv_pico,
+        CAST(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+          CAST(floor(1e12
+            * (CASE WHEN ds[i] = 0.0 THEN 0.0
+                 ELSE CAST(embedding[i] AS DOUBLE) - greatest(-127.0, least(127.0,
+                   floor(CAST(embedding[i] AS DOUBLE) / ds[i] + 0.5))) * ds[i] END)
+            * (CASE WHEN ds[i] = 0.0 THEN 0.0
+                 ELSE CAST(embedding[i] AS DOUBLE) - greatest(-127.0, least(127.0,
+                   floor(CAST(embedding[i] AS DOUBLE) / ds[i] + 0.5))) * ds[i] END)
+            + 0.5) AS BIGINT))) AS BIGINT) AS pd_pico,
+        CAST(floor(1e9 * sv + 0.5) AS BIGINT) AS sv_nano,
+        CAST(len(embedding) AS BIGINT) AS nelem
+        FROM e CROSS JOIN dl)
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(CAST(pv_pico AS HUGEINT)) AS BIGINT) AS pv_err_pico,
+             CAST(sum(CAST(pd_pico AS HUGEINT)) AS BIGINT) AS pd_err_pico,
+             CAST(sum(CAST(pv_pico AS HUGEINT)) // sum(nelem) AS BIGINT) AS pv_err_per_elem_pico,
+             CAST(sum(CAST(pd_pico AS HUGEINT)) // sum(nelem) AS BIGINT) AS pd_err_per_elem_pico,
+             CAST(sum(CAST(sv_nano AS HUGEINT)) // count(*) AS BIGINT) AS avg_scale_nano
+      FROM per GROUP BY label ORDER BY label"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
-    q329, q332, q335, q337, q339)
+    q329, q332, q335, q337, q339, q346)
 }

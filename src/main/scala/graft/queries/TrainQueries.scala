@@ -1462,6 +1462,123 @@ object TrainQueries {
                             > 4000000 THEN 1 ELSE 0 END AS BIGINT) AS repeat_flag
       FROM z ORDER BY source"""))
 
+  // --------------------------------------------------------------- q347
+
+  /** q347 — context-length truncation census: the planning sweep a
+    * data team runs before fixing `max_seq_len` — for each candidate
+    * context budget (128 / 512 / 2048), how many documents would be
+    * cut and how much token mass the cut discards, per source.
+    * Pairs with q341 (which prices the PADDING side of the same
+    * decision); together they bracket the whole-doc-packing tradeoff.
+    * `loss_ratio_micro` is exact integer division — no floats.
+    * Scale shape: one map-side explode of 3 candidate budgets (3×
+    * row fan-out, constant factor) into ONE map-side-combined
+    * groupBy(source, ctx); the same plan at any corpus size.
+    */
+  val q347 = Q("q347_truncation_census",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("source"), TA.tokenCount(col("text")).cast("long").as("nt"),
+          explode(array(lit(128L), lit(512L), lit(2048L))).as("ctx"))
+        .groupBy("source", "ctx")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          sum(when(col("nt") > col("ctx"), 1L).otherwise(0L)).as("docs_truncated"),
+          sum(greatest(col("nt") - col("ctx"), lit(0L))).as("tokens_lost"))
+        .withColumn("loss_ratio_micro", expr(
+          "CAST((CAST(tokens_lost AS DECIMAL(38,0)) * 1000000) div n_tokens AS BIGINT)"))
+        .orderBy("source", "ctx")
+    },
+    Some(s"""
+      WITH t AS (SELECT source, CAST(len($duckTokens) AS BIGINT) AS nt
+                 FROM documents),
+      x AS (SELECT t.source, t.nt, CAST(c.ctx AS BIGINT) AS ctx
+            FROM t CROSS JOIN (VALUES (128), (512), (2048)) AS c(ctx)),
+      g AS (SELECT source, ctx, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN nt > ctx THEN 1 ELSE 0 END) AS BIGINT)
+                     AS docs_truncated,
+                   CAST(sum(greatest(nt - ctx, 0)) AS BIGINT) AS tokens_lost
+            FROM x GROUP BY source, ctx)
+      SELECT source, ctx, n_docs, n_tokens, docs_truncated, tokens_lost,
+             CAST((CAST(tokens_lost AS HUGEINT) * 1000000) // n_tokens AS BIGINT)
+               AS loss_ratio_micro
+      FROM g ORDER BY source, ctx"""))
+
+  // --------------------------------------------------------------- q348
+
+  /** q348 — packing attention-leak audit: when whole documents share
+    * a ctx=128 training window (q341's arrival-order greedy fill), a
+    * packer that forgets the block-diagonal attention mask lets every
+    * token attend tokens of EARLIER documents in the same bin —
+    * cross-document contamination. This audit counts exactly those
+    * pairs: appending a doc of t tokens to a bin already holding F
+    * leaks t·F causal pairs, so the fold carries (fill, leaked) and
+    * pays t·F on every fit. `kept_pairs = Σ_docs t(t+1)/2` is the
+    * legitimate within-doc causal mass; `leaked/(leaked+kept)` — in
+    * exact micro units — is the fraction of attention compute a
+    * missing mask would corrupt (the two terms sum to the bins'
+    * total causal pairs Σ F_b(F_b+1)/2, which the spec checks).
+    * Scale shape: q341's exact parallel unit — ONE shuffle clusters
+    * each 64-doc shard, the fold is a pure-expression `aggregate`
+    * over the bounded sorted array (no window, no driver loop).
+    */
+  val q348 = Q("q348_attention_leak",
+    (s, dir) => {
+      val ctx = 128L
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          least(TA.tokenCount(col("text")).cast("long"), lit(ctx)).as("t"),
+          expr("doc_id div 64").as("shard"))
+      val init = struct(lit(0L).as("fill"), lit(0L).as("leaked"))
+      def leakFold(arr: Column): Column =
+        aggregate(arr, init, (st, x) => {
+          val fill = st.getField("fill"); val lk = st.getField("leaked")
+          val t = x.getField("t")
+          when(fill + t <= lit(ctx),
+            struct((fill + t).as("fill"), (lk + t * fill).as("leaked")))
+            .otherwise(struct(t.as("fill"), lk.as("leaked")))
+        }, st => st.getField("leaked"))
+      tok.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"),
+          sum(expr("t * (t + 1) div 2")).as("kept_pairs"),
+          leakFold(sort_array(collect_list(struct(col("doc_id"), col("t")))))
+            .as("leaked_pairs"))
+        .withColumn("leak_ratio_micro", expr(
+          "CAST((CAST(leaked_pairs AS DECIMAL(38,0)) * 1000000) div (leaked_pairs + kept_pairs) AS BIGINT)"))
+        .select("shard", "n_docs", "n_tokens", "kept_pairs", "leaked_pairs",
+          "leak_ratio_micro")
+        .orderBy("shard")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      tok AS (SELECT doc_id, doc_id // 64 AS shard,
+                     CAST(least(CAST(len($duckTokens) AS BIGINT), 128) AS BIGINT) AS t
+              FROM documents),
+      a AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS seq
+            FROM tok),
+      r AS (
+        SELECT shard, seq, t AS fill, CAST(0 AS BIGINT) AS leaked
+        FROM a WHERE seq = 1
+        UNION ALL
+        SELECT n.shard, n.seq,
+               CASE WHEN r.fill + n.t <= 128 THEN r.fill + n.t ELSE n.t END,
+               CASE WHEN r.fill + n.t <= 128 THEN r.leaked + n.t * r.fill
+                    ELSE r.leaked END
+        FROM r JOIN a n ON n.shard = r.shard AND n.seq = r.seq + 1),
+      cnt AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(t) AS BIGINT) AS n_tokens,
+                     CAST(sum((t * (t + 1)) // 2) AS BIGINT) AS kept_pairs
+              FROM tok GROUP BY shard),
+      fin AS (SELECT r.shard, r.leaked AS leaked_pairs
+              FROM r JOIN cnt c ON c.shard = r.shard AND r.seq = c.n_docs)
+      SELECT c.shard, c.n_docs, c.n_tokens, c.kept_pairs, f.leaked_pairs,
+             CAST((CAST(f.leaked_pairs AS HUGEINT) * 1000000)
+                  // (f.leaked_pairs + c.kept_pairs) AS BIGINT)
+               AS leak_ratio_micro
+      FROM cnt c JOIN fin f ON f.shard = c.shard
+      ORDER BY c.shard"""))
+
   val all: Seq[Q] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q184, q300, q303, q304, q305, q330, q341, q342)
+    q88, q89, q90, q91, q184, q300, q303, q304, q305, q330, q341, q342,
+    q347, q348)
 }

@@ -474,4 +474,126 @@ class NewOpsReplaySpec extends SparkSpec {
       assert(cacheable < prefix, s"$src: cache cannot cover the first visit")
     }
   }
+
+  test("q346: int8 quant errors match a scalar Scala replay of both schemes") {
+    val out = rows(DataQueries.q346.fn(spark, sf))
+    assert(out.nonEmpty)
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("label").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dims = vecs.head._2.indices.map { d =>
+      vecs.map(v => math.abs(v._2(d))).max / 127.0
+    }.toArray
+    def errPico(x: Double, s: Double): Long =
+      if (s == 0.0) 0L
+      else {
+        val q = math.max(-127.0, math.min(127.0, math.floor(x / s + 0.5)))
+        val e = x - q * s
+        math.floor(1e12 * e * e + 0.5).toLong
+      }
+    val byLabel = vecs.groupBy(_._1)
+    out.foreach { r =>
+      val Seq(label, n, pv, pd, pvPer, pdPer, avgScale) =
+        r.map(_.asInstanceOf[Long])
+      val g = byLabel(label)
+      assert(n == g.length, s"label $label count")
+      val expPv = g.map { case (_, v) =>
+        val sv = v.map(math.abs).max / 127.0
+        v.map(errPico(_, sv)).sum
+      }.sum
+      val expPd = g.map(_._2.zip(dims).map { case (x, s) => errPico(x, s) }.sum).sum
+      assert(pv == expPv, s"label $label per-vector: $pv vs $expPv")
+      assert(pd == expPd, s"label $label per-dim: $pd vs $expPd")
+      val ne = g.map(_._2.length.toLong).sum
+      assert(pvPer == pv / ne && pdPer == pd / ne, s"label $label means")
+      val expScale = g.map { case (_, v) =>
+        math.floor(1e9 * v.map(math.abs).max / 127.0 + 0.5).toLong
+      }.sum / n
+      assert(avgScale == expScale, s"label $label scale")
+      // both schemes round to ≤ half a step per element: err ≤ (s/2)²
+      assert(pv >= 0 && pd >= 0)
+    }
+  }
+
+  test("q347: truncation sweep matches a per-(source,ctx) replay") {
+    val out = rows(TrainQueries.q347.fn(spark, sf))
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("source"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySource = docs.groupBy(_._1)
+    assert(out.size == bySource.size * 3)
+    out.foreach { r =>
+      val src = r(0).asInstanceOf[String]
+      val Seq(ctx, nDocs, nTok, nTrunc, lost, ratio) =
+        r.drop(1).map(_.asInstanceOf[Long])
+      val g = bySource(src).map(_._2)
+      assert(nDocs == g.length && nTok == g.sum, s"$src/$ctx counts")
+      assert(nTrunc == g.count(_ > ctx), s"$src/$ctx trunc")
+      assert(lost == g.map(t => math.max(t - ctx, 0L)).sum, s"$src/$ctx lost")
+      assert(ratio == (BigInt(lost) * 1000000 / nTok).toLong, s"$src/$ctx ratio")
+    }
+    // loss is monotone non-increasing in the budget
+    out.groupBy(_(0)).values.foreach { g =>
+      val byCtx = g.sortBy(_(1).asInstanceOf[Long]).map(_(5).asInstanceOf[Long])
+      assert(byCtx == byCtx.sorted.reverse, s"non-monotone loss: $byCtx")
+    }
+  }
+
+  test("q348: attention leak matches a hand fold and conserves pair mass") {
+    val out = rows(TrainQueries.q348.fn(spark, sf))
+    assert(out.nonEmpty)
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        least(graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"),
+          lit(128L)).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byShard = toks.groupBy(_._1 / 64)
+    out.foreach { r =>
+      val Seq(shard, nDocs, nTok, kept, leaked, ratio) =
+        r.map(_.asInstanceOf[Long])
+      val docs = byShard(shard).sortBy(_._1).map(_._2)
+      assert(nDocs == docs.length && nTok == docs.sum, s"shard $shard counts")
+      assert(kept == docs.map(t => t * (t + 1) / 2).sum, s"shard $shard kept")
+      // replay the fold and record every bin's final fill
+      var fill = 0L; var lk = 0L; val fills = scala.collection.mutable.Buffer[Long]()
+      docs.foreach { t =>
+        if (fill + t <= 128L) { lk += t * fill; fill += t }
+        else { fills += fill; fill = t }
+      }
+      if (fill > 0) fills += fill
+      assert(leaked == lk, s"shard $shard leaked: $leaked vs $lk")
+      // conservation: within-doc + cross-doc = total causal pairs per bin
+      assert(leaked + kept == fills.map(f => f * (f + 1) / 2).sum,
+        s"shard $shard pair mass")
+      assert(ratio == (BigInt(leaked) * 1000000 / (leaked + kept)).toLong)
+    }
+  }
+
+  test("q349: shuffle-quality adjacency matches a sequential replay") {
+    val out = rows(CorpusQueries.q349.fn(spark, sf))
+    assert(out.nonEmpty)
+    val seq = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).map(_._2)
+    val n = seq.length.toLong
+    val lead = seq.init.zip(seq.tail)
+    val bySrc = seq.groupBy(identity).map { case (s, g) => s -> g.length.toLong }
+    out.foreach { r =>
+      val src = r(0).asInstanceOf[String]
+      val Seq(nDocs, leadPairs, samePairs, expMicro, ratio) =
+        r.drop(1).map(_.asInstanceOf[Long])
+      assert(nDocs == bySrc(src), s"$src n_docs")
+      val mine = lead.filter(_._1 == src)
+      assert(leadPairs == mine.length, s"$src lead")
+      assert(samePairs == mine.count(p => p._2 == src), s"$src same")
+      assert(expMicro ==
+        (BigInt(leadPairs) * (nDocs - 1) * 1000000 / (n - 1)).toLong, src)
+      assert(ratio == (BigInt(samePairs) * 1000000 * (n - 1) /
+        (BigInt(leadPairs) * (nDocs - 1))).toLong, src)
+    }
+    // conservation: every adjacent pair is led by exactly one source
+    assert(out.map(_(2).asInstanceOf[Long]).sum == n - 1, "lead pairs sum")
+  }
 }

@@ -389,4 +389,39 @@ class PlanSpec extends SparkSpec {
     val df = AnalyticsQueries.q340.fn(spark, sf)
     assert(df.count() == 8)
   }
+
+  // AQE's string dump repeats the plan (Final + Initial) — count
+  // exchanges only inside the final physical plan
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q344: pass@k is one map-side-combined aggregate, no join/window") {
+    val plan = finalPlan(EventQueries.q344.fn(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    // partial + final HashAggregate pair → exactly one key exchange
+    assert(plan.contains("HashAggregate"), plan)
+    assert("hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("*("), s"q344 fell out of codegen:\n$plan")
+  }
+
+  test("q346: int8 audit broadcasts the 64-row dim scales, no row join") {
+    val plan = finalPlan(DataQueries.q346.fn(spark, sf))
+    // the per-dim pass re-attaches as a broadcast of ONE bounded row —
+    // never a shuffle join against the vector table
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q345: prefix census is two map-side-combined aggregates, no join") {
+    val plan = finalPlan(CorpusQueries.q345.fn(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    // (source,pfx) rollup + source rollup → two key exchanges, no more
+    assert("hashpartitioning".r.findAllIn(plan).size == 2, plan)
+  }
 }
