@@ -2203,7 +2203,85 @@ object CorpusQueries {
       FROM c JOIN g ON g.src = c.source CROSS JOIN nn
       ORDER BY c.source"""))
 
+  // --------------------------------------------------------------- q350
+
+  /** q350 — encoding-damage (mojibake) census: web-crawl text arrives
+    * with three classic wounds a curation pass must triage before
+    * tokenization bakes them in — UTF-8 bytes decoded as Latin-1
+    * (`é` → `Ã©`, the ftfy case), U+FFFD replacement characters (a
+    * lossy transcode already happened — unrecoverable), and stray C1
+    * controls (U+0085 NEL from Windows-1252 confusion). Damage is
+    * injected deterministically on the clean table (k%7 → Latin-1
+    * mojibake on every 'e', k%11 → appended U+FFFD, k%13 → prepended
+    * NEL; mutually exclusive branches, q335's discipline), then the
+    * audit counts per source both the affected DOCS per category and
+    * the damaged CHAR mass, plus `clean_ratio_micro` by exact integer
+    * division. Detection is pure `length(x) − length(replace(x, …))`
+    * arithmetic — no regex engine semantics to disagree across
+    * engines. Scale shape: map-only per-doc scans + ONE
+    * map-side-combined groupBy(source).
+    */
+  val q350 = Q("q350_mojibake_census",
+    (s, dir) => {
+      val moji = "Ã©" // 'é' as UTF-8 bytes read back as Latin-1
+      val repl = "�"
+      val nel = ""
+      Tables.load(s, dir, "documents")
+        .withColumn("k", (col("doc_id") % 60).cast("long"))
+        .withColumn("t",
+          when(col("k") % 7 === 0, expr(s"replace(text, 'e', '$moji')"))
+            .when(col("k") % 11 === 0, concat(col("text"), lit(repl)))
+            .when(col("k") % 13 === 0, concat(lit(nel), col("text")))
+            .otherwise(col("text")))
+        .select(col("source"),
+          (length(col("t")) - length(translate(col("t"), "Ã", "")))
+            .cast("long").as("moji_chars"),
+          (length(col("t")) - length(translate(col("t"), repl, "")))
+            .cast("long").as("repl_chars"),
+          (length(col("t")) - length(translate(col("t"), nel, "")))
+            .cast("long").as("c1_chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("moji_chars") > 0).cast("long")).as("n_latin1_moji"),
+          sum((col("repl_chars") > 0).cast("long")).as("n_replacement"),
+          sum((col("c1_chars") > 0).cast("long")).as("n_c1_control"),
+          sum((col("moji_chars") > 0 || col("repl_chars") > 0 ||
+            col("c1_chars") > 0).cast("long")).as("damaged_docs"),
+          sum("moji_chars").as("moji_chars"),
+          sum("repl_chars").as("repl_chars"),
+          sum("c1_chars").as("c1_chars"))
+        .withColumn("clean_ratio_micro", expr(
+          "CAST((CAST(n_docs - damaged_docs AS DECIMAL(38,0)) * 1000000) div n_docs AS BIGINT)"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH d AS (SELECT source, CAST(doc_id % 60 AS BIGINT) AS k,
+                        CASE WHEN doc_id % 60 % 7 = 0
+                               THEN replace(text, 'e', chr(195) || chr(169))
+                             WHEN doc_id % 60 % 11 = 0 THEN text || chr(65533)
+                             WHEN doc_id % 60 % 13 = 0 THEN chr(133) || text
+                             ELSE text END AS t
+                 FROM documents),
+      m AS (SELECT source,
+                   CAST(len(t) - len(replace(t, chr(195), '')) AS BIGINT) AS moji_chars,
+                   CAST(len(t) - len(replace(t, chr(65533), '')) AS BIGINT) AS repl_chars,
+                   CAST(len(t) - len(replace(t, chr(133), '')) AS BIGINT) AS c1_chars
+            FROM d)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN moji_chars > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_latin1_moji,
+             CAST(sum(CASE WHEN repl_chars > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement,
+             CAST(sum(CASE WHEN c1_chars > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c1_control,
+             CAST(sum(CASE WHEN moji_chars > 0 OR repl_chars > 0 OR c1_chars > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS damaged_docs,
+             CAST(sum(moji_chars) AS BIGINT) AS moji_chars,
+             CAST(sum(repl_chars) AS BIGINT) AS repl_chars,
+             CAST(sum(c1_chars) AS BIGINT) AS c1_chars,
+             CAST((CAST(count(*) - sum(CASE WHEN moji_chars > 0 OR repl_chars > 0
+                            OR c1_chars > 0 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000)
+                  // count(*) AS BIGINT) AS clean_ratio_micro
+      FROM m GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
-    q328, q331, q333, q334, q338, q343, q345, q349)
+    q328, q331, q333, q334, q338, q343, q345, q349, q350)
 }

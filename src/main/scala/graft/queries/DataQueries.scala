@@ -3220,9 +3220,98 @@ object DataQueries {
              CAST(sum(CAST(sv_nano AS HUGEINT)) // count(*) AS BIGINT) AS avg_scale_nano
       FROM per GROUP BY label ORDER BY label"""))
 
+  // --------------------------------------------------------------- q351
+
+  /** q351 — int8 quantization RECALL audit: q346 prices the numeric
+    * error of shipping vectors as int8; this query answers the
+    * question the search team actually asks — does quantization
+    * change who the nearest neighbor IS? Per label: exact top-1
+    * cosine neighbors computed twice (original floats vs per-vector
+    * absmax int8 dequantized back to float) and compared;
+    * `recall_micro` = agreement rate in exact micro units, plus the
+    * nano-quantized cosine mass of both runs (how much similarity
+    * score the store gives up). Both top-1 passes run the
+    * block-nested-loop shape of q268 ([[graft.operators.Similarity
+    * .top1Exact]]: bounded chunk rows, broadcast of chunk IDS only,
+    * in-row local argmax, map-side-combined `max(struct)` global
+    * argmax — no window over n² rows, no full-table broadcast); the
+    * quantize/dequantize step is a map-side `transform`. Ties break
+    * toward the smaller neighbor id in both engines, and per-row
+    * cosines are nano-quantized before the group sum.
+    */
+  val q351 = Q("q351_quant_recall",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val dequant = emb
+        .withColumn("sv", expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) / 127.0"))
+        .select(col("vec_id"), expr(
+          """transform(embedding, x -> CAST(CAST(greatest(CAST(-127 AS BIGINT),
+            |  least(CAST(127 AS BIGINT), floor(CAST(x AS DOUBLE) / sv + 0.5d))) AS DOUBLE)
+            |  * sv AS FLOAT))""".stripMargin).as("embedding"))
+      val t1f = graft.operators.Similarity.top1Exact(emb, "vec_id", "embedding")
+        .select(col("vec_id"), col("nb").as("nb_f"), col("cos").as("cos_f"))
+      val t1q = graft.operators.Similarity.top1Exact(dequant, "vec_id", "embedding")
+        .select(col("vec_id").as("vid_q"), col("nb").as("nb_q"), col("cos").as("cos_q"))
+      emb.select(col("vec_id"), col("label").cast("long").as("label"))
+        .join(t1f, "vec_id")
+        .join(t1q, col("vec_id") === col("vid_q"))
+        .select(col("label"),
+          (col("nb_f") === col("nb_q")).cast("long").as("same"),
+          expr("CAST(round(1e9 * cos_f) AS BIGINT)").as("cf"),
+          expr("CAST(round(1e9 * cos_q) AS BIGINT)").as("cq"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), sum("same").as("n_top1_same"),
+          sum("cf").as("cos_float_nano"), sum("cq").as("cos_int8_nano"))
+        .withColumn("recall_micro", expr(
+          "CAST((CAST(n_top1_same AS DECIMAL(38,0)) * 1000000) div n_vecs AS BIGINT)"))
+        .orderBy("label")
+    },
+    Some(s"""
+      WITH sv AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+                         list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sv
+                  FROM embeddings),
+      dq AS (SELECT vec_id, label, embedding,
+                    list_transform(embedding, x -> CAST(greatest(-127.0,
+                      least(127.0, floor(CAST(x AS DOUBLE) / sv + 0.5))) * sv
+                      AS REAL)) AS qe
+             FROM sv),
+      simf AS (SELECT a.vec_id, b.vec_id AS nb,
+                      ${duckDot("a.embedding", "b.embedding")}
+                        / (sqrt(${duckDot("a.embedding", "a.embedding")})
+                           * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cos
+               FROM dq a JOIN dq b ON a.vec_id <> b.vec_id),
+      simq AS (SELECT a.vec_id, b.vec_id AS nb,
+                      ${duckDot("a.qe", "b.qe")}
+                        / (sqrt(${duckDot("a.qe", "a.qe")})
+                           * sqrt(${duckDot("b.qe", "b.qe")})) AS cos
+               FROM dq a JOIN dq b ON a.vec_id <> b.vec_id),
+      t1f AS (SELECT vec_id, nb, cos FROM (
+                SELECT *, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY cos DESC, nb ASC) AS r
+                FROM simf) WHERE r = 1),
+      t1q AS (SELECT vec_id, nb, cos FROM (
+                SELECT *, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY cos DESC, nb ASC) AS r
+                FROM simq) WHERE r = 1),
+      j AS (SELECT s.label,
+                   CASE WHEN f.nb = q.nb THEN 1 ELSE 0 END AS same,
+                   CAST(round(1e9 * f.cos) AS BIGINT) AS cf,
+                   CAST(round(1e9 * q.cos) AS BIGINT) AS cq
+            FROM sv s JOIN t1f f ON f.vec_id = s.vec_id
+                      JOIN t1q q ON q.vec_id = s.vec_id)
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(same) AS BIGINT) AS n_top1_same,
+             CAST(sum(cf) AS BIGINT) AS cos_float_nano,
+             CAST(sum(cq) AS BIGINT) AS cos_int8_nano,
+             CAST((CAST(sum(same) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+               AS recall_micro
+      FROM j GROUP BY label ORDER BY label"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
-    q329, q332, q335, q337, q339, q346)
+    q329, q332, q335, q337, q339, q346, q351)
 }

@@ -596,4 +596,83 @@ class NewOpsReplaySpec extends SparkSpec {
     // conservation: every adjacent pair is led by exactly one source
     assert(out.map(_(2).asInstanceOf[Long]).sum == n - 1, "lead pairs sum")
   }
+
+  test("q350: mojibake census matches a Scala replay and every branch fires") {
+    val out = rows(CorpusQueries.q350.fn(spark, sf))
+    assert(out.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val damaged = docs.map { case (id, src, text) =>
+      val k = id % 60
+      val t =
+        if (k % 7 == 0) text.replace("e", "Ã©")
+        else if (k % 11 == 0) text + "�"
+        else if (k % 13 == 0) "" + text
+        else text
+      (src, t.count(_ == 'Ã').toLong, t.count(_ == '�').toLong,
+        t.count(_ == '').toLong)
+    }
+    val bySrc = damaged.groupBy(_._1)
+    out.foreach { r =>
+      val src = r(0).asInstanceOf[String]
+      val Seq(n, nm, nr, nc, nd, mc, rc, cc, ratio) =
+        r.drop(1).map(_.asInstanceOf[Long])
+      val g = bySrc(src)
+      assert(n == g.length)
+      assert(nm == g.count(_._2 > 0) && nr == g.count(_._3 > 0) &&
+        nc == g.count(_._4 > 0), s"$src doc counts")
+      assert(nd == g.count(d => d._2 > 0 || d._3 > 0 || d._4 > 0), s"$src damaged")
+      assert(mc == g.map(_._2).sum && rc == g.map(_._3).sum &&
+        cc == g.map(_._4).sum, s"$src char mass")
+      assert(ratio == (BigInt(n - nd) * 1000000 / n).toLong, s"$src ratio")
+    }
+    // the injection must actually exercise all three damage categories
+    assert(out.map(_(2).asInstanceOf[Long]).sum > 0, "no latin-1 mojibake docs")
+    assert(out.map(_(3).asInstanceOf[Long]).sum > 0, "no replacement-char docs")
+    assert(out.map(_(4).asInstanceOf[Long]).sum > 0, "no C1-control docs")
+  }
+
+  test("q351: quantization recall matches a brute-force double replay") {
+    val out = rows(DataQueries.q351.fn(spark, sf))
+    assert(out.nonEmpty)
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def top1(vs: Array[(Long, Long, Array[Float])]): Map[Long, (Long, Double)] =
+      vs.map { case (id, _, v) =>
+        val best = vs.filter(_._1 != id).map { case (nb, _, w) =>
+          (dot(v, w) / (math.sqrt(dot(v, v)) * math.sqrt(dot(w, w))), nb)
+        }.maxBy { case (c, nb) => (c, -nb) }
+        id -> (best._2, best._1)
+      }.toMap
+    val quant = vecs.map { case (id, l, v) =>
+      val sv = v.map(x => math.abs(x.toDouble)).max / 127.0
+      (id, l, v.map { x =>
+        (math.max(-127.0, math.min(127.0,
+          math.floor(x.toDouble / sv + 0.5))) * sv).toFloat
+      })
+    }
+    val (tf, tq) = (top1(vecs), top1(quant))
+    val byLabel = vecs.groupBy(_._2)
+    out.foreach { r =>
+      val Seq(label, n, same, cf, cq, recall) = r.map(_.asInstanceOf[Long])
+      val ids = byLabel(label).map(_._1)
+      assert(n == ids.length)
+      assert(same == ids.count(id => tf(id)._1 == tq(id)._1), s"label $label")
+      assert(cf == ids.map(id => math.round(1e9 * tf(id)._2)).sum, s"label $label cf")
+      assert(cq == ids.map(id => math.round(1e9 * tq(id)._2)).sum, s"label $label cq")
+      assert(recall == (BigInt(same) * 1000000 / n).toLong)
+    }
+    // int8-at-64-dims should preserve most top-1 neighbors
+    val (tot, agree) = (out.map(_(1).asInstanceOf[Long]).sum,
+      out.map(_(2).asInstanceOf[Long]).sum)
+    assert(agree * 2 > tot, s"recall collapsed: $agree/$tot")
+  }
 }
