@@ -2505,7 +2505,94 @@ object InferQueries {
             FROM cells)"""
     })
 
+  // --------------------------------------------------------------- q352
+
+  /** q352 — Fleiss' kappa across THREE quality raters (q243's Cohen
+    * kappa generalized to m raters — the agreement metric for
+    * LLM-as-judge panels and multi-labeler curation QA). Raters are
+    * three real heuristics scoring each document into 3 quality
+    * buckets: A by char length (<200/<500), B by token count
+    * (<40/<100), C by distinct-token ratio (lexical diversity,
+    * ⌊10·distinct/total⌋ <5/<8). Because every item carries exactly
+    * m=3 ratings, the per-item agreement Σ_j n_ij² collapses to a
+    * closed form from the pairwise-equality count p ∈ {0,1,3}:
+    * Σn² = 3 + 2p — so the whole statistic is ONE map pass + ONE
+    * single-row aggregate (no per-item shuffle at all). po, pe, κ are
+    * single-evaluation doubles from exact longs (q243's discipline).
+    */
+  val q352 = Q("q352_fleiss_kappa",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("n_chars"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("nt"),
+          size(array_distinct(split(trim(col("text")), "\\s+"))).cast("long").as("dt"))
+        .selectExpr(
+          "CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 500 THEN 1 ELSE 2 END AS a",
+          "CASE WHEN nt < 40 THEN 0 WHEN nt < 100 THEN 1 ELSE 2 END AS b",
+          "CASE WHEN (dt * 10) div nt < 5 THEN 0 WHEN (dt * 10) div nt < 8 THEN 1 ELSE 2 END AS c")
+        .selectExpr("a", "b", "c",
+          """CAST(CASE WHEN a = b THEN 1 ELSE 0 END
+            |   + CASE WHEN a = c THEN 1 ELSE 0 END
+            |   + CASE WHEN b = c THEN 1 ELSE 0 END AS BIGINT) AS p""".stripMargin)
+        .groupBy()
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CASE WHEN a = 0 THEN 1 ELSE 0 END + CASE WHEN b = 0 THEN 1 ELSE 0 END + CASE WHEN c = 0 THEN 1 ELSE 0 END")).as("c0"),
+          sum(expr("CASE WHEN a = 1 THEN 1 ELSE 0 END + CASE WHEN b = 1 THEN 1 ELSE 0 END + CASE WHEN c = 1 THEN 1 ELSE 0 END")).as("c1"),
+          sum(expr("CASE WHEN a = 2 THEN 1 ELSE 0 END + CASE WHEN b = 2 THEN 1 ELSE 0 END + CASE WHEN c = 2 THEN 1 ELSE 0 END")).as("c2"),
+          sum(expr("3 + 2 * p")).as("ssum"))
+        .selectExpr("n", "c0", "c1", "c2", "ssum",
+          "round(CAST(ssum - 3 * n AS DOUBLE) / CAST(6 * n AS DOUBLE), 6) AS po",
+          """round(CAST(c0 * c0 + c1 * c1 + c2 * c2 AS DOUBLE)
+            |      / (CAST(3 * n AS DOUBLE) * CAST(3 * n AS DOUBLE)), 6) AS pe""".stripMargin,
+          """round((CAST(ssum - 3 * n AS DOUBLE) / CAST(6 * n AS DOUBLE)
+            |        - CAST(c0 * c0 + c1 * c1 + c2 * c2 AS DOUBLE)
+            |          / (CAST(3 * n AS DOUBLE) * CAST(3 * n AS DOUBLE)))
+            |      / (1.0 - CAST(c0 * c0 + c1 * c1 + c2 * c2 AS DOUBLE)
+            |               / (CAST(3 * n AS DOUBLE) * CAST(3 * n AS DOUBLE))), 6)
+            |  AS kappa""".stripMargin)
+    },
+    Some(s"""
+      WITH r AS (SELECT n_chars,
+                        CAST(len($duckTokens) AS BIGINT) AS nt,
+                        CAST(len(list_distinct($duckTokens)) AS BIGINT) AS dt
+                 FROM documents),
+      v AS (SELECT CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 500 THEN 1
+                        ELSE 2 END AS a,
+                   CASE WHEN nt < 40 THEN 0 WHEN nt < 100 THEN 1 ELSE 2 END AS b,
+                   CASE WHEN (dt * 10) // nt < 5 THEN 0
+                        WHEN (dt * 10) // nt < 8 THEN 1 ELSE 2 END AS c
+            FROM r),
+      w AS (SELECT a, b, c,
+                   CAST(CASE WHEN a = b THEN 1 ELSE 0 END
+                      + CASE WHEN a = c THEN 1 ELSE 0 END
+                      + CASE WHEN b = c THEN 1 ELSE 0 END AS BIGINT) AS p
+            FROM v),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END
+                          + CASE WHEN b = 0 THEN 1 ELSE 0 END
+                          + CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                   CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END
+                          + CASE WHEN b = 1 THEN 1 ELSE 0 END
+                          + CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(sum(CASE WHEN a = 2 THEN 1 ELSE 0 END
+                          + CASE WHEN b = 2 THEN 1 ELSE 0 END
+                          + CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                   CAST(sum(3 + 2 * p) AS BIGINT) AS ssum
+            FROM w)
+      SELECT n, c0, c1, c2, ssum,
+             round(CAST(ssum - 3 * n AS DOUBLE) / CAST(6 * n AS DOUBLE), 6) AS po,
+             round(CAST(c0 * c0 + c1 * c1 + c2 * c2 AS DOUBLE)
+                   / (CAST(3 * n AS DOUBLE) * CAST(3 * n AS DOUBLE)), 6) AS pe,
+             round((CAST(ssum - 3 * n AS DOUBLE) / CAST(6 * n AS DOUBLE)
+                     - CAST(c0 * c0 + c1 * c1 + c2 * c2 AS DOUBLE)
+                       / (CAST(3 * n AS DOUBLE) * CAST(3 * n AS DOUBLE)))
+                   / (1.0 - CAST(c0 * c0 + c1 * c1 + c2 * c2 AS DOUBLE)
+                            / (CAST(3 * n AS DOUBLE) * CAST(3 * n AS DOUBLE))), 6)
+               AS kappa
+      FROM m"""))
+
   val all: Seq[Q] = Seq(q237, q238, q239, q240, q241, q242, q243, q244,
     q254, q255, q256, q257, q258, q259, q275, q276, q277, q278,
-    q280, q281, q282, q289, q290, q291, q292, q298, q299, q307, q310, q311)
+    q280, q281, q282, q289, q290, q291, q292, q298, q299, q307, q310, q311,
+    q352)
 }

@@ -264,6 +264,49 @@ object StreamingOps {
       }
   }
 
+  final case class PackDoc(shard: Long, doc_id: Long, t: Long)
+  final case class PackState(bins: Long, fill: Long, waste: Long, leaked: Long)
+  final case class PackOut(shard: Long, doc_id: Long, bin_index: Long,
+                           offset: Long, waste_closed: Long, leaked_pairs: Long)
+
+  /** Streaming twin of the q341/q348 arrival-order whole-doc packer:
+    * the shape a streaming ingestion packer actually runs — documents
+    * arrive per shard, each is placed greedily into the open ctx=128
+    * bin (or opens a new one), and the emission is the per-doc
+    * PLACEMENT (bin index, token offset) plus the running padding
+    * bill (closed bins only — the open bin's tail is not yet waste)
+    * and the running cross-document attention-leak pairs (q348's
+    * `t·fill` on every fit). State is O(1) per shard: (bins, fill,
+    * waste, leaked) — four longs, identical to the batch folds'
+    * accumulator, so under doc_id-ordered arrival the final state
+    * per shard equals q341's (bins, waste − tail) and q348's leaked
+    * bit-for-bit, across any micro-batch partitioning of the input
+    * (StreamingSpec pins both plus every per-doc placement).
+    */
+  def streamingPacker(docs: Dataset[PackDoc], ctx: Long = 128L): Dataset[PackOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, it: Iterator[PackDoc], state: GroupState[PackState]) =>
+          var st = state.getOption.getOrElse(PackState(0L, 0L, 0L, 0L))
+          val out = Seq.newBuilder[PackOut]
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            st =
+              if (st.bins == 0L) PackState(1L, d.t, 0L, 0L)
+              else if (st.fill + d.t <= ctx)
+                PackState(st.bins, st.fill + d.t, st.waste,
+                  st.leaked + d.t * st.fill)
+              else PackState(st.bins + 1L, d.t, st.waste + ctx - st.fill,
+                st.leaked)
+            out += PackOut(shard, d.doc_id, st.bins, st.fill - d.t,
+              st.waste, st.leaked)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** File-source stream over a directory of parquet events with the
     * given schema — at scale this is the bridge from a landing zone
     * (object store prefix) into the incremental queries above.

@@ -675,4 +675,42 @@ class NewOpsReplaySpec extends SparkSpec {
       out.map(_(2).asInstanceOf[Long]).sum)
     assert(agree * 2 > tot, s"recall collapsed: $agree/$tot")
   }
+
+  test("q352: Fleiss kappa matches the textbook per-item formula") {
+    val r = rows(InferQueries.q352.fn(spark, sf)).head
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("n_chars").cast("long"), col("text")).collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val ratings = docs.map { case (nc, text) =>
+      val toks = text.trim.split("\\s+")
+      val (nt, dt) = (toks.length.toLong, toks.distinct.length.toLong)
+      val a = if (nc < 200) 0 else if (nc < 500) 1 else 2
+      val b = if (nt < 40) 0 else if (nt < 100) 1 else 2
+      val c = if (dt * 10 / nt < 5) 0 else if (dt * 10 / nt < 8) 1 else 2
+      Seq(a, b, c)
+    }
+    val n = ratings.length
+    // textbook route: per-item category counts, P_i, category shares
+    val pis = ratings.map { rs =>
+      val counts = (0 to 2).map(j => rs.count(_ == j))
+      (counts.map(c => c * c).sum - 3).toDouble / 6.0
+    }
+    val po = pis.sum / n
+    val pj = (0 to 2).map(j => ratings.map(_.count(_ == j)).sum.toDouble / (3.0 * n))
+    val pe = pj.map(p => p * p).sum
+    val kappa = (po - pe) / (1.0 - pe)
+    assert(r(0) == n.toLong)
+    (0 to 2).foreach { j =>
+      assert(r(1 + j) == ratings.map(_.count(_ == j)).sum.toLong, s"c$j")
+    }
+    assert(math.abs(r(5).asInstanceOf[Double] - po) < 1e-6, s"po ${r(5)} vs $po")
+    assert(math.abs(r(6).asInstanceOf[Double] - pe) < 1e-6, s"pe ${r(6)} vs $pe")
+    assert(math.abs(r(7).asInstanceOf[Double] - kappa) < 1e-6,
+      s"kappa ${r(7)} vs $kappa")
+    // at sf0.001 the diversity rater anti-correlates with the length
+    // raters (long docs repeat tokens) → kappa is legitimately BELOW
+    // zero — exactly the ensemble-your-judges failure the metric
+    // exists to expose; only pin the mathematical range
+    assert(!kappa.isNaN && kappa > -1.0 && kappa < 1.0, s"kappa $kappa")
+  }
 }

@@ -768,4 +768,63 @@ class StreamingSpec extends SparkSpec {
       StreamingOps.SessionOut(1L, 2L, 5.0, closed = false),
       StreamingOps.SessionOut(2L, 1L, 1.0, closed = false)))
   }
+
+  test("streamingPacker over doc-ordered files reproduces batch q341/q348") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pack").toFile
+    val docs = Tables.load(spark, sf, "documents")
+      .select(expr("doc_id div 64").as("shard"), col("doc_id"),
+        least(graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"),
+          lit(128L)).as("t"))
+    new java.io.File(s"$dir/in").mkdirs()
+    // 4 doc_id-range chunks → every shard of 64 docs spans ≥2 micro-batches
+    (0 until 4).foreach { i =>
+      val bucket = docs.filter(col("doc_id") % 500 >= i * 125 &&
+        col("doc_id") % 500 < (i + 1) * 125)
+      val tmp = s"$dir/tmp$i"
+      bucket.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$dir/in/chunk-000$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .as[StreamingOps.PackDoc]
+    val placed = StreamingOps.runAvailableNow(
+        StreamingOps.streamingPacker(stream).toDF(), "pack_stream",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(p => (p._1, p._2))
+    val tOf = docs.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(placed.map(_._2).toSet == tOf.keySet, "one placement per doc")
+    // per-doc placements ≡ an in-process replay of the greedy fill
+    placed.groupBy(_._1).foreach { case (shard, rows) =>
+      var bins = 0L; var fill = 0L
+      rows.sortBy(_._2).foreach { case (_, id, bin, off, _, _) =>
+        val t = tOf(id)
+        if (bins == 0L || fill + t > 128L) { bins += 1; fill = 0L }
+        assert(bin == bins && off == fill, s"doc $id placed ($bin,$off)")
+        fill += t
+      }
+      assert(shard >= 0)
+    }
+    // final state per shard ≡ batch q341 (bins/waste) and q348 (leaked)
+    val last = placed.groupBy(_._1).map { case (s2, rs) => s2 -> rs.maxBy(_._2) }
+    val q341 = graft.queries.TrainQueries.q341.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    val q348 = graft.queries.TrainQueries.q348.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    last.foreach { case (shard, (_, id, bin, off, wasteClosed, leaked)) =>
+      val (bBins, bWaste) = q341(shard)
+      assert(bin == bBins, s"shard $shard bins: $bin vs $bBins")
+      // batch waste adds the open bin's tail; the stream's running
+      // figure counts closed bins only
+      assert(wasteClosed + (128L - off - tOf(id)) == bWaste,
+        s"shard $shard waste")
+      assert(leaked == q348(shard), s"shard $shard leaked")
+    }
+  }
 }
