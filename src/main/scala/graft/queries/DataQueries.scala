@@ -3220,6 +3220,82 @@ object DataQueries {
              CAST(sum(CAST(sv_nano AS HUGEINT)) // count(*) AS BIGINT) AS avg_scale_nano
       FROM per GROUP BY label ORDER BY label"""))
 
+  // --------------------------------------------------------------- q353
+
+  /** Deterministic TFRecord shard per document for q353: 1 + k%5
+    * records with closed-function payload lengths; every 17th doc
+    * gets one payload byte of its LAST record flipped (payload-CRC
+    * failure), every 19th (that isn't a 17th) loses its final 4
+    * bytes (truncated trailing CRC) — so the stop-don't-guess walk
+    * has all three exits to prove.
+    */
+  private def synthTfRecordPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 50).toInt
+          val nRec = 1 + k % 5
+          val lens = (0 until nRec).map(r => 50 + (k * 13 + r * 7) % 200)
+          val blob = graft.operators.TfRecordOps.encodeSynthetic(lens)
+          val out =
+            if (k % 17 == 0) {
+              val flipped = blob.clone()
+              val off = blob.length - 4 - lens.last // last payload byte 0
+              flipped(off) = (flipped(off) ^ 0xFF).toByte
+              flipped
+            } else if (k % 19 == 0) blob.dropRight(4)
+            else blob
+          (id, out)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q353 — TFRecord shard census, exactly oracle-gated: the
+    * training-shard member of the container family — the format TF
+    * datasets actually ship in, length-framed with TWO masked CRC32C
+    * checksums per record, both verified by
+    * [[graft.operators.TfRecordOps.parse]] (a flipped length byte
+    * would desynchronize every later record; the walk trusts nothing
+    * it can't check). Corruption branches injected deterministically:
+    * payload-CRC flip and truncated trailing CRC both stop the walk
+    * at that record's start (different `trailing_bytes` arithmetic —
+    * the oracle replays both exactly); `clean_eof` separates shards
+    * that end on a record boundary. Map-only, zero shuffles.
+    * Adversarial inputs (length-byte flip, length-CRC flip, header
+    * truncation, zero-length record, record-header bytes inside a
+    * payload) spec-pinned in TfRecordOpsSpec.
+    */
+  val q353 = Q("q353_tfrecord_census",
+    (s, dir) =>
+      graft.operators.TfRecordOps
+        .tfrecordFeatures(synthTfRecordPayloads(s, dir), "doc_id", "payload")
+        .orderBy("doc_id"),
+    Some("""
+      WITH p AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      base AS (SELECT doc_id, k, 1 + k % 5 AS r FROM p),
+      lens AS (SELECT doc_id, k, r,
+                      CAST(50 + (k * 13 + (r - 1) * 7) % 200 AS BIGINT) AS last_len,
+                      (SELECT CAST(sum(50 + (k * 13 + u.ri * 7) % 200) AS BIGINT)
+                       FROM (SELECT unnest(range(r)) AS ri) u) AS tot_len
+               FROM base),
+      m AS (SELECT doc_id,
+                   CASE WHEN k % 17 = 0 OR k % 19 = 0 THEN r - 1 ELSE r END AS n_records,
+                   CASE WHEN k % 17 = 0 OR k % 19 = 0 THEN tot_len - last_len
+                        ELSE tot_len END AS sum_payload_bytes,
+                   CASE WHEN k % 17 = 0 THEN 16 + last_len
+                        WHEN k % 19 = 0 THEN 12 + last_len
+                        ELSE 0 END AS trailing_bytes,
+                   CASE WHEN k % 17 = 0 OR k % 19 = 0 THEN 0 ELSE 1 END AS clean_eof
+            FROM lens)
+      SELECT doc_id, CAST(n_records AS BIGINT) AS n_records,
+             CAST(sum_payload_bytes AS BIGINT) AS sum_payload_bytes,
+             CAST(16 * n_records AS BIGINT) AS overhead_bytes,
+             CAST(trailing_bytes AS BIGINT) AS trailing_bytes,
+             CAST(clean_eof AS BIGINT) AS clean_eof
+      FROM m ORDER BY doc_id"""))
+
   // --------------------------------------------------------------- q351
 
   /** q351 — int8 quantization RECALL audit: q346 prices the numeric
@@ -3313,5 +3389,5 @@ object DataQueries {
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
-    q329, q332, q335, q337, q339, q346, q351)
+    q329, q332, q335, q337, q339, q346, q351, q353)
 }
