@@ -2281,7 +2281,111 @@ object CorpusQueries {
                   // count(*) AS BIGINT) AS clean_ratio_micro
       FROM m GROUP BY source ORDER BY source"""))
 
+  // --------------------------------------------------------------- q354
+
+  /** q354 — per-source DATASET CARD: the one-row-per-source shipping
+    * artifact a data team publishes with a corpus (the HF
+    * dataset-card statistics block), composing the audit battery
+    * into a single relation — size (docs, tokens), exact-dup burden
+    * (q342's fingerprint keep-first gate), short-doc share,
+    * truncation loss at ctx=2048 (q347's sweep pinned to the shipping
+    * budget), prefix-cache share (q345's ratio), and the 3-bucket
+    * length-quality mix (q352's rater A). Every ratio is exact
+    * integer micro units. Scale shape: one fingerprint min-rollup
+    * join (the only row-scale shuffle beyond the rollups), one
+    * groupBy(source) for the card body, one (source, pfx) sub-rollup
+    * re-attached by a 20-row broadcast join — no windows, no driver
+    * loops.
+    */
+  val q354 = Q("q354_dataset_card",
+    (s, dir) => {
+      val toks = graft.operators.TextAnalysis.tokens(col("text"))
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
+          md5(col("text")).as("fp"),
+          md5(concat_ws(" ", slice(toks, 1, 8))).as("pfx"),
+          least(size(toks).cast("long"), lit(8L)).as("plen"))
+      val keeper = base.groupBy("fp").agg(min("doc_id").as("keeper"))
+      val card = base.join(keeper, Seq("fp"))
+        .select(col("source"), col("nt"),
+          (col("doc_id") =!= col("keeper")).cast("long").as("dup"),
+          (col("nt") < 30).cast("long").as("short"),
+          greatest(col("nt") - 2048L, lit(0L)).as("lost2048"),
+          when(col("n_chars") < 200, 1L).otherwise(0L).as("qlo"),
+          when(col("n_chars") >= 200 && col("n_chars") < 500, 1L).otherwise(0L).as("qmid"),
+          when(col("n_chars") >= 500, 1L).otherwise(0L).as("qhi"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          sum("dup").as("dup_docs"), sum("short").as("short_docs"),
+          sum("lost2048").as("trunc2048_lost"),
+          sum("qlo").as("q_lo"), sum("qmid").as("q_mid"), sum("qhi").as("q_hi"))
+      val pfx = base.groupBy("source", "pfx", "plen")
+        .agg(count(lit(1)).as("gsize"))
+        .groupBy("source")
+        .agg(sum((col("gsize") - 1L) * col("plen")).as("cacheable_tokens"),
+          sum(col("gsize") * col("plen")).as("prefix_tokens"))
+      card.join(broadcast(pfx), Seq("source"))
+        .withColumn("dup_share_micro", expr(
+          "CAST((CAST(dup_docs AS DECIMAL(38,0)) * 1000000) div n_docs AS BIGINT)"))
+        .withColumn("short_share_micro", expr(
+          "CAST((CAST(short_docs AS DECIMAL(38,0)) * 1000000) div n_docs AS BIGINT)"))
+        .withColumn("trunc2048_loss_micro", expr(
+          "CAST((CAST(trunc2048_lost AS DECIMAL(38,0)) * 1000000) div n_tokens AS BIGINT)"))
+        .withColumn("prefix_share_micro", expr(
+          "CAST((CAST(cacheable_tokens AS DECIMAL(38,0)) * 1000000) div prefix_tokens AS BIGINT)"))
+        .select("source", "n_docs", "n_tokens", "dup_docs", "dup_share_micro",
+          "short_docs", "short_share_micro", "trunc2048_lost",
+          "trunc2048_loss_micro", "prefix_share_micro", "q_lo", "q_mid", "q_hi")
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH base AS (SELECT doc_id, source, n_chars,
+                           CAST(len($duckTokens) AS BIGINT) AS nt,
+                           md5(text) AS fp,
+                           md5(array_to_string(($duckTokens)[1:8], ' ')) AS pfx,
+                           least(CAST(len($duckTokens) AS BIGINT), 8) AS plen
+                    FROM documents),
+      k AS (SELECT fp, min(doc_id) AS keeper FROM base GROUP BY fp),
+      f AS (SELECT b.source, b.nt,
+                   CASE WHEN b.doc_id <> k.keeper THEN 1 ELSE 0 END AS dup,
+                   CASE WHEN b.nt < 30 THEN 1 ELSE 0 END AS short,
+                   greatest(b.nt - 2048, 0) AS lost2048,
+                   CASE WHEN b.n_chars < 200 THEN 1 ELSE 0 END AS qlo,
+                   CASE WHEN b.n_chars >= 200 AND b.n_chars < 500 THEN 1 ELSE 0 END AS qmid,
+                   CASE WHEN b.n_chars >= 500 THEN 1 ELSE 0 END AS qhi
+            FROM base b JOIN k ON b.fp = k.fp),
+      card AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(nt) AS BIGINT) AS n_tokens,
+                      CAST(sum(dup) AS BIGINT) AS dup_docs,
+                      CAST(sum(short) AS BIGINT) AS short_docs,
+                      CAST(sum(lost2048) AS BIGINT) AS trunc2048_lost,
+                      CAST(sum(qlo) AS BIGINT) AS q_lo,
+                      CAST(sum(qmid) AS BIGINT) AS q_mid,
+                      CAST(sum(qhi) AS BIGINT) AS q_hi
+               FROM f GROUP BY source),
+      g AS (SELECT source, pfx, plen, CAST(count(*) AS BIGINT) AS gsize
+            FROM base GROUP BY source, pfx, plen),
+      pf AS (SELECT source,
+                    CAST(sum((gsize - 1) * plen) AS BIGINT) AS cacheable_tokens,
+                    CAST(sum(gsize * plen) AS BIGINT) AS prefix_tokens
+             FROM g GROUP BY source)
+      SELECT c.source, c.n_docs, c.n_tokens, c.dup_docs,
+             CAST((CAST(c.dup_docs AS HUGEINT) * 1000000) // c.n_docs AS BIGINT)
+               AS dup_share_micro,
+             c.short_docs,
+             CAST((CAST(c.short_docs AS HUGEINT) * 1000000) // c.n_docs AS BIGINT)
+               AS short_share_micro,
+             c.trunc2048_lost,
+             CAST((CAST(c.trunc2048_lost AS HUGEINT) * 1000000) // c.n_tokens AS BIGINT)
+               AS trunc2048_loss_micro,
+             CAST((CAST(pf.cacheable_tokens AS HUGEINT) * 1000000) // pf.prefix_tokens
+               AS BIGINT) AS prefix_share_micro,
+             c.q_lo, c.q_mid, c.q_hi
+      FROM card c JOIN pf ON pf.source = c.source
+      ORDER BY c.source"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
-    q328, q331, q333, q334, q338, q343, q345, q349, q350)
+    q328, q331, q333, q334, q338, q343, q345, q349, q350, q354)
 }

@@ -713,4 +713,38 @@ class NewOpsReplaySpec extends SparkSpec {
     // exists to expose; only pin the mathematical range
     assert(!kappa.isNaN && kappa > -1.0 && kappa < 1.0, s"kappa $kappa")
   }
+
+  test("q354: dataset card agrees with its component audits and a replay") {
+    val out = rows(CorpusQueries.q354.fn(spark, sf))
+    assert(out.nonEmpty)
+    // cross-query consistency: the card's composite fields must equal
+    // the standalone audits they compose
+    val p345 = rows(CorpusQueries.q345.fn(spark, sf))
+      .map(r => r(0).asInstanceOf[String] -> r(6).asInstanceOf[Long]).toMap
+    val p347 = rows(TrainQueries.q347.fn(spark, sf))
+      .filter(_(1).asInstanceOf[Long] == 2048L)
+      .map(r => r(0).asInstanceOf[String] ->
+        (r(5).asInstanceOf[Long], r(6).asInstanceOf[Long])).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val keeper = docs.groupBy(d => d._3).map { case (_, g) => g.map(_._1).min }.toSet
+    val bySrc = docs.groupBy(_._2)
+    out.foreach { r =>
+      val src = r(0).asInstanceOf[String]
+      val Seq(n, nt, dup, dupShare, short, shortShare, lost, lostMicro,
+        pfxShare, qlo, qmid, qhi) = r.drop(1).map(_.asInstanceOf[Long])
+      val g = bySrc(src)
+      assert(n == g.length && nt == g.map(_._4).sum, s"$src size")
+      assert(dup == g.count(d => !keeper.contains(d._1)), s"$src dup")
+      assert(short == g.count(_._4 < 30), s"$src short")
+      assert(lost == g.map(d => math.max(d._4 - 2048L, 0L)).sum, s"$src lost")
+      assert(qlo + qmid + qhi == n, s"$src quality buckets partition")
+      assert(dupShare == (BigInt(dup) * 1000000 / n).toLong)
+      assert(shortShare == (BigInt(short) * 1000000 / n).toLong)
+      assert((lost, lostMicro) == p347(src), s"$src truncation ≠ q347")
+      assert(pfxShare == p345(src), s"$src prefix share ≠ q345")
+    }
+  }
 }

@@ -424,4 +424,33 @@ class PlanSpec extends SparkSpec {
     // (source,pfx) rollup + source rollup → two key exchanges, no more
     assert("hashpartitioning".r.findAllIn(plan).size == 2, plan)
   }
+
+  test("q348: attention-leak fold clusters shards in one exchange") {
+    val plan = finalPlan(TrainQueries.q348.fn(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    // collect_list agg: one shard exchange; fold runs inside the agg
+    assert("hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q350: mojibake census is map-only into one source rollup") {
+    val plan = finalPlan(CorpusQueries.q350.fn(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert("hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("*("), s"q350 fell out of codegen:\n$plan")
+  }
+
+  test("q352: Fleiss kappa is one single-row aggregate — no shuffle by key") {
+    val plan = finalPlan(InferQueries.q352.fn(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("hashpartitioning"), plan) // global agg: SinglePartition only
+  }
+
+  test("q353: TFRecord census is map-only — no join, no agg exchange") {
+    val plan = finalPlan(DataQueries.q353.fn(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("hashpartitioning"), plan) // only the presentation sort exchanges
+  }
 }
