@@ -3296,6 +3296,91 @@ object DataQueries {
              CAST(clean_eof AS BIGINT) AS clean_eof
       FROM m ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q355
+
+  /** Deterministic safetensors file per document for q355: 1 + k%4
+    * tensors with cycling dtypes and closed-function shapes; every
+    * 17th doc declares its LAST tensor one byte short (span ≠
+    * Π(shape)·sizeof — the header lies about the math), every 19th
+    * (not 17th) ships 3 fewer data bytes than the header promises
+    * (truncated download).
+    */
+  private def synthSafeTensorsPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dtypes = Array("F32", "F16", "I8")
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 50).toInt
+          val plan = (0 until 1 + k % 4).map { r =>
+            (s"t$r", dtypes((k + r) % 3), Seq(8 + k % 5, 4 + r % 3))
+          }
+          val blob = graft.operators.SafeTensorsOps.encodeSynthetic(plan,
+            spanDelta = if (k % 17 == 0) 1L else 0L,
+            dropData = if (k % 17 != 0 && k % 19 == 0) 3 else 0)
+          (id, blob)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q355 — SafeTensors header audit, exactly oracle-gated: the
+    * weights-container member of the container family — what a fleet
+    * must verify before mmap-ing a checkpoint. The walker
+    * ([[graft.operators.SafeTensorsOps.parse]]) reads the 8-byte LE
+    * header length, parses the header with a REAL JSON parser, and
+    * checks per tensor that the declared byte span equals
+    * `Π(shape)·sizeof(dtype)`, that spans tile the data section
+    * contiguously from 0, and that the file holds the bytes the
+    * header promises. The oracle rebuilds the exact header STRING in
+    * SQL (same concatenation, character for character) so even
+    * `header_bytes` is cross-engine-exact. Map-only, zero shuffles;
+    * malformed-prefix/garbage-JSON exits spec-pinned in
+    * SafeTensorsOpsSpec.
+    */
+  val q355 = Q("q355_safetensors_audit",
+    (s, dir) =>
+      graft.operators.SafeTensorsOps
+        .safetensorsFeatures(synthSafeTensorsPayloads(s, dir), "doc_id", "payload")
+        .orderBy("doc_id"),
+    Some("""
+      WITH p AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      t AS (SELECT doc_id, k, unnest(range(1 + k % 4)) AS r FROM p),
+      e AS (SELECT doc_id, k, r,
+                   CAST(8 + k % 5 AS BIGINT) AS a,
+                   CAST(4 + r % 3 AS BIGINT) AS b,
+                   CASE (k + r) % 3 WHEN 0 THEN 'F32' WHEN 1 THEN 'F16'
+                        ELSE 'I8' END AS dt,
+                   CASE (k + r) % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END AS sz
+            FROM t),
+      o AS (SELECT *, a * b AS params, a * b * sz AS bytes,
+                   COALESCE(sum(a * b * sz) OVER (PARTITION BY doc_id ORDER BY r
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st,
+                   max(r) OVER (PARTITION BY doc_id) AS rmax
+            FROM e),
+      o2 AS (SELECT *, st + bytes
+                       - CASE WHEN k % 17 = 0 AND r = rmax THEN 1 ELSE 0 END AS en
+             FROM o),
+      m AS (SELECT doc_id, k,
+                   CAST(count(*) AS BIGINT) AS n_tensors,
+                   CAST(sum(params) AS BIGINT) AS param_count,
+                   CAST(length('{' || string_agg(
+                     '"t' || r || '":{"dtype":"' || dt || '","shape":[' || a ||
+                     ',' || b || '],"data_offsets":[' || st || ',' || en || ']}',
+                     ',' ORDER BY r) || '}') AS BIGINT) AS header_bytes,
+                   CAST(max(en) AS BIGINT) AS data_bytes
+            FROM o2 GROUP BY doc_id, k)
+      SELECT doc_id, CAST(1 AS BIGINT) AS valid_json, n_tensors, param_count,
+             header_bytes, data_bytes,
+             CAST(CASE WHEN k % 17 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_size_mismatch,
+             CAST(1 AS BIGINT) AS contiguous,
+             CAST(CASE WHEN k % 17 <> 0 AND k % 19 = 0 THEN 1 ELSE 0 END
+               AS BIGINT) AS truncated,
+             CAST(CASE WHEN k % 17 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS trailing_bytes
+      FROM m ORDER BY doc_id"""))
+
   // --------------------------------------------------------------- q351
 
   /** q351 — int8 quantization RECALL audit: q346 prices the numeric
@@ -3389,5 +3474,5 @@ object DataQueries {
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
-    q329, q332, q335, q337, q339, q346, q351, q353)
+    q329, q332, q335, q337, q339, q346, q351, q353, q355)
 }
