@@ -2385,7 +2385,52 @@ object CorpusQueries {
       FROM card c JOIN pf ON pf.source = c.source
       ORDER BY c.source"""))
 
+  // --------------------------------------------------------------- q357
+
+  /** q357 — deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis 2006): the draw a data team uses to pull a
+    * token-mass-proportional inspection sample per source — each doc
+    * gets key `ln(u)/w` (u a reproducible md5-derived uniform, w its
+    * token count) and the k largest keys per source ARE a weighted
+    * sample without replacement. At scale this is the whole point of
+    * the ES construction: no sequential draw state, just a per-group
+    * top-k — executed here by the engine's custom TopKPerKey physical
+    * operator (bounded partial heaps, a ≤ k·|keys| candidate shuffle;
+    * a Window route would shuffle the full corpus). The uniform, the
+    * log-key arithmetic, and the (key desc, doc_id) tie order are
+    * textually identical on both engines, so selection is exact.
+    */
+  val q357 = Q("q357_weighted_sample",
+    (s, dir) => {
+      val df = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"),
+          graft.functions.Hashing.hash64(col("doc_id").cast("string")).as("h"))
+        .withColumn("es_key", expr(
+          "ln((CAST(h AS DOUBLE) + 0.5) / 1152921504606846976.0) / CAST(tokens AS DOUBLE)"))
+        .select("source", "doc_id", "tokens", "es_key")
+      graft.operators.Relational.topKPerKey(df, Seq("source"),
+          Seq(col("es_key").desc, col("doc_id").asc), 5)
+        .select(col("source"), col("doc_id"), col("tokens"),
+          round(col("es_key"), 6).as("es_key_r6"))
+        .orderBy("source", "doc_id")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, source,
+                        CAST(len($duckTokens) AS BIGINT) AS tokens,
+                        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS h
+                 FROM documents),
+      k AS (SELECT *, ln((CAST(h AS DOUBLE) + 0.5) / 1152921504606846976.0)
+                      / CAST(tokens AS DOUBLE) AS es_key
+            FROM d),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY source ORDER BY es_key DESC, doc_id ASC) AS rn
+            FROM k)
+      SELECT source, doc_id, tokens, round(es_key, 6) AS es_key_r6
+      FROM r WHERE rn <= 5 ORDER BY source, doc_id"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
-    q328, q331, q333, q334, q338, q343, q345, q349, q350, q354)
+    q328, q331, q333, q334, q338, q343, q345, q349, q350, q354, q357)
 }

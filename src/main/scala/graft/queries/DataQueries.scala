@@ -3381,6 +3381,81 @@ object DataQueries {
                AS trailing_bytes
       FROM m ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q356
+
+  /** q356 — Matryoshka (MRL) truncation recall curve: the OTHER
+    * embedding-compression knob next to q351's int8 — serving stacks
+    * trained with Matryoshka representation learning keep only the
+    * first d dimensions to cut index size, and this audit measures
+    * what that costs in neighbor fidelity: exact top-1 cosine over
+    * the full 64 dims vs the first 16 and first 32 (`slice` — a
+    * map-side transform), agreement per (label, dims) in exact micro
+    * units plus the nano-quantized cosine mass of the truncated run.
+    * All three top-1 passes are q268's block-nested-loop `top1Exact`
+    * (bounded chunks, chunk-ID-only broadcast, map-side-combined
+    * argmax); ties break toward the smaller id in both engines.
+    */
+  val q356 = Q("q356_mrl_recall",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val t1f = graft.operators.Similarity.top1Exact(emb, "vec_id", "embedding")
+        .select(col("vec_id"), col("nb").as("nb_f"))
+      val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+      val byDims = Seq(16, 32).map { d =>
+        val sliced = emb.select(col("vec_id"),
+          expr(s"slice(embedding, 1, $d)").as("embedding"))
+        graft.operators.Similarity.top1Exact(sliced, "vec_id", "embedding")
+          .select(col("vec_id").as("vid_t"), col("nb").as("nb_t"),
+            col("cos").as("cos_t"), lit(d.toLong).as("dims"))
+      }.reduce(_ unionAll _)
+      labels.join(t1f, "vec_id")
+        .join(byDims, col("vec_id") === col("vid_t"))
+        .select(col("label"), col("dims"),
+          (col("nb_f") === col("nb_t")).cast("long").as("same"),
+          expr("CAST(round(1e9 * cos_t) AS BIGINT)").as("ct"))
+        .groupBy("label", "dims")
+        .agg(count(lit(1)).as("n_vecs"), sum("same").as("n_top1_same"),
+          sum("ct").as("cos_trunc_nano"))
+        .withColumn("recall_micro", expr(
+          "CAST((CAST(n_top1_same AS DECIMAL(38,0)) * 1000000) div n_vecs AS BIGINT)"))
+        .orderBy("label", "dims")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
+                 FROM embeddings),
+      simf AS (SELECT a.vec_id, b.vec_id AS nb,
+                      ${duckDot("a.embedding", "b.embedding")}
+                        / (sqrt(${duckDot("a.embedding", "a.embedding")})
+                           * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cos
+               FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      t1f AS (SELECT vec_id, nb FROM (
+                SELECT *, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY cos DESC, nb ASC) AS r
+                FROM simf) WHERE r = 1),
+      d AS (SELECT vec_id, label, CAST(dd.dims AS BIGINT) AS dims,
+                   embedding[1:dd.dims] AS te
+            FROM e CROSS JOIN (VALUES (16), (32)) AS dd(dims)),
+      simt AS (SELECT a.vec_id, a.dims, b.vec_id AS nb,
+                      ${duckDot("a.te", "b.te")}
+                        / (sqrt(${duckDot("a.te", "a.te")})
+                           * sqrt(${duckDot("b.te", "b.te")})) AS cos
+               FROM d a JOIN d b ON a.vec_id <> b.vec_id AND a.dims = b.dims),
+      t1t AS (SELECT vec_id, dims, nb, cos FROM (
+                SELECT *, row_number() OVER
+                  (PARTITION BY vec_id, dims ORDER BY cos DESC, nb ASC) AS r
+                FROM simt) WHERE r = 1),
+      j AS (SELECT e.label, t.dims,
+                   CASE WHEN f.nb = t.nb THEN 1 ELSE 0 END AS same,
+                   CAST(round(1e9 * t.cos) AS BIGINT) AS ct
+            FROM e JOIN t1f f ON f.vec_id = e.vec_id
+                   JOIN t1t t ON t.vec_id = e.vec_id)
+      SELECT label, dims, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(same) AS BIGINT) AS n_top1_same,
+             CAST(sum(ct) AS BIGINT) AS cos_trunc_nano,
+             CAST((CAST(sum(same) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+               AS recall_micro
+      FROM j GROUP BY label, dims ORDER BY label, dims"""))
+
   // --------------------------------------------------------------- q351
 
   /** q351 — int8 quantization RECALL audit: q346 prices the numeric
@@ -3474,5 +3549,5 @@ object DataQueries {
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
-    q329, q332, q335, q337, q339, q346, q351, q353, q355)
+    q329, q332, q335, q337, q339, q346, q351, q353, q355, q356)
 }

@@ -747,4 +747,71 @@ class NewOpsReplaySpec extends SparkSpec {
       assert(pfxShare == p345(src), s"$src prefix share ≠ q345")
     }
   }
+
+  test("q356: MRL truncation recall matches a brute-force replay") {
+    val out = rows(DataQueries.q356.fn(spark, sf))
+    assert(out.nonEmpty)
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Float](2).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def top1(vs: Array[(Long, Array[Float])]): Map[Long, (Long, Double)] =
+      vs.map { case (id, v) =>
+        val best = vs.filter(_._1 != id).map { case (nb, w) =>
+          (dot(v, w) / (math.sqrt(dot(v, v)) * math.sqrt(dot(w, w))), nb)
+        }.maxBy { case (c, nb) => (c, -nb) }
+        id -> (best._2, best._1)
+      }.toMap
+    val full = top1(vecs.map(v => (v._1, v._3)))
+    val byLabel = vecs.groupBy(_._2)
+    Seq(16, 32).foreach { d =>
+      val trunc = top1(vecs.map(v => (v._1, v._3.take(d))))
+      out.filter(_(1).asInstanceOf[Long] == d.toLong).foreach { r =>
+        val Seq(label, _, n, same, ct, recall) = r.map(_.asInstanceOf[Long])
+        val ids = byLabel(label).map(_._1)
+        assert(n == ids.length)
+        assert(same == ids.count(id => full(id)._1 == trunc(id)._1),
+          s"label $label dims $d")
+        assert(ct == ids.map(id => math.round(1e9 * trunc(id)._2)).sum)
+        assert(recall == (BigInt(same) * 1000000 / n).toLong)
+      }
+    }
+    // halving to 32 dims must preserve some neighbors somewhere
+    assert(out.filter(_(1).asInstanceOf[Long] == 32L)
+      .map(_(3).asInstanceOf[Long]).sum > 0, "32-dim recall collapsed to zero")
+  }
+
+  test("q357: ES weighted sample matches an exact per-source replay") {
+    val out = rows(CorpusQueries.q357.fn(spark, sf))
+    assert(out.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def esKey(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      math.log((h.toDouble + 0.5) / 1152921504606846976.0) / w.toDouble
+    }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, g) =>
+      g.map(d => (src, d._1, d._3, esKey(d._1, d._3)))
+        .sortBy { case (_, id, _, k) => (-k, id) }.take(5).toSeq
+    }.sortBy(e => (e._1, e._2))
+    val got = out.map(r => (r(0).asInstanceOf[String], r(1).asInstanceOf[Long],
+      r(2).asInstanceOf[Long], r(3).asInstanceOf[Double]))
+    assert(got.map(g => (g._1, g._2, g._3)) ==
+      expected.map(e => (e._1, e._2, e._3)), "sample membership")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-6, s"key ${g._2}")
+    }
+    // without replacement: all sampled ids distinct, exactly 5 per source
+    assert(got.map(_._2).distinct.size == got.size)
+    assert(got.groupBy(_._1).values.forall(_.size == 5))
+  }
 }

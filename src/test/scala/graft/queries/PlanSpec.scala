@@ -453,4 +453,11 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
     assert(!plan.contains("hashpartitioning"), plan) // only the presentation sort exchanges
   }
+
+  test("q357: ES sampling runs on the custom TopKPerKey operator, no window") {
+    val plan = finalPlan(CorpusQueries.q357.fn(spark, sf))
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
