@@ -3381,6 +3381,107 @@ object DataQueries {
                AS trailing_bytes
       FROM m ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q358
+
+  /** Deterministic GGUF header per document for q358: two string KVs
+    * (architecture, model name), 1 + k%3 scalar KVs with cycling
+    * types, an array KV on even k, and 1 + k%4 tensor infos; every
+    * 17th doc carries an unknown value-type id on its SECOND KV
+    * (typed-walk desync trap), every 19th (not 17th) loses its last
+    * 5 bytes (truncation inside the final tensor info).
+    */
+  private def synthGgufPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val archs = Array("llama", "gpt2", "phi3")
+    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 50).toInt
+          val blob = graft.operators.GgufOps.encodeSynthetic(
+            kvStrings = Seq("general.architecture" -> archs(k % 3),
+              "general.name" -> s"m$k"),
+            kvScalars = (0 until 1 + k % 3).map(j => s"s$j" -> Array(4, 6, 10)((k + j) % 3)),
+            kvArrays = if (k % 2 == 0) Seq("arr" -> (3 + k % 4)) else Seq.empty,
+            tensors = (0 until 1 + k % 4).map(r =>
+              (s"blk.$r.w", Seq((8 + k % 5).toLong, (4 + r % 3).toLong), (k + r) % 3)),
+            dropTail = if (k % 17 != 0 && k % 19 == 0) 5 else 0,
+            badTypeAt = if (k % 17 == 0) 1 else -1)
+          (id, blob)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** q358 — GGUF header census, exactly oracle-gated: the quantized-
+    * weights sibling of q355 (the llama.cpp mmap format). The
+    * metadata walk is TYPED — one wrong value-type id would
+    * desynchronize every later byte, so
+    * [[graft.operators.GgufOps.parse]] validates each id against the
+    * v3 width table and stops (valid=0, remainder as trailing) at the
+    * first unknown one; tensor-info truncation likewise stops at that
+    * entry's start. The oracle replays the entire byte layout
+    * closed-form — every KV entry size, the desync stop position, and
+    * the truncation trailing arithmetic. Map-only, zero shuffles;
+    * adversarial inputs spec-pinned in GgufOpsSpec.
+    */
+  val q358 = Q("q358_gguf_census",
+    (s, dir) =>
+      graft.operators.GgufOps
+        .ggufFeatures(synthGgufPayloads(s, dir), "doc_id", "payload")
+        .orderBy("doc_id"),
+    Some("""
+      WITH p AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      sc AS (SELECT doc_id, CAST(sum(14 + CASE (k + u.j) % 3 WHEN 2 THEN 8
+                                          ELSE 4 END) AS BIGINT) AS scal_bytes,
+                    CAST(count(*) AS BIGINT) AS n_scal
+             FROM p, (SELECT unnest(range(3)) AS j) u
+             WHERE u.j < 1 + k % 3 GROUP BY doc_id),
+      tp AS (SELECT doc_id,
+                    CAST(sum((8 + k % 5) * (4 + u.r % 3)) AS BIGINT) AS params_all,
+                    CAST(sum(CASE WHEN u.r < k % 4 THEN (8 + k % 5) * (4 + u.r % 3)
+                                  ELSE 0 END) AS BIGINT) AS params_butlast
+             FROM p, (SELECT unnest(range(4)) AS r) u
+             WHERE u.r < 1 + k % 4 GROUP BY doc_id),
+      sz AS (SELECT p.doc_id, p.k, sc.n_scal, tp.params_all, tp.params_butlast,
+                    CAST(40 + CASE WHEN p.k % 3 = 0 THEN 5 ELSE 4 END AS BIGINT) AS kv0,
+                    CAST(33 + length(CAST(p.k AS VARCHAR)) AS BIGINT) AS kv1,
+                    sc.scal_bytes,
+                    CAST(CASE WHEN p.k % 2 = 0 THEN 27 + 4 * (3 + p.k % 4)
+                         ELSE 0 END AS BIGINT) AS arr_bytes,
+                    CAST(1 + p.k % 4 AS BIGINT) AS nt
+             FROM p JOIN sc ON sc.doc_id = p.doc_id
+                    JOIN tp ON tp.doc_id = p.doc_id),
+      m AS (SELECT doc_id, k, n_scal, nt, params_all, params_butlast,
+                   kv0, kv1, scal_bytes, arr_bytes,
+                   kv0 + kv1 + scal_bytes + arr_bytes AS kv_all,
+                   24 + kv0 + kv1 + scal_bytes + arr_bytes + 47 * nt AS total
+            FROM sz)
+      SELECT doc_id,
+             CAST(CASE WHEN k % 17 = 0 OR k % 19 = 0 THEN 0 ELSE 1 END AS BIGINT)
+               AS valid,
+             CAST(3 AS BIGINT) AS version,
+             CAST(CASE WHEN k % 17 = 0 THEN 1
+                  ELSE 2 + n_scal + CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END END
+               AS BIGINT) AS n_kv,
+             CAST(CASE WHEN k % 17 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_kv_string,
+             CAST(CASE WHEN k % 17 = 0 THEN 0 ELSE n_scal END AS BIGINT)
+               AS n_kv_scalar,
+             CAST(CASE WHEN k % 17 = 0 THEN 0
+                  WHEN k % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_kv_array,
+             CAST(CASE WHEN k % 17 = 0 THEN kv0 ELSE kv_all END AS BIGINT)
+               AS kv_bytes,
+             CAST(CASE WHEN k % 17 = 0 THEN 0
+                  WHEN k % 19 = 0 THEN nt - 1 ELSE nt END AS BIGINT) AS n_tensors,
+             CAST(CASE WHEN k % 17 = 0 THEN 0
+                  WHEN k % 19 = 0 THEN params_butlast
+                  ELSE params_all END AS BIGINT) AS param_count,
+             CAST(CASE WHEN k % 17 = 0 THEN 24 + kv0
+                  WHEN k % 19 = 0 THEN total - 47
+                  ELSE total END AS BIGINT) AS header_bytes,
+             CAST(CASE WHEN k % 17 = 0 THEN total - 24 - kv0
+                  WHEN k % 19 = 0 THEN 42 ELSE 0 END AS BIGINT) AS trailing_bytes
+      FROM m ORDER BY doc_id"""))
+
   // --------------------------------------------------------------- q356
 
   /** q356 — Matryoshka (MRL) truncation recall curve: the OTHER
@@ -3549,5 +3650,5 @@ object DataQueries {
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
-    q329, q332, q335, q337, q339, q346, q351, q353, q355, q356)
+    q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358)
 }
