@@ -2430,7 +2430,59 @@ object CorpusQueries {
       SELECT source, doc_id, tokens, round(es_key, 6) AS es_key_r6
       FROM r WHERE rn <= 5 ORDER BY source, doc_id"""))
 
+  // --------------------------------------------------------------- q359
+
+  /** q359 — exact-duplicate cluster-size HISTOGRAM: q354's card says
+    * how many duplicate docs a source carries; this says how they
+    * cluster — the distribution that decides dedup strategy (many
+    * pairs → keep-first suffices; a few huge clusters → investigate
+    * the template/boilerplate source). Per cluster size s: clusters,
+    * docs, redundant docs (s−1 per cluster) and the redundant TOKEN
+    * mass reclaimable at that size — the dedup ROI curve, exact
+    * integers throughout. The synthetic corpus is dup-free, so
+    * duplicates are injected deterministically (q335's discipline):
+    * every 7th doc gains one clone, every 21st a second — the
+    * histogram carries real mass at sizes 1, 2 and 3. Scale shape:
+    * one fingerprint groupBy (cluster collapse — shuffle ∝ corpus),
+    * one groupBy(size) to the bounded histogram; no joins, no windows.
+    */
+  val q359 = Q("q359_dup_histogram",
+    (s, dir) => {
+      val k = (col("doc_id") % 50).cast("long")
+      val base = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      base
+        .unionAll(base.filter(k % 7 === 0)
+          .select(col("doc_id") + 1000000000L, col("text")))
+        .unionAll(base.filter(k % 21 === 0)
+          .select(col("doc_id") + 2000000000L, col("text")))
+        .select(md5(col("text")).as("fp"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("csize"), sum("nt").as("ctok"), min("nt").as("keep_tok"))
+        .groupBy("csize")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("ctok").as("n_tokens"),
+          sum(expr("(csize - 1)")).as("redundant_docs"),
+          sum(expr("ctok - keep_tok")).as("redundant_tokens"))
+        .orderBy("csize")
+    },
+    Some(s"""
+      WITH a AS (SELECT text FROM documents
+                 UNION ALL
+                 SELECT text FROM documents WHERE doc_id % 50 % 7 = 0
+                 UNION ALL
+                 SELECT text FROM documents WHERE doc_id % 50 % 21 = 0),
+      c AS (SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS csize,
+                   CAST(sum(len($duckTokens)) AS BIGINT) AS ctok,
+                   CAST(min(len($duckTokens)) AS BIGINT) AS keep_tok
+            FROM a GROUP BY md5(text))
+      SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(ctok) AS BIGINT) AS n_tokens,
+             CAST(sum(csize - 1) AS BIGINT) AS redundant_docs,
+             CAST(sum(ctok - keep_tok) AS BIGINT) AS redundant_tokens
+      FROM c GROUP BY csize ORDER BY csize"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
-    q328, q331, q333, q334, q338, q343, q345, q349, q350, q354, q357)
+    q328, q331, q333, q334, q338, q343, q345, q349, q350, q354, q357, q359)
 }

@@ -814,4 +814,27 @@ class NewOpsReplaySpec extends SparkSpec {
     assert(got.map(_._2).distinct.size == got.size)
     assert(got.groupBy(_._1).values.forall(_.size == 5))
   }
+
+  test("q359: dup histogram matches a replay and conserves doc/token mass") {
+    val out = rows(CorpusQueries.q359.fn(spark, sf))
+    assert(out.size >= 2, s"histogram degenerate: $out")
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val audited = docs ++ docs.filter(_._1 % 50 % 7 == 0) ++
+      docs.filter(_._1 % 50 % 21 == 0)
+    val clusters = audited.groupBy(_._2).values
+      .map(g => (g.size.toLong, g.map(_._3).sum, g.map(_._3).min)).toSeq
+    out.foreach { r =>
+      val Seq(s2, nc, nt, rd, rt) = r.map(_.asInstanceOf[Long])
+      val mine = clusters.filter(_._1 == s2)
+      assert(nc == mine.size, s"size $s2 clusters")
+      assert(nt == mine.map(_._2).sum && rd == nc * (s2 - 1), s"size $s2 mass")
+      assert(rt == mine.map(c => c._2 - c._3).sum, s"size $s2 reclaim")
+    }
+    // conservation: histogram covers every audited doc exactly once
+    assert(out.map(r => r(0).asInstanceOf[Long] * r(1).asInstanceOf[Long]).sum ==
+      audited.length.toLong)
+  }
 }
