@@ -403,7 +403,32 @@ object Bench {
           .reduce(_ + _).as("n"))
           .agg(sum("n")).collect())
 
+      // container-walk throughput: the TFRecord dual-CRC32C walk over a
+      // synthesized ~20 KB shard per document (MB/s is the number a
+      // 100 TB shard-triage pass is budgeted with — both checksums are
+      // verified per record, so this prices the honest walk, not a
+      // skip-ahead)
+      import spark.implicits._
+      val tfBlobs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val k = (id % 50).toInt
+            val lens = (0 until 8).map(r => 2000 + (k * 37 + r * 13) % 500)
+            (id, graft.operators.TfRecordOps.encodeSynthetic(lens))
+          }
+        }
+        .toDF("doc_id", "payload")
+        .localCheckpoint(true) // price the walk, not the synthesis
+      val tfBytes = tfBlobs.agg(sum(length(col("payload")))).collect()(0).getLong(0)
+      val tfWalkSec = best2(
+        graft.operators.TfRecordOps
+          .tfrecordFeatures(tfBlobs, "doc_id", "payload")
+          .agg(sum("n_records")).collect())
+
       Seq("calib_sec" -> calib,
+        "tfrecord_walk_sec" -> tfWalkSec,
+        "tfrecord_walk_mb" -> tfBytes / 1e6,
         "blocklist_ac_sec" -> blkAcSec,
         "blocklist_split8_sec" -> blkSplitSec,
         "calib_scan_sec" -> calibScan,
