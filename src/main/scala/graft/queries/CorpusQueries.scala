@@ -2482,7 +2482,66 @@ object CorpusQueries {
              CAST(sum(ctok - keep_tok) AS BIGINT) AS redundant_tokens
       FROM c GROUP BY csize ORDER BY csize"""))
 
+  // --------------------------------------------------------------- q360
+
+  /** q360 — order-0 character-entropy census per source: the
+    * compressibility triage a crawl pipeline runs to catch binary
+    * junk, base64 blobs, and boilerplate masquerading as text —
+    * natural prose sits near ~4.1 bits/char, already-compressed or
+    * encoded payloads push toward log2(alphabet), templates fall
+    * well below. H = Σ c·ln(N/c) / (N·ln 2); each (source, char)
+    * cell's `c·ln(N/c)` term is nano-quantized to a long BEFORE the
+    * per-source sum (≤ |alphabet| cells per source — the group sum is
+    * exact in any reduction order), and the final bits-per-char
+    * division is one double formula from exact longs. Scale shape:
+    * one char explode (rows ∝ corpus bytes, map-side) into a
+    * map-side-combined groupBy(source, char), a bounded totals
+    * rollup broadcast back, one bounded final rollup.
+    */
+  val q360 = Q("q360_char_entropy",
+    (s, dir) => {
+      val counts = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy("source", "ch").agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy("source")
+        .agg(sum("c").as("n"), count(lit(1)).as("d"))
+      counts.join(broadcast(totals), Seq("source"))
+        .select(col("source"), col("n"), col("d"),
+          expr("CAST(round(1e9 * c * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))) AS BIGINT)").as("t"))
+        .groupBy("source")
+        .agg(first("n").as("n_chars"), first("d").as("distinct_chars"),
+          sum("t").as("tq"))
+        .select(col("source"), col("n_chars"), col("distinct_chars"),
+          expr("CAST(round(CAST(tq AS DOUBLE) / CAST(n_chars AS DOUBLE) / ln(2) / 1000.0) AS BIGINT)")
+            .as("entropy_micro_bits"),
+          expr("""CASE WHEN distinct_chars > 1
+                 |THEN CAST(round(1000000 * ln(CAST(distinct_chars AS DOUBLE)) / ln(2)) AS BIGINT)
+                 |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("max_entropy_micro_bits"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH ch AS (SELECT source,
+                         unnest(list_filter(string_split(text, ''), x -> x <> '')) AS ch
+                  FROM documents),
+      c AS (SELECT source, ch, CAST(count(*) AS BIGINT) AS c
+            FROM ch GROUP BY source, ch),
+      tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS d
+              FROM c GROUP BY source),
+      s AS (SELECT c.source,
+                   CAST(sum(CAST(round(1e9 * c.c * ln(CAST(t.n AS DOUBLE)
+                     / CAST(c.c AS DOUBLE))) AS BIGINT)) AS BIGINT) AS tq
+            FROM c JOIN tot t ON t.source = c.source GROUP BY c.source)
+      SELECT t.source, t.n AS n_chars, t.d AS distinct_chars,
+             CAST(round(CAST(s.tq AS DOUBLE) / CAST(t.n AS DOUBLE)
+                  / ln(2) / 1000.0) AS BIGINT) AS entropy_micro_bits,
+             CASE WHEN t.d > 1
+                  THEN CAST(round(1000000 * ln(CAST(t.d AS DOUBLE)) / ln(2)) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS max_entropy_micro_bits
+      FROM tot t JOIN s ON s.source = t.source ORDER BY t.source"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
-    q328, q331, q333, q334, q338, q343, q345, q349, q350, q354, q357, q359)
+    q328, q331, q333, q334, q338, q343, q345, q349, q350, q354, q357, q359, q360)
 }

@@ -837,4 +837,32 @@ class NewOpsReplaySpec extends SparkSpec {
     assert(out.map(r => r(0).asInstanceOf[Long] * r(1).asInstanceOf[Long]).sum ==
       audited.length.toLong)
   }
+
+  test("q360: char entropy matches a textbook Shannon replay") {
+    val out = rows(CorpusQueries.q360.fn(spark, sf))
+    assert(out.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1)
+    out.foreach { r =>
+      val src = r(0).asInstanceOf[String]
+      val Seq(n, d, h, hmax) = r.drop(1).map(_.asInstanceOf[Long])
+      val freq = bySrc(src).flatMap(_._2.toCharArray)
+        .groupBy(identity).map { case (_, g) => g.length.toLong }.toSeq
+      assert(n == freq.sum && d == freq.size, s"$src counts")
+      // textbook H (plain double sum) vs the engine's quantized route —
+      // they agree to the micro-bit within quantization error
+      val hExp = freq.map { c =>
+        val p = c.toDouble / n
+        -p * math.log(p) / math.log(2.0)
+      }.sum
+      assert(math.abs(h / 1e6 - hExp) < 1e-4, s"$src H: ${h / 1e6} vs $hExp")
+      assert(hmax == math.round(1e6 * math.log(d.toDouble) / math.log(2.0)))
+      // entropy is bounded by the alphabet and positive on real text
+      assert(h > 0 && h <= hmax, s"$src bounds")
+      // natural prose sits in a narrow band — binary junk would not
+      assert(h > 3000000L && h < 6000000L, s"$src ${h / 1e6} bits/char")
+    }
+  }
 }
