@@ -114,7 +114,9 @@ object GgufOps {
       if (pos + 8 > n) { ok = false; false }
       else {
         val len = u64()
-        if (len < 0 || pos + len > n) { ok = false; false }
+        // `len > n - pos`, NOT `pos + len > n`: a huge u64 length would
+        // wrap the addition negative and desync every later read
+        if (len < 0 || len > n - pos) { ok = false; false }
         else { pos += len; true }
       }
     }
@@ -127,8 +129,10 @@ object GgufOps {
           if (pos + 12 <= n) {
             val et = u32().toInt
             val cnt = u64()
+            // divide instead of multiply: `cnt * width` overflows for a
+            // huge element count and would pass as a 0-byte payload
             if (ScalarWidth.contains(et) && cnt >= 0 &&
-              pos + cnt * ScalarWidth(et) <= n) {
+              cnt <= (n - pos) / ScalarWidth(et)) {
               pos += cnt * ScalarWidth(et); nArr += 1
             } else ok = false
           } else ok = false

@@ -74,7 +74,9 @@ object SafeTensorsOps {
     var hlen = 0L
     var i = 7
     while (i >= 0) { hlen = (hlen << 8) | (bytes(i.toInt) & 0xffL); i -= 1 }
-    if (hlen < 2 || 8 + hlen > n) return StMeta(0, 0, 0L, 0L, 0L, 0, 0, 0, n - 8)
+    // `hlen > n - 8`, NOT `8 + hlen > n`: a length near Long.MaxValue
+    // would wrap the addition negative and slip past the check
+    if (hlen < 2 || hlen > n - 8) return StMeta(0, 0, 0L, 0L, 0L, 0, 0, 0, n - 8)
     val headerStr = new String(bytes, 8, hlen.toInt,
       java.nio.charset.StandardCharsets.UTF_8)
     val parsed = try {

@@ -117,7 +117,11 @@ object TfRecordOps {
       else {
         val len = readLongLE(pos)
         val lenCrcOk = readIntLE(pos + 8) == mask(crc32c(bytes, pos, 8))
-        if (!lenCrcOk || len < 0 || pos + 12 + len + 4 > n) ok = false
+        // `len > n - pos - 16`, NOT `pos + 12 + len + 4 > n`: a crafted
+        // length near Long.MaxValue (its CRC is trivially computable)
+        // would wrap the addition negative, slip past the check, and
+        // index at the length's low 32 bits
+        if (!lenCrcOk || len < 0 || len > n - pos - 16) ok = false
         else if (readIntLE(pos + 12 + len.toInt) !=
                  mask(crc32c(bytes, pos + 12, len.toInt))) ok = false
         else {

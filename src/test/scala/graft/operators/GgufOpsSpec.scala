@@ -55,6 +55,35 @@ class GgufOpsSpec extends AnyFunSuite {
     assert(m.valid == 0 && m.nKv == 0)
   }
 
+  test("huge string lengths and array counts cannot wrap the bounds math") {
+    def header(nKv: Long): java.io.ByteArrayOutputStream = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write('G'); bos.write('G'); bos.write('U'); bos.write('F')
+      (0 until 4).foreach(i => bos.write(((3L >>> (8 * i)) & 0xff).toInt))
+      (0 until 8).foreach(_ => bos.write(0)) // tensor count 0
+      (0 until 8).foreach(i => bos.write(((nKv >>> (8 * i)) & 0xff).toInt))
+      bos
+    }
+    def u64(bos: java.io.ByteArrayOutputStream, v: Long): Unit =
+      (0 until 8).foreach(i => bos.write(((v >>> (8 * i)) & 0xff).toInt))
+    def u32(bos: java.io.ByteArrayOutputStream, v: Long): Unit =
+      (0 until 4).foreach(i => bos.write(((v >>> (8 * i)) & 0xff).toInt))
+    // key length near Long.MaxValue: pos + len would wrap negative
+    val h1 = header(1)
+    u64(h1, Long.MaxValue - 5)
+    (0 until 16).foreach(_ => h1.write('k'))
+    val m1 = GgufOps.parse(h1.toByteArray)
+    assert(m1.valid == 0 && m1.nKv == 0)
+    // array count where cnt * width wraps to 0: would pass as empty
+    val h2 = header(1)
+    u64(h2, 1L); h2.write('a')       // key "a"
+    u32(h2, 9L)                      // type: array
+    u32(h2, 10L)                     // elem type: u64 (width 8)
+    u64(h2, 0x2000000000000000L)     // count: cnt * 8 == 0 in Long
+    val m2 = GgufOps.parse(h2.toByteArray)
+    assert(m2.valid == 0 && m2.nKvArray == 0, m2)
+  }
+
   test("wrong magic and unsupported version fail closed immediately") {
     val blob = clean.clone(); blob(0) = 'X'
     assert(GgufOps.parse(blob).valid == 0)

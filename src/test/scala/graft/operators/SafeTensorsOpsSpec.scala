@@ -42,6 +42,15 @@ class SafeTensorsOpsSpec extends AnyFunSuite {
     assert(SafeTensorsOps.parse(huge).validJson == 0)
   }
 
+  test("a header length near Long.MaxValue cannot wrap the bounds check") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val hlen = Long.MaxValue - 3
+    (0 until 8).foreach(i => bos.write(((hlen >>> (8 * i)) & 0xff).toInt))
+    (0 until 32).foreach(_ => bos.write('{'))
+    val m = SafeTensorsOps.parse(bos.toByteArray)
+    assert(m.validJson == 0 && m.nTensors == 0)
+  }
+
   test("garbage JSON in the header yields valid_json = 0 with the tail intact") {
     val blob = clean.clone()
     blob(9) = '~' // corrupt one header byte → unparseable

@@ -64,6 +64,22 @@ class TfRecordOpsSpec extends AnyFunSuite {
       midPayload.trailingBytes == blob.length - 10L)
   }
 
+  test("a huge length with a VALID length CRC cannot wrap the bounds check") {
+    // the length CRC only proves the length bytes are what the writer
+    // wrote — an attacker writes the matching CRC trivially, so the
+    // 64-bit bounds check itself must not overflow
+    val bos = new java.io.ByteArrayOutputStream()
+    val len = 0x7FFFFFFFFFFFFFF0L
+    val lenBytes = (0 until 8).map(i => ((len >>> (8 * i)) & 0xff).toByte).toArray
+    bos.write(lenBytes)
+    val crc = TfRecordOps.mask(TfRecordOps.crc32c(lenBytes, 0, 8))
+    (0 until 4).foreach(i => bos.write((crc >>> (8 * i)) & 0xff))
+    (0 until 64).foreach(_ => bos.write(0))
+    val m = TfRecordOps.parse(bos.toByteArray)
+    assert(m.nRecords == 0 && !m.cleanEof)
+    assert(m.trailingBytes == bos.size().toLong)
+  }
+
   test("record-header-shaped bytes inside a payload do not desync") {
     // payload of record 1 is a byte-exact smaller TFRecord shard —
     // a resyncing scanner would double count; length framing must not
