@@ -1774,7 +1774,54 @@ object EventQueries {
                AS pass5_micro
       FROM f ORDER BY user_id"""))
 
+  // --------------------------------------------------------------- q361
+
+  /** q361 — speculative-decoding speedup model (Leviathan et al.
+    * 2023): with per-token draft acceptance rate p and draft length
+    * γ, one verify step emits `(1 − p^{γ+1}) / (1 − p)` tokens in
+    * expectation — THE number a serving fleet uses to size a
+    * draft-model deployment. Computed EXACTLY per task: p = c/n is
+    * rational, so the geometric sum is the integer identity
+    * `(n^{γ+1} − c^{γ+1}) · 10⁶ div (n^γ · (n − c))` in
+    * DECIMAL(38,0) — bit-identical on both engines, no floats, and
+    * the p = 1 pole handled as the exact limit γ+1. Tasks = users,
+    * per-token acceptance = `event_id % 4 ≠ 0` (≈75%, a realistic
+    * draft rate), γ = 4. Scale shape: q344's exact plan — ONE
+    * map-side-combined groupBy then map-only arithmetic.
+    */
+  val q361 = Q("q361_spec_decode",
+    (s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_id") % 4 =!= 0, 1L).otherwise(0L)).as("c"))
+        .filter(col("n") >= 5)
+        .withColumn("accept_micro",
+          expr("CAST((CAST(c AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)"))
+        .withColumn("exp_tokens_micro", expr(
+          """CASE WHEN c = n THEN CAST(5000000 AS BIGINT) ELSE
+            |  CAST(((CAST(n AS DECIMAL(38,0)) * n * n * n * n
+            |         - CAST(c AS DECIMAL(38,0)) * c * c * c * c) * 1000000)
+            |       div (CAST(n AS DECIMAL(38,0)) * n * n * n * (n - c))
+            |    AS BIGINT) END""".stripMargin))
+        .select("user_id", "n", "c", "accept_micro", "exp_tokens_micro")
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS c
+                 FROM events GROUP BY user_id HAVING count(*) >= 5)
+      SELECT user_id, n, c,
+             CAST((CAST(c AS HUGEINT) * 1000000) // n AS BIGINT) AS accept_micro,
+             CAST(CASE WHEN c = n THEN 5000000 ELSE
+                    ((CAST(n AS HUGEINT) * n * n * n * n
+                      - CAST(c AS HUGEINT) * c * c * c * c) * 1000000)
+                    // (CAST(n AS HUGEINT) * n * n * n * (n - c))
+                  END AS BIGINT) AS exp_tokens_micro
+      FROM t ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q72, q118, q201, q205,
     q206, q208, q212, q213, q215, q219, q220, q227, q228, q229, q233, q235, q236,
-    q293, q294, q301, q302, q313, q344)
+    q293, q294, q301, q302, q313, q344, q361)
 }

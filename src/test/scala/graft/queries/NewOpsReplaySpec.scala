@@ -865,4 +865,32 @@ class NewOpsReplaySpec extends SparkSpec {
       assert(h > 3000000L && h < 6000000L, s"$src ${h / 1e6} bits/char")
     }
   }
+
+  test("q361: speculative speedup matches a BigInt geometric-sum replay") {
+    val out = rows(EventQueries.q361.fn(spark, sf))
+    assert(out.nonEmpty)
+    val ev = Tables.load(spark, sf, "events")
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = ev.groupBy(_._1).map { case (u, g) =>
+      u -> (g.length.toLong, g.count(_._2 % 4 != 0).toLong)
+    }
+    out.foreach { r =>
+      val Seq(u, n, c, am, em) = r.map(_.asInstanceOf[Long])
+      assert((n, c) == byUser(u), s"user $u counts")
+      assert(am == (BigInt(c) * 1000000 / n).toLong)
+      val exp =
+        if (c == n) 5000000L
+        else ((BigInt(n).pow(5) - BigInt(c).pow(5)) * 1000000 /
+          (BigInt(n).pow(4) * (n - c))).toLong
+      assert(em == exp, s"user $u: $em vs $exp")
+      // the identity really is the geometric sum Σ_{i=0..4} p^i: replay
+      // it term-by-term as exact rationals over the common denominator n⁴
+      val sumNum = (0 to 4).map(i => BigInt(c).pow(i) * BigInt(n).pow(4 - i)).sum
+      assert(exp == (sumNum * 1000000 / BigInt(n).pow(4)).toLong ||
+        c == n, s"user $u geometric identity")
+      // bounds: 1 ≤ E[tokens/step] ≤ γ+1
+      assert(em >= 1000000L && em <= 5000000L, s"user $u bounds")
+    }
+  }
 }
