@@ -79,7 +79,17 @@ case class GearChunks(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckFailure(s"$prettyName: first argument must be string")
     else if (right.dataType != IntegerType || !right.foldable)
       TypeCheckResult.TypeCheckFailure(s"$prettyName: maskBits must be an integer literal")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // JVM long shifts are mod 64: maskBits ≥ 64 would make the mask
+      // (1L << maskBits) - 1 collapse to 0 — a boundary after EVERY
+      // byte — and negatives likewise degenerate. Misuse must fail at
+      // analysis time, not silently chunk per byte.
+      val m = right.eval()
+      if (m == null || m.asInstanceOf[Int] < 1 || m.asInstanceOf[Int] > 62)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: maskBits must be in [1, 62], got $m")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("fp", LongType, nullable = false),

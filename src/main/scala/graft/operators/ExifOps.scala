@@ -127,6 +127,9 @@ object ExifOps {
     def fail(pos: Int) = Empty.copy(trailingBytes = (n - pos).toLong)
     if (n < 4 || (bytes(0) & 0xff) != 0xFF || (bytes(1) & 0xff) != 0xD8) return fail(0)
     if ((bytes(2) & 0xff) != 0xFF || (bytes(3) & 0xff) != 0xE1) return fail(2)
+    // the APP1 length field needs bytes 4–5 to exist: a 4- or 5-byte
+    // truncated `FF D8 FF E1` must fail closed, not crash the task
+    if (n < 6) return fail(4)
     val app1Len = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
     // the length field counts itself: payload = app1Len - 2 bytes
     val segEnd = 4 + 2 + (app1Len - 2)

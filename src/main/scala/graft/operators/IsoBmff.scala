@@ -24,6 +24,13 @@ object IsoBmff {
 
   val Containers: Set[String] = Set("moov", "trak", "mdia", "minf", "stbl", "edts", "udta")
 
+  /** Recursion cap for container nesting. Real MP4 trees are ≤ ~6
+    * deep (moov/trak/mdia/minf/stbl); 64 is far above any legitimate
+    * file, and a crafted file of nested container headers must halt
+    * (remainder → trailing) instead of overflowing the stack.
+    */
+  val MaxDepth: Int = 64
+
   final case class BmffMeta(
       brand: String,      // ftyp major brand ("" if absent)
       nBoxes: Int,        // all boxes, containers and leaves, any depth
@@ -71,6 +78,7 @@ object IsoBmff {
     var haltPos = bytes.length.toLong
     // returns the position reached inside [start, end); sets halted on malformed size
     def walk(start: Long, end: Long, depth: Int): Long = {
+      if (depth >= MaxDepth) { halted = true; haltPos = start; return start }
       var pos = start
       while (!halted && pos + 8 <= end) {
         val size0 = be32(pos.toInt)
@@ -79,7 +87,12 @@ object IsoBmff {
         var size = size0
         if (size0 == 1 && pos + 16 <= end) { size = be64(pos.toInt + 8); hdr = 16L }
         else if (size0 == 0) size = end - pos // to end of enclosing space
-        if (size < hdr || pos + size > end) { halted = true; haltPos = pos }
+        // overflow-proof: `pos + size` wraps for a 64-bit attacker
+        // largesize near Long.MaxValue; compare against the remaining
+        // space instead (size ≥ hdr > 0 and end − pos ≥ 8 here, so
+        // `size > end - pos` cannot wrap). House rule from the
+        // TFRecord/SafeTensors/GGUF walkers.
+        if (size < hdr || size > end - pos) { halted = true; haltPos = pos }
         else {
           nBoxes += 1
           if (depth + 1 > maxDepth) maxDepth = depth + 1

@@ -64,4 +64,19 @@ class GearChunksSpec extends SparkSpec {
       .select(sum("c.len")).collect()(0).getLong(0)
     assert(out == ("the quick brown fox jumps over the lazy dog " * 8).length)
   }
+
+  test("maskBits outside [1, 62] fails at analysis time, not silently") {
+    // JVM long shifts are mod 64: maskBits=64 would make the mask 0 and
+    // chunk after every byte; the expression must reject it up front
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    for (bad <- Seq(0, -3, 63, 64, 100)) {
+      val e = intercept[Exception] {
+        Seq("abc").toDF("t")
+          .select(call_function("graft_gear_chunks", col("t"), lit(bad)))
+          .collect()
+      }
+      assert(e.getMessage.contains("maskBits"), s"maskBits=$bad: ${e.getMessage}")
+    }
+  }
 }

@@ -52,6 +52,17 @@ class ExifOpsSpec extends AnyFunSuite {
     assert(ExifOps.parse(noApp1).trailingBytes == b.length - 2)
   }
 
+  test("input truncated inside the APP1 length field fails closed") {
+    // `FF D8 FF E1` with 0–1 bytes of the length field present: the
+    // parser must not read past the array (was an AIOOBE at n ∈ {4,5})
+    val hdr = Array(0xFF, 0xD8, 0xFF, 0xE1).map(_.toByte)
+    for (extra <- 0 to 1) {
+      val cut = hdr ++ Array.fill(extra)(0x7f.toByte)
+      val m = ExifOps.parse(cut)
+      assert(m.valid == 0 && m.trailingBytes == cut.length - 4, s"n=${cut.length}")
+    }
+  }
+
   test("APP1 length running past EOF is a lie, not a guess") {
     val b = ExifOps.encodeSynthetic(true, 3, true, false, false, false, 0)
     val cut = b.take(b.length - 8) // truncate inside the TIFF payload

@@ -53,4 +53,35 @@ class IsoBmffSpec extends SparkSpec {
     val m = IsoBmff.parse(Array.emptyByteArray)
     assert(m.nBoxes == 0 && m.trailingBytes == 0L)
   }
+
+  test("huge 64-bit largesize halts instead of wrapping the bounds check") {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    // size0==1, largesize=Long.MaxValue: `pos + size` wraps negative —
+    // the subtraction-form check must still reject it fail-closed
+    val evil = be32(1) ++ "mdat".getBytes("US-ASCII") ++
+      Array(0x7f.toByte) ++ Array.fill(7)(0xff.toByte) ++ Array.fill(24)(3.toByte)
+    val m = IsoBmff.parse(evil)
+    assert(m.nBoxes == 0 && m.mdatBytes == 0L && m.trailingBytes == evil.length.toLong)
+    // same with the sign bit set (negative Long): caught by size < hdr
+    val evil2 = be32(1) ++ "mdat".getBytes("US-ASCII") ++
+      Array.fill(8)(0xff.toByte) ++ Array.fill(24)(3.toByte)
+    val m2 = IsoBmff.parse(evil2)
+    assert(m2.nBoxes == 0 && m2.trailingBytes == evil2.length.toLong)
+  }
+
+  test("nested-container bomb halts at the depth cap, no stack overflow") {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    // 200k nested moov headers, each box exactly wrapping the next
+    val levels = 200000
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < levels) {
+      out.write(be32((levels - i) * 8)); out.write("moov".getBytes("US-ASCII"))
+      i += 1
+    }
+    val m = IsoBmff.parse(out.toByteArray)
+    assert(m.maxDepth == IsoBmff.MaxDepth)
+    assert(m.nBoxes == IsoBmff.MaxDepth)
+    assert(m.trailingBytes == (levels - IsoBmff.MaxDepth).toLong * 8)
+  }
 }
