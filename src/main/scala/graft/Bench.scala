@@ -255,6 +255,83 @@ object Bench {
       val kmSec = sec(graft.operators.KMeansOps.fit(emb, "vec_id", "embedding", kinit,
         maxIter = 20, onRound = (r, _) => kmRounds = r).count())
 
+      // ---- iterative-flagship SCALING EVIDENCE: the O(log n)-rounds /
+      // linear-per-round claims for the iterative operators, MEASURED at
+      // n vs 4n on deterministic synthetic inputs (sized independent of
+      // SF). Quadratic scaling would read as ~16x time at 4x input;
+      // log-round growth reads as rounds_4n − rounds_n ≈ 2; the PCA
+      // power rounds never touch n at all (they read only the d×d
+      // matrix), so their time at n and 4n should be statistically equal.
+      def chainCc(n: Long): (Double, Int) = {
+        var r = 0
+        val chain = spark.range(0L, n - 1)
+          .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        val s = sec(graft.operators.GraphOps.connectedComponentsAlternating(
+          chain, "id_a", "id_b", onRound = (rr, _) => r = rr).count())
+        (s, r)
+      }
+      val (ccScaleNSec, ccScaleNRounds) = chainCc(100000L)
+      val (ccScale4nSec, ccScale4nRounds) = chainCc(400000L)
+
+      def boruvkaAt(v: Long): (Double, Int) = {
+        var r = 0
+        val ring = spark.range(0L, v).select(col("id").as("a"),
+          pmod(col("id") + 1, lit(v)).as("b"))
+        val chords = spark.range(0L, 2 * v).select(
+          pmod(col("id") * 48271, lit(v)).as("a"),
+          pmod(col("id") * 69621 + 7, lit(v)).as("b"))
+        // weights: PSEUDORANDOM high bits (a monotone-in-id weight makes
+        // every min-edge pick point at low ids — the pick forest connects
+        // in one degenerate round and measures nothing), distinct low
+        // bits per directed pair (v ≤ 4096 keeps the pack collision-free)
+        val edges = ring.unionByName(chords)
+          .filter(col("a") =!= col("b"))
+          .withColumn("w",
+            pmod(xxhash64(col("a"), col("b")), lit(1000000L)) * lit(16777216L)
+              + col("a") * lit(4096L) + col("b"))
+        val s = sec(graft.operators.GraphOps.boruvkaMst(edges, "a", "b", "w",
+          onRound = (rr, _) => r = rr).count())
+        (s, r)
+      }
+      val (bvVSec, bvVRounds) = boruvkaAt(512L)
+      val (bv4vSec, bv4vRounds) = boruvkaAt(2048L)
+
+      // PCA pipeline split (q192's shape, d=16): the Gram accumulation
+      // is the ONLY n-dependent stage (map-side combine onto d² cells);
+      // the power rounds read the d×d matrix alone.
+      def synthEmb(n: Long) = spark.range(0L, n).select(col("id"), expr(
+        "transform(sequence(0, 15), j -> CAST(sin(CAST(id * 31 + j * 7 AS DOUBLE)) AS FLOAT))")
+        .as("embedding"))
+      def gramOf(n: Long) = synthEmb(n)
+        .select(explode(call_function("graft_tri_products", col("embedding"))).as("p"))
+        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+        .agg((sum(col("p.pq")).cast("double") / 1e9 / n).as("a"))
+      val pcaGramNSec = sec(gramOf(100000L).count())
+      val pcaGram4nSec = sec(gramOf(400000L).count())
+      def power6(n: Long): Double = {
+        val cu = gramOf(n).localCheckpoint(false)
+        val amat = cu.select("i", "j", "a")
+          .union(cu.filter(col("i") =!= col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("a")))
+          .localCheckpoint(false)
+        amat.count() // materialize the checkpoint OUTSIDE the timer —
+        // the timed section must see only the d×d-matrix rounds
+        sec {
+          var v = cu.select(col("i")).distinct()
+            .select(col("i"), lit(0.25).as("v")).localCheckpoint(false)
+          for (_ <- 1 to 6) {
+            v = amat.join(v.select(col("i").as("j"), col("v")), Seq("j"))
+              .groupBy("i")
+              .agg((sum(expr("CAST(round(a * v * 1e15) AS BIGINT)"))
+                .cast("double") / 1e15).as("v"))
+              .localCheckpoint(false)
+          }
+          v.count()
+        }
+      }
+      val pcaPowerNSec = power6(100000L)
+      val pcaPower4nSec = power6(400000L)
+
       // z-order layout: per-file spans on both dims, plain vs morton
       // (pid-suffixed for the same concurrent-bench reason as the tables)
       val zdir = s"/tmp/graft_bench_zorder_$pid"
@@ -362,6 +439,14 @@ object Bench {
       val embNN = Tables.load(spark, sfDir, "embeddings")
       val nnChunkedSec = best2(
         graft.operators.Similarity.top1Exact(embNN, "vec_id", "embedding").count())
+      // the DEFAULT audit path: exact top-1 for the fixed 200-probe
+      // sample against the full index — O(S·n) vs the exact pass's
+      // O(n²); the ratio here is the measured cost of insisting on a
+      // full audit instead of the sampled one (grows linearly with n)
+      val nnSampledSec = best2(
+        graft.operators.Similarity.top1ExactFor(
+          graft.operators.Similarity.auditProbes(embNN, "vec_id"),
+          embNN, "vec_id", "embedding").count())
       val nnBroadcastSec = best2 {
         val e = embNN.select(col("vec_id"), col("embedding"),
           sqrt(call_function("graft_dot", col("embedding"), col("embedding"))).as("na"))
@@ -434,6 +519,7 @@ object Bench {
         "calib_scan_sec" -> calibScan,
         "mutualnn_chunked_sec" -> nnChunkedSec,
         "mutualnn_broadcast_sec" -> nnBroadcastSec,
+        "nn_audit_sampled_sec" -> nnSampledSec,
         "cdc_chunk_sec" -> cdcSec,
         "cdc_chunk_mb" -> cdcBytes / 1e6,
         "factjoin_plain_sec" -> plainSec,
@@ -442,6 +528,18 @@ object Bench {
         "cc_chain32_altstar_sec" -> ccAltstar,
         "cc_chain32_minlabel_rounds" -> mlRounds.toDouble,
         "cc_chain32_altstar_rounds" -> asRounds.toDouble,
+        "cc_scale_chain100k_sec" -> ccScaleNSec,
+        "cc_scale_chain400k_sec" -> ccScale4nSec,
+        "cc_scale_chain100k_rounds" -> ccScaleNRounds.toDouble,
+        "cc_scale_chain400k_rounds" -> ccScale4nRounds.toDouble,
+        "boruvka_scale_v512_sec" -> bvVSec,
+        "boruvka_scale_v2048_sec" -> bv4vSec,
+        "boruvka_scale_v512_rounds" -> bvVRounds.toDouble,
+        "boruvka_scale_v2048_rounds" -> bv4vRounds.toDouble,
+        "pca_gram_n100k_sec" -> pcaGramNSec,
+        "pca_gram_n400k_sec" -> pcaGram4nSec,
+        "pca_power6_n100k_sec" -> pcaPowerNSec,
+        "pca_power6_n400k_sec" -> pcaPower4nSec,
         "kmeans256_sec" -> kmSec,
         "kmeans256_rounds" -> kmRounds.toDouble,
         "zorder_plain_span_cust" -> plainX,

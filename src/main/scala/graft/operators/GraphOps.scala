@@ -115,6 +115,70 @@ object GraphOps {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** Borůvka minimum spanning forest over a weighted undirected edge
+    * list — the distributed MST algorithm (every component picks its
+    * minimum outgoing edge simultaneously, so components at least
+    * HALVE per round and O(log V) rounds suffice at any scale; Prim/
+    * Kruskal's sequential edge picks cannot fan out). Generalizes
+    * q308's inline 25-node loop (StatQueries.scala q308) to arbitrary
+    * graphs with an early-quiescence stop and an `onRound` hook, so
+    * Bench can measure rounds-vs-|V| empirically.
+    *
+    * Weights must be DISTINCT longs (pack a tiebreak into low bits as
+    * q308 does) — distinctness makes the MSF unique and each round's
+    * min-edge pick deterministic. Per round: two component-label
+    * joins + a map-side-combinable `min(struct)` per component +
+    * relabeling via the audited O(log n)
+    * [[connectedComponentsAlternating]] on the ≤|components| picked
+    * edges. Disconnected inputs yield the spanning forest.
+    *
+    * @return (a, b, w) — the picked edges (|V| − #components rows).
+    */
+  def boruvkaMst(edges0: DataFrame, aCol: String, bCol: String, wCol: String,
+                 maxRounds: Int = 48,
+                 onRound: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+    val edges = edges0.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"), col(wCol).cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint(false) // every round re-reads the edge list
+    var comp = edges.select(col("a").as("v"))
+      .union(edges.select(col("b").as("v")))
+      .distinct().select(col("v"), col("v").as("c"))
+      .localCheckpoint(false)
+    var mst = edges.limit(0)
+    var round = 0
+    var quiesced = false
+    while (!quiesced && round < maxRounds) {
+      val ec = edges
+        .join(comp.select(col("v").as("_va"), col("c").as("ca")), col("a") === col("_va"))
+        .join(comp.select(col("v").as("_vb"), col("c").as("cb")), col("b") === col("_vb"))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("a"), col("b"), col("w"), col("ca"), col("cb"))
+      val sel = ec.select(col("ca").as("g"), struct(col("w"), col("a"), col("b"),
+          col("ca"), col("cb")).as("e"))
+        .unionByName(ec.select(col("cb").as("g"), struct(col("w"), col("a"), col("b"),
+          col("ca"), col("cb")).as("e")))
+        .groupBy("g").agg(min("e").as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"),
+          col("e.ca").as("ca"), col("e.cb").as("cb"))
+        .distinct()
+        .localCheckpoint(false)
+      if (sel.isEmpty) quiesced = true
+      else {
+        round += 1
+        mst = mst.unionByName(sel.select("a", "b", "w")).localCheckpoint(false)
+        val relabel = connectedComponentsAlternating(
+          sel.select("ca", "cb"), "ca", "cb")
+        comp = comp.join(relabel, comp("c") === relabel("id"), "left")
+          .select(col("v"), coalesce(col("cluster_id"), col("c")).as("c"))
+          .localCheckpoint(false)
+        onRound(round, mst)
+      }
+    }
+    require(quiesced, s"boruvkaMst did not quiesce in $maxRounds rounds")
+    mst
+  }
+
   /** Multi-source BFS: exact minimum hop distance from ANY source node,
     * by frontier expansion — the distributed unweighted-shortest-path
     * primitive (landmark distances, seed-set reach, blast-radius

@@ -179,20 +179,68 @@ object Similarity {
     * round at presentation; selection must compare full doubles).
     */
   def top1Exact(vectors: DataFrame, idCol: String, vecCol: String,
-                chunkSize: Int = 256): DataFrame = {
+                chunkSize: Int = 256): DataFrame =
+    top1ExactFor(vectors, vectors, idCol, vecCol, chunkSize)
+
+  /** Conf key: `true` routes the NN recall-audit queries through the
+    * FULL exact all-pairs pass (O(n²) compute by contract — an audit
+    * you opt into, never the default at scale).
+    */
+  val ExactNNFlag = "spark.graft.exactNN"
+
+  /** Conf key: audit-sample size for the default (sampled-exact) path
+    * of the NN recall audits.
+    */
+  val NNSampleKey = "spark.graft.nnSampleSize"
+
+  /** The probe set the NN recall audits run over: by DEFAULT a
+    * deterministic fixed-count sample (`spark.graft.nnSampleSize`,
+    * default 200) of the vector table — audit cost O(S·n), linear in
+    * the corpus for fixed S — with the full exact all-pairs pass
+    * conf-gated behind `spark.graft.exactNN=true` (the
+    * q108/q160 exact/approx discipline, inverted because here the
+    * quadratic side is the opt-in). The sample is the S smallest ids
+    * by the engine-portable md5 hash of `"nnsample:" + id` (ties by
+    * id) — content-independent, so every representation of the same
+    * corpus (full floats, int8-dequant, MRL-truncated) samples the
+    * SAME ids, and an external oracle replays the selection exactly.
+    * S ≥ n degenerates to the full exact pass.
+    */
+  def auditProbes(vectors: DataFrame, idCol: String): DataFrame = {
+    val s = vectors.sparkSession
+    if (s.conf.get(ExactNNFlag, "false") == "true") vectors
+    else {
+      val size = s.conf.get(NNSampleKey, "200").toInt
+      val ids = vectors.select(col(idCol))
+        .orderBy(graft.functions.Hashing.hash64(
+          concat(lit("nnsample:"), col(idCol).cast("string"))), col(idCol))
+        .limit(size) // TakeOrdered — bounded driver state
+      vectors.join(broadcast(ids), Seq(idCol)) // S-row broadcast semi-shape
+    }
+  }
+
+  /** [[top1Exact]] generalized to a probe subset: exact top-1 over
+    * the FULL index for each probe row only — O(|probes|·n) compute,
+    * the linear-in-corpus shape recall audits run at scale (sample
+    * the queries, never the index). `probes` must be a subset of
+    * `vectors` in (idCol, vecCol) — self-matches are excluded by id.
+    */
+  def top1ExactFor(probes: DataFrame, vectors: DataFrame, idCol: String,
+                   vecCol: String, chunkSize: Int = 256): DataFrame = {
     val spark = vectors.sparkSession
     graft.expressions.GraftExtensions.register(spark)
     val n = vectors.count()
     val numChunks = math.max(1L, (n + chunkSize - 1) / chunkSize)
-    val withNorm = vectors.select(
+    def norm(df: DataFrame) = df.select(
       col(idCol).cast("long").as("_id"), col(vecCol).as("_vec"),
-      sqrt(dotNative(col(vecCol), col(vecCol))).as("_nrm"),
-      pmod(xxhash64(col(idCol).cast("long")), lit(numChunks)).as("_ck"))
-    val chunks = withNorm.groupBy("_ck").agg(
-      collect_list(struct(col("_id").as("nb"), col("_vec").as("eb"),
-        col("_nrm").as("nn"))).as("_arr"))
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("_nrm"))
+    val chunks = norm(vectors)
+      .withColumn("_ck", pmod(xxhash64(col("_id")), lit(numChunks)))
+      .groupBy("_ck").agg(
+        collect_list(struct(col("_id").as("nb"), col("_vec").as("eb"),
+          col("_nrm").as("nn"))).as("_arr"))
     val grid = spark.range(numChunks).select(col("id").as("_ck"))
-    val tiles = withNorm.drop("_ck")
+    val tiles = norm(probes)
       .join(broadcast(grid))                 // replicate probes: chunk ids only
       .join(chunks, Seq("_ck"))              // shuffle equi-join on the chunk key
     val local = tiles.select(col("_id"), col("_nrm"),
@@ -214,6 +262,35 @@ object Similarity {
     * is the other's top-1. Linear — two filters and an equi-join on n
     * rows.
     */
+  /** Mutual-NN audit over the conf-resolved probe set
+    * ([[auditProbes]]): exact top-1 for each sampled probe against the
+    * FULL index, then exact top-1 for each DISTINCT best-neighbour
+    * (≤ S ids — a bounded broadcast), and a pair (a, b) reports iff
+    * each is the other's exact top-1. Default cost O(S·n) — linear in
+    * the corpus for the fixed audit sample; `spark.graft.exactNN=true`
+    * recovers the complete all-pairs mutual set via [[top1Exact]] +
+    * [[mutualFromTop1]]. Output (a, b, cos), a < b, cos unrounded.
+    */
+  def mutualNNAudit(vectors: DataFrame, idCol: String, vecCol: String,
+                    chunkSize: Int = 256): DataFrame = {
+    val s = vectors.sparkSession
+    if (s.conf.get(ExactNNFlag, "false") == "true")
+      mutualFromTop1(top1Exact(vectors, idCol, vecCol, chunkSize), idCol)
+    else {
+      val t1s = top1ExactFor(auditProbes(vectors, idCol), vectors,
+        idCol, vecCol, chunkSize)
+      val nbIds = t1s.select(col("nb").as(idCol)).distinct()
+      val t1b = top1ExactFor(vectors.join(broadcast(nbIds), Seq(idCol)),
+        vectors, idCol, vecCol, chunkSize)
+        .select(col(idCol).as("_bid"), col("nb").as("_bnb"))
+      // a sampled pair can surface from both endpoints — normalize and dedup
+      t1s.join(t1b, col("nb") === col("_bid") && col("_bnb") === col(idCol))
+        .select(least(col(idCol), col("nb")).as("a"),
+          greatest(col(idCol), col("nb")).as("b"), col("cos"))
+        .groupBy("a", "b").agg(max(col("cos")).as("cos"))
+    }
+  }
+
   def mutualFromTop1(top1: DataFrame, idCol: String): DataFrame = {
     val fwd = top1.filter(col(idCol) < col("nb"))
       .select(col(idCol).as("a"), col("nb").as("b"), col("cos"))

@@ -1267,41 +1267,62 @@ object AnalyticsQueries {
     * where b is a's top cosine neighbor AND a is b's — the
     * reciprocal-best-match criterion behind bitext mining and
     * high-precision near-dup linking (one-sided NN chains through hub
-    * vectors; mutuality kills the hubs). Exact top-1 via
-    * [[graft.operators.Similarity.top1Exact]] — a distributed
-    * block-nested-loop: bounded chunk rows of the index side, a
-    * broadcast of CHUNK IDS only (never the vector table), in-row
-    * local argmax via higher-order functions, and a map-side-combined
-    * `max(struct)` global argmax (no window over n² rows, no
-    * full-table broadcast). Where the data has near-dup structure the
-    * same mutuality contract runs over LSH shortlists instead —
+    * vectors; mutuality kills the hubs). DEFAULT path is the sampled
+    * audit ([[graft.operators.Similarity.mutualNNAudit]]): exact
+    * top-1 for a deterministic `spark.graft.nnSampleSize` (200)
+    * probe sample against the FULL index, then for their distinct
+    * best-neighbours, reporting pairs where each is the other's exact
+    * top-1 — O(S·n), linear in the corpus. The complete all-pairs
+    * mutual set (O(n²) by contract) is conf-gated behind
+    * `spark.graft.exactNN=true`; each exact pass is the
+    * block-nested-loop [[graft.operators.Similarity.top1ExactFor]]
+    * (bounded chunk rows, chunk-ID-only broadcast, in-row local
+    * argmax, map-side-combined `max(struct)` global argmax). Where
+    * the data has near-dup structure the same mutuality contract runs
+    * over LSH shortlists instead —
     * [[graft.operators.Similarity.mutualNNShortlist]], spec-pinned ≡
     * brute force on clustered fixtures (MutualNNSpec).
     */
   val q268 = Q("q268_mutual_nn",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val top1 = graft.operators.Similarity.top1Exact(emb, "vec_id", "embedding")
-      graft.operators.Similarity.mutualFromTop1(top1, "vec_id")
+      graft.operators.Similarity.mutualNNAudit(emb, "vec_id", "embedding")
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos_sim"))
         .orderBy("a", "b")
     },
     Some(s"""
-      WITH sims AS (SELECT a.vec_id, b.vec_id AS nb,
-                           ${DataQueries.duckDot("a.embedding", "b.embedding")}
-                             / (sqrt(${DataQueries.duckDot("a.embedding", "a.embedding")})
-                                * sqrt(${DataQueries.duckDot("b.embedding", "b.embedding")})) AS cos
-                    FROM embeddings a JOIN embeddings b
-                      ON a.vec_id <> b.vec_id),
-      top1 AS (SELECT vec_id, nb, cos FROM (
-                 SELECT *, row_number() OVER
-                   (PARTITION BY vec_id ORDER BY cos DESC, nb ASC) AS r
-                 FROM sims) WHERE r = 1),
-      fwd AS (SELECT vec_id AS a, nb AS b, cos FROM top1 WHERE vec_id < nb),
-      bwd AS (SELECT nb AS a, vec_id AS b FROM top1 WHERE vec_id > nb)
-      SELECT fwd.a, fwd.b, round(fwd.cos, 6) AS cos_sim
-      FROM fwd JOIN bwd ON fwd.a = bwd.a AND fwd.b = bwd.b
-      ORDER BY fwd.a, fwd.b"""))
+      WITH samp AS (SELECT vec_id FROM embeddings
+                    ORDER BY ${duckHash64("'nnsample:' || CAST(vec_id AS VARCHAR)")},
+                             vec_id
+                    LIMIT 200),
+      sims AS (SELECT a.vec_id, b.vec_id AS nb,
+                      ${DataQueries.duckDot("a.embedding", "b.embedding")}
+                        / (sqrt(${DataQueries.duckDot("a.embedding", "a.embedding")})
+                           * sqrt(${DataQueries.duckDot("b.embedding", "b.embedding")})) AS cos
+               FROM embeddings a JOIN embeddings b
+                 ON a.vec_id <> b.vec_id
+               WHERE a.vec_id IN (SELECT vec_id FROM samp)),
+      t1s AS (SELECT vec_id, nb, cos FROM (
+                SELECT *, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY cos DESC, nb ASC) AS r
+                FROM sims) WHERE r = 1),
+      nbs AS (SELECT DISTINCT nb FROM t1s),
+      sims2 AS (SELECT a.vec_id, b.vec_id AS nb,
+                       ${DataQueries.duckDot("a.embedding", "b.embedding")}
+                         / (sqrt(${DataQueries.duckDot("a.embedding", "a.embedding")})
+                            * sqrt(${DataQueries.duckDot("b.embedding", "b.embedding")})) AS cos
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id
+                WHERE a.vec_id IN (SELECT nb FROM nbs)),
+      t1b AS (SELECT vec_id, nb FROM (
+                SELECT *, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY cos DESC, nb ASC) AS r
+                FROM sims2) WHERE r = 1),
+      m AS (SELECT least(t.vec_id, t.nb) AS a, greatest(t.vec_id, t.nb) AS b,
+                   t.cos
+            FROM t1s t JOIN t1b u ON t.nb = u.vec_id AND u.nb = t.vec_id)
+      SELECT a, b, round(max(cos), 6) AS cos_sim
+      FROM m GROUP BY a, b ORDER BY a, b"""))
 
   // --------------------------------------------------------------- q269
 

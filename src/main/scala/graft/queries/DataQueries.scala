@@ -3492,20 +3492,30 @@ object DataQueries {
     * the full 64 dims vs the first 16 and first 32 (`slice` — a
     * map-side transform), agreement per (label, dims) in exact micro
     * units plus the nano-quantized cosine mass of the truncated run.
-    * All three top-1 passes are q268's block-nested-loop `top1Exact`
-    * (bounded chunks, chunk-ID-only broadcast, map-side-combined
-    * argmax); ties break toward the smaller id in both engines.
+    * DEFAULT is the sampled audit: all three top-1 passes run over
+    * the deterministic `spark.graft.nnSampleSize` (200) probe sample
+    * against the FULL index ([[graft.operators.Similarity
+    * .auditProbes]] — id-hashed, so every truncation level samples
+    * the SAME ids) — O(S·n); the full all-pairs audit is conf-gated
+    * behind `spark.graft.exactNN=true`. Each pass is q268's
+    * block-nested-loop `top1ExactFor` (bounded chunks, chunk-ID-only
+    * broadcast, map-side-combined argmax); ties break toward the
+    * smaller id in both engines.
     */
   val q356 = Q("q356_mrl_recall",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val t1f = graft.operators.Similarity.top1Exact(emb, "vec_id", "embedding")
+      val t1f = graft.operators.Similarity.top1ExactFor(
+          graft.operators.Similarity.auditProbes(emb, "vec_id"),
+          emb, "vec_id", "embedding")
         .select(col("vec_id"), col("nb").as("nb_f"))
       val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
       val byDims = Seq(16, 32).map { d =>
         val sliced = emb.select(col("vec_id"),
           expr(s"slice(embedding, 1, $d)").as("embedding"))
-        graft.operators.Similarity.top1Exact(sliced, "vec_id", "embedding")
+        graft.operators.Similarity.top1ExactFor(
+            graft.operators.Similarity.auditProbes(sliced, "vec_id"),
+            sliced, "vec_id", "embedding")
           .select(col("vec_id").as("vid_t"), col("nb").as("nb_t"),
             col("cos").as("cos_t"), lit(d.toLong).as("dims"))
       }.reduce(_ unionAll _)
@@ -3524,11 +3534,16 @@ object DataQueries {
     Some(s"""
       WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
                  FROM embeddings),
+      samp AS (SELECT vec_id FROM embeddings
+               ORDER BY ${duckHash64("'nnsample:' || CAST(vec_id AS VARCHAR)")},
+                        vec_id
+               LIMIT 200),
       simf AS (SELECT a.vec_id, b.vec_id AS nb,
                       ${duckDot("a.embedding", "b.embedding")}
                         / (sqrt(${duckDot("a.embedding", "a.embedding")})
                            * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cos
-               FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+               FROM e a JOIN e b ON a.vec_id <> b.vec_id
+               WHERE a.vec_id IN (SELECT vec_id FROM samp)),
       t1f AS (SELECT vec_id, nb FROM (
                 SELECT *, row_number() OVER
                   (PARTITION BY vec_id ORDER BY cos DESC, nb ASC) AS r
@@ -3540,7 +3555,8 @@ object DataQueries {
                       ${duckDot("a.te", "b.te")}
                         / (sqrt(${duckDot("a.te", "a.te")})
                            * sqrt(${duckDot("b.te", "b.te")})) AS cos
-               FROM d a JOIN d b ON a.vec_id <> b.vec_id AND a.dims = b.dims),
+               FROM d a JOIN d b ON a.vec_id <> b.vec_id AND a.dims = b.dims
+               WHERE a.vec_id IN (SELECT vec_id FROM samp)),
       t1t AS (SELECT vec_id, dims, nb, cos FROM (
                 SELECT *, row_number() OVER
                   (PARTITION BY vec_id, dims ORDER BY cos DESC, nb ASC) AS r
@@ -3567,11 +3583,18 @@ object DataQueries {
     * absmax int8 dequantized back to float) and compared;
     * `recall_micro` = agreement rate in exact micro units, plus the
     * nano-quantized cosine mass of both runs (how much similarity
-    * score the store gives up). Both top-1 passes run the
-    * block-nested-loop shape of q268 ([[graft.operators.Similarity
-    * .top1Exact]]: bounded chunk rows, broadcast of chunk IDS only,
-    * in-row local argmax, map-side-combined `max(struct)` global
-    * argmax — no window over n² rows, no full-table broadcast); the
+    * score the store gives up). DEFAULT is the sampled audit: both
+    * top-1 passes run over the deterministic
+    * `spark.graft.nnSampleSize` (200) probe sample against the FULL
+    * index ([[graft.operators.Similarity.auditProbes]] — the same ids
+    * under both representations, since the sample hashes ids, not
+    * content) — O(S·n), linear in the corpus; the full all-pairs
+    * audit is conf-gated behind `spark.graft.exactNN=true`. Each pass
+    * is the block-nested-loop shape of q268 ([[graft.operators
+    * .Similarity.top1ExactFor]]: bounded chunk rows, broadcast of
+    * chunk IDS only, in-row local argmax, map-side-combined
+    * `max(struct)` global argmax — no window over n² rows, no
+    * full-table broadcast); the
     * quantize/dequantize step is a map-side `transform`. Ties break
     * toward the smaller neighbor id in both engines, and per-row
     * cosines are nano-quantized before the group sum.
@@ -3586,9 +3609,13 @@ object DataQueries {
           """transform(embedding, x -> CAST(CAST(greatest(CAST(-127 AS BIGINT),
             |  least(CAST(127 AS BIGINT), floor(CAST(x AS DOUBLE) / sv + 0.5d))) AS DOUBLE)
             |  * sv AS FLOAT))""".stripMargin).as("embedding"))
-      val t1f = graft.operators.Similarity.top1Exact(emb, "vec_id", "embedding")
+      val t1f = graft.operators.Similarity.top1ExactFor(
+          graft.operators.Similarity.auditProbes(emb, "vec_id"),
+          emb, "vec_id", "embedding")
         .select(col("vec_id"), col("nb").as("nb_f"), col("cos").as("cos_f"))
-      val t1q = graft.operators.Similarity.top1Exact(dequant, "vec_id", "embedding")
+      val t1q = graft.operators.Similarity.top1ExactFor(
+          graft.operators.Similarity.auditProbes(dequant, "vec_id"),
+          dequant, "vec_id", "embedding")
         .select(col("vec_id").as("vid_q"), col("nb").as("nb_q"), col("cos").as("cos_q"))
       emb.select(col("vec_id"), col("label").cast("long").as("label"))
         .join(t1f, "vec_id")
@@ -3614,16 +3641,22 @@ object DataQueries {
                       least(127.0, floor(CAST(x AS DOUBLE) / sv + 0.5))) * sv
                       AS REAL)) AS qe
              FROM sv),
+      samp AS (SELECT vec_id FROM embeddings
+               ORDER BY ${duckHash64("'nnsample:' || CAST(vec_id AS VARCHAR)")},
+                        vec_id
+               LIMIT 200),
       simf AS (SELECT a.vec_id, b.vec_id AS nb,
                       ${duckDot("a.embedding", "b.embedding")}
                         / (sqrt(${duckDot("a.embedding", "a.embedding")})
                            * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cos
-               FROM dq a JOIN dq b ON a.vec_id <> b.vec_id),
+               FROM dq a JOIN dq b ON a.vec_id <> b.vec_id
+               WHERE a.vec_id IN (SELECT vec_id FROM samp)),
       simq AS (SELECT a.vec_id, b.vec_id AS nb,
                       ${duckDot("a.qe", "b.qe")}
                         / (sqrt(${duckDot("a.qe", "a.qe")})
                            * sqrt(${duckDot("b.qe", "b.qe")})) AS cos
-               FROM dq a JOIN dq b ON a.vec_id <> b.vec_id),
+               FROM dq a JOIN dq b ON a.vec_id <> b.vec_id
+               WHERE a.vec_id IN (SELECT vec_id FROM samp)),
       t1f AS (SELECT vec_id, nb, cos FROM (
                 SELECT *, row_number() OVER
                   (PARTITION BY vec_id ORDER BY cos DESC, nb ASC) AS r
@@ -3646,9 +3679,193 @@ object DataQueries {
                AS recall_micro
       FROM j GROUP BY label ORDER BY label"""))
 
+  // --------------------------------------------------------------- q362
+
+  /** q362 — embedding anisotropy audit per label: the average pairwise
+    * cosine among UNIT vectors — the "embedding collapse" diagnostic
+    * (Ethayarajh 2019): contextual/embedding spaces drift toward a
+    * narrow cone, average pairwise cosine ≫ 0, and similarity scores
+    * lose contrast, which silently degrades every cosine-threshold
+    * dedup/decontam pass downstream. The naive audit is O(n²·d) pairs;
+    * this uses the MOMENT identity — for unit vectors v̂,
+    * Σ_{i≠j} cos(v_i, v_j) = ‖Σv̂‖² − n — so ONE linear pass
+    * (normalize map-side, per-(label, dim) exact sums = |labels|·d
+    * cells, bounded rollup) answers exactly what all-pairs would.
+    *
+    * Exactness: unit components quantize to 1e-9 longs (floor(x+0.5)
+    * round-half-up — engine-identical for negatives too) BEFORE the
+    * sum; per-dim squares quantize to 1e-12 and sum in DECIMAL(38,0)/
+    * HUGEINT (n² · 1e12 exceeds int64 at corpus scale). The norm mean
+    * rides along in exact micro units.
+    */
+  val q362 = Q("q362_anisotropy",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val unit = emb.select(col("label").cast("long").as("label"), col("embedding"),
+          expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
+        .select(col("label"), col("nrm"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").as("u"))
+      val cells = unit
+        .select(col("label"), posexplode(col("u")).as(Seq("i", "x")))
+        .select(col("label"), col("i"),
+          expr("CAST(floor(x * 1e9 + 0.5) AS BIGINT)").as("q"))
+        .groupBy("label", "i").agg(sum("q").as("sq"))
+      val t = cells
+        .select(col("label"), expr(
+          """CAST(floor((CAST(sq AS DOUBLE) / 1e9) * (CAST(sq AS DOUBLE) / 1e9)
+            | * 1e12 + 0.5) AS DECIMAL(38,0))""".stripMargin).as("tq"))
+        .groupBy("label").agg(sum("tq").as("t"))
+      val nn = unit.groupBy("label").agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(floor(nrm * 1e6 + 0.5) AS BIGINT)")).as("qn"))
+      nn.join(t, "label")
+        .select(col("label"), col("n_vecs"),
+          expr("CAST(CAST(qn AS DECIMAL(38,0)) div n_vecs AS BIGINT)").as("norm_mean_micro"),
+          expr("""round((CAST(t AS DOUBLE) / 1e12 - n_vecs)
+                 | / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6)""".stripMargin)
+            .as("mean_pair_cos"))
+        .orderBy("label")
+    },
+    Some(s"""
+      WITH u AS (SELECT CAST(label AS BIGINT) AS label,
+                        sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)
+                          / sqrt(${duckDot("embedding", "embedding")})) AS u
+                 FROM embeddings),
+      cells AS (SELECT label, i, sum(CAST(floor(u[i] * 1e9 + 0.5) AS BIGINT)) AS sq
+                FROM u CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+                GROUP BY label, i),
+      t AS (SELECT label,
+                   sum(CAST(floor((CAST(sq AS DOUBLE) / 1e9) * (CAST(sq AS DOUBLE) / 1e9)
+                     * 1e12 + 0.5) AS HUGEINT)) AS t
+            FROM cells GROUP BY label),
+      nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                    sum(CAST(floor(nrm * 1e6 + 0.5) AS BIGINT)) AS qn
+             FROM u GROUP BY label)
+      SELECT nn.label, n_vecs,
+             CAST(CAST(qn AS HUGEINT) // n_vecs AS BIGINT) AS norm_mean_micro,
+             round((CAST(t AS DOUBLE) / 1e12 - n_vecs)
+               / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6) AS mean_pair_cos
+      FROM nn JOIN t ON nn.label = t.label
+      ORDER BY nn.label"""))
+
+  // --------------------------------------------------------------- q363
+
+  /** q363 — sorted-neighborhood near-dup candidates: the THIRD classic
+    * blocking strategy next to hash-bucket LSH (q36/q38) and prefix
+    * filtering (q128) — sort the corpus by a locality-sensitive key
+    * (48-bit simhash) and compare only ADJACENT rows. No bucket can
+    * explode: candidate count is exactly n−1 regardless of data skew,
+    * the property that makes sorted-neighborhood the safest first pass
+    * on adversarial corpora (a 10k-identical-doc flood adds 10k
+    * candidates, not C(10k,2)). The global order is assigned by
+    * `zipWithIndexOrdered` (sort + per-partition zipWithIndex — NO
+    * single-partition window), adjacency is one equi-join on rank.
+    *
+    * Planted clones (every 50th doc re-enters at doc_id+1e9) verify
+    * detection: clone pairs surface at Hamming 0. Output: the 20
+    * closest adjacent pairs by (hamming, id_a) — a TakeOrdered
+    * shortlist, deterministic because (simhash, doc_id) is a total
+    * order and ties break on ids.
+    */
+  val q363 = Q("q363_sorted_neighborhood",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = base.unionByName(
+        base.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      val keyed = docs.select(col("doc_id"),
+        Dedup.simhash(col("text"), 48).as("sh"))
+      val ranked = graft.operators.Relational.zipWithIndexOrdered(
+        keyed, "rk", col("sh"), col("doc_id"))
+      val a = ranked.select(col("rk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = ranked.select((col("rk") - 1).as("rk"),
+        col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, "rk")
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").as("hamming"))
+        .orderBy(col("hamming"), col("id_a"))
+        .limit(20)
+        .orderBy(col("hamming"), col("id_a"))
+    },
+    Some(s"""
+      WITH docs AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000000, text FROM documents
+                    WHERE doc_id % 50 = 0),
+      t AS (SELECT doc_id, list_distinct($duckTokens) AS w
+            FROM docs),
+      h AS (SELECT doc_id, list_transform(w, x -> ${duckHash64("x")}) AS hs FROM t),
+      k AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 48), b ->
+                CASE WHEN list_sum(list_transform(hs, v -> ((v >> b) & 1) * 2 - 1)) > 0
+                     THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS sh
+            FROM h),
+      r AS (SELECT doc_id, sh,
+                   row_number() OVER (ORDER BY sh, doc_id) AS rk
+            FROM k),
+      adj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+              FROM r a JOIN r b ON b.rk = a.rk + 1)
+      SELECT id_a, id_b, hamming FROM adj
+      ORDER BY hamming, id_a LIMIT 20"""))
+
+  // --------------------------------------------------------------- q364
+
+  /** q364 — cross-source n-gram containment matrix: for every ordered
+    * source pair (s1, s2), the share of s1's distinct 3-gram shingles
+    * that also occur in s2 — the corpus-overlap audit behind mixture
+    * design (is one crawl a subset of another? which sources share
+    * boilerplate mass?) and the source-level companion of the per-doc
+    * decontamination checks (q62/q196). Grams travel as 61-bit hashes,
+    * never strings; the join key is the gram hash, and a gram present
+    * in k sources fans out to k² ≤ |sources|² pairs — bounded by the
+    * source-count square, NOT by document count, so the shape survives
+    * any corpus size (one gram shuffle + one |sources|²-cell rollup).
+    */
+  val q364 = Q("q364_source_containment",
+    (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val grams = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          explode(call_function("graft_shingle_hashes", col("text"), lit(3))).as("h"))
+        .distinct()
+      val tot = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      val shared = grams.join(grams.select(col("source").as("source_b"), col("h")), "h")
+        .filter(col("source") =!= col("source_b"))
+        .groupBy(col("source"), col("source_b")).agg(count(lit(1)).as("n_shared"))
+      shared.join(broadcast(tot), "source")
+        .select(col("source").as("source_a"), col("source_b"),
+          col("n_shared"), col("n_grams").as("n_grams_a"),
+          expr("CAST((CAST(n_shared AS DECIMAL(38,0)) * 1000000) div n_grams AS BIGINT)")
+            .as("containment_micro"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""
+      WITH t AS (SELECT source, $duckTokens AS w FROM documents),
+      sh AS (SELECT source,
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               END AS g
+             FROM t),
+      e AS (SELECT DISTINCT source, ${duckHash64("gg")} & ${Dedup.MinhashP} AS h
+            FROM (SELECT source, unnest(g) AS gg FROM sh)),
+      tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM e GROUP BY source),
+      shared AS (SELECT a.source AS source_a, b.source AS source_b,
+                        CAST(count(*) AS BIGINT) AS n_shared
+                 FROM e a JOIN e b ON a.h = b.h AND a.source <> b.source
+                 GROUP BY 1, 2)
+      SELECT source_a, source_b, n_shared, n_grams AS n_grams_a,
+             CAST((CAST(n_shared AS HUGEINT) * 1000000) // n_grams AS BIGINT)
+               AS containment_micro
+      FROM shared JOIN tot ON shared.source_a = tot.source
+      ORDER BY source_a, source_b"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
-    q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358)
+    q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
+    q364)
 }

@@ -2438,10 +2438,12 @@ object StatQueries {
     * visited set, every CTE MATERIALIZED per the q306 rule). A
     * consecutive-nation sentinel ring at weight 2e12+i guarantees
     * connectivity on any draw of the data, so both sides always span
-    * all 25 nodes. Component merging reuses the audited O(log n)
-    * alternating-star CC operator; 5 fixed Borůvka rounds cover
-    * ⌈log₂ 25⌉ with a margin (late rounds see no cross edges and
-    * no-op).
+    * all 25 nodes. The loop is the generic
+    * [[graft.operators.GraphOps.boruvkaMst]] (spec-pinned ≡ Kruskal):
+    * per-round min-edge pick + alternating-star component merge,
+    * self-terminating when no cross-component edges remain; Bench
+    * measures its rounds-vs-|V| scaling empirically
+    * (boruvka_scale_* extras).
     */
   val q308 = Q("q308_boruvka_mst",
     (s, dir) => {
@@ -2467,33 +2469,11 @@ object StatQueries {
           expr("CAST(2000000000 AS BIGINT) * 1000 + a * 30 + b").as("w"))
       val edges = trade.unionByName(ring)
         .groupBy("a", "b").agg(min("w").as("w"))
-        .localCheckpoint(false) // 5 Borůvka rounds re-read the edge list
-      var comp = nat.select(col("n_nationkey").as("v"), col("n_nationkey").as("c"))
-        .localCheckpoint(false)
-      var mst: DataFrame = edges.select("a", "b", "w").limit(0)
-      for (_ <- 1 to 5) {
-        val ec = edges
-          .join(comp.select(col("v").as("_va"), col("c").as("ca")), col("a") === col("_va"))
-          .join(comp.select(col("v").as("_vb"), col("c").as("cb")), col("b") === col("_vb"))
-          .filter(col("ca") =!= col("cb"))
-          .select(col("a"), col("b"), col("w"), col("ca"), col("cb"))
-        val sel = ec.select(col("ca").as("g"), struct(col("w"), col("a"), col("b"),
-            col("ca"), col("cb")).as("e"))
-          .unionByName(ec.select(col("cb").as("g"), struct(col("w"), col("a"), col("b"),
-            col("ca"), col("cb")).as("e")))
-          .groupBy("g").agg(min("e").as("e"))
-          .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"),
-            col("e.ca").as("ca"), col("e.cb").as("cb"))
-          .distinct()
-          .localCheckpoint(false)
-        mst = mst.unionByName(sel.select("a", "b", "w"))
-        val relabel = GraphOps.connectedComponentsAlternating(
-          sel.select("ca", "cb"), "ca", "cb")
-        comp = comp.join(relabel, comp("c") === relabel("id"), "left")
-          .select(col("v"), coalesce(col("cluster_id"), col("c")).as("c"))
-          .localCheckpoint(false)
-      }
-      mst.orderBy("w")
+      // the generic quiesce-detecting loop (GraphOps.boruvkaMst) — the
+      // sentinel ring guarantees connectivity, so the result spans all
+      // 25 nations; rounds self-terminate (≤ ⌈log₂ 25⌉ merge rounds)
+      GraphOps.boruvkaMst(edges, "a", "b", "w")
+        .orderBy("w")
         .select(col("a").as("n_a"), col("b").as("n_b"), col("w").as("w_packed"))
     },
     Some {

@@ -145,6 +145,80 @@ class GraphOpsSpec extends SparkSpec {
       out.toString) // 5,6 unreachable: absent
   }
 
+  /** In-memory Kruskal with union-find — the independent MST reference. */
+  private def kruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.sortBy(_._3).flatMap { case e @ (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) None else { parent(ra) = rb; Some(e) }
+    }.toSet
+  }
+
+  test("boruvkaMst == Kruskal on a random graph with distinct weights") {
+    import spark.implicits._
+    // ring of 200 nodes (guaranteed connectivity) + 400 hashed chords;
+    // weights packed with the edge id so every weight is distinct and
+    // the MST is unique — Borůvka and Kruskal must agree edge-for-edge
+    val n = 200L
+    val ring = (0L until n).map(i => (i, (i + 1) % n))
+    val chords = (0L until 2 * n).map { k =>
+      val u = (k * 48271) % n
+      val v = (k * 69621 + 7) % n
+      (u, v)
+    }.filter { case (u, v) => u != v }
+    val all = (ring ++ chords).zipWithIndex.map { case ((u, v), i) =>
+      (u, v, ((u * 7 + v * 13) % 1000) * 100000 + i) // distinct packed weights
+    }
+    var rounds = 0
+    val got = GraphOps.boruvkaMst(all.toDF("a", "b", "w"), "a", "b", "w",
+        onRound = (r, _) => rounds = r)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = kruskal(all)
+    assert(got.size == n - 1, s"spanning tree must have ${n - 1} edges, got ${got.size}")
+    assert(got == want, s"missed ${want -- got}, invented ${got -- want}")
+    // components at least halve per round: ⌈log₂ 200⌉ = 8 rounds max
+    assert(rounds <= 8, s"Borůvka took $rounds rounds on 200 nodes")
+  }
+
+  test("bench scaling generator: hashed weights give a multi-round Borůvka run") {
+    // mirrors Bench.boruvkaAt(512): ring + hashed chords, pseudorandom
+    // high bits. A monotone-in-id weight degenerates to ONE round (all
+    // min-edges point at low ids — caught live in round 10); the hashed
+    // form must take ≥2 and ≤ ⌈log₂ 512⌉ = 9 merge rounds, and still
+    // span (the ring guarantees connectivity)
+    val v = 512L
+    val ring = spark.range(0L, v).select(col("id").as("a"),
+      pmod(col("id") + 1, lit(v)).as("b"))
+    val chords = spark.range(0L, 2 * v).select(
+      pmod(col("id") * 48271, lit(v)).as("a"),
+      pmod(col("id") * 69621 + 7, lit(v)).as("b"))
+    val edges = ring.unionByName(chords)
+      .filter(col("a") =!= col("b"))
+      .withColumn("w",
+        pmod(xxhash64(col("a"), col("b")), lit(1000000L)) * lit(16777216L)
+          + col("a") * lit(4096L) + col("b"))
+    var rounds = 0
+    val n = GraphOps.boruvkaMst(edges, "a", "b", "w",
+      onRound = (r, _) => rounds = r).count()
+    assert(n == v - 1, s"expected a spanning tree of ${v - 1} edges, got $n")
+    assert(rounds >= 2 && rounds <= 9, s"rounds=$rounds — degenerate or diverging")
+  }
+
+  test("boruvkaMst yields the spanning FOREST on disconnected input") {
+    import spark.implicits._
+    // two triangles, no bridge: 2 components → 4 MST edges
+    val edges = Seq(
+      (0L, 1L, 10L), (1L, 2L, 20L), (0L, 2L, 30L),
+      (5L, 6L, 11L), (6L, 7L, 21L), (5L, 7L, 31L))
+    val got = GraphOps.boruvkaMst(edges.toDF("a", "b", "w"), "a", "b", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 1L, 10L), (1L, 2L, 20L), (5L, 6L, 11L), (6L, 7L, 21L)))
+  }
+
   test("pageRank round 1 agrees with the oracle-gated q110 step") {
     val sf = "/root/testdata/sf0.001"
     // q110's bipartite math keeps customer and supplier id spaces

@@ -57,19 +57,63 @@ class MutualNNSpec extends SparkSpec {
     }
   }
 
-  test("q268's plan broadcasts only the chunk-id grid, never the vector table") {
+  test("q268's plan hint-broadcasts only bounded id sets, never the vector table") {
     val df = graft.queries.AnalyticsQueries.q268.fn(spark, sf)
     val hinted = df.queryExecution.analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     }
-    assert(hinted.nonEmpty, "expected the chunk-id grid broadcast hint")
+    assert(hinted.nonEmpty, "expected broadcast hints (chunk grid, audit-id sets)")
     hinted.foreach { h =>
-      val leaves = h.child.collectLeaves().map(_.getClass.getSimpleName)
-      assert(leaves.forall(_.contains("Range")),
-        s"broadcast hint over non-grid child: $leaves — the vector table " +
-          "must never be hint-broadcast (size-based auto-broadcast at tiny SF is fine; " +
-          "a hint would force it at any scale)")
+      // every hint child is a single long column: the chunk-id grid, the
+      // LIMIT-bounded audit sample ids, or the ≤S distinct best-neighbour
+      // ids — never a plan whose output carries the embedding vectors
+      // (size-based auto-broadcast at tiny SF is fine; a hint would force
+      // it at any scale)
+      val out = h.child.output
+      assert(out.length == 1 &&
+        out.head.dataType == org.apache.spark.sql.types.LongType,
+        s"broadcast hint over non-id-set child: ${out.map(a => s"${a.name}:${a.dataType}")}")
     }
+  }
+
+  test("top1ExactFor on a probe subset ≡ top1Exact restricted to it") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") % 3 === 0)
+    val subset = Similarity.top1ExactFor(probes, emb, "vec_id", "embedding", chunkSize = 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val full = Similarity.top1Exact(emb, "vec_id", "embedding", chunkSize = 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(subset.keySet == full.keySet.filter(_ % 3 == 0))
+    subset.foreach { case (id, v) => assert(v == full(id), s"vec $id") }
+  }
+
+  test("sampled mutualNNAudit = full mutual set restricted to pairs touching the sample") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val fullPairs = Similarity.mutualFromTop1(
+      Similarity.top1Exact(emb, "vec_id", "embedding"), "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sampleIds = Similarity.auditProbes(emb, "vec_id")
+    try {
+      spark.conf.set(Similarity.NNSampleKey, "20")
+      val ids = Similarity.auditProbes(emb, "vec_id")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(ids.size == 20, s"expected a 20-id sample, got ${ids.size}")
+      val sampled = Similarity.mutualNNAudit(emb, "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = fullPairs.filter { case (a, b) => ids(a) || ids(b) }
+      assert(sampled == expect,
+        s"sampled missed ${expect -- sampled}, invented ${sampled -- expect}")
+      // the conf-gated exact path recovers the complete mutual set
+      spark.conf.set(Similarity.ExactNNFlag, "true")
+      val exact = Similarity.mutualNNAudit(emb, "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact == fullPairs)
+    } finally {
+      spark.conf.unset(Similarity.NNSampleKey)
+      spark.conf.unset(Similarity.ExactNNFlag)
+    }
+    // default sample size: min(200, n) rows, deterministic
+    assert(sampleIds.count() == math.min(200L, emb.count()))
   }
 
   test("shortlist mutual-NN ≡ brute force on clustered vectors") {

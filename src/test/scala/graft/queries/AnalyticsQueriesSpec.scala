@@ -275,8 +275,12 @@ class AnalyticsQueriesSpec extends SparkSpec {
   }
 
   test("q268: mutual-NN pairs are exactly the reciprocal top-1 matches") {
-    val out = rows(AnalyticsQueries.q268.fn(spark, sf))
-      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    // full-audit replay; the sampled default is pinned in MutualNNSpec
+    spark.conf.set(graft.operators.Similarity.ExactNNFlag, "true")
+    val out = (
+      try rows(AnalyticsQueries.q268.fn(spark, sf))
+      finally spark.conf.unset(graft.operators.Similarity.ExactNNFlag)
+    ).map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
     val emb = Tables.load(spark, sf, "embeddings")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     def cos(a: Array[Float], b: Array[Float]): Double = {

@@ -634,7 +634,12 @@ class NewOpsReplaySpec extends SparkSpec {
   }
 
   test("q351: quantization recall matches a brute-force double replay") {
-    val out = rows(DataQueries.q351.fn(spark, sf))
+    // replay the FULL audit math (the sampled default ≡ exact-restricted
+    // equivalence is pinned in MutualNNSpec)
+    spark.conf.set(graft.operators.Similarity.ExactNNFlag, "true")
+    val out =
+      try rows(DataQueries.q351.fn(spark, sf))
+      finally spark.conf.unset(graft.operators.Similarity.ExactNNFlag)
     assert(out.nonEmpty)
     val vecs = Tables.load(spark, sf, "embeddings")
       .select("vec_id", "label", "embedding").collect()
@@ -749,7 +754,10 @@ class NewOpsReplaySpec extends SparkSpec {
   }
 
   test("q356: MRL truncation recall matches a brute-force replay") {
-    val out = rows(DataQueries.q356.fn(spark, sf))
+    spark.conf.set(graft.operators.Similarity.ExactNNFlag, "true")
+    val out =
+      try rows(DataQueries.q356.fn(spark, sf))
+      finally spark.conf.unset(graft.operators.Similarity.ExactNNFlag)
     assert(out.nonEmpty)
     val vecs = Tables.load(spark, sf, "embeddings")
       .select("vec_id", "label", "embedding").collect()
@@ -891,6 +899,93 @@ class NewOpsReplaySpec extends SparkSpec {
         c == n, s"user $u geometric identity")
       // bounds: 1 ≤ E[tokens/step] ≤ γ+1
       assert(em >= 1000000L && em <= 5000000L, s"user $u bounds")
+    }
+  }
+
+  test("q362: moment-identity anisotropy matches the literal pairwise mean") {
+    val out = rows(DataQueries.q362.fn(spark, sf))
+    assert(out.nonEmpty)
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Float](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val byLabel = vecs.groupBy(_._1)
+    assert(out.size == byLabel.size)
+    out.foreach { r =>
+      val Seq(label, n, normMicro) = r.take(3).map(_.asInstanceOf[Long])
+      val mpc = r(3).asInstanceOf[Double]
+      val g = byLabel(label).map(_._2)
+      assert(n == g.length, s"label $label n")
+      val units = g.map { v =>
+        val d = v.map(_.toDouble)
+        val nm = math.sqrt(dot(d, d)); d.map(_ / nm)
+      }
+      // the literal O(n²) mean the moment identity replaces
+      val pairs = for {
+        i <- units.indices; j <- units.indices if i != j
+      } yield dot(units(i), units(j))
+      val lit = pairs.sum / pairs.length
+      assert(math.abs(mpc - lit) < 1e-4, s"label $label: $mpc vs $lit")
+      val d0 = g.map(_.map(_.toDouble))
+      val nmm = d0.map(v => math.floor(math.sqrt(dot(v, v)) * 1e6 + 0.5).toLong).sum / n
+      assert(normMicro == nmm, s"label $label norm")
+    }
+  }
+
+  test("q363: sorted-neighborhood shortlist matches a full replay; clones at Hamming 0") {
+    val out = rows(DataQueries.q363.fn(spark, sf))
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long], r(2).asInstanceOf[Long]))
+    val docs0 = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val docs = docs0 ++ docs0.filter(_._1 % 50 == 0)
+      .map { case (id, t) => (id + 1000000000L, t) }
+    def simhash48(text: String): Long = {
+      val toks = text.trim.split("\\s+").distinct
+      (0 until 48).map { b =>
+        val bal = toks.map(w => ((graft.functions.Hashing.hash64Local(w) >> b) & 1L) * 2 - 1).sum
+        if (bal > 0) 1L << b else 0L
+      }.sum
+    }
+    val ranked = docs.map { case (id, t) => (id, simhash48(t)) }
+      .sortBy { case (id, sh) => (sh, id) }
+    val adj = ranked.sliding(2).collect { case Array((ia, sa), (ib, sb)) =>
+      (ia, ib, java.lang.Long.bitCount(sa ^ sb).toLong)
+    }.toSeq
+    val want = adj.sortBy { case (a, _, h) => (h, a) }.take(20)
+      .map { case (a, b, h) => (a, b, h) }
+    assert(out == want, s"got $out\nwant $want")
+    // every planted clone is its original's sort neighbor at distance 0
+    assert(out.exists { case (a, b, h) =>
+      h == 0L && (b - a == 1000000000L || a - b == 1000000000L) },
+      "no clone pair surfaced at Hamming 0")
+  }
+
+  test("q364: source containment matrix matches a Scala set replay") {
+    val out = rows(DataQueries.q364.fn(spark, sf))
+    assert(out.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    def shingles(t: String): Set[Long] =
+      graft.expressions.MinhashKernel
+        .shingleHashes(org.apache.spark.unsafe.types.UTF8String.fromString(t), 3)
+        .toLongArray().toSet
+    val bySrc = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap(d => shingles(d._2)).toSet
+    }
+    val want = (for {
+      (a, sa) <- bySrc; (b, sb) <- bySrc if a != b
+      shared = (sa & sb).size if shared > 0
+    } yield (a, b) -> (shared.toLong, sa.size.toLong,
+      (BigInt(shared) * 1000000 / sa.size).toLong)).toMap
+    assert(out.size == want.size, s"${out.size} rows vs ${want.size}")
+    out.foreach { r =>
+      val key = (r(0).asInstanceOf[String], r(1).asInstanceOf[String])
+      val got = (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long], r(4).asInstanceOf[Long])
+      assert(got == want(key), s"$key: $got vs ${want(key)}")
     }
   }
 }
