@@ -3862,10 +3862,84 @@ object DataQueries {
       FROM shared JOIN tot ON shared.source_a = tot.source
       ORDER BY source_a, source_b"""))
 
+  // --------------------------------------------------------------- q366
+
+  /** q366 — zstd frame census: structural triage of the codec modern
+    * corpora actually ship in (Common Crawl WET.zst, HF dataset
+    * shards), completing the compression-container family next to
+    * q194's gzip DECODE. [[graft.operators.ZstdOps.parse]] walks
+    * frames, skippable frames, and the 3-byte block headers — raw and
+    * RLE blocks fully decode (no entropy coding needed), content size
+    * and the real XXH64-low32 checksum are VERIFIED, and any
+    * malformed structure rolls the frame back whole (fail-closed,
+    * overflow-proof bounds, RLE-bomb cap — all spec-pinned in
+    * ZstdOpsSpec). Per-doc synthetic frames derive every parameter
+    * from doc_id, so the oracle recomputes the full census
+    * closed-form from octet_length — a round-trip proof, not
+    * self-consistency. Map-only, zero shuffles.
+    */
+  val q366 = Q("q366_zstd_census",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val payload = text.getBytes("UTF-8")
+            val b = graft.operators.ZstdOps.encodeSynthetic(payload,
+              200 + (id % 4).toInt * 100, withChecksum = id % 3 == 0,
+              skippableLen = if (id % 7 == 0) 16 else 0,
+              rleLen = if (id % 5 == 0) 9 else 0)
+            val out =
+              if (id % 17 == 0) b.take(6)
+              else if (id % 19 == 0) { val c = b.clone(); c(0) = (c(0) ^ 0xFF).toByte; c }
+              else b
+            (id, out)
+          }
+        }.toDF("doc_id", "payload")
+      graft.operators.ZstdOps.zstdFeatures(synth, "doc_id", "payload")
+        .select(col("doc_id"), col("valid"), col("n_frames"), col("n_skippable"),
+          col("n_raw"), col("n_rle"), col("content_bytes"),
+          col("checksum_present"), col("checksum_ok"), col("trailing_bytes"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH m AS (SELECT doc_id, octet_length(encode(text)) AS len,
+                        200 + (doc_id % 4) * 100 AS bs,
+                        CASE WHEN doc_id % 5 = 0 THEN 9 ELSE 0 END AS rle,
+                        CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS cs,
+                        CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS sk
+                 FROM documents),
+      c AS (SELECT *,
+              CASE WHEN len = 0 THEN CASE WHEN rle > 0 THEN 0 ELSE 1 END
+                   ELSE (len + bs - 1) // bs END AS nraw
+            FROM m),
+      f AS (SELECT *,
+              13 + nraw * 3 + len
+                + CASE WHEN rle > 0 THEN 4 ELSE 0 END + cs * 4 + sk * 24 AS total,
+              (doc_id % 17 = 0 OR doc_id % 19 = 0) AS corrupt
+            FROM c)
+      SELECT doc_id,
+             CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS BIGINT) AS valid,
+             CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS BIGINT) AS n_frames,
+             CAST(CASE WHEN corrupt THEN 0 ELSE sk END AS BIGINT) AS n_skippable,
+             CAST(CASE WHEN corrupt THEN 0 ELSE nraw END AS BIGINT) AS n_raw,
+             CAST(CASE WHEN corrupt THEN 0
+                  WHEN rle > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_rle,
+             CAST(CASE WHEN corrupt THEN 0 ELSE len + rle END AS BIGINT)
+               AS content_bytes,
+             CAST(CASE WHEN corrupt THEN 0 ELSE cs END AS BIGINT)
+               AS checksum_present,
+             CAST(CASE WHEN corrupt THEN 0 ELSE cs END AS BIGINT) AS checksum_ok,
+             CAST(CASE WHEN doc_id % 17 = 0 THEN 6
+                  WHEN doc_id % 19 = 0 THEN total ELSE 0 END AS BIGINT)
+               AS trailing_bytes
+      FROM f ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
-    q364)
+    q364, q366)
 }
