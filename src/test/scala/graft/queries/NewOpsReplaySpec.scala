@@ -262,7 +262,7 @@ class NewOpsReplaySpec extends SparkSpec {
     // third algorithm: the query runs Borůvka, the oracle runs Prim;
     // unique weights make all three agree edge-for-edge
     val out = rows(StatQueries.q308.fn(spark, sf))
-      .map(r => (r(0).asInstanceOf[Int], r(1).asInstanceOf[Int], r(2).asInstanceOf[Long]))
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long], r(2).asInstanceOf[Long]))
     val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     val ord = Tables.load(spark, sf, "orders").select("o_orderkey", "o_custkey")
     val cn = Tables.load(spark, sf, "customer")
@@ -286,7 +286,7 @@ class NewOpsReplaySpec extends SparkSpec {
     val kruskal = edges.filter { case (a, b, _) =>
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { parent(ra) = rb; true } else false
-    }
+    }.map { case (a, b, w) => (a.toLong, b.toLong, w) }
     assert(out == kruskal, s"spark=$out\nkruskal=$kruskal")
   }
 

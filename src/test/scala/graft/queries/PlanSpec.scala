@@ -118,6 +118,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("q366: zstd census is map-only — the walk never shuffles a payload byte") {
+    // final orderBy is presentation; everything before it is one
+    // mapPartitions pass over the synthesized frames
+    val plan = physical(DataQueries.q366)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("hashpartitioning"), plan) // only the sort's range partitioning
+  }
+
+  test("q363: sorted-neighborhood has no WindowExec — rank comes from zipWithIndex") {
+    // the classic implementation is a global row_number (single-partition
+    // window = the anti-pattern); this plan must rank via the RDD path
+    // and join adjacents on the rank key
+    val plan = physical(DataQueries.q363)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("Join"), plan) // the rank/rank+1 adjacency equi-join
+  }
+
   test("q79: duplicate-span detection is join-free linear aggregation + one window") {
     val df = TrainQueries.q79.fn(spark, sf)
     df.collect()
