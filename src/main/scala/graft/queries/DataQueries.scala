@@ -3721,8 +3721,10 @@ object DataQueries {
       nn.join(t, "label")
         .select(col("label"), col("n_vecs"),
           expr("CAST(CAST(qn AS DECIMAL(38,0)) div n_vecs AS BIGINT)").as("norm_mean_micro"),
-          expr("""round((CAST(t AS DOUBLE) / 1e12 - n_vecs)
-                 | / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6)""".stripMargin)
+          // a single-vector label has no pairs: NULL, not a 0/0 NaN
+          expr("""CASE WHEN n_vecs < 2 THEN NULL ELSE
+                 | round((CAST(t AS DOUBLE) / 1e12 - n_vecs)
+                 | / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6) END""".stripMargin)
             .as("mean_pair_cos"))
         .orderBy("label")
     },
@@ -3744,8 +3746,9 @@ object DataQueries {
              FROM u GROUP BY label)
       SELECT nn.label, n_vecs,
              CAST(CAST(qn AS HUGEINT) // n_vecs AS BIGINT) AS norm_mean_micro,
-             round((CAST(t AS DOUBLE) / 1e12 - n_vecs)
-               / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6) AS mean_pair_cos
+             CASE WHEN n_vecs < 2 THEN NULL ELSE
+               round((CAST(t AS DOUBLE) / 1e12 - n_vecs)
+                 / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6) END AS mean_pair_cos
       FROM nn JOIN t ON nn.label = t.label
       ORDER BY nn.label"""))
 
@@ -3777,7 +3780,8 @@ object DataQueries {
       val keyed = docs.select(col("doc_id"),
         Dedup.simhash(col("text"), 48).as("sh"))
       val ranked = graft.operators.Relational.zipWithIndexOrdered(
-        keyed, "rk", col("sh"), col("doc_id"))
+          keyed, "rk", col("sh"), col("doc_id"))
+        .localCheckpoint(false) // both sides of the adjacency join read it
       val a = ranked.select(col("rk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = ranked.select((col("rk") - 1).as("rk"),
         col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -3817,8 +3821,12 @@ object DataQueries {
     * that also occur in s2 — the corpus-overlap audit behind mixture
     * design (is one crawl a subset of another? which sources share
     * boilerplate mass?) and the source-level companion of the per-doc
-    * decontamination checks (q62/q196). Grams travel as 61-bit hashes,
-    * never strings; the join key is the gram hash, and a gram present
+    * decontamination checks (q62/q196). Grams travel as the corpus-
+    * standard 31-bit shingle hashes (the q62/q128 domain — never gram
+    * strings); at ≫10M distinct grams per source the birthday bound
+    * inflates shared counts (~|g1|·|g2|/2³¹ expected collisions), so a
+    * deployment at that scale widens the kernel mask — the plan shape
+    * is unchanged. The join key is the gram hash, and a gram present
     * in k sources fans out to k² ≤ |sources|² pairs — bounded by the
     * source-count square, NOT by document count, so the shape survives
     * any corpus size (one gram shuffle + one |sources|²-cell rollup).
@@ -3900,7 +3908,8 @@ object DataQueries {
       graft.operators.ZstdOps.zstdFeatures(synth, "doc_id", "payload")
         .select(col("doc_id"), col("valid"), col("n_frames"), col("n_skippable"),
           col("n_raw"), col("n_rle"), col("content_bytes"),
-          col("checksum_present"), col("checksum_ok"), col("trailing_bytes"))
+          col("checksum_present"), col("checksum_ok"), col("checksum_bad"),
+          col("trailing_bytes"))
         .orderBy("doc_id")
     },
     Some("""
@@ -3931,6 +3940,7 @@ object DataQueries {
              CAST(CASE WHEN corrupt THEN 0 ELSE cs END AS BIGINT)
                AS checksum_present,
              CAST(CASE WHEN corrupt THEN 0 ELSE cs END AS BIGINT) AS checksum_ok,
+             CAST(0 AS BIGINT) AS checksum_bad,
              CAST(CASE WHEN doc_id % 17 = 0 THEN 6
                   WHEN doc_id % 19 = 0 THEN total ELSE 0 END AS BIGINT)
                AS trailing_bytes

@@ -917,19 +917,22 @@ class NewOpsReplaySpec extends SparkSpec {
     assert(out.size == byLabel.size)
     out.foreach { r =>
       val Seq(label, n, normMicro) = r.take(3).map(_.asInstanceOf[Long])
-      val mpc = r(3).asInstanceOf[Double]
       val g = byLabel(label).map(_._2)
       assert(n == g.length, s"label $label n")
       val units = g.map { v =>
         val d = v.map(_.toDouble)
         val nm = math.sqrt(dot(d, d)); d.map(_ / nm)
       }
-      // the literal O(n²) mean the moment identity replaces
-      val pairs = for {
-        i <- units.indices; j <- units.indices if i != j
-      } yield dot(units(i), units(j))
-      val lit = pairs.sum / pairs.length
-      assert(math.abs(mpc - lit) < 1e-4, s"label $label: $mpc vs $lit")
+      if (g.length < 2) assert(r(3) == null, s"label $label: single vector must be NULL")
+      else {
+        val mpc = r(3).asInstanceOf[Double]
+        // the literal O(n²) mean the moment identity replaces
+        val pairs = for {
+          i <- units.indices; j <- units.indices if i != j
+        } yield dot(units(i), units(j))
+        val lit = pairs.sum / pairs.length
+        assert(math.abs(mpc - lit) < 1e-4, s"label $label: $mpc vs $lit")
+      }
       val d0 = g.map(_.map(_.toDouble))
       val nmm = d0.map(v => math.floor(math.sqrt(dot(v, v)) * 1e6 + 0.5).toLong).sum / n
       assert(normMicro == nmm, s"label $label norm")
