@@ -61,7 +61,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => GearChunks(children.head, children(1))),
     (FunctionIdentifier("graft_multi_match"),
       new ExpressionInfo(classOf[MultiMatch].getName, "graft_multi_match"),
-      (children: Seq[Expression]) => MultiMatch(children.head, children(1))))
+      (children: Seq[Expression]) => MultiMatch(children.head, children(1))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),
+      (children: Seq[Expression]) => Simhash(children.head, children(1))))
 
   /** Idempotently register the functions (and the CartesianGuard
     * optimizer rule, via the runtime `extraOptimizations` hook) on an

@@ -374,17 +374,19 @@ object Dedup {
   /** SimHash: `bits`-wide locality-sensitive fingerprint of the distinct
     * token set. Bit b is set iff more token hashes have bit b set than
     * unset. Hamming-close simhashes ⇒ similar token distributions.
+    *
+    * One compiled pass ([[graft.expressions.SimhashKernel]]): md5 per
+    * distinct token ONCE, all bit balances in a tight loop. The
+    * previous Column-composed form (one `aggregate` fold per bit over
+    * a shared md5 `transform`) relied on common-subexpression
+    * elimination that higher-order CodegenFallback expressions don't
+    * reliably get — q363's RDD-rank pipeline re-hashed every token
+    * once per bit (measured 17 s vs ~2 s at sf0.1). Requires
+    * [[graft.expressions.GraftExtensions.register]] (every query entry
+    * point and SparkSpec already do).
     */
-  def simhash(text: Column, bits: Int): Column = {
-    val toks = array_distinct(tokens(text))
-    val contribs = transform(toks, w => Hashing.hash64(w))
-    val bitCols = (0 until bits).map { b =>
-      val balance = aggregate(contribs, lit(0L),
-        (acc, h) => acc + (shiftright(h, b).bitwiseAND(1) * 2 - 1))
-      when(balance > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def simhash(text: Column, bits: Int): Column =
+    call_function("graft_simhash", text, lit(bits))
 
   /** Per-train-doc shingle overlap against an eval corpus — the engine
     * behind the contamination checks (q62 delegates here) and the
