@@ -208,6 +208,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(rounds >= 2 && rounds <= 9, s"rounds=$rounds — degenerate or diverging")
   }
 
+  test("boruvkaMst is invariant under input partitioning") {
+    import spark.implicits._
+    val ring = (0L until 60L).map(i => (i, (i + 1) % 60))
+    val all = ring.zipWithIndex.map { case ((u, v), i) =>
+      (u, v, ((u * 31 + v * 17) % 997) * 1000 + i)
+    }
+    def run(parts: Int) =
+      GraphOps.boruvkaMst(all.toDF("a", "b", "w").repartition(parts), "a", "b", "w")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = run(1)
+    assert(base.size == 59)
+    assert(run(7) == base && run(32) == base)
+  }
+
   test("boruvkaMst yields the spanning FOREST on disconnected input") {
     import spark.implicits._
     // two triangles, no bridge: 2 components → 4 MST edges

@@ -116,6 +116,19 @@ class MutualNNSpec extends SparkSpec {
     assert(sampleIds.count() == math.min(200L, emb.count()))
   }
 
+  test("sampled mutualNNAudit is invariant under input partitioning") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    try {
+      spark.conf.set(Similarity.NNSampleKey, "30")
+      def run(df: org.apache.spark.sql.DataFrame) =
+        Similarity.mutualNNAudit(df, "vec_id", "embedding")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val base = run(emb.repartition(1))
+      assert(run(emb.repartition(5)) == base)
+      assert(run(emb.repartition(32)) == base)
+    } finally spark.conf.unset(Similarity.NNSampleKey)
+  }
+
   test("shortlist mutual-NN ≡ brute force on clustered vectors") {
     val rnd = new scala.util.Random(42)
     val dim = 16
