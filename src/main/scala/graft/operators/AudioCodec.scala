@@ -78,7 +78,7 @@ object AudioCodec {
     var ok = false
     while (pos + 8 <= bytes.length) {
       val size = le32(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (size < 0 || size > bytes.length - pos - 8) return None
       if (tag(pos, "fmt ")) {
         if (size < 16) return None
         val fmt = le16(pos + 8)
@@ -222,7 +222,7 @@ object AudioCodec {
     var ok = false
     while (pos + 8 <= bytes.length) {
       val size = le32(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (size < 0 || size > bytes.length - pos - 8) return None
       if (tag(pos, "fmt ")) {
         if (size < 16) return None
         val fmt = le16(pos + 8)
@@ -233,6 +233,9 @@ object AudioCodec {
         if (fmt != 0x11 || bits != 4 || channels != 1 || blockAlign < 5) return None
         samplesPerBlock =
           if (size >= 20) le16(pos + 26) else (blockAlign - 4) * 2 + 1
+        // a crafted samplesPerBlock of 0 would drive the per-block
+        // nibble count to −1 (NegativeArraySizeException) — fail closed
+        if (samplesPerBlock < 1) return None
         ok = true
       } else if (tag(pos, "fact")) {
         if (size >= 4) factSamples = le32(pos + 8)
@@ -406,7 +409,7 @@ object AudioCodec {
     var ok = false
     while (pos + 8 <= bytes.length) {
       val size = le32(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (size < 0 || size > bytes.length - pos - 8) return None
       if (tag(pos, "fmt ")) {
         if (size < 16) return None
         val fmt = le16(pos + 8)

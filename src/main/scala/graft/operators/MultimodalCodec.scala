@@ -56,16 +56,54 @@ object MultimodalCodec {
     bos.toByteArray
   }
 
+  /** Pixel-count cap (16.7M px): a decompression-bomb image (a few-KB
+    * file whose header declares enormous dimensions) makes
+    * `ImageIO.read` attempt the full-canvas allocation — an
+    * OutOfMemoryError, which is an Error, NOT caught by the exception
+    * handler, and kills the executor (the TextCodec gzip-bomb cap's
+    * missing sibling). Dimensions are read from the image HEADER
+    * (ImageReader.getWidth/getHeight — no pixel decode) and checked
+    * against this cap BEFORE any decode happens.
+    */
+  val MaxPixels: Long = 1L << 24
+
+  /** Header-only dimension probe: (width, height) without decoding any
+    * pixel data, or None if no registered reader recognizes the bytes.
+    */
+  def probeDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
   /** Decode image bytes (any ImageIO-registered format — PNG, GIF, BMP
     * in a stock JDK) to (width, height, row-major 8-bit grayscale).
     * Single-band images return their raw samples; multi-band collapse
     * by integer ITU-R 601 luma `(77R + 150G + 29B) >> 8` so the result
-    * is deterministic across platforms. Undecodable bytes → None.
+    * is deterministic across platforms. Undecodable bytes → None, and
+    * so do bomb headers whose declared `w·h` exceeds [[MaxPixels]]
+    * (checked BEFORE decode — see the cap's scaladoc).
     */
   def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val dimsOk = probeDims(bytes) match {
+      case Some((w, h)) => w > 0 && h > 0 && w.toLong * h <= MaxPixels
+      case None => false
+    }
     val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+      if (!dimsOk) null
+      else
+        try ImageIO.read(new ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
     if (img == null) None
     else {
       val w = img.getWidth

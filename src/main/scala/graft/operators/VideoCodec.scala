@@ -52,6 +52,14 @@ object VideoCodec {
     */
   val MaxListDepth: Int = 64
 
+  /** Pixel-count cap per frame (16.7M px = a 64 MB int canvas): a
+    * crafted strf declaring e.g. 50000×50000 would wrap `width*height`
+    * negative (NegativeArraySizeException) or pass a wrapped
+    * `stride*height` size check and read out of bounds — dims are
+    * validated in Long against this cap before any allocation.
+    */
+  val MaxPixels: Long = 1L << 24
+
   /** Encode frames of row-major top-down 8-bit grayscale pixels as a
     * minimal valid RIFF/AVI with one uncompressed 8-bpp DIB video
     * stream (grayscale palette, bottom-up rows, 4-byte row stride).
@@ -165,7 +173,7 @@ object VideoCodec {
       var pos = from
       while (pos + 8 <= until) {
         val size = le32i(pos + 4)
-        if (size < 0 || pos + 8 + size > until) return false
+        if (size < 0 || size > until - pos - 8) return false
         if (tag(pos, "LIST")) {
           if (size < 4) return false
           val sub = if (tag(pos + 8, "movi")) true else inMovi
@@ -174,14 +182,15 @@ object VideoCodec {
           if (size < 40) return false
           width = le32i(pos + 12)
           height = le32i(pos + 16)
-          fmtOk = le16i(pos + 22) == 8 && le32i(pos + 24) == 0 && width > 0 && height > 0
+          fmtOk = le16i(pos + 22) == 8 && le32i(pos + 24) == 0 && width > 0 && height > 0 &&
+            width.toLong * height <= MaxPixels
         } else if (inMovi && size > 0 &&
             bytes(pos + 2) == 'd'.toByte &&
             (bytes(pos + 3) == 'b'.toByte || bytes(pos + 3) == 'c'.toByte)) {
           // a frame chunk (NNdb/NNdc); format must be known by now
           if (!fmtOk) return false
           val stride = (width + 3) & ~3
-          if (size < stride * height) return false
+          if (size.toLong < stride.toLong * height) return false
           val pix = new Array[Int](width * height)
           var y = 0
           while (y < height) {
@@ -397,7 +406,7 @@ object VideoCodec {
       var pos = from
       while (pos + 8 <= until) {
         val size = le32i(pos + 4)
-        if (size < 0 || pos + 8 + size > until) return false
+        if (size < 0 || size > until - pos - 8) return false
         if (tag(pos, "LIST")) {
           if (size < 4) return false
           val sub = if (tag(pos + 8, "movi")) true else inMovi
@@ -407,7 +416,7 @@ object VideoCodec {
           width = le32i(pos + 12)
           height = le32i(pos + 16)
           fmtOk = le16i(pos + 22) == 8 && le32i(pos + 24) == Rle8Compression &&
-            width > 0 && height > 0
+            width > 0 && height > 0 && width.toLong * height <= MaxPixels
           if (fmtOk) canvas = new Array[Int](width * height)
         } else if (inMovi && size > 0 &&
             bytes(pos + 2) == 'd'.toByte && bytes(pos + 3) == 'c'.toByte) {
@@ -526,7 +535,7 @@ object VideoCodec {
       var pos = from
       while (pos + 8 <= until) {
         val size = le32i(pos + 4)
-        if (size < 0 || pos + 8 + size > until) return false
+        if (size < 0 || size > until - pos - 8) return false
         if (tag(pos, "LIST")) {
           if (size < 4) return false
           val sub = if (tag(pos + 8, "movi")) true else inMovi
@@ -535,7 +544,8 @@ object VideoCodec {
           if (size < 40) return false
           width = le32i(pos + 12)
           height = le32i(pos + 16)
-          fmtOk = le32i(pos + 24) == MjpgFourcc && width > 0 && height > 0
+          fmtOk = le32i(pos + 24) == MjpgFourcc && width > 0 && height > 0 &&
+            width.toLong * height <= MaxPixels
         } else if (inMovi && size > 0 &&
             bytes(pos + 2) == 'd'.toByte && bytes(pos + 3) == 'c'.toByte) {
           if (!fmtOk) return false

@@ -78,4 +78,12 @@ class AdpcmSpec extends SparkSpec {
     assert(out(1).getBoolean(1) && out(1).getInt(2) == 16000 && out(1).getLong(3) == 3) // 3 samples
     assert(!out(2).getBoolean(1))
   }
+
+  test("a crafted samplesPerBlock of 0 fails closed, not a negative alloc") {
+    val b = AudioCodec.encodeImaAdpcmWav(8000, Seq((0, 0, Array.tabulate(8)(i => i % 16))))
+    // fmt chunk at 12, size 20; samplesPerBlock is its last field (abs 38-39)
+    assert((b(38) & 0xff) + ((b(39) & 0xff) << 8) > 0, "layout changed?")
+    b(38) = 0; b(39) = 0
+    assert(AudioCodec.decodeImaAdpcmWav(b).isEmpty)
+  }
 }

@@ -82,4 +82,18 @@ class AudioCodecSpec extends SparkSpec {
     assert(out(0).getString(7).length == 16)
     assert(!out(1).getBoolean(1) && out(1).isNullAt(7))
   }
+
+  test("a chunk size near Int.MaxValue cannot wrap the WAV walk") {
+    // old form `pos + 8 + size > n` wrapped negative for size ~ 2^31,
+    // passed the check, and the chunk advance drove pos negative (AIOOBE)
+    val bos = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff); bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+    ascii("RIFF"); le32(0x7FFFFFF0); ascii("WAVE")
+    ascii("junk"); le32(0x7FFFFFF0)
+    (0 until 16).foreach(_ => bos.write(7))
+    val b = bos.toByteArray
+    assert(AudioCodec.decodePcmWav(b).isEmpty)
+    assert(AudioCodec.decodeImaAdpcmWav(b).isEmpty)
+  }
 }

@@ -117,4 +117,24 @@ class MultimodalCodecSpec extends SparkSpec {
     // same picks as the resizeNearest case above: 0,2,4,6
     assert(out.getString(3) == "00020406")
   }
+
+  test("a bomb PNG header (60000x60000 from a tiny file) is rejected before decode") {
+    // ImageIO.read would attempt the full-canvas allocation -> an
+    // OutOfMemoryError (an Error, not caught) killing the executor;
+    // the header-dims probe must reject it before any decode
+    val png = MultimodalCodec.encodeGrayPng(4, 3, (x, y) => (x + y) * 20)
+    def putBe32(off: Int, v: Int): Unit = {
+      png(off) = ((v >> 24) & 0xff).toByte; png(off + 1) = ((v >> 16) & 0xff).toByte
+      png(off + 2) = ((v >> 8) & 0xff).toByte; png(off + 3) = (v & 0xff).toByte
+    }
+    putBe32(16, 60000); putBe32(20, 60000) // IHDR width, height
+    val crc = new java.util.zip.CRC32()
+    crc.update(png, 12, 4 + 13) // chunk type + IHDR data
+    putBe32(29, crc.getValue.toInt)
+    assert(MultimodalCodec.probeDims(png).contains((60000, 60000)))
+    assert(MultimodalCodec.decodeGray(png).isEmpty)
+    // and the cap leaves ordinary images untouched
+    assert(MultimodalCodec.decodeGray(
+      MultimodalCodec.encodeGrayPng(4, 3, (x, y) => (x + y) * 20)).nonEmpty)
+  }
 }

@@ -124,4 +124,19 @@ class Rle8Spec extends SparkSpec {
     assert(out(0).getLong(5) == 10L) // sum_first
     assert(out(0).getLong(6) == 8L)  // motion_abs
   }
+
+  test("a strf declaring 50000x50000 is rejected, not a wrapped allocation") {
+    // width*height wraps the Int multiply negative - the old code crashed
+    // with NegativeArraySizeException on the canvas allocation
+    val frame = Array.tabulate(4 * 3)(i => i * 10 % 256)
+    val avi = VideoCodec.encodeRle8Avi(4, 3, 10, Seq(frame))
+    var i = avi.indexOfSlice("strf".getBytes("US-ASCII"))
+    assert(i > 0, "no strf chunk in fixture")
+    def putLe32(off: Int, v: Int): Unit = {
+      avi(off) = (v & 0xff).toByte; avi(off + 1) = ((v >> 8) & 0xff).toByte
+      avi(off + 2) = ((v >> 16) & 0xff).toByte; avi(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(i + 12, 50000); putLe32(i + 16, 50000)
+    assert(VideoCodec.decodeRle8Avi(avi).isEmpty)
+  }
 }
