@@ -95,15 +95,26 @@ object MultimodalCodec {
     * (checked BEFORE decode — see the cap's scaladoc).
     */
   def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
-    val dimsOk = probeDims(bytes) match {
-      case Some((w, h)) => w > 0 && h > 0 && w.toLong * h <= MaxPixels
-      case None => false
-    }
-    val img =
-      if (!dimsOk) null
-      else
-        try ImageIO.read(new ByteArrayInputStream(bytes))
-        catch { case _: Exception => null }
+    // one reader setup: header dims first (no pixel decode), then
+    // r.read(0) on the same reader only if the cap passes
+    val img: java.awt.image.BufferedImage =
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val w = r.getWidth(0)
+              val h = r.getHeight(0)
+              if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) null
+              else r.read(0)
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => null }
     if (img == null) None
     else {
       val w = img.getWidth
