@@ -252,4 +252,25 @@ class GraphOpsSpec extends SparkSpec {
         s"supplier $s: lib ${lib(s * 2 + 1)} vs q110 $rk")
     }
   }
+
+  test("boruvkaMst == Kruskal across seeded random graphs (5 trials)") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60L + rnd.nextInt(80)
+      val ring = (0L until n).map(i => (i, (i + 1) % n))
+      val chords = (0 until 2 * n.toInt).map { _ =>
+        (rnd.nextInt(n.toInt).toLong, rnd.nextInt(n.toInt).toLong)
+      }.filter { case (u, v) => u != v }
+      val all = (ring ++ chords).zipWithIndex.map { case ((u, v), i) =>
+        // random high bits + the edge index low bits: distinct weights
+        (u, v, (rnd.nextInt(1 << 20).toLong << 20) | i.toLong)
+      }
+      val got = GraphOps.boruvkaMst(all.toDF("a", "b", "w"), "a", "b", "w")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = kruskal(all)
+      assert(got.size == n - 1, s"seed $seed: ${got.size} edges")
+      assert(got == want, s"seed $seed: missed ${want -- got}, invented ${got -- want}")
+    }
+  }
 }
