@@ -1041,6 +1041,82 @@ object ScaleQueries {
              (1000000 * n_orphans) // n_child AS orphan_rate_micro
       FROM u ORDER BY edge"""))
 
+  // --------------------------------------------------------------- q365
+
+  /** q365 — self-join-size (F₂) estimation audit: the AMS/count-min
+    * classic behind join cardinality estimation at planning time. The
+    * exact self-join size on a key is the second frequency moment
+    * F₂ = Σ_k c(k)² — at 100 TB even the per-key count relation is a
+    * full shuffle, so planners estimate it from a MERGEABLE sketch:
+    * a d×w count-min table per side, estimate = min over the d rows of
+    * the row inner product Σ_w t[d][w]² (self-join ⇒ both sides share
+    * one table). The estimator is ONE-SIDED (collision cross-terms
+    * only ADD, never subtract), so estimate ≥ exact always — the
+    * invariant the spec pins — and the audit reports the overestimate
+    * the planner would carry at this (d=4, w=4096) configuration.
+    *
+    * Scale shape: the sketch is ONE map-side-combined groupBy into
+    * ≤ d·w cells (mergeable across any partitioning — the property
+    * that lets 1000 executors each sketch locally); the exact side is
+    * the one per-key count shuffle the sketch exists to avoid, run
+    * here precisely to measure the estimator against truth. Hashes are
+    * the engine's affine md5-coefficient family, replayed verbatim by
+    * the oracle; inner products accumulate in DECIMAL(38,0)/HUGEINT
+    * (counts² overflow int64 at corpus scale).
+    */
+  val q365 = Q("q365_join_size_sketch",
+    (s, dir) => {
+      val coeffs = graft.operators.Dedup.minhashCoeffs(4)
+      val keys = Tables.load(s, dir, "lineitem").select(col("l_partkey").as("k"))
+      val cms = keys
+        .select(explode(array(coeffs.zipWithIndex.map { case ((a, b), i) =>
+          struct(lit(i).as("row"),
+            pmod(lit(a) * col("k") + lit(b), lit(graft.operators.Dedup.MinhashP))
+              .mod(4096).as("bucket"))
+        }: _*)).as("rb"))
+        .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val est = cms
+        .groupBy("row")
+        .agg(sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("ip"))
+        .agg(min("ip").cast("decimal(38,0)").as("f2_estimate"))
+      val exact = keys.groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("f2_exact"))
+      exact.crossJoin(broadcast(est))
+        .select(col("n_rows"), col("n_keys"),
+          col("f2_exact").cast("long").as("f2_exact"),
+          col("f2_estimate").cast("long").as("f2_estimate"),
+          expr("""CAST(((f2_estimate - f2_exact) * 1000000)
+                 | div f2_exact AS BIGINT)""".stripMargin)
+            .as("overestimate_micro"))
+    },
+    Some {
+      val coeffs = graft.operators.Dedup.minhashCoeffs(4)
+      val bucketExprs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT $i AS row, (($a * k + $b) % ${graft.operators.Dedup.MinhashP}) % 4096 AS bucket FROM keys"
+      }.mkString("\n            UNION ALL ")
+      s"""
+      WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+      rb AS ($bucketExprs),
+      cms AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+              FROM rb GROUP BY 1, 2),
+      est AS (SELECT min(ip) AS f2_estimate FROM (
+                SELECT row, sum(CAST(cnt AS HUGEINT) * cnt) AS ip
+                FROM cms GROUP BY row)),
+      ex AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                    CAST(sum(c) AS BIGINT) AS n_rows,
+                    sum(CAST(c AS HUGEINT) * c) AS f2_exact FROM (
+               SELECT k, CAST(count(*) AS BIGINT) AS c FROM keys GROUP BY k))
+      SELECT n_rows, n_keys,
+             CAST(f2_exact AS BIGINT) AS f2_exact,
+             CAST(f2_estimate AS BIGINT) AS f2_estimate,
+             CAST(((f2_estimate - f2_exact) * 1000000) // f2_exact AS BIGINT)
+               AS overestimate_micro
+      FROM ex CROSS JOIN est"""
+    })
+
   val all: Seq[Q] = Seq(q92, q93, q94, q95, q96, q97, q98, q99, q100,
-    q101, q102, q103, q104, q105, q106, q119, q120, q121, q122, q200, q225)
+    q101, q102, q103, q104, q105, q106, q119, q120, q121, q122, q200, q225,
+    q365)
 }

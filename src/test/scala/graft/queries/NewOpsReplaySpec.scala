@@ -991,4 +991,30 @@ class NewOpsReplaySpec extends SparkSpec {
       assert(got == want(key), s"$key: $got vs ${want(key)}")
     }
   }
+
+  test("q365: F2 sketch estimate replays exactly and is one-sided") {
+    val out = rows(ScaleQueries.q365.fn(spark, sf)).head.map(_.asInstanceOf[Long])
+    val Seq(nRows, nKeys, f2Exact, f2Est, overMicro) = out
+    val keys = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey").collect().map(_.getLong(0))
+    val counts = keys.groupBy(identity).map(_._2.length.toLong)
+    assert(nRows == keys.length && nKeys == counts.size)
+    assert(f2Exact == counts.map(c => c * c).sum)
+    // replay the d=4, w=4096 count-min inner product with the same
+    // affine md5-coefficient hashes
+    val coeffs = graft.operators.Dedup.minhashCoeffs(4)
+    val est = coeffs.map { case (a, b) =>
+      val buckets = new Array[Long](4096)
+      keys.foreach { k =>
+        val h = (((a % graft.operators.Dedup.MinhashP) * k + b) %
+          graft.operators.Dedup.MinhashP % 4096).toInt
+        buckets(h) += 1
+      }
+      buckets.map(c => c * c).sum
+    }.min
+    assert(f2Est == est, s"$f2Est vs $est")
+    // one-sided estimator: collision cross-terms only ADD
+    assert(f2Est >= f2Exact)
+    assert(overMicro == (BigInt(f2Est - f2Exact) * 1000000 / f2Exact).toLong)
+  }
 }
