@@ -381,12 +381,21 @@ object Dedup {
     * a shared md5 `transform`) relied on common-subexpression
     * elimination that higher-order CodegenFallback expressions don't
     * reliably get — q363's RDD-rank pipeline re-hashed every token
-    * once per bit (measured 17 s vs ~2 s at sf0.1). Requires
-    * [[graft.expressions.GraftExtensions.register]] (every query entry
-    * point and SparkSpec already do).
+    * once per bit (measured 17 s vs ~2 s at sf0.1).
+    *
+    * Resolves `graft_simhash` via `call_function`, which needs
+    * [[graft.expressions.GraftExtensions.register]] to have run on the
+    * analyzing session. A bare Column cannot reach a session, so this
+    * registers defensively on `SparkSession.active` — the session that
+    * will analyze the plan in every call pattern this repo has (and in
+    * any single-session app). Multi-session callers analyzing on a
+    * NON-active session must call `register` on it themselves.
     */
-  def simhash(text: Column, bits: Int): Column =
+  def simhash(text: Column, bits: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.expressions.GraftExtensions.register)
     call_function("graft_simhash", text, lit(bits))
+  }
 
   /** Per-train-doc shingle overlap against an eval corpus — the engine
     * behind the contamination checks (q62 delegates here) and the

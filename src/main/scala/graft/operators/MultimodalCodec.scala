@@ -91,10 +91,17 @@ object MultimodalCodec {
     * Single-band images return their raw samples; multi-band collapse
     * by integer ITU-R 601 luma `(77R + 150G + 29B) >> 8` so the result
     * is deterministic across platforms. Undecodable bytes → None, and
-    * so do bomb headers whose declared `w·h` exceeds [[MaxPixels]]
-    * (checked BEFORE decode — see the cap's scaladoc).
+    * so do bomb headers whose declared `w·h` exceeds `maxPixels`
+    * (checked BEFORE decode — see [[MaxPixels]]'s scaladoc). The cap is
+    * a parameter (default [[MaxPixels]], the ZstdOps.maxContentBytes
+    * pattern) so corpora with legitimately large images — a 5000×4000
+    * photo is 20M px, over the default — can raise it deliberately
+    * instead of silently losing rows; use [[probeDims]] to distinguish
+    * "rejected by cap" (dims probe fine, product over cap) from
+    * "undecodable" (no reader recognizes the bytes).
     */
-  def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+  def decodeGray(bytes: Array[Byte],
+                 maxPixels: Long = MaxPixels): Option[(Int, Int, Array[Int])] = {
     // one reader setup: header dims first (no pixel decode), then
     // r.read(0) on the same reader only if the cap passes
     val img: java.awt.image.BufferedImage =
@@ -109,7 +116,7 @@ object MultimodalCodec {
               r.setInput(iis)
               val w = r.getWidth(0)
               val h = r.getHeight(0)
-              if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) null
+              if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) null
               else r.read(0)
             } finally r.dispose()
           }

@@ -205,12 +205,22 @@ object Similarity {
     * corpus (full floats, int8-dequant, MRL-truncated) samples the
     * SAME ids, and an external oracle replays the selection exactly.
     * S ≥ n degenerates to the full exact pass.
+    *
+    * Conf-capture semantics: `spark.graft.exactNN` / `nnSampleSize`
+    * are read ONCE, here, at DataFrame-BUILD time — a plan built under
+    * one conf keeps that sampling/gating even if the conf changes
+    * before execution (the gate decides plan SHAPE, which cannot be
+    * deferred to run time). Callers that need the decision pinned
+    * independently of session state pass `exact` / `sampleSize`
+    * explicitly; `None` defers to the conf.
     */
-  def auditProbes(vectors: DataFrame, idCol: String): DataFrame = {
+  def auditProbes(vectors: DataFrame, idCol: String,
+                  exact: Option[Boolean] = None,
+                  sampleSize: Option[Int] = None): DataFrame = {
     val s = vectors.sparkSession
-    if (s.conf.get(ExactNNFlag, "false") == "true") vectors
+    if (exact.getOrElse(s.conf.get(ExactNNFlag, "false") == "true")) vectors
     else {
-      val size = s.conf.get(NNSampleKey, "200").toInt
+      val size = sampleSize.getOrElse(s.conf.get(NNSampleKey, "200").toInt)
       val ids = vectors.select(col(idCol))
         .orderBy(graft.functions.Hashing.hash64(
           concat(lit("nnsample:"), col(idCol).cast("string"))), col(idCol))

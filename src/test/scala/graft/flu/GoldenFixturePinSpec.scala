@@ -1,0 +1,51 @@
+package graft.flu
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the five golden fixture CSVs by md5 so a drifted fixture fails
+  * loudly instead of silently weakening GoldenReportsSpec / FeedGoldenSpec.
+  *
+  * The hashes below were verified (round 10 and round 11) to be identical
+  * to the reference's own committed outputs under
+  * `/root/reference/processed_files/` — these fixtures ARE the
+  * byte-level parity contract, so any edit to them must be deliberate and
+  * must update this spec in the same commit, explaining why the reference
+  * outputs changed.
+  */
+class GoldenFixturePinSpec extends AnyFunSuite {
+
+  private val goldenDir = "src/test/resources/golden"
+
+  private val pinned = Map(
+    "county_region.csv" -> "d095d2df3350c32998baa0ce37bba304",
+    "healthcare.csv"    -> "a637f1a08051741526a631435b21063e",
+    "historic_flu.csv"  -> "2a09a87fcec3c857d554f22088d67e96",
+    "illness.csv"       -> "0c178e2b5a3e223c38fe88da80a0100d",
+    "temporal.csv"      -> "cfce8ba17d531335e852415573558f77")
+
+  private def md5(path: String): String = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
+  }
+
+  test("the five golden fixtures are byte-identical to the reference outputs") {
+    pinned.foreach { case (name, expected) =>
+      val actual = md5(s"$goldenDir/$name")
+      assert(actual == expected,
+        s"$name drifted: md5 $actual != pinned $expected — golden fixtures are " +
+          "the byte-parity contract with the reference's processed_files; do not " +
+          "edit them without updating this pin and documenting why")
+    }
+  }
+
+  test("no extra or missing files in the golden directory") {
+    val present = Files.list(Paths.get(goldenDir)).toArray.map(_.toString)
+      .map(p => Paths.get(p).getFileName.toString).toSet
+    assert(present == pinned.keySet,
+      s"golden dir contents $present != pinned set ${pinned.keySet}")
+  }
+}

@@ -137,4 +137,20 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(MultimodalCodec.decodeGray(
       MultimodalCodec.encodeGrayPng(4, 3, (x, y) => (x + y) * 20)).nonEmpty)
   }
+
+  test("the pixel cap is a parameter; probeDims distinguishes cap-reject from undecodable") {
+    // ADVICE r10: a legitimately large image (e.g. 5000×4000 = 20M px)
+    // is over the 16.7M default — callers must be able to raise the cap
+    // deliberately rather than silently lose rows.
+    val png = MultimodalCodec.encodeGrayPng(40, 30, (x, y) => (x * 3 + y) % 256)
+    // tiny explicit cap rejects what the default accepts
+    assert(MultimodalCodec.decodeGray(png, maxPixels = 100L).isEmpty)
+    assert(MultimodalCodec.decodeGray(png).nonEmpty)
+    // raising the cap past the product accepts again
+    assert(MultimodalCodec.decodeGray(png, maxPixels = 1200L).nonEmpty)
+    // cap-rejected bytes still PROBE (dims readable) — undecodable don't:
+    // that asymmetry is how a caller surfaces "rejected by cap" distinctly
+    assert(MultimodalCodec.probeDims(png).contains((40, 30)))
+    assert(MultimodalCodec.probeDims(Array[Byte](9, 9, 9)).isEmpty)
+  }
 }

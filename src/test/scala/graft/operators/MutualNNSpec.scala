@@ -93,11 +93,19 @@ class MutualNNSpec extends SparkSpec {
       Similarity.top1Exact(emb, "vec_id", "embedding"), "vec_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val sampleIds = Similarity.auditProbes(emb, "vec_id")
+    // explicit params pin the decision independently of session conf
+    // (ADVICE r10: the conf is captured at plan-BUILD time, so a plan
+    // built under one conf keeps it — explicit args are the safe form)
+    val pinned = Similarity.auditProbes(emb, "vec_id", sampleSize = Some(20))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pinned.size == 20)
+    assert(Similarity.auditProbes(emb, "vec_id", exact = Some(true)).count() == emb.count())
     try {
       spark.conf.set(Similarity.NNSampleKey, "20")
       val ids = Similarity.auditProbes(emb, "vec_id")
         .select("vec_id").collect().map(_.getLong(0)).toSet
       assert(ids.size == 20, s"expected a 20-id sample, got ${ids.size}")
+      assert(pinned == ids, "explicit sampleSize must select the same md5-ordered ids as the conf")
       val sampled = Similarity.mutualNNAudit(emb, "vec_id", "embedding")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val expect = fullPairs.filter { case (a, b) => ids(a) || ids(b) }
