@@ -135,9 +135,18 @@ object ZipOps {
         }
       }
     }
-    val consumedEnd = if (ok && parsed == nEntries) n.toLong else pos
+    // trailing accounting, fail-closed: a CD pointer outside the file
+    // (cdEnd > eocd) means NOTHING beyond the EOCD record was validated
+    // — report the whole file unparsed rather than `n - cdOff`, which
+    // goes NEGATIVE for an attacker cdOff > n (found by WalkerFuzzSpec:
+    // a 0xFF window over the EOCD offset field). A mid-walk failure
+    // has pos ∈ [cdOff, cdEnd] ⊆ [0, n], so n - pos is always sane.
+    val trailing =
+      if (ok && parsed == nEntries) 0L
+      else if (cdEnd > eocd) n.toLong
+      else n - pos
     ZipMeta(1, parsed, nStored, nDeflated, nOther, comp, uncomp, cdSize,
-      mismatch, if (ok && parsed == nEntries) 0L else (n - consumedEnd))
+      mismatch, trailing)
   }
 
   /** Map-only dataset audit — the codec-family shape. */

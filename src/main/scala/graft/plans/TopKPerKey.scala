@@ -77,6 +77,10 @@ final case class TopKPerKeyExec(
     val childOutput = child.output
     val kk = k
     val isPartial = partial
+    // flush threshold, resolved at plan time (driver): the default is
+    // production-sized; the conf exists so a spec can shrink it and
+    // prove the flush path fires while results stay exact
+    val maxKeys = conf.getConfString("spark.graft.topk.maxKeys", (1 << 18).toString).toInt
     child.execute().mapPartitions ({ iter =>
       val groupProj = UnsafeProjection.create(gExprs, childOutput)
       val ordering =
@@ -84,7 +88,7 @@ final case class TopKPerKeyExec(
           .create(sOrders, childOutput)
       // per key: a bounded "worst on top" heap of copied rows — memory
       // is O(|keys in partition| · k), not O(rows). High-cardinality
-      // guard (partial stage only): past MAX_KEYS distinct keys the
+      // guard (partial stage only): past `maxKeys` distinct keys the
       // stage flushes its buffered rows downstream and clears — a
       // partial may emit a SUPERSET of its local top-k (the final
       // stage re-filters), so flushing is always correct; worst case
@@ -92,7 +96,6 @@ final case class TopKPerKeyExec(
       // to OOM. The final stage's input is already ≤ k·|keys| rows
       // (the partials' contract), so its map is post-reduction size —
       // the same O(|keys in partition|) residency as a hash-agg final.
-      val MaxKeys = 1 << 18
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       val reverse = ordering.reversed()
       new Iterator[InternalRow] {
@@ -118,7 +121,7 @@ final case class TopKPerKeyExec(
               val key = groupProj(row)
               var heap = heaps.get(key)
               if (heap == null) {
-                if (isPartial && heaps.size() >= MaxKeys) drain = drainHeaps()
+                if (isPartial && heaps.size() >= maxKeys) drain = drainHeaps()
                 heap = new java.util.PriorityQueue[InternalRow](kk + 1, reverse)
                 heaps.put(key.copy(), heap)
               }

@@ -80,4 +80,24 @@ class ZipOpsSpec extends AnyFunSuite {
     val m = ZipOps.parse(g)
     assert(m.eocdFound == 0 && m.trailingBytes == 100)
   }
+
+  test("a CD offset pointing past the file fails closed (no negative trailing)") {
+    // WalkerFuzzSpec catch: a 0xFF window over the EOCD's cd-offset
+    // field made `n - cdOff` go NEGATIVE (cdOff ≈ 16 MiB on a 255-byte
+    // file). Nothing beyond the EOCD record is validated in that case,
+    // so the whole file must report as trailing.
+    val bytes = archive
+    val n = bytes.length
+    // EOCD is the last 22 bytes (no comment); offset field at eocd+16
+    val eocd = n - 22
+    for (i <- 0 until 4) bytes(eocd + 16 + i) = 0xFF.toByte
+    val m = ZipOps.parse(bytes)
+    assert(m.eocdFound == 1 && m.nEntries == 0)
+    assert(m.trailingBytes == n.toLong, s"trailing ${m.trailingBytes} != $n")
+    // huge cd SIZE with a sane offset is the same class
+    val b2 = archive
+    for (i <- 0 until 4) b2(b2.length - 22 + 12 + i) = 0xFF.toByte
+    val m2 = ZipOps.parse(b2)
+    assert(m2.trailingBytes == b2.length.toLong && m2.nEntries == 0)
+  }
 }

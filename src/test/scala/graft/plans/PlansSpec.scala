@@ -113,4 +113,29 @@ class PlansSpec extends SparkSpec {
       Seq(col("cents").desc, col("o_orderkey").asc), 2))
     assert(got == Seq((1, 10L, 100L), (1, 11L, 100L), (2, 20L, 5L)))
   }
+
+  test("the high-cardinality flush fires and results stay exact (r8 ADVICE)") {
+    import spark.implicits._
+    // Planted worst case for the flush: one partition, 50 interleaved
+    // keys — far past the shrunken threshold — and each key's BEST row
+    // arrives LAST, after that key's earlier rows have been flushed
+    // downstream. Exactness therefore requires both (a) flushed rows to
+    // be re-filtered by the final stage and (b) post-flush rows to
+    // still compete: a flush that dropped rows, or a partial that kept
+    // emitting from a stale map, fails this.
+    val n = 50
+    val rows = (0 until 3).flatMap { round =>
+      (0 until n).map(key => (key, (round * n + key).toLong, (round * 10).toLong))
+    } // quality ascends per round → round-2 rows are the per-key best
+    val df = rows.toDF("nat", "o_orderkey", "cents").coalesce(1)
+    val want = sortedRows(viaWindow(df, 1))
+    spark.conf.set("spark.graft.topk.maxKeys", "2")
+    try {
+      val got = sortedRows(TopKPerKey(df, Seq("nat"),
+        Seq(col("cents").desc, col("o_orderkey").asc), 1))
+      assert(got == want, "flush path diverged from the Window route")
+      assert(got.size == n && got.forall(_._3 == 20L),
+        "every key must keep its round-2 (post-flush) best row")
+    } finally spark.conf.unset("spark.graft.topk.maxKeys")
+  }
 }
