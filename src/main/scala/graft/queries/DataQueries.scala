@@ -3952,10 +3952,68 @@ object DataQueries {
                AS trailing_bytes
       FROM f ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q367
+
+  /** q367 — Ogg codec census: per-logical-stream codec identification
+    * from the first packet of each BOS page (RFC 7845 §5.1 OpusHead /
+    * Vorbis I §4.2.2 id header — fixed-offset closed-form fields, no
+    * entropy decode), the layer q329's page walk stops short of.
+    * Channel count, sample rate, and Opus pre-skip come straight from
+    * the id header, and the duration applies RFC 7845 §4's pre-skip
+    * correction to the granule clock — the ms a bare page walk
+    * overstates. Pages stay CRC-verified ([[graft.operators.OggOps
+    * .codecMeta]] shares [[graft.operators.OggOps.parse]]'s walk).
+    * Per-doc streams alternate Opus/Vorbis with id-derived parameters,
+    * so the oracle recomputes the census closed-form — a round-trip
+    * proof. Malformed classes (truncated id header, wrong version
+    * nibble, CRC flip) spec-pinned in OggOpsSpec. Map-only, zero
+    * shuffles.
+    */
+  val q367 = Q("q367_ogg_codec_census",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val k = (id % 50).toInt
+            val ch = 1 + k % 2
+            val idPacket =
+              if (k % 3 < 2) graft.operators.OggOps.opusHeadPacket(ch, 100 + k, 48000L)
+              else graft.operators.OggOps.vorbisIdPacket(ch, 44100L)
+            val data = Array.tabulate(40 + k)(i => ((i * 7 + k) % 251).toByte)
+            val bytes = graft.operators.OggOps.encodeSyntheticPackets(Seq(
+              (2, 0L, idPacket),
+              (4, 960L * (1 + k % 4), data)))
+            (id, bytes)
+          }
+        }
+        .toDF("doc_id", "payload")
+      graft.operators.OggOps.oggCodecFeatures(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents)
+      SELECT doc_id,
+             CAST(1 AS BIGINT) AS n_streams,
+             CAST(CASE WHEN k % 3 < 2 THEN 1 ELSE 0 END AS BIGINT) AS n_opus,
+             CAST(CASE WHEN k % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_vorbis,
+             CAST(0 AS BIGINT) AS n_flac,
+             CAST(0 AS BIGINT) AS n_other_codec,
+             CAST(CASE WHEN k % 3 < 2 THEN 1 ELSE 2 END AS BIGINT) AS codec_id,
+             CAST(1 + k % 2 AS BIGINT) AS channels,
+             CAST(CASE WHEN k % 3 < 2 THEN 48000 ELSE 44100 END AS BIGINT) AS sample_rate,
+             CAST(CASE WHEN k % 3 < 2 THEN 100 + k ELSE 0 END AS BIGINT) AS pre_skip,
+             CAST(CASE WHEN k % 3 < 2
+                  THEN (960 * (1 + k % 4) - (100 + k)) // 48
+                  ELSE 0 END AS BIGINT) AS opus_duration_ms,
+             CAST(0 AS BIGINT) AS trailing_bytes
+      FROM d ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
-    q364, q366)
+    q364, q366, q367)
 }

@@ -89,4 +89,86 @@ class OggOpsSpec extends AnyFunSuite {
     val m = OggOps.parse(Array.emptyByteArray)
     assert(m.nPages == 0 && m.trailingBytes == 0)
   }
+
+  // ---- codec identification (q367): OpusHead / Vorbis id / Ogg-FLAC
+
+  test("Opus stream: codec, channels, rate, pre-skip, corrected duration") {
+    val s = OggOps.encodeSyntheticPackets(Seq(
+      (2, 0L, OggOps.opusHeadPacket(2, 312, 48000L)),
+      (0, 0L, Array.fill(45)(7.toByte)),        // tags stand-in
+      (4, 4800L, Array.fill(100)(9.toByte))))
+    val m = OggOps.codecMeta(s)
+    assert(m.nStreams == 1 && m.nOpus == 1 && m.nVorbis == 0 && m.nOtherCodec == 0)
+    assert(m.codecId == OggOps.CodecOpus && m.channels == 2)
+    assert(m.sampleRate == 48000L && m.preSkip == 312)
+    // RFC 7845 §4: duration = (granule - preSkip) / 48 — the page walk
+    // alone would say 4800/48 = 100 ms; the corrected value is 93
+    assert(m.opusDurationMs == (4800 - 312) / 48 && m.trailingBytes == 0)
+  }
+
+  test("Vorbis stream: codec, channels, rate; no pre-skip") {
+    val s = OggOps.encodeSyntheticPackets(Seq(
+      (2, 0L, OggOps.vorbisIdPacket(6, 44100L)),
+      (4, 88200L, Array.fill(64)(3.toByte))))
+    val m = OggOps.codecMeta(s)
+    assert(m.codecId == OggOps.CodecVorbis && m.nVorbis == 1)
+    assert(m.channels == 6 && m.sampleRate == 44100L)
+    assert(m.preSkip == 0 && m.opusDurationMs == 0)
+  }
+
+  test("FLAC-in-Ogg mapping: rate and channels from STREAMINFO") {
+    val prefix = Array[Byte](0x7f, 'F', 'L', 'A', 'C', 1, 0, 0, 1)
+    val pkt = prefix ++ FlacOps.encodeSynthetic(22050, 2, 16, 1000L, Nil, 0)
+    val m = OggOps.codecMeta(OggOps.encodeSyntheticPackets(Seq((2, 0L, pkt))))
+    assert(m.codecId == OggOps.CodecFlac && m.nFlac == 1)
+    assert(m.channels == 2 && m.sampleRate == 22050L)
+  }
+
+  test("multiplexed streams: per-codec counts, scalars from the FIRST BOS") {
+    val pages = Seq(
+      (2, 0L, OggOps.opusHeadPacket(1, 100, 48000L)),
+      (2, 0L, OggOps.vorbisIdPacket(2, 32000L)),
+      (4, 960L, Array.fill(10)(1.toByte)))
+    val m = OggOps.codecMeta(OggOps.encodeSyntheticPackets(pages))
+    assert(m.nStreams == 2 && m.nOpus == 1 && m.nVorbis == 1)
+    assert(m.codecId == OggOps.CodecOpus && m.channels == 1 && m.preSkip == 100)
+  }
+
+  test("malformed id headers classify as other, never field-guess") {
+    // truncated OpusHead (18 of 19 bytes): magic matches, fields absent
+    val shortOpus = OggOps.codecMeta(OggOps.encodeSyntheticPackets(Seq(
+      (2, 0L, OggOps.opusHeadPacket(2, 312, 48000L).take(18)))))
+    assert(shortOpus.codecId == OggOps.CodecOther && shortOpus.nOtherCodec == 1)
+    assert(shortOpus.channels == 0 && shortOpus.sampleRate == 0L)
+    // incompatible Opus major version (high nibble nonzero)
+    val badVer = OggOps.opusHeadPacket(2, 312, 48000L)
+    badVer(8) = 0x10
+    val mv = OggOps.codecMeta(OggOps.encodeSyntheticPackets(Seq((2, 0L, badVer))))
+    assert(mv.codecId == OggOps.CodecOther)
+    // nonzero Vorbis version field
+    val badVorbis = OggOps.vorbisIdPacket(2, 44100L)
+    badVorbis(7) = 1
+    val mvv = OggOps.codecMeta(OggOps.encodeSyntheticPackets(Seq((2, 0L, badVorbis))))
+    assert(mvv.codecId == OggOps.CodecOther)
+    // a CRC flip on the id page stops the walk: no stream at all
+    val good = OggOps.encodeSyntheticPackets(Seq(
+      (2, 0L, OggOps.opusHeadPacket(2, 312, 48000L))))
+    good(30) = (good(30) ^ 1).toByte
+    val mc = OggOps.codecMeta(good)
+    assert(mc.nStreams == 0 && mc.trailingBytes == good.length)
+  }
+
+  test("encodeSyntheticPackets lacing round-trips packets ≥ 255 bytes") {
+    // 255-multiple payloads need the terminal 0 lacing value; the page
+    // census and the codec walk must agree on the payload mass
+    for (len <- Seq(254, 255, 256, 510, 700)) {
+      val s = OggOps.encodeSyntheticPackets(Seq(
+        (2, 0L, OggOps.opusHeadPacket(1, 0, 48000L)),
+        (4, 960L, Array.fill(len)(5.toByte))))
+      val m = OggOps.parse(s)
+      assert(m.nPages == 2 && m.payloadBytes == 19L + len, s"len=$len")
+      assert(m.trailingBytes == 0, s"len=$len")
+      assert(OggOps.codecMeta(s).codecId == OggOps.CodecOpus, s"len=$len")
+    }
+  }
 }

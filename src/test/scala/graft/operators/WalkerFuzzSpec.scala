@@ -79,6 +79,14 @@ class WalkerFuzzSpec extends AnyFunSuite {
         })
       },
       b => { val m = OggOps.parse(b); (m.nPages.toLong, m.trailingBytes) }),
+    Fuzzed("ogg-codec",
+      rnd => OggOps.encodeSyntheticPackets(Seq(
+        (2, 0L,
+          if (rnd.nextBoolean()) OggOps.opusHeadPacket(1 + rnd.nextInt(8), rnd.nextInt(1000), 48000L)
+          else OggOps.vorbisIdPacket(1 + rnd.nextInt(8), 8000L + rnd.nextInt(90000))),
+        (4, 960L * (1 + rnd.nextInt(5)),
+          Array.fill(rnd.nextInt(600))(rnd.nextInt(256).toByte)))),
+      b => { val m = OggOps.codecMeta(b); (m.nStreams.toLong, m.trailingBytes) }),
     Fuzzed("flac",
       rnd => FlacOps.encodeSynthetic(8000 + rnd.nextInt(40000), 1 + rnd.nextInt(2),
         8 + rnd.nextInt(17), rnd.nextInt(100000).toLong,
