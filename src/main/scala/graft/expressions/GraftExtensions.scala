@@ -37,7 +37,9 @@ object GraftExtensions {
       (children: Seq[Expression]) => CmsEstimate(children.head, children(1))),
     (FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
-      (children: Seq[Expression]) => ShingleHashes(children.head, children(1))),
+      (children: Seq[Expression]) => ShingleHashes(children.head, children(1),
+        if (children.size > 2) children(2)
+        else org.apache.spark.sql.catalyst.expressions.Literal(31))),
     (FunctionIdentifier("graft_shingle_hash_list"),
       new ExpressionInfo(classOf[ShingleHashList].getName, "graft_shingle_hash_list"),
       (children: Seq[Expression]) => ShingleHashList(children.head, children(1))),

@@ -37,9 +37,40 @@ object Dedup {
   }
 
   /** Mersenne prime 2^31 - 1: the modulus of the affine min-hash
-    * family. 31-bit hashes keep a*h + b inside a long.
+    * family. 31-bit hashes keep a*h + b inside a long — which is why
+    * the min-hash/LSH path PINS 31 bits regardless of
+    * [[ShingleBitsKey]] (the band hash is an approximation anyway;
+    * widening only matters where collisions inflate EXACT counts).
     */
   val MinhashP: Long = 2147483647L
+
+  /** Conf key widening the EXACT-set shingle family's hash space
+    * (contamination q62, set-similarity q128, containment q364).
+    * Default 31 bits; a >10M-distinct-gram source should set ≥48 —
+    * at 10M grams the 31-bit space expects ~23k colliding pairs
+    * (n²/2^(b+1)), each one a phantom shared gram in a containment or
+    * overlap count; at 48 bits the same corpus expects ~0.2. Read at
+    * plan-BUILD time (the auditProbes conf-capture discipline).
+    * External oracles must replay the same width — the committed
+    * oracle SQL replays [[DefaultShingleBits]]; non-default widths are
+    * spec-verified (ShingleWidthSpec) rather than driver-gated.
+    */
+  val ShingleBitsKey = "spark.graft.shingleBits"
+  val DefaultShingleBits = 31
+  val DefaultShingleMask: Long = (1L << DefaultShingleBits) - 1
+
+  def shingleBits(spark: org.apache.spark.sql.SparkSession): Int = {
+    val b = spark.conf.get(ShingleBitsKey, DefaultShingleBits.toString).toInt
+    require(b >= 16 && b <= 60, s"$ShingleBitsKey must be in [16, 60], got $b")
+    b
+  }
+
+  /** The conf-widened distinct-shingle-hash column (compiled kernel). */
+  def shingleHashesWide(spark: org.apache.spark.sql.SparkSession,
+                        text: Column, n: Int): Column = {
+    graft.expressions.GraftExtensions.register(spark)
+    call_function("graft_shingle_hashes", text, lit(n), lit(shingleBits(spark)))
+  }
 
   /** Hash-family coefficients, md5-derived at plan-build time so the
     * per-row cost is one md5 per shingle plus k long multiply-adds
@@ -419,14 +450,17 @@ object Dedup {
                            idCol: String, textCol: String, n: Int,
                            maxBroadcastEvalDocs: Long): DataFrame = {
     graft.expressions.GraftExtensions.register(train.sparkSession)
+    // conf-widened hash space (ShingleBitsKey): both sides MUST use the
+    // same width or overlap counts are meaningless
+    val sh = (c: Column) => shingleHashesWide(train.sparkSession, c, n)
     val evalGrams = evalDocs
-      .select(explode(call_function("graft_shingle_hashes", col(textCol), lit(n))).as("h"))
+      .select(explode(sh(col(textCol))).as("h"))
       .distinct()
       .withColumn("_hit", lit(1))
     val evalSide = evalGrams
     train
       .select(col(idCol),
-        explode(call_function("graft_shingle_hashes", col(textCol), lit(n))).as("h"))
+        explode(sh(col(textCol))).as("h"))
       .join(evalSide, Seq("h"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_overlap"))

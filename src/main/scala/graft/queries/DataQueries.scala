@@ -3840,9 +3840,13 @@ object DataQueries {
   val q364 = Q("q364_source_containment",
     (s, dir) => {
       graft.expressions.GraftExtensions.register(s)
+      // conf-widened hash space (Dedup.ShingleBitsKey — the scaladoc
+      // there carries the birthday-bound arithmetic this query's own
+      // NOTE used to state); the oracle replays the 31-bit default,
+      // ShingleWidthSpec pins 31-vs-48-bit behavior
       val grams = Tables.load(s, dir, "documents")
         .select(col("source"),
-          explode(call_function("graft_shingle_hashes", col("text"), lit(3))).as("h"))
+          explode(graft.operators.Dedup.shingleHashesWide(s, col("text"), 3)).as("h"))
         .distinct()
       val tot = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
       val shared = grams.join(grams.select(col("source").as("source_b"), col("h")), "h")
@@ -3863,7 +3867,7 @@ object DataQueries {
                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
                END AS g
              FROM t),
-      e AS (SELECT DISTINCT source, ${duckHash64("gg")} & ${Dedup.MinhashP} AS h
+      e AS (SELECT DISTINCT source, ${duckHash64("gg")} & ${Dedup.DefaultShingleMask} AS h
             FROM (SELECT source, unnest(g) AS gg FROM sh)),
       tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM e GROUP BY source),
       shared AS (SELECT a.source AS source_a, b.source AS source_b,

@@ -157,10 +157,13 @@ object ExtQueries {
   val q128 = Q("q128_setsim_join",
     (s, dir) => {
       graft.expressions.GraftExtensions.register(s)
+      // conf-widened hash space (Dedup.ShingleBitsKey): exact set
+      // similarity is exactly where 31-bit collisions at >10M grams
+      // show up as phantom intersections; the committed oracle replays
+      // the 31-bit default, non-default widths are ShingleWidthSpec's
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          sort_array(array_distinct(
-            call_function("graft_shingle_hash_list", col("text"), lit(3)))).as("hs"))
+          sort_array(Dedup.shingleHashesWide(s, col("text"), 3)).as("hs"))
       graft.operators.SetSimJoin.pairs(s, docs, 6, 10).orderBy("id_a", "id_b")
     },
     Some(s"""
