@@ -3919,6 +3919,10 @@ object DataQueries {
         .select(col("doc_id"), col("valid"), col("n_frames"), col("n_skippable"),
           col("n_raw"), col("n_rle"), col("content_bytes"),
           col("checksum_present"), col("checksum_ok"), col("checksum_bad"),
+          // raw/RLE-only frames must show ZERO literals sections — the
+          // peek never invents literals from non-type-2 blocks
+          col("lit_raw"), col("lit_rle"), col("lit_compressed"),
+          col("lit_regen_bytes"), col("lit_malformed"),
           col("trailing_bytes"))
         .orderBy("doc_id")
     },
@@ -3951,6 +3955,11 @@ object DataQueries {
                AS checksum_present,
              CAST(CASE WHEN corrupt THEN 0 ELSE cs END AS BIGINT) AS checksum_ok,
              CAST(0 AS BIGINT) AS checksum_bad,
+             CAST(0 AS BIGINT) AS lit_raw,
+             CAST(0 AS BIGINT) AS lit_rle,
+             CAST(0 AS BIGINT) AS lit_compressed,
+             CAST(0 AS BIGINT) AS lit_regen_bytes,
+             CAST(0 AS BIGINT) AS lit_malformed,
              CAST(CASE WHEN doc_id % 17 = 0 THEN 6
                   WHEN doc_id % 19 = 0 THEN total ELSE 0 END AS BIGINT)
                AS trailing_bytes
@@ -4014,10 +4023,88 @@ object DataQueries {
              CAST(0 AS BIGINT) AS trailing_bytes
       FROM d ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q368
+
+  /** q368 — zstd literals-section census: the entropy boundary moved
+    * one notch inward from q366. Type-2 (compressed) block payloads
+    * start with a literals-section header (RFC 8878 §3.1.1.3.1.1)
+    * whose type and declared sizes are plain bit fields — readable
+    * with zero FSE/Huffman work, so a 100 TB triage pass knows the
+    * literal mix (raw/RLE/Huffman/treeless) and the declared
+    * regenerated mass of shards it never decodes. Malformed headers
+    * (sizes violating the block's own bounds) mark the BLOCK
+    * (`lit_malformed`), never the frame — the 3-byte block header's
+    * length framing stays authoritative, so the walk continues (the
+    * WARC opaque-payload discipline). Per-doc frames carry a planted
+    * literal mix keyed on doc_id, with every 13th doc carrying an
+    * overrunning raw-literals declaration; the oracle recomputes the
+    * census closed-form. Map-only, zero shuffles.
+    */
+  val q368 = Q("q368_zstd_literals",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.ZstdOps
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val k = (id % 50).toInt
+            val mal = id % 13 == 0
+            val rawBlock = (0, Array.tabulate(20 + k)(i => ((i * 7 + k) % 251).toByte))
+            val litRaw =
+              if (mal) (2, ZstdOps.literalsHeader(0, 2000) ++ Array.fill(10)(1.toByte))
+              else (2, ZstdOps.literalsHeader(0, 10 + k) ++
+                Array.fill(10 + k)(2.toByte) ++ Array.fill(5)(3.toByte))
+            val blocks = Seq(rawBlock, litRaw) ++
+              (if (k % 3 >= 1)
+                Seq((2, ZstdOps.literalsHeader(1, 100 + k) ++
+                  Array[Byte](9) ++ Array.fill(3)(4.toByte)))
+              else Nil) ++
+              (if (k % 3 == 2)
+                Seq((2, ZstdOps.literalsHeader(2, 200 + k, 30 + k) ++
+                  Array.fill(30 + k)(5.toByte)))
+              else Nil)
+            (id, ZstdOps.encodeFrameWithBlocks(blocks))
+          }
+        }.toDF("doc_id", "payload")
+      graft.operators.ZstdOps.zstdFeatures(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k,
+                        (doc_id % 13 = 0) AS mal
+                 FROM documents)
+      SELECT doc_id,
+             CAST(1 AS BIGINT) AS valid,
+             CAST(1 AS BIGINT) AS n_frames,
+             CAST(0 AS BIGINT) AS n_skippable,
+             CAST(1 AS BIGINT) AS n_raw,
+             CAST(0 AS BIGINT) AS n_rle,
+             CAST(1 + k % 3 AS BIGINT) AS n_compressed,
+             CAST(20 + k AS BIGINT) AS content_bytes,
+             CAST((CASE WHEN mal THEN 12 ELSE 17 + k END)
+                  + CASE WHEN k % 3 >= 1 THEN 6 ELSE 0 END
+                  + CASE WHEN k % 3 = 2 THEN 33 + k ELSE 0 END AS BIGINT)
+               AS compressed_bytes,
+             CAST(0 AS BIGINT) AS checksum_present,
+             CAST(0 AS BIGINT) AS checksum_ok,
+             CAST(0 AS BIGINT) AS checksum_bad,
+             CAST(CASE WHEN mal THEN 0 ELSE 1 END AS BIGINT) AS lit_raw,
+             CAST(CASE WHEN k % 3 >= 1 THEN 1 ELSE 0 END AS BIGINT) AS lit_rle,
+             CAST(CASE WHEN k % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS lit_compressed,
+             CAST(0 AS BIGINT) AS lit_treeless,
+             CAST((CASE WHEN mal THEN 0 ELSE 10 + k END)
+                  + CASE WHEN k % 3 >= 1 THEN 100 + k ELSE 0 END
+                  + CASE WHEN k % 3 = 2 THEN 200 + k ELSE 0 END AS BIGINT)
+               AS lit_regen_bytes,
+             CAST(CASE WHEN mal THEN 1 ELSE 0 END AS BIGINT) AS lit_malformed,
+             CAST(0 AS BIGINT) AS trailing_bytes
+      FROM d ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
-    q364, q366, q367)
+    q364, q366, q367, q368)
 }
