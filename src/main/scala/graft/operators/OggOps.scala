@@ -301,42 +301,179 @@ object OggOps {
     b
   }
 
+  /** One raw page with an EXPLICIT segment table — the low-level
+    * fixture builder (a non-terminal lacing run of 255s expresses a
+    * packet continuing past the page). CRC is correct.
+    */
+  def encodePage(hType: Int, granule: Long, serial: Int, pageSeq: Int,
+                 segs: Seq[Int], payload: Array[Byte]): Array[Byte] = {
+    require(segs.length <= 255, s"${segs.length} lacing values > 255")
+    require(segs.sum == payload.length,
+      s"lacing sum ${segs.sum} != payload ${payload.length}")
+    val page = new Array[Byte](27 + segs.length + payload.length)
+    page(0) = 'O'; page(1) = 'g'; page(2) = 'g'; page(3) = 'S'
+    page(4) = 0
+    page(5) = hType.toByte
+    var g = granule
+    var i = 0
+    while (i < 8) { page(6 + i) = (g & 0xff).toByte; g >>>= 8; i += 1 }
+    var sr = serial
+    i = 0
+    while (i < 4) { page(14 + i) = (sr & 0xff).toByte; sr >>>= 8; i += 1 }
+    var sq = pageSeq
+    i = 0
+    while (i < 4) { page(18 + i) = (sq & 0xff).toByte; sq >>>= 8; i += 1 }
+    page(26) = segs.length.toByte
+    segs.zipWithIndex.foreach { case (sl, si) => page(27 + si) = sl.toByte }
+    payload.copyToArray(page, 27 + segs.length)
+    val c = crc(page, 0, page.length)
+    page(22) = (c & 0xff).toByte
+    page(23) = ((c >>> 8) & 0xff).toByte
+    page(24) = ((c >>> 16) & 0xff).toByte
+    page(25) = ((c >>> 24) & 0xff).toByte
+    page
+  }
+
+  /** Lacing values for one COMPLETE packet: ⌊len/255⌋ 255s plus the
+    * final len%255 (correctly a terminal 0 for multiples of 255).
+    */
+  def lacingFor(len: Int): Seq[Int] = Seq.fill(len / 255)(255) :+ (len % 255)
+
   /** Encode pages carrying EXPLICIT packet payloads (the id-header
     * variant of [[encodeSynthetic]]): per page (headerType, granule,
-    * payload). Lacing is real — ⌊len/255⌋ 255-values plus the final
-    * len%255 (which correctly emits a terminal 0 for multiples of
-    * 255). CRCs are correct.
+    * one complete packet). CRCs are correct.
     */
   def encodeSyntheticPackets(plan: Seq[(Int, Long, Array[Byte])],
                              serial: Int = 0x1234): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     plan.zipWithIndex.foreach { case ((hType, granule, payload), seq) =>
-      val segs = Seq.fill(payload.length / 255)(255) :+ (payload.length % 255)
-      require(segs.length <= 255, s"packet of ${payload.length} B needs >255 lacing values")
-      val page = new Array[Byte](27 + segs.length + payload.length)
-      page(0) = 'O'; page(1) = 'g'; page(2) = 'g'; page(3) = 'S'
-      page(4) = 0
-      page(5) = hType.toByte
-      var g = granule
-      var i = 0
-      while (i < 8) { page(6 + i) = (g & 0xff).toByte; g >>>= 8; i += 1 }
-      var sr = serial
-      i = 0
-      while (i < 4) { page(14 + i) = (sr & 0xff).toByte; sr >>>= 8; i += 1 }
-      var sq = seq
-      i = 0
-      while (i < 4) { page(18 + i) = (sq & 0xff).toByte; sq >>>= 8; i += 1 }
-      page(26) = segs.length.toByte
-      segs.zipWithIndex.foreach { case (sl, si) => page(27 + si) = sl.toByte }
-      payload.copyToArray(page, 27 + segs.length)
-      val c = crc(page, 0, page.length)
-      page(22) = (c & 0xff).toByte
-      page(23) = ((c >>> 8) & 0xff).toByte
-      page(24) = ((c >>> 16) & 0xff).toByte
-      page(25) = ((c >>> 24) & 0xff).toByte
-      bos.write(page)
+      bos.write(encodePage(hType, granule, serial, seq, lacingFor(payload.length), payload))
     }
     bos.toByteArray
+  }
+
+  // ---- Opus packet TOC census (RFC 6716 §3.1): the per-PACKET layer
+  // under the id-header census — packets are assembled from the lacing
+  // tables (a lacing value < 255 ends a packet; a trailing 255 run
+  // continues it onto the next page), and each audio packet's first
+  // byte is the TOC: config(5) | stereo(1) | frame-count code(2).
+
+  final case class OpusTocMeta(
+      nAudioPackets: Int,   // packets past the 2 header packets (head/tags)
+      nSilk: Int,           // config 0–11
+      nHybrid: Int,         // config 12–15
+      nCelt: Int,           // config 16–31
+      nStereo: Int,         // TOC stereo bit set
+      nCode3: Int,          // arbitrary-frame-count packets (c == 3)
+      totalFrames: Long,    // Σ frames per packet (c: 0→1, 1/2→2, 3→count byte)
+      durationUs: Long,     // Σ frames · config frame duration
+      nMalformed: Int,      // empty audio packets, c==3 without/with bad count byte
+      trailingBytes: Long)
+
+  /** Frame duration in µs for a TOC config (RFC 6716 §3.1 Table 2):
+    * SILK configs step 10/20/40/60 ms, hybrid 10/20, CELT 2.5/5/10/20.
+    */
+  def opusFrameDurationUs(config: Int): Long =
+    if (config < 12) Seq(10000L, 20000L, 40000L, 60000L)(config % 4)
+    else if (config < 16) Seq(10000L, 20000L)(config % 2)
+    else Seq(2500L, 5000L, 10000L, 20000L)(config % 4)
+
+  /** Walk the FIRST logical stream's packets and census the audio
+    * TOCs. Packet assembly is pure lacing arithmetic — no codec
+    * decode; the TOC is one byte and, for code 3, the count byte
+    * after it (count must be 1–48 per RFC 6716 — 0 or >48 is
+    * malformed). RFC 6716 §3.4 requires R1: packets of length 0 are
+    * malformed. Frames per packet: code 0 → 1, codes 1–2 → 2, code
+    * 3 → the count byte. Pages of other serials are skipped whole
+    * (multiplexed files census their primary stream).
+    */
+  def opusTocCensus(bytes: Array[Byte]): OpusTocMeta = {
+    var serial = -1; var haveSerial = false
+    var packetIdx = 0
+    var carryLen = 0L        // bytes of a packet continued from prior pages
+    var carryHead = -1       // its first byte (TOC candidate), -1 if len 0 so far
+    var carrySecond = -1     // its second byte (code-3 count candidate)
+    var nAudio = 0; var nSilk = 0; var nHybrid = 0; var nCelt = 0
+    var nStereo = 0; var nCode3 = 0; var nMalformed = 0
+    var frames = 0L; var durUs = 0L
+    def endPacket(len: Long, head: Int, second: Int): Unit = {
+      packetIdx += 1
+      if (packetIdx <= 2) return // OpusHead + OpusTags
+      nAudio += 1
+      if (len < 1 || head < 0) { nMalformed += 1; return }
+      val config = head >> 3
+      val stereo = (head >> 2) & 1
+      val code = head & 3
+      val nf: Long = code match {
+        case 0 => 1L
+        case 1 | 2 => 2L
+        case _ =>
+          nCode3 += 1
+          if (len < 2 || second < 0) -1L
+          else {
+            val cnt = second & 0x3F
+            if (cnt < 1 || cnt > 48) -1L else cnt.toLong
+          }
+      }
+      if (nf < 0) { nMalformed += 1; return }
+      if (config < 12) nSilk += 1 else if (config < 16) nHybrid += 1 else nCelt += 1
+      if (stereo == 1) nStereo += 1
+      frames += nf
+      durUs += nf * opusFrameDurationUs(config)
+    }
+    val pos = walkPages(bytes) { (hType, _, pageSerial, nSegs, payloadOff, _) =>
+      if (!haveSerial && (hType & 0x02) != 0) { serial = pageSerial; haveSerial = true }
+      if (haveSerial && pageSerial == serial) {
+        // a continuation bit NOT set while a packet is open means the
+        // prior page's packet was silently dropped — close it malformed
+        if (carryLen > 0 && (hType & 0x01) == 0) {
+          endPacket(0L, -1, -1)
+          carryLen = 0; carryHead = -1; carrySecond = -1
+        }
+        val tableOff = payloadOff - nSegs
+        var cursor = payloadOff
+        var si = 0
+        while (si < nSegs) {
+          val lace = bytes(tableOff + si) & 0xff
+          if (lace > 0) {
+            if (carryHead < 0) carryHead = bytes(cursor) & 0xff
+            else if (carrySecond < 0 && carryLen >= 1)
+              carrySecond = bytes(cursor) & 0xff
+            if (carrySecond < 0 && lace > 1 && carryLen == 0)
+              carrySecond = bytes(cursor + 1) & 0xff
+          }
+          carryLen += lace
+          cursor += lace
+          if (lace < 255) {
+            endPacket(carryLen, carryHead, carrySecond)
+            carryLen = 0; carryHead = -1; carrySecond = -1
+          }
+          si += 1
+        }
+      }
+    }
+    if (carryLen > 0) endPacket(0L, -1, -1) // truncated open packet
+    OpusTocMeta(nAudio, nSilk, nHybrid, nCelt, nStereo, nCode3, frames,
+      durUs, nMalformed, (bytes.length - pos).toLong)
+  }
+
+  /** Map-only dataset census — the codec-family shape. */
+  def opusTocFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = opusTocCensus(bytes)
+          (id, m.nAudioPackets.toLong, m.nSilk.toLong, m.nHybrid.toLong,
+            m.nCelt.toLong, m.nStereo.toLong, m.nCode3.toLong,
+            m.totalFrames, m.durationUs, m.nMalformed.toLong, m.trailingBytes)
+        }
+      }
+      .toDF(idCol, "n_audio_packets", "n_silk", "n_hybrid", "n_celt",
+        "n_stereo", "n_code3", "total_frames", "duration_us",
+        "n_malformed", "trailing_bytes")
   }
 
   /** Map-only codec census — the codec-family shape. */

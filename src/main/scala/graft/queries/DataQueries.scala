@@ -4023,6 +4023,88 @@ object DataQueries {
              CAST(0 AS BIGINT) AS trailing_bytes
       FROM d ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q369
+
+  /** q369 — Opus packet TOC census: the per-PACKET layer under q367's
+    * id headers, completing the Ogg triage stack (q329 pages → q367
+    * streams → q369 packets). Packets are assembled from the lacing
+    * tables alone (pure arithmetic — a lacing value < 255 ends a
+    * packet, a trailing 255 run continues it onto the next page), and
+    * each audio packet's first byte is the RFC 6716 §3.1 TOC:
+    * config(5) | stereo(1) | frame-count code(2) — mode mix
+    * (SILK/hybrid/CELT), stereo rate, and the EXACT duration from the
+    * per-config frame-size table, all with zero codec decode. The
+    * walk stays CRC-verified (same walkPages). Per-doc packet plans
+    * are closed functions of doc_id; the oracle replays them with a
+    * range-unnest and the §3.1 duration table. Malformed classes
+    * (zero-length packets, code-3 counts outside [1,48], dropped
+    * continuations, split count bytes) spec-pinned in OggOpsSpec.
+    * Map-only, zero shuffles.
+    */
+  val q369 = Q("q369_opus_toc_census",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.OggOps
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val k = (id % 50).toInt
+            val nData = 3 + k % 4
+            val dataPages = (0 until nData).map { p =>
+              val config = (k + 7 * p) % 32
+              val stereo = (k + p) % 2
+              val code3 = (k + p) % 5 == 0
+              val toc = ((config << 3) | (stereo << 2) | (if (code3) 3 else 0)).toByte
+              val body =
+                if (code3) Array((2 + p % 3).toByte) ++ Array.fill(10)((p + 1).toByte)
+                else Array.fill(5 + p)((p + 2).toByte)
+              val hType = if (p == nData - 1) 4 else 0
+              (hType, 960L * (p + 1), toc +: body)
+            }
+            val pages = Seq(
+              (2, 0L, OggOps.opusHeadPacket(1 + k % 2, 312, 48000L)),
+              (0, 0L, "OpusTags".getBytes("US-ASCII") ++ Array.fill(8)(1.toByte))) ++
+              dataPages
+            (id, OggOps.encodeSyntheticPackets(pages))
+          }
+        }.toDF("doc_id", "payload")
+      graft.operators.OggOps.opusTocFeatures(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      pk AS (SELECT doc_id, k, unnest(range(3 + k % 4)) AS p FROM d),
+      t AS (SELECT doc_id, k, p,
+                   (k + 7 * p) % 32 AS config,
+                   (k + p) % 2 AS stereo,
+                   CASE WHEN (k + p) % 5 = 0 THEN 1 ELSE 0 END AS code3,
+                   CASE WHEN (k + p) % 5 = 0 THEN 2 + p % 3 ELSE 1 END AS nf
+            FROM pk),
+      t2 AS (SELECT *,
+               CASE WHEN config < 12 THEN
+                      CASE config % 4 WHEN 0 THEN 10000 WHEN 1 THEN 20000
+                                      WHEN 2 THEN 40000 ELSE 60000 END
+                    WHEN config < 16 THEN
+                      CASE config % 2 WHEN 0 THEN 10000 ELSE 20000 END
+                    ELSE
+                      CASE config % 4 WHEN 0 THEN 2500 WHEN 1 THEN 5000
+                                      WHEN 2 THEN 10000 ELSE 20000 END
+               END AS dur_us
+             FROM t)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_audio_packets,
+             CAST(sum(CASE WHEN config < 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_silk,
+             CAST(sum(CASE WHEN config >= 12 AND config < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_hybrid,
+             CAST(sum(CASE WHEN config >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_celt,
+             CAST(sum(stereo) AS BIGINT) AS n_stereo,
+             CAST(sum(code3) AS BIGINT) AS n_code3,
+             CAST(sum(nf) AS BIGINT) AS total_frames,
+             CAST(sum(nf * dur_us) AS BIGINT) AS duration_us,
+             CAST(0 AS BIGINT) AS n_malformed,
+             CAST(0 AS BIGINT) AS trailing_bytes
+      FROM t2 GROUP BY doc_id ORDER BY doc_id"""))
+
   // --------------------------------------------------------------- q368
 
   /** q368 — zstd literals-section census: the entropy boundary moved
@@ -4106,5 +4188,5 @@ object DataQueries {
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
-    q364, q366, q367, q368)
+    q364, q366, q367, q368, q369)
 }

@@ -158,6 +158,91 @@ class OggOpsSpec extends AnyFunSuite {
     assert(mc.nStreams == 0 && mc.trailingBytes == good.length)
   }
 
+  // ---- Opus packet TOC census (q369)
+
+  private def opusStream(dataPackets: Seq[Array[Byte]]): Array[Byte] =
+    OggOps.encodeSyntheticPackets(Seq(
+      (2, 0L, OggOps.opusHeadPacket(2, 312, 48000L)),
+      (0, 0L, "OpusTags".getBytes("US-ASCII"))) ++
+      dataPackets.zipWithIndex.map { case (p, i) =>
+        (if (i == dataPackets.size - 1) 4 else 0, 960L * (i + 1), p)
+      })
+
+  test("TOC census: modes, stereo, frame codes, exact duration") {
+    // config 1 = SILK NB 20 ms mono code 0; config 17 = CELT NB 5 ms
+    // stereo code 2 (2 frames); config 14 = hybrid FB 10 ms code 3 × 4
+    val s = opusStream(Seq(
+      Array(((1 << 3) | 0).toByte, 9, 9),
+      Array(((17 << 3) | (1 << 2) | 2).toByte, 9),
+      Array(((14 << 3) | 3).toByte, 4.toByte, 9, 9)))
+    val m = OggOps.opusTocCensus(s)
+    assert(m.nAudioPackets == 3 && m.nMalformed == 0 && m.trailingBytes == 0)
+    assert(m.nSilk == 1 && m.nCelt == 1 && m.nHybrid == 1)
+    assert(m.nStereo == 1 && m.nCode3 == 1)
+    assert(m.totalFrames == 1 + 2 + 4)
+    assert(m.durationUs == 20000L + 2 * 5000L + 4 * 10000L)
+  }
+
+  test("TOC census assembles packets spanning pages (255-lacing continuation)") {
+    // one audio packet of 300 bytes: 255 on the data page, 45 on a
+    // continuation page (header_type bit 0) — ONE packet, not two
+    val head = OggOps.opusHeadPacket(2, 0, 48000L)
+    val tags = "OpusTags".getBytes("US-ASCII")
+    val toc = ((1 << 3) | 0).toByte // SILK NB 20 ms, code 0
+    val big = toc +: Array.fill(299)(7.toByte)
+    val pages = Seq(
+      OggOps.encodePage(2, 0L, 0x42, 0, OggOps.lacingFor(head.length), head),
+      OggOps.encodePage(0, 0L, 0x42, 1, OggOps.lacingFor(tags.length), tags),
+      OggOps.encodePage(0, -1L, 0x42, 2, Seq(255), big.take(255)),
+      OggOps.encodePage(1 | 4, 960L, 0x42, 3, Seq(45), big.drop(255)))
+    val m = OggOps.opusTocCensus(pages.flatten.toArray)
+    assert(m.nAudioPackets == 1 && m.totalFrames == 1 && m.durationUs == 20000L)
+    assert(m.nMalformed == 0 && m.trailingBytes == 0)
+    // a spanning code-3 packet: a continued packet's first chunk is
+    // ≥255 bytes by construction (lacing < 255 would terminate it), so
+    // TOC and count byte always share the first page — the spanning
+    // part is the tail
+    val c3 = Array[Byte](((14 << 3) | 3).toByte, 3) ++ Array.fill(253)(1.toByte) ++ Array[Byte](8, 9)
+    val pages2 = Seq(
+      OggOps.encodePage(2, 0L, 0x43, 0, OggOps.lacingFor(head.length), head),
+      OggOps.encodePage(0, 0L, 0x43, 1, OggOps.lacingFor(tags.length), tags),
+      OggOps.encodePage(0, -1L, 0x43, 2, Seq(255), c3.take(255)),
+      OggOps.encodePage(1 | 4, 960L, 0x43, 3, Seq(2), c3.drop(255)))
+    val m2 = OggOps.opusTocCensus(pages2.flatten.toArray)
+    assert(m2.nAudioPackets == 1 && m2.nCode3 == 1 && m2.totalFrames == 3)
+  }
+
+  test("TOC census malformed classes: empty packet, bad code-3 count, dropped continuation") {
+    // zero-length audio packet
+    val m0 = OggOps.opusTocCensus(opusStream(Seq(Array.empty[Byte])))
+    assert(m0.nAudioPackets == 1 && m0.nMalformed == 1 && m0.totalFrames == 0)
+    // code 3 with count byte 0 and count byte 49 — both outside [1, 48]
+    for (cnt <- Seq(0, 49)) {
+      val m = OggOps.opusTocCensus(opusStream(Seq(
+        Array(((1 << 3) | 3).toByte, cnt.toByte, 9))))
+      assert(m.nMalformed == 1 && m.nCode3 == 1 && m.totalFrames == 0, s"cnt=$cnt")
+    }
+    // code 3 with NO count byte (1-byte packet)
+    val m1 = OggOps.opusTocCensus(opusStream(Seq(Array(((1 << 3) | 3).toByte))))
+    assert(m1.nMalformed == 1)
+    // open 255-continued packet never closed (truncated stream)
+    val head = OggOps.opusHeadPacket(2, 0, 48000L)
+    val open = Seq(
+      OggOps.encodePage(2, 0L, 9, 0, OggOps.lacingFor(head.length), head),
+      OggOps.encodePage(0, 0L, 9, 1, OggOps.lacingFor(8), "OpusTags".getBytes("US-ASCII")),
+      OggOps.encodePage(0, -1L, 9, 2, Seq(255),
+        (((1 << 3) | 0).toByte +: Array.fill(254)(1.toByte))))
+    val mOpen = OggOps.opusTocCensus(open.flatten.toArray)
+    assert(mOpen.nAudioPackets == 1 && mOpen.nMalformed == 1)
+    // continuation DROPPED: next page lacks bit 0 while a packet is open
+    val dropped = open ++ Seq(
+      OggOps.encodePage(4, 960L, 9, 3, Seq(3),
+        Array(((17 << 3) | 0).toByte, 9, 9)))
+    val mDrop = OggOps.opusTocCensus(dropped.flatten.toArray)
+    assert(mDrop.nAudioPackets == 2 && mDrop.nMalformed == 1)
+    assert(mDrop.nCelt == 1 && mDrop.durationUs == 5000L)
+  }
+
   test("encodeSyntheticPackets lacing round-trips packets ≥ 255 bytes") {
     // 255-multiple payloads need the terminal 0 lacing value; the page
     // census and the codec walk must agree on the payload mass

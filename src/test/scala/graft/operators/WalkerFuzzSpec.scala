@@ -87,6 +87,16 @@ class WalkerFuzzSpec extends AnyFunSuite {
         (4, 960L * (1 + rnd.nextInt(5)),
           Array.fill(rnd.nextInt(600))(rnd.nextInt(256).toByte)))),
       b => { val m = OggOps.codecMeta(b); (m.nStreams.toLong, m.trailingBytes) }),
+    Fuzzed("opus-toc",
+      rnd => OggOps.encodeSyntheticPackets(Seq(
+        (2, 0L, OggOps.opusHeadPacket(1 + rnd.nextInt(2), rnd.nextInt(500), 48000L)),
+        (0, 0L, "OpusTags".getBytes("US-ASCII"))) ++
+        (0 until 1 + rnd.nextInt(4)).map { p =>
+          val toc = ((rnd.nextInt(32) << 3) | (rnd.nextInt(2) << 2) | rnd.nextInt(4)).toByte
+          (if (p == 0) 0 else 0, 960L * (p + 1),
+            toc +: Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte))
+        }),
+      b => { val m = OggOps.opusTocCensus(b); (m.nAudioPackets.toLong, m.trailingBytes) }),
     Fuzzed("flac",
       rnd => FlacOps.encodeSynthetic(8000 + rnd.nextInt(40000), 1 + rnd.nextInt(2),
         8 + rnd.nextInt(17), rnd.nextInt(100000).toLong,
