@@ -4023,6 +4023,72 @@ object DataQueries {
              CAST(0 AS BIGINT) AS trailing_bytes
       FROM d ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q370
+
+  /** q370 — UTF-8 well-formedness census: byte-level structural
+    * validation (RFC 3629) of raw payloads BEFORE any decode — the
+    * structural twin of q350's mojibake heuristic (which sees only
+    * already-decoded text; `new String(bytes, UTF_8)` silently
+    * replaces malformed sequences, destroying exactly this signal).
+    * Classifies every byte in one pass with WHATWG-style resync:
+    * sequence-length mix, overlong forms, directly-encoded surrogates
+    * (CESU-8/WTF-8 tells), beyond-U+10FFFF leads, and structural
+    * breakage — the counts a 100 TB ingest routes on (reject, repair,
+    * transcode) without materializing a String. Per-doc payloads
+    * plant every class closed-form from doc_id; the oracle is pure
+    * arithmetic. Map-only, zero shuffles.
+    */
+  val q370 = Q("q370_utf8_census",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val k = (id % 50).toInt
+            val bos = new java.io.ByteArrayOutputStream()
+            (0 until 30 + k).foreach(i => bos.write('a' + i % 26))
+            if (k % 5 == 0) bos.write(0x80) // stray continuation
+            (0 until k % 4).foreach { _ => bos.write(0xC3); bos.write(0xA9) } // é
+            if (k % 6 == 0) { bos.write(0xC0); bos.write(0x80) } // overlong NUL
+            (0 until k % 3).foreach { _ =>
+              bos.write(0xE2); bos.write(0x82); bos.write(0xAC) } // €
+            if (k % 7 == 0) { bos.write(0xED); bos.write(0xA0); bos.write(0x80) } // U+D800
+            (0 until k % 2).foreach { _ =>
+              bos.write(0xF0); bos.write(0x9F); bos.write(0x98); bos.write(0x80) } // 😀
+            if (k % 8 == 0) {
+              bos.write(0xF4); bos.write(0x90); bos.write(0x80); bos.write(0x80) } // U+110000
+            if (k % 9 == 0) { bos.write(0xE2); bos.write(0x82) } // truncated tail
+            (id, bos.toByteArray)
+          }
+        }.toDF("doc_id", "payload")
+      graft.operators.TextCodec.utf8Features(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      f AS (SELECT doc_id, k,
+                   30 + k AS na, k % 4 AS n2, k % 3 AS n3, k % 2 AS n4,
+                   CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS stray,
+                   CASE WHEN k % 6 = 0 THEN 1 ELSE 0 END AS over,
+                   CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS surr,
+                   CASE WHEN k % 8 = 0 THEN 1 ELSE 0 END AS beyond,
+                   CASE WHEN k % 9 = 0 THEN 1 ELSE 0 END AS trunc
+            FROM d)
+      SELECT doc_id,
+             CAST(na + n2 + n3 + n4 AS BIGINT) AS n_codepoints,
+             CAST(na AS BIGINT) AS n_ascii,
+             CAST(n2 AS BIGINT) AS n_2byte,
+             CAST(n3 AS BIGINT) AS n_3byte,
+             CAST(n4 AS BIGINT) AS n_4byte,
+             CAST(over AS BIGINT) AS n_overlong,
+             CAST(surr AS BIGINT) AS n_surrogate,
+             CAST(beyond AS BIGINT) AS n_beyond_max,
+             CAST(stray + trunc AS BIGINT) AS n_invalid,
+             CAST(na + 2 * n2 + 3 * n3 + 4 * n4 + stray + 2 * over
+                  + 3 * surr + 4 * beyond + 2 * trunc AS BIGINT) AS n_bytes
+      FROM f ORDER BY doc_id"""))
+
   // --------------------------------------------------------------- q369
 
   /** q369 — Opus packet TOC census: the per-PACKET layer under q367's
@@ -4188,5 +4254,5 @@ object DataQueries {
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
-    q364, q366, q367, q368, q369)
+    q364, q366, q367, q368, q369, q370)
 }
