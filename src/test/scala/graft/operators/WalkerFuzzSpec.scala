@@ -151,6 +151,21 @@ class WalkerFuzzSpec extends AnyFunSuite {
         rnd.nextBoolean(), if (rnd.nextBoolean()) 1 + rnd.nextInt(50) else 0,
         rnd.nextInt(200)),
       b => { val m = ZstdOps.parse(b); (m.nFrames.toLong + m.nSkippable, m.trailingBytes) }),
+    Fuzzed("utf8",
+      rnd => (1 to 20 + rnd.nextInt(60)).flatMap { _ =>
+        rnd.nextInt(4) match {
+          case 0 => Seq(rnd.nextInt(0x80))
+          case 1 => val c = 0x80 + rnd.nextInt(0x780)
+            Seq(0xC0 | (c >> 6), 0x80 | (c & 0x3F))
+          case 2 => val c0 = 0x800 + rnd.nextInt(0xF800)
+            val c = if (c0 >= 0xD800 && c0 <= 0xDFFF) 0xE000 else c0
+            Seq(0xE0 | (c >> 12), 0x80 | ((c >> 6) & 0x3F), 0x80 | (c & 0x3F))
+          case _ => val c = 0x10000 + rnd.nextInt(0x100000)
+            Seq(0xF0 | (c >> 18), 0x80 | ((c >> 12) & 0x3F),
+              0x80 | ((c >> 6) & 0x3F), 0x80 | (c & 0x3F))
+        }
+      }.map(_.toByte).toArray,
+      b => { val m = TextCodec.utf8Audit(b); (m.nCodepoints, 0L) }),
     // whole-input validating decoders: Option results — count is the
     // decoded unit count on Some, 0 on None; no trailing concept, and
     // append-stability does not apply (any malformation ⇒ None)

@@ -126,6 +126,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning"), plan) // only the sort's range partitioning
   }
 
+  test("q367–q370: the codec censuses are map-only — no payload byte shuffles") {
+    // Ogg codec ids, Opus TOC, zstd literals, UTF-8 validation: all
+    // one mapPartitions pass over per-doc synthesized payloads; the
+    // final orderBy is presentation (range partitioning only)
+    for (q <- Seq(DataQueries.q367, DataQueries.q369, DataQueries.q370)) {
+      val plan = physical(q)
+      assert(!plan.contains("Join"), s"${q.name}: $plan")
+      assert(!plan.contains("hashpartitioning"), s"${q.name}: $plan")
+    }
+    val plan368 = physical(DataQueries.q368)
+    assert(!plan368.contains("Join"), plan368)
+    assert(!plan368.contains("hashpartitioning"), plan368)
+  }
+
   test("q363: sorted-neighborhood has no WindowExec — rank comes from zipWithIndex") {
     // the classic implementation is a global row_number (single-partition
     // window = the anti-pattern); this plan must rank via the RDD path
