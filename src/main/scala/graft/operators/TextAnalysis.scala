@@ -99,4 +99,44 @@ object TextAnalysis {
     val hs = transform(tokens(text), t => Hashing.hash64(t).bitwiseAND(lit(p)))
     aggregate(hs, lit(0L), (acc, h) => (acc * 131 + h) % lit(p))
   }
+
+  /** Corpus-wide boilerplate-line removal (the C4/RefinedWeb line
+    * dedup): a line appearing in ≥ `minDocs` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, footers) and is stripped
+    * from every document; the cleaned text preserves the surviving
+    * lines' original order. Returns (idCol, n_lines, n_boiler,
+    * clean_text). Blank lines are kept verbatim and never counted —
+    * they would trivially "repeat" across the corpus.
+    *
+    * Scale shape: ONE line-frequency aggregation whose shuffle
+    * carries each distinct line once (map-side partial aggregation
+    * collapses the boilerplate repeats that motivate the pass — the
+    * hotter a line, the LESS it costs to count), then a join back
+    * that AQE converts to broadcast when the boilerplate set is small
+    * (it is, by definition: lines crossing a ≥minDocs bar). Per-doc
+    * reconstruction is a single groupBy collecting (pos, line)
+    * structs — order restored by array_sort, NOT by a window.
+    */
+  def stripBoilerplate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, minDocs: Long): org.apache.spark.sql.DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines
+      .filter(length(trim(col("line"))) > 0)
+      .groupBy("line")
+      .agg(count_distinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("line"), lit(1).as("_boiler"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(col("_boiler")).as("n_boiler"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_boiler").isNull, struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("clean_text"))
+  }
 }

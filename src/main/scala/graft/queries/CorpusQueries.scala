@@ -2541,7 +2541,66 @@ object CorpusQueries {
                   ELSE CAST(0 AS BIGINT) END AS max_entropy_micro_bits
       FROM tot t JOIN s ON s.source = t.source ORDER BY t.source"""))
 
+  // --------------------------------------------------------------- q371
+
+  /** q371 — corpus-wide boilerplate-line removal (the C4/RefinedWeb
+    * line dedup): lines appearing in ≥ minDocs DISTINCT documents are
+    * nav bars / cookie banners / footers and are stripped from every
+    * document, order-preserving. Per-doc texts are reshaped into
+    * lines (8-token chunks) with a planted nav line in every doc and
+    * a footer in every other doc; the operator must remove exactly
+    * the planted lines and reconstruct the content byte-for-byte
+    * (the oracle replays the whole pass, so even a freak content-line
+    * collision is replayed identically). Scale shape (see
+    * [[graft.operators.TextAnalysis.stripBoilerplate]]): the
+    * line-frequency shuffle carries each DISTINCT line once — the
+    * hotter the boilerplate, the less it costs to count — and the
+    * join-back is AQE-broadcastable because the boilerplate set is
+    * small by definition. Reconstruction is collect+array_sort, no
+    * window.
+    */
+  val q371 = Q("q371_boilerplate_lines",
+    (s, dir) => {
+      val k = col("doc_id") % 50
+      val content = expr("transform(sequence(0, CAST(ceil(size(split(trim(text), '\\\\s+')) / 8.0) AS INT) - 1), " +
+        "g -> array_join(slice(split(trim(text), '\\\\s+'), g * 8 + 1, 8), ' '))")
+      val withNav = concat(array(lit("NAV HOME ABOUT")), content)
+      val full = when(k % 2 === 0, concat(withNav, array(lit("COPYRIGHT FOOTER"))))
+        .otherwise(withNav)
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), array_join(full, "\n").as("text"))
+      graft.operators.TextAnalysis.stripBoilerplate(synth, "doc_id", "text", minDocs = 20L)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k,
+                        $duckTokens AS w
+                 FROM documents),
+      wi AS (SELECT doc_id, k, unnest(w) AS word,
+                    unnest(range(len(w))) AS i
+             FROM d),
+      lg AS (SELECT doc_id, k, i // 8 AS li,
+                    string_agg(word, ' ' ORDER BY i) AS line
+             FROM wi GROUP BY doc_id, k, li),
+      alll AS (
+        SELECT doc_id, 0 AS pos, 'NAV HOME ABOUT' AS line FROM d
+        UNION ALL
+        SELECT doc_id, CAST(li + 1 AS BIGINT) AS pos, line FROM lg
+        UNION ALL
+        SELECT doc_id, 1000000 AS pos, 'COPYRIGHT FOOTER' AS line
+        FROM d WHERE k % 2 = 0),
+      freq AS (SELECT line, count(DISTINCT doc_id) AS nd FROM alll GROUP BY line),
+      j AS (SELECT a.doc_id, a.pos, a.line,
+                   CASE WHEN f.nd >= 20 THEN 1 ELSE 0 END AS boiler
+            FROM alll a JOIN freq f ON a.line = f.line)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(boiler) AS BIGINT) AS n_boiler,
+             coalesce(string_agg(CASE WHEN boiler = 0 THEN line END,
+                                 chr(10) ORDER BY pos), '') AS clean_text
+      FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
-    q328, q331, q333, q334, q338, q343, q345, q349, q350, q354, q357, q359, q360)
+    q328, q331, q333, q334, q338, q343, q345, q349, q350, q354, q357, q359, q360, q371)
 }

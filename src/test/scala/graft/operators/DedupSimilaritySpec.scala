@@ -205,4 +205,31 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq.sorted == Seq((1L, 2L)))
   }
+
+  test("stripBoilerplate removes only corpus-hot lines, order-preserving") {
+    import spark.implicits._
+    // "ad" appears in all 3 docs (≥ minDocs 3); "footer" in 2 (< 3);
+    // blank lines are kept verbatim and never counted
+    val docs = Seq(
+      (1L, "alpha one\nad\nbeta two\n\nfooter"),
+      (2L, "ad\ngamma three\nfooter"),
+      (3L, "delta four\nad\nepsilon five")).toDF("id", "text")
+    val out = TextAnalysis.stripBoilerplate(docs, "id", "text", minDocs = 3L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 5L, 1L, "alpha one\nbeta two\n\nfooter")))
+    assert(out(1) == ((2L, 3L, 1L, "gamma three\nfooter")))
+    assert(out(2) == ((3L, 3L, 1L, "delta four\nepsilon five")))
+    // a doc that is ALL boilerplate cleans to the empty string
+    val all = Seq((1L, "ad"), (2L, "ad"), (3L, "ad")).toDF("id", "text")
+    val cleaned = TextAnalysis.stripBoilerplate(all, "id", "text", 3L)
+      .orderBy("id").collect()
+    assert(cleaned.forall(r => r.getLong(2) == 1L && r.getString(3) == ""))
+    // repeats WITHIN one doc don't cross the distinct-doc bar
+    val within = Seq(
+      (1L, "x\nx\nx\ny"), (2L, "y\nz")).toDF("id", "text")
+    val w = TextAnalysis.stripBoilerplate(within, "id", "text", 2L)
+      .orderBy("id").collect()
+    assert(w(0).getLong(2) == 1L && w(0).getString(3) == "x\nx\nx") // only y is hot
+  }
 }
