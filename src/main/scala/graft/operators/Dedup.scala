@@ -467,4 +467,38 @@ object Dedup {
       .withColumn("overlap_frac",
         round(col("n_overlap").cast("double") / col("n_grams"), 6))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS scheme): the distinct set of window-minimum k-gram hashes,
+    * one minimum per length-`w` window of the positional gram stream.
+    * The published GUARANTEE this buys over "every j-th gram" schemes:
+    * any shared substring of ≥ w+k−1 tokens contributes at least one
+    * IDENTICAL fingerprint to both documents, while expected density
+    * stays ~2/(w+1) — position-robust coverage at a fixed budget.
+    * Documents shorter than w grams keep their global minimum (the
+    * short-doc guarantee). Returns (idCol, h) — distinct per doc.
+    *
+    * Scale shape: the gram stream comes from the compiled
+    * `graft_shingle_hash_list` kernel (one md5 per gram); the window
+    * minimum partitions BY DOCUMENT (bounded partitions — a window
+    * over a key, never a global window); the distinct is the only
+    * corpus-wide shuffle and carries (id, long) pairs.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    graft.expressions.GraftExtensions.register(docs.sparkSession)
+    val grams = docs.select(col(idCol),
+      posexplode(call_function("graft_shingle_hash_list", col(textCol), lit(k)))
+        .as(Seq("pos", "h")))
+    val frame = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val winMin = grams
+      .withColumn("_wmin", min(col("h")).over(frame))
+      .withColumn("_cnt", count(lit(1)).over(frame))
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy(idCol)))
+    winMin
+      .filter(col("_cnt") === w || (col("pos") === 0 && col("_m") < w))
+      .select(col(idCol), col("_wmin").as("h"))
+      .distinct()
+  }
 }

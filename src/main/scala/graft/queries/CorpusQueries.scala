@@ -2600,7 +2600,81 @@ object CorpusQueries {
                                  chr(10) ORDER BY pos), '') AS clean_text
       FROM j GROUP BY doc_id ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q372
+
+  /** q372 — winnowing fingerprint census (Schleimer–Wilkerson–Aiken
+    * 2003, the MOSS scheme): per document, the distinct window-minimum
+    * 4-gram hashes over w=5 windows, then the corpus-wide sharing
+    * profile (how many fingerprints each doc shares with ANY other
+    * doc, and the hottest fingerprint's document frequency). The
+    * scheme's guarantee — any shared run of ≥ w+k−1 = 8 tokens puts at
+    * least one IDENTICAL fingerprint in both docs at ~2/(w+1) density
+    * — is what makes it the fixed-budget alternative to full-shingle
+    * overlap (q62) for plagiarism-style detection. The oracle replays
+    * the whole pass: same kernel hash arithmetic, same window minima,
+    * same sharing counts. Window partitions BY DOCUMENT (bounded);
+    * the fingerprint distinct + document-frequency groupBy are the
+    * only corpus-wide shuffles, both carrying (id, long) pairs.
+    */
+  val q372 = Q("q372_winnow_fingerprints",
+    (s, dir) => {
+      import graft.operators.Dedup
+      val docs = Tables.load(s, dir, "documents")
+      val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 5)
+      val fdf = fps.groupBy("h").agg(count_distinct(col("doc_id")).as("df"))
+      val grams = docs.select(col("doc_id"),
+        size(call_function("graft_shingle_hash_list", col("text"), lit(4)))
+          .cast("long").as("n_grams"))
+        .withColumn("n_windows",
+          greatest(col("n_grams") - lit(4), lit(1L)))
+      fps.join(fdf, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fingerprints"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared_fp"),
+          max(col("df")).as("max_df"))
+        .join(grams, "doc_id")
+        .select(col("doc_id"), col("n_grams"), col("n_windows"),
+          col("n_fingerprints"), col("n_shared_fp"), col("max_df"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      g AS (SELECT doc_id,
+              CASE WHEN len(w) < 4
+                   THEN [${duckHash64("array_to_string(w, ' ')")} & ${Dedup.MinhashP}]
+                   ELSE list_transform(range(1, len(w) - 2),
+                          i -> ${duckHash64("w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]")} & ${Dedup.MinhashP})
+              END AS gs
+            FROM t),
+      h AS (SELECT doc_id, unnest(range(len(gs))) AS pos, unnest(gs) AS h FROM g),
+      win AS (SELECT doc_id, pos, h,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin,
+                     count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS cnt,
+                     count(*) OVER (PARTITION BY doc_id) AS m
+              FROM h),
+      fps AS (SELECT DISTINCT doc_id, wmin
+              FROM win WHERE cnt = 5 OR (pos = 0 AND m < 5)),
+      fdf AS (SELECT wmin, count(DISTINCT doc_id) AS df FROM fps GROUP BY wmin),
+      stats AS (SELECT f.doc_id,
+                       count(*) AS n_fingerprints,
+                       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared_fp,
+                       max(df) AS max_df
+                FROM fps f JOIN fdf ON fdf.wmin = f.wmin
+                GROUP BY f.doc_id),
+      gl AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+                    CAST(greatest(len(gs) - 4, 1) AS BIGINT) AS n_windows
+             FROM g)
+      SELECT s.doc_id, gl.n_grams, gl.n_windows,
+             CAST(n_fingerprints AS BIGINT) AS n_fingerprints,
+             CAST(n_shared_fp AS BIGINT) AS n_shared_fp,
+             CAST(max_df AS BIGINT) AS max_df
+      FROM stats s JOIN gl ON gl.doc_id = s.doc_id
+      ORDER BY s.doc_id"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
-    q328, q331, q333, q334, q338, q343, q345, q349, q350, q354, q357, q359, q360, q371)
+    q328, q331, q333, q334, q338, q343, q345, q349, q350, q354, q357, q359, q360, q371,
+    q372)
 }

@@ -232,4 +232,33 @@ class DedupSimilaritySpec extends SparkSpec {
       .orderBy("id").collect()
     assert(w(0).getLong(2) == 1L && w(0).getString(3) == "x\nx\nx") // only y is hot
   }
+
+  test("winnowing: the w+k-1 shared-run guarantee and the short-doc fallback") {
+    import spark.implicits._
+    def fpsOf(docs: Seq[(Long, String)]): Map[Long, Set[Long]] =
+      Dedup.winnowFingerprints(docs.toDF("id", "text"), "id", "text", k = 4, w = 5)
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+    // k=4, w=5: any shared run of ≥ w+k-1 = 8 tokens guarantees a
+    // shared fingerprint — plant an 8-token run at DIFFERENT offsets
+    // inside otherwise-disjoint documents
+    val run = "one two three four five six seven eight"
+    val m = fpsOf(Seq(
+      (1L, s"aa bb cc $run dd ee"),
+      (2L, s"zz yy $run xx ww vv uu tt")))
+    assert((m(1L) & m(2L)).nonEmpty, "the ≥(w+k-1)-token shared run MUST share a fingerprint")
+    // density: fingerprints ≤ windows, and far fewer than grams on
+    // repetitive-free text (expected ~2/(w+1) of windows)
+    val longDoc = (1 to 200).map(i => s"t${i * 7 % 97}").mkString(" ")
+    val f = fpsOf(Seq((1L, longDoc)))(1L)
+    assert(f.size <= 197 - 4 && f.size >= 2)
+    // a doc shorter than w grams keeps its GLOBAL minimum (exactly one fp)
+    val short = fpsOf(Seq((1L, "a b c d e"))) // 2 grams < w
+    assert(short(1L).size == 1)
+    val tiny = fpsOf(Seq((1L, "a b"))) // < k tokens: one whole-text gram
+    assert(tiny(1L).size == 1)
+    // disjoint docs share nothing
+    val dis = fpsOf(Seq((1L, "p q r s t u v w"), (2L, "f g h i j k l m")))
+    assert((dis(1L) & dis(2L)).isEmpty)
+  }
 }
