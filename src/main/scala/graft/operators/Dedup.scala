@@ -487,16 +487,25 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int, w: Int): DataFrame = {
     graft.expressions.GraftExtensions.register(docs.sparkSession)
-    val grams = docs.select(col(idCol),
-      posexplode(call_function("graft_shingle_hash_list", col(textCol), lit(k)))
-        .as(Seq("pos", "h")))
+    winnowFromGrams(
+      docs.select(col(idCol),
+        posexplode(call_function("graft_shingle_hash_list", col(textCol), lit(k)))
+          .as(Seq("pos", "h"))),
+      idCol, w)
+  }
+
+  /** [[winnowFingerprints]] over an ALREADY-HASHED positional gram
+    * stream (idCol, pos, h) — callers that also need per-doc gram
+    * counts hash the corpus ONCE and feed both consumers from the
+    * same relation instead of paying the md5-per-gram kernel twice.
+    */
+  def winnowFromGrams(grams: DataFrame, idCol: String, w: Int): DataFrame = {
     val frame = Window.partitionBy(idCol).orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
-    val winMin = grams
+    grams
       .withColumn("_wmin", min(col("h")).over(frame))
       .withColumn("_cnt", count(lit(1)).over(frame))
       .withColumn("_m", count(lit(1)).over(Window.partitionBy(idCol)))
-    winMin
       .filter(col("_cnt") === w || (col("pos") === 0 && col("_m") < w))
       .select(col(idCol), col("_wmin").as("h"))
       .distinct()

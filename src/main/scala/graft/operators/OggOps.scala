@@ -253,8 +253,8 @@ object OggOps {
     var nStreams = 0; var nOpus = 0; var nVorbis = 0; var nFlac = 0; var nOther = 0
     var codecId = CodecOther; var channels = 0; var sampleRate = 0L; var preSkip = 0
     var lastGranule = 0L
-    val pos = walkPages(bytes) { (hType, g, _, _, payloadOff, payloadLen) =>
-      if (g != -1L) lastGranule = g
+    var firstSerial = 0; var haveFirst = false
+    val pos = walkPages(bytes) { (hType, g, serial, _, payloadOff, payloadLen) =>
       if ((hType & 0x02) != 0) {
         nStreams += 1
         val (c, ch, sr, ps) = classify(bytes, payloadOff, payloadLen)
@@ -264,8 +264,16 @@ object OggOps {
           case CodecFlac => nFlac += 1
           case _ => nOther += 1
         }
-        if (nStreams == 1) { codecId = c; channels = ch; sampleRate = sr; preSkip = ps }
+        if (nStreams == 1) {
+          codecId = c; channels = ch; sampleRate = sr; preSkip = ps
+          firstSerial = serial; haveFirst = true
+        }
       }
+      // the duration clock must be the FIRST stream's granule — in a
+      // multiplexed/chained file another stream's final page carries a
+      // granule in a DIFFERENT unit (e.g. Vorbis sample ticks), and
+      // (wrongGranule − preSkip)/48 is a number from the wrong clock
+      if (haveFirst && serial == firstSerial && g != -1L) lastGranule = g
     }
     val opusMs =
       if (codecId == CodecOpus) math.max(0L, lastGranule - preSkip) / 48 else 0L
@@ -370,13 +378,20 @@ object OggOps {
       nMalformed: Int,      // empty audio packets, c==3 without/with bad count byte
       trailingBytes: Long)
 
+  // precomputed per-call-free lookup: opusFrameDurationUs runs once per
+  // audio packet inside mapPartitions over the whole corpus — a Seq
+  // allocation per call is pure garbage pressure in the innermost loop
+  private val SilkDurUs = Array(10000L, 20000L, 40000L, 60000L)
+  private val HybridDurUs = Array(10000L, 20000L)
+  private val CeltDurUs = Array(2500L, 5000L, 10000L, 20000L)
+
   /** Frame duration in µs for a TOC config (RFC 6716 §3.1 Table 2):
     * SILK configs step 10/20/40/60 ms, hybrid 10/20, CELT 2.5/5/10/20.
     */
   def opusFrameDurationUs(config: Int): Long =
-    if (config < 12) Seq(10000L, 20000L, 40000L, 60000L)(config % 4)
-    else if (config < 16) Seq(10000L, 20000L)(config % 2)
-    else Seq(2500L, 5000L, 10000L, 20000L)(config % 4)
+    if (config < 12) SilkDurUs(config % 4)
+    else if (config < 16) HybridDurUs(config % 2)
+    else CeltDurUs(config % 4)
 
   /** Walk the FIRST logical stream's packets and census the audio
     * TOCs. Packet assembly is pure lacing arithmetic — no codec
@@ -386,9 +401,17 @@ object OggOps {
     * malformed. Frames per packet: code 0 → 1, codes 1–2 → 2, code
     * 3 → the count byte. Pages of other serials are skipped whole
     * (multiplexed files census their primary stream).
+    *
+    * Stop-don't-guess gate: the first stream's BOS packet must
+    * classify as OpusHead (RFC 7845 §3 puts the id header alone on
+    * the first page). A non-Opus stream — or an id header the page
+    * cannot hold whole — makes every audio packet count as MALFORMED
+    * instead of reading Vorbis/FLAC packet bytes as Opus TOCs, which
+    * would yield confident garbage mode/duration statistics.
     */
   def opusTocCensus(bytes: Array[Byte]): OpusTocMeta = {
     var serial = -1; var haveSerial = false
+    var isOpus = false
     var packetIdx = 0
     var carryLen = 0L        // bytes of a packet continued from prior pages
     var carryHead = -1       // its first byte (TOC candidate), -1 if len 0 so far
@@ -400,7 +423,7 @@ object OggOps {
       packetIdx += 1
       if (packetIdx <= 2) return // OpusHead + OpusTags
       nAudio += 1
-      if (len < 1 || head < 0) { nMalformed += 1; return }
+      if (!isOpus || len < 1 || head < 0) { nMalformed += 1; return }
       val config = head >> 3
       val stereo = (head >> 2) & 1
       val code = head & 3
@@ -421,8 +444,11 @@ object OggOps {
       frames += nf
       durUs += nf * opusFrameDurationUs(config)
     }
-    val pos = walkPages(bytes) { (hType, _, pageSerial, nSegs, payloadOff, _) =>
-      if (!haveSerial && (hType & 0x02) != 0) { serial = pageSerial; haveSerial = true }
+    val pos = walkPages(bytes) { (hType, _, pageSerial, nSegs, payloadOff, payloadLen) =>
+      if (!haveSerial && (hType & 0x02) != 0) {
+        serial = pageSerial; haveSerial = true
+        isOpus = classify(bytes, payloadOff, payloadLen)._1 == CodecOpus
+      }
       if (haveSerial && pageSerial == serial) {
         // a continuation bit NOT set while a packet is open means the
         // prior page's packet was silently dropped — close it malformed
@@ -435,12 +461,13 @@ object OggOps {
         var si = 0
         while (si < nSegs) {
           val lace = bytes(tableOff + si) & 0xff
-          if (lace > 0) {
-            if (carryHead < 0) carryHead = bytes(cursor) & 0xff
-            else if (carrySecond < 0 && carryLen >= 1)
-              carrySecond = bytes(cursor) & 0xff
-            if (carrySecond < 0 && lace > 1 && carryLen == 0)
-              carrySecond = bytes(cursor + 1) & 0xff
+          // TOC + count byte always live in the packet's FIRST chunk:
+          // a packet only continues past a chunk via a 255 lacing
+          // value, so any multi-chunk packet has ≥255 bytes there —
+          // no cross-chunk byte capture exists
+          if (lace > 0 && carryHead < 0) {
+            carryHead = bytes(cursor) & 0xff
+            if (lace > 1) carrySecond = bytes(cursor + 1) & 0xff
           }
           carryLen += lace
           cursor += lace

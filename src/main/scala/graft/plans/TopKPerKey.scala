@@ -81,6 +81,9 @@ final case class TopKPerKeyExec(
     // production-sized; the conf exists so a spec can shrink it and
     // prove the flush path fires while results stay exact
     val maxKeys = conf.getConfString("spark.graft.topk.maxKeys", (1 << 18).toString).toInt
+    // 0/negative would make the partial flush on EVERY new key — the
+    // OOM guard silently degenerating to a shuffle-everything cliff
+    require(maxKeys > 0, s"spark.graft.topk.maxKeys must be positive, got $maxKeys")
     child.execute().mapPartitions ({ iter =>
       val groupProj = UnsafeProjection.create(gExprs, childOutput)
       val ordering =

@@ -2619,12 +2619,20 @@ object CorpusQueries {
   val q372 = Q("q372_winnow_fingerprints",
     (s, dir) => {
       import graft.operators.Dedup
-      val docs = Tables.load(s, dir, "documents")
-      val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 5)
+      graft.expressions.GraftExtensions.register(s)
+      // hash the corpus ONCE (md5 per gram is the dominant per-row
+      // cost): the lazily-checkpointed relation feeds both the
+      // winnowing pass and the per-doc gram counts
+      val hashed = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          call_function("graft_shingle_hash_list", col("text"), lit(4)).as("gs"))
+        .localCheckpoint(false)
+      val fps = Dedup.winnowFromGrams(
+        hashed.select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "h"))),
+        "doc_id", w = 5)
       val fdf = fps.groupBy("h").agg(count_distinct(col("doc_id")).as("df"))
-      val grams = docs.select(col("doc_id"),
-        size(call_function("graft_shingle_hash_list", col("text"), lit(4)))
-          .cast("long").as("n_grams"))
+      val grams = hashed.select(col("doc_id"),
+        size(col("gs")).cast("long").as("n_grams"))
         .withColumn("n_windows",
           greatest(col("n_grams") - lit(4), lit(1L)))
       fps.join(fdf, "h")

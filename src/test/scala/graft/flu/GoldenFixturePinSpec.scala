@@ -43,8 +43,10 @@ class GoldenFixturePinSpec extends AnyFunSuite {
   }
 
   test("no extra or missing files in the golden directory") {
-    val present = Files.list(Paths.get(goldenDir)).toArray.map(_.toString)
-      .map(p => Paths.get(p).getFileName.toString).toSet
+    val stream = Files.list(Paths.get(goldenDir))
+    val present =
+      try stream.toArray.map(p => Paths.get(p.toString).getFileName.toString).toSet
+      finally stream.close()
     assert(present == pinned.keySet,
       s"golden dir contents $present != pinned set ${pinned.keySet}")
   }

@@ -243,6 +243,35 @@ class OggOpsSpec extends AnyFunSuite {
     assert(mDrop.nCelt == 1 && mDrop.durationUs == 5000L)
   }
 
+  test("TOC census refuses to read non-Opus packets as TOCs (review finding)") {
+    // a Vorbis stream's packets must NOT be interpreted as Opus TOCs —
+    // confident garbage mode/duration stats are worse than malformed
+    val s = OggOps.encodeSyntheticPackets(Seq(
+      (2, 0L, OggOps.vorbisIdPacket(2, 44100L)),
+      (0, 0L, Array.fill(12)(3.toByte)),
+      (4, 88200L, Array(((1 << 3) | 0).toByte, 9, 9))))
+    val m = OggOps.opusTocCensus(s)
+    assert(m.nAudioPackets == 1 && m.nMalformed == 1)
+    assert(m.nSilk + m.nHybrid + m.nCelt == 0 && m.durationUs == 0)
+  }
+
+  test("codecMeta's duration clock ignores OTHER streams' granules (review finding)") {
+    // first stream Opus (48 kHz ticks); a second Vorbis stream's final
+    // page carries granule 44100 in SAMPLE ticks — it must not leak
+    // into opusDurationMs
+    val head = OggOps.opusHeadPacket(2, 312, 48000L)
+    val pages = Seq(
+      OggOps.encodePage(2, 0L, 0x11, 0, OggOps.lacingFor(head.length), head),
+      OggOps.encodePage(2, 0L, 0x22, 0,
+        OggOps.lacingFor(30), OggOps.vorbisIdPacket(2, 44100L)),
+      OggOps.encodePage(4, 4800L, 0x11, 1, OggOps.lacingFor(3), Array[Byte](1, 2, 3)),
+      OggOps.encodePage(4, 44100L, 0x22, 1, OggOps.lacingFor(2), Array[Byte](4, 5)))
+    val m = OggOps.codecMeta(pages.flatten.toArray)
+    assert(m.nStreams == 2 && m.codecId == OggOps.CodecOpus)
+    assert(m.opusDurationMs == (4800 - 312) / 48,
+      s"duration ${m.opusDurationMs} leaked the Vorbis stream's 44100-tick clock")
+  }
+
   test("encodeSyntheticPackets lacing round-trips packets ≥ 255 bytes") {
     // 255-multiple payloads need the terminal 0 lacing value; the page
     // census and the codec walk must agree on the payload mass
