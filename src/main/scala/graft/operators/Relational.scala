@@ -82,6 +82,46 @@ object Relational {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Fact-scale ordered PREFIX SUM: `cumCol` = running total of
+    * `valueCol` (a LONG column) in the given total order — the
+    * primitive behind budget-constrained selection ("take documents
+    * best-first until the token budget is spent"). The classic
+    * formulation is `sum(v) OVER (ORDER BY …)` — a partition-less
+    * window that funnels EVERY row through one task. This one sorts,
+    * then runs the two-phase carry: per-partition partial sums (one
+    * Long per partition to the driver — bounded state), exclusive
+    * offsets broadcast back, one streaming pass per partition. Same
+    * answer on 32 threads and 1000 executors; no single-partition
+    * stage anywhere. The order must be TOTAL (include a tiebreak) or
+    * the prefix sums are not well-defined.
+    */
+  def orderedPrefixSum(df: DataFrame, valueCol: String, cumCol: String,
+                       order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    // materialize the sorted layout once: both passes below read the
+    // SAME partitioning (re-running a sort lazily twice would also be
+    // correct under a total order, but pays the shuffle twice)
+    val sorted = df.orderBy(order: _*).localCheckpoint(false)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val partials = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partials.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(cumCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = bc.value(i)
+      it.map { r => s += r.getLong(vIdx); org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s) }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   /** Extend a categorical dictionary with a new batch WITHOUT moving
     * any existing code — the property that keeps embedding-table rows,
     * serialized features, and downstream checkpoints valid across

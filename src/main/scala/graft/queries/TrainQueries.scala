@@ -1578,7 +1578,54 @@ object TrainQueries {
       FROM cnt c JOIN fin f ON f.shard = c.shard
       ORDER BY c.shard"""))
 
+  // --------------------------------------------------------------- q373
+
+  /** q373 — token-budget greedy selection: take documents best-first
+    * (lexical-diversity score, tiebreak doc_id) until a global token
+    * budget — a quarter of the corpus — is spent; emit the selected
+    * set with each doc's running total. This is the data-selection
+    * step between scoring (q33 quality, q89 DSIR) and apportionment
+    * (q184 Hamilton quotas): a GLOBAL cumulative sum in score order.
+    * The classic plan is `sum(tok) OVER (ORDER BY score)` — a
+    * partition-less window funneling the corpus through ONE task; the
+    * engine's [[graft.operators.Relational.orderedPrefixSum]] instead
+    * sorts and runs a two-phase carry (per-partition partials → one
+    * Long each to the driver → exclusive offsets broadcast back), so
+    * no single-partition stage exists (PlanSpec pins no-Window). The
+    * score is integer arithmetic (distinct·10⁶ div tokens) so both
+    * engines order identically; the oracle replays with a window —
+    * correct at oracle scale, the very plan the operator replaces.
+    */
+  val q373 = Q("q373_budget_selection",
+    (s, dir) => {
+      import graft.operators.{Relational, TextAnalysis}
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.distinctTokenCount(col("text")).cast("long").as("_nd"))
+        .withColumn("score", expr("_nd * 1000000 div n_tokens"))
+        .drop("_nd")
+      val budget = scored.agg(expr("sum(n_tokens) div 4").as("_budget"))
+      Relational.orderedPrefixSum(scored, "n_tokens", "cum_tokens",
+        col("score").desc, col("doc_id").asc)
+        .crossJoin(broadcast(budget))
+        .filter(col("cum_tokens") <= col("_budget"))
+        .select(col("doc_id"), col("n_tokens"), col("score"), col("cum_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      sc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                    CAST(len(list_distinct(w)) * 1000000 // len(w) AS BIGINT) AS score
+             FROM t),
+      c AS (SELECT doc_id, n_tokens, score,
+                   sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum_tokens
+            FROM sc),
+      b AS (SELECT sum(n_tokens) // 4 AS bb FROM sc)
+      SELECT doc_id, n_tokens, score, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      FROM c, b WHERE cum_tokens <= bb ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     q88, q89, q90, q91, q184, q300, q303, q304, q305, q330, q341, q342,
-    q347, q348)
+    q347, q348, q373)
 }

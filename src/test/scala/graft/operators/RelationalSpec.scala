@@ -122,4 +122,26 @@ class RelationalSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(d3 == Map("web" -> 1L, "wiki" -> 2L, "arxiv" -> 3L, "code" -> 4L))
   }
+
+  test("orderedPrefixSum equals the window route and is partition-invariant") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (i, (i * 7919) % 100 + 1)) // (id, value)
+    val expected = rows.sortBy { case (id, v) => (-v, id) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, v)) => (id, v, cum + v) }
+      .drop(1).map { case (id, v, cum) => (id, v, cum) }
+    for (p <- Seq(1, 3, 17)) {
+      val df = rows.toDF("id", "v").repartition(p)
+      val got = Relational.orderedPrefixSum(df, "v", "cum",
+        col("v").desc, col("id").asc)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(got.toSeq == expected.sortBy(_._1), s"partitions=$p")
+    }
+    // empty input and a single row are well-defined
+    assert(Relational.orderedPrefixSum(
+      Seq.empty[(Long, Long)].toDF("id", "v"), "v", "cum", col("id")).count() == 0)
+    val one = Relational.orderedPrefixSum(
+      Seq((5L, 42L)).toDF("id", "v"), "v", "cum", col("id")).collect()
+    assert(one.head.getLong(2) == 42L)
+  }
 }

@@ -140,6 +140,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan368.contains("hashpartitioning"), plan368)
   }
 
+  test("q373: budget selection has no WindowExec — the global cumsum is the two-phase carry") {
+    // `sum(tok) OVER (ORDER BY score)` would funnel the corpus through
+    // ONE task; orderedPrefixSum's per-partition carry must leave no
+    // window anywhere in the plan
+    val plan = physical(graft.queries.TrainQueries.q373)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("q363: sorted-neighborhood has no WindowExec — rank comes from zipWithIndex") {
     // the classic implementation is a global row_number (single-partition
     // window = the anti-pattern); this plan must rank via the RDD path
