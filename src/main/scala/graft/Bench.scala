@@ -180,14 +180,18 @@ object Bench {
         (ts(1), if (ts(1) > 0) (ts(2) - ts(0)) / ts(1) else 0.0)
       }
       // per-block load canary: the SAME data-independent CPU job as
-      // calib_sec, run single-shot immediately before each A/B block and
-      // stamped next to it. A block whose canary exceeds 1.25x the
-      // quiet floor carries <block>_flagged = 1 — the A/B numbers in
-      // that block were taken under load and must not be read as a
-      // design comparison.
+      // calib_sec, run immediately before each A/B block and stamped
+      // next to it. A block whose canary exceeds 1.25x the quiet floor
+      // carries <block>_flagged = 1 — the A/B numbers in that block
+      // were taken under load and must not be read as a design
+      // comparison. Best-of-2, not single-shot: a lone GC/JIT
+      // transient between blocks otherwise stamps a quiet host as
+      // loaded (measured: 0.34 s single-shot on a 0.08-floor host),
+      // and a spurious flag dilutes the real ones. Sustained external
+      // load inflates BOTH runs, so the flag still fires when it must.
       val CalibFloorSec = 0.080 // quiet-host floor (BASELINE.md)
-      def blockCalib(): Double =
-        sec(spark.range(0L, 200000000L, 1L, spark.sparkContext.defaultParallelism)
+      def blockCalib(): Double = best2(
+        spark.range(0L, 200000000L, 1L, spark.sparkContext.defaultParallelism)
           .select(bit_xor(xxhash64(col("id")))).collect())
       val blockStamps = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       def stampBlock(name: String): Unit = {
