@@ -170,6 +170,7 @@ object Bench {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
       def best2(f: => Unit): Double = math.min(sec(f), sec(f))
+      def best3(f: => Unit): Double = Seq(sec(f), sec(f), sec(f)).min
       // median-of-3 with a dispersion field — every pairwise A/B
       // comparison uses this so a loaded host shows up as DISPERSION in
       // the record instead of silently inverting the claim the pair
@@ -189,8 +190,25 @@ object Bench {
       // loaded (measured: 0.34 s single-shot on a 0.08-floor host),
       // and a spurious flag dilutes the real ones. Sustained external
       // load inflates BOTH runs, so the flag still fires when it must.
-      val CalibFloorSec = 0.080 // quiet-host floor (BASELINE.md)
-      def blockCalib(): Double = best2(
+      // Quiet-host floor (BASELINE.md), measured at local[32]. The
+      // canary job is embarrassingly parallel (2e8 hashes, one task per
+      // core), so its wall time scales ~1/threads: a CPUS=8 smoke run
+      // reads ~4x the 32-thread floor on an idle host. Scale the floor
+      // by the actual parallelism so flags mean "external load", not
+      // "fewer threads than the record config".
+      val CalibFloorSec =
+        0.080 * (32.0 / math.max(1, spark.sparkContext.defaultParallelism))
+      // The canary exists to detect EXTERNAL host load, but run right
+      // after a shuffle-heavy block it also inherits the JVM's own GC
+      // debt (r11 quiet record: cc_chain32 stamped 0.149 on a 0.097
+      // host — a false flag on the very scale evidence the block
+      // exists to certify). Best-of-3, not an explicit System.gc():
+      // a forced full collection empirically INFLATES the next canary
+      // (measured 0.126 vs 0.095 on the same quiet host — G1's
+      // follow-up concurrent work steals cores), while a third run
+      // costs ~0.1 s and outlasts any single GC/JIT transient.
+      // Sustained external load inflates all three and still flags.
+      def blockCalib(): Double = best3(
         spark.range(0L, 200000000L, 1L, spark.sparkContext.defaultParallelism)
           .select(bit_xor(xxhash64(col("id")))).collect())
       val blockStamps = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
