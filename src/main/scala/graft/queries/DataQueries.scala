@@ -4249,10 +4249,122 @@ object DataQueries {
              CAST(0 AS BIGINT) AS trailing_bytes
       FROM d ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q374
+
+  /** q374 — WebP container census: the dominant modern web-image
+    * format, closing the image-triage family next to PNG/JPEG/BMP/GIF
+    * decode (q174+) and the RIFF/AVI walk (q179).
+    * [[graft.operators.WebpOps.parse]] reads the closed-form layer —
+    * RIFF framing, VP8 key-frame tag + 14-bit dims behind the 0x9D012A
+    * start code, VP8L packed dims/alpha/version bits, VP8X flags +
+    * 24-bit canvas, per-ANMF 16-byte frame headers — with zero
+    * arithmetic/LZ77 decoding (the entropy payloads stay counted,
+    * never guessed). Stop-don't-guess: the RIFF size field is
+    * authoritative, oversize chunk declarations stop the walk at the
+    * offending chunk (subtraction-form bounds), truncated containers
+    * and broken start codes are `valid = 0`, never dims invented.
+    * Per-doc synthetic containers derive every parameter from doc_id,
+    * so the oracle recomputes the census closed-form — a round-trip
+    * proof. Malformed classes (6-byte cut, RIFF flip, start-code zero)
+    * spec-pinned in WebpOpsSpec; fuzz targets in WalkerFuzzSpec.
+    * Map-only, zero shuffles.
+    */
+  val q374 = Q("q374_webp_census",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = graft.operators.WebpOps
+            val base = (id % 3) match {
+              case 0 => w.encodeLossy(16 + (id % 50).toInt, 16 + (id % 37).toInt,
+                5 + (id % 10), 2 * (id % 5).toInt)
+              case 1 => w.encodeLossless(16 + (id % 50).toInt, 16 + (id % 37).toInt,
+                id % 7 == 0, 1 + 2 * (id % 4).toInt)
+              case _ => w.encodeExtendedAnim(32 + (id % 100).toInt, 32 + (id % 80).toInt,
+                alpha = id % 7 == 0, exif = id % 4 == 0, icc = id % 5 == 0,
+                xmp = id % 6 == 0,
+                frames = Seq.fill(1 + (id % 3).toInt)(
+                  (40L + (id % 7) * 10, 1 + 2 * (id % 3).toInt)))
+            }
+            val out =
+              if (id % 17 == 0) base.take(6)
+              else if (id % 19 == 0) { val c = base.clone(); c(0) = (c(0) ^ 0xFF).toByte; c }
+              else if (id % 23 == 0 && id % 3 == 0) {
+                // zero the first VP8 start-code byte (offset 12 RIFF hdr
+                // + 8 chunk hdr + 3 frame tag)
+                val c = base.clone(); c(23) = 0x00.toByte; c
+              } else base
+            (id, out)
+          }
+        }.toDF("doc_id", "payload")
+      graft.operators.WebpOps.webpFeatures(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id AS k,
+               doc_id % 3 AS kind3,
+               16 + (doc_id % 50) AS lw, 16 + (doc_id % 37) AS lh,
+               5 + (doc_id % 10) AS part,
+               32 + (doc_id % 100) AS ew, 32 + (doc_id % 80) AS eh,
+               CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS alpha,
+               CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS exif,
+               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS icc,
+               CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS xmp,
+               1 + (doc_id % 3) AS nf,
+               40 + (doc_id % 7) * 10 AS dur
+        FROM documents),
+      t AS (
+        SELECT *,
+               CASE kind3
+                 WHEN 0 THEN 30 + 2 * (k % 5)
+                 WHEN 1 THEN 26 + 2 * (k % 4)
+                 ELSE 44 + icc * 16 + exif * 16 + xmp * 16
+                      + nf * (38 + 2 * (k % 3))
+               END AS total,
+               (k % 17 = 0) AS cut,
+               (k % 17 <> 0 AND k % 19 = 0) AS flip,
+               (k % 17 <> 0 AND k % 19 <> 0 AND k % 23 = 0 AND k % 3 = 0) AS badsc
+        FROM p)
+      SELECT k AS doc_id,
+             CAST(CASE WHEN cut OR flip OR badsc THEN 0 ELSE 1 END AS BIGINT) AS valid,
+             CASE WHEN cut OR flip THEN 'other'
+                  WHEN kind3 = 0 THEN 'lossy'
+                  WHEN kind3 = 1 THEN 'lossless'
+                  ELSE 'extended' END AS kind,
+             CAST(CASE WHEN cut OR flip OR badsc THEN 0
+                  WHEN kind3 = 2 THEN ew ELSE lw END AS BIGINT) AS width,
+             CAST(CASE WHEN cut OR flip OR badsc THEN 0
+                  WHEN kind3 = 2 THEN eh ELSE lh END AS BIGINT) AS height,
+             CAST(CASE WHEN cut OR flip OR kind3 = 0 THEN 0
+                  ELSE alpha END AS BIGINT) AS has_alpha,
+             CAST(CASE WHEN cut OR flip OR kind3 <> 2 THEN 0 ELSE 1 END AS BIGINT)
+               AS has_anim,
+             CAST(CASE WHEN cut OR flip OR badsc THEN 0
+                  WHEN kind3 = 2 THEN nf ELSE 1 END AS BIGINT) AS n_frames,
+             CAST(CASE WHEN cut OR flip OR kind3 <> 2 THEN 0
+                  ELSE nf * dur END AS BIGINT) AS duration_ms,
+             CAST(CASE WHEN cut OR flip OR kind3 <> 2 THEN 0 ELSE exif END AS BIGINT)
+               AS has_exif,
+             CAST(CASE WHEN cut OR flip OR kind3 <> 2 THEN 0 ELSE icc END AS BIGINT)
+               AS has_icc,
+             CAST(CASE WHEN cut OR flip OR kind3 <> 2 THEN 0 ELSE xmp END AS BIGINT)
+               AS has_xmp,
+             CAST(CASE WHEN cut OR flip THEN 0
+                  WHEN kind3 <> 2 THEN 1
+                  ELSE 2 + icc + exif + xmp + nf END AS BIGINT) AS n_chunks,
+             CAST(CASE WHEN cut OR flip OR kind3 <> 0 THEN 0
+                  ELSE part END AS BIGINT) AS lossy_part_bytes,
+             CAST(CASE WHEN cut THEN 6 WHEN flip THEN total ELSE 0 END AS BIGINT)
+               AS trailing_bytes
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
-    q364, q366, q367, q368, q369, q370)
+    q364, q366, q367, q368, q369, q370, q374)
 }

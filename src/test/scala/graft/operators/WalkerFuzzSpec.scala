@@ -166,6 +166,17 @@ class WalkerFuzzSpec extends AnyFunSuite {
         }
       }.map(_.toByte).toArray,
       b => { val m = TextCodec.utf8Audit(b); (m.nCodepoints, 0L) }),
+    Fuzzed("webp",
+      rnd => rnd.nextInt(3) match {
+        case 0 => WebpOps.encodeLossy(1 + rnd.nextInt(1000), 1 + rnd.nextInt(1000),
+          rnd.nextInt(100000).toLong, rnd.nextInt(200))
+        case 1 => WebpOps.encodeLossless(1 + rnd.nextInt(16384), 1 + rnd.nextInt(16384),
+          rnd.nextBoolean(), rnd.nextInt(200))
+        case _ => WebpOps.encodeExtendedAnim(1 + rnd.nextInt(2000), 1 + rnd.nextInt(2000),
+          rnd.nextBoolean(), rnd.nextBoolean(), rnd.nextBoolean(), rnd.nextBoolean(),
+          (0 until 1 + rnd.nextInt(4)).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(80))))
+      },
+      b => { val m = WebpOps.parse(b); (m.nChunks.toLong, m.trailingBytes) }),
     // whole-input validating decoders: Option results — count is the
     // decoded unit count on Some, 0 on None; no trailing concept, and
     // append-stability does not apply (any malformation ⇒ None)
