@@ -1116,7 +1116,87 @@ object ScaleQueries {
       FROM ex CROSS JOIN est"""
     })
 
+  // --------------------------------------------------------------- q375
+
+  /** q375 — HyperLogLog cardinality audit (Flajolet et al. 2007): the
+    * mergeable register sketch behind every COUNT(DISTINCT) at 100 TB,
+    * audited against truth the way q365 audits count-min. Per group
+    * (l_returnflag), every key hashes to a 60-bit value (the affine
+    * md5 family the oracle replays verbatim); the low 12 bits pick one
+    * of m=4096 registers, the remaining 48 bits' leading-zero count +1
+    * is ρ, and each register keeps max ρ — ONE map-side-combined
+    * groupBy into ≤ 3·4096 cells, mergeable across any partitioning
+    * (1000 executors sketch locally and union by max). The harmonic
+    * sum Σ 2^−M_j is accumulated EXACTLY: each term is scaled to the
+    * integer 2^(49−M_j) (ρ ≤ 49 ⇒ no fraction), absent registers
+    * contribute 2⁴⁹ each, so `s_scaled` is order-independent and
+    * engine-portable; only the final α·m²/S division (and the
+    * small-range linear-counting branch m·ln(m/V), the q57-proven ln
+    * recipe) happens in doubles, with IDENTICAL expression text both
+    * sides. The exact side is the per-key distinct shuffle the sketch
+    * exists to avoid — run here precisely to measure the estimator.
+    */
+  val q375 = Q("q375_hll_audit",
+    (s, dir) => {
+      val reg = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_orderkey").as("k"))
+        .selectExpr("flag",
+          "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h")
+        .selectExpr("flag", "h % 4096 AS j", "h div 4096 AS w")
+        .selectExpr("flag", "j",
+          "CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END AS rho")
+        .groupBy("flag", "j").agg(max("rho").as("m_j"))
+      val agg = reg.groupBy("flag").agg(
+        count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m_j AS INT))"))
+          .as("s_present"))
+      val exact = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(countDistinct("l_orderkey").as("n_exact"))
+      exact.join(broadcast(agg), "flag")
+        .selectExpr("flag", "n_exact",
+          "CAST(4096 - n_present AS BIGINT) AS v_zero",
+          "s_present + (4096 - n_present) * 562949953421312 AS s_scaled")
+        .selectExpr("flag", "n_exact", "v_zero", "s_scaled",
+          """round(0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+            | * 562949953421312.0 / CAST(s_scaled AS DOUBLE), 4) AS est_raw"""
+            .stripMargin)
+        .selectExpr("flag", "n_exact", "v_zero", "s_scaled", "est_raw",
+          """round(CASE WHEN est_raw <= 10240.0 AND v_zero > 0
+            | THEN 4096.0 * ln(4096.0 / CAST(v_zero AS DOUBLE))
+            | ELSE est_raw END, 4) AS est_hll""".stripMargin)
+        .orderBy("flag")
+    },
+    Some("""
+      WITH keys AS (SELECT l_returnflag AS flag, l_orderkey AS k FROM lineitem),
+      h AS (SELECT flag,
+              CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM keys),
+      r AS (SELECT flag, h % 4096 AS j, h // 4096 AS w FROM h),
+      reg AS (SELECT flag, j,
+                max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS m_j
+              FROM r GROUP BY 1, 2),
+      agg AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_present,
+                     sum(CAST(1 AS BIGINT) << CAST(49 - m_j AS INT)) AS s_present
+              FROM reg GROUP BY 1),
+      ex AS (SELECT flag, CAST(count(DISTINCT k) AS BIGINT) AS n_exact
+             FROM keys GROUP BY 1),
+      j1 AS (SELECT ex.flag, n_exact,
+                    CAST(4096 - n_present AS BIGINT) AS v_zero,
+                    CAST(s_present + (4096 - n_present) * 562949953421312 AS BIGINT)
+                      AS s_scaled
+             FROM ex JOIN agg ON ex.flag = agg.flag),
+      j2 AS (SELECT *,
+                    round(0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                      * 562949953421312.0 / CAST(s_scaled AS DOUBLE), 4) AS est_raw
+             FROM j1)
+      SELECT flag, n_exact, v_zero, s_scaled, est_raw,
+             round(CASE WHEN est_raw <= 10240.0 AND v_zero > 0
+                   THEN 4096.0 * ln(4096.0 / CAST(v_zero AS DOUBLE))
+                   ELSE est_raw END, 4) AS est_hll
+      FROM j2 ORDER BY flag"""))
+
   val all: Seq[Q] = Seq(q92, q93, q94, q95, q96, q97, q98, q99, q100,
     q101, q102, q103, q104, q105, q106, q119, q120, q121, q122, q200, q225,
-    q365)
+    q365, q375)
 }

@@ -1017,4 +1017,61 @@ class NewOpsReplaySpec extends SparkSpec {
     assert(f2Est >= f2Exact)
     assert(overMicro == (BigInt(f2Est - f2Exact) * 1000000 / f2Exact).toLong)
   }
+
+  test("q375: HLL registers replay exactly and the estimate lands within 5 sigma") {
+    val out = rows(ScaleQueries.q375.fn(spark, sf))
+    assert(out.nonEmpty)
+    val data = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for (row <- out) {
+      val flag = row(0).asInstanceOf[String]
+      val nExact = row(1).asInstanceOf[Long]
+      val vZero = row(2).asInstanceOf[Long]
+      val sScaled = row(3).asInstanceOf[Long]
+      val estHll = row(5).asInstanceOf[Double]
+      val ks = data.filter(_._1 == flag).map(_._2)
+      assert(nExact == ks.distinct.length.toLong)
+      // replay registers with the same md5-prefix hash
+      val regs = new Array[Int](4096)
+      ks.foreach { k =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(k.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        val j = (h % 4096).toInt
+        val w = h / 4096
+        val rho = if (w == 0) 49 else 49 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(j)) regs(j) = rho
+      }
+      assert(vZero == regs.count(_ == 0).toLong, s"$flag v_zero")
+      val s = regs.map(m => 1L << (49 - m)).sum
+      assert(sScaled == s, s"$flag s_scaled $sScaled vs $s")
+      // HLL standard error is 1.04/sqrt(4096) ~ 1.63%; 5 sigma bound
+      assert(math.abs(estHll - nExact) <= 5 * 0.0163 * nExact,
+        s"$flag estimate $estHll vs exact $nExact")
+    }
+    // mergeability: max-merging per-partition register arrays equals the
+    // single-pass sketch (the property that lets 1000 executors sketch
+    // locally and union by max)
+    val ks = data.map(_._2)
+    def sketch(xs: Array[Long]): Array[Int] = {
+      val r = new Array[Int](4096)
+      xs.foreach { k =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(k.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        val j = (h % 4096).toInt
+        val w = h / 4096
+        val rho = if (w == 0) 49 else 49 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > r(j)) r(j) = rho
+      }
+      r
+    }
+    val whole = sketch(ks)
+    val merged = ks.grouped(math.max(1, ks.length / 7)).map(g => sketch(g.toArray))
+      .reduce((x, y) => x.zip(y).map { case (p, q) => math.max(p, q) })
+    assert(whole.toSeq == merged.toSeq)
+  }
 }
