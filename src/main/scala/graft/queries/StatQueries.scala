@@ -2511,7 +2511,99 @@ object StatQueries {
       ORDER BY w_packed"""
     })
 
+  // --------------------------------------------------------------- q376
+
+  /** q376 — Kolmogorov–Smirnov two-sample test WITH significance, on
+    * the scale path: the unbounded-axis companion to q125. q125's KS
+    * distance windows its cumulative over a provably BOUNDED value
+    * table (quality scores quantized into [0,1]); here the axis is raw
+    * n_chars — unbounded cardinality in general — so the cumulative
+    * must not ride a partition-less window at all. Per distinct x, the
+    * signed step c₁·n₂ − c₂·n₁ accumulates in x-order through
+    * [[graft.operators.Relational.orderedPrefixSum]] (two-phase carry:
+    * per-partition partials → one Long each to the driver → exclusive
+    * offsets broadcast back — q373's operator), and D_num = max |cum|
+    * with D = D_num/(n₁·n₂) exact. What q125 doesn't report at all:
+    * the asymptotic p-value (Kolmogorov series, 100 terms), following
+    * the house float discipline — λ from IEEE-exact sqrt/mul/div with
+    * identical expression text both engines, each series term
+    * exp(−2k²λ²) quantized to 1e9 integers BEFORE the signed sum.
+    *
+    * Scale shape: the only corpus-sized shuffle is the groupBy on
+    * distinct x (map-side combined); everything after runs on the
+    * distinct-value relation, orders of magnitude smaller.
+    */
+  val q376 = Q("q376_ks_two_sample",
+    (s, dir) => {
+      val g = Tables.load(s, dir, "documents")
+        .selectExpr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g",
+          "n_chars AS x")
+      val counts = g.groupBy("x")
+        .agg(sum("g").as("c1"), sum(expr("1 - g")).as("c2"))
+      val tot = g.agg(sum("g").as("n1"), sum(expr("1 - g")).as("n2"))
+      val delta = counts.crossJoin(broadcast(tot))
+        .selectExpr("x", "c1 * n2 - c2 * n1 AS delta", "n1", "n2")
+      val cum = graft.operators.Relational
+        .orderedPrefixSum(delta, "delta", "cum", col("x"))
+      cum.groupBy("n1", "n2").agg(max(abs(col("cum"))).as("d_num"))
+        .withColumn("lam", expr(
+          """(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+            | / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) + 0.12
+            | + 0.11 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+            | / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+            | * (CAST(d_num AS DOUBLE)
+            | / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))""".stripMargin))
+        .withColumn("k", explode(expr("sequence(1, 100)")))
+        .withColumn("tq", expr(
+          "CAST(round(exp(-2.0 * k * k * lam * lam) * 1000000000.0) AS BIGINT)"))
+        .groupBy("n1", "n2", "d_num", "lam")
+        .agg(sum(expr("CASE WHEN k % 2 = 1 THEN tq ELSE -tq END")).as("sq"))
+        .selectExpr("n1", "n2", "d_num",
+          """round(CAST(d_num AS DOUBLE)
+            | / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_stat"""
+            .stripMargin,
+          "round(lam, 6) AS lambda_stat",
+          """round(least(1.0, greatest(0.0,
+            | 2.0 * CAST(sq AS DOUBLE) / 1000000000.0)), 6) AS p_value"""
+            .stripMargin)
+        .orderBy("n1")
+    },
+    Some("""
+      WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g,
+                        n_chars AS x FROM documents),
+      c AS (SELECT x, CAST(SUM(g) AS BIGINT) AS c1,
+                   CAST(SUM(1 - g) AS BIGINT) AS c2 FROM d GROUP BY x),
+      t AS (SELECT CAST(SUM(g) AS BIGINT) AS n1,
+                   CAST(SUM(1 - g) AS BIGINT) AS n2 FROM d),
+      cum AS (SELECT x, n1, n2,
+                     CAST(sum(c1 * n2 - c2 * n1) OVER (ORDER BY x) AS BIGINT) AS cum
+              FROM c CROSS JOIN t),
+      m AS (SELECT max(n1) AS n1, max(n2) AS n2,
+                   CAST(max(abs(cum)) AS BIGINT) AS d_num FROM cum),
+      l AS (SELECT *,
+              (sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) + 0.12
+                + 0.11 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+                * (CAST(d_num AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS lam
+            FROM m),
+      s AS (SELECT n1, n2, d_num, lam,
+                   CAST(SUM(CASE WHEN k % 2 = 1 THEN tq ELSE -tq END) AS BIGINT) AS sq
+            FROM (SELECT l.*, r.k,
+                         CAST(round(exp(-2.0 * k * k * lam * lam)
+                           * 1000000000.0) AS BIGINT) AS tq
+                  FROM l, (SELECT range AS k FROM range(1, 101)) r)
+            GROUP BY 1, 2, 3, 4)
+      SELECT n1, n2, d_num,
+             round(CAST(d_num AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_stat,
+             round(lam, 6) AS lambda_stat,
+             round(least(1.0, greatest(0.0,
+               2.0 * CAST(sq AS DOUBLE) / 1000000000.0)), 6) AS p_value
+      FROM s ORDER BY n1"""))
+
   val all: Seq[Q] = Seq(q107, q108, q109, q110, q111, q112, q113, q115, q116, q117,
     q123, q124, q125, q190, q191, q192, q198, q199, q202, q203, q207, q209, q210,
-    q211, q214, q216, q217, q218, q222, q223, q226, q234, q295, q306, q308)
+    q211, q214, q216, q217, q218, q222, q223, q226, q234, q295, q306, q308, q376)
 }

@@ -1074,4 +1074,33 @@ class NewOpsReplaySpec extends SparkSpec {
       .reduce((x, y) => x.zip(y).map { case (p, q) => math.max(p, q) })
     assert(whole.toSeq == merged.toSeq)
   }
+
+  test("q376: KS statistic replays against a direct ECDF sup-difference") {
+    val out = rows(StatQueries.q376.fn(spark, sf)).head
+    val n1 = out(0).asInstanceOf[Long]
+    val n2 = out(1).asInstanceOf[Long]
+    val dNum = out(2).asInstanceOf[Long]
+    val dStat = out(3).asInstanceOf[Double]
+    val pValue = out(5).asInstanceOf[Double]
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("n_chars"))
+      .collect().map(r => (r.getString(0) == "en", r.getLong(1)))
+    val s1 = docs.filter(_._1).map(_._2).sorted
+    val s2 = docs.filterNot(_._1).map(_._2).sorted
+    assert(n1 == s1.length.toLong && n2 == s2.length.toLong)
+    // direct sup over the union of observed values, as exact integers
+    val want = (s1 ++ s2).distinct.map { v =>
+      val c1 = s1.count(_ <= v).toLong; val c2 = s2.count(_ <= v).toLong
+      math.abs(c1 * n2 - c2 * n1)
+    }.max
+    assert(dNum == want, s"$dNum vs $want")
+    assert(math.abs(dStat - want.toDouble / (n1 * n2)) < 1e-6)
+    assert(pValue >= 0.0 && pValue <= 1.0)
+    // self-comparison sanity: equal samples give D = 0 in the same math
+    val self = s1.distinct.map { v =>
+      val c = s1.count(_ <= v).toLong
+      math.abs(c * n1 - c * n1)
+    }.max
+    assert(self == 0L)
+  }
 }

@@ -148,6 +148,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q376: KS ECDFs have no WindowExec — the cumulative comes from the two-phase carry") {
+    // `sum(delta) OVER (ORDER BY x)` would funnel every distinct value
+    // through one task; the KS cumulative must ride orderedPrefixSum
+    val plan = physical(graft.queries.StatQueries.q376)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("q363: sorted-neighborhood has no WindowExec — rank comes from zipWithIndex") {
     // the classic implementation is a global row_number (single-partition
     // window = the anti-pattern); this plan must rank via the RDD path
