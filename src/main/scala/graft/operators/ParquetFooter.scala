@@ -1,0 +1,378 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Parquet footer census — the storage format this very engine (and
+  * every corpus distribution from HF to internal lakes) ships data
+  * in, audited at the byte level the way a fleet triages shards
+  * before ever scheduling a scan: row counts, schema width, row-group
+  * layout, and the per-column-chunk codec mix, all read straight from
+  * the FileMetaData footer without touching a single data page.
+  *
+  * Layout (apache/parquet-format): `"PAR1" · data pages · FileMetaData
+  * (Thrift Compact Protocol) · u32le footer length · "PAR1"`. The
+  * footer walk needs NO page decoding — Thrift compact is a
+  * closed-form wire format:
+  *
+  *   - varint (ULEB128, ≤10 bytes) and zigzag-varint integers;
+  *   - struct fields as `(fieldIdDelta << 4) | type` headers (long
+  *     form: type byte + zigzag field id) terminated by 0x00;
+  *   - lists as `(size << 4) | elemType` (size 15 ⇒ varint follows);
+  *   - maps as varint size + one key/value-type byte;
+  *   - binary/string as varint length + bytes; doubles 8 bytes;
+  *     bools carry their value in the type nibble.
+  *
+  * The walker is GENERIC — every field it does not target is skipped
+  * structurally (recursive, depth-capped), which is what lets the
+  * same code read a real Spark/pyarrow footer full of statistics,
+  * offset indexes, and logical-type annotations (pinned against
+  * /root/testdata files in ParquetFooterSpec) and the synthetic
+  * minimal footers the q377 oracle replays closed-form.
+  *
+  * Targeted FileMetaData fields (parquet-format/src/main/thrift/
+  * parquet.thrift): 1 version, 2 schema (SchemaElement: field 1
+  * physical type marks a LEAF, field 4 name), 3 num_rows,
+  * 4 row_groups (RowGroup: 1 columns, 2 total_byte_size, 3 num_rows;
+  * ColumnChunk: 3 meta_data; ColumnMetaData: 4 codec), 6 created_by.
+  *
+  * Fail-closed contract (house rules): footer length validated in
+  * subtraction form against the buffer; varints capped at 10 bytes;
+  * recursion capped at depth 24; declared binary/list/map sizes
+  * checked against the remaining footer span before any skip (each
+  * element costs ≥1 byte, so `size > end − pos` is malformed); ANY
+  * violation yields `valid = 0` with every census field zeroed —
+  * never a half-guessed count.
+  */
+object ParquetFooter {
+
+  final case class FooterMeta(
+      valid: Int,
+      version: Long,
+      numRows: Long,        // FileMetaData.num_rows
+      nSchema: Int,         // SchemaElement count (incl. the root group)
+      nLeaves: Int,         // elements carrying a physical type
+      nRowGroups: Int,
+      nColumnChunks: Int,
+      totalByteSize: Long,  // Σ RowGroup.total_byte_size
+      rgNumRows: Long,      // Σ RowGroup.num_rows (≡ numRows when consistent)
+      createdByLen: Int,
+      nUncompressed: Int,   // codec 0
+      nSnappy: Int,         // codec 1
+      nGzip: Int,           // codec 2
+      nZstd: Int,           // codec 6
+      nOtherCodec: Int,
+      footerLen: Long,      // declared thrift length (not oracle-gated)
+      dataBytes: Long)      // bytes between the magics minus the footer
+
+  private object Malformed extends Exception with scala.util.control.NoStackTrace
+
+  private val MaxDepth = 24
+
+  private final class Reader(val b: Array[Byte], var pos: Int, val end: Int) {
+    def u8(): Int = {
+      if (pos >= end) throw Malformed
+      val v = b(pos) & 0xff; pos += 1; v
+    }
+    /** ULEB128, ≤10 bytes (64-bit range). */
+    def varint(): Long = {
+      var shift = 0; var out = 0L; var i = 0
+      while (i < 10) {
+        val v = u8()
+        out |= (v & 0x7fL) << shift
+        if ((v & 0x80) == 0) return out
+        shift += 7; i += 1
+      }
+      throw Malformed
+    }
+    def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1) }
+    def skip(n: Long): Unit = {
+      // subtraction form: n may be a 64-bit attacker value
+      if (n < 0 || n > end - pos) throw Malformed
+      pos += n.toInt
+    }
+  }
+
+  /** Skip one value of `tpe` without interpreting it. */
+  private def skipValue(r: Reader, tpe: Int, depth: Int): Unit = {
+    if (depth > MaxDepth) throw Malformed
+    tpe match {
+      case 1 | 2 =>            // bool as a list element: one byte
+        r.skip(1)
+      case 3 => r.skip(1)      // i8
+      case 4 | 5 | 6 => r.varint() // i16/i32/i64 (zigzag payload, same bytes)
+      case 7 => r.skip(8)      // double
+      case 8 => r.skip(r.varint()) // binary/string
+      case 9 | 10 =>           // list / set
+        val (size, elemType) = listHeader(r)
+        var i = 0L
+        while (i < size) { skipValue(r, elemType, depth + 1); i += 1 }
+      case 11 =>               // map
+        val size = r.varint()
+        if (size < 0 || size > r.end - r.pos) throw Malformed
+        if (size > 0) {
+          val kv = r.u8()
+          var i = 0L
+          while (i < size) {
+            skipValue(r, (kv >> 4) & 0xF, depth + 1)
+            skipValue(r, kv & 0xF, depth + 1)
+            i += 1
+          }
+        }
+      case 12 =>               // struct: skip all fields
+        walkStruct(r, depth + 1)((_, _) => false)
+      case _ => throw Malformed
+    }
+  }
+
+  private def listHeader(r: Reader): (Long, Int) = {
+    val h = r.u8()
+    val elemType = h & 0xF
+    val short = (h >> 4) & 0xF
+    val size = if (short == 15) r.varint() else short.toLong
+    // each element costs ≥1 byte (bools included)
+    if (size < 0 || size > r.end - r.pos) throw Malformed
+    (size, elemType)
+  }
+
+  /** Walk one struct's fields; `onField(id, tpe)` returns true iff it
+    * consumed the value (bool fields carry their value in `tpe` and
+    * never need consuming).
+    */
+  private def walkStruct(r: Reader, depth: Int)(onField: (Int, Int) => Boolean): Unit = {
+    if (depth > MaxDepth) throw Malformed
+    var fieldId = 0
+    var continue = true
+    while (continue) {
+      val h = r.u8()
+      if (h == 0) continue = false
+      else {
+        val tpe = h & 0xF
+        val delta = (h >> 4) & 0xF
+        fieldId = if (delta != 0) fieldId + delta else {
+          val id = r.zigzag()
+          if (id < Short.MinValue || id > Short.MaxValue) throw Malformed
+          id.toInt
+        }
+        if (tpe == 1 || tpe == 2) { onField(fieldId, tpe); () } // bool: no payload
+        else if (!onField(fieldId, tpe)) skipValue(r, tpe, depth + 1)
+      }
+    }
+  }
+
+  private val Invalid = FooterMeta(0, 0L, 0L, 0, 0, 0, 0, 0L, 0L, 0, 0, 0, 0, 0, 0, 0L, 0L)
+
+  def parse(bytes: Array[Byte]): FooterMeta = {
+    val n = bytes.length
+    def magicAt(p: Int): Boolean =
+      bytes(p) == 'P' && bytes(p + 1) == 'A' && bytes(p + 2) == 'R' && bytes(p + 3) == '1'
+    if (n < 12 || !magicAt(0) || !magicAt(n - 4)) return Invalid
+    val footerLen = (bytes(n - 8) & 0xffL) | ((bytes(n - 7) & 0xffL) << 8) |
+      ((bytes(n - 6) & 0xffL) << 16) | ((bytes(n - 5) & 0xffL) << 24)
+    // footer must fit between the magics (subtraction form)
+    if (footerLen > n.toLong - 12) return Invalid
+    val start = n - 8 - footerLen.toInt
+    try {
+      val r = new Reader(bytes, start, n - 8)
+      var version = 0L; var numRows = 0L
+      var nSchema = 0; var nLeaves = 0
+      var nRgs = 0; var nChunks = 0
+      var totalBytes = 0L; var rgRows = 0L
+      var createdByLen = 0
+      val codecCounts = new Array[Int](8)
+      var nOther = 0
+
+      walkStruct(r, 0) { (id, tpe) =>
+        (id, tpe) match {
+          case (1, 5) => version = r.zigzag(); true
+          case (2, 9) => // schema: list<SchemaElement>
+            val (size, elemType) = listHeader(r)
+            if (elemType != 12) throw Malformed
+            var i = 0L
+            while (i < size) {
+              nSchema += 1
+              walkStruct(r, 1) { (fid, ftpe) =>
+                if (fid == 1 && ftpe == 5) { r.zigzag(); nLeaves += 1; true }
+                else false
+              }
+              i += 1
+            }
+            true
+          case (3, 6) => numRows = r.zigzag(); true
+          case (4, 9) => // row_groups: list<RowGroup>
+            val (size, elemType) = listHeader(r)
+            if (elemType != 12) throw Malformed
+            var i = 0L
+            while (i < size) {
+              nRgs += 1
+              walkStruct(r, 1) { (fid, ftpe) =>
+                (fid, ftpe) match {
+                  case (1, 9) => // columns: list<ColumnChunk>
+                    val (csize, ctype) = listHeader(r)
+                    if (ctype != 12) throw Malformed
+                    var c = 0L
+                    while (c < csize) {
+                      nChunks += 1
+                      walkStruct(r, 2) { (cid, ctpe) =>
+                        if (cid == 3 && ctpe == 12) { // meta_data
+                          walkStruct(r, 3) { (mid, mtpe) =>
+                            if (mid == 4 && mtpe == 5) { // codec enum
+                              val codec = r.zigzag()
+                              if (codec >= 0 && codec < 8) codecCounts(codec.toInt) += 1
+                              else nOther += 1
+                              true
+                            } else false
+                          }
+                          true
+                        } else false
+                      }
+                      c += 1
+                    }
+                    true
+                  case (2, 6) => totalBytes += r.zigzag(); true
+                  case (3, 6) => rgRows += r.zigzag(); true
+                  case _ => false
+                }
+              }
+              i += 1
+            }
+            true
+          case (6, 8) =>
+            val len = r.varint()
+            r.skip(len)
+            createdByLen = len.toInt
+            true
+          case _ => false
+        }
+      }
+      FooterMeta(1, version, numRows, nSchema, nLeaves, nRgs, nChunks,
+        totalBytes, rgRows, createdByLen,
+        codecCounts(0), codecCounts(1), codecCounts(2), codecCounts(6),
+        codecCounts(3) + codecCounts(4) + codecCounts(5) + codecCounts(7) + nOther,
+        footerLen, n.toLong - 12 - footerLen)
+    } catch {
+      case Malformed => Invalid
+      case _: ArrayIndexOutOfBoundsException => Invalid
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Thrift compact writer + synthetic footer (tests and the q377 oracle)
+
+  final class Writer {
+    private val buf = new java.io.ByteArrayOutputStream()
+    def bytes: Array[Byte] = buf.toByteArray
+    def u8(v: Int): Writer = { buf.write(v & 0xff); this }
+    def varint(v0: Long): Writer = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { buf.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      buf.write(v.toInt); this
+    }
+    def zigzag(v: Long): Writer = varint((v << 1) ^ (v >> 63))
+    def raw(b: Array[Byte]): Writer = { buf.write(b); this }
+    /** Field header with delta encoding (callers pass ascending ids). */
+    def field(lastId: Int, id: Int, tpe: Int): Writer = {
+      val delta = id - lastId
+      if (delta >= 1 && delta <= 15) u8((delta << 4) | tpe)
+      else { u8(tpe); zigzag(id.toLong) }
+    }
+    def stop(): Writer = u8(0)
+    def listHeader(size: Int, elemType: Int): Writer =
+      if (size < 15) u8((size << 4) | elemType)
+      else { u8(0xF0 | elemType); varint(size.toLong) }
+    def binary(b: Array[Byte]): Writer = { varint(b.length.toLong); raw(b) }
+    def str(s: String): Writer = binary(s.getBytes("UTF-8"))
+  }
+
+  /** Minimal-but-real FileMetaData: one root group + `colNames.size`
+    * leaves, `nRowGroups` row groups of `rowsPerGroup` rows and
+    * `bytesPerGroup` total_byte_size each, per-column codecs from
+    * `codecOf` (applied identically in every row group).
+    */
+  def encodeFooter(version: Int, colNames: Seq[String], nRowGroups: Int,
+      rowsPerGroup: Long, bytesPerGroup: Long, codecOf: Int => Int,
+      createdBy: String): Array[Byte] = {
+    val w = new Writer
+    w.field(0, 1, 5).zigzag(version.toLong)
+    // schema: root (name + num_children) then one leaf per column
+    w.field(1, 2, 9).listHeader(1 + colNames.size, 12)
+    locally {
+      val root = w
+      root.field(0, 4, 8).str("schema")
+      root.field(4, 5, 5).zigzag(colNames.size.toLong)
+      root.stop()
+    }
+    colNames.zipWithIndex.foreach { case (name, i) =>
+      w.field(0, 1, 5).zigzag((i % 3).toLong) // physical type: marks a leaf
+      w.field(1, 3, 5).zigzag(1L)             // repetition: OPTIONAL
+      w.field(3, 4, 8).str(name)
+      w.stop()
+    }
+    w.field(2, 3, 6).zigzag(nRowGroups * rowsPerGroup)
+    w.field(3, 4, 9).listHeader(nRowGroups, 12)
+    (0 until nRowGroups).foreach { _ =>
+      w.field(0, 1, 9).listHeader(colNames.size, 12) // columns
+      colNames.indices.foreach { c =>
+        w.field(0, 2, 6).zigzag(4L) // file_offset
+        w.field(2, 3, 12)           // meta_data struct
+        w.field(0, 1, 5).zigzag((c % 3).toLong)          // type
+        w.field(1, 2, 9).listHeader(1, 5); w.zigzag(3L)  // encodings [PLAIN..]
+        w.field(2, 3, 9).listHeader(1, 8); w.str(colNames(c)) // path_in_schema
+        w.field(3, 4, 5).zigzag(codecOf(c).toLong)       // codec
+        w.field(4, 5, 6).zigzag(rowsPerGroup)            // num_values
+        w.field(5, 6, 6).zigzag(bytesPerGroup)           // total_uncompressed
+        w.field(6, 7, 6).zigzag(bytesPerGroup)           // total_compressed
+        w.stop()                                         // ColumnMetaData
+        w.stop()                                         // ColumnChunk
+      }
+      w.field(1, 2, 6).zigzag(bytesPerGroup) // total_byte_size
+      w.field(2, 3, 6).zigzag(rowsPerGroup)  // num_rows
+      w.stop()                               // RowGroup
+    }
+    w.field(4, 6, 8).str(createdBy)
+    w.stop() // FileMetaData
+    w.bytes
+  }
+
+  /** Whole synthetic file: magic · filler data · footer · len · magic. */
+  def encodeSynthetic(version: Int, colNames: Seq[String], nRowGroups: Int,
+      rowsPerGroup: Long, bytesPerGroup: Long, codecOf: Int => Int,
+      createdBy: String, dataFiller: Int): Array[Byte] = {
+    val footer = encodeFooter(version, colNames, nRowGroups, rowsPerGroup,
+      bytesPerGroup, codecOf, createdBy)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("PAR1".getBytes("US-ASCII"))
+    out.write(Array.tabulate(dataFiller)(i => ((i * 13 + 7) & 0xff).toByte))
+    out.write(footer)
+    val len = footer.length
+    out.write(Array((len & 0xff).toByte, ((len >> 8) & 0xff).toByte,
+      ((len >> 16) & 0xff).toByte, ((len >> 24) & 0xff).toByte))
+    out.write("PAR1".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  /** Census DataFrame over (id, parquet-bytes) — map-only, zero
+    * shuffles. footer_len/data_bytes stay out of the projection: they
+    * depend on varint widths no SQL oracle should re-derive.
+    */
+  def footerFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = parse(bytes)
+          (id, m.valid.toLong, m.version, m.numRows, m.nSchema.toLong,
+            m.nLeaves.toLong, m.nRowGroups.toLong, m.nColumnChunks.toLong,
+            m.totalByteSize, m.rgNumRows, m.createdByLen.toLong,
+            m.nUncompressed.toLong, m.nSnappy.toLong, m.nGzip.toLong,
+            m.nZstd.toLong, m.nOtherCodec.toLong)
+        }
+      }
+      .toDF(idCol, "valid", "version", "num_rows", "n_schema", "n_leaves",
+        "n_row_groups", "n_column_chunks", "total_byte_size", "rg_num_rows",
+        "created_by_len", "n_uncompressed", "n_snappy", "n_gzip", "n_zstd",
+        "n_other_codec")
+  }
+}

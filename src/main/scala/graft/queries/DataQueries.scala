@@ -4361,10 +4361,102 @@ object DataQueries {
                AS trailing_bytes
       FROM t ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q377
+
+  /** q377 — Parquet footer census: the storage format this engine
+    * itself scans, triaged at the byte level before any page decode.
+    * [[graft.operators.ParquetFooter.parse]] walks the Thrift Compact
+    * Protocol FileMetaData behind the trailing magic — version, schema
+    * width (leaves = elements with a physical type), row-group layout,
+    * Σ total_byte_size, and the per-column-chunk codec mix — with
+    * every untargeted field skipped STRUCTURALLY (recursive,
+    * depth-capped, subtraction-form bounds), which is what lets the
+    * same walker read real Spark/pyarrow footers (pinned against
+    * /root/testdata files in ParquetFooterSpec) and these synthetic
+    * minimal footers whose parameters all derive from doc_id, so the
+    * oracle recomputes the census closed-form — a round-trip proof.
+    * Malformed classes (cut tail magic, huge footer-length field,
+    * invalid first field header) spec-pinned; fuzz target in
+    * WalkerFuzzSpec. Map-only, zero shuffles. footer_len/data_bytes
+    * stay out of the projection — they depend on varint widths no SQL
+    * oracle should re-derive.
+    */
+  val q377 = Q("q377_parquet_footer_census",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val nCols = 1 + (id % 4).toInt
+            val base = graft.operators.ParquetFooter.encodeSynthetic(
+              version = 2,
+              colNames = (0 until nCols).map(c => s"c$c"),
+              nRowGroups = 1 + (id % 3).toInt,
+              rowsPerGroup = 100 + id % 50,
+              bytesPerGroup = 1000 + id % 100,
+              codecOf = c => ((id + c) % 8).toInt,
+              createdBy = s"graft-${id % 10}",
+              dataFiller = (id % 20).toInt)
+            val out =
+              if (id % 17 == 0) base.dropRight(3)
+              else if (id % 19 == 0) {
+                val c = base.clone()
+                for (i <- c.length - 8 until c.length - 4) c(i) = 0xFF.toByte
+                c
+              } else if (id % 23 == 0) {
+                val c = base.clone(); c(4 + (id % 20).toInt) = 0xFF.toByte; c
+              } else base
+            (id, out)
+          }
+        }.toDF("doc_id", "payload")
+      graft.operators.ParquetFooter.footerFeatures(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some {
+      def codecCount(pred: String): String =
+        (0 to 3).map(c =>
+          s"CASE WHEN $c < ncols AND (k + $c) % 8 $pred THEN 1 ELSE 0 END")
+          .mkString(" + ")
+      s"""
+      WITH p AS (
+        SELECT doc_id AS k,
+               1 + (doc_id % 4) AS ncols,
+               1 + (doc_id % 3) AS nrgs,
+               100 + (doc_id % 50) AS rpg,
+               1000 + (doc_id % 100) AS bpg,
+               (doc_id % 17 = 0 OR doc_id % 19 = 0 OR doc_id % 23 = 0) AS bad
+        FROM documents)
+      SELECT k AS doc_id,
+             CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS valid,
+             CAST(CASE WHEN bad THEN 0 ELSE 2 END AS BIGINT) AS version,
+             CAST(CASE WHEN bad THEN 0 ELSE nrgs * rpg END AS BIGINT) AS num_rows,
+             CAST(CASE WHEN bad THEN 0 ELSE 1 + ncols END AS BIGINT) AS n_schema,
+             CAST(CASE WHEN bad THEN 0 ELSE ncols END AS BIGINT) AS n_leaves,
+             CAST(CASE WHEN bad THEN 0 ELSE nrgs END AS BIGINT) AS n_row_groups,
+             CAST(CASE WHEN bad THEN 0 ELSE nrgs * ncols END AS BIGINT)
+               AS n_column_chunks,
+             CAST(CASE WHEN bad THEN 0 ELSE nrgs * bpg END AS BIGINT)
+               AS total_byte_size,
+             CAST(CASE WHEN bad THEN 0 ELSE nrgs * rpg END AS BIGINT) AS rg_num_rows,
+             CAST(CASE WHEN bad THEN 0 ELSE 7 END AS BIGINT) AS created_by_len,
+             CAST(CASE WHEN bad THEN 0 ELSE nrgs * (${codecCount("= 0")}) END
+               AS BIGINT) AS n_uncompressed,
+             CAST(CASE WHEN bad THEN 0 ELSE nrgs * (${codecCount("= 1")}) END
+               AS BIGINT) AS n_snappy,
+             CAST(CASE WHEN bad THEN 0 ELSE nrgs * (${codecCount("= 2")}) END
+               AS BIGINT) AS n_gzip,
+             CAST(CASE WHEN bad THEN 0 ELSE nrgs * (${codecCount("= 6")}) END
+               AS BIGINT) AS n_zstd,
+             CAST(CASE WHEN bad THEN 0 ELSE nrgs * (${codecCount("IN (3, 4, 5, 7)")}) END
+               AS BIGINT) AS n_other_codec
+      FROM p ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
-    q364, q366, q367, q368, q369, q370, q374)
+    q364, q366, q367, q368, q369, q370, q374, q377)
 }

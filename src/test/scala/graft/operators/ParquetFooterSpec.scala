@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Parquet footer walker — the real-world pin first (every testdata
+  * file was written by a REAL parquet writer, full of statistics,
+  * logical types, and long-form field ids the synthetic fixtures
+  * never exercise), then synthetic round-trips and one test per
+  * malformed class.
+  */
+class ParquetFooterSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("real footers: every testdata table's census matches the engine's own read") {
+    for (t <- Seq("lineitem", "documents", "events", "nation", "embeddings")) {
+      val path = s"$sf/$t.parquet"
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val m = ParquetFooter.parse(bytes)
+      assert(m.valid == 1, s"$t footer did not parse")
+      val df = spark.read.parquet(path)
+      assert(m.numRows == df.count(), s"$t num_rows")
+      assert(m.rgNumRows == m.numRows, s"$t row-group rows vs file rows")
+      // leaf count = primitive column paths; an ARRAY<primitive> field
+      // is one leaf under two extra group nodes (parquet 3-level lists)
+      def leaves(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+        case s: org.apache.spark.sql.types.StructType => s.fields.map(f => leaves(f.dataType)).sum
+        case a: org.apache.spark.sql.types.ArrayType => leaves(a.elementType)
+        case _ => 1
+      }
+      assert(m.nLeaves == leaves(df.schema), s"$t leaf count")
+      assert(m.nSchema > m.nLeaves, s"$t schema elements include group nodes")
+      assert(m.nRowGroups >= 1)
+      assert(m.nColumnChunks == m.nRowGroups * m.nLeaves, s"$t chunk grid")
+      val codecSum = m.nUncompressed + m.nSnappy + m.nGzip + m.nZstd + m.nOtherCodec
+      assert(codecSum == m.nColumnChunks, s"$t codec histogram covers every chunk")
+      assert(m.totalByteSize > 0 && m.createdByLen > 0)
+      assert(m.footerLen + 12 + m.dataBytes == bytes.length.toLong, s"$t extent")
+    }
+  }
+
+  test("synthetic round-trip: every census field") {
+    val b = ParquetFooter.encodeSynthetic(2, Seq("a", "b", "c"), nRowGroups = 4,
+      rowsPerGroup = 250L, bytesPerGroup = 9999L,
+      codecOf = c => Seq(0, 1, 6)(c), createdBy = "unit-writer", dataFiller = 33)
+    val m = ParquetFooter.parse(b)
+    assert(m.valid == 1 && m.version == 2L)
+    assert(m.numRows == 1000L && m.rgNumRows == 1000L)
+    assert(m.nSchema == 4 && m.nLeaves == 3)
+    assert(m.nRowGroups == 4 && m.nColumnChunks == 12)
+    assert(m.totalByteSize == 4 * 9999L)
+    assert(m.createdByLen == "unit-writer".length)
+    assert(m.nUncompressed == 4 && m.nSnappy == 4 && m.nZstd == 4)
+    assert(m.nGzip == 0 && m.nOtherCodec == 0)
+    assert(m.dataBytes == 33L)
+  }
+
+  test("wide schema exercises the long-form list header (size >= 15)") {
+    val cols = (0 until 40).map(i => s"col$i")
+    val m = ParquetFooter.parse(ParquetFooter.encodeSynthetic(
+      1, cols, 1, 10L, 100L, _ => 0, "w", 0))
+    assert(m.valid == 1 && m.nLeaves == 40 && m.nSchema == 41)
+    assert(m.nColumnChunks == 40)
+  }
+
+  test("cut tail magic: fail-closed") {
+    val b = ParquetFooter.encodeSynthetic(2, Seq("a"), 1, 10L, 100L, _ => 0, "w", 5)
+    val m = ParquetFooter.parse(b.dropRight(3))
+    assert(m.valid == 0 && m.numRows == 0 && m.nColumnChunks == 0)
+  }
+
+  test("huge footer-length field (0xFFFFFFFF): overflow-proof rejection") {
+    val b = ParquetFooter.encodeSynthetic(2, Seq("a"), 1, 10L, 100L, _ => 0, "w", 5)
+    for (i <- b.length - 8 until b.length - 4) b(i) = 0xFF.toByte
+    val m = ParquetFooter.parse(b)
+    assert(m.valid == 0)
+  }
+
+  test("footer length pointing past the leading magic: rejected") {
+    val b = ParquetFooter.encodeSynthetic(2, Seq("a"), 1, 10L, 100L, _ => 0, "w", 0)
+    // declare one byte more than the span between the magics
+    val want = b.length - 12 + 1
+    b(b.length - 8) = (want & 0xff).toByte
+    b(b.length - 7) = ((want >> 8) & 0xff).toByte
+    assert(ParquetFooter.parse(b).valid == 0)
+  }
+
+  test("invalid first field header (0xFF): thrift walk stops, nothing guessed") {
+    val b = ParquetFooter.encodeSynthetic(2, Seq("a"), 1, 10L, 100L, _ => 0, "w", 7)
+    b(4 + 7) = 0xFF.toByte // first footer byte (after magic + filler)
+    val m = ParquetFooter.parse(b)
+    assert(m.valid == 0 && m.nSchema == 0)
+  }
+
+  test("truncated varint at the footer end: bounded rejection, no overrun") {
+    val footer = ParquetFooter.encodeFooter(2, Seq("a"), 1, 10L, 100L, _ => 0, "w")
+    // keep only the first 3 footer bytes but declare the full length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("PAR1".getBytes("US-ASCII"))
+    out.write(footer, 0, 3)
+    val len = 3
+    out.write(Array((len & 0xff).toByte, 0.toByte, 0.toByte, 0.toByte))
+    out.write("PAR1".getBytes("US-ASCII"))
+    val m = ParquetFooter.parse(out.toByteArray)
+    assert(m.valid == 0)
+  }
+
+  test("unterminated varint (ten 0x80 bytes) is rejected, not spun on") {
+    val w = new ParquetFooter.Writer
+    w.field(0, 1, 5)
+    for (_ <- 0 until 12) w.u8(0x80)
+    val footer = w.bytes
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("PAR1".getBytes("US-ASCII"))
+    out.write(footer)
+    out.write(Array((footer.length & 0xff).toByte, 0.toByte, 0.toByte, 0.toByte))
+    out.write("PAR1".getBytes("US-ASCII"))
+    assert(ParquetFooter.parse(out.toByteArray).valid == 0)
+  }
+
+  test("deep struct nesting beyond the cap is rejected, not recursed into") {
+    val w = new ParquetFooter.Writer
+    // field 5 (untargeted) as struct-in-struct... 40 deep
+    for (_ <- 0 until 40) w.field(0, 5, 12)
+    for (_ <- 0 until 40) w.stop()
+    w.stop()
+    val footer = w.bytes
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("PAR1".getBytes("US-ASCII"))
+    out.write(footer)
+    out.write(Array((footer.length & 0xff).toByte, 0.toByte, 0.toByte, 0.toByte))
+    out.write("PAR1".getBytes("US-ASCII"))
+    assert(ParquetFooter.parse(out.toByteArray).valid == 0)
+  }
+}

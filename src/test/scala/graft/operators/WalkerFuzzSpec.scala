@@ -166,6 +166,14 @@ class WalkerFuzzSpec extends AnyFunSuite {
         }
       }.map(_.toByte).toArray,
       b => { val m = TextCodec.utf8Audit(b); (m.nCodepoints, 0L) }),
+    Fuzzed("parquet-footer",
+      rnd => ParquetFooter.encodeSynthetic(1 + rnd.nextInt(2),
+        (0 until 1 + rnd.nextInt(20)).map(i => s"c$i"), 1 + rnd.nextInt(4),
+        (1 + rnd.nextInt(1000)).toLong, (1 + rnd.nextInt(100000)).toLong,
+        c => rnd.nextInt(9), s"w${rnd.nextInt(100)}", rnd.nextInt(300)),
+      b => { val m = ParquetFooter.parse(b)
+        (m.nSchema.toLong + m.nColumnChunks, math.max(0L, m.dataBytes)) },
+      appendStable = false), // discovery starts at the file END, like ZIP
     Fuzzed("webp",
       rnd => rnd.nextInt(3) match {
         case 0 => WebpOps.encodeLossy(1 + rnd.nextInt(1000), 1 + rnd.nextInt(1000),
