@@ -4453,10 +4453,94 @@ object DataQueries {
       FROM p ORDER BY doc_id"""
     })
 
+  // --------------------------------------------------------------- q378
+
+  /** q378 — Avro OCF census: the row-format container streaming
+    * ingest lands in (Kafka → lake) before anything is columnarized,
+    * completing the lake-format family next to the parquet footer
+    * (q377). [[graft.operators.AvroOps.parse]] reads the closed-form
+    * layer — `Obj\x01` magic, the Avro-binary metadata map (zigzag
+    * varint longs, negative-count segments handled), avro.schema
+    * length and avro.codec name, then the block walk: record count +
+    * payload size per block, every block sync CHECKED against the
+    * header's 16-byte marker. Compressed payloads stay counted, never
+    * decoded (the q366 discipline). Stop-don't-guess: header faults
+    * reject the file whole; a block fault or sync mismatch halts at
+    * that block's start with the walked prefix kept and the remainder
+    * as trailing. Per-doc synthetic containers derive everything from
+    * doc_id, so the oracle recomputes the census closed-form —
+    * including the truncated-tail and flipped-sync trailing byte
+    * counts. Map-only, zero shuffles.
+    */
+  val q378 = Q("q378_avro_ocf_census",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val codec = Seq("null", "deflate", "snappy", "zstandard")((id % 4).toInt)
+            val nb = 1 + (id % 4).toInt
+            val cnt = 10L + id % 6
+            val len = 40 + 2 * (id % 9).toInt
+            val base = graft.operators.AvroOps.encodeSynthetic(
+              schema = s"""{"type":"record","name":"r${id % 10}","fields":[]}""",
+              codec = codec,
+              extraMeta = if (id % 5 == 0) Seq("writer.id" -> s"w${id % 7}") else Nil,
+              blocks = Seq.fill(nb)((cnt, len)),
+              syncSeed = id)
+            val out =
+              if (id % 17 == 0) base.dropRight(5)
+              else if (id % 19 == 0) { val c = base.clone(); c(3) = 0x7F.toByte; c }
+              else if (id % 23 == 0) {
+                val c = base.clone(); c(c.length - 1) = (c(c.length - 1) ^ 0x5A).toByte; c
+              } else base
+            (id, out)
+          }
+        }.toDF("doc_id", "payload")
+      graft.operators.AvroOps.avroFeatures(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id AS k,
+               CASE doc_id % 4 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+                    WHEN 2 THEN 'snappy' ELSE 'zstandard' END AS codec,
+               1 + (doc_id % 4) AS nb,
+               10 + (doc_id % 6) AS cnt,
+               40 + 2 * (doc_id % 9) AS len,
+               length('{"type":"record","name":"r0","fields":[]}') AS slen,
+               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS xm,
+               (doc_id % 17 = 0) AS cut,
+               (doc_id % 17 <> 0 AND doc_id % 19 = 0) AS flip,
+               (doc_id % 17 <> 0 AND doc_id % 19 <> 0 AND doc_id % 23 = 0) AS sflip
+        FROM documents),
+      t AS (
+        SELECT *,
+               -- header: magic(4) + map(1 + (1+11+1+slen) + (1+10+1+len(codec))
+               --   + xm*(1+9+1+2) + 1) + sync(16); blocks: nb*(len+18)
+               4 + 1 + 13 + slen + 12 + length(codec) + xm * 13 + 1 + 16
+                 + nb * (len + 18) AS total,
+               CASE WHEN cut OR sflip THEN nb - 1 WHEN flip THEN 0 ELSE nb END AS nbw
+        FROM p)
+      SELECT k AS doc_id,
+             CAST(CASE WHEN cut OR flip OR sflip THEN 0 ELSE 1 END AS BIGINT) AS valid,
+             CAST(CASE WHEN flip THEN 0 ELSE 2 + xm END AS BIGINT) AS n_meta_entries,
+             CAST(CASE WHEN flip THEN 0 ELSE slen END AS BIGINT) AS schema_len,
+             CASE WHEN flip THEN '' ELSE codec END AS codec,
+             CAST(nbw AS BIGINT) AS n_blocks,
+             CAST(nbw * cnt AS BIGINT) AS total_records,
+             CAST(nbw * len AS BIGINT) AS payload_bytes,
+             CAST(CASE WHEN sflip THEN 1 ELSE 0 END AS BIGINT) AS sync_mismatch,
+             CAST(CASE WHEN cut THEN len + 13
+                  WHEN flip THEN total
+                  WHEN sflip THEN len + 18 ELSE 0 END AS BIGINT) AS trailing_bytes
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
-    q364, q366, q367, q368, q369, q370, q374, q377)
+    q364, q366, q367, q368, q369, q370, q374, q377, q378)
 }

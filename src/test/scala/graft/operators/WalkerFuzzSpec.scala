@@ -166,6 +166,14 @@ class WalkerFuzzSpec extends AnyFunSuite {
         }
       }.map(_.toByte).toArray,
       b => { val m = TextCodec.utf8Audit(b); (m.nCodepoints, 0L) }),
+    Fuzzed("avro-ocf",
+      rnd => AvroOps.encodeSynthetic(
+        s"""{"type":"record","name":"t${rnd.nextInt(10)}","fields":[]}""",
+        Seq("null", "deflate", "snappy", "zstandard")(rnd.nextInt(4)),
+        (0 until rnd.nextInt(3)).map(i => (s"k$i", str(rnd, 5))),
+        (0 until 1 + rnd.nextInt(5)).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(400))),
+        rnd.nextLong()),
+      b => { val m = AvroOps.parse(b); (m.nMetaEntries.toLong + m.nBlocks, m.trailingBytes) }),
     Fuzzed("parquet-footer",
       rnd => ParquetFooter.encodeSynthetic(1 + rnd.nextInt(2),
         (0 until 1 + rnd.nextInt(20)).map(i => s"c$i"), 1 + rnd.nextInt(4),
