@@ -4537,10 +4537,74 @@ object DataQueries {
                   WHEN sflip THEN len + 18 ELSE 0 END AS BIGINT) AS trailing_bytes
       FROM t ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q379
+
+  /** q379 — tf.Example protobuf census inside TFRecord shards: the
+    * layer one notch inward from q325's frame walk (the q368/q369
+    * move — framing first, then the payload's own closed-form wire
+    * format). [[graft.operators.TfRecordOps.exampleCensus]] rides the
+    * SAME CRC-verified record walk and parses each payload as a
+    * protobuf tf.Example — feature map entries, kind mix
+    * (BytesList/FloatList/Int64List), and value counts (packed or
+    * repeated encodings both), with unknown fields skipped
+    * structurally (one synthetic class plants field 99 to prove the
+    * skip path on data, not just in specs). A payload violating the
+    * wire format marks THAT record malformed and never halts the
+    * shard — the frame CRC authenticates the bytes, not their proto
+    * validity. Everything derives from doc_id; the oracle recomputes
+    * the census closed-form. Map-only, zero shuffles.
+    */
+  val q379 = Q("q379_tfexample_census",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val ops = graft.operators.TfRecordOps
+            val nr = 1 + (id % 3).toInt
+            val good = Seq.fill(nr)(ops.encodeExample(
+              bytesVals = 1 + (id % 2).toInt,
+              bytesLen = 5 + (id % 7).toInt,
+              nFloats = 2 + (id % 3).toInt,
+              int64s = (0 until 1 + (id % 4).toInt).map(i => (id + i) % 100),
+              unknownField = id % 19 == 0))
+            val payloads =
+              if (id % 17 == 0) good :+ Array(0xFF.toByte, 0xFF.toByte)
+              else good
+            (id, ops.encodeShard(payloads))
+          }
+        }.toDF("doc_id", "payload")
+      graft.operators.TfRecordOps.exampleFeatures(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id AS k,
+               1 + (doc_id % 3) AS nr,
+               1 + (doc_id % 2) AS bv,
+               5 + (doc_id % 7) AS blen,
+               2 + (doc_id % 3) AS nf,
+               1 + (doc_id % 4) AS ni,
+               CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS bad
+        FROM documents)
+      SELECT k AS doc_id,
+             CAST(nr AS BIGINT) AS n_examples,
+             CAST(bad AS BIGINT) AS n_malformed,
+             CAST(3 * nr AS BIGINT) AS n_features,
+             CAST(nr AS BIGINT) AS n_bytes_feat,
+             CAST(nr AS BIGINT) AS n_float_feat,
+             CAST(nr AS BIGINT) AS n_int64_feat,
+             CAST(nr * bv AS BIGINT) AS bytes_values,
+             CAST(nr * bv * blen AS BIGINT) AS bytes_len,
+             CAST(nr * nf AS BIGINT) AS float_values,
+             CAST(nr * ni AS BIGINT) AS int64_values
+      FROM p ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
-    q364, q366, q367, q368, q369, q370, q374, q377, q378)
+    q364, q366, q367, q368, q369, q370, q374, q377, q378, q379)
 }

@@ -104,4 +104,92 @@ class TfRecordOpsSpec extends AnyFunSuite {
     assert(m.nRecords == 2, s"resync double-count: ${m.nRecords}")
     assert(m.sumPayloadBytes == inner.length.toLong + 40L && m.cleanEof)
   }
+
+  // --- tf.Example census (q379, one notch inward from the frame walk) ---
+
+  test("tf.Example round-trip: feature kinds and value counts") {
+    val shard = TfRecordOps.encodeShard(Seq(
+      TfRecordOps.encodeExample(bytesVals = 2, bytesLen = 9, nFloats = 3,
+        int64s = Seq(1L, 200L, 300000L), unknownField = false),
+      TfRecordOps.encodeExample(bytesVals = 1, bytesLen = 4, nFloats = 1,
+        int64s = Seq(7L), unknownField = false)))
+    val m = TfRecordOps.exampleCensus(shard)
+    assert(m.nExamples == 2 && m.nMalformed == 0)
+    assert(m.nFeatures == 6 && m.nBytesFeat == 2 && m.nFloatFeat == 2 && m.nInt64Feat == 2)
+    assert(m.bytesValues == 3L && m.bytesLen == 2L * 9 + 4)
+    assert(m.floatValues == 4L && m.int64Values == 4L)
+  }
+
+  test("tf.Example: unknown fields skip structurally (proto forward compat)") {
+    val a = TfRecordOps.exampleCensus(TfRecordOps.encodeShard(Seq(
+      TfRecordOps.encodeExample(1, 5, 2, Seq(9L), unknownField = true))))
+    val b = TfRecordOps.exampleCensus(TfRecordOps.encodeShard(Seq(
+      TfRecordOps.encodeExample(1, 5, 2, Seq(9L), unknownField = false))))
+    assert(a.nExamples == 1 && a.nMalformed == 0)
+    assert(a.copy() == b.copy()) // identical census either way
+  }
+
+  test("tf.Example: a malformed payload marks that record, never the shard") {
+    val shard = TfRecordOps.encodeShard(Seq(
+      TfRecordOps.encodeExample(1, 5, 1, Seq(1L), unknownField = false),
+      Array(0xFF.toByte, 0xFF.toByte), // unterminated varint tag
+      TfRecordOps.encodeExample(1, 5, 1, Seq(1L), unknownField = false)))
+    val m = TfRecordOps.exampleCensus(shard)
+    assert(m.nExamples == 2 && m.nMalformed == 1)
+    assert(m.nFeatures == 6) // the poisoned record contributed NOTHING
+  }
+
+  test("tf.Example: non-packed encodings count the same values") {
+    // hand-build a Feature with repeated fixed32 floats and repeated
+    // varint int64s (pre-proto3 encodings real shards still carry)
+    val o = new java.io.ByteArrayOutputStream()
+    def vi(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { o.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      o.write(v.toInt)
+    }
+    def len(field: Int, body: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      def w(v0: Long): Unit = {
+        var v = v0
+        while ((v & ~0x7fL) != 0) { b.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+        b.write(v.toInt)
+      }
+      w((field.toLong << 3) | 2); w(body.length.toLong); b.write(body); b.toByteArray
+    }
+    val fl = new java.io.ByteArrayOutputStream() // FloatList: two fixed32 values
+    for (_ <- 0 until 2) { fl.write((1L << 3 | 5).toInt); fl.write(Array[Byte](0, 0, 0x80.toByte, 0x3F.toByte)) }
+    val il = new java.io.ByteArrayOutputStream() // Int64List: three varint values
+    for (i <- 0 until 3) { il.write((1L << 3 | 0).toInt); il.write(40 + i) }
+    val feat2 = len(2, fl.toByteArray)
+    val feat3 = len(3, il.toByteArray)
+    val entry2 = len(1, len(1, "f".getBytes) ++ len(2, feat2))
+    val entry3 = len(1, len(1, "i".getBytes) ++ len(2, feat3))
+    val ex = len(1, entry2 ++ entry3)
+    val m = TfRecordOps.exampleCensus(TfRecordOps.encodeShard(Seq(ex)))
+    assert(m.nExamples == 1 && m.nFloatFeat == 1 && m.nInt64Feat == 1)
+    assert(m.floatValues == 2L && m.int64Values == 3L)
+  }
+
+  test("tf.Example: packed float region not divisible by 4 is malformed") {
+    val good = TfRecordOps.encodeExample(1, 5, 2, Seq(1L), unknownField = false)
+    // find the packed float region (8 bytes of floats) and shrink the
+    // declared FloatList packed length by 1 — simplest: rebuild by hand
+    val o = new java.io.ByteArrayOutputStream()
+    def len(field: Int, body: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      def w(v0: Long): Unit = {
+        var v = v0
+        while ((v & ~0x7fL) != 0) { b.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+        b.write(v.toInt)
+      }
+      w((field.toLong << 3) | 2); w(body.length.toLong); b.write(body); b.toByteArray
+    }
+    val badPacked = len(1, Array[Byte](1, 2, 3)) // 3 bytes: not % 4
+    val entry = len(1, len(1, "f".getBytes) ++ len(2, len(2, badPacked)))
+    val ex = len(1, entry)
+    val m = TfRecordOps.exampleCensus(TfRecordOps.encodeShard(Seq(ex, good)))
+    assert(m.nMalformed == 1 && m.nExamples == 1)
+    assert(m.floatValues == 2L) // only the good example's floats
+  }
 }

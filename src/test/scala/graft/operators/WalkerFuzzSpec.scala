@@ -166,6 +166,13 @@ class WalkerFuzzSpec extends AnyFunSuite {
         }
       }.map(_.toByte).toArray,
       b => { val m = TextCodec.utf8Audit(b); (m.nCodepoints, 0L) }),
+    Fuzzed("tfexample",
+      rnd => TfRecordOps.encodeShard((0 until 1 + rnd.nextInt(4)).map(_ =>
+        TfRecordOps.encodeExample(rnd.nextInt(4), rnd.nextInt(30),
+          rnd.nextInt(5), (0 until rnd.nextInt(4)).map(_ => rnd.nextInt(100000).toLong),
+          rnd.nextBoolean()))),
+      b => { val m = TfRecordOps.exampleCensus(b)
+        (m.nExamples.toLong + m.nMalformed, 0L) }),
     Fuzzed("avro-ocf",
       rnd => AvroOps.encodeSynthetic(
         s"""{"type":"record","name":"t${rnd.nextInt(10)}","fields":[]}""",
