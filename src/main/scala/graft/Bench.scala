@@ -572,6 +572,54 @@ object Bench {
         graft.operators.TfRecordOps
           .tfrecordFeatures(tfBlobs, "doc_id", "payload")
           .agg(sum("n_records")).collect())
+      // one notch inward: the same shards' payloads parsed as protobuf
+      // tf.Example messages (q379) — prices frame walk + proto descent
+      val tfExBlobs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val ops = graft.operators.TfRecordOps
+            (id, ops.encodeShard((0 until 8).map(r => ops.encodeExample(
+              2, 200 + ((id + r) % 64).toInt, 16, Seq.tabulate(6)(i => (id + i) % 1000),
+              unknownField = false))))
+          }
+        }
+        .toDF("doc_id", "payload").localCheckpoint(true)
+      val tfExBytes = tfExBlobs.agg(sum(length(col("payload")))).collect()(0).getLong(0)
+      val tfExSec = best2(
+        graft.operators.TfRecordOps.exampleFeatures(tfExBlobs, "doc_id", "payload")
+          .agg(sum("n_features")).collect())
+      // lake-format triage throughput: parquet footer (thrift compact
+      // descent, q377) and Avro OCF (metadata map + sync-checked block
+      // walk, q378) — the two walks a 100 TB catalog audit is priced on
+      val pqBlobs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            (id, graft.operators.ParquetFooter.encodeSynthetic(2,
+              (0 until 12).map(c => s"col_$c"), 6, 5000L, 1 << 20,
+              c => (c % 3) * 3, s"bench-$id", dataFiller = 4096))
+          }
+        }
+        .toDF("doc_id", "payload").localCheckpoint(true)
+      val pqBytes = pqBlobs.agg(sum(length(col("payload")))).collect()(0).getLong(0)
+      val pqSec = best2(
+        graft.operators.ParquetFooter.footerFeatures(pqBlobs, "doc_id", "payload")
+          .agg(sum("n_column_chunks")).collect())
+      val avroBlobs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            (id, graft.operators.AvroOps.encodeSynthetic(
+              """{"type":"record","name":"b","fields":[]}""", "snappy",
+              Nil, Seq.fill(8)((500L, 2048)), syncSeed = id))
+          }
+        }
+        .toDF("doc_id", "payload").localCheckpoint(true)
+      val avroBytes = avroBlobs.agg(sum(length(col("payload")))).collect()(0).getLong(0)
+      val avroSec = best2(
+        graft.operators.AvroOps.avroFeatures(avroBlobs, "doc_id", "payload")
+          .agg(sum("total_records")).collect())
 
       // ---- production near-dup path scaling probe (r10 verdict item 7):
       // minhashLshPairs (signatures → band buckets → equi-join →
@@ -603,6 +651,12 @@ object Bench {
       Seq("calib_sec" -> calib,
         "tfrecord_walk_sec" -> tfWalkSec,
         "tfrecord_walk_mb" -> tfBytes / 1e6,
+        "tfexample_census_sec" -> tfExSec,
+        "tfexample_census_mb" -> tfExBytes / 1e6,
+        "parquet_footer_sec" -> pqSec,
+        "parquet_footer_mb" -> pqBytes / 1e6,
+        "avro_walk_sec" -> avroSec,
+        "avro_walk_mb" -> avroBytes / 1e6,
         "blocklist_ac_sec" -> blkAcSec,
         "blocklist_split8_sec" -> blkSplitSec,
         "calib_scan_sec" -> calibScan,
