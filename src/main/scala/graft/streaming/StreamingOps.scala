@@ -630,6 +630,32 @@ object StreamingOps {
     * available data (the reference's daily-batch cadence) into an
     * in-memory table; returns the result.
     */
+  /** Streaming twin of q375's HyperLogLog registers: the sketch a
+    * continuously-ingesting fleet keeps for "distinct users/keys so
+    * far" without ever storing a key set. Registers are a
+    * groupBy(group, register).max — max is order-independent,
+    * idempotent under replay, and mergeable, so after ANY micro-batch
+    * split the streaming register table equals the batch sketch over
+    * the same rows EXACTLY (StreamingSpec pins it across triggers),
+    * and state is bounded at m registers per group FOREVER no matter
+    * how many distinct keys arrive — the property that makes HLL the
+    * right streaming cardinality summary where q390-style exact dedup
+    * state would grow without bound. Same md5-family hash and ρ
+    * arithmetic as q375, so the batch estimate formula applies to the
+    * streamed table verbatim.
+    *
+    * `keyed` must carry a string group column `g` and a key column
+    * `k`.
+    */
+  def hllRegisters(keyed: DataFrame, m: Int): DataFrame =
+    keyed
+      .selectExpr("g",
+        "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h")
+      .selectExpr("g", s"h % $m AS j", s"h div $m AS w")
+      .selectExpr("g", "j",
+        "CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END AS rho")
+      .groupBy("g", "j").agg(max("rho").as("m_j"))
+
   def runAvailableNow(df: DataFrame, queryName: String,
                       mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = df.writeStream

@@ -698,6 +698,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "streaming Croston != batch q286")
   }
 
+  test("hllRegisters over a multi-trigger file stream equals the batch q375 sketch") {
+    val dir = Files.createTempDirectory("graft-hll").toFile
+    val keyed = Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_returnflag AS g", "l_orderkey AS k")
+    // two landing files → two micro-batches: register maxes must merge
+    // across triggers exactly (the mergeability q375's spec proves
+    // locally, here proven through the streaming engine)
+    keyed.filter(col("k") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    keyed.filter(col("k") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(keyed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val streamed = StreamingOps.runAvailableNow(
+      StreamingOps.hllRegisters(stream, 4096), "hll_stream")
+      .orderBy("g", "j")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val batch = StreamingOps.hllRegisters(keyed, 4096)
+      .orderBy("g", "j")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(streamed == batch, "streaming HLL registers != batch")
+    // and the register table IS q375's sketch: state bounded at m per group
+    assert(batch.groupBy(_._1).values.forall(_.size <= 4096))
+    assert(batch.forall { case (_, j, rho) => j >= 0 && j < 4096 && rho >= 1 && rho <= 49 })
+  }
+
   test("cmsSketch over a multi-trigger file stream equals the batch q115 counter table") {
     graft.expressions.GraftExtensions.register(spark)
     val dir = Files.createTempDirectory("graft-cms").toFile
