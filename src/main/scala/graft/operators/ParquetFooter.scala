@@ -256,6 +256,95 @@ object ParquetFooter {
     }
   }
 
+  /** Per-row-group zone-map stats for one column (by chunk position):
+    * (rowGroupRows, hasReadableStats, minValue, maxValue, nullCount).
+    * min/max are readable iff the Statistics struct carries 8-byte
+    * min_value/max_value binaries (the plain int64 encoding); anything
+    * else — absent stats, other widths — is hasReadableStats = 0, the
+    * conservative "cannot prune" verdict a planner must return.
+    * Footer-level faults yield an EMPTY vector (fail-closed).
+    */
+  def statsCensus(bytes: Array[Byte], colIdx: Int): Vector[(Long, Int, Long, Long, Long)] = {
+    val n = bytes.length
+    def magicAt(p: Int): Boolean =
+      bytes(p) == 'P' && bytes(p + 1) == 'A' && bytes(p + 2) == 'R' && bytes(p + 3) == '1'
+    if (n < 12 || !magicAt(0) || !magicAt(n - 4)) return Vector.empty
+    val footerLen = (bytes(n - 8) & 0xffL) | ((bytes(n - 7) & 0xffL) << 8) |
+      ((bytes(n - 6) & 0xffL) << 16) | ((bytes(n - 5) & 0xffL) << 24)
+    if (footerLen > n.toLong - 12) return Vector.empty
+    def le64(off: Int): Long = {
+      var v = 0L; var j = 7
+      while (j >= 0) { v = (v << 8) | (bytes(off + j) & 0xffL); j -= 1 }
+      v
+    }
+    try {
+      val r = new Reader(bytes, n - 8 - footerLen.toInt, n - 8)
+      val out = Vector.newBuilder[(Long, Int, Long, Long, Long)]
+      walkStruct(r, 0) { (id, tpe) =>
+        if (id == 4 && tpe == 9) { // row_groups
+          val (size, elemType) = listHeader(r)
+          if (elemType != 12) throw Malformed
+          var i = 0L
+          while (i < size) {
+            var rgRows = 0L
+            var has = 0; var minV = 0L; var maxV = 0L; var nulls = 0L
+            walkStruct(r, 1) { (fid, ftpe) =>
+              (fid, ftpe) match {
+                case (1, 9) =>
+                  val (csize, ctype) = listHeader(r)
+                  if (ctype != 12) throw Malformed
+                  var c = 0L
+                  while (c < csize) {
+                    walkStruct(r, 2) { (cid, ctpe) =>
+                      if (cid == 3 && ctpe == 12 && c == colIdx.toLong) {
+                        walkStruct(r, 3) { (mid, mtpe) =>
+                          if (mid == 12 && mtpe == 12) { // Statistics
+                            var sawMin = false; var sawMax = false
+                            walkStruct(r, 4) { (sid, stpe) =>
+                              (sid, stpe) match {
+                                case (3, 6) => nulls = r.zigzag(); true
+                                case (5, 8) => // max_value
+                                  val len = r.varint()
+                                  if (len == 8 && len <= r.end - r.pos) {
+                                    maxV = le64(r.pos); r.pos += 8; sawMax = true
+                                  } else r.skip(len)
+                                  true
+                                case (6, 8) => // min_value
+                                  val len = r.varint()
+                                  if (len == 8 && len <= r.end - r.pos) {
+                                    minV = le64(r.pos); r.pos += 8; sawMin = true
+                                  } else r.skip(len)
+                                  true
+                                case _ => false
+                              }
+                            }
+                            if (sawMin && sawMax) has = 1
+                            true
+                          } else false
+                        }
+                        true
+                      } else false
+                    }
+                    c += 1
+                  }
+                  true
+                case (3, 6) => rgRows = r.zigzag(); true
+                case _ => false
+              }
+            }
+            out += ((rgRows, has, minV, maxV, nulls))
+            i += 1
+          }
+          true
+        } else false
+      }
+      out.result()
+    } catch {
+      case Malformed => Vector.empty
+      case _: ArrayIndexOutOfBoundsException => Vector.empty
+    }
+  }
+
   // ------------------------------------------------------------------
   // Thrift compact writer + synthetic footer (tests and the q377 oracle)
 
@@ -291,7 +380,12 @@ object ParquetFooter {
     */
   def encodeFooter(version: Int, colNames: Seq[String], nRowGroups: Int,
       rowsPerGroup: Long, bytesPerGroup: Long, codecOf: Int => Int,
-      createdBy: String): Array[Byte] = {
+      createdBy: String,
+      // (rowGroup, col) → (min, max, nullCount, binaryWidth); width 8 is
+      // the readable int64 encoding, other widths exercise the
+      // conservative unreadable path. None ⇒ byte-identical to the
+      // pre-stats footers the q377 oracle replays.
+      statsOf: Option[(Int, Int) => (Long, Long, Long, Int)] = None): Array[Byte] = {
     val w = new Writer
     w.field(0, 1, 5).zigzag(version.toLong)
     // schema: root (name + num_children) then one leaf per column
@@ -310,7 +404,7 @@ object ParquetFooter {
     }
     w.field(2, 3, 6).zigzag(nRowGroups * rowsPerGroup)
     w.field(3, 4, 9).listHeader(nRowGroups, 12)
-    (0 until nRowGroups).foreach { _ =>
+    (0 until nRowGroups).foreach { rg =>
       w.field(0, 1, 9).listHeader(colNames.size, 12) // columns
       colNames.indices.foreach { c =>
         w.field(0, 2, 6).zigzag(4L) // file_offset
@@ -322,6 +416,16 @@ object ParquetFooter {
         w.field(4, 5, 6).zigzag(rowsPerGroup)            // num_values
         w.field(5, 6, 6).zigzag(bytesPerGroup)           // total_uncompressed
         w.field(6, 7, 6).zigzag(bytesPerGroup)           // total_compressed
+        statsOf.foreach { f =>
+          val (minV, maxV, nulls, width) = f(rg, c)
+          def intBin(v: Long): Array[Byte] =
+            Array.tabulate(width)(i => ((v >> (8 * i)) & 0xff).toByte)
+          w.field(7, 12, 12)                 // Statistics struct
+          w.field(0, 3, 6).zigzag(nulls)     // null_count
+          w.field(3, 5, 8).binary(intBin(maxV)) // max_value
+          w.field(5, 6, 8).binary(intBin(minV)) // min_value
+          w.stop()
+        }
         w.stop()                                         // ColumnMetaData
         w.stop()                                         // ColumnChunk
       }
@@ -337,9 +441,10 @@ object ParquetFooter {
   /** Whole synthetic file: magic · filler data · footer · len · magic. */
   def encodeSynthetic(version: Int, colNames: Seq[String], nRowGroups: Int,
       rowsPerGroup: Long, bytesPerGroup: Long, codecOf: Int => Int,
-      createdBy: String, dataFiller: Int): Array[Byte] = {
+      createdBy: String, dataFiller: Int,
+      statsOf: Option[(Int, Int) => (Long, Long, Long, Int)] = None): Array[Byte] = {
     val footer = encodeFooter(version, colNames, nRowGroups, rowsPerGroup,
-      bytesPerGroup, codecOf, createdBy)
+      bytesPerGroup, codecOf, createdBy, statsOf)
     val out = new java.io.ByteArrayOutputStream()
     out.write("PAR1".getBytes("US-ASCII"))
     out.write(Array.tabulate(dataFiller)(i => ((i * 13 + 7) & 0xff).toByte))
@@ -349,6 +454,41 @@ object ParquetFooter {
       ((len >> 16) & 0xff).toByte, ((len >> 24) & 0xff).toByte))
     out.write("PAR1".getBytes("US-ASCII"))
     out.toByteArray
+  }
+
+  /** Zone-map pruning audit over (id, parquet-bytes): for each file,
+    * how many row groups a predicate on the target column could SKIP
+    * from footer statistics alone — the planner move that turns a
+    * 100 TB scan into a footer read plus the few matching row groups.
+    * `pruned_gt` counts groups provably empty for `x > t` (max ≤ t),
+    * `pruned_lt` for `x < t` (min ≥ t); `scanned_rows_gt` is the rows
+    * a conservative planner still reads for `x > t` — unreadable or
+    * absent stats NEVER prune (has = 0 ⇒ scan). Map-only, zero
+    * shuffles.
+    */
+  def pruneAudit(df: DataFrame, idCol: String, payloadCol: String,
+      colIdx: Int, thresholdOf: Long => Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val t = thresholdOf(id)
+          val rgs = statsCensus(bytes, colIdx)
+          val readable = rgs.count(_._2 == 1)
+          val prunedGt = rgs.count { case (_, has, _, maxV, _) => has == 1 && maxV <= t }
+          val prunedLt = rgs.count { case (_, has, minV, _, _) => has == 1 && minV >= t }
+          val scannedGt = rgs.collect {
+            case (rows, has, _, maxV, _) if !(has == 1 && maxV <= t) => rows
+          }.sum
+          val nulls = rgs.map(_._5).sum
+          (id, rgs.size.toLong, readable.toLong, prunedGt.toLong,
+            prunedLt.toLong, scannedGt, nulls, t)
+        }
+      }
+      .toDF(idCol, "n_rgs", "n_readable", "pruned_gt", "pruned_lt",
+        "scanned_rows_gt", "sum_nulls", "threshold")
   }
 
   /** Census DataFrame over (id, parquet-bytes) — map-only, zero

@@ -4601,10 +4601,90 @@ object DataQueries {
              CAST(nr * ni AS BIGINT) AS int64_values
       FROM p ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q380
+
+  /** q380 — zone-map pruning audit from parquet footer statistics:
+    * the planner move that makes q377's walk PAY at 100 TB — per-row-
+    * group min/max/null_count for a target column read straight from
+    * the Statistics struct (thrift field 12, 8-byte int64 binaries),
+    * then for a predicate `x > t` / `x < t` the count of row groups
+    * provably skippable and the rows a conservative planner still
+    * scans. Conservative is the contract: absent stats, non-8-byte
+    * min/max encodings (one planted class), or a malformed footer
+    * NEVER prune — has-stats = 0 means scan, and a cut footer yields
+    * the empty census. Every parameter derives from doc_id; the oracle
+    * recomputes prune counts closed-form (including the a ≤ 9 boundary
+    * case where the threshold lands inside the top row group's range).
+    * Map-only, zero shuffles.
+    */
+  val q380 = Q("q380_zone_map_pruning",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val nRgs = 1 + (id % 4).toInt
+            val base = graft.operators.ParquetFooter.encodeSynthetic(
+              version = 2,
+              colNames = Seq("ca", "cb", "cc"),
+              nRowGroups = nRgs,
+              rowsPerGroup = 100 + id % 10,
+              bytesPerGroup = 1000L,
+              codecOf = _ => 0,
+              createdBy = "graft",
+              dataFiller = (id % 16).toInt,
+              statsOf = Some((rg, c) => (
+                100L * rg + c,
+                100L * rg + 50 + (id % 20) + c,
+                (rg % 3).toLong,
+                if (id % 13 == 0) 4 else 8)))
+            val out = if (id % 17 == 0) base.dropRight(3) else base
+            (id, out)
+          }
+        }.toDF("doc_id", "payload")
+      graft.operators.ParquetFooter
+        .pruneAudit(synth, "doc_id", "payload", colIdx = 1,
+          thresholdOf = id => 100L * (id % (1 + id % 4)) + 60)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id AS k,
+               1 + (doc_id % 4) AS nrgs,
+               100 + (doc_id % 10) AS rpg,
+               doc_id % (1 + doc_id % 4) AS m,
+               doc_id % 20 AS a,
+               (doc_id % 17 = 0) AS cut,
+               (doc_id % 13 = 0) AS unread
+        FROM documents),
+      t AS (
+        SELECT *,
+               -- target col 1: max_r = 100r + 51 + a; x > t prunes r ≤ m
+               -- iff a ≤ 9 (threshold inside the top group's range)
+               CASE WHEN cut OR unread THEN 0
+                    WHEN a <= 9 THEN m + 1 ELSE m END AS pgt,
+               CASE WHEN cut OR unread THEN 0 ELSE nrgs - 1 - m END AS plt,
+               CASE WHEN cut THEN 0
+                    WHEN nrgs = 1 THEN 0 WHEN nrgs = 2 THEN 1
+                    WHEN nrgs = 3 THEN 3 ELSE 3 END AS nulls
+        FROM p)
+      SELECT k AS doc_id,
+             CAST(CASE WHEN cut THEN 0 ELSE nrgs END AS BIGINT) AS n_rgs,
+             CAST(CASE WHEN cut OR unread THEN 0 ELSE nrgs END AS BIGINT)
+               AS n_readable,
+             CAST(pgt AS BIGINT) AS pruned_gt,
+             CAST(plt AS BIGINT) AS pruned_lt,
+             CAST(CASE WHEN cut THEN 0 ELSE (nrgs - pgt) * rpg END AS BIGINT)
+               AS scanned_rows_gt,
+             CAST(nulls AS BIGINT) AS sum_nulls,
+             CAST(100 * m + 60 AS BIGINT) AS threshold
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
-    q364, q366, q367, q368, q369, q370, q374, q377, q378, q379)
+    q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380)
 }

@@ -41,6 +41,49 @@ class ParquetFooterSpec extends SparkSpec {
     }
   }
 
+  test("real footer statistics: lineitem l_orderkey zone maps match the data") {
+    val path = s"$sf/lineitem.parquet"
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val rgs = ParquetFooter.statsCensus(bytes, colIdx = 0) // l_orderkey: int64
+    assert(rgs.nonEmpty, "no row groups parsed")
+    val df = spark.read.parquet(path)
+    assert(rgs.map(_._1).sum == df.count(), "row-group rows cover the file")
+    if (rgs.forall(_._2 == 1)) { // writer emitted 8-byte int64 zone maps
+      val lo = rgs.map(_._3).min
+      val hi = rgs.map(_._4).max
+      val Array(row) = df.selectExpr("min(l_orderkey)", "max(l_orderkey)").collect()
+      assert(lo == row.getLong(0) && hi == row.getLong(1),
+        s"zone maps [$lo,$hi] vs data [${row.getLong(0)},${row.getLong(1)}]")
+    }
+  }
+
+  test("stats round-trip and conservative pruning semantics") {
+    val stats: (Int, Int) => (Long, Long, Long, Int) =
+      (rg, c) => (100L * rg + c, 100L * rg + 50 + c, rg.toLong, 8)
+    val b = ParquetFooter.encodeSynthetic(2, Seq("x", "y"), 3, 10L, 100L,
+      _ => 0, "w", 0, statsOf = Some(stats))
+    val rgs = ParquetFooter.statsCensus(b, colIdx = 1)
+    assert(rgs.size == 3)
+    assert(rgs.zipWithIndex.forall { case ((rows, has, mn, mx, nulls), rg) =>
+      rows == 10L && has == 1 && mn == 100L * rg + 1 &&
+        mx == 100L * rg + 51 && nulls == rg.toLong
+    }, rgs.toString)
+    // footer WITHOUT stats: nothing readable, nothing pruned
+    val plain = ParquetFooter.encodeSynthetic(2, Seq("x", "y"), 3, 10L, 100L,
+      _ => 0, "w", 0)
+    assert(ParquetFooter.statsCensus(plain, 1).forall(_._2 == 0))
+    // the stats-bearing footer still parses under the q377 census
+    assert(ParquetFooter.parse(b).valid == 1)
+  }
+
+  test("non-8-byte min/max encodings never prune (conservative contract)") {
+    val b = ParquetFooter.encodeSynthetic(2, Seq("x"), 2, 10L, 100L, _ => 0,
+      "w", 0, statsOf = Some((rg, _) => (0L, 1000L, 5L, 4)))
+    val rgs = ParquetFooter.statsCensus(b, 0)
+    assert(rgs.size == 2 && rgs.forall(_._2 == 0))
+    assert(rgs.forall(_._5 == 5L)) // null_count reads regardless of width
+  }
+
   test("synthetic round-trip: every census field") {
     val b = ParquetFooter.encodeSynthetic(2, Seq("a", "b", "c"), nRowGroups = 4,
       rowsPerGroup = 250L, bytesPerGroup = 9999L,
