@@ -162,18 +162,30 @@ object ParquetFooter {
 
   private val Invalid = FooterMeta(0, 0L, 0L, 0, 0, 0, 0, 0L, 0L, 0, 0, 0, 0, 0, 0, 0L, 0L)
 
-  def parse(bytes: Array[Byte]): FooterMeta = {
+  /** ONE copy of the footer prologue for every entry point (parse,
+    * statsCensus): magic at both ends, u32le footer length, and the
+    * subtraction-form fit check. None = not a parquet file / cut
+    * footer — the callers' fail-closed zero.
+    */
+  private def footerReader(bytes: Array[Byte]): Option[(Reader, Long)] = {
     val n = bytes.length
     def magicAt(p: Int): Boolean =
       bytes(p) == 'P' && bytes(p + 1) == 'A' && bytes(p + 2) == 'R' && bytes(p + 3) == '1'
-    if (n < 12 || !magicAt(0) || !magicAt(n - 4)) return Invalid
+    if (n < 12 || !magicAt(0) || !magicAt(n - 4)) return None
     val footerLen = (bytes(n - 8) & 0xffL) | ((bytes(n - 7) & 0xffL) << 8) |
       ((bytes(n - 6) & 0xffL) << 16) | ((bytes(n - 5) & 0xffL) << 24)
     // footer must fit between the magics (subtraction form)
-    if (footerLen > n.toLong - 12) return Invalid
-    val start = n - 8 - footerLen.toInt
+    if (footerLen > n.toLong - 12) None
+    else Some((new Reader(bytes, n - 8 - footerLen.toInt, n - 8), footerLen))
+  }
+
+  def parse(bytes: Array[Byte]): FooterMeta = {
+    val n = bytes.length
+    val (r, footerLen) = footerReader(bytes) match {
+      case Some(rf) => rf
+      case None => return Invalid
+    }
     try {
-      val r = new Reader(bytes, start, n - 8)
       var version = 0L; var numRows = 0L
       var nSchema = 0; var nLeaves = 0
       var nRgs = 0; var nChunks = 0
@@ -265,20 +277,16 @@ object ParquetFooter {
     * Footer-level faults yield an EMPTY vector (fail-closed).
     */
   def statsCensus(bytes: Array[Byte], colIdx: Int): Vector[(Long, Int, Long, Long, Long)] = {
-    val n = bytes.length
-    def magicAt(p: Int): Boolean =
-      bytes(p) == 'P' && bytes(p + 1) == 'A' && bytes(p + 2) == 'R' && bytes(p + 3) == '1'
-    if (n < 12 || !magicAt(0) || !magicAt(n - 4)) return Vector.empty
-    val footerLen = (bytes(n - 8) & 0xffL) | ((bytes(n - 7) & 0xffL) << 8) |
-      ((bytes(n - 6) & 0xffL) << 16) | ((bytes(n - 5) & 0xffL) << 24)
-    if (footerLen > n.toLong - 12) return Vector.empty
+    val r = footerReader(bytes) match {
+      case Some((rf, _)) => rf
+      case None => return Vector.empty
+    }
     def le64(off: Int): Long = {
       var v = 0L; var j = 7
       while (j >= 0) { v = (v << 8) | (bytes(off + j) & 0xffL); j -= 1 }
       v
     }
     try {
-      val r = new Reader(bytes, n - 8 - footerLen.toInt, n - 8)
       val out = Vector.newBuilder[(Long, Int, Long, Long, Long)]
       walkStruct(r, 0) { (id, tpe) =>
         if (id == 4 && tpe == 9) { // row_groups

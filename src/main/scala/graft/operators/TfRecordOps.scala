@@ -99,12 +99,14 @@ object TfRecordOps {
     bos.toByteArray
   }
 
-  /** Shared CRC-verified record walk: (payload offset, length) per
-    * accepted record, plus the stop position. `parse` and the
+  /** Shared CRC-verified record walk: `onRecord(payloadOff, len)` per
+    * accepted record, returns the stop position. `parse` and the
     * tf.Example census (q379) both ride this one walk — the
-    * walkPages/OggOps discipline.
+    * walkPages/OggOps discipline. Visitor style, not a materialized
+    * record list: the walk is bench-priced (`tfrecord_walk_sec`) and
+    * must stay allocation-free per record.
     */
-  def walkRecords(bytes: Array[Byte]): (Vector[(Int, Int)], Int) = {
+  def walkRecords(bytes: Array[Byte])(onRecord: (Int, Int) => Unit): Int = {
     val n = bytes.length
     def readIntLE(i: Int): Int =
       (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
@@ -115,7 +117,6 @@ object TfRecordOps {
       v
     }
     var pos = 0
-    val recs = Vector.newBuilder[(Int, Int)]
     var ok = true
     while (ok && pos < n) {
       if (pos + 12 > n) ok = false
@@ -130,17 +131,18 @@ object TfRecordOps {
         else if (readIntLE(pos + 12 + len.toInt) !=
                  mask(crc32c(bytes, pos + 12, len.toInt))) ok = false
         else {
-          recs += ((pos + 12, len.toInt))
+          onRecord(pos + 12, len.toInt)
           pos += 12 + len.toInt + 4
         }
       }
     }
-    (recs.result(), pos)
+    pos
   }
 
   def parse(bytes: Array[Byte]): TfMeta = {
-    val (recs, pos) = walkRecords(bytes)
-    TfMeta(recs.size, recs.map(_._2.toLong).sum, 16L * recs.size,
+    var nRec = 0; var payloadSum = 0L
+    val pos = walkRecords(bytes) { (_, len) => nRec += 1; payloadSum += len }
+    TfMeta(nRec, payloadSum, 16L * nRec,
       (bytes.length - pos).toLong, pos == bytes.length)
   }
 
@@ -315,11 +317,11 @@ object TfRecordOps {
     * frame CRC authenticates the bytes, not their proto validity).
     */
   def exampleCensus(bytes: Array[Byte]): ExampleMeta = {
-    val (recs, _) = walkRecords(bytes)
     var nOk = 0; var nBad = 0
     val acc = new Array[Long](8)
-    recs.foreach { case (off, len) =>
-      val snapshot = acc.clone()
+    val snapshot = new Array[Long](8)
+    walkRecords(bytes) { (off, len) =>
+      System.arraycopy(acc, 0, snapshot, 0, 8)
       try {
         parseExample(bytes, off, len, acc)
         nOk += 1

@@ -145,6 +145,12 @@ object WebpOps {
         } else if (cc == "ANMF" && size >= 16) {
           nFrames += 1
           durationMs += u24le(bytes, body.toInt + 12)
+        } else if ((cc == "VP8 " || cc == "VP8L") && kind == "extended" &&
+            hasAnim == 0 && nFrames == 0) {
+          // non-animated extended WebP (VP8X + optional ALPH + one image
+          // chunk — the common alpha-still class): one frame, per the
+          // documented contract
+          nFrames = 1
         }
         nChunks += 1
         pos = body + size + (size & 1) // RIFF word alignment
@@ -233,6 +239,25 @@ object WebpOps {
       chunk("VP8X", vp8x) ++
         (if (icc) chunk("ICCP", meta8) else Array.empty[Byte]) ++
         chunk("ANIM", anim) ++ anmfs.flatten.toArray ++
+        (if (exif) chunk("EXIF", meta8) else Array.empty[Byte]) ++
+        (if (xmp) chunk("XMP ", meta8) else Array.empty[Byte]))
+  }
+
+  /** Extended (VP8X) STILL: no animation flag, one VP8L image chunk as
+    * a sibling — the common alpha-still class in crawl corpora.
+    */
+  def encodeExtendedStill(w: Int, h: Int, alpha: Boolean,
+      exif: Boolean, icc: Boolean, xmp: Boolean, filler: Int): Array[Byte] = {
+    require(w >= 1 && w <= (1 << 24) && h >= 1 && h <= (1 << 24), "canvas dims are 24-bit")
+    val flags = ((if (icc) 0x20 else 0) | (if (alpha) 0x10 else 0) |
+      (if (exif) 0x08 else 0) | (if (xmp) 0x04 else 0)).toByte
+    val vp8x = Array(flags, 0.toByte, 0.toByte, 0.toByte) ++
+      le24((w - 1).toLong) ++ le24((h - 1).toLong)
+    val meta8 = Array.tabulate(8)(i => (i * 11 + 5).toByte)
+    container(
+      chunk("VP8X", vp8x) ++
+        (if (icc) chunk("ICCP", meta8) else Array.empty[Byte]) ++
+        chunk("VP8L", vp8lPayload(w, h, alpha, filler)) ++
         (if (exif) chunk("EXIF", meta8) else Array.empty[Byte]) ++
         (if (xmp) chunk("XMP ", meta8) else Array.empty[Byte]))
   }

@@ -2542,6 +2542,15 @@ object StatQueries {
         .agg(sum("g").as("c1"), sum(expr("1 - g")).as("c2"))
       val tot = g.agg(sum("g").as("n1"), sum(expr("1 - g")).as("n2"))
       val delta = counts.crossJoin(broadcast(tot))
+        // the integer-exact cross-products need n1·n2 < 2^63 (both
+        // samples ≲ 3.0e9 when balanced); beyond that the fix is the
+        // DECIMAL(38,0) recipe, but the carry operator sums Longs — so
+        // fail LOUDLY instead of wrapping silently (assert_true raises
+        // at run time; it returns NULL on pass, hence the IS NULL filter)
+        .filter(expr(
+          """assert_true(n1 <= 9223372036854775807 div greatest(n2, 1),
+            | 'q376: n1*n2 exceeds int64 - pre-aggregate or shard the test')"""
+            .stripMargin).isNull)
         .selectExpr("x", "c1 * n2 - c2 * n1 AS delta", "n1", "n2")
       val cum = graft.operators.Relational
         .orderedPrefixSum(delta, "delta", "cum", col("x"))

@@ -626,10 +626,6 @@ object StreamingOps {
         col("obs_share"), col("ref_share"), col("psi_term"))
   }
 
-  /** Run a streaming DataFrame to completion over the currently
-    * available data (the reference's daily-batch cadence) into an
-    * in-memory table; returns the result.
-    */
   /** Streaming twin of q375's HyperLogLog registers: the sketch a
     * continuously-ingesting fleet keeps for "distinct users/keys so
     * far" without ever storing a key set. Registers are a
@@ -640,22 +636,31 @@ object StreamingOps {
     * and state is bounded at m registers per group FOREVER no matter
     * how many distinct keys arrive — the property that makes HLL the
     * right streaming cardinality summary where q390-style exact dedup
-    * state would grow without bound. Same md5-family hash and ρ
-    * arithmetic as q375, so the batch estimate formula applies to the
-    * streamed table verbatim.
+    * state would grow without bound. Same md5-family hash family as
+    * q375 (m=4096) and q214 (m=64): the hash is a 60-bit md5 prefix,
+    * so ρ's zero-w ceiling is 61 − log₂m — derived here, not
+    * hardcoded, and m must be a power of two or j = h % m would bias.
     *
     * `keyed` must carry a string group column `g` and a key column
     * `k`.
     */
-  def hllRegisters(keyed: DataFrame, m: Int): DataFrame =
+  def hllRegisters(keyed: DataFrame, m: Int): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    val bits = java.lang.Integer.numberOfTrailingZeros(m)
+    val rhoMax = 61 - bits // w has 60 - log2(m) bits; rho(w=0) = width + 1
     keyed
       .selectExpr("g",
         "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h")
       .selectExpr("g", s"h % $m AS j", s"h div $m AS w")
       .selectExpr("g", "j",
-        "CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END AS rho")
+        s"CASE WHEN w = 0 THEN $rhoMax ELSE $rhoMax - length(bin(w)) END AS rho")
       .groupBy("g", "j").agg(max("rho").as("m_j"))
+  }
 
+  /** Run a streaming DataFrame to completion over the currently
+    * available data (the reference's daily-batch cadence) into an
+    * in-memory table; returns the result.
+    */
   def runAvailableNow(df: DataFrame, queryName: String,
                       mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = df.writeStream

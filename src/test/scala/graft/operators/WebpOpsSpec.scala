@@ -41,6 +41,16 @@ class WebpOpsSpec extends AnyFunSuite {
     assert(m.nChunks == 7 && m.trailingBytes == 0)
   }
 
+  test("extended STILL (no animation): one frame, flags intact") {
+    val m = WebpOps.parse(WebpOps.encodeExtendedStill(64, 48, alpha = true,
+      exif = false, icc = true, xmp = false, filler = 2))
+    assert(m.valid == 1 && m.kind == "extended")
+    assert(m.hasAnim == 0 && m.nFrames == 1 && m.durationMs == 0L)
+    assert(m.hasAlpha == 1 && m.hasIcc == 1 && m.hasExif == 0)
+    assert(m.width == 64 && m.height == 48)
+    assert(m.nChunks == 3 && m.trailingBytes == 0) // VP8X + ICCP + VP8L
+  }
+
   test("truncated container: fail-closed, nothing guessed") {
     val m = WebpOps.parse(WebpOps.encodeLossy(32, 32, 5L, 0).take(6))
     assert(m.valid == 0 && m.kind == "other" && m.nChunks == 0)
