@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** ORC tail census — the third member of the columnar-lake trio
+  * (parquet q377, Avro OCF q378): Hive-era warehouses and plenty of
+  * live Spark lakes still ship ORC, and its tail is triaged the same
+  * way — postscript first, footer second, never a data stripe.
+  *
+  * Layout (Apache ORC spec v1): the file STARTS with the 3-byte magic
+  * "ORC" and ENDS with `[footer][postscript][1-byte postscript
+  * length]`. The postscript is ALWAYS uncompressed protobuf
+  * (PostScript: 1 footerLength, 2 compression enum, 3 compression
+  * BlockSize, 5 metadataLength, 6 writerVersion, 8000 magic "ORC"),
+  * which is what makes the census possible before knowing the codec.
+  * The footer (Footer: 2 contentLength, 3 repeated StripeInformation
+  * {5 numberOfRows}, 4 repeated Type, 6 numberOfRows) is raw protobuf
+  * ONLY when compression = NONE; under ZLIB/SNAPPY/ZSTD it sits
+  * behind compression chunks — the honest stub boundary (q366
+  * discipline): the census reports the postscript layer (codec,
+  * declared lengths) and sets `footer_parsed = 0` rather than
+  * guessing at compressed bytes.
+  *
+  * Shares the protobuf wire machinery with the tf.Example census
+  * (TfRecordOps.ProtoReader): varint tags, structural skip of every
+  * untargeted field — real writer footers carry statistics and
+  * encodings this walker never pattern-matches. Stop-don't-guess:
+  * missing magics, a postscript length outside the buffer, a declared
+  * footer length overrunning the tail (subtraction form), or a wire
+  * violation zero the census whole.
+  */
+object OrcOps {
+
+  final case class OrcMeta(
+      valid: Int,          // postscript layer parsed (+ footer when NONE)
+      psLen: Int,          // postscript byte length
+      compression: String, // none/zlib/snappy/lzo/lz4/zstd/other
+      footerLen: Long,     // declared footer length
+      metadataLen: Long,
+      writerVersion: Long,
+      footerParsed: Int,   // 1 iff compression = NONE and the footer walked
+      nStripes: Int,
+      numRows: Long,       // Footer.numberOfRows
+      stripeRows: Long,    // Σ StripeInformation.numberOfRows
+      nTypes: Int,
+      contentLength: Long,
+      dataBytes: Long)     // bytes between the head magic and the tail
+
+  private val Invalid = OrcMeta(0, 0, "", 0L, 0L, 0L, 0, 0, 0L, 0L, 0, 0L, 0L)
+  private val Kinds = Map(0L -> "none", 1L -> "zlib", 2L -> "snappy",
+    3L -> "lzo", 4L -> "lz4", 5L -> "zstd")
+
+  def parse(bytes: Array[Byte]): OrcMeta = {
+    val n = bytes.length
+    if (n < 8 || bytes(0) != 'O' || bytes(1) != 'R' || bytes(2) != 'C')
+      return Invalid
+    val psLen = bytes(n - 1) & 0xff
+    // postscript must fit after the head magic (subtraction form)
+    if (psLen < 1 || psLen > n - 4) return Invalid
+    try {
+      val ps = new TfRecordOps.ProtoReader(bytes, n - 1 - psLen, n - 1)
+      var footerLen = 0L; var comp = -1L; var metaLen = 0L
+      var writerVer = 0L; var magicOk = false
+      while (ps.pos < ps.end) {
+        val tag = ps.varint()
+        val field = (tag >>> 3).toInt; val wire = (tag & 7).toInt
+        (field, wire) match {
+          case (1, 0) => footerLen = ps.varint()
+          case (2, 0) => comp = ps.varint()
+          case (5, 0) => metaLen = ps.varint()
+          case (6, 0) => writerVer = ps.varint()
+          case (8000, 2) =>
+            val (off, len) = ps.lenDelimited()
+            magicOk = len == 3 && bytes(off) == 'O' && bytes(off + 1) == 'R' &&
+              bytes(off + 2) == 'C'
+          case _ => ps.skipValue(wire)
+        }
+      }
+      if (!magicOk || comp < 0) return Invalid
+      // footer precedes the postscript; must fit after the head magic
+      if (footerLen < 0 || footerLen > n.toLong - 1 - psLen - 3) return Invalid
+      val compression = Kinds.getOrElse(comp, "other")
+      var footerParsed = 0
+      var nStripes = 0; var numRows = 0L; var stripeRows = 0L
+      var nTypes = 0; var contentLen = 0L
+      if (comp == 0L && footerLen > 0) {
+        val fStart = n - 1 - psLen - footerLen.toInt
+        val f = new TfRecordOps.ProtoReader(bytes, fStart, fStart + footerLen.toInt)
+        while (f.pos < f.end) {
+          val tag = f.varint()
+          val field = (tag >>> 3).toInt; val wire = (tag & 7).toInt
+          (field, wire) match {
+            case (2, 0) => contentLen = f.varint()
+            case (3, 2) => // StripeInformation
+              nStripes += 1
+              val (off, len) = f.lenDelimited()
+              val s = new TfRecordOps.ProtoReader(bytes, off, off + len)
+              while (s.pos < s.end) {
+                val st = s.varint()
+                if ((st >>> 3).toInt == 5 && (st & 7).toInt == 0)
+                  stripeRows += s.varint()
+                else s.skipValue((st & 7).toInt)
+              }
+            case (4, 2) => nTypes += 1; f.lenDelimited(); ()
+            case (6, 0) => numRows = f.varint()
+            case _ => f.skipValue(wire)
+          }
+        }
+        footerParsed = 1
+      }
+      OrcMeta(1, psLen, compression, footerLen, metaLen, writerVer,
+        footerParsed, nStripes, numRows, stripeRows, nTypes, contentLen,
+        n.toLong - 3 - 1 - psLen - footerLen)
+    } catch {
+      case TfRecordOps.ProtoMalformed => Invalid
+      case _: ArrayIndexOutOfBoundsException => Invalid
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // synthetic encoder (tests + the q381 oracle's closed-form replay)
+
+  private def vi(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+  private def tag(out: java.io.ByteArrayOutputStream, field: Int, wire: Int): Unit =
+    vi(out, (field.toLong << 3) | wire)
+  private def lenField(out: java.io.ByteArrayOutputStream, field: Int,
+      body: Array[Byte]): Unit = {
+    tag(out, field, 2); vi(out, body.length.toLong); out.write(body)
+  }
+
+  /** Minimal-but-real ORC tail: head magic, filler "stripes", a raw
+    * footer (always written; only parseable when `compression = 0`),
+    * and the postscript. `rowsPerStripe` feeds both the stripe infos
+    * and Footer.numberOfRows.
+    */
+  def encodeSynthetic(nStripes: Int, rowsPerStripe: Long, nTypes: Int,
+      compression: Long, writerVersion: Long, dataFiller: Int): Array[Byte] = {
+    val footer = {
+      val f = new java.io.ByteArrayOutputStream()
+      tag(f, 2, 0); vi(f, 3L + dataFiller) // contentLength
+      (0 until nStripes).foreach { i =>
+        val s = new java.io.ByteArrayOutputStream()
+        tag(s, 1, 0); vi(s, 3L + i)        // offset
+        tag(s, 2, 0); vi(s, 10L)           // indexLength
+        tag(s, 3, 0); vi(s, 100L)          // dataLength
+        tag(s, 4, 0); vi(s, 20L)           // footerLength
+        tag(s, 5, 0); vi(s, rowsPerStripe) // numberOfRows
+        lenField(f, 3, s.toByteArray)
+      }
+      (0 until nTypes).foreach { i =>
+        val t = new java.io.ByteArrayOutputStream()
+        tag(t, 1, 0); vi(t, (i % 4).toLong) // kind
+        lenField(f, 4, t.toByteArray)
+      }
+      tag(f, 6, 0); vi(f, nStripes * rowsPerStripe)
+      f.toByteArray
+    }
+    val ps = {
+      val p = new java.io.ByteArrayOutputStream()
+      tag(p, 1, 0); vi(p, footer.length.toLong)
+      tag(p, 2, 0); vi(p, compression)
+      tag(p, 3, 0); vi(p, 262144L)
+      tag(p, 5, 0); vi(p, 0L)
+      tag(p, 6, 0); vi(p, writerVersion)
+      lenField(p, 8000, "ORC".getBytes("US-ASCII"))
+      p.toByteArray
+    }
+    require(ps.length <= 255, "postscript must fit one length byte")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ORC".getBytes("US-ASCII"))
+    out.write(Array.tabulate(dataFiller)(i => ((i * 23 + 5) & 0xff).toByte))
+    out.write(footer)
+    out.write(ps)
+    out.write(ps.length)
+    out.toByteArray
+  }
+
+  /** Census DataFrame over (id, orc-bytes) — map-only, zero shuffles.
+    * ps_len/footer_len stay out of the projection: they depend on
+    * varint widths no SQL oracle should re-derive (the q377 rule).
+    */
+  def orcFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = parse(bytes)
+          (id, m.valid.toLong, m.compression, m.metadataLen,
+            m.writerVersion, m.footerParsed.toLong, m.nStripes.toLong,
+            m.numRows, m.stripeRows, m.nTypes.toLong, m.contentLength)
+        }
+      }
+      .toDF(idCol, "valid", "compression", "metadata_len",
+        "writer_version", "footer_parsed", "n_stripes", "num_rows",
+        "stripe_rows", "n_types", "content_length")
+  }
+}

@@ -187,9 +187,9 @@ object TfRecordOps {
       floatValues: Long,
       int64Values: Long)
 
-  private object ProtoMalformed extends Exception with scala.util.control.NoStackTrace
+  private[operators] object ProtoMalformed extends Exception with scala.util.control.NoStackTrace
 
-  private final class ProtoReader(val b: Array[Byte], var pos: Int, val end: Int) {
+  private[operators] final class ProtoReader(val b: Array[Byte], var pos: Int, val end: Int) {
     def varint(): Long = {
       var shift = 0; var out = 0L; var i = 0
       while (i < 10) {

@@ -4681,10 +4681,88 @@ object DataQueries {
              CAST(100 * m + 60 AS BIGINT) AS threshold
       FROM t ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q381
+
+  /** q381 — ORC tail census: the third member of the columnar-lake
+    * trio (q377 parquet, q378 Avro), postscript-first the way a fleet
+    * actually triages ORC — the 1-byte tail length, the ALWAYS-raw
+    * protobuf postscript (codec, declared footer/metadata lengths,
+    * writer version, the field-8000 "ORC" magic gate), then the footer
+    * walked ONLY when compression = NONE (stripe count, per-stripe and
+    * total row counts, type count, content length); compressed footers
+    * are the honest stub boundary — reported by codec, never guessed
+    * at ([[graft.operators.OrcOps.parse]], sharing the protobuf wire
+    * machinery with q379). Per-doc synthetic tails derive everything
+    * from doc_id; the oracle recomputes the census closed-form.
+    * ps_len/footer_len stay out of the projection (varint-width rule).
+    * Real Spark-written ORC pinned in OrcOpsSpec. Map-only, zero
+    * shuffles.
+    */
+  val q381 = Q("q381_orc_tail_census",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val base = graft.operators.OrcOps.encodeSynthetic(
+              nStripes = 1 + (id % 3).toInt,
+              rowsPerStripe = 100 + id % 20,
+              nTypes = 1 + (id % 4).toInt,
+              compression = Seq(0L, 1L, 5L)((id % 3).toInt),
+              writerVersion = 7 + id % 3,
+              dataFiller = (id % 16).toInt)
+            val out =
+              if (id % 17 == 0) base.dropRight(2)
+              else if (id % 19 == 0) { val c = base.clone(); c(0) = 0x7F.toByte; c }
+              else if (id % 23 == 0) {
+                val c = base.clone()
+                val pl = c(c.length - 1) & 0xff
+                c(c.length - 1 - pl) = 0xFF.toByte
+                c
+              } else base
+            (id, out)
+          }
+        }.toDF("doc_id", "payload")
+      graft.operators.OrcOps.orcFeatures(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id AS k,
+               1 + (doc_id % 3) AS ns,
+               100 + (doc_id % 20) AS rps,
+               1 + (doc_id % 4) AS nt,
+               CASE doc_id % 3 WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
+                    ELSE 'zstd' END AS comp,
+               (doc_id % 3 = 0) AS parsed,
+               7 + (doc_id % 3) AS wv,
+               3 + (doc_id % 16) AS clen,
+               (doc_id % 17 = 0 OR doc_id % 19 = 0 OR doc_id % 23 = 0) AS bad
+        FROM documents)
+      SELECT k AS doc_id,
+             CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS valid,
+             CASE WHEN bad THEN '' ELSE comp END AS compression,
+             CAST(0 AS BIGINT) AS metadata_len,
+             CAST(CASE WHEN bad THEN 0 ELSE wv END AS BIGINT) AS writer_version,
+             CAST(CASE WHEN bad OR NOT parsed THEN 0 ELSE 1 END AS BIGINT)
+               AS footer_parsed,
+             CAST(CASE WHEN bad OR NOT parsed THEN 0 ELSE ns END AS BIGINT)
+               AS n_stripes,
+             CAST(CASE WHEN bad OR NOT parsed THEN 0 ELSE ns * rps END AS BIGINT)
+               AS num_rows,
+             CAST(CASE WHEN bad OR NOT parsed THEN 0 ELSE ns * rps END AS BIGINT)
+               AS stripe_rows,
+             CAST(CASE WHEN bad OR NOT parsed THEN 0 ELSE nt END AS BIGINT)
+               AS n_types,
+             CAST(CASE WHEN bad OR NOT parsed THEN 0 ELSE clen END AS BIGINT)
+               AS content_length
+      FROM p ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
-    q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380)
+    q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381)
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ORC tail walker — the real-world pin first (Spark's own ORC writer,
+  * whose footers carry statistics/encodings the synthetic fixtures
+  * never emit), then synthetic round-trips and one test per malformed
+  * class.
+  */
+class OrcOpsSpec extends SparkSpec {
+
+  private def writeReal(compression: String): Array[Byte] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toFile
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .coalesce(1)
+      .write.mode("overwrite").option("compression", compression)
+      .orc(s"$dir/out")
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".orc")).head
+    java.nio.file.Files.readAllBytes(part.toPath)
+  }
+
+  test("real Spark ORC (compression none): footer fully walked, rows match") {
+    val bytes = writeReal("none")
+    val m = OrcOps.parse(bytes)
+    assert(m.valid == 1 && m.compression == "none" && m.footerParsed == 1)
+    assert(m.numRows == 25L, s"numRows ${m.numRows}")
+    assert(m.stripeRows == m.numRows, "stripe rows cover the file")
+    assert(m.nStripes >= 1)
+    // flat schema: root struct + one type per column
+    val nCols = graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .schema.fields.length
+    assert(m.nTypes == 1 + nCols, s"nTypes ${m.nTypes} vs 1+$nCols")
+    assert(m.footerLen > 0 && m.contentLength > 0)
+  }
+
+  test("real Spark ORC (zlib): postscript layer only, honest boundary") {
+    val m = OrcOps.parse(writeReal("zlib"))
+    assert(m.valid == 1 && m.compression == "zlib")
+    assert(m.footerParsed == 0 && m.nStripes == 0 && m.numRows == 0)
+    assert(m.footerLen > 0) // declared, not walked
+  }
+
+  test("synthetic round-trip: every census field") {
+    val m = OrcOps.parse(OrcOps.encodeSynthetic(3, 250L, 4, 0L, 9L, 11))
+    assert(m.valid == 1 && m.compression == "none" && m.footerParsed == 1)
+    assert(m.nStripes == 3 && m.numRows == 750L && m.stripeRows == 750L)
+    assert(m.nTypes == 4 && m.writerVersion == 9L && m.contentLength == 14L)
+    assert(m.psLen > 0 && m.footerLen > 0 && m.dataBytes == 11L)
+  }
+
+  test("compressed synthetic: codec reported, footer never guessed at") {
+    val m = OrcOps.parse(OrcOps.encodeSynthetic(2, 100L, 2, 5L, 7L, 0))
+    assert(m.valid == 1 && m.compression == "zstd" && m.footerParsed == 0)
+    assert(m.nStripes == 0 && m.numRows == 0 && m.nTypes == 0)
+  }
+
+  test("cut tail: fail-closed") {
+    val m = OrcOps.parse(OrcOps.encodeSynthetic(2, 100L, 2, 0L, 7L, 5).dropRight(2))
+    assert(m.valid == 0 && m.numRows == 0)
+  }
+
+  test("flipped head magic: rejected") {
+    val b = OrcOps.encodeSynthetic(1, 10L, 1, 0L, 7L, 0)
+    b(0) = 0x7F.toByte
+    assert(OrcOps.parse(b).valid == 0)
+  }
+
+  test("corrupted postscript first byte: wire violation, zeroed census") {
+    val b = OrcOps.encodeSynthetic(1, 10L, 1, 0L, 7L, 0)
+    val pl = b(b.length - 1) & 0xff
+    b(b.length - 1 - pl) = 0xFF.toByte
+    assert(OrcOps.parse(b).valid == 0)
+  }
+
+  test("huge postscript length byte: bounds hold on tiny files") {
+    val b = OrcOps.encodeSynthetic(1, 10L, 1, 0L, 7L, 0)
+    b(b.length - 1) = 0xFF.toByte // 255 > n - 4
+    assert(OrcOps.parse(b).valid == 0)
+  }
+
+  test("declared footer length past the head magic: rejected") {
+    // hand-build a postscript declaring a footer larger than the file
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ORC".getBytes("US-ASCII"))
+    def vi(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    val ps = new java.io.ByteArrayOutputStream()
+    def pvi(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { ps.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      ps.write(v.toInt)
+    }
+    pvi(1L << 3); pvi(1000000L)    // footerLength: huge
+    pvi(2L << 3); pvi(0L)          // compression NONE
+    pvi((8000L << 3) | 2); pvi(3L); ps.write("ORC".getBytes("US-ASCII"))
+    val psb = ps.toByteArray
+    out.write(psb); out.write(psb.length)
+    assert(OrcOps.parse(out.toByteArray).valid == 0)
+  }
+}

@@ -166,6 +166,13 @@ class WalkerFuzzSpec extends AnyFunSuite {
         }
       }.map(_.toByte).toArray,
       b => { val m = TextCodec.utf8Audit(b); (m.nCodepoints, 0L) }),
+    Fuzzed("orc-tail",
+      rnd => OrcOps.encodeSynthetic(1 + rnd.nextInt(4), (1 + rnd.nextInt(1000)).toLong,
+        1 + rnd.nextInt(6), Seq(0L, 0L, 1L, 2L, 5L)(rnd.nextInt(5)),
+        rnd.nextInt(10).toLong, rnd.nextInt(200)),
+      b => { val m = OrcOps.parse(b)
+        (m.nStripes.toLong + m.nTypes + m.valid, 0L) },
+      appendStable = false), // discovery starts at the file END, like ZIP
     Fuzzed("tfexample",
       rnd => TfRecordOps.encodeShard((0 until 1 + rnd.nextInt(4)).map(_ =>
         TfRecordOps.encodeExample(rnd.nextInt(4), rnd.nextInt(30),
