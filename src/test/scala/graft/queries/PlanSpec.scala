@@ -140,6 +140,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan368.contains("hashpartitioning"), plan368)
   }
 
+  test("q374–q381 censuses are map-only — no payload byte shuffles") {
+    // WebP, parquet footer, Avro OCF, tf.Example, zone-map pruning,
+    // ORC tail: one mapPartitions pass over per-doc synthesized
+    // payloads; the final orderBy is presentation (range partitioning
+    // only)
+    for (q <- Seq(DataQueries.q374, DataQueries.q377, DataQueries.q378,
+        DataQueries.q379, DataQueries.q380, DataQueries.q381)) {
+      val plan = physical(q)
+      assert(!plan.contains("Join"), s"${q.name}: $plan")
+      assert(!plan.contains("hashpartitioning"), s"${q.name}: $plan")
+    }
+  }
+
   test("q373: budget selection has no WindowExec — the global cumsum is the two-phase carry") {
     // `sum(tok) OVER (ORDER BY score)` would funnel the corpus through
     // ONE task; orderedPrefixSum's per-partition carry must leave no
