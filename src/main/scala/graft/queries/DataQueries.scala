@@ -4759,10 +4759,96 @@ object DataQueries {
                AS content_length
       FROM p ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q382
+
+  /** q382 — Snappy framing census: the streaming container form of
+    * the codec the whole lake trio declares (q377/q378/q381 all
+    * report SNAPPY), closing the compression-container family next to
+    * gzip decode (q194) and the zstd frame walk (q366). Chunk walk
+    * with the stream-identifier gate, uncompressed-chunk CRCs
+    * VERIFIED via the same masked CRC-32C kernel TFRecord uses
+    * (TfRecordOps.crc32c/mask — one Castagnoli implementation in the
+    * engine), compressed payloads counted never decoded, and a failed
+    * CRC counted rather than halting — the 24-bit length framing
+    * stays authoritative over payload integrity. Three malformed
+    * classes: 3-byte tail cut (prefix kept, per-class trailing
+    * arithmetic in the oracle), identifier flip (file rejected whole),
+    * and a flipped CRC byte (valid stream, crc_bad = 1 — integrity
+    * and framing reported independently). Map-only, zero shuffles.
+    */
+  val q382 = Q("q382_snappy_framing_census",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val base = graft.operators.SnappyFrameOps.encodeSynthetic(
+              uncLens = Seq.fill(1 + (id % 3).toInt)(30 + 2 * (id % 10).toInt),
+              compLens = if (id % 2 == 1) Seq(20 + (id % 5).toInt) else Nil,
+              padLen = if (id % 4 == 0) 8 else 0)
+            val out =
+              if (id % 17 == 0) base.dropRight(3)
+              else if (id % 19 == 0) { val c = base.clone(); c(5) = 0x7F.toByte; c }
+              else if (id % 23 == 0) {
+                // flip one CRC byte of the first uncompressed chunk
+                // (offset 10 identifier + 4 chunk header)
+                val c = base.clone(); c(14) = (c(14) ^ 0x5A).toByte; c
+              } else base
+            (id, out)
+          }
+        }.toDF("doc_id", "payload")
+      graft.operators.SnappyFrameOps.snappyFeatures(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id AS k,
+               1 + (doc_id % 3) AS nu,
+               30 + 2 * (doc_id % 10) AS ulen,
+               doc_id % 2 AS hasc,
+               20 + (doc_id % 5) AS clen,
+               CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS hasp,
+               (doc_id % 17 = 0) AS cut,
+               (doc_id % 17 <> 0 AND doc_id % 19 = 0) AS flip,
+               (doc_id % 17 <> 0 AND doc_id % 19 <> 0 AND doc_id % 23 = 0) AS crcflip
+        FROM documents),
+      t AS (
+        SELECT *,
+               10 + nu * (38 + 2 * (k % 10)) + hasc * (28 + (k % 5))
+                 + hasp * 12 AS total,
+               -- the 3-byte cut lands in the LAST chunk: pad, else the
+               -- compressed chunk, else the last uncompressed chunk
+               CASE WHEN cut AND hasp = 1 THEN nu
+                    WHEN cut AND hasc = 1 THEN nu
+                    WHEN cut THEN nu - 1
+                    WHEN flip THEN 0 ELSE nu END AS nuw,
+               CASE WHEN cut AND hasp = 0 AND hasc = 1 THEN 0
+                    WHEN flip THEN 0 ELSE hasc END AS ncw,
+               CASE WHEN cut OR flip THEN 0 ELSE hasp END AS npw
+        FROM p)
+      SELECT k AS doc_id,
+             CAST(CASE WHEN cut OR flip THEN 0 ELSE 1 END AS BIGINT) AS valid,
+             CAST(ncw AS BIGINT) AS n_compressed,
+             CAST(nuw AS BIGINT) AS n_uncompressed,
+             CAST(npw AS BIGINT) AS n_padding,
+             CAST(0 AS BIGINT) AS n_skippable,
+             CAST(nuw * ulen AS BIGINT) AS uncompressed_bytes,
+             CAST(ncw * clen AS BIGINT) AS compressed_bytes,
+             CAST(CASE WHEN crcflip THEN nuw - 1 ELSE nuw END AS BIGINT) AS crc_ok,
+             CAST(CASE WHEN crcflip THEN 1 ELSE 0 END AS BIGINT) AS crc_bad,
+             CAST(0 AS BIGINT) AS stopped_unskippable,
+             CAST(CASE WHEN flip THEN total
+                  WHEN cut AND hasp = 1 THEN 12 - 3
+                  WHEN cut AND hasc = 1 THEN 28 + (k % 5) - 3
+                  WHEN cut THEN 38 + 2 * (k % 10) - 3
+                  ELSE 0 END AS BIGINT) AS trailing_bytes
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
-    q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381)
+    q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382)
 }

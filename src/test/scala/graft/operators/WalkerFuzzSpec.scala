@@ -166,6 +166,14 @@ class WalkerFuzzSpec extends AnyFunSuite {
         }
       }.map(_.toByte).toArray,
       b => { val m = TextCodec.utf8Audit(b); (m.nCodepoints, 0L) }),
+    Fuzzed("snappy-framing",
+      rnd => SnappyFrameOps.encodeSynthetic(
+        (0 until rnd.nextInt(4)).map(_ => rnd.nextInt(400)),
+        (0 until rnd.nextInt(3)).map(_ => rnd.nextInt(300)),
+        if (rnd.nextBoolean()) rnd.nextInt(50) else 0),
+      b => { val m = SnappyFrameOps.parse(b)
+        (m.nCompressed.toLong + m.nUncompressed + m.nPadding + m.nSkippable,
+          m.trailingBytes) }),
     Fuzzed("orc-tail",
       rnd => OrcOps.encodeSynthetic(1 + rnd.nextInt(4), (1 + rnd.nextInt(1000)).toLong,
         1 + rnd.nextInt(6), Seq(0L, 0L, 1L, 2L, 5L)(rnd.nextInt(5)),

@@ -146,7 +146,7 @@ class PlanSpec extends SparkSpec {
     // payloads; the final orderBy is presentation (range partitioning
     // only)
     for (q <- Seq(DataQueries.q374, DataQueries.q377, DataQueries.q378,
-        DataQueries.q379, DataQueries.q380, DataQueries.q381)) {
+        DataQueries.q379, DataQueries.q380, DataQueries.q381, DataQueries.q382)) {
       val plan = physical(q)
       assert(!plan.contains("Join"), s"${q.name}: $plan")
       assert(!plan.contains("hashpartitioning"), s"${q.name}: $plan")
