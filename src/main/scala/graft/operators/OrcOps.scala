@@ -121,17 +121,14 @@ object OrcOps {
   // ------------------------------------------------------------------
   // synthetic encoder (tests + the q381 oracle's closed-form replay)
 
-  private def vi(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
-    var v = v0
-    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-    out.write(v.toInt)
-  }
+  // ONE varint encoder in the operators package (review-demanded dedup):
+  // the protobuf writer lives with the shared ProtoReader in TfRecordOps
+  private def vi(out: java.io.ByteArrayOutputStream, v0: Long): Unit =
+    TfRecordOps.pbVarint(out, v0)
   private def tag(out: java.io.ByteArrayOutputStream, field: Int, wire: Int): Unit =
     vi(out, (field.toLong << 3) | wire)
   private def lenField(out: java.io.ByteArrayOutputStream, field: Int,
-      body: Array[Byte]): Unit = {
-    tag(out, field, 2); vi(out, body.length.toLong); out.write(body)
-  }
+      body: Array[Byte]): Unit = TfRecordOps.pbLen(out, field, body)
 
   /** Minimal-but-real ORC tail: head magic, filler "stripes", a raw
     * footer (always written; only parseable when `compression = 0`),

@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions.col
   * reader must stop); 0x80–0xFD are reserved-skippable; 0xFE is
   * padding.
   *
-  * Stop-don't-guess: a missing/malformed stream identifier rejects
-  * the file whole; a chunk header overrunning the buffer
+  * Stop-don't-guess: a missing/malformed LEADING stream identifier
+  * rejects the file whole; REPEATED identifiers mid-stream are
+  * spec-legal (concatenated .sz streams, the gzip-cat pattern) —
+  * verified and stepped over; a chunk header overrunning the buffer
   * (subtraction-form bounds — the 24-bit length is attacker-
   * controlled), an unskippable reserved type, a data chunk shorter
   * than its checksum, or an uncompressed chunk over the spec's
@@ -40,7 +42,8 @@ object SnappyFrameOps {
       nCompressed: Int,
       nUncompressed: Int,
       nPadding: Int,
-      nSkippable: Int,       // reserved-skippable chunks stepped over
+      nSkippable: Int,       // reserved-skippable chunks + repeated stream
+                             // identifiers (concatenated streams) stepped over
       uncompressedBytes: Long, // raw bytes in type-1 chunks
       compressedBytes: Long,   // payload bytes in type-0 chunks (excl. CRC)
       crcOk: Int,            // verified checksums (type-1 only)
@@ -93,7 +96,14 @@ object SnappyFrameOps {
               pos += 4 + len
             }
           case 0xFE => nPad += 1; pos += 4 + len
-          case 0xFF => halted = true // identifier may only lead the stream
+          case 0xFF =>
+            // repeated stream identifier: the framing spec PERMITS it
+            // (concatenated .sz streams, the gzip-cat pattern) — verify
+            // the 6-byte payload and step over; a wrong payload halts
+            if (len == 6L &&
+                new String(bytes, pos.toInt + 4, 6, "US-ASCII") == "sNaPpY") {
+              nSkip += 1; pos += 4 + len
+            } else halted = true
           case r if r >= 0x80 => nSkip += 1; pos += 4 + len
           case _ => unskippable = 1; halted = true // 0x02–0x7F: must stop
         }

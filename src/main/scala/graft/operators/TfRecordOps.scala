@@ -340,12 +340,12 @@ object TfRecordOps {
 
   // --- tf.Example builder (tests + the q379 oracle's replay) ---
 
-  private def pbVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+  private[operators] def pbVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
     out.write(v.toInt)
   }
-  private def pbLen(out: java.io.ByteArrayOutputStream, field: Int,
+  private[operators] def pbLen(out: java.io.ByteArrayOutputStream, field: Int,
       body: Array[Byte]): Unit = {
     pbVarint(out, (field.toLong << 3) | 2)
     pbVarint(out, body.length.toLong)

@@ -46,11 +46,22 @@ class SnappyFrameOpsSpec extends AnyFunSuite {
     assert(m.valid == 1 && m.nSkippable == 1 && m.trailingBytes == 0)
   }
 
-  test("a second stream identifier mid-stream halts (spec: leading only)") {
+  test("concatenated streams: a repeated identifier is verified and stepped over") {
+    // the framing spec permits repeated stream identifiers — `cat a.sz
+    // b.sz` must parse whole, the gzip-concatenation pattern
     val a = SnappyFrameOps.encodeSynthetic(Seq(20), Nil, 0)
     val b = a ++ SnappyFrameOps.encodeSynthetic(Seq(10), Nil, 0)
     val m = SnappyFrameOps.parse(b)
-    assert(m.valid == 0 && m.nUncompressed == 1)
+    assert(m.valid == 1 && m.nUncompressed == 2 && m.nSkippable == 1)
+    assert(m.crcOk == 2 && m.trailingBytes == 0)
+  }
+
+  test("a mid-stream identifier with the WRONG payload halts") {
+    val a = SnappyFrameOps.encodeSynthetic(Seq(20), Nil, 0)
+    val bad = Array(0xFF.toByte, 6.toByte, 0.toByte, 0.toByte) ++
+      "sNaPpX".getBytes("US-ASCII")
+    val m = SnappyFrameOps.parse(a ++ bad)
+    assert(m.valid == 0 && m.nUncompressed == 1 && m.trailingBytes == 10L)
   }
 
   test("huge 24-bit length (0xFFFFFF): overflow-proof halt, prefix kept") {

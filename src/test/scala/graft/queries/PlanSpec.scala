@@ -140,11 +140,11 @@ class PlanSpec extends SparkSpec {
     assert(!plan368.contains("hashpartitioning"), plan368)
   }
 
-  test("q374–q381 censuses are map-only — no payload byte shuffles") {
+  test("q374–q382 censuses are map-only — no payload byte shuffles") {
     // WebP, parquet footer, Avro OCF, tf.Example, zone-map pruning,
-    // ORC tail: one mapPartitions pass over per-doc synthesized
-    // payloads; the final orderBy is presentation (range partitioning
-    // only)
+    // ORC tail, Snappy framing: one mapPartitions pass over per-doc
+    // synthesized payloads; the final orderBy is presentation (range
+    // partitioning only)
     for (q <- Seq(DataQueries.q374, DataQueries.q377, DataQueries.q378,
         DataQueries.q379, DataQueries.q380, DataQueries.q381, DataQueries.q382)) {
       val plan = physical(q)
