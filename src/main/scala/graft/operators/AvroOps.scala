@@ -124,8 +124,18 @@ object AvroOps {
             r.pos = blockStart
             halted = true
           } else {
+            // cnt is an attacker-controlled 64-bit zigzag (a few-byte
+            // block can declare near-2^63 records — legal-shaped since
+            // zero-field records are zero bytes, so no size-based cap
+            // applies): accumulate with addExact and halt the walk as
+            // malformed AT this block on overflow, instead of wrapping
+            // the census total negative across two such blocks; the
+            // add runs before nBlocks so the halted block counts in
+            // neither total
+            totalRecords = try Math.addExact(totalRecords, cnt) catch {
+              case _: ArithmeticException => throw Malformed
+            }
             nBlocks += 1
-            totalRecords += cnt
             payloadBytes += size
           }
         } catch {

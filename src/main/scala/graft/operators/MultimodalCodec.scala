@@ -101,9 +101,34 @@ object MultimodalCodec {
     * "undecodable" (no reader recognizes the bytes).
     */
   def decodeGray(bytes: Array[Byte],
-                 maxPixels: Long = MaxPixels): Option[(Int, Int, Array[Int])] = {
-    // one reader setup: header dims first (no pixel decode), then
-    // r.read(0) on the same reader only if the cap passes
+                 maxPixels: Long = MaxPixels): Option[(Int, Int, Array[Int])] =
+    decodeGrayResult(bytes, maxPixels) match {
+      case Decoded(w, h, pix) => Some((w, h, pix))
+      case _                  => None
+    }
+
+  /** Decode outcome with the rejection REASON carried — a cap-rejected
+    * 20M-px photo (header parsed fine, product over `maxPixels`) is a
+    * different corpus fact than bytes no reader recognizes, and a
+    * triage census that conflates them undercounts the real images.
+    */
+  sealed trait DecodeResult
+  /** Decoded pixels (see [[decodeGray]] for the grayscale collapse). */
+  final case class Decoded(w: Int, h: Int, pix: Array[Int]) extends DecodeResult
+  /** Header dims parsed fine but `w·h` exceeds the cap — the PROBED
+    * dimensions are carried so the census can report what was skipped.
+    */
+  final case class CapRejected(w: Int, h: Int) extends DecodeResult
+  /** No registered reader recognizes the bytes (or the decode threw). */
+  case object Undecodable extends DecodeResult
+
+  /** [[decodeGray]] with the outcome reason surfaced (same single
+    * reader setup: header dims first, pixel decode only if the cap
+    * passes).
+    */
+  def decodeGrayResult(bytes: Array[Byte],
+                       maxPixels: Long = MaxPixels): DecodeResult = {
+    var capped: DecodeResult = Undecodable
     val img: java.awt.image.BufferedImage =
       try {
         val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
@@ -116,13 +141,14 @@ object MultimodalCodec {
               r.setInput(iis)
               val w = r.getWidth(0)
               val h = r.getHeight(0)
-              if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) null
+              if (w <= 0 || h <= 0) null
+              else if (w.toLong * h > maxPixels) { capped = CapRejected(w, h); null }
               else r.read(0)
             } finally r.dispose()
           }
         } finally iis.close()
       } catch { case _: Exception => null }
-    if (img == null) None
+    if (img == null) capped
     else {
       val w = img.getWidth
       val h = img.getHeight
@@ -148,7 +174,7 @@ object MultimodalCodec {
           y += 1
         }
       }
-      Some((w, h, out))
+      Decoded(w, h, out)
     }
   }
 
@@ -191,31 +217,39 @@ object MultimodalCodec {
   }
 
   /** Decode a payload column to image features: (idCol, decodable,
-    * width, height, sum_gray, ahash_hex). `sum_gray` (the exact integer
-    * pixel sum) stands in for mean brightness without any float math;
-    * `ahash_hex` is [[aHash64]] as 16 lowercase hex chars (MSB-first —
-    * `%016x` two's-complement formatting matches the oracle's nibble
-    * construction). One iterator pass per partition — the codec-context
-    * shape — with undecodable payloads surfaced as rows, not exceptions.
+    * status, width, height, sum_gray, ahash_hex). `sum_gray` (the exact
+    * integer pixel sum) stands in for mean brightness without any float
+    * math; `ahash_hex` is [[aHash64]] as 16 lowercase hex chars
+    * (MSB-first — `%016x` two's-complement formatting matches the
+    * oracle's nibble construction). One iterator pass per partition —
+    * the codec-context shape — with failed payloads surfaced as rows,
+    * not exceptions, and the failure REASON carried in `status`:
+    * `ok` / `cap_rejected` (header dims parsed, `w·h` over `maxPixels`;
+    * the probed width/height are reported so the census can say what
+    * was skipped) / `undecodable` (no reader recognizes the bytes).
     */
-  def decodeImageFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+  def decodeImageFeatures(df: DataFrame, idCol: String, payloadCol: String,
+                          maxPixels: Long = MaxPixels): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          decodeGray(bytes) match {
-            case Some((w, h, pix)) =>
+          decodeGrayResult(bytes, maxPixels) match {
+            case Decoded(w, h, pix) =>
               var total = 0L
               var i = 0
               while (i < pix.length) { total += pix(i); i += 1 }
-              (id, true, w, h, total, f"${aHash64(w, h, pix)}%016x")
-            case None => (id, false, 0, 0, 0L, null: String)
+              (id, true, "ok", w, h, total, f"${aHash64(w, h, pix)}%016x")
+            case CapRejected(w, h) =>
+              (id, false, "cap_rejected", w, h, 0L, null: String)
+            case Undecodable =>
+              (id, false, "undecodable", 0, 0, 0L, null: String)
           }
         }
       }
-      .toDF(idCol, "decodable", "width", "height", "sum_gray", "ahash_hex")
+      .toDF(idCol, "decodable", "status", "width", "height", "sum_gray", "ahash_hex")
   }
 
   /** Decode + nearest-neighbor thumbnail: (idCol, width, height,

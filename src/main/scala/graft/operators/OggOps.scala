@@ -166,7 +166,11 @@ object OggOps {
       if ((hType & 0x04) != 0) nEos += 1
       payload += payloadLen
       header += 27 + nSegs
-      if (g != -1L) lastGranule = g // -1 marks a no-granule page
+      // -1 marks a no-granule page; ANY other negative granule is an
+      // attacker-controlled 64-bit field with no valid meaning — treat
+      // the whole negative range as no-granule so the duration clock
+      // can never go backwards past 0 (or wrap at Long.MinValue)
+      if (g >= 0L) lastGranule = g
     }
     OggMeta(nPages, nBos, nEos, nCont, payload, header, lastGranule,
       lastGranule / 48, (bytes.length - pos).toLong)
@@ -273,7 +277,11 @@ object OggOps {
       // multiplexed/chained file another stream's final page carries a
       // granule in a DIFFERENT unit (e.g. Vorbis sample ticks), and
       // (wrongGranule − preSkip)/48 is a number from the wrong clock
-      if (haveFirst && serial == firstSerial && g != -1L) lastGranule = g
+      // g >= 0, not g != -1: every negative granule (an untrusted
+      // 64-bit field) is treated like the -1 no-granule marker, which
+      // makes the max(0, lastGranule - preSkip) clamp below wrap-proof
+      // (Long.MinValue - preSkip would wrap POSITIVE and dodge the clamp)
+      if (haveFirst && serial == firstSerial && g >= 0L) lastGranule = g
     }
     val opusMs =
       if (codecId == CodecOpus) math.max(0L, lastGranule - preSkip) / 48 else 0L

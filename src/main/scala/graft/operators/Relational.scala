@@ -98,15 +98,31 @@ object Relational {
   def orderedPrefixSum(df: DataFrame, valueCol: String, cumCol: String,
                        order: Column*): DataFrame = {
     val spark = df.sparkSession
+    // fail at PLAN BUILD time, not as an opaque ClassCastException/NPE
+    // deep in an executor: the carry below reads the column with
+    // Row.getLong, which requires a non-null LONG
+    val vField = df.schema.find(_.name == valueCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"orderedPrefixSum: column '$valueCol' not found in ${df.schema.fieldNames.mkString(",")}"))
+    require(vField.dataType == org.apache.spark.sql.types.LongType,
+      s"orderedPrefixSum: '$valueCol' must be LONG (got ${vField.dataType.simpleString}) - cast explicitly")
     // materialize the sorted layout once: both passes below read the
     // SAME partitioning (re-running a sort lazily twice would also be
     // correct under a total order, but pays the shuffle twice)
     val sorted = df.orderBy(order: _*).localCheckpoint(false)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd
+    // a NULL value has no defined running sum — fail with a NAMED error
+    // in the first pass (before any output is produced), not an opaque
+    // NPE from Row.getLong mid-stream in the second
+    def read(r: org.apache.spark.sql.Row): Long = {
+      if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
+        s"orderedPrefixSum: NULL in '$valueCol' - coalesce explicitly before the prefix sum")
+      r.getLong(vIdx)
+    }
     val partials = rdd.mapPartitionsWithIndex { (i, it) =>
       var s = 0L
-      it.foreach(r => s += r.getLong(vIdx))
+      it.foreach(r => s += read(r))
       Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partials.scanLeft(0L)(_ + _) // exclusive prefix per partition
@@ -117,7 +133,7 @@ object Relational {
           org.apache.spark.sql.types.LongType, nullable = false))
     val out = rdd.mapPartitionsWithIndex { (i, it) =>
       var s = bc.value(i)
-      it.map { r => s += r.getLong(vIdx); org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s) }
+      it.map { r => s += read(r); org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s) }
     }
     spark.createDataFrame(out, schema)
   }

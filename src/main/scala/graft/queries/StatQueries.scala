@@ -2548,8 +2548,10 @@ object StatQueries {
         // fail LOUDLY instead of wrapping silently (assert_true raises
         // at run time; it returns NULL on pass, hence the IS NULL filter)
         .filter(expr(
-          """assert_true(n1 <= 9223372036854775807 div greatest(n2, 1),
-            | 'q376: n1*n2 exceeds int64 - pre-aggregate or shard the test')"""
+          """assert_true(n1 >= 1 AND n2 >= 1
+            | AND n1 <= 9223372036854775807 div greatest(n2, 1),
+            | 'q376: empty sample or n1*n2 exceeds int64 - the KS statistic
+            | needs both samples non-empty and their product in range')"""
             .stripMargin).isNull)
         .selectExpr("x", "c1 * n2 - c2 * n1 AS delta", "n1", "n2")
       val cum = graft.operators.Relational

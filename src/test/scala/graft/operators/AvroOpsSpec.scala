@@ -109,6 +109,17 @@ class AvroOpsSpec extends AnyFunSuite {
     assert(m.valid == 0 && m.totalRecords == 10L) // the poisoned block never counted
   }
 
+  test("two near-2^63 declared counts halt as malformed, not wrap negative") {
+    // each block is tiny (size=0: zero-field records are zero bytes,
+    // so a huge cnt is legal-SHAPED) but the pair would wrap
+    // totalRecords past Long.MaxValue — addExact must halt the walk at
+    // the second block with the first block's count kept
+    val big = Long.MaxValue - 3L
+    val m = AvroOps.parse(mk(Seq((big, 0), (big, 0))))
+    assert(m.valid == 0 && m.nBlocks == 1 && m.totalRecords == big)
+    assert(m.totalRecords >= 0L)
+  }
+
   test("unterminated varint in the header is rejected, not spun on") {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array('O'.toByte, 'b'.toByte, 'j'.toByte, 1.toByte))

@@ -101,11 +101,34 @@ class MultimodalCodecSpec extends SparkSpec {
     val df = Seq((1L, good), (2L, Array[Byte](0, 1, 2))).toDF("id", "payload")
     val out = MultimodalCodec.decodeImageFeatures(df, "id", "payload")
       .orderBy("id").collect()
-    assert(out(0).getBoolean(1) && out(0).getInt(2) == 3 && out(0).getInt(3) == 3)
+    assert(out(0).getBoolean(1) && out(0).getString(2) == "ok")
+    assert(out(0).getInt(3) == 3 && out(0).getInt(4) == 3)
     // sum over 3×3 of x+y = 18
-    assert(out(0).getLong(4) == 18L)
-    assert(out(0).getString(5).length == 16)
-    assert(!out(1).getBoolean(1) && out(1).isNullAt(5))
+    assert(out(0).getLong(5) == 18L)
+    assert(out(0).getString(6).length == 16)
+    assert(!out(1).getBoolean(1) && out(1).getString(2) == "undecodable" &&
+      out(1).isNullAt(6))
+  }
+
+  test("cap_rejected is distinct from undecodable and carries probed dims") {
+    import spark.implicits._
+    // a LEGITIMATE 6x5 image rejected only because the caller lowered
+    // the cap: status must say cap_rejected (not undecodable) and the
+    // header-probed dimensions must be reported
+    val img = MultimodalCodec.encodeGrayPng(6, 5, (x, y) => x * y)
+    val df = Seq((1L, img), (2L, Array[Byte](9, 9, 9))).toDF("id", "payload")
+    val out = MultimodalCodec.decodeImageFeatures(df, "id", "payload", maxPixels = 16L)
+      .orderBy("id").collect()
+    assert(!out(0).getBoolean(1) && out(0).getString(2) == "cap_rejected")
+    assert(out(0).getInt(3) == 6 && out(0).getInt(4) == 5) // probed, not decoded
+    assert(out(0).isNullAt(6))
+    assert(out(1).getString(2) == "undecodable" &&
+      out(1).getInt(3) == 0 && out(1).getInt(4) == 0)
+    // raising the cap back over w*h decodes the same payload fine
+    assert(MultimodalCodec.decodeGrayResult(img, maxPixels = 30L)
+      .isInstanceOf[MultimodalCodec.Decoded])
+    assert(MultimodalCodec.decodeGrayResult(img, maxPixels = 29L) ==
+      MultimodalCodec.CapRejected(6, 5))
   }
 
   test("thumbnail emits row-major 2-hex-char pixels from the decoded image") {

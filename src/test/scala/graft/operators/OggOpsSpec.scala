@@ -85,6 +85,20 @@ class OggOpsSpec extends AnyFunSuite {
     assert(cut.lastGranule == 960) // the -1 page didn't clobber it
   }
 
+  test("negative granules other than -1 are no-granule too (wrap-proof clock)") {
+    // Long.MinValue is attacker-controlled: if recorded as lastGranule,
+    // (lastGranule - preSkip) wraps POSITIVE past the max(0,·) clamp and
+    // reports a huge bogus duration; the whole negative range must act
+    // like the -1 marker
+    val s = OggOps.encodeSynthetic(Seq(
+      (2, 0L, Seq(10)),
+      (0, 960L, Seq(20)),
+      (0, Long.MinValue, Seq(30)),
+      (4, -42L, Seq(5))))
+    val m = OggOps.parse(s)
+    assert(m.lastGranule == 960L && m.durationMs == 20L)
+  }
+
   test("empty input parses to zero everything") {
     val m = OggOps.parse(Array.emptyByteArray)
     assert(m.nPages == 0 && m.trailingBytes == 0)
@@ -270,6 +284,21 @@ class OggOpsSpec extends AnyFunSuite {
     assert(m.nStreams == 2 && m.codecId == OggOps.CodecOpus)
     assert(m.opusDurationMs == (4800 - 312) / 48,
       s"duration ${m.opusDurationMs} leaked the Vorbis stream's 44100-tick clock")
+  }
+
+  test("codecMeta: a Long.MinValue granule can't wrap opusDurationMs (review finding)") {
+    // with preSkip=312, Long.MinValue - 312 wraps to a huge POSITIVE
+    // value that sails past the max(0,·) clamp — the negative granule
+    // must be treated as no-granule so the clamp stays wrap-proof
+    val head = OggOps.opusHeadPacket(2, 312, 48000L)
+    val pages = Seq(
+      OggOps.encodePage(2, 0L, 0x11, 0, OggOps.lacingFor(head.length), head),
+      OggOps.encodePage(0, 4800L, 0x11, 1, OggOps.lacingFor(3), Array[Byte](1, 2, 3)),
+      OggOps.encodePage(4, Long.MinValue, 0x11, 2, OggOps.lacingFor(2), Array[Byte](4, 5)))
+    val m = OggOps.codecMeta(pages.flatten.toArray)
+    assert(m.codecId == OggOps.CodecOpus)
+    assert(m.opusDurationMs == (4800 - 312) / 48,
+      s"duration ${m.opusDurationMs} wrapped through Long.MinValue")
   }
 
   test("encodeSyntheticPackets lacing round-trips packets ≥ 255 bytes") {

@@ -144,4 +144,28 @@ class RelationalSpec extends SparkSpec {
       Seq((5L, 42L)).toDF("id", "v"), "v", "cum", col("id")).collect()
     assert(one.head.getLong(2) == 42L)
   }
+
+  test("orderedPrefixSum rejects bad value columns loudly (review finding)") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("id", "v")
+    // missing and mistyped columns fail at PLAN BUILD time with named
+    // errors, not as an executor-side ClassCastException/NPE
+    val miss = intercept[IllegalArgumentException] {
+      Relational.orderedPrefixSum(df, "nope", "cum", col("id"))
+    }
+    assert(miss.getMessage.contains("not found"))
+    val typed = intercept[IllegalArgumentException] {
+      Relational.orderedPrefixSum(
+        Seq((1L, 2)).toDF("id", "v"), "v", "cum", col("id"))
+    }
+    assert(typed.getMessage.contains("must be LONG"))
+    // a NULL value fails with a NAMED message in the first pass
+    val withNull = Seq((1L, Some(2L)), (2L, None)).toDF("id", "v")
+    val err = intercept[Exception] {
+      Relational.orderedPrefixSum(withNull, "v", "cum", col("id")).collect()
+    }
+    val messages = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).take(10).flatMap(t => Option(t.getMessage)).mkString("|")
+    assert(messages.contains("coalesce explicitly"), messages.take(300))
+  }
 }
