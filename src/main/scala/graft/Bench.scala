@@ -648,6 +648,38 @@ object Bench {
       val (dedupNSec, dedupNPairs) = dedupAt(2000L)
       val (dedup4nSec, dedup4nPairs) = dedupAt(8000L)
 
+      // ---- substring duplicate-run scaling probe (r11 verdict item 3):
+      // duplicateRuns (gram buckets → capped pair expansion → island
+      // arithmetic) at n vs 4n docs where each doc shares EXACTLY one
+      // 25-token span with its planted twin (span tokens keyed by
+      // id mod n/2, prefix/suffix salted by full id so nothing else
+      // matches). Maximal runs must come out exactly n/2 at both sizes
+      // (linear candidates — an uncapped quadratic stage would blow up
+      // 16x) and wall ~linearly.
+      stampBlock("substring_scale")
+      def runsAt(n: Long): (Double, Long) = {
+        graft.expressions.GraftExtensions.register(spark)
+        val docs = spark.range(0L, n).select(col("id").as("doc_id"),
+          concat_ws(" ",
+            expr("concat_ws(' ', transform(sequence(0, 9), j -> concat('u', id, '_', j)))"),
+            expr(s"concat_ws(' ', transform(sequence(0, 24), j -> concat('s', pmod(id, ${n / 2}), '_', j)))"),
+            expr("concat_ws(' ', transform(sequence(10, 19), j -> concat('u', id, '_', j)))"))
+            .as("text"))
+          .localCheckpoint(false)
+        docs.count() // price the run extraction, not the synthesis
+        var runs = 0L
+        val s = sec {
+          val grams = docs.select(col("doc_id"),
+            posexplode(call_function("graft_shingle_hash_list", col("text"), lit(8)))
+              .as(Seq("pos", "h")))
+          runs = graft.operators.Dedup
+            .duplicateRuns(grams, "doc_id", k = 8, minTokens = 20).count()
+        }
+        (s, runs)
+      }
+      val (runsNSec, runsN) = runsAt(2000L)
+      val (runs4nSec, runs4n) = runsAt(8000L)
+
       Seq("calib_sec" -> calib,
         "tfrecord_walk_sec" -> tfWalkSec,
         "tfrecord_walk_mb" -> tfBytes / 1e6,
@@ -717,6 +749,10 @@ object Bench {
         "dedup_scale_n8k_sec" -> dedup4nSec,
         "dedup_scale_n2k_pairs" -> dedupNPairs.toDouble,
         "dedup_scale_n8k_pairs" -> dedup4nPairs.toDouble,
+        "substring_scale_n2k_sec" -> runsNSec,
+        "substring_scale_n8k_sec" -> runs4nSec,
+        "substring_scale_n2k_runs" -> runsN.toDouble,
+        "substring_scale_n8k_runs" -> runs4n.toDouble,
         "extras_calib_floor_sec" -> CalibFloorSec) ++ blockStamps ++ stages
     } catch {
       case e: Throwable =>

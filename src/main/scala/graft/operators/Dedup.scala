@@ -510,4 +510,79 @@ object Dedup {
       .select(col(idCol), col("_wmin").as("h"))
       .distinct()
   }
+
+  /** Substring-level exact dedup: MAXIMAL cross-document duplicate runs
+    * — every shared span of ≥ `minTokens` consecutive tokens between
+    * two documents, the suffix-array-style "remove any ≥50-token span
+    * that repeats across docs" family (the gap the doc-level exact /
+    * MinHash / SimHash / winnowing quartet leaves: none of those says
+    * WHERE the shared text sits or how long it runs).
+    *
+    * Input is the positional gram stream `(idCol, pos, h)` — the SAME
+    * relation [[winnowFromGrams]] consumes, so a curation pass hashes
+    * the corpus once and feeds both. `h` is the k-token shingle hash at
+    * 0-based token position `pos`.
+    *
+    * The suffix-array formulation needs a global sort of every suffix —
+    * a single corpus-wide ordered structure that does not shard. This
+    * one gets the same ≥ `minTokens` spans from run-id arithmetic:
+    *
+    *  1. occurrence lists per gram hash (ONE corpus-wide groupBy,
+    *     carrying only (id, pos) pairs), with grams occurring more than
+    *     `maxOccurrences` times dropped BEFORE any pair exists — the
+    *     [[bucketPairs]] hot-bucket discipline (a gram in thousands of
+    *     places is boilerplate; its pairs would be quadratic and belong
+    *     to the line/doc-level dedups);
+    *  2. ordered cross-document occurrence pairs from the in-bucket
+    *     triangular expansion — no self-join, no all-pairs;
+    *  3. matched pairs at the same offset `d = pos_a − pos_b` are
+    *     consecutive exactly when their positions are: the island key
+    *     `pos_a − row_number()` (per (id_a, id_b, d), a window bounded
+    *     by document length, never corpus-wide) groups each maximal run,
+    *     and a run of g grams covers g + k − 1 tokens.
+    *
+    * The cap is the one exactness trade: a run CONTAINING a dropped
+    * hot gram reports as two shorter runs (or drops below `minTokens`).
+    * That is the standard LSH-guard trade — bounded work per task at
+    * any corpus size — and the cap is a parameter, not a constant.
+    *
+    * @return (id_a, id_b, a_start, b_start, n_tokens), id_a < id_b,
+    *         one row per maximal run; starts are 0-based token offsets
+    */
+  def duplicateRuns(grams: DataFrame, idCol: String, k: Int, minTokens: Int,
+                    maxOccurrences: Int = DefaultMaxBucket): DataFrame = {
+    require(k >= 1 && minTokens >= k,
+      s"duplicateRuns: need k >= 1 and minTokens >= k (got k=$k, minTokens=$minTokens)")
+    // windowed count, not a groupBy+join: the cap must see the
+    // occurrence list's size without materializing oversized lists
+    val occ = grams
+      .withColumn("_occ", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("_occ") >= 2 && col("_occ") <= maxOccurrences)
+    val buckets = occ.groupBy("h")
+      .agg(sort_array(collect_list(
+        struct(col(idCol).cast("long").as("id"), col("pos").cast("long").as("p")))).as("_os"))
+    // struct sort order is (id, p) lexicographic, so the triangular
+    // expansion births pairs with (id_a, pos_a) <= (id_b, pos_b);
+    // same-document matches (internal repetition) are not runs
+    // "across docs" and drop here
+    val pairs = buckets
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("_os")) - 1),
+        i => transform(slice(col("_os"), i + 1, size(col("_os"))),
+          b => struct(element_at(col("_os"), i).as("a"), b.as("b")))))).as("_p"))
+      .select(col("_p.a.id").as("id_a"), col("_p.a.p").as("pos_a"),
+        col("_p.b.id").as("id_b"), col("_p.b.p").as("pos_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("_d", col("pos_a") - col("pos_b"))
+    // (id_a, id_b, _d, pos_a) is unique — (id, pos) carries exactly one
+    // gram and d pins pos_b — so row_number is deterministic
+    val w = Window.partitionBy("id_a", "id_b", "_d").orderBy("pos_a")
+    pairs
+      .withColumn("_isl", col("pos_a") - row_number().over(w))
+      .groupBy("id_a", "id_b", "_d", "_isl")
+      .agg(min("pos_a").as("a_start"), min("pos_b").as("b_start"),
+        (count(lit(1)) + lit(k - 1).cast("long")).as("n_tokens"))
+      .filter(col("n_tokens") >= minTokens)
+      .select("id_a", "id_b", "a_start", "b_start", "n_tokens")
+  }
 }

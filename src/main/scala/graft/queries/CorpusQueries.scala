@@ -2681,8 +2681,68 @@ object CorpusQueries {
       FROM stats s JOIN gl ON gl.doc_id = s.doc_id
       ORDER BY s.doc_id"""))
 
+  // --------------------------------------------------------------- q383
+
+  /** q383 — substring-level exact dedup: maximal cross-document
+    * duplicate RUNS ([[graft.operators.Dedup.duplicateRuns]]) — every
+    * shared span of ≥ 20 consecutive tokens between two documents,
+    * with where it starts in each and how long it runs. This is the
+    * suffix-array family's answer ("remove any long span that repeats
+    * across docs") re-expressed shardably: instead of one corpus-wide
+    * sorted suffix structure, matched 8-gram occurrences at constant
+    * offset d = pos_a − pos_b group into maximal runs by island
+    * arithmetic (pos − row_number), and a run of g grams covers
+    * g + 7 tokens. The oracle replays the whole pass — same 31-bit
+    * gram hashes, same ≤64 occurrence cap, same island keys — so the
+    * run extents are exact, not approximate. Scale shape: one
+    * corpus-wide groupBy on gram hash carrying (id, pos) pairs,
+    * hot grams capped BEFORE pair expansion, run windows bounded by
+    * document length. No self-join, no all-pairs, no global sort.
+    */
+  val q383 = Q("q383_duplicate_runs",
+    (s, dir) => {
+      import graft.operators.Dedup
+      graft.expressions.GraftExtensions.register(s)
+      val grams = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(call_function("graft_shingle_hash_list", col("text"), lit(8)))
+            .as(Seq("pos", "h")))
+      Dedup.duplicateRuns(grams, "doc_id", k = 8, minTokens = 20,
+          maxOccurrences = 64)
+        .orderBy("id_a", "id_b", "a_start", "b_start", "n_tokens")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      g AS (SELECT doc_id,
+              CASE WHEN len(w) < 8
+                   THEN [${duckHash64("array_to_string(w, ' ')")} & ${Dedup.MinhashP}]
+                   ELSE list_transform(range(1, len(w) - 6),
+                          i -> ${duckHash64(
+      "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || " +
+        "w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]")} & ${Dedup.MinhashP})
+              END AS gs
+            FROM t),
+      o AS (SELECT doc_id, unnest(range(len(gs))) AS pos, unnest(gs) AS h FROM g),
+      hot AS (SELECT h, count(*) AS occ FROM o GROUP BY 1),
+      oc AS (SELECT o.doc_id, o.pos, o.h FROM o JOIN hot USING (h)
+             WHERE occ BETWEEN 2 AND 64),
+      p AS (SELECT a.doc_id AS id_a, a.pos AS pos_a,
+                   b.doc_id AS id_b, b.pos AS pos_b
+            FROM oc a JOIN oc b ON a.h = b.h AND a.doc_id < b.doc_id),
+      r AS (SELECT id_a, id_b, pos_a - pos_b AS d, pos_a, pos_b,
+                   pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+                                              ORDER BY pos_a) AS isl
+            FROM p)
+      SELECT id_a, id_b,
+             CAST(min(pos_a) AS BIGINT) AS a_start,
+             CAST(min(pos_b) AS BIGINT) AS b_start,
+             CAST(count(*) + 7 AS BIGINT) AS n_tokens
+      FROM r GROUP BY id_a, id_b, d, isl
+      HAVING count(*) + 7 >= 20
+      ORDER BY id_a, id_b, a_start, b_start, n_tokens"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
     q328, q331, q333, q334, q338, q343, q345, q349, q350, q354, q357, q359, q360, q371,
-    q372)
+    q372, q383)
 }

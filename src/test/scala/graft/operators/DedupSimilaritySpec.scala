@@ -261,4 +261,58 @@ class DedupSimilaritySpec extends SparkSpec {
     val dis = fpsOf(Seq((1L, "p q r s t u v w"), (2L, "f g h i j k l m")))
     assert((dis(1L) & dis(2L)).isEmpty)
   }
+
+  test("duplicateRuns: a planted shared span reports ONE maximal run with exact extents") {
+    // doc 1 positions 10..29 carry the same gram hashes as doc 2
+    // positions 5..24 (20 matched k=8 grams = a 27-token shared span);
+    // everything else is unique. doc 3 shares one isolated gram with
+    // doc 1 — an 8-token span, below minTokens.
+    val grams =
+      (0 to 49).map(p => (1L, p, if (p >= 10 && p <= 29) 1000L + (p - 10) else 10000L + p)) ++
+        (0 to 39).map(p => (2L, p, if (p >= 5 && p <= 24) 1000L + (p - 5) else 20000L + p)) ++
+        (0 to 9).map(p => (3L, p, if (p == 4) 10000L + 40 else 30000L + p))
+    val df = grams.toDF("doc_id", "pos", "h")
+    val runs = Dedup.duplicateRuns(df, "doc_id", k = 8, minTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(runs.toSeq == Seq((1L, 2L, 10L, 5L, 27L)),
+      s"expected one maximal 27-token run, got ${runs.toSeq}")
+  }
+
+  test("duplicateRuns: same-document repetition is not a cross-doc run") {
+    val df = Seq((1L, 0, 7L), (1L, 5, 7L), (1L, 6, 8L), (1L, 11, 8L))
+      .toDF("doc_id", "pos", "h")
+    assert(Dedup.duplicateRuns(df, "doc_id", k = 4, minTokens = 4).count() == 0)
+  }
+
+  test("duplicateRuns: the hot-gram cap splits runs (documented trade), wide cap keeps them") {
+    // docs 5/6 share grams h100..h104 (5 grams, k=8 -> 12 tokens); the
+    // middle gram h102 also occurs in docs 7,8,9 -> 5 occurrences
+    val shared = (0 to 4).map(i => Seq((5L, 10 + i, 100L + i), (6L, 3 + i, 100L + i))).flatten
+    val hot = Seq((7L, 0, 102L), (8L, 0, 102L), (9L, 0, 102L))
+    val pad = (0 to 9).flatMap(p => Seq((5L, 50 + p, 50000L + p), (6L, 50 + p, 60000L + p)))
+    val df = (shared ++ hot ++ pad).toDF("doc_id", "pos", "h")
+    val wide = Dedup.duplicateRuns(df, "doc_id", k = 8, minTokens = 10)
+      .filter(col("id_a") === 5L && col("id_b") === 6L).collect()
+    assert(wide.length == 1 && wide(0).getLong(4) == 12L)
+    // cap 4 drops h102 (5 occurrences): the run splits into two 2-gram
+    // fragments (9 tokens each), both below minTokens=10
+    val capped = Dedup.duplicateRuns(df, "doc_id", k = 8, minTokens = 10,
+      maxOccurrences = 4)
+    assert(capped.filter(col("id_a") === 5L && col("id_b") === 6L).count() == 0)
+  }
+
+  test("duplicateRuns: end-to-end from text via the shingle-list kernel") {
+    graft.expressions.GraftExtensions.register(spark)
+    val span = (1 to 12).map(i => s"s$i").mkString(" ") // 12 shared tokens
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $span z1 z2"),
+      (2L, s"b1 $span y1 y2 y3 y4")).toDF("doc_id", "text")
+    val grams = docs.select(col("doc_id"),
+      posexplode(call_function("graft_shingle_hash_list", col("text"), lit(4)))
+        .as(Seq("pos", "h")))
+    val runs = Dedup.duplicateRuns(grams, "doc_id", k = 4, minTokens = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 1 tokens 3..14 == doc 2 tokens 1..12: 9 matched 4-grams -> 12 tokens
+    assert(runs.toSeq == Seq((1L, 2L, 3L, 1L, 12L)), runs.toSeq.toString)
+  }
 }
