@@ -680,6 +680,51 @@ object Bench {
       val (runsNSec, runsN) = runsAt(2000L)
       val (runs4nSec, runs4n) = runsAt(8000L)
 
+      // ---- winnowing vs MinHash-LSH candidate A/B (r11 verdict item 4):
+      // the two near-dup generators on the SAME planted-twin corpus
+      // (2000 docs, each with exactly one identical twin). Both should
+      // recover all 1000 twin pairs (recall 1.0), agree on the
+      // connected-components clustering, and the pair counts + walls
+      // quantify the trade (winnowing localizes shared RUNS; MinHash
+      // thresholds whole-doc Jaccard).
+      stampBlock("winnow_vs_minhash")
+      val wmN = 2000L
+      val wmDocs = spark.range(0L, wmN).select(col("id").as("doc_id"),
+        expr(s"concat_ws(' ', transform(sequence(0, 29), " +
+          s"j -> concat('t', pmod(xxhash64(pmod(id, ${wmN / 2}) * 31 + j), 800))))")
+          .as("text"))
+        .localCheckpoint(false)
+      wmDocs.count()
+      var mhPairs: org.apache.spark.sql.DataFrame = null
+      var wnPairs: org.apache.spark.sql.DataFrame = null
+      var mhCount = 0L
+      var wnCount = 0L
+      val wmMhSec = sec {
+        mhPairs = graft.operators.Dedup.minhashLshPairs(wmDocs, "doc_id", "text",
+          n = 5, k = 64, rowsPerBand = 8, threshold = 0.7).localCheckpoint(false)
+        mhCount = mhPairs.count()
+      }
+      val wmWnSec = sec {
+        wnPairs = graft.operators.Dedup.winnowPairs(wmDocs, "doc_id", "text",
+          k = 5, w = 5, minShared = 2).localCheckpoint(false)
+        wnCount = wnPairs.count()
+      }
+      def twinRecall(p: org.apache.spark.sql.DataFrame): Double =
+        p.filter(col("id_b") === col("id_a") + lit(wmN / 2)).count().toDouble / (wmN / 2)
+      val mhRecall = twinRecall(mhPairs)
+      val wnRecall = twinRecall(wnPairs)
+      // cluster agreement: CC labels from each pair set, singletons
+      // keeping their own id; fraction of docs with the same label
+      def labels(p: org.apache.spark.sql.DataFrame, out: String) =
+        graft.operators.Dedup.connectedComponents(p, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("cluster_id").as(out))
+      val agree = wmDocs.select("doc_id")
+        .join(labels(mhPairs, "_mh"), Seq("doc_id"), "left")
+        .join(labels(wnPairs, "_wn"), Seq("doc_id"), "left")
+        .select(avg(when(coalesce(col("_mh"), col("doc_id")) ===
+          coalesce(col("_wn"), col("doc_id")), 1.0).otherwise(0.0)).as("a"))
+        .collect()(0).getDouble(0)
+
       Seq("calib_sec" -> calib,
         "tfrecord_walk_sec" -> tfWalkSec,
         "tfrecord_walk_mb" -> tfBytes / 1e6,
@@ -753,6 +798,13 @@ object Bench {
         "substring_scale_n8k_sec" -> runs4nSec,
         "substring_scale_n2k_runs" -> runsN.toDouble,
         "substring_scale_n8k_runs" -> runs4n.toDouble,
+        "winnow_vs_minhash_minhash_sec" -> wmMhSec,
+        "winnow_vs_minhash_winnow_sec" -> wmWnSec,
+        "winnow_vs_minhash_minhash_pairs" -> mhCount.toDouble,
+        "winnow_vs_minhash_winnow_pairs" -> wnCount.toDouble,
+        "winnow_vs_minhash_minhash_twin_recall" -> mhRecall,
+        "winnow_vs_minhash_winnow_twin_recall" -> wnRecall,
+        "winnow_vs_minhash_cluster_agree" -> agree,
         "extras_calib_floor_sec" -> CalibFloorSec) ++ blockStamps ++ stages
     } catch {
       case e: Throwable =>

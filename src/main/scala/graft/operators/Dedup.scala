@@ -511,6 +511,48 @@ object Dedup {
       .distinct()
   }
 
+  /** Winnowing as a CANDIDATE GENERATOR (not just the q372 census):
+    * near-dup document pairs from shared winnowing fingerprints, the
+    * MOSS scheme's second half. Each document's fingerprint set is the
+    * distinct window-minimum k-gram hashes ([[winnowFingerprints]]);
+    * documents sharing ≥ `minShared` fingerprints become a candidate
+    * pair with the shared count carried. The scheme's guarantee makes
+    * this the LOCALIZED alternative to MinHash-LSH: any shared token
+    * run of ≥ w+k−1 tokens forces ≥1 identical fingerprint into both
+    * docs, so recall is per-RUN (plagiarism, quotation, template
+    * reuse), not per-whole-document-Jaccard — the two generators catch
+    * different near-dup geometries (the bench A/Bs them).
+    *
+    * Scale shape is [[bucketPairs]]' exactly: fingerprint buckets sized
+    * by a windowed count BEFORE any per-bucket array exists, hot
+    * fingerprints (> `maxBucket` docs — corpus boilerplate) dropped
+    * before pair expansion, pairs born ordered from the sorted
+    * in-bucket id list. One corpus-wide shuffle on (id, fingerprint).
+    *
+    * @return (id_a, id_b, n_shared_fp), id_a < id_b
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int, w: Int, minShared: Int = 1,
+                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    val sized = fps
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("_bsz") > 1 && col("_bsz") <= maxBucket)
+    // fps is distinct per (doc, h), so bucket ids are distinct and the
+    // triangular expansion emits each shared fingerprint's pair ONCE —
+    // the groupBy count below is exactly |fp(a) ∩ fp(b)|
+    sized.groupBy("h")
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("_ids")) - 1),
+        i => transform(slice(col("_ids"), i + 1, size(col("_ids"))),
+          b => struct(element_at(col("_ids"), i).as("id_a"), b.as("id_b")))))).as("_p"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+  }
+
   /** Substring-level exact dedup: MAXIMAL cross-document duplicate runs
     * — every shared span of ≥ `minTokens` consecutive tokens between
     * two documents, the suffix-array-style "remove any ≥50-token span

@@ -2741,8 +2741,57 @@ object CorpusQueries {
       HAVING count(*) + 7 >= 20
       ORDER BY id_a, id_b, a_start, b_start, n_tokens"""))
 
+  // --------------------------------------------------------------- q384
+
+  /** q384 — winnowing-based near-dup CANDIDATE PAIRS
+    * ([[graft.operators.Dedup.winnowPairs]]): q372's fingerprint census
+    * turned into the MOSS scheme's second half — document pairs sharing
+    * ≥ 2 window-minimum fingerprints, with the shared count carried.
+    * This is the run-localized candidate generator next to
+    * MinHash-LSH's whole-document-Jaccard one (q84 family); the bench's
+    * winnow_vs_minhash extras A/B the two on the same planted-twin
+    * corpus. Hot fingerprints (> 64 docs) drop before pair expansion —
+    * the [[graft.operators.Dedup.bucketPairs]] cap discipline, replayed
+    * by the oracle. One corpus-wide shuffle on (doc, fingerprint);
+    * pairs are born ordered inside each fingerprint bucket.
+    */
+  val q384 = Q("q384_winnow_pairs",
+    (s, dir) => {
+      import graft.operators.Dedup
+      Dedup.winnowPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          k = 4, w = 5, minShared = 2, maxBucket = 64)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      g AS (SELECT doc_id,
+              CASE WHEN len(w) < 4
+                   THEN [${duckHash64("array_to_string(w, ' ')")} & ${Dedup.MinhashP}]
+                   ELSE list_transform(range(1, len(w) - 2),
+                          i -> ${duckHash64("w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]")} & ${Dedup.MinhashP})
+              END AS gs
+            FROM t),
+      h AS (SELECT doc_id, unnest(range(len(gs))) AS pos, unnest(gs) AS h FROM g),
+      win AS (SELECT doc_id, pos, h,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin,
+                     count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS cnt,
+                     count(*) OVER (PARTITION BY doc_id) AS m
+              FROM h),
+      fps AS (SELECT DISTINCT doc_id, wmin
+              FROM win WHERE cnt = 5 OR (pos = 0 AND m < 5)),
+      bsz AS (SELECT wmin, count(*) AS b FROM fps GROUP BY wmin),
+      ok AS (SELECT f.doc_id, f.wmin FROM fps f JOIN bsz USING (wmin)
+             WHERE b BETWEEN 2 AND 64)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared_fp
+      FROM ok a JOIN ok b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
     q328, q331, q333, q334, q338, q343, q345, q349, q350, q354, q357, q359, q360, q371,
-    q372, q383)
+    q372, q383, q384)
 }

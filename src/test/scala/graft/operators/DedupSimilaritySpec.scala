@@ -262,6 +262,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((dis(1L) & dis(2L)).isEmpty)
   }
 
+  test("winnowPairs: a shared run >= w+k-1 tokens forces a candidate pair; boilerplate is capped") {
+    graft.expressions.GraftExtensions.register(spark)
+    val span = (1 to 12).map(i => s"s$i").mkString(" ") // 12 >= w+k-1 = 8 shared tokens
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $span a6 a7 a8"),
+      (2L, s"b1 b2 $span b3 b4 b5 b6 b7"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", k = 4, w = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the winnowing guarantee: docs 1 and 2 MUST share >= 1 fingerprint;
+    // doc 3 shares no 4-gram with anyone
+    assert(pairs.toSeq == Seq((1L, 2L)), pairs.toSeq.toString)
+    // a fingerprint hitting > maxBucket docs is boilerplate: with every
+    // doc sharing the same text, maxBucket=3 drops all buckets (4 docs)
+    val boiler = Seq.tabulate(4)(i => (i.toLong, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowPairs(boiler, "doc_id", "text", k = 4, w = 5,
+      maxBucket = 3).count() == 0)
+    assert(Dedup.winnowPairs(boiler, "doc_id", "text", k = 4, w = 5,
+      maxBucket = 4).count() == 6) // all C(4,2) pairs, full fp overlap
+  }
+
   test("duplicateRuns: a planted shared span reports ONE maximal run with exact extents") {
     // doc 1 positions 10..29 carry the same gram hashes as doc 2
     // positions 5..24 (20 matched k=8 grams = a 27-token shared span);
