@@ -45,9 +45,24 @@ object OrcOps {
       stripeRows: Long,    // Σ StripeInformation.numberOfRows
       nTypes: Int,
       contentLength: Long,
-      dataBytes: Long)     // bytes between the head magic and the tail
+      dataBytes: Long,     // bytes between the head magic and the tail
+      // ---- stripe-list + column-statistics descent (r11 verdict item 6;
+      // same depth parquet's q377/q380 footer walk reaches)
+      stripeIndexBytes: Long,  // Σ StripeInformation.indexLength
+      stripeDataBytes: Long,   // Σ StripeInformation.dataLength
+      stripeFooterBytes: Long, // Σ StripeInformation.footerLength
+      stripeRowsMin: Long,     // min/max rows over stripes (0 when none)
+      stripeRowsMax: Long,
+      offsetsMonotonic: Int,   // 1 iff stripe offsets strictly increase
+      nColStats: Int,          // Footer.statistics entries
+      statValues: Long,        // Σ ColumnStatistics.numberOfValues
+      nHasNull: Int,           // columns flagged hasNull
+      nIntStats: Int,          // columns carrying IntegerStatistics
+      intMin: Long,            // min of int minimums (0 when nIntStats = 0)
+      intMax: Long)            // max of int maximums (0 when nIntStats = 0)
 
-  private val Invalid = OrcMeta(0, 0, "", 0L, 0L, 0L, 0, 0, 0L, 0L, 0, 0L, 0L)
+  private val Invalid = OrcMeta(0, 0, "", 0L, 0L, 0L, 0, 0, 0L, 0L, 0, 0L, 0L,
+    0L, 0L, 0L, 0L, 0L, 0, 0, 0L, 0, 0, 0L, 0L)
   private val Kinds = Map(0L -> "none", 1L -> "zlib", 2L -> "snappy",
     3L -> "lzo", 4L -> "lz4", 5L -> "zstd")
 
@@ -84,6 +99,13 @@ object OrcOps {
       var footerParsed = 0
       var nStripes = 0; var numRows = 0L; var stripeRows = 0L
       var nTypes = 0; var contentLen = 0L
+      var idxBytes = 0L; var dataBytes = 0L; var sfBytes = 0L
+      var rowsMin = Long.MaxValue; var rowsMax = 0L
+      var lastOffset = -1L; var monotonic = 1
+      var nStats = 0; var statVals = 0L; var nNull = 0
+      var nInt = 0; var iMin = Long.MaxValue; var iMax = Long.MinValue
+      // sint64 zigzag (IntegerStatistics min/max are sint64 on the wire)
+      def zz(v: Long): Long = (v >>> 1) ^ -(v & 1L)
       if (comp == 0L && footerLen > 0) {
         val fStart = n - 1 - psLen - footerLen.toInt
         val f = new TfRecordOps.ProtoReader(bytes, fStart, fStart + footerLen.toInt)
@@ -96,14 +118,50 @@ object OrcOps {
               nStripes += 1
               val (off, len) = f.lenDelimited()
               val s = new TfRecordOps.ProtoReader(bytes, off, off + len)
+              var rows = 0L
               while (s.pos < s.end) {
                 val st = s.varint()
-                if ((st >>> 3).toInt == 5 && (st & 7).toInt == 0)
-                  stripeRows += s.varint()
-                else s.skipValue((st & 7).toInt)
+                ((st >>> 3).toInt, (st & 7).toInt) match {
+                  case (1, 0) =>
+                    val o = s.varint()
+                    if (o <= lastOffset) monotonic = 0
+                    lastOffset = o
+                  case (2, 0) => idxBytes += s.varint()
+                  case (3, 0) => dataBytes += s.varint()
+                  case (4, 0) => sfBytes += s.varint()
+                  case (5, 0) => rows = s.varint()
+                  case (_, w) => s.skipValue(w)
+                }
               }
+              stripeRows += rows
+              if (rows < rowsMin) rowsMin = rows
+              if (rows > rowsMax) rowsMax = rows
             case (4, 2) => nTypes += 1; f.lenDelimited(); ()
             case (6, 0) => numRows = f.varint()
+            case (7, 2) => // ColumnStatistics
+              nStats += 1
+              val (off, len) = f.lenDelimited()
+              val c = new TfRecordOps.ProtoReader(bytes, off, off + len)
+              while (c.pos < c.end) {
+                val ct = c.varint()
+                ((ct >>> 3).toInt, (ct & 7).toInt) match {
+                  case (1, 0) => statVals += c.varint()
+                  case (2, 2) => // IntegerStatistics {1 min, 2 max, 3 sum: sint64}
+                    nInt += 1
+                    val (io, il) = c.lenDelimited()
+                    val i = new TfRecordOps.ProtoReader(bytes, io, io + il)
+                    while (i.pos < i.end) {
+                      val it = i.varint()
+                      ((it >>> 3).toInt, (it & 7).toInt) match {
+                        case (1, 0) => val v = zz(i.varint()); if (v < iMin) iMin = v
+                        case (2, 0) => val v = zz(i.varint()); if (v > iMax) iMax = v
+                        case (_, w) => i.skipValue(w)
+                      }
+                    }
+                  case (10, 0) => if (c.varint() != 0L) nNull += 1
+                  case (_, w) => c.skipValue(w)
+                }
+              }
             case _ => f.skipValue(wire)
           }
         }
@@ -111,7 +169,12 @@ object OrcOps {
       }
       OrcMeta(1, psLen, compression, footerLen, metaLen, writerVer,
         footerParsed, nStripes, numRows, stripeRows, nTypes, contentLen,
-        n.toLong - 3 - 1 - psLen - footerLen)
+        n.toLong - 3 - 1 - psLen - footerLen,
+        idxBytes, dataBytes, sfBytes,
+        if (nStripes == 0) 0L else rowsMin, rowsMax,
+        monotonic, nStats, statVals, nNull, nInt,
+        if (nInt == 0 || iMin == Long.MaxValue) 0L else iMin,
+        if (nInt == 0 || iMax == Long.MinValue) 0L else iMax)
     } catch {
       case TfRecordOps.ProtoMalformed => Invalid
       case _: ArrayIndexOutOfBoundsException => Invalid
@@ -135,8 +198,19 @@ object OrcOps {
     * and the postscript. `rowsPerStripe` feeds both the stripe infos
     * and Footer.numberOfRows.
     */
+  /** One Footer.statistics entry for [[encodeSynthetic]]: numberOfValues,
+    * optional IntegerStatistics (min, max, sum — sint64 zigzag on the
+    * wire), and the hasNull flag.
+    */
+  final case class ColStat(numValues: Long,
+                           intStats: Option[(Long, Long, Long)],
+                           hasNull: Boolean)
+
   def encodeSynthetic(nStripes: Int, rowsPerStripe: Long, nTypes: Int,
-      compression: Long, writerVersion: Long, dataFiller: Int): Array[Byte] = {
+      compression: Long, writerVersion: Long, dataFiller: Int,
+      colStats: Seq[ColStat] = Nil): Array[Byte] = {
+    def sint(out: java.io.ByteArrayOutputStream, v: Long): Unit =
+      vi(out, (v << 1) ^ (v >> 63)) // sint64 zigzag
     val footer = {
       val f = new java.io.ByteArrayOutputStream()
       tag(f, 2, 0); vi(f, 3L + dataFiller) // contentLength
@@ -155,6 +229,19 @@ object OrcOps {
         lenField(f, 4, t.toByteArray)
       }
       tag(f, 6, 0); vi(f, nStripes * rowsPerStripe)
+      colStats.foreach { cs =>
+        val c = new java.io.ByteArrayOutputStream()
+        tag(c, 1, 0); vi(c, cs.numValues)
+        cs.intStats.foreach { case (mn, mx, sm) =>
+          val i = new java.io.ByteArrayOutputStream()
+          tag(i, 1, 0); sint(i, mn)
+          tag(i, 2, 0); sint(i, mx)
+          tag(i, 3, 0); sint(i, sm)
+          lenField(c, 2, i.toByteArray)
+        }
+        tag(c, 10, 0); vi(c, if (cs.hasNull) 1L else 0L)
+        lenField(f, 7, c.toByteArray)
+      }
       f.toByteArray
     }
     val ps = {
@@ -197,5 +284,36 @@ object OrcOps {
       .toDF(idCol, "valid", "compression", "metadata_len",
         "writer_version", "footer_parsed", "n_stripes", "num_rows",
         "stripe_rows", "n_types", "content_length")
+  }
+
+  /** Stripe-list + column-statistics census over (id, orc-bytes): the
+    * q381 tail walk descended one level further (r11 verdict item 6) —
+    * per-stripe byte masses and row-count extrema, offset monotonicity,
+    * and the Footer.statistics list (value counts, hasNull flags,
+    * IntegerStatistics min-of-mins / max-of-maxs through sint64
+    * zigzag) — the same footer-statistics depth the parquet side
+    * reaches in q377/q380. Map-only, zero shuffles; q381's projection
+    * stays frozen (this is a separate census, not a schema change).
+    */
+  def orcStripeStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = parse(bytes)
+          (id, m.valid.toLong, m.footerParsed.toLong, m.nStripes.toLong,
+            m.stripeIndexBytes, m.stripeDataBytes, m.stripeFooterBytes,
+            m.stripeRowsMin, m.stripeRowsMax, m.offsetsMonotonic.toLong,
+            m.nColStats.toLong, m.statValues, m.nHasNull.toLong,
+            m.nIntStats.toLong, m.intMin, m.intMax)
+        }
+      }
+      .toDF(idCol, "valid", "footer_parsed", "n_stripes",
+        "stripe_index_bytes", "stripe_data_bytes", "stripe_footer_bytes",
+        "stripe_rows_min", "stripe_rows_max", "offsets_monotonic",
+        "n_col_stats", "stat_values", "n_has_null",
+        "n_int_stats", "int_min", "int_max")
   }
 }

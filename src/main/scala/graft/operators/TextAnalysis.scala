@@ -89,6 +89,49 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
+  /** Unicode script-block census classes (r11 verdict item 7): NAMED
+    * closed-form codepoint ranges from the Unicode block table — the
+    * cheap language/contamination triage a 100 TB text pipeline runs
+    * BEFORE any model-based langID (one regex pass per class, all
+    * whole-stage-codegen'd; q370 audits byte-level UTF-8
+    * well-formedness, this classifies the codepoints above it).
+    * Canonical order is fixed: [[scriptCounts]] emits one count per
+    * entry and dominant-script ties break by this order.
+    */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "digit" -> "[0-9]",
+    "cyrillic" -> "[\\u0400-\\u04FF]",
+    "greek" -> "[\\u0370-\\u03FF]",
+    "arabic" -> "[\\u0600-\\u06FF]",
+    "hebrew" -> "[\\u0590-\\u05FF]",
+    "devanagari" -> "[\\u0900-\\u097F]",
+    "cjk" -> "[\\u4E00-\\u9FFF]",
+    "kana" -> "[\\u3040-\\u30FF]",
+    "hangul" -> "[\\uAC00-\\uD7AF]",
+    // supplementary-plane pictographs: \x{...} addresses the CODEPOINT,
+    // so one emoji counts once, never as two surrogate halves
+    "emoji" -> "[\\x{1F000}-\\x{1FAFF}]")
+
+  /** Per-class codepoint counts over `text`, in [[ScriptClasses]]
+    * order — `n_<name>` columns via regexp_count (codegen-friendly, no
+    * UDF, no per-codepoint explode).
+    */
+  def scriptCounts(text: Column): Seq[(String, Column)] =
+    ScriptClasses.map { case (name, re) =>
+      s"n_$name" -> regexp_count(text, lit(re)).cast("long")
+    }
+
+  /** The dominant script name: argmax over [[scriptCounts]], ties (and
+    * all-zero rows) resolving to the FIRST class in canonical order —
+    * array_position finds the first index of the max.
+    */
+  def dominantScript(text: Column): Column = {
+    val counts = array(scriptCounts(text).map(_._2): _*)
+    val names = array(ScriptClasses.map(c => lit(c._1)): _*)
+    element_at(names, array_position(counts, array_max(counts)).cast("int"))
+  }
+
   /** Order-sensitive polynomial rolling hash over the token sequence:
     * acc ← (acc·B + h(token)) mod p, folded left-to-right. Unlike the
     * set-based fingerprints, token order matters — "a b" ≠ "b a".

@@ -2790,8 +2790,73 @@ object CorpusQueries {
       GROUP BY 1, 2 HAVING count(*) >= 2
       ORDER BY id_a, id_b"""))
 
+  // --------------------------------------------------------------- q386
+
+  /** q386 — Unicode script-block census
+    * ([[graft.operators.TextAnalysis.scriptCounts]]): per-document
+    * codepoint counts over named Unicode block ranges (Latin, digits,
+    * Cyrillic, Greek, Arabic, Hebrew, Devanagari, CJK, kana, Hangul,
+    * supplementary-plane emoji) plus the dominant script — the cheap
+    * language/contamination triage a 100 TB pipeline runs before any
+    * model-based langID, one codegen'd regexp_count pass per class,
+    * no UDF, no per-codepoint explode. q370 audits the UTF-8 BYTE
+    * layer; this classifies the codepoints above it (emoji counted by
+    * CODEPOINT via \x{...}, never as two surrogate halves). The
+    * fixture plants multilingual text derived from doc_id (script
+    * (id+j)%11 repeated 1+(id·7+j)%4 times for j<7, 2 codepoints per
+    * sample), so the oracle replays the census as PURE ARITHMETIC —
+    * the gate proves the regex classes count planted codepoints
+    * exactly, with no Unicode machinery on the oracle side at all.
+    * Map-only, zero shuffles.
+    */
+  val q386 = Q("q386_script_census",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      // 2 codepoints per sample, one sample per ScriptClasses entry:
+      // latin, digit, cyrillic, greek, arabic, hebrew, devanagari,
+      // cjk, kana, hangul, emoji (U+1F600 U+1F300 — surrogate pairs)
+      val samples = Seq("ab", "37", "Аб", "αβ",
+        "اب", "אב", "अआ", "中文",
+        "あカ", "가나", "😀🌀")
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"))
+        .withColumn("_s", array(samples.map(lit): _*))
+        .withColumn("text", concat_ws(" ", (0 until 7).map(j =>
+          expr(s"repeat(element_at(_s, CAST(pmod(doc_id + $j, 11) AS INT) + 1), " +
+            s"CAST(1 + pmod(doc_id * 7 + $j, 4) AS INT))")): _*))
+      docs.select(Seq(col("doc_id")) ++
+        TextAnalysis.scriptCounts(col("text")).map { case (n, c) => c.as(n) } :+
+        TextAnalysis.dominantScript(col("text")).as("dominant_script"): _*)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH cls AS (SELECT unnest(range(11)) AS s),
+      js AS (SELECT unnest(range(7)) AS j),
+      c AS (SELECT d.doc_id, cls.s,
+              2 * sum(CASE WHEN (d.doc_id + js.j) % 11 = cls.s
+                           THEN 1 + (d.doc_id * 7 + js.j) % 4 ELSE 0 END) AS n
+            FROM documents d, js, cls
+            GROUP BY 1, 2),
+      piv AS (SELECT doc_id, list(n ORDER BY s) AS l FROM c GROUP BY doc_id)
+      SELECT doc_id,
+             CAST(l[1] AS BIGINT) AS n_latin,
+             CAST(l[2] AS BIGINT) AS n_digit,
+             CAST(l[3] AS BIGINT) AS n_cyrillic,
+             CAST(l[4] AS BIGINT) AS n_greek,
+             CAST(l[5] AS BIGINT) AS n_arabic,
+             CAST(l[6] AS BIGINT) AS n_hebrew,
+             CAST(l[7] AS BIGINT) AS n_devanagari,
+             CAST(l[8] AS BIGINT) AS n_cjk,
+             CAST(l[9] AS BIGINT) AS n_kana,
+             CAST(l[10] AS BIGINT) AS n_hangul,
+             CAST(l[11] AS BIGINT) AS n_emoji,
+             list_extract(['latin','digit','cyrillic','greek','arabic','hebrew',
+                           'devanagari','cjk','kana','hangul','emoji'],
+                          list_position(l, list_max(l))) AS dominant_script
+      FROM piv ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
     q328, q331, q333, q334, q338, q343, q345, q349, q350, q354, q357, q359, q360, q371,
-    q372, q383, q384)
+    q372, q383, q384, q386)
 }

@@ -4759,6 +4759,83 @@ object DataQueries {
                AS content_length
       FROM p ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q385
+
+  /** q385 — ORC stripe-list + column-statistics census
+    * ([[graft.operators.OrcOps.orcStripeStats]]): q381's tail walk
+    * descended one protobuf level further, reusing the tf.Example wire
+    * machinery — per-stripe index/data/footer byte masses, row-count
+    * extrema, offset monotonicity, and the Footer.statistics list
+    * (value counts, hasNull flags, IntegerStatistics min-of-mins /
+    * max-of-maxs through sint64 zigzag). This closes the lake trio at
+    * the footer-statistics depth parquet already reaches (q377/q380):
+    * the numbers a planner needs for stripe pruning without touching a
+    * data stripe. Compressed footers stay the honest stub boundary —
+    * census zeroed, codec reported (the q381 rule). Per-doc synthetic
+    * tails derive everything from doc_id; the oracle recomputes the
+    * census closed-form (even-j columns carry int stats, every third
+    * has nulls). Map-only, zero shuffles.
+    */
+  val q385 = Q("q385_orc_stripe_stats",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val nc = 1 + (id % 4).toInt
+            val ns = 1 + (id % 3).toInt
+            val rps = 100 + id % 20
+            val stats = (0 until nc).map { j =>
+              graft.operators.OrcOps.ColStat(
+                ns * rps - j,
+                if (j % 2 == 0) Some((-(id % 7) - j, (id % 11) + 2L * j, id))
+                else None,
+                j % 3 == 0)
+            }
+            (id, graft.operators.OrcOps.encodeSynthetic(
+              nStripes = ns, rowsPerStripe = rps, nTypes = 1 + (id % 4).toInt,
+              compression = Seq(0L, 1L, 5L)((id % 3).toInt),
+              writerVersion = 7 + id % 3,
+              dataFiller = (id % 16).toInt,
+              colStats = stats))
+          }
+        }.toDF("doc_id", "payload")
+      graft.operators.OrcOps.orcStripeStats(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id AS k,
+               1 + (doc_id % 3) AS ns,
+               100 + (doc_id % 20) AS rps,
+               1 + (doc_id % 4) AS nc,
+               (doc_id % 3 = 0) AS parsed
+        FROM documents),
+      d AS (SELECT k, ns, rps, nc, parsed,
+               ((nc - 1) // 2) * 2 AS evmax,
+               (nc + 1) // 2 AS nint,
+               (nc + 2) // 3 AS nnull
+            FROM p)
+      SELECT k AS doc_id,
+             CAST(1 AS BIGINT) AS valid,
+             CAST(CASE WHEN parsed THEN 1 ELSE 0 END AS BIGINT) AS footer_parsed,
+             CAST(CASE WHEN parsed THEN ns ELSE 0 END AS BIGINT) AS n_stripes,
+             CAST(CASE WHEN parsed THEN 10 * ns ELSE 0 END AS BIGINT) AS stripe_index_bytes,
+             CAST(CASE WHEN parsed THEN 100 * ns ELSE 0 END AS BIGINT) AS stripe_data_bytes,
+             CAST(CASE WHEN parsed THEN 20 * ns ELSE 0 END AS BIGINT) AS stripe_footer_bytes,
+             CAST(CASE WHEN parsed THEN rps ELSE 0 END AS BIGINT) AS stripe_rows_min,
+             CAST(CASE WHEN parsed THEN rps ELSE 0 END AS BIGINT) AS stripe_rows_max,
+             CAST(1 AS BIGINT) AS offsets_monotonic,
+             CAST(CASE WHEN parsed THEN nc ELSE 0 END AS BIGINT) AS n_col_stats,
+             CAST(CASE WHEN parsed THEN nc * ns * rps - nc * (nc - 1) // 2
+                  ELSE 0 END AS BIGINT) AS stat_values,
+             CAST(CASE WHEN parsed THEN nnull ELSE 0 END AS BIGINT) AS n_has_null,
+             CAST(CASE WHEN parsed THEN nint ELSE 0 END AS BIGINT) AS n_int_stats,
+             CAST(CASE WHEN parsed THEN -(k % 7) - evmax ELSE 0 END AS BIGINT) AS int_min,
+             CAST(CASE WHEN parsed THEN (k % 11) + 2 * evmax ELSE 0 END AS BIGINT) AS int_max
+      FROM d ORDER BY doc_id"""))
+
   // --------------------------------------------------------------- q382
 
   /** q382 — Snappy framing census: the streaming container form of
@@ -4850,5 +4927,6 @@ object DataQueries {
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
-    q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382)
+    q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
+    q385)
 }

@@ -51,6 +51,70 @@ class OrcOpsSpec extends SparkSpec {
     assert(m.psLen > 0 && m.footerLen > 0 && m.dataBytes == 11L)
   }
 
+  test("stripe-stats descent: column statistics round-trip, zigzag negatives exact") {
+    val stats = Seq(
+      OrcOps.ColStat(500L, Some((-42L, 17L, 1000L)), hasNull = true),
+      OrcOps.ColStat(499L, None, hasNull = false),
+      OrcOps.ColStat(498L, Some((-7L, 99L, -5L)), hasNull = true))
+    val m = OrcOps.parse(OrcOps.encodeSynthetic(2, 250L, 4, 0L, 9L, 11,
+      colStats = stats))
+    assert(m.valid == 1 && m.footerParsed == 1)
+    assert(m.stripeIndexBytes == 20L && m.stripeDataBytes == 200L &&
+      m.stripeFooterBytes == 40L)
+    assert(m.stripeRowsMin == 250L && m.stripeRowsMax == 250L)
+    assert(m.offsetsMonotonic == 1)
+    assert(m.nColStats == 3 && m.statValues == 1497L && m.nHasNull == 2)
+    assert(m.nIntStats == 2 && m.intMin == -42L && m.intMax == 99L)
+  }
+
+  test("real Spark ORC (none): footer statistics walked, one per type") {
+    val m = OrcOps.parse(writeReal("none"))
+    assert(m.footerParsed == 1 && m.offsetsMonotonic == 1)
+    // ORC writes one file-level ColumnStatistics per type (root incl.)
+    assert(m.nColStats == m.nTypes, s"${m.nColStats} stats vs ${m.nTypes} types")
+    assert(m.statValues > 0L)
+    assert(m.nIntStats >= 1 && m.intMin <= m.intMax)
+    assert(m.stripeDataBytes > 0L && m.stripeRowsMin > 0L &&
+      m.stripeRowsMax >= m.stripeRowsMin)
+  }
+
+  test("non-monotonic stripe offsets are flagged; truncated stats zero the census") {
+    def footerWith(body: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val f = new java.io.ByteArrayOutputStream(); body(f); f.toByteArray
+    }
+    def wrap(footer: Array[Byte]): Array[Byte] = {
+      val ps = new java.io.ByteArrayOutputStream()
+      TfRecordOps.pbVarint(ps, (1L << 3) | 0)
+      TfRecordOps.pbVarint(ps, footer.length.toLong)
+      TfRecordOps.pbVarint(ps, (2L << 3) | 0)
+      TfRecordOps.pbVarint(ps, 0L) // compression NONE
+      TfRecordOps.pbLen(ps, 8000, "ORC".getBytes("US-ASCII"))
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("ORC".getBytes("US-ASCII"))
+      out.write(footer); out.write(ps.toByteArray); out.write(ps.size)
+      out.toByteArray
+    }
+    // two stripes at the SAME offset: walked fine, monotonic flag drops
+    val dup = footerWith { f =>
+      (1 to 2).foreach { _ =>
+        val s = new java.io.ByteArrayOutputStream()
+        TfRecordOps.pbVarint(s, (1L << 3) | 0); TfRecordOps.pbVarint(s, 5L)
+        TfRecordOps.pbVarint(s, (5L << 3) | 0); TfRecordOps.pbVarint(s, 10L)
+        TfRecordOps.pbLen(f, 3, s.toByteArray)
+      }
+    }
+    val m1 = OrcOps.parse(wrap(dup))
+    assert(m1.valid == 1 && m1.nStripes == 2 && m1.stripeRows == 20L)
+    assert(m1.offsetsMonotonic == 0)
+    // a ColumnStatistics whose declared length overruns the footer:
+    // wire violation, census zeroed whole (stop-don't-guess)
+    val cut = footerWith { f =>
+      TfRecordOps.pbVarint(f, (7L << 3) | 2)
+      TfRecordOps.pbVarint(f, 100L) // declares 100 bytes, none follow
+    }
+    assert(OrcOps.parse(wrap(cut)).valid == 0)
+  }
+
   test("compressed synthetic: codec reported, footer never guessed at") {
     val m = OrcOps.parse(OrcOps.encodeSynthetic(2, 100L, 2, 5L, 7L, 0))
     assert(m.valid == 1 && m.compression == "zstd" && m.footerParsed == 0)

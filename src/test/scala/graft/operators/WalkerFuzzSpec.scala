@@ -177,9 +177,15 @@ class WalkerFuzzSpec extends AnyFunSuite {
     Fuzzed("orc-tail",
       rnd => OrcOps.encodeSynthetic(1 + rnd.nextInt(4), (1 + rnd.nextInt(1000)).toLong,
         1 + rnd.nextInt(6), Seq(0L, 0L, 1L, 2L, 5L)(rnd.nextInt(5)),
-        rnd.nextInt(10).toLong, rnd.nextInt(200)),
+        rnd.nextInt(10).toLong, rnd.nextInt(200),
+        colStats = (0 until rnd.nextInt(4)).map(_ =>
+          OrcOps.ColStat(rnd.nextInt(1000).toLong,
+            if (rnd.nextBoolean()) Some((rnd.nextLong(), rnd.nextLong(), rnd.nextLong()))
+            else None,
+            rnd.nextBoolean()))),
       b => { val m = OrcOps.parse(b)
-        (m.nStripes.toLong + m.nTypes + m.valid, 0L) },
+        (m.nStripes.toLong + m.nTypes + m.valid + m.nColStats + m.nIntStats +
+          m.offsetsMonotonic, 0L) },
       appendStable = false), // discovery starts at the file END, like ZIP
     Fuzzed("tfexample",
       rnd => TfRecordOps.encodeShard((0 until 1 + rnd.nextInt(4)).map(_ =>
