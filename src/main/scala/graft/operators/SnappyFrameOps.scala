@@ -49,9 +49,21 @@ object SnappyFrameOps {
       crcOk: Int,            // verified checksums (type-1 only)
       crcBad: Int,
       stoppedUnskippable: Int, // halted on a 0x02–0x7F type
-      trailingBytes: Long)
+      trailingBytes: Long,
+      // ---- raw-block decode layer (r11 verdict item 8): type-0 chunk
+      // payloads run through [[SnappyRaw.decode]], so the declared
+      // content is VERIFIED, not trusted. A failed decode or CRC is
+      // counted, never a halt — the framing stays authoritative.
+      rawOk: Int,            // compressed chunks that decoded cleanly
+      rawFailed: Int,
+      rawBytes: Long,        // Σ decoded (uncompressed) bytes
+      rawCrcOk: Int,         // chunk CRC verified against DECODED bytes
+      rawCrcBad: Int,
+      nLiterals: Int,        // raw elements across all decoded chunks
+      nCopies: Int)
 
-  private val Invalid = SnappyMeta(0, 0, 0, 0, 0, 0L, 0L, 0, 0, 0, 0L)
+  private val Invalid = SnappyMeta(0, 0, 0, 0, 0, 0L, 0L, 0, 0, 0, 0L,
+    0, 0, 0L, 0, 0, 0, 0)
   private val MaxUncompressed = 65540L // spec: 65536 data + 4 CRC
 
   def parse(bytes: Array[Byte]): SnappyMeta = {
@@ -69,6 +81,8 @@ object SnappyFrameOps {
     var nComp = 0; var nUnc = 0; var nPad = 0; var nSkip = 0
     var uncBytes = 0L; var compBytes = 0L
     var crcOk = 0; var crcBad = 0; var unskippable = 0
+    var rawOk = 0; var rawFailed = 0; var rawBytes = 0L
+    var rawCrcOk = 0; var rawCrcBad = 0; var nLit = 0; var nCopy = 0
     var halted = false
     while (!halted && pos < n) {
       if (pos + 4 > n) { halted = true }
@@ -78,11 +92,22 @@ object SnappyFrameOps {
         // payload must fit (subtraction form; len is attacker-controlled)
         if (len > n - pos - 4) halted = true
         else t match {
-          case 0x00 => // compressed data: CRC (of the UNCOMPRESSED data,
-            // unverifiable without decoding) + snappy bitstream
+          case 0x00 => // compressed data: CRC (of the uncompressed data)
+            // + snappy raw bitstream — DECODED, so the declared content
+            // is verified rather than trusted (bounded by the 65536
+            // block cap; a failed decode is counted, never a halt)
             if (len < 4) halted = true
             else {
               nComp += 1; compBytes += len - 4
+              val r = SnappyRaw.decode(bytes, pos.toInt + 8, pos.toInt + 4 + len.toInt)
+              if (r.ok == 1) {
+                rawOk += 1; rawBytes += r.decoded
+                nLit += r.nLiterals; nCopy += r.nCopies
+                val crc = u32le(pos.toInt + 4)
+                val want = TfRecordOps.mask(
+                  TfRecordOps.crc32c(r.out, 0, r.out.length))
+                if (crc == want) rawCrcOk += 1 else rawCrcBad += 1
+              } else rawFailed += 1
               pos += 4 + len
             }
           case 0x01 => // uncompressed data: CRC verifies right here
@@ -111,11 +136,15 @@ object SnappyFrameOps {
     }
     SnappyMeta(if (halted) 0 else 1, nComp, nUnc, nPad, nSkip,
       uncBytes, compBytes, crcOk, crcBad, unskippable,
-      n - math.min(pos, n.toLong))
+      n - math.min(pos, n.toLong),
+      rawOk, rawFailed, rawBytes, rawCrcOk, rawCrcBad, nLit, nCopy)
   }
 
   // ------------------------------------------------------------------
   // synthetic encoder (tests + the q382 oracle's closed-form replay)
+
+  /** The mandatory leading stream-identifier chunk (ff 06 00 00 "sNaPpY"). */
+  def identifierChunk: Array[Byte] = chunk(0xFF, "sNaPpY".getBytes("US-ASCII"))
 
   private def chunk(t: Int, payload: Array[Byte]): Array[Byte] =
     Array(t.toByte, (payload.length & 0xff).toByte,
@@ -162,5 +191,48 @@ object SnappyFrameOps {
       .toDF(idCol, "valid", "n_compressed", "n_uncompressed", "n_padding",
         "n_skippable", "uncompressed_bytes", "compressed_bytes", "crc_ok",
         "crc_bad", "stopped_unskippable", "trailing_bytes")
+  }
+
+  /** A REAL compressed data chunk (type 0x00): `ops` encoded as a raw
+    * snappy bitstream with the masked CRC-32C of the decoded bytes in
+    * front — [[encodeSynthetic]]'s fake-bitstream sibling for fixtures
+    * that exercise the decode layer. `flipCrc` plants a rawCrcBad;
+    * `truncate` drops the bitstream's last byte (a rawFailed).
+    */
+  def compressedChunk(ops: Seq[SnappyRaw.RawOp], flipCrc: Boolean = false,
+                      truncate: Boolean = false): Array[Byte] = {
+    val stream0 = SnappyRaw.encode(ops)
+    val stream = if (truncate) stream0.dropRight(1) else stream0
+    val body = SnappyRaw.decode(stream0, 0, stream0.length).out
+    val crc0 = TfRecordOps.mask(TfRecordOps.crc32c(body, 0, body.length))
+    val crc = if (flipCrc) crc0 ^ 0x5A else crc0
+    chunk(0x00, Array((crc & 0xff).toByte, ((crc >> 8) & 0xff).toByte,
+      ((crc >> 16) & 0xff).toByte, ((crc >> 24) & 0xff).toByte) ++ stream)
+  }
+
+  /** Raw-decode census over (id, framed bytes) — the q382 frame walk's
+    * verification layer surfaced (r11 verdict item 8): per file, how
+    * many compressed chunks decode cleanly, their exact uncompressed
+    * mass, whether the chunk CRCs verify against the DECODED bytes,
+    * and the literal/copy element mix. Map-only, zero shuffles;
+    * [[snappyFeatures]]' projection stays frozen.
+    */
+  def snappyDecodeFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = parse(bytes)
+          (id, m.valid.toLong, m.nCompressed.toLong, m.compressedBytes,
+            m.rawOk.toLong, m.rawFailed.toLong, m.rawBytes,
+            m.rawCrcOk.toLong, m.rawCrcBad.toLong,
+            m.nLiterals.toLong, m.nCopies.toLong)
+        }
+      }
+      .toDF(idCol, "valid", "n_compressed", "compressed_bytes",
+        "raw_ok", "raw_failed", "raw_bytes", "raw_crc_ok", "raw_crc_bad",
+        "n_literals", "n_copies")
   }
 }

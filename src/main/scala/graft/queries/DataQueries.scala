@@ -4922,11 +4922,81 @@ object DataQueries {
                   ELSE 0 END AS BIGINT) AS trailing_bytes
       FROM t ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q387
+
+  /** q387 — Snappy RAW-BLOCK decode census
+    * ([[graft.operators.SnappyFrameOps.snappyDecodeFeatures]] over
+    * [[graft.operators.SnappyRaw.decode]]): q382 walks the framing and
+    * counts compressed chunks by their headers; raw snappy is varint +
+    * literal/copy LZ with no entropy coding, so this layer DECODES each
+    * type-0 chunk (bounded by the 65536 block cap — the gzip-bomb
+    * discipline) and verifies the uncompressed length and the chunk's
+    * masked CRC-32C against the DECODED bytes rather than trusting
+    * either. Fixture chunks are literal+overlapping-copy streams whose
+    * encoded widths are closed-form (1-byte preamble, 1-byte literal
+    * tag, 2-byte copy form), so the oracle replays every column
+    * arithmetically; two planted classes — a truncated bitstream
+    * (decode fails, counted never halted) and a flipped CRC (decodes,
+    * checksum refuses). Map-only, zero shuffles.
+    */
+  val q387 = Q("q387_snappy_raw_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{SnappyFrameOps, SnappyRaw}
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val c = 1 + (id % 3).toInt
+            val out = new java.io.ByteArrayOutputStream()
+            out.write(SnappyFrameOps.identifierChunk)
+            (0 until c).foreach { i =>
+              val a = 10 + ((id + i) % 7).toInt
+              val l = 4 + ((id + i) % 8).toInt
+              val ops = Seq(
+                SnappyRaw.Lit(Array.tabulate(a)(b => ((b * 31 + id) & 0xff).toByte)),
+                SnappyRaw.Copy(1 + ((id + i) % 5).toInt, l))
+              out.write(SnappyFrameOps.compressedChunk(ops,
+                flipCrc = id % 13 != 0 && id % 11 == 0 && i == 0,
+                truncate = id % 13 == 0 && i == 0))
+            }
+            (id, out.toByteArray)
+          }
+        }.toDF("doc_id", "payload")
+      graft.operators.SnappyFrameOps.snappyDecodeFeatures(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id AS k, 1 + doc_id % 3 AS c,
+                        (doc_id % 13 = 0) AS tr,
+                        (doc_id % 13 <> 0 AND doc_id % 11 = 0) AS fl
+                 FROM documents),
+      js AS (SELECT unnest(range(3)) AS j),
+      ch AS (SELECT p.k, js.j,
+                    10 + ((p.k + js.j) % 7) AS a,
+                    4 + ((p.k + js.j) % 8) AS l,
+                    (p.tr AND js.j = 0) AS t,
+                    (p.fl AND js.j = 0) AS f
+             FROM p JOIN js ON js.j < p.c)
+      SELECT k AS doc_id,
+             CAST(1 AS BIGINT) AS valid,
+             CAST(count(*) AS BIGINT) AS n_compressed,
+             CAST(sum(a + 4 - CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+               AS compressed_bytes,
+             CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS raw_ok,
+             CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS raw_failed,
+             CAST(sum(CASE WHEN t THEN 0 ELSE a + l END) AS BIGINT) AS raw_bytes,
+             CAST(sum(CASE WHEN t OR f THEN 0 ELSE 1 END) AS BIGINT) AS raw_crc_ok,
+             CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS raw_crc_bad,
+             CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_literals,
+             CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_copies
+      FROM ch GROUP BY k ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
-    q385)
+    q385, q387)
 }

@@ -172,8 +172,19 @@ class WalkerFuzzSpec extends AnyFunSuite {
         (0 until rnd.nextInt(3)).map(_ => rnd.nextInt(300)),
         if (rnd.nextBoolean()) rnd.nextInt(50) else 0),
       b => { val m = SnappyFrameOps.parse(b)
-        (m.nCompressed.toLong + m.nUncompressed + m.nPadding + m.nSkippable,
-          m.trailingBytes) }),
+        (m.nCompressed.toLong + m.nUncompressed + m.nPadding + m.nSkippable +
+          m.rawOk + m.rawFailed, m.trailingBytes) }),
+    Fuzzed("snappy-raw",
+      rnd => {
+        val lit = Array.tabulate(1 + rnd.nextInt(300))(i => (i * 17 + 3).toByte)
+        val ops = Seq(SnappyRaw.Lit(lit)) ++
+          (0 until rnd.nextInt(4)).map(_ =>
+            SnappyRaw.Copy(1 + rnd.nextInt(lit.length), 1 + rnd.nextInt(64)))
+        SnappyRaw.encode(ops)
+      },
+      b => { val m = SnappyRaw.decode(b, 0, b.length)
+        (m.ok.toLong + m.decoded + m.nLiterals + m.nCopies, 0L) },
+      appendStable = false), // appended bytes violate exact-consumption
     Fuzzed("orc-tail",
       rnd => OrcOps.encodeSynthetic(1 + rnd.nextInt(4), (1 + rnd.nextInt(1000)).toLong,
         1 + rnd.nextInt(6), Seq(0L, 0L, 1L, 2L, 5L)(rnd.nextInt(5)),
