@@ -208,9 +208,34 @@ object OrcOps {
 
   def encodeSynthetic(nStripes: Int, rowsPerStripe: Long, nTypes: Int,
       compression: Long, writerVersion: Long, dataFiller: Int,
-      colStats: Seq[ColStat] = Nil): Array[Byte] = {
+      colStats: Seq[ColStat] = Nil,
+      stripeStats: Seq[Seq[ColStat]] = Nil): Array[Byte] = {
     def sint(out: java.io.ByteArrayOutputStream, v: Long): Unit =
       vi(out, (v << 1) ^ (v >> 63)) // sint64 zigzag
+    def colStatBytes(cs: ColStat): Array[Byte] = {
+      val c = new java.io.ByteArrayOutputStream()
+      tag(c, 1, 0); vi(c, cs.numValues)
+      cs.intStats.foreach { case (mn, mx, sm) =>
+        val i = new java.io.ByteArrayOutputStream()
+        tag(i, 1, 0); sint(i, mn)
+        tag(i, 2, 0); sint(i, mx)
+        tag(i, 3, 0); sint(i, sm)
+        lenField(c, 2, i.toByteArray)
+      }
+      tag(c, 10, 0); vi(c, if (cs.hasNull) 1L else 0L)
+      c.toByteArray
+    }
+    // Metadata section (precedes the footer): repeated StripeStatistics
+    // (field 1), each a repeated ColumnStatistics (field 1)
+    val metadata = {
+      val m = new java.io.ByteArrayOutputStream()
+      stripeStats.foreach { cols =>
+        val ss = new java.io.ByteArrayOutputStream()
+        cols.foreach(cs => lenField(ss, 1, colStatBytes(cs)))
+        lenField(m, 1, ss.toByteArray)
+      }
+      m.toByteArray
+    }
     val footer = {
       val f = new java.io.ByteArrayOutputStream()
       tag(f, 2, 0); vi(f, 3L + dataFiller) // contentLength
@@ -229,19 +254,7 @@ object OrcOps {
         lenField(f, 4, t.toByteArray)
       }
       tag(f, 6, 0); vi(f, nStripes * rowsPerStripe)
-      colStats.foreach { cs =>
-        val c = new java.io.ByteArrayOutputStream()
-        tag(c, 1, 0); vi(c, cs.numValues)
-        cs.intStats.foreach { case (mn, mx, sm) =>
-          val i = new java.io.ByteArrayOutputStream()
-          tag(i, 1, 0); sint(i, mn)
-          tag(i, 2, 0); sint(i, mx)
-          tag(i, 3, 0); sint(i, sm)
-          lenField(c, 2, i.toByteArray)
-        }
-        tag(c, 10, 0); vi(c, if (cs.hasNull) 1L else 0L)
-        lenField(f, 7, c.toByteArray)
-      }
+      colStats.foreach(cs => lenField(f, 7, colStatBytes(cs)))
       f.toByteArray
     }
     val ps = {
@@ -249,7 +262,7 @@ object OrcOps {
       tag(p, 1, 0); vi(p, footer.length.toLong)
       tag(p, 2, 0); vi(p, compression)
       tag(p, 3, 0); vi(p, 262144L)
-      tag(p, 5, 0); vi(p, 0L)
+      tag(p, 5, 0); vi(p, metadata.length.toLong)
       tag(p, 6, 0); vi(p, writerVersion)
       lenField(p, 8000, "ORC".getBytes("US-ASCII"))
       p.toByteArray
@@ -258,6 +271,7 @@ object OrcOps {
     val out = new java.io.ByteArrayOutputStream()
     out.write("ORC".getBytes("US-ASCII"))
     out.write(Array.tabulate(dataFiller)(i => ((i * 23 + 5) & 0xff).toByte))
+    out.write(metadata)
     out.write(footer)
     out.write(ps)
     out.write(ps.length)
@@ -315,5 +329,134 @@ object OrcOps {
         "stripe_rows_min", "stripe_rows_max", "offsets_monotonic",
         "n_col_stats", "stat_values", "n_has_null",
         "n_int_stats", "int_min", "int_max")
+  }
+
+  /** Per-stripe statistics for one column from the METADATA section —
+    * the layer [[parse]] only sizes (PostScript.metadataLength): the
+    * section before the footer holds `Metadata { repeated
+    * StripeStatistics = 1 { repeated ColumnStatistics = 1 } }`, one
+    * StripeStatistics per stripe in stripe order. Returns one entry
+    * per stripe: (rows, hasIntStats, min, max) — rows come from the
+    * footer's stripe list (same order, per the spec), stats from the
+    * metadata section's colIdx-th ColumnStatistics. Empty when the
+    * file is invalid, compressed (honest stub boundary), has no
+    * metadata section, or the two lists disagree in length
+    * (stop-don't-guess — a mismatched file prunes NOTHING).
+    */
+  def stripeStatsCensus(bytes: Array[Byte], colIdx: Int): Vector[(Long, Int, Long, Long)] = {
+    val m = parse(bytes)
+    if (m.valid != 1 || m.footerParsed != 1 || m.metadataLen <= 0)
+      return Vector.empty
+    val n = bytes.length
+    def zz(v: Long): Long = (v >>> 1) ^ -(v & 1L)
+    try {
+      // footer stripe rows, in order (parse only kept the extrema)
+      val fStart = n - 1 - m.psLen - m.footerLen.toInt
+      val f = new TfRecordOps.ProtoReader(bytes, fStart, fStart + m.footerLen.toInt)
+      val rows = Vector.newBuilder[Long]
+      while (f.pos < f.end) {
+        val tag = f.varint()
+        ((tag >>> 3).toInt, (tag & 7).toInt) match {
+          case (3, 2) =>
+            val (off, len) = f.lenDelimited()
+            val s = new TfRecordOps.ProtoReader(bytes, off, off + len)
+            var r = 0L
+            while (s.pos < s.end) {
+              val st = s.varint()
+              if ((st >>> 3).toInt == 5 && (st & 7).toInt == 0) r = s.varint()
+              else s.skipValue((st & 7).toInt)
+            }
+            rows += r
+          case (_, w) => f.skipValue(w)
+        }
+      }
+      // metadata section sits immediately before the footer
+      if (m.metadataLen > fStart.toLong - 3) return Vector.empty
+      val mdStart = fStart - m.metadataLen.toInt
+      val md = new TfRecordOps.ProtoReader(bytes, mdStart, fStart)
+      val stats = Vector.newBuilder[(Int, Long, Long)] // (has, min, max)
+      while (md.pos < md.end) {
+        val tag = md.varint()
+        ((tag >>> 3).toInt, (tag & 7).toInt) match {
+          case (1, 2) => // StripeStatistics
+            val (off, len) = md.lenDelimited()
+            val ss = new TfRecordOps.ProtoReader(bytes, off, off + len)
+            var ci = 0
+            var has = 0; var mn = 0L; var mx = 0L
+            while (ss.pos < ss.end) {
+              val ct = ss.varint()
+              ((ct >>> 3).toInt, (ct & 7).toInt) match {
+                case (1, 2) => // ColumnStatistics
+                  val (co, cl) = ss.lenDelimited()
+                  if (ci == colIdx) {
+                    val c = new TfRecordOps.ProtoReader(bytes, co, co + cl)
+                    while (c.pos < c.end) {
+                      val t2 = c.varint()
+                      ((t2 >>> 3).toInt, (t2 & 7).toInt) match {
+                        case (2, 2) =>
+                          val (io, il) = c.lenDelimited()
+                          val i = new TfRecordOps.ProtoReader(bytes, io, io + il)
+                          var sawMin = false; var sawMax = false
+                          while (i.pos < i.end) {
+                            val it = i.varint()
+                            ((it >>> 3).toInt, (it & 7).toInt) match {
+                              case (1, 0) => mn = zz(i.varint()); sawMin = true
+                              case (2, 0) => mx = zz(i.varint()); sawMax = true
+                              case (_, w) => i.skipValue(w)
+                            }
+                          }
+                          if (sawMin && sawMax) has = 1
+                        case (_, w) => c.skipValue(w)
+                      }
+                    }
+                  }
+                  ci += 1
+                case (_, w) => ss.skipValue(w)
+              }
+            }
+            stats += ((has, mn, mx))
+          case (_, w) => md.skipValue(w)
+        }
+      }
+      val rs = rows.result(); val st = stats.result()
+      if (rs.length != st.length) Vector.empty
+      else rs.zip(st).map { case (r, (h, mn, mx)) => (r, h, mn, mx) }
+    } catch {
+      case TfRecordOps.ProtoMalformed => Vector.empty
+      case _: ArrayIndexOutOfBoundsException => Vector.empty
+    }
+  }
+
+  /** Stripe-level zone-map pruning audit — parquet q380's ORC twin,
+    * the move that makes the metadata walk PAY: for `x > t` / `x < t`
+    * on column `colIdx`, how many stripes are provably skippable from
+    * their metadata min/max and how many rows a CONSERVATIVE planner
+    * still scans. The contract is conservative throughout: no int
+    * stats, a compressed file, no metadata section, or a stripe-count
+    * mismatch all prune NOTHING (scan everything). Map-only, zero
+    * shuffles.
+    */
+  def orcPruneAudit(df: DataFrame, idCol: String, payloadCol: String,
+      colIdx: Int, thresholdOf: Long => Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val t = thresholdOf(id)
+          val ss = stripeStatsCensus(bytes, colIdx)
+          val readable = ss.count(_._2 == 1)
+          val prunedGt = ss.count { case (_, has, _, mx) => has == 1 && mx <= t }
+          val prunedLt = ss.count { case (_, has, mn, _) => has == 1 && mn >= t }
+          val scannedGt = ss.collect {
+            case (rows, has, _, mx) if !(has == 1 && mx <= t) => rows
+          }.sum
+          (id, ss.size.toLong, readable.toLong, prunedGt.toLong,
+            prunedLt.toLong, scannedGt, t)
+        }
+      }
+      .toDF(idCol, "n_stripes", "n_readable", "pruned_gt", "pruned_lt",
+        "scanned_rows_gt", "threshold")
   }
 }

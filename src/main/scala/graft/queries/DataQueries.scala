@@ -4836,6 +4836,71 @@ object DataQueries {
              CAST(CASE WHEN parsed THEN (k % 11) + 2 * evmax ELSE 0 END AS BIGINT) AS int_max
       FROM d ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q388
+
+  /** q388 — ORC stripe-level zone-map pruning audit — parquet q380's
+    * ORC twin, the move that makes the metadata walk PAY at 100 TB:
+    * the Metadata section (one StripeStatistics per stripe, walked via
+    * [[graft.operators.OrcOps.stripeStatsCensus]]) gives per-stripe
+    * min/max for a column, and for `x > t` / `x < t` the audit counts
+    * the stripes provably skippable plus the rows a CONSERVATIVE
+    * planner still scans. Conservative is the contract: absent int
+    * stats (planted every 9th doc) prune nothing and scan everything;
+    * a stripe-count mismatch between footer and metadata (planted
+    * every 25th doc — a lying writer) yields the EMPTY census, the
+    * q380 cut-footer convention. Oracle recomputes everything
+    * closed-form, including the threshold-between-stripes boundary
+    * arithmetic. Map-only, zero shuffles.
+    */
+  val q388 = Q("q388_orc_zone_prune",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val ns = 1 + (id % 3).toInt
+            val rps = 100 + id % 20
+            val o = id % 7
+            val nStats = if (id % 25 == 0) ns - 1 else ns
+            val stats = (0 until nStats).map { j =>
+              Seq(graft.operators.OrcOps.ColStat(rps,
+                if (id % 9 == 0) None
+                else Some((o + 10L * j, o + 10L * j + 9, 0L)),
+                hasNull = false))
+            }
+            (id, graft.operators.OrcOps.encodeSynthetic(
+              nStripes = ns, rowsPerStripe = rps, nTypes = 2,
+              compression = 0L, writerVersion = 7,
+              dataFiller = (id % 16).toInt,
+              stripeStats = stats))
+          }
+        }.toDF("doc_id", "payload")
+      graft.operators.OrcOps.orcPruneAudit(synth, "doc_id", "payload", 0,
+        id => (id % 7) + 10L * (id % (1 + id % 3)) + 4)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id AS k, 1 + doc_id % 3 AS ns,
+                        100 + doc_id % 20 AS rps, doc_id % 7 AS o,
+                        (doc_id % 9 = 0) AS nostats,
+                        (doc_id % 25 = 0) AS mismatch
+                 FROM documents),
+      d AS (SELECT *, k % ns AS kk, o + 10 * (k % ns) + 4 AS t FROM p)
+      SELECT k AS doc_id,
+             CAST(CASE WHEN mismatch THEN 0 ELSE ns END AS BIGINT) AS n_stripes,
+             CAST(CASE WHEN mismatch OR nostats THEN 0 ELSE ns END AS BIGINT)
+               AS n_readable,
+             CAST(CASE WHEN mismatch OR nostats THEN 0 ELSE kk END AS BIGINT)
+               AS pruned_gt,
+             CAST(CASE WHEN mismatch OR nostats THEN 0 ELSE ns - 1 - kk END AS BIGINT)
+               AS pruned_lt,
+             CAST(CASE WHEN mismatch THEN 0
+                       WHEN nostats THEN ns * rps
+                       ELSE (ns - kk) * rps END AS BIGINT) AS scanned_rows_gt,
+             CAST(t AS BIGINT) AS threshold
+      FROM d ORDER BY doc_id"""))
+
   // --------------------------------------------------------------- q382
 
   /** q382 — Snappy framing census: the streaming container form of
@@ -4998,5 +5063,5 @@ object DataQueries {
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
-    q385, q387)
+    q385, q387, q388)
 }

@@ -115,6 +115,45 @@ class OrcOpsSpec extends SparkSpec {
     assert(OrcOps.parse(wrap(cut)).valid == 0)
   }
 
+  test("metadata stripe statistics: census pairs footer rows with per-stripe min/max") {
+    val stats = Seq(
+      Seq(OrcOps.ColStat(250L, Some((0L, 9L, 0L)), hasNull = false)),
+      Seq(OrcOps.ColStat(250L, Some((10L, 19L, 0L)), hasNull = false)),
+      Seq(OrcOps.ColStat(250L, Some((-20L, 29L, 0L)), hasNull = false)))
+    val b = OrcOps.encodeSynthetic(3, 250L, 2, 0L, 7L, 5, stripeStats = stats)
+    val ss = OrcOps.stripeStatsCensus(b, 0)
+    assert(ss == Vector((250L, 1, 0L, 9L), (250L, 1, 10L, 19L), (250L, 1, -20L, 29L)))
+    // a second column index that does not exist: present stripes, no stats
+    assert(OrcOps.stripeStatsCensus(b, 1).forall(_._2 == 0))
+  }
+
+  test("real Spark ORC (none): metadata stripe stats walk and row counts agree") {
+    val bytes = writeReal("none")
+    val m = OrcOps.parse(bytes)
+    assert(m.metadataLen > 0L, "ORC writer emits a metadata section")
+    // nation's first column is n_nationkey (int): column index 1 in ORC
+    // statistics order (0 is the root struct)
+    val ss = OrcOps.stripeStatsCensus(bytes, 1)
+    assert(ss.length == m.nStripes)
+    assert(ss.map(_._1).sum == m.numRows, "per-stripe rows cover the file")
+    assert(ss.forall { case (_, has, mn, mx) => has == 1 && mn <= mx })
+  }
+
+  test("prune conservatism: mismatched stripe counts and missing int stats never prune") {
+    // lying writer: 3 stripes in the footer, 2 StripeStatistics
+    val lying = OrcOps.encodeSynthetic(3, 100L, 2, 0L, 7L, 0,
+      stripeStats = Seq(
+        Seq(OrcOps.ColStat(100L, Some((0L, 9L, 0L)), hasNull = false)),
+        Seq(OrcOps.ColStat(100L, Some((10L, 19L, 0L)), hasNull = false))))
+    assert(OrcOps.stripeStatsCensus(lying, 0).isEmpty)
+    // compressed file: honest stub boundary, empty census
+    val zlib = OrcOps.encodeSynthetic(2, 100L, 2, 1L, 7L, 0,
+      stripeStats = Seq(
+        Seq(OrcOps.ColStat(100L, Some((0L, 9L, 0L)), hasNull = false)),
+        Seq(OrcOps.ColStat(100L, Some((10L, 19L, 0L)), hasNull = false))))
+    assert(OrcOps.stripeStatsCensus(zlib, 0).isEmpty)
+  }
+
   test("compressed synthetic: codec reported, footer never guessed at") {
     val m = OrcOps.parse(OrcOps.encodeSynthetic(2, 100L, 2, 5L, 7L, 0))
     assert(m.valid == 1 && m.compression == "zstd" && m.footerParsed == 0)
