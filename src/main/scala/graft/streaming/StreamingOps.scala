@@ -562,6 +562,74 @@ object StreamingOps {
       }
   }
 
+  final case class FpRow(fp: Long, doc_id: Long)
+  final case class WinnowCand(doc_id: Long, matches_doc: Long, fp: Long)
+  /** Bucket membership (sorted, bounded) + the overflow latch. */
+  final case class FpBucket(members: List[Long], overflowed: Boolean)
+
+  /** Streaming winnowing near-dup candidates — the incremental twin of
+    * the batch [[graft.operators.Dedup.winnowPairs]] (q384), and the
+    * run-localized sibling of [[streamingNearDupCandidates]]: each
+    * arriving document's winnowing fingerprints (computed per-row with
+    * the SAME kernel + window-minimum arithmetic as batch — array ops,
+    * no window function, so it runs on an unbounded stream) are checked
+    * against per-fingerprint state holding ALL previous members (not
+    * just an anchor — winnowing pairs are per shared RUN, so every
+    * member pair matters), emitting (new, existing) candidates as docs
+    * arrive. Distinct streamed pairs over any micro-batch split equal
+    * the batch winnowPairs(minShared = 1) pair set exactly while no
+    * bucket exceeds `maxBucket` (StreamingSpec pins it).
+    *
+    * Append-mode cap semantics, stated honestly: batch DROPS an
+    * over-cap bucket whole; a stream cannot retract, so a bucket
+    * crossing the cap LATCHES overflowed — it emits nothing further,
+    * but pairs emitted before the crossing stand. At 100 TB the cap
+    * exists to bound state and skew (a fingerprint in thousands of
+    * docs is boilerplate), and the latch bounds each bucket's state at
+    * maxBucket longs, sharded by fingerprint like any grouped state.
+    */
+  def streamingWinnowCandidates(docs: DataFrame, idCol: String, textCol: String,
+                                k: Int, w: Int,
+                                maxBucket: Int = 500): Dataset[WinnowCand] = {
+    val s = docs.sparkSession
+    graft.expressions.GraftExtensions.register(s)
+    import s.implicits._
+    // per-ROW fingerprints ≡ Dedup.winnowFromGrams: window minima over
+    // the gram list (slice + array_min), distinct; short docs (< w
+    // grams) keep their global minimum — the batch pos=0 fallback
+    val gs = call_function("graft_shingle_hash_list", col(textCol), lit(k))
+    val fps = when(size(gs) < w, array(array_min(gs)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(gs) - w),
+        i => array_min(slice(gs, i + 1, lit(w))))))
+    val rows = docs.select(explode(fps).as("fp"),
+        col(idCol).cast("long").as("doc_id"))
+      .as[FpRow]
+    rows.groupByKey(_.fp)
+      .flatMapGroupsWithState[FpBucket, WinnowCand](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: Long, it: Iterator[FpRow], state: GroupState[FpBucket]) =>
+          var st = state.getOption.getOrElse(FpBucket(Nil, overflowed = false))
+          val out = Seq.newBuilder[WinnowCand]
+          // sort within the micro-batch so replay is deterministic
+          for (id <- it.map(_.doc_id).toArray.sorted if !st.overflowed) {
+            if (!st.members.contains(id)) {
+              // the member that CROSSES the cap proves the bucket is
+              // boilerplate: latch first, emit nothing for it — only
+              // pairs among the first maxBucket members ever stand
+              if (st.members.length >= maxBucket) st = FpBucket(Nil, overflowed = true)
+              else {
+                st.members.foreach(m =>
+                  out += WinnowCand(math.max(id, m), math.min(id, m), fp))
+                st = FpBucket(id :: st.members, overflowed = false)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming distribution-drift monitor — the continuous twin of the
     * batch PSI report (q111). Each event-time window's values bucket
     * against FIXED reference boundaries (computed offline from a

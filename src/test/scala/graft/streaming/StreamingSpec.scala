@@ -95,6 +95,62 @@ class StreamingSpec extends SparkSpec {
     assert(batchDups.subsetOf(streamDups), s"batch=$batchDups stream=$streamDups")
   }
 
+  test("streamingWinnowCandidates over a two-batch file stream equals batch winnowPairs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-winnow-stream").toFile
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $span a6 a7 a8"),
+      (2L, s"b1 b2 $span b3 b4 b5 b6 b7"),
+      (3L, s"c1 c2 c3 $span c4 c5 c6"),
+      (4L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"))
+      .toDF("doc_id", "text")
+    docs.filter(col("doc_id") <= 2).write.parquet(s"$dir/in/b1")
+    Thread.sleep(1100) // distinct mtimes pin the file-stream order
+    docs.filter(col("doc_id") > 2).write.parquet(s"$dir/in/b2")
+
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val cands = StreamingOps.streamingWinnowCandidates(stream, "doc_id", "text",
+      k = 4, w = 5)
+    val q = cands.toDF().writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select(col("matches_doc"), col("doc_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+
+    // the shared 12-token run (>= w+k-1 = 8) forces candidates among
+    // docs 1/2/3; doc 4 shares nothing — and the DISTINCT streamed pair
+    // set must equal the batch generator's at minShared = 1
+    val batch = graft.operators.Dedup
+      .winnowPairs(docs, "doc_id", "text", k = 4, w = 5, minShared = 1)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(streamed))
+    assert(!streamed.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("streamingWinnowCandidates: a bucket crossing the cap latches and stops emitting") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-winnow-cap").toFile
+    // 4 identical docs share every fingerprint; cap 2 means the third
+    // arrival latches each bucket — only the (1,2) pair ever emits
+    val docs = Seq.tabulate(4)(i => (i.toLong + 1, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/in/b1")
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(s"$dir/in/*")
+    val cands = StreamingOps.streamingWinnowCandidates(stream, "doc_id", "text",
+      k = 4, w = 5, maxBucket = 2)
+    val out = StreamingOps.runAvailableNow(cands.toDF(), "winnow_cap_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val pairs = out.select("matches_doc", "doc_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"cap not latched: $pairs")
+  }
+
   test("stream-static dimension enrichment matches the batch broadcast join") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-enrich-stream").toFile
