@@ -592,26 +592,56 @@ object Dedup {
     *         one row per maximal run; starts are 0-based token offsets
     */
   def duplicateRuns(grams: DataFrame, idCol: String, k: Int, minTokens: Int,
-                    maxOccurrences: Int = DefaultMaxBucket): DataFrame = {
+                    maxOccurrences: Int = DefaultMaxBucket): DataFrame =
+    runsImpl(grams.withColumn("_new", lit(true)), idCol, "_new",
+      k, minTokens, maxOccurrences)
+
+  /** Incremental [[duplicateRuns]]: the batch that just arrived checked
+    * against the standing corpus WITHOUT re-enumerating base×base pairs
+    * — the substring layer of the incremental-curation story. `newCol`
+    * (boolean) marks the arriving documents in the unified gram stream;
+    * only runs touching ≥1 new document come back. Two scale savings
+    * over re-running the batch pass: grams whose occurrence bucket
+    * holds no new member drop BEFORE any list is collected (the same
+    * windowed pass that enforces the hot cap), and the in-bucket
+    * expansion discards old×old pairs at birth — so pair work is
+    * ∝ new×all, not all². The hot-gram cap still counts occurrences
+    * over the WHOLE corpus (base + new), so an emitted run means
+    * exactly what the batch pass would have said about it.
+    */
+  def duplicateRunsIncremental(grams: DataFrame, idCol: String, newCol: String,
+                               k: Int, minTokens: Int,
+                               maxOccurrences: Int = DefaultMaxBucket): DataFrame =
+    runsImpl(grams, idCol, newCol, k, minTokens, maxOccurrences)
+
+  private def runsImpl(grams: DataFrame, idCol: String, newCol: String,
+                       k: Int, minTokens: Int, maxOccurrences: Int): DataFrame = {
     require(k >= 1 && minTokens >= k,
       s"duplicateRuns: need k >= 1 and minTokens >= k (got k=$k, minTokens=$minTokens)")
     // windowed count, not a groupBy+join: the cap must see the
-    // occurrence list's size without materializing oversized lists
+    // occurrence list's size without materializing oversized lists.
+    // The has-new max rides the SAME window spec — one exchange.
+    val byH = Window.partitionBy("h")
     val occ = grams
-      .withColumn("_occ", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("_occ") >= 2 && col("_occ") <= maxOccurrences)
+      .withColumn("_occ", count(lit(1)).over(byH))
+      .withColumn("_hasNew", max(col(newCol).cast("int")).over(byH))
+      .filter(col("_occ") >= 2 && col("_occ") <= maxOccurrences &&
+        col("_hasNew") === 1)
     val buckets = occ.groupBy("h")
       .agg(sort_array(collect_list(
-        struct(col(idCol).cast("long").as("id"), col("pos").cast("long").as("p")))).as("_os"))
-    // struct sort order is (id, p) lexicographic, so the triangular
-    // expansion births pairs with (id_a, pos_a) <= (id_b, pos_b);
-    // same-document matches (internal repetition) are not runs
-    // "across docs" and drop here
+        struct(col(idCol).cast("long").as("id"), col("pos").cast("long").as("p"),
+          col(newCol).as("n")))).as("_os"))
+    // struct sort order is (id, p, n) lexicographic and (id, p) is
+    // unique, so the triangular expansion births pairs with
+    // (id_a, pos_a) <= (id_b, pos_b); same-document matches (internal
+    // repetition) are not runs "across docs" and drop here, as do
+    // old×old pairs (no new side)
     val pairs = buckets
       .select(explode(flatten(transform(
         sequence(lit(1), size(col("_os")) - 1),
         i => transform(slice(col("_os"), i + 1, size(col("_os"))),
           b => struct(element_at(col("_os"), i).as("a"), b.as("b")))))).as("_p"))
+      .filter(col("_p.a.n") || col("_p.b.n"))
       .select(col("_p.a.id").as("id_a"), col("_p.a.p").as("pos_a"),
         col("_p.b.id").as("id_b"), col("_p.b.p").as("pos_b"))
       .filter(col("id_a") =!= col("id_b"))

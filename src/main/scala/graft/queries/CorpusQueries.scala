@@ -2855,8 +2855,68 @@ object CorpusQueries {
                           list_position(l, list_max(l))) AS dominant_script
       FROM piv ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q389
+
+  /** q389 — INCREMENTAL duplicate-run dedup
+    * ([[graft.operators.Dedup.duplicateRunsIncremental]]): the
+    * substring layer of the incremental-curation story — an arriving
+    * batch (every 5th document plays "new") checked against the
+    * standing corpus for shared ≥20-token runs WITHOUT re-enumerating
+    * base×base pairs. Buckets with no new member drop before any list
+    * is collected (the same windowed pass as the hot cap), old×old
+    * pairs drop at birth inside the expansion, and the hot-gram cap
+    * still counts the WHOLE corpus — so every emitted run is exactly
+    * what the batch q383 pass says about it, restricted to runs
+    * touching a new document (the oracle IS q383's replay plus that
+    * restriction; DedupSimilaritySpec pins the subset identity on the
+    * operator directly).
+    */
+  val q389 = Q("q389_duplicate_runs_incremental",
+    (s, dir) => {
+      import graft.operators.Dedup
+      graft.expressions.GraftExtensions.register(s)
+      val grams = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(call_function("graft_shingle_hash_list", col("text"), lit(8)))
+            .as(Seq("pos", "h")))
+        .withColumn("is_new", pmod(col("doc_id"), lit(5)) === 0)
+      Dedup.duplicateRunsIncremental(grams, "doc_id", "is_new",
+          k = 8, minTokens = 20, maxOccurrences = 64)
+        .orderBy("id_a", "id_b", "a_start", "b_start", "n_tokens")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      g AS (SELECT doc_id,
+              CASE WHEN len(w) < 8
+                   THEN [${duckHash64("array_to_string(w, ' ')")} & ${Dedup.MinhashP}]
+                   ELSE list_transform(range(1, len(w) - 6),
+                          i -> ${duckHash64(
+      "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || " +
+        "w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]")} & ${Dedup.MinhashP})
+              END AS gs
+            FROM t),
+      o AS (SELECT doc_id, unnest(range(len(gs))) AS pos, unnest(gs) AS h FROM g),
+      hot AS (SELECT h, count(*) AS occ FROM o GROUP BY 1),
+      oc AS (SELECT o.doc_id, o.pos, o.h FROM o JOIN hot USING (h)
+             WHERE occ BETWEEN 2 AND 64),
+      p AS (SELECT a.doc_id AS id_a, a.pos AS pos_a,
+                   b.doc_id AS id_b, b.pos AS pos_b
+            FROM oc a JOIN oc b ON a.h = b.h AND a.doc_id < b.doc_id
+            WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+      r AS (SELECT id_a, id_b, pos_a - pos_b AS d, pos_a, pos_b,
+                   pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+                                              ORDER BY pos_a) AS isl
+            FROM p)
+      SELECT id_a, id_b,
+             CAST(min(pos_a) AS BIGINT) AS a_start,
+             CAST(min(pos_b) AS BIGINT) AS b_start,
+             CAST(count(*) + 7 AS BIGINT) AS n_tokens
+      FROM r GROUP BY id_a, id_b, d, isl
+      HAVING count(*) + 7 >= 20
+      ORDER BY id_a, id_b, a_start, b_start, n_tokens"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
     q328, q331, q333, q334, q338, q343, q345, q349, q350, q354, q357, q359, q360, q371,
-    q372, q383, q384, q386)
+    q372, q383, q384, q386, q389)
 }

@@ -323,6 +323,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(capped.filter(col("id_a") === 5L && col("id_b") === 6L).count() == 0)
   }
 
+  test("duplicateRunsIncremental is exactly batch restricted to new-touching runs") {
+    // three pairwise-sharing docs; mark doc 2 as the arriving batch:
+    // runs (1,2) and (2,3) survive, the base-base run (1,3) drops
+    val grams =
+      (0 to 29).map(p => (1L, p, if (p >= 5 && p <= 14) 100L + (p - 5) else 10000L + p)) ++
+        (0 to 29).map(p => (2L, p, if (p >= 3 && p <= 12) 100L + (p - 3) else 20000L + p)) ++
+        (0 to 29).map(p => (3L, p, if (p >= 8 && p <= 17) 100L + (p - 8) else 30000L + p))
+    val df = grams.toDF("doc_id", "pos", "h")
+      .withColumn("is_new", col("doc_id") === 2L)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val inc = Dedup.duplicateRunsIncremental(df, "doc_id", "is_new",
+      k = 4, minTokens = 10).collect().map(key).toSet
+    val batch = Dedup.duplicateRuns(df, "doc_id", k = 4, minTokens = 10)
+      .filter(col("id_a") === 2L || col("id_b") === 2L).collect().map(key).toSet
+    assert(inc == batch, s"inc=$inc batch=$batch")
+    assert(inc.map(r => (r._1, r._2)) == Set((1L, 2L), (2L, 3L)))
+    // the base-base run exists in the full batch pass but not here
+    val full = Dedup.duplicateRuns(df, "doc_id", k = 4, minTokens = 10)
+      .collect().map(key).toSet
+    assert(full.map(r => (r._1, r._2)).contains((1L, 3L)))
+  }
+
   test("duplicateRuns: end-to-end from text via the shingle-list kernel") {
     graft.expressions.GraftExtensions.register(spark)
     val span = (1 to 12).map(i => s"s$i").mkString(" ") // 12 shared tokens
