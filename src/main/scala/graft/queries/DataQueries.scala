@@ -4901,6 +4901,130 @@ object DataQueries {
              CAST(t AS BIGINT) AS threshold
       FROM d ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q390
+
+  /** q390 — LZ4 frame census + raw-block decode
+    * ([[graft.operators.Lz4Ops]]): the fourth ubiquitous compression
+    * container (gzip q194, zstd q366/q368, snappy q382/q387) at the
+    * snappy-q387 depth on day one — raw LZ4 blocks are token +
+    * literal/match LZ with no entropy coding, so every block DECODES
+    * and the frame's XXH32 checksums (header byte, per-block, whole
+    * content) verify against decoded reality instead of being trusted.
+    * Three planted classes: a flipped header-checksum byte (file
+    * rejected whole — one bad descriptor byte would desync every
+    * flag-dependent offset), a flipped literal byte (decodes fine,
+    * block + content checksums refuse, declared size still matches —
+    * corruption ≠ malformation), and a block truncated under its
+    * declared size (decode fails, counted never halted; the content
+    * checksum honestly reports unverifiable). The oracle recomputes
+    * every column closed-form — sequence widths are fixed by the
+    * sub-15 token forms. Map-only, zero shuffles.
+    */
+  val q390 = Q("q390_lz4_frame_census",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Lz4Ops
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val a = 5 + (id % 7).toInt
+            val m = 4 + (id % 9).toInt
+            val b = 3 + (id % 5).toInt
+            val o1 = 1 + (id % 4).toInt
+            val c = 1 + (id % 2).toInt
+            val hasStored = id % 3 == 0
+            val r = 6 + (id % 5).toInt
+            val bc = id % 2 == 0
+            val cs = id % 4 == 0
+            val bad = id % 17 == 0
+            val corrupt = !bad && id % 19 == 0
+            val trunc = !bad && !corrupt && id % 23 == 0
+            def lit(bi: Int, j: Int, len: Int): Array[Byte] =
+              Array.tabulate(len)(x => ((id * 31 + bi * 17 + j * 7 + x) & 0xff).toByte)
+            // decoded content of one compressed block (match overlaps ok)
+            def blockContent(bi: Int): Array[Byte] = {
+              val l1 = lit(bi, 0, a); val l2 = lit(bi, 1, b)
+              val outBuf = new Array[Byte](a + m + b)
+              System.arraycopy(l1, 0, outBuf, 0, a)
+              var i = 0
+              while (i < m) { outBuf(a + i) = outBuf(a - o1 + i); i += 1 }
+              System.arraycopy(l2, 0, outBuf, a + m, b)
+              outBuf
+            }
+            def blockBytes(bi: Int): Array[Byte] = Lz4Ops.encodeBlock(Seq(
+              (lit(bi, 0, a), Some((o1, m))), (lit(bi, 1, b), None)))
+            val storedData = Array.tabulate(r)(x => ((id * 13 + x) & 0xff).toByte)
+            val blocks: Seq[Either[Array[Byte], Array[Byte]]] =
+              (0 until c).map { bi =>
+                val full = blockBytes(bi)
+                Left(if (trunc && bi == 0) full.dropRight(1) else full)
+              } ++ (if (hasStored) Seq(Right(storedData)) else Nil)
+            val content = (0 until c).map(blockContent).reduce(_ ++ _) ++
+              (if (hasStored) storedData else Array.empty[Byte])
+            val frame = Lz4Ops.encodeFrame(blocks, blockChecksum = bc,
+              contentBytes = if (cs) Some(content) else None,
+              declaredSize = if (cs) Some(content.length.toLong) else None)
+            if (bad) {
+              val hcPos = 6 + (if (cs) 8 else 0)
+              frame(hcPos) = (frame(hcPos) ^ 0x5A).toByte
+            } else if (corrupt) {
+              val litPos = 7 + (if (cs) 8 else 0) + 4 + 1
+              frame(litPos) = (frame(litPos) ^ 0x5A).toByte
+            }
+            (id, frame)
+          }
+        }.toDF("doc_id", "payload")
+      graft.operators.Lz4Ops.lz4Features(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id AS k,
+               5 + doc_id % 7 AS a, 4 + doc_id % 9 AS m, 3 + doc_id % 5 AS b,
+               1 + doc_id % 2 AS c,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS st,
+               6 + doc_id % 5 AS r,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS bc,
+               CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS cs,
+               (doc_id % 17 = 0) AS bad,
+               (doc_id % 17 <> 0 AND doc_id % 19 = 0) AS corrupt,
+               (doc_id % 17 <> 0 AND doc_id % 19 <> 0 AND doc_id % 23 = 0) AS tr
+        FROM documents),
+      d AS (SELECT *,
+               a + b + 4 AS z,
+               c * (a + m + b) + st * r AS big_d,
+               7 + cs * 8 + c * (4 + a + b + 4 + bc * 4) - (CASE WHEN tr THEN 1 ELSE 0 END)
+                 + st * (4 + r + bc * 4) + 4 + cs * 4 AS w
+            FROM p)
+      SELECT k AS doc_id,
+             CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS valid,
+             CAST(CASE WHEN bad THEN 0 ELSE bc END AS BIGINT) AS has_block_crc,
+             CAST(CASE WHEN bad THEN 0 ELSE cs END AS BIGINT) AS has_content_crc,
+             CAST(CASE WHEN bad THEN 0 ELSE 65536 END AS BIGINT) AS block_max_size,
+             CAST(CASE WHEN bad OR cs = 0 THEN -1 ELSE big_d END AS BIGINT) AS declared_size,
+             CAST(CASE WHEN bad THEN 0 ELSE c END AS BIGINT) AS n_compressed,
+             CAST(CASE WHEN bad THEN 0 ELSE st END AS BIGINT) AS n_stored,
+             CAST(CASE WHEN bad THEN 0
+                  ELSE c * z - (CASE WHEN tr THEN 1 ELSE 0 END) + st * r
+                  END AS BIGINT) AS stored_bytes,
+             CAST(CASE WHEN bad THEN 0
+                  WHEN tr THEN big_d - (a + m + b)
+                  ELSE big_d END AS BIGINT) AS decoded_bytes,
+             CAST(CASE WHEN tr AND NOT bad THEN 1 ELSE 0 END AS BIGINT) AS n_decode_failed,
+             CAST(CASE WHEN bad OR bc = 0 THEN 0
+                  WHEN corrupt THEN c + st - 1
+                  ELSE c + st END AS BIGINT) AS block_crc_ok,
+             CAST(CASE WHEN NOT bad AND bc = 1 AND corrupt THEN 1 ELSE 0 END AS BIGINT)
+               AS block_crc_bad,
+             CAST(CASE WHEN bad OR cs = 0 THEN -1
+                  WHEN tr THEN -1
+                  WHEN corrupt THEN 0 ELSE 1 END AS BIGINT) AS content_crc_ok,
+             CAST(CASE WHEN bad OR cs = 0 THEN -1
+                  WHEN tr THEN 0 ELSE 1 END AS BIGINT) AS content_size_match,
+             CAST(CASE WHEN bad THEN w ELSE 0 END AS BIGINT) AS trailing_bytes
+      FROM d ORDER BY doc_id"""))
+
   // --------------------------------------------------------------- q382
 
   /** q382 — Snappy framing census: the streaming container form of
@@ -5063,5 +5187,5 @@ object DataQueries {
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
-    q385, q387, q388)
+    q385, q387, q388, q390)
 }

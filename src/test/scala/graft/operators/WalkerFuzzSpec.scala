@@ -185,6 +185,33 @@ class WalkerFuzzSpec extends AnyFunSuite {
       b => { val m = SnappyRaw.decode(b, 0, b.length)
         (m.ok.toLong + m.decoded + m.nLiterals + m.nCopies, 0L) },
       appendStable = false), // appended bytes violate exact-consumption
+    Fuzzed("lz4-frame",
+      rnd => {
+        val litLen = 1 + rnd.nextInt(60)
+        val blk = Lz4Ops.encodeBlock(Seq(
+          (Array.tabulate(litLen)(i => (i * 11).toByte),
+            Some((1 + rnd.nextInt(litLen), 4 + rnd.nextInt(20)))),
+          (Array.tabulate(rnd.nextInt(20) + 1)(i => (i * 3).toByte), None)))
+        Lz4Ops.encodeFrame(
+          (0 until 1 + rnd.nextInt(3)).map(_ =>
+            if (rnd.nextBoolean()) Left(blk)
+            else Right(Array.tabulate(rnd.nextInt(40))(i => (i * 5).toByte))),
+          blockChecksum = rnd.nextBoolean())
+      },
+      b => { val m = Lz4Ops.parse(b)
+        (m.nCompressed.toLong + m.nStored + m.nDecodeFailed + m.blockCrcOk +
+          m.blockCrcBad + m.valid, m.trailingBytes) }),
+    Fuzzed("lz4-block",
+      rnd => {
+        val litLen = 1 + rnd.nextInt(300)
+        Lz4Ops.encodeBlock(Seq(
+          (Array.tabulate(litLen)(i => (i * 17 + 3).toByte),
+            Some((1 + rnd.nextInt(litLen), 4 + rnd.nextInt(80)))),
+          (Array.tabulate(1 + rnd.nextInt(30))(i => (i * 7).toByte), None)))
+      },
+      b => { val m = Lz4Ops.decodeBlock(b, 0, b.length, 1 << 16)
+        (m.ok.toLong + m.decoded + m.nSequences, 0L) },
+      appendStable = false), // appended bytes violate exact consumption
     Fuzzed("orc-tail",
       rnd => OrcOps.encodeSynthetic(1 + rnd.nextInt(4), (1 + rnd.nextInt(1000)).toLong,
         1 + rnd.nextInt(6), Seq(0L, 0L, 1L, 2L, 5L)(rnd.nextInt(5)),
