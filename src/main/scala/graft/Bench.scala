@@ -723,6 +723,47 @@ object Bench {
       val (runsNSec, runsN) = runsAt(2000L)
       val (runs4nSec, runs4n) = runsAt(8000L)
 
+      // ---- incremental vs full duplicate-run A/B: the q389 claim made
+      // measurable. 4000 docs in 200 groups of 20 sharing a 25-token
+      // span (gram buckets of 20 members → C(20,2) = 190 runs each);
+      // the last 10% of docs "just arrived", so 90% of buckets hold no
+      // new member and the incremental pass drops them BEFORE any
+      // occurrence list is collected. Run counts must agree exactly
+      // with the full pass restricted to new-touching runs; wall must
+      // favor the incremental pass (it enumerates a tenth of the runs).
+      stampBlock("incdup")
+      val incN = 4000L
+      val incGrams = {
+        graft.expressions.GraftExtensions.register(spark)
+        val docs = spark.range(0L, incN).select(col("id").as("doc_id"),
+          concat_ws(" ",
+            expr("concat_ws(' ', transform(sequence(0, 9), j -> concat('u', id, '_', j)))"),
+            expr("concat_ws(' ', transform(sequence(0, 24), j -> concat('s', id div 20, '_', j)))"),
+            expr("concat_ws(' ', transform(sequence(10, 19), j -> concat('u', id, '_', j)))"))
+            .as("text"))
+          .localCheckpoint(false)
+        docs.count()
+        val g = docs.select(col("doc_id"),
+          posexplode(call_function("graft_shingle_hash_list", col("text"), lit(8)))
+            .as(Seq("pos", "h")))
+          .withColumn("is_new", col("doc_id") >= lit(incN * 9 / 10))
+          .localCheckpoint(false)
+        g.count() // price the dedup passes, not the hashing
+        g
+      }
+      var fullRuns = 0L; var incRuns = 0L
+      val incFullSec = sec {
+        fullRuns = graft.operators.Dedup
+          .duplicateRuns(incGrams, "doc_id", k = 8, minTokens = 20)
+          .filter(col("id_a") >= incN * 9 / 10 || col("id_b") >= incN * 9 / 10)
+          .count()
+      }
+      val incIncSec = sec {
+        incRuns = graft.operators.Dedup
+          .duplicateRunsIncremental(incGrams, "doc_id", "is_new",
+            k = 8, minTokens = 20).count()
+      }
+
       // ---- winnowing vs MinHash-LSH candidate A/B (r11 verdict item 4):
       // the two near-dup generators on the SAME planted-twin corpus
       // (2000 docs, each with exactly one identical twin). Both should
@@ -841,6 +882,10 @@ object Bench {
         "substring_scale_n8k_sec" -> runs4nSec,
         "substring_scale_n2k_runs" -> runsN.toDouble,
         "substring_scale_n8k_runs" -> runs4n.toDouble,
+        "incdup_full_sec" -> incFullSec,
+        "incdup_incremental_sec" -> incIncSec,
+        "incdup_full_runs" -> fullRuns.toDouble,
+        "incdup_incremental_runs" -> incRuns.toDouble,
         "winnow_vs_minhash_minhash_sec" -> wmMhSec,
         "winnow_vs_minhash_winnow_sec" -> wmWnSec,
         "winnow_vs_minhash_minhash_pairs" -> mhCount.toDouble,
