@@ -519,4 +519,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("q383/q389: duplicate-run extraction is JOIN-FREE — no self-join, no cartesian") {
+    // the suffix-array alternative's whole point: gram buckets expand
+    // in-place (aggregate + explode) and runs come from island
+    // arithmetic — a join-based formulation would re-execute the gram
+    // scan per side and a cartesian would be the quadratic trap
+    for (q <- Seq(CorpusQueries.q383, CorpusQueries.q389)) {
+      val plan = finalPlan(q.fn(spark, sf))
+      assert(!plan.contains("Join"), s"${q.name} grew a join:\n$plan")
+      assert(!plan.contains("CartesianProduct"), q.name)
+      // the island window partitions by (pair, offset) — never global
+      assert(plan.contains("Window"), q.name)
+      assert(plan.contains("windowspecdefinition(id_a"),
+        s"${q.name} island window lost its partitioning:\n$plan")
+    }
+  }
+
+  test("q384: winnowing candidate pairs are one aggregation chain, no join") {
+    val plan = finalPlan(CorpusQueries.q384.fn(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // fingerprint sizing window partitions by the fingerprint hash
+    assert(plan.contains("windowspecdefinition(h#") ||
+      plan.contains("windowspecdefinition(h "), plan)
+  }
 }
