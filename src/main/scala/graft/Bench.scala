@@ -809,6 +809,32 @@ object Bench {
           coalesce(col("_wn"), col("doc_id")), 1.0).otherwise(0.0)).as("a"))
         .collect()(0).getDouble(0)
 
+      // ---- recall-under-noise panel: the identical-twin A/B above
+      // can't separate the generators (both read 1.0); real near-dups
+      // differ. Same 1000 planted twin pairs, but each doc's token j
+      // is replaced by a doc-unique token with deterministic hash
+      // probability ~10% / ~20% — the generators' recall curves under
+      // growing edit distance are the numbers a corpus operator picks
+      // thresholds from.
+      stampBlock("neardup_recall")
+      def noisyRecall(noiseTenths: Int): (Double, Double) = {
+        val docs = spark.range(0L, wmN).select(col("id").as("doc_id"),
+          expr(s"concat_ws(' ', transform(sequence(0, 29), j -> " +
+            s"CASE WHEN pmod(xxhash64(id * 97 + j), 10) < $noiseTenths " +
+            s"THEN concat('z', id, '_', j) " +
+            s"ELSE concat('t', pmod(xxhash64(pmod(id, ${wmN / 2}) * 31 + j), 800)) END))")
+            .as("text"))
+          .localCheckpoint(false)
+        docs.count()
+        val mh = twinRecall(graft.operators.Dedup.minhashLshPairs(
+          docs, "doc_id", "text", n = 5, k = 64, rowsPerBand = 8, threshold = 0.3))
+        val wn = twinRecall(graft.operators.Dedup.winnowPairs(
+          docs, "doc_id", "text", k = 5, w = 5, minShared = 2))
+        (mh, wn)
+      }
+      val (mhR10, wnR10) = noisyRecall(1)
+      val (mhR20, wnR20) = noisyRecall(2)
+
       Seq("calib_sec" -> calib,
         "tfrecord_walk_sec" -> tfWalkSec,
         "tfrecord_walk_mb" -> tfBytes / 1e6,
@@ -893,6 +919,10 @@ object Bench {
         "winnow_vs_minhash_minhash_twin_recall" -> mhRecall,
         "winnow_vs_minhash_winnow_twin_recall" -> wnRecall,
         "winnow_vs_minhash_cluster_agree" -> agree,
+        "neardup_recall_minhash_noise10" -> mhR10,
+        "neardup_recall_winnow_noise10" -> wnR10,
+        "neardup_recall_minhash_noise20" -> mhR20,
+        "neardup_recall_winnow_noise20" -> wnR20,
         "extras_calib_floor_sec" -> CalibFloorSec) ++ blockStamps ++ stages
     } catch {
       case e: Throwable =>
