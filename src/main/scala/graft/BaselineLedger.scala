@@ -38,6 +38,23 @@ object BaselineLedger {
     */
   val RatioBound = 2.0
 
+  /** Adjudicate perf_weak with the in-record retry evidence (r12
+    * verdict item 1): a query stays flagged only when BOTH the sweep
+    * ratio and its post-sweep retry ratio exceed [[RatioBound]] — two
+    * measurements taken minutes apart under independent calibrations.
+    * A host transient inflating one pass cannot inflate both; a real
+    * plan regression fails both. A flagged query with NO retry entry
+    * (retry errored) stays flagged — missing evidence never clears a
+    * flag. The confirmed ratio reported is the SMALLER of the two
+    * (the best available estimate of the query's true time).
+    */
+  def adjudicate(vsBaseline: Seq[(String, Double)],
+                 retry: Map[String, Double]): Seq[(String, Double)] =
+    vsBaseline.collect {
+      case (k, r) if r > RatioBound && retry.get(k).forall(_ > RatioBound) =>
+        k -> retry.get(k).fold(r)(math.min(r, _))
+    }
+
   def load(path: String = Path): Option[Ledger] = {
     val f = new java.io.File(path)
     if (!f.exists()) None

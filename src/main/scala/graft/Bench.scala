@@ -40,9 +40,17 @@ object Bench {
     // newly-landed queries to baseline_queries.json without a full run
     val onlyQ = sys.env.get("SPARK_GRAFT_ONLY_Q")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // exact qNN (or full-name) match, not startsWith: a bare prefix
+    // like q38 would otherwise also select q380–q389 and freeze
+    // unintended queries in the baseline workflow
+    def shortOf(n: String) = n.indexOf('_') match {
+      case -1 => n
+      case i => n.substring(0, i)
+    }
     val selected = (onlyQ, maxQ) match {
       case (Some(ps), _) =>
-        SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+        SparkEntry.queries.filter { case (n, _) =>
+          ps.contains(n) || ps.contains(shortOf(n)) }
       case (_, Some(m)) => SparkEntry.queries.filter { case (n, _) => qNum(n) <= m }
       case _ => SparkEntry.queries
     }
@@ -130,7 +138,43 @@ object Bench {
           shortName(k) -> (v * scale) / l.queries(shortName(k))
       }
     }.getOrElse(Seq.empty)
-    val perfWeak = vsBaseline.filter(_._2 > BaselineLedger.RatioBound)
+    // In-record perf_weak RETRY pass (self-healing canonical record):
+    // every query whose sweep ratio exceeds the 2x ledger bound is
+    // re-measured best-of-3 AFTER the sweep against a FRESH
+    // calibration. Four rounds of records showed scattered sub-second
+    // queries inflated 2-20x by host load bursts while the run median
+    // sat on 1.0x; a transient cannot inflate two measurements taken
+    // minutes apart, so it clears inside the SAME record — a real
+    // regression survives both and stays flagged
+    // (BaselineLedger.adjudicate, spec-pinned).
+    val flaggedFirst = vsBaseline.filter(_._2 > BaselineLedger.RatioBound)
+    val fullByShort = selected.keys.map(k => shortOf(k) -> k).toMap
+    val (retryRatios, retryCalib): (Map[String, Double], Option[Double]) =
+      if (flaggedFirst.isEmpty) (Map.empty[String, Double], None)
+      else {
+        val l = ledger.get // flaggedFirst nonEmpty implies ledger loaded
+        val c = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.range(0L, 200000000L, 1L, spark.sparkContext.defaultParallelism)
+            .select(bit_xor(xxhash64(col("id")))).collect()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val m = flaggedFirst.flatMap { case (short, _) =>
+          fullByShort.get(short).flatMap { full =>
+            val fn = selected(full)
+            val ts = (1 to 3).flatMap { _ =>
+              val t0 = System.nanoTime()
+              try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+              catch { case _: Throwable => None }
+            }
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+            spark.sharedState.cacheManager.clearCache()
+            ts.minOption.map(t => short -> (t * (l.calibRef / c)) / l.queries(short))
+          }
+        }.toMap
+        (m, Some(c))
+      }
+    val perfWeak = BaselineLedger.adjudicate(vsBaseline, retryRatios)
       .sortBy(-_._2)
     val baselineMissing = ledger.map { l =>
       results.keys.count(k => !l.queries.contains(shortName(k)))
@@ -140,13 +184,33 @@ object Bench {
       else vsBaseline.map { case (k, r) => jstr(k) + ":" + fmt(r) }
         .mkString(",\"vs_baseline\":{", ",", "}")
     // one-line record stays bounded: count + the 10 worst offenders
+    // retry evidence stamped next to the verdict: every first-pass
+    // flag gets its retry ratio (or is listed as retry-errored by
+    // absence — which keeps it flagged), plus the retry pass's own
+    // calibration so the record is self-auditing
+    val retryJson =
+      if (flaggedFirst.isEmpty) ""
+      else retryCalib.map(c => s""","retry_calib_sec":${fmt(c)}""").getOrElse("") +
+        flaggedFirst.map { case (k, _) =>
+          jstr(k) + ":" + retryRatios.get(k).map(fmt).getOrElse("null")
+        }.mkString(",\"vs_baseline_retry\":{", ",", "}")
+    // bounded twin of retryJson for the short stdout line the driver
+    // captures: the 12 worst first-pass flags with their retry verdicts
+    val retryJsonShort =
+      if (flaggedFirst.isEmpty) ""
+      else retryCalib.map(c => s""","retry_calib_sec":${fmt(c)}""").getOrElse("") +
+        flaggedFirst.sortBy(-_._2).take(12).map { case (k, _) =>
+          jstr(k) + ":" + retryRatios.get(k).map(fmt).getOrElse("null")
+        }.mkString(",\"vs_baseline_retry\":{", ",", "}")
     val perfWeakJson = ledger.map { _ =>
-      s""","perf_weak_n":${perfWeak.size},"baseline_missing_n":${baselineMissing.get}""" +
+      s""","perf_weak_n":${perfWeak.size}""" +
+        s""","perf_weak_retry_cleared_n":${flaggedFirst.size - perfWeak.size}""" +
+        s""","baseline_missing_n":${baselineMissing.get}""" +
         perfWeak.take(10).map { case (k, r) => jstr(k) + ":" + fmt(r) }
           .mkString(",\"perf_weak\":{", ",", "}")
     }.getOrElse("")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$exJson$vsJson$perfWeakJson$fpJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$exJson$vsJson$retryJson$perfWeakJson$fpJson,"sf":${jstr(sfDir)}}"""
     val outPath = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
     java.nio.file.Files.write(outPath,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -164,7 +228,7 @@ object Bench {
         calibScan.map(c => s""","calib_scan_sec":${fmt(c)}""").getOrElse("") +
         norm.map(n => s""","total_norm_sec":${fmt(n)}""").getOrElse("") +
         s""","n_queries":${results.size},"n_errors":${errors.size}""" +
-        perfWeakJson +
+        retryJsonShort + perfWeakJson +
         s""","queries":$slowest,"full_record":${jstr(outPath.toString)},"sf":${jstr(sfDir)}}"""
     println(line)
     spark.stop()
@@ -309,7 +373,10 @@ object Bench {
       val evalSplit = Some(docs.filter(pmod(col("doc_id"), lit(97)) === 0))
       def runStages() = graft.curation.CurationPipeline.stageTimings(
         docs.filter(pmod(col("doc_id"), lit(97)) =!= 0), "doc_id", "text",
-        cfg = graft.curation.CurationPipeline.Config(maxEvalOverlap = 0.05),
+        cfg = graft.curation.CurationPipeline.Config(maxEvalOverlap = 0.05,
+          // substring stage measured as a first-class pipeline member
+          // (r12 item 3): q383's parameters at the corpus scale
+          cutDupRuns = true, runGramK = 8, runMinTokens = 20),
         evalDocs = evalSplit)
       val run1 = runStages()
       val run2 = runStages()

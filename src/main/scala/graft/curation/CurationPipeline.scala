@@ -40,7 +40,16 @@ object CurationPipeline {
       nearDupJaccard: Double = 0.5,
       contamShingleWidth: Int = 3,
       maxEvalOverlap: Double = 0.2,
-      maxBroadcastEvalDocs: Long = 100000L)
+      maxBroadcastEvalDocs: Long = 100000L,
+      // substring layer (opt-in): cut every cross-document duplicate
+      // run of >= runMinTokens tokens except its first occurrence
+      // (Dedup.duplicateRuns + cutRuns), AFTER the doc-level stages —
+      // doc-level dedup first means the run layer only ever sees
+      // one survivor per near-identical cluster
+      cutDupRuns: Boolean = false,
+      runGramK: Int = 4,
+      runMinTokens: Int = 8,
+      runMaxOccurrences: Int = 64)
 
   final case class StageCounts(input: Long, afterQuality: Long,
       afterLang: Long, afterExactDedup: Long, afterNearDedup: Long)
@@ -72,13 +81,31 @@ object CurationPipeline {
     val deduped = exact
       .join(nearDupLosers, Seq(idCol), "left_anti")
       .drop("_fp")
-    evalDocs.fold(deduped) { ev =>
+    val survivors = evalDocs.fold(deduped) { ev =>
       val contaminated = Dedup.shingleOverlapVsEval(deduped, ev, idCol, textCol,
           cfg.contamShingleWidth, cfg.maxBroadcastEvalDocs)
         .filter(col("overlap_frac") >= cfg.maxEvalOverlap)
         .select(col(idCol))
       deduped.join(contaminated, Seq(idCol), "left_anti")
     }
+    if (!cfg.cutDupRuns) survivors else cutRunsStage(survivors, idCol, textCol, cfg)
+  }
+
+  /** The substring stage: detect duplicate runs over the survivor set
+    * and rewrite every doc with its non-keeper spans cut (keeper =
+    * first occurrence, min (doc_id, start)). Every doc's text comes
+    * back token-reassembled (position order, single spaces — the
+    * pipeline's token-stream representation), plus an `n_runs_cut`
+    * column (merged cut intervals; 0 = untouched).
+    */
+  private def cutRunsStage(survivors: DataFrame, idCol: String,
+                           textCol: String, cfg: Config): DataFrame = {
+    val cut = Dedup.removeDuplicateRuns(
+      survivors.select(col(idCol), col(textCol)), idCol, textCol,
+      cfg.runGramK, cfg.runMinTokens, cfg.runMaxOccurrences)
+    survivors.drop(textCol)
+      .join(cut.select(col(idCol), col(textCol),
+        col("n_cut_intervals").as("n_runs_cut")), Seq(idCol))
   }
 
   /** Incremental curation — one NEW batch of documents against an
@@ -104,7 +131,8 @@ object CurationPipeline {
     */
   def curateIncrementalTagged(batch: DataFrame, storeFps: DataFrame,
       idCol: String, textCol: String, cfg: Config = Config(),
-      evalDocs: Option[DataFrame] = None): DataFrame = {
+      evalDocs: Option[DataFrame] = None,
+      storeGrams: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val store = storeFps.select(col(storeFps.columns.head).as("_fp"))
       .distinct().withColumn("_in_store", lit(true))
@@ -128,7 +156,7 @@ object CurationPipeline {
       tagged0.join(dirty, Seq(idCol), "left")
         .withColumn("_contam", coalesce(col("_contam"), lit(false)))
     }
-    withContam
+    val tagged = withContam
       .withColumn("outcome",
         when(!col("_q_ok"), "quality_fail")
           .when(!col("_l_ok"), "lang_fail")
@@ -137,6 +165,45 @@ object CurationPipeline {
           .when(col("_contam"), "contaminated")
           .otherwise("kept"))
       .drop("_q_ok", "_l_ok", "_in_store", "_keeper", "_contam")
+    if (!cfg.cutDupRuns) tagged
+    else {
+      // substring stage, incremental: the batch's kept docs checked for
+      // >= runMinTokens shared runs against the STANDING corpus's gram
+      // store plus each other (duplicateRunsIncremental — no base×base
+      // pair is ever enumerated). Cuts land only on arriving docs: ids
+      // are monotonic across batches (the store precondition every
+      // keep-first stage here already relies on), so the run's keeper
+      // min (doc_id, start) is always the already-stored or
+      // earlier-batch side, exactly what the one-shot pass would pick.
+      // Kept docs come back token-reassembled with `n_runs_cut`
+      // stamped; non-kept rows carry n_runs_cut = 0 and original text.
+      val spark = batch.sparkSession
+      graft.expressions.GraftExtensions.register(spark)
+      val keptDocs = tagged.filter(col("outcome") === "kept")
+        .select(col(idCol), col(textCol))
+      val newGrams = keptDocs.select(col(idCol),
+        posexplode(call_function("graft_shingle_hash_list",
+          col(textCol), lit(cfg.runGramK))).as(Seq("pos", "h")))
+        .withColumn("_new", lit(true))
+      val allGrams = storeGrams.fold(newGrams)(g =>
+        g.select(col(idCol), col("pos"), col("h"))
+          .withColumn("_new", lit(false)).unionByName(newGrams))
+      val runs = Dedup.duplicateRunsIncremental(allGrams, idCol, "_new",
+        cfg.runGramK, cfg.runMinTokens, cfg.runMaxOccurrences)
+      // guard: only arriving docs are rewritable — a non-monotonic id
+      // would otherwise ask us to cut an already-stored doc
+      val runsOnNew = runs.join(
+        keptDocs.select(col(idCol).as("id_b")), Seq("id_b"), "left_semi")
+      val cut = Dedup.cutRuns(keptDocs, idCol, textCol, runsOnNew)
+        .select(col(idCol), col(textCol).as("_cut_text"),
+          col("n_cut_intervals").as("n_runs_cut"))
+      tagged.join(cut, Seq(idCol), "left")
+        .withColumn(textCol,
+          when(col("outcome") === "kept" && col("_cut_text").isNotNull,
+            col("_cut_text")).otherwise(col(textCol)))
+        .withColumn("n_runs_cut", coalesce(col("n_runs_cut"), lit(0L)))
+        .drop("_cut_text")
+    }
   }
 
   /** The surviving rows of [[curateIncrementalTagged]] (original batch
@@ -144,8 +211,10 @@ object CurationPipeline {
     */
   def curateIncremental(batch: DataFrame, storeFps: DataFrame,
       idCol: String, textCol: String, cfg: Config = Config(),
-      evalDocs: Option[DataFrame] = None): DataFrame =
-    curateIncrementalTagged(batch, storeFps, idCol, textCol, cfg, evalDocs)
+      evalDocs: Option[DataFrame] = None,
+      storeGrams: Option[DataFrame] = None): DataFrame =
+    curateIncrementalTagged(batch, storeFps, idCol, textCol, cfg, evalDocs,
+        storeGrams)
       .filter(col("outcome") === "kept").drop("outcome")
 
   /** One-row survivorship report over a tagged batch — the q158-style
@@ -155,7 +224,13 @@ object CurationPipeline {
     val outcomes = Seq("quality_fail", "lang_fail", "store_dup",
       "batch_dup", "contaminated", "kept")
     val aggs = outcomes.map(o =>
-      sum(when(col("outcome") === o, 1L).otherwise(0L)).as(s"n_$o"))
+      sum(when(col("outcome") === o, 1L).otherwise(0L)).as(s"n_$o")) ++
+      // substring-layer tally, present when the batch ran with
+      // cutDupRuns: kept docs that had >= 1 duplicate span cut
+      (if (tagged.columns.contains("n_runs_cut"))
+        Seq(sum(when(col("outcome") === "kept" && col("n_runs_cut") > 0,
+          1L).otherwise(0L)).as("n_span_cut"))
+      else Seq.empty)
     tagged.groupBy()
       .agg(count(lit(1)).as("n_input"), aggs: _*)
       .withColumn("removal_rate",
@@ -182,13 +257,34 @@ object CurationPipeline {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("_fp",
             org.apache.spark.sql.types.StringType))))
+    // the substring layer's standing state rides NEXT TO the
+    // fingerprint store: the positional gram stream of every kept
+    // doc's ORIGINAL text (pre-cut — the detection layer must see
+    // first-occurrence spans intact, or a span cut from batch N's
+    // loser would go undetected when batch N+2 repeats it)
+    val gramPath = storePath + "_grams"
+    val gp = new org.apache.hadoop.fs.Path(gramPath)
+    val storeGrams =
+      if (cfg.cutDupRuns && gp.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(gp))
+        Some(spark.read.parquet(gramPath))
+      else None
     // two consumers (survivor rows + fingerprint append): materialize
     // the tagging once instead of re-running the store join per sink
-    val kept = curateIncrementalTagged(batch, store, idCol, textCol, cfg, evalDocs)
+    val kept = curateIncrementalTagged(batch, store, idCol, textCol, cfg,
+        evalDocs, storeGrams)
       .filter(col("outcome") === "kept").drop("outcome")
       .localCheckpoint(false)
     kept.write.mode("append").parquet(outPath)
     kept.select("_fp").write.mode("append").parquet(storePath)
+    if (cfg.cutDupRuns) {
+      graft.expressions.GraftExtensions.register(spark)
+      batch.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+        .select(col(idCol),
+          posexplode(call_function("graft_shingle_hash_list",
+            col(textCol), lit(cfg.runGramK))).as(Seq("pos", "h")))
+        .write.mode("append").parquet(gramPath)
+    }
   }
 
   /** Continuous curation: each micro-batch runs [[curateBatchStep]] —
@@ -222,14 +318,22 @@ object CurationPipeline {
     val e = dedupKeepFirst(
       l.withColumn("_fp", TextAnalysis.contentFingerprint(col(textCol))),
       Seq("_fp"), Seq(col(idCol).asc))
+    // doc-level stages timed WITHOUT the substring layer so its cost
+    // shows up only in its own row (cumulative lineage per stage)
+    val docCfg = cfg.copy(cutDupRuns = false)
     Seq(
       timed("input", docs),
       timed("quality", q),
       timed("language", l),
       timed("exact_dedup", e),
-      timed("near_dedup", curate(docs, idCol, textCol, cfg))) ++
+      timed("near_dedup", curate(docs, idCol, textCol, docCfg))) ++
       evalDocs.map(ev =>
-        timed("decontam", curate(docs, idCol, textCol, cfg, Some(ev)))).toSeq
+        timed("decontam", curate(docs, idCol, textCol, docCfg, Some(ev)))).toSeq ++
+      (if (cfg.cutDupRuns)
+        Seq(timed("run_cut",
+          curate(docs, idCol, textCol, cfg, evalDocs)
+            .filter(col("n_runs_cut") > 0)))
+      else Seq.empty)
   }
 
   /** Per-stage row counts (runs the pipeline stage by stage — four

@@ -614,6 +614,96 @@ object Dedup {
                                maxOccurrences: Int = DefaultMaxBucket): DataFrame =
     runsImpl(grams, idCol, newCol, k, minTokens, maxOccurrences)
 
+  /** The REMOVAL half of [[duplicateRuns]] (Lee et al. 2021's cut
+    * step): disjoint per-document cut intervals from run rows. The
+    * keeper of every run is its FIRST occurrence — lexicographic
+    * min (doc_id, start), which the run rows make mechanical: pairs
+    * are born with id_a < id_b, so the a-side always survives and the
+    * cut side is always (id_b, b_start, n_tokens). A document may keep
+    * a span against one partner and lose it against an earlier one —
+    * the per-pair greedy rule, deterministic by construction.
+    *
+    * Overlapping and touching intervals within a doc MERGE before any
+    * cut (the merge-before-cut edge: two runs from different partners
+    * may overlap mid-span; cutting them independently would double-
+    * count). Interval merge is the classic running-max island pass —
+    * windows partition BY DOCUMENT, bounded by per-doc run count,
+    * never corpus-wide.
+    *
+    * @return (doc_id, start, end) — disjoint, 0-based token ranges,
+    *         end exclusive
+    */
+  def cutIntervals(runs: DataFrame): DataFrame = {
+    val cuts = runs.select(col("id_b").as("doc_id"),
+      col("b_start").as("start"),
+      (col("b_start") + col("n_tokens")).as("end"))
+    val w = Window.partitionBy("doc_id").orderBy("start", "end")
+    val prevMax = max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    cuts
+      .withColumn("_new",
+        when(col("start") > coalesce(prevMax, lit(-1L)), 1).otherwise(0))
+      .withColumn("_isl",
+        sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "_isl")
+      .agg(min("start").as("start"), max("end").as("end"))
+      .select("doc_id", "start", "end")
+  }
+
+  /** Cut the duplicated spans out of the corpus and reassemble every
+    * document from its surviving tokens (q141's ordinal-reassembly
+    * recipe applied to run removal). Tokens inside any merged cut
+    * interval drop; the rest rejoin in position order with single
+    * spaces — the token-stream representation every dedup layer here
+    * shares, so the rebuilt text is byte-exact given the tokens.
+    *
+    * Scale shape: cut intervals explode to (doc, pos) rows — linear in
+    * tokens REMOVED, bounded by corpus token count; the anti-join and
+    * the reassembly groupBy both shuffle on doc id once.
+    *
+    * @return (idCol, n_tokens, n_kept, n_cut_intervals, textCol) —
+    *         every input doc appears; uncut docs rebuild whole
+    */
+  def cutRuns(docs: DataFrame, idCol: String, textCol: String,
+              runs: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "_tok")))
+    val iv = cutIntervals(runs)
+    val cutPos = iv.select(col("doc_id").as(idCol),
+      explode(sequence(col("start"), col("end") - 1)).as("pos"))
+    val kept = toks.join(cutPos, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("_tok")))),
+          x => x.getField("_tok")), " ").as("_rebuilt"))
+    val nIv = iv.groupBy("doc_id").agg(count(lit(1)).as("n_cut_intervals"))
+      .withColumnRenamed("doc_id", idCol)
+    docs.select(col(idCol),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .join(nIv, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_cut_intervals"), lit(0L)).as("n_cut_intervals"),
+        coalesce(col("_rebuilt"), lit("")).as(textCol))
+  }
+
+  /** Detection + removal in one pass: [[duplicateRuns]] over the
+    * corpus's k-gram stream, then [[cutRuns]] — every shared span of
+    * ≥ `minTokens` tokens survives only at its first occurrence.
+    */
+  def removeDuplicateRuns(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, minTokens: Int,
+                          maxOccurrences: Int = DefaultMaxBucket): DataFrame = {
+    val spark = docs.sparkSession
+    graft.expressions.GraftExtensions.register(spark)
+    val grams = docs.select(col(idCol),
+      posexplode(call_function("graft_shingle_hash_list", col(textCol), lit(k)))
+        .as(Seq("pos", "h")))
+    cutRuns(docs, idCol, textCol,
+      duplicateRuns(grams, idCol, k, minTokens, maxOccurrences))
+  }
+
   private def runsImpl(grams: DataFrame, idCol: String, newCol: String,
                        k: Int, minTokens: Int, maxOccurrences: Int): DataFrame = {
     require(k >= 1 && minTokens >= k,

@@ -73,6 +73,66 @@ object Lz4Ops {
     h
   }
 
+  /** Incremental XXH32 — same algorithm fed block-by-block, so the
+    * frame walk can checksum the DECODED stream without materializing
+    * it (LZ4's ~255x max ratio would otherwise let a small payload
+    * force a proportionally huge buffer; the per-block 4MB bound is
+    * the only memory the walk now holds). Spec-pinned equal to the
+    * one-shot [[xxh32]] across arbitrary split points.
+    */
+  final class Xxh32Stream(seed: Int = 0) {
+    private var v1 = seed + P1 + P2
+    private var v2 = seed + P2
+    private var v3 = seed
+    private var v4 = seed - P1
+    private val mem = new Array[Byte](16)
+    private var memSize = 0
+    private var totalLen = 0L
+    private def le32(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+        ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+    private def stripe(b: Array[Byte], p: Int): Unit = {
+      v1 = Integer.rotateLeft(v1 + le32(b, p) * P2, 13) * P1
+      v2 = Integer.rotateLeft(v2 + le32(b, p + 4) * P2, 13) * P1
+      v3 = Integer.rotateLeft(v3 + le32(b, p + 8) * P2, 13) * P1
+      v4 = Integer.rotateLeft(v4 + le32(b, p + 12) * P2, 13) * P1
+    }
+    def update(b: Array[Byte], off: Int, len: Int): Unit = {
+      totalLen += len
+      var p = off
+      val end = off + len
+      if (memSize > 0) {
+        val take = math.min(16 - memSize, len)
+        System.arraycopy(b, p, mem, memSize, take)
+        memSize += take; p += take
+        if (memSize == 16) { stripe(mem, 0); memSize = 0 }
+      }
+      val limit = end - 16
+      while (p <= limit) { stripe(b, p); p += 16 }
+      if (p < end) {
+        System.arraycopy(b, p, mem, 0, end - p)
+        memSize = end - p
+      }
+    }
+    def digest(): Int = {
+      var h =
+        if (totalLen >= 16)
+          Integer.rotateLeft(v1, 1) + Integer.rotateLeft(v2, 7) +
+            Integer.rotateLeft(v3, 12) + Integer.rotateLeft(v4, 18)
+        else v3 + P5 // v3 still holds the seed: no stripe ever ran
+      h += totalLen.toInt
+      var p = 0
+      while (p + 4 <= memSize) {
+        h = Integer.rotateLeft(h + le32(mem, p) * P3, 17) * P4; p += 4
+      }
+      while (p < memSize) {
+        h = Integer.rotateLeft(h + (mem(p) & 0xff) * P5, 11) * P1; p += 1
+      }
+      h ^= h >>> 15; h *= P2; h ^= h >>> 13; h *= P3; h ^= h >>> 16
+      h
+    }
+  }
+
   // ------------------------------------------------------------------
   // raw block decode (lz4_Block_format.md): sequences of
   // token(litLen hi-nibble, matchLen-4 lo-nibble; 15 => 255-run
@@ -88,9 +148,13 @@ object Lz4Ops {
   private def blockFail(decoded: Long, nSeq: Int) =
     BlockResult(0, decoded, nSeq, null)
 
+  /** `hist` is the previous decoded window (linked-block frames,
+    * B.Indep = 0): matches may legally reference up to 64KB of it
+    * across the block boundary. Empty for independent blocks.
+    */
   def decodeBlock(bytes: Array[Byte], off: Int, end: Int,
-                  maxOut: Int): BlockResult = {
-    val out = new java.io.ByteArrayOutputStream()
+                  maxOut: Int,
+                  hist: Array[Byte] = Array.emptyByteArray): BlockResult = {
     var buf = new Array[Byte](math.min(maxOut, 1 << 16))
     var o = 0
     def ensure(n: Int): Boolean = {
@@ -133,7 +197,7 @@ object Lz4Ops {
       if (p + 2 > end) return blockFail(o, nSeq)
       val offset = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
       p += 2
-      if (offset == 0 || offset > o) return blockFail(o, nSeq)
+      if (offset == 0 || offset > o + hist.length) return blockFail(o, nSeq)
       var matchLen = (token & 0xf) + 4
       if ((token & 0xf) == 15) {
         var b = 255
@@ -145,10 +209,17 @@ object Lz4Ops {
         }
       }
       if (!ensure(matchLen)) return blockFail(o, nSeq)
-      // byte-at-a-time: overlap (offset < matchLen) is the RLE idiom
+      // byte-at-a-time: overlap (offset < matchLen) is the RLE idiom;
+      // negative source positions read from the linked-block history
+      // window (a match may start in `hist` and run into this block —
+      // the sequential write order keeps the overlap semantics exact)
       val src = o - offset
       var i = 0
-      while (i < matchLen) { buf(o + i) = buf(src + i); i += 1 }
+      while (i < matchLen) {
+        val s = src + i
+        buf(o + i) = if (s >= 0) buf(s) else hist(hist.length + s)
+        i += 1
+      }
       o += matchLen
     }
     // input exhausted right after a match: the spec ends on literals,
@@ -223,8 +294,35 @@ object Lz4Ops {
     var storedBytes = 0L; var decodedBytes = 0L
     var nFail = 0; var crcOk = 0; var crcBad = 0
     var halted = false; var sawEnd = false
-    val content = new java.io.ByteArrayOutputStream()
+    // decoded-stream checksum fed incrementally — never a materialized
+    // copy (LZ4's ~255x ratio would let a small payload force a huge
+    // buffer); when the frame carries no content checksum the decoded
+    // bytes are not retained at all
+    val contentHash = if (cChecksum == 1) new Xxh32Stream(0) else null
     var contentTracked = true // false once any block fails to decode
+    // linked-block frames (B.Indep = 0, the lz4 CLI default): matches
+    // legally reference the previous 64KB of the DECODED stream across
+    // block boundaries, so a rolling window rides along. The first
+    // failed decode breaks the window — later blocks' matches could
+    // reference bytes we failed to produce, so their decodes are
+    // SKIPPED (framing stays authoritative), never counted as spurious
+    // failures
+    val linked = bIndep == 0
+    var hist = Array.emptyByteArray
+    var histBroken = false
+    def pushHist(b: Array[Byte], boff: Int, len: Int): Unit = if (linked) {
+      val keep = 65536
+      if (len >= keep)
+        hist = java.util.Arrays.copyOfRange(b, boff + len - keep, boff + len)
+      else if (len > 0) {
+        val tot = math.min(keep, hist.length + len)
+        val nh = new Array[Byte](tot)
+        val fromHist = tot - len
+        System.arraycopy(hist, hist.length - fromHist, nh, 0, fromHist)
+        System.arraycopy(b, boff, nh, fromHist, len)
+        hist = nh
+      }
+    }
     while (!halted && !sawEnd) {
       if (n - pos < 4) { halted = true }
       else {
@@ -243,14 +341,25 @@ object Lz4Ops {
             if (stored) {
               nStored += 1; storedBytes += size
               decodedBytes += size
-              if (contentTracked) content.write(bytes, start, size.toInt)
+              if (contentTracked && contentHash != null)
+                contentHash.update(bytes, start, size.toInt)
+              if (!histBroken) pushHist(bytes, start, size.toInt)
             } else {
               nComp += 1; storedBytes += size
-              val r = decodeBlock(bytes, start, start + size.toInt, blockMax.toInt)
-              if (r.ok == 1) {
-                decodedBytes += r.decoded
-                if (contentTracked) content.write(r.out, 0, r.out.length)
-              } else { nFail += 1; contentTracked = false }
+              if (linked && histBroken) {
+                // undecodable by construction (window lost), not a
+                // format error: skip, don't stamp a spurious failure
+                contentTracked = false
+              } else {
+                val r = decodeBlock(bytes, start, start + size.toInt,
+                  blockMax.toInt, if (linked) hist else Array.emptyByteArray)
+                if (r.ok == 1) {
+                  decodedBytes += r.decoded
+                  if (contentTracked && contentHash != null)
+                    contentHash.update(r.out, 0, r.out.length)
+                  pushHist(r.out, 0, r.out.length)
+                } else { nFail += 1; contentTracked = false; histBroken = true }
+              }
             }
             if (bChecksum == 1) {
               if (n - pos < 4) halted = true
@@ -273,7 +382,7 @@ object Lz4Ops {
           val want = u32(pos)
           contentCrc =
             if (!contentTracked) -1 // can't verify past a failed block
-            else if ((xxh32(content.toByteArray, 0, content.size()) & 0xFFFFFFFFL) == want) 1
+            else if ((contentHash.digest() & 0xFFFFFFFFL) == want) 1
             else 0
           pos += 4
         } else halted = true
@@ -327,14 +436,16 @@ object Lz4Ops {
                   blockChecksum: Boolean = false,
                   contentBytes: Option[Array[Byte]] = None,
                   declaredSize: Option[Long] = None,
-                  bmCode: Int = 4): Array[Byte] = {
+                  bmCode: Int = 4,
+                  blockIndep: Boolean = true): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le32(v: Long): Unit = {
       out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
       out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
     }
     le32(0x184D2204L)
-    val flg = (1 << 6) | (1 << 5) | (if (blockChecksum) 1 << 4 else 0) |
+    val flg = (1 << 6) | (if (blockIndep) 1 << 5 else 0) |
+      (if (blockChecksum) 1 << 4 else 0) |
       (declaredSize.map(_ => 1 << 3).getOrElse(0)) |
       (contentBytes.map(_ => 1 << 2).getOrElse(0))
     out.write(flg)

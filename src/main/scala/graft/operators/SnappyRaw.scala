@@ -145,6 +145,9 @@ object SnappyRaw {
     out.write(v.toInt)
     ops.foreach {
       case Lit(b) =>
+        // (0-1)<<2 would stamp the 4-byte-length tag form — a silently
+        // corrupt stream; empty literals have no wire representation
+        require(b.length >= 1, "encoder: empty literal")
         if (b.length <= 60) out.write((b.length - 1) << 2)
         else if (b.length <= 256) { out.write(60 << 2); out.write(b.length - 1) }
         else {

@@ -2915,8 +2915,93 @@ object CorpusQueries {
       HAVING count(*) + 7 >= 20
       ORDER BY id_a, id_b, a_start, b_start, n_tokens"""))
 
+  // --------------------------------------------------------------- q391
+
+  /** q391 — duplicate-span REMOVAL with byte-exact reassembly
+    * ([[graft.operators.Dedup.removeDuplicateRuns]]): the cut half of
+    * Lee et al. 2021's substring dedup, completing q383's detection
+    * half. Every shared ≥20-token run survives only at its FIRST
+    * occurrence (keeper min (doc_id, start) — the a-side of every run
+    * row by construction); a document's cut intervals MERGE before
+    * cutting (overlapping runs from different partners would otherwise
+    * double-cut), and each doc reassembles from its surviving tokens
+    * in position order. The md5 fingerprint pins the rebuilt corpus
+    * byte-exactly without shipping it; the oracle replays detection,
+    * keeper choice, interval merge, and reassembly end to end.
+    * Scale shape: q383's one gram shuffle, plus interval windows
+    * bounded per-doc, a cut-position explode linear in REMOVED tokens,
+    * and one doc-id shuffle for the reassembly.
+    */
+  val q391 = Q("q391_duplicate_span_removal",
+    (s, dir) => {
+      import graft.operators.Dedup
+      graft.expressions.GraftExtensions.register(s)
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      Dedup.removeDuplicateRuns(docs, "doc_id", "text",
+          k = 8, minTokens = 20, maxOccurrences = 64)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          col("n_cut_intervals"),
+          md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+      g AS (SELECT doc_id,
+              CASE WHEN len(w) < 8
+                   THEN [${duckHash64("array_to_string(w, ' ')")} & ${Dedup.MinhashP}]
+                   ELSE list_transform(range(1, len(w) - 6),
+                          i -> ${duckHash64(
+      "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || " +
+        "w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]")} & ${Dedup.MinhashP})
+              END AS gs
+            FROM t),
+      o AS (SELECT doc_id, unnest(range(len(gs))) AS pos, unnest(gs) AS h FROM g),
+      hot AS (SELECT h, count(*) AS occ FROM o GROUP BY 1),
+      oc AS (SELECT o.doc_id, o.pos, o.h FROM o JOIN hot USING (h)
+             WHERE occ BETWEEN 2 AND 64),
+      p AS (SELECT a.doc_id AS id_a, a.pos AS pos_a,
+                   b.doc_id AS id_b, b.pos AS pos_b
+            FROM oc a JOIN oc b ON a.h = b.h AND a.doc_id < b.doc_id),
+      r AS (SELECT id_a, id_b, pos_a - pos_b AS d, pos_a, pos_b,
+                   pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+                                              ORDER BY pos_a) AS isl
+            FROM p),
+      runs AS (SELECT id_a, id_b, min(pos_a) AS a_start, min(pos_b) AS b_start,
+                      count(*) + 7 AS n_tokens
+               FROM r GROUP BY id_a, id_b, d, isl
+               HAVING count(*) + 7 >= 20),
+      ci AS (SELECT id_b AS doc_id, b_start AS s, b_start + n_tokens AS e FROM runs),
+      mk AS (SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS nw
+             FROM ci),
+      ik AS (SELECT doc_id, s, e,
+               sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+             FROM mk),
+      iv AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM ik GROUP BY doc_id, isl),
+      niv AS (SELECT doc_id, count(*) AS n_iv FROM iv GROUP BY doc_id),
+      cutpos AS (SELECT doc_id, unnest(range(s, e)) AS pos FROM iv),
+      tok AS (SELECT doc_id, unnest(range(len(w))) AS pos, unnest(w) AS tok FROM t),
+      kept AS (SELECT k.doc_id, k.pos, k.tok
+               FROM tok k LEFT JOIN cutpos c
+                 ON c.doc_id = k.doc_id AND c.pos = k.pos
+               WHERE c.doc_id IS NULL),
+      res AS (SELECT doc_id, count(*) AS n_kept,
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+              FROM kept GROUP BY doc_id)
+      SELECT t.doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(coalesce(res.n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(coalesce(niv.n_iv, 0) AS BIGINT) AS n_cut_intervals,
+             coalesce(res.fp, md5('')) AS fp
+      FROM t LEFT JOIN res ON res.doc_id = t.doc_id
+             LEFT JOIN niv ON niv.doc_id = t.doc_id
+      ORDER BY t.doc_id"""))
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
     q328, q331, q333, q334, q338, q343, q345, q349, q350, q354, q357, q359, q360, q371,
-    q372, q383, q384, q386, q389)
+    q372, q383, q384, q386, q389, q391)
 }

@@ -32,4 +32,37 @@ class BaselineLedgerSpec extends AnyFunSuite {
     assert(registered.size == SparkEntry.queries.size,
       "qNN short-name collision - two queries share a prefix")
   }
+
+  // ------------------------------------------------------- retry pass
+  // r12 verdict item 1: the canonical record self-heals — a first-pass
+  // flag must be CONFIRMED by a post-sweep retry to stay perf_weak.
+
+  test("adjudicate: a retry under the bound clears a first-pass flag") {
+    val out = BaselineLedger.adjudicate(
+      Seq("q01" -> 5.0, "q02" -> 1.1), Map("q01" -> 1.2))
+    assert(out.isEmpty, "transient (5.0x then 1.2x) must clear in-record")
+  }
+
+  test("adjudicate: a retry over the bound confirms the flag at the smaller ratio") {
+    val out = BaselineLedger.adjudicate(
+      Seq("q01" -> 5.0), Map("q01" -> 3.0))
+    assert(out == Seq("q01" -> 3.0),
+      "twice-confirmed regression stays flagged, reported at min(first, retry)")
+    val out2 = BaselineLedger.adjudicate(
+      Seq("q01" -> 2.5), Map("q01" -> 6.0))
+    assert(out2 == Seq("q01" -> 2.5))
+  }
+
+  test("adjudicate: a flagged query with NO retry evidence stays flagged") {
+    val out = BaselineLedger.adjudicate(Seq("q01" -> 4.0), Map.empty)
+    assert(out == Seq("q01" -> 4.0),
+      "missing retry evidence (retry errored) must never clear a flag")
+  }
+
+  test("adjudicate: queries under the bound never appear, retry or not") {
+    val out = BaselineLedger.adjudicate(
+      Seq("q01" -> 1.9, "q02" -> 0.5), Map("q01" -> 9.9))
+    assert(out.isEmpty,
+      "the retry pass only re-examines first-pass flags; it cannot create one")
+  }
 }

@@ -74,4 +74,60 @@ class CurationPipelineSpec extends SparkSpec {
     // 1 and 2 are byte-identical → exact dedup keeps 1; 3 survives
     assert(out.toSeq == Seq(1L, 3L))
   }
+
+  private val span10 = (1 to 10).map(i => s"sp$i").mkString(" ")
+
+  test("substring stage: a planted duplicated span is cut from the later doc only") {
+    // both docs pass quality/language ("the a" markers) and are far
+    // apart in whole-doc Jaccard (distinct 10-token bodies), so the
+    // doc-level stages keep both — only the substring layer sees the
+    // shared 10-token span
+    val docs = Seq(
+      (1L, "the a " + (1 to 10).map(i => s"u$i").mkString(" ") + " " + span10),
+      (2L, "the a " + (1 to 10).map(i => s"v$i").mkString(" ") + " " + span10))
+      .toDF("doc_id", "text")
+    val cfg = CurationPipeline.Config(minQuality = 0.0,
+      cutDupRuns = true, runGramK = 4, runMinTokens = 8)
+    val out = CurationPipeline.curate(docs, "doc_id", "text", cfg)
+      .select("doc_id", "text", "n_runs_cut")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("the a " + (1 to 10).map(i => s"u$i").mkString(" ") + " " + span10, 0L)),
+      s"keeper (first occurrence) must survive intact: ${out(1L)}")
+    assert(out(2L) == (("the a " + (1 to 10).map(i => s"v$i").mkString(" "), 1L)),
+      s"later doc must lose exactly the span: ${out(2L)}")
+    // flag off → no substring stage, no n_runs_cut column
+    val plain = CurationPipeline.curate(docs, "doc_id", "text",
+      cfg.copy(cutDupRuns = false))
+    assert(!plain.columns.contains("n_runs_cut"))
+  }
+
+  test("incremental substring stage: batch doc loses a span the STORE already holds") {
+    import graft.operators.TextAnalysis
+    graft.expressions.GraftExtensions.register(spark)
+    val storedText = "the a " + (1 to 10).map(i => s"w$i").mkString(" ") + " " + span10
+    val stored = Seq((1L, storedText)).toDF("doc_id", "text")
+    val storeFps = stored.select(
+      TextAnalysis.contentFingerprint(col("text")).as("_fp"))
+    val cfg = CurationPipeline.Config(minQuality = 0.0,
+      cutDupRuns = true, runGramK = 4, runMinTokens = 8)
+    val storeGrams = stored.select(col("doc_id"),
+      posexplode(call_function("graft_shingle_hash_list", col("text"), lit(4)))
+        .as(Seq("pos", "h")))
+    val batch = Seq(
+      (5L, "the a " + (1 to 10).map(i => s"x$i").mkString(" ") + " " + span10),
+      (6L, "the a nothing shared with anyone here at all plain body"))
+      .toDF("doc_id", "text")
+    val tagged = CurationPipeline.curateIncrementalTagged(batch, storeFps,
+      "doc_id", "text", cfg, None, Some(storeGrams))
+    val byId = tagged.select("doc_id", "outcome", "text", "n_runs_cut")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+    assert(byId(5L) == (("kept", "the a " + (1 to 10).map(i => s"x$i").mkString(" "), 1L)),
+      s"batch doc must lose the stored span: ${byId(5L)}")
+    assert(byId(6L)._1 == "kept" && byId(6L)._3 == 0L)
+    // the survivorship report carries the substring tally
+    val rep = CurationPipeline.batchReport(tagged).collect()(0)
+    assert(rep.getAs[Long]("n_span_cut") == 1L)
+    assert(rep.getAs[Long]("n_kept") == 2L)
+  }
 }

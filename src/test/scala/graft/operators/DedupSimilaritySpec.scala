@@ -360,4 +360,68 @@ class DedupSimilaritySpec extends SparkSpec {
     // doc 1 tokens 3..14 == doc 2 tokens 1..12: 9 matched 4-grams -> 12 tokens
     assert(runs.toSeq == Seq((1L, 2L, 3L, 1L, 12L)), runs.toSeq.toString)
   }
+
+  test("cutIntervals: overlapping and touching runs MERGE before any cut") {
+    // doc 3 loses [5,17) to doc 1 and [12,24) to doc 2 — overlapping
+    // mid-span (the merge-before-cut edge); doc 4 loses [0,10) and
+    // [10,20) — touching, one interval. doc 9's single run stays as-is.
+    val runs = Seq(
+      (1L, 3L, 0L, 5L, 12L), (2L, 3L, 0L, 12L, 12L),
+      (1L, 4L, 0L, 0L, 10L), (2L, 4L, 0L, 10L, 10L),
+      (1L, 9L, 2L, 7L, 11L))
+      .toDF("id_a", "id_b", "a_start", "b_start", "n_tokens")
+    val iv = Dedup.cutIntervals(runs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(iv.toSeq == Seq((3L, 5L, 24L), (4L, 0L, 20L), (9L, 7L, 18L)),
+      s"expected merged disjoint intervals, got ${iv.toSeq}")
+  }
+
+  test("cutRuns: non-keeper spans cut, reassembly is position-exact, keeper untouched") {
+    val doc1 = (1 to 20).map(i => s"t$i").mkString(" ")
+    // doc 2 = 3 unique tokens, then doc 1's tokens 1..12, then 2 unique
+    val doc2 = "u1 u2 u3 " + (1 to 12).map(i => s"t$i").mkString(" ") + " u4 u5"
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val runs = Seq((1L, 2L, 0L, 3L, 12L))
+      .toDF("id_a", "id_b", "a_start", "b_start", "n_tokens")
+    val out = Dedup.cutRuns(docs, "doc_id", "text", runs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out(1L) == ((20L, 20L, 0L, doc1)), "keeper doc must rebuild byte-exact")
+    assert(out(2L) == ((17L, 5L, 1L, "u1 u2 u3 u4 u5")),
+      s"cut doc must lose exactly the span: ${out(2L)}")
+  }
+
+  test("cutRuns: a fully-duplicated doc cuts to empty; merged overlap never double-cuts") {
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq((1L, span), (2L, span),
+      (3L, "a b " + span + " c d")).toDF("doc_id", "text")
+    // doc 2 loses its whole body to doc 1; doc 3 loses [2,12) twice
+    // over (two partners, same extent) — one merged interval
+    val runs = Seq((1L, 2L, 0L, 0L, 10L),
+      (1L, 3L, 0L, 2L, 10L), (2L, 3L, 0L, 2L, 10L))
+      .toDF("id_a", "id_b", "a_start", "b_start", "n_tokens")
+    val out = Dedup.cutRuns(docs, "doc_id", "text", runs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out(2L) == ((10L, 0L, 1L, "")), s"fully-cut doc: ${out(2L)}")
+    assert(out(3L) == ((14L, 4L, 1L, "a b c d")), s"merged overlap: ${out(3L)}")
+  }
+
+  test("removeDuplicateRuns end-to-end: first occurrence survives, copy loses the span") {
+    graft.expressions.GraftExtensions.register(spark)
+    val span = (1 to 24).map(i => s"sp$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"h1 h2 $span e1 e2"),
+      (2L, s"k1 k2 k3 $span m1"),
+      (3L, "plain text with no shared material at all here")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateRuns(docs, "doc_id", "text",
+        k = 8, minTokens = 20, maxOccurrences = 64).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4))))
+      .toMap
+    assert(out(1L)._3.contains("sp1") && out(1L)._2 == 28L,
+      s"keeper keeps the span: ${out(1L)}")
+    assert(out(2L) == ((28L, 4L, "k1 k2 k3 m1")),
+      s"copy loses exactly the 24-token span: ${out(2L)}")
+    assert(out(3L)._1 == out(3L)._2, "untouched doc rebuilds whole")
+  }
 }

@@ -132,4 +132,58 @@ class Lz4OpsSpec extends AnyFunSuite {
     big.write(new Array[Byte](70000))
     assert(parse(big.toByteArray).valid == 0)
   }
+
+  test("incremental XXH32 equals the one-shot across arbitrary split points") {
+    val data = Array.tabulate(1000)(i => ((i * 131) ^ (i >> 3)).toByte)
+    val want = xxh32(data, 0, data.length)
+    // splits chosen to land mid-stripe, on stripe boundaries, and in
+    // the sub-4-byte tail path
+    for (splits <- Seq(Seq(0, 1000), Seq(0, 1, 2, 3, 1000), Seq(0, 16, 32, 1000),
+        Seq(0, 15, 17, 500, 999, 1000), Seq(0, 7, 23, 100, 1000))) {
+      val st = new Xxh32Stream(0)
+      splits.sliding(2).foreach { case Seq(a, b) => st.update(data, a, b - a) }
+      assert(st.digest() == want, s"split $splits diverged from one-shot")
+    }
+    // short-input path (< 16 bytes total, no stripe ever runs)
+    val st2 = new Xxh32Stream(0)
+    st2.update(data, 0, 5); st2.update(data, 5, 6)
+    assert(st2.digest() == xxh32(data, 0, 11))
+    val st3 = new Xxh32Stream(0)
+    assert(st3.digest() == xxh32(Array.emptyByteArray, 0, 0))
+  }
+
+  test("linked-block frame: a match across the block boundary decodes via history") {
+    // block 1 emits 12 literal bytes; block 2's FIRST sequence matches
+    // 8 of them at offset 12 — legal only with the linked 64KB window
+    val lit = "abcdefghijkl".getBytes
+    val blk1 = encodeBlock(Seq((lit, None)))
+    val blk2 = encodeBlock(Seq((Array.emptyByteArray, Some((12, 8))), ("z".getBytes, None)))
+    val content = lit ++ lit.take(8) ++ "z".getBytes
+    val linkedFrame = encodeFrame(Seq(Left(blk1), Left(blk2)),
+      contentBytes = Some(content), declaredSize = Some(content.length.toLong),
+      blockIndep = false)
+    val m = parse(linkedFrame)
+    assert(m.valid == 1 && m.blockIndep == 0)
+    assert(m.nDecodeFailed == 0, "cross-boundary match must decode, not count as failed")
+    assert(m.decodedBytes == content.length.toLong)
+    assert(m.contentCrcOk == 1 && m.contentSizeMatch == 1)
+    // the SAME frame declared block-independent fails block 2 honestly
+    // (its offset reaches before the block start)
+    val indepFrame = encodeFrame(Seq(Left(blk1), Left(blk2)), blockIndep = true)
+    val mi = parse(indepFrame)
+    assert(mi.valid == 1 && mi.nDecodeFailed == 1)
+  }
+
+  test("linked-block frame: blocks after a failed decode are skipped, not failed") {
+    val blk1 = encodeBlock(Seq(("abcdefgh".getBytes, Some((4, 8))), ("tt".getBytes, None)))
+    val cut = blk1.dropRight(1) // genuine decode failure
+    val blk2 = encodeBlock(Seq(("wxyz".getBytes, None)))
+    val m = parse(encodeFrame(Seq(Left(cut), Left(blk2)), blockIndep = false))
+    assert(m.valid == 1, "framing stays authoritative")
+    assert(m.nCompressed == 2)
+    assert(m.nDecodeFailed == 1,
+      "block 2 is undecodable by construction (window lost), not a spurious failure")
+    assert(m.decodedBytes == 0L)
+    assert(m.contentSizeMatch == -1 || m.contentSizeMatch == 0)
+  }
 }

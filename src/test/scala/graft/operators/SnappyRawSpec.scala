@@ -99,4 +99,12 @@ class SnappyRawSpec extends AnyFunSuite {
     assert(cut.valid == 1, "framing stays authoritative") // counted, not halted
     assert(cut.rawFailed == 1 && cut.rawOk == 0 && cut.rawBytes == 0L)
   }
+
+  test("encoder refuses an empty literal (would stamp the 4-byte-length tag)") {
+    // (0-1)<<2 = 0xFC is the 4-byte-length literal tag — a silently
+    // corrupt stream; every invalid encoder input must be guarded
+    intercept[IllegalArgumentException] {
+      SnappyRaw.encode(Seq(SnappyRaw.Lit(Array.emptyByteArray)))
+    }
+  }
 }

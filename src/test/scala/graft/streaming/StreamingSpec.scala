@@ -339,6 +339,73 @@ class StreamingSpec extends SparkSpec {
     assert(storeN == initialN + streamed.size, s"$storeN vs $initialN + ${streamed.size}")
   }
 
+  test("streamCurate with the substring stage: cross-micro-batch span cut equals one-shot") {
+    import spark.implicits._
+    graft.expressions.GraftExtensions.register(spark)
+    val dir = Files.createTempDirectory("graft-curate-runs").toFile
+    val spanA = (1 to 10).map(i => s"aa$i").mkString(" ")
+    val spanB = (1 to 10).map(i => s"bb$i").mkString(" ")
+    def uniq(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
+    // standing corpus: doc 1 holds span A (the keeper)
+    val stored = Seq((1L, s"the a ${uniq("s")} $spanA")).toDF("doc_id", "text")
+    val storeFps = stored.select(
+      graft.operators.TextAnalysis.contentFingerprint(col("text")).as("_fp"))
+    val cfg = graft.curation.CurationPipeline.Config(minQuality = 0.0,
+      cutDupRuns = true, runGramK = 4, runMinTokens = 8)
+    val storeGrams = stored.select(col("doc_id"),
+      posexplode(call_function("graft_shingle_hash_list", col("text"), lit(4)))
+        .as(Seq("pos", "h")))
+    // batch 1: doc 10 repeats span A (vs the STORE); doc 11 introduces
+    // span B. batch 2: doc 12 repeats span B (vs BATCH 1 — only the
+    // accumulated gram store can catch it); doc 13 is plain.
+    val b1 = Seq(
+      (10L, s"the a ${uniq("p")} $spanA"),
+      (11L, s"the a ${uniq("q")} $spanB")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (12L, s"the a ${uniq("r")} $spanB"),
+      (13L, s"the a ${uniq("t")} plain body")).toDF("doc_id", "text")
+
+    val oneShot = graft.curation.CurationPipeline
+      .curateIncremental(b1.unionByName(b2), storeFps, "doc_id", "text",
+        cfg, None, Some(storeGrams))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    storeFps.write.parquet(s"$dir/store")
+    storeGrams.write.parquet(s"$dir/store_grams")
+    b1.write.parquet(s"$dir/in/b1")
+    Thread.sleep(1100)
+    b2.write.parquet(s"$dir/in/b2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+    val q = graft.curation.CurationPipeline
+      .streamCurate(stream, s"$dir/store", s"$dir/out", "doc_id", "text", cfg, None)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == oneShot,
+      s"stream: ${streamed.toSeq.sortBy(_._1)}\none-shot: ${oneShot.toSeq.sortBy(_._1)}")
+    // the cuts themselves, stated directly: doc 10 lost span A to the
+    // store; doc 12 lost span B to batch 1's doc 11 ACROSS the
+    // micro-batch boundary; keepers 11/13 intact
+    val byId = streamed.toMap
+    assert(byId(10L) == s"the a ${uniq("p")}")
+    assert(byId(11L) == s"the a ${uniq("q")} $spanB")
+    assert(byId(12L) == s"the a ${uniq("r")}")
+    assert(byId(13L) == s"the a ${uniq("t")} plain body")
+    // the gram store accumulated the kept docs' ORIGINAL grams
+    val gramDocs = spark.read.parquet(s"$dir/store_grams")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(gramDocs == Set(1L, 10L, 11L, 12L, 13L))
+  }
+
   test("media decode over a payload stream equals the batch codec features") {
     // the codec paths are stateless mapPartitions — the same call runs
     // unchanged on a streaming DataFrame, so a media-ingest pipeline
