@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Delta-Lake transaction-log census — the TABLE-format layer above the
+  * file-format walkers (parquet q377/q380, ORC q385/q388, Avro q378):
+  * a lake does not hand a planner bare files, it hands a `_delta_log/`
+  * directory of versioned JSON commits whose add/remove actions define
+  * which files exist AT ALL, which partition they belong to, and what
+  * per-file column statistics the planner may prune with — metadata
+  * that makes a 100 TB scan skip files before any footer is opened.
+  *
+  * Input model: one row per log LINE, `(table, version, line)` — i.e.
+  * `spark.read.text` over the `_delta_log` JSON files with the version parsed from
+  * the filename, which is exactly how the format ships (each
+  * `<version>.json` holds newline-delimited JSON actions: `protocol`,
+  * `metaData`, `add`, `remove`, `commitInfo`, `txn`).
+  *
+  * Both passes are fully DECLARATIVE — `get_json_object` + one
+  * per-(table,path) window + one per-table groupBy; no UDFs, no
+  * mapPartitions. Log replay is a relational fold, so Catalyst owns
+  * the plan: state reconstruction ("latest action per path wins")
+  * IS a row_number window, and everything downstream is aggregation.
+  *
+  * Stop-don't-guess: a line that parses as none of the six action
+  * kinds is counted `n_malformed`, never guessed at; an `add` whose
+  * `stats` string is absent or unparseable joins the census as a
+  * file with UNKNOWN rows — and the prune audit scans it (the q380
+  * conservative contract: a file you cannot prove skippable is read).
+  *
+  * References (public format spec, delta-io PROTOCOL.md): actions are
+  * single-line JSON; `add.stats` is a JSON *string* (escaped document
+  * inside the document) carrying numRecords/minValues/maxValues;
+  * `remove` tombstones a path; a later `add` of the same path revives
+  * it. Tie inside one version: `add` wins (replace-in-commit).
+  */
+object DeltaLogOps {
+
+  /** Per-line parse: action classification + the fields every pass
+    * needs. `statsPath` is the stats leaf the prune audit reads (e.g.
+    * "x" reads `minValues.x` / `maxValues.x`).
+    */
+  private def parsed(log: DataFrame, tableCol: String, versionCol: String,
+                     lineCol: String, statsPath: String): DataFrame = {
+    val line = col(lineCol)
+    val stats = get_json_object(line, "$.add.stats")
+    log.select(
+      col(tableCol).as("tbl"),
+      col(versionCol).cast("long").as("ver"),
+      get_json_object(line, "$.add.path").as("add_path"),
+      get_json_object(line, "$.remove.path").as("rm_path"),
+      get_json_object(line, "$.protocol.minReaderVersion").cast("long").as("proto_r"),
+      get_json_object(line, "$.protocol.minWriterVersion").cast("long").as("proto_w"),
+      get_json_object(line, "$.metaData.id").as("meta_id"),
+      (get_json_object(line, "$.commitInfo").isNotNull ||
+        get_json_object(line, "$.txn").isNotNull).as("is_info"),
+      get_json_object(line, "$.add.size").cast("long").as("size"),
+      get_json_object(line, "$.add.partitionValues").as("pvals"),
+      get_json_object(stats, "$.numRecords").cast("long").as("n_rows"),
+      get_json_object(stats, s"$$.minValues.$statsPath").cast("long").as("min_v"),
+      get_json_object(stats, s"$$.maxValues.$statsPath").cast("long").as("max_v"))
+  }
+
+  /** The LIVE file set: latest action per (table, path) wins; within a
+    * version an add beats a remove (replace-in-commit). One shuffle on
+    * (table, path).
+    */
+  private def liveFiles(p: DataFrame): DataFrame = {
+    val acts = p.filter(col("add_path").isNotNull || col("rm_path").isNotNull)
+      .select(col("tbl"), col("ver"),
+        coalesce(col("add_path"), col("rm_path")).as("path"),
+        col("add_path").isNotNull.as("is_add"),
+        col("size"), col("pvals"), col("n_rows"), col("min_v"), col("max_v"))
+    val w = Window.partitionBy("tbl", "path")
+      .orderBy(col("ver").desc, col("is_add").desc)
+    acts.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("is_add"))
+      .drop("_rn", "is_add")
+  }
+
+  /** Snapshot census per table: versions, protocol, action tallies,
+    * live-set size/bytes/rows, live partition count, and the honest
+    * boundaries (`n_malformed` lines, `n_live_no_stats` files whose
+    * rows are unknowable). Two shuffles total: the (table, path)
+    * window and the per-table groupBy.
+    */
+  def snapshotCensus(log: DataFrame, tableCol: String, versionCol: String,
+                     lineCol: String, statsPath: String = "x"): DataFrame = {
+    val p = parsed(log, tableCol, versionCol, lineCol, statsPath)
+      .localCheckpoint(false) // three consumers: lines, latest-protocol, live set
+    val known = col("add_path").isNotNull || col("rm_path").isNotNull ||
+      col("proto_r").isNotNull || col("meta_id").isNotNull || col("is_info")
+    val lineAgg = p.groupBy("tbl").agg(
+      count(lit(1)).as("n_lines"),
+      count_distinct(col("ver")).as("n_versions"),
+      sum(when(!known, 1L).otherwise(0L)).as("n_malformed"),
+      sum(col("add_path").isNotNull.cast("long")).as("n_adds"),
+      sum(col("rm_path").isNotNull.cast("long")).as("n_removes"),
+      // latest protocol by version (protocol rows carry proto_r)
+      max_by(col("proto_r"), when(col("proto_r").isNotNull, col("ver"))).as("min_reader"),
+      max_by(col("proto_w"), when(col("proto_w").isNotNull, col("ver"))).as("min_writer"))
+    // live set AND tombstones from ONE (table, path) window pass:
+    // latest action per path, then a single per-table aggregation
+    // branching on is_add — not two replays of the same shuffle
+    val acts = p.filter(col("add_path").isNotNull || col("rm_path").isNotNull)
+      .select(col("tbl"), col("ver"),
+        coalesce(col("add_path"), col("rm_path")).as("path"),
+        col("add_path").isNotNull.as("is_add"),
+        col("size"), col("pvals"), col("n_rows"))
+    val w = Window.partitionBy("tbl", "path")
+      .orderBy(col("ver").desc, col("is_add").desc)
+    val state = acts.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy("tbl").agg(
+        sum(col("is_add").cast("long")).as("n_live"),
+        sum((!col("is_add")).cast("long")).as("n_tombstones"),
+        sum(when(col("is_add"), col("size"))).as("live_bytes"),
+        sum(when(col("is_add"), col("n_rows"))).as("live_rows"),
+        sum((col("is_add") && col("n_rows").isNull).cast("long")).as("n_live_no_stats"),
+        count_distinct(when(col("is_add"), col("pvals"))).as("n_partitions"))
+    lineAgg
+      .join(state, Seq("tbl"), "left")
+      .select(col("tbl"),
+        col("n_lines"), col("n_versions"), col("n_malformed"),
+        col("n_adds"), col("n_removes"),
+        coalesce(col("min_reader"), lit(-1L)).as("min_reader"),
+        coalesce(col("min_writer"), lit(-1L)).as("min_writer"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        coalesce(col("n_tombstones"), lit(0L)).as("n_tombstones"),
+        coalesce(col("live_bytes"), lit(0L)).as("live_bytes"),
+        coalesce(col("live_rows"), lit(0L)).as("live_rows"),
+        coalesce(col("n_live_no_stats"), lit(0L)).as("n_live_no_stats"),
+        coalesce(col("n_partitions"), lit(0L)).as("n_partitions"))
+  }
+
+  /** Table-level prune audit over the reconstructed snapshot — the
+    * planner arithmetic the log exists to enable, under the q380/q388
+    * conservative contract. Two independent prunes on the LIVE set:
+    *
+    *  - zone prune, predicate `x > threshold`: a file is provably
+    *    skippable iff its `maxValues.x <= threshold`; a file without
+    *    parseable stats is scanned (`rows_scanned` counts only rows
+    *    the stats vouch for; `n_scanned_no_stats` counts the blind
+    *    spots separately — never silently folded in);
+    *  - partition prune, predicate `partition == partValue` on
+    *    `partKey`: exact string match on the add's partitionValues.
+    */
+  def pruneAudit(log: DataFrame, tableCol: String, versionCol: String,
+                 lineCol: String, statsPath: String, threshold: Long,
+                 partKey: String, partValue: String): DataFrame = {
+    val live = liveFiles(parsed(log, tableCol, versionCol, lineCol, statsPath))
+    val hasStats = col("max_v").isNotNull
+    val skippable = hasStats && col("max_v") <= threshold
+    val partMatch = get_json_object(col("pvals"), s"$$.$partKey") === partValue
+    live.groupBy("tbl").agg(
+      count(lit(1)).as("n_live"),
+      sum(skippable.cast("long")).as("n_skippable"),
+      sum((!skippable).cast("long")).as("n_scanned"),
+      sum(when(!skippable && hasStats, col("n_rows")).otherwise(0L)).as("rows_scanned"),
+      sum((!hasStats).cast("long")).as("n_scanned_no_stats"),
+      sum(coalesce(partMatch, lit(false)).cast("long")).as("n_part_match"),
+      sum((!coalesce(partMatch, lit(false))).cast("long")).as("n_part_pruned"))
+  }
+
+  // ------------------------------------------------------------------
+  // synthetic log generator (tests + the q392/q393 closed-form oracle)
+
+  /** A deterministic per-table log derived from `k` alone — the q385
+    * synthesis convention, so an external oracle can recompute every
+    * census cell from `k`:
+    *
+    *   n0 = 2 + k%5 files at version 0 (slot j: path f{j}.parquet,
+    *   partition p = j%3, size 100(j+1), rows 10+j, x in
+    *   [10j, 10j+9]); slot 1's add ships WITHOUT stats when k%7 == 0;
+    *   one malformed line when k%11 == 0. m = k%3 extra history:
+    *   m>=1 → version 1 removes f0 and adds slot n0;
+    *   m==2 → version 2 RE-adds f0 with slot-(n0+1) contents.
+    *
+    * Live set: m=0 → slots 0..n0-1; m=1 → 1..n0; m=2 → 1..n0 plus f0
+    * reborn as slot n0+1.
+    */
+  def syntheticLog(k: Long): Seq[(Long, String)] = {
+    val n0 = (2 + k % 5).toInt
+    val m = (k % 3).toInt
+    def add(slot: Int, path: String): String = {
+      val stats =
+        if (k % 7 == 0 && slot == 1) ""
+        else {
+          val inner = s"""{\\"numRecords\\":${10 + slot},\\"minValues\\":{\\"x\\":${10 * slot}},\\"maxValues\\":{\\"x\\":${10 * slot + 9}}}"""
+          s""","stats":"$inner""""
+        }
+      s"""{"add":{"path":"$path","partitionValues":{"p":"${slot % 3}"},"size":${100 * (slot + 1)},"dataChange":true$stats}}"""
+    }
+    val v0: Seq[(Long, String)] =
+      Seq(0L -> s"""{"protocol":{"minReaderVersion":${1 + k % 2},"minWriterVersion":${2 + k % 2}}}""",
+        0L -> s"""{"metaData":{"id":"t$k","partitionColumns":["p"],"format":{"provider":"parquet"}}}""") ++
+        (0 until n0).map(j => 0L -> add(j, s"f$j.parquet")) ++
+        (if (k % 11 == 0) Seq(0L -> "corrupt{") else Seq.empty)
+    val v1: Seq[(Long, String)] =
+      if (m >= 1)
+        Seq(1L -> s"""{"commitInfo":{"operation":"WRITE"}}""",
+          1L -> s"""{"remove":{"path":"f0.parquet","dataChange":true}}""",
+          1L -> add(n0, s"f$n0.parquet"))
+      else Seq.empty
+    val v2: Seq[(Long, String)] =
+      if (m == 2) Seq(2L -> add(n0 + 1, "f0.parquet")) else Seq.empty
+    v0 ++ v1 ++ v2
+  }
+}

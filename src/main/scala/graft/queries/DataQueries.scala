@@ -5181,11 +5181,128 @@ object DataQueries {
              CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_copies
       FROM ch GROUP BY k ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q392
+
+  /** q392 — Delta-Lake transaction-log snapshot census
+    * ([[graft.operators.DeltaLogOps.snapshotCensus]]): the TABLE-format
+    * layer the file walkers (q377/q380 parquet, q385/q388 ORC, q378
+    * Avro) sit under — a `_delta_log/` replay that reconstructs which
+    * files are LIVE (latest add/remove per path wins, add beats remove
+    * inside one commit, a re-add revives a tombstone), the protocol
+    * floor, live bytes/rows from the embedded per-file stats strings,
+    * and the live partition count. Fully declarative: get_json_object
+    * + ONE (table, path) window + one per-table groupBy — log replay
+    * as a relational fold, no mapPartitions. Honest boundaries: a line
+    * matching no action kind counts n_malformed (planted every 11th
+    * table); an add without stats joins as rows-unknown (every 7th).
+    * The oracle recomputes the whole census closed-form from the
+    * synthesis schedule (slot enumeration, no JSON parsing).
+    */
+  val q392 = Q("q392_delta_log_census",
+    (s, dir) => {
+      import s.implicits._
+      val log = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap(k => graft.operators.DeltaLogOps.syntheticLog(k)
+          .map { case (v, l) => (k, v, l) })
+        .toDF("doc_id", "version", "line")
+      graft.operators.DeltaLogOps
+        .snapshotCensus(log, "doc_id", "version", "line", "x")
+        .withColumnRenamed("tbl", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id AS k, CAST(2 + doc_id % 5 AS BIGINT) AS n0,
+                        doc_id % 3 AS m FROM documents),
+      s AS (SELECT k, n0, m, unnest(range(0, n0 + 2)) AS j FROM p),
+      sl AS (SELECT k, n0, m, j,
+               CASE WHEN m = 0 THEN j < n0
+                    WHEN m = 1 THEN j BETWEEN 1 AND n0
+                    ELSE (j BETWEEN 1 AND n0) OR j = n0 + 1 END AS live,
+               NOT (k % 7 = 0 AND j = 1) AS has_stats
+             FROM s),
+      agg AS (SELECT k,
+                SUM(CASE WHEN live THEN 1 ELSE 0 END) AS n_live,
+                SUM(CASE WHEN live THEN 100 * (j + 1) ELSE 0 END) AS live_bytes,
+                SUM(CASE WHEN live AND has_stats THEN 10 + j ELSE 0 END) AS live_rows,
+                SUM(CASE WHEN live AND NOT has_stats THEN 1 ELSE 0 END) AS n_no_stats,
+                COUNT(DISTINCT CASE WHEN live THEN j % 3 END) AS n_parts
+              FROM sl GROUP BY k)
+      SELECT p.k AS doc_id,
+             CAST(2 + n0 + (CASE WHEN p.k % 11 = 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN m >= 1 THEN 3 ELSE 0 END)
+                  + (CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines,
+             CAST(1 + m AS BIGINT) AS n_versions,
+             CAST(CASE WHEN p.k % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_malformed,
+             CAST(n0 + (CASE WHEN m >= 1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_adds,
+             CAST(CASE WHEN m >= 1 THEN 1 ELSE 0 END AS BIGINT) AS n_removes,
+             CAST(1 + p.k % 2 AS BIGINT) AS min_reader,
+             CAST(2 + p.k % 2 AS BIGINT) AS min_writer,
+             CAST(agg.n_live AS BIGINT) AS n_live,
+             CAST(CASE WHEN m = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_tombstones,
+             CAST(agg.live_bytes AS BIGINT) AS live_bytes,
+             CAST(agg.live_rows AS BIGINT) AS live_rows,
+             CAST(agg.n_no_stats AS BIGINT) AS n_live_no_stats,
+             CAST(agg.n_parts AS BIGINT) AS n_partitions
+      FROM p JOIN agg ON agg.k = p.k ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------- q393
+
+  /** q393 — Delta-log table-level prune audit
+    * ([[graft.operators.DeltaLogOps.pruneAudit]]): q380's zone-map
+    * arithmetic lifted to the TABLE format — the log's reconstructed
+    * live set carries per-file minValues/maxValues and the partition
+    * assignment, so `x > 25` files are provably skippable by
+    * maxValues.x alone and `p = '1'` files by the partitionValues
+    * string, BEFORE any footer is opened. Conservative contract
+    * (q380/q388): a live file without parseable stats is scanned, its
+    * rows counted separately as n_scanned_no_stats — blind spots never
+    * fold into the vouched-for number. Oracle: closed-form slot replay.
+    */
+  val q393 = Q("q393_delta_log_prune",
+    (s, dir) => {
+      import s.implicits._
+      val log = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap(k => graft.operators.DeltaLogOps.syntheticLog(k)
+          .map { case (v, l) => (k, v, l) })
+        .toDF("doc_id", "version", "line")
+      graft.operators.DeltaLogOps
+        .pruneAudit(log, "doc_id", "version", "line", "x",
+          threshold = 25L, partKey = "p", partValue = "1")
+        .withColumnRenamed("tbl", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id AS k, CAST(2 + doc_id % 5 AS BIGINT) AS n0,
+                        doc_id % 3 AS m FROM documents),
+      s AS (SELECT k, n0, m, unnest(range(0, n0 + 2)) AS j FROM p),
+      sl AS (SELECT k, j,
+               CASE WHEN m = 0 THEN j < n0
+                    WHEN m = 1 THEN j BETWEEN 1 AND n0
+                    ELSE (j BETWEEN 1 AND n0) OR j = n0 + 1 END AS live,
+               NOT (k % 7 = 0 AND j = 1) AS has_stats
+             FROM s),
+      a AS (SELECT k, j, has_stats,
+              has_stats AND (10 * j + 9 <= 25) AS skippable,
+              j % 3 = 1 AS part_match
+            FROM sl WHERE live)
+      SELECT k AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_live,
+             CAST(SUM(CASE WHEN skippable THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+             CAST(SUM(CASE WHEN skippable THEN 0 ELSE 1 END) AS BIGINT) AS n_scanned,
+             CAST(SUM(CASE WHEN NOT skippable AND has_stats THEN 10 + j ELSE 0 END) AS BIGINT) AS rows_scanned,
+             CAST(SUM(CASE WHEN has_stats THEN 0 ELSE 1 END) AS BIGINT) AS n_scanned_no_stats,
+             CAST(SUM(CASE WHEN part_match THEN 1 ELSE 0 END) AS BIGINT) AS n_part_match,
+             CAST(SUM(CASE WHEN part_match THEN 0 ELSE 1 END) AS BIGINT) AS n_part_pruned
+      FROM a GROUP BY k ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
-    q385, q387, q388, q390)
+    q385, q387, q388, q390, q392, q393)
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Delta transaction-log census: state-reconstruction semantics
+  * (latest action wins, add beats remove in-commit, re-add revives),
+  * the conservative prune contract, one test per malformed class, and
+  * deterministic fuzz over the line stream (house rule: walkers never
+  * throw on garbage — they count it).
+  */
+class DeltaLogOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def logDf(rows: Seq[(Long, Long, String)]) =
+    rows.toDF("tbl", "ver", "line")
+
+  private def add(path: String, p: String, size: Long, rows: Long,
+                  min: Long, max: Long): String =
+    s"""{"add":{"path":"$path","partitionValues":{"p":"$p"},"size":$size,"dataChange":true,"stats":"{\\"numRecords\\":$rows,\\"minValues\\":{\\"x\\":$min},\\"maxValues\\":{\\"x\\":$max}}"}}"""
+
+  private def rm(path: String): String =
+    s"""{"remove":{"path":"$path","dataChange":true}}"""
+
+  test("live set: remove tombstones, a later re-add revives, latest protocol wins") {
+    val log = logDf(Seq(
+      (1L, 0L, """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""),
+      (1L, 0L, add("a", "0", 100, 10, 0, 9)),
+      (1L, 0L, add("b", "1", 200, 20, 10, 19)),
+      (1L, 1L, rm("a")),
+      (1L, 2L, add("a", "2", 300, 30, 20, 29)), // revival with new stats
+      (1L, 2L, """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""),
+      (1L, 1L, rm("ghost")))) // tombstone of a never-added path
+    val c = DeltaLogOps.snapshotCensus(log, "tbl", "ver", "line").collect()(0)
+    assert(c.getAs[Long]("n_versions") == 3)
+    assert(c.getAs[Long]("n_live") == 2, "a revived + b")
+    assert(c.getAs[Long]("n_tombstones") == 1, "only ghost stays dead")
+    assert(c.getAs[Long]("live_bytes") == 500, "revived a carries its NEW size")
+    assert(c.getAs[Long]("live_rows") == 50)
+    assert(c.getAs[Long]("n_partitions") == 2) // p=2 (new a), p=1 (b)
+    assert(c.getAs[Long]("min_reader") == 2 && c.getAs[Long]("min_writer") == 5,
+      "latest protocol by version wins")
+    assert(c.getAs[Long]("n_malformed") == 0)
+  }
+
+  test("replace-in-commit: add and remove of one path in the SAME version — add wins") {
+    val log = logDf(Seq(
+      (7L, 0L, add("f", "0", 100, 10, 0, 9)),
+      (7L, 1L, rm("f")),
+      (7L, 1L, add("f", "0", 150, 15, 0, 9))))
+    val c = DeltaLogOps.snapshotCensus(log, "tbl", "ver", "line").collect()(0)
+    assert(c.getAs[Long]("n_live") == 1 && c.getAs[Long]("live_bytes") == 150)
+    assert(c.getAs[Long]("n_tombstones") == 0)
+  }
+
+  test("malformed lines and stats-less adds are counted, never guessed at") {
+    val log = logDf(Seq(
+      (3L, 0L, add("a", "0", 100, 10, 0, 9)),
+      (3L, 0L, """{"add":{"path":"nostats","partitionValues":{"p":"1"},"size":50,"dataChange":true}}"""),
+      (3L, 0L, """{"add":{"path":"badstats","partitionValues":{"p":"2"},"size":60,"dataChange":true,"stats":"not json at all"}}"""),
+      (3L, 0L, "corrupt{"),
+      (3L, 0L, ""),
+      (3L, 0L, """{"unknownAction":{"x":1}}"""),
+      (3L, 0L, """{"commitInfo":{"operation":"WRITE"}}""")))
+    val c = DeltaLogOps.snapshotCensus(log, "tbl", "ver", "line").collect()(0)
+    assert(c.getAs[Long]("n_malformed") == 3, "corrupt{, empty, unknownAction")
+    assert(c.getAs[Long]("n_live") == 3)
+    assert(c.getAs[Long]("n_live_no_stats") == 2, "absent AND unparseable stats")
+    assert(c.getAs[Long]("live_rows") == 10, "only vouched-for rows sum")
+    // the prune audit SCANS both blind files (conservative contract)
+    val a = DeltaLogOps.pruneAudit(log, "tbl", "ver", "line", "x",
+      threshold = 100L, partKey = "p", partValue = "0").collect()(0)
+    assert(a.getAs[Long]("n_skippable") == 1, "only the stats-backed file can prove <= 100")
+    assert(a.getAs[Long]("n_scanned_no_stats") == 2)
+  }
+
+  test("prune audit boundary arithmetic: max == threshold is skippable, min plays no part") {
+    val log = logDf(Seq(
+      (5L, 0L, add("lo", "0", 1, 5, 0, 25)),   // max == t -> skippable
+      (5L, 0L, add("hi", "1", 1, 7, 26, 40)),  // min > t -> scanned (max rule only)
+      (5L, 0L, add("mid", "1", 1, 9, 0, 26)))) // max just over -> scanned
+    val a = DeltaLogOps.pruneAudit(log, "tbl", "ver", "line", "x",
+      threshold = 25L, partKey = "p", partValue = "1").collect()(0)
+    assert(a.getAs[Long]("n_skippable") == 1)
+    assert(a.getAs[Long]("n_scanned") == 2)
+    assert(a.getAs[Long]("rows_scanned") == 16)
+    assert(a.getAs[Long]("n_part_match") == 2 && a.getAs[Long]("n_part_pruned") == 1)
+  }
+
+  test("fuzz: mutated log lines never throw; tallies stay internally consistent") {
+    val rnd = new scala.util.Random(42) // deterministic
+    val base = (0L until 12L).flatMap(k =>
+      DeltaLogOps.syntheticLog(k).map { case (v, l) => (k, v, l) })
+    def mutate(s: String): String =
+      if (s.isEmpty) s
+      else rnd.nextInt(4) match {
+        case 0 => s.take(rnd.nextInt(s.length)) // truncate
+        case 1 => val i = rnd.nextInt(s.length) // flip one char
+          s.updated(i, (s(i) ^ 0x5).toChar)
+        case 2 => s.patch(rnd.nextInt(s.length), "\"", 0) // quote injection
+        case _ => s.reverse
+      }
+    for (round <- 1 to 20) {
+      val mutated = base.map { case (k, v, l) =>
+        (k, v, if (rnd.nextInt(3) == 0) mutate(l) else l)
+      }
+      val c = DeltaLogOps.snapshotCensus(logDf(mutated), "tbl", "ver", "line")
+        .collect()
+      assert(c.nonEmpty, s"round $round")
+      c.foreach { r =>
+        val (lines, adds, live, malformed) = (r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_adds"), r.getAs[Long]("n_live"),
+          r.getAs[Long]("n_malformed"))
+        assert(live <= adds, s"round $round: live $live > adds $adds")
+        assert(malformed <= lines)
+        assert(r.getAs[Long]("n_live_no_stats") <= live)
+        assert(r.getAs[Long]("live_bytes") >= 0 && r.getAs[Long]("live_rows") >= 0)
+      }
+      // the audit runs over the same garbage without throwing
+      DeltaLogOps.pruneAudit(logDf(mutated), "tbl", "ver", "line", "x",
+        25L, "p", "1").collect()
+    }
+  }
+
+  test("synthetic generator round-trip: census matches the schedule's closed form") {
+    // k = 9: n0 = 6, m = 0 -> live slots 0..5; k = 7: no-stats slot 1;
+    // k = 11: malformed line; k = 5: m = 2 re-add history
+    val log = Seq(5L, 7L, 9L, 11L).flatMap(k =>
+      DeltaLogOps.syntheticLog(k).map { case (v, l) => (k, v, l) })
+    val out = DeltaLogOps.snapshotCensus(logDf(log), "tbl", "ver", "line")
+      .collect().map(r => r.getAs[Long]("tbl") -> r).toMap
+    assert(out(9L).getAs[Long]("n_live") == 6)
+    assert(out(9L).getAs[Long]("n_versions") == 1)
+    assert(out(7L).getAs[Long]("n_live_no_stats") == 1)
+    assert(out(11L).getAs[Long]("n_malformed") == 1)
+    assert(out(5L).getAs[Long]("n_versions") == 3) // m = 5 % 3 = 2
+    assert(out(5L).getAs[Long]("n_tombstones") == 0) // f0 re-added
+  }
+}

@@ -7,13 +7,30 @@ missing from the ledger at its quiet-normalized time
 rewritten -- the ledger is the frozen "first green" reference the 2x
 regression bound (Bench's perf_weak stamp) compares against.
 
-Usage: tools/freeze_baseline.py [bench_record.json]
+Usage: tools/freeze_baseline.py [bench_record.json] [--refreeze qNN,qNN,...]
+
+--refreeze drops the named entries BEFORE the add pass, so they re-freeze
+from this record. The one legitimate use is correcting an entry whose
+first-green run carried a flagged calibration (measured under host load,
+baseline inflated, the 2x alarm effectively sitting at 3-4x): pass a
+CLEAN record and name the affected queries. Regular entries stay frozen.
 """
 import json
 import os
 import sys
 
-bench_path = sys.argv[1] if len(sys.argv) > 1 else "bench_out.json"
+positional = []
+refreeze = set()
+argv = sys.argv[1:]
+i = 0
+while i < len(argv):
+    if argv[i] == "--refreeze":
+        refreeze = set(q.strip() for q in argv[i + 1].split(",") if q.strip())
+        i += 2
+    else:
+        positional.append(argv[i])
+        i += 1
+bench_path = positional[0] if positional else "bench_out.json"
 bench = json.load(open(bench_path))
 ledger_path = "baseline_queries.json"
 
@@ -28,6 +45,10 @@ if sf != ledger["sf"]:
     sys.exit(f"refusing: bench sf '{sf}' != ledger sf '{ledger['sf']}'")
 if calib <= 0:
     sys.exit("refusing: bench record has no positive calib_sec")
+
+dropped = [q for q in refreeze if ledger["queries"].pop(q, None) is not None]
+if dropped:
+    print(f"re-freezing {len(dropped)}: " + ", ".join(sorted(dropped)))
 
 added = []
 for name, sec in bench["queries"].items():
