@@ -902,6 +902,59 @@ object Bench {
       val (mhR10, wnR10) = noisyRecall(1)
       val (mhR20, wnR20) = noisyRecall(2)
 
+      // ---- sf-scale probe: the 10 most expensive queries run ONCE at
+      // the bench SF and once at a 10x replica (ScaleOps.replicateScaled
+      // — disjoint key-shifted copies, per-copy-varied text, so the
+      // probe measures engine cost growth on 10x volume with the
+      // SOURCE's per-entity structure). Stamped per query: both walls
+      // and the growth exponent log_10(t_10x / t_1x) — linear ~1,
+      // quadratic 2; the flagship plans all claim sub-quadratic and
+      // this is where that claim is MEASURED, not narrated. The
+      // replica is cached on disk across runs; a wall budget bounds
+      // the block and anything skipped is COUNTED (no silent caps).
+      stampBlock("sf_scale")
+      val sfScale = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      locally {
+        val probe = Seq("q202", "q126", "q199", "q192", "q308",
+          "q306", "q307", "q209", "q190", "q288")
+        val factor = 10
+        val scaleDir = s"/tmp/graft_sfscale_${factor}x_" +
+          new java.io.File(sfDir).getName
+        val marker = new java.io.File(scaleDir + "/_DONE")
+        val genSec =
+          if (marker.exists) 0.0
+          else sec {
+            graft.operators.ScaleOps.replicateScaled(spark, sfDir, scaleDir, factor)
+            marker.createNewFile()
+          }
+        sfScale += ("sf_scale_gen_sec" -> genSec)
+        val byShort = SparkEntry.queries.map { case (k, f) =>
+          (k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }) -> f }
+        def drop(): Unit = {
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          spark.sharedState.cacheManager.clearCache()
+        }
+        val budgetSec = 480.0
+        var spent = 0.0
+        var skipped = 0
+        probe.foreach { q =>
+          byShort.get(q) match {
+            case Some(fn) if spent < budgetSec =>
+              val t1 = sec(fn(spark, sfDir).count())
+              drop()
+              val t10 = sec(fn(spark, scaleDir).count())
+              drop()
+              spent += t1 + t10
+              sfScale += (s"sf_scale_${q}_1x_sec" -> t1)
+              sfScale += (s"sf_scale_${q}_10x_sec" -> t10)
+              sfScale += (s"sf_scale_${q}_exp" ->
+                math.log(t10 / t1) / math.log(factor.toDouble))
+            case _ => skipped += 1
+          }
+        }
+        sfScale += ("sf_scale_skipped_n" -> skipped.toDouble)
+      }
+
       Seq("calib_sec" -> calib,
         "tfrecord_walk_sec" -> tfWalkSec,
         "tfrecord_walk_mb" -> tfBytes / 1e6,
@@ -990,7 +1043,7 @@ object Bench {
         "neardup_recall_winnow_noise10" -> wnR10,
         "neardup_recall_minhash_noise20" -> mhR20,
         "neardup_recall_winnow_noise20" -> wnR20,
-        "extras_calib_floor_sec" -> CalibFloorSec) ++ blockStamps ++ stages
+        "extras_calib_floor_sec" -> CalibFloorSec) ++ sfScale ++ blockStamps ++ stages
     } catch {
       case e: Throwable =>
         // record the innermost cause too — Spark wraps command failures in

@@ -117,4 +117,57 @@ object ScaleOps {
       .write.mode(SaveMode.Overwrite).parquet(outPath)
     (parts.length, n)
   }
+
+  /** Deterministic scale-up of an sf directory: `factor` disjoint
+    * copies of every fact table, each copy's entity keys shifted by
+    * `copy * offset` so referential integrity holds WITHIN a copy and
+    * no key collides ACROSS copies — per-entity structure (degree
+    * distributions, join fan-outs, text shapes) is exactly the
+    * source's, at `factor`x the volume. The honest local stand-in for
+    * a bigger driver SF: it probes the ENGINE's cost growth (shuffle
+    * volume, window widths, fixpoint rounds) on 10x rows, not a new
+    * data distribution.
+    *
+    * `documents` text is token-suffixed per copy (`tok` -> `tok_c`)
+    * so copies are textually DISJOINT: without it every doc gains
+    * factor-1 exact twins and the dedup-family queries would measure
+    * hot-bucket caps instead of scale. `nation`/`region` are
+    * dimensions and stay unscaled (foreign keys into them are never
+    * shifted).
+    */
+  def replicateScaled(spark: org.apache.spark.sql.SparkSession,
+                      srcDir: String, outDir: String, factor: Int,
+                      offset: Long = 10000000L): Unit = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val shiftCols: Map[String, Seq[String]] = Map(
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"),
+      "nation" -> Seq.empty, "region" -> Seq.empty)
+    graft.Tables.names.foreach { t =>
+      val base = graft.Tables.load(spark, srcDir, t)
+      val out =
+        if (shiftCols(t).isEmpty) base
+        else {
+          val crossed = base.crossJoin(
+            spark.range(0, factor).select(col("id").as("_copy")))
+          val shifted = shiftCols(t).foldLeft(crossed)((df, c) =>
+            df.withColumn(c, col(c) + col("_copy") * offset))
+          val varied =
+            if (t == "documents")
+              shifted.withColumn("text",
+                when(col("_copy") === 0, col("text"))
+                  .otherwise(array_join(transform(split(col("text"), " "),
+                    tok => concat(tok, lit("_"), col("_copy"))), " ")))
+            else shifted
+          varied.drop("_copy")
+        }
+      out.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
+    }
+  }
 }

@@ -66,6 +66,116 @@ object WarcOps {
     bos.toByteArray
   }
 
+  /** Like [[encodeSynthetic]] but with REAL payload bytes — the
+    * fixture encoder for the extraction path, where content (not just
+    * framing) must round-trip.
+    */
+  def encodeSyntheticContent(plan: Seq[(String, Option[String], Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(Ascii))
+    plan.foreach { case (recType, uri, payload) =>
+      w("WARC/1.0\r\n")
+      w(s"WARC-Type: $recType\r\n")
+      uri.foreach(u => w(s"WARC-Target-URI: $u\r\n"))
+      w(s"Content-Length: ${payload.length}\r\n")
+      w("\r\n")
+      bos.write(payload)
+      w("\r\n\r\n")
+    }
+    bos.toByteArray
+  }
+
+  /** The extraction half of the walk: every RESPONSE record's
+    * (ordinal, target URI, payload bytes), in archive order — what a
+    * crawl-curation pipeline actually consumes (requests/warcinfo/
+    * metadata are protocol bookkeeping). Same framing discipline as
+    * [[parse]]: Content-Length is authoritative, no magic re-sync, a
+    * malformed record stops the walk with the valid prefix kept.
+    */
+  def responses(bytes: Array[Byte]): Seq[(Int, String, Array[Byte])] = {
+    val n = bytes.length
+    def findCrlf(i: Int): Int = {
+      var p = i
+      while (p + 2 <= n && !(bytes(p) == '\r' && bytes(p + 1) == '\n')) p += 1
+      if (p + 2 <= n) p else -1
+    }
+    val out = Seq.newBuilder[(Int, String, Array[Byte])]
+    var pos = 0
+    var respIdx = 0
+    var ok = true
+    while (ok && pos < n) {
+      val vEnd = findCrlf(pos)
+      if (vEnd < 0 || !new String(bytes, pos, vEnd - pos, Ascii).startsWith("WARC/")) ok = false
+      else {
+        pos = vEnd + 2
+        var recType: String = null
+        var uri: String = null
+        var clen = -1L
+        var headersOk = true
+        var blank = false
+        while (headersOk && !blank) {
+          val hEnd = findCrlf(pos)
+          if (hEnd < 0) headersOk = false
+          else {
+            val line = new String(bytes, pos, hEnd - pos, Ascii)
+            pos = hEnd + 2
+            if (line.isEmpty) blank = true
+            else {
+              val ci = line.indexOf(':')
+              if (ci > 0) {
+                val (k, v) = (line.substring(0, ci).trim, line.substring(ci + 1).trim)
+                if (k.equalsIgnoreCase("WARC-Type")) recType = v
+                else if (k.equalsIgnoreCase("WARC-Target-URI")) uri = v
+                else if (k.equalsIgnoreCase("Content-Length"))
+                  clen = if (v.nonEmpty && v.forall(_.isDigit) && v.length <= 18)
+                    v.toLong
+                  else -1L
+              }
+            }
+          }
+        }
+        // same framing contract as parse(): the payload AND its
+        // two-CRLF terminator must be intact before the record counts
+        // — a response whose terminator is cut is NOT emitted
+        if (!headersOk || !blank || clen < 0) ok = false
+        else {
+          val payloadEnd = pos.toLong + clen
+          if (payloadEnd + 4 > n) ok = false
+          else if (!(bytes(payloadEnd.toInt) == '\r' && bytes(payloadEnd.toInt + 1) == '\n' &&
+            bytes(payloadEnd.toInt + 2) == '\r' && bytes(payloadEnd.toInt + 3) == '\n'))
+            ok = false
+          else {
+            if (recType == "response") {
+              out += ((respIdx, if (uri == null) "" else uri,
+                java.util.Arrays.copyOfRange(bytes, pos, pos + clen.toInt)))
+              respIdx += 1
+            }
+            pos = (payloadEnd + 4).toInt
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Exploded response relation over (id, archive bytes): one row per
+    * response record — (id, page, uri, html UTF-8-decoded). The
+    * per-archive flatMap is the container boundary; everything after
+    * is columnar.
+    */
+  def extractResponses(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        responses(bytes).map { case (p, uri, payload) =>
+          (id, p.toLong, uri, new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+      .toDF(idCol, "page", "uri", "content")
+  }
+
   def parse(bytes: Array[Byte]): WarcMeta = {
     val n = bytes.length
     // index of the next CRLF at-or-after i, or -1

@@ -3000,8 +3000,106 @@ object CorpusQueries {
              LEFT JOIN niv ON niv.doc_id = t.doc_id
       ORDER BY t.doc_id"""))
 
+  // --------------------------------------------------------------- q394
+
+  /** q394 — the WARC→text→curation COMPOSITION flagship: the Common
+    * Crawl pipeline end to end in one oracle-gated pass — the
+    * artifact the whole triage layer exists for. Stage 1 walks WARC
+    * archives ([[graft.operators.WarcOps.extractResponses]] — the
+    * extraction half of q323's census walk: response records only,
+    * Content-Length authoritative, a cut terminator drops the
+    * record); stage 2 strips HTML to text (q316's
+    * [[graft.operators.HtmlText.extract]], scripts/comments/entities
+    * and all); stage 3 issues per-page curation verdicts (q338's
+    * shape): token-count gate, corpus-wide exact-dup keep-first on
+    * the CLEAN text (min (doc, page) keeps), keep/too_short/
+    * duplicate. Fixtures plant all three branches: page 0 carries the
+    * document's real text, page 1 a 3-token footer (too_short), page
+    * 2 shared boilerplate (duplicate everywhere but its first
+    * occurrence). The container flatMap is the only non-columnar
+    * step; dedup is the single shuffle. The oracle replays every
+    * stage — framing, extraction (HtmlText.duckSql), tokens, md5
+    * keep-first — so the composition, not just its pieces, is gated.
+    */
+  val q394 = Q("q394_warc_curation_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val shortB = "<html><body><p>footer nav page</p></body></html>"
+      val longB = "<html><body><p>" + (1 to 30).map(i => s"boiler$i").mkString(" ") +
+        "</p></body></html>"
+      val archives = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val k = (id % 50).toInt
+            val np = 1 + k % 3
+            val plan =
+              Seq(("warcinfo", None: Option[String],
+                Array.tabulate(40 + (k * 7) % 50)(i => ((i * 31) % 256).toByte))) ++
+                (0 until np).flatMap { p =>
+                  val uri = s"http://site$k.com/p$p"
+                  val html =
+                    if (p == 0)
+                      s"""<html><head><title>D$id</title><script>t("x")</script></head><body><h1>site$k</h1><!-- c --><p>$text</p></body></html>"""
+                    else if (p == 1) shortB
+                    else longB
+                  Seq(
+                    ("request", Some(uri),
+                      Array.tabulate(30 + (k * 11 + p * 13) % 60)(i => (i % 256).toByte)),
+                    ("response", Some(uri),
+                      html.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+                }
+            (id, graft.operators.WarcOps.encodeSyntheticContent(plan))
+          }
+        }.toDF("doc_id", "payload")
+      val pages = graft.operators.WarcOps
+        .extractResponses(archives, "doc_id", "payload")
+      val cleaned = pages.select(col("doc_id"), col("page"), col("uri"),
+          graft.operators.HtmlText.extract(col("content")).as("clean"))
+        .withColumn("n_chars_clean", length(col("clean")).cast("long"))
+        .withColumn("n_tokens", size(split(trim(col("clean")), "\\s+")).cast("long"))
+        .withColumn("fp", md5(col("clean")))
+      val w = Window.partitionBy("fp").orderBy("doc_id", "page")
+      cleaned.withColumn("_rn", row_number().over(w))
+        .withColumn("is_dup", (col("_rn") > 1).cast("long"))
+        .withColumn("verdict",
+          when(col("n_tokens") < 10, "too_short")
+            .when(col("is_dup") === 1, "duplicate")
+            .otherwise("keep"))
+        .select("doc_id", "page", "uri", "n_chars_clean", "n_tokens", "is_dup", "verdict")
+        .orderBy("doc_id", "page")
+    },
+    Some {
+      val htmlCase = """CASE WHEN p = 0 THEN
+          '<html><head><title>D' || doc_id || '</title><script>t("x")</script></head><body><h1>site' || k || '</h1><!-- c --><p>' || text || '</p></body></html>'
+        WHEN p = 1 THEN '<html><body><p>footer nav page</p></body></html>'
+        ELSE '<html><body><p>""" +
+        (1 to 30).map(i => s"boiler$i").mkString(" ") +
+        """</p></body></html>' END"""
+      s"""
+      WITH d AS (SELECT doc_id, text, doc_id % 50 AS k FROM documents),
+      pg AS (SELECT doc_id, k, text, unnest(range(1 + k % 3)) AS p FROM d),
+      h AS (SELECT doc_id, p, 'http://site' || k || '.com/p' || p AS uri,
+              $htmlCase AS html
+            FROM pg),
+      c AS (SELECT doc_id, p AS page, uri,
+              ${graft.operators.HtmlText.duckSql("html")} AS clean FROM h),
+      t AS (SELECT doc_id, page, uri,
+              CAST(length(clean) AS BIGINT) AS n_chars_clean,
+              CAST(len(string_split_regex(trim(clean), '\\s+')) AS BIGINT) AS n_tokens,
+              md5(clean) AS fp FROM c),
+      r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id, page) AS rn
+            FROM t)
+      SELECT doc_id, CAST(page AS BIGINT) AS page, uri, n_chars_clean, n_tokens,
+             CAST(CASE WHEN rn > 1 THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+             CASE WHEN n_tokens < 10 THEN 'too_short'
+                  WHEN rn > 1 THEN 'duplicate'
+                  ELSE 'keep' END AS verdict
+      FROM r ORDER BY doc_id, page"""
+    })
+
   val all: Seq[Q] = Seq(q61, q62, q63, q64, q76, q171, q180, q183, q185, q186, q187,
     q196, q221, q224, q231, q232, q288, q297, q316, q317, q320, q321, q322, q326, q327,
     q328, q331, q333, q334, q338, q343, q345, q349, q350, q354, q357, q359, q360, q371,
-    q372, q383, q384, q386, q389, q391)
+    q372, q383, q384, q386, q389, q391, q394)
 }

@@ -5298,11 +5298,80 @@ object DataQueries {
              CAST(SUM(CASE WHEN part_match THEN 0 ELSE 1 END) AS BIGINT) AS n_part_pruned
       FROM a GROUP BY k ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q395
+
+  /** q395 — zstd SEQUENCES decode census
+    * ([[graft.operators.ZstdSeq.zstdSeqFeatures]]): the entropy
+    * boundary q366/q368 stopped at, crossed for the default-tables
+    * case — raw/RLE literals + Predefined_Mode FSE sequences (tables
+    * BUILT from RFC 8878's normalized counts via the spec's spread
+    * algorithm), the backward bitstream, interleaved state updates,
+    * and the three-slot repeat-offset history. Honest boundaries
+    * stay separate: a block DECLARING Huffman literals or
+    * FSE_Compressed modes counts `n_unsupported` (stub), a block
+    * whose bitstream is broken counts `n_failed` (defect) — never
+    * conflated. ZstdSeqSpec grades the decoder against four REAL
+    * zstd-CLI frames byte-for-byte incl. their XXH64 checksums; this
+    * query's fixtures mix a doc-varying raw block, a pinned
+    * predefined-FSE block (real zstd output), a hand-encoded
+    * RLE-mode block, and planted unsupported/broken classes. Oracle
+    * closed-form. Map-only, zero shuffles.
+    */
+  val q395 = Q("q395_zstd_seq_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{ZstdOps, ZstdSeq}
+      // real zstd -1 output for a 39-byte repetitive input: raw
+      // literals + one predefined-FSE sequence (pinned in ZstdSeqSpec)
+      val predefBlock = "6061626364656667685f78797a01000ccb11"
+        .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      val rleModeBlock = ZstdOps.literalsHeader(0, 10) ++
+        "0123456789".getBytes ++ Array[Byte](1, 0x54, 4, 1, 5, 0x02)
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val k = (id % 50).toInt
+            val broken = predefBlock.clone()
+            broken(broken.length - 1) = 0 // bitstream marker erased
+            val blocks = Seq(
+              (0, Array.tabulate(20 + k)(i => ((i * 13 + k) % 251).toByte)),
+              (2, predefBlock),
+              (2, rleModeBlock)) ++
+              (if (k % 4 == 0)
+                Seq((2, ZstdOps.literalsHeader(2, 50, 10) ++ Array.fill(10)(7.toByte)))
+              else Nil) ++
+              (if (k % 5 == 0) Seq((2, broken)) else Nil)
+            (id, ZstdOps.encodeFrameWithBlocks(blocks))
+          }
+        }.toDF("doc_id", "payload")
+      ZstdSeq.zstdSeqFeatures(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      f AS (SELECT doc_id, k,
+              CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS unsup,
+              CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS fail
+            FROM d)
+      SELECT doc_id,
+             CAST(1 AS BIGINT) AS valid,
+             CAST(3 + unsup + fail AS BIGINT) AS n_blocks,
+             CAST(1 AS BIGINT) AS n_raw,
+             CAST(0 AS BIGINT) AS n_rle,
+             CAST(2 + unsup + fail AS BIGINT) AS n_compressed,
+             CAST(2 AS BIGINT) AS n_decoded,
+             CAST(unsup AS BIGINT) AS n_unsupported,
+             CAST(fail AS BIGINT) AS n_failed,
+             CAST(77 + k AS BIGINT) AS decoded_bytes,
+             CAST(-1 AS BIGINT) AS content_ok
+      FROM f ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
-    q385, q387, q388, q390, q392, q393)
+    q385, q387, q388, q390, q392, q393, q395)
 }

@@ -105,4 +105,51 @@ class WarcOpsSpec extends AnyFunSuite {
     val m = WarcOps.parse(bytes)
     assert(m.nRecords == 1 && m.nRequest == 1 && m.sumPayloadBytes == 2)
   }
+
+  // ------------------------------------------------------ extraction
+
+  test("responses(): only response payloads come back, content-exact, in order") {
+    val bytes = WarcOps.encodeSyntheticContent(Seq(
+      ("warcinfo", None, "meta stuff".getBytes(Ascii)),
+      ("request", Some("http://a.com/1"), "GET /1".getBytes(Ascii)),
+      ("response", Some("http://a.com/1"), "<html>one</html>".getBytes(Ascii)),
+      ("request", Some("http://a.com/2"), "GET /2".getBytes(Ascii)),
+      ("response", Some("http://a.com/2"), "<html>two</html>".getBytes(Ascii))))
+    val rs = WarcOps.responses(bytes)
+    assert(rs.map(r => (r._1, r._2, new String(r._3, Ascii))) == Seq(
+      (0, "http://a.com/1", "<html>one</html>"),
+      (1, "http://a.com/2", "<html>two</html>")))
+  }
+
+  test("responses(): payload containing the WARC/ magic does NOT re-sync") {
+    val tricky = "body with WARC/1.0\r\nWARC-Type: response\r\n embedded".getBytes(Ascii)
+    val bytes = WarcOps.encodeSyntheticContent(Seq(
+      ("response", Some("http://t.co/x"), tricky),
+      ("response", Some("http://t.co/y"), "after".getBytes(Ascii))))
+    val rs = WarcOps.responses(bytes)
+    assert(rs.size == 2, "length framing is authoritative over content")
+    assert(new String(rs(0)._3, Ascii) == new String(tricky, Ascii))
+    assert(new String(rs(1)._3, Ascii) == "after")
+  }
+
+  test("responses(): a response with a cut terminator is NOT emitted; prefix kept") {
+    val good = WarcOps.encodeSyntheticContent(Seq(
+      ("response", Some("http://k.co/a"), "kept page".getBytes(Ascii))))
+    val cut = WarcOps.encodeSyntheticContent(Seq(
+      ("response", Some("http://k.co/b"), "dropped".getBytes(Ascii)))).dropRight(3)
+    val rs = WarcOps.responses(good ++ cut)
+    assert(rs.map(r => new String(r._3, Ascii)) == Seq("kept page"),
+      "parse() and responses() agree on where validity ends")
+  }
+
+  test("responses(): bad Content-Length stops the walk at that record") {
+    val good = WarcOps.encodeSyntheticContent(Seq(
+      ("response", Some("http://k.co/a"), "first".getBytes(Ascii))))
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 12x\r\n\r\n")
+      .getBytes(Ascii)
+    val tail = WarcOps.encodeSyntheticContent(Seq(
+      ("response", Some("http://k.co/c"), "never reached".getBytes(Ascii))))
+    val rs = WarcOps.responses(good ++ bad ++ tail)
+    assert(rs.map(r => new String(r._3, Ascii)) == Seq("first"))
+  }
 }
