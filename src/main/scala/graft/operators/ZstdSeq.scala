@@ -1,27 +1,33 @@
 package graft.operators
 
-/** Zstandard compressed-block DECODER for the default-tables case —
-  * the one member of the compression family (gzip/snappy/LZ4 all
-  * fully decode-verified) that q366/q368 could only walk structurally.
-  * RFC 8878: a compressed block = literals section + sequences
-  * section; this decoder handles
+/** Zstandard compressed-block DECODER (RFC 8878) — the FULL
+  * non-dictionary format, closing the entropy boundary q366/q368
+  * could only walk structurally:
   *
-  *   - literals: Raw and RLE forms (no entropy coding);
-  *   - sequences: Predefined_Mode (the RFC's default FSE
-  *     distributions for literal-length / offset / match-length
-  *     codes, decoding tables BUILT here from the normalized counts
-  *     via the spec's spread algorithm) and RLE_Mode;
-  *   - the backward bitstream, interleaved state updates, and the
-  *     three-slot repeat-offset history with its literals-length-0
-  *     shift.
+  *   - literals: Raw, RLE, Compressed (Huffman — tree from direct
+  *     4-bit weights or FSE-compressed weights via two interleaved
+  *     states; 1-stream and 4-stream layouts), and Treeless (the
+  *     frame's previous table);
+  *   - sequences: Predefined_Mode (tables BUILT from the RFC's
+  *     default normalized counts via the spec's spread algorithm),
+  *     RLE_Mode, FSE_Compressed (the table DESCRIPTION read from the
+  *     stream's forward bitstream), and Repeat_Mode (previous
+  *     block's tables);
+  *   - the backward bitstream, interleaved state updates, the
+  *     three-slot repeat-offset history (persisting across blocks,
+  *     with the literals-length-0 shift), and the frame WINDOW
+  *     (matches referencing earlier blocks' decoded output).
   *
-  * Huffman literals (Compressed/Treeless) and FSE_Compressed /
-  * Repeat sequence modes return None — the honest stub boundary,
-  * reported by the census as `unsupported`, never guessed at. Real
-  * zstd CLI output at level 1 on repetitive input uses exactly the
-  * supported forms (raw literals + predefined sequences), and
-  * ZstdSeqSpec pins four such REAL frames byte-for-byte, verified
-  * against both the original content and the frame's XXH64 checksum.
+  * The decoder is graded by the REFERENCE implementation, not by a
+  * round-trip with our own encoder: ZstdSeqSpec pins real zstd-CLI
+  * frames byte-for-byte — one-sequence/overlap/multi-sequence
+  * predefined forms, FSE_Compressed-mode frames, 1-stream and
+  * 4-stream Huffman frames — each decoded to its exact content AND
+  * verified against the frame's OWN XXH64 checksum. Dictionary
+  * frames are rejected at the frame level; on an intact frame every
+  * decode failure is a DEFECT (a treeless/Repeat FIRST block is
+  * spec-corrupt), while blocks whose cross-block state was lost to
+  * an earlier failure are skipped as honestly undecodable.
   *
   * Bomb discipline: the caller passes `maxOut`; decoded output and
   * every declared length is bounded against it BEFORE allocation
@@ -119,6 +125,78 @@ object ZstdSeq {
     1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
 
   // ------------------------------------------------------------------
+  // FSE table DESCRIPTION reader (RFC 8878 §4.1.1): a forward
+  // little-endian bitstream encoding the normalized counts with
+  // variable-width values (width shrinks as probability mass is
+  // spent) and 2-bit run codes after zeros. This is what
+  // FSE_Compressed sequence modes and Huffman-weight tables ship.
+
+  /** @return (normalized counts sized maxSymbol+1, accuracyLog,
+    *         bytes consumed) or None on a malformed description
+    */
+  def readFseDistribution(bytes: Array[Byte], off: Int, end: Int,
+                          maxSymbol: Int, maxAccuracy: Int): Option[(Array[Int], Int, Int)] = {
+    if (off >= end) return None
+    val limitBits = (end - off) * 8
+    def peek(bitPos: Int): Long = {
+      val byteOff = off + (bitPos >> 3)
+      var v = 0L
+      var i = 0
+      while (i < 5 && byteOff + i < end) {
+        v |= (bytes(byteOff + i) & 0xffL) << (8 * i); i += 1
+      }
+      v >>> (bitPos & 7)
+    }
+    var bitPos = 0
+    val accLog = ((peek(0) & 0xF) + 5).toInt
+    bitPos = 4
+    if (accLog > maxAccuracy) return None
+    var remaining = (1 << accLog) + 1
+    var threshold = 1 << accLog
+    var nbBits = accLog + 1
+    val norm = new Array[Int](maxSymbol + 1)
+    var charnum = 0
+    var previous0 = false
+    while (remaining > 1 && charnum <= maxSymbol) {
+      if (bitPos + nbBits > limitBits + 7) return None
+      if (previous0) {
+        // zero-run extension: 2-bit groups, 0b11 = three more zeros
+        while ((peek(bitPos) & 3) == 3 && bitPos + 2 <= limitBits) {
+          charnum += 3; bitPos += 2
+        }
+        charnum += (peek(bitPos) & 3).toInt
+        bitPos += 2
+        previous0 = false
+        if (charnum > maxSymbol) return None
+      } else {
+        val max = (2 * threshold - 1) - remaining
+        val bs = peek(bitPos)
+        var count =
+          if ((bs & (threshold - 1)) < max) {
+            bitPos += nbBits - 1
+            (bs & (threshold - 1)).toInt
+          } else {
+            val c0 = (bs & (2 * threshold - 1)).toInt
+            bitPos += nbBits
+            if (c0 >= threshold) c0 - max else c0
+          }
+        count -= 1 // coded values are count+1; -1 = "less than 1"
+        remaining -= math.abs(count)
+        if (remaining < 0) return None
+        norm(charnum) = count
+        charnum += 1
+        previous0 = count == 0
+        while (remaining > 1 && remaining < threshold) {
+          nbBits -= 1; threshold >>= 1
+        }
+      }
+    }
+    if (remaining != 1) return None
+    if (bitPos > limitBits) return None
+    Some((norm, accLog, (bitPos + 7) >> 3))
+  }
+
+  // ------------------------------------------------------------------
   // backward bitstream (RFC 8878 §4.1.1): written forward, read
   // backward from a 1-bit end marker in the last byte
 
@@ -150,14 +228,292 @@ object ZstdSeq {
     }
   }
 
-  // per-stream decoder state: a real FSE table or an RLE pin
-  private final class StreamState(val table: FseTable, val rleSymbol: Int) {
+  // ------------------------------------------------------------------
+  // Huffman literals (RFC 8878 §4.2): tree description (direct 4-bit
+  // weights or FSE-compressed weights via two interleaved states),
+  // canonical table build with the deduced last weight, and the
+  // backward per-stream decode (1-stream and 4-stream forms).
+
+  final case class HufTable(maxBits: Int, symbol: Array[Int], numBits: Array[Int])
+
+  /** FSE decompression with two interleaved states (the weights
+    * codec): decode until the backward stream exhausts, flushing the
+    * opposite state's symbol on overflow — the reference algorithm.
+    */
+  private def fseInterleaved2(bytes: Array[Byte], start: Int, end: Int,
+                              table: FseTable, maxOut: Int): Option[Array[Int]] = {
+    if (end <= start) return None
+    val last = bytes(end - 1) & 0xff
+    if (last == 0) return None
+    var bitPos = (end - 1 - start) * 8 + (31 - Integer.numberOfLeadingZeros(last))
+    // padded backward read: bits below stream start arrive as zeros in
+    // the LOW positions (the reference's shift-left padding)
+    def readPadded(n: Int): Int = {
+      val newPos = bitPos - n
+      val avail = if (newPos < 0) bitPos else n
+      val base = math.max(newPos, 0)
+      var v = 0
+      var i = 0
+      while (i < avail) {
+        val b = base + i
+        v |= ((bytes(start + (b >> 3)) >> (b & 7)) & 1) << i
+        i += 1
+      }
+      bitPos = newPos
+      if (newPos < 0) v << (-newPos) else v
+    }
+    var s1 = readPadded(table.accuracyLog)
+    var s2 = readPadded(table.accuracyLog)
+    if (bitPos < 0) return None
+    val out = new scala.collection.mutable.ArrayBuffer[Int](64)
+    def step(state: Int): Int = { // emits symbol, returns updated state
+      out += table.symbol(state)
+      table.baseline(state) + readPadded(table.numBits(state))
+    }
+    var done = false
+    while (!done) {
+      if (out.length > maxOut) return None
+      s1 = step(s1)
+      if (bitPos < 0) { out += table.symbol(s2); done = true }
+      else {
+        s2 = step(s2)
+        if (bitPos < 0) { out += table.symbol(s1); done = true }
+      }
+    }
+    Some(out.toArray)
+  }
+
+  /** Canonical Huffman decode table from EXPLICIT weights (the last
+    * weight is deduced here, per spec). None on inconsistent weights.
+    */
+  def buildHuf(explicitWeights: Array[Int]): Option[HufTable] = {
+    if (explicitWeights.isEmpty || explicitWeights.exists(w => w < 0 || w > 11))
+      return None
+    var total = 0L
+    explicitWeights.foreach(w => if (w > 0) total += 1L << (w - 1))
+    if (total == 0) return None
+    val maxBits = 64 - java.lang.Long.numberOfLeadingZeros(total)
+    if (maxBits > 11) return None
+    val rest = (1L << maxBits) - total
+    if (rest == 0 || (rest & (rest - 1)) != 0) return None // must be a power of 2
+    val lastWeight = (64 - java.lang.Long.numberOfLeadingZeros(rest)).toInt
+    val weights = explicitWeights :+ lastWeight
+    val size = 1 << maxBits
+    val symbol = new Array[Int](size)
+    val numBits = new Array[Int](size)
+    // entries per length class, symbols ascending, classes from the
+    // LONGEST code (smallest weight) upward
+    val rankCount = new Array[Int](maxBits.toInt + 2)
+    weights.foreach(w => if (w > 0) rankCount(maxBits.toInt + 1 - w) += 1)
+    val rankIdx = new Array[Int](maxBits.toInt + 2)
+    rankIdx(maxBits.toInt) = 0
+    var l = maxBits.toInt
+    while (l >= 1) {
+      rankIdx(l - 1) = rankIdx(l) + rankCount(l) * (1 << (maxBits.toInt - l))
+      l -= 1
+    }
+    if (rankIdx(0) != size) return None
+    val cursor = rankIdx.clone()
+    var s = 0
+    while (s < weights.length) {
+      val w = weights(s)
+      if (w > 0) {
+        val len = maxBits.toInt + 1 - w
+        val span = 1 << (maxBits.toInt - len)
+        var i = 0
+        while (i < span) {
+          symbol(cursor(len) + i) = s
+          numBits(cursor(len) + i) = len
+          i += 1
+        }
+        cursor(len) += span
+      }
+      s += 1
+    }
+    Some(HufTable(maxBits.toInt, symbol, numBits))
+  }
+
+  /** Huffman tree description: (table, bytes consumed incl. header). */
+  def readHufTable(bytes: Array[Byte], off: Int, end: Int): Option[(HufTable, Int)] = {
+    if (off >= end) return None
+    val h = bytes(off) & 0xff
+    if (h >= 128) {
+      // direct: 4-bit weights, big nibble first
+      val n = h - 127
+      val nBytes = (n + 1) / 2
+      if (off + 1 + nBytes > end) return None
+      val w = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val b = bytes(off + 1 + (i >> 1)) & 0xff
+        w(i) = if ((i & 1) == 0) b >> 4 else b & 0xF
+        i += 1
+      }
+      buildHuf(w).map(t => (t, 1 + nBytes))
+    } else {
+      // FSE-compressed weights: h = compressed size
+      if (h == 0 || off + 1 + h > end) return None
+      val s = off + 1
+      readFseDistribution(bytes, s, s + h, maxSymbol = 15, maxAccuracy = 6)
+        .flatMap { case (norm, accLog, used) =>
+          scala.util.Try(buildFse(norm, accLog)).toOption.flatMap { table =>
+            fseInterleaved2(bytes, s + used, s + h, table, maxOut = 255)
+          }
+        }
+        .flatMap(buildHuf)
+        .map(t => (t, 1 + h))
+    }
+  }
+
+  /** Decode ONE Huffman-coded backward stream to exactly `expected`
+    * symbols, consuming the bitstream exactly.
+    */
+  private def decodeHufStream(bytes: Array[Byte], start: Int, end: Int,
+                              table: HufTable, expected: Int,
+                              out: Array[Byte], outOff: Int): Boolean = {
+    if (end <= start) return expected == 0
+    val last = bytes(end - 1) & 0xff
+    if (last == 0) return false
+    var bitPos = (end - 1 - start) * 8 + (31 - Integer.numberOfLeadingZeros(last))
+    def peek(n: Int): Int = { // padded (zeros below stream start)
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val b = bitPos - n + i
+        if (b >= 0) v |= ((bytes(start + (b >> 3)) >> (b & 7)) & 1) << i
+        i += 1
+      }
+      v
+    }
+    var produced = 0
+    while (produced < expected) {
+      if (bitPos <= 0) return false
+      val idx = peek(table.maxBits)
+      val nb = table.numBits(idx)
+      if (nb == 0) return false
+      out(outOff + produced) = table.symbol(idx).toByte
+      bitPos -= nb
+      produced += 1
+    }
+    bitPos == 0 // exact consumption
+  }
+
+  /** The Compressed/Treeless literals form: [tree +] 1 or 4 streams.
+    * `preset` non-null = Treeless (reuse the frame's last table).
+    * Returns (literals, bytes consumed, table used).
+    */
+  private def decodeHufLiterals(bytes: Array[Byte], off: Int, end: Int,
+                                maxOut: Int,
+                                preset: HufTable): Option[(Array[Byte], Int, HufTable)] = {
+    if (off >= end) return None
+    val b0 = bytes(off) & 0xff
+    val sf = (b0 >> 2) & 3
+    // header: sf=00 -> 3 bytes, 1 stream, 10+10 bits;
+    // 01 -> 3 bytes, 4 streams, 10+10; 10 -> 4 bytes, 14+14;
+    // 11 -> 5 bytes, 18+18
+    val (hdrLen, nStreams, regen, comp) = sf match {
+      case 0 | 1 =>
+        if (end - off < 3) return None
+        val v = (b0 | ((bytes(off + 1) & 0xff) << 8) |
+          ((bytes(off + 2) & 0xff) << 16)) >>> 4
+        (3, if (sf == 0) 1 else 4, v & 0x3FF, (v >> 10) & 0x3FF)
+      case 2 =>
+        if (end - off < 4) return None
+        val v = ((b0 | ((bytes(off + 1) & 0xff) << 8) |
+          ((bytes(off + 2) & 0xff) << 16)).toLong |
+          ((bytes(off + 3) & 0xffL) << 24)) >>> 4
+        (4, 4, (v & 0x3FFF).toInt, ((v >> 14) & 0x3FFF).toInt)
+      case _ =>
+        if (end - off < 5) return None
+        val v = ((b0 | ((bytes(off + 1) & 0xff) << 8) |
+          ((bytes(off + 2) & 0xff) << 16)).toLong |
+          ((bytes(off + 3) & 0xffL) << 24) |
+          ((bytes(off + 4) & 0xffL) << 32)) >>> 4
+        (5, 4, (v & 0x3FFFF).toInt, ((v >> 18) & 0x3FFFF).toInt)
+    }
+    if (regen > maxOut) return None
+    val compStart = off + hdrLen
+    val compEnd = compStart + comp
+    if (comp <= 0 || compEnd > end) return None
+    val tableAndStart: Option[(HufTable, Int)] =
+      if (preset != null) Some((preset, compStart))
+      else readHufTable(bytes, compStart, compEnd)
+        .map { case (t, used) => (t, compStart + used) }
+    tableAndStart.flatMap { case (table, streamStart) =>
+      val out = new Array[Byte](regen)
+      var p = streamStart
+      if (nStreams == 1) {
+        if (decodeHufStream(bytes, p, compEnd, table, regen, out, 0))
+          Some((out, hdrLen + comp, table))
+        else None
+      } else {
+        // 6-byte jump table: LE16 sizes of streams 1-3
+        if (compEnd - p < 6) return None
+        def le16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+        val (s1, s2, s3) = (le16(p), le16(p + 2), le16(p + 4))
+        p += 6
+        val streamTotal = compEnd - p
+        if (s1 + s2 + s3 > streamTotal) return None
+        val per = (regen + 3) / 4
+        val last = regen - 3 * per
+        if (last < 0) return None
+        val bounds = Seq((p, p + s1, per), (p + s1, p + s1 + s2, per),
+          (p + s1 + s2, p + s1 + s2 + s3, per),
+          (p + s1 + s2 + s3, compEnd, last))
+        var outPos = 0
+        val ok = bounds.forall { case (a, b, n) =>
+          val r = decodeHufStream(bytes, a, b, table, n, out, outPos)
+          outPos += n
+          r
+        }
+        if (ok) Some((out, hdrLen + comp, table)) else None
+      }
+    }
+  }
+
+  // per-stream decoder config (a real FSE table or an RLE pin) and
+  // its running state
+  private final case class StreamCfg(table: FseTable, rleSymbol: Int)
+  private final class StreamState(val cfg: StreamCfg) {
     var state = 0
-    def isRle: Boolean = table == null
-    def init(br: BackBits): Unit = if (!isRle) state = br.read(table.accuracyLog)
-    def sym: Int = if (isRle) rleSymbol else table.symbol(state)
+    def isRle: Boolean = cfg.table == null
+    def init(br: BackBits): Unit = if (!isRle) state = br.read(cfg.table.accuracyLog)
+    def sym: Int = if (isRle) cfg.rleSymbol else cfg.table.symbol(state)
     def update(br: BackBits): Unit = if (!isRle)
-      state = table.baseline(state) + br.read(table.numBits(state))
+      state = cfg.table.baseline(state) + br.read(cfg.table.numBits(state))
+  }
+
+  /** Cross-block frame state (RFC 8878): repeat offsets persist across
+    * blocks, Repeat_Mode reuses the previous block's stream tables,
+    * Treeless literals reuse the previous Huffman table, and sequence
+    * matches may reference the WINDOW — decoded output of earlier
+    * blocks. One instance per frame; a fresh instance = the
+    * single-block behavior.
+    */
+  final class FrameCtx(windowCap: Int = 1 << 22) {
+    private[ZstdSeq] var rep1 = 1L
+    private[ZstdSeq] var rep2 = 4L
+    private[ZstdSeq] var rep3 = 8L
+    private[ZstdSeq] var hufTable: HufTable = null
+    private[ZstdSeq] var llCfg: StreamCfg = null
+    private[ZstdSeq] var ofCfg: StreamCfg = null
+    private[ZstdSeq] var mlCfg: StreamCfg = null
+    private[ZstdSeq] var hist: Array[Byte] = Array.emptyByteArray
+    /** Append decoded content to the rolling window (raw/RLE blocks
+      * feed it too — a later match may reference them).
+      */
+    def pushHist(b: Array[Byte], off: Int, len: Int): Unit = {
+      if (len >= windowCap)
+        hist = java.util.Arrays.copyOfRange(b, off + len - windowCap, off + len)
+      else if (len > 0) {
+        val tot = math.min(windowCap, hist.length + len)
+        val nh = new Array[Byte](tot)
+        val fromHist = tot - len
+        System.arraycopy(hist, hist.length - fromHist, nh, 0, fromHist)
+        System.arraycopy(b, off, nh, fromHist, len)
+        hist = nh
+      }
+    }
   }
 
   // ------------------------------------------------------------------
@@ -168,37 +524,53 @@ object ZstdSeq {
     * caller distinguishes via [[probe]].
     */
   def decodeBlock(bytes: Array[Byte], off: Int, end: Int,
-                  maxOut: Int): Option[Array[Byte]] = {
+                  maxOut: Int,
+                  ctx: FrameCtx = new FrameCtx()): Option[Array[Byte]] = {
     if (end - off < 1) return None
     val b0 = bytes(off) & 0xff
     val litType = b0 & 3
-    if (litType >= 2) return None // Huffman / treeless: honest stub
-    // Raw/RLE size forms: bit2 clear -> 1-byte header, 5-bit size;
-    // sf=01 -> 2 bytes, 12 bits; sf=11 -> 3 bytes, 20 bits
-    val (litHdrLen, regen) =
-      if ((b0 & 4) == 0) (1, b0 >> 3)
-      else if ((b0 & 8) == 0) {
-        if (end - off < 2) return None
-        (2, ((b0 | ((bytes(off + 1) & 0xff) << 8)) >> 4))
-      } else {
-        if (end - off < 3) return None
-        (3, ((b0 | ((bytes(off + 1) & 0xff) << 8) |
-          ((bytes(off + 2) & 0xff) << 16)) >> 4))
-      }
-    if (regen > maxOut) return None
-    var p = off + litHdrLen
+    if (litType == 3 && ctx.hufTable == null)
+      return None // treeless with no prior table in the frame
+    var p = off
     val lit: Array[Byte] =
-      if (litType == 0) {
-        if (regen > end - p) return None
-        val a = java.util.Arrays.copyOfRange(bytes, p, p + regen)
-        p += regen
-        a
-      } else { // RLE
-        if (p >= end) return None
-        val a = new Array[Byte](regen)
-        java.util.Arrays.fill(a, bytes(p))
-        p += 1
-        a
+      if (litType >= 2) {
+        // Huffman literals: [tree +] 1 or 4 streams; treeless reuses
+        // the frame's last table
+        decodeHufLiterals(bytes, off, end, maxOut,
+            if (litType == 3) ctx.hufTable else null) match {
+          case Some((a, consumed, table)) =>
+            p += consumed
+            ctx.hufTable = table
+            a
+          case None => return None
+        }
+      } else {
+        // Raw/RLE size forms: bit2 clear -> 1-byte header, 5-bit size;
+        // sf=01 -> 2 bytes, 12 bits; sf=11 -> 3 bytes, 20 bits
+        val (litHdrLen, regen) =
+          if ((b0 & 4) == 0) (1, b0 >> 3)
+          else if ((b0 & 8) == 0) {
+            if (end - off < 2) return None
+            (2, ((b0 | ((bytes(off + 1) & 0xff) << 8)) >> 4))
+          } else {
+            if (end - off < 3) return None
+            (3, ((b0 | ((bytes(off + 1) & 0xff) << 8) |
+              ((bytes(off + 2) & 0xff) << 16)) >> 4))
+          }
+        if (regen > maxOut) return None
+        p += litHdrLen
+        if (litType == 0) {
+          if (regen > end - p) return None
+          val a = java.util.Arrays.copyOfRange(bytes, p, p + regen)
+          p += regen
+          a
+        } else { // RLE
+          if (p >= end) return None
+          val a = new Array[Byte](regen)
+          java.util.Arrays.fill(a, bytes(p))
+          p += 1
+          a
+        }
       }
     // sequences section header
     if (p >= end) return None
@@ -219,21 +591,31 @@ object ZstdSeq {
     val modes = bytes(p) & 0xff
     p += 1
     if ((modes & 3) != 0) return None // reserved bits must be zero
-    def mkStream(mode: Int, table: FseTable, maxSym: Int): Option[StreamState] =
+    def mkStream(mode: Int, table: FseTable, maxSym: Int, maxAcc: Int,
+                 prev: StreamCfg): Option[StreamState] =
       mode match {
-        case 0 => Some(new StreamState(table, -1))
+        case 0 => Some(new StreamState(StreamCfg(table, -1)))
         case 1 =>
           if (p >= end) None
           else {
             val sym = bytes(p) & 0xff; p += 1
-            if (sym > maxSym) None else Some(new StreamState(null, sym))
+            if (sym > maxSym) None else Some(new StreamState(StreamCfg(null, sym)))
           }
-        case _ => None // FSE_Compressed / Repeat: honest stub
+        case 2 => // FSE_Compressed: the table description rides the stream
+          readFseDistribution(bytes, p, end, maxSym, maxAcc).flatMap {
+            case (norm, accLog, used) =>
+              p += used
+              scala.util.Try(buildFse(norm, accLog)).toOption
+                .map(t => new StreamState(StreamCfg(t, -1)))
+          }
+        case _ => // Repeat: the previous block's table/pin, verbatim
+          Option(prev).map(new StreamState(_))
       }
-    // header order in the byte stream: LL, OF, ML
-    val llOpt = mkStream((modes >> 6) & 3, LLDefault, 35)
-    val ofOpt = mkStream((modes >> 4) & 3, OFDefault, 31)
-    val mlOpt = mkStream((modes >> 2) & 3, MLDefault, 52)
+    // header order in the byte stream: LL, OF, ML; per-stream
+    // accuracy ceilings are the RFC's (LL 9, OF 8, ML 9)
+    val llOpt = mkStream((modes >> 6) & 3, LLDefault, 35, 9, ctx.llCfg)
+    val ofOpt = mkStream((modes >> 4) & 3, OFDefault, 31, 8, ctx.ofCfg)
+    val mlOpt = mkStream((modes >> 2) & 3, MLDefault, 52, 9, ctx.mlCfg)
     if (llOpt.isEmpty || ofOpt.isEmpty || mlOpt.isEmpty) return None
     val (llS, ofS, mlS) = (llOpt.get, ofOpt.get, mlOpt.get)
     val br = new BackBits(bytes, p, end)
@@ -253,7 +635,9 @@ object ZstdSeq {
       }
     }
     var litPos = 0
-    var rep1 = 1L; var rep2 = 4L; var rep3 = 8L
+    // repeat offsets persist ACROSS blocks within a frame
+    var rep1 = ctx.rep1; var rep2 = ctx.rep2; var rep3 = ctx.rep3
+    val hist = ctx.hist
     var i = 0
     while (i < nbSeq) {
       val ofCode = ofS.sym
@@ -298,14 +682,19 @@ object ZstdSeq {
         llS.update(br); mlS.update(br); ofS.update(br)
         if (br.bitPos < 0) return None
       }
-      // execute: literals copy, then match copy
+      // execute: literals copy, then match copy (negative sources
+      // read the frame WINDOW — earlier blocks' decoded output)
       if (litPos + ll > lit.length || !ensure(ll + ml)) return None
       System.arraycopy(lit, litPos, buf, o, ll)
       litPos += ll; o += ll
-      if (offset > o || ml < 3) return None
+      if (offset > o + hist.length || ml < 3) return None
       val src = (o - offset).toInt
       var j = 0
-      while (j < ml) { buf(o + j) = buf(src + j); j += 1 }
+      while (j < ml) {
+        val s = src + j
+        buf(o + j) = if (s >= 0) buf(s) else hist(hist.length + s)
+        j += 1
+      }
       o += ml
       i += 1
     }
@@ -316,6 +705,9 @@ object ZstdSeq {
     if (!ensure(rest)) return None
     System.arraycopy(lit, litPos, buf, o, rest)
     o += rest
+    // commit cross-block state only on success
+    ctx.rep1 = rep1; ctx.rep2 = rep2; ctx.rep3 = rep3
+    ctx.llCfg = llS.cfg; ctx.ofCfg = ofS.cfg; ctx.mlCfg = mlS.cfg
     Some(java.util.Arrays.copyOf(buf, o))
   }
 
@@ -324,11 +716,55 @@ object ZstdSeq {
     * as opposed to malformed? The census reports the two separately:
     * `unsupported` is a stub boundary, `failed` is a defect.
     */
-  def isUnsupported(bytes: Array[Byte], off: Int, end: Int): Boolean = {
+  /** With the full non-dictionary decoder in place the only
+    * "undecodable by construction" class left is a block whose
+    * cross-block dependencies (treeless Huffman table, Repeat-mode
+    * tables, window) were LOST to an earlier failed block
+    * (`stateLost`): those are skipped honestly, like LZ4's linked
+    * blocks after a break. On an intact frame, every decode failure
+    * is a defect — a treeless or Repeat FIRST block is spec-corrupt,
+    * not a stub.
+    */
+  def isUnsupported(bytes: Array[Byte], off: Int, end: Int,
+                    stateLost: Boolean = false): Boolean = {
+    if (!stateLost) return false
     if (end - off < 1) return false
     val b0 = bytes(off) & 0xff
-    if ((b0 & 3) >= 2) return true // Huffman / treeless literals
-    // walk past literals to the modes byte
+    if ((b0 & 3) == 3) return true // treeless: table lost
+    // walk past the literals section to the modes byte
+    var p = off
+    if ((b0 & 3) == 2) {
+      // compressed literals: skip header + compressed mass
+      val sf = (b0 >> 2) & 3
+      val (hdrLen, comp) = sf match {
+        case 0 | 1 =>
+          if (end - off < 3) return false
+          val v = (b0 | ((bytes(off + 1) & 0xff) << 8) |
+            ((bytes(off + 2) & 0xff) << 16)) >>> 4
+          (3, (v >> 10) & 0x3FF)
+        case 2 =>
+          if (end - off < 4) return false
+          val v = ((b0 | ((bytes(off + 1) & 0xff) << 8) |
+            ((bytes(off + 2) & 0xff) << 16)).toLong |
+            ((bytes(off + 3) & 0xffL) << 24)) >>> 4
+          (4, ((v >> 14) & 0x3FFF).toInt)
+        case _ =>
+          if (end - off < 5) return false
+          val v = ((b0 | ((bytes(off + 1) & 0xff) << 8) |
+            ((bytes(off + 2) & 0xff) << 16)).toLong |
+            ((bytes(off + 3) & 0xffL) << 24) |
+            ((bytes(off + 4) & 0xffL) << 32)) >>> 4
+          (5, ((v >> 18) & 0x3FFFF).toInt)
+      }
+      p = off + hdrLen + comp
+      if (p >= end) return false
+      val s0 = bytes(p) & 0xff
+      p += (if (s0 < 128) 1 else if (s0 < 255) 2 else 3)
+      if (s0 == 0 || p >= end) return false
+      val modes = bytes(p) & 0xff
+      return ((modes >> 6) & 3) == 3 || ((modes >> 4) & 3) == 3 ||
+        ((modes >> 2) & 3) == 3
+    }
     val (hdrLen, regen) =
       if ((b0 & 4) == 0) (1, b0 >> 3)
       else if ((b0 & 8) == 0) {
@@ -339,13 +775,16 @@ object ZstdSeq {
         (3, (b0 | ((bytes(off + 1) & 0xff) << 8) |
           ((bytes(off + 2) & 0xff) << 16)) >> 4)
       }
-    var p = off + hdrLen + (if ((b0 & 3) == 0) regen else 1)
+    p = off + hdrLen + (if ((b0 & 3) == 0) regen else 1)
     if (p >= end) return false
     val s0 = bytes(p) & 0xff
     p += (if (s0 < 128) 1 else if (s0 < 255) 2 else 3)
     if (s0 == 0 || p >= end) return false
     val modes = bytes(p) & 0xff
-    ((modes >> 6) & 3) >= 2 || ((modes >> 4) & 3) >= 2 || ((modes >> 2) & 3) >= 2
+    // Repeat mode needs cross-block table state; Predefined, RLE and
+    // FSE_Compressed all decode
+    ((modes >> 6) & 3) == 3 || ((modes >> 4) & 3) == 3 ||
+      ((modes >> 2) & 3) == 3
   }
 
   // ------------------------------------------------------------------
@@ -388,6 +827,12 @@ object ZstdSeq {
     var decodedBytes = 0L
     val content = new java.io.ByteArrayOutputStream()
     var tracked = true
+    // cross-block frame state: repeat offsets, Repeat-mode tables,
+    // treeless Huffman table, and the match window. A failed block
+    // loses it (matches could reference bytes never produced), so the
+    // ctx resets — later self-contained blocks still decode.
+    var ctx = new FrameCtx(maxOut)
+    var ctxBroken = false
     var last = false
     while (!last) {
       if (n - pos < 3) return InvalidCensus
@@ -403,6 +848,7 @@ object ZstdSeq {
           if (size > n - pos) return InvalidCensus
           nRaw += 1
           decodedBytes += size
+          ctx.pushHist(bytes, pos, size)
           if (tracked && content.size() + size <= maxOut)
             content.write(bytes, pos, size)
           else tracked = false
@@ -411,25 +857,31 @@ object ZstdSeq {
           if (pos >= n || size > maxOut) return InvalidCensus
           nRle += 1
           decodedBytes += size
-          if (tracked && content.size() + size <= maxOut) {
-            var i = 0
-            while (i < size) { content.write(bytes(pos)); i += 1 }
-          } else tracked = false
+          val rle = new Array[Byte](size)
+          java.util.Arrays.fill(rle, bytes(pos))
+          ctx.pushHist(rle, 0, size)
+          if (tracked && content.size() + size <= maxOut)
+            content.write(rle, 0, size)
+          else tracked = false
           pos += 1
         case 2 =>
           if (size > n - pos) return InvalidCensus
           nComp += 1
-          decodeBlock(bytes, pos, pos + size, maxOut) match {
+          decodeBlock(bytes, pos, pos + size, maxOut, ctx) match {
             case Some(dec) =>
               nDec += 1
               decodedBytes += dec.length
+              ctx.pushHist(dec, 0, dec.length)
               if (tracked && content.size() + dec.length <= maxOut)
                 content.write(dec, 0, dec.length)
               else tracked = false
             case None =>
-              if (isUnsupported(bytes, pos, pos + size)) nUnsup += 1
+              if (isUnsupported(bytes, pos, pos + size,
+                stateLost = ctxBroken)) nUnsup += 1
               else nFail += 1
               tracked = false
+              ctx = new FrameCtx(maxOut)
+              ctxBroken = true
           }
           pos += size
         case _ => return InvalidCensus // reserved

@@ -5338,8 +5338,9 @@ object DataQueries {
               (0, Array.tabulate(20 + k)(i => ((i * 13 + k) % 251).toByte)),
               (2, predefBlock),
               (2, rleModeBlock)) ++
-              (if (k % 4 == 0)
-                Seq((2, ZstdOps.literalsHeader(2, 50, 10) ++ Array.fill(10)(7.toByte)))
+              (if (k % 4 == 0) // treeless FIRST-use: spec-corrupt (no
+                // prior Huffman table anywhere in the frame)
+                Seq((2, ZstdOps.literalsHeader(3, 50, 10) ++ Array.fill(10)(7.toByte)))
               else Nil) ++
               (if (k % 5 == 0) Seq((2, broken)) else Nil)
             (id, ZstdOps.encodeFrameWithBlocks(blocks))
@@ -5351,17 +5352,17 @@ object DataQueries {
     Some("""
       WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
       f AS (SELECT doc_id, k,
-              CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS unsup,
-              CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS fail
+              CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS fail
             FROM d)
       SELECT doc_id,
              CAST(1 AS BIGINT) AS valid,
-             CAST(3 + unsup + fail AS BIGINT) AS n_blocks,
+             CAST(3 + fail AS BIGINT) AS n_blocks,
              CAST(1 AS BIGINT) AS n_raw,
              CAST(0 AS BIGINT) AS n_rle,
-             CAST(2 + unsup + fail AS BIGINT) AS n_compressed,
+             CAST(2 + fail AS BIGINT) AS n_compressed,
              CAST(2 AS BIGINT) AS n_decoded,
-             CAST(unsup AS BIGINT) AS n_unsupported,
+             CAST(0 AS BIGINT) AS n_unsupported,
              CAST(fail AS BIGINT) AS n_failed,
              CAST(77 + k AS BIGINT) AS decoded_bytes,
              CAST(-1 AS BIGINT) AS content_ok

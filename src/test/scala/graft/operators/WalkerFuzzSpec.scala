@@ -151,6 +151,28 @@ class WalkerFuzzSpec extends AnyFunSuite {
         rnd.nextBoolean(), if (rnd.nextBoolean()) 1 + rnd.nextInt(50) else 0,
         rnd.nextInt(200)),
       b => { val m = ZstdOps.parse(b); (m.nFrames.toLong + m.nSkippable, m.trailingBytes) }),
+    Fuzzed("zstd-seq",
+      rnd => {
+        // frames mixing raw blocks with the full sequence-decoder
+        // surface: the real predefined-FSE block, a hand-encoded
+        // RLE-mode block, and occasionally a Repeat-mode follower
+        val predef = ("6061626364656667685f78797a01000ccb11"
+          .grouped(2).map(Integer.parseInt(_, 16).toByte)).toArray
+        val rleMode = ZstdOps.literalsHeader(0, 10) ++
+          "0123456789".getBytes ++ Array[Byte](1, 0x54, 4, 1, 5, 0x02)
+        val blocks = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+        blocks += ((0, Array.fill(rnd.nextInt(60))(rnd.nextInt(256).toByte)))
+        if (rnd.nextBoolean()) blocks += ((2, predef))
+        blocks += ((2, rleMode))
+        if (rnd.nextBoolean())
+          blocks += ((2, ZstdOps.literalsHeader(0, 8) ++
+            "abcdEFGH".getBytes ++ Array[Byte](1, 0xFC.toByte, 0x03)))
+        ZstdOps.encodeFrameWithBlocks(blocks.toSeq)
+      },
+      b => { val c = ZstdSeq.frameSeqCensus(b)
+        // decodedBytes may legitimately EXCEED the input (that's
+        // decompression) so it can't play the trailing-bytes slot
+        (c.nDecoded.toLong + c.nUnsupported + c.nFailed, 0L) }),
     Fuzzed("utf8",
       rnd => (1 to 20 + rnd.nextInt(60)).flatMap { _ =>
         rnd.nextInt(4) match {

@@ -12,6 +12,44 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ZstdSeqSpec extends AnyFunSuite {
 
+  private val H13Hex: String =
+    "28b52ffd64b80a353700fa6ec0133b406bd31cc3307c57fe295986af638cc7cbe27f2f77966ccff4ee66b27793a96bca60d1" +
+    "e0c7f04b3fe223fe779e775d776c2339630d103b3a4df002260125013701149f339f849c332be1b4d0e075a17f2dbbc7b34e" +
+    "67fd66a41e1db9b5eacc58c9f5560a5fa678070347888397ad091f7c455d53621dacf35a589d756557ddc85d9d59db324678" +
+    "16b94e6af53d9313525d3b3a575ed345206c75e5ec2b5ffb8e13dfd61b98795b6c5f84d77426c1c8881a9cd390e38a944f28" +
+    "269d0badec07b197953d3914e18c239a3c03a372a1f18b0c8a431122b7af3bf376926384bda997fd15330d8af0ee5a5d7b6d" +
+    "5312fe424884e4b1a68398aeea42ea79222cbdb78a54789ee448c9b6e6a500c9ccdb861746383165774a426bdbcd4adb9fe4" +
+    "776a5f17ded57d752107d21252b26f1dbc9dc8922f91e2050b01d19563ca10549dd29901021005ce915d14796fe065d9a273" +
+    "5ab627b94e8720104d656a5bc2d814d20ebefc3aae983980ad71d77411590654962f24bc5c422245e6d81a5224c2ccacf4d6" +
+    "326d2de7997df07da66974deb3dbb65112d66bcf22acc6cd385949050349dd9a14b9846c5d9a56539c492c8c9c19239fd92b" +
+    "e1a44ff6a5da9c869b473a931ee91112a4d0ab3ca7caf2bbe5b271f101af60a06336362ea2c6632592a51957a44891dbda67" +
+    "b671b83ee21f97ae9881b819ae94f40f486bed03f2717b655f3927ff7853ac718cf9070472afd961cb0100804020e484f772" +
+    "edd1b7fc24d3777c72767a7ae5cc3bb2b32d2968fb41eabc5c9bce4d77745ce7272834eea238db7bd17bcdcb7e71527f7d2f" +
+    "b4ace920f3fec5ae7e5dd73add3564f870cb83e80c37f7e8bfa6f68a1472eba45d1f39403bd9b5335d7b53db3209bd5ebf5f" +
+    "5b61a6d16ecdd99d1b4821ccf665aa2b151729728b0a4c83cb9f4cab7d25fc820a8bc69f4f54285ee180cea0011c8e8d4387" +
+    "1320a000c282026ad0a5f2e79709e61c5084b38c4a536c553097898752b1782c3030ae1f7c6ddd0255685c42a2219dc50a21" +
+    "5af7c2e342d83ba7591f8b0684c772d9b88010334d5775f6950a06da4e64095d8fde9022afb466fefc414a72fc13f9ba703d" +
+    "fa46f1af6bbf3a1b86e7f5f36c26c34299d92c73348ea7a613b22daaed23610566e212928b03c96d350d9dd3e2012da4c837" +
+    "a2cb59b3d9e0a1ce89338ae9acf4b1278e671ac91a4d3166baa639c3445174165126ce2693da37b2a5f315e54a5d68c1e8f6" +
+    "6dbbddb9b649381b60309d0b2b4768c1488afcc277f15f47fa5a464e772640e78cedf5b52ddb75ecd1671791e52d39d2dab4" +
+    "537dc0dbd599697daf3a1d03037a4b68a7a3708e1bfcb905a33fb7371dd6721dd7b59daf23e2f7f2e42f806ceabdb1b62bf5" +
+    "684b4968c1fba66ad35737f2665a5d5be5960cdac5a045dc5ef4c96ef3b627bb5eae72b7ade47a29ea8ad48295bd95b8b52d" +
+    "bdee006335125a09eefadbd785caf47938a28984b4b5abd7b4948495e5eaaf37b0f66b089ed5988452d9baec235bd0f57bb2" +
+    "693f099ba69b03699f51124aeee8ee606deb9250767c848d2d6b6b5e594e789dbc32d274dda853f9c96b4e6f1d3aeb95fdd7" +
+    "d3745ddb3a71569790bc6b27486702aec570468160617166ebb4b2373ac3d1d9abd3b50665e32cdaa0801e0398cb19a522a1" +
+    "e2cc0261fc4082021017670730978742b94cb48ca87236812c94338aca38c354269c55be67130d28822632e7b525e4fbdace" +
+    "e85a849ca1ec3e5973a210037509493fc831e1bba049e4372d78e31580d5a8f19c524c1923333222329316d2012002420842" +
+    "64e90111e0ad543549b2ec675c0627cad5320365d423602dcd65933f10cf1088d422d88a5a81df3cad60498277580ab02322" +
+    "24e1a96fddeda7eec7082a684230a57a0b033de42bb2cb6d993501c3f0414f16d4e6af854463113b1ad30dfe911a9ab8c648" +
+    "e02ede62e30e93964e8944f6a806684c0bd90d935fabe902ab128aa59368c940db01e218632a6ccc9c302dd9b3765c9341ee" +
+    "9eca84b913dd5c181561f0a207b141080c440b45d80741a0b9f3e360ba6d53415056a5a29a0f86a06a33ff4915cae328675b" +
+    "736172d9a4f0e62ffc990d0a82eac54d0eac820eac74ca9a3ff3055dda424c026485606204f5fb76ef4895ca949e2ec8c29f" +
+    "08c0808b45a76cbd28987169afc15289184a863a8e50635bc055435a78028ea2a18ff444485befdc30d4adc43e191c1d32d4" +
+    "5d788a66dae89b72862d0f5fc939df9b84395d6ede1d1cf6aa0b1b12d290f939629c2067342452f6859773f868801d091861" +
+    "15405c0ed8bf5fa562a37d99a5f4fe2127cc53576d736ea0d8bb9aaad37b986f3e1b5199a7addfc8a8e48964978a38fcd40f" +
+    "bde554b9bb8c2d0e3c0f0acb3e172103266b2c767724281c63a49901b1cef3a867b107b817fe47ab4e3cd587b9e5f2bd6afd" +
+    "6915ec57d6d094d05a35e8de53552852ed5f1efce113755b0b159766aabd"
+
   private def hex(s: String): Array[Byte] =
     s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
@@ -47,6 +85,75 @@ class ZstdSeqSpec extends AnyFunSuite {
     }
   }
 
+  test("real FSE_Compressed-mode frames decode: table descriptions read from the stream") {
+    // zstd -3 and -19 on an 800-byte synthetic pattern: -3 emits
+    // FSE_Compressed LL+OF with RLE ML, -19 all three FSE_Compressed —
+    // the in-stream table-description path, graded against the
+    // reference implementation's own output + checksum
+    val want = Array.tabulate(800)(i => ((i * 7 + (i >> 3)) % 97 + 30).toByte)
+    val frames = Seq(
+      ("h3-3", "28b52ffd642002fd040004081e252c333a41484f575e656c737a20272f363d444b525960686f767d232a313840474e555c636a71791f262d343b424951585f666d747b212930373e454c535a626970777e242b32565d646b2e353c43676e757c3f464d54781e252c50575e65282f363d61686f763940474e72791f264a51585f222930375b6269704b52596080a8a4b147f7ff0df0750e01feffffff9976d7cc9c99999930450e59054fc58c60"),
+      ("h3-19", "28b52ffd6420022d0500d4071e252c333a41484f575e656c737a20272f363d444b525960686f767d232a313840474e555c636a71791f262d343b424951585f666d747b212930373e454c535a626970777e242b32565d646b2e353c43676e757c3f464d54781e252c50575e65282f363d61686f763940474e72791f264a51585f222930375b6269701e80a4a8a12bb9ff6fe0751a0311e0ef7f070b93000000000082e6af9999993933518a1ccfae024fc58c60"))
+    frames.foreach { case (name, hx) =>
+      val frame = hex(hx)
+      val c = ZstdSeq.frameSeqCensus(frame)
+      assert(c.valid == 1 && c.nDecoded == 1 && c.nFailed == 0 && c.nUnsupported == 0,
+        s"$name: $c")
+      assert(c.decodedBytes == 800L, s"$name: length")
+      assert(c.contentOk == 1, s"$name: XXH64 over the decoded stream")
+      // content byte-exact via the block decoder (layout: magic 4 +
+      // FHD 1 + 2-byte FCS + 3-byte block header)
+      val dec = ZstdSeq.decodeBlock(frame, 10, frame.length - 4, 1 << 20).get
+      assert(java.util.Arrays.equals(dec, want), s"$name: content mismatch")
+    }
+  }
+
+  test("real Huffman-literals frames decode: 1-stream, FSE-compressed weights") {
+    // zstd -3 on prose: Compressed literals, single stream, weights
+    // FSE-compressed — the full tree-description path, graded against
+    // the reference implementation's output + its own checksum
+    val z2want = "the quick brown fox jumps over the lazy dog the quick brown fox " +
+      "jumps again and again over the lazy dog until the quick brown fox is " +
+      "tired of jumping over dogs"
+    val z2 = hex("28b52ffd249fcd02000205111690a76d888822ddd064bb9184" +
+      "9656be7177777172871c09d750b3385d3ef67628f9294db2b6695db3b070ed8643" +
+      "991fe1a31bec5371babcb0e34a58443c00c816fc0807060087184211beffcadb96" +
+      "ec9e5230b866194ee1bd8d")
+    val c2 = ZstdSeq.frameSeqCensus(z2)
+    assert(c2.valid == 1 && c2.nDecoded == 1 && c2.nFailed == 0 &&
+      c2.nUnsupported == 0, s"z2: $c2")
+    assert(c2.decodedBytes == z2want.length.toLong && c2.contentOk == 1)
+    val dec = ZstdSeq.decodeBlock(z2, 9, z2.length - 4, 1 << 20).get
+    assert(new String(dec, "ISO-8859-1") == z2want, "z2 content")
+    // a deterministic 1.5KB vocab text at levels 3 and 19 — rebuildable
+    // content, so decode is compared byte-for-byte
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron", "pi", "rho")
+    val h5want = (0 until 300).map(i => vocab((i * 31 + (i >> 2)) % 17)).mkString(" ")
+    val h5frames = Seq(
+      "28b52ffd64dd041d040092840e13b0a70d874912caeeb6b1c6db564c92c2642a02650ade3939887ff7e16e2e836955288d2d05544fb8a0bf4682bfe46f96cb19930475e90fb5071b00755ced0f1a33a127021bd2f0f33db436c063065b730148f06374840c07a20600ef4026e30ff83e0685cf05ab7600d38250ef01aa17a1cad40cd8e7a28bc588e23686ac9e56267a25",
+      "28b52ffd64dd04d50300a2451011c0eb5e9514952b6492484a1a0030c239012b8decc8ae93ed7b4d49f2333ff2c6c88e1a54e8fc3db288fc3d80d08bd7f1d79cf0f7fc55f44a1f4d01537d82cc031400865ced0f7266d6cf1bcfe300280940c38fd1113232102501de0319c81f33ad0f24c013c0250e50bd10aa7c9f9b218a3318b27a0256267a25")
+    h5frames.foreach { hx =>
+      val f = hex(hx)
+      val c = ZstdSeq.frameSeqCensus(f)
+      assert(c.nDecoded == 1 && c.contentOk == 1 && c.decodedBytes == 1501L, c.toString)
+      val d = ZstdSeq.decodeBlock(f, 10, f.length - 4, 1 << 20).get
+      assert(new String(d, "ISO-8859-1") == h5want)
+    }
+  }
+
+  test("real 4-stream Huffman frame decodes and self-verifies (1.8KB, zstd -3)") {
+    // 3000 bytes of markdown at level 3: Compressed literals with the
+    // 4-stream layout (jump table) — verified via the frame's OWN
+    // XXH64 checksum over the decoded stream
+    val f = hex(H13Hex)
+    val c = ZstdSeq.frameSeqCensus(f)
+    assert(c.valid == 1 && c.nDecoded == 1 && c.nFailed == 0 &&
+      c.nUnsupported == 0, c.toString)
+    assert(c.decodedBytes == 3000L)
+    assert(c.contentOk == 1, "4-stream decode must match the frame checksum")
+  }
+
   test("FSE table build: cell counts equal normalized counts, spread closes") {
     for ((norm, log) <- Seq((ZstdSeq.LLDefaultNorm, 6),
         (ZstdSeq.MLDefaultNorm, 6), (ZstdSeq.OFDefaultNorm, 5))) {
@@ -74,18 +181,39 @@ class ZstdSeqSpec extends AnyFunSuite {
     }
   }
 
-  test("declared-unsupported vs malformed are reported separately") {
-    // Huffman literals: unsupported (stub boundary), never failed
-    val huff = ZstdOps.encodeFrameWithBlocks(Seq(
+  test("defects vs lost-state skips are reported separately") {
+    // treeless/Repeat as the FIRST block of a frame: spec-corrupt
+    // (no prior table can exist) -> a DEFECT, not a stub
+    val treelessFirst = ZstdOps.encodeFrameWithBlocks(Seq(
+      (2, ZstdOps.literalsHeader(3, 50, 10) ++ Array.fill(10)(7.toByte))))
+    val ct = ZstdSeq.frameSeqCensus(treelessFirst)
+    assert(ct.nFailed == 1 && ct.nUnsupported == 0)
+    val repFirst = ZstdOps.encodeFrameWithBlocks(Seq(
+      (2, ZstdOps.literalsHeader(0, 4) ++ "abcd".getBytes ++
+        Array[Byte](1, (3 << 6 | 3 << 4 | 3 << 2).toByte, 0x03))))
+    val cr = ZstdSeq.frameSeqCensus(repFirst)
+    assert(cr.nFailed == 1 && cr.nUnsupported == 0)
+    // GARBAGE Huffman-compressed literals: defect (decode attempted)
+    val badHuff = ZstdOps.encodeFrameWithBlocks(Seq(
       (2, ZstdOps.literalsHeader(2, 50, 10) ++ Array.fill(10)(7.toByte))))
-    val ch = ZstdSeq.frameSeqCensus(huff)
-    assert(ch.nUnsupported == 1 && ch.nFailed == 0)
-    // FSE_Compressed sequence mode: also unsupported
-    val fseMode = ZstdOps.encodeFrameWithBlocks(Seq(
+    val cg = ZstdSeq.frameSeqCensus(badHuff)
+    assert(cg.nFailed == 1 && cg.nUnsupported == 0)
+    // a garbage FSE table DESCRIPTION is a defect too
+    val fseGarbage = ZstdOps.encodeFrameWithBlocks(Seq(
       (2, ZstdOps.literalsHeader(0, 4) ++ "abcd".getBytes ++
         Array[Byte](1, (2 << 6 | 2 << 4 | 2 << 2).toByte, 0x03))))
-    val cf = ZstdSeq.frameSeqCensus(fseMode)
-    assert(cf.nUnsupported == 1 && cf.nFailed == 0)
+    val cf = ZstdSeq.frameSeqCensus(fseGarbage)
+    assert(cf.nFailed == 1 && cf.nUnsupported == 0)
+    // but AFTER a failed block, a Repeat-mode block is undecodable by
+    // construction (state lost) -> skipped honestly, not a defect
+    val z1Blk = hex("6061626364656667685f78797a01000ccb11")
+    val brokenFirst = z1Blk.clone(); brokenFirst(brokenFirst.length - 1) = 0
+    val repAfterFail = ZstdOps.encodeFrameWithBlocks(Seq(
+      (2, brokenFirst),
+      (2, ZstdOps.literalsHeader(0, 4) ++ "abcd".getBytes ++
+        Array[Byte](1, (3 << 6 | 3 << 4 | 3 << 2).toByte, 0x03))))
+    val ca = ZstdSeq.frameSeqCensus(repAfterFail)
+    assert(ca.nFailed == 1 && ca.nUnsupported == 1, ca.toString)
     // zeroed bitstream (no end marker): MALFORMED, not unsupported
     val z1Block = hex("6061626364656667685f78797a01000ccb11")
     val broken = z1Block.clone()
@@ -115,6 +243,94 @@ class ZstdSeqSpec extends AnyFunSuite {
     val frame = hex(fixtures(0)._2).clone()
     frame(frame.length - 1) = (frame(frame.length - 1) ^ 0x11).toByte
     assert(ZstdSeq.frameSeqCensus(frame).contentOk == 0)
+  }
+
+  test("cross-block state: Repeat modes, repeat-offset carry, window-crossing match") {
+    // block 1: the known RLE-mode block (content 012301230123456789;
+    // its sequence takes offsetValue=2 -> rep history becomes [4,1,8]).
+    // block 2: modes all-Repeat (reuses the RLE pins), OF extra bit 1
+    // -> offsetValue=3 -> rep3=8 -> a match reaching 4 bytes into
+    // BLOCK 1's decoded output across the boundary.
+    val b1 = ZstdOps.literalsHeader(0, 10) ++ "0123456789".getBytes ++
+      Array[Byte](1, 0x54, 4, 1, 5, 0x02)
+    val b2 = ZstdOps.literalsHeader(0, 8) ++ "abcdEFGH".getBytes ++
+      Array[Byte](1, 0xFC.toByte, 0x03)
+    val ctx = new ZstdSeq.FrameCtx()
+    val d1 = ZstdSeq.decodeBlock(b1, 0, b1.length, 1 << 20, ctx)
+    assert(d1.isDefined && new String(d1.get, "ISO-8859-1") == "012301230123456789")
+    ctx.pushHist(d1.get, 0, d1.get.length)
+    val d2 = ZstdSeq.decodeBlock(b2, 0, b2.length, 1 << 20, ctx)
+    assert(d2.isDefined, "Repeat-mode block with carried state must decode")
+    assert(new String(d2.get, "ISO-8859-1") == "abcd6789abcdEFGH",
+      s"window-crossing match: ${new String(d2.get, "ISO-8859-1")}")
+    // the same two blocks through the frame walker
+    val c = ZstdSeq.frameSeqCensus(ZstdOps.encodeFrameWithBlocks(Seq((2, b1), (2, b2))))
+    assert(c.nDecoded == 2 && c.nFailed == 0 && c.decodedBytes == 34L, c.toString)
+    // standalone (no ctx), block 2 is spec-corrupt: Repeat with no prior
+    assert(ZstdSeq.decodeBlock(b2, 0, b2.length, 1 << 20).isEmpty)
+  }
+
+  test("cross-block state: Treeless literals reuse the frame's Huffman table") {
+    // carve z2's block apart: its Huffman tree feeds the frame table,
+    // then a second block ships ONLY the stream (Treeless) + nbSeq=0
+    val z2 = hex("28b52ffd249fcd02000205111690a76d888822ddd064bb9184" +
+      "9656be7177777172871c09d750b3385d3ef67628f9294db2b6695db3b070ed8643" +
+      "991fe1a31bec5371babcb0e34a58443c00c816fc0807060087184211beffcadb96" +
+      "ec9e5230b866194ee1bd8d")
+    val blk = z2.slice(9, z2.length - 4)
+    val v = ((blk(0) & 0xff) | ((blk(1) & 0xff) << 8) | ((blk(2) & 0xff) << 16)) >>> 4
+    val (regen, comp) = (v & 0x3FF, (v >> 10) & 0x3FF)
+    val (_, treeBytes) = ZstdSeq.readHufTable(blk, 3, 3 + comp).get
+    val stream = blk.slice(3 + treeBytes, 3 + comp)
+    def hdr3(litType: Int, rg: Int, cp: Int): Array[Byte] = {
+      val h = litType | (rg << 4) | (cp << 14) // size_format 00 -> 1 stream
+      Array[Byte]((h & 0xff).toByte, ((h >> 8) & 0xff).toByte, ((h >> 16) & 0xff).toByte)
+    }
+    val treeless = hdr3(3, regen, stream.length) ++ stream ++ Array[Byte](0)
+    val frame = ZstdOps.encodeFrameWithBlocks(Seq((2, blk), (2, treeless)))
+    val c = ZstdSeq.frameSeqCensus(frame)
+    assert(c.nDecoded == 2 && c.nFailed == 0 && c.nUnsupported == 0, c.toString)
+    // block 1 regenerates the full 159-char text; the treeless twin
+    // carries nbSeq = 0, so its content is exactly the 80 literals
+    // decoded through the REUSED table
+    assert(c.decodedBytes == 159L + regen, s"regen=$regen ${c.toString}")
+  }
+
+  test("pinned 400KB multi-block real frame (zstd -6): full decode, byte-exact") {
+    // six 128KB-boundary blocks from the reference CLI — the shapes a
+    // real shard exchange produces (Repeat modes, treeless literals,
+    // window-crossing matches all live here); content rebuilt from its
+    // deterministic formula, so the comparison is byte-exact end to end
+    val frame = {
+      val in = getClass.getResourceAsStream("/zstd_multiblock_400k.zst")
+      try in.readAllBytes() finally in.close()
+    }
+    val want = Array.tabulate(400000) { i =>
+      ((((i * 131 + (i >> 5) * 17) % 251) ^ (i >> 10)) & 0xff).toByte
+    }
+    val c = ZstdSeq.frameSeqCensus(frame, maxOut = 1 << 23)
+    assert(c.valid == 1 && c.nBlocks == 6 && c.nDecoded == 6 &&
+      c.nFailed == 0 && c.nUnsupported == 0, c.toString)
+    assert(c.decodedBytes == 400000L)
+    assert(c.contentOk == 1, "decoded stream vs the frame's own XXH64")
+    // and the bytes themselves, through the ctx-threaded block decoder
+    val ctx = new ZstdSeq.FrameCtx(1 << 23)
+    var pos = 4 + 1 + 4 // magic + FHD(0xa4: checksum, 4-byte FCS) + FCS
+    val out = new java.io.ByteArrayOutputStream()
+    var last = false
+    while (!last) {
+      val h = (frame(pos) & 0xff) | ((frame(pos + 1) & 0xff) << 8) |
+        ((frame(pos + 2) & 0xff) << 16)
+      pos += 3
+      last = (h & 1) != 0
+      val size = h >>> 3
+      val dec = ZstdSeq.decodeBlock(frame, pos, pos + size, 1 << 23, ctx).get
+      ctx.pushHist(dec, 0, dec.length)
+      out.write(dec, 0, dec.length)
+      pos += size
+    }
+    assert(java.util.Arrays.equals(out.toByteArray, want),
+      "multi-block content must be byte-exact")
   }
 
   test("RLE-mode sequences block decodes (hand-encoded, closed form)") {
