@@ -165,6 +165,141 @@ object DeltaLogOps {
   }
 
   // ------------------------------------------------------------------
+  // incremental replay: compact state fold
+  //
+  // A transaction log only GROWS; the live-set state it encodes is
+  // bounded by file count. The fold keeps exactly that: the latest
+  // action per (table, path), per-table line/action tallies, the
+  // latest protocol, and the distinct version set — so each arriving
+  // commit batch costs one latest-wins reduction over (state ∪ batch),
+  // never a replay of history. censusFromState over the folded state
+  // is spec-pinned EQUAL to snapshotCensus over all lines seen.
+
+  /** The compact state's schema: one DataFrame, `kind`-discriminated
+    * ("act" latest-per-path rows, "tally" summed counters, "proto"
+    * latest protocol, "ver" distinct versions).
+    */
+  val StateSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "tbl BIGINT, kind STRING, path STRING, ver BIGINT, is_add BOOLEAN, " +
+        "size BIGINT, pvals STRING, n_rows BIGINT, n_lines BIGINT, " +
+        "n_malformed BIGINT, n_adds BIGINT, n_removes BIGINT, " +
+        "min_reader BIGINT, min_writer BIGINT")
+
+  def emptyState(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StateSchema)
+
+  /** Fold one batch of NEW log lines into the compact state. */
+  def foldBatch(state: DataFrame, batch: DataFrame, tableCol: String,
+                versionCol: String, lineCol: String,
+                statsPath: String = "x"): DataFrame = {
+    val p = parsed(batch, tableCol, versionCol, lineCol, statsPath)
+      .localCheckpoint(false) // four consumers below
+    val known = col("add_path").isNotNull || col("rm_path").isNotNull ||
+      col("proto_r").isNotNull || col("meta_id").isNotNull || col("is_info")
+    def widen(df: DataFrame): DataFrame =
+      df.select(StateSchema.fieldNames.map(f =>
+        if (df.columns.contains(f)) col(f) else lit(null).cast(
+          StateSchema(f).dataType).as(f)): _*)
+    val acts = widen(p
+      .filter(col("add_path").isNotNull || col("rm_path").isNotNull)
+      .select(col("tbl"), lit("act").as("kind"),
+        coalesce(col("add_path"), col("rm_path")).as("path"),
+        col("ver"), col("add_path").isNotNull.as("is_add"),
+        col("size"), col("pvals"), col("n_rows")))
+    val tally = widen(p.groupBy("tbl").agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(!known, 1L).otherwise(0L)).as("n_malformed"),
+      sum(col("add_path").isNotNull.cast("long")).as("n_adds"),
+      sum(col("rm_path").isNotNull.cast("long")).as("n_removes"))
+      .withColumn("kind", lit("tally")))
+    val proto = widen(p.filter(col("proto_r").isNotNull)
+      .select(col("tbl"), lit("proto").as("kind"), col("ver"),
+        col("proto_r").as("min_reader"), col("proto_w").as("min_writer")))
+    val vers = widen(p.select(col("tbl"), lit("ver").as("kind"), col("ver"))
+      .distinct())
+    val unioned = state.unionByName(acts).unionByName(tally)
+      .unionByName(proto).unionByName(vers)
+    // re-reduce each kind to its compact form
+    val wAct = Window.partitionBy("tbl", "path")
+      .orderBy(col("ver").desc, col("is_add").desc)
+    val rActs = unioned.filter(col("kind") === "act")
+      .withColumn("_rn", row_number().over(wAct))
+      .filter(col("_rn") === 1).drop("_rn")
+    val rTally = unioned.filter(col("kind") === "tally")
+      .groupBy("tbl").agg(
+        sum("n_lines").as("n_lines"), sum("n_malformed").as("n_malformed"),
+        sum("n_adds").as("n_adds"), sum("n_removes").as("n_removes"))
+      .withColumn("kind", lit("tally"))
+    val wProto = Window.partitionBy("tbl").orderBy(col("ver").desc)
+    val rProto = unioned.filter(col("kind") === "proto")
+      .withColumn("_rn", row_number().over(wProto))
+      .filter(col("_rn") === 1).drop("_rn")
+    val rVers = unioned.filter(col("kind") === "ver")
+      .select("tbl", "kind", "ver").distinct()
+    widen(rActs).unionByName(widen(rTally)).unionByName(widen(rProto))
+      .unionByName(widen(rVers))
+  }
+
+  /** The snapshot census off the compact state — same columns and
+    * values as [[snapshotCensus]] over every line ever folded.
+    */
+  def censusFromState(state: DataFrame): DataFrame = {
+    val tally = state.filter(col("kind") === "tally")
+      .select("tbl", "n_lines", "n_malformed", "n_adds", "n_removes")
+    val vers = state.filter(col("kind") === "ver")
+      .groupBy("tbl").agg(count(lit(1)).as("n_versions"))
+    val proto = state.filter(col("kind") === "proto")
+      .select(col("tbl"), col("min_reader"), col("min_writer"))
+    val live = state.filter(col("kind") === "act")
+      .groupBy("tbl").agg(
+        sum(col("is_add").cast("long")).as("n_live"),
+        sum((!col("is_add")).cast("long")).as("n_tombstones"),
+        sum(when(col("is_add"), col("size"))).as("live_bytes"),
+        sum(when(col("is_add"), col("n_rows"))).as("live_rows"),
+        sum((col("is_add") && col("n_rows").isNull).cast("long")).as("n_live_no_stats"),
+        count_distinct(when(col("is_add"), col("pvals"))).as("n_partitions"))
+    tally
+      .join(vers, Seq("tbl"), "left")
+      .join(proto, Seq("tbl"), "left")
+      .join(live, Seq("tbl"), "left")
+      .select(col("tbl"),
+        col("n_lines"), coalesce(col("n_versions"), lit(0L)).as("n_versions"),
+        col("n_malformed"), col("n_adds"), col("n_removes"),
+        coalesce(col("min_reader"), lit(-1L)).as("min_reader"),
+        coalesce(col("min_writer"), lit(-1L)).as("min_writer"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        coalesce(col("n_tombstones"), lit(0L)).as("n_tombstones"),
+        coalesce(col("live_bytes"), lit(0L)).as("live_bytes"),
+        coalesce(col("live_rows"), lit(0L)).as("live_rows"),
+        coalesce(col("n_live_no_stats"), lit(0L)).as("n_live_no_stats"),
+        coalesce(col("n_partitions"), lit(0L)).as("n_partitions"))
+  }
+
+  /** Continuous log replay: each micro-batch of arriving commit lines
+    * folds into the parquet state store at `statePath` — the
+    * batch/streaming unification over the TABLE-format layer. Caller
+    * starts/awaits the returned writer.
+    */
+  def streamCensus(stream: DataFrame, statePath: String, tableCol: String,
+                   versionCol: String, lineCol: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = b.sparkSession
+        val sp = new org.apache.hadoop.fs.Path(statePath)
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (fs.exists(sp)) spark.read.schema(StateSchema).parquet(statePath)
+          else emptyState(spark)
+        // materialize BEFORE the overwrite (the fold reads the store)
+        val next = foldBatch(prior, b.toDF(), tableCol, versionCol, lineCol)
+          .localCheckpoint(false)
+        next.write.mode("overwrite").parquet(statePath)
+    }
+
+  // ------------------------------------------------------------------
   // synthetic log generator (tests + the q392/q393 closed-form oracle)
 
   /** A deterministic per-table log derived from `k` alone — the q385

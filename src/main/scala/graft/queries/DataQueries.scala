@@ -5368,11 +5368,81 @@ object DataQueries {
              CAST(-1 AS BIGINT) AS content_ok
       FROM f ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q396
+
+  /** q396 — FULL zstd decode census over REAL reference-encoder
+    * blocks: q395 gates the predefined/RLE surface; this puts the
+    * rest of the decoder — Huffman literals (FSE-compressed weights,
+    * real zstd -3 output), FSE_Compressed sequence modes (real
+    * zstd -19 output), and Treeless literals riding the frame's
+    * Huffman table across a block boundary — under the driver's
+    * oracle gate. The two entropy-coded blocks are pinned CLI bytes
+    * (provenance in ZstdSeqSpec, where each also verifies against
+    * its source frame's own XXH64); the treeless follower is carved
+    * deterministically from the Huffman block's own stream. Oracle
+    * closed-form over the mix schedule. Map-only, zero shuffles.
+    */
+  val q396 = Q("q396_zstd_full_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{ZstdOps, ZstdSeq}
+      def hx(h: String) = h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      // real zstd -3 block: Huffman literals (80 literals), 159-byte content
+      val hufBlock = hx("0205111690a76d888822ddd064bb91849656be7177777172871c09d750b3385d3ef67628f9294db2b6695db3b070ed8643991fe1a31bec5371babcb0e34a58443c00c816fc0807060087184211beffcadb96ec9e5230b86619")
+      // real zstd -19 block: FSE_Compressed LL/OF/ML, 800-byte content
+      val fseBlock = hx("d4071e252c333a41484f575e656c737a20272f363d444b525960686f767d232a313840474e555c636a71791f262d343b424951585f666d747b212930373e454c535a626970777e242b32565d646b2e353c43676e757c3f464d54781e252c50575e65282f363d61686f763940474e72791f264a51585f222930375b6269701e80a4a8a12bb9ff6fe0751a0311e0ef7f070b93000000000082e6af9999993933518a1ccfae02")
+      // treeless follower: the Huffman block's own stream, re-headed
+      // as Literals_Type 3 + nbSeq 0 (decodes to its 80 literals via
+      // the frame-carried table)
+      val treeless = {
+        val v = ((hufBlock(0) & 0xff) | ((hufBlock(1) & 0xff) << 8) |
+          ((hufBlock(2) & 0xff) << 16)) >>> 4
+        val comp = (v >> 10) & 0x3FF
+        val (_, treeBytes) = ZstdSeq.readHufTable(hufBlock, 3, 3 + comp).get
+        val stream = hufBlock.slice(3 + treeBytes, 3 + comp)
+        val h = 3 | (((v & 0x3FF)) << 4) | (stream.length << 14)
+        Array[Byte]((h & 0xff).toByte, ((h >> 8) & 0xff).toByte,
+          ((h >> 16) & 0xff).toByte) ++ stream ++ Array[Byte](0)
+      }
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val k = (id % 50).toInt
+            val blocks = Seq(
+              (0, Array.tabulate(10 + k)(i => ((i * 11 + k) % 251).toByte)),
+              (2, if (k % 2 == 0) hufBlock else fseBlock)) ++
+              (if (k % 6 == 0) Seq((2, treeless)) else Nil)
+            (id, ZstdOps.encodeFrameWithBlocks(blocks))
+          }
+        }.toDF("doc_id", "payload")
+      ZstdSeq.zstdSeqFeatures(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      f AS (SELECT doc_id, k,
+              CASE WHEN k % 6 = 0 THEN 1 ELSE 0 END AS tl,
+              CASE WHEN k % 2 = 0 THEN 159 ELSE 800 END AS blk
+            FROM d)
+      SELECT doc_id,
+             CAST(1 AS BIGINT) AS valid,
+             CAST(2 + tl AS BIGINT) AS n_blocks,
+             CAST(1 AS BIGINT) AS n_raw,
+             CAST(0 AS BIGINT) AS n_rle,
+             CAST(1 + tl AS BIGINT) AS n_compressed,
+             CAST(1 + tl AS BIGINT) AS n_decoded,
+             CAST(0 AS BIGINT) AS n_unsupported,
+             CAST(0 AS BIGINT) AS n_failed,
+             CAST(10 + k + blk + tl * 80 AS BIGINT) AS decoded_bytes,
+             CAST(-1 AS BIGINT) AS content_ok
+      FROM f ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
-    q385, q387, q388, q390, q392, q393, q395)
+    q385, q387, q388, q390, q392, q393, q395, q396)
 }

@@ -124,6 +124,34 @@ class DeltaLogOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental fold: commit-by-commit state equals the full-log census") {
+    val allLines = (0L until 20L).flatMap(k =>
+      DeltaLogOps.syntheticLog(k).map { case (v, l) => (k, v, l) })
+    val batchCensus = DeltaLogOps
+      .snapshotCensus(logDf(allLines), "tbl", "ver", "line")
+      .orderBy("tbl").collect().map(_.toSeq)
+    // fold version-by-version (the arrival order a real log has)
+    var state = DeltaLogOps.emptyState(spark)
+    for (v <- 0L to 2L) {
+      val batch = allLines.filter(_._2 == v)
+      if (batch.nonEmpty)
+        state = DeltaLogOps.foldBatch(state, logDf(batch), "tbl", "ver", "line")
+          .localCheckpoint(false)
+    }
+    val folded = DeltaLogOps.censusFromState(state)
+      .orderBy("tbl").collect().map(_.toSeq)
+    assert(folded.length == batchCensus.length)
+    folded.zip(batchCensus).foreach { case (f, b) =>
+      assert(f == b, s"fold diverged:\n  fold:  $f\n  batch: $b")
+    }
+    // the state is COMPACT: bounded by live+tombstone paths + tallies,
+    // not by line count
+    val actRows = state.filter(col("kind") === "act").count()
+    val pathCount = allLines.count(t =>
+      t._3.contains("\"add\"") || t._3.contains("\"remove\""))
+    assert(actRows <= pathCount, "latest-wins must not retain history")
+  }
+
   test("synthetic generator round-trip: census matches the schedule's closed form") {
     // k = 9: n0 = 6, m = 0 -> live slots 0..5; k = 7: no-stats slot 1;
     // k = 11: malformed line; k = 5: m = 2 re-add history

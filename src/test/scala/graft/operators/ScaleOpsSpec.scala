@@ -114,4 +114,42 @@ class ScaleOpsSpec extends SparkSpec {
     val sizes = outFiles.map(_.length)
     assert(sizes.max < sizes.min * 2, s"uneven outputs: ${sizes.toSeq.sorted}")
   }
+
+  test("replicateScaled: factor-x rows, intact referential integrity, disjoint copies") {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft-sfscale").toString
+    ScaleOps.replicateScaled(spark, src, out, factor = 3)
+    // fact tables triple; dimension tables stay
+    for (t <- Seq("lineitem", "orders", "documents", "embeddings")) {
+      val n0 = graft.Tables.load(spark, src, t).count()
+      assert(graft.Tables.load(spark, out, t).count() == 3 * n0, t)
+    }
+    assert(graft.Tables.load(spark, out, "nation").count() ==
+      graft.Tables.load(spark, src, "nation").count())
+    // referential integrity WITHIN a copy: every scaled lineitem
+    // orderkey still joins a scaled order, same dangling fraction as
+    // the source (key shifting is consistent across both tables)
+    def orphanFrac(dir: String): Double = {
+      val li = graft.Tables.load(spark, dir, "lineitem").select("l_orderkey")
+      val or = graft.Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"))
+      li.join(or, Seq("l_orderkey"), "left_anti").count().toDouble / li.count()
+    }
+    assert(math.abs(orphanFrac(out) - orphanFrac(src)) < 1e-9,
+      "key shifting must preserve the join exactly, copy by copy")
+    // no key collides across copies
+    val custDistinct = graft.Tables.load(spark, out, "customer")
+      .select("c_custkey").distinct().count()
+    assert(custDistinct == 3 * graft.Tables.load(spark, src, "customer")
+      .select("c_custkey").distinct().count())
+    // document text is DISJOINT per copy (the dedup family must
+    // measure scale, not planted twins): exact-dup count does not grow
+    def dupTexts(dir: String): Long = {
+      val d = graft.Tables.load(spark, dir, "documents")
+      d.count() - d.select("text").distinct().count()
+    }
+    assert(dupTexts(out) == 3 * dupTexts(src),
+      "per-copy text variation must not create cross-copy twins")
+  }
 }

@@ -406,6 +406,42 @@ class StreamingSpec extends SparkSpec {
     assert(gramDocs == Set(1L, 10L, 11L, 12L, 13L))
   }
 
+  test("streamed Delta-log commits fold to exactly the batch snapshot census") {
+    import graft.operators.DeltaLogOps
+    val dir = Files.createTempDirectory("graft-deltalog-stream").toFile
+    val allLines = (0L until 12L).flatMap(k =>
+      DeltaLogOps.syntheticLog(k).map { case (v, l) => (k, v, l) })
+      .map { case (t, v, l) => (t, v, l) }
+    import spark.implicits._
+    val want = DeltaLogOps.snapshotCensus(
+        allLines.toDF("tbl", "ver", "line"), "tbl", "ver", "line")
+      .orderBy("tbl").collect().map(_.toSeq)
+    // commits arrive version-by-version, three micro-batch files
+    for (v <- 0L to 2L) {
+      val b = allLines.filter(_._2 == v)
+      if (b.nonEmpty) {
+        b.toDF("tbl", "ver", "line").write.parquet(s"$dir/in/v$v")
+        Thread.sleep(1100)
+      }
+    }
+    val stream = spark.readStream
+      .schema("tbl LONG, ver LONG, line STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+    val q = DeltaLogOps.streamCensus(stream, s"$dir/state", "tbl", "ver", "line")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = DeltaLogOps.censusFromState(
+        spark.read.schema(DeltaLogOps.StateSchema).parquet(s"$dir/state"))
+      .orderBy("tbl").collect().map(_.toSeq)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"stream fold diverged:\n  stream: $g\n  batch:  $w")
+    }
+  }
+
   test("media decode over a payload stream equals the batch codec features") {
     // the codec paths are stateless mapPartitions — the same call runs
     // unchanged on a streaming DataFrame, so a media-ingest pipeline
