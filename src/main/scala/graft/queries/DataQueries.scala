@@ -5368,6 +5368,43 @@ object DataQueries {
              CAST(-1 AS BIGINT) AS content_ok
       FROM f ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q397
+
+  /** q397 — INCREMENTAL Delta-log replay under the oracle gate
+    * ([[graft.operators.DeltaLogOps.foldBatch]]/censusFromState): the
+    * synthetic logs arrive COMMIT BY COMMIT (three version batches),
+    * each folding into the compact state — latest action per path +
+    * tallies + protocol + version set, bounded by FILE count, never
+    * line count — and the census off the folded state must equal
+    * q392's full-log answer exactly, so the oracle IS q392's
+    * closed-form replay. This is the 100 TB shape: a transaction log
+    * only grows, but each arriving commit costs one latest-wins
+    * reduction over (state ∪ batch), never a history replay.
+    * DeltaLogOpsSpec pins the fold ≡ batch identity and the
+    * compactness bound; StreamingSpec runs the same fold as the 17th
+    * streaming twin.
+    */
+  val q397 = Q("q397_delta_log_incremental",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.DeltaLogOps
+      def lines(v: Long) = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap(k => DeltaLogOps.syntheticLog(k).collect {
+          case (ver, l) if ver == v => (k, ver, l)
+        })
+        .toDF("doc_id", "version", "line")
+      var state = DeltaLogOps.emptyState(s)
+      for (v <- 0L to 2L)
+        state = DeltaLogOps
+          .foldBatch(state, lines(v), "doc_id", "version", "line")
+          .localCheckpoint(false)
+      DeltaLogOps.censusFromState(state)
+        .withColumnRenamed("tbl", "doc_id")
+        .orderBy("doc_id")
+    },
+    q392.oracle) // fold ≡ full-log census: the SAME closed form
+
   // --------------------------------------------------------------- q396
 
   /** q396 — FULL zstd decode census over REAL reference-encoder
@@ -5444,5 +5481,5 @@ object DataQueries {
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
-    q385, q387, q388, q390, q392, q393, q395, q396)
+    q385, q387, q388, q390, q392, q393, q395, q396, q397)
 }
