@@ -544,4 +544,46 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(h#") ||
       plan.contains("windowspecdefinition(h "), plan)
   }
+
+  test("q391: span removal cuts via ANTI join on (doc, pos) — never a range join") {
+    // the cut could naively be a non-equi join (pos BETWEEN start AND
+    // end), whose only physical strategy is a broadcast nested loop /
+    // cartesian — the quadratic trap. The interval explode keeps it an
+    // equi-ANTI join, and the per-doc windows stay partitioned.
+    val plan = finalPlan(CorpusQueries.q391.fn(spark, sf))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("windowspecdefinition(doc_id"),
+      s"interval-merge window lost its per-doc partitioning:\n$plan")
+  }
+
+  test("q392/q397: Delta-log replay is one (table,path) window + aggregations, no self-join") {
+    // log-state reconstruction as a relational fold: latest-wins is a
+    // row_number window partitioned by (table, path) — a join-based
+    // 'latest per key' would rescan the log per side
+    val plan = finalPlan(DataQueries.q392.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("windowspecdefinition(tbl"),
+      s"latest-wins window lost its (table,path) partitioning:\n$plan")
+    // census walkers stay map-only up to the aggregations: the only
+    // joins are the final per-table assembly of the aggregate legs
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q394: WARC pipeline's one shuffle is the clean-text dedup window") {
+    val plan = finalPlan(CorpusQueries.q394.fn(spark, sf))
+    assert(!plan.contains("Join"), s"the composition grew a join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("windowspecdefinition(fp"),
+      s"keep-first dedup window lost its fingerprint partitioning:\n$plan")
+  }
+
+  test("q395/q396: zstd decode census is map-only — no join, no agg exchange") {
+    for (q <- Seq(DataQueries.q395, DataQueries.q396)) {
+      val plan = finalPlan(q.fn(spark, sf))
+      assert(!plan.contains("Join"), s"${q.name}:\n$plan")
+      assert(!plan.contains("HashAggregate"), s"${q.name} grew an aggregation:\n$plan")
+    }
+  }
 }
