@@ -55,6 +55,15 @@ object BaselineLedger {
         k -> retry.get(k).fold(r)(math.min(r, _))
     }
 
+  /** The record's `vs_baseline_retry` pairing: EVERY first-pass flag
+    * appears exactly once, `None` marking a retry that errored (which
+    * [[adjudicate]] keeps flagged) — the record is self-auditing by
+    * construction, and this function is what Bench emits from.
+    */
+  def retryFields(flagged: Seq[(String, Double)],
+                  retry: Map[String, Double]): Seq[(String, Option[Double])] =
+    flagged.map { case (k, _) => k -> retry.get(k) }
+
   def load(path: String = Path): Option[Ledger] = {
     val f = new java.io.File(path)
     if (!f.exists()) None

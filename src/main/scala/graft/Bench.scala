@@ -191,16 +191,17 @@ object Bench {
     val retryJson =
       if (flaggedFirst.isEmpty) ""
       else retryCalib.map(c => s""","retry_calib_sec":${fmt(c)}""").getOrElse("") +
-        flaggedFirst.map { case (k, _) =>
-          jstr(k) + ":" + retryRatios.get(k).map(fmt).getOrElse("null")
+        BaselineLedger.retryFields(flaggedFirst, retryRatios).map {
+          case (k, r) => jstr(k) + ":" + r.map(fmt).getOrElse("null")
         }.mkString(",\"vs_baseline_retry\":{", ",", "}")
     // bounded twin of retryJson for the short stdout line the driver
     // captures: the 12 worst first-pass flags with their retry verdicts
     val retryJsonShort =
       if (flaggedFirst.isEmpty) ""
       else retryCalib.map(c => s""","retry_calib_sec":${fmt(c)}""").getOrElse("") +
-        flaggedFirst.sortBy(-_._2).take(12).map { case (k, _) =>
-          jstr(k) + ":" + retryRatios.get(k).map(fmt).getOrElse("null")
+        BaselineLedger.retryFields(flaggedFirst.sortBy(-_._2).take(12),
+          retryRatios).map {
+          case (k, r) => jstr(k) + ":" + r.map(fmt).getOrElse("null")
         }.mkString(",\"vs_baseline_retry\":{", ",", "}")
     val perfWeakJson = ledger.map { _ =>
       s""","perf_weak_n":${perfWeak.size}""" +

@@ -59,6 +59,15 @@ class BaselineLedgerSpec extends AnyFunSuite {
       "missing retry evidence (retry errored) must never clear a flag")
   }
 
+  test("retryFields: every first-pass flag appears in the record, errored retries as null") {
+    val flagged = Seq("q07" -> 3.1, "q99" -> 2.4, "q13" -> 8.0)
+    val fields = BaselineLedger.retryFields(flagged, Map("q07" -> 1.1, "q13" -> 2.5))
+    assert(fields.map(_._1) == Seq("q07", "q99", "q13"),
+      "EVERY flagged query must carry a retry field — the record is self-auditing")
+    assert(fields.toMap == Map("q07" -> Some(1.1), "q99" -> None, "q13" -> Some(2.5)),
+      "a missing retry (errored) surfaces as null, never silently dropped")
+  }
+
   test("adjudicate: queries under the bound never appear, retry or not") {
     val out = BaselineLedger.adjudicate(
       Seq("q01" -> 1.9, "q02" -> 0.5), Map("q01" -> 9.9))
