@@ -915,7 +915,10 @@ object Bench {
       // the block and anything skipped is COUNTED (no silent caps).
       stampBlock("sf_scale")
       val sfScale = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-      locally {
+      // own failure domain: a probe failure (disk-full replica write,
+      // query error at 10x) must cost THIS block, never the whole
+      // extras record the round's other evidence lives in
+      try {
         val probe = Seq("q202", "q126", "q199", "q192", "q308",
           "q306", "q307", "q209", "q190", "q288")
         val factor = 10
@@ -954,6 +957,10 @@ object Bench {
           }
         }
         sfScale += ("sf_scale_skipped_n" -> skipped.toDouble)
+      } catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate("sf_scale", e.toString.take(200))
+          sfScale += ("sf_scale_error" -> 1.0)
       }
 
       Seq("calib_sec" -> calib,
