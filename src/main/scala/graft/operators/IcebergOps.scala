@@ -1,0 +1,352 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Iceberg manifest-file census — the SECOND table format (next to
+  * Delta q392/q393/q397), and the first walker that decodes Avro
+  * RECORD BODIES, not just OCF framing (AvroOps walks blocks as
+  * opaque): a manifest file is an Avro object-container whose records
+  * are `manifest_entry` — status (added/existing/deleted), the
+  * data_file struct (path, format, partition, record_count,
+  * file_size_in_bytes), and per-column bounds maps — the metadata an
+  * Iceberg planner prunes with before touching any data file.
+  *
+  * Schema contract (stop-don't-guess): record decode runs ONLY when
+  * the embedded `avro.schema` names `manifest_entry` and the codec is
+  * null; anything else is reported schema_ok = 0 with the census
+  * zeroed — the q381 compressed-footer convention. The decoder
+  * implements the Avro binary spec for this PINNED v1-subset shape:
+  * zigzag varints, length-prefixed bytes/strings, union indices,
+  * array blocks (Iceberg bounds maps ship as arrays of key/value
+  * records; values are the spec's single-value serialization — longs
+  * as 8-byte little-endian). A block whose declared record count does
+  * not decode to EXACT payload consumption is counted
+  * n_malformed_blocks and contributes nothing — never guessed at.
+  *
+  * Live-set semantics: status 2 (DELETED) entries are tombstones;
+  * 0 (EXISTING) and 1 (ADDED) are live. The prune audit applies the
+  * q380/q388 conservative contract: a live file without parseable
+  * bounds is scanned, counted separately.
+  */
+object IcebergOps {
+
+  // ------------------------------------------------------------------
+  // Avro binary primitives (writer + bounded reader)
+
+  private def zz(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = (v0 << 1) ^ (v0 >> 63)
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+  private def bin(out: java.io.ByteArrayOutputStream, b: Array[Byte]): Unit = {
+    zz(out, b.length.toLong); out.write(b)
+  }
+
+  private object Malformed extends Exception with scala.util.control.NoStackTrace
+
+  private final class Reader(val b: Array[Byte], var pos: Int, val end: Int) {
+    def u8(): Int = {
+      if (pos >= end) throw Malformed
+      val v = b(pos) & 0xff; pos += 1; v
+    }
+    def avroLong(): Long = {
+      var shift = 0; var out = 0L; var i = 0
+      while (i < 10) {
+        val v = u8()
+        out |= (v & 0x7fL) << shift
+        if ((v & 0x80) == 0) return (out >>> 1) ^ -(out & 1)
+        shift += 7; i += 1
+      }
+      throw Malformed
+    }
+    def take(n: Long): Array[Byte] = {
+      if (n < 0 || n > end - pos) throw Malformed
+      val out = java.util.Arrays.copyOfRange(b, pos, pos + n.toInt)
+      pos += n.toInt; out
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // the pinned manifest_entry v1-subset
+
+  final case class Bounds(min: Long, max: Long)
+  final case class Entry(status: Int, snapshotId: Option[Long], path: String,
+                         format: String, partition: Int, recordCount: Long,
+                         fileSize: Long, bounds: Option[Bounds])
+
+  /** The schema the walker contracts on (subset of the published v1
+    * manifest_entry; bounds maps carried for one column, field id 1).
+    */
+  val SchemaJson: String =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"]},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[{"name":"p","type":"int"}]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k_v1","fields":[{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}]},
+      |{"name":"upper_bounds","type":["null",{"type":"array","items":"k_v1"}]}
+      |]}}]}""".stripMargin.replace("\n", "")
+
+  private def le8(v: Long): Array[Byte] =
+    Array.tabulate(8)(i => ((v >>> (8 * i)) & 0xff).toByte)
+  private def readLe8(b: Array[Byte]): Long = {
+    if (b.length != 8) throw Malformed
+    var v = 0L; var i = 0
+    while (i < 8) { v |= (b(i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  def encodeEntry(e: Entry): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    zz(out, e.status.toLong)
+    e.snapshotId match {
+      case Some(id) => zz(out, 1L); zz(out, id)
+      case None => zz(out, 0L)
+    }
+    bin(out, e.path.getBytes("UTF-8"))
+    bin(out, e.format.getBytes("UTF-8"))
+    zz(out, e.partition.toLong)
+    zz(out, e.recordCount)
+    zz(out, e.fileSize)
+    def boundsMap(v: Option[Long]): Unit = v match {
+      case Some(x) =>
+        zz(out, 1L) // union: the array branch
+        zz(out, 1L) // one array block of one k_v pair
+        zz(out, 1L) // key: column field id 1
+        bin(out, le8(x)) // single-value serialization: 8-byte LE long
+        zz(out, 0L) // array end
+      case None => zz(out, 0L)
+    }
+    boundsMap(e.bounds.map(_.min))
+    boundsMap(e.bounds.map(_.max))
+    out.toByteArray
+  }
+
+  private def decodeEntry(r: Reader): Entry = {
+    val status = r.avroLong().toInt
+    if (status < 0 || status > 2) throw Malformed
+    val snap = r.avroLong() match {
+      case 0L => None
+      case 1L => Some(r.avroLong())
+      case _ => throw Malformed
+    }
+    val path = new String(r.take(r.avroLong()), "UTF-8")
+    val format = new String(r.take(r.avroLong()), "UTF-8")
+    val p = r.avroLong().toInt
+    val recordCount = r.avroLong()
+    val fileSize = r.avroLong()
+    def boundsVal(): Option[Long] = r.avroLong() match {
+      case 0L => None
+      case 1L =>
+        var v: Option[Long] = None
+        var blockN = r.avroLong()
+        while (blockN != 0L) {
+          val items = if (blockN < 0) { r.avroLong(); -blockN } else blockN
+          var i = 0L
+          while (i < items) {
+            val key = r.avroLong()
+            val bytes = r.take(r.avroLong())
+            if (key == 1L) v = Some(readLe8(bytes)) // pinned column id
+            i += 1
+          }
+          blockN = r.avroLong()
+        }
+        v
+      case _ => throw Malformed
+    }
+    val lo = boundsVal()
+    val hi = boundsVal()
+    Entry(status, snap, path, format, p, recordCount, fileSize,
+      for (l <- lo; h <- hi) yield Bounds(l, h))
+  }
+
+  /** A manifest file: OCF framing + entry blocks. `garbageTail` plants
+    * a final block whose declared count cannot decode (the malformed
+    * class). `schema` overridable to plant schema drift.
+    */
+  def encodeManifest(blocks: Seq[Seq[Entry]], syncSeed: Long,
+                     schema: String = SchemaJson,
+                     garbageTail: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array('O'.toByte, 'b'.toByte, 'j'.toByte, 1.toByte))
+    zz(out, 2L)
+    bin(out, "avro.schema".getBytes("UTF-8")); bin(out, schema.getBytes("UTF-8"))
+    bin(out, "avro.codec".getBytes("UTF-8")); bin(out, "null".getBytes("UTF-8"))
+    zz(out, 0L)
+    val sync = Array.tabulate(16)(i => ((syncSeed >> ((i % 8) * 8)) + i * 37).toByte)
+    out.write(sync)
+    blocks.foreach { es =>
+      val body = new java.io.ByteArrayOutputStream()
+      es.foreach(e => body.write(encodeEntry(e)))
+      zz(out, es.size.toLong); zz(out, body.size.toLong)
+      body.writeTo(out)
+      out.write(sync)
+    }
+    if (garbageTail) {
+      val junk = Array[Byte](-1, -1, -1, -1, -1)
+      zz(out, 1L); zz(out, junk.length.toLong)
+      out.write(junk); out.write(sync)
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // walk
+
+  final case class ManifestMeta(valid: Int, schemaOk: Int, nBlocks: Int,
+                                nMalformedBlocks: Int, entries: Seq[Entry],
+                                trailingBytes: Long)
+
+  private val Invalid = ManifestMeta(0, 0, 0, 0, Seq.empty, 0L)
+
+  def parseManifest(bytes: Array[Byte]): ManifestMeta = {
+    val n = bytes.length
+    if (n < 4 || bytes(0) != 'O' || bytes(1) != 'b' || bytes(2) != 'j' || bytes(3) != 1)
+      return Invalid.copy(trailingBytes = n.toLong)
+    try {
+      val r = new Reader(bytes, 4, n)
+      var schema = ""
+      var codec = "null"
+      var segCount = r.avroLong()
+      var nEntries = 0
+      while (segCount != 0L) {
+        val items = if (segCount < 0L) { r.avroLong(); -segCount } else segCount
+        if (items < 0 || items > 10000 - nEntries) throw Malformed
+        var i = 0L
+        while (i < items) {
+          val key = new String(r.take(r.avroLong()), "UTF-8")
+          val v = r.take(r.avroLong())
+          if (key == "avro.schema") schema = new String(v, "UTF-8")
+          else if (key == "avro.codec") codec = new String(v, "UTF-8")
+          i += 1
+        }
+        nEntries += items.toInt
+        segCount = r.avroLong()
+      }
+      val sync = r.take(16L)
+      val schemaOk = schema.contains("manifest_entry") &&
+        (codec == "null" || codec.isEmpty)
+      var nBlocks = 0
+      var nMal = 0
+      val out = Seq.newBuilder[Entry]
+      var halted = false
+      while (!halted && r.pos < n) {
+        val blockStart = r.pos
+        try {
+          val cnt = r.avroLong()
+          val len = r.avroLong()
+          if (cnt < 0 || len < 0 || len > r.end - r.pos) throw Malformed
+          val payloadStart = r.pos
+          val payloadEnd = payloadStart + len.toInt
+          r.pos = payloadEnd
+          val blockSync = r.take(16L)
+          if (!java.util.Arrays.equals(blockSync, sync)) { r.pos = blockStart; halted = true }
+          else {
+            nBlocks += 1
+            if (schemaOk) {
+              // decode cnt entries; EXACT consumption or the block is
+              // malformed and contributes nothing
+              try {
+                val br = new Reader(bytes, payloadStart, payloadEnd)
+                val es = (0L until cnt).map(_ => decodeEntry(br))
+                if (br.pos != payloadEnd) throw Malformed
+                out ++= es
+              } catch { case Malformed => nMal += 1 }
+            }
+          }
+        } catch { case Malformed => r.pos = blockStart; halted = true }
+      }
+      ManifestMeta(if (halted) 0 else 1, if (schemaOk) 1 else 0, nBlocks,
+        nMal, out.result(), (n - r.pos).toLong)
+    } catch {
+      case Malformed => Invalid.copy(trailingBytes = n.toLong)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // census DataFrames (map-only, zero shuffles)
+
+  def manifestCensus(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = parseManifest(bytes)
+          val live = m.entries.filter(_.status != 2)
+          (id, m.valid.toLong, m.schemaOk.toLong, m.nBlocks.toLong,
+            m.nMalformedBlocks.toLong, m.entries.size.toLong,
+            m.entries.count(_.status == 1).toLong,
+            m.entries.count(_.status == 0).toLong,
+            m.entries.count(_.status == 2).toLong,
+            live.size.toLong,
+            live.map(_.recordCount).sum,
+            live.map(_.fileSize).sum,
+            live.map(_.partition).distinct.size.toLong,
+            live.count(_.bounds.isEmpty).toLong,
+            m.entries.count(_.snapshotId.isDefined).toLong,
+            m.trailingBytes)
+        }
+      }
+      .toDF(idCol, "valid", "schema_ok", "n_blocks", "n_malformed_blocks",
+        "n_entries", "n_added", "n_existing", "n_deleted", "n_live",
+        "live_rows", "live_bytes", "n_partitions", "n_no_bounds",
+        "n_with_snapshot", "trailing_bytes")
+  }
+
+  /** Table-level prune audit over the manifest's live entries:
+    * `x > threshold` zone prune via upper bounds (no bounds → scan,
+    * counted separately) + partition-value prune.
+    */
+  def manifestPruneAudit(df: DataFrame, idCol: String, payloadCol: String,
+                         threshold: Long, partValue: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val live = parseManifest(bytes).entries.filter(_.status != 2)
+          val skippable = live.filter(_.bounds.exists(_.max <= threshold))
+          val scanned = live.filterNot(_.bounds.exists(_.max <= threshold))
+          (id, live.size.toLong, skippable.size.toLong, scanned.size.toLong,
+            scanned.filter(_.bounds.isDefined).map(_.recordCount).sum,
+            scanned.count(_.bounds.isEmpty).toLong,
+            live.count(_.partition == partValue).toLong,
+            live.count(_.partition != partValue).toLong)
+        }
+      }
+      .toDF(idCol, "n_live", "n_skippable", "n_scanned", "rows_scanned",
+        "n_scanned_no_bounds", "n_part_match", "n_part_pruned")
+  }
+
+  /** Deterministic per-table manifest from `k` alone (the q385
+    * synthesis convention): nE = 3 + k%4 entries, entry j: status
+    * (j+k)%3, snapshot_id present iff j even, partition j%3, rows
+    * 10+j, size 100(j+1), x-bounds [10j, 10j+9] absent when k%7==0
+    * and j==1; two blocks when k%2==0; a garbage tail block when
+    * k%11==0; schema drift (census honestly zeroed) when k%13==0.
+    */
+  def syntheticManifest(k: Long): Array[Byte] = {
+    val nE = (3 + k % 4).toInt
+    val entries = (0 until nE).map { j =>
+      Entry((j + k.toInt) % 3,
+        if (j % 2 == 0) Some(1000L + k) else None,
+        s"f$j.parquet", "PARQUET", j % 3, 10L + j, 100L * (j + 1),
+        if (k % 7 == 0 && j == 1) None else Some(Bounds(10L * j, 10L * j + 9)))
+    }
+    val blocks =
+      if (k % 2 == 0 && nE > 2) Seq(entries.take(2), entries.drop(2))
+      else Seq(entries)
+    encodeManifest(blocks, syncSeed = k * 104729L,
+      schema = if (k % 13 == 0) SchemaJson.replace("manifest_entry", "other_rec")
+      else SchemaJson,
+      garbageTail = k % 11 == 0)
+  }
+}

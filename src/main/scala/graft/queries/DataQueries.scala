@@ -5368,6 +5368,131 @@ object DataQueries {
              CAST(-1 AS BIGINT) AS content_ok
       FROM f ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q398
+
+  /** q398 — Iceberg manifest-file census
+    * ([[graft.operators.IcebergOps.manifestCensus]]): the SECOND table
+    * format (Delta q392/q393/q397 is JSON; Iceberg manifests are Avro
+    * object-container files), and the first walker to decode Avro
+    * RECORD BODIES — the pinned `manifest_entry` v1-subset: zigzag
+    * varints, union indices (optional snapshot_id), nested records,
+    * and the bounds maps shipped as arrays of key/value pairs with
+    * 8-byte-LE single-value longs. Contracts: record decode runs only
+    * when the embedded avro.schema names manifest_entry (drift →
+    * schema_ok 0, census zeroed — planted every 13th table); a block
+    * whose declared count doesn't decode to EXACT payload consumption
+    * counts n_malformed_blocks and contributes nothing (planted every
+    * 11th); DELETED entries are tombstones outside the live set.
+    * Oracle closed-form by slot enumeration. Map-only, zero shuffles.
+    */
+  val q398 = Q("q398_iceberg_manifest_census",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.operators.IcebergOps.syntheticManifest(id % 50))))
+        .toDF("doc_id", "payload")
+      graft.operators.IcebergOps.manifestCensus(synth, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id, doc_id % 50 AS k,
+                        CAST(3 + (doc_id % 50) % 4 AS BIGINT) AS nE,
+                        (doc_id % 50) % 13 = 0 AS drift,
+                        (doc_id % 50) % 11 = 0 AS mal
+                 FROM documents),
+      s AS (SELECT doc_id, k, nE, drift, unnest(range(nE)) AS j FROM p),
+      sl AS (SELECT doc_id, j, (j + k) % 3 AS st,
+               NOT (k % 7 = 0 AND j = 1) AS hb
+             FROM s WHERE NOT drift),
+      agg AS (SELECT doc_id,
+                COUNT(*) AS n_entries,
+                SUM(CASE WHEN st = 1 THEN 1 ELSE 0 END) AS n_added,
+                SUM(CASE WHEN st = 0 THEN 1 ELSE 0 END) AS n_existing,
+                SUM(CASE WHEN st = 2 THEN 1 ELSE 0 END) AS n_deleted,
+                SUM(CASE WHEN st <> 2 THEN 1 ELSE 0 END) AS n_live,
+                SUM(CASE WHEN st <> 2 THEN 10 + j ELSE 0 END) AS live_rows,
+                SUM(CASE WHEN st <> 2 THEN 100 * (j + 1) ELSE 0 END) AS live_bytes,
+                COUNT(DISTINCT CASE WHEN st <> 2 THEN j % 3 END) AS n_parts,
+                SUM(CASE WHEN st <> 2 AND NOT hb THEN 1 ELSE 0 END) AS n_nb,
+                SUM(CASE WHEN j % 2 = 0 THEN 1 ELSE 0 END) AS n_snap
+              FROM sl GROUP BY doc_id)
+      SELECT p.doc_id,
+             CAST(1 AS BIGINT) AS valid,
+             CAST(CASE WHEN drift THEN 0 ELSE 1 END AS BIGINT) AS schema_ok,
+             CAST((CASE WHEN k % 2 = 0 THEN 2 ELSE 1 END)
+                  + (CASE WHEN mal THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+             CAST(CASE WHEN mal AND NOT drift THEN 1 ELSE 0 END AS BIGINT)
+               AS n_malformed_blocks,
+             CAST(coalesce(CASE WHEN drift THEN 0 ELSE n_entries END, 0) AS BIGINT) AS n_entries,
+             CAST(coalesce(n_added, 0) AS BIGINT) AS n_added,
+             CAST(coalesce(n_existing, 0) AS BIGINT) AS n_existing,
+             CAST(coalesce(n_deleted, 0) AS BIGINT) AS n_deleted,
+             CAST(coalesce(n_live, 0) AS BIGINT) AS n_live,
+             CAST(coalesce(live_rows, 0) AS BIGINT) AS live_rows,
+             CAST(coalesce(live_bytes, 0) AS BIGINT) AS live_bytes,
+             CAST(coalesce(n_parts, 0) AS BIGINT) AS n_partitions,
+             CAST(coalesce(n_nb, 0) AS BIGINT) AS n_no_bounds,
+             CAST(coalesce(n_snap, 0) AS BIGINT) AS n_with_snapshot,
+             CAST(0 AS BIGINT) AS trailing_bytes
+      FROM p LEFT JOIN agg ON agg.doc_id = p.doc_id
+      ORDER BY p.doc_id"""))
+
+  // --------------------------------------------------------------- q399
+
+  /** q399 — Iceberg manifest prune audit
+    * ([[graft.operators.IcebergOps.manifestPruneAudit]]): q380/q388/
+    * q393's planner arithmetic at the Iceberg layer — `x > 25` files
+    * provably skippable by the decoded upper bound, partition
+    * `p == 1` by the partition struct, live entries only, bounds-less
+    * files scanned and counted separately (the conservative
+    * contract). Oracle closed-form over the same slot schedule.
+    */
+  val q399 = Q("q399_iceberg_manifest_prune",
+    (s, dir) => {
+      import s.implicits._
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.operators.IcebergOps.syntheticManifest(id % 50))))
+        .toDF("doc_id", "payload")
+      graft.operators.IcebergOps
+        .manifestPruneAudit(synth, "doc_id", "payload",
+          threshold = 25L, partValue = 1)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id, doc_id % 50 AS k,
+                        CAST(3 + (doc_id % 50) % 4 AS BIGINT) AS nE,
+                        (doc_id % 50) % 13 = 0 AS drift
+                 FROM documents),
+      s AS (SELECT doc_id, k, unnest(range(nE)) AS j FROM p WHERE NOT drift),
+      sl AS (SELECT doc_id, j,
+               NOT (k % 7 = 0 AND j = 1) AS hb,
+               j % 3 = 1 AS pm
+             FROM s WHERE (j + k) % 3 <> 2),
+      a AS (SELECT doc_id, j, hb, pm, hb AND (10 * j + 9 <= 25) AS sk FROM sl),
+      agg AS (SELECT doc_id,
+                COUNT(*) AS n_live,
+                SUM(CASE WHEN sk THEN 1 ELSE 0 END) AS n_sk,
+                SUM(CASE WHEN sk THEN 0 ELSE 1 END) AS n_sc,
+                SUM(CASE WHEN NOT sk AND hb THEN 10 + j ELSE 0 END) AS rows_sc,
+                SUM(CASE WHEN hb THEN 0 ELSE 1 END) AS n_nb,
+                SUM(CASE WHEN pm THEN 1 ELSE 0 END) AS n_pm,
+                SUM(CASE WHEN pm THEN 0 ELSE 1 END) AS n_pp
+              FROM a GROUP BY doc_id)
+      SELECT p.doc_id,
+             CAST(coalesce(n_live, 0) AS BIGINT) AS n_live,
+             CAST(coalesce(n_sk, 0) AS BIGINT) AS n_skippable,
+             CAST(coalesce(n_sc, 0) AS BIGINT) AS n_scanned,
+             CAST(coalesce(rows_sc, 0) AS BIGINT) AS rows_scanned,
+             CAST(coalesce(n_nb, 0) AS BIGINT) AS n_scanned_no_bounds,
+             CAST(coalesce(n_pm, 0) AS BIGINT) AS n_part_match,
+             CAST(coalesce(n_pp, 0) AS BIGINT) AS n_part_pruned
+      FROM p LEFT JOIN agg ON agg.doc_id = p.doc_id
+      ORDER BY p.doc_id"""))
+
   // --------------------------------------------------------------- q397
 
   /** q397 — INCREMENTAL Delta-log replay under the oracle gate
@@ -5481,5 +5606,5 @@ object DataQueries {
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
-    q385, q387, q388, q390, q392, q393, q395, q396, q397)
+    q385, q387, q388, q390, q392, q393, q395, q396, q397, q398, q399)
 }

@@ -173,6 +173,10 @@ class WalkerFuzzSpec extends AnyFunSuite {
         // decodedBytes may legitimately EXCEED the input (that's
         // decompression) so it can't play the trailing-bytes slot
         (c.nDecoded.toLong + c.nUnsupported + c.nFailed, 0L) }),
+    Fuzzed("iceberg-manifest",
+      rnd => IcebergOps.syntheticManifest(rnd.nextInt(50).toLong),
+      b => { val m = IcebergOps.parseManifest(b)
+        (m.entries.size.toLong + m.nMalformedBlocks, m.trailingBytes) }),
     Fuzzed("utf8",
       rnd => (1 to 20 + rnd.nextInt(60)).flatMap { _ =>
         rnd.nextInt(4) match {
