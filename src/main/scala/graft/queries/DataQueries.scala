@@ -5368,6 +5368,94 @@ object DataQueries {
              CAST(-1 AS BIGINT) AS content_ok
       FROM f ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q400
+
+  /** q400 — lake-format RECONCILIATION: the same logical table state
+    * described by BOTH metadata formats — a Delta `_delta_log`
+    * (q392's replay) and an Iceberg manifest (q398's Avro record
+    * descent) derived from one schedule — must agree on the live set:
+    * file count, byte mass, partitions, tombstones. This is the
+    * migration-validation pass a Delta→Iceberg (or dual-written) lake
+    * actually runs, and it composes the two table layers end to end.
+    * One planted divergence keeps the comparison honest: every 7th
+    * table's Delta add ships WITHOUT stats, so Delta's vouched-for
+    * row sum undercounts where Iceberg's required record_count
+    * cannot — rows_match = 0 exactly there, a real finding the
+    * reconciliation must surface, not paper over. Oracle closed-form
+    * over the shared schedule.
+    */
+  val q400 = Q("q400_lake_format_reconciliation",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{DeltaLogOps, IcebergOps}
+      val ids = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      val log = ids.flatMap(k => DeltaLogOps.syntheticLog(k)
+          .map { case (v, l) => (k, v, l) })
+        .toDF("doc_id", "version", "line")
+      val delta = DeltaLogOps.snapshotCensus(log, "doc_id", "version", "line")
+        .select(col("tbl").as("doc_id"),
+          col("n_live").as("d_live"), col("live_bytes").as("d_bytes"),
+          col("live_rows").as("d_rows"), col("n_partitions").as("d_parts"),
+          col("n_tombstones").as("d_tomb"))
+      // the Iceberg twin of the SAME schedule: live slots per the
+      // Delta history (m=0: 0..n0-1; m=1: 1..n0; m=2: 1..n0 plus f0
+      // reborn as slot n0+1), one DELETED tombstone when m=1
+      val manifests = ids.mapPartitions(_.map { id =>
+        val k = id // the Delta synthetic keys on the FULL id
+        val n0 = (2 + k % 5).toInt
+        val m = (k % 3).toInt
+        def entry(slot: Int, path: String, status: Int) =
+          IcebergOps.Entry(status, Some(1000L + k), path, "PARQUET",
+            slot % 3, 10L + slot, 100L * (slot + 1),
+            Some(IcebergOps.Bounds(10L * slot, 10L * slot + 9)))
+        val live = m match {
+          case 0 => (0 until n0).map(j => entry(j, s"f$j.parquet", 1))
+          case 1 => (1 to n0).map(j => entry(j, s"f$j.parquet", 1))
+          case _ => (1 to n0).map(j => entry(j, s"f$j.parquet", 1)) :+
+            entry(n0 + 1, "f0.parquet", 1)
+        }
+        val tomb = if (m == 1) Seq(entry(0, "f0.parquet", 2)) else Seq.empty
+        (id, IcebergOps.encodeManifest(Seq(live ++ tomb), syncSeed = k * 31L))
+      }).toDF("doc_id", "payload")
+      val ice = IcebergOps.manifestCensus(manifests, "doc_id", "payload")
+        .select(col("doc_id"),
+          col("n_live").as("i_live"), col("live_bytes").as("i_bytes"),
+          col("live_rows").as("i_rows"), col("n_partitions").as("i_parts"),
+          col("n_deleted").as("i_tomb"))
+      delta.join(ice, Seq("doc_id"))
+        .select(col("doc_id"),
+          col("d_live"), col("i_live"),
+          (col("d_live") === col("i_live")).cast("long").as("live_match"),
+          (col("d_bytes") === col("i_bytes")).cast("long").as("bytes_match"),
+          (col("d_rows") === col("i_rows")).cast("long").as("rows_match"),
+          (col("d_parts") === col("i_parts")).cast("long").as("parts_match"),
+          (col("d_tomb") === col("i_tomb")).cast("long").as("tomb_match"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id,
+                        CAST(2 + doc_id % 5 AS BIGINT) AS n0,
+                        doc_id % 3 AS m FROM documents),
+      s AS (SELECT doc_id, n0, m, unnest(range(0, n0 + 2)) AS j FROM p),
+      sl AS (SELECT doc_id,
+               CASE WHEN m = 0 THEN j < n0
+                    WHEN m = 1 THEN j BETWEEN 1 AND n0
+                    ELSE (j BETWEEN 1 AND n0) OR j = n0 + 1 END AS live
+             FROM s),
+      agg AS (SELECT doc_id, SUM(CASE WHEN live THEN 1 ELSE 0 END) AS n_live
+              FROM sl GROUP BY doc_id)
+      SELECT p.doc_id,
+             CAST(agg.n_live AS BIGINT) AS d_live,
+             CAST(agg.n_live AS BIGINT) AS i_live,
+             CAST(1 AS BIGINT) AS live_match,
+             CAST(1 AS BIGINT) AS bytes_match,
+             CAST(CASE WHEN p.doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS rows_match,
+             CAST(1 AS BIGINT) AS parts_match,
+             CAST(1 AS BIGINT) AS tomb_match
+      FROM p JOIN agg ON agg.doc_id = p.doc_id
+      ORDER BY p.doc_id"""))
+
   // --------------------------------------------------------------- q398
 
   /** q398 — Iceberg manifest-file census
@@ -5606,5 +5694,5 @@ object DataQueries {
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
-    q385, q387, q388, q390, q392, q393, q395, q396, q397, q398, q399)
+    q385, q387, q388, q390, q392, q393, q395, q396, q397, q398, q399, q400)
 }
