@@ -289,14 +289,28 @@ object DeltaLogOps {
       (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = b.sparkSession
         val sp = new org.apache.hadoop.fs.Path(statePath)
+        val tmp = new org.apache.hadoop.fs.Path(statePath + ".tmp")
         val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // crash recovery: a marker-less tmp is a partial write — drop
+        // it; a complete one is the previous batch's result — promote
+        // (extendDictionaryBatchStep's delete→rename discipline)
+        if (!fs.exists(sp) && fs.exists(tmp)) {
+          if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+            fs.rename(tmp, sp)
+          else fs.delete(tmp, true)
+        }
         val prior =
           if (fs.exists(sp)) spark.read.schema(StateSchema).parquet(statePath)
           else emptyState(spark)
-        // materialize BEFORE the overwrite (the fold reads the store)
-        val next = foldBatch(prior, b.toDF(), tableCol, versionCol, lineCol)
-          .localCheckpoint(false)
-        next.write.mode("overwrite").parquet(statePath)
+        // fold to a TEMP path, then swap: writing over statePath while
+        // the fold plan still reads it would delete the store mid-scan
+        // (a lazy localCheckpoint materializes nothing before the
+        // delete — only the tmp indirection is actually safe here)
+        foldBatch(prior, b.toDF(), tableCol, versionCol, lineCol)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(sp, true)
+        fs.rename(tmp, sp)
+        ()
     }
 
   // ------------------------------------------------------------------

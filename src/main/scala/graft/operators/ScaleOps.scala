@@ -149,6 +149,20 @@ object ScaleOps {
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"),
       "nation" -> Seq.empty, "region" -> Seq.empty)
+    // disjointness guard: the requested offset is only a MINIMUM — the
+    // effective shift is derived from the source's actual max key, so a
+    // bigger source SF can never silently collide replicas (the sf-scale
+    // growth probe depends on copies being key-disjoint). One tiny
+    // max-aggregate per shifted table; the same effective offset applies
+    // to EVERY table so referential integrity holds within each copy.
+    val maxKey = shiftCols.collect { case (t, cols) if cols.nonEmpty =>
+      val base = graft.Tables.load(spark, srcDir, t)
+      base.agg(cols.map(c => max(col(c).cast("long"))).reduce(greatest(_, _)))
+        .collect()(0).getLong(0)
+    }.max
+    val effOffset = math.max(offset, maxKey + 1)
+    require(effOffset <= Long.MaxValue / factor,
+      s"effective offset $effOffset x factor $factor overflows long keys")
     graft.Tables.names.foreach { t =>
       val base = graft.Tables.load(spark, srcDir, t)
       val out =
@@ -157,7 +171,7 @@ object ScaleOps {
           val crossed = base.crossJoin(
             spark.range(0, factor).select(col("id").as("_copy")))
           val shifted = shiftCols(t).foldLeft(crossed)((df, c) =>
-            df.withColumn(c, col(c) + col("_copy") * offset))
+            df.withColumn(c, col(c) + col("_copy") * effOffset))
           val varied =
             if (t == "documents")
               shifted.withColumn("text",

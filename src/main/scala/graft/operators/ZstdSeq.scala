@@ -711,88 +711,13 @@ object ZstdSeq {
     Some(java.util.Arrays.copyOf(buf, o))
   }
 
-  /** Is this compressed block OUTSIDE the supported boundary by
-    * DECLARATION (Huffman literals, FSE_Compressed/Repeat modes) —
-    * as opposed to malformed? The census reports the two separately:
-    * `unsupported` is a stub boundary, `failed` is a defect.
-    */
-  /** With the full non-dictionary decoder in place the only
-    * "undecodable by construction" class left is a block whose
-    * cross-block dependencies (treeless Huffman table, Repeat-mode
-    * tables, window) were LOST to an earlier failed block
-    * (`stateLost`): those are skipped honestly, like LZ4's linked
-    * blocks after a break. On an intact frame, every decode failure
-    * is a defect — a treeless or Repeat FIRST block is spec-corrupt,
-    * not a stub.
-    */
-  def isUnsupported(bytes: Array[Byte], off: Int, end: Int,
-                    stateLost: Boolean = false): Boolean = {
-    if (!stateLost) return false
-    if (end - off < 1) return false
-    val b0 = bytes(off) & 0xff
-    if ((b0 & 3) == 3) return true // treeless: table lost
-    // walk past the literals section to the modes byte
-    var p = off
-    if ((b0 & 3) == 2) {
-      // compressed literals: skip header + compressed mass
-      val sf = (b0 >> 2) & 3
-      val (hdrLen, comp) = sf match {
-        case 0 | 1 =>
-          if (end - off < 3) return false
-          val v = (b0 | ((bytes(off + 1) & 0xff) << 8) |
-            ((bytes(off + 2) & 0xff) << 16)) >>> 4
-          (3, (v >> 10) & 0x3FF)
-        case 2 =>
-          if (end - off < 4) return false
-          val v = ((b0 | ((bytes(off + 1) & 0xff) << 8) |
-            ((bytes(off + 2) & 0xff) << 16)).toLong |
-            ((bytes(off + 3) & 0xffL) << 24)) >>> 4
-          (4, ((v >> 14) & 0x3FFF).toInt)
-        case _ =>
-          if (end - off < 5) return false
-          val v = ((b0 | ((bytes(off + 1) & 0xff) << 8) |
-            ((bytes(off + 2) & 0xff) << 16)).toLong |
-            ((bytes(off + 3) & 0xffL) << 24) |
-            ((bytes(off + 4) & 0xffL) << 32)) >>> 4
-          (5, ((v >> 18) & 0x3FFFF).toInt)
-      }
-      p = off + hdrLen + comp
-      if (p >= end) return false
-      val s0 = bytes(p) & 0xff
-      p += (if (s0 < 128) 1 else if (s0 < 255) 2 else 3)
-      if (s0 == 0 || p >= end) return false
-      val modes = bytes(p) & 0xff
-      return ((modes >> 6) & 3) == 3 || ((modes >> 4) & 3) == 3 ||
-        ((modes >> 2) & 3) == 3
-    }
-    val (hdrLen, regen) =
-      if ((b0 & 4) == 0) (1, b0 >> 3)
-      else if ((b0 & 8) == 0) {
-        if (end - off < 2) return false
-        (2, (b0 | ((bytes(off + 1) & 0xff) << 8)) >> 4)
-      } else {
-        if (end - off < 3) return false
-        (3, (b0 | ((bytes(off + 1) & 0xff) << 8) |
-          ((bytes(off + 2) & 0xff) << 16)) >> 4)
-      }
-    p = off + hdrLen + (if ((b0 & 3) == 0) regen else 1)
-    if (p >= end) return false
-    val s0 = bytes(p) & 0xff
-    p += (if (s0 < 128) 1 else if (s0 < 255) 2 else 3)
-    if (s0 == 0 || p >= end) return false
-    val modes = bytes(p) & 0xff
-    // Repeat mode needs cross-block table state; Predefined, RLE and
-    // FSE_Compressed all decode
-    ((modes >> 6) & 3) == 3 || ((modes >> 4) & 3) == 3 ||
-      ((modes >> 2) & 3) == 3
-  }
-
   // ------------------------------------------------------------------
   // frame-level decode census
 
   final case class SeqCensus(valid: Int, nBlocks: Int, nRaw: Int, nRle: Int,
                              nCompressed: Int, nDecoded: Int, nUnsupported: Int,
-                             nFailed: Int, decodedBytes: Long, contentOk: Int)
+                             nFailed: Int, decodedBytes: Long, contentOk: Int,
+                             dictGated: Int = 0)
 
   private val InvalidCensus = SeqCensus(0, 0, 0, 0, 0, 0, 0, 0, 0L, -1)
 
@@ -803,6 +728,20 @@ object ZstdSeq {
     * stream (1/0); otherwise -1. Single-frame census — the fixture
     * and synthetic shapes; a declared-unsupported block never counts
     * as failed.
+    *
+    * Two honest-skip classes ride `n_unsupported`, never `n_failed`:
+    *
+    *  - a frame declaring a DICTIONARY id (`dict_gated` = 1) is a
+    *    VALID frame this decoder declines — the block structure is
+    *    still walked (raw/RLE content decodes; it does not depend on
+    *    the dictionary) but every compressed block is counted
+    *    unsupported, since its entropy tables/window may seed from
+    *    dictionary content the walker does not have;
+    *  - after a FAILED block, every remaining compressed block in the
+    *    frame is state-lost (LZ4's linked-block discipline): its
+    *    repeat-offset history and window came from bytes never
+    *    produced, so a "successful" decode could be silently wrong —
+    *    skipped and counted, never guessed at.
     */
   def frameSeqCensus(bytes: Array[Byte], maxOut: Int = 1 << 22): SeqCensus = {
     val n = bytes.length
@@ -811,7 +750,15 @@ object ZstdSeq {
         ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
     if (n < 6 || le32(0) != 0xFD2FB528L) return InvalidCensus
     val fhd = bytes(4) & 0xff
-    if ((fhd & 3) != 0) return InvalidCensus // dictionary id: out of scope
+    // Dictionary_ID_Flag (RFC 8878 §3.1.1.1.1): a frame this decoder
+    // DECLINES (no dictionary content available), not an invalid one
+    val didLen = (fhd & 3) match {
+      case 0 => 0
+      case 1 => 1
+      case 2 => 2
+      case _ => 4
+    }
+    val dictGated = didLen > 0
     val single = (fhd & 0x20) != 0
     val hasChecksum = (fhd & 0x04) != 0
     val fcsLen = (fhd >> 6) match {
@@ -820,7 +767,7 @@ object ZstdSeq {
       case 2 => 4
       case _ => 8
     }
-    var pos = 5 + (if (single) 0 else 1) + fcsLen
+    var pos = 5 + (if (single) 0 else 1) + didLen + fcsLen
     if (pos > n) return InvalidCensus
     var nBlocks = 0; var nRaw = 0; var nRle = 0; var nComp = 0
     var nDec = 0; var nUnsup = 0; var nFail = 0
@@ -867,7 +814,15 @@ object ZstdSeq {
         case 2 =>
           if (size > n - pos) return InvalidCensus
           nComp += 1
-          decodeBlock(bytes, pos, pos + size, maxOut, ctx) match {
+          if (dictGated || ctxBroken) {
+            // honest skip, no decode attempt: dictionary-seeded state is
+            // unavailable / frame state was lost to an earlier failure —
+            // a decode here could SUCCEED with wrong bytes (repeat
+            // offsets and window both reset), so it must not be counted
+            // decoded, and its failure would not be a defect either
+            nUnsup += 1
+            tracked = false
+          } else decodeBlock(bytes, pos, pos + size, maxOut, ctx) match {
             case Some(dec) =>
               nDec += 1
               decodedBytes += dec.length
@@ -876,9 +831,7 @@ object ZstdSeq {
                 content.write(dec, 0, dec.length)
               else tracked = false
             case None =>
-              if (isUnsupported(bytes, pos, pos + size,
-                stateLost = ctxBroken)) nUnsup += 1
-              else nFail += 1
+              nFail += 1
               tracked = false
               ctx = new FrameCtx(maxOut)
               ctxBroken = true
@@ -895,7 +848,8 @@ object ZstdSeq {
       pos += 4
     }
     SeqCensus(if (pos == n) 1 else 0, nBlocks, nRaw, nRle, nComp,
-      nDec, nUnsup, nFail, decodedBytes, contentOk)
+      nDec, nUnsup, nFail, decodedBytes, contentOk,
+      if (dictGated) 1 else 0)
   }
 
   /** Map-only dataset census over (id, frame bytes) — the decode layer
@@ -913,10 +867,12 @@ object ZstdSeq {
           val c = frameSeqCensus(bytes)
           (id, c.valid.toLong, c.nBlocks.toLong, c.nRaw.toLong, c.nRle.toLong,
             c.nCompressed.toLong, c.nDecoded.toLong, c.nUnsupported.toLong,
-            c.nFailed.toLong, c.decodedBytes, c.contentOk.toLong)
+            c.nFailed.toLong, c.decodedBytes, c.contentOk.toLong,
+            c.dictGated.toLong)
         }
       }
       .toDF(idCol, "valid", "n_blocks", "n_raw", "n_rle", "n_compressed",
-        "n_decoded", "n_unsupported", "n_failed", "decoded_bytes", "content_ok")
+        "n_decoded", "n_unsupported", "n_failed", "decoded_bytes", "content_ok",
+        "dict_gated")
   }
 }

@@ -5307,15 +5307,17 @@ object DataQueries {
     * BUILT from RFC 8878's normalized counts via the spec's spread
     * algorithm), the backward bitstream, interleaved state updates,
     * and the three-slot repeat-offset history. Honest boundaries
-    * stay separate: a block DECLARING Huffman literals or
-    * FSE_Compressed modes counts `n_unsupported` (stub), a block
-    * whose bitstream is broken counts `n_failed` (defect) — never
-    * conflated. ZstdSeqSpec grades the decoder against four REAL
-    * zstd-CLI frames byte-for-byte incl. their XXH64 checksums; this
-    * query's fixtures mix a doc-varying raw block, a pinned
-    * predefined-FSE block (real zstd output), a hand-encoded
-    * RLE-mode block, and planted unsupported/broken classes. Oracle
-    * closed-form. Map-only, zero shuffles.
+    * stay separate: a broken bitstream counts `n_failed` (defect);
+    * blocks AFTER a failure are state-lost skips and frames declaring
+    * a DICTIONARY id are declined whole — both ride `n_unsupported`
+    * with `dict_gated` naming the frame-level class (valid frames the
+    * decoder declines, never conflated with spec violations).
+    * ZstdSeqSpec grades the decoder against real zstd-CLI frames
+    * byte-for-byte incl. their XXH64 checksums; this query's fixtures
+    * mix a doc-varying raw block, a pinned predefined-FSE block (real
+    * zstd output), a hand-encoded RLE-mode block, and planted
+    * failed/state-lost/dict-gated classes. Oracle closed-form.
+    * Map-only, zero shuffles.
     */
   val q395 = Q("q395_zstd_seq_decode",
     (s, dir) => {
@@ -5343,7 +5345,10 @@ object DataQueries {
                 Seq((2, ZstdOps.literalsHeader(3, 50, 10) ++ Array.fill(10)(7.toByte)))
               else Nil) ++
               (if (k % 5 == 0) Seq((2, broken)) else Nil)
-            (id, ZstdOps.encodeFrameWithBlocks(blocks))
+            // every 9th doc's frame declares a dictionary id: a VALID
+            // frame the decoder declines whole (dict_gated class)
+            (id, ZstdOps.encodeFrameWithBlocks(blocks,
+              dictId = if (k % 9 == 0) 7 else 0))
           }
         }.toDF("doc_id", "payload")
       ZstdSeq.zstdSeqFeatures(synth, "doc_id", "payload")
@@ -5352,20 +5357,27 @@ object DataQueries {
     Some("""
       WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
       f AS (SELECT doc_id, k,
-              CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END
-                + CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS fail
+              CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS t4,
+              CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS t5,
+              CASE WHEN k % 9 = 0 THEN 1 ELSE 0 END AS dict
             FROM d)
       SELECT doc_id,
              CAST(1 AS BIGINT) AS valid,
-             CAST(3 + fail AS BIGINT) AS n_blocks,
+             CAST(3 + t4 + t5 AS BIGINT) AS n_blocks,
              CAST(1 AS BIGINT) AS n_raw,
              CAST(0 AS BIGINT) AS n_rle,
-             CAST(2 + fail AS BIGINT) AS n_compressed,
-             CAST(2 AS BIGINT) AS n_decoded,
-             CAST(0 AS BIGINT) AS n_unsupported,
-             CAST(fail AS BIGINT) AS n_failed,
-             CAST(77 + k AS BIGINT) AS decoded_bytes,
-             CAST(-1 AS BIGINT) AS content_ok
+             CAST(2 + t4 + t5 AS BIGINT) AS n_compressed,
+             CAST(CASE WHEN dict = 1 THEN 0 ELSE 2 END AS BIGINT) AS n_decoded,
+             CAST(CASE WHEN dict = 1 THEN 2 + t4 + t5
+                       WHEN t4 = 1 AND t5 = 1 THEN 1
+                       ELSE 0 END AS BIGINT) AS n_unsupported,
+             CAST(CASE WHEN dict = 1 THEN 0
+                       WHEN t4 = 1 OR t5 = 1 THEN 1
+                       ELSE 0 END AS BIGINT) AS n_failed,
+             CAST(CASE WHEN dict = 1 THEN 20 + k ELSE 77 + k END AS BIGINT)
+               AS decoded_bytes,
+             CAST(-1 AS BIGINT) AS content_ok,
+             CAST(dict AS BIGINT) AS dict_gated
       FROM f ORDER BY doc_id"""))
 
   // --------------------------------------------------------------- q400
@@ -5663,7 +5675,10 @@ object DataQueries {
               (0, Array.tabulate(10 + k)(i => ((i * 11 + k) % 251).toByte)),
               (2, if (k % 2 == 0) hufBlock else fseBlock)) ++
               (if (k % 6 == 0) Seq((2, treeless)) else Nil)
-            (id, ZstdOps.encodeFrameWithBlocks(blocks))
+            // every 7th doc: dictionary-id frame — the entropy blocks
+            // are declined whole (dict_gated), only the raw block counts
+            (id, ZstdOps.encodeFrameWithBlocks(blocks,
+              dictId = if (k % 7 == 0) 9 else 0))
           }
         }.toDF("doc_id", "payload")
       ZstdSeq.zstdSeqFeatures(synth, "doc_id", "payload")
@@ -5673,6 +5688,7 @@ object DataQueries {
       WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
       f AS (SELECT doc_id, k,
               CASE WHEN k % 6 = 0 THEN 1 ELSE 0 END AS tl,
+              CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS dict,
               CASE WHEN k % 2 = 0 THEN 159 ELSE 800 END AS blk
             FROM d)
       SELECT doc_id,
@@ -5681,11 +5697,13 @@ object DataQueries {
              CAST(1 AS BIGINT) AS n_raw,
              CAST(0 AS BIGINT) AS n_rle,
              CAST(1 + tl AS BIGINT) AS n_compressed,
-             CAST(1 + tl AS BIGINT) AS n_decoded,
-             CAST(0 AS BIGINT) AS n_unsupported,
+             CAST(CASE WHEN dict = 1 THEN 0 ELSE 1 + tl END AS BIGINT) AS n_decoded,
+             CAST(CASE WHEN dict = 1 THEN 1 + tl ELSE 0 END AS BIGINT) AS n_unsupported,
              CAST(0 AS BIGINT) AS n_failed,
-             CAST(10 + k + blk + tl * 80 AS BIGINT) AS decoded_bytes,
-             CAST(-1 AS BIGINT) AS content_ok
+             CAST(CASE WHEN dict = 1 THEN 10 + k
+                       ELSE 10 + k + blk + tl * 80 END AS BIGINT) AS decoded_bytes,
+             CAST(-1 AS BIGINT) AS content_ok,
+             CAST(dict AS BIGINT) AS dict_gated
       FROM f ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,

@@ -152,4 +152,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(dupTexts(out) == 3 * dupTexts(src),
       "per-copy text variation must not create cross-copy twins")
   }
+
+  test("replicateScaled: an offset below the source's max key is raised, never collides") {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft-sfscale-off").toString
+    // the requested offset is far below the source's max key — the
+    // derived effective offset must keep every copy's keys disjoint
+    ScaleOps.replicateScaled(spark, src, out, factor = 2, offset = 10L)
+    for (t <- Seq("orders", "documents")) {
+      val keyCol = if (t == "orders") "o_orderkey" else "doc_id"
+      val n0 = graft.Tables.load(spark, src, t).select(keyCol).distinct().count()
+      assert(graft.Tables.load(spark, out, t).select(keyCol).distinct().count() == 2 * n0,
+        s"$t: replica keys must stay disjoint even with a too-small requested offset")
+    }
+  }
 }

@@ -222,6 +222,43 @@ class ZstdSeqSpec extends AnyFunSuite {
     assert(cb.nFailed == 1 && cb.nUnsupported == 0)
   }
 
+  test("after a failed block EVERY remaining compressed block is state-lost; raw still counts") {
+    val z1Blk = hex("6061626364656667685f78797a01000ccb11")
+    val broken = z1Blk.clone(); broken(broken.length - 1) = 0
+    // broken first, then a block that WOULD decode in isolation: it must
+    // be skipped, not decoded — its repeat-offset history and window were
+    // reset by the failure, so a "successful" decode could be silently
+    // WRONG bytes (the z1 block's sequence uses a new offset here, but
+    // the census cannot know that without trusting the broken state)
+    val f = ZstdOps.encodeFrameWithBlocks(Seq(
+      (2, broken), (2, z1Blk), (0, "tail".getBytes)))
+    val c = ZstdSeq.frameSeqCensus(f)
+    assert(c.nFailed == 1 && c.nUnsupported == 1 && c.nDecoded == 0, c.toString)
+    // the raw block is self-contained and still counts
+    assert(c.decodedBytes == 4L && c.valid == 1, c.toString)
+  }
+
+  test("dictionary-id frames are a DECLINED class, not invalid: walked, gated, counted") {
+    val z1Blk = hex("6061626364656667685f78797a01000ccb11")
+    val raw = (0, "plainbytes".getBytes)
+    val plain = ZstdOps.encodeFrameWithBlocks(Seq(raw, (2, z1Blk)))
+    val gated = ZstdOps.encodeFrameWithBlocks(Seq(raw, (2, z1Blk)), dictId = 42)
+    val cp = ZstdSeq.frameSeqCensus(plain)
+    assert(cp.valid == 1 && cp.dictGated == 0 && cp.nDecoded == 1 &&
+      cp.decodedBytes == 49L, cp.toString)
+    val cg = ZstdSeq.frameSeqCensus(gated)
+    // a VALID frame the decoder declines: block structure walked, the
+    // compressed block counted unsupported (its entropy tables/window
+    // may seed from dictionary content the walker does not have) —
+    // never failed, never "decoded" with dictionary-blind state
+    assert(cg.valid == 1 && cg.dictGated == 1, cg.toString)
+    assert(cg.nBlocks == 2 && cg.nCompressed == 1, cg.toString)
+    assert(cg.nDecoded == 0 && cg.nFailed == 0 && cg.nUnsupported == 1, cg.toString)
+    assert(cg.decodedBytes == 10L, "raw content has no dictionary dependence")
+    // truncation INSIDE the dict-id field is a spec violation: invalid
+    assert(ZstdSeq.frameSeqCensus(gated.take(6)).valid == 0)
+  }
+
   test("adversarial streams fail closed: truncation, reserved bits, offset beyond output") {
     val z1Block = hex("6061626364656667685f78797a01000ccb11")
     // every truncation point of a known-good block decodes to None or
