@@ -38,31 +38,61 @@ object BaselineLedger {
     */
   val RatioBound = 2.0
 
-  /** Adjudicate perf_weak with the in-record retry evidence (r12
-    * verdict item 1): a query stays flagged only when BOTH the sweep
-    * ratio and its post-sweep retry ratio exceed [[RatioBound]] — two
-    * measurements taken minutes apart under independent calibrations.
-    * A host transient inflating one pass cannot inflate both; a real
-    * plan regression fails both. A flagged query with NO retry entry
-    * (retry errored) stays flagged — missing evidence never clears a
-    * flag. The confirmed ratio reported is the SMALLER of the two
-    * (the best available estimate of the query's true time).
+  /** One measurement against a ledger entry, on BOTH axes (r13 verdict
+    * item 2a): `norm` is calibration-normalized (`t · calibRef /
+    * calib / base` — host-load-corrected, but INFLATED when the run's
+    * calibration happened to read fast), `raw` is the uncorrected
+    * `t / base` (inflated only by actual load). A genuine regression
+    * exceeds the bound on both; each single-axis excess has a benign
+    * explanation (fast calib / loaded host respectively), so a flag
+    * requires BOTH — the r13 driver record's seven 2.0–2.3× flags all
+    * had raw ratios under the bound and a 1.23× calib multiplier.
     */
-  def adjudicate(vsBaseline: Seq[(String, Double)],
-                 retry: Map[String, Double]): Seq[(String, Double)] =
+  final case class Ratio(norm: Double, raw: Double) {
+    def weak: Boolean = norm > RatioBound && raw > RatioBound
+    /** Best available estimate of the true ratio: each axis only ever
+      * OVER-estimates, so the smaller one is closer to truth. */
+    def best: Double = math.min(norm, raw)
+  }
+
+  /** Adjudicate perf_weak with the in-record retry evidence (r12
+    * verdict item 1 + the r13 dual-axis rule): a query stays flagged
+    * only when BOTH measurements — the sweep and its post-sweep
+    * retry — are weak on BOTH axes. Two measurements taken minutes
+    * apart under independent calibrations: a host transient cannot
+    * inflate both passes, a fast calibration cannot inflate the raw
+    * axis, and a real plan regression fails everything. A flagged
+    * query with NO retry entry (retry errored) stays flagged —
+    * missing evidence never clears a flag. The confirmed ratio is the
+    * smallest available estimate across both passes and axes.
+    */
+  def adjudicate(vsBaseline: Seq[(String, Ratio)],
+                 retry: Map[String, Ratio]): Seq[(String, Double)] =
     vsBaseline.collect {
-      case (k, r) if r > RatioBound && retry.get(k).forall(_ > RatioBound) =>
-        k -> retry.get(k).fold(r)(math.min(r, _))
+      case (k, r) if r.weak && retry.get(k).forall(_.weak) =>
+        k -> retry.get(k).fold(r.best)(rr => math.min(r.best, rr.best))
     }
+
+  /** The retry-under-load rule (r13 verdict item 2b): a retry whose
+    * own fresh calibration reads above `LoadVoidFactor` × the quiet
+    * floor was taken under sustained external load — its ratios are
+    * not evidence either way, and Bench re-runs the pass once after a
+    * cool-down instead of letting two loaded measurements confirm a
+    * flag the host made.
+    */
+  val LoadVoidFactor = 1.5
+
+  def loadVoid(retryCalib: Double, quietFloor: Double): Boolean =
+    retryCalib > LoadVoidFactor * quietFloor
 
   /** The record's `vs_baseline_retry` pairing: EVERY first-pass flag
     * appears exactly once, `None` marking a retry that errored (which
     * [[adjudicate]] keeps flagged) — the record is self-auditing by
     * construction, and this function is what Bench emits from.
     */
-  def retryFields(flagged: Seq[(String, Double)],
-                  retry: Map[String, Double]): Seq[(String, Option[Double])] =
-    flagged.map { case (k, _) => k -> retry.get(k) }
+  def retryFields(flagged: Seq[(String, Ratio)],
+                  retry: Map[String, Ratio]): Seq[(String, Option[Double])] =
+    flagged.map { case (k, _) => k -> retry.get(k).map(_.norm) }
 
   def load(path: String = Path): Option[Ledger] = {
     val f = new java.io.File(path)

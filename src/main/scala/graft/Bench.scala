@@ -131,48 +131,75 @@ object Bench {
     val calib0 = extras.collectFirst { case ("calib_sec", v) => v }.filter(_ > 0)
     val ledger = BaselineLedger.load().filter(l =>
       new java.io.File(sfDir).getName == l.sf && calib0.isDefined)
-    val vsBaseline: Seq[(String, Double)] = ledger.map { l =>
+    // each query measured on BOTH axes (BaselineLedger.Ratio): the
+    // calib-normalized ratio corrects for host load but inflates when
+    // the start-of-run calibration read fast (r13: a 0.073 calib
+    // multiplied every ratio by 1.23); the raw ratio inflates only
+    // under real load. perf_weak requires both — spec-pinned.
+    val vsBaseline: Seq[(String, BaselineLedger.Ratio)] = ledger.map { l =>
       val scale = l.calibRef / calib0.get
       results.toSeq.collect {
         case (k, v) if v >= 0 && l.queries.contains(shortName(k)) =>
-          shortName(k) -> (v * scale) / l.queries(shortName(k))
+          val base = l.queries(shortName(k))
+          shortName(k) -> BaselineLedger.Ratio((v * scale) / base, v / base)
       }
     }.getOrElse(Seq.empty)
     // In-record perf_weak RETRY pass (self-healing canonical record):
-    // every query whose sweep ratio exceeds the 2x ledger bound is
-    // re-measured best-of-3 AFTER the sweep against a FRESH
-    // calibration. Four rounds of records showed scattered sub-second
-    // queries inflated 2-20x by host load bursts while the run median
-    // sat on 1.0x; a transient cannot inflate two measurements taken
-    // minutes apart, so it clears inside the SAME record — a real
-    // regression survives both and stays flagged
-    // (BaselineLedger.adjudicate, spec-pinned).
-    val flaggedFirst = vsBaseline.filter(_._2 > BaselineLedger.RatioBound)
+    // every query weak on both axes is re-measured best-of-3 AFTER the
+    // sweep against a FRESH calibration. Four rounds of records showed
+    // scattered sub-second queries inflated 2-20x by host load bursts
+    // while the run median sat on 1.0x; a transient cannot inflate two
+    // measurements taken minutes apart, so it clears inside the SAME
+    // record — a real regression survives both and stays flagged
+    // (BaselineLedger.adjudicate, spec-pinned). A retry whose own
+    // calibration reads loaded (> 1.5x the quiet floor) is LOAD-VOID:
+    // it re-runs once more after a cool-down, and the cleaner-calib
+    // attempt is the one adjudicated — two loaded measurements must
+    // not confirm a flag the host made (r13: retry calib 0.146 on a
+    // 0.080 floor kept seven load flags alive).
+    val quietFloor =
+      0.080 * (32.0 / math.max(1, spark.sparkContext.defaultParallelism))
+    val flaggedFirst = vsBaseline.filter(_._2.weak)
     val fullByShort = selected.keys.map(k => shortOf(k) -> k).toMap
-    val (retryRatios, retryCalib): (Map[String, Double], Option[Double]) =
-      if (flaggedFirst.isEmpty) (Map.empty[String, Double], None)
+    def retryPass(l: BaselineLedger.Ledger):
+        (Map[String, BaselineLedger.Ratio], Double) = {
+      val c = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 200000000L, 1L, spark.sparkContext.defaultParallelism)
+          .select(bit_xor(xxhash64(col("id")))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val m = flaggedFirst.flatMap { case (short, _) =>
+        fullByShort.get(short).flatMap { full =>
+          val fn = selected(full)
+          val ts = (1 to 3).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case _: Throwable => None }
+          }
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          spark.sharedState.cacheManager.clearCache()
+          ts.minOption.map(t => short -> BaselineLedger.Ratio(
+            (t * (l.calibRef / c)) / l.queries(short), t / l.queries(short)))
+        }
+      }.toMap
+      (m, c)
+    }
+    val (retryRatios, retryCalib, retryVoidN):
+        (Map[String, BaselineLedger.Ratio], Option[Double], Int) =
+      if (flaggedFirst.isEmpty) (Map.empty[String, BaselineLedger.Ratio], None, 0)
       else {
         val l = ledger.get // flaggedFirst nonEmpty implies ledger loaded
-        val c = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          spark.range(0L, 200000000L, 1L, spark.sparkContext.defaultParallelism)
-            .select(bit_xor(xxhash64(col("id")))).collect()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        val m = flaggedFirst.flatMap { case (short, _) =>
-          fullByShort.get(short).flatMap { full =>
-            val fn = selected(full)
-            val ts = (1 to 3).flatMap { _ =>
-              val t0 = System.nanoTime()
-              try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-              catch { case _: Throwable => None }
-            }
-            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-            spark.sharedState.cacheManager.clearCache()
-            ts.minOption.map(t => short -> (t * (l.calibRef / c)) / l.queries(short))
-          }
-        }.toMap
-        (m, Some(c))
+        var (m, c) = retryPass(l)
+        var voids = 0
+        if (BaselineLedger.loadVoid(c, quietFloor)) {
+          voids += 1
+          Thread.sleep(20000) // cool-down: outlast the load burst
+          val (m2, c2) = retryPass(l)
+          if (c2 < c) { m = m2; c = c2 }
+          if (BaselineLedger.loadVoid(c, quietFloor)) voids += 1
+        }
+        (m, Some(c), voids)
       }
     val perfWeak = BaselineLedger.adjudicate(vsBaseline, retryRatios)
       .sortBy(-_._2)
@@ -181,28 +208,29 @@ object Bench {
     }
     val vsJson =
       if (vsBaseline.isEmpty) ""
-      else vsBaseline.map { case (k, r) => jstr(k) + ":" + fmt(r) }
+      else vsBaseline.map { case (k, r) => jstr(k) + ":" + fmt(r.norm) }
         .mkString(",\"vs_baseline\":{", ",", "}")
     // one-line record stays bounded: count + the 10 worst offenders
     // retry evidence stamped next to the verdict: every first-pass
-    // flag gets its retry ratio (or is listed as retry-errored by
-    // absence — which keeps it flagged), plus the retry pass's own
-    // calibration so the record is self-auditing
-    val retryJson =
-      if (flaggedFirst.isEmpty) ""
-      else retryCalib.map(c => s""","retry_calib_sec":${fmt(c)}""").getOrElse("") +
-        BaselineLedger.retryFields(flaggedFirst, retryRatios).map {
+    // flag gets its RAW ratio (the second adjudication axis) and its
+    // retry ratio (or is listed as retry-errored by absence — which
+    // keeps it flagged), plus the retry pass's own calibration and
+    // load-void count so the record is self-auditing
+    def retryEvidence(flags: Seq[(String, BaselineLedger.Ratio)]): String =
+      retryCalib.map(c => s""","retry_calib_sec":${fmt(c)}""").getOrElse("") +
+        s""","retry_load_void_n":$retryVoidN""" +
+        flags.map { case (k, r) => jstr(k) + ":" + fmt(r.raw) }
+          .mkString(",\"vs_baseline_raw\":{", ",", "}") +
+        BaselineLedger.retryFields(flags, retryRatios).map {
           case (k, r) => jstr(k) + ":" + r.map(fmt).getOrElse("null")
         }.mkString(",\"vs_baseline_retry\":{", ",", "}")
+    val retryJson =
+      if (flaggedFirst.isEmpty) "" else retryEvidence(flaggedFirst)
     // bounded twin of retryJson for the short stdout line the driver
     // captures: the 12 worst first-pass flags with their retry verdicts
     val retryJsonShort =
       if (flaggedFirst.isEmpty) ""
-      else retryCalib.map(c => s""","retry_calib_sec":${fmt(c)}""").getOrElse("") +
-        BaselineLedger.retryFields(flaggedFirst.sortBy(-_._2).take(12),
-          retryRatios).map {
-          case (k, r) => jstr(k) + ":" + r.map(fmt).getOrElse("null")
-        }.mkString(",\"vs_baseline_retry\":{", ",", "}")
+      else retryEvidence(flaggedFirst.sortBy(-_._2.norm).take(12))
     val perfWeakJson = ledger.map { _ =>
       s""","perf_weak_n":${perfWeak.size}""" +
         s""","perf_weak_retry_cleared_n":${flaggedFirst.size - perfWeak.size}""" +
