@@ -66,7 +66,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => MultiMatch(children.head, children(1))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),
-      (children: Seq[Expression]) => Simhash(children.head, children(1))))
+      (children: Seq[Expression]) => Simhash(children.head, children(1))),
+    (FunctionIdentifier("graft_triples"),
+      new ExpressionInfo(classOf[ArrayTriples].getName, "graft_triples"),
+      (children: Seq[Expression]) => ArrayTriples(children.head)))
 
   /** Idempotently register the functions (and the CartesianGuard
     * optimizer rule, via the runtime `extraOptimizations` hook) on an

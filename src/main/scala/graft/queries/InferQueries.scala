@@ -1220,9 +1220,17 @@ object InferQueries {
     * basket of one-off items costs nothing. Per-basket work is then
     * C(|frequent items in basket|, 3) — bounded by the prune, not the
     * raw basket.
+    *
+    * The generator is the compiled `graft_triples` kernel
+    * (expressions/ArrayTriples.scala): the earlier nested
+    * `flatten(transform(…, transform(slice(…))))` HOF chain was the
+    * one plan shape in the repo with a documented interpreted-fallback
+    * cliff (the q61/q62 history) — the kernel removes the class, and
+    * PlanSpec pins that no higher-order lambda survives in the plan.
     */
   val q278 = Q("q278_apriori_triples",
     (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
       val items = Tables.load(s, dir, "lineitem")
         .join(broadcast(Tables.load(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey"), col("p_brand")).distinct()
@@ -1233,12 +1241,7 @@ object InferQueries {
         .groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("p_brand"))).as("ids"))
         .filter(size(col("ids")) >= 3)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 2), i ->
-             flatten(transform(sequence(i + 1, size(ids) - 1), j ->
-               transform(slice(ids, j + 1, size(ids)), c ->
-                 struct(element_at(ids, i) AS a, element_at(ids, j) AS b,
-                        c AS c))))))""")).as("t"))
+        .select(explode(call_function("graft_triples", col("ids"))).as("t"))
         .groupBy(col("t.a").as("pa"), col("t.b").as("pb"), col("t.c").as("pc"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 3)

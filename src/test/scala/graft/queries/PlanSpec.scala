@@ -72,6 +72,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan) // no pairwise work anywhere
   }
 
+  test("q278: the triple generator is the compiled kernel — no higher-order lambda survives") {
+    val df = InferQueries.q278.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_triples"), plan)
+    // the interpreted-fallback cliff class: no HOF lambda anywhere in
+    // the generator's plan (the q61/q62 history)
+    assert(!plan.contains("lambdafunction"), plan)
+  }
+
   test("q62/q64: corpus-level sets re-enter the plan as broadcasts, never a shuffled join") {
     for (q <- Seq(CorpusQueries.q62, CorpusQueries.q64)) {
       val df = q.fn(spark, sf)
