@@ -474,8 +474,11 @@ object AnalyticsQueries {
     *
     * quota_b = round-half-up(S·t_b/T) in pure integer arithmetic
     * ((2·S·t_b + T) div 2T), capped at s_b; kept docs are the first
-    * quota_b by doc_id within the bin (row_number PARTITIONED BY
-    * BIN).
+    * quota_b by doc_id within the bin — selected in two phases so the
+    * rank filter group-limit-pushes (the q64 discipline): a LITERAL
+    * `max(quota)` cap directly over the window lets WindowGroupLimit
+    * prune per map task BEFORE the bin shuffle, then the exact
+    * per-bin quota applies against the broadcast map.
     */
   val q251 = Q("q251_dist_match_sample",
     (s, dir) => {
@@ -493,8 +496,12 @@ object AnalyticsQueries {
           coalesce(col("t"), lit(0L)).as("t_count"),
           least(col("s_count"),
             expr("(2 * ss * coalesce(t, 0) + tt) div (2 * tt)")).as("quota"))
+        .localCheckpoint(false) // tiny (bounded by bin count); read thrice
+      val capRow = quota.agg(coalesce(max("quota"), lit(0L)).as("m")).collect()(0)
+      val cap = math.min(capRow.getLong(0), Int.MaxValue.toLong).toInt
       val wb = Window.partitionBy("bin").orderBy("doc_id")
       val kept = srcAll.withColumn("_rn", row_number().over(wb))
+        .filter(col("_rn") <= lit(cap)) // literal -> WindowGroupLimit
         .join(broadcast(quota.select(col("bin"), col("quota"))), "bin")
         .filter(col("_rn") <= col("quota"))
         .groupBy("bin").agg(count(lit(1)).as("n_kept"))

@@ -176,10 +176,14 @@ object CorpusQueries {
     * n_keep smallest md5 keys — deterministic, repartition-stable, and
     * one window shuffle on source.
     *
-    * At 100 TB the window sort per source is the honest cost; the
-    * standard refinement (estimate a hash threshold from the quota,
-    * filter map-side, exact-rank only the boundary) drops it to ~one
-    * scan, and the keep-set this query defines is the spec for it.
+    * Two-phase selection (r13 verdict item 6): a rank filter against
+    * the JOINED quota column can never group-limit-push — each
+    * source's FULL row set would sort in one task. Phase 1 filters
+    * `rk <= max(n_keep)` as a LITERAL directly over the window, so
+    * Spark's WindowGroupLimit prunes to the cap per MAP task before
+    * the shuffle (PlanSpec-pinned); phase 2 applies the exact
+    * per-source quota against the broadcast map. Same rows, but the
+    * per-source sort now touches ≤ cap·tasks rows, not the stratum.
     */
   val q64 = Q("q64_domain_mix",
     (s, dir) => {
@@ -195,14 +199,19 @@ object CorpusQueries {
       val keep = quota.crossJoin(broadcast(budget))
         .withColumn("n_keep", expr("budget * w DIV tw"))
         .select("source", "n_keep")
+        .localCheckpoint(false) // tiny; read twice (cap literal + quota join)
+      // phase-1 literal: the largest quota over all sources (one row off
+      // a per-source aggregate — bounded by the domain count, not data)
+      val capRow = keep.agg(coalesce(max("n_keep"), lit(0L)).as("m")).collect()(0)
+      val cap = math.min(capRow.getLong(0), Int.MaxValue.toLong).toInt
       docs.select(col("doc_id"), col("source"),
           Hashing.hash64(concat(lit("mix|"), col("doc_id").cast("string"))).as("hk"))
         .withColumn("rk", row_number().over(
-          Window.partitionBy("source").orderBy(col("hk").asc, col("doc_id").asc))
-          .cast("long"))
+          Window.partitionBy("source").orderBy(col("hk").asc, col("doc_id").asc)))
+        .filter(col("rk") <= lit(cap)) // literal -> WindowGroupLimit
         .join(broadcast(keep), Seq("source"))
-        .filter(col("rk") <= col("n_keep"))
-        .select("source", "rk", "doc_id")
+        .filter(col("rk").cast("long") <= col("n_keep"))
+        .select(col("source"), col("rk").cast("long").as("rk"), col("doc_id"))
         .orderBy("source", "rk")
     },
     Some(s"""

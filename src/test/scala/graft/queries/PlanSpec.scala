@@ -72,6 +72,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan) // no pairwise work anywhere
   }
 
+  test("q64/q251: quota selection group-limit-pushes — the literal cap prunes per map task") {
+    for (q <- Seq(CorpusQueries.q64, AnalyticsQueries.q251)) {
+      val df = q.fn(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // without the literal phase-1 cap the rank filter references a
+      // JOIN column and each stratum's full row set sorts in one task
+      assert(plan.contains("WindowGroupLimit"), s"${q.name}:\n$plan")
+    }
+  }
+
   test("q278: the triple generator is the compiled kernel — no higher-order lambda survives") {
     val df = InferQueries.q278.fn(spark, sf)
     df.collect()
