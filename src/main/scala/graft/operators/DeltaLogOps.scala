@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -314,6 +314,181 @@ object DeltaLogOps {
     }
 
   // ------------------------------------------------------------------
+  // checkpoint-aware replay (r13 verdict item 1)
+  //
+  // A production `_delta_log` does not stay JSON forever: every ~10
+  // commits the writer drops `NNNN.checkpoint.parquet` — the FULL
+  // add/remove/protocol state at version NNNN — and `_last_checkpoint`
+  // points at it; VACUUM then deletes old JSON commits. A
+  // checkpoint-blind replay is O(full history) and cannot census a
+  // vacuumed log AT ALL. The checkpointed census seeds the live-set
+  // fold from the checkpoint rows and replays ONLY the JSON commits
+  // with version > checkpoint version (the Delta reader's own
+  // discipline — retained pre-checkpoint JSONs are already folded into
+  // the checkpoint, so they are counted, never re-applied).
+
+  /** The pinned checkpoint-record subset — the nested-struct shape
+    * `spark.read.parquet` yields on a real `NNNN.checkpoint.parquet`
+    * (one row per action; unused actions null).
+    */
+  final case class CkptAdd(path: String, partitionValues: Map[String, String],
+                           size: java.lang.Long, stats: String)
+  final case class CkptRemove(path: String)
+  final case class CkptProtocol(minReaderVersion: java.lang.Long,
+                                minWriterVersion: java.lang.Long)
+  final case class CkptRecord(add: CkptAdd, remove: CkptRemove,
+                              protocol: CkptProtocol)
+
+  /** Census over checkpoint + JSON commits. `ckpt` carries one row per
+    * checkpoint RECORD: `(ckptTableCol, ckptVerCol — the version from
+    * the checkpoint filename / _last_checkpoint, add/remove/protocol
+    * structs)`; `log` is the usual one-row-per-JSON-line frame. Tables
+    * without a checkpoint replay all their lines (`ckpt_ver` = -1);
+    * tables whose pre-checkpoint JSONs were vacuumed census fine from
+    * the checkpoint alone (`vacuumed` = 1). The live-set columns are
+    * spec-pinned EQUAL to a full [[snapshotCensus]] replay of the
+    * unvacuumed history. Same plan shape as the flat replay: one
+    * (table, path) window over (checkpoint state ∪ post-commit
+    * actions) + per-table groupBys — replay cost is O(checkpoint size
+    * + NEW commits), never O(history).
+    */
+  def checkpointedCensus(ckpt: DataFrame, ckptTableCol: String,
+                         ckptVerCol: String, log: DataFrame,
+                         tableCol: String, versionCol: String,
+                         lineCol: String, statsPath: String = "x"): DataFrame = {
+    val cp = ckpt.select(
+      col(ckptTableCol).as("tbl"),
+      col(ckptVerCol).cast("long").as("cv"),
+      col("add.path").as("add_path"),
+      col("remove.path").as("rm_path"),
+      col("protocol.minReaderVersion").cast("long").as("proto_r"),
+      col("protocol.minWriterVersion").cast("long").as("proto_w"),
+      col("add.size").cast("long").as("size"),
+      // compact JSON of the partition map — the same string shape the
+      // JSON lines' partitionValues field parses to (single-key maps in
+      // the synthetic schedule; a multi-key census would key on the
+      // canonicalized map instead)
+      when(col("add.path").isNotNull,
+        to_json(col("add.partitionValues"))).as("pvals"),
+      get_json_object(col("add.stats"), "$.numRecords").cast("long").as("n_rows"))
+      .localCheckpoint(false) // consumers: version map, tallies, acts
+    val ckptVer = cp.groupBy("tbl").agg(max("cv").as("ckpt_ver"))
+    val p = parsed(log, tableCol, versionCol, lineCol, statsPath)
+      .join(broadcast(ckptVer), Seq("tbl"), "left")
+      .withColumn("ckpt_ver", coalesce(col("ckpt_ver"), lit(-1L)))
+      .localCheckpoint(false) // consumers: pre tally, post tally, acts
+    val known = col("add_path").isNotNull || col("rm_path").isNotNull ||
+      col("proto_r").isNotNull || col("meta_id").isNotNull || col("is_info")
+    // retained pre-checkpoint lines: already folded into the checkpoint
+    // — counted (vacuum evidence), never re-applied
+    val pre = p.filter(col("ver") <= col("ckpt_ver"))
+      .groupBy("tbl").agg(count(lit(1)).as("n_pre_lines"))
+    val post = p.filter(col("ver") > col("ckpt_ver"))
+    val postTally = post.groupBy("tbl").agg(
+      count(lit(1)).as("n_post_lines"),
+      count_distinct(col("ver")).as("n_post_versions"),
+      sum(when(!known, 1L).otherwise(0L)).as("n_malformed"),
+      sum(col("add_path").isNotNull.cast("long")).as("n_post_adds"),
+      sum(col("rm_path").isNotNull.cast("long")).as("n_post_removes"),
+      max_by(col("proto_r"), when(col("proto_r").isNotNull, col("ver"))).as("post_reader"),
+      max_by(col("proto_w"), when(col("proto_w").isNotNull, col("ver"))).as("post_writer"))
+    val ckptTally = cp.groupBy("tbl").agg(
+      sum(col("add_path").isNotNull.cast("long")).as("n_ckpt_adds"),
+      sum(col("rm_path").isNotNull.cast("long")).as("n_ckpt_removes"),
+      max(col("proto_r")).as("ckpt_reader"),
+      max(col("proto_w")).as("ckpt_writer"))
+    def actCols(ver: Column) = Seq(col("tbl"), ver.as("ver"),
+      coalesce(col("add_path"), col("rm_path")).as("path"),
+      col("add_path").isNotNull.as("is_add"),
+      col("size"), col("pvals"), col("n_rows"))
+    val acts = cp.filter(col("add_path").isNotNull || col("rm_path").isNotNull)
+      .select(actCols(col("cv")): _*)
+      .unionByName(post
+        .filter(col("add_path").isNotNull || col("rm_path").isNotNull)
+        .select(actCols(col("ver")): _*))
+    val w = Window.partitionBy("tbl", "path")
+      .orderBy(col("ver").desc, col("is_add").desc)
+    val state = acts.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy("tbl").agg(
+        sum(col("is_add").cast("long")).as("n_live"),
+        sum((!col("is_add")).cast("long")).as("n_tombstones"),
+        sum(when(col("is_add"), col("size"))).as("live_bytes"),
+        sum(when(col("is_add"), col("n_rows"))).as("live_rows"),
+        sum((col("is_add") && col("n_rows").isNull).cast("long")).as("n_live_no_stats"),
+        count_distinct(when(col("is_add"), col("pvals"))).as("n_partitions"))
+    // base table set: a fully-vacuumed quiet table exists ONLY in its
+    // checkpoint; a never-checkpointed one only in the log
+    val base = p.select(col("tbl"), col("ckpt_ver"))
+      .unionByName(ckptVer.select(col("tbl"), col("ckpt_ver")))
+      .distinct()
+    base
+      .join(ckptTally, Seq("tbl"), "left")
+      .join(pre, Seq("tbl"), "left")
+      .join(postTally, Seq("tbl"), "left")
+      .join(state, Seq("tbl"), "left")
+      .select(col("tbl"),
+        col("ckpt_ver"),
+        coalesce(col("n_ckpt_adds"), lit(0L)).as("n_ckpt_adds"),
+        coalesce(col("n_ckpt_removes"), lit(0L)).as("n_ckpt_removes"),
+        (col("ckpt_ver") >= 0 && coalesce(col("n_pre_lines"), lit(0L)) === 0)
+          .cast("long").as("vacuumed"),
+        coalesce(col("n_pre_lines"), lit(0L)).as("n_pre_lines"),
+        coalesce(col("n_post_lines"), lit(0L)).as("n_post_lines"),
+        coalesce(col("n_post_versions"), lit(0L)).as("n_post_versions"),
+        coalesce(col("n_malformed"), lit(0L)).as("n_malformed"),
+        coalesce(col("n_post_adds"), lit(0L)).as("n_post_adds"),
+        coalesce(col("n_post_removes"), lit(0L)).as("n_post_removes"),
+        coalesce(col("post_reader"), col("ckpt_reader"), lit(-1L)).as("min_reader"),
+        coalesce(col("post_writer"), col("ckpt_writer"), lit(-1L)).as("min_writer"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        coalesce(col("n_tombstones"), lit(0L)).as("n_tombstones"),
+        coalesce(col("live_bytes"), lit(0L)).as("live_bytes"),
+        coalesce(col("live_rows"), lit(0L)).as("live_rows"),
+        coalesce(col("n_live_no_stats"), lit(0L)).as("n_live_no_stats"),
+        coalesce(col("n_partitions"), lit(0L)).as("n_partitions"))
+  }
+
+  /** Seed the INCREMENTAL fold ([[foldBatch]]) from a checkpoint: the
+    * compact state's "act"/"proto"/"ver" rows come straight from the
+    * checkpoint records, tallies start zeroed (they count replayed
+    * lines — the q397 semantics). Subsequent `foldBatch` calls over
+    * post-checkpoint commits continue exactly as if the fold had
+    * replayed the vacuumed history (live-set equality spec-pinned).
+    */
+  def stateFromCheckpoint(ckpt: DataFrame, ckptTableCol: String,
+                          ckptVerCol: String): DataFrame = {
+    def widen(df: DataFrame): DataFrame =
+      df.select(StateSchema.fieldNames.map(f =>
+        if (df.columns.contains(f)) col(f) else lit(null).cast(
+          StateSchema(f).dataType).as(f)): _*)
+    val cp = ckpt.select(
+      col(ckptTableCol).as("tbl"),
+      col(ckptVerCol).cast("long").as("ver"),
+      col("add.path").as("add_path"),
+      col("remove.path").as("rm_path"),
+      col("protocol.minReaderVersion").cast("long").as("proto_r"),
+      col("protocol.minWriterVersion").cast("long").as("proto_w"),
+      col("add.size").cast("long").as("size"),
+      when(col("add.path").isNotNull,
+        to_json(col("add.partitionValues"))).as("pvals"),
+      get_json_object(col("add.stats"), "$.numRecords").cast("long").as("n_rows"))
+      .localCheckpoint(false)
+    val acts = widen(cp
+      .filter(col("add_path").isNotNull || col("rm_path").isNotNull)
+      .select(col("tbl"), lit("act").as("kind"),
+        coalesce(col("add_path"), col("rm_path")).as("path"),
+        col("ver"), col("add_path").isNotNull.as("is_add"),
+        col("size"), col("pvals"), col("n_rows")))
+    val proto = widen(cp.filter(col("proto_r").isNotNull)
+      .select(col("tbl"), lit("proto").as("kind"), col("ver"),
+        col("proto_r").as("min_reader"), col("proto_w").as("min_writer")))
+    val vers = widen(cp.select(col("tbl"), lit("ver").as("kind"), col("ver"))
+      .distinct())
+    acts.unionByName(proto).unionByName(vers)
+  }
+
+  // ------------------------------------------------------------------
   // synthetic log generator (tests + the q392/q393 closed-form oracle)
 
   /** A deterministic per-table log derived from `k` alone — the q385
@@ -356,5 +531,55 @@ object DeltaLogOps {
     val v2: Seq[(Long, String)] =
       if (m == 2) Seq(2L -> add(n0 + 1, "f0.parquet")) else Seq.empty
     v0 ++ v1 ++ v2
+  }
+
+  /** The checkpointed twin of [[syntheticLog]] (the q401 closed-form
+    * oracle): `(checkpoint version, checkpoint records, retained JSON
+    * lines)` for table `k`, spanning the four real log shapes by
+    * `k % 4`:
+    *
+    *   0 → NO checkpoint (full JSON history — the replay fallback);
+    *   1 → checkpoint at version 0, pre-checkpoint JSONs RETAINED;
+    *   2 → checkpoint at version 0, pre-checkpoint JSONs VACUUMED;
+    *   3 → checkpoint at version min(1, m), vacuumed.
+    *
+    * The checkpoint records are exactly the state [[syntheticLog]]'s
+    * history reaches at the checkpoint version (live adds, the m≥1
+    * remove tombstone when checkpointing at v1, the protocol), so the
+    * live-set census MUST equal the full-replay census class by class.
+    */
+  def syntheticCheckpointed(k: Long):
+      (Long, Seq[CkptRecord], Seq[(Long, String)]) = {
+    val all = syntheticLog(k)
+    val n0 = (2 + k % 5).toInt
+    val m = (k % 3).toInt
+    val c4 = (k % 4).toInt
+    val vc: Long = c4 match {
+      case 0 => -1L
+      case 3 => math.min(1, m).toLong
+      case _ => 0L
+    }
+    def addRec(slot: Int, path: String): CkptRecord = {
+      val stats =
+        if (k % 7 == 0 && slot == 1) null
+        else s"""{"numRecords":${10 + slot},"minValues":{"x":${10 * slot}},"maxValues":{"x":${10 * slot + 9}}}"""
+      CkptRecord(CkptAdd(path, Map("p" -> (slot % 3).toString),
+        100L * (slot + 1), stats), null, null)
+    }
+    val recs: Seq[CkptRecord] =
+      if (vc < 0) Seq.empty
+      else {
+        val proto = CkptRecord(null, null,
+          CkptProtocol(1 + k % 2, 2 + k % 2))
+        val files =
+          if (vc == 0) (0 until n0).map(j => addRec(j, s"f$j.parquet"))
+          else (1 to n0).map(j => addRec(j, s"f$j.parquet")) :+
+            CkptRecord(null, CkptRemove("f0.parquet"), null)
+        proto +: files
+      }
+    val retained =
+      if (c4 <= 1) all // full history (no checkpoint / retained JSONs)
+      else all.filter(_._1 > vc) // vacuumed prefix
+    (vc, recs, retained)
   }
 }

@@ -5630,6 +5630,98 @@ object DataQueries {
     },
     q392.oracle) // fold ≡ full-log census: the SAME closed form
 
+  // --------------------------------------------------------------- q401
+
+  /** q401 — CHECKPOINT-aware Delta-log replay
+    * ([[graft.operators.DeltaLogOps.checkpointedCensus]]): production
+    * `_delta_log` dirs carry `NNNN.checkpoint.parquet` (the full
+    * add/remove/protocol state at version NNNN) and VACUUM deletes old
+    * JSON commits — q392's flat replay is O(full history) there and
+    * cannot census a vacuumed log at all. This census seeds the
+    * live-set fold from the checkpoint records and replays ONLY the
+    * commits past the checkpoint version; retained pre-checkpoint
+    * JSONs are counted (n_pre_lines), never re-applied. Four planted
+    * log shapes by doc_id % 4: no checkpoint (fallback), checkpoint +
+    * retained history, checkpoint + vacuumed prefix, and a LATER
+    * checkpoint (v1, carrying the remove tombstone in checkpoint
+    * form) + vacuumed prefix. The live-set columns must equal the
+    * full replay's class by class — the oracle recomputes everything
+    * closed-form from the shared schedule. Replay cost: O(checkpoint
+    * + new commits); same plan shape as q392 (one (table, path)
+    * window + groupBys).
+    */
+  val q401 = Q("q401_delta_checkpoint_replay",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.DeltaLogOps
+      val ids = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      val log = ids.flatMap { k =>
+        DeltaLogOps.syntheticCheckpointed(k)._3
+          .map { case (v, l) => (k, v, l) }
+      }.toDF("doc_id", "version", "line")
+      val ckpt = ids.flatMap { k =>
+        val (vc, recs, _) = DeltaLogOps.syntheticCheckpointed(k)
+        recs.map(r => (k, vc, r))
+      }.toDF("doc_id", "ckver", "rec")
+        .select(col("doc_id"), col("ckver"), col("rec.add").as("add"),
+          col("rec.remove").as("remove"), col("rec.protocol").as("protocol"))
+      DeltaLogOps.checkpointedCensus(ckpt, "doc_id", "ckver",
+          log, "doc_id", "version", "line")
+        .withColumnRenamed("tbl", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id AS k, CAST(2 + doc_id % 5 AS BIGINT) AS n0,
+                        doc_id % 3 AS m, doc_id % 4 AS c4,
+                        CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS mal
+                 FROM documents),
+      s AS (SELECT k, n0, m, unnest(range(0, n0 + 2)) AS j FROM p),
+      sl AS (SELECT k, j,
+               CASE WHEN m = 0 THEN j < n0
+                    WHEN m = 1 THEN j BETWEEN 1 AND n0
+                    ELSE (j BETWEEN 1 AND n0) OR j = n0 + 1 END AS live,
+               NOT (k % 7 = 0 AND j = 1) AS has_stats
+             FROM s),
+      agg AS (SELECT k,
+                SUM(CASE WHEN live THEN 1 ELSE 0 END) AS n_live,
+                SUM(CASE WHEN live THEN 100 * (j + 1) ELSE 0 END) AS live_bytes,
+                SUM(CASE WHEN live AND has_stats THEN 10 + j ELSE 0 END) AS live_rows,
+                SUM(CASE WHEN live AND NOT has_stats THEN 1 ELSE 0 END) AS n_ns,
+                COUNT(DISTINCT CASE WHEN live THEN j % 3 END) AS n_parts
+              FROM sl GROUP BY k)
+      SELECT p.k AS doc_id,
+        CAST(CASE WHEN c4 = 0 THEN -1 WHEN c4 = 3 THEN least(1, m)
+                  ELSE 0 END AS BIGINT) AS ckpt_ver,
+        CAST(CASE WHEN c4 = 0 THEN 0 ELSE n0 END AS BIGINT) AS n_ckpt_adds,
+        CAST(CASE WHEN c4 = 3 AND m >= 1 THEN 1 ELSE 0 END AS BIGINT)
+          AS n_ckpt_removes,
+        CAST(CASE WHEN c4 >= 2 THEN 1 ELSE 0 END AS BIGINT) AS vacuumed,
+        CAST(CASE WHEN c4 = 1 THEN 2 + n0 + mal ELSE 0 END AS BIGINT)
+          AS n_pre_lines,
+        CAST(CASE WHEN c4 = 0 THEN 2 + n0 + mal ELSE 0 END
+             + CASE WHEN c4 <= 2 AND m >= 1 THEN 3 ELSE 0 END
+             + CASE WHEN m = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_post_lines,
+        CAST(CASE WHEN c4 = 0 THEN 1 + m
+                  WHEN c4 <= 2 THEN m
+                  ELSE CASE WHEN m = 2 THEN 1 ELSE 0 END END AS BIGINT)
+          AS n_post_versions,
+        CAST(CASE WHEN c4 = 0 THEN mal ELSE 0 END AS BIGINT) AS n_malformed,
+        CAST(CASE WHEN c4 = 0 THEN n0 ELSE 0 END
+             + CASE WHEN c4 <= 2 AND m >= 1 THEN 1 ELSE 0 END
+             + CASE WHEN m = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_post_adds,
+        CAST(CASE WHEN c4 <= 2 AND m >= 1 THEN 1 ELSE 0 END AS BIGINT)
+          AS n_post_removes,
+        CAST(1 + p.k % 2 AS BIGINT) AS min_reader,
+        CAST(2 + p.k % 2 AS BIGINT) AS min_writer,
+        CAST(agg.n_live AS BIGINT) AS n_live,
+        CAST(CASE WHEN m = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_tombstones,
+        CAST(agg.live_bytes AS BIGINT) AS live_bytes,
+        CAST(agg.live_rows AS BIGINT) AS live_rows,
+        CAST(agg.n_ns AS BIGINT) AS n_live_no_stats,
+        CAST(agg.n_parts AS BIGINT) AS n_partitions
+      FROM p JOIN agg ON agg.k = p.k ORDER BY doc_id"""))
+
   // --------------------------------------------------------------- q396
 
   /** q396 — FULL zstd decode census over REAL reference-encoder
@@ -5712,5 +5804,6 @@ object DataQueries {
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
-    q385, q387, q388, q390, q392, q393, q395, q396, q397, q398, q399, q400)
+    q385, q387, q388, q390, q392, q393, q395, q396, q397, q398, q399, q400,
+    q401)
 }

@@ -166,4 +166,93 @@ class DeltaLogOpsSpec extends SparkSpec {
     assert(out(5L).getAs[Long]("n_versions") == 3) // m = 5 % 3 = 2
     assert(out(5L).getAs[Long]("n_tombstones") == 0) // f0 re-added
   }
+
+  // ------------------------------------------------- checkpoint replay
+
+  private def ckptDf(ks: Seq[Long]) = ks.flatMap { k =>
+    val (vc, recs, _) = DeltaLogOps.syntheticCheckpointed(k)
+    recs.map(r => (k, vc, r))
+  }.toDF("tbl", "ckver", "rec")
+    .select(col("tbl"), col("ckver"), col("rec.add").as("add"),
+      col("rec.remove").as("remove"), col("rec.protocol").as("protocol"))
+
+  private def retainedDf(ks: Seq[Long]) = logDf(ks.flatMap(k =>
+    DeltaLogOps.syntheticCheckpointed(k)._3.map { case (v, l) => (k, v, l) }))
+
+  test("checkpoint-seeded census == full replay, through a REAL parquet round-trip") {
+    // every (checkpoint-class, history-class) combination: k % 4 picks
+    // no-ckpt / retained / vacuumed / later-ckpt, k % 3 the history
+    val ks = (0L until 24L).toSeq
+    val liveCols = Seq("tbl", "n_live", "n_tombstones", "live_bytes",
+      "live_rows", "n_live_no_stats", "n_partitions", "min_reader", "min_writer")
+    val full = logDf(ks.flatMap(k =>
+      DeltaLogOps.syntheticLog(k).map { case (v, l) => (k, v, l) }))
+    val want = DeltaLogOps.snapshotCensus(full, "tbl", "ver", "line")
+      .select(liveCols.map(col): _*)
+    // the checkpoint goes through actual parquet — the wire format a
+    // real NNNN.checkpoint.parquet reader sees
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    ckptDf(ks).write.parquet(s"$dir/00000000000000000001.checkpoint.parquet")
+    val ckpt = spark.read.parquet(s"$dir/00000000000000000001.checkpoint.parquet")
+    val got = DeltaLogOps.checkpointedCensus(ckpt, "tbl", "ckver",
+        retainedDf(ks), "tbl", "ver", "line")
+      .select(liveCols.map(col): _*)
+    assert(got.count() == ks.size)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+      "checkpoint-seeded live set must equal the full JSON replay, class by class")
+  }
+
+  test("a VACUUMED log censuses from the checkpoint alone; a flat replay cannot") {
+    val k = 14L // c4 = 2 (checkpoint at v0, prefix vacuumed), m = 2, n0 = 6
+    val c = DeltaLogOps.checkpointedCensus(ckptDf(Seq(k)), "tbl", "ckver",
+      retainedDf(Seq(k)), "tbl", "ver", "line").collect()(0)
+    assert(c.getAs[Long]("vacuumed") == 1 && c.getAs[Long]("n_pre_lines") == 0)
+    assert(c.getAs[Long]("ckpt_ver") == 0 && c.getAs[Long]("n_ckpt_adds") == 6)
+    // m = 2 live set: slots 1..6 plus f0 reborn as slot 7
+    assert(c.getAs[Long]("n_live") == 7, c.toString)
+    // the checkpoint-blind replay of the SAME retained lines silently
+    // loses every vacuumed add — the failure mode the checkpoint fixes
+    val flat = DeltaLogOps.snapshotCensus(retainedDf(Seq(k)),
+      "tbl", "ver", "line").collect()(0)
+    assert(flat.getAs[Long]("n_live") < 7, flat.toString)
+  }
+
+  test("retained pre-checkpoint lines are counted, never re-applied; no-checkpoint falls back") {
+    val retained = 13L // c4 = 1: checkpoint at v0 + FULL history retained
+    val cr = DeltaLogOps.checkpointedCensus(ckptDf(Seq(retained)), "tbl", "ckver",
+      retainedDf(Seq(retained)), "tbl", "ver", "line").collect()(0)
+    // k=13: n0 = 5, m = 1 -> v0 has 2 + 5 lines, all pre-checkpoint
+    assert(cr.getAs[Long]("n_pre_lines") == 7 && cr.getAs[Long]("vacuumed") == 0)
+    assert(cr.getAs[Long]("n_post_lines") == 3 && cr.getAs[Long]("n_live") == 5)
+    val none = 12L // c4 = 0: no checkpoint, pure JSON replay
+    val cn = DeltaLogOps.checkpointedCensus(ckptDf(Seq(none)), "tbl", "ckver",
+      retainedDf(Seq(none)), "tbl", "ver", "line").collect()(0)
+    assert(cn.getAs[Long]("ckpt_ver") == -1 && cn.getAs[Long]("n_ckpt_adds") == 0)
+    // k=12: n0 = 4, m = 0 -> all 2 + 4 lines replay as post
+    assert(cn.getAs[Long]("n_post_lines") == 6 && cn.getAs[Long]("n_live") == 4)
+  }
+
+  test("incremental fold seeded from a checkpoint continues a vacuumed history") {
+    // vacuumed classes WITH post-commits (censusFromState keys on the
+    // fold's tally rows, so a table must fold at least one line)
+    val ks = Seq(2L, 10L, 11L, 14L, 23L)
+    val liveCols = Seq("tbl", "n_live", "n_tombstones", "live_bytes",
+      "live_rows", "n_live_no_stats", "n_partitions", "min_reader", "min_writer")
+    val want = DeltaLogOps.snapshotCensus(
+        logDf(ks.flatMap(k =>
+          DeltaLogOps.syntheticLog(k).map { case (v, l) => (k, v, l) })),
+        "tbl", "ver", "line")
+      .select(liveCols.map(col): _*)
+    var state = DeltaLogOps.stateFromCheckpoint(ckptDf(ks), "tbl", "ckver")
+    for (v <- 1L to 2L) { // post-checkpoint commits arrive in order
+      val batch = ks.flatMap(k => DeltaLogOps.syntheticCheckpointed(k)._3
+        .collect { case (ver, l) if ver == v => (k, ver, l) })
+      if (batch.nonEmpty)
+        state = DeltaLogOps.foldBatch(state, logDf(batch), "tbl", "ver", "line")
+          .localCheckpoint(false)
+    }
+    val got = DeltaLogOps.censusFromState(state).select(liveCols.map(col): _*)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+      "checkpoint-seeded fold must reach the same live set as the full replay")
+  }
 }
