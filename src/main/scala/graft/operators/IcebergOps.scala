@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Iceberg manifest-file census — the SECOND table format (next to
   * Delta q392/q393/q397), and the first walker that decodes Avro
@@ -291,13 +291,17 @@ object IcebergOps {
             live.map(_.partition).distinct.size.toLong,
             live.count(_.bounds.isEmpty).toLong,
             m.entries.count(_.snapshotId.isDefined).toLong,
+            // distinct snapshot ids among LIVE entries: a healthy
+            // single-writer manifest carries exactly one — the q400
+            // dual-write reconciliation's snapshot facet reads this
+            live.flatMap(_.snapshotId).distinct.size.toLong,
             m.trailingBytes)
         }
       }
       .toDF(idCol, "valid", "schema_ok", "n_blocks", "n_malformed_blocks",
         "n_entries", "n_added", "n_existing", "n_deleted", "n_live",
         "live_rows", "live_bytes", "n_partitions", "n_no_bounds",
-        "n_with_snapshot", "trailing_bytes")
+        "n_with_snapshot", "n_snapshot_ids", "trailing_bytes")
   }
 
   /** Table-level prune audit over the manifest's live entries:
@@ -326,6 +330,255 @@ object IcebergOps {
         "n_scanned_no_bounds", "n_part_match", "n_part_pruned")
   }
 
+  // ------------------------------------------------------------------
+  // table-root descent (r13 verdict item 4): metadata.json →
+  // manifest-list Avro → manifests — the walk a real Iceberg reader
+  // performs from a bare table location. The manifest census above
+  // starts one layer too deep (it needs someone to hand it manifest
+  // FILES); this layer starts from the table's own metadata document.
+
+  /** manifest-list record, pinned v1 subset: path, length, spec id,
+    * writing snapshot, and the per-kind file-count CLAIMS a planner
+    * trusts before opening any manifest — which is exactly why the
+    * table census audits them against the decoded truth.
+    */
+  final case class MFile(path: String, length: Long, specId: Int,
+                         addedSnapshotId: Option[Long], nAdded: Int,
+                         nExisting: Int, nDeleted: Int)
+
+  val ListSchemaJson: String =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"added_snapshot_id","type":["null","long"]},
+      |{"name":"added_files_count","type":["null","int"]},
+      |{"name":"existing_files_count","type":["null","int"]},
+      |{"name":"deleted_files_count","type":["null","int"]}]}"""
+      .stripMargin.replace("\n", "")
+
+  def encodeMFile(e: MFile): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    bin(out, e.path.getBytes("UTF-8"))
+    zz(out, e.length)
+    zz(out, e.specId.toLong)
+    e.addedSnapshotId match {
+      case Some(id) => zz(out, 1L); zz(out, id)
+      case None => zz(out, 0L)
+    }
+    def optInt(v: Int): Unit = { zz(out, 1L); zz(out, v.toLong) }
+    optInt(e.nAdded); optInt(e.nExisting); optInt(e.nDeleted)
+    out.toByteArray
+  }
+
+  private def decodeMFile(r: Reader): MFile = {
+    val path = new String(r.take(r.avroLong()), "UTF-8")
+    val length = r.avroLong()
+    val specId = r.avroLong().toInt
+    val snap = r.avroLong() match {
+      case 0L => None
+      case 1L => Some(r.avroLong())
+      case _ => throw Malformed
+    }
+    def optInt(): Int = r.avroLong() match {
+      case 0L => 0
+      case 1L => r.avroLong().toInt
+      case _ => throw Malformed
+    }
+    MFile(path, length, specId, snap, optInt(), optInt(), optInt())
+  }
+
+  /** A manifest-list file: OCF framing over manifest_file records —
+    * same container discipline as [[encodeManifest]].
+    */
+  def encodeManifestList(files: Seq[MFile], syncSeed: Long,
+                         schema: String = ListSchemaJson): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array('O'.toByte, 'b'.toByte, 'j'.toByte, 1.toByte))
+    zz(out, 2L)
+    bin(out, "avro.schema".getBytes("UTF-8")); bin(out, schema.getBytes("UTF-8"))
+    bin(out, "avro.codec".getBytes("UTF-8")); bin(out, "null".getBytes("UTF-8"))
+    zz(out, 0L)
+    val sync = Array.tabulate(16)(i => ((syncSeed >> ((i % 8) * 8)) + i * 41).toByte)
+    out.write(sync)
+    val body = new java.io.ByteArrayOutputStream()
+    files.foreach(f => body.write(encodeMFile(f)))
+    zz(out, files.size.toLong); zz(out, body.size.toLong)
+    body.writeTo(out)
+    out.write(sync)
+    out.toByteArray
+  }
+
+  final case class ListMeta(valid: Int, schemaOk: Int, files: Seq[MFile])
+
+  /** Same contracts as [[parseManifest]]: decode only when the embedded
+    * schema names manifest_file and the codec is null; EXACT payload
+    * consumption per block or the block contributes nothing; any
+    * framing break rolls the file back whole (fail-closed).
+    */
+  def parseManifestList(bytes: Array[Byte]): ListMeta = {
+    val n = bytes.length
+    if (n < 4 || bytes(0) != 'O' || bytes(1) != 'b' || bytes(2) != 'j' || bytes(3) != 1)
+      return ListMeta(0, 0, Seq.empty)
+    try {
+      val r = new Reader(bytes, 4, n)
+      var schema = ""
+      var codec = "null"
+      var segCount = r.avroLong()
+      var nMeta = 0
+      while (segCount != 0L) {
+        val items = if (segCount < 0L) { r.avroLong(); -segCount } else segCount
+        if (items < 0 || items > 10000 - nMeta) throw Malformed
+        var i = 0L
+        while (i < items) {
+          val key = new String(r.take(r.avroLong()), "UTF-8")
+          val v = r.take(r.avroLong())
+          if (key == "avro.schema") schema = new String(v, "UTF-8")
+          else if (key == "avro.codec") codec = new String(v, "UTF-8")
+          i += 1
+        }
+        nMeta += items.toInt
+        segCount = r.avroLong()
+      }
+      val sync = r.take(16L)
+      val schemaOk = schema.contains("manifest_file") &&
+        (codec == "null" || codec.isEmpty)
+      val out = Seq.newBuilder[MFile]
+      var halted = false
+      while (!halted && r.pos < n) {
+        val blockStart = r.pos
+        try {
+          val cnt = r.avroLong()
+          val len = r.avroLong()
+          if (cnt < 0 || len < 0 || len > r.end - r.pos) throw Malformed
+          val payloadStart = r.pos
+          val payloadEnd = payloadStart + len.toInt
+          r.pos = payloadEnd
+          val blockSync = r.take(16L)
+          if (!java.util.Arrays.equals(blockSync, sync)) { r.pos = blockStart; halted = true }
+          else if (schemaOk) {
+            try {
+              val br = new Reader(bytes, payloadStart, payloadEnd)
+              val es = (0L until cnt).map(_ => decodeMFile(br))
+              if (br.pos != payloadEnd) throw Malformed
+              out ++= es
+            } catch { case Malformed => () } // malformed block: nothing
+          }
+        } catch { case Malformed => r.pos = blockStart; halted = true }
+      }
+      ListMeta(if (halted) 0 else 1, if (schemaOk) 1 else 0, out.result())
+    } catch {
+      case Malformed => ListMeta(0, 0, Seq.empty)
+    }
+  }
+
+  /** The full table-root census: one row per TABLE, walked the way a
+    * real reader starts — `vN.metadata.json` (current-snapshot-id
+    * resolved against the snapshot list, fully declarative JSON
+    * parsing), the current snapshot's manifest-list Avro, then every
+    * named manifest file — with the list's file-count CLAIMS audited
+    * against the decoded manifests (`n_claims_mismatch`). Honest
+    * boundaries: a current-snapshot-id that resolves to no snapshot
+    * gates the downstream facets to zero (`current_ok` = 0, the q381
+    * convention); a named manifest MISSING from the provided files
+    * counts `n_manifests_missing`.
+    *
+    * Scale shape: metadata parse is per-row expressions; list and
+    * manifest decodes are map-only; the composition is two joins keyed
+    * (table, path) — manifest metadata rows, bounded by manifest
+    * count, never data rows.
+    */
+  def tableRootCensus(meta: DataFrame, metaTblCol: String, metaJsonCol: String,
+                      lists: DataFrame, listTblCol: String, listPathCol: String,
+                      listPayloadCol: String,
+                      manifests: DataFrame, mTblCol: String, mPathCol: String,
+                      mPayloadCol: String): DataFrame = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val snapSchema = ArrayType(StructType(Seq(
+      StructField("snapshot-id", LongType),
+      StructField("manifest-list", StringType))))
+    val m = meta.select(
+      col(metaTblCol).cast("long").as("tbl"),
+      get_json_object(col(metaJsonCol), "$.format-version").cast("long")
+        .as("format_version"),
+      get_json_object(col(metaJsonCol), "$.current-schema-id").cast("long")
+        .as("schema_id"),
+      get_json_object(col(metaJsonCol), "$.current-snapshot-id").cast("long")
+        .as("current_id"),
+      from_json(get_json_object(col(metaJsonCol), "$.snapshots"), snapSchema)
+        .as("snaps"))
+      .select(col("tbl"), col("format_version"), col("schema_id"),
+        col("current_id"),
+        coalesce(size(col("snaps")), lit(0)).cast("long").as("n_snapshots"),
+        // the current snapshot's manifest-list path — null when the id
+        // resolves to no snapshot (the gated class; try_element_at so
+        // the empty match is a NULL, not an ANSI index error)
+        try_element_at(filter(col("snaps"),
+          s => s.getField("snapshot-id") === col("current_id")), lit(1))
+          .getField("manifest-list").as("list_path"))
+    val listRows = lists.select(col(listTblCol).cast("long").as("tbl"),
+        col(listPathCol).as("list_path"), col(listPayloadCol).as("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (tbl, path, bytes) =>
+        val lm = parseManifestList(bytes)
+        if (lm.valid == 0 || lm.schemaOk == 0)
+          Seq((tbl, path, 0, null.asInstanceOf[String], 0L, 0, 0L, 0L, 0L))
+        else lm.files.map(f => (tbl, path, 1, f.path, f.specId.toLong,
+          1, f.nAdded.toLong, f.nExisting.toLong, f.nDeleted.toLong))
+      })
+      .toDF("tbl", "list_path", "list_valid", "manifest_path", "spec_id",
+        "is_file", "claim_added", "claim_existing", "claim_deleted")
+    // per-(table, path) manifest censuses — [[manifestCensus]]'s walk
+    // keyed for the list join (that census keys on a single id column)
+    val mcKeyed = {
+      val base = manifests.select(col(mTblCol).cast("long").as("tbl"),
+          col(mPathCol).as("manifest_path"), col(mPayloadCol))
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions(_.map { case (tbl, path, bytes) =>
+          val meta2 = parseManifest(bytes)
+          val live = meta2.entries.filter(_.status != 2)
+          (tbl, path, meta2.valid.toLong, meta2.schemaOk.toLong,
+            meta2.entries.count(_.status == 1).toLong,
+            meta2.entries.count(_.status == 0).toLong,
+            meta2.entries.count(_.status == 2).toLong,
+            live.size.toLong, live.map(_.recordCount).sum,
+            live.map(_.fileSize).sum)
+        })
+      base.toDF("tbl", "manifest_path", "m_valid", "m_schema_ok",
+        "dec_added", "dec_existing", "dec_deleted",
+        "m_live", "m_rows", "m_bytes")
+    }
+    val joined = m
+      .join(listRows, Seq("tbl", "list_path"), "left")
+      .join(mcKeyed, Seq("tbl", "manifest_path"), "left")
+    joined.groupBy("tbl").agg(
+      first(col("format_version")).as("format_version"),
+      first(col("schema_id")).as("schema_id"),
+      first(col("n_snapshots")).as("n_snapshots"),
+      max(col("list_path").isNotNull.cast("long")).as("current_ok"),
+      coalesce(max(col("list_valid")), lit(0)).cast("long").as("list_valid"),
+      coalesce(sum(col("is_file")), lit(0L)).cast("long").as("n_manifest_files"),
+      coalesce(max(col("spec_id")), lit(-1L)).as("spec_id"),
+      sum((col("is_file") === 1 && col("m_valid").isNull).cast("long"))
+        .as("n_manifests_missing"),
+      sum(((col("claim_added") =!= col("dec_added")) ||
+        (col("claim_existing") =!= col("dec_existing")) ||
+        (col("claim_deleted") =!= col("dec_deleted"))).cast("long"))
+        .as("n_claims_mismatch"),
+      coalesce(sum(col("m_live")), lit(0L)).as("n_live"),
+      coalesce(sum(col("m_rows")), lit(0L)).as("live_rows"),
+      coalesce(sum(col("m_bytes")), lit(0L)).as("live_bytes"),
+      coalesce(sum(col("dec_deleted")), lit(0L)).as("n_deleted"))
+      .select(col("tbl"), col("format_version"), col("schema_id"),
+        col("n_snapshots"), col("current_ok"), col("list_valid"),
+        col("n_manifest_files"), col("spec_id"),
+        coalesce(col("n_manifests_missing"), lit(0L)).as("n_manifests_missing"),
+        coalesce(col("n_claims_mismatch"), lit(0L)).as("n_claims_mismatch"),
+        col("n_live"), col("live_rows"), col("live_bytes"), col("n_deleted"))
+  }
+
   /** Deterministic per-table manifest from `k` alone (the q385
     * synthesis convention): nE = 3 + k%4 entries, entry j: status
     * (j+k)%3, snapshot_id present iff j even, partition j%3, rows
@@ -333,6 +586,47 @@ object IcebergOps {
     * and j==1; two blocks when k%2==0; a garbage tail block when
     * k%11==0; schema drift (census honestly zeroed) when k%13==0.
     */
+  /** Deterministic TABLE-ROOT fixture from `k` alone (q402's oracle):
+    * metadata.json with nS = 1 + k%4 snapshots (current = 1000+k, the
+    * LAST one, naming "snap-{1000+k}.avro"; every 17th table's
+    * current-snapshot-id is planted DANGLING — downstream facets
+    * gate to zero), one manifest-list of nM = 1 + k%3 manifests
+    * (spec id k%2; manifest 0's added-count CLAIM is planted wrong
+    * every 13th table), and the manifests: manifest i has
+    * nE = 2 + (k+i)%3 entries, entry j status (i+j+k)%3, rows 10+j,
+    * size 100(j+1). Returns (metadata JSON, list path, list bytes,
+    * (path, manifest bytes) pairs).
+    */
+  def syntheticTable(k: Long):
+      (String, String, Array[Byte], Seq[(String, Array[Byte])]) = {
+    val nS = (1 + k % 4).toInt
+    val nM = (1 + k % 3).toInt
+    val current = if (k % 17 == 0) 999999L else 1000L + k
+    val listPath = s"snap-${1000L + k}.avro"
+    val snaps = (0 until nS).map { t =>
+      val id = if (t == nS - 1) 1000L + k else 900L + k + t
+      s"""{"snapshot-id":$id,"timestamp-ms":${1700000000000L + t},"manifest-list":"snap-$id.avro"}"""
+    }.mkString("[", ",", "]")
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"t$k","current-snapshot-id":$current,""" +
+        s""""current-schema-id":${k % 5},"snapshots":$snaps}"""
+    def entries(i: Int): Seq[Entry] = {
+      val nE = (2 + (k + i) % 3).toInt
+      (0 until nE).map(j => Entry(((i + j + k) % 3).toInt, Some(1000L + k),
+        s"f${i}_$j.parquet", "PARQUET", j % 3, 10L + j, 100L * (j + 1),
+        Some(Bounds(10L * j, 10L * j + 9))))
+    }
+    val mans = (0 until nM).map(i =>
+      s"m$i.avro" -> encodeManifest(Seq(entries(i)), syncSeed = k * 7919L + i))
+    val files = (0 until nM).map { i =>
+      val es = entries(i)
+      MFile(s"m$i.avro", 1000L + i, (k % 2).toInt, Some(1000L + k),
+        es.count(_.status == 1) + (if (k % 13 == 0 && i == 0) 1 else 0),
+        es.count(_.status == 0), es.count(_.status == 2))
+    }
+    (metaJson, listPath, encodeManifestList(files, syncSeed = k * 104729L), mans)
+  }
+
   def syntheticManifest(k: Long): Array[Byte] = {
     val nE = (3 + k % 4).toInt
     val entries = (0 until nE).map { j =>

@@ -5389,12 +5389,14 @@ object DataQueries {
     * file count, byte mass, partitions, tombstones. This is the
     * migration-validation pass a Delta→Iceberg (or dual-written) lake
     * actually runs, and it composes the two table layers end to end.
-    * One planted divergence keeps the comparison honest: every 7th
+    * Two planted divergences keep the comparison honest: every 7th
     * table's Delta add ships WITHOUT stats, so Delta's vouched-for
     * row sum undercounts where Iceberg's required record_count
-    * cannot — rows_match = 0 exactly there, a real finding the
-    * reconciliation must surface, not paper over. Oracle closed-form
-    * over the shared schedule.
+    * cannot (rows_match = 0 exactly there); and every 11th table's
+    * Iceberg manifest stamps a STALE writing-snapshot id on one live
+    * entry — the dual-writer drift the snapshot facet (snap_match,
+    * via the census's n_snapshot_ids) must surface, not paper over.
+    * Oracle closed-form over the shared schedule.
     */
   val q400 = Q("q400_lake_format_reconciliation",
     (s, dir) => {
@@ -5417,8 +5419,9 @@ object DataQueries {
         val k = id // the Delta synthetic keys on the FULL id
         val n0 = (2 + k % 5).toInt
         val m = (k % 3).toInt
-        def entry(slot: Int, path: String, status: Int) =
-          IcebergOps.Entry(status, Some(1000L + k), path, "PARQUET",
+        def entry(slot: Int, path: String, status: Int,
+                  snap: Long = 1000L + k) =
+          IcebergOps.Entry(status, Some(snap), path, "PARQUET",
             slot % 3, 10L + slot, 100L * (slot + 1),
             Some(IcebergOps.Bounds(10L * slot, 10L * slot + 9)))
         val live = m match {
@@ -5427,14 +5430,19 @@ object DataQueries {
           case _ => (1 to n0).map(j => entry(j, s"f$j.parquet", 1)) :+
             entry(n0 + 1, "f0.parquet", 1)
         }
+        // dual-writer drift (every 11th table): one live entry keeps a
+        // STALE writing-snapshot id — the snap_match facet's plant
+        val planted =
+          if (k % 11 == 0) live.head.copy(snapshotId = Some(999L + k)) +: live.tail
+          else live
         val tomb = if (m == 1) Seq(entry(0, "f0.parquet", 2)) else Seq.empty
-        (id, IcebergOps.encodeManifest(Seq(live ++ tomb), syncSeed = k * 31L))
+        (id, IcebergOps.encodeManifest(Seq(planted ++ tomb), syncSeed = k * 31L))
       }).toDF("doc_id", "payload")
       val ice = IcebergOps.manifestCensus(manifests, "doc_id", "payload")
         .select(col("doc_id"),
           col("n_live").as("i_live"), col("live_bytes").as("i_bytes"),
           col("live_rows").as("i_rows"), col("n_partitions").as("i_parts"),
-          col("n_deleted").as("i_tomb"))
+          col("n_deleted").as("i_tomb"), col("n_snapshot_ids").as("i_snaps"))
       delta.join(ice, Seq("doc_id"))
         .select(col("doc_id"),
           col("d_live"), col("i_live"),
@@ -5442,7 +5450,10 @@ object DataQueries {
           (col("d_bytes") === col("i_bytes")).cast("long").as("bytes_match"),
           (col("d_rows") === col("i_rows")).cast("long").as("rows_match"),
           (col("d_parts") === col("i_parts")).cast("long").as("parts_match"),
-          (col("d_tomb") === col("i_tomb")).cast("long").as("tomb_match"))
+          (col("d_tomb") === col("i_tomb")).cast("long").as("tomb_match"),
+          // one writing snapshot over the live set = a consistent
+          // dual-write; the planted stale id reads 0 here
+          (col("i_snaps") === 1).cast("long").as("snap_match"))
         .orderBy("doc_id")
     },
     Some("""
@@ -5464,7 +5475,8 @@ object DataQueries {
              CAST(1 AS BIGINT) AS bytes_match,
              CAST(CASE WHEN p.doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS rows_match,
              CAST(1 AS BIGINT) AS parts_match,
-             CAST(1 AS BIGINT) AS tomb_match
+             CAST(1 AS BIGINT) AS tomb_match,
+             CAST(CASE WHEN p.doc_id % 11 = 0 THEN 0 ELSE 1 END AS BIGINT) AS snap_match
       FROM p JOIN agg ON agg.doc_id = p.doc_id
       ORDER BY p.doc_id"""))
 
@@ -5535,6 +5547,7 @@ object DataQueries {
              CAST(coalesce(n_parts, 0) AS BIGINT) AS n_partitions,
              CAST(coalesce(n_nb, 0) AS BIGINT) AS n_no_bounds,
              CAST(coalesce(n_snap, 0) AS BIGINT) AS n_with_snapshot,
+             CAST(CASE WHEN drift THEN 0 ELSE 1 END AS BIGINT) AS n_snapshot_ids,
              CAST(0 AS BIGINT) AS trailing_bytes
       FROM p LEFT JOIN agg ON agg.doc_id = p.doc_id
       ORDER BY p.doc_id"""))
@@ -5629,6 +5642,80 @@ object DataQueries {
         .orderBy("doc_id")
     },
     q392.oracle) // fold ≡ full-log census: the SAME closed form
+
+  // --------------------------------------------------------------- q402
+
+  /** q402 — Iceberg TABLE-ROOT census
+    * ([[graft.operators.IcebergOps.tableRootCensus]]): the two layers
+    * q398/q399 stopped under — a real reader starts from
+    * `vN.metadata.json` (current-snapshot-id resolved against the
+    * snapshot list; fully declarative JSON parsing), follows the
+    * current snapshot's manifest-list Avro (`manifest_file` records:
+    * path, spec id, per-kind file-count CLAIMS), then opens the named
+    * manifests — and this census AUDITS the list's claims against the
+    * decoded manifests (n_claims_mismatch, planted every 13th table).
+    * Honest boundaries: a dangling current-snapshot-id gates every
+    * downstream facet to zero (current_ok = 0, planted every 17th);
+    * a named-but-absent manifest counts n_manifests_missing. Oracle
+    * closed-form over the slot schedule. Decodes map-only; the
+    * composition joins manifest METADATA rows (bounded by manifest
+    * count), never data rows.
+    */
+  val q402 = Q("q402_iceberg_table_root",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.IcebergOps
+      val ids = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      val meta = ids.mapPartitions(_.map { id =>
+        (id, IcebergOps.syntheticTable(id % 50)._1)
+      }).toDF("doc_id", "meta_json")
+      val lists = ids.mapPartitions(_.map { id =>
+        val t = IcebergOps.syntheticTable(id % 50)
+        (id, t._2, t._3)
+      }).toDF("doc_id", "path", "payload")
+      val manifests = ids.mapPartitions(_.flatMap { id =>
+        IcebergOps.syntheticTable(id % 50)._4
+          .map { case (p, b) => (id, p, b) }
+      }).toDF("doc_id", "path", "payload")
+      IcebergOps.tableRootCensus(
+          meta, "doc_id", "meta_json",
+          lists, "doc_id", "path", "payload",
+          manifests, "doc_id", "path", "payload")
+        .withColumnRenamed("tbl", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+      c AS (SELECT doc_id, k, CAST(1 + k % 3 AS BIGINT) AS nM,
+              k % 17 <> 0 AS ok FROM p),
+      mi AS (SELECT doc_id, k, unnest(range(nM)) AS i FROM c WHERE ok),
+      e AS (SELECT doc_id, k, i, unnest(range(2 + (k + i) % 3)) AS j FROM mi),
+      st AS (SELECT doc_id, j, (i + j + k) % 3 AS s FROM e),
+      agg AS (SELECT doc_id,
+                SUM(CASE WHEN s <> 2 THEN 1 ELSE 0 END) AS n_live,
+                SUM(CASE WHEN s <> 2 THEN 10 + j ELSE 0 END) AS live_rows,
+                SUM(CASE WHEN s <> 2 THEN 100 * (j + 1) ELSE 0 END) AS live_bytes,
+                SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS n_deleted
+              FROM st GROUP BY doc_id)
+      SELECT p.doc_id,
+        CAST(2 AS BIGINT) AS format_version,
+        CAST(k % 5 AS BIGINT) AS schema_id,
+        CAST(1 + k % 4 AS BIGINT) AS n_snapshots,
+        CAST(CASE WHEN k % 17 = 0 THEN 0 ELSE 1 END AS BIGINT) AS current_ok,
+        CAST(CASE WHEN k % 17 = 0 THEN 0 ELSE 1 END AS BIGINT) AS list_valid,
+        CAST(CASE WHEN k % 17 = 0 THEN 0 ELSE 1 + k % 3 END AS BIGINT)
+          AS n_manifest_files,
+        CAST(CASE WHEN k % 17 = 0 THEN -1 ELSE k % 2 END AS BIGINT) AS spec_id,
+        CAST(0 AS BIGINT) AS n_manifests_missing,
+        CAST(CASE WHEN k % 17 <> 0 AND k % 13 = 0 THEN 1 ELSE 0 END AS BIGINT)
+          AS n_claims_mismatch,
+        CAST(coalesce(n_live, 0) AS BIGINT) AS n_live,
+        CAST(coalesce(live_rows, 0) AS BIGINT) AS live_rows,
+        CAST(coalesce(live_bytes, 0) AS BIGINT) AS live_bytes,
+        CAST(coalesce(n_deleted, 0) AS BIGINT) AS n_deleted
+      FROM p LEFT JOIN agg ON agg.doc_id = p.doc_id
+      ORDER BY p.doc_id"""))
 
   // --------------------------------------------------------------- q401
 
@@ -5805,5 +5892,5 @@ object DataQueries {
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
     q385, q387, q388, q390, q392, q393, q395, q396, q397, q398, q399, q400,
-    q401)
+    q401, q402)
 }

@@ -128,4 +128,33 @@ class IcebergOpsSpec extends AnyFunSuite {
     assert(m.entries.head.bounds.isEmpty, "lower without upper is not a usable bound")
     assert(m.nMalformedBlocks == 0)
   }
+
+  // -------------------------------------------------- manifest lists
+
+  private val f0 = MFile("m0.avro", 1000L, 0, Some(1042L), 3, 1, 2)
+  private val f1 = MFile("m1.avro", 2000L, 1, None, 0, 5, 0)
+
+  test("manifest-list round-trip: unions, optional counts, negative ids") {
+    val lm = parseManifestList(encodeManifestList(Seq(f0, f1), syncSeed = 3L))
+    assert(lm.valid == 1 && lm.schemaOk == 1)
+    assert(lm.files == Seq(f0, f1), lm.files.toString)
+    val neg = MFile("x.avro", Long.MaxValue, 2, Some(-9L), 1, 0, 1)
+    assert(parseManifestList(encodeManifestList(Seq(neg), 5L)).files == Seq(neg))
+  }
+
+  test("manifest-list schema drift and codec drift zero the decode, framing intact") {
+    val drift = encodeManifestList(Seq(f0), syncSeed = 3L,
+      schema = ListSchemaJson.replace("manifest_file", "other_rec"))
+    val lm = parseManifestList(drift)
+    assert(lm.valid == 1 && lm.schemaOk == 0 && lm.files.isEmpty)
+  }
+
+  test("manifest-list truncation fails closed: never a partial record") {
+    val full = encodeManifestList(Seq(f0, f1), syncSeed = 11L)
+    (1 until full.length).foreach { cut =>
+      val lm = parseManifestList(full.take(cut))
+      assert(lm.files.isEmpty || lm.files == Seq(f0, f1) ||
+        lm.files == Seq(f0), s"cut $cut produced a phantom record")
+    }
+  }
 }

@@ -177,6 +177,12 @@ class WalkerFuzzSpec extends AnyFunSuite {
       rnd => IcebergOps.syntheticManifest(rnd.nextInt(50).toLong),
       b => { val m = IcebergOps.parseManifest(b)
         (m.entries.size.toLong + m.nMalformedBlocks, m.trailingBytes) }),
+    Fuzzed("iceberg-manifest-list",
+      rnd => IcebergOps.syntheticTable(rnd.nextInt(50).toLong)._3,
+      b => { val lm = IcebergOps.parseManifestList(b)
+        // valid deliberately excluded: appended garbage flips it 1→0
+        // while the walked prefix (the monotone quantity) is files
+        (lm.files.size.toLong, 0L) }),
     Fuzzed("utf8",
       rnd => (1 to 20 + rnd.nextInt(60)).flatMap { _ =>
         rnd.nextInt(4) match {
