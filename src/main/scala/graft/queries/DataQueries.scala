@@ -5643,6 +5643,71 @@ object DataQueries {
     },
     q392.oracle) // fold ≡ full-log census: the SAME closed form
 
+  // --------------------------------------------------------------- q403
+
+  /** q403 — H.264 SPS/PPS parameter-set decode
+    * ([[graft.operators.NalCensus.spsFeatures]]): the q318 NAL census
+    * located parameter sets but stayed dimension-blind; the SPS is
+    * plain Exp-Golomb (no CABAC/CAVLC), so parsing it recovers
+    * width/height (with the spec's crop-unit and field-coding
+    * arithmetic), profile/level, chroma format and bit depth — plus
+    * the PPS entropy-coding mode a transcoding fleet budgets on.
+    * Honest boundaries kept separate: a truncated SPS is malformed
+    * (sps_ok 0), a seq_scaling_matrix SPS is a valid stream this
+    * parser DECLINES (sps_gated 1, planted every 17th doc) — the
+    * entropy-coded slice data itself stays the stub boundary. RBSP
+    * emulation-prevention bytes are stripped before bit parsing.
+    * Oracle closed-form over the schedule. Map-only, zero shuffles.
+    */
+  val q403 = Q("q403_h264_sps_dims",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.NalCensus
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (id % 50).toInt
+          val profile = if (k % 17 == 0 || k % 3 == 0) 100 else 66
+          val sps0 = NalCensus.encodeSps(profile, 30 + k % 21,
+            19 + k % 40, 14 + k % 30, frameMbsOnly = k % 5 != 0,
+            crop = if (k % 4 == 0) Some((0, 1, 0, 2)) else None,
+            scalingGate = k % 17 == 0)
+          val sps = if (k % 13 == 0) sps0.take(2) else sps0
+          val pps = NalCensus.encodePps(cabac = k % 2 == 1)
+          val filler = Array.tabulate(20 + k)(i => ((i * 31 + k) % 254 + 1).toByte)
+          (id, NalCensus.encodeNals(Seq(
+            (6, filler), (7, sps), (8, pps), (5, filler))))
+        }).toDF("doc_id", "payload")
+      NalCensus.spsFeatures(synth, "doc_id", "payload").orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      f AS (SELECT doc_id, k,
+              CASE WHEN k % 13 <> 0 AND k % 17 = 0 THEN 1 ELSE 0 END AS gate,
+              CASE WHEN k % 13 = 0 OR k % 17 = 0 THEN 0 ELSE 1 END AS ok,
+              CASE WHEN k % 3 = 0 OR k % 17 = 0 THEN 100 ELSE 66 END AS prof,
+              20 + k % 40 AS wmb, 15 + k % 30 AS hmb,
+              CASE WHEN k % 5 = 0 THEN 0 ELSE 1 END AS fmo,
+              CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS crop
+            FROM d)
+      SELECT doc_id,
+        CAST(4 AS BIGINT) AS n_nals,
+        CAST(ok AS BIGINT) AS sps_ok,
+        CAST(gate AS BIGINT) AS sps_gated,
+        CAST(CASE WHEN ok = 1 THEN prof ELSE 0 END AS BIGINT) AS profile_idc,
+        CAST(CASE WHEN ok = 1 THEN 30 + k % 21 ELSE 0 END AS BIGINT) AS level_idc,
+        CAST(ok AS BIGINT) AS chroma_format,
+        CAST(CASE WHEN ok = 1 THEN 8 ELSE 0 END AS BIGINT) AS bit_depth,
+        CAST(CASE WHEN ok = 1 THEN wmb * 16 - crop * 2 ELSE 0 END AS BIGINT)
+          AS width,
+        CAST(CASE WHEN ok = 1
+                  THEN (2 - fmo) * hmb * 16 - crop * 2 * (2 - fmo) * 2
+                  ELSE 0 END AS BIGINT) AS height,
+        CAST(CASE WHEN ok = 1 THEN fmo ELSE 0 END AS BIGINT) AS frame_mbs_only,
+        CAST(1 AS BIGINT) AS pps_ok,
+        CAST(k % 2 AS BIGINT) AS cabac
+      FROM f ORDER BY doc_id"""))
+
   // --------------------------------------------------------------- q402
 
   /** q402 — Iceberg TABLE-ROOT census
@@ -5892,5 +5957,5 @@ object DataQueries {
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
     q385, q387, q388, q390, q392, q393, q395, q396, q397, q398, q399, q400,
-    q401, q402)
+    q401, q402, q403)
 }

@@ -47,4 +47,78 @@ class NalCensusSpec extends SparkSpec {
     val m = NalCensus.parse(Array.emptyByteArray)
     assert(m.nNals == 0 && m.trailingBytes == 0)
   }
+
+  // ------------------------------------------------------ SPS/PPS parse
+
+  test("SPS round-trip: dims, profile/level, baseline vs high profile") {
+    val s = NalCensus.parseSps(NalCensus.encodeSps(66, 41, 119, 67, frameMbsOnly = true))
+    assert(s.ok == 1 && s.gated == 0)
+    assert(s.profile == 66 && s.level == 41)
+    assert(s.width == 120 * 16 && s.height == 68 * 16, s.toString)
+    assert(s.chroma == 1 && s.bitDepth == 8, "absent extension infers 4:2:0 / 8-bit")
+    val h = NalCensus.parseSps(NalCensus.encodeSps(100, 51, 9, 7, frameMbsOnly = true))
+    assert(h.ok == 1 && h.profile == 100 && h.width == 160 && h.height == 128)
+  }
+
+  test("SPS crop arithmetic: 4:2:0 crop units, field coding doubles the vertical unit") {
+    // progressive: CropUnitX = 2, CropUnitY = 2
+    val p = NalCensus.parseSps(NalCensus.encodeSps(66, 30, 119, 67,
+      frameMbsOnly = true, crop = Some((0, 4, 0, 2))))
+    assert(p.width == 120 * 16 - 8 && p.height == 68 * 16 - 4, p.toString)
+    // interlaced (frame_mbs_only = 0): height doubles, CropUnitY = 4
+    val i = NalCensus.parseSps(NalCensus.encodeSps(66, 30, 119, 33,
+      frameMbsOnly = false, crop = Some((1, 1, 1, 1))))
+    assert(i.frameMbsOnly == 0)
+    assert(i.width == 120 * 16 - 4 && i.height == 2 * 34 * 16 - 8, i.toString)
+  }
+
+  test("scaling-matrix SPS is DECLINED (gated), truncation is malformed — never conflated") {
+    val gated = NalCensus.parseSps(NalCensus.encodeSps(100, 40, 10, 10,
+      frameMbsOnly = true, scalingGate = true))
+    assert(gated.ok == 0 && gated.gated == 1)
+    val full = NalCensus.encodeSps(100, 40, 10, 10, frameMbsOnly = true)
+    (1 until full.length).foreach { cut =>
+      val s = NalCensus.parseSps(full.take(cut))
+      assert(s.gated == 0, s"cut $cut misread as the gated class")
+      // a cut can still parse if only trailing bits were lost — but it
+      // must never invent different dimensions
+      if (s.ok == 1) assert(s.width == 11 * 16 && s.height == 11 * 16)
+    }
+  }
+
+  test("emulation prevention: values forcing 00 00 runs survive the escape round-trip") {
+    // huge pic_width ue values write 20+ zero bits; scan for one whose
+    // alignment forces a raw 00 00 0x run (and so a planted 03 escape)
+    val hit = (1 << 20 until (1 << 20) + 64).view
+      .map(pw => pw -> NalCensus.encodeSps(66, 10, pw, 100, frameMbsOnly = true))
+      .find { case (_, b) => NalCensus.rbspUnescape(b, 0, b.length).length < b.length }
+    assert(hit.isDefined, "no alignment exercised an emulation-prevention byte")
+    val (pw, sps) = hit.get
+    val s = NalCensus.parseSps(NalCensus.rbspUnescape(sps, 0, sps.length))
+    assert(s.ok == 1 && s.width == (pw + 1) * 16 && s.height == 101 * 16,
+      s"$s after the escape round-trip")
+  }
+
+  test("PPS entropy mode: CAVLC vs CABAC") {
+    assert(NalCensus.parsePps(NalCensus.encodePps(cabac = false)) == ((1, 0)))
+    assert(NalCensus.parsePps(NalCensus.encodePps(cabac = true)) == ((1, 1)))
+    assert(NalCensus.parsePps(Array.emptyByteArray) == ((0, 0)))
+  }
+
+  test("spsFeatures finds the FIRST SPS/PPS in an Annex-B stream") {
+    // exercised end-to-end by q403's oracle; here the in-stream lookup:
+    val filler = Array.tabulate(9)(i => (i + 1).toByte)
+    val stream = NalCensus.encodeNals(Seq(
+      (6, filler),
+      (7, NalCensus.encodeSps(100, 31, 79, 44, frameMbsOnly = true)),
+      (8, NalCensus.encodePps(cabac = true)),
+      (7, NalCensus.encodeSps(66, 10, 9, 9, frameMbsOnly = true)), // later SPS ignored
+      (5, filler)))
+    import spark.implicits._
+    val row = NalCensus.spsFeatures(
+      Seq((1L, stream)).toDF("id", "payload"), "id", "payload").collect()(0)
+    assert(row.getAs[Long]("width") == 80 * 16 && row.getAs[Long]("height") == 45 * 16)
+    assert(row.getAs[Long]("profile_idc") == 100 && row.getAs[Long]("cabac") == 1)
+    assert(row.getAs[Long]("n_nals") == 5)
+  }
 }

@@ -183,6 +183,15 @@ class WalkerFuzzSpec extends AnyFunSuite {
         // valid deliberately excluded: appended garbage flips it 1→0
         // while the walked prefix (the monotone quantity) is files
         (lm.files.size.toLong, 0L) }),
+    Fuzzed("h264-sps",
+      rnd => NalCensus.encodeSps(
+        if (rnd.nextBoolean()) 100 else 66, 30 + rnd.nextInt(21),
+        rnd.nextInt(120), rnd.nextInt(80), rnd.nextBoolean(),
+        crop = if (rnd.nextBoolean())
+          Some((rnd.nextInt(3), rnd.nextInt(3), rnd.nextInt(3), rnd.nextInt(3)))
+        else None),
+      b => { val s = NalCensus.parseSps(b)
+        ((s.ok + s.gated).toLong, 0L) }),
     Fuzzed("utf8",
       rnd => (1 to 20 + rnd.nextInt(60)).flatMap { _ =>
         rnd.nextInt(4) match {
