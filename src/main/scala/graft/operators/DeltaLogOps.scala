@@ -449,6 +449,40 @@ object DeltaLogOps {
         coalesce(col("n_partitions"), lit(0L)).as("n_partitions"))
   }
 
+  /** `_last_checkpoint` pointer audit: the one-line JSON file at the
+    * log root (`{"version":N,"size":K[,"parts":P]}`) is how a real
+    * reader FINDS the checkpoint without listing the directory — and
+    * it can lie: a crashed writer leaves it stale (naming a version
+    * newer or older than the checkpoint that exists), and its `size`
+    * claim (action count) can drift from the checkpoint's actual
+    * records. This audit joins pointer claims against checkpoint
+    * reality per table — full outer, so a pointer without a
+    * checkpoint and a checkpoint without a pointer both surface.
+    * Fully declarative; the per-table frames are metadata-sized.
+    */
+  def lastCheckpointAudit(pointer: DataFrame, ptrTableCol: String,
+                          ptrJsonCol: String, ckpt: DataFrame,
+                          ckptTableCol: String, ckptVerCol: String): DataFrame = {
+    val p = pointer.select(col(ptrTableCol).cast("long").as("tbl"),
+      get_json_object(col(ptrJsonCol), "$.version").cast("long").as("ptr_ver"),
+      get_json_object(col(ptrJsonCol), "$.size").cast("long").as("ptr_size"))
+    val c = ckpt.select(col(ckptTableCol).cast("long").as("tbl"),
+        col(ckptVerCol).cast("long").as("cv"))
+      .groupBy("tbl").agg(max("cv").as("cv"), count(lit(1)).as("n_records"))
+    p.join(c, Seq("tbl"), "full")
+      .select(col("tbl"),
+        col("ptr_ver").isNotNull.cast("long").as("has_pointer"),
+        col("cv").isNotNull.cast("long").as("has_checkpoint"),
+        coalesce(col("ptr_ver"), lit(-1L)).as("pointer_ver"),
+        coalesce(col("cv"), lit(-1L)).as("ckpt_ver"),
+        coalesce(col("ptr_ver") === col("cv"), lit(false)).cast("long")
+          .as("version_match"),
+        coalesce(col("ptr_size"), lit(-1L)).as("size_claimed"),
+        coalesce(col("n_records"), lit(0L)).as("size_actual"),
+        coalesce(col("ptr_size") === col("n_records"), lit(false)).cast("long")
+          .as("size_match"))
+  }
+
   /** Seed the INCREMENTAL fold ([[foldBatch]]) from a checkpoint: the
     * compact state's "act"/"proto"/"ver" rows come straight from the
     * checkpoint records, tallies start zeroed (they count replayed
@@ -581,5 +615,20 @@ object DeltaLogOps {
       if (c4 <= 1) all // full history (no checkpoint / retained JSONs)
       else all.filter(_._1 > vc) // vacuumed prefix
     (vc, recs, retained)
+  }
+
+  /** The `_last_checkpoint` pointer for [[syntheticCheckpointed]]'s
+    * table `k` (q404's oracle): absent for the no-checkpoint class;
+    * STALE version (+1, naming a checkpoint that does not exist)
+    * every 19th table; wrong size claim (+2) every 23rd.
+    */
+  def syntheticLastCheckpoint(k: Long): Option[String] = {
+    val (vc, recs, _) = syntheticCheckpointed(k)
+    if (vc < 0) None
+    else {
+      val ver = vc + (if (k % 19 == 0) 1 else 0)
+      val size = recs.size + (if (k % 23 == 0) 2 else 0)
+      Some(s"""{"version":$ver,"size":$size}""")
+    }
   }
 }

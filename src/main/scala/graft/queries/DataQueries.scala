@@ -5643,6 +5643,60 @@ object DataQueries {
     },
     q392.oracle) // fold ≡ full-log census: the SAME closed form
 
+  // --------------------------------------------------------------- q404
+
+  /** q404 — `_last_checkpoint` pointer audit
+    * ([[graft.operators.DeltaLogOps.lastCheckpointAudit]]): the
+    * one-line JSON pointer at the log root is how a real reader FINDS
+    * the checkpoint without a directory listing — and a crashed
+    * writer leaves it lying: naming a version whose checkpoint does
+    * not exist (planted every 19th checkpointed table) or claiming an
+    * action count the checkpoint's records contradict (every 23rd).
+    * Full-outer per-table join of pointer claims vs checkpoint
+    * reality, so dangling pointers and pointer-less checkpoints both
+    * surface. Oracle closed-form over the q401 schedule (the
+    * no-checkpoint class carries no pointer and no row). Metadata-
+    * sized frames end to end.
+    */
+  val q404 = Q("q404_delta_last_checkpoint",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.DeltaLogOps
+      val ids = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      val pointer = ids.flatMap(k =>
+        DeltaLogOps.syntheticLastCheckpoint(k).map(j => (k, j)))
+        .toDF("doc_id", "json")
+      val ckpt = ids.flatMap { k =>
+        val (vc, recs, _) = DeltaLogOps.syntheticCheckpointed(k)
+        recs.map(_ => (k, vc))
+      }.toDF("doc_id", "ckver")
+      DeltaLogOps.lastCheckpointAudit(pointer, "doc_id", "json",
+          ckpt, "doc_id", "ckver")
+        .withColumnRenamed("tbl", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id AS k, CAST(2 + doc_id % 5 AS BIGINT) AS n0,
+                        doc_id % 3 AS m, doc_id % 4 AS c4 FROM documents
+                 WHERE doc_id % 4 <> 0),
+      f AS (SELECT k, n0, m, c4,
+              CASE WHEN c4 = 3 THEN least(1, m) ELSE 0 END AS vc,
+              CAST(1 + n0 + CASE WHEN c4 = 3 AND m >= 1 THEN 1 ELSE 0 END
+                AS BIGINT) AS size_actual
+            FROM p)
+      SELECT k AS doc_id,
+        CAST(1 AS BIGINT) AS has_pointer,
+        CAST(1 AS BIGINT) AS has_checkpoint,
+        CAST(vc + CASE WHEN k % 19 = 0 THEN 1 ELSE 0 END AS BIGINT) AS pointer_ver,
+        CAST(vc AS BIGINT) AS ckpt_ver,
+        CAST(CASE WHEN k % 19 = 0 THEN 0 ELSE 1 END AS BIGINT) AS version_match,
+        CAST(size_actual + CASE WHEN k % 23 = 0 THEN 2 ELSE 0 END AS BIGINT)
+          AS size_claimed,
+        size_actual,
+        CAST(CASE WHEN k % 23 = 0 THEN 0 ELSE 1 END AS BIGINT) AS size_match
+      FROM f ORDER BY doc_id"""))
+
   // --------------------------------------------------------------- q403
 
   /** q403 — H.264 SPS/PPS parameter-set decode
@@ -5957,5 +6011,5 @@ object DataQueries {
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
     q385, q387, q388, q390, q392, q393, q395, q396, q397, q398, q399, q400,
-    q401, q402, q403)
+    q401, q402, q403, q404)
 }

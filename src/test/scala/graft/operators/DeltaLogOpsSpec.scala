@@ -232,6 +232,33 @@ class DeltaLogOpsSpec extends SparkSpec {
     assert(cn.getAs[Long]("n_post_lines") == 6 && cn.getAs[Long]("n_live") == 4)
   }
 
+  test("_last_checkpoint audit: stale version, wrong size, dangling both ways surface") {
+    import spark.implicits._
+    val pointer = Seq(
+      (1L, """{"version":2,"size":3}"""), // healthy
+      (2L, """{"version":5,"size":3}"""), // stale: names a missing checkpoint
+      (3L, """{"version":0,"size":9}"""), // size claim contradicts the records
+      (4L, """{"version":1,"size":1}""")) // pointer with NO checkpoint at all
+      .toDF("tbl", "json")
+    val ckpt = Seq((1L, 2L), (1L, 2L), (1L, 2L),
+      (2L, 2L), (2L, 2L), (2L, 2L),
+      (3L, 0L), (3L, 0L), (3L, 0L),
+      (5L, 1L)).toDF("tbl", "ckver") // table 5: checkpoint, no pointer
+    val out = DeltaLogOps.lastCheckpointAudit(pointer, "tbl", "json",
+      ckpt, "tbl", "ckver").collect().map(r => r.getAs[Long]("tbl") -> r).toMap
+    assert(out(1L).getAs[Long]("version_match") == 1 &&
+      out(1L).getAs[Long]("size_match") == 1)
+    assert(out(2L).getAs[Long]("version_match") == 0 &&
+      out(2L).getAs[Long]("size_match") == 1)
+    assert(out(3L).getAs[Long]("version_match") == 1 &&
+      out(3L).getAs[Long]("size_match") == 0)
+    assert(out(4L).getAs[Long]("has_checkpoint") == 0 &&
+      out(4L).getAs[Long]("version_match") == 0)
+    assert(out(5L).getAs[Long]("has_pointer") == 0 &&
+      out(5L).getAs[Long]("size_actual") == 1 &&
+      out(5L).getAs[Long]("size_match") == 0)
+  }
+
   test("incremental fold seeded from a checkpoint continues a vacuumed history") {
     // vacuumed classes WITH post-commits (censusFromState keys on the
     // fold's tally rows, so a table must fold at least one line)

@@ -442,6 +442,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("a CHECKPOINT-seeded state store continues a vacuumed log stream to the full census") {
+    // the 100 TB restart shape: the state store starts from a Delta
+    // checkpoint (stateFromCheckpoint), the vacuumed pre-checkpoint
+    // JSONs never arrive, and only post-checkpoint commits stream in —
+    // the folded census must still equal the FULL history's snapshot
+    import graft.operators.DeltaLogOps
+    val dir = Files.createTempDirectory("graft-deltackpt-stream").toFile
+    import spark.implicits._
+    // vacuumed classes with post-commits (c4 in {2,3}, m >= 1)
+    val ks = Seq(2L, 10L, 11L, 14L, 23L)
+    val liveCols = Seq("tbl", "n_live", "n_tombstones", "live_bytes",
+      "live_rows", "n_live_no_stats", "n_partitions", "min_reader", "min_writer")
+    val want = DeltaLogOps.snapshotCensus(
+        ks.flatMap(k => DeltaLogOps.syntheticLog(k).map { case (v, l) => (k, v, l) })
+          .toDF("tbl", "ver", "line"), "tbl", "ver", "line")
+      .orderBy("tbl").select(liveCols.map(col): _*).collect().map(_.toSeq)
+    // seed the store from the checkpoint records BEFORE any batch
+    val ckpt = ks.flatMap { k =>
+      val (vc, recs, _) = DeltaLogOps.syntheticCheckpointed(k)
+      recs.map(r => (k, vc, r))
+    }.toDF("tbl", "ckver", "rec")
+      .select(col("tbl"), col("ckver"), col("rec.add").as("add"),
+        col("rec.remove").as("remove"), col("rec.protocol").as("protocol"))
+    DeltaLogOps.stateFromCheckpoint(ckpt, "tbl", "ckver")
+      .write.parquet(s"$dir/state")
+    // only the RETAINED (post-checkpoint) commits arrive, in order
+    for (v <- 1L to 2L) {
+      val b = ks.flatMap(k => DeltaLogOps.syntheticCheckpointed(k)._3
+        .collect { case (ver, l) if ver == v => (k, ver, l) })
+      if (b.nonEmpty) {
+        b.toDF("tbl", "ver", "line").write.parquet(s"$dir/in/v$v")
+        Thread.sleep(1100)
+      }
+    }
+    val stream = spark.readStream
+      .schema("tbl LONG, ver LONG, line STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+    val q = DeltaLogOps.streamCensus(stream, s"$dir/state", "tbl", "ver", "line")
+      .option("checkpointLocation", s"$dir/ckptloc")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = DeltaLogOps.censusFromState(
+        spark.read.schema(DeltaLogOps.StateSchema).parquet(s"$dir/state"))
+      .orderBy("tbl").select(liveCols.map(col): _*).collect().map(_.toSeq)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"checkpoint-seeded stream diverged:\n  stream: $g\n  full:   $w")
+    }
+  }
+
   test("media decode over a payload stream equals the batch codec features") {
     // the codec paths are stateless mapPartitions — the same call runs
     // unchanged on a streaming DataFrame, so a media-ingest pipeline
