@@ -314,6 +314,97 @@ object DeltaLogOps {
     }
 
   // ------------------------------------------------------------------
+  // deletion vectors (modern Delta's default row-level deletes)
+
+  /** Deletion-vector-aware NET-ROW census: in current Delta, row
+    * deletes don't rewrite files — the add action carries a
+    * `deletionVector` sidecar reference whose `cardinality` counts the
+    * file's soft-deleted rows, and the LATEST add's DV state wins
+    * whole (a re-add without a DV clears it — compaction's rewrite).
+    * File-level replay (q392) overcounts live rows on any table using
+    * DVs; this census subtracts them honestly:
+    *
+    *  - `live_rows`  — stats-vouched rows over live files (q392's
+    *    number, before deletes);
+    *  - `dv_rows`    — DV cardinality summed over live files
+    *    (deletes are REAL even when the file's total is unknown);
+    *  - `net_rows`   — Σ (rows − dv) over live files carrying BOTH
+    *    stats and a defined total (a stats-less file contributes
+    *    nothing here — counted in `n_live_no_stats`, never guessed);
+    *  - `n_live_with_dv` — how much of the table rides DVs (the
+    *    compaction-debt signal a maintenance job watches).
+    *
+    * Same plan as the flat replay: one (table, path) window + one
+    * per-table groupBy.
+    */
+  def deletionVectorCensus(log: DataFrame, tableCol: String,
+                           versionCol: String, lineCol: String,
+                           statsPath: String = "x"): DataFrame = {
+    val line = col(lineCol)
+    val stats = get_json_object(line, "$.add.stats")
+    val p = log.select(
+      col(tableCol).as("tbl"),
+      col(versionCol).cast("long").as("ver"),
+      get_json_object(line, "$.add.path").as("add_path"),
+      get_json_object(line, "$.remove.path").as("rm_path"),
+      get_json_object(stats, "$.numRecords").cast("long").as("n_rows"),
+      get_json_object(line, "$.add.deletionVector.cardinality").cast("long")
+        .as("dv"))
+    val acts = p.filter(col("add_path").isNotNull || col("rm_path").isNotNull)
+      .select(col("tbl"), col("ver"),
+        coalesce(col("add_path"), col("rm_path")).as("path"),
+        col("add_path").isNotNull.as("is_add"), col("n_rows"), col("dv"))
+    val w = Window.partitionBy("tbl", "path")
+      .orderBy(col("ver").desc, col("is_add").desc)
+    acts.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("is_add"))
+      .groupBy("tbl").agg(
+        count(lit(1)).as("n_live"),
+        sum((coalesce(col("dv"), lit(0L)) > 0).cast("long")).as("n_live_with_dv"),
+        sum(coalesce(col("n_rows"), lit(0L))).as("live_rows"),
+        sum(coalesce(col("dv"), lit(0L))).as("dv_rows"),
+        sum(when(col("n_rows").isNotNull,
+          col("n_rows") - coalesce(col("dv"), lit(0L))).otherwise(0L))
+          .as("net_rows"),
+        sum(col("n_rows").isNull.cast("long")).as("n_live_no_stats"))
+  }
+
+  /** [[syntheticLog]]'s deletion-vector twin (q405's oracle): same
+    * file schedule, but every slot j with j % 3 == 0 adds WITH a DV of
+    * cardinality j+1 — and the m=2 re-add of f0 carries NO DV (the
+    * compaction rewrite that clears delete debt).
+    */
+  def syntheticLogDv(k: Long): Seq[(Long, String)] = {
+    val n0 = (2 + k % 5).toInt
+    val m = (k % 3).toInt
+    def add(slot: Int, path: String, withDv: Boolean): String = {
+      val stats =
+        if (k % 7 == 0 && slot == 1) ""
+        else {
+          val inner = s"""{\\"numRecords\\":${10 + slot},\\"minValues\\":{\\"x\\":${10 * slot}},\\"maxValues\\":{\\"x\\":${10 * slot + 9}}}"""
+          s""","stats":"$inner""""
+        }
+      val dv =
+        if (withDv && slot % 3 == 0)
+          s""","deletionVector":{"storageType":"u","pathOrInlineDv":"dv$slot","cardinality":${slot + 1}}"""
+        else ""
+      s"""{"add":{"path":"$path","partitionValues":{"p":"${slot % 3}"},"size":${100 * (slot + 1)},"dataChange":true$stats$dv}}"""
+    }
+    val v0: Seq[(Long, String)] =
+      Seq(0L -> s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""") ++
+        (0 until n0).map(j => 0L -> add(j, s"f$j.parquet", withDv = true))
+    val v1: Seq[(Long, String)] =
+      if (m >= 1)
+        Seq(1L -> s"""{"remove":{"path":"f0.parquet","dataChange":true}}""",
+          1L -> add(n0, s"f$n0.parquet", withDv = true))
+      else Seq.empty
+    val v2: Seq[(Long, String)] =
+      if (m == 2) Seq(2L -> add(n0 + 1, "f0.parquet", withDv = false))
+      else Seq.empty
+    v0 ++ v1 ++ v2
+  }
+
+  // ------------------------------------------------------------------
   // checkpoint-aware replay (r13 verdict item 1)
   //
   // A production `_delta_log` does not stay JSON forever: every ~10

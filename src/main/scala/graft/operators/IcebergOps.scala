@@ -586,6 +586,62 @@ object IcebergOps {
     * and j==1; two blocks when k%2==0; a garbage tail block when
     * k%11==0; schema drift (census honestly zeroed) when k%13==0.
     */
+  // ------------------------------------------------------------------
+  // v2 positional deletes (Iceberg's row-level delete files)
+
+  /** Positional-delete audit — the v2 row-level layer under the
+    * file-level census: delete files carry `(data_file_path, pos)`
+    * rows, and a reader's net live rows per data file are
+    * `record_count − |distinct applicable positions|`. Conservative
+    * classes, never silently folded:
+    *
+    *  - a delete naming a data file the table does NOT have is an
+    *    orphan (`n_orphan_deletes`) — it applies to nothing;
+    *  - a position at/past the file's record_count names a row that
+    *    cannot exist (`n_invalid_pos`) — counted, never applied;
+    *  - duplicate `(path, pos)` pairs apply ONCE (row tombstones are
+    *    idempotent); the redundancy is reported (`n_dup_deletes`),
+    *    because a delete-file compaction job budgets on it.
+    *
+    * Relational end to end: one distinct over the delete rows, one
+    * (table, path) join against file METADATA (bounded by file count),
+    * one per-table rollup — delete positions shuffle once, data rows
+    * never.
+    */
+  def positionalDeleteAudit(dataFiles: DataFrame, fTblCol: String,
+                            fPathCol: String, fRowsCol: String,
+                            deletes: DataFrame, dTblCol: String,
+                            dPathCol: String, dPosCol: String): DataFrame = {
+    val files = dataFiles.select(col(fTblCol).cast("long").as("tbl"),
+      col(fPathCol).as("path"), col(fRowsCol).cast("long").as("rc"))
+    val dd = deletes.select(col(dTblCol).cast("long").as("tbl"),
+        col(dPathCol).as("path"), col(dPosCol).cast("long").as("pos"))
+      .groupBy("tbl", "path", "pos").agg(count(lit(1)).as("c"))
+    val applied = col("rc").isNotNull && col("pos").isNotNull &&
+      col("pos") < col("rc")
+    // two-level rollup: first to the (table, path) grain (rc carried
+    // once per file, delete classes summed), then per table — so the
+    // file's record count is never multiplied by its delete count
+    val perPath = dd.join(files, Seq("tbl", "path"), "full")
+      .groupBy("tbl", "path").agg(
+        first(col("rc")).as("rc"),
+        sum(applied.cast("long")).as("applied"),
+        sum((col("pos").isNotNull && col("rc").isNotNull &&
+          col("pos") >= col("rc")).cast("long")).as("invalid"),
+        sum((col("pos").isNotNull && col("rc").isNull).cast("long")).as("orphan"),
+        sum(when(col("pos").isNotNull, col("c") - 1L).otherwise(0L)).as("dups"))
+    perPath.groupBy("tbl").agg(
+      sum(col("rc").isNotNull.cast("long")).as("n_files"),
+      sum(coalesce(col("rc"), lit(0L))).as("total_rows"),
+      sum(coalesce(col("applied"), lit(0L))).as("n_deletes_applied"),
+      (sum(coalesce(col("rc"), lit(0L))) -
+        sum(when(col("rc").isNotNull, col("applied")).otherwise(0L)))
+        .as("net_rows"),
+      sum(coalesce(col("invalid"), lit(0L))).as("n_invalid_pos"),
+      sum(coalesce(col("orphan"), lit(0L))).as("n_orphan_deletes"),
+      sum(coalesce(col("dups"), lit(0L))).as("n_dup_deletes"))
+  }
+
   /** Deterministic TABLE-ROOT fixture from `k` alone (q402's oracle):
     * metadata.json with nS = 1 + k%4 snapshots (current = 1000+k, the
     * LAST one, naming "snap-{1000+k}.avro"; every 17th table's

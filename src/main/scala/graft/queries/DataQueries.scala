@@ -5643,6 +5643,112 @@ object DataQueries {
     },
     q392.oracle) // fold ≡ full-log census: the SAME closed form
 
+  // --------------------------------------------------------------- q405
+
+  /** q405 — Delta DELETION-VECTOR net-row census
+    * ([[graft.operators.DeltaLogOps.deletionVectorCensus]]): modern
+    * Delta deletes rows WITHOUT rewriting files — the add action
+    * carries a deletionVector sidecar whose cardinality counts the
+    * file's soft-deleted rows, and the latest add's DV state wins
+    * whole (the m=2 re-add ships WITHOUT a DV: compaction clearing
+    * delete debt — planted and pinned). File-level replay overcounts
+    * live rows on any DV table; this census reports vouched rows, DV
+    * rows, net rows (only over stats-bearing files — a stats-less
+    * file is counted, never guessed), and the DV-riding file count a
+    * maintenance job watches. Oracle closed-form over the q392 slot
+    * schedule with DVs on every 3rd slot.
+    */
+  val q405 = Q("q405_delta_deletion_vectors",
+    (s, dir) => {
+      import s.implicits._
+      val log = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap(k => graft.operators.DeltaLogOps.syntheticLogDv(k)
+          .map { case (v, l) => (k, v, l) })
+        .toDF("doc_id", "version", "line")
+      graft.operators.DeltaLogOps
+        .deletionVectorCensus(log, "doc_id", "version", "line")
+        .withColumnRenamed("tbl", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id AS k, CAST(2 + doc_id % 5 AS BIGINT) AS n0,
+                        doc_id % 3 AS m FROM documents),
+      s AS (SELECT k, n0, m, unnest(range(0, n0 + 2)) AS j FROM p),
+      sl AS (SELECT k, j,
+               CASE WHEN m = 0 THEN j < n0
+                    WHEN m = 1 THEN j BETWEEN 1 AND n0
+                    ELSE (j BETWEEN 1 AND n0) OR j = n0 + 1 END AS live,
+               NOT (k % 7 = 0 AND j = 1) AS hs,
+               CASE WHEN j % 3 = 0 AND NOT (m = 2 AND j = n0 + 1)
+                    THEN j + 1 ELSE 0 END AS dv
+             FROM s)
+      SELECT k AS doc_id,
+        CAST(SUM(CASE WHEN live THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+        CAST(SUM(CASE WHEN live AND dv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_live_with_dv,
+        CAST(SUM(CASE WHEN live AND hs THEN 10 + j ELSE 0 END) AS BIGINT)
+          AS live_rows,
+        CAST(SUM(CASE WHEN live THEN dv ELSE 0 END) AS BIGINT) AS dv_rows,
+        CAST(SUM(CASE WHEN live AND hs THEN 10 + j - dv ELSE 0 END) AS BIGINT)
+          AS net_rows,
+        CAST(SUM(CASE WHEN live AND NOT hs THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_live_no_stats
+      FROM sl GROUP BY k ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------- q406
+
+  /** q406 — Iceberg v2 POSITIONAL-DELETE audit
+    * ([[graft.operators.IcebergOps.positionalDeleteAudit]]): the
+    * row-level layer under the file census — delete files carry
+    * (data_file_path, pos) rows; net live rows per data file =
+    * record_count − distinct applicable positions. Honest classes
+    * planted and separated: an orphan delete naming an absent file
+    * (every 11th table) applies to nothing; a position at/past the
+    * file's row count (every 7th) names a row that cannot exist;
+    * duplicate pairs (every 5th) apply ONCE with the redundancy
+    * reported (the delete-compaction budget signal). Relational end
+    * to end: one distinct over delete rows, one metadata-grain join,
+    * one rollup — data rows never shuffle. Oracle closed-form.
+    */
+  val q406 = Q("q406_iceberg_positional_deletes",
+    (s, dir) => {
+      import s.implicits._
+      val ids = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      val files = ids.flatMap { id =>
+        val k = id % 50
+        (0 until (2 + k % 4).toInt).map(i => (id, s"d$i.parquet", 10L + i))
+      }.toDF("doc_id", "path", "rc")
+      val dels = ids.flatMap { id =>
+        val k = id % 50
+        val nF = (2 + k % 4).toInt
+        val base = for { i <- 0 until nF; p <- 0 until i }
+          yield (id, s"d$i.parquet", p.toLong)
+        base ++
+          (if (k % 5 == 0) Seq((id, "d1.parquet", 0L)) else Nil) ++
+          (if (k % 7 == 0) Seq((id, "d0.parquet", 999L)) else Nil) ++
+          (if (k % 11 == 0) Seq((id, "ghost.parquet", 0L)) else Nil)
+      }.toDF("doc_id", "path", "pos")
+      graft.operators.IcebergOps
+        .positionalDeleteAudit(files, "doc_id", "path", "rc",
+          dels, "doc_id", "path", "pos")
+        .withColumnRenamed("tbl", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+      f AS (SELECT doc_id, k, CAST(2 + k % 4 AS BIGINT) AS nF FROM d)
+      SELECT doc_id,
+        nF AS n_files,
+        CAST(10 * nF + nF * (nF - 1) / 2 AS BIGINT) AS total_rows,
+        CAST(nF * (nF - 1) / 2 AS BIGINT) AS n_deletes_applied,
+        CAST(10 * nF AS BIGINT) AS net_rows,
+        CAST(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_invalid_pos,
+        CAST(CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_orphan_deletes,
+        CAST(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_dup_deletes
+      FROM f ORDER BY doc_id"""))
+
   // --------------------------------------------------------------- q404
 
   /** q404 — `_last_checkpoint` pointer audit
@@ -6011,5 +6117,5 @@ object DataQueries {
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
     q385, q387, q388, q390, q392, q393, q395, q396, q397, q398, q399, q400,
-    q401, q402, q403, q404)
+    q401, q402, q403, q404, q405, q406)
 }

@@ -167,6 +167,49 @@ class DeltaLogOpsSpec extends SparkSpec {
     assert(out(5L).getAs[Long]("n_tombstones") == 0) // f0 re-added
   }
 
+  test("deletion vectors: latest add's DV wins whole, re-add clears, stats-less stays honest") {
+    def addDv(path: String, rows: Option[Long], dvCard: Option[Long]): String = {
+      val stats = rows.map(r =>
+        s""","stats":"{\\"numRecords\\":$r}"""").getOrElse("")
+      val dv = dvCard.map(c =>
+        s""","deletionVector":{"storageType":"u","pathOrInlineDv":"d","cardinality":$c}""")
+        .getOrElse("")
+      s"""{"add":{"path":"$path","partitionValues":{},"size":1,"dataChange":true$stats$dv}}"""
+    }
+    val log = logDf(Seq(
+      (1L, 0L, addDv("a", Some(100L), Some(30L))), // vouched 100, 30 deleted
+      (1L, 0L, addDv("b", Some(50L), None)), // DV-free
+      (1L, 0L, addDv("c", None, Some(7L))), // stats-less but REAL deletes
+      (1L, 0L, addDv("d", Some(10L), Some(9L))),
+      (1L, 1L, addDv("d", Some(10L), None)), // compaction re-add CLEARS the DV
+      (1L, 1L, rm("b"))))
+    val c = DeltaLogOps.deletionVectorCensus(log, "tbl", "ver", "line").collect()(0)
+    assert(c.getAs[Long]("n_live") == 3) // a, c, d
+    assert(c.getAs[Long]("n_live_with_dv") == 2, "a and c; d's DV cleared")
+    assert(c.getAs[Long]("live_rows") == 110, "a 100 + d 10 (c unknown)")
+    assert(c.getAs[Long]("dv_rows") == 37, "a 30 + c 7 — deletes are real even rows-unknown")
+    assert(c.getAs[Long]("net_rows") == 80, "a 70 + d 10; c contributes NOTHING (no stats)")
+    assert(c.getAs[Long]("n_live_no_stats") == 1)
+  }
+
+  test("the synthetic DV schedule matches its closed form (incl. the DV-clearing re-add)") {
+    // k = 9: n0 = 6, m = 0 — live slots 0..5, DVs on j = 0 (card 1)
+    // and j = 3 (card 4), stats everywhere
+    val c9 = DeltaLogOps.deletionVectorCensus(
+      logDf(DeltaLogOps.syntheticLogDv(9L).map { case (v, l) => (9L, v, l) }),
+      "tbl", "ver", "line").collect()(0)
+    assert(c9.getAs[Long]("n_live") == 6 && c9.getAs[Long]("n_live_with_dv") == 2)
+    assert(c9.getAs[Long]("dv_rows") == 5)
+    assert(c9.getAs[Long]("live_rows") == 75 && c9.getAs[Long]("net_rows") == 70)
+    // k = 5: n0 = 2, m = 2 — f0 reborn as slot 3 WITHOUT a DV even
+    // though 3 % 3 == 0 (compaction clears delete debt)
+    val c5 = DeltaLogOps.deletionVectorCensus(
+      logDf(DeltaLogOps.syntheticLogDv(5L).map { case (v, l) => (5L, v, l) }),
+      "tbl", "ver", "line").collect()(0)
+    assert(c5.getAs[Long]("n_live") == 3 && c5.getAs[Long]("n_live_with_dv") == 0)
+    assert(c5.getAs[Long]("dv_rows") == 0 && c5.getAs[Long]("net_rows") == 36)
+  }
+
   // ------------------------------------------------- checkpoint replay
 
   private def ckptDf(ks: Seq[Long]) = ks.flatMap { k =>

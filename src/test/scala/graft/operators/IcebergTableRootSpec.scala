@@ -64,6 +64,35 @@ class IcebergTableRootSpec extends SparkSpec {
     assert(c.getAs[Long]("n_claims_mismatch") == 1, c.toString)
   }
 
+  test("positional deletes: idempotent pairs, orphans, impossible positions — all separated") {
+    val files = Seq((1L, "a", 10L), (1L, "b", 5L), (2L, "a", 3L))
+      .toDF("tbl", "path", "rc")
+    val dels = Seq(
+      (1L, "a", 0L), (1L, "a", 1L), (1L, "a", 1L), // dup pair applies once
+      (1L, "b", 4L), (1L, "b", 5L), // 5 >= rc: impossible row
+      (1L, "ghost", 0L), // orphan
+      (2L, "a", 2L)).toDF("tbl", "path", "pos")
+    val out = IcebergOps.positionalDeleteAudit(files, "tbl", "path", "rc",
+      dels, "tbl", "path", "pos").collect().map(r => r.getAs[Long]("tbl") -> r).toMap
+    val t1 = out(1L)
+    assert(t1.getAs[Long]("n_files") == 2 && t1.getAs[Long]("total_rows") == 15)
+    assert(t1.getAs[Long]("n_deletes_applied") == 3, "a:{0,1} + b:{4}")
+    assert(t1.getAs[Long]("net_rows") == 12)
+    assert(t1.getAs[Long]("n_invalid_pos") == 1 && t1.getAs[Long]("n_orphan_deletes") == 1)
+    assert(t1.getAs[Long]("n_dup_deletes") == 1)
+    val t2 = out(2L)
+    assert(t2.getAs[Long]("net_rows") == 2 && t2.getAs[Long]("n_dup_deletes") == 0)
+  }
+
+  test("a delete-free table reports its files untouched") {
+    val files = Seq((9L, "only", 42L)).toDF("tbl", "path", "rc")
+    val dels = Seq.empty[(Long, String, Long)].toDF("tbl", "path", "pos")
+    val out = IcebergOps.positionalDeleteAudit(files, "tbl", "path", "rc",
+      dels, "tbl", "path", "pos").collect()(0)
+    assert(out.getAs[Long]("n_files") == 1 && out.getAs[Long]("net_rows") == 42)
+    assert(out.getAs[Long]("n_deletes_applied") == 0)
+  }
+
   test("a named-but-absent manifest counts missing; present ones still census") {
     val (meta, lists, mans) = frames(Seq(5L))
     val dropped = mans.filter(col("path") =!= "m1.avro")
