@@ -642,6 +642,57 @@ object IcebergOps {
       sum(coalesce(col("dups"), lit(0L))).as("n_dup_deletes"))
   }
 
+  /** Equality-delete BOUNDS — the second v2 delete kind, and an
+    * honest-boundary operator by nature: an equality delete (`x = V`)
+    * removes an UNKNOWABLE number of rows from metadata alone; all a
+    * planner can do with zone maps is bound it. A file is a CANDIDATE
+    * when its [min, max] contains any delete key (a bounds-less file
+    * is ALWAYS a candidate — the conservative contract), and the net
+    * live rows land in
+    *
+    *   [total − rows_at_risk, total]
+    *
+    * where rows_at_risk sums candidate files' row counts ONCE each
+    * (many keys hitting one file can at most empty it). Resolving the
+    * true count requires reading data — exactly what this census
+    * exists to avoid claiming. Keys are metadata-sized and broadcast;
+    * files stream through one join + two rollups.
+    */
+  def equalityDeleteBounds(dataFiles: DataFrame, fTblCol: String,
+                           fPathCol: String, fRowsCol: String,
+                           fMinCol: String, fMaxCol: String,
+                           eqDeletes: DataFrame, dTblCol: String,
+                           dKeyCol: String): DataFrame = {
+    val files = dataFiles.select(col(fTblCol).cast("long").as("tbl"),
+      col(fPathCol).as("path"), col(fRowsCol).cast("long").as("rc"),
+      col(fMinCol).cast("long").as("lo"), col(fMaxCol).cast("long").as("hi"))
+    val keys = eqDeletes.select(col(dTblCol).cast("long").as("tbl"),
+      col(dKeyCol).cast("long").as("key")).distinct()
+    val nKeys = keys.groupBy("tbl").agg(count(lit(1)).as("n_eq_keys"))
+    val perFile = files.join(broadcast(keys), Seq("tbl"), "left")
+      .withColumn("_hit", col("key").isNotNull &&
+        (col("lo").isNull || col("hi").isNull ||
+          (col("key") >= col("lo") && col("key") <= col("hi"))))
+      .groupBy("tbl", "path").agg(
+        first(col("rc")).as("rc"),
+        first((col("lo").isNull || col("hi").isNull).cast("long")).as("nb"),
+        max(col("_hit").cast("long")).as("hit"))
+    perFile.groupBy("tbl").agg(
+      count(lit(1)).as("n_files"),
+      sum(col("rc")).as("total_rows"),
+      sum(col("hit")).as("n_candidate_files"),
+      sum(col("nb")).as("n_files_no_bounds"),
+      sum(when(col("hit") === 1, col("rc")).otherwise(0L)).as("rows_at_risk"),
+      (sum(col("rc")) - sum(when(col("hit") === 1, col("rc")).otherwise(0L)))
+        .as("net_rows_min"),
+      sum(col("rc")).as("net_rows_max"))
+      .join(nKeys, Seq("tbl"), "left")
+      .select(col("tbl"), col("n_files"), col("total_rows"),
+        coalesce(col("n_eq_keys"), lit(0L)).as("n_eq_keys"),
+        col("n_candidate_files"), col("n_files_no_bounds"),
+        col("rows_at_risk"), col("net_rows_min"), col("net_rows_max"))
+  }
+
   /** Deterministic TABLE-ROOT fixture from `k` alone (q402's oracle):
     * metadata.json with nS = 1 + k%4 snapshots (current = 1000+k, the
     * LAST one, naming "snap-{1000+k}.avro"; every 17th table's

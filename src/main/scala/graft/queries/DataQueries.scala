@@ -5749,6 +5749,163 @@ object DataQueries {
         CAST(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_dup_deletes
       FROM f ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q408
+
+  /** q408 — Iceberg v2 EQUALITY-delete bounds
+    * ([[graft.operators.IcebergOps.equalityDeleteBounds]]): an
+    * equality delete (`x = V`) removes an unknowable row count from
+    * metadata alone — this census refuses to guess and reports the
+    * honest interval instead: candidate files are those whose zone
+    * maps contain any key (bounds-less files always candidates —
+    * planted every 7th table on file 1), net live rows land in
+    * [total − rows_at_risk, total]. Keys broadcast
+    * (metadata-sized); files stream one join + two rollups. Oracle
+    * closed-form: key t = 10t+5 hits exactly file t when it exists.
+    */
+  val q408 = Q("q408_iceberg_equality_delete_bounds",
+    (s, dir) => {
+      import s.implicits._
+      val ids = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      val files = ids.flatMap { id =>
+        val k = id % 50
+        (0 until (2 + k % 4).toInt).map { i =>
+          val noBounds = k % 7 == 0 && i == 1
+          (id, s"d$i.parquet", 10L + i,
+            if (noBounds) None else Some(10L * i),
+            if (noBounds) None else Some(10L * i + 9))
+        }
+      }.toDF("doc_id", "path", "rc", "lo", "hi")
+      val dels = ids.flatMap { id =>
+        val k = id % 50
+        (0 until (1 + k % 3).toInt).map(t => (id, 10L * t + 5))
+      }.toDF("doc_id", "key")
+      graft.operators.IcebergOps
+        .equalityDeleteBounds(files, "doc_id", "path", "rc", "lo", "hi",
+          dels, "doc_id", "key")
+        .withColumnRenamed("tbl", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+      p AS (SELECT doc_id, k, CAST(2 + k % 4 AS BIGINT) AS nF,
+                   CAST(1 + k % 3 AS BIGINT) AS nK FROM d),
+      t AS (SELECT doc_id, k, nF, nK, unnest(range(nF)) AS i FROM p),
+      h AS (SELECT doc_id, i,
+              CASE WHEN k % 7 = 0 AND i = 1 THEN 1 ELSE 0 END AS nb,
+              CASE WHEN i < least(nK, nF)
+                     OR (k % 7 = 0 AND i = 1) THEN 1 ELSE 0 END AS hit
+            FROM t),
+      agg AS (SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_files,
+                CAST(SUM(10 + i) AS BIGINT) AS total_rows,
+                CAST(SUM(hit) AS BIGINT) AS n_candidate_files,
+                CAST(SUM(nb) AS BIGINT) AS n_files_no_bounds,
+                CAST(SUM(CASE WHEN hit = 1 THEN 10 + i ELSE 0 END) AS BIGINT)
+                  AS rows_at_risk
+              FROM h GROUP BY doc_id)
+      SELECT p.doc_id, n_files, total_rows, nK AS n_eq_keys,
+             n_candidate_files, n_files_no_bounds, rows_at_risk,
+             CAST(total_rows - rows_at_risk AS BIGINT) AS net_rows_min,
+             total_rows AS net_rows_max
+      FROM p JOIN agg ON agg.doc_id = p.doc_id
+      ORDER BY p.doc_id"""))
+
+  // --------------------------------------------------------------- q407
+
+  /** q407 — NET-ROW reconciliation across formats: the q400 live-SET
+    * agreement pushed down to the row level — the same logical
+    * deletes expressed as Delta deletion vectors (q405) and as
+    * Iceberg positional delete files (q406) must yield the same net
+    * live rows. Two planted honest divergences: every 7th table's
+    * Delta add ships without stats, so Delta's net (which refuses to
+    * guess a stats-less file's rows) undercounts where Iceberg's
+    * required record_count cannot; and every 13th table drops ONE
+    * slot's Iceberg delete file (a delete written to the DV but never
+    * to the delete file — the dual-writer drift that actually bites),
+    * so Iceberg's net overcounts exactly that DV's cardinality.
+    * deletes_match isolates the second class. Oracle closed-form over
+    * the shared schedule.
+    */
+  val q407 = Q("q407_net_row_reconciliation",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{DeltaLogOps, IcebergOps}
+      val ids = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      val delta = DeltaLogOps.deletionVectorCensus(
+          ids.flatMap(k => DeltaLogOps.syntheticLogDv(k)
+            .map { case (v, l) => (k, v, l) })
+            .toDF("doc_id", "version", "line"),
+          "doc_id", "version", "line")
+        .select(col("tbl").as("doc_id"), col("net_rows").as("d_net"),
+          col("dv_rows").as("d_deletes"))
+      def liveSlots(k: Long): (Seq[Int], Seq[Int]) = {
+        val n0 = (2 + k % 5).toInt
+        val m = (k % 3).toInt
+        val live: Seq[Int] = m match {
+          case 0 => 0 until n0
+          case 1 => 1 to n0
+          case _ => (1 to n0) :+ (n0 + 1)
+        }
+        val dvSlots = live.filter(j => j % 3 == 0 && !(m == 2 && j == n0 + 1))
+        (live, dvSlots)
+      }
+      val files = ids.flatMap { k =>
+        liveSlots(k)._1.map(j => (k, s"g$j.parquet", 10L + j))
+      }.toDF("doc_id", "path", "rc")
+      val dels = ids.flatMap { k =>
+        val (_, dvSlots) = liveSlots(k)
+        // the dual-writer drift: every 13th table never writes the
+        // LOWEST DV'd slot's delete file
+        val written =
+          if (k % 13 == 0) dvSlots.sorted.drop(1) else dvSlots
+        written.flatMap(j => (0 until (j + 1)).map(p =>
+          (k, s"g$j.parquet", p.toLong)))
+      }.toDF("doc_id", "path", "pos")
+      val ice = IcebergOps.positionalDeleteAudit(files, "doc_id", "path", "rc",
+          dels, "doc_id", "path", "pos")
+        .select(col("tbl").as("doc_id"), col("net_rows").as("i_net"),
+          col("n_deletes_applied").as("i_deletes"))
+      delta.join(ice, Seq("doc_id"))
+        .select(col("doc_id"), col("d_net"), col("i_net"),
+          (col("d_net") === col("i_net")).cast("long").as("net_match"),
+          col("d_deletes"), col("i_deletes"),
+          (col("d_deletes") === col("i_deletes")).cast("long").as("deletes_match"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id AS k, CAST(2 + doc_id % 5 AS BIGINT) AS n0,
+                        doc_id % 3 AS m FROM documents),
+      s AS (SELECT k, n0, m, unnest(range(0, n0 + 2)) AS j FROM p),
+      sl AS (SELECT k, j,
+               CASE WHEN m = 0 THEN j < n0
+                    WHEN m = 1 THEN j BETWEEN 1 AND n0
+                    ELSE (j BETWEEN 1 AND n0) OR j = n0 + 1 END AS live,
+               NOT (k % 7 = 0 AND j = 1) AS hs,
+               CASE WHEN j % 3 = 0 AND NOT (m = 2 AND j = n0 + 1)
+                    THEN j + 1 ELSE 0 END AS dv
+             FROM s),
+      agg AS (SELECT k,
+                SUM(CASE WHEN live THEN 10 + j ELSE 0 END) AS rows_all,
+                SUM(CASE WHEN live AND hs THEN 10 + j - dv ELSE 0 END) AS d_net,
+                SUM(CASE WHEN live THEN dv ELSE 0 END) AS d_del,
+                MIN(CASE WHEN live AND dv > 0 THEN j END) AS min_dv_j
+              FROM sl GROUP BY k),
+      f AS (SELECT k, rows_all, d_net, d_del,
+              CASE WHEN k % 13 = 0 AND min_dv_j IS NOT NULL
+                   THEN min_dv_j + 1 ELSE 0 END AS dropped
+            FROM agg)
+      SELECT k AS doc_id,
+        CAST(d_net AS BIGINT) AS d_net,
+        CAST(rows_all - (d_del - dropped) AS BIGINT) AS i_net,
+        CAST(CASE WHEN d_net = rows_all - (d_del - dropped) THEN 1 ELSE 0 END
+          AS BIGINT) AS net_match,
+        CAST(d_del AS BIGINT) AS d_deletes,
+        CAST(d_del - dropped AS BIGINT) AS i_deletes,
+        CAST(CASE WHEN dropped = 0 THEN 1 ELSE 0 END AS BIGINT) AS deletes_match
+      FROM f ORDER BY doc_id"""))
+
   // --------------------------------------------------------------- q404
 
   /** q404 — `_last_checkpoint` pointer audit
@@ -6117,5 +6274,5 @@ object DataQueries {
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
     q385, q387, q388, q390, q392, q393, q395, q396, q397, q398, q399, q400,
-    q401, q402, q403, q404, q405, q406)
+    q401, q402, q403, q404, q405, q406, q407, q408)
 }

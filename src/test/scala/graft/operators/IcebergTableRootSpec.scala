@@ -84,6 +84,30 @@ class IcebergTableRootSpec extends SparkSpec {
     assert(t2.getAs[Long]("net_rows") == 2 && t2.getAs[Long]("n_dup_deletes") == 0)
   }
 
+  test("equality-delete bounds: candidates by zone map, bounds-less always at risk, rows counted once") {
+    val files = Seq(
+      (1L, "a", 10L, Some(0L), Some(9L)),
+      (1L, "b", 20L, Some(10L), Some(19L)),
+      (1L, "c", 30L, None, None), // bounds-less: always a candidate
+      (2L, "x", 7L, Some(0L), Some(99L))) // table 2 has NO delete keys
+      .toDF("tbl", "path", "rc", "lo", "hi")
+    val dels = Seq((1L, 3L), (1L, 5L), (1L, 500L)) // two keys hit a, one hits nothing bounded
+      .toDF("tbl", "key")
+    val out = IcebergOps.equalityDeleteBounds(files, "tbl", "path", "rc",
+      "lo", "hi", dels, "tbl", "key")
+      .collect().map(r => r.getAs[Long]("tbl") -> r).toMap
+    val t1 = out(1L)
+    assert(t1.getAs[Long]("n_eq_keys") == 3)
+    // candidates: a (keys 3 and 5 — counted ONCE) + c (no bounds); b never
+    assert(t1.getAs[Long]("n_candidate_files") == 2, t1.toString)
+    assert(t1.getAs[Long]("rows_at_risk") == 40)
+    assert(t1.getAs[Long]("net_rows_min") == 20 && t1.getAs[Long]("net_rows_max") == 60)
+    assert(t1.getAs[Long]("n_files_no_bounds") == 1)
+    val t2 = out(2L)
+    assert(t2.getAs[Long]("n_eq_keys") == 0 && t2.getAs[Long]("n_candidate_files") == 0)
+    assert(t2.getAs[Long]("net_rows_min") == 7 && t2.getAs[Long]("net_rows_max") == 7)
+  }
+
   test("a delete-free table reports its files untouched") {
     val files = Seq((9L, "only", 42L)).toDF("tbl", "path", "rc")
     val dels = Seq.empty[(Long, String, Long)].toDF("tbl", "path", "pos")
