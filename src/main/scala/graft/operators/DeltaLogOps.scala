@@ -314,6 +314,108 @@ object DeltaLogOps {
     }
 
   // ------------------------------------------------------------------
+  // maintenance layer: VACUUM candidates + schema evolution
+
+  /** VACUUM candidate audit — the question a table-maintenance job
+    * asks the log before touching storage: which tombstoned files are
+    * past retention (`remove.deletionTimestamp` ≤ cutoff) and how many
+    * bytes do they reclaim? The size comes from the path's LAST add
+    * (removes often omit it); conservative classes kept apart: a
+    * tombstone without a timestamp is NEVER vacuumable
+    * (`n_no_timestamp` — deleting it could break a reader inside
+    * retention), and a vacuumable file whose size is unknowable is
+    * counted (`n_unknown_size`), its bytes never guessed. A re-added
+    * path is live, not a tombstone (replay semantics, not action
+    * grep). Same plan as the replay: one (table, path) window + one
+    * per-path add rollup + one per-table groupBy.
+    */
+  def vacuumAudit(log: DataFrame, tableCol: String, versionCol: String,
+                  lineCol: String, cutoffMs: Long): DataFrame = {
+    val line = col(lineCol)
+    val p = log.select(
+      col(tableCol).as("tbl"),
+      col(versionCol).cast("long").as("ver"),
+      get_json_object(line, "$.add.path").as("add_path"),
+      get_json_object(line, "$.remove.path").as("rm_path"),
+      get_json_object(line, "$.add.size").cast("long").as("add_size"),
+      get_json_object(line, "$.remove.deletionTimestamp").cast("long").as("rm_ts"))
+      .filter(col("add_path").isNotNull || col("rm_path").isNotNull)
+      .select(col("tbl"), col("ver"),
+        coalesce(col("add_path"), col("rm_path")).as("path"),
+        col("add_path").isNotNull.as("is_add"), col("add_size"), col("rm_ts"))
+      .localCheckpoint(false) // two consumers: latest-action, add sizes
+    val w = Window.partitionBy("tbl", "path")
+      .orderBy(col("ver").desc, col("is_add").desc)
+    val latest = p.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val addSizes = p.filter(col("is_add"))
+      .groupBy("tbl", "path")
+      .agg(max_by(col("add_size"), col("ver")).as("last_add_size"))
+    val vacuumable = !col("is_add") && col("rm_ts").isNotNull &&
+      col("rm_ts") <= cutoffMs
+    latest.join(addSizes, Seq("tbl", "path"), "left")
+      .groupBy("tbl").agg(
+        sum(col("is_add").cast("long")).as("n_live"),
+        sum((!col("is_add")).cast("long")).as("n_tombstones"),
+        sum(vacuumable.cast("long")).as("n_vacuumable"),
+        sum((!col("is_add") && col("rm_ts").isNull).cast("long"))
+          .as("n_no_timestamp"),
+        sum(when(vacuumable, coalesce(col("last_add_size"), lit(0L)))
+          .otherwise(0L)).as("bytes_reclaimable"),
+        sum((vacuumable && col("last_add_size").isNull).cast("long"))
+          .as("n_unknown_size"))
+  }
+
+  /** Schema-EVOLUTION census — the migration-planning question: how
+    * did this table's schema move between its first and latest
+    * `metaData` action? Fully declarative: the escaped schemaString
+    * unwraps via get_json_object, fields explode via from_json, and
+    * FIRST-vs-LATEST columns full-outer join (a column present in
+    * both with a different type is a TYPE CHANGE — the class that
+    * breaks readers — reported apart from adds/drops).
+    */
+  def schemaEvolutionCensus(log: DataFrame, tableCol: String,
+                            versionCol: String, lineCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fieldsSchema = ArrayType(StructType(Seq(
+      StructField("name", StringType), StructField("type", StringType))))
+    val metas = log.select(
+      col(tableCol).as("tbl"), col(versionCol).cast("long").as("ver"),
+      get_json_object(col(lineCol), "$.metaData.schemaString").as("ss"))
+      .filter(col("ss").isNotNull)
+      .localCheckpoint(false) // consumers: bounds + two endpoint scans
+    val bounds = metas.groupBy("tbl").agg(
+      min("ver").as("v_first"), max("ver").as("v_last"),
+      count_distinct(col("ver")).as("n_versions"))
+    val cols = metas.select(col("tbl"), col("ver"),
+      explode(from_json(get_json_object(col("ss"), "$.fields"), fieldsSchema))
+        .as("f"))
+      .select(col("tbl"), col("ver"),
+        col("f.name").as("cname"), col("f.type").as("ctype"))
+    val first = cols.join(bounds, Seq("tbl"))
+      .filter(col("ver") === col("v_first"))
+      .select(col("tbl"), col("cname"), col("ctype").as("t_first"))
+    val latest = cols.join(bounds, Seq("tbl"))
+      .filter(col("ver") === col("v_last"))
+      .select(col("tbl"), col("cname"), col("ctype").as("t_last"))
+    first.join(latest, Seq("tbl", "cname"), "full")
+      .groupBy("tbl").agg(
+        sum(col("t_first").isNotNull.cast("long")).as("n_cols_first"),
+        sum(col("t_last").isNotNull.cast("long")).as("n_cols_latest"),
+        sum((col("t_first").isNull && col("t_last").isNotNull).cast("long"))
+          .as("n_added"),
+        sum((col("t_first").isNotNull && col("t_last").isNull).cast("long"))
+          .as("n_dropped"),
+        sum((col("t_first").isNotNull && col("t_last").isNotNull &&
+          col("t_first") =!= col("t_last")).cast("long")).as("n_type_changed"))
+      .join(bounds.select(col("tbl"),
+        (col("n_versions") - 1).as("n_schema_updates")), Seq("tbl"))
+      .select(col("tbl"), col("n_schema_updates"), col("n_cols_first"),
+        col("n_cols_latest"), col("n_added"), col("n_dropped"),
+        col("n_type_changed"))
+  }
+
+  // ------------------------------------------------------------------
   // deletion vectors (modern Delta's default row-level deletes)
 
   /** Deletion-vector-aware NET-ROW census: in current Delta, row

@@ -5811,6 +5811,120 @@ object DataQueries {
       FROM p JOIN agg ON agg.doc_id = p.doc_id
       ORDER BY p.doc_id"""))
 
+  // --------------------------------------------------------------- q409
+
+  /** q409 — VACUUM candidate audit
+    * ([[graft.operators.DeltaLogOps.vacuumAudit]]): the maintenance
+    * question asked before touching storage — which tombstones are
+    * past retention and how many bytes do they reclaim? Sizes come
+    * from each path's last ADD (removes omit them); planted classes:
+    * old tombstones (vacuumable), recent ones (retained), a
+    * timestamp-less remove every 5th table (NEVER vacuumable —
+    * deleting it could break a reader inside retention), and a
+    * re-added path every 3rd (live again, not a tombstone — replay
+    * semantics, not action grep). Oracle closed-form.
+    */
+  val q409 = Q("q409_delta_vacuum_audit",
+    (s, dir) => {
+      import s.implicits._
+      val cutoff = 1700000000000L
+      val log = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val k = id % 50
+          val n0 = (3 + k % 4).toInt
+          def add(j: Int) = (id, 0L,
+            s"""{"add":{"path":"f$j.parquet","partitionValues":{},"size":${100 * (j + 1)},"dataChange":true}}""")
+          def rm(j: Int): (Long, Long, String) = {
+            val ts =
+              if (k % 5 == 0 && j == 2) ""
+              else if (j % 4 == 0) s""","deletionTimestamp":${cutoff - 1000}"""
+              else s""","deletionTimestamp":${cutoff + 1000}"""
+            (id, 1L, s"""{"remove":{"path":"f$j.parquet","dataChange":true$ts}}""")
+          }
+          (0 until n0).map(add) ++
+            (0 until n0).filter(_ % 2 == 0).map(rm) ++
+            (if (k % 3 == 0) Seq((id, 2L, add(0)._3)) else Nil)
+        }.toDF("doc_id", "version", "line")
+      graft.operators.DeltaLogOps
+        .vacuumAudit(log, "doc_id", "version", "line", cutoffMs = cutoff)
+        .withColumnRenamed("tbl", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+      f AS (SELECT doc_id, k, CAST(3 + k % 4 AS BIGINT) AS n0,
+              CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS rev,
+              CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS nots
+            FROM d)
+      SELECT doc_id,
+        CAST(n0 - ((n0 + 1) // 2 - rev) AS BIGINT) AS n_live,
+        CAST((n0 + 1) // 2 - rev AS BIGINT) AS n_tombstones,
+        CAST(1 - rev + CASE WHEN n0 >= 5 THEN 1 ELSE 0 END AS BIGINT)
+          AS n_vacuumable,
+        CAST(nots AS BIGINT) AS n_no_timestamp,
+        CAST((1 - rev) * 100 + CASE WHEN n0 >= 5 THEN 500 ELSE 0 END AS BIGINT)
+          AS bytes_reclaimable,
+        CAST(0 AS BIGINT) AS n_unknown_size
+      FROM f ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------- q410
+
+  /** q410 — schema-EVOLUTION census
+    * ([[graft.operators.DeltaLogOps.schemaEvolutionCensus]]): how did
+    * the table's schema move between its first and latest metaData
+    * action — columns added, dropped, and TYPE-CHANGED (the class
+    * that breaks readers, reported apart). Fully declarative: the
+    * escaped schemaString unwraps via get_json_object, fields explode
+    * via from_json, first-vs-latest full-outer join on column name.
+    * Planted: an added column every odd table, a dropped one every
+    * 3rd-of-those, a long→string type change every 7th. Oracle
+    * closed-form.
+    */
+  val q410 = Q("q410_delta_schema_evolution",
+    (s, dir) => {
+      import s.implicits._
+      val log = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val k = id % 50
+          val nC = (2 + k % 3).toInt
+          def fieldJson(name: String, tpe: String) =
+            s"""{\\"name\\":\\"$name\\",\\"type\\":\\"$tpe\\",\\"nullable\\":true,\\"metadata\\":{}}"""
+          def metaLine(ver: Long, fields: Seq[(String, String)]) = (id, ver,
+            s"""{"metaData":{"id":"t$k","schemaString":"{\\"type\\":\\"struct\\",\\"fields\\":[${fields.map(f => fieldJson(f._1, f._2)).mkString(",")}]}"}}""")
+          val base = (0 until nC).map(j => s"c$j" -> "long")
+          val v0 = metaLine(0L, base)
+          if (k % 2 == 1) {
+            val evolved = base
+              .filterNot { case (n, _) => k % 3 == 0 && n == "c0" }
+              .map { case (n, t) =>
+                if (k % 7 == 0 && n == "c1") (n, "string") else (n, t)
+              } :+ ("x" -> "long")
+            Seq(v0, metaLine(1L, evolved))
+          } else Seq(v0)
+        }.toDF("doc_id", "version", "line")
+      graft.operators.DeltaLogOps
+        .schemaEvolutionCensus(log, "doc_id", "version", "line")
+        .withColumnRenamed("tbl", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+      f AS (SELECT doc_id, k, CAST(2 + k % 3 AS BIGINT) AS nc,
+              k % 2 AS ev,
+              CASE WHEN k % 2 = 1 AND k % 3 = 0 THEN 1 ELSE 0 END AS drp,
+              CASE WHEN k % 2 = 1 AND k % 7 = 0 THEN 1 ELSE 0 END AS tch
+            FROM d)
+      SELECT doc_id,
+        CAST(ev AS BIGINT) AS n_schema_updates,
+        nc AS n_cols_first,
+        CAST(nc - drp + ev AS BIGINT) AS n_cols_latest,
+        CAST(ev AS BIGINT) AS n_added,
+        CAST(drp AS BIGINT) AS n_dropped,
+        CAST(tch AS BIGINT) AS n_type_changed
+      FROM f ORDER BY doc_id"""))
+
   // --------------------------------------------------------------- q407
 
   /** q407 — NET-ROW reconciliation across formats: the q400 live-SET
@@ -6274,5 +6388,5 @@ object DataQueries {
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
     q385, q387, q388, q390, q392, q393, q395, q396, q397, q398, q399, q400,
-    q401, q402, q403, q404, q405, q406, q407, q408)
+    q401, q402, q403, q404, q405, q406, q407, q408, q409, q410)
 }

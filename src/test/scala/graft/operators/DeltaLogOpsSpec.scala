@@ -167,6 +167,58 @@ class DeltaLogOpsSpec extends SparkSpec {
     assert(out(5L).getAs[Long]("n_tombstones") == 0) // f0 re-added
   }
 
+  test("vacuum audit: retention boundary, timestamp-less never vacuumed, sizes never guessed") {
+    val cutoff = 5000L
+    def rmTs(path: String, ts: Option[Long]): String = {
+      val t = ts.map(v => s""","deletionTimestamp":$v""").getOrElse("")
+      s"""{"remove":{"path":"$path","dataChange":true$t}}"""
+    }
+    def addSz(path: String, size: Option[Long]): String = {
+      val sz = size.map(v => s""""size":$v,""").getOrElse("")
+      s"""{"add":{"path":"$path","partitionValues":{},${sz}"dataChange":true}}"""
+    }
+    val log = logDf(Seq(
+      (1L, 0L, addSz("old", Some(100L))),
+      (1L, 0L, addSz("edge", Some(200L))),
+      (1L, 0L, addSz("recent", Some(400L))),
+      (1L, 0L, addSz("nots", Some(800L))),
+      (1L, 0L, addSz("nosize", None)), // add without a size field
+      (1L, 0L, addSz("revive", Some(1600L))),
+      (1L, 1L, rmTs("old", Some(1000L))), // past retention
+      (1L, 1L, rmTs("edge", Some(5000L))), // AT the cutoff: vacuumable
+      (1L, 1L, rmTs("recent", Some(9000L))), // inside retention
+      (1L, 1L, rmTs("nots", None)), // no timestamp: NEVER vacuumable
+      (1L, 1L, rmTs("nosize", Some(1000L))), // vacuumable, size unknowable
+      (1L, 1L, rmTs("revive", Some(1000L))),
+      (1L, 2L, addSz("revive", Some(1600L))))) // re-add: live, not a tombstone
+    val c = DeltaLogOps.vacuumAudit(log, "tbl", "ver", "line", cutoff).collect()(0)
+    assert(c.getAs[Long]("n_live") == 1 && c.getAs[Long]("n_tombstones") == 5)
+    assert(c.getAs[Long]("n_vacuumable") == 3, "old + edge + nosize")
+    assert(c.getAs[Long]("n_no_timestamp") == 1)
+    assert(c.getAs[Long]("bytes_reclaimable") == 300, "old 100 + edge 200; nosize NOT guessed")
+    assert(c.getAs[Long]("n_unknown_size") == 1)
+  }
+
+  test("schema evolution: first-vs-latest adds, drops and type changes separated") {
+    def meta(ver: Long, fields: Seq[(String, String)]): (Long, Long, String) = {
+      val fs = fields.map { case (n, t) =>
+        s"""{\\"name\\":\\"$n\\",\\"type\\":\\"$t\\",\\"nullable\\":true,\\"metadata\\":{}}"""
+      }.mkString(",")
+      (1L, ver, s"""{"metaData":{"id":"t","schemaString":"{\\"type\\":\\"struct\\",\\"fields\\":[$fs]}"}}""")
+    }
+    val log = logDf(Seq(
+      meta(0L, Seq("a" -> "long", "b" -> "long", "c" -> "string")),
+      meta(1L, Seq("a" -> "long", "b" -> "string", "d" -> "long")), // mid version
+      meta(2L, Seq("a" -> "long", "b" -> "string", "d" -> "long", "e" -> "long")),
+      (1L, 0L, """{"add":{"path":"f.parquet","dataChange":true}}"""))) // non-meta noise
+    val c = DeltaLogOps.schemaEvolutionCensus(log, "tbl", "ver", "line").collect()(0)
+    assert(c.getAs[Long]("n_schema_updates") == 2)
+    assert(c.getAs[Long]("n_cols_first") == 3 && c.getAs[Long]("n_cols_latest") == 4)
+    assert(c.getAs[Long]("n_added") == 2, "d and e") // vs FIRST, not vs mid
+    assert(c.getAs[Long]("n_dropped") == 1, "c")
+    assert(c.getAs[Long]("n_type_changed") == 1, "b long -> string")
+  }
+
   test("deletion vectors: latest add's DV wins whole, re-add clears, stats-less stays honest") {
     def addDv(path: String, rows: Option[Long], dvCard: Option[Long]): String = {
       val stats = rows.map(r =>
