@@ -118,6 +118,31 @@ object ScaleOps {
     (parts.length, n)
   }
 
+  /** Metadata-only compaction PLAN — the grouping half of [[compact]]
+    * without touching a data byte: given live files' (path, size) —
+    * exactly what the table-format censuses reconstruct — assign
+    * deterministic bin-packed rewrite groups of ~`targetBytes`
+    * (path-ordered running size; a file opens a new group when the
+    * bytes BEFORE it already fill one). The output is the job list a
+    * maintenance scheduler dispatches; the arithmetic is pure window
+    * algebra over file METADATA (bounded by file count per table —
+    * for degenerate million-file tables route the running sum through
+    * Relational.orderedPrefixSum instead).
+    */
+  def compactionPlan(files: DataFrame, tblCol: String, pathCol: String,
+                     sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("tbl").orderBy("path")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files.select(col(tblCol).cast("long").as("tbl"),
+        col(pathCol).as("path"), col(sizeCol).cast("long").as("size"))
+      .withColumn("_cum", coalesce(sum(col("size")).over(w), lit(0L)))
+      .withColumn("group_id", expr(s"_cum div ${targetBytes}L"))
+      .groupBy("tbl", "group_id")
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("group_bytes"))
+  }
+
   /** Deterministic scale-up of an sf directory: `factor` disjoint
     * copies of every fact table, each copy's entity keys shifted by
     * `copy * offset` so referential integrity holds WITHIN a copy and

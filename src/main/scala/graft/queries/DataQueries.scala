@@ -5811,6 +5811,107 @@ object DataQueries {
       FROM p JOIN agg ON agg.doc_id = p.doc_id
       ORDER BY p.doc_id"""))
 
+  // --------------------------------------------------------------- q412
+
+  /** q412 — metadata-only compaction PLAN
+    * ([[graft.operators.ScaleOps.compactionPlan]]): the grouping half
+    * of small-file compaction without touching data — live files
+    * (exactly what the table-format censuses reconstruct) bin-pack
+    * into ~target-byte rewrite groups by path-ordered running size;
+    * the output is the job list a maintenance scheduler dispatches.
+    * Pure window algebra over file metadata; the oracle replays the
+    * identical arithmetic.
+    */
+  val q412 = Q("q412_compaction_plan",
+    (s, dir) => {
+      import s.implicits._
+      val files = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val k = id % 50
+          (0 until (3 + k % 5).toInt).map(i =>
+            (id, s"f$i.parquet", 100L * (i + 1) + 50L * (k % 3)))
+        }.toDF("doc_id", "path", "size")
+      graft.operators.ScaleOps
+        .compactionPlan(files, "doc_id", "path", "size", targetBytes = 500L)
+        .withColumnRenamed("tbl", "doc_id")
+        .orderBy("doc_id", "group_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+      p AS (SELECT doc_id, k, CAST(3 + k % 5 AS BIGINT) AS nF,
+                   50 * (k % 3) AS extra FROM d),
+      s AS (SELECT doc_id, unnest(range(nF)) AS i, extra FROM p),
+      f AS (SELECT doc_id, i, 100 * (i + 1) + extra AS size FROM s),
+      c AS (SELECT doc_id, i, size,
+              coalesce(SUM(size) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM f)
+      SELECT doc_id, CAST(cum // 500 AS BIGINT) AS group_id,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(size) AS BIGINT) AS group_bytes
+      FROM c GROUP BY doc_id, cum // 500
+      ORDER BY doc_id, group_id"""))
+
+  // --------------------------------------------------------------- q411
+
+  /** q411 — Hudi TIMELINE census
+    * ([[graft.operators.HudiOps.timelineCensus]]): the THIRD lake
+    * format — a `.hoodie/` timeline of instant files whose NAMES
+    * carry the transaction state (`<ts>.<action>[.inflight|
+    * .requested]`; no suffix = completed) and whose completed write
+    * contents carry partitionToWriteStats. Honest boundaries: an
+    * in-progress instant's stats never count (the transaction may
+    * abort — Hudi's snapshot isolation lives in the filename); a
+    * completed write whose content fails JSON parse counts
+    * n_malformed and contributes nothing; stat-less actions (clean)
+    * contribute zero without being malformed. Fully declarative.
+    * Oracle closed-form over the instant schedule.
+    */
+  val q411 = Q("q411_hudi_timeline_census",
+    (s, dir) => {
+      import s.implicits._
+      val timeline = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap(id => graft.operators.HudiOps.syntheticTimeline(id % 50)
+          .map { case (f, c) => (id, f, c) })
+        .toDF("doc_id", "fname", "content")
+      graft.operators.HudiOps
+        .timelineCensus(timeline, "doc_id", "fname", "content")
+        .withColumnRenamed("tbl", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+      p AS (SELECT doc_id, k, CAST(2 + k % 4 AS BIGINT) AS nI FROM d),
+      s AS (SELECT doc_id, k, nI, unnest(range(nI)) AS i FROM p),
+      c AS (SELECT doc_id, k, nI, i, i % 3 AS a,
+              CASE WHEN i = nI - 1 AND k % 5 < 2 THEN 0 ELSE 1 END AS comp,
+              CASE WHEN i = 0 AND k % 11 = 0 THEN 1 ELSE 0 END AS corrupt
+            FROM s),
+      agg AS (SELECT doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_instants,
+                CAST(SUM(comp) AS BIGINT) AS n_completed,
+                CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_commits,
+                CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_deltacommits,
+                CAST(SUM(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cleans,
+                CAST(MAX(CASE WHEN comp = 1 THEN 1000 + i END) AS BIGINT)
+                  AS latest_completed_ts,
+                CAST(SUM(CASE WHEN comp = 1 AND a <> 2 AND corrupt = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+                CAST(SUM(CASE WHEN comp = 1 AND a <> 2 AND corrupt = 0
+                         THEN 21 + 2 * i ELSE 0 END) AS BIGINT) AS rows_written,
+                CAST(SUM(CASE WHEN comp = 1 AND a <> 2 AND corrupt = 0
+                         THEN 100 * (2 * i + 3) ELSE 0 END) AS BIGINT) AS bytes_written
+              FROM c GROUP BY doc_id)
+      SELECT p.doc_id, n_instants, n_completed,
+        CAST(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_inflight,
+        CAST(CASE WHEN k % 5 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_requested,
+        n_commits, n_deltacommits, n_cleans, latest_completed_ts,
+        rows_written, bytes_written, n_malformed
+      FROM p JOIN agg ON agg.doc_id = p.doc_id
+      ORDER BY p.doc_id"""))
+
   // --------------------------------------------------------------- q409
 
   /** q409 — VACUUM candidate audit
@@ -6388,5 +6489,5 @@ object DataQueries {
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
     q385, q387, q388, q390, q392, q393, q395, q396, q397, q398, q399, q400,
-    q401, q402, q403, q404, q405, q406, q407, q408, q409, q410)
+    q401, q402, q403, q404, q405, q406, q407, q408, q409, q410, q411, q412)
 }

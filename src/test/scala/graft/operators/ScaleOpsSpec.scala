@@ -153,6 +153,23 @@ class ScaleOpsSpec extends SparkSpec {
       "per-copy text variation must not create cross-copy twins")
   }
 
+  test("compactionPlan: path-ordered bins fill to target; an oversize file owns its group") {
+    import spark.implicits._
+    val files = Seq(
+      (1L, "a", 300L), (1L, "b", 300L), // group 0: 600 (b starts at 300 < 500)
+      (1L, "c", 2000L), // cum 600 -> group 1, alone by size
+      (1L, "d", 10L), // cum 2600 -> group 5
+      (2L, "x", 100L)).toDF("tbl", "path", "size")
+    val out = ScaleOps.compactionPlan(files, "tbl", "path", "size", 500L)
+      .collect().map(r => (r.getAs[Long]("tbl"), r.getAs[Long]("group_id")) ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("group_bytes"))).toMap
+    assert(out((1L, 0L)) == ((2L, 600L)))
+    assert(out((1L, 1L)) == ((1L, 2000L)), "the oversize file is its own rewrite job")
+    assert(out((1L, 5L)) == ((1L, 10L)))
+    assert(out((2L, 0L)) == ((1L, 100L)))
+    assert(out.size == 4)
+  }
+
   test("replicateScaled: an offset below the source's max key is raised, never collides") {
     import org.apache.spark.sql.functions._
     val src = "/root/testdata/sf0.001"
