@@ -398,6 +398,35 @@ object ParquetFooter {
     w.field(0, 1, 5).zigzag(version.toLong)
     // schema: root (name + num_children) then one leaf per column
     w.field(1, 2, 9).listHeader(1 + colNames.size, 12)
+    encodeFooterBody(w, colNames, nRowGroups, rowsPerGroup, bytesPerGroup,
+      codecOf, createdBy, statsOf, None)
+    w.bytes
+  }
+
+  /** [[encodeFooter]] with per-chunk PAGE-INDEX pointers: `indexOf(rg,
+    * col)` returns the (column_index_offset, column_index_length)
+    * pair to stamp into that ColumnChunk (fields 6/7), or None for no
+    * index. Kept separate so the pre-index footers stay byte-identical
+    * for the frozen q377 oracle.
+    */
+  def encodeFooterPaged(version: Int, colNames: Seq[String], nRowGroups: Int,
+      rowsPerGroup: Long, bytesPerGroup: Long, codecOf: Int => Int,
+      createdBy: String,
+      statsOf: Option[(Int, Int) => (Long, Long, Long, Int)],
+      indexOf: (Int, Int) => Option[(Long, Int)]): Array[Byte] = {
+    val w = new Writer
+    w.field(0, 1, 5).zigzag(version.toLong)
+    w.field(1, 2, 9).listHeader(1 + colNames.size, 12)
+    encodeFooterBody(w, colNames, nRowGroups, rowsPerGroup, bytesPerGroup,
+      codecOf, createdBy, statsOf, Some(indexOf))
+    w.bytes
+  }
+
+  private def encodeFooterBody(w: Writer, colNames: Seq[String],
+      nRowGroups: Int, rowsPerGroup: Long, bytesPerGroup: Long,
+      codecOf: Int => Int, createdBy: String,
+      statsOf: Option[(Int, Int) => (Long, Long, Long, Int)],
+      indexOf: Option[(Int, Int) => Option[(Long, Int)]]): Unit = {
     locally {
       val root = w
       root.field(0, 4, 8).str("schema")
@@ -435,6 +464,11 @@ object ParquetFooter {
           w.stop()
         }
         w.stop()                                         // ColumnMetaData
+        // page-index pointers (parquet.thrift ColumnChunk 6/7)
+        indexOf.flatMap(f => f(rg, c)).foreach { case (off, len) =>
+          w.field(3, 6, 6).zigzag(off)       // column_index_offset
+          w.field(6, 7, 5).zigzag(len.toLong) // column_index_length
+        }
         w.stop()                                         // ColumnChunk
       }
       w.field(1, 2, 6).zigzag(bytesPerGroup) // total_byte_size
@@ -443,7 +477,6 @@ object ParquetFooter {
     }
     w.field(4, 6, 8).str(createdBy)
     w.stop() // FileMetaData
-    w.bytes
   }
 
   /** Whole synthetic file: magic · filler data · footer · len · magic. */
@@ -462,6 +495,229 @@ object ParquetFooter {
       ((len >> 16) & 0xff).toByte, ((len >> 24) & 0xff).toByte))
     out.write("PAR1".getBytes("US-ASCII"))
     out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // PAGE INDEX (parquet.thrift ColumnIndex) — the pruning layer BELOW
+  // row-group zone maps: per-PAGE min/max/null-page flags serialized
+  // outside the footer, located via ColumnChunk's
+  // column_index_offset/length. At 100 TB this is the difference
+  // between reading a matching row group whole and reading only its
+  // matching pages.
+
+  /** One page's index entry: (null_page, min, max, null_count). */
+  type PageEntry = (Boolean, Long, Long, Long)
+
+  /** Serialize one ColumnIndex struct (thrift compact): null_pages
+    * list<bool>, min/max_values list<binary> (8-byte LE for real
+    * pages, EMPTY binaries for null pages — the spec's convention),
+    * boundary_order, null_counts list<i64>.
+    */
+  def encodeColumnIndex(pages: Seq[PageEntry]): Array[Byte] = {
+    val w = new Writer
+    w.field(0, 1, 9).listHeader(pages.size, 1)
+    pages.foreach { case (np, _, _, _) => w.u8(if (np) 1 else 2) }
+    def binList(get: PageEntry => Long): Unit = {
+      w.listHeader(pages.size, 8)
+      pages.foreach { p =>
+        if (p._1) w.binary(Array.emptyByteArray)
+        else w.binary(Array.tabulate(8)(i => ((get(p) >> (8 * i)) & 0xff).toByte))
+      }
+    }
+    w.field(1, 2, 9); binList(_._2)
+    w.field(2, 3, 9); binList(_._3)
+    w.field(3, 4, 5).zigzag(0L) // boundary_order: UNORDERED
+    w.field(4, 5, 9).listHeader(pages.size, 6)
+    pages.foreach(p => w.zigzag(p._4))
+    w.stop()
+    w.bytes
+  }
+
+  /** Whole synthetic file with a page index on `colIdx`: magic ·
+    * ColumnIndex blobs (one per row group, in file-body position, as
+    * real writers lay them out) · footer with chunk pointers · len ·
+    * magic. `badOffsetRg` plants a pointer past EOF (the unreadable
+    * class).
+    */
+  def encodeSyntheticPaged(colNames: Seq[String], nRowGroups: Int,
+      rowsPerGroup: Long, colIdx: Int,
+      pagesOf: Int => Seq[PageEntry],
+      badOffsetRg: Option[Int] = None): Array[Byte] = {
+    val blobs = (0 until nRowGroups).map(rg => encodeColumnIndex(pagesOf(rg)))
+    val offsets = blobs.scanLeft(4L)((o, b) => o + b.length)
+    def idxOf(rg: Int, c: Int): Option[(Long, Int)] =
+      if (c != colIdx) None
+      else if (badOffsetRg.contains(rg)) Some((1L << 40, blobs(rg).length))
+      else Some((offsets(rg), blobs(rg).length))
+    val footer = encodeFooterPaged(2, colNames, nRowGroups, rowsPerGroup,
+      1 << 16, _ => 0, "paged", None, idxOf)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("PAR1".getBytes("US-ASCII"))
+    blobs.foreach(out.write)
+    out.write(footer)
+    val len = footer.length
+    out.write(Array((len & 0xff).toByte, ((len >> 8) & 0xff).toByte,
+      ((len >> 16) & 0xff).toByte, ((len >> 24) & 0xff).toByte))
+    out.write("PAR1".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  /** Parse one ColumnIndex blob. None = malformed / out of bounds /
+    * inconsistent list lengths — the whole chunk's index is declined
+    * (fail-closed; the reader falls back to row-group stats).
+    */
+  def parseColumnIndex(bytes: Array[Byte], off: Long, len: Long): Option[Vector[PageEntry]] = {
+    if (off < 0 || len <= 0 || off > bytes.length.toLong - len) return None
+    try {
+      val r = new Reader(bytes, off.toInt, (off + len).toInt)
+      var nulls: Vector[Boolean] = null
+      var mins: Vector[Option[Long]] = null
+      var maxs: Vector[Option[Long]] = null
+      var counts: Vector[Long] = null
+      def le64(p: Int): Long = {
+        var v = 0L; var j = 7
+        while (j >= 0) { v = (v << 8) | (bytes(p + j) & 0xffL); j -= 1 }
+        v
+      }
+      def binVals(): Vector[Option[Long]] = {
+        val (size, elemType) = listHeader(r)
+        if (elemType != 8) throw Malformed
+        (0L until size).map { _ =>
+          val n = r.varint()
+          if (n == 8 && n <= r.end - r.pos) {
+            val v = le64(r.pos); r.pos += 8; Some(v)
+          } else { r.skip(n); None }
+        }.toVector
+      }
+      walkStruct(r, 0) { (id, tpe) =>
+        (id, tpe) match {
+          case (1, 9) =>
+            val (size, elemType) = listHeader(r)
+            if (elemType != 1 && elemType != 2) throw Malformed
+            nulls = (0L until size).map(_ => r.u8() == 1).toVector
+            true
+          case (2, 9) => mins = binVals(); true
+          case (3, 9) => maxs = binVals(); true
+          case (5, 9) =>
+            val (size, elemType) = listHeader(r)
+            if (elemType != 6) throw Malformed
+            counts = (0L until size).map(_ => r.zigzag()).toVector
+            true
+          case _ => false
+        }
+      }
+      if (nulls == null || mins == null || maxs == null) return None
+      val n = nulls.size
+      if (mins.size != n || maxs.size != n) return None
+      val cts = if (counts != null && counts.size == n) counts
+        else Vector.fill(n)(0L)
+      Some(nulls.indices.map { i =>
+        if (nulls(i)) (true, 0L, 0L, cts(i))
+        else (mins(i), maxs(i)) match {
+          case (Some(lo), Some(hi)) => (false, lo, hi, cts(i))
+          case _ => throw Malformed // real page with unreadable bounds
+        }
+      }.toVector)
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** Per-row-group page-index lookup for `colIdx`: for each row group
+    * — None = the chunk carries NO index pointers, Some(None) = it
+    * does but the blob is unreadable (declined whole), Some(Some(p)) =
+    * the decoded pages.
+    */
+  def pageIndexCensus(bytes: Array[Byte], colIdx: Int): Vector[Option[Option[Vector[PageEntry]]]] = {
+    val r = footerReader(bytes) match {
+      case Some((rf, _)) => rf
+      case None => return Vector.empty
+    }
+    try {
+      val ptrs = Vector.newBuilder[Option[(Long, Long)]]
+      walkStruct(r, 0) { (id, tpe) =>
+        if (id == 4 && tpe == 9) {
+          val (size, elemType) = listHeader(r)
+          if (elemType != 12) throw Malformed
+          var i = 0L
+          while (i < size) {
+            var ptr: Option[(Long, Long)] = None
+            walkStruct(r, 1) { (fid, ftpe) =>
+              if (fid == 1 && ftpe == 9) {
+                val (csize, ctype) = listHeader(r)
+                if (ctype != 12) throw Malformed
+                var c = 0L
+                while (c < csize) {
+                  var off = -1L; var len = -1L
+                  walkStruct(r, 2) { (cid, ctpe) =>
+                    (cid, ctpe) match {
+                      case (6, 6) => off = r.zigzag(); true
+                      case (7, 5) => len = r.zigzag(); true
+                      case _ => false
+                    }
+                  }
+                  if (c == colIdx.toLong && off >= 0 && len > 0)
+                    ptr = Some((off, len))
+                  c += 1
+                }
+                true
+              } else false
+            }
+            ptrs += ptr
+            i += 1
+          }
+          true
+        } else false
+      }
+      ptrs.result().map(_.map { case (off, len) =>
+        parseColumnIndex(bytes, off, len)
+      })
+    } catch {
+      case Malformed => Vector.empty
+      case _: ArrayIndexOutOfBoundsException => Vector.empty
+    }
+  }
+
+  /** Page-level prune audit over (id, parquet-bytes) — q380's
+    * arithmetic one layer down. A NULL page is provably skippable for
+    * any non-null predicate (it holds no values at all); a real page
+    * skips for `x > t` iff its max ≤ t; a chunk whose index is
+    * unreadable falls back to scanning ALL its pages... which the
+    * census cannot even count, so the CHUNK is reported unreadable —
+    * counted, never guessed (the q380 conservative contract one level
+    * down). Map-only, zero shuffles.
+    */
+  def pageIndexAudit(df: DataFrame, idCol: String, payloadCol: String,
+      colIdx: Int, threshold: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val rgs = pageIndexCensus(bytes, colIdx)
+          var indexed = 0L; var unreadable = 0L; var noIndex = 0L
+          var nPages = 0L; var nNull = 0L; var skip = 0L; var nullCt = 0L
+          rgs.foreach {
+            case None => noIndex += 1
+            case Some(None) => unreadable += 1
+            case Some(Some(pages)) =>
+              indexed += 1
+              nPages += pages.size
+              pages.foreach { case (np, _, hi, ct) =>
+                if (np) { nNull += 1; skip += 1 }
+                else if (hi <= threshold) skip += 1
+                nullCt += ct
+              }
+          }
+          (id, rgs.size.toLong, indexed, noIndex, unreadable,
+            nPages, nNull, skip, nPages - skip, nullCt)
+        }
+      }
+      .toDF(idCol, "n_rgs", "n_indexed", "n_no_index", "n_unreadable_idx",
+        "n_pages", "n_null_pages", "pages_skippable_gt", "pages_scanned_gt",
+        "sum_null_counts")
   }
 
   /** Zone-map pruning audit over (id, parquet-bytes): for each file,

@@ -5811,6 +5811,75 @@ object DataQueries {
       FROM p JOIN agg ON agg.doc_id = p.doc_id
       ORDER BY p.doc_id"""))
 
+  // --------------------------------------------------------------- q413
+
+  /** q413 — parquet PAGE-INDEX prune audit
+    * ([[graft.operators.ParquetFooter.pageIndexAudit]]): the pruning
+    * layer BELOW q380's row-group zone maps — ColumnIndex structures
+    * (per-page min/max, null-page flags, null counts) located via
+    * ColumnChunk's column_index_offset/length, decoded through the
+    * same thrift-compact walker. Page semantics pinned: a NULL page
+    * is provably skippable for any non-null predicate (it holds no
+    * values — planted every 7th doc); a real page skips for `x > 25`
+    * iff its max ≤ 25; a chunk whose index pointer runs past EOF is
+    * declined WHOLE (every 11th doc) — its pages cannot even be
+    * counted, so the census says so instead of guessing. Oracle
+    * closed-form over the page schedule. Map-only, zero shuffles.
+    */
+  val q413 = Q("q413_parquet_page_index",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.ParquetFooter
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (id % 50).toInt
+          val nRG = 1 + k % 3
+          def pagesOf(rg: Int): Seq[ParquetFooter.PageEntry] =
+            (0 until (2 + (k + rg) % 3)).map { p =>
+              val np = k % 7 == 0 && rg == 0 && p == 1
+              (np, 100L * rg + 10 * p, 100L * rg + 10 * p + 9, p.toLong)
+            }
+          (id, ParquetFooter.encodeSyntheticPaged(
+            (0 until 4).map(c => s"col_$c"), nRG, 1000L, colIdx = 1,
+            pagesOf, badOffsetRg = if (k % 11 == 0) Some(0) else None))
+        }).toDF("doc_id", "payload")
+      ParquetFooter.pageIndexAudit(synth, "doc_id", "payload",
+          colIdx = 1, threshold = 25L)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+      p AS (SELECT doc_id, k, CAST(1 + k % 3 AS BIGINT) AS nRG,
+              CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END AS unread,
+              CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS np7
+            FROM d),
+      r AS (SELECT doc_id, k, unread, np7, unnest(range(nRG)) AS rg FROM p),
+      g AS (SELECT doc_id, rg, CAST(2 + (k + rg) % 3 AS BIGINT) AS nP,
+              CASE WHEN unread = 1 AND rg = 0 THEN 0 ELSE 1 END AS readable,
+              np7
+            FROM r),
+      agg AS (SELECT doc_id,
+                SUM(CASE WHEN readable = 1 THEN nP ELSE 0 END) AS n_pages,
+                SUM(CASE WHEN readable = 1 AND rg = 0 AND np7 = 1
+                         THEN 1 ELSE 0 END) AS n_null_pages,
+                SUM(CASE WHEN readable = 1 AND rg = 0 THEN 2 ELSE 0 END) AS skip,
+                SUM(CASE WHEN readable = 1 THEN nP * (nP - 1) / 2 ELSE 0 END)
+                  AS sum_nc
+              FROM g GROUP BY doc_id)
+      SELECT p.doc_id,
+        nRG AS n_rgs,
+        CAST(nRG - unread AS BIGINT) AS n_indexed,
+        CAST(0 AS BIGINT) AS n_no_index,
+        CAST(unread AS BIGINT) AS n_unreadable_idx,
+        CAST(n_pages AS BIGINT) AS n_pages,
+        CAST(n_null_pages AS BIGINT) AS n_null_pages,
+        CAST(skip AS BIGINT) AS pages_skippable_gt,
+        CAST(n_pages - skip AS BIGINT) AS pages_scanned_gt,
+        CAST(sum_nc AS BIGINT) AS sum_null_counts
+      FROM p JOIN agg ON agg.doc_id = p.doc_id
+      ORDER BY p.doc_id"""))
+
   // --------------------------------------------------------------- q412
 
   /** q412 — metadata-only compaction PLAN
@@ -6489,5 +6558,6 @@ object DataQueries {
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
     q385, q387, q388, q390, q392, q393, q395, q396, q397, q398, q399, q400,
-    q401, q402, q403, q404, q405, q406, q407, q408, q409, q410, q411, q412)
+    q401, q402, q403, q404, q405, q406, q407, q408, q409, q410, q411, q412,
+    q413)
 }

@@ -177,4 +177,57 @@ class ParquetFooterSpec extends SparkSpec {
     out.write("PAR1".getBytes("US-ASCII"))
     assert(ParquetFooter.parse(out.toByteArray).valid == 0)
   }
+
+  // ----------------------------------------------------- page index
+
+  test("page index round-trip: per-page bounds, null pages, null counts") {
+    val pages0 = Seq((false, 0L, 9L, 0L), (true, 0L, 0L, 1000L), (false, 20L, 29L, 2L))
+    val pages1 = Seq((false, 100L, 109L, 0L))
+    val f = ParquetFooter.encodeSyntheticPaged(Seq("a", "b", "c"), 2, 10L,
+      colIdx = 1, rg => if (rg == 0) pages0 else pages1)
+    // the footer itself still parses under the q377 census
+    assert(ParquetFooter.parse(f).valid == 1)
+    val rgs = ParquetFooter.pageIndexCensus(f, colIdx = 1)
+    assert(rgs.size == 2)
+    assert(rgs(0) == Some(Some(pages0.toVector)), rgs(0).toString)
+    assert(rgs(1) == Some(Some(pages1.toVector)))
+    // non-indexed columns report no pointers at all
+    assert(ParquetFooter.pageIndexCensus(f, colIdx = 0).forall(_.isEmpty))
+  }
+
+  test("page-index pointer past EOF: the chunk is declined WHOLE, others decode") {
+    val pages = Seq((false, 0L, 9L, 0L), (false, 10L, 19L, 1L))
+    val f = ParquetFooter.encodeSyntheticPaged(Seq("a", "b"), 3, 10L,
+      colIdx = 0, _ => pages, badOffsetRg = Some(1))
+    val rgs = ParquetFooter.pageIndexCensus(f, colIdx = 0)
+    assert(rgs.size == 3)
+    assert(rgs(0) == Some(Some(pages.toVector)))
+    assert(rgs(1) == Some(None), "bad pointer: declined, never guessed")
+    assert(rgs(2) == Some(Some(pages.toVector)))
+  }
+
+  test("ColumnIndex blob truncation fails closed at every cut") {
+    val blob = ParquetFooter.encodeColumnIndex(
+      Seq((false, 1L, 2L, 0L), (true, 0L, 0L, 5L), (false, 7L, 9L, 1L)))
+    val full = ParquetFooter.parseColumnIndex(blob, 0L, blob.length.toLong)
+    assert(full.exists(_.size == 3))
+    (1 until blob.length).foreach { cut =>
+      val r = ParquetFooter.parseColumnIndex(blob, 0L, cut.toLong)
+      assert(r.isEmpty || r == full, s"cut $cut invented pages: $r")
+    }
+  }
+
+  test("null-page semantics in the audit: skippable for any non-null predicate") {
+    import spark.implicits._
+    val pages = Seq((true, 0L, 0L, 50L), (false, 100L, 200L, 0L))
+    val f = ParquetFooter.encodeSyntheticPaged(Seq("x"), 1, 10L, 0, _ => pages)
+    val row = ParquetFooter.pageIndexAudit(
+      Seq((1L, f)).toDF("id", "payload"), "id", "payload",
+      colIdx = 0, threshold = 10L).collect()(0)
+    assert(row.getAs[Long]("n_pages") == 2 && row.getAs[Long]("n_null_pages") == 1)
+    // the null page skips even though the threshold excludes the real page
+    assert(row.getAs[Long]("pages_skippable_gt") == 1)
+    assert(row.getAs[Long]("pages_scanned_gt") == 1)
+    assert(row.getAs[Long]("sum_null_counts") == 50)
+  }
 }

@@ -183,6 +183,22 @@ class WalkerFuzzSpec extends AnyFunSuite {
         // valid deliberately excluded: appended garbage flips it 1→0
         // while the walked prefix (the monotone quantity) is files
         (lm.files.size.toLong, 0L) }),
+    Fuzzed("parquet-page-index",
+      rnd => ParquetFooter.encodeSyntheticPaged(
+        Seq("a", "b", "c"), 1 + rnd.nextInt(3), 10L + rnd.nextInt(100),
+        rnd.nextInt(3),
+        rg => (0 until 1 + rnd.nextInt(4)).map(p =>
+          (rnd.nextInt(5) == 0, rg * 100L + p * 10L, rg * 100L + p * 10L + 9,
+            rnd.nextInt(10).toLong))),
+      b => {
+        val rgs = ParquetFooter.pageIndexCensus(b, 0)
+        (rgs.map {
+          case Some(Some(pages)) => pages.size.toLong
+          case Some(None) => 1L
+          case None => 0L
+        }.sum, 0L)
+      },
+      appendStable = false), // footer discovery starts at the file END
     Fuzzed("h264-sps",
       rnd => NalCensus.encodeSps(
         if (rnd.nextBoolean()) 100 else 66, 30 + rnd.nextInt(21),
