@@ -180,6 +180,44 @@ class ParquetFooterSpec extends SparkSpec {
 
   // ----------------------------------------------------- page index
 
+  test("REAL page index: a Spark-written (parquet-mr) file's ColumnIndex decodes exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = java.nio.file.Files.createTempDirectory("graft-pageidx").toString
+    val n = 500000L
+    spark.range(0L, n).select(c("id"))
+      .repartitionByRange(1, c("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    val f = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val rgs = ParquetFooter.pageIndexCensus(bytes, 0)
+    assert(rgs.nonEmpty, "parquet-mr writes the page index by default")
+    val pages = rgs.flatMap {
+      case Some(Some(p)) => p
+      case other => fail(s"real index did not decode: $other")
+    }
+    assert(pages.size > 1, "a 500k-row sorted column must split into pages")
+    // the pages tile [0, n): ascending, contiguous on a sorted column
+    assert(pages.head._2 == 0L && pages.last._3 == n - 1)
+    pages.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 < b._2, s"overlapping pages: $a / $b")
+      case _ =>
+    }
+    // and the audit arithmetic agrees with the engine's own answer:
+    // pages provably empty for id > t are exactly those with max <= t
+    val t = n / 2
+    val row = ParquetFooter.pageIndexAudit(
+      Seq((1L, bytes)).toDF("id", "payload"), "id", "payload", 0, t).collect()(0)
+    assert(row.getAs[Long]("pages_skippable_gt") == pages.count(_._3 <= t))
+    assert(row.getAs[Long]("n_unreadable_idx") == 0)
+    // honesty pin: the pyarrow-written testdata carries NO page index —
+    // reported as absent, never fabricated from row-group stats
+    val pyarrow = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/lineitem.parquet"))
+    assert(ParquetFooter.pageIndexCensus(pyarrow, 0).forall(_.isEmpty))
+  }
+
   test("page index round-trip: per-page bounds, null pages, null counts") {
     val pages0 = Seq((false, 0L, 9L, 0L), (true, 0L, 0L, 1000L), (false, 20L, 29L, 2L))
     val pages1 = Seq((false, 100L, 109L, 0L))
