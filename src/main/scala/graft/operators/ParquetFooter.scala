@@ -413,12 +413,13 @@ object ParquetFooter {
       rowsPerGroup: Long, bytesPerGroup: Long, codecOf: Int => Int,
       createdBy: String,
       statsOf: Option[(Int, Int) => (Long, Long, Long, Int)],
-      indexOf: (Int, Int) => Option[(Long, Int)]): Array[Byte] = {
+      indexOf: (Int, Int) => Option[(Long, Int)],
+      offsetIndexOf: (Int, Int) => Option[(Long, Int)] = (_, _) => None): Array[Byte] = {
     val w = new Writer
     w.field(0, 1, 5).zigzag(version.toLong)
     w.field(1, 2, 9).listHeader(1 + colNames.size, 12)
     encodeFooterBody(w, colNames, nRowGroups, rowsPerGroup, bytesPerGroup,
-      codecOf, createdBy, statsOf, Some(indexOf))
+      codecOf, createdBy, statsOf, Some(indexOf), Some(offsetIndexOf))
     w.bytes
   }
 
@@ -426,7 +427,8 @@ object ParquetFooter {
       nRowGroups: Int, rowsPerGroup: Long, bytesPerGroup: Long,
       codecOf: Int => Int, createdBy: String,
       statsOf: Option[(Int, Int) => (Long, Long, Long, Int)],
-      indexOf: Option[(Int, Int) => Option[(Long, Int)]]): Unit = {
+      indexOf: Option[(Int, Int) => Option[(Long, Int)]],
+      offsetIndexOf: Option[(Int, Int) => Option[(Long, Int)]] = None): Unit = {
     locally {
       val root = w
       root.field(0, 4, 8).str("schema")
@@ -464,9 +466,17 @@ object ParquetFooter {
           w.stop()
         }
         w.stop()                                         // ColumnMetaData
-        // page-index pointers (parquet.thrift ColumnChunk 6/7)
+        // page-location pointers (parquet.thrift ColumnChunk 4/5) then
+        // page-index pointers (6/7) — ascending field ids
+        val oi = offsetIndexOf.flatMap(f => f(rg, c))
+        var lastId = 3
+        oi.foreach { case (off, len) =>
+          w.field(lastId, 4, 6).zigzag(off)   // offset_index_offset
+          w.field(4, 5, 5).zigzag(len.toLong) // offset_index_length
+          lastId = 5
+        }
         indexOf.flatMap(f => f(rg, c)).foreach { case (off, len) =>
-          w.field(3, 6, 6).zigzag(off)       // column_index_offset
+          w.field(lastId, 6, 6).zigzag(off)   // column_index_offset
           w.field(6, 7, 5).zigzag(len.toLong) // column_index_length
         }
         w.stop()                                         // ColumnChunk
@@ -533,27 +543,90 @@ object ParquetFooter {
     w.bytes
   }
 
+  /** Serialize one OffsetIndex struct: the page LOCATIONS —
+    * (file offset, compressed size, first_row_index) per page — whose
+    * first_row_index deltas are the only metadata source for per-PAGE
+    * row counts.
+    */
+  def encodeOffsetIndex(firstRows: Seq[Long]): Array[Byte] = {
+    val w = new Writer
+    w.field(0, 1, 9).listHeader(firstRows.size, 12)
+    firstRows.foreach { fr =>
+      w.field(0, 1, 6).zigzag(4L)   // offset (synthetic)
+      w.field(1, 2, 5).zigzag(100L) // compressed_page_size
+      w.field(2, 3, 6).zigzag(fr)   // first_row_index
+      w.stop()
+    }
+    w.stop()
+    w.bytes
+  }
+
+  /** Parse one OffsetIndex blob to its first_row_index list. None =
+    * malformed / out of bounds (declined whole, fail-closed).
+    */
+  def parseOffsetIndex(bytes: Array[Byte], off: Long, len: Long): Option[Vector[Long]] = {
+    if (off < 0 || len <= 0 || off > bytes.length.toLong - len) return None
+    try {
+      val r = new Reader(bytes, off.toInt, (off + len).toInt)
+      var rows: Vector[Long] = null
+      walkStruct(r, 0) { (id, tpe) =>
+        if (id == 1 && tpe == 9) {
+          val (size, elemType) = listHeader(r)
+          if (elemType != 12) throw Malformed
+          val b = Vector.newBuilder[Long]
+          var i = 0L
+          while (i < size) {
+            var fr = -1L
+            walkStruct(r, 1) { (fid, ftpe) =>
+              if (fid == 3 && ftpe == 6) { fr = r.zigzag(); true } else false
+            }
+            if (fr < 0) throw Malformed
+            b += fr
+            i += 1
+          }
+          rows = b.result()
+          true
+        } else false
+      }
+      Option(rows)
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
   /** Whole synthetic file with a page index on `colIdx`: magic ·
     * ColumnIndex blobs (one per row group, in file-body position, as
-    * real writers lay them out) · footer with chunk pointers · len ·
-    * magic. `badOffsetRg` plants a pointer past EOF (the unreadable
-    * class).
+    * real writers lay them out) · optional OffsetIndex blobs · footer
+    * with chunk pointers · len · magic. `badOffsetRg` plants a
+    * ColumnIndex pointer past EOF (the unreadable class);
+    * `offsetIndexOf` (rg → first_row_index list, or None for a chunk
+    * without one) adds the page-location layer.
     */
   def encodeSyntheticPaged(colNames: Seq[String], nRowGroups: Int,
       rowsPerGroup: Long, colIdx: Int,
       pagesOf: Int => Seq[PageEntry],
-      badOffsetRg: Option[Int] = None): Array[Byte] = {
+      badOffsetRg: Option[Int] = None,
+      offsetIndexOf: Option[Int => Option[Seq[Long]]] = None): Array[Byte] = {
     val blobs = (0 until nRowGroups).map(rg => encodeColumnIndex(pagesOf(rg)))
     val offsets = blobs.scanLeft(4L)((o, b) => o + b.length)
+    val oiBlobs: Seq[Option[Array[Byte]]] = (0 until nRowGroups).map(rg =>
+      offsetIndexOf.flatMap(f => f(rg)).map(encodeOffsetIndex))
+    val oiOffsets = oiBlobs.scanLeft(offsets.last)((o, b) =>
+      o + b.map(_.length).getOrElse(0))
     def idxOf(rg: Int, c: Int): Option[(Long, Int)] =
       if (c != colIdx) None
       else if (badOffsetRg.contains(rg)) Some((1L << 40, blobs(rg).length))
       else Some((offsets(rg), blobs(rg).length))
+    def oiOf(rg: Int, c: Int): Option[(Long, Int)] =
+      if (c != colIdx) None
+      else oiBlobs(rg).map(b => (oiOffsets(rg), b.length))
     val footer = encodeFooterPaged(2, colNames, nRowGroups, rowsPerGroup,
-      1 << 16, _ => 0, "paged", None, idxOf)
+      1 << 16, _ => 0, "paged", None, idxOf, oiOf)
     val out = new java.io.ByteArrayOutputStream()
     out.write("PAR1".getBytes("US-ASCII"))
     blobs.foreach(out.write)
+    oiBlobs.foreach(_.foreach(out.write))
     out.write(footer)
     val len = footer.length
     out.write(Array((len & 0xff).toByte, ((len >> 8) & 0xff).toByte,
@@ -677,6 +750,128 @@ object ParquetFooter {
       case Malformed => Vector.empty
       case _: ArrayIndexOutOfBoundsException => Vector.empty
     }
+  }
+
+  /** Per-row-group PAGE-ROW data for `colIdx`: row-group rows, the
+    * ColumnIndex pages (as in [[pageIndexCensus]]) and the
+    * OffsetIndex first_row_index list when present and CONSISTENT
+    * (monotone, within the row group, one entry per page) — anything
+    * else declines to None, fail-closed.
+    */
+  def pageRowsCensus(bytes: Array[Byte], colIdx: Int):
+      Vector[(Long, Option[Vector[PageEntry]], Option[Vector[Long]])] = {
+    val r = footerReader(bytes) match {
+      case Some((rf, _)) => rf
+      case None => return Vector.empty
+    }
+    try {
+      val rows = Vector.newBuilder[(Long, Option[(Long, Long)], Option[(Long, Long)])]
+      walkStruct(r, 0) { (id, tpe) =>
+        if (id == 4 && tpe == 9) {
+          val (size, elemType) = listHeader(r)
+          if (elemType != 12) throw Malformed
+          var i = 0L
+          while (i < size) {
+            var ci: Option[(Long, Long)] = None
+            var oi: Option[(Long, Long)] = None
+            var rgRows = 0L
+            walkStruct(r, 1) { (fid, ftpe) =>
+              (fid, ftpe) match {
+                case (1, 9) =>
+                  val (csize, ctype) = listHeader(r)
+                  if (ctype != 12) throw Malformed
+                  var c = 0L
+                  while (c < csize) {
+                    var ciOff = -1L; var ciLen = -1L
+                    var oiOff = -1L; var oiLen = -1L
+                    walkStruct(r, 2) { (cid, ctpe) =>
+                      (cid, ctpe) match {
+                        case (4, 6) => oiOff = r.zigzag(); true
+                        case (5, 5) => oiLen = r.zigzag(); true
+                        case (6, 6) => ciOff = r.zigzag(); true
+                        case (7, 5) => ciLen = r.zigzag(); true
+                        case _ => false
+                      }
+                    }
+                    if (c == colIdx.toLong) {
+                      if (ciOff >= 0 && ciLen > 0) ci = Some((ciOff, ciLen))
+                      if (oiOff >= 0 && oiLen > 0) oi = Some((oiOff, oiLen))
+                    }
+                    c += 1
+                  }
+                  true
+                case (3, 6) => rgRows = r.zigzag(); true
+                case _ => false
+              }
+            }
+            rows += ((rgRows, ci, oi))
+            i += 1
+          }
+          true
+        } else false
+      }
+      rows.result().map { case (rgRows, ci, oi) =>
+        val pages = ci.flatMap { case (o, l) => parseColumnIndex(bytes, o, l) }
+        val firstRows = oi.flatMap { case (o, l) => parseOffsetIndex(bytes, o, l) }
+          .filter { fr =>
+            // consistency contract: one entry per page, starting at 0,
+            // nondecreasing, inside the row group
+            pages.exists(_.size == fr.size) && fr.headOption.contains(0L) &&
+              fr.zip(fr.drop(1)).forall { case (a, b) => a <= b } &&
+              fr.lastOption.forall(_ <= rgRows)
+          }
+        (rgRows, pages, firstRows)
+      }
+    } catch {
+      case Malformed => Vector.empty
+      case _: ArrayIndexOutOfBoundsException => Vector.empty
+    }
+  }
+
+  /** Page-level ROW audit — the quantity a scan is actually billed in:
+    * ColumnIndex bounds pick the skippable pages, OffsetIndex
+    * first_row_index deltas price them in rows. Conservative
+    * contract one level down from q380: a chunk whose page rows are
+    * unknowable (no/inconsistent OffsetIndex) reports its FULL
+    * row-group rows as `rows_unknown` and they count scanned — bounds
+    * without locations prune pages, not rows.
+    */
+  def pageRowsAudit(df: DataFrame, idCol: String, payloadCol: String,
+      colIdx: Int, threshold: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val rgs = pageRowsCensus(bytes, colIdx)
+          var rowsTotal = 0L; var skip = 0L; var unknown = 0L
+          var pagesRowed = 0L; var pagesUnknown = 0L
+          rgs.foreach { case (rgRows, pagesOpt, frOpt) =>
+            rowsTotal += rgRows
+            (pagesOpt, frOpt) match {
+              case (Some(pages), Some(fr)) =>
+                pagesRowed += pages.size
+                pages.indices.foreach { p =>
+                  val pRows =
+                    if (p < pages.size - 1) fr(p + 1) - fr(p)
+                    else rgRows - fr(p)
+                  val (np, _, hi, _) = pages(p)
+                  if (np || hi <= threshold) skip += pRows
+                }
+              case (Some(pages), None) =>
+                pagesUnknown += pages.size
+                unknown += rgRows
+              case _ =>
+                unknown += rgRows
+            }
+          }
+          (id, rgs.size.toLong, pagesRowed, pagesUnknown, rowsTotal,
+            skip, rowsTotal - skip, unknown)
+        }
+      }
+      .toDF(idCol, "n_rgs", "n_pages_rowed", "n_pages_rows_unknown",
+        "rows_total", "rows_skippable_gt", "rows_scanned_gt", "rows_unknown")
   }
 
   /** Page-level prune audit over (id, parquet-bytes) — q380's

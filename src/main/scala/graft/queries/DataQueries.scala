@@ -5811,6 +5811,71 @@ object DataQueries {
       FROM p JOIN agg ON agg.doc_id = p.doc_id
       ORDER BY p.doc_id"""))
 
+  // --------------------------------------------------------------- q414
+
+  /** q414 — page-level ROW audit
+    * ([[graft.operators.ParquetFooter.pageRowsAudit]]): q413 counted
+    * skippable PAGES; scans are billed in ROWS, and per-page row
+    * counts live one structure over — the OffsetIndex, whose
+    * first_row_index deltas price each page. Composition pinned:
+    * ColumnIndex bounds pick the skippable pages, OffsetIndex deltas
+    * convert them to rows, and a chunk with bounds but NO page
+    * locations (planted every 9th doc) reports its full row-group
+    * rows as unknown-and-scanned — bounds without locations prune
+    * pages, not rows. Oracle closed-form. Map-only, zero shuffles.
+    */
+  val q414 = Q("q414_parquet_page_rows",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.ParquetFooter
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (id % 50).toInt
+          val nRG = 1 + k % 3
+          def nP(rg: Int) = 2 + (k + rg) % 3
+          def pagesOf(rg: Int): Seq[ParquetFooter.PageEntry] =
+            (0 until nP(rg)).map { p =>
+              val np = k % 7 == 0 && rg == 0 && p == 1
+              (np, 100L * rg + 10 * p, 100L * rg + 10 * p + 9, p.toLong)
+            }
+          def oiOf(rg: Int): Option[Seq[Long]] =
+            if (k % 9 == 0 && rg == 0) None
+            else Some((0 until nP(rg)).map(p => p.toLong * (1000L / nP(rg))))
+          (id, ParquetFooter.encodeSyntheticPaged(
+            (0 until 3).map(c => s"col_$c"), nRG, 1000L, colIdx = 1,
+            pagesOf, offsetIndexOf = Some(oiOf)))
+        }).toDF("doc_id", "payload")
+      ParquetFooter.pageRowsAudit(synth, "doc_id", "payload",
+          colIdx = 1, threshold = 25L)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+      p AS (SELECT doc_id, k, CAST(1 + k % 3 AS BIGINT) AS nRG,
+              CAST(2 + k % 3 AS BIGINT) AS nP0,
+              CASE WHEN k % 9 = 0 THEN 1 ELSE 0 END AS nooi
+            FROM d),
+      r AS (SELECT doc_id, k, nooi, nP0, unnest(range(nRG)) AS rg, nRG FROM p),
+      g AS (SELECT doc_id, CAST(2 + (k + rg) % 3 AS BIGINT) AS nP FROM r),
+      agg AS (SELECT doc_id, SUM(nP) AS total_pages FROM g GROUP BY doc_id)
+      SELECT p.doc_id,
+        nRG AS n_rgs,
+        CAST(total_pages - nooi * nP0 AS BIGINT) AS n_pages_rowed,
+        CAST(nooi * nP0 AS BIGINT) AS n_pages_rows_unknown,
+        CAST(1000 * nRG AS BIGINT) AS rows_total,
+        CAST(CASE WHEN nooi = 1 THEN 0
+                  WHEN k % 3 = 0 THEN 1000
+                  WHEN k % 3 = 1 THEN 666
+                  ELSE 500 END AS BIGINT) AS rows_skippable_gt,
+        CAST(1000 * nRG - CASE WHEN nooi = 1 THEN 0
+                               WHEN k % 3 = 0 THEN 1000
+                               WHEN k % 3 = 1 THEN 666
+                               ELSE 500 END AS BIGINT) AS rows_scanned_gt,
+        CAST(nooi * 1000 AS BIGINT) AS rows_unknown
+      FROM p JOIN agg ON agg.doc_id = p.doc_id
+      ORDER BY p.doc_id"""))
+
   // --------------------------------------------------------------- q413
 
   /** q413 — parquet PAGE-INDEX prune audit
@@ -6559,5 +6624,5 @@ object DataQueries {
     q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
     q385, q387, q388, q390, q392, q393, q395, q396, q397, q398, q399, q400,
     q401, q402, q403, q404, q405, q406, q407, q408, q409, q410, q411, q412,
-    q413)
+    q413, q414)
 }

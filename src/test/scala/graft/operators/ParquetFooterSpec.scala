@@ -216,6 +216,53 @@ class ParquetFooterSpec extends SparkSpec {
     val pyarrow = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/testdata/sf0.001/lineitem.parquet"))
     assert(ParquetFooter.pageIndexCensus(pyarrow, 0).forall(_.isEmpty))
+    // and the REAL OffsetIndex prices the pages: per-page rows from
+    // first_row_index deltas reassemble the exact total
+    val pr = ParquetFooter.pageRowsCensus(bytes, 0)
+    assert(pr.size == 1)
+    val (rgRows, pOpt, frOpt) = pr(0)
+    assert(rgRows == n && pOpt.isDefined && frOpt.isDefined,
+      "parquet-mr writes the OffsetIndex too")
+    val fr = frOpt.get
+    assert(fr.head == 0L && fr.size == pOpt.get.size)
+    val rowAudit = ParquetFooter.pageRowsAudit(
+      Seq((1L, bytes)).toDF("id", "payload"), "id", "payload", 0, t).collect()(0)
+    assert(rowAudit.getAs[Long]("rows_total") == n)
+    assert(rowAudit.getAs[Long]("rows_unknown") == 0)
+    // on a sorted column, skippable rows for id > n/2 are exactly the
+    // pages whose max ≤ n/2 priced by their real row spans
+    val wantSkip = pages.indices.collect {
+      case p if pages(p)._3 <= t =>
+        if (p < pages.size - 1) fr(p + 1) - fr(p) else n - fr(p)
+    }.sum
+    assert(rowAudit.getAs[Long]("rows_skippable_gt") == wantSkip, rowAudit.toString)
+  }
+
+  test("OffsetIndex round-trip and the consistency contract (fail-closed declines)") {
+    import spark.implicits._
+    val pages = Seq((false, 0L, 9L, 0L), (false, 10L, 19L, 0L), (false, 20L, 29L, 0L))
+    val good = ParquetFooter.encodeSyntheticPaged(Seq("x"), 1, 300L, 0,
+      _ => pages, offsetIndexOf = Some(_ => Some(Seq(0L, 100L, 220L))))
+    val Vector((rgRows, Some(ps), Some(fr))) = ParquetFooter.pageRowsCensus(good, 0)
+    assert(rgRows == 300L && ps.size == 3 && fr == Vector(0L, 100L, 220L))
+    val row = ParquetFooter.pageRowsAudit(
+      Seq((1L, good)).toDF("id", "payload"), "id", "payload", 0, 19L).collect()(0)
+    assert(row.getAs[Long]("rows_skippable_gt") == 220L, "pages 0+1 = 100 + 120 rows")
+    assert(row.getAs[Long]("rows_scanned_gt") == 80L)
+    // consistency declines: wrong entry count, non-monotone, out of range,
+    // not starting at zero — each falls back to rows-unknown, never garbage
+    for (bad <- Seq(Seq(0L, 100L), Seq(0L, 220L, 100L), Seq(0L, 100L, 400L),
+      Seq(5L, 100L, 220L))) {
+      val f = ParquetFooter.encodeSyntheticPaged(Seq("x"), 1, 300L, 0,
+        _ => pages, offsetIndexOf = Some(_ => Some(bad)))
+      val Vector((_, _, frB)) = ParquetFooter.pageRowsCensus(f, 0)
+      assert(frB.isEmpty, s"$bad must be declined")
+      val r2 = ParquetFooter.pageRowsAudit(
+        Seq((1L, f)).toDF("id", "payload"), "id", "payload", 0, 19L).collect()(0)
+      assert(r2.getAs[Long]("rows_unknown") == 300L &&
+        r2.getAs[Long]("rows_skippable_gt") == 0L,
+        "bounds without locations prune pages, not rows")
+    }
   }
 
   test("page index round-trip: per-page bounds, null pages, null counts") {
