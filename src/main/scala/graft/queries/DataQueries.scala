@@ -4361,2268 +4361,13 @@ object DataQueries {
                AS trailing_bytes
       FROM t ORDER BY doc_id"""))
 
-  // --------------------------------------------------------------- q377
-
-  /** q377 — Parquet footer census: the storage format this engine
-    * itself scans, triaged at the byte level before any page decode.
-    * [[graft.operators.ParquetFooter.parse]] walks the Thrift Compact
-    * Protocol FileMetaData behind the trailing magic — version, schema
-    * width (leaves = elements with a physical type), row-group layout,
-    * Σ total_byte_size, and the per-column-chunk codec mix — with
-    * every untargeted field skipped STRUCTURALLY (recursive,
-    * depth-capped, subtraction-form bounds), which is what lets the
-    * same walker read real Spark/pyarrow footers (pinned against
-    * /root/testdata files in ParquetFooterSpec) and these synthetic
-    * minimal footers whose parameters all derive from doc_id, so the
-    * oracle recomputes the census closed-form — a round-trip proof.
-    * Malformed classes (cut tail magic, huge footer-length field,
-    * invalid first field header) spec-pinned; fuzz target in
-    * WalkerFuzzSpec. Map-only, zero shuffles. footer_len/data_bytes
-    * stay out of the projection — they depend on varint widths no SQL
-    * oracle should re-derive.
-    */
-  val q377 = Q("q377_parquet_footer_census",
-    (s, dir) => {
-      import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val nCols = 1 + (id % 4).toInt
-            val base = graft.operators.ParquetFooter.encodeSynthetic(
-              version = 2,
-              colNames = (0 until nCols).map(c => s"c$c"),
-              nRowGroups = 1 + (id % 3).toInt,
-              rowsPerGroup = 100 + id % 50,
-              bytesPerGroup = 1000 + id % 100,
-              codecOf = c => ((id + c) % 8).toInt,
-              createdBy = s"graft-${id % 10}",
-              dataFiller = (id % 20).toInt)
-            val out =
-              if (id % 17 == 0) base.dropRight(3)
-              else if (id % 19 == 0) {
-                val c = base.clone()
-                for (i <- c.length - 8 until c.length - 4) c(i) = 0xFF.toByte
-                c
-              } else if (id % 23 == 0) {
-                val c = base.clone(); c(4 + (id % 20).toInt) = 0xFF.toByte; c
-              } else base
-            (id, out)
-          }
-        }.toDF("doc_id", "payload")
-      graft.operators.ParquetFooter.footerFeatures(synth, "doc_id", "payload")
-        .orderBy("doc_id")
-    },
-    Some {
-      def codecCount(pred: String): String =
-        (0 to 3).map(c =>
-          s"CASE WHEN $c < ncols AND (k + $c) % 8 $pred THEN 1 ELSE 0 END")
-          .mkString(" + ")
-      s"""
-      WITH p AS (
-        SELECT doc_id AS k,
-               1 + (doc_id % 4) AS ncols,
-               1 + (doc_id % 3) AS nrgs,
-               100 + (doc_id % 50) AS rpg,
-               1000 + (doc_id % 100) AS bpg,
-               (doc_id % 17 = 0 OR doc_id % 19 = 0 OR doc_id % 23 = 0) AS bad
-        FROM documents)
-      SELECT k AS doc_id,
-             CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS valid,
-             CAST(CASE WHEN bad THEN 0 ELSE 2 END AS BIGINT) AS version,
-             CAST(CASE WHEN bad THEN 0 ELSE nrgs * rpg END AS BIGINT) AS num_rows,
-             CAST(CASE WHEN bad THEN 0 ELSE 1 + ncols END AS BIGINT) AS n_schema,
-             CAST(CASE WHEN bad THEN 0 ELSE ncols END AS BIGINT) AS n_leaves,
-             CAST(CASE WHEN bad THEN 0 ELSE nrgs END AS BIGINT) AS n_row_groups,
-             CAST(CASE WHEN bad THEN 0 ELSE nrgs * ncols END AS BIGINT)
-               AS n_column_chunks,
-             CAST(CASE WHEN bad THEN 0 ELSE nrgs * bpg END AS BIGINT)
-               AS total_byte_size,
-             CAST(CASE WHEN bad THEN 0 ELSE nrgs * rpg END AS BIGINT) AS rg_num_rows,
-             CAST(CASE WHEN bad THEN 0 ELSE 7 END AS BIGINT) AS created_by_len,
-             CAST(CASE WHEN bad THEN 0 ELSE nrgs * (${codecCount("= 0")}) END
-               AS BIGINT) AS n_uncompressed,
-             CAST(CASE WHEN bad THEN 0 ELSE nrgs * (${codecCount("= 1")}) END
-               AS BIGINT) AS n_snappy,
-             CAST(CASE WHEN bad THEN 0 ELSE nrgs * (${codecCount("= 2")}) END
-               AS BIGINT) AS n_gzip,
-             CAST(CASE WHEN bad THEN 0 ELSE nrgs * (${codecCount("= 6")}) END
-               AS BIGINT) AS n_zstd,
-             CAST(CASE WHEN bad THEN 0 ELSE nrgs * (${codecCount("IN (3, 4, 5, 7)")}) END
-               AS BIGINT) AS n_other_codec
-      FROM p ORDER BY doc_id"""
-    })
-
-  // --------------------------------------------------------------- q378
-
-  /** q378 — Avro OCF census: the row-format container streaming
-    * ingest lands in (Kafka → lake) before anything is columnarized,
-    * completing the lake-format family next to the parquet footer
-    * (q377). [[graft.operators.AvroOps.parse]] reads the closed-form
-    * layer — `Obj\x01` magic, the Avro-binary metadata map (zigzag
-    * varint longs, negative-count segments handled), avro.schema
-    * length and avro.codec name, then the block walk: record count +
-    * payload size per block, every block sync CHECKED against the
-    * header's 16-byte marker. Compressed payloads stay counted, never
-    * decoded (the q366 discipline). Stop-don't-guess: header faults
-    * reject the file whole; a block fault or sync mismatch halts at
-    * that block's start with the walked prefix kept and the remainder
-    * as trailing. Per-doc synthetic containers derive everything from
-    * doc_id, so the oracle recomputes the census closed-form —
-    * including the truncated-tail and flipped-sync trailing byte
-    * counts. Map-only, zero shuffles.
-    */
-  val q378 = Q("q378_avro_ocf_census",
-    (s, dir) => {
-      import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val codec = Seq("null", "deflate", "snappy", "zstandard")((id % 4).toInt)
-            val nb = 1 + (id % 4).toInt
-            val cnt = 10L + id % 6
-            val len = 40 + 2 * (id % 9).toInt
-            val base = graft.operators.AvroOps.encodeSynthetic(
-              schema = s"""{"type":"record","name":"r${id % 10}","fields":[]}""",
-              codec = codec,
-              extraMeta = if (id % 5 == 0) Seq("writer.id" -> s"w${id % 7}") else Nil,
-              blocks = Seq.fill(nb)((cnt, len)),
-              syncSeed = id)
-            val out =
-              if (id % 17 == 0) base.dropRight(5)
-              else if (id % 19 == 0) { val c = base.clone(); c(3) = 0x7F.toByte; c }
-              else if (id % 23 == 0) {
-                val c = base.clone(); c(c.length - 1) = (c(c.length - 1) ^ 0x5A).toByte; c
-              } else base
-            (id, out)
-          }
-        }.toDF("doc_id", "payload")
-      graft.operators.AvroOps.avroFeatures(synth, "doc_id", "payload")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (
-        SELECT doc_id AS k,
-               CASE doc_id % 4 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
-                    WHEN 2 THEN 'snappy' ELSE 'zstandard' END AS codec,
-               1 + (doc_id % 4) AS nb,
-               10 + (doc_id % 6) AS cnt,
-               40 + 2 * (doc_id % 9) AS len,
-               length('{"type":"record","name":"r0","fields":[]}') AS slen,
-               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS xm,
-               (doc_id % 17 = 0) AS cut,
-               (doc_id % 17 <> 0 AND doc_id % 19 = 0) AS flip,
-               (doc_id % 17 <> 0 AND doc_id % 19 <> 0 AND doc_id % 23 = 0) AS sflip
-        FROM documents),
-      t AS (
-        SELECT *,
-               -- header: magic(4) + map(1 + (1+11+1+slen) + (1+10+1+len(codec))
-               --   + xm*(1+9+1+2) + 1) + sync(16); blocks: nb*(len+18)
-               4 + 1 + 13 + slen + 12 + length(codec) + xm * 13 + 1 + 16
-                 + nb * (len + 18) AS total,
-               CASE WHEN cut OR sflip THEN nb - 1 WHEN flip THEN 0 ELSE nb END AS nbw
-        FROM p)
-      SELECT k AS doc_id,
-             CAST(CASE WHEN cut OR flip OR sflip THEN 0 ELSE 1 END AS BIGINT) AS valid,
-             CAST(CASE WHEN flip THEN 0 ELSE 2 + xm END AS BIGINT) AS n_meta_entries,
-             CAST(CASE WHEN flip THEN 0 ELSE slen END AS BIGINT) AS schema_len,
-             CASE WHEN flip THEN '' ELSE codec END AS codec,
-             CAST(nbw AS BIGINT) AS n_blocks,
-             CAST(nbw * cnt AS BIGINT) AS total_records,
-             CAST(nbw * len AS BIGINT) AS payload_bytes,
-             CAST(CASE WHEN sflip THEN 1 ELSE 0 END AS BIGINT) AS sync_mismatch,
-             CAST(CASE WHEN cut THEN len + 13
-                  WHEN flip THEN total
-                  WHEN sflip THEN len + 18 ELSE 0 END AS BIGINT) AS trailing_bytes
-      FROM t ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q379
-
-  /** q379 — tf.Example protobuf census inside TFRecord shards: the
-    * layer one notch inward from q325's frame walk (the q368/q369
-    * move — framing first, then the payload's own closed-form wire
-    * format). [[graft.operators.TfRecordOps.exampleCensus]] rides the
-    * SAME CRC-verified record walk and parses each payload as a
-    * protobuf tf.Example — feature map entries, kind mix
-    * (BytesList/FloatList/Int64List), and value counts (packed or
-    * repeated encodings both), with unknown fields skipped
-    * structurally (one synthetic class plants field 99 to prove the
-    * skip path on data, not just in specs). A payload violating the
-    * wire format marks THAT record malformed and never halts the
-    * shard — the frame CRC authenticates the bytes, not their proto
-    * validity. Everything derives from doc_id; the oracle recomputes
-    * the census closed-form. Map-only, zero shuffles.
-    */
-  val q379 = Q("q379_tfexample_census",
-    (s, dir) => {
-      import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val ops = graft.operators.TfRecordOps
-            val nr = 1 + (id % 3).toInt
-            val good = Seq.fill(nr)(ops.encodeExample(
-              bytesVals = 1 + (id % 2).toInt,
-              bytesLen = 5 + (id % 7).toInt,
-              nFloats = 2 + (id % 3).toInt,
-              int64s = (0 until 1 + (id % 4).toInt).map(i => (id + i) % 100),
-              unknownField = id % 19 == 0))
-            val payloads =
-              if (id % 17 == 0) good :+ Array(0xFF.toByte, 0xFF.toByte)
-              else good
-            (id, ops.encodeShard(payloads))
-          }
-        }.toDF("doc_id", "payload")
-      graft.operators.TfRecordOps.exampleFeatures(synth, "doc_id", "payload")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (
-        SELECT doc_id AS k,
-               1 + (doc_id % 3) AS nr,
-               1 + (doc_id % 2) AS bv,
-               5 + (doc_id % 7) AS blen,
-               2 + (doc_id % 3) AS nf,
-               1 + (doc_id % 4) AS ni,
-               CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS bad
-        FROM documents)
-      SELECT k AS doc_id,
-             CAST(nr AS BIGINT) AS n_examples,
-             CAST(bad AS BIGINT) AS n_malformed,
-             CAST(3 * nr AS BIGINT) AS n_features,
-             CAST(nr AS BIGINT) AS n_bytes_feat,
-             CAST(nr AS BIGINT) AS n_float_feat,
-             CAST(nr AS BIGINT) AS n_int64_feat,
-             CAST(nr * bv AS BIGINT) AS bytes_values,
-             CAST(nr * bv * blen AS BIGINT) AS bytes_len,
-             CAST(nr * nf AS BIGINT) AS float_values,
-             CAST(nr * ni AS BIGINT) AS int64_values
-      FROM p ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q380
-
-  /** q380 — zone-map pruning audit from parquet footer statistics:
-    * the planner move that makes q377's walk PAY at 100 TB — per-row-
-    * group min/max/null_count for a target column read straight from
-    * the Statistics struct (thrift field 12, 8-byte int64 binaries),
-    * then for a predicate `x > t` / `x < t` the count of row groups
-    * provably skippable and the rows a conservative planner still
-    * scans. Conservative is the contract: absent stats, non-8-byte
-    * min/max encodings (one planted class), or a malformed footer
-    * NEVER prune — has-stats = 0 means scan, and a cut footer yields
-    * the empty census. Every parameter derives from doc_id; the oracle
-    * recomputes prune counts closed-form (including the a ≤ 9 boundary
-    * case where the threshold lands inside the top row group's range).
-    * Map-only, zero shuffles.
-    */
-  val q380 = Q("q380_zone_map_pruning",
-    (s, dir) => {
-      import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val nRgs = 1 + (id % 4).toInt
-            val base = graft.operators.ParquetFooter.encodeSynthetic(
-              version = 2,
-              colNames = Seq("ca", "cb", "cc"),
-              nRowGroups = nRgs,
-              rowsPerGroup = 100 + id % 10,
-              bytesPerGroup = 1000L,
-              codecOf = _ => 0,
-              createdBy = "graft",
-              dataFiller = (id % 16).toInt,
-              statsOf = Some((rg, c) => (
-                100L * rg + c,
-                100L * rg + 50 + (id % 20) + c,
-                (rg % 3).toLong,
-                if (id % 13 == 0) 4 else 8)))
-            val out = if (id % 17 == 0) base.dropRight(3) else base
-            (id, out)
-          }
-        }.toDF("doc_id", "payload")
-      graft.operators.ParquetFooter
-        .pruneAudit(synth, "doc_id", "payload", colIdx = 1,
-          thresholdOf = id => 100L * (id % (1 + id % 4)) + 60)
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (
-        SELECT doc_id AS k,
-               1 + (doc_id % 4) AS nrgs,
-               100 + (doc_id % 10) AS rpg,
-               doc_id % (1 + doc_id % 4) AS m,
-               doc_id % 20 AS a,
-               (doc_id % 17 = 0) AS cut,
-               (doc_id % 13 = 0) AS unread
-        FROM documents),
-      t AS (
-        SELECT *,
-               -- target col 1: max_r = 100r + 51 + a; x > t prunes r ≤ m
-               -- iff a ≤ 9 (threshold inside the top group's range)
-               CASE WHEN cut OR unread THEN 0
-                    WHEN a <= 9 THEN m + 1 ELSE m END AS pgt,
-               CASE WHEN cut OR unread THEN 0 ELSE nrgs - 1 - m END AS plt,
-               CASE WHEN cut THEN 0
-                    WHEN nrgs = 1 THEN 0 WHEN nrgs = 2 THEN 1
-                    WHEN nrgs = 3 THEN 3 ELSE 3 END AS nulls
-        FROM p)
-      SELECT k AS doc_id,
-             CAST(CASE WHEN cut THEN 0 ELSE nrgs END AS BIGINT) AS n_rgs,
-             CAST(CASE WHEN cut OR unread THEN 0 ELSE nrgs END AS BIGINT)
-               AS n_readable,
-             CAST(pgt AS BIGINT) AS pruned_gt,
-             CAST(plt AS BIGINT) AS pruned_lt,
-             CAST(CASE WHEN cut THEN 0 ELSE (nrgs - pgt) * rpg END AS BIGINT)
-               AS scanned_rows_gt,
-             CAST(nulls AS BIGINT) AS sum_nulls,
-             CAST(100 * m + 60 AS BIGINT) AS threshold
-      FROM t ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q381
-
-  /** q381 — ORC tail census: the third member of the columnar-lake
-    * trio (q377 parquet, q378 Avro), postscript-first the way a fleet
-    * actually triages ORC — the 1-byte tail length, the ALWAYS-raw
-    * protobuf postscript (codec, declared footer/metadata lengths,
-    * writer version, the field-8000 "ORC" magic gate), then the footer
-    * walked ONLY when compression = NONE (stripe count, per-stripe and
-    * total row counts, type count, content length); compressed footers
-    * are the honest stub boundary — reported by codec, never guessed
-    * at ([[graft.operators.OrcOps.parse]], sharing the protobuf wire
-    * machinery with q379). Per-doc synthetic tails derive everything
-    * from doc_id; the oracle recomputes the census closed-form.
-    * ps_len/footer_len stay out of the projection (varint-width rule).
-    * Real Spark-written ORC pinned in OrcOpsSpec. Map-only, zero
-    * shuffles.
-    */
-  val q381 = Q("q381_orc_tail_census",
-    (s, dir) => {
-      import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val base = graft.operators.OrcOps.encodeSynthetic(
-              nStripes = 1 + (id % 3).toInt,
-              rowsPerStripe = 100 + id % 20,
-              nTypes = 1 + (id % 4).toInt,
-              compression = Seq(0L, 1L, 5L)((id % 3).toInt),
-              writerVersion = 7 + id % 3,
-              dataFiller = (id % 16).toInt)
-            val out =
-              if (id % 17 == 0) base.dropRight(2)
-              else if (id % 19 == 0) { val c = base.clone(); c(0) = 0x7F.toByte; c }
-              else if (id % 23 == 0) {
-                val c = base.clone()
-                val pl = c(c.length - 1) & 0xff
-                c(c.length - 1 - pl) = 0xFF.toByte
-                c
-              } else base
-            (id, out)
-          }
-        }.toDF("doc_id", "payload")
-      graft.operators.OrcOps.orcFeatures(synth, "doc_id", "payload")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (
-        SELECT doc_id AS k,
-               1 + (doc_id % 3) AS ns,
-               100 + (doc_id % 20) AS rps,
-               1 + (doc_id % 4) AS nt,
-               CASE doc_id % 3 WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
-                    ELSE 'zstd' END AS comp,
-               (doc_id % 3 = 0) AS parsed,
-               7 + (doc_id % 3) AS wv,
-               3 + (doc_id % 16) AS clen,
-               (doc_id % 17 = 0 OR doc_id % 19 = 0 OR doc_id % 23 = 0) AS bad
-        FROM documents)
-      SELECT k AS doc_id,
-             CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS valid,
-             CASE WHEN bad THEN '' ELSE comp END AS compression,
-             CAST(0 AS BIGINT) AS metadata_len,
-             CAST(CASE WHEN bad THEN 0 ELSE wv END AS BIGINT) AS writer_version,
-             CAST(CASE WHEN bad OR NOT parsed THEN 0 ELSE 1 END AS BIGINT)
-               AS footer_parsed,
-             CAST(CASE WHEN bad OR NOT parsed THEN 0 ELSE ns END AS BIGINT)
-               AS n_stripes,
-             CAST(CASE WHEN bad OR NOT parsed THEN 0 ELSE ns * rps END AS BIGINT)
-               AS num_rows,
-             CAST(CASE WHEN bad OR NOT parsed THEN 0 ELSE ns * rps END AS BIGINT)
-               AS stripe_rows,
-             CAST(CASE WHEN bad OR NOT parsed THEN 0 ELSE nt END AS BIGINT)
-               AS n_types,
-             CAST(CASE WHEN bad OR NOT parsed THEN 0 ELSE clen END AS BIGINT)
-               AS content_length
-      FROM p ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q385
-
-  /** q385 — ORC stripe-list + column-statistics census
-    * ([[graft.operators.OrcOps.orcStripeStats]]): q381's tail walk
-    * descended one protobuf level further, reusing the tf.Example wire
-    * machinery — per-stripe index/data/footer byte masses, row-count
-    * extrema, offset monotonicity, and the Footer.statistics list
-    * (value counts, hasNull flags, IntegerStatistics min-of-mins /
-    * max-of-maxs through sint64 zigzag). This closes the lake trio at
-    * the footer-statistics depth parquet already reaches (q377/q380):
-    * the numbers a planner needs for stripe pruning without touching a
-    * data stripe. Compressed footers stay the honest stub boundary —
-    * census zeroed, codec reported (the q381 rule). Per-doc synthetic
-    * tails derive everything from doc_id; the oracle recomputes the
-    * census closed-form (even-j columns carry int stats, every third
-    * has nulls). Map-only, zero shuffles.
-    */
-  val q385 = Q("q385_orc_stripe_stats",
-    (s, dir) => {
-      import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val nc = 1 + (id % 4).toInt
-            val ns = 1 + (id % 3).toInt
-            val rps = 100 + id % 20
-            val stats = (0 until nc).map { j =>
-              graft.operators.OrcOps.ColStat(
-                ns * rps - j,
-                if (j % 2 == 0) Some((-(id % 7) - j, (id % 11) + 2L * j, id))
-                else None,
-                j % 3 == 0)
-            }
-            (id, graft.operators.OrcOps.encodeSynthetic(
-              nStripes = ns, rowsPerStripe = rps, nTypes = 1 + (id % 4).toInt,
-              compression = Seq(0L, 1L, 5L)((id % 3).toInt),
-              writerVersion = 7 + id % 3,
-              dataFiller = (id % 16).toInt,
-              colStats = stats))
-          }
-        }.toDF("doc_id", "payload")
-      graft.operators.OrcOps.orcStripeStats(synth, "doc_id", "payload")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (
-        SELECT doc_id AS k,
-               1 + (doc_id % 3) AS ns,
-               100 + (doc_id % 20) AS rps,
-               1 + (doc_id % 4) AS nc,
-               (doc_id % 3 = 0) AS parsed
-        FROM documents),
-      d AS (SELECT k, ns, rps, nc, parsed,
-               ((nc - 1) // 2) * 2 AS evmax,
-               (nc + 1) // 2 AS nint,
-               (nc + 2) // 3 AS nnull
-            FROM p)
-      SELECT k AS doc_id,
-             CAST(1 AS BIGINT) AS valid,
-             CAST(CASE WHEN parsed THEN 1 ELSE 0 END AS BIGINT) AS footer_parsed,
-             CAST(CASE WHEN parsed THEN ns ELSE 0 END AS BIGINT) AS n_stripes,
-             CAST(CASE WHEN parsed THEN 10 * ns ELSE 0 END AS BIGINT) AS stripe_index_bytes,
-             CAST(CASE WHEN parsed THEN 100 * ns ELSE 0 END AS BIGINT) AS stripe_data_bytes,
-             CAST(CASE WHEN parsed THEN 20 * ns ELSE 0 END AS BIGINT) AS stripe_footer_bytes,
-             CAST(CASE WHEN parsed THEN rps ELSE 0 END AS BIGINT) AS stripe_rows_min,
-             CAST(CASE WHEN parsed THEN rps ELSE 0 END AS BIGINT) AS stripe_rows_max,
-             CAST(1 AS BIGINT) AS offsets_monotonic,
-             CAST(CASE WHEN parsed THEN nc ELSE 0 END AS BIGINT) AS n_col_stats,
-             CAST(CASE WHEN parsed THEN nc * ns * rps - nc * (nc - 1) // 2
-                  ELSE 0 END AS BIGINT) AS stat_values,
-             CAST(CASE WHEN parsed THEN nnull ELSE 0 END AS BIGINT) AS n_has_null,
-             CAST(CASE WHEN parsed THEN nint ELSE 0 END AS BIGINT) AS n_int_stats,
-             CAST(CASE WHEN parsed THEN -(k % 7) - evmax ELSE 0 END AS BIGINT) AS int_min,
-             CAST(CASE WHEN parsed THEN (k % 11) + 2 * evmax ELSE 0 END AS BIGINT) AS int_max
-      FROM d ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q388
-
-  /** q388 — ORC stripe-level zone-map pruning audit — parquet q380's
-    * ORC twin, the move that makes the metadata walk PAY at 100 TB:
-    * the Metadata section (one StripeStatistics per stripe, walked via
-    * [[graft.operators.OrcOps.stripeStatsCensus]]) gives per-stripe
-    * min/max for a column, and for `x > t` / `x < t` the audit counts
-    * the stripes provably skippable plus the rows a CONSERVATIVE
-    * planner still scans. Conservative is the contract: absent int
-    * stats (planted every 9th doc) prune nothing and scan everything;
-    * a stripe-count mismatch between footer and metadata (planted
-    * every 25th doc — a lying writer) yields the EMPTY census, the
-    * q380 cut-footer convention. Oracle recomputes everything
-    * closed-form, including the threshold-between-stripes boundary
-    * arithmetic. Map-only, zero shuffles.
-    */
-  val q388 = Q("q388_orc_zone_prune",
-    (s, dir) => {
-      import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val ns = 1 + (id % 3).toInt
-            val rps = 100 + id % 20
-            val o = id % 7
-            val nStats = if (id % 25 == 0) ns - 1 else ns
-            val stats = (0 until nStats).map { j =>
-              Seq(graft.operators.OrcOps.ColStat(rps,
-                if (id % 9 == 0) None
-                else Some((o + 10L * j, o + 10L * j + 9, 0L)),
-                hasNull = false))
-            }
-            (id, graft.operators.OrcOps.encodeSynthetic(
-              nStripes = ns, rowsPerStripe = rps, nTypes = 2,
-              compression = 0L, writerVersion = 7,
-              dataFiller = (id % 16).toInt,
-              stripeStats = stats))
-          }
-        }.toDF("doc_id", "payload")
-      graft.operators.OrcOps.orcPruneAudit(synth, "doc_id", "payload", 0,
-        id => (id % 7) + 10L * (id % (1 + id % 3)) + 4)
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (SELECT doc_id AS k, 1 + doc_id % 3 AS ns,
-                        100 + doc_id % 20 AS rps, doc_id % 7 AS o,
-                        (doc_id % 9 = 0) AS nostats,
-                        (doc_id % 25 = 0) AS mismatch
-                 FROM documents),
-      d AS (SELECT *, k % ns AS kk, o + 10 * (k % ns) + 4 AS t FROM p)
-      SELECT k AS doc_id,
-             CAST(CASE WHEN mismatch THEN 0 ELSE ns END AS BIGINT) AS n_stripes,
-             CAST(CASE WHEN mismatch OR nostats THEN 0 ELSE ns END AS BIGINT)
-               AS n_readable,
-             CAST(CASE WHEN mismatch OR nostats THEN 0 ELSE kk END AS BIGINT)
-               AS pruned_gt,
-             CAST(CASE WHEN mismatch OR nostats THEN 0 ELSE ns - 1 - kk END AS BIGINT)
-               AS pruned_lt,
-             CAST(CASE WHEN mismatch THEN 0
-                       WHEN nostats THEN ns * rps
-                       ELSE (ns - kk) * rps END AS BIGINT) AS scanned_rows_gt,
-             CAST(t AS BIGINT) AS threshold
-      FROM d ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q390
-
-  /** q390 — LZ4 frame census + raw-block decode
-    * ([[graft.operators.Lz4Ops]]): the fourth ubiquitous compression
-    * container (gzip q194, zstd q366/q368, snappy q382/q387) at the
-    * snappy-q387 depth on day one — raw LZ4 blocks are token +
-    * literal/match LZ with no entropy coding, so every block DECODES
-    * and the frame's XXH32 checksums (header byte, per-block, whole
-    * content) verify against decoded reality instead of being trusted.
-    * Three planted classes: a flipped header-checksum byte (file
-    * rejected whole — one bad descriptor byte would desync every
-    * flag-dependent offset), a flipped literal byte (decodes fine,
-    * block + content checksums refuse, declared size still matches —
-    * corruption ≠ malformation), and a block truncated under its
-    * declared size (decode fails, counted never halted; the content
-    * checksum honestly reports unverifiable). The oracle recomputes
-    * every column closed-form — sequence widths are fixed by the
-    * sub-15 token forms. Map-only, zero shuffles.
-    */
-  val q390 = Q("q390_lz4_frame_census",
-    (s, dir) => {
-      import s.implicits._
-      import graft.operators.Lz4Ops
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val a = 5 + (id % 7).toInt
-            val m = 4 + (id % 9).toInt
-            val b = 3 + (id % 5).toInt
-            val o1 = 1 + (id % 4).toInt
-            val c = 1 + (id % 2).toInt
-            val hasStored = id % 3 == 0
-            val r = 6 + (id % 5).toInt
-            val bc = id % 2 == 0
-            val cs = id % 4 == 0
-            val bad = id % 17 == 0
-            val corrupt = !bad && id % 19 == 0
-            val trunc = !bad && !corrupt && id % 23 == 0
-            def lit(bi: Int, j: Int, len: Int): Array[Byte] =
-              Array.tabulate(len)(x => ((id * 31 + bi * 17 + j * 7 + x) & 0xff).toByte)
-            // decoded content of one compressed block (match overlaps ok)
-            def blockContent(bi: Int): Array[Byte] = {
-              val l1 = lit(bi, 0, a); val l2 = lit(bi, 1, b)
-              val outBuf = new Array[Byte](a + m + b)
-              System.arraycopy(l1, 0, outBuf, 0, a)
-              var i = 0
-              while (i < m) { outBuf(a + i) = outBuf(a - o1 + i); i += 1 }
-              System.arraycopy(l2, 0, outBuf, a + m, b)
-              outBuf
-            }
-            def blockBytes(bi: Int): Array[Byte] = Lz4Ops.encodeBlock(Seq(
-              (lit(bi, 0, a), Some((o1, m))), (lit(bi, 1, b), None)))
-            val storedData = Array.tabulate(r)(x => ((id * 13 + x) & 0xff).toByte)
-            val blocks: Seq[Either[Array[Byte], Array[Byte]]] =
-              (0 until c).map { bi =>
-                val full = blockBytes(bi)
-                Left(if (trunc && bi == 0) full.dropRight(1) else full)
-              } ++ (if (hasStored) Seq(Right(storedData)) else Nil)
-            val content = (0 until c).map(blockContent).reduce(_ ++ _) ++
-              (if (hasStored) storedData else Array.empty[Byte])
-            val frame = Lz4Ops.encodeFrame(blocks, blockChecksum = bc,
-              contentBytes = if (cs) Some(content) else None,
-              declaredSize = if (cs) Some(content.length.toLong) else None)
-            if (bad) {
-              val hcPos = 6 + (if (cs) 8 else 0)
-              frame(hcPos) = (frame(hcPos) ^ 0x5A).toByte
-            } else if (corrupt) {
-              val litPos = 7 + (if (cs) 8 else 0) + 4 + 1
-              frame(litPos) = (frame(litPos) ^ 0x5A).toByte
-            }
-            (id, frame)
-          }
-        }.toDF("doc_id", "payload")
-      graft.operators.Lz4Ops.lz4Features(synth, "doc_id", "payload")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (
-        SELECT doc_id AS k,
-               5 + doc_id % 7 AS a, 4 + doc_id % 9 AS m, 3 + doc_id % 5 AS b,
-               1 + doc_id % 2 AS c,
-               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS st,
-               6 + doc_id % 5 AS r,
-               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS bc,
-               CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS cs,
-               (doc_id % 17 = 0) AS bad,
-               (doc_id % 17 <> 0 AND doc_id % 19 = 0) AS corrupt,
-               (doc_id % 17 <> 0 AND doc_id % 19 <> 0 AND doc_id % 23 = 0) AS tr
-        FROM documents),
-      d AS (SELECT *,
-               a + b + 4 AS z,
-               c * (a + m + b) + st * r AS big_d,
-               7 + cs * 8 + c * (4 + a + b + 4 + bc * 4) - (CASE WHEN tr THEN 1 ELSE 0 END)
-                 + st * (4 + r + bc * 4) + 4 + cs * 4 AS w
-            FROM p)
-      SELECT k AS doc_id,
-             CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS valid,
-             CAST(CASE WHEN bad THEN 0 ELSE bc END AS BIGINT) AS has_block_crc,
-             CAST(CASE WHEN bad THEN 0 ELSE cs END AS BIGINT) AS has_content_crc,
-             CAST(CASE WHEN bad THEN 0 ELSE 65536 END AS BIGINT) AS block_max_size,
-             CAST(CASE WHEN bad OR cs = 0 THEN -1 ELSE big_d END AS BIGINT) AS declared_size,
-             CAST(CASE WHEN bad THEN 0 ELSE c END AS BIGINT) AS n_compressed,
-             CAST(CASE WHEN bad THEN 0 ELSE st END AS BIGINT) AS n_stored,
-             CAST(CASE WHEN bad THEN 0
-                  ELSE c * z - (CASE WHEN tr THEN 1 ELSE 0 END) + st * r
-                  END AS BIGINT) AS stored_bytes,
-             CAST(CASE WHEN bad THEN 0
-                  WHEN tr THEN big_d - (a + m + b)
-                  ELSE big_d END AS BIGINT) AS decoded_bytes,
-             CAST(CASE WHEN tr AND NOT bad THEN 1 ELSE 0 END AS BIGINT) AS n_decode_failed,
-             CAST(CASE WHEN bad OR bc = 0 THEN 0
-                  WHEN corrupt THEN c + st - 1
-                  ELSE c + st END AS BIGINT) AS block_crc_ok,
-             CAST(CASE WHEN NOT bad AND bc = 1 AND corrupt THEN 1 ELSE 0 END AS BIGINT)
-               AS block_crc_bad,
-             CAST(CASE WHEN bad OR cs = 0 THEN -1
-                  WHEN tr THEN -1
-                  WHEN corrupt THEN 0 ELSE 1 END AS BIGINT) AS content_crc_ok,
-             CAST(CASE WHEN bad OR cs = 0 THEN -1
-                  WHEN tr THEN 0 ELSE 1 END AS BIGINT) AS content_size_match,
-             CAST(CASE WHEN bad THEN w ELSE 0 END AS BIGINT) AS trailing_bytes
-      FROM d ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q382
-
-  /** q382 — Snappy framing census: the streaming container form of
-    * the codec the whole lake trio declares (q377/q378/q381 all
-    * report SNAPPY), closing the compression-container family next to
-    * gzip decode (q194) and the zstd frame walk (q366). Chunk walk
-    * with the stream-identifier gate, uncompressed-chunk CRCs
-    * VERIFIED via the same masked CRC-32C kernel TFRecord uses
-    * (TfRecordOps.crc32c/mask — one Castagnoli implementation in the
-    * engine), compressed payloads counted never decoded, and a failed
-    * CRC counted rather than halting — the 24-bit length framing
-    * stays authoritative over payload integrity. Three malformed
-    * classes: 3-byte tail cut (prefix kept, per-class trailing
-    * arithmetic in the oracle), identifier flip (file rejected whole),
-    * and a flipped CRC byte (valid stream, crc_bad = 1 — integrity
-    * and framing reported independently). Map-only, zero shuffles.
-    */
-  val q382 = Q("q382_snappy_framing_census",
-    (s, dir) => {
-      import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val base = graft.operators.SnappyFrameOps.encodeSynthetic(
-              uncLens = Seq.fill(1 + (id % 3).toInt)(30 + 2 * (id % 10).toInt),
-              compLens = if (id % 2 == 1) Seq(20 + (id % 5).toInt) else Nil,
-              padLen = if (id % 4 == 0) 8 else 0)
-            val out =
-              if (id % 17 == 0) base.dropRight(3)
-              else if (id % 19 == 0) { val c = base.clone(); c(5) = 0x7F.toByte; c }
-              else if (id % 23 == 0) {
-                // flip one CRC byte of the first uncompressed chunk
-                // (offset 10 identifier + 4 chunk header)
-                val c = base.clone(); c(14) = (c(14) ^ 0x5A).toByte; c
-              } else base
-            (id, out)
-          }
-        }.toDF("doc_id", "payload")
-      graft.operators.SnappyFrameOps.snappyFeatures(synth, "doc_id", "payload")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (
-        SELECT doc_id AS k,
-               1 + (doc_id % 3) AS nu,
-               30 + 2 * (doc_id % 10) AS ulen,
-               doc_id % 2 AS hasc,
-               20 + (doc_id % 5) AS clen,
-               CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS hasp,
-               (doc_id % 17 = 0) AS cut,
-               (doc_id % 17 <> 0 AND doc_id % 19 = 0) AS flip,
-               (doc_id % 17 <> 0 AND doc_id % 19 <> 0 AND doc_id % 23 = 0) AS crcflip
-        FROM documents),
-      t AS (
-        SELECT *,
-               10 + nu * (38 + 2 * (k % 10)) + hasc * (28 + (k % 5))
-                 + hasp * 12 AS total,
-               -- the 3-byte cut lands in the LAST chunk: pad, else the
-               -- compressed chunk, else the last uncompressed chunk
-               CASE WHEN cut AND hasp = 1 THEN nu
-                    WHEN cut AND hasc = 1 THEN nu
-                    WHEN cut THEN nu - 1
-                    WHEN flip THEN 0 ELSE nu END AS nuw,
-               CASE WHEN cut AND hasp = 0 AND hasc = 1 THEN 0
-                    WHEN flip THEN 0 ELSE hasc END AS ncw,
-               CASE WHEN cut OR flip THEN 0 ELSE hasp END AS npw
-        FROM p)
-      SELECT k AS doc_id,
-             CAST(CASE WHEN cut OR flip THEN 0 ELSE 1 END AS BIGINT) AS valid,
-             CAST(ncw AS BIGINT) AS n_compressed,
-             CAST(nuw AS BIGINT) AS n_uncompressed,
-             CAST(npw AS BIGINT) AS n_padding,
-             CAST(0 AS BIGINT) AS n_skippable,
-             CAST(nuw * ulen AS BIGINT) AS uncompressed_bytes,
-             CAST(ncw * clen AS BIGINT) AS compressed_bytes,
-             CAST(CASE WHEN crcflip THEN nuw - 1 ELSE nuw END AS BIGINT) AS crc_ok,
-             CAST(CASE WHEN crcflip THEN 1 ELSE 0 END AS BIGINT) AS crc_bad,
-             CAST(0 AS BIGINT) AS stopped_unskippable,
-             CAST(CASE WHEN flip THEN total
-                  WHEN cut AND hasp = 1 THEN 12 - 3
-                  WHEN cut AND hasc = 1 THEN 28 + (k % 5) - 3
-                  WHEN cut THEN 38 + 2 * (k % 10) - 3
-                  ELSE 0 END AS BIGINT) AS trailing_bytes
-      FROM t ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q387
-
-  /** q387 — Snappy RAW-BLOCK decode census
-    * ([[graft.operators.SnappyFrameOps.snappyDecodeFeatures]] over
-    * [[graft.operators.SnappyRaw.decode]]): q382 walks the framing and
-    * counts compressed chunks by their headers; raw snappy is varint +
-    * literal/copy LZ with no entropy coding, so this layer DECODES each
-    * type-0 chunk (bounded by the 65536 block cap — the gzip-bomb
-    * discipline) and verifies the uncompressed length and the chunk's
-    * masked CRC-32C against the DECODED bytes rather than trusting
-    * either. Fixture chunks are literal+overlapping-copy streams whose
-    * encoded widths are closed-form (1-byte preamble, 1-byte literal
-    * tag, 2-byte copy form), so the oracle replays every column
-    * arithmetically; two planted classes — a truncated bitstream
-    * (decode fails, counted never halted) and a flipped CRC (decodes,
-    * checksum refuses). Map-only, zero shuffles.
-    */
-  val q387 = Q("q387_snappy_raw_decode",
-    (s, dir) => {
-      import s.implicits._
-      import graft.operators.{SnappyFrameOps, SnappyRaw}
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val c = 1 + (id % 3).toInt
-            val out = new java.io.ByteArrayOutputStream()
-            out.write(SnappyFrameOps.identifierChunk)
-            (0 until c).foreach { i =>
-              val a = 10 + ((id + i) % 7).toInt
-              val l = 4 + ((id + i) % 8).toInt
-              val ops = Seq(
-                SnappyRaw.Lit(Array.tabulate(a)(b => ((b * 31 + id) & 0xff).toByte)),
-                SnappyRaw.Copy(1 + ((id + i) % 5).toInt, l))
-              out.write(SnappyFrameOps.compressedChunk(ops,
-                flipCrc = id % 13 != 0 && id % 11 == 0 && i == 0,
-                truncate = id % 13 == 0 && i == 0))
-            }
-            (id, out.toByteArray)
-          }
-        }.toDF("doc_id", "payload")
-      graft.operators.SnappyFrameOps.snappyDecodeFeatures(synth, "doc_id", "payload")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (SELECT doc_id AS k, 1 + doc_id % 3 AS c,
-                        (doc_id % 13 = 0) AS tr,
-                        (doc_id % 13 <> 0 AND doc_id % 11 = 0) AS fl
-                 FROM documents),
-      js AS (SELECT unnest(range(3)) AS j),
-      ch AS (SELECT p.k, js.j,
-                    10 + ((p.k + js.j) % 7) AS a,
-                    4 + ((p.k + js.j) % 8) AS l,
-                    (p.tr AND js.j = 0) AS t,
-                    (p.fl AND js.j = 0) AS f
-             FROM p JOIN js ON js.j < p.c)
-      SELECT k AS doc_id,
-             CAST(1 AS BIGINT) AS valid,
-             CAST(count(*) AS BIGINT) AS n_compressed,
-             CAST(sum(a + 4 - CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
-               AS compressed_bytes,
-             CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS raw_ok,
-             CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS raw_failed,
-             CAST(sum(CASE WHEN t THEN 0 ELSE a + l END) AS BIGINT) AS raw_bytes,
-             CAST(sum(CASE WHEN t OR f THEN 0 ELSE 1 END) AS BIGINT) AS raw_crc_ok,
-             CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS raw_crc_bad,
-             CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_literals,
-             CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_copies
-      FROM ch GROUP BY k ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q392
-
-  /** q392 — Delta-Lake transaction-log snapshot census
-    * ([[graft.operators.DeltaLogOps.snapshotCensus]]): the TABLE-format
-    * layer the file walkers (q377/q380 parquet, q385/q388 ORC, q378
-    * Avro) sit under — a `_delta_log/` replay that reconstructs which
-    * files are LIVE (latest add/remove per path wins, add beats remove
-    * inside one commit, a re-add revives a tombstone), the protocol
-    * floor, live bytes/rows from the embedded per-file stats strings,
-    * and the live partition count. Fully declarative: get_json_object
-    * + ONE (table, path) window + one per-table groupBy — log replay
-    * as a relational fold, no mapPartitions. Honest boundaries: a line
-    * matching no action kind counts n_malformed (planted every 11th
-    * table); an add without stats joins as rows-unknown (every 7th).
-    * The oracle recomputes the whole census closed-form from the
-    * synthesis schedule (slot enumeration, no JSON parsing).
-    */
-  val q392 = Q("q392_delta_log_census",
-    (s, dir) => {
-      import s.implicits._
-      val log = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .flatMap(k => graft.operators.DeltaLogOps.syntheticLog(k)
-          .map { case (v, l) => (k, v, l) })
-        .toDF("doc_id", "version", "line")
-      graft.operators.DeltaLogOps
-        .snapshotCensus(log, "doc_id", "version", "line", "x")
-        .withColumnRenamed("tbl", "doc_id")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (SELECT doc_id AS k, CAST(2 + doc_id % 5 AS BIGINT) AS n0,
-                        doc_id % 3 AS m FROM documents),
-      s AS (SELECT k, n0, m, unnest(range(0, n0 + 2)) AS j FROM p),
-      sl AS (SELECT k, n0, m, j,
-               CASE WHEN m = 0 THEN j < n0
-                    WHEN m = 1 THEN j BETWEEN 1 AND n0
-                    ELSE (j BETWEEN 1 AND n0) OR j = n0 + 1 END AS live,
-               NOT (k % 7 = 0 AND j = 1) AS has_stats
-             FROM s),
-      agg AS (SELECT k,
-                SUM(CASE WHEN live THEN 1 ELSE 0 END) AS n_live,
-                SUM(CASE WHEN live THEN 100 * (j + 1) ELSE 0 END) AS live_bytes,
-                SUM(CASE WHEN live AND has_stats THEN 10 + j ELSE 0 END) AS live_rows,
-                SUM(CASE WHEN live AND NOT has_stats THEN 1 ELSE 0 END) AS n_no_stats,
-                COUNT(DISTINCT CASE WHEN live THEN j % 3 END) AS n_parts
-              FROM sl GROUP BY k)
-      SELECT p.k AS doc_id,
-             CAST(2 + n0 + (CASE WHEN p.k % 11 = 0 THEN 1 ELSE 0 END)
-                  + (CASE WHEN m >= 1 THEN 3 ELSE 0 END)
-                  + (CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines,
-             CAST(1 + m AS BIGINT) AS n_versions,
-             CAST(CASE WHEN p.k % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_malformed,
-             CAST(n0 + (CASE WHEN m >= 1 THEN 1 ELSE 0 END)
-                  + (CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_adds,
-             CAST(CASE WHEN m >= 1 THEN 1 ELSE 0 END AS BIGINT) AS n_removes,
-             CAST(1 + p.k % 2 AS BIGINT) AS min_reader,
-             CAST(2 + p.k % 2 AS BIGINT) AS min_writer,
-             CAST(agg.n_live AS BIGINT) AS n_live,
-             CAST(CASE WHEN m = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_tombstones,
-             CAST(agg.live_bytes AS BIGINT) AS live_bytes,
-             CAST(agg.live_rows AS BIGINT) AS live_rows,
-             CAST(agg.n_no_stats AS BIGINT) AS n_live_no_stats,
-             CAST(agg.n_parts AS BIGINT) AS n_partitions
-      FROM p JOIN agg ON agg.k = p.k ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q393
-
-  /** q393 — Delta-log table-level prune audit
-    * ([[graft.operators.DeltaLogOps.pruneAudit]]): q380's zone-map
-    * arithmetic lifted to the TABLE format — the log's reconstructed
-    * live set carries per-file minValues/maxValues and the partition
-    * assignment, so `x > 25` files are provably skippable by
-    * maxValues.x alone and `p = '1'` files by the partitionValues
-    * string, BEFORE any footer is opened. Conservative contract
-    * (q380/q388): a live file without parseable stats is scanned, its
-    * rows counted separately as n_scanned_no_stats — blind spots never
-    * fold into the vouched-for number. Oracle: closed-form slot replay.
-    */
-  val q393 = Q("q393_delta_log_prune",
-    (s, dir) => {
-      import s.implicits._
-      val log = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .flatMap(k => graft.operators.DeltaLogOps.syntheticLog(k)
-          .map { case (v, l) => (k, v, l) })
-        .toDF("doc_id", "version", "line")
-      graft.operators.DeltaLogOps
-        .pruneAudit(log, "doc_id", "version", "line", "x",
-          threshold = 25L, partKey = "p", partValue = "1")
-        .withColumnRenamed("tbl", "doc_id")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (SELECT doc_id AS k, CAST(2 + doc_id % 5 AS BIGINT) AS n0,
-                        doc_id % 3 AS m FROM documents),
-      s AS (SELECT k, n0, m, unnest(range(0, n0 + 2)) AS j FROM p),
-      sl AS (SELECT k, j,
-               CASE WHEN m = 0 THEN j < n0
-                    WHEN m = 1 THEN j BETWEEN 1 AND n0
-                    ELSE (j BETWEEN 1 AND n0) OR j = n0 + 1 END AS live,
-               NOT (k % 7 = 0 AND j = 1) AS has_stats
-             FROM s),
-      a AS (SELECT k, j, has_stats,
-              has_stats AND (10 * j + 9 <= 25) AS skippable,
-              j % 3 = 1 AS part_match
-            FROM sl WHERE live)
-      SELECT k AS doc_id,
-             CAST(count(*) AS BIGINT) AS n_live,
-             CAST(SUM(CASE WHEN skippable THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
-             CAST(SUM(CASE WHEN skippable THEN 0 ELSE 1 END) AS BIGINT) AS n_scanned,
-             CAST(SUM(CASE WHEN NOT skippable AND has_stats THEN 10 + j ELSE 0 END) AS BIGINT) AS rows_scanned,
-             CAST(SUM(CASE WHEN has_stats THEN 0 ELSE 1 END) AS BIGINT) AS n_scanned_no_stats,
-             CAST(SUM(CASE WHEN part_match THEN 1 ELSE 0 END) AS BIGINT) AS n_part_match,
-             CAST(SUM(CASE WHEN part_match THEN 0 ELSE 1 END) AS BIGINT) AS n_part_pruned
-      FROM a GROUP BY k ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q395
-
-  /** q395 — zstd SEQUENCES decode census
-    * ([[graft.operators.ZstdSeq.zstdSeqFeatures]]): the entropy
-    * boundary q366/q368 stopped at, crossed for the default-tables
-    * case — raw/RLE literals + Predefined_Mode FSE sequences (tables
-    * BUILT from RFC 8878's normalized counts via the spec's spread
-    * algorithm), the backward bitstream, interleaved state updates,
-    * and the three-slot repeat-offset history. Honest boundaries
-    * stay separate: a broken bitstream counts `n_failed` (defect);
-    * blocks AFTER a failure are state-lost skips and frames declaring
-    * a DICTIONARY id are declined whole — both ride `n_unsupported`
-    * with `dict_gated` naming the frame-level class (valid frames the
-    * decoder declines, never conflated with spec violations).
-    * ZstdSeqSpec grades the decoder against real zstd-CLI frames
-    * byte-for-byte incl. their XXH64 checksums; this query's fixtures
-    * mix a doc-varying raw block, a pinned predefined-FSE block (real
-    * zstd output), a hand-encoded RLE-mode block, and planted
-    * failed/state-lost/dict-gated classes. Oracle closed-form.
-    * Map-only, zero shuffles.
-    */
-  val q395 = Q("q395_zstd_seq_decode",
-    (s, dir) => {
-      import s.implicits._
-      import graft.operators.{ZstdOps, ZstdSeq}
-      // real zstd -1 output for a 39-byte repetitive input: raw
-      // literals + one predefined-FSE sequence (pinned in ZstdSeqSpec)
-      val predefBlock = "6061626364656667685f78797a01000ccb11"
-        .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
-      val rleModeBlock = ZstdOps.literalsHeader(0, 10) ++
-        "0123456789".getBytes ++ Array[Byte](1, 0x54, 4, 1, 5, 0x02)
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val k = (id % 50).toInt
-            val broken = predefBlock.clone()
-            broken(broken.length - 1) = 0 // bitstream marker erased
-            val blocks = Seq(
-              (0, Array.tabulate(20 + k)(i => ((i * 13 + k) % 251).toByte)),
-              (2, predefBlock),
-              (2, rleModeBlock)) ++
-              (if (k % 4 == 0) // treeless FIRST-use: spec-corrupt (no
-                // prior Huffman table anywhere in the frame)
-                Seq((2, ZstdOps.literalsHeader(3, 50, 10) ++ Array.fill(10)(7.toByte)))
-              else Nil) ++
-              (if (k % 5 == 0) Seq((2, broken)) else Nil)
-            // every 9th doc's frame declares a dictionary id: a VALID
-            // frame the decoder declines whole (dict_gated class)
-            (id, ZstdOps.encodeFrameWithBlocks(blocks,
-              dictId = if (k % 9 == 0) 7 else 0))
-          }
-        }.toDF("doc_id", "payload")
-      ZstdSeq.zstdSeqFeatures(synth, "doc_id", "payload")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
-      f AS (SELECT doc_id, k,
-              CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS t4,
-              CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS t5,
-              CASE WHEN k % 9 = 0 THEN 1 ELSE 0 END AS dict
-            FROM d)
-      SELECT doc_id,
-             CAST(1 AS BIGINT) AS valid,
-             CAST(3 + t4 + t5 AS BIGINT) AS n_blocks,
-             CAST(1 AS BIGINT) AS n_raw,
-             CAST(0 AS BIGINT) AS n_rle,
-             CAST(2 + t4 + t5 AS BIGINT) AS n_compressed,
-             CAST(CASE WHEN dict = 1 THEN 0 ELSE 2 END AS BIGINT) AS n_decoded,
-             CAST(CASE WHEN dict = 1 THEN 2 + t4 + t5
-                       WHEN t4 = 1 AND t5 = 1 THEN 1
-                       ELSE 0 END AS BIGINT) AS n_unsupported,
-             CAST(CASE WHEN dict = 1 THEN 0
-                       WHEN t4 = 1 OR t5 = 1 THEN 1
-                       ELSE 0 END AS BIGINT) AS n_failed,
-             CAST(CASE WHEN dict = 1 THEN 20 + k ELSE 77 + k END AS BIGINT)
-               AS decoded_bytes,
-             CAST(-1 AS BIGINT) AS content_ok,
-             CAST(dict AS BIGINT) AS dict_gated
-      FROM f ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q400
-
-  /** q400 — lake-format RECONCILIATION: the same logical table state
-    * described by BOTH metadata formats — a Delta `_delta_log`
-    * (q392's replay) and an Iceberg manifest (q398's Avro record
-    * descent) derived from one schedule — must agree on the live set:
-    * file count, byte mass, partitions, tombstones. This is the
-    * migration-validation pass a Delta→Iceberg (or dual-written) lake
-    * actually runs, and it composes the two table layers end to end.
-    * Two planted divergences keep the comparison honest: every 7th
-    * table's Delta add ships WITHOUT stats, so Delta's vouched-for
-    * row sum undercounts where Iceberg's required record_count
-    * cannot (rows_match = 0 exactly there); and every 11th table's
-    * Iceberg manifest stamps a STALE writing-snapshot id on one live
-    * entry — the dual-writer drift the snapshot facet (snap_match,
-    * via the census's n_snapshot_ids) must surface, not paper over.
-    * Oracle closed-form over the shared schedule.
-    */
-  val q400 = Q("q400_lake_format_reconciliation",
-    (s, dir) => {
-      import s.implicits._
-      import graft.operators.{DeltaLogOps, IcebergOps}
-      val ids = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-      val log = ids.flatMap(k => DeltaLogOps.syntheticLog(k)
-          .map { case (v, l) => (k, v, l) })
-        .toDF("doc_id", "version", "line")
-      val delta = DeltaLogOps.snapshotCensus(log, "doc_id", "version", "line")
-        .select(col("tbl").as("doc_id"),
-          col("n_live").as("d_live"), col("live_bytes").as("d_bytes"),
-          col("live_rows").as("d_rows"), col("n_partitions").as("d_parts"),
-          col("n_tombstones").as("d_tomb"))
-      // the Iceberg twin of the SAME schedule: live slots per the
-      // Delta history (m=0: 0..n0-1; m=1: 1..n0; m=2: 1..n0 plus f0
-      // reborn as slot n0+1), one DELETED tombstone when m=1
-      val manifests = ids.mapPartitions(_.map { id =>
-        val k = id // the Delta synthetic keys on the FULL id
-        val n0 = (2 + k % 5).toInt
-        val m = (k % 3).toInt
-        def entry(slot: Int, path: String, status: Int,
-                  snap: Long = 1000L + k) =
-          IcebergOps.Entry(status, Some(snap), path, "PARQUET",
-            slot % 3, 10L + slot, 100L * (slot + 1),
-            Some(IcebergOps.Bounds(10L * slot, 10L * slot + 9)))
-        val live = m match {
-          case 0 => (0 until n0).map(j => entry(j, s"f$j.parquet", 1))
-          case 1 => (1 to n0).map(j => entry(j, s"f$j.parquet", 1))
-          case _ => (1 to n0).map(j => entry(j, s"f$j.parquet", 1)) :+
-            entry(n0 + 1, "f0.parquet", 1)
-        }
-        // dual-writer drift (every 11th table): one live entry keeps a
-        // STALE writing-snapshot id — the snap_match facet's plant
-        val planted =
-          if (k % 11 == 0) live.head.copy(snapshotId = Some(999L + k)) +: live.tail
-          else live
-        val tomb = if (m == 1) Seq(entry(0, "f0.parquet", 2)) else Seq.empty
-        (id, IcebergOps.encodeManifest(Seq(planted ++ tomb), syncSeed = k * 31L))
-      }).toDF("doc_id", "payload")
-      val ice = IcebergOps.manifestCensus(manifests, "doc_id", "payload")
-        .select(col("doc_id"),
-          col("n_live").as("i_live"), col("live_bytes").as("i_bytes"),
-          col("live_rows").as("i_rows"), col("n_partitions").as("i_parts"),
-          col("n_deleted").as("i_tomb"), col("n_snapshot_ids").as("i_snaps"))
-      delta.join(ice, Seq("doc_id"))
-        .select(col("doc_id"),
-          col("d_live"), col("i_live"),
-          (col("d_live") === col("i_live")).cast("long").as("live_match"),
-          (col("d_bytes") === col("i_bytes")).cast("long").as("bytes_match"),
-          (col("d_rows") === col("i_rows")).cast("long").as("rows_match"),
-          (col("d_parts") === col("i_parts")).cast("long").as("parts_match"),
-          (col("d_tomb") === col("i_tomb")).cast("long").as("tomb_match"),
-          // one writing snapshot over the live set = a consistent
-          // dual-write; the planted stale id reads 0 here
-          (col("i_snaps") === 1).cast("long").as("snap_match"))
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (SELECT doc_id,
-                        CAST(2 + doc_id % 5 AS BIGINT) AS n0,
-                        doc_id % 3 AS m FROM documents),
-      s AS (SELECT doc_id, n0, m, unnest(range(0, n0 + 2)) AS j FROM p),
-      sl AS (SELECT doc_id,
-               CASE WHEN m = 0 THEN j < n0
-                    WHEN m = 1 THEN j BETWEEN 1 AND n0
-                    ELSE (j BETWEEN 1 AND n0) OR j = n0 + 1 END AS live
-             FROM s),
-      agg AS (SELECT doc_id, SUM(CASE WHEN live THEN 1 ELSE 0 END) AS n_live
-              FROM sl GROUP BY doc_id)
-      SELECT p.doc_id,
-             CAST(agg.n_live AS BIGINT) AS d_live,
-             CAST(agg.n_live AS BIGINT) AS i_live,
-             CAST(1 AS BIGINT) AS live_match,
-             CAST(1 AS BIGINT) AS bytes_match,
-             CAST(CASE WHEN p.doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS rows_match,
-             CAST(1 AS BIGINT) AS parts_match,
-             CAST(1 AS BIGINT) AS tomb_match,
-             CAST(CASE WHEN p.doc_id % 11 = 0 THEN 0 ELSE 1 END AS BIGINT) AS snap_match
-      FROM p JOIN agg ON agg.doc_id = p.doc_id
-      ORDER BY p.doc_id"""))
-
-  // --------------------------------------------------------------- q398
-
-  /** q398 — Iceberg manifest-file census
-    * ([[graft.operators.IcebergOps.manifestCensus]]): the SECOND table
-    * format (Delta q392/q393/q397 is JSON; Iceberg manifests are Avro
-    * object-container files), and the first walker to decode Avro
-    * RECORD BODIES — the pinned `manifest_entry` v1-subset: zigzag
-    * varints, union indices (optional snapshot_id), nested records,
-    * and the bounds maps shipped as arrays of key/value pairs with
-    * 8-byte-LE single-value longs. Contracts: record decode runs only
-    * when the embedded avro.schema names manifest_entry (drift →
-    * schema_ok 0, census zeroed — planted every 13th table); a block
-    * whose declared count doesn't decode to EXACT payload consumption
-    * counts n_malformed_blocks and contributes nothing (planted every
-    * 11th); DELETED entries are tombstones outside the live set.
-    * Oracle closed-form by slot enumeration. Map-only, zero shuffles.
-    */
-  val q398 = Q("q398_iceberg_manifest_census",
-    (s, dir) => {
-      import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map(id =>
-          (id, graft.operators.IcebergOps.syntheticManifest(id % 50))))
-        .toDF("doc_id", "payload")
-      graft.operators.IcebergOps.manifestCensus(synth, "doc_id", "payload")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (SELECT doc_id, doc_id % 50 AS k,
-                        CAST(3 + (doc_id % 50) % 4 AS BIGINT) AS nE,
-                        (doc_id % 50) % 13 = 0 AS drift,
-                        (doc_id % 50) % 11 = 0 AS mal
-                 FROM documents),
-      s AS (SELECT doc_id, k, nE, drift, unnest(range(nE)) AS j FROM p),
-      sl AS (SELECT doc_id, j, (j + k) % 3 AS st,
-               NOT (k % 7 = 0 AND j = 1) AS hb
-             FROM s WHERE NOT drift),
-      agg AS (SELECT doc_id,
-                COUNT(*) AS n_entries,
-                SUM(CASE WHEN st = 1 THEN 1 ELSE 0 END) AS n_added,
-                SUM(CASE WHEN st = 0 THEN 1 ELSE 0 END) AS n_existing,
-                SUM(CASE WHEN st = 2 THEN 1 ELSE 0 END) AS n_deleted,
-                SUM(CASE WHEN st <> 2 THEN 1 ELSE 0 END) AS n_live,
-                SUM(CASE WHEN st <> 2 THEN 10 + j ELSE 0 END) AS live_rows,
-                SUM(CASE WHEN st <> 2 THEN 100 * (j + 1) ELSE 0 END) AS live_bytes,
-                COUNT(DISTINCT CASE WHEN st <> 2 THEN j % 3 END) AS n_parts,
-                SUM(CASE WHEN st <> 2 AND NOT hb THEN 1 ELSE 0 END) AS n_nb,
-                SUM(CASE WHEN j % 2 = 0 THEN 1 ELSE 0 END) AS n_snap
-              FROM sl GROUP BY doc_id)
-      SELECT p.doc_id,
-             CAST(1 AS BIGINT) AS valid,
-             CAST(CASE WHEN drift THEN 0 ELSE 1 END AS BIGINT) AS schema_ok,
-             CAST((CASE WHEN k % 2 = 0 THEN 2 ELSE 1 END)
-                  + (CASE WHEN mal THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
-             CAST(CASE WHEN mal AND NOT drift THEN 1 ELSE 0 END AS BIGINT)
-               AS n_malformed_blocks,
-             CAST(coalesce(CASE WHEN drift THEN 0 ELSE n_entries END, 0) AS BIGINT) AS n_entries,
-             CAST(coalesce(n_added, 0) AS BIGINT) AS n_added,
-             CAST(coalesce(n_existing, 0) AS BIGINT) AS n_existing,
-             CAST(coalesce(n_deleted, 0) AS BIGINT) AS n_deleted,
-             CAST(coalesce(n_live, 0) AS BIGINT) AS n_live,
-             CAST(coalesce(live_rows, 0) AS BIGINT) AS live_rows,
-             CAST(coalesce(live_bytes, 0) AS BIGINT) AS live_bytes,
-             CAST(coalesce(n_parts, 0) AS BIGINT) AS n_partitions,
-             CAST(coalesce(n_nb, 0) AS BIGINT) AS n_no_bounds,
-             CAST(coalesce(n_snap, 0) AS BIGINT) AS n_with_snapshot,
-             CAST(CASE WHEN drift THEN 0 ELSE 1 END AS BIGINT) AS n_snapshot_ids,
-             CAST(0 AS BIGINT) AS trailing_bytes
-      FROM p LEFT JOIN agg ON agg.doc_id = p.doc_id
-      ORDER BY p.doc_id"""))
-
-  // --------------------------------------------------------------- q399
-
-  /** q399 — Iceberg manifest prune audit
-    * ([[graft.operators.IcebergOps.manifestPruneAudit]]): q380/q388/
-    * q393's planner arithmetic at the Iceberg layer — `x > 25` files
-    * provably skippable by the decoded upper bound, partition
-    * `p == 1` by the partition struct, live entries only, bounds-less
-    * files scanned and counted separately (the conservative
-    * contract). Oracle closed-form over the same slot schedule.
-    */
-  val q399 = Q("q399_iceberg_manifest_prune",
-    (s, dir) => {
-      import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map(id =>
-          (id, graft.operators.IcebergOps.syntheticManifest(id % 50))))
-        .toDF("doc_id", "payload")
-      graft.operators.IcebergOps
-        .manifestPruneAudit(synth, "doc_id", "payload",
-          threshold = 25L, partValue = 1)
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (SELECT doc_id, doc_id % 50 AS k,
-                        CAST(3 + (doc_id % 50) % 4 AS BIGINT) AS nE,
-                        (doc_id % 50) % 13 = 0 AS drift
-                 FROM documents),
-      s AS (SELECT doc_id, k, unnest(range(nE)) AS j FROM p WHERE NOT drift),
-      sl AS (SELECT doc_id, j,
-               NOT (k % 7 = 0 AND j = 1) AS hb,
-               j % 3 = 1 AS pm
-             FROM s WHERE (j + k) % 3 <> 2),
-      a AS (SELECT doc_id, j, hb, pm, hb AND (10 * j + 9 <= 25) AS sk FROM sl),
-      agg AS (SELECT doc_id,
-                COUNT(*) AS n_live,
-                SUM(CASE WHEN sk THEN 1 ELSE 0 END) AS n_sk,
-                SUM(CASE WHEN sk THEN 0 ELSE 1 END) AS n_sc,
-                SUM(CASE WHEN NOT sk AND hb THEN 10 + j ELSE 0 END) AS rows_sc,
-                SUM(CASE WHEN hb THEN 0 ELSE 1 END) AS n_nb,
-                SUM(CASE WHEN pm THEN 1 ELSE 0 END) AS n_pm,
-                SUM(CASE WHEN pm THEN 0 ELSE 1 END) AS n_pp
-              FROM a GROUP BY doc_id)
-      SELECT p.doc_id,
-             CAST(coalesce(n_live, 0) AS BIGINT) AS n_live,
-             CAST(coalesce(n_sk, 0) AS BIGINT) AS n_skippable,
-             CAST(coalesce(n_sc, 0) AS BIGINT) AS n_scanned,
-             CAST(coalesce(rows_sc, 0) AS BIGINT) AS rows_scanned,
-             CAST(coalesce(n_nb, 0) AS BIGINT) AS n_scanned_no_bounds,
-             CAST(coalesce(n_pm, 0) AS BIGINT) AS n_part_match,
-             CAST(coalesce(n_pp, 0) AS BIGINT) AS n_part_pruned
-      FROM p LEFT JOIN agg ON agg.doc_id = p.doc_id
-      ORDER BY p.doc_id"""))
-
-  // --------------------------------------------------------------- q397
-
-  /** q397 — INCREMENTAL Delta-log replay under the oracle gate
-    * ([[graft.operators.DeltaLogOps.foldBatch]]/censusFromState): the
-    * synthetic logs arrive COMMIT BY COMMIT (three version batches),
-    * each folding into the compact state — latest action per path +
-    * tallies + protocol + version set, bounded by FILE count, never
-    * line count — and the census off the folded state must equal
-    * q392's full-log answer exactly, so the oracle IS q392's
-    * closed-form replay. This is the 100 TB shape: a transaction log
-    * only grows, but each arriving commit costs one latest-wins
-    * reduction over (state ∪ batch), never a history replay.
-    * DeltaLogOpsSpec pins the fold ≡ batch identity and the
-    * compactness bound; StreamingSpec runs the same fold as the 17th
-    * streaming twin.
-    */
-  val q397 = Q("q397_delta_log_incremental",
-    (s, dir) => {
-      import s.implicits._
-      import graft.operators.DeltaLogOps
-      def lines(v: Long) = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .flatMap(k => DeltaLogOps.syntheticLog(k).collect {
-          case (ver, l) if ver == v => (k, ver, l)
-        })
-        .toDF("doc_id", "version", "line")
-      var state = DeltaLogOps.emptyState(s)
-      for (v <- 0L to 2L)
-        state = DeltaLogOps
-          .foldBatch(state, lines(v), "doc_id", "version", "line")
-          .localCheckpoint(false)
-      DeltaLogOps.censusFromState(state)
-        .withColumnRenamed("tbl", "doc_id")
-        .orderBy("doc_id")
-    },
-    q392.oracle) // fold ≡ full-log census: the SAME closed form
-
-  // --------------------------------------------------------------- q405
-
-  /** q405 — Delta DELETION-VECTOR net-row census
-    * ([[graft.operators.DeltaLogOps.deletionVectorCensus]]): modern
-    * Delta deletes rows WITHOUT rewriting files — the add action
-    * carries a deletionVector sidecar whose cardinality counts the
-    * file's soft-deleted rows, and the latest add's DV state wins
-    * whole (the m=2 re-add ships WITHOUT a DV: compaction clearing
-    * delete debt — planted and pinned). File-level replay overcounts
-    * live rows on any DV table; this census reports vouched rows, DV
-    * rows, net rows (only over stats-bearing files — a stats-less
-    * file is counted, never guessed), and the DV-riding file count a
-    * maintenance job watches. Oracle closed-form over the q392 slot
-    * schedule with DVs on every 3rd slot.
-    */
-  val q405 = Q("q405_delta_deletion_vectors",
-    (s, dir) => {
-      import s.implicits._
-      val log = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .flatMap(k => graft.operators.DeltaLogOps.syntheticLogDv(k)
-          .map { case (v, l) => (k, v, l) })
-        .toDF("doc_id", "version", "line")
-      graft.operators.DeltaLogOps
-        .deletionVectorCensus(log, "doc_id", "version", "line")
-        .withColumnRenamed("tbl", "doc_id")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (SELECT doc_id AS k, CAST(2 + doc_id % 5 AS BIGINT) AS n0,
-                        doc_id % 3 AS m FROM documents),
-      s AS (SELECT k, n0, m, unnest(range(0, n0 + 2)) AS j FROM p),
-      sl AS (SELECT k, j,
-               CASE WHEN m = 0 THEN j < n0
-                    WHEN m = 1 THEN j BETWEEN 1 AND n0
-                    ELSE (j BETWEEN 1 AND n0) OR j = n0 + 1 END AS live,
-               NOT (k % 7 = 0 AND j = 1) AS hs,
-               CASE WHEN j % 3 = 0 AND NOT (m = 2 AND j = n0 + 1)
-                    THEN j + 1 ELSE 0 END AS dv
-             FROM s)
-      SELECT k AS doc_id,
-        CAST(SUM(CASE WHEN live THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
-        CAST(SUM(CASE WHEN live AND dv > 0 THEN 1 ELSE 0 END) AS BIGINT)
-          AS n_live_with_dv,
-        CAST(SUM(CASE WHEN live AND hs THEN 10 + j ELSE 0 END) AS BIGINT)
-          AS live_rows,
-        CAST(SUM(CASE WHEN live THEN dv ELSE 0 END) AS BIGINT) AS dv_rows,
-        CAST(SUM(CASE WHEN live AND hs THEN 10 + j - dv ELSE 0 END) AS BIGINT)
-          AS net_rows,
-        CAST(SUM(CASE WHEN live AND NOT hs THEN 1 ELSE 0 END) AS BIGINT)
-          AS n_live_no_stats
-      FROM sl GROUP BY k ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q406
-
-  /** q406 — Iceberg v2 POSITIONAL-DELETE audit
-    * ([[graft.operators.IcebergOps.positionalDeleteAudit]]): the
-    * row-level layer under the file census — delete files carry
-    * (data_file_path, pos) rows; net live rows per data file =
-    * record_count − distinct applicable positions. Honest classes
-    * planted and separated: an orphan delete naming an absent file
-    * (every 11th table) applies to nothing; a position at/past the
-    * file's row count (every 7th) names a row that cannot exist;
-    * duplicate pairs (every 5th) apply ONCE with the redundancy
-    * reported (the delete-compaction budget signal). Relational end
-    * to end: one distinct over delete rows, one metadata-grain join,
-    * one rollup — data rows never shuffle. Oracle closed-form.
-    */
-  val q406 = Q("q406_iceberg_positional_deletes",
-    (s, dir) => {
-      import s.implicits._
-      val ids = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-      val files = ids.flatMap { id =>
-        val k = id % 50
-        (0 until (2 + k % 4).toInt).map(i => (id, s"d$i.parquet", 10L + i))
-      }.toDF("doc_id", "path", "rc")
-      val dels = ids.flatMap { id =>
-        val k = id % 50
-        val nF = (2 + k % 4).toInt
-        val base = for { i <- 0 until nF; p <- 0 until i }
-          yield (id, s"d$i.parquet", p.toLong)
-        base ++
-          (if (k % 5 == 0) Seq((id, "d1.parquet", 0L)) else Nil) ++
-          (if (k % 7 == 0) Seq((id, "d0.parquet", 999L)) else Nil) ++
-          (if (k % 11 == 0) Seq((id, "ghost.parquet", 0L)) else Nil)
-      }.toDF("doc_id", "path", "pos")
-      graft.operators.IcebergOps
-        .positionalDeleteAudit(files, "doc_id", "path", "rc",
-          dels, "doc_id", "path", "pos")
-        .withColumnRenamed("tbl", "doc_id")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
-      f AS (SELECT doc_id, k, CAST(2 + k % 4 AS BIGINT) AS nF FROM d)
-      SELECT doc_id,
-        nF AS n_files,
-        CAST(10 * nF + nF * (nF - 1) / 2 AS BIGINT) AS total_rows,
-        CAST(nF * (nF - 1) / 2 AS BIGINT) AS n_deletes_applied,
-        CAST(10 * nF AS BIGINT) AS net_rows,
-        CAST(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_invalid_pos,
-        CAST(CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_orphan_deletes,
-        CAST(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_dup_deletes
-      FROM f ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q408
-
-  /** q408 — Iceberg v2 EQUALITY-delete bounds
-    * ([[graft.operators.IcebergOps.equalityDeleteBounds]]): an
-    * equality delete (`x = V`) removes an unknowable row count from
-    * metadata alone — this census refuses to guess and reports the
-    * honest interval instead: candidate files are those whose zone
-    * maps contain any key (bounds-less files always candidates —
-    * planted every 7th table on file 1), net live rows land in
-    * [total − rows_at_risk, total]. Keys broadcast
-    * (metadata-sized); files stream one join + two rollups. Oracle
-    * closed-form: key t = 10t+5 hits exactly file t when it exists.
-    */
-  val q408 = Q("q408_iceberg_equality_delete_bounds",
-    (s, dir) => {
-      import s.implicits._
-      val ids = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-      val files = ids.flatMap { id =>
-        val k = id % 50
-        (0 until (2 + k % 4).toInt).map { i =>
-          val noBounds = k % 7 == 0 && i == 1
-          (id, s"d$i.parquet", 10L + i,
-            if (noBounds) None else Some(10L * i),
-            if (noBounds) None else Some(10L * i + 9))
-        }
-      }.toDF("doc_id", "path", "rc", "lo", "hi")
-      val dels = ids.flatMap { id =>
-        val k = id % 50
-        (0 until (1 + k % 3).toInt).map(t => (id, 10L * t + 5))
-      }.toDF("doc_id", "key")
-      graft.operators.IcebergOps
-        .equalityDeleteBounds(files, "doc_id", "path", "rc", "lo", "hi",
-          dels, "doc_id", "key")
-        .withColumnRenamed("tbl", "doc_id")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
-      p AS (SELECT doc_id, k, CAST(2 + k % 4 AS BIGINT) AS nF,
-                   CAST(1 + k % 3 AS BIGINT) AS nK FROM d),
-      t AS (SELECT doc_id, k, nF, nK, unnest(range(nF)) AS i FROM p),
-      h AS (SELECT doc_id, i,
-              CASE WHEN k % 7 = 0 AND i = 1 THEN 1 ELSE 0 END AS nb,
-              CASE WHEN i < least(nK, nF)
-                     OR (k % 7 = 0 AND i = 1) THEN 1 ELSE 0 END AS hit
-            FROM t),
-      agg AS (SELECT doc_id,
-                CAST(count(*) AS BIGINT) AS n_files,
-                CAST(SUM(10 + i) AS BIGINT) AS total_rows,
-                CAST(SUM(hit) AS BIGINT) AS n_candidate_files,
-                CAST(SUM(nb) AS BIGINT) AS n_files_no_bounds,
-                CAST(SUM(CASE WHEN hit = 1 THEN 10 + i ELSE 0 END) AS BIGINT)
-                  AS rows_at_risk
-              FROM h GROUP BY doc_id)
-      SELECT p.doc_id, n_files, total_rows, nK AS n_eq_keys,
-             n_candidate_files, n_files_no_bounds, rows_at_risk,
-             CAST(total_rows - rows_at_risk AS BIGINT) AS net_rows_min,
-             total_rows AS net_rows_max
-      FROM p JOIN agg ON agg.doc_id = p.doc_id
-      ORDER BY p.doc_id"""))
-
-  // --------------------------------------------------------------- q414
-
-  /** q414 — page-level ROW audit
-    * ([[graft.operators.ParquetFooter.pageRowsAudit]]): q413 counted
-    * skippable PAGES; scans are billed in ROWS, and per-page row
-    * counts live one structure over — the OffsetIndex, whose
-    * first_row_index deltas price each page. Composition pinned:
-    * ColumnIndex bounds pick the skippable pages, OffsetIndex deltas
-    * convert them to rows, and a chunk with bounds but NO page
-    * locations (planted every 9th doc) reports its full row-group
-    * rows as unknown-and-scanned — bounds without locations prune
-    * pages, not rows. Oracle closed-form. Map-only, zero shuffles.
-    */
-  val q414 = Q("q414_parquet_page_rows",
-    (s, dir) => {
-      import s.implicits._
-      import graft.operators.ParquetFooter
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val k = (id % 50).toInt
-          val nRG = 1 + k % 3
-          def nP(rg: Int) = 2 + (k + rg) % 3
-          def pagesOf(rg: Int): Seq[ParquetFooter.PageEntry] =
-            (0 until nP(rg)).map { p =>
-              val np = k % 7 == 0 && rg == 0 && p == 1
-              (np, 100L * rg + 10 * p, 100L * rg + 10 * p + 9, p.toLong)
-            }
-          def oiOf(rg: Int): Option[Seq[Long]] =
-            if (k % 9 == 0 && rg == 0) None
-            else Some((0 until nP(rg)).map(p => p.toLong * (1000L / nP(rg))))
-          (id, ParquetFooter.encodeSyntheticPaged(
-            (0 until 3).map(c => s"col_$c"), nRG, 1000L, colIdx = 1,
-            pagesOf, offsetIndexOf = Some(oiOf)))
-        }).toDF("doc_id", "payload")
-      ParquetFooter.pageRowsAudit(synth, "doc_id", "payload",
-          colIdx = 1, threshold = 25L)
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
-      p AS (SELECT doc_id, k, CAST(1 + k % 3 AS BIGINT) AS nRG,
-              CAST(2 + k % 3 AS BIGINT) AS nP0,
-              CASE WHEN k % 9 = 0 THEN 1 ELSE 0 END AS nooi
-            FROM d),
-      r AS (SELECT doc_id, k, nooi, nP0, unnest(range(nRG)) AS rg, nRG FROM p),
-      g AS (SELECT doc_id, CAST(2 + (k + rg) % 3 AS BIGINT) AS nP FROM r),
-      agg AS (SELECT doc_id, SUM(nP) AS total_pages FROM g GROUP BY doc_id)
-      SELECT p.doc_id,
-        nRG AS n_rgs,
-        CAST(total_pages - nooi * nP0 AS BIGINT) AS n_pages_rowed,
-        CAST(nooi * nP0 AS BIGINT) AS n_pages_rows_unknown,
-        CAST(1000 * nRG AS BIGINT) AS rows_total,
-        CAST(CASE WHEN nooi = 1 THEN 0
-                  WHEN k % 3 = 0 THEN 1000
-                  WHEN k % 3 = 1 THEN 666
-                  ELSE 500 END AS BIGINT) AS rows_skippable_gt,
-        CAST(1000 * nRG - CASE WHEN nooi = 1 THEN 0
-                               WHEN k % 3 = 0 THEN 1000
-                               WHEN k % 3 = 1 THEN 666
-                               ELSE 500 END AS BIGINT) AS rows_scanned_gt,
-        CAST(nooi * 1000 AS BIGINT) AS rows_unknown
-      FROM p JOIN agg ON agg.doc_id = p.doc_id
-      ORDER BY p.doc_id"""))
-
-  // --------------------------------------------------------------- q413
-
-  /** q413 — parquet PAGE-INDEX prune audit
-    * ([[graft.operators.ParquetFooter.pageIndexAudit]]): the pruning
-    * layer BELOW q380's row-group zone maps — ColumnIndex structures
-    * (per-page min/max, null-page flags, null counts) located via
-    * ColumnChunk's column_index_offset/length, decoded through the
-    * same thrift-compact walker. Page semantics pinned: a NULL page
-    * is provably skippable for any non-null predicate (it holds no
-    * values — planted every 7th doc); a real page skips for `x > 25`
-    * iff its max ≤ 25; a chunk whose index pointer runs past EOF is
-    * declined WHOLE (every 11th doc) — its pages cannot even be
-    * counted, so the census says so instead of guessing. Oracle
-    * closed-form over the page schedule. Map-only, zero shuffles.
-    */
-  val q413 = Q("q413_parquet_page_index",
-    (s, dir) => {
-      import s.implicits._
-      import graft.operators.ParquetFooter
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val k = (id % 50).toInt
-          val nRG = 1 + k % 3
-          def pagesOf(rg: Int): Seq[ParquetFooter.PageEntry] =
-            (0 until (2 + (k + rg) % 3)).map { p =>
-              val np = k % 7 == 0 && rg == 0 && p == 1
-              (np, 100L * rg + 10 * p, 100L * rg + 10 * p + 9, p.toLong)
-            }
-          (id, ParquetFooter.encodeSyntheticPaged(
-            (0 until 4).map(c => s"col_$c"), nRG, 1000L, colIdx = 1,
-            pagesOf, badOffsetRg = if (k % 11 == 0) Some(0) else None))
-        }).toDF("doc_id", "payload")
-      ParquetFooter.pageIndexAudit(synth, "doc_id", "payload",
-          colIdx = 1, threshold = 25L)
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
-      p AS (SELECT doc_id, k, CAST(1 + k % 3 AS BIGINT) AS nRG,
-              CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END AS unread,
-              CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS np7
-            FROM d),
-      r AS (SELECT doc_id, k, unread, np7, unnest(range(nRG)) AS rg FROM p),
-      g AS (SELECT doc_id, rg, CAST(2 + (k + rg) % 3 AS BIGINT) AS nP,
-              CASE WHEN unread = 1 AND rg = 0 THEN 0 ELSE 1 END AS readable,
-              np7
-            FROM r),
-      agg AS (SELECT doc_id,
-                SUM(CASE WHEN readable = 1 THEN nP ELSE 0 END) AS n_pages,
-                SUM(CASE WHEN readable = 1 AND rg = 0 AND np7 = 1
-                         THEN 1 ELSE 0 END) AS n_null_pages,
-                SUM(CASE WHEN readable = 1 AND rg = 0 THEN 2 ELSE 0 END) AS skip,
-                SUM(CASE WHEN readable = 1 THEN nP * (nP - 1) / 2 ELSE 0 END)
-                  AS sum_nc
-              FROM g GROUP BY doc_id)
-      SELECT p.doc_id,
-        nRG AS n_rgs,
-        CAST(nRG - unread AS BIGINT) AS n_indexed,
-        CAST(0 AS BIGINT) AS n_no_index,
-        CAST(unread AS BIGINT) AS n_unreadable_idx,
-        CAST(n_pages AS BIGINT) AS n_pages,
-        CAST(n_null_pages AS BIGINT) AS n_null_pages,
-        CAST(skip AS BIGINT) AS pages_skippable_gt,
-        CAST(n_pages - skip AS BIGINT) AS pages_scanned_gt,
-        CAST(sum_nc AS BIGINT) AS sum_null_counts
-      FROM p JOIN agg ON agg.doc_id = p.doc_id
-      ORDER BY p.doc_id"""))
-
-  // --------------------------------------------------------------- q412
-
-  /** q412 — metadata-only compaction PLAN
-    * ([[graft.operators.ScaleOps.compactionPlan]]): the grouping half
-    * of small-file compaction without touching data — live files
-    * (exactly what the table-format censuses reconstruct) bin-pack
-    * into ~target-byte rewrite groups by path-ordered running size;
-    * the output is the job list a maintenance scheduler dispatches.
-    * Pure window algebra over file metadata; the oracle replays the
-    * identical arithmetic.
-    */
-  val q412 = Q("q412_compaction_plan",
-    (s, dir) => {
-      import s.implicits._
-      val files = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .flatMap { id =>
-          val k = id % 50
-          (0 until (3 + k % 5).toInt).map(i =>
-            (id, s"f$i.parquet", 100L * (i + 1) + 50L * (k % 3)))
-        }.toDF("doc_id", "path", "size")
-      graft.operators.ScaleOps
-        .compactionPlan(files, "doc_id", "path", "size", targetBytes = 500L)
-        .withColumnRenamed("tbl", "doc_id")
-        .orderBy("doc_id", "group_id")
-    },
-    Some("""
-      WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
-      p AS (SELECT doc_id, k, CAST(3 + k % 5 AS BIGINT) AS nF,
-                   50 * (k % 3) AS extra FROM d),
-      s AS (SELECT doc_id, unnest(range(nF)) AS i, extra FROM p),
-      f AS (SELECT doc_id, i, 100 * (i + 1) + extra AS size FROM s),
-      c AS (SELECT doc_id, i, size,
-              coalesce(SUM(size) OVER (PARTITION BY doc_id ORDER BY i
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-            FROM f)
-      SELECT doc_id, CAST(cum // 500 AS BIGINT) AS group_id,
-             CAST(count(*) AS BIGINT) AS n_files,
-             CAST(sum(size) AS BIGINT) AS group_bytes
-      FROM c GROUP BY doc_id, cum // 500
-      ORDER BY doc_id, group_id"""))
-
-  // --------------------------------------------------------------- q411
-
-  /** q411 — Hudi TIMELINE census
-    * ([[graft.operators.HudiOps.timelineCensus]]): the THIRD lake
-    * format — a `.hoodie/` timeline of instant files whose NAMES
-    * carry the transaction state (`<ts>.<action>[.inflight|
-    * .requested]`; no suffix = completed) and whose completed write
-    * contents carry partitionToWriteStats. Honest boundaries: an
-    * in-progress instant's stats never count (the transaction may
-    * abort — Hudi's snapshot isolation lives in the filename); a
-    * completed write whose content fails JSON parse counts
-    * n_malformed and contributes nothing; stat-less actions (clean)
-    * contribute zero without being malformed. Fully declarative.
-    * Oracle closed-form over the instant schedule.
-    */
-  val q411 = Q("q411_hudi_timeline_census",
-    (s, dir) => {
-      import s.implicits._
-      val timeline = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .flatMap(id => graft.operators.HudiOps.syntheticTimeline(id % 50)
-          .map { case (f, c) => (id, f, c) })
-        .toDF("doc_id", "fname", "content")
-      graft.operators.HudiOps
-        .timelineCensus(timeline, "doc_id", "fname", "content")
-        .withColumnRenamed("tbl", "doc_id")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
-      p AS (SELECT doc_id, k, CAST(2 + k % 4 AS BIGINT) AS nI FROM d),
-      s AS (SELECT doc_id, k, nI, unnest(range(nI)) AS i FROM p),
-      c AS (SELECT doc_id, k, nI, i, i % 3 AS a,
-              CASE WHEN i = nI - 1 AND k % 5 < 2 THEN 0 ELSE 1 END AS comp,
-              CASE WHEN i = 0 AND k % 11 = 0 THEN 1 ELSE 0 END AS corrupt
-            FROM s),
-      agg AS (SELECT doc_id,
-                CAST(COUNT(*) AS BIGINT) AS n_instants,
-                CAST(SUM(comp) AS BIGINT) AS n_completed,
-                CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_commits,
-                CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_deltacommits,
-                CAST(SUM(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cleans,
-                CAST(MAX(CASE WHEN comp = 1 THEN 1000 + i END) AS BIGINT)
-                  AS latest_completed_ts,
-                CAST(SUM(CASE WHEN comp = 1 AND a <> 2 AND corrupt = 1
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
-                CAST(SUM(CASE WHEN comp = 1 AND a <> 2 AND corrupt = 0
-                         THEN 21 + 2 * i ELSE 0 END) AS BIGINT) AS rows_written,
-                CAST(SUM(CASE WHEN comp = 1 AND a <> 2 AND corrupt = 0
-                         THEN 100 * (2 * i + 3) ELSE 0 END) AS BIGINT) AS bytes_written
-              FROM c GROUP BY doc_id)
-      SELECT p.doc_id, n_instants, n_completed,
-        CAST(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_inflight,
-        CAST(CASE WHEN k % 5 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_requested,
-        n_commits, n_deltacommits, n_cleans, latest_completed_ts,
-        rows_written, bytes_written, n_malformed
-      FROM p JOIN agg ON agg.doc_id = p.doc_id
-      ORDER BY p.doc_id"""))
-
-  // --------------------------------------------------------------- q409
-
-  /** q409 — VACUUM candidate audit
-    * ([[graft.operators.DeltaLogOps.vacuumAudit]]): the maintenance
-    * question asked before touching storage — which tombstones are
-    * past retention and how many bytes do they reclaim? Sizes come
-    * from each path's last ADD (removes omit them); planted classes:
-    * old tombstones (vacuumable), recent ones (retained), a
-    * timestamp-less remove every 5th table (NEVER vacuumable —
-    * deleting it could break a reader inside retention), and a
-    * re-added path every 3rd (live again, not a tombstone — replay
-    * semantics, not action grep). Oracle closed-form.
-    */
-  val q409 = Q("q409_delta_vacuum_audit",
-    (s, dir) => {
-      import s.implicits._
-      val cutoff = 1700000000000L
-      val log = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .flatMap { id =>
-          val k = id % 50
-          val n0 = (3 + k % 4).toInt
-          def add(j: Int) = (id, 0L,
-            s"""{"add":{"path":"f$j.parquet","partitionValues":{},"size":${100 * (j + 1)},"dataChange":true}}""")
-          def rm(j: Int): (Long, Long, String) = {
-            val ts =
-              if (k % 5 == 0 && j == 2) ""
-              else if (j % 4 == 0) s""","deletionTimestamp":${cutoff - 1000}"""
-              else s""","deletionTimestamp":${cutoff + 1000}"""
-            (id, 1L, s"""{"remove":{"path":"f$j.parquet","dataChange":true$ts}}""")
-          }
-          (0 until n0).map(add) ++
-            (0 until n0).filter(_ % 2 == 0).map(rm) ++
-            (if (k % 3 == 0) Seq((id, 2L, add(0)._3)) else Nil)
-        }.toDF("doc_id", "version", "line")
-      graft.operators.DeltaLogOps
-        .vacuumAudit(log, "doc_id", "version", "line", cutoffMs = cutoff)
-        .withColumnRenamed("tbl", "doc_id")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
-      f AS (SELECT doc_id, k, CAST(3 + k % 4 AS BIGINT) AS n0,
-              CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS rev,
-              CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS nots
-            FROM d)
-      SELECT doc_id,
-        CAST(n0 - ((n0 + 1) // 2 - rev) AS BIGINT) AS n_live,
-        CAST((n0 + 1) // 2 - rev AS BIGINT) AS n_tombstones,
-        CAST(1 - rev + CASE WHEN n0 >= 5 THEN 1 ELSE 0 END AS BIGINT)
-          AS n_vacuumable,
-        CAST(nots AS BIGINT) AS n_no_timestamp,
-        CAST((1 - rev) * 100 + CASE WHEN n0 >= 5 THEN 500 ELSE 0 END AS BIGINT)
-          AS bytes_reclaimable,
-        CAST(0 AS BIGINT) AS n_unknown_size
-      FROM f ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q410
-
-  /** q410 — schema-EVOLUTION census
-    * ([[graft.operators.DeltaLogOps.schemaEvolutionCensus]]): how did
-    * the table's schema move between its first and latest metaData
-    * action — columns added, dropped, and TYPE-CHANGED (the class
-    * that breaks readers, reported apart). Fully declarative: the
-    * escaped schemaString unwraps via get_json_object, fields explode
-    * via from_json, first-vs-latest full-outer join on column name.
-    * Planted: an added column every odd table, a dropped one every
-    * 3rd-of-those, a long→string type change every 7th. Oracle
-    * closed-form.
-    */
-  val q410 = Q("q410_delta_schema_evolution",
-    (s, dir) => {
-      import s.implicits._
-      val log = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .flatMap { id =>
-          val k = id % 50
-          val nC = (2 + k % 3).toInt
-          def fieldJson(name: String, tpe: String) =
-            s"""{\\"name\\":\\"$name\\",\\"type\\":\\"$tpe\\",\\"nullable\\":true,\\"metadata\\":{}}"""
-          def metaLine(ver: Long, fields: Seq[(String, String)]) = (id, ver,
-            s"""{"metaData":{"id":"t$k","schemaString":"{\\"type\\":\\"struct\\",\\"fields\\":[${fields.map(f => fieldJson(f._1, f._2)).mkString(",")}]}"}}""")
-          val base = (0 until nC).map(j => s"c$j" -> "long")
-          val v0 = metaLine(0L, base)
-          if (k % 2 == 1) {
-            val evolved = base
-              .filterNot { case (n, _) => k % 3 == 0 && n == "c0" }
-              .map { case (n, t) =>
-                if (k % 7 == 0 && n == "c1") (n, "string") else (n, t)
-              } :+ ("x" -> "long")
-            Seq(v0, metaLine(1L, evolved))
-          } else Seq(v0)
-        }.toDF("doc_id", "version", "line")
-      graft.operators.DeltaLogOps
-        .schemaEvolutionCensus(log, "doc_id", "version", "line")
-        .withColumnRenamed("tbl", "doc_id")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
-      f AS (SELECT doc_id, k, CAST(2 + k % 3 AS BIGINT) AS nc,
-              k % 2 AS ev,
-              CASE WHEN k % 2 = 1 AND k % 3 = 0 THEN 1 ELSE 0 END AS drp,
-              CASE WHEN k % 2 = 1 AND k % 7 = 0 THEN 1 ELSE 0 END AS tch
-            FROM d)
-      SELECT doc_id,
-        CAST(ev AS BIGINT) AS n_schema_updates,
-        nc AS n_cols_first,
-        CAST(nc - drp + ev AS BIGINT) AS n_cols_latest,
-        CAST(ev AS BIGINT) AS n_added,
-        CAST(drp AS BIGINT) AS n_dropped,
-        CAST(tch AS BIGINT) AS n_type_changed
-      FROM f ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q407
-
-  /** q407 — NET-ROW reconciliation across formats: the q400 live-SET
-    * agreement pushed down to the row level — the same logical
-    * deletes expressed as Delta deletion vectors (q405) and as
-    * Iceberg positional delete files (q406) must yield the same net
-    * live rows. Two planted honest divergences: every 7th table's
-    * Delta add ships without stats, so Delta's net (which refuses to
-    * guess a stats-less file's rows) undercounts where Iceberg's
-    * required record_count cannot; and every 13th table drops ONE
-    * slot's Iceberg delete file (a delete written to the DV but never
-    * to the delete file — the dual-writer drift that actually bites),
-    * so Iceberg's net overcounts exactly that DV's cardinality.
-    * deletes_match isolates the second class. Oracle closed-form over
-    * the shared schedule.
-    */
-  val q407 = Q("q407_net_row_reconciliation",
-    (s, dir) => {
-      import s.implicits._
-      import graft.operators.{DeltaLogOps, IcebergOps}
-      val ids = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-      val delta = DeltaLogOps.deletionVectorCensus(
-          ids.flatMap(k => DeltaLogOps.syntheticLogDv(k)
-            .map { case (v, l) => (k, v, l) })
-            .toDF("doc_id", "version", "line"),
-          "doc_id", "version", "line")
-        .select(col("tbl").as("doc_id"), col("net_rows").as("d_net"),
-          col("dv_rows").as("d_deletes"))
-      def liveSlots(k: Long): (Seq[Int], Seq[Int]) = {
-        val n0 = (2 + k % 5).toInt
-        val m = (k % 3).toInt
-        val live: Seq[Int] = m match {
-          case 0 => 0 until n0
-          case 1 => 1 to n0
-          case _ => (1 to n0) :+ (n0 + 1)
-        }
-        val dvSlots = live.filter(j => j % 3 == 0 && !(m == 2 && j == n0 + 1))
-        (live, dvSlots)
-      }
-      val files = ids.flatMap { k =>
-        liveSlots(k)._1.map(j => (k, s"g$j.parquet", 10L + j))
-      }.toDF("doc_id", "path", "rc")
-      val dels = ids.flatMap { k =>
-        val (_, dvSlots) = liveSlots(k)
-        // the dual-writer drift: every 13th table never writes the
-        // LOWEST DV'd slot's delete file
-        val written =
-          if (k % 13 == 0) dvSlots.sorted.drop(1) else dvSlots
-        written.flatMap(j => (0 until (j + 1)).map(p =>
-          (k, s"g$j.parquet", p.toLong)))
-      }.toDF("doc_id", "path", "pos")
-      val ice = IcebergOps.positionalDeleteAudit(files, "doc_id", "path", "rc",
-          dels, "doc_id", "path", "pos")
-        .select(col("tbl").as("doc_id"), col("net_rows").as("i_net"),
-          col("n_deletes_applied").as("i_deletes"))
-      delta.join(ice, Seq("doc_id"))
-        .select(col("doc_id"), col("d_net"), col("i_net"),
-          (col("d_net") === col("i_net")).cast("long").as("net_match"),
-          col("d_deletes"), col("i_deletes"),
-          (col("d_deletes") === col("i_deletes")).cast("long").as("deletes_match"))
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (SELECT doc_id AS k, CAST(2 + doc_id % 5 AS BIGINT) AS n0,
-                        doc_id % 3 AS m FROM documents),
-      s AS (SELECT k, n0, m, unnest(range(0, n0 + 2)) AS j FROM p),
-      sl AS (SELECT k, j,
-               CASE WHEN m = 0 THEN j < n0
-                    WHEN m = 1 THEN j BETWEEN 1 AND n0
-                    ELSE (j BETWEEN 1 AND n0) OR j = n0 + 1 END AS live,
-               NOT (k % 7 = 0 AND j = 1) AS hs,
-               CASE WHEN j % 3 = 0 AND NOT (m = 2 AND j = n0 + 1)
-                    THEN j + 1 ELSE 0 END AS dv
-             FROM s),
-      agg AS (SELECT k,
-                SUM(CASE WHEN live THEN 10 + j ELSE 0 END) AS rows_all,
-                SUM(CASE WHEN live AND hs THEN 10 + j - dv ELSE 0 END) AS d_net,
-                SUM(CASE WHEN live THEN dv ELSE 0 END) AS d_del,
-                MIN(CASE WHEN live AND dv > 0 THEN j END) AS min_dv_j
-              FROM sl GROUP BY k),
-      f AS (SELECT k, rows_all, d_net, d_del,
-              CASE WHEN k % 13 = 0 AND min_dv_j IS NOT NULL
-                   THEN min_dv_j + 1 ELSE 0 END AS dropped
-            FROM agg)
-      SELECT k AS doc_id,
-        CAST(d_net AS BIGINT) AS d_net,
-        CAST(rows_all - (d_del - dropped) AS BIGINT) AS i_net,
-        CAST(CASE WHEN d_net = rows_all - (d_del - dropped) THEN 1 ELSE 0 END
-          AS BIGINT) AS net_match,
-        CAST(d_del AS BIGINT) AS d_deletes,
-        CAST(d_del - dropped AS BIGINT) AS i_deletes,
-        CAST(CASE WHEN dropped = 0 THEN 1 ELSE 0 END AS BIGINT) AS deletes_match
-      FROM f ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q404
-
-  /** q404 — `_last_checkpoint` pointer audit
-    * ([[graft.operators.DeltaLogOps.lastCheckpointAudit]]): the
-    * one-line JSON pointer at the log root is how a real reader FINDS
-    * the checkpoint without a directory listing — and a crashed
-    * writer leaves it lying: naming a version whose checkpoint does
-    * not exist (planted every 19th checkpointed table) or claiming an
-    * action count the checkpoint's records contradict (every 23rd).
-    * Full-outer per-table join of pointer claims vs checkpoint
-    * reality, so dangling pointers and pointer-less checkpoints both
-    * surface. Oracle closed-form over the q401 schedule (the
-    * no-checkpoint class carries no pointer and no row). Metadata-
-    * sized frames end to end.
-    */
-  val q404 = Q("q404_delta_last_checkpoint",
-    (s, dir) => {
-      import s.implicits._
-      import graft.operators.DeltaLogOps
-      val ids = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-      val pointer = ids.flatMap(k =>
-        DeltaLogOps.syntheticLastCheckpoint(k).map(j => (k, j)))
-        .toDF("doc_id", "json")
-      val ckpt = ids.flatMap { k =>
-        val (vc, recs, _) = DeltaLogOps.syntheticCheckpointed(k)
-        recs.map(_ => (k, vc))
-      }.toDF("doc_id", "ckver")
-      DeltaLogOps.lastCheckpointAudit(pointer, "doc_id", "json",
-          ckpt, "doc_id", "ckver")
-        .withColumnRenamed("tbl", "doc_id")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (SELECT doc_id AS k, CAST(2 + doc_id % 5 AS BIGINT) AS n0,
-                        doc_id % 3 AS m, doc_id % 4 AS c4 FROM documents
-                 WHERE doc_id % 4 <> 0),
-      f AS (SELECT k, n0, m, c4,
-              CASE WHEN c4 = 3 THEN least(1, m) ELSE 0 END AS vc,
-              CAST(1 + n0 + CASE WHEN c4 = 3 AND m >= 1 THEN 1 ELSE 0 END
-                AS BIGINT) AS size_actual
-            FROM p)
-      SELECT k AS doc_id,
-        CAST(1 AS BIGINT) AS has_pointer,
-        CAST(1 AS BIGINT) AS has_checkpoint,
-        CAST(vc + CASE WHEN k % 19 = 0 THEN 1 ELSE 0 END AS BIGINT) AS pointer_ver,
-        CAST(vc AS BIGINT) AS ckpt_ver,
-        CAST(CASE WHEN k % 19 = 0 THEN 0 ELSE 1 END AS BIGINT) AS version_match,
-        CAST(size_actual + CASE WHEN k % 23 = 0 THEN 2 ELSE 0 END AS BIGINT)
-          AS size_claimed,
-        size_actual,
-        CAST(CASE WHEN k % 23 = 0 THEN 0 ELSE 1 END AS BIGINT) AS size_match
-      FROM f ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q403
-
-  /** q403 — H.264 SPS/PPS parameter-set decode
-    * ([[graft.operators.NalCensus.spsFeatures]]): the q318 NAL census
-    * located parameter sets but stayed dimension-blind; the SPS is
-    * plain Exp-Golomb (no CABAC/CAVLC), so parsing it recovers
-    * width/height (with the spec's crop-unit and field-coding
-    * arithmetic), profile/level, chroma format and bit depth — plus
-    * the PPS entropy-coding mode a transcoding fleet budgets on.
-    * Honest boundaries kept separate: a truncated SPS is malformed
-    * (sps_ok 0), a seq_scaling_matrix SPS is a valid stream this
-    * parser DECLINES (sps_gated 1, planted every 17th doc) — the
-    * entropy-coded slice data itself stays the stub boundary. RBSP
-    * emulation-prevention bytes are stripped before bit parsing.
-    * Oracle closed-form over the schedule. Map-only, zero shuffles.
-    */
-  val q403 = Q("q403_h264_sps_dims",
-    (s, dir) => {
-      import s.implicits._
-      import graft.operators.NalCensus
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val k = (id % 50).toInt
-          val profile = if (k % 17 == 0 || k % 3 == 0) 100 else 66
-          val sps0 = NalCensus.encodeSps(profile, 30 + k % 21,
-            19 + k % 40, 14 + k % 30, frameMbsOnly = k % 5 != 0,
-            crop = if (k % 4 == 0) Some((0, 1, 0, 2)) else None,
-            scalingGate = k % 17 == 0)
-          val sps = if (k % 13 == 0) sps0.take(2) else sps0
-          val pps = NalCensus.encodePps(cabac = k % 2 == 1)
-          val filler = Array.tabulate(20 + k)(i => ((i * 31 + k) % 254 + 1).toByte)
-          (id, NalCensus.encodeNals(Seq(
-            (6, filler), (7, sps), (8, pps), (5, filler))))
-        }).toDF("doc_id", "payload")
-      NalCensus.spsFeatures(synth, "doc_id", "payload").orderBy("doc_id")
-    },
-    Some("""
-      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
-      f AS (SELECT doc_id, k,
-              CASE WHEN k % 13 <> 0 AND k % 17 = 0 THEN 1 ELSE 0 END AS gate,
-              CASE WHEN k % 13 = 0 OR k % 17 = 0 THEN 0 ELSE 1 END AS ok,
-              CASE WHEN k % 3 = 0 OR k % 17 = 0 THEN 100 ELSE 66 END AS prof,
-              20 + k % 40 AS wmb, 15 + k % 30 AS hmb,
-              CASE WHEN k % 5 = 0 THEN 0 ELSE 1 END AS fmo,
-              CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS crop
-            FROM d)
-      SELECT doc_id,
-        CAST(4 AS BIGINT) AS n_nals,
-        CAST(ok AS BIGINT) AS sps_ok,
-        CAST(gate AS BIGINT) AS sps_gated,
-        CAST(CASE WHEN ok = 1 THEN prof ELSE 0 END AS BIGINT) AS profile_idc,
-        CAST(CASE WHEN ok = 1 THEN 30 + k % 21 ELSE 0 END AS BIGINT) AS level_idc,
-        CAST(ok AS BIGINT) AS chroma_format,
-        CAST(CASE WHEN ok = 1 THEN 8 ELSE 0 END AS BIGINT) AS bit_depth,
-        CAST(CASE WHEN ok = 1 THEN wmb * 16 - crop * 2 ELSE 0 END AS BIGINT)
-          AS width,
-        CAST(CASE WHEN ok = 1
-                  THEN (2 - fmo) * hmb * 16 - crop * 2 * (2 - fmo) * 2
-                  ELSE 0 END AS BIGINT) AS height,
-        CAST(CASE WHEN ok = 1 THEN fmo ELSE 0 END AS BIGINT) AS frame_mbs_only,
-        CAST(1 AS BIGINT) AS pps_ok,
-        CAST(k % 2 AS BIGINT) AS cabac
-      FROM f ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q402
-
-  /** q402 — Iceberg TABLE-ROOT census
-    * ([[graft.operators.IcebergOps.tableRootCensus]]): the two layers
-    * q398/q399 stopped under — a real reader starts from
-    * `vN.metadata.json` (current-snapshot-id resolved against the
-    * snapshot list; fully declarative JSON parsing), follows the
-    * current snapshot's manifest-list Avro (`manifest_file` records:
-    * path, spec id, per-kind file-count CLAIMS), then opens the named
-    * manifests — and this census AUDITS the list's claims against the
-    * decoded manifests (n_claims_mismatch, planted every 13th table).
-    * Honest boundaries: a dangling current-snapshot-id gates every
-    * downstream facet to zero (current_ok = 0, planted every 17th);
-    * a named-but-absent manifest counts n_manifests_missing. Oracle
-    * closed-form over the slot schedule. Decodes map-only; the
-    * composition joins manifest METADATA rows (bounded by manifest
-    * count), never data rows.
-    */
-  val q402 = Q("q402_iceberg_table_root",
-    (s, dir) => {
-      import s.implicits._
-      import graft.operators.IcebergOps
-      val ids = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-      val meta = ids.mapPartitions(_.map { id =>
-        (id, IcebergOps.syntheticTable(id % 50)._1)
-      }).toDF("doc_id", "meta_json")
-      val lists = ids.mapPartitions(_.map { id =>
-        val t = IcebergOps.syntheticTable(id % 50)
-        (id, t._2, t._3)
-      }).toDF("doc_id", "path", "payload")
-      val manifests = ids.mapPartitions(_.flatMap { id =>
-        IcebergOps.syntheticTable(id % 50)._4
-          .map { case (p, b) => (id, p, b) }
-      }).toDF("doc_id", "path", "payload")
-      IcebergOps.tableRootCensus(
-          meta, "doc_id", "meta_json",
-          lists, "doc_id", "path", "payload",
-          manifests, "doc_id", "path", "payload")
-        .withColumnRenamed("tbl", "doc_id")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
-      c AS (SELECT doc_id, k, CAST(1 + k % 3 AS BIGINT) AS nM,
-              k % 17 <> 0 AS ok FROM p),
-      mi AS (SELECT doc_id, k, unnest(range(nM)) AS i FROM c WHERE ok),
-      e AS (SELECT doc_id, k, i, unnest(range(2 + (k + i) % 3)) AS j FROM mi),
-      st AS (SELECT doc_id, j, (i + j + k) % 3 AS s FROM e),
-      agg AS (SELECT doc_id,
-                SUM(CASE WHEN s <> 2 THEN 1 ELSE 0 END) AS n_live,
-                SUM(CASE WHEN s <> 2 THEN 10 + j ELSE 0 END) AS live_rows,
-                SUM(CASE WHEN s <> 2 THEN 100 * (j + 1) ELSE 0 END) AS live_bytes,
-                SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS n_deleted
-              FROM st GROUP BY doc_id)
-      SELECT p.doc_id,
-        CAST(2 AS BIGINT) AS format_version,
-        CAST(k % 5 AS BIGINT) AS schema_id,
-        CAST(1 + k % 4 AS BIGINT) AS n_snapshots,
-        CAST(CASE WHEN k % 17 = 0 THEN 0 ELSE 1 END AS BIGINT) AS current_ok,
-        CAST(CASE WHEN k % 17 = 0 THEN 0 ELSE 1 END AS BIGINT) AS list_valid,
-        CAST(CASE WHEN k % 17 = 0 THEN 0 ELSE 1 + k % 3 END AS BIGINT)
-          AS n_manifest_files,
-        CAST(CASE WHEN k % 17 = 0 THEN -1 ELSE k % 2 END AS BIGINT) AS spec_id,
-        CAST(0 AS BIGINT) AS n_manifests_missing,
-        CAST(CASE WHEN k % 17 <> 0 AND k % 13 = 0 THEN 1 ELSE 0 END AS BIGINT)
-          AS n_claims_mismatch,
-        CAST(coalesce(n_live, 0) AS BIGINT) AS n_live,
-        CAST(coalesce(live_rows, 0) AS BIGINT) AS live_rows,
-        CAST(coalesce(live_bytes, 0) AS BIGINT) AS live_bytes,
-        CAST(coalesce(n_deleted, 0) AS BIGINT) AS n_deleted
-      FROM p LEFT JOIN agg ON agg.doc_id = p.doc_id
-      ORDER BY p.doc_id"""))
-
-  // --------------------------------------------------------------- q401
-
-  /** q401 — CHECKPOINT-aware Delta-log replay
-    * ([[graft.operators.DeltaLogOps.checkpointedCensus]]): production
-    * `_delta_log` dirs carry `NNNN.checkpoint.parquet` (the full
-    * add/remove/protocol state at version NNNN) and VACUUM deletes old
-    * JSON commits — q392's flat replay is O(full history) there and
-    * cannot census a vacuumed log at all. This census seeds the
-    * live-set fold from the checkpoint records and replays ONLY the
-    * commits past the checkpoint version; retained pre-checkpoint
-    * JSONs are counted (n_pre_lines), never re-applied. Four planted
-    * log shapes by doc_id % 4: no checkpoint (fallback), checkpoint +
-    * retained history, checkpoint + vacuumed prefix, and a LATER
-    * checkpoint (v1, carrying the remove tombstone in checkpoint
-    * form) + vacuumed prefix. The live-set columns must equal the
-    * full replay's class by class — the oracle recomputes everything
-    * closed-form from the shared schedule. Replay cost: O(checkpoint
-    * + new commits); same plan shape as q392 (one (table, path)
-    * window + groupBys).
-    */
-  val q401 = Q("q401_delta_checkpoint_replay",
-    (s, dir) => {
-      import s.implicits._
-      import graft.operators.DeltaLogOps
-      val ids = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-      val log = ids.flatMap { k =>
-        DeltaLogOps.syntheticCheckpointed(k)._3
-          .map { case (v, l) => (k, v, l) }
-      }.toDF("doc_id", "version", "line")
-      val ckpt = ids.flatMap { k =>
-        val (vc, recs, _) = DeltaLogOps.syntheticCheckpointed(k)
-        recs.map(r => (k, vc, r))
-      }.toDF("doc_id", "ckver", "rec")
-        .select(col("doc_id"), col("ckver"), col("rec.add").as("add"),
-          col("rec.remove").as("remove"), col("rec.protocol").as("protocol"))
-      DeltaLogOps.checkpointedCensus(ckpt, "doc_id", "ckver",
-          log, "doc_id", "version", "line")
-        .withColumnRenamed("tbl", "doc_id")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH p AS (SELECT doc_id AS k, CAST(2 + doc_id % 5 AS BIGINT) AS n0,
-                        doc_id % 3 AS m, doc_id % 4 AS c4,
-                        CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS mal
-                 FROM documents),
-      s AS (SELECT k, n0, m, unnest(range(0, n0 + 2)) AS j FROM p),
-      sl AS (SELECT k, j,
-               CASE WHEN m = 0 THEN j < n0
-                    WHEN m = 1 THEN j BETWEEN 1 AND n0
-                    ELSE (j BETWEEN 1 AND n0) OR j = n0 + 1 END AS live,
-               NOT (k % 7 = 0 AND j = 1) AS has_stats
-             FROM s),
-      agg AS (SELECT k,
-                SUM(CASE WHEN live THEN 1 ELSE 0 END) AS n_live,
-                SUM(CASE WHEN live THEN 100 * (j + 1) ELSE 0 END) AS live_bytes,
-                SUM(CASE WHEN live AND has_stats THEN 10 + j ELSE 0 END) AS live_rows,
-                SUM(CASE WHEN live AND NOT has_stats THEN 1 ELSE 0 END) AS n_ns,
-                COUNT(DISTINCT CASE WHEN live THEN j % 3 END) AS n_parts
-              FROM sl GROUP BY k)
-      SELECT p.k AS doc_id,
-        CAST(CASE WHEN c4 = 0 THEN -1 WHEN c4 = 3 THEN least(1, m)
-                  ELSE 0 END AS BIGINT) AS ckpt_ver,
-        CAST(CASE WHEN c4 = 0 THEN 0 ELSE n0 END AS BIGINT) AS n_ckpt_adds,
-        CAST(CASE WHEN c4 = 3 AND m >= 1 THEN 1 ELSE 0 END AS BIGINT)
-          AS n_ckpt_removes,
-        CAST(CASE WHEN c4 >= 2 THEN 1 ELSE 0 END AS BIGINT) AS vacuumed,
-        CAST(CASE WHEN c4 = 1 THEN 2 + n0 + mal ELSE 0 END AS BIGINT)
-          AS n_pre_lines,
-        CAST(CASE WHEN c4 = 0 THEN 2 + n0 + mal ELSE 0 END
-             + CASE WHEN c4 <= 2 AND m >= 1 THEN 3 ELSE 0 END
-             + CASE WHEN m = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_post_lines,
-        CAST(CASE WHEN c4 = 0 THEN 1 + m
-                  WHEN c4 <= 2 THEN m
-                  ELSE CASE WHEN m = 2 THEN 1 ELSE 0 END END AS BIGINT)
-          AS n_post_versions,
-        CAST(CASE WHEN c4 = 0 THEN mal ELSE 0 END AS BIGINT) AS n_malformed,
-        CAST(CASE WHEN c4 = 0 THEN n0 ELSE 0 END
-             + CASE WHEN c4 <= 2 AND m >= 1 THEN 1 ELSE 0 END
-             + CASE WHEN m = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_post_adds,
-        CAST(CASE WHEN c4 <= 2 AND m >= 1 THEN 1 ELSE 0 END AS BIGINT)
-          AS n_post_removes,
-        CAST(1 + p.k % 2 AS BIGINT) AS min_reader,
-        CAST(2 + p.k % 2 AS BIGINT) AS min_writer,
-        CAST(agg.n_live AS BIGINT) AS n_live,
-        CAST(CASE WHEN m = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_tombstones,
-        CAST(agg.live_bytes AS BIGINT) AS live_bytes,
-        CAST(agg.live_rows AS BIGINT) AS live_rows,
-        CAST(agg.n_ns AS BIGINT) AS n_live_no_stats,
-        CAST(agg.n_parts AS BIGINT) AS n_partitions
-      FROM p JOIN agg ON agg.k = p.k ORDER BY doc_id"""))
-
-  // --------------------------------------------------------------- q396
-
-  /** q396 — FULL zstd decode census over REAL reference-encoder
-    * blocks: q395 gates the predefined/RLE surface; this puts the
-    * rest of the decoder — Huffman literals (FSE-compressed weights,
-    * real zstd -3 output), FSE_Compressed sequence modes (real
-    * zstd -19 output), and Treeless literals riding the frame's
-    * Huffman table across a block boundary — under the driver's
-    * oracle gate. The two entropy-coded blocks are pinned CLI bytes
-    * (provenance in ZstdSeqSpec, where each also verifies against
-    * its source frame's own XXH64); the treeless follower is carved
-    * deterministically from the Huffman block's own stream. Oracle
-    * closed-form over the mix schedule. Map-only, zero shuffles.
-    */
-  val q396 = Q("q396_zstd_full_decode",
-    (s, dir) => {
-      import s.implicits._
-      import graft.operators.{ZstdOps, ZstdSeq}
-      def hx(h: String) = h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
-      // real zstd -3 block: Huffman literals (80 literals), 159-byte content
-      val hufBlock = hx("0205111690a76d888822ddd064bb91849656be7177777172871c09d750b3385d3ef67628f9294db2b6695db3b070ed8643991fe1a31bec5371babcb0e34a58443c00c816fc0807060087184211beffcadb96ec9e5230b86619")
-      // real zstd -19 block: FSE_Compressed LL/OF/ML, 800-byte content
-      val fseBlock = hx("d4071e252c333a41484f575e656c737a20272f363d444b525960686f767d232a313840474e555c636a71791f262d343b424951585f666d747b212930373e454c535a626970777e242b32565d646b2e353c43676e757c3f464d54781e252c50575e65282f363d61686f763940474e72791f264a51585f222930375b6269701e80a4a8a12bb9ff6fe0751a0311e0ef7f070b93000000000082e6af9999993933518a1ccfae02")
-      // treeless follower: the Huffman block's own stream, re-headed
-      // as Literals_Type 3 + nbSeq 0 (decodes to its 80 literals via
-      // the frame-carried table)
-      val treeless = {
-        val v = ((hufBlock(0) & 0xff) | ((hufBlock(1) & 0xff) << 8) |
-          ((hufBlock(2) & 0xff) << 16)) >>> 4
-        val comp = (v >> 10) & 0x3FF
-        val (_, treeBytes) = ZstdSeq.readHufTable(hufBlock, 3, 3 + comp).get
-        val stream = hufBlock.slice(3 + treeBytes, 3 + comp)
-        val h = 3 | (((v & 0x3FF)) << 4) | (stream.length << 14)
-        Array[Byte]((h & 0xff).toByte, ((h >> 8) & 0xff).toByte,
-          ((h >> 16) & 0xff).toByte) ++ stream ++ Array[Byte](0)
-      }
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val k = (id % 50).toInt
-            val blocks = Seq(
-              (0, Array.tabulate(10 + k)(i => ((i * 11 + k) % 251).toByte)),
-              (2, if (k % 2 == 0) hufBlock else fseBlock)) ++
-              (if (k % 6 == 0) Seq((2, treeless)) else Nil)
-            // every 7th doc: dictionary-id frame — the entropy blocks
-            // are declined whole (dict_gated), only the raw block counts
-            (id, ZstdOps.encodeFrameWithBlocks(blocks,
-              dictId = if (k % 7 == 0) 9 else 0))
-          }
-        }.toDF("doc_id", "payload")
-      ZstdSeq.zstdSeqFeatures(synth, "doc_id", "payload")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
-      f AS (SELECT doc_id, k,
-              CASE WHEN k % 6 = 0 THEN 1 ELSE 0 END AS tl,
-              CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS dict,
-              CASE WHEN k % 2 = 0 THEN 159 ELSE 800 END AS blk
-            FROM d)
-      SELECT doc_id,
-             CAST(1 AS BIGINT) AS valid,
-             CAST(2 + tl AS BIGINT) AS n_blocks,
-             CAST(1 AS BIGINT) AS n_raw,
-             CAST(0 AS BIGINT) AS n_rle,
-             CAST(1 + tl AS BIGINT) AS n_compressed,
-             CAST(CASE WHEN dict = 1 THEN 0 ELSE 1 + tl END AS BIGINT) AS n_decoded,
-             CAST(CASE WHEN dict = 1 THEN 1 + tl ELSE 0 END AS BIGINT) AS n_unsupported,
-             CAST(0 AS BIGINT) AS n_failed,
-             CAST(CASE WHEN dict = 1 THEN 10 + k
-                       ELSE 10 + k + blk + tl * 80 END AS BIGINT) AS decoded_bytes,
-             CAST(-1 AS BIGINT) AS content_ok,
-             CAST(dict AS BIGINT) AS dict_gated
-      FROM f ORDER BY doc_id"""))
-
   val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
     q43, q44, q45, q46, q47, q48, q49, q58, q65, q66, q74, q114, q169, q170,
     q172, q173, q174, q175, q176, q177, q178, q179, q181, q182, q188, q189, q193,
     q194, q195, q197, q204, q230, q296, q314, q315, q318, q319, q323, q324, q325,
     q329, q332, q335, q337, q339, q346, q351, q353, q355, q356, q358, q362, q363,
-    q364, q366, q367, q368, q369, q370, q374, q377, q378, q379, q380, q381, q382,
-    q385, q387, q388, q390, q392, q393, q395, q396, q397, q398, q399, q400,
-    q401, q402, q403, q404, q405, q406, q407, q408, q409, q410, q411, q412,
-    q413, q414)
+    q364, q366, q367, q368, q369, q370, q374, FormatQueries.q377, FormatQueries.q378, FormatQueries.q379, FormatQueries.q380, FormatQueries.q381, FormatQueries.q382,
+    FormatQueries.q385, FormatQueries.q387, FormatQueries.q388, FormatQueries.q390, LakeQueries.q392, LakeQueries.q393, FormatQueries.q395, FormatQueries.q396, LakeQueries.q397, LakeQueries.q398, LakeQueries.q399, LakeQueries.q400,
+    LakeQueries.q401, LakeQueries.q402, FormatQueries.q403, LakeQueries.q404, LakeQueries.q405, LakeQueries.q406, LakeQueries.q407, LakeQueries.q408, LakeQueries.q409, LakeQueries.q410, LakeQueries.q411, LakeQueries.q412,
+    FormatQueries.q413, FormatQueries.q414)
 }

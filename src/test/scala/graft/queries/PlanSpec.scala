@@ -166,8 +166,8 @@ class PlanSpec extends SparkSpec {
     // ORC tail, Snappy framing: one mapPartitions pass over per-doc
     // synthesized payloads; the final orderBy is presentation (range
     // partitioning only)
-    for (q <- Seq(DataQueries.q374, DataQueries.q377, DataQueries.q378,
-        DataQueries.q379, DataQueries.q380, DataQueries.q381, DataQueries.q382)) {
+    for (q <- Seq(DataQueries.q374, FormatQueries.q377, FormatQueries.q378,
+        FormatQueries.q379, FormatQueries.q380, FormatQueries.q381, FormatQueries.q382)) {
       val plan = physical(q)
       assert(!plan.contains("Join"), s"${q.name}: $plan")
       assert(!plan.contains("hashpartitioning"), s"${q.name}: $plan")
@@ -583,7 +583,7 @@ class PlanSpec extends SparkSpec {
     // log-state reconstruction as a relational fold: latest-wins is a
     // row_number window partitioned by (table, path) — a join-based
     // 'latest per key' would rescan the log per side
-    val plan = finalPlan(DataQueries.q392.fn(spark, sf))
+    val plan = finalPlan(LakeQueries.q392.fn(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("windowspecdefinition(tbl"),
       s"latest-wins window lost its (table,path) partitioning:\n$plan")
@@ -601,7 +601,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q395/q396: zstd decode census is map-only — no join, no agg exchange") {
-    for (q <- Seq(DataQueries.q395, DataQueries.q396)) {
+    for (q <- Seq(FormatQueries.q395, FormatQueries.q396)) {
       val plan = finalPlan(q.fn(spark, sf))
       assert(!plan.contains("Join"), s"${q.name}:\n$plan")
       assert(!plan.contains("HashAggregate"), s"${q.name} grew an aggregation:\n$plan")
