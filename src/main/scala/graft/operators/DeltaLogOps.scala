@@ -38,6 +38,24 @@ import org.apache.spark.sql.functions._
   */
 object DeltaLogOps {
 
+  /** Canonical compact form of a partition-values JSON map: parsed,
+    * entry-sorted by key, re-serialized. Checkpoint rows derive
+    * `pvals` via `to_json(add.partitionValues)` while JSON-log rows
+    * take the raw `get_json_object` substring; without this, any
+    * whitespace or key-order difference between the two extractions
+    * (or between two writers of the same log) splits one partition
+    * into two in `count_distinct(pvals)`. A string that does not
+    * parse as a JSON object falls back to its raw form — counted
+    * apart, never dropped.
+    */
+  private def canonPvals(c: Column): Column = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    coalesce(
+      to_json(map_from_entries(array_sort(map_entries(
+        from_json(c, MapType(StringType, StringType)))))),
+      c)
+  }
+
   /** Per-line parse: action classification + the fields every pass
     * needs. `statsPath` is the stats leaf the prune audit reads (e.g.
     * "x" reads `minValues.x` / `maxValues.x`).
@@ -57,7 +75,7 @@ object DeltaLogOps {
       (get_json_object(line, "$.commitInfo").isNotNull ||
         get_json_object(line, "$.txn").isNotNull).as("is_info"),
       get_json_object(line, "$.add.size").cast("long").as("size"),
-      get_json_object(line, "$.add.partitionValues").as("pvals"),
+      canonPvals(get_json_object(line, "$.add.partitionValues")).as("pvals"),
       get_json_object(stats, "$.numRecords").cast("long").as("n_rows"),
       get_json_object(stats, s"$$.minValues.$statsPath").cast("long").as("min_v"),
       get_json_object(stats, s"$$.maxValues.$statsPath").cast("long").as("max_v"))
@@ -286,30 +304,52 @@ object DeltaLogOps {
                    versionCol: String, lineCol: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
-      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = b.sparkSession
         val sp = new org.apache.hadoop.fs.Path(statePath)
         val tmp = new org.apache.hadoop.fs.Path(statePath + ".tmp")
         val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // crash recovery: a marker-less tmp is a partial write — drop
-        // it; a complete one is the previous batch's result — promote
-        // (extendDictionaryBatchStep's delete→rename discipline)
+        val marker = "_applied_batch" // underscore-prefixed: parquet reads skip it
+        def appliedId(dir: org.apache.hadoop.fs.Path): Long = {
+          val m = new org.apache.hadoop.fs.Path(dir, marker)
+          if (!fs.exists(m)) -1L
+          else {
+            val in = fs.open(m)
+            try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+            finally in.close()
+          }
+        }
+        // crash recovery: promote tmp only when BOTH the parquet
+        // _SUCCESS and the batch marker landed (the marker is written
+        // after the parquet commit, so a marker-less tmp is a partial
+        // write — drop it and refold from the intact prior state)
         if (!fs.exists(sp) && fs.exists(tmp)) {
-          if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+          if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")) &&
+              fs.exists(new org.apache.hadoop.fs.Path(tmp, marker)))
             fs.rename(tmp, sp)
           else fs.delete(tmp, true)
         }
-        val prior =
-          if (fs.exists(sp)) spark.read.schema(StateSchema).parquet(statePath)
-          else emptyState(spark)
-        // fold to a TEMP path, then swap: writing over statePath while
-        // the fold plan still reads it would delete the store mid-scan
-        // (a lazy localCheckpoint materializes nothing before the
-        // delete — only the tmp indirection is actually safe here)
-        foldBatch(prior, b.toDF(), tableCol, versionCol, lineCol)
-          .write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(sp, true)
-        fs.rename(tmp, sp)
+        // idempotence under foreachBatch retry: when the promoted
+        // state already folded this batchId (the driver died between
+        // delete(sp) and rename, or the sink re-delivers the last
+        // batch after a restart), folding again would double-count the
+        // tally rows — skip; the live-set columns were always safe via
+        // the row_number dedupe, the tallies were not.
+        if (!(fs.exists(sp) && appliedId(sp) == batchId)) {
+          val prior =
+            if (fs.exists(sp)) spark.read.schema(StateSchema).parquet(statePath)
+            else emptyState(spark)
+          // fold to a TEMP path, then swap: writing over statePath while
+          // the fold plan still reads it would delete the store mid-scan
+          // (a lazy localCheckpoint materializes nothing before the
+          // delete — only the tmp indirection is actually safe here)
+          foldBatch(prior, b.toDF(), tableCol, versionCol, lineCol)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val out = fs.create(new org.apache.hadoop.fs.Path(tmp, marker), true)
+          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+          fs.delete(sp, true)
+          fs.rename(tmp, sp)
+        }
         ()
     }
 
@@ -440,8 +480,7 @@ object DeltaLogOps {
     * per-table groupBy.
     */
   def deletionVectorCensus(log: DataFrame, tableCol: String,
-                           versionCol: String, lineCol: String,
-                           statsPath: String = "x"): DataFrame = {
+                           versionCol: String, lineCol: String): DataFrame = {
     val line = col(lineCol)
     val stats = get_json_object(line, "$.add.stats")
     val p = log.select(
@@ -557,12 +596,12 @@ object DeltaLogOps {
       col("protocol.minReaderVersion").cast("long").as("proto_r"),
       col("protocol.minWriterVersion").cast("long").as("proto_w"),
       col("add.size").cast("long").as("size"),
-      // compact JSON of the partition map — the same string shape the
-      // JSON lines' partitionValues field parses to (single-key maps in
-      // the synthetic schedule; a multi-key census would key on the
-      // canonicalized map instead)
+      // canonical compact JSON of the partition map — same form the
+      // JSON-log extraction canonicalizes to, so multi-key or
+      // differently-ordered maps never split a partition across the
+      // checkpoint/log union
       when(col("add.path").isNotNull,
-        to_json(col("add.partitionValues"))).as("pvals"),
+        canonPvals(to_json(col("add.partitionValues")))).as("pvals"),
       get_json_object(col("add.stats"), "$.numRecords").cast("long").as("n_rows"))
       .localCheckpoint(false) // consumers: version map, tallies, acts
     val ckptVer = cp.groupBy("tbl").agg(max("cv").as("ckpt_ver"))
@@ -698,7 +737,7 @@ object DeltaLogOps {
       col("protocol.minWriterVersion").cast("long").as("proto_w"),
       col("add.size").cast("long").as("size"),
       when(col("add.path").isNotNull,
-        to_json(col("add.partitionValues"))).as("pvals"),
+        canonPvals(to_json(col("add.partitionValues")))).as("pvals"),
       get_json_object(col("add.stats"), "$.numRecords").cast("long").as("n_rows"))
       .localCheckpoint(false)
     val acts = widen(cp

@@ -126,8 +126,13 @@ object NalCensus {
       v
     }
     def ue(): Int = { // Exp-Golomb unsigned: N zeros, 1, N info bits
+      // 30 zeros is the widest value that still fits a non-negative
+      // Int ((1<<30)-1 + u(30) < 2^31); at 31, (1<<31)-1 + u(31)
+      // wraps negative instead of failing — fail closed like every
+      // other overrun, so an adversarial SPS can't smuggle
+      // negative-derived fields past downstream guards
       var zeros = 0
-      while (u(1) == 0) { zeros += 1; if (zeros > 31) throw Malformed }
+      while (u(1) == 0) { zeros += 1; if (zeros > 30) throw Malformed }
       if (zeros == 0) 0 else ((1 << zeros) - 1) + u(zeros)
     }
     def se(): Int = { // signed mapping: 1,-1,2,-2,…

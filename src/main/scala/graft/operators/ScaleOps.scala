@@ -180,11 +180,17 @@ object ScaleOps {
     // growth probe depends on copies being key-disjoint). One tiny
     // max-aggregate per shifted table; the same effective offset applies
     // to EVERY table so referential integrity holds within each copy.
-    val maxKey = shiftCols.collect { case (t, cols) if cols.nonEmpty =>
-      val base = graft.Tables.load(spark, srcDir, t)
-      base.agg(cols.map(c => max(col(c).cast("long"))).reduce(greatest(_, _)))
-        .collect()(0).getLong(0)
-    }.max
+    // one job: union of 1-row per-table maxes (each a column-pruned
+    // key-only scan), max-of-max on top; an EMPTY table folds to -1
+    // via the coalesce instead of NPE-ing the driver on a null max
+    val maxKey = shiftCols.toSeq.collect { case (t, cols) if cols.nonEmpty =>
+      graft.Tables.load(spark, srcDir, t)
+        .agg(coalesce(
+          cols.map(c => max(col(c).cast("long"))).reduce(greatest(_, _)),
+          lit(-1L)).as("m"))
+    }.reduce(_ unionByName _)
+      .agg(max(col("m")).as("m"))
+      .collect()(0).getLong(0)
     val effOffset = math.max(offset, maxKey + 1)
     require(effOffset <= Long.MaxValue / factor,
       s"effective offset $effOffset x factor $factor overflows long keys")

@@ -377,4 +377,30 @@ class DeltaLogOpsSpec extends SparkSpec {
     assert(got.except(want).count() == 0 && want.except(got).count() == 0,
       "checkpoint-seeded fold must reach the same live set as the full replay")
   }
+
+  test("partition-values canonicalize: key order never splits a partition, in-log or across the checkpoint") {
+    // two spellings of the SAME multi-key partition in one JSON log
+    val log = logDf(Seq(
+      (1L, 0L, """{"add":{"path":"a","partitionValues":{"a":"1","b":"2"},"size":1,"dataChange":true}}"""),
+      (1L, 1L, """{"add":{"path":"b","partitionValues":{"b":"2","a":"1"},"size":1,"dataChange":true}}""")))
+    val c = DeltaLogOps.snapshotCensus(log, "tbl", "ver", "line").collect()(0)
+    assert(c.getAs[Long]("n_live") == 2 && c.getAs[Long]("n_partitions") == 1,
+      c.toString)
+
+    // ACROSS the checkpoint/log union: the checkpoint's map iterates
+    // b-first (to_json order), the retained commit spells it a-first —
+    // the raw strings differ, the canonical partition is one
+    val ckpt = Seq((1L, 0L, DeltaLogOps.CkptRecord(
+        DeltaLogOps.CkptAdd("a", Map("b" -> "2", "a" -> "1"), 1L, null),
+        null, null)))
+      .toDF("tbl", "ckver", "rec")
+      .select(col("tbl"), col("ckver"), col("rec.add").as("add"),
+        col("rec.remove").as("remove"), col("rec.protocol").as("protocol"))
+    val post = logDf(Seq(
+      (1L, 1L, """{"add":{"path":"b","partitionValues":{"a":"1","b":"2"},"size":1,"dataChange":true}}""")))
+    val cc = DeltaLogOps.checkpointedCensus(ckpt, "tbl", "ckver",
+      post, "tbl", "ver", "line").collect()(0)
+    assert(cc.getAs[Long]("n_live") == 2 && cc.getAs[Long]("n_partitions") == 1,
+      cc.toString)
+  }
 }

@@ -121,4 +121,28 @@ class NalCensusSpec extends SparkSpec {
     assert(row.getAs[Long]("profile_idc") == 100 && row.getAs[Long]("cabac") == 1)
     assert(row.getAs[Long]("n_nals") == 5)
   }
+
+  test("Exp-Golomb value past Int range is MALFORMED, never a wrapped negative") {
+    // profile/constraints/level header, then ue() with 31 leading
+    // zeros: (1 << 31) - 1 + u(31) would wrap negative — the reader
+    // must fail closed (sps_ok = 0), not hand downstream guards a
+    // negative-derived field with ok = 1
+    val rbsp = Array[Int](66, 0, 30,
+      0x00, 0x00, 0x00, 0x01, // 31 zero bits, then the marker 1
+      0xff, 0xff, 0xff, 0xfe // 31 info bits (all ones) + pad
+    ).map(_.toByte)
+    val s = NalCensus.parseSps(rbsp)
+    assert(s.ok == 0 && s.gated == 0, s.toString)
+    // 30 zeros is still in range and must parse as a VALUE (the guard
+    // sits exactly at the overflow boundary, not before it)
+    val w = new java.io.ByteArrayOutputStream()
+    w.write(66); w.write(0); w.write(30)
+    // 30 zeros + 1 + 30 zero info bits = ue((1<<30)-1), then pad ones
+    w.write(Array[Int](0x00, 0x00, 0x00, 0x02, 0x00, 0x00, 0x00, 0x3f)
+      .map(_.toByte))
+    val s30 = NalCensus.parseSps(w.toByteArray)
+    // the huge sps_id then fails a later read or a guard — either way
+    // the parse NEVER reports a negative-derived dimension as ok
+    assert(s30.ok == 0 || (s30.width >= 0 && s30.height >= 0), s30.toString)
+  }
 }

@@ -34,6 +34,22 @@ class ScaleOpsSpec extends SparkSpec {
       ScaleOps.saltedJoin(df, df, Seq("k"), salts = 2, joinType = jt)
   }
 
+  test("replicateScaled survives an EMPTY shifted table (null max folds, no NPE)") {
+    // an empty table's max key aggregates to null; the disjointness
+    // guard must fold it to the sentinel instead of NPE-ing the driver
+    val src = java.nio.file.Files.createTempDirectory("graft-repl-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-repl-out").toString
+    for (t <- Tables.names) {
+      val df = Tables.load(spark, sf, t)
+      (if (t == "embeddings") df.limit(0) else df)
+        .write.mode("overwrite").parquet(s"$src/$t.parquet")
+    }
+    ScaleOps.replicateScaled(spark, src, out, factor = 1)
+    assert(spark.read.parquet(s"$out/embeddings.parquet").count() == 0)
+    assert(spark.read.parquet(s"$out/lineitem.parquet").count() ==
+      Tables.load(spark, sf, "lineitem").count())
+  }
+
   test("writeZOrdered round-trips rows and shrinks per-file spans on BOTH dims vs plain layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toFile
     val o = Tables.load(spark, sf, "orders")

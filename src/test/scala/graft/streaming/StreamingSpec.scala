@@ -494,6 +494,67 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamCensus retry of an already-folded batch is a no-op (batch-marker idempotence)") {
+    // the crash window the marker closes: driver dies between
+    // delete(state) and rename(tmp, state) — recovery promotes tmp
+    // (which already folded batch N), the restart re-delivers batch N
+    // with the SAME batchId, and a second fold would double-count the
+    // tally rows (n_lines/n_adds/n_removes)
+    import graft.operators.DeltaLogOps
+    val dir = Files.createTempDirectory("graft-deltastream-retry").toFile
+    import spark.implicits._
+    val ks = Seq(2L, 5L)
+    val allLines = ks.flatMap(k =>
+      DeltaLogOps.syntheticLog(k).map { case (v, l) => (k, v, l) })
+    val want = DeltaLogOps.snapshotCensus(
+        allLines.toDF("tbl", "ver", "line"), "tbl", "ver", "line")
+      .orderBy("tbl").collect().map(_.toSeq)
+    for (v <- 0L to 2L) {
+      val b = allLines.filter(_._2 == v)
+      if (b.nonEmpty) {
+        b.toDF("tbl", "ver", "line").write.parquet(s"$dir/in/v$v")
+        Thread.sleep(1100)
+      }
+    }
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("tbl LONG, ver LONG, line STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/in/*")
+      val q = DeltaLogOps.streamCensus(stream, s"$dir/state", "tbl", "ver", "line")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop() // release the checkpoint-location registration before the rerun
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.nonEmpty && System.nanoTime < deadline)
+        Thread.sleep(100)
+    }
+    run()
+    // un-commit the LAST batch in the sink's checkpoint (its offsets
+    // entry survives, so the restart re-executes it with the same id)
+    // and stage the crash: folded state sits complete at .tmp, the old
+    // state directory is already gone
+    val commits = new java.io.File(s"$dir/ckpt/commits").listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).sorted
+    assert(commits.length >= 2, s"need multiple batches, got $commits")
+    assert(new java.io.File(s"$dir/ckpt/commits/${commits.last}").delete())
+    new java.io.File(s"$dir/ckpt/commits/.${commits.last}.crc").delete() // hadoop checksum sidecar
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/state")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/state"),
+      new org.apache.hadoop.fs.Path(s"$dir/state.tmp")))
+    run() // recovery must promote tmp; the marker must skip the re-fold
+    val got = DeltaLogOps.censusFromState(
+        spark.read.schema(DeltaLogOps.StateSchema).parquet(s"$dir/state"))
+      .orderBy("tbl").collect().map(_.toSeq)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"retry double-counted the tallies:\n  got:  $g\n  want: $w")
+    }
+  }
+
   test("media decode over a payload stream equals the batch codec features") {
     // the codec paths are stateless mapPartitions — the same call runs
     // unchanged on a streaming DataFrame, so a media-ingest pipeline
