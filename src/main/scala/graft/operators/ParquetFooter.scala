@@ -65,11 +65,11 @@ object ParquetFooter {
       footerLen: Long,      // declared thrift length (not oracle-gated)
       dataBytes: Long)      // bytes between the magics minus the footer
 
-  private object Malformed extends Exception with scala.util.control.NoStackTrace
+  private[operators] object Malformed extends Exception with scala.util.control.NoStackTrace
 
-  private val MaxDepth = 24
+  private[operators] val MaxDepth = 24
 
-  private final class Reader(val b: Array[Byte], var pos: Int, val end: Int) {
+  private[operators] final class Reader(val b: Array[Byte], var pos: Int, val end: Int) {
     def u8(): Int = {
       if (pos >= end) throw Malformed
       val v = b(pos) & 0xff; pos += 1; v
@@ -94,7 +94,7 @@ object ParquetFooter {
   }
 
   /** Skip one value of `tpe` without interpreting it. */
-  private def skipValue(r: Reader, tpe: Int, depth: Int): Unit = {
+  private[operators] def skipValue(r: Reader, tpe: Int, depth: Int): Unit = {
     if (depth > MaxDepth) throw Malformed
     tpe match {
       case 1 | 2 =>            // bool as a list element: one byte
@@ -125,7 +125,7 @@ object ParquetFooter {
     }
   }
 
-  private def listHeader(r: Reader): (Long, Int) = {
+  private[operators] def listHeader(r: Reader): (Long, Int) = {
     val h = r.u8()
     val elemType = h & 0xF
     val short = (h >> 4) & 0xF
@@ -139,7 +139,7 @@ object ParquetFooter {
     * consumed the value (bool fields carry their value in `tpe` and
     * never need consuming).
     */
-  private def walkStruct(r: Reader, depth: Int)(onField: (Int, Int) => Boolean): Unit = {
+  private[operators] def walkStruct(r: Reader, depth: Int)(onField: (Int, Int) => Boolean): Unit = {
     if (depth > MaxDepth) throw Malformed
     var fieldId = 0
     var continue = true
@@ -167,7 +167,7 @@ object ParquetFooter {
     * subtraction-form fit check. None = not a parquet file / cut
     * footer — the callers' fail-closed zero.
     */
-  private def footerReader(bytes: Array[Byte]): Option[(Reader, Long)] = {
+  private[operators] def footerReader(bytes: Array[Byte]): Option[(Reader, Long)] = {
     val n = bytes.length
     def magicAt(p: Int): Boolean =
       bytes(p) == 'P' && bytes(p + 1) == 'A' && bytes(p + 2) == 'R' && bytes(p + 3) == '1'

@@ -1206,4 +1206,96 @@ object FormatQueries {
              CAST(-1 AS BIGINT) AS content_ok,
              CAST(dict AS BIGINT) AS dict_gated
       FROM f ORDER BY doc_id"""))
+
+
+  // --------------------------------------------------------------- q415
+
+  /** q415 — parquet DATA-PAGE decode
+    * ([[graft.operators.ParquetPages.pageDecodeAudit]]): the layer
+    * BELOW q413/q414's page index — the actual value bytes. Page
+    * headers walk through the same thrift-compact reader as the
+    * footer; definition levels and dictionary indices decode through
+    * the RLE/bit-packed hybrid; values through PLAIN int64 or the
+    * dictionary page; snappy chunks through [[graft.operators.SnappyRaw]].
+    * The schedule plants every class: dict vs PLAIN encoding, snappy
+    * vs uncompressed, multi-page and multi-row-group chunks, nulls
+    * (def-level mix), a gzip-stamped chunk (valid file, DECLINED
+    * codec — gated, counts zeroed) and a truncated file (malformed —
+    * ok 0, nothing guessed). Pinned against REAL parquet-mr output —
+    * snappy + dictionary + nulls + the mid-chunk dictionary→PLAIN
+    * fallback — in ParquetPagesSpec; fuzz target in WalkerFuzzSpec.
+    * Oracle recomputes the decoded aggregates closed-form from the
+    * planted values. Map-only, zero shuffles; the audit keeps only
+    * per-file aggregates, never a chunk's values.
+    */
+  val q415 = Q("q415_parquet_page_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.ParquetPages
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (id % 50).toInt
+          val nRg = if (k % 7 == 0) 2 else 1
+          val n = 40 + k
+          def vals(r: Int): Seq[Option[Long]] =
+            (0 until n).map(i => if ((i + r) % 11 == 3) None
+              else Some((id + r * 5 + i * 3) % 23))
+          val pagesOf = (0 until nRg).map { r =>
+            val v = vals(r)
+            if (k % 3 == 0) Seq(v.take(n / 2), v.drop(n / 2)) else Seq(v)
+          }
+          val bytes =
+            if (k % 17 == 0)
+              ParquetPages.encodeInt64File(pagesOf, useDict = false,
+                codec = 0, truncate = 8)
+            else if (k % 13 == 0)
+              ParquetPages.encodeInt64File(pagesOf, useDict = false, codec = 2)
+            else
+              ParquetPages.encodeInt64File(pagesOf, useDict = k % 2 == 0,
+                codec = if (k % 5 == 0) 1 else 0)
+          (id, bytes)
+        }).toDF("doc_id", "payload")
+      ParquetPages.pageDecodeAudit(synth, "doc_id", "payload", colIdx = 0)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      cls AS (SELECT doc_id, k,
+          CASE WHEN k % 17 = 0 THEN 'trunc'
+               WHEN k % 13 = 0 THEN 'gz' ELSE 'ok' END AS cls,
+          CAST(CASE WHEN k % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS nrg,
+          CAST(40 + k AS BIGINT) AS n,
+          CAST(CASE WHEN k % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ppr,
+          CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS usedict
+        FROM d),
+      rg AS (SELECT doc_id, cls, n, usedict, unnest(range(nrg)) AS r FROM cls),
+      rows_ AS (SELECT doc_id, cls, usedict, r, unnest(range(n)) AS i FROM rg),
+      vals AS (SELECT doc_id, r,
+          CASE WHEN (i + r) % 11 = 3 THEN NULL
+               ELSE (doc_id + r * 5 + i * 3) % 23 END AS v
+        FROM rows_),
+      agg AS (SELECT doc_id,
+          COUNT(v) AS nv, COUNT(*) - COUNT(v) AS nn,
+          MIN(v) AS mn, MAX(v) AS mx, SUM(v) AS sm
+        FROM vals GROUP BY doc_id),
+      dct AS (SELECT doc_id, SUM(nd) AS nd FROM
+          (SELECT doc_id, r, COUNT(DISTINCT v) AS nd FROM vals
+           WHERE v IS NOT NULL GROUP BY doc_id, r) GROUP BY doc_id)
+      SELECT c.doc_id,
+        CAST(CASE WHEN cls = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS ok,
+        CAST(CASE WHEN cls = 'gz' THEN 1 ELSE 0 END AS BIGINT) AS gated,
+        CAST(CASE WHEN cls = 'trunc' THEN 0 ELSE nrg END AS BIGINT) AS n_rgs,
+        CAST(CASE WHEN cls = 'ok' THEN nrg * ppr ELSE 0 END AS BIGINT) AS n_pages,
+        CAST(CASE WHEN cls = 'ok' AND usedict = 1 THEN dct.nd ELSE 0 END AS BIGINT)
+          AS n_dict_vals,
+        CAST(CASE WHEN cls = 'ok' THEN agg.nv ELSE 0 END AS BIGINT) AS n_values,
+        CAST(CASE WHEN cls = 'ok' THEN agg.nn ELSE 0 END AS BIGINT) AS n_nulls,
+        CAST(CASE WHEN cls = 'ok' THEN agg.mn ELSE 0 END AS BIGINT) AS min_v,
+        CAST(CASE WHEN cls = 'ok' THEN agg.mx ELSE 0 END AS BIGINT) AS max_v,
+        CAST(CASE WHEN cls = 'ok' THEN agg.sm ELSE 0 END AS BIGINT) AS sum_v
+      FROM cls c
+      JOIN agg ON agg.doc_id = c.doc_id
+      JOIN dct ON dct.doc_id = c.doc_id
+      ORDER BY c.doc_id"""))
 }

@@ -305,6 +305,18 @@ class WalkerFuzzSpec extends AnyFunSuite {
       b => { val m = ParquetFooter.parse(b)
         (m.nSchema.toLong + m.nColumnChunks, math.max(0L, m.dataBytes)) },
       appendStable = false), // discovery starts at the file END, like ZIP
+    Fuzzed("parquet-pages",
+      rnd => ParquetPages.encodeInt64File(
+        (0 until 1 + rnd.nextInt(3)).map { _ =>
+          (0 until 1 + rnd.nextInt(3)).map { _ =>
+            (0 until 1 + rnd.nextInt(60)).map(_ =>
+              if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(40).toLong))
+          }
+        },
+        useDict = rnd.nextBoolean(), codec = rnd.nextInt(2)),
+      b => { val d = ParquetPages.decodeInt64File(b, 0)
+        (d.nValues + d.nNulls + d.nPages, 0L) },
+      appendStable = false), // footer discovery starts at the file END
     Fuzzed("webp",
       rnd => rnd.nextInt(3) match {
         case 0 => WebpOps.encodeLossy(1 + rnd.nextInt(1000), 1 + rnd.nextInt(1000),
