@@ -863,4 +863,219 @@ object DeltaLogOps {
       Some(s"""{"version":$ver,"size":$size}""")
     }
   }
+
+  // ------------------------------------------------------------------
+  // checkpoint LAYOUT (r14 verdict item 2): multi-part classic and V2
+  //
+  // Past a size, a writer shards the classic checkpoint into
+  // `NNNN.checkpoint.<i>.<n>.parquet` (ALL n parts required — a
+  // missing part makes the checkpoint unusable whole, never partially
+  // read), and the V2 spec replaces inline actions with a UUID-named
+  // manifest (`NNNN.checkpoint.<uuid>.parquet`) whose `sidecar`
+  // actions point at files under `_delta_log/_sidecars/` — every
+  // claimed sidecar must exist. A real reader therefore selects the
+  // NEWEST COMPLETE checkpoint and falls back past incomplete ones;
+  // this census does exactly that, declaratively, at metadata grain.
+
+  /** Per-file checkpoint-name parse: version, layout class
+    * (1 classic single-file / 2 multi-part / 3 V2 manifest /
+    * 0 checkpoint-like-but-malformed name), part index/count for
+    * layout 2. Input filenames like `00000000000000000010.checkpoint.
+    * 0000000001.0000000003.parquet`.
+    */
+  private def parseCkptName(f: DataFrame): DataFrame = {
+    val n = col("name")
+    val reClassic = "^(\\d+)\\.checkpoint\\.parquet$"
+    val reMp = "^(\\d+)\\.checkpoint\\.(\\d+)\\.(\\d+)\\.parquet$"
+    val reV2 = "^(\\d+)\\.checkpoint\\.([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})\\.parquet$"
+    f.select(col("tbl"), n,
+      when(regexp_extract(n, reClassic, 1) =!= "",
+          regexp_extract(n, reClassic, 1))
+        .when(regexp_extract(n, reMp, 1) =!= "", regexp_extract(n, reMp, 1))
+        .when(regexp_extract(n, reV2, 1) =!= "", regexp_extract(n, reV2, 1))
+        .cast("long").as("ver"),
+      when(regexp_extract(n, reClassic, 1) =!= "", lit(1))
+        .when(regexp_extract(n, reMp, 1) =!= "", lit(2))
+        .when(regexp_extract(n, reV2, 1) =!= "", lit(3))
+        .otherwise(lit(0)).as("layout"),
+      when(regexp_extract(n, reMp, 2) =!= "",
+        regexp_extract(n, reMp, 2).cast("long")).as("part_i"),
+      when(regexp_extract(n, reMp, 3) =!= "",
+        regexp_extract(n, reMp, 3).cast("long")).as("part_n"))
+  }
+
+  /** Checkpoint-layout census per table. Inputs are pure METADATA
+    * frames — never data rows:
+    *
+    *   - `files(tableCol, nameCol)`: the `_delta_log/` listing,
+    *     checkpoint files only (JSON commits are the other censuses'
+    *     input);
+    *   - `claims(clTableCol, clVerCol, clSidecarCol)`: the V2
+    *     manifests' sidecar actions (one row per claimed sidecar
+    *     file);
+    *   - `present(prTableCol, prNameCol)`: the `_sidecars/` listing.
+    *
+    * Completeness per (table, version): classic — the file exists;
+    * multi-part — the parts agree on one n and the distinct indices
+    * are exactly 1..n; V2 — the manifest exists and EVERY claimed
+    * sidecar is present (no claims = a tiny self-contained manifest,
+    * complete). `usable_ver` is the newest COMPLETE version — the one
+    * a real reader seeds from; `needs_fallback` = 1 when that is not
+    * the newest checkpoint on disk (an incomplete newer one must be
+    * skipped). `usable_parts` prices the read: n files for
+    * multi-part, 1 + sidecars for V2. Filename-malformed
+    * checkpoint-like files are counted (`n_malformed_names`), never
+    * guessed at. Plan: two metadata-grain groupBys + broadcast-sized
+    * joins, zero data-row shuffles.
+    */
+  def checkpointLayoutCensus(files: DataFrame, tableCol: String,
+      nameCol: String, claims: DataFrame, clTableCol: String,
+      clVerCol: String, clSidecarCol: String, present: DataFrame,
+      prTableCol: String, prNameCol: String): DataFrame = {
+    val f = parseCkptName(files.select(
+      col(tableCol).cast("long").as("tbl"), col(nameCol).as("name")))
+      .localCheckpoint(false) // consumers: per-version, malformed, base
+    val cl = claims.select(col(clTableCol).cast("long").as("tbl"),
+        col(clVerCol).cast("long").as("ver"), col(clSidecarCol).as("sc"))
+      .join(present.select(col(prTableCol).cast("long").as("tbl"),
+        col(prNameCol).as("sc"), lit(1L).as("ex")), Seq("tbl", "sc"), "left")
+      .groupBy("tbl", "ver").agg(
+        count(lit(1)).as("n_claimed"),
+        sum(coalesce(col("ex"), lit(0L))).as("n_present"))
+    val perVer = f.filter(col("layout") > 0)
+      .groupBy("tbl", "ver").agg(
+        max("layout").as("layout"),
+        count(lit(1)).as("n_files"),
+        count_distinct(col("part_i")).as("nd_pi"),
+        min("part_i").as("min_pi"), max("part_i").as("max_pi"),
+        min("part_n").as("min_pn"), max("part_n").as("max_pn"))
+      .join(cl, Seq("tbl", "ver"), "left")
+      .withColumn("complete",
+        when(col("layout") === 1, lit(true))
+          .when(col("layout") === 2,
+            col("min_pn") === col("max_pn") &&
+              col("nd_pi") === col("max_pn") &&
+              col("min_pi") === 1 && col("max_pi") === col("max_pn") &&
+              col("n_files") === col("max_pn"))
+          .otherwise( // V2: every claimed sidecar present (or none claimed)
+            coalesce(col("n_claimed") === col("n_present"), lit(true))))
+      .withColumn("parts",
+        when(col("layout") === 3, lit(1L) + coalesce(col("n_claimed"), lit(0L)))
+          .otherwise(col("n_files")))
+    val roll = perVer.groupBy("tbl").agg(
+      sum("n_files").as("n_ckpt_files"),
+      count(lit(1)).as("n_versions"),
+      sum(col("complete").cast("long")).as("n_complete"),
+      sum((!col("complete")).cast("long")).as("n_incomplete"),
+      max("ver").as("latest_ver"),
+      max(when(col("complete"), col("ver"))).as("usable_ver"),
+      max_by(col("layout"), when(col("complete"), col("ver"))).as("usable_layout"),
+      max_by(col("parts"), when(col("complete"), col("ver"))).as("usable_parts"))
+    val mal = f.filter(col("layout") === 0)
+      .groupBy("tbl").agg(count(lit(1)).as("n_malformed_names"))
+    f.select("tbl").distinct()
+      .join(roll, Seq("tbl"), "left")
+      .join(mal, Seq("tbl"), "left")
+      .select(col("tbl"),
+        coalesce(col("n_ckpt_files"), lit(0L)).as("n_ckpt_files"),
+        coalesce(col("n_malformed_names"), lit(0L)).as("n_malformed_names"),
+        coalesce(col("n_versions"), lit(0L)).as("n_versions"),
+        coalesce(col("n_complete"), lit(0L)).as("n_complete"),
+        coalesce(col("n_incomplete"), lit(0L)).as("n_incomplete"),
+        coalesce(col("latest_ver"), lit(-1L)).as("latest_ver"),
+        coalesce(col("usable_ver"), lit(-1L)).as("usable_ver"),
+        (coalesce(col("latest_ver"), lit(-1L)) =!=
+          coalesce(col("usable_ver"), lit(-1L))).cast("long")
+          .as("needs_fallback"),
+        coalesce(col("usable_layout"), lit(0)).cast("long").as("usable_layout"),
+        coalesce(col("usable_parts"), lit(0L)).as("usable_parts"))
+  }
+
+  /** The `parts` claim check [[lastCheckpointAudit]] lacks: a
+    * multi-part `_last_checkpoint` also stamps `"parts":P`, and the
+    * spec's contract is that the named checkpoint consists of exactly
+    * P files (absent ⇒ single-file). Joins the pointer against the
+    * ACTUAL file listing at the named version. `parts_match` = the
+    * P-vs-reality verdict; `named_files` = 0 surfaces a pointer at a
+    * version with no checkpoint files at all (the stale class).
+    */
+  def pointerPartsAudit(pointer: DataFrame, ptrTableCol: String,
+      ptrJsonCol: String, files: DataFrame, tableCol: String,
+      nameCol: String): DataFrame = {
+    val p = pointer.select(col(ptrTableCol).cast("long").as("tbl"),
+      get_json_object(col(ptrJsonCol), "$.version").cast("long").as("ptr_ver"),
+      get_json_object(col(ptrJsonCol), "$.parts").cast("long").as("parts_claimed"))
+    val f = parseCkptName(files.select(
+        col(tableCol).cast("long").as("tbl"), col(nameCol).as("name")))
+      .filter(col("layout") > 0)
+      .groupBy("tbl", "ver").agg(count(lit(1)).as("n_at_ver"))
+    p.join(f, p("tbl") === f("tbl") && col("ptr_ver") === col("ver"), "left")
+      .select(p("tbl"),
+        col("ptr_ver").as("pointer_ver"),
+        coalesce(col("parts_claimed"), lit(-1L)).as("parts_claimed"),
+        coalesce(col("n_at_ver"), lit(0L)).as("named_files"),
+        (coalesce(col("parts_claimed"), lit(1L)) ===
+          coalesce(col("n_at_ver"), lit(0L))).cast("long").as("parts_match"))
+  }
+
+  /** Synthetic checkpoint-file layout for table `k` (the q416
+    * closed-form oracle): `(files, claims (ver, sidecar), present
+    * sidecars, pointer)`. Classes by `k % 5` at base version
+    * v = 2 + k%3:
+    *
+    *   0 → classic single, complete;
+    *   1 → multi-part, n = 2 + k%3 parts, complete;
+    *   2 → multi-part n = 3 at v MISSING part 2 + a complete classic
+    *       at v−1 (the fallback target);
+    *   3 → V2 manifest with s = 1 + k%2 sidecars, all present;
+    *   4 → V2 claiming 2 sidecars with one MISSING + a complete
+    *       2-part multi-part at v−1.
+    *
+    * Every 7th table adds a checkpoint-LIKE malformed filename; the
+    * pointer (absent when k%4 == 0) names the LATEST version — even
+    * when that one is incomplete — with a `parts` claim for
+    * multi-part layouts, inflated by 1 every 23rd table.
+    */
+  def syntheticCheckpointLayout(k: Long):
+      (Seq[String], Seq[(Long, String)], Seq[String], Option[String]) = {
+    val v = 2 + k % 3
+    def pad(n: Long): String = f"$n%020d"
+    def mp(ver: Long, i: Int, n: Int): String =
+      s"${pad(ver)}.checkpoint.${"%010d".format(i)}.${"%010d".format(n)}.parquet"
+    def uuid: String = f"${k % 10}%x0000000-0000-4000-8000-${k}%012d"
+    val c = (k % 5).toInt
+    val n1 = (2 + k % 3).toInt
+    val s3 = (1 + k % 2).toInt
+    val (files, claims, present) = c match {
+      case 0 => (Seq(s"${pad(v)}.checkpoint.parquet"), Seq.empty, Seq.empty)
+      case 1 => ((1 to n1).map(i => mp(v, i, n1)), Seq.empty, Seq.empty)
+      case 2 => (Seq(mp(v, 1, 3), mp(v, 3, 3),
+        s"${pad(v - 1)}.checkpoint.parquet"), Seq.empty, Seq.empty)
+      case 3 =>
+        val scs = (0 until s3).map(i => s"sc-$k-$i.parquet")
+        (Seq(s"${pad(v)}.checkpoint.$uuid.parquet"),
+          scs.map(s => (v, s)), scs)
+      case _ =>
+        val scs = Seq(s"sc-$k-0.parquet", s"sc-$k-1.parquet")
+        (Seq(s"${pad(v)}.checkpoint.$uuid.parquet",
+          mp(v - 1, 1, 2), mp(v - 1, 2, 2)),
+          scs.map(s => (v, s)), scs.take(1))
+    }
+    val mal = if (k % 7 == 0) Seq(s"${pad(v)}.checkpoint.weird.parquet")
+      else Seq.empty
+    val pointer =
+      if (k % 4 == 0) None
+      else {
+        val parts: Option[Int] = c match {
+          case 1 => Some(n1 + (if (k % 23 == 0) 1 else 0))
+          case 2 => Some(3)
+          case _ => None
+        }
+        Some(parts match {
+          case Some(p) => s"""{"version":$v,"size":99,"parts":$p}"""
+          case None => s"""{"version":$v,"size":99}"""
+        })
+      }
+    (files ++ mal, claims.toSeq, present.toSeq, pointer)
+  }
 }

@@ -1111,4 +1111,90 @@ object LakeQueries {
         CAST(agg.n_ns AS BIGINT) AS n_live_no_stats,
         CAST(agg.n_parts AS BIGINT) AS n_partitions
       FROM p JOIN agg ON agg.k = p.k ORDER BY doc_id"""))
+
+
+  // --------------------------------------------------------------- q416
+
+  /** q416 — Delta checkpoint LAYOUT census: multi-part + V2
+    * ([[graft.operators.DeltaLogOps.checkpointLayoutCensus]] +
+    * [[graft.operators.DeltaLogOps.pointerPartsAudit]]). q401 replays
+    * FROM a checkpoint; this audits WHICH checkpoint a reader may
+    * legally use when production layouts appear: multi-part classic
+    * (`NNNN.checkpoint.<i>.<n>.parquet` — ALL n parts or the
+    * checkpoint is declined WHOLE), the V2 UUID manifest whose
+    * sidecar claims must ALL resolve against the `_sidecars/`
+    * listing, fallback past an incomplete newer checkpoint to the
+    * newest COMPLETE one, checkpoint-like malformed filenames
+    * (counted, never guessed), and the `_last_checkpoint` `parts`
+    * claim checked against the named version's actual file count.
+    * Oracle closed-form over the planted class schedule. Pure
+    * metadata grain — two tiny groupBys, zero data-row shuffles.
+    */
+  val q416 = Q("q416_delta_ckpt_layout",
+    (s, dir) => {
+      import s.implicits._
+      val raw = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (files, claims, present, ptr) =
+            DeltaLogOps.syntheticCheckpointLayout(id)
+          (id, files, claims, present, ptr.orNull)
+        }).toDF("tbl", "files", "claims", "present", "ptr")
+        .localCheckpoint(false) // consumers: 4 metadata frames below
+      val files = raw.select(col("tbl"), explode(col("files")).as("name"))
+      val claims = raw.select(col("tbl"), explode(col("claims")).as("c"))
+        .select(col("tbl"), col("c._1").as("ver"), col("c._2").as("sc"))
+      val present = raw.select(col("tbl"), explode(col("present")).as("sc"))
+      val pointer = raw.filter(col("ptr").isNotNull).select(col("tbl"), col("ptr"))
+      val layout = DeltaLogOps.checkpointLayoutCensus(files, "tbl", "name",
+        claims, "tbl", "ver", "sc", present, "tbl", "sc")
+      val parts = DeltaLogOps.pointerPartsAudit(pointer, "tbl", "ptr",
+        files, "tbl", "name")
+      layout.join(parts, Seq("tbl"), "left")
+        .select(col("tbl"), col("n_ckpt_files"), col("n_malformed_names"),
+          col("n_versions"), col("n_complete"), col("n_incomplete"),
+          col("latest_ver"), col("usable_ver"), col("needs_fallback"),
+          col("usable_layout"), col("usable_parts"),
+          col("pointer_ver").isNotNull.cast("long").as("has_pointer"),
+          coalesce(col("pointer_ver"), lit(-1L)).as("pointer_ver"),
+          coalesce(col("parts_claimed"), lit(-1L)).as("parts_claimed"),
+          coalesce(col("named_files"), lit(0L)).as("named_files"),
+          coalesce(col("parts_match"), lit(0L)).as("parts_match"))
+        .orderBy("tbl")
+    },
+    Some("""
+      WITH d AS (SELECT CAST(doc_id AS BIGINT) AS tbl,
+                        CAST(doc_id AS BIGINT) AS k FROM documents),
+      f AS (SELECT tbl, k, k % 5 AS c, CAST(2 + k % 3 AS BIGINT) AS v,
+              CAST(2 + k % 3 AS BIGINT) AS n1, CAST(1 + k % 2 AS BIGINT) AS s3,
+              CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS mal,
+              CASE WHEN k % 4 = 0 THEN 0 ELSE 1 END AS hp,
+              CASE WHEN k % 23 = 0 THEN 1 ELSE 0 END AS infl
+            FROM d)
+      SELECT tbl,
+        CAST(CASE c WHEN 0 THEN 1 WHEN 1 THEN n1 WHEN 2 THEN 3
+                    WHEN 3 THEN 1 ELSE 3 END AS BIGINT) AS n_ckpt_files,
+        CAST(mal AS BIGINT) AS n_malformed_names,
+        CAST(CASE WHEN c IN (2, 4) THEN 2 ELSE 1 END AS BIGINT) AS n_versions,
+        CAST(1 AS BIGINT) AS n_complete,
+        CAST(CASE WHEN c IN (2, 4) THEN 1 ELSE 0 END AS BIGINT) AS n_incomplete,
+        CAST(v AS BIGINT) AS latest_ver,
+        CAST(CASE WHEN c IN (2, 4) THEN v - 1 ELSE v END AS BIGINT) AS usable_ver,
+        CAST(CASE WHEN c IN (2, 4) THEN 1 ELSE 0 END AS BIGINT) AS needs_fallback,
+        CAST(CASE c WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
+                    WHEN 3 THEN 3 ELSE 2 END AS BIGINT) AS usable_layout,
+        CAST(CASE c WHEN 0 THEN 1 WHEN 1 THEN n1 WHEN 2 THEN 1
+                    WHEN 3 THEN 1 + s3 ELSE 2 END AS BIGINT) AS usable_parts,
+        CAST(hp AS BIGINT) AS has_pointer,
+        CAST(CASE WHEN hp = 1 THEN v ELSE -1 END AS BIGINT) AS pointer_ver,
+        CAST(CASE WHEN hp = 0 THEN -1
+                  WHEN c = 1 THEN n1 + infl
+                  WHEN c = 2 THEN 3 ELSE -1 END AS BIGINT) AS parts_claimed,
+        CAST(CASE WHEN hp = 0 THEN 0
+                  WHEN c = 1 THEN n1 WHEN c = 2 THEN 2
+                  ELSE 1 END AS BIGINT) AS named_files,
+        CAST(CASE WHEN hp = 0 THEN 0
+                  WHEN c = 1 THEN 1 - infl
+                  WHEN c = 2 THEN 0 ELSE 1 END AS BIGINT) AS parts_match
+      FROM f ORDER BY tbl"""))
 }

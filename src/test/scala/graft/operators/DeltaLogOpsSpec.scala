@@ -403,4 +403,89 @@ class DeltaLogOpsSpec extends SparkSpec {
     assert(cc.getAs[Long]("n_live") == 2 && cc.getAs[Long]("n_partitions") == 1,
       cc.toString)
   }
+
+  // ---- checkpoint layout: multi-part + V2 (round-15 item 2)
+
+  private def layoutOf(files: Seq[(Long, String)],
+      claims: Seq[(Long, Long, String)] = Seq.empty,
+      present: Seq[(Long, String)] = Seq.empty) =
+    DeltaLogOps.checkpointLayoutCensus(
+      files.toDF("tbl", "name"), "tbl", "name",
+      claims.toDF("tbl", "ver", "sc"), "tbl", "ver", "sc",
+      present.toDF("tbl", "sc"), "tbl", "sc")
+
+  private def pad(n: Long) = f"$n%020d"
+  private def mp(v: Long, i: Int, n: Int) =
+    s"${pad(v)}.checkpoint.${"%010d".format(i)}.${"%010d".format(n)}.parquet"
+
+  test("multi-part checkpoint: a missing part declines the checkpoint WHOLE") {
+    val r = layoutOf(Seq((1L, mp(4, 1, 3)), (1L, mp(4, 3, 3)))).collect()(0)
+    assert(r.getAs[Long]("n_complete") == 0 && r.getAs[Long]("n_incomplete") == 1)
+    assert(r.getAs[Long]("usable_ver") == -1L && r.getAs[Long]("usable_layout") == 0,
+      r.toString)
+    // all three parts present → complete, parts = 3
+    val ok = layoutOf((1 to 3).map(i => (1L, mp(4, i, 3)))).collect()(0)
+    assert(ok.getAs[Long]("usable_ver") == 4 && ok.getAs[Long]("usable_parts") == 3)
+    // parts that DISAGREE on n are never complete (1-of-3 + 2-of-2)
+    val dis = layoutOf(Seq((1L, mp(4, 1, 3)), (1L, mp(4, 2, 2)))).collect()(0)
+    assert(dis.getAs[Long]("n_complete") == 0, dis.toString)
+    // duplicate part index with matching count: 2 files but not 1..n
+    val dup = layoutOf(Seq((1L, mp(4, 1, 2)), (1L, mp(4, 1, 2)))).collect()(0)
+    assert(dup.getAs[Long]("n_complete") == 0, dup.toString)
+  }
+
+  test("incomplete newer checkpoint: the reader falls back to the newest COMPLETE one") {
+    val r = layoutOf(Seq(
+      (1L, mp(6, 1, 2)),                          // v6 missing part 2
+      (1L, s"${pad(5)}.checkpoint.parquet"),      // v5 complete classic
+      (1L, mp(3, 1, 2)), (1L, mp(3, 2, 2)))).collect()(0)
+    assert(r.getAs[Long]("latest_ver") == 6 && r.getAs[Long]("usable_ver") == 5)
+    assert(r.getAs[Long]("needs_fallback") == 1 && r.getAs[Long]("usable_layout") == 1)
+    assert(r.getAs[Long]("n_versions") == 3 && r.getAs[Long]("n_complete") == 2)
+  }
+
+  test("V2 checkpoint: every claimed sidecar must resolve; none claimed is complete") {
+    val u = "0a000000-0000-4000-8000-000000000001"
+    val manifest = Seq((1L, s"${pad(7)}.checkpoint.$u.parquet"))
+    // both sidecars present → complete, parts = 1 + 2
+    val ok = layoutOf(manifest,
+      claims = Seq((1L, 7L, "s0.parquet"), (1L, 7L, "s1.parquet")),
+      present = Seq((1L, "s0.parquet"), (1L, "s1.parquet"))).collect()(0)
+    assert(ok.getAs[Long]("usable_ver") == 7 && ok.getAs[Long]("usable_layout") == 3)
+    assert(ok.getAs[Long]("usable_parts") == 3, ok.toString)
+    // one sidecar missing → declined whole
+    val bad = layoutOf(manifest,
+      claims = Seq((1L, 7L, "s0.parquet"), (1L, 7L, "s1.parquet")),
+      present = Seq((1L, "s0.parquet"))).collect()(0)
+    assert(bad.getAs[Long]("usable_ver") == -1L && bad.getAs[Long]("n_incomplete") == 1)
+    // zero claims: a tiny self-contained manifest is complete
+    val none = layoutOf(manifest).collect()(0)
+    assert(none.getAs[Long]("usable_ver") == 7 && none.getAs[Long]("usable_parts") == 1)
+  }
+
+  test("checkpoint-LIKE malformed names are counted, never parsed into a version") {
+    val r = layoutOf(Seq(
+      (1L, s"${pad(2)}.checkpoint.weird.parquet"),
+      (1L, s"${pad(2)}.checkpoint.parquet"),
+      (1L, "00000000000000000002.checkpoint.0000000001.parquet"), // 1 field short
+      (1L, "not-a-checkpoint.json"))).collect()(0)
+    assert(r.getAs[Long]("n_malformed_names") == 3, r.toString)
+    assert(r.getAs[Long]("n_ckpt_files") == 1 && r.getAs[Long]("usable_ver") == 2)
+  }
+
+  test("_last_checkpoint parts claim: checked against the named version's actual files") {
+    val files = Seq((1L, mp(4, 1, 2)), (1L, mp(4, 2, 2)),
+      (2L, mp(4, 1, 3)), (2L, mp(4, 3, 3)),
+      (3L, s"${pad(9)}.checkpoint.parquet")).toDF("tbl", "name")
+    val ptr = Seq(
+      (1L, """{"version":4,"size":9,"parts":2}"""),  // truthful
+      (2L, """{"version":4,"size":9,"parts":3}"""),  // claims 3, 2 exist
+      (3L, """{"version":8,"size":9}"""))            // names a version with NO files
+      .toDF("tbl", "ptr")
+    val r = DeltaLogOps.pointerPartsAudit(ptr, "tbl", "ptr", files, "tbl", "name")
+      .orderBy("tbl").collect()
+    assert(r(0).getAs[Long]("parts_match") == 1 && r(0).getAs[Long]("named_files") == 2)
+    assert(r(1).getAs[Long]("parts_match") == 0 && r(1).getAs[Long]("named_files") == 2)
+    assert(r(2).getAs[Long]("parts_match") == 0 && r(2).getAs[Long]("named_files") == 0)
+  }
 }
