@@ -850,11 +850,35 @@ object LakeQueries {
           dels, "doc_id", "path", "pos")
         .select(col("tbl").as("doc_id"), col("net_rows").as("i_net"),
           col("n_deletes_applied").as("i_deletes"))
-      delta.join(ice, Seq("doc_id"))
+      // the THIRD format (r15): the same logical deletes as Hudi MOR
+      // delete logs — one file group per live slot, the DV cardinality
+      // as the log's delete count. Hudi's drift class is transactional:
+      // every 11th table's lowest delete log was written by an INFLIGHT
+      // deltacommit, and the reader's completed-only filter (the q411
+      // discipline) excludes it before the file-group census.
+      val hFiles = ids.flatMap { k =>
+        val (live, dvSlots) = liveSlots(k)
+        val inflight = if (k % 11 == 0) dvSlots.sorted.headOption else None
+        live.map(j => (k, s"g$j", "base", 100L, 10L, 10L + j, 0L, 0L,
+          "completed")) ++
+          dvSlots.map(j => (k, s"g$j", "log", 100L, 10L, 0L, 0L,
+            (j + 1).toLong,
+            if (inflight.contains(j)) "inflight" else "completed"))
+      }.toDF("doc_id", "fid", "kind", "ts", "bytes", "rows", "ins", "del",
+        "state")
+      val hudi = HudiOps.morFileGroups(
+          hFiles.filter(col("state") === "completed"),
+          "doc_id", "fid", "kind", "ts", "bytes", "rows", "ins", "del")
+        .groupBy("tbl").agg(sum("net_rows").as("h_net"),
+          sum("log_deletes").as("h_deletes"))
+        .select(col("tbl").as("doc_id"), col("h_net"), col("h_deletes"))
+      delta.join(ice, Seq("doc_id")).join(hudi, Seq("doc_id"))
         .select(col("doc_id"), col("d_net"), col("i_net"),
           (col("d_net") === col("i_net")).cast("long").as("net_match"),
           col("d_deletes"), col("i_deletes"),
-          (col("d_deletes") === col("i_deletes")).cast("long").as("deletes_match"))
+          (col("d_deletes") === col("i_deletes")).cast("long").as("deletes_match"),
+          col("h_net"), col("h_deletes"),
+          (col("d_net") === col("h_net")).cast("long").as("h_net_match"))
         .orderBy("doc_id")
     },
     Some("""
@@ -877,7 +901,9 @@ object LakeQueries {
               FROM sl GROUP BY k),
       f AS (SELECT k, rows_all, d_net, d_del,
               CASE WHEN k % 13 = 0 AND min_dv_j IS NOT NULL
-                   THEN min_dv_j + 1 ELSE 0 END AS dropped
+                   THEN min_dv_j + 1 ELSE 0 END AS dropped,
+              CASE WHEN k % 11 = 0 AND min_dv_j IS NOT NULL
+                   THEN min_dv_j + 1 ELSE 0 END AS dropped_h
             FROM agg)
       SELECT k AS doc_id,
         CAST(d_net AS BIGINT) AS d_net,
@@ -886,7 +912,11 @@ object LakeQueries {
           AS BIGINT) AS net_match,
         CAST(d_del AS BIGINT) AS d_deletes,
         CAST(d_del - dropped AS BIGINT) AS i_deletes,
-        CAST(CASE WHEN dropped = 0 THEN 1 ELSE 0 END AS BIGINT) AS deletes_match
+        CAST(CASE WHEN dropped = 0 THEN 1 ELSE 0 END AS BIGINT) AS deletes_match,
+        CAST(rows_all - (d_del - dropped_h) AS BIGINT) AS h_net,
+        CAST(d_del - dropped_h AS BIGINT) AS h_deletes,
+        CAST(CASE WHEN d_net = rows_all - (d_del - dropped_h) THEN 1 ELSE 0 END
+          AS BIGINT) AS h_net_match
       FROM f ORDER BY doc_id"""))
 
 
@@ -1197,4 +1227,77 @@ object LakeQueries {
                   WHEN c = 1 THEN 1 - infl
                   WHEN c = 2 THEN 0 ELSE 1 END AS BIGINT) AS parts_match
       FROM f ORDER BY tbl"""))
+
+
+  // --------------------------------------------------------------- q417
+
+  /** q417 — Hudi MERGE-ON-READ file-group census
+    * ([[graft.operators.HudiOps.morFileGroups]] +
+    * [[graft.operators.HudiOps.morCompactionDebt]]): q411 reads the
+    * timeline; a MOR table's live rows live in FILE GROUPS — a base
+    * parquet file plus log files of inserts/deletes appended against
+    * that base's instant. The reader's slice rule is pinned: the
+    * current slice is the NEWEST base plus logs attached to exactly
+    * its instant; a compaction instant writes a new base and strands
+    * earlier logs as obsolete (the planted reset class); a group with
+    * no base yet is log-only and all its logs count. net rows =
+    * base + current inserts − current deletes; compaction DEBT is the
+    * current-slice log bytes an operator pages on; obsolete bytes are
+    * the clean's reclaim. Oracle closed-form over the four planted
+    * group classes. One metadata-grain groupBy per pass — data rows
+    * never shuffle.
+    */
+  val q417 = Q("q417_hudi_mor_file_groups",
+    (s, dir) => {
+      import s.implicits._
+      val files = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap(k => HudiOps.syntheticMorFiles(k).map {
+          case (fid, kind, ts, bytes, rows, ins, del) =>
+            (k, fid, kind, ts, bytes, rows, ins, del)
+        })
+        .toDF("tbl", "fid", "kind", "ts", "bytes", "rows", "ins", "del")
+      HudiOps.morCompactionDebt(
+        HudiOps.morFileGroups(files, "tbl", "fid", "kind", "ts",
+          "bytes", "rows", "ins", "del"))
+        .orderBy("tbl")
+    },
+    Some("""
+      WITH d AS (SELECT CAST(doc_id AS BIGINT) AS tbl,
+                        CAST(doc_id AS BIGINT) AS k,
+                        CAST(1 + doc_id % 3 AS BIGINT) AS g FROM documents),
+      js AS (SELECT tbl, k, unnest(range(g)) AS j FROM d),
+      c AS (SELECT tbl, CAST(j AS BIGINT) AS j, (k + j) % 4 AS cls FROM js),
+      per AS (SELECT tbl, j, cls,
+        CASE cls WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS nb,
+        CASE cls WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 0 ELSE 2 END AS nl,
+        CASE cls WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 0 ELSE 2 END AS nc,
+        CASE cls WHEN 0 THEN 50 + j WHEN 1 THEN 44 + j
+                 WHEN 2 THEN 30 + j ELSE 0 END AS br,
+        CASE cls WHEN 0 THEN 64 + 3 * j WHEN 1 THEN 46 + 2 * j
+                 WHEN 2 THEN 30 + j ELSE 24 + j END AS net,
+        CASE cls WHEN 0 THEN 15 + 2 * j WHEN 1 THEN 3 + j
+                 WHEN 2 THEN 0 ELSE 25 + j END AS ins,
+        CASE WHEN cls = 2 THEN 0 ELSE 1 END AS del,
+        CASE cls WHEN 0 THEN 300 + j WHEN 1 THEN 150 + j
+                 WHEN 2 THEN 0 ELSE 500 + j END AS debt,
+        CASE WHEN cls = 1 THEN 1200 ELSE 0 END AS obs,
+        CASE WHEN cls = 2 THEN 0 ELSE 1 END AS needs,
+        CASE WHEN cls = 3 THEN 1 ELSE 0 END AS lonly
+      FROM c)
+      SELECT tbl,
+        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(lonly) AS BIGINT) AS n_log_only_groups,
+        CAST(SUM(nb) AS BIGINT) AS n_base_files,
+        CAST(SUM(nl) AS BIGINT) AS n_log_files,
+        CAST(SUM(nc) AS BIGINT) AS n_current_logs,
+        CAST(SUM(br) AS BIGINT) AS base_rows,
+        CAST(SUM(net) AS BIGINT) AS net_rows,
+        CAST(SUM(ins) AS BIGINT) AS log_inserts,
+        CAST(SUM(del) AS BIGINT) AS log_deletes,
+        CAST(SUM(debt) AS BIGINT) AS debt_bytes,
+        CAST(MAX(debt) AS BIGINT) AS max_group_debt_bytes,
+        CAST(SUM(obs) AS BIGINT) AS obsolete_bytes,
+        CAST(SUM(needs) AS BIGINT) AS n_groups_needing_compaction
+      FROM per GROUP BY tbl ORDER BY tbl"""))
 }

@@ -43,6 +43,52 @@ class HudiOpsSpec extends SparkSpec {
     assert(c.getAs[Long]("n_cleans") == 1)
   }
 
+  // ---- MOR file groups (round-15 item 4)
+
+  private def groupsOf(rows: Seq[(Long, String, String, Long, Long, Long, Long, Long)]) =
+    HudiOps.morFileGroups(
+      rows.toDF("tbl", "fid", "kind", "ts", "bytes", "rows", "ins", "del"),
+      "tbl", "fid", "kind", "ts", "bytes", "rows", "ins", "del")
+
+  test("MOR slice rule: compaction resets the group — stranded logs never count") {
+    val g = groupsOf(Seq(
+      (1L, "g0", "base", 100L, 900L, 40L, 0L, 0L),
+      (1L, "g0", "log", 100L, 300L, 0L, 7L, 2L),  // pre-compaction, stranded
+      (1L, "g0", "base", 200L, 950L, 44L, 0L, 0L), // compaction result
+      (1L, "g0", "log", 200L, 150L, 0L, 3L, 1L))) // current slice
+      .collect()(0)
+    assert(g.getAs[Long]("base_rows") == 44 && g.getAs[Long]("net_rows") == 46,
+      g.toString) // 44 + 3 - 1: the stranded log's 7/2 NEVER applies
+    assert(g.getAs[Long]("n_current_logs") == 1 && g.getAs[Long]("debt_bytes") == 150)
+    assert(g.getAs[Long]("obsolete_bytes") == 900 + 300, g.toString)
+    assert(g.getAs[Long]("n_base_files") == 2 && g.getAs[Long]("needs_compaction") == 1)
+  }
+
+  test("MOR log-only group: no base yet, every log is current") {
+    val g = groupsOf(Seq(
+      (1L, "g0", "log", 100L, 400L, 0L, 20L, 0L),
+      (1L, "g0", "log", 100L, 100L, 0L, 5L, 1L))).collect()(0)
+    assert(g.getAs[Long]("has_base") == 0 && g.getAs[Long]("base_ts") == -1L)
+    assert(g.getAs[Long]("net_rows") == 24 && g.getAs[Long]("debt_bytes") == 500)
+    assert(g.getAs[Long]("n_current_logs") == 2, g.toString)
+  }
+
+  test("MOR base-only group carries zero debt; rollup sums and maxes per table") {
+    val groups = groupsOf(Seq(
+      (1L, "g0", "base", 100L, 800L, 30L, 0L, 0L),
+      (1L, "g1", "base", 100L, 1000L, 50L, 0L, 0L),
+      (1L, "g1", "log", 100L, 250L, 0L, 5L, 1L)))
+    val only = groups.filter(org.apache.spark.sql.functions.col("file_id") === "g0")
+      .collect()(0)
+    assert(only.getAs[Long]("debt_bytes") == 0 &&
+      only.getAs[Long]("needs_compaction") == 0)
+    val r = HudiOps.morCompactionDebt(groups).collect()(0)
+    assert(r.getAs[Long]("n_groups") == 2 && r.getAs[Long]("net_rows") == 30 + 54)
+    assert(r.getAs[Long]("debt_bytes") == 250 &&
+      r.getAs[Long]("max_group_debt_bytes") == 250)
+    assert(r.getAs[Long]("n_groups_needing_compaction") == 1, r.toString)
+  }
+
   test("synthetic timeline matches its closed form at a spot value") {
     // k = 5: nI = 3, last instant inflight (5 % 5 == 0); instants:
     // 1000.commit, 1001.deltacommit, 1002.clean.inflight
