@@ -734,6 +734,214 @@ object IcebergOps {
     (metaJson, listPath, encodeManifestList(files, syncSeed = k * 104729L), mans)
   }
 
+  // ------------------------------------------------------------------
+  // snapshot LINEAGE (r14 verdict item 5): q402 descends to the
+  // CURRENT snapshot; time travel and snapshot-diff need every
+  // snapshot's file set. The metadata JSON's snapshot list already
+  // names each snapshot's manifest list — the same walk, keyed by
+  // snapshot instead of pinned to the current one.
+
+  /** Per-snapshot live-file enumeration: one row per (table,
+    * snapshot, live data file) — plus a file-less row per snapshot so
+    * empty-but-valid snapshots survive the joins. `snap_ok` is the
+    * per-snapshot readability verdict: the manifest list present and
+    * valid, and EVERY manifest it names decoded — a snapshot whose
+    * metadata cannot be fully enumerated is declined whole (time
+    * travel to it would fabricate a table). Plan: explode the
+    * snapshot array, map-only list/manifest decodes, two joins keyed
+    * (table, path) at manifest-metadata grain; data rows never move.
+    */
+  def snapshotFiles(meta: DataFrame, metaTblCol: String, metaJsonCol: String,
+      lists: DataFrame, listTblCol: String, listPathCol: String,
+      listPayloadCol: String, manifests: DataFrame, mTblCol: String,
+      mPathCol: String, mPayloadCol: String): DataFrame = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val snapSchema = ArrayType(StructType(Seq(
+      StructField("snapshot-id", LongType),
+      StructField("parent-snapshot-id", LongType),
+      StructField("manifest-list", StringType))))
+    val snaps = meta.select(col(metaTblCol).cast("long").as("tbl"),
+        get_json_object(col(metaJsonCol), "$.current-snapshot-id").cast("long")
+          .as("current_id"),
+        explode(from_json(get_json_object(col(metaJsonCol), "$.snapshots"),
+          snapSchema)).as("s"))
+      .select(col("tbl"),
+        col("s").getField("snapshot-id").as("snap_id"),
+        col("s").getField("parent-snapshot-id").as("parent_id"),
+        col("s").getField("manifest-list").as("list_path"),
+        (col("s").getField("snapshot-id") === col("current_id"))
+          .as("is_current"))
+    val listRows = lists.select(col(listTblCol).cast("long").as("tbl"),
+        col(listPathCol).as("list_path"), col(listPayloadCol).as("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (tbl, path, bytes) =>
+        val lm = parseManifestList(bytes)
+        if (lm.valid == 0 || lm.schemaOk == 0)
+          Seq((tbl, path, 0, null.asInstanceOf[String]))
+        else if (lm.files.isEmpty) Seq((tbl, path, 1, null.asInstanceOf[String]))
+        else lm.files.map(f => (tbl, path, 1, f.path))
+      })
+      .toDF("tbl", "list_path", "list_valid", "manifest_path")
+    val manFiles = manifests.select(col(mTblCol).cast("long").as("tbl"),
+        col(mPathCol).as("manifest_path"), col(mPayloadCol).as("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (t, p, bytes) =>
+        val mm = parseManifest(bytes)
+        if (mm.valid == 0 || mm.schemaOk == 0)
+          Seq((t, p, 0L, null.asInstanceOf[String], 0L, 0L))
+        else {
+          val live = mm.entries.filter(_.status != 2)
+          if (live.isEmpty) Seq((t, p, 1L, null.asInstanceOf[String], 0L, 0L))
+          else live.map(e => (t, p, 1L, e.path, e.recordCount, e.fileSize))
+        }
+      })
+      .toDF("tbl", "manifest_path", "m_valid", "path", "rows", "bytes")
+    val j = snaps
+      .join(listRows, Seq("tbl", "list_path"), "left")
+      .join(manFiles, Seq("tbl", "manifest_path"), "left")
+      .localCheckpoint(false) // consumers: ok-verdict + the file rows
+    val okAgg = j.groupBy("tbl", "snap_id").agg(
+      (min(coalesce(col("list_valid"), lit(0))) === 1 &&
+        min(when(col("manifest_path").isNotNull,
+          coalesce(col("m_valid"), lit(0L))).otherwise(1L)) === 1)
+        .as("snap_ok"))
+    j.join(okAgg, Seq("tbl", "snap_id"))
+      .select(col("tbl"), col("snap_id"), col("parent_id"), col("is_current"),
+        col("snap_ok"), col("path"), col("rows"), col("bytes"))
+  }
+
+  /** Census AT each snapshot — the time-travel answer: per (table,
+    * snapshot), live file count / rows / bytes, zeroed when the
+    * snapshot is not fully enumerable (`snap_ok` = 0).
+    */
+  def snapshotCensusAll(sf: DataFrame): DataFrame =
+    sf.groupBy("tbl", "snap_id").agg(
+      first(col("parent_id")).as("parent_id"),
+      max(col("is_current").cast("long")).as("is_current"),
+      max(col("snap_ok").cast("long")).as("snap_ok"),
+      sum((col("snap_ok") && col("path").isNotNull).cast("long")).as("n_live"),
+      sum(when(col("snap_ok"), coalesce(col("rows"), lit(0L))).otherwise(0L))
+        .as("live_rows"),
+      sum(when(col("snap_ok"), coalesce(col("bytes"), lit(0L))).otherwise(0L))
+        .as("live_bytes"))
+
+  /** Snapshot DIFF: current vs its parent, per table — files
+    * added/removed by path-set difference, row deltas, and the two
+    * lineage signatures an auditor keys on: `fast_forward` (identical
+    * file sets — a retried/no-op commit) and `rewrite` (net rows
+    * unchanged while files moved — a compaction, not data change).
+    * Declined whole (`diff_ok` = 0, counts zeroed) when EITHER side
+    * is not fully enumerable or the parent is absent from the chain.
+    * One (table, path) full-outer join at file-metadata grain.
+    */
+  def snapshotDiff(sf0: DataFrame): DataFrame = {
+    val sf = sf0.localCheckpoint(false) // consumers: cur meta/files, parent side
+    val curMeta = sf.filter(col("is_current"))
+      .select(col("tbl"), col("snap_id").as("cur_id"),
+        col("parent_id").as("par_id"), col("snap_ok").as("cur_ok"))
+      .distinct()
+    val parOk = sf.select(col("tbl"), col("snap_id").as("par_id"),
+      col("snap_ok").as("par_ok")).distinct()
+    val metaJ = curMeta.join(parOk, Seq("tbl", "par_id"), "left")
+      .select(col("tbl"), col("cur_id"), col("par_id"),
+        (col("cur_ok") && coalesce(col("par_ok"), lit(false))).as("diff_ok"))
+      .localCheckpoint(false) // consumers: parent-file filter + final join
+    val curF = sf.filter(col("is_current") && col("path").isNotNull)
+      .select(col("tbl"), col("path"), col("rows").as("c_rows"))
+    val parF = sf.join(metaJ.select(col("tbl"), col("par_id").as("snap_id")),
+        Seq("tbl", "snap_id"))
+      .filter(col("path").isNotNull)
+      .select(col("tbl"), col("path"), col("rows").as("p_rows"))
+    val d = curF.join(parF, Seq("tbl", "path"), "full")
+      .groupBy("tbl").agg(
+        sum(col("p_rows").isNull.cast("long")).as("n_added"),
+        sum(col("c_rows").isNull.cast("long")).as("n_removed"),
+        sum(when(col("p_rows").isNull, col("c_rows")).otherwise(0L))
+          .as("rows_added"),
+        sum(when(col("c_rows").isNull, col("p_rows")).otherwise(0L))
+          .as("rows_removed"),
+        sum(col("c_rows").isNotNull.cast("long")).as("cur_files"),
+        sum(coalesce(col("c_rows"), lit(0L))).as("cur_rows"),
+        sum(col("p_rows").isNotNull.cast("long")).as("par_files"),
+        sum(coalesce(col("p_rows"), lit(0L))).as("par_rows"))
+    def z(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(col("diff_ok"), coalesce(c, lit(0L))).otherwise(0L)
+    metaJ.join(d, Seq("tbl"), "left")
+      .select(col("tbl"), col("diff_ok").cast("long").as("diff_ok"),
+        z(col("n_added")).as("n_added"), z(col("n_removed")).as("n_removed"),
+        z(col("rows_added")).as("rows_added"),
+        z(col("rows_removed")).as("rows_removed"),
+        (z(col("rows_added")) - z(col("rows_removed"))).as("net_row_delta"),
+        z(col("cur_files")).as("cur_files"), z(col("cur_rows")).as("cur_rows"),
+        z(col("par_files")).as("par_files"), z(col("par_rows")).as("par_rows"),
+        (col("diff_ok") && coalesce(col("n_added"), lit(0L)) === 0 &&
+          coalesce(col("n_removed"), lit(0L)) === 0).cast("long")
+          .as("fast_forward"),
+        (col("diff_ok") &&
+          coalesce(col("rows_added"), lit(0L)) ===
+            coalesce(col("rows_removed"), lit(0L)) &&
+          (coalesce(col("n_added"), lit(0L)) > 0 ||
+            coalesce(col("n_removed"), lit(0L)) > 0)).cast("long")
+          .as("rewrite"))
+  }
+
+  /** A planted three-snapshot chain for table `k` (the q418
+    * closed-form oracle): s0 = {f0, f1} → s1 appends f2 → s2's class
+    * by k%4 — 0 append f3 / 1 FAST-FORWARD (same set) / 2 REWRITE
+    * (f0+f1 compacted into g01, net rows unchanged) / 3 delete f2.
+    * Every 11th table's CURRENT manifest list is truncated — the
+    * whole diff must decline. Returns (metadata JSON, (path, list
+    * bytes) per snapshot, (path, manifest bytes)).
+    */
+  def syntheticSnapshotChain(k: Long):
+      (String, Seq[(String, Array[Byte])], Seq[(String, Array[Byte])]) = {
+    def sid(t: Int): Long = 3000 + k * 10 + t
+    val fileDefs = Map( // path -> (rows, bytes)
+      "f0" -> (10L, 100L), "f1" -> (12L, 120L), "f2" -> (14L, 140L),
+      "f3" -> (16L, 160L), "g01" -> (22L, 220L))
+    def man(name: String, paths: Seq[String], snap: Int): (String, Array[Byte]) =
+      name -> encodeManifest(Seq(paths.zipWithIndex.map { case (p, j) =>
+        val (r, b) = fileDefs(p)
+        Entry(1, Some(sid(snap)), s"$p.parquet", "PARQUET", j % 3, r, b,
+          Some(Bounds(0L, 9L)))
+      }), syncSeed = k * 7919L + name.hashCode)
+    val m0 = man(s"m0-$k.avro", Seq("f0", "f1"), 0)
+    val m1 = man(s"m1-$k.avro", Seq("f2"), 1)
+    val m2 = man(s"m2-$k.avro", Seq("f3"), 2)
+    val mg = man(s"mg-$k.avro", Seq("g01"), 2)
+    val manifestsOf: Map[Int, Seq[(String, Array[Byte])]] = Map(
+      0 -> Seq(m0),
+      1 -> Seq(m0, m1),
+      2 -> ((k % 4).toInt match {
+        case 0 => Seq(m0, m1, m2)
+        case 1 => Seq(m0, m1)
+        case 2 => Seq(mg, m1)
+        case _ => Seq(m0)
+      }))
+    def listOf(t: Int): Array[Byte] = {
+      val bytes = encodeManifestList(manifestsOf(t).map { case (p, _) =>
+        MFile(p, 1000L, 0, Some(sid(t)), 2, 0, 0)
+      }, syncSeed = k * 104729L + t)
+      if (t == 2 && k % 11 == 0) bytes.take(10) else bytes // declined class
+    }
+    val snapsJson = (0 to 2).map { t =>
+      val parent = if (t == 0) "" else s""""parent-snapshot-id":${sid(t - 1)},"""
+      s"""{"snapshot-id":${sid(t)},$parent"manifest-list":"sl-$k-$t.avro"}"""
+    }.mkString("[", ",", "]")
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"c$k","current-snapshot-id":${sid(2)},""" +
+        s""""current-schema-id":0,"snapshots":$snapsJson}"""
+    val lists = (0 to 2).map(t => s"sl-$k-$t.avro" -> listOf(t))
+    val mans = (m0 +: m1 +: ((k % 4).toInt match {
+      case 0 => Seq(m2)
+      case 2 => Seq(mg)
+      case _ => Seq.empty
+    })).distinct
+    (metaJson, lists, mans)
+  }
+
   def syntheticManifest(k: Long): Array[Byte] = {
     val nE = (3 + k % 4).toInt
     val entries = (0 until nE).map { j =>

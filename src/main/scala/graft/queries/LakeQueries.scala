@@ -1300,4 +1300,69 @@ object LakeQueries {
         CAST(SUM(obs) AS BIGINT) AS obsolete_bytes,
         CAST(SUM(needs) AS BIGINT) AS n_groups_needing_compaction
       FROM per GROUP BY tbl ORDER BY tbl"""))
+
+
+  // --------------------------------------------------------------- q418
+
+  /** q418 — Iceberg snapshot DIFF
+    * ([[graft.operators.IcebergOps.snapshotFiles]] +
+    * [[graft.operators.IcebergOps.snapshotDiff]]): q402 descends to
+    * the CURRENT snapshot; lineage makes the same walk per snapshot
+    * and set-differences current vs parent by file path — files
+    * added/removed, row deltas, and the two signatures an auditor
+    * keys on: fast_forward (identical sets — a no-op/retried commit)
+    * and rewrite (net rows unchanged while files moved — compaction,
+    * not data change). A snapshot that cannot be FULLY enumerated
+    * (truncated manifest list, planted every 11th table) declines the
+    * whole diff — time travel never fabricates a table. Oracle
+    * closed-form over the planted append / fast-forward / rewrite /
+    * delete chain classes. Metadata grain: one (table, path)
+    * full-outer join over file METADATA rows.
+    */
+  val q418 = Q("q418_iceberg_snapshot_diff",
+    (s, dir) => {
+      import s.implicits._
+      val chain = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { k =>
+          val (meta, lists, mans) = IcebergOps.syntheticSnapshotChain(k)
+          (k, meta, lists, mans)
+        }).toDF("tbl", "meta", "lists", "mans")
+        .localCheckpoint(false) // consumers: 3 metadata frames below
+      val meta = chain.select(col("tbl"), col("meta"))
+      val lists = chain.select(col("tbl"), explode(col("lists")).as("l"))
+        .select(col("tbl"), col("l._1").as("path"), col("l._2").as("payload"))
+      val mans = chain.select(col("tbl"), explode(col("mans")).as("m"))
+        .select(col("tbl"), col("m._1").as("path"), col("m._2").as("payload"))
+      val sf = IcebergOps.snapshotFiles(meta, "tbl", "meta",
+        lists, "tbl", "path", "payload", mans, "tbl", "path", "payload")
+      IcebergOps.snapshotDiff(sf).orderBy("tbl")
+    },
+    Some("""
+      WITH d AS (SELECT CAST(doc_id AS BIGINT) AS tbl, doc_id % 4 AS c,
+                        CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS bad
+                 FROM documents)
+      SELECT tbl,
+        CAST(1 - bad AS BIGINT) AS diff_ok,
+        CAST(CASE WHEN bad = 1 THEN 0 WHEN c IN (0, 2) THEN 1 ELSE 0 END
+          AS BIGINT) AS n_added,
+        CAST(CASE WHEN bad = 1 THEN 0 WHEN c = 2 THEN 2
+                  WHEN c = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_removed,
+        CAST(CASE WHEN bad = 1 THEN 0 WHEN c = 0 THEN 16
+                  WHEN c = 2 THEN 22 ELSE 0 END AS BIGINT) AS rows_added,
+        CAST(CASE WHEN bad = 1 THEN 0 WHEN c = 2 THEN 22
+                  WHEN c = 3 THEN 14 ELSE 0 END AS BIGINT) AS rows_removed,
+        CAST(CASE WHEN bad = 1 THEN 0 WHEN c = 0 THEN 16
+                  WHEN c = 3 THEN -14 ELSE 0 END AS BIGINT) AS net_row_delta,
+        CAST(CASE WHEN bad = 1 THEN 0 WHEN c = 0 THEN 4
+                  WHEN c = 1 THEN 3 ELSE 2 END AS BIGINT) AS cur_files,
+        CAST(CASE WHEN bad = 1 THEN 0 WHEN c = 0 THEN 52
+                  WHEN c = 3 THEN 22 ELSE 36 END AS BIGINT) AS cur_rows,
+        CAST(CASE WHEN bad = 1 THEN 0 ELSE 3 END AS BIGINT) AS par_files,
+        CAST(CASE WHEN bad = 1 THEN 0 ELSE 36 END AS BIGINT) AS par_rows,
+        CAST(CASE WHEN bad = 0 AND c = 1 THEN 1 ELSE 0 END AS BIGINT)
+          AS fast_forward,
+        CAST(CASE WHEN bad = 0 AND c = 2 THEN 1 ELSE 0 END AS BIGINT)
+          AS rewrite
+      FROM d ORDER BY tbl"""))
 }

@@ -127,4 +127,63 @@ class IcebergTableRootSpec extends SparkSpec {
     assert(c.getAs[Long]("n_live") < full.getAs[Long]("n_live"),
       "missing manifest's entries must NOT be guessed into the live set")
   }
+
+  // ---- snapshot lineage (round-15 item 5)
+
+  private def chainFrames(ks: Seq[Long]) = {
+    val trip = ks.map { k =>
+      val (m, ls, ms) = syntheticSnapshotChain(k); (k, m, ls, ms)
+    }
+    val meta = trip.map(t => (t._1, t._2)).toDF("tbl", "meta_json")
+    val lists = trip.flatMap(t => t._3.map { case (p, b) => (t._1, p, b) })
+      .toDF("tbl", "path", "payload")
+    val mans = trip.flatMap(t => t._4.map { case (p, b) => (t._1, p, b) })
+      .toDF("tbl", "path", "payload")
+    IcebergOps.snapshotFiles(meta, "tbl", "meta_json",
+      lists, "tbl", "path", "payload", mans, "tbl", "path", "payload")
+  }
+
+  test("census-at-snapshot: every snapshot in the chain enumerates its own file set") {
+    val k = 4L // class 0: append chain {f0,f1} -> +f2 -> +f3
+    val c = IcebergOps.snapshotCensusAll(chainFrames(Seq(k)))
+      .orderBy("snap_id").collect()
+    assert(c.length == 3)
+    assert(c.map(_.getAs[Long]("n_live")).toSeq == Seq(2L, 3L, 4L))
+    assert(c.map(_.getAs[Long]("live_rows")).toSeq == Seq(22L, 36L, 52L))
+    assert(c.forall(_.getAs[Long]("snap_ok") == 1))
+    // parent links form the chain; exactly one current
+    assert(c.count(_.getAs[Long]("is_current") == 1) == 1)
+    assert(c(1).getAs[Long]("parent_id") == c(0).getAs[Long]("snap_id"))
+  }
+
+  test("snapshot diff: append, fast-forward and rewrite signatures separate") {
+    // k=4 class0 append, k=5 class1 fast-forward, k=6 class2 rewrite,
+    // k=7 class3 delete
+    val d = IcebergOps.snapshotDiff(chainFrames(Seq(4L, 5L, 6L, 7L)))
+      .orderBy("tbl").collect()
+    val append = d(0)
+    assert(append.getAs[Long]("n_added") == 1 && append.getAs[Long]("net_row_delta") == 16)
+    assert(append.getAs[Long]("fast_forward") == 0 && append.getAs[Long]("rewrite") == 0)
+    val ff = d(1)
+    assert(ff.getAs[Long]("n_added") == 0 && ff.getAs[Long]("n_removed") == 0)
+    assert(ff.getAs[Long]("fast_forward") == 1 && ff.getAs[Long]("rewrite") == 0)
+    val rw = d(2)
+    assert(rw.getAs[Long]("n_added") == 1 && rw.getAs[Long]("n_removed") == 2)
+    assert(rw.getAs[Long]("net_row_delta") == 0 && rw.getAs[Long]("rewrite") == 1)
+    assert(rw.getAs[Long]("fast_forward") == 0)
+    val del = d(3)
+    assert(del.getAs[Long]("n_removed") == 1 && del.getAs[Long]("net_row_delta") == -14)
+  }
+
+  test("a snapshot that cannot be fully enumerated declines the whole diff") {
+    val d = IcebergOps.snapshotDiff(chainFrames(Seq(11L))).collect()(0)
+    assert(d.getAs[Long]("diff_ok") == 0 && d.getAs[Long]("cur_files") == 0)
+    assert(d.getAs[Long]("n_added") == 0 && d.getAs[Long]("fast_forward") == 0,
+      d.toString)
+    // and census-at-snapshot zeroes ONLY the broken snapshot
+    val c = IcebergOps.snapshotCensusAll(chainFrames(Seq(11L)))
+      .orderBy("snap_id").collect()
+    assert(c.map(_.getAs[Long]("snap_ok")).toSeq == Seq(1L, 1L, 0L))
+    assert(c(2).getAs[Long]("n_live") == 0 && c(1).getAs[Long]("n_live") == 3)
+  }
 }
