@@ -712,12 +712,99 @@ object ZstdSeq {
   }
 
   // ------------------------------------------------------------------
+  // dictionaries (RFC 8878 §5) — the r14 `dict_gated` class completed:
+  // a caller-SUPPLIED dictionary seeds the frame the way the reference
+  // decoder's DDict does — window content (matches may reach into it),
+  // the three repeat offsets, the Huffman literals table (a first
+  // block may be Treeless) and the three FSE tables (a first block may
+  // use Repeat_Mode). Frames naming an id the caller did NOT supply
+  // stay declined (`dict_gated`), exactly as before.
+
+  /** A parsed dictionary: `Magic(0xEC30A437) · Dictionary_ID ·
+    * Entropy_Tables (Huffman desc, then FSE ncounts for Offsets,
+    * Match_Lengths, Literals_Lengths) · 3 × 4-byte LE repeat
+    * offsets · Content`.
+    */
+  final case class ZstdDictionary(dictId: Long, huf: HufTable,
+      ofTable: FseTable, mlTable: FseTable, llTable: FseTable,
+      rep1: Long, rep2: Long, rep3: Long, content: Array[Byte])
+
+  val DictMagic = 0xEC30A437L
+
+  /** Parse a dictionary blob. None = not a magic-led dictionary or any
+    * entropy table fails to decode (fail-closed: a half-loaded
+    * dictionary could seed silently wrong state).
+    */
+  def parseDictionary(bytes: Array[Byte]): Option[ZstdDictionary] = {
+    val n = bytes.length
+    def le32(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    if (n < 8 || le32(0) != DictMagic) return None
+    val id = le32(4)
+    var p = 8
+    val hufOpt = readHufTable(bytes, p, n)
+    if (hufOpt.isEmpty) return None
+    val (huf, hufUsed) = hufOpt.get
+    p += hufUsed
+    def fse(maxSym: Int, maxAcc: Int): Option[FseTable] =
+      readFseDistribution(bytes, p, n, maxSym, maxAcc).flatMap {
+        case (norm, accLog, used) =>
+          p += used
+          scala.util.Try(buildFse(norm, accLog)).toOption
+      }
+    // RFC order: Offsets, Match_Lengths, Literals_Lengths
+    val of = fse(31, 8); if (of.isEmpty) return None
+    val ml = fse(52, 9); if (ml.isEmpty) return None
+    val ll = fse(35, 9); if (ll.isEmpty) return None
+    if (n - p < 12) return None
+    val (r1, r2, r3) = (le32(p), le32(p + 4), le32(p + 8))
+    p += 12
+    val content = java.util.Arrays.copyOfRange(bytes, p, n)
+    // reps must be usable offsets: nonzero, within the seedable window
+    if (r1 <= 0 || r2 <= 0 || r3 <= 0) return None
+    Some(ZstdDictionary(id, huf, of.get, ml.get, ll.get, r1, r2, r3, content))
+  }
+
+  /** Synthetic dictionary for the closed-form fixtures: a real 2-symbol
+    * Huffman table (direct weights), three single-symbol FSE tables
+    * (accuracy 5), default-valued repeat offsets, caller content. The
+    * PARSER cannot tell it from a trained one — every section is the
+    * wire format.
+    */
+  def encodeDictionary(dictId: Long, content: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >>> (8 * i)) & 0xff).toInt))
+    le32(DictMagic); le32(dictId)
+    out.write(128); out.write(0x10) // huf: 1 explicit weight → 2 symbols, 1 bit
+    // FSE ncount "all probability on symbol 0" at accuracy 5:
+    // 4 bits accLog-5=0, then the 6-bit long-form count 63 → 33 → 32
+    for (_ <- 0 until 3) { out.write(0xF0); out.write(0x03) }
+    le32(1L); le32(4L); le32(8L) // repeat offsets
+    out.write(content)
+    out.toByteArray
+  }
+
+  /** A [[FrameCtx]] pre-seeded from a dictionary — the DDict load. */
+  def seededCtx(d: ZstdDictionary, maxOut: Int): FrameCtx = {
+    val ctx = new FrameCtx(maxOut)
+    ctx.rep1 = d.rep1; ctx.rep2 = d.rep2; ctx.rep3 = d.rep3
+    ctx.hufTable = d.huf
+    ctx.llCfg = StreamCfg(d.llTable, -1)
+    ctx.ofCfg = StreamCfg(d.ofTable, -1)
+    ctx.mlCfg = StreamCfg(d.mlTable, -1)
+    ctx.pushHist(d.content, 0, d.content.length)
+    ctx
+  }
+
+  // ------------------------------------------------------------------
   // frame-level decode census
 
   final case class SeqCensus(valid: Int, nBlocks: Int, nRaw: Int, nRle: Int,
                              nCompressed: Int, nDecoded: Int, nUnsupported: Int,
                              nFailed: Int, decodedBytes: Long, contentOk: Int,
-                             dictGated: Int = 0)
+                             dictGated: Int = 0, dictUsed: Int = 0)
 
   private val InvalidCensus = SeqCensus(0, 0, 0, 0, 0, 0, 0, 0, 0L, -1)
 
@@ -743,22 +830,24 @@ object ZstdSeq {
     *    produced, so a "successful" decode could be silently wrong —
     *    skipped and counted, never guessed at.
     */
-  def frameSeqCensus(bytes: Array[Byte], maxOut: Int = 1 << 22): SeqCensus = {
+  def frameSeqCensus(bytes: Array[Byte], maxOut: Int = 1 << 22,
+                     dicts: Map[Long, ZstdDictionary] = Map.empty): SeqCensus = {
     val n = bytes.length
     def le32(p: Int): Long =
       (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
         ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
     if (n < 6 || le32(0) != 0xFD2FB528L) return InvalidCensus
     val fhd = bytes(4) & 0xff
-    // Dictionary_ID_Flag (RFC 8878 §3.1.1.1.1): a frame this decoder
-    // DECLINES (no dictionary content available), not an invalid one
+    // Dictionary_ID_Flag (RFC 8878 §3.1.1.1.1): with the named
+    // dictionary SUPPLIED the frame decodes against its seeded state;
+    // an unsupplied id stays a DECLINED (dict_gated) frame, never an
+    // invalid one
     val didLen = (fhd & 3) match {
       case 0 => 0
       case 1 => 1
       case 2 => 2
       case _ => 4
     }
-    val dictGated = didLen > 0
     val single = (fhd & 0x20) != 0
     val hasChecksum = (fhd & 0x04) != 0
     val fcsLen = (fhd >> 6) match {
@@ -769,6 +858,16 @@ object ZstdSeq {
     }
     var pos = 5 + (if (single) 0 else 1) + didLen + fcsLen
     if (pos > n) return InvalidCensus
+    val didPos = 5 + (if (single) 0 else 1)
+    val dictId: Long = didLen match {
+      case 0 => -1L
+      case 1 => bytes(didPos) & 0xffL
+      case 2 => (bytes(didPos) & 0xffL) | ((bytes(didPos + 1) & 0xffL) << 8)
+      case _ => le32(didPos)
+    }
+    val dict = if (didLen > 0) dicts.get(dictId) else None
+    val dictGated = didLen > 0 && dict.isEmpty
+    val dictUsed = dict.isDefined
     var nBlocks = 0; var nRaw = 0; var nRle = 0; var nComp = 0
     var nDec = 0; var nUnsup = 0; var nFail = 0
     var decodedBytes = 0L
@@ -778,7 +877,7 @@ object ZstdSeq {
     // treeless Huffman table, and the match window. A failed block
     // loses it (matches could reference bytes never produced), so the
     // ctx resets — later self-contained blocks still decode.
-    var ctx = new FrameCtx(maxOut)
+    var ctx = dict.map(seededCtx(_, maxOut)).getOrElse(new FrameCtx(maxOut))
     var ctxBroken = false
     var last = false
     while (!last) {
@@ -849,14 +948,19 @@ object ZstdSeq {
     }
     SeqCensus(if (pos == n) 1 else 0, nBlocks, nRaw, nRle, nComp,
       nDec, nUnsup, nFail, decodedBytes, contentOk,
-      if (dictGated) 1 else 0)
+      if (dictGated) 1 else 0, if (dictUsed) 1 else 0)
   }
 
   /** Map-only dataset census over (id, frame bytes) — the decode layer
-    * q366/q368's structural walk could not reach.
+    * q366/q368's structural walk could not reach. `dicts` (id →
+    * parsed dictionary) is broadcast-by-closure: frames naming a
+    * supplied id decode against it (`dict_used`), others with an id
+    * stay declined (`dict_gated`).
     */
   def zstdSeqFeatures(df: org.apache.spark.sql.DataFrame, idCol: String,
-                      payloadCol: String): org.apache.spark.sql.DataFrame = {
+                      payloadCol: String,
+                      dicts: Map[Long, ZstdDictionary] = Map.empty):
+      org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     import spark.implicits._
@@ -864,15 +968,15 @@ object ZstdSeq {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val c = frameSeqCensus(bytes)
+          val c = frameSeqCensus(bytes, dicts = dicts)
           (id, c.valid.toLong, c.nBlocks.toLong, c.nRaw.toLong, c.nRle.toLong,
             c.nCompressed.toLong, c.nDecoded.toLong, c.nUnsupported.toLong,
             c.nFailed.toLong, c.decodedBytes, c.contentOk.toLong,
-            c.dictGated.toLong)
+            c.dictGated.toLong, c.dictUsed.toLong)
         }
       }
       .toDF(idCol, "valid", "n_blocks", "n_raw", "n_rle", "n_compressed",
         "n_decoded", "n_unsupported", "n_failed", "decoded_bytes", "content_ok",
-        "dict_gated")
+        "dict_gated", "dict_used")
   }
 }

@@ -877,29 +877,49 @@ object FormatQueries {
         .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
       val rleModeBlock = ZstdOps.literalsHeader(0, 10) ++
         "0123456789".getBytes ++ Array[Byte](1, 0x54, 4, 1, 5, 0x02)
+      // a SUPPLIED dictionary (id 7): the r15 applied class — frames
+      // naming it decode against its window/tables instead of gating
+      val dict = ZstdSeq.parseDictionary(ZstdSeq.encodeDictionary(7L,
+        Array.tabulate(128)(i => ((i * 7 + 3) % 251).toByte))).get
+      // one sequence whose offset (97) reaches 95 bytes INTO the
+      // dictionary window, and a treeless FIRST block legal only
+      // because the dictionary carries the Huffman table
+      val dictRefBlock = ZstdOps.literalsHeader(0, 2) ++ "XY".getBytes ++
+        Array[Byte](1, 0x54, 2, 6, 5, 0x64)
+      val treelessDict = ZstdOps.literalsHeader(3, 16, 10) ++
+        Array[Byte](1, 0, 1, 0, 1, 0) ++
+        Array[Byte](0x1a, 0x15, 0x10, 0x1f) ++ Array[Byte](0)
       val synth = Tables.load(s, dir, "documents")
         .select(col("doc_id").cast("long")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
             val k = (id % 50).toInt
+            val raw = Array.tabulate(20 + k)(i => ((i * 13 + k) % 251).toByte)
             val broken = predefBlock.clone()
             broken(broken.length - 1) = 0 // bitstream marker erased
-            val blocks = Seq(
-              (0, Array.tabulate(20 + k)(i => ((i * 13 + k) % 251).toByte)),
-              (2, predefBlock),
-              (2, rleModeBlock)) ++
-              (if (k % 4 == 0) // treeless FIRST-use: spec-corrupt (no
-                // prior Huffman table anywhere in the frame)
-                Seq((2, ZstdOps.literalsHeader(3, 50, 10) ++ Array.fill(10)(7.toByte)))
-              else Nil) ++
-              (if (k % 5 == 0) Seq((2, broken)) else Nil)
-            // every 9th doc's frame declares a dictionary id: a VALID
-            // frame the decoder declines whole (dict_gated class)
-            (id, ZstdOps.encodeFrameWithBlocks(blocks,
-              dictId = if (k % 9 == 0) 7 else 0))
+            val frame =
+              if (k % 9 == 0 && k % 2 == 0)
+                // dictionary APPLIED: id 7 is in the supplied map
+                ZstdOps.encodeFrameWithBlocks(Seq(
+                  (0, raw), (2, dictRefBlock), (2, treelessDict)), dictId = 7)
+              else {
+                val blocks = Seq(
+                  (0, raw), (2, predefBlock), (2, rleModeBlock)) ++
+                  (if (k % 4 == 0) // treeless FIRST-use: spec-corrupt (no
+                    // prior Huffman table anywhere in the frame)
+                    Seq((2, ZstdOps.literalsHeader(3, 50, 10) ++ Array.fill(10)(7.toByte)))
+                  else Nil) ++
+                  (if (k % 5 == 0) Seq((2, broken)) else Nil)
+                // every 18th doc's frame declares an UNSUPPLIED id: a
+                // VALID frame still declined whole (dict_gated class)
+                ZstdOps.encodeFrameWithBlocks(blocks,
+                  dictId = if (k % 9 == 0) 8 else 0)
+              }
+            (id, frame)
           }
         }.toDF("doc_id", "payload")
-      ZstdSeq.zstdSeqFeatures(synth, "doc_id", "payload")
+      ZstdSeq.zstdSeqFeatures(synth, "doc_id", "payload",
+          dicts = Map(7L -> dict))
         .orderBy("doc_id")
     },
     Some("""
@@ -907,25 +927,31 @@ object FormatQueries {
       f AS (SELECT doc_id, k,
               CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS t4,
               CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS t5,
-              CASE WHEN k % 9 = 0 THEN 1 ELSE 0 END AS dict
+              CASE WHEN k % 9 = 0 AND k % 2 = 1 THEN 1 ELSE 0 END AS dgate,
+              CASE WHEN k % 9 = 0 AND k % 2 = 0 THEN 1 ELSE 0 END AS dapp
             FROM d)
       SELECT doc_id,
              CAST(1 AS BIGINT) AS valid,
-             CAST(3 + t4 + t5 AS BIGINT) AS n_blocks,
+             CAST(CASE WHEN dapp = 1 THEN 3 ELSE 3 + t4 + t5 END AS BIGINT)
+               AS n_blocks,
              CAST(1 AS BIGINT) AS n_raw,
              CAST(0 AS BIGINT) AS n_rle,
-             CAST(2 + t4 + t5 AS BIGINT) AS n_compressed,
-             CAST(CASE WHEN dict = 1 THEN 0 ELSE 2 END AS BIGINT) AS n_decoded,
-             CAST(CASE WHEN dict = 1 THEN 2 + t4 + t5
+             CAST(CASE WHEN dapp = 1 THEN 2 ELSE 2 + t4 + t5 END AS BIGINT)
+               AS n_compressed,
+             CAST(CASE WHEN dgate = 1 THEN 0 ELSE 2 END AS BIGINT) AS n_decoded,
+             CAST(CASE WHEN dapp = 1 THEN 0
+                       WHEN dgate = 1 THEN 2 + t4 + t5
                        WHEN t4 = 1 AND t5 = 1 THEN 1
                        ELSE 0 END AS BIGINT) AS n_unsupported,
-             CAST(CASE WHEN dict = 1 THEN 0
+             CAST(CASE WHEN dapp = 1 OR dgate = 1 THEN 0
                        WHEN t4 = 1 OR t5 = 1 THEN 1
                        ELSE 0 END AS BIGINT) AS n_failed,
-             CAST(CASE WHEN dict = 1 THEN 20 + k ELSE 77 + k END AS BIGINT)
-               AS decoded_bytes,
+             CAST(CASE WHEN dapp = 1 THEN 46 + k
+                       WHEN dgate = 1 THEN 20 + k
+                       ELSE 77 + k END AS BIGINT) AS decoded_bytes,
              CAST(-1 AS BIGINT) AS content_ok,
-             CAST(dict AS BIGINT) AS dict_gated
+             CAST(dgate AS BIGINT) AS dict_gated,
+             CAST(dapp AS BIGINT) AS dict_used
       FROM f ORDER BY doc_id"""))
 
 
@@ -1150,6 +1176,64 @@ object FormatQueries {
       import s.implicits._
       import graft.operators.{ZstdOps, ZstdSeq}
       def hx(h: String) = h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      // a REAL trained dictionary (zstd --train over structured JSON
+      // samples) and a REAL `zstd -3 -D` frame naming it (id
+      // 1231626331, content checksum present) — provenance + checksum
+      // grading in ZstdSeqSpec; here they put the dict-APPLIED path
+      // under the driver's oracle gate
+      val RealDictHex: String =
+        "37a430ec5b2069491b10d80a0ae90cc3300c83ab681816caca2da59429cdd8a942b1d606530a00000008c7d1801a00000400" +
+        "800c8d81020000008002000f918702950d0b8796510400000c180740b5010000211d11000000003489df4c04000000000000" +
+        "0000000000000000010000000400000008000000656e74223a22706167655f76696577222c2275736572223a22753137222c" +
+        "2270617468223a222f646f63732f73656374696f6e372f6974656d3134222c226c6174656e63795f6d73223a32312c227265" +
+        "67696f6e223a2275732d656173742d31227d0a7b226576656e74223a22706167655f76696577222c2275736572223a227531" +
+        "38222c2270617468223a222f646f63732f73656374696f6e31302f6974656d3135222c226c6174656e63795f6d73223a3238" +
+        "2c22726567696f6e223a2275732d656173742d32227d0a7b226576656e74223a22706167655f76696577222c227573657222" +
+        "3a22753139222c2270617468223a222f646f63732f73656374696f6e322f6974656d3136222c226c6174656e63795f6d7322" +
+        "3a33352c22726567696f6e223a2275732d656173742d30227d0a7b226576656e74223a22706167655f76696577222c227573" +
+        "6572223a22753230222c2270617468223a222f646f63732f73656374696f6e352f6974656d30222c226c6174656e63795f6d" +
+        "73223a34322c22726567696f6e223a2275732d656173742d31227d0a7b226576656e74223a22706167655f76696577222c22" +
+        "75736572223a22753231222c2270617468223a222f646f63732f73656374696f6e382f6974656d31222c226c6174656e6379" +
+        "5f6d73223a34392c22726567696f6e223a2275732d656173742d32227d0a7b226576656e74223a22706167655f7669657722" +
+        "2c227573657222222c2275736572223a227532222c2270617468223a222f646f63732f73656374696f6e352f6974656d3134" +
+        "222c226c6174656e63795f6d73223a3334392c22726567696f6e223a2275732d656173742d30227d0a7b226576656e74223a" +
+        "22706167655f76696577222c2275736572223a227533222c2270617468223a222f646f63732f73656374696f6e382f697465" +
+        "6d3135222c226c6174656e63795f6d73223a3335362c22726567696f6e223a2275732d656173742d31227d0a7b226576656e" +
+        "74223a22706167655f76696577222c2275736572223a227534222c2270617468223a222f646f63732f73656374696f6e302f" +
+        "6974656d3136222c226c6174656e63795f6d73223a3336332c22726567696f6e223a2275732d656173742d32227d0a7b2265" +
+        "76656e74223a22706167655f76696577222c2275736572223a227537222c2270617468223a222f646f63732f73656374696f" +
+        "6e342f6974656d32222c226c6174656e63795f6d73223a3131302c22726567696f6e223a2275732d656173742d30227d0a7b" +
+        "226576656e74223a22706167655f76696577222c2275736572223a227538222c2270617468223a222f646f63732f73656374" +
+        "696f6e372f6974656d33222c226c6174656e63795f6d73223a3131372c22726567696f6e223a2275732d656173742d31227d" +
+        "0a7b226576656e74223a22706167655f76696577222c2275736572223a227539222c2270617468223a222f646f63732f7365" +
+        "6374696f6e31302f6974656d34222c226c6174656e63795f6d73223a3132342c22726567696f6e223a2275732d656173742d" +
+        "32227d0a7b226576656e74223a22706167655f76696577222c2275736572223a22753130222c2270617468223a222f646f63" +
+        "732f73656374696f6e322f6974656d35222c226c6174656e63795f6d73223a3133312c22726567696f6e223a2275732d6561" +
+        "73742d30227d0a7b226576656e74223a22706167655f76696577222c2275736572223a22753131222c2270617468223a222f" +
+        "646f63732f73656374696f6e352f6974656d36222c226c6174656e63795f6d73223a3133382c22726567696f6e223a227573" +
+        "2d656173742d31227d0a7b226576656e74223a22706167655f76696577222c2275736572223a22753132222c227061746822" +
+        "3a222f646f63732f73656374696f6e382f6974656d37222c226c6174656e63795f6d73223a3134352c22726567696f6e223a" +
+        "2275732d656173742d32227d0a7b226576656e74223a22706167655f76696577222c2275736572223a22753133222c227061" +
+        "7468223a222f646f63732f73656374696f6e302f6974656d38222c226c6174656e63795f6d73223a3135322c22726567696f" +
+        "6e223a2275732d656173742d30227d0a7b226576656e74223a22706167655f76696577222c2275736572223a22753134222c" +
+        "2270617468223a222f646f63732f73656374696f6e332f6974656d39222c226c6174656e63795f6d73223a3135392c227265" +
+        "67696f6e223a2275732d656173742d31227d0a7b226576656e74223a22706167655f76696577222c2275736572223a227531" +
+        "35222c2270617468223a222f646f63732f73656374696f6e362f6974656d3130222c226c6174656e63795f6d73223a313636" +
+        "2c22726567696f6e223a2275732d656173742d32227d0a7b226576656e74223a22706167655f76696577222c227573657222" +
+        "3a22753136222c2270617468223a222f646f63732f73656374696f6e392f6974656d3131222c226c6174656e63795f6d7322" +
+        "3a3137332c22726567696f6e223a2275732d656173742d30227d0a7b226576656e74223a22706167655f76696577222c2275" +
+        "736572223a22753137222c2270617468223a222f646f63732f73656374696f6e312f6974656d3132222c226c6174656e"
+      val RealFrameHex: String =
+        "28b52ffd675b206949060f8d0a00c38a13c8474273b14f6d5ef647c5d521f347dbbe9656c9f8d6672d55e3c7572ad9cb716e" +
+        "e5beee626229798a6d2a2d35a976adea8654d4f25c5fb68f3be7958566b25dc6b65acdb24a89a6772e17db130380b6fc078c" +
+        "76fa630754eb8a669739b5b1c4276b1205aa576d2ad413a1929c9be1dacaf00ec58403ed9b318b0f49609f04f4197028cf1f" +
+        "c6540adb02a45443c39e4cc001420810e034748e57dc6b939e7609980a7d4b549e204a08b8a188bf5a101e9e8f42412f9556" +
+        "407f0c79c3819432768c4684a054127f00e408055720d557edc5a24b2b0904c21555a85caee5a498750738d51e9534744d5a" +
+        "25e588fcf14c9b95fcf4c9f3ba8493f12fd38f558b23a5765fdf755b944572e609de41a216758c294a7332b4ea1b8851fe17" +
+        "6d30f3b4034830013e60180ea1c4421e333a77c47d8cf64d46a3bca3248992c83714f1ff7f531cc7cd092d2296b57fa56795" +
+        "94721968e1"
+      val realDict = ZstdSeq.parseDictionary(hx(RealDictHex)).get
+      val realFrame = hx(RealFrameHex)
       // real zstd -3 block: Huffman literals (80 literals), 159-byte content
       val hufBlock = hx("0205111690a76d888822ddd064bb91849656be7177777172871c09d750b3385d3ef67628f9294db2b6695db3b070ed8643991fe1a31bec5371babcb0e34a58443c00c816fc0807060087184211beffcadb96ec9e5230b86619")
       // real zstd -19 block: FSE_Compressed LL/OF/ML, 800-byte content
@@ -1172,39 +1256,54 @@ object FormatQueries {
         .mapPartitions { it =>
           it.map { id =>
             val k = (id % 50).toInt
-            val blocks = Seq(
-              (0, Array.tabulate(10 + k)(i => ((i * 11 + k) % 251).toByte)),
-              (2, if (k % 2 == 0) hufBlock else fseBlock)) ++
-              (if (k % 6 == 0) Seq((2, treeless)) else Nil)
-            // every 7th doc: dictionary-id frame — the entropy blocks
-            // are declined whole (dict_gated), only the raw block counts
-            (id, ZstdOps.encodeFrameWithBlocks(blocks,
-              dictId = if (k % 7 == 0) 9 else 0))
+            if (k % 7 == 0 && k % 2 == 1)
+              // the REAL `zstd -D` frame with its dictionary SUPPLIED:
+              // full decode, graded by the frame's own XXH64 checksum
+              (id, realFrame)
+            else {
+              val blocks = Seq(
+                (0, Array.tabulate(10 + k)(i => ((i * 11 + k) % 251).toByte)),
+                (2, if (k % 2 == 0) hufBlock else fseBlock)) ++
+                (if (k % 6 == 0) Seq((2, treeless)) else Nil)
+              // every 14th doc: an UNSUPPLIED dictionary id — the
+              // entropy blocks are declined whole (dict_gated), only
+              // the raw block counts
+              (id, ZstdOps.encodeFrameWithBlocks(blocks,
+                dictId = if (k % 7 == 0) 9 else 0))
+            }
           }
         }.toDF("doc_id", "payload")
-      ZstdSeq.zstdSeqFeatures(synth, "doc_id", "payload")
+      ZstdSeq.zstdSeqFeatures(synth, "doc_id", "payload",
+          dicts = Map(realDict.dictId -> realDict))
         .orderBy("doc_id")
     },
     Some("""
       WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
       f AS (SELECT doc_id, k,
               CASE WHEN k % 6 = 0 THEN 1 ELSE 0 END AS tl,
-              CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS dict,
+              CASE WHEN k % 7 = 0 AND k % 2 = 0 THEN 1 ELSE 0 END AS dgate,
+              CASE WHEN k % 7 = 0 AND k % 2 = 1 THEN 1 ELSE 0 END AS dapp,
               CASE WHEN k % 2 = 0 THEN 159 ELSE 800 END AS blk
             FROM d)
       SELECT doc_id,
              CAST(1 AS BIGINT) AS valid,
-             CAST(2 + tl AS BIGINT) AS n_blocks,
-             CAST(1 AS BIGINT) AS n_raw,
+             CAST(CASE WHEN dapp = 1 THEN 1 ELSE 2 + tl END AS BIGINT) AS n_blocks,
+             CAST(CASE WHEN dapp = 1 THEN 0 ELSE 1 END AS BIGINT) AS n_raw,
              CAST(0 AS BIGINT) AS n_rle,
-             CAST(1 + tl AS BIGINT) AS n_compressed,
-             CAST(CASE WHEN dict = 1 THEN 0 ELSE 1 + tl END AS BIGINT) AS n_decoded,
-             CAST(CASE WHEN dict = 1 THEN 1 + tl ELSE 0 END AS BIGINT) AS n_unsupported,
+             CAST(1 + tl - dapp * tl AS BIGINT) AS n_compressed,
+             CAST(CASE WHEN dgate = 1 THEN 0
+                       WHEN dapp = 1 THEN 1
+                       ELSE 1 + tl END AS BIGINT) AS n_decoded,
+             CAST(CASE WHEN dgate = 1 THEN 1 + tl ELSE 0 END AS BIGINT)
+               AS n_unsupported,
              CAST(0 AS BIGINT) AS n_failed,
-             CAST(CASE WHEN dict = 1 THEN 10 + k
-                       ELSE 10 + k + blk + tl * 80 END AS BIGINT) AS decoded_bytes,
-             CAST(-1 AS BIGINT) AS content_ok,
-             CAST(dict AS BIGINT) AS dict_gated
+             CAST(CASE WHEN dgate = 1 THEN 10 + k
+                       WHEN dapp = 1 THEN 4102
+                       ELSE 10 + k + blk + tl * 80 END AS BIGINT)
+               AS decoded_bytes,
+             CAST(CASE WHEN dapp = 1 THEN 1 ELSE -1 END AS BIGINT) AS content_ok,
+             CAST(dgate AS BIGINT) AS dict_gated,
+             CAST(dapp AS BIGINT) AS dict_used
       FROM f ORDER BY doc_id"""))
 
 

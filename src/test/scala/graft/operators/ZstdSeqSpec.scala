@@ -380,4 +380,87 @@ class ZstdSeqSpec extends AnyFunSuite {
     assert(dec.isDefined, "RLE-mode block must decode")
     assert(new String(dec.get, "ISO-8859-1") == "012301230123456789")
   }
+
+  // ---- dictionary frames (round-15 item 6)
+
+  private def resource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/zdict/$name")
+    assert(in != null, s"missing test resource $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("REAL trained dictionary parses: magic, id, entropy tables, reps, content") {
+    val d = ZstdSeq.parseDictionary(resource("graft.dict"))
+    assert(d.isDefined, "zstd --train output must parse")
+    val dict = d.get
+    assert(dict.dictId == 1231626331L)
+    assert(dict.content.nonEmpty && dict.content.length < 2048)
+    assert(dict.rep1 > 0 && dict.huf.maxBits >= 1)
+    // a frame payload is NOT a dictionary
+    assert(ZstdSeq.parseDictionary(resource("payload_d3.zst")).isEmpty)
+  }
+
+  test("REAL zstd -D frames decode against the supplied dictionary, checksum-verified") {
+    val dict = ZstdSeq.parseDictionary(resource("graft.dict")).get
+    val want = resource("payload.json")
+    for (name <- Seq("payload_d3.zst", "payload_d19.zst")) {
+      val frame = resource(name)
+      // without the dictionary: the honest declined class, as before
+      val gated = ZstdSeq.frameSeqCensus(frame)
+      assert(gated.dictGated == 1 && gated.nDecoded == 0 && gated.dictUsed == 0,
+        s"$name without dict: $gated")
+      // with it: full decode, graded by the frame's own XXH64 checksum
+      val c = ZstdSeq.frameSeqCensus(frame,
+        dicts = Map(dict.dictId -> dict))
+      assert(c.valid == 1 && c.dictGated == 0 && c.dictUsed == 1, s"$name: $c")
+      assert(c.nFailed == 0 && c.nUnsupported == 0, s"$name: $c")
+      assert(c.decodedBytes == want.length.toLong, s"$name: length $c")
+      assert(c.contentOk == 1, s"$name: checksum over dict-seeded decode")
+    }
+    // the WRONG dictionary id supplied: frame stays declined
+    val other = ZstdSeq.frameSeqCensus(resource("payload_d3.zst"),
+      dicts = Map(7L -> dict))
+    assert(other.dictGated == 1 && other.nDecoded == 0)
+  }
+
+  test("synthetic dictionary: parse round-trip and seeded decode reaching dict CONTENT") {
+    val content = Array.tabulate(128)(i => ((i * 7 + 3) % 251).toByte)
+    val dict = ZstdSeq.parseDictionary(ZstdSeq.encodeDictionary(42L, content)).get
+    assert(dict.dictId == 42L && dict.content.toSeq == content.toSeq)
+    assert(dict.rep1 == 1 && dict.rep2 == 4 && dict.rep3 == 8)
+    // block: 2 raw literals + one sequence whose offset reaches 95
+    // bytes INTO the dictionary window (offset 97 > block output)
+    val blk = ZstdOps.literalsHeader(0, 2) ++ "XY".getBytes ++
+      Array[Byte](1, 0x54, 2, 6, 5, 0x64)
+    val ctx = ZstdSeq.seededCtx(dict, 1 << 20)
+    val dec = ZstdSeq.decodeBlock(blk, 0, blk.length, 1 << 20, ctx)
+    assert(dec.isDefined, "dict-window match must decode")
+    val got = dec.get
+    assert(got.length == 10)
+    assert(new String(got.take(2), "ISO-8859-1") == "XY")
+    // offset 97 from o=2 → dict content positions [128-95, 128-87)
+    assert(got.drop(2).toSeq == content.slice(33, 41).toSeq,
+      "match bytes must come from dictionary content")
+    // and WITHOUT the dictionary the same block must fail (offset
+    // beyond any window), never fabricate
+    assert(ZstdSeq.decodeBlock(blk, 0, blk.length, 1 << 20).isEmpty)
+  }
+
+  test("treeless FIRST block is legal when the dictionary supplies the Huffman table") {
+    val content = Array.tabulate(64)(i => (i % 7).toByte)
+    val dict = ZstdSeq.parseDictionary(ZstdSeq.encodeDictionary(9L, content)).get
+    // 4-stream treeless literals: 16 symbols of 1 bit via the dict's
+    // 2-symbol table; jump table 1,1,1; streams 0x10|pattern
+    val blk = ZstdOps.literalsHeader(3, 16, 10) ++
+      Array[Byte](1, 0, 1, 0, 1, 0) ++
+      Array[Byte](0x1a, 0x15, 0x10, 0x1f) ++ Array[Byte](0)
+    val ctx = ZstdSeq.seededCtx(dict, 1 << 20)
+    val dec = ZstdSeq.decodeBlock(blk, 0, blk.length, 1 << 20, ctx)
+    assert(dec.isDefined, "treeless-with-dict-table must decode")
+    assert(dec.get.length == 16)
+    assert(dec.get.forall(b => b == 0 || b == 1),
+      "symbols come from the dict's 2-symbol table")
+    // without a dictionary this exact block is the spec-corrupt class
+    assert(ZstdSeq.decodeBlock(blk, 0, blk.length, 1 << 20).isEmpty)
+  }
 }
