@@ -14,14 +14,25 @@ import org.apache.spark.sql.functions._
   *   2. FILE layer — the parquet footer walker (q377) over the
   *      written files' raw bytes, plus the real zone-map prune audit
   *      (q380's arithmetic via statsCensus on the doc_id column);
-  *   3. CONTENT layer — the per-source dataset card (q354) re-derived
+  *   3. ROW layer (r15) — a deletion vector lands on one live file
+  *      and the census answers "how many rows are LIVE" (q405), with
+  *      the same deletes re-expressed as Iceberg positional delete
+  *      rows (q406) reconciling to the identical net (q407's
+  *      cross-format check, on real files);
+  *   4. PAGE layer (r15) — the REAL parquet-mr page index prices
+  *      "how many page-ROWS would `doc_id > T` scan" (q413/q414),
+  *      and the q415 data-page decoder re-derives the row count and
+  *      the doc_id SUM from the raw page bytes — the full-stack
+  *      answer assembled from written bytes alone;
+  *   5. CONTENT layer — the per-source dataset card (q354) re-derived
   *      from the table AS READ BACK, not from the source.
   *
   * Per-stage wall times print as the job's evidence (the ExportDemo
   * discipline); LakeAuditDemoSpec pins the cross-layer invariants —
-  * log-claimed rows ≡ footer-claimed rows ≡ actual rows, prune
-  * partitions the file set, and the card equals the one computed from
-  * the original source (the written bytes carry the same content).
+  * log-claimed rows ≡ footer-claimed rows ≡ decoded rows ≡ actual
+  * rows, net rows agree across formats, page-rows partition the
+  * total, prune partitions the file set, and the card equals the one
+  * computed from the original source.
   *
   * Usage: runMain graft.LakeAuditDemo [sfDir] [outDir]
   */
@@ -31,6 +42,9 @@ object LakeAuditDemo {
       nFiles: Long, liveFiles: Long, liveRows: Long, logPruneSkippable: Long,
       footersValid: Long, footerRows: Long,
       zoneSkippable: Long, zoneScanned: Long,
+      dvDeletes: Long, netRowsLog: Long, netRowsIceberg: Long,
+      pageRowsSkippable: Long, pageRowsScanned: Long, pageRowsUnknown: Long,
+      decodedFilesOk: Long, decodedRows: Long,
       cardSources: Long, cardDocs: Long)
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Result = {
@@ -52,6 +66,7 @@ object LakeAuditDemo {
     timed("write table")(
       Tables.load(spark, sfDir, "documents")
         .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id") // tight PAGE bounds, not just file
         .write.mode("overwrite").parquet(tablePath))
     val written = spark.read.parquet(tablePath)
     val totalRows = written.count()
@@ -117,7 +132,47 @@ object LakeAuditDemo {
         .agg(sum("skippable").as("skip"), count(lit(1)).as("n"))
         .collect()(0))
 
-    // 3) content layer: the dataset card off the table AS READ BACK
+    // 3) ROW layer: a deletion vector lands on one UN-churned live
+    // file (version 3 re-add with the same real stats + a DV of
+    // cardinality d) — the census must answer totalRows - d. The same
+    // deletes re-expressed as Iceberg positional delete rows must
+    // reconcile to the identical net (q407's check, on real files).
+    val dvTarget = perFile.last
+    val dvCard = math.min(5L, dvTarget._2)
+    val dvLine = {
+      val stats = s"""{\\"numRecords\\":${dvTarget._2},\\"minValues\\":{\\"doc_id\\":${dvTarget._3}},\\"maxValues\\":{\\"doc_id\\":${dvTarget._4}}}"""
+      s"""{"add":{"path":"${dvTarget._1}","partitionValues":{},"size":${sizes(dvTarget._1)},"dataChange":false,"stats":"$stats","deletionVector":{"storageType":"u","pathOrInlineDv":"dv0","cardinality":$dvCard}}}"""
+    }
+    val logDv = (logLines :+ ((1L, 3L, dvLine))).toDF("tbl", "ver", "line")
+    val dvCensus = timed("deletion-vector census")(
+      graft.operators.DeltaLogOps
+        .deletionVectorCensus(logDv, "tbl", "ver", "line").collect()(0))
+    val iceFiles = perFile.toSeq.map { case (p, n, _, _) => (1L, p, n) }
+      .toDF("tbl", "path", "rc")
+    val iceDels = (0L until dvCard).map(pos => (1L, dvTarget._1, pos))
+      .toDF("tbl", "path", "pos")
+    val iceCensus = timed("positional-delete audit")(
+      graft.operators.IcebergOps.positionalDeleteAudit(
+        iceFiles, "tbl", "path", "rc", iceDels, "tbl", "path", "pos")
+        .collect()(0))
+
+    // 4) PAGE layer: the REAL parquet-mr page index prices the
+    // predicate in page-ROWS, and the data-page decoder re-derives
+    // the row count and doc_id sum from the raw bytes
+    val pageRows = timed("page-row audit")(
+      graft.operators.ParquetFooter.pageRowsAudit(
+          blobs, "fid", "content", docIdIdx, threshold)
+        .agg(sum("rows_skippable_gt").as("skip"),
+          sum("rows_scanned_gt").as("scan"),
+          sum("rows_unknown").as("unk")).collect()(0))
+    val decode = timed("data-page decode")(
+      graft.operators.ParquetPages.pageDecodeAudit(
+          blobs, "fid", "content", docIdIdx)
+        .agg(sum("ok").as("ok"), sum(col("n_values") + col("n_nulls")).as("rows"),
+          sum("sum_v").as("sum_v")).collect()(0))
+    val wantSum = written.agg(sum("doc_id")).collect()(0).getLong(0)
+
+    // 5) content layer: the dataset card off the table AS READ BACK
     val card = timed("dataset card")(
       graft.queries.CorpusQueries.q354.fn(spark, s"$outDir/lake")
         .localCheckpoint(false))
@@ -133,12 +188,30 @@ object LakeAuditDemo {
       footerRows = footers.getAs[Long]("rows"),
       zoneSkippable = zone.getAs[Long]("skip"),
       zoneScanned = zone.getAs[Long]("n") - zone.getAs[Long]("skip"),
+      dvDeletes = dvCensus.getAs[Long]("dv_rows"),
+      netRowsLog = dvCensus.getAs[Long]("net_rows"),
+      netRowsIceberg = iceCensus.getAs[Long]("net_rows"),
+      pageRowsSkippable = pageRows.getAs[Long]("skip"),
+      pageRowsScanned = pageRows.getAs[Long]("scan"),
+      pageRowsUnknown = pageRows.getAs[Long]("unk"),
+      decodedFilesOk = decode.getAs[Long]("ok"),
+      decodedRows = decode.getAs[Long]("rows"),
       cardSources = cardAgg.getAs[Long]("src"),
       cardDocs = cardAgg.getAs[Long]("docs"))
     require(r.liveRows == totalRows,
       s"log-claimed rows ${r.liveRows} != actual $totalRows")
     require(r.footerRows == totalRows,
       s"footer-claimed rows ${r.footerRows} != actual $totalRows")
+    require(r.netRowsLog == totalRows - dvCard,
+      s"DV net ${r.netRowsLog} != ${totalRows - dvCard}")
+    require(r.netRowsIceberg == r.netRowsLog,
+      s"cross-format net rows diverged: ${r.netRowsIceberg} vs ${r.netRowsLog}")
+    require(r.pageRowsSkippable + r.pageRowsScanned + r.pageRowsUnknown == totalRows,
+      s"page-rows must partition the total: $r vs $totalRows")
+    require(r.decodedRows == totalRows,
+      s"page-decoded rows ${r.decodedRows} != actual $totalRows")
+    require(decode.getAs[Long]("sum_v") == wantSum,
+      s"page-decoded doc_id sum ${decode.getAs[Long]("sum_v")} != $wantSum")
     require(r.cardDocs == totalRows,
       s"card docs ${r.cardDocs} != actual $totalRows")
     r

@@ -28,6 +28,30 @@ class LakeAuditDemoSpec extends SparkSpec {
     assert(r.zoneSkippable > 0,
       "the range-clustered layout must make some file provably skippable")
 
+    // ROW layer: live rows after the deletion vector, reconciled
+    // across Delta-DV and Iceberg-positional expressions of the SAME
+    // deletes (run() already requires equality; re-pin the shape)
+    assert(r.dvDeletes > 0 && r.netRowsLog == r.liveRows - r.dvDeletes,
+      s"net rows must be live minus DV cardinality: $r")
+    assert(r.netRowsIceberg == r.netRowsLog)
+
+    // PAGE layer: the real parquet-mr page index prices doc_id > T in
+    // rows that partition the total; the sorted layout must make the
+    // skippable side substantial, and every file's pages must be
+    // priceable (parquet-mr writes the OffsetIndex)
+    assert(r.pageRowsUnknown == 0, s"real files must carry page indexes: $r")
+    assert(r.pageRowsSkippable + r.pageRowsScanned == r.liveRows)
+    assert(r.pageRowsSkippable > 0 && r.pageRowsScanned > 0,
+      s"a mid-range threshold must split pages both ways: $r")
+    // page pruning is at least as sharp as file pruning: every row a
+    // zone-skippable FILE holds is page-skippable too (loose bound —
+    // range partitioning makes files only approximately equal-sized)
+    assert(r.pageRowsSkippable >= r.liveRows * r.zoneSkippable / (2 * r.nFiles),
+      s"page layer lost rows file pruning had: $r")
+
+    // the q415 decoder re-derived every row from raw page bytes
+    assert(r.decodedFilesOk == r.nFiles && r.decodedRows == r.liveRows, s"$r")
+
     // card re-derivation: the card off the written table equals the
     // card off the original source — identical content, different home
     val fromWritten = graft.queries.CorpusQueries.q354
