@@ -1397,4 +1397,96 @@ object FormatQueries {
       JOIN agg ON agg.doc_id = c.doc_id
       JOIN dct ON dct.doc_id = c.doc_id
       ORDER BY c.doc_id"""))
+
+
+  // --------------------------------------------------------------- q419
+
+  /** q419 — AV1 OBU walk + sequence-header decode
+    * ([[graft.operators.Av1Obu.av1Features]]): the q403 (H.264 SPS)
+    * pattern on the other dominant web codec — IVF container walk,
+    * per-frame OBU streams (forbidden/reserved bits fail the frame
+    * closed, earlier frames stay evidence), and the entropy-free
+    * sequence-header OBU decoded bit-level: profile, level/tier, max
+    * dimensions, bit depth, monochrome, superblock size. The header
+    * carries ACROSS frames (planted every 11th doc: the header sits
+    * in frame 2 and still resolves). Planted classes: truncated
+    * header payload (seq_ok 0, dims never guessed), corrupt
+    * second-frame OBU (frame declined, file counted), non-AV01
+    * fourcc (declined whole). Oracle closed-form. Map-only, zero
+    * shuffles.
+    */
+  val q419 = Q("q419_av1_seq_header",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Av1Obu
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (id % 50).toInt
+          val p = k % 3
+          val bd = if (p == 2 && k % 2 == 0) 12 else if (k % 4 == 0) 10 else 8
+          val reduced = k % 6 == 0
+          val level = 5 + k % 10
+          val tier = if (level > 7 && !reduced) k % 2 else 0
+          val seqPayload = Av1Obu.encodeSeqHdr(p, level, tier,
+            64L + 4 * k, 36L + 2 * k, bd, mono = p != 1 && k % 5 == 0,
+            sb128 = k % 2 == 1, still = k % 7 == 0, reduced = reduced)
+          val seqObu = Av1Obu.encodeObu(1,
+            if (k % 13 == 0) seqPayload.take(2) else seqPayload)
+          val td = Av1Obu.encodeObu(2, Array.emptyByteArray)
+          val frame = Av1Obu.encodeObu(6,
+            Array.tabulate(10 + k)(i => ((i * 7 + k) % 251).toByte))
+          val frames =
+            if (k % 19 == 0)
+              Seq(td ++ seqObu ++ frame,
+                Array(0x80.toByte) ++ Array.fill(4)(0.toByte))
+            else if (k % 11 == 0) Seq(td ++ frame, td ++ seqObu ++ frame)
+            else Seq(td ++ seqObu ++ frame, td ++ frame)
+          val ivf = Av1Obu.encodeIvf(64 + 4 * k, 36 + 2 * k, frames)
+          if (k % 17 == 0) ivf(8) = 'X'.toByte
+          (id, ivf)
+        }).toDF("doc_id", "payload")
+      Av1Obu.av1Features(synth, "doc_id", "payload").orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      f AS (SELECT doc_id, k, k % 3 AS p,
+              CASE WHEN k % 17 = 0 THEN 1 ELSE 0 END AS bad,
+              CASE WHEN k % 17 <> 0 AND k % 19 = 0 THEN 1 ELSE 0 END AS mal,
+              CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END AS cut,
+              CASE WHEN k % 6 = 0 THEN 1 ELSE 0 END AS red,
+              CAST(5 + k % 10 AS BIGINT) AS lvl
+            FROM d),
+      g AS (SELECT doc_id, k, p, bad, mal, cut, red, lvl,
+              CASE WHEN bad = 1 OR cut = 1 THEN 0 ELSE 1 END AS sok
+            FROM f)
+      SELECT doc_id,
+        CAST(1 - bad AS BIGINT) AS ivf_ok,
+        CAST(CASE WHEN bad = 1 THEN 0 ELSE 2 END AS BIGINT) AS n_frames_hdr,
+        CAST(CASE WHEN bad = 1 THEN 0 WHEN mal = 1 THEN 1 ELSE 2 END AS BIGINT)
+          AS n_frames_walked,
+        CAST(CASE WHEN bad = 1 THEN 0 WHEN mal = 1 THEN 3 ELSE 5 END AS BIGINT)
+          AS n_obus,
+        CAST(CASE WHEN bad = 1 THEN 0 ELSE 1 END AS BIGINT) AS n_seq_hdrs,
+        CAST(CASE WHEN bad = 1 THEN 0 WHEN mal = 1 THEN 1 ELSE 2 END AS BIGINT)
+          AS n_frame_obus,
+        CAST(mal AS BIGINT) AS malformed_frame,
+        CAST(sok AS BIGINT) AS seq_ok,
+        CAST(CASE WHEN sok = 1 THEN p ELSE 0 END AS BIGINT) AS profile,
+        CAST(CASE WHEN sok = 1 THEN lvl ELSE 0 END AS BIGINT) AS level,
+        CAST(CASE WHEN sok = 1 AND lvl > 7 AND red = 0 THEN k % 2 ELSE 0 END
+          AS BIGINT) AS tier,
+        CAST(CASE WHEN sok = 1 THEN 64 + 4 * k ELSE 0 END AS BIGINT) AS width,
+        CAST(CASE WHEN sok = 1 THEN 36 + 2 * k ELSE 0 END AS BIGINT) AS height,
+        CAST(CASE WHEN sok = 0 THEN 0
+                  WHEN p = 2 AND k % 2 = 0 THEN 12
+                  WHEN k % 4 = 0 THEN 10 ELSE 8 END AS BIGINT) AS bit_depth,
+        CAST(CASE WHEN sok = 1 AND p <> 1 AND k % 5 = 0 THEN 1 ELSE 0 END
+          AS BIGINT) AS mono,
+        CAST(CASE WHEN sok = 1 THEN k % 2 ELSE 0 END AS BIGINT)
+          AS superblock128,
+        CAST(CASE WHEN sok = 1 AND k % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+          AS still_picture,
+        CAST(CASE WHEN sok = 1 THEN red ELSE 0 END AS BIGINT) AS reduced
+      FROM g ORDER BY doc_id"""))
 }

@@ -317,6 +317,24 @@ class WalkerFuzzSpec extends AnyFunSuite {
       b => { val d = ParquetPages.decodeInt64File(b, 0)
         (d.nValues + d.nNulls + d.nPages, 0L) },
       appendStable = false), // footer discovery starts at the file END
+    Fuzzed("av1-ivf",
+      rnd => {
+        val p = rnd.nextInt(3)
+        val seq = Av1Obu.encodeObu(1, Av1Obu.encodeSeqHdr(p,
+          5 + rnd.nextInt(10), rnd.nextInt(2), 16L + rnd.nextInt(2000),
+          16L + rnd.nextInt(2000),
+          if (p == 2 && rnd.nextBoolean()) 12 else if (rnd.nextBoolean()) 10 else 8,
+          mono = p != 1 && rnd.nextBoolean(), sb128 = rnd.nextBoolean(),
+          still = rnd.nextBoolean(), reduced = rnd.nextBoolean()))
+        val td = Av1Obu.encodeObu(2, Array.emptyByteArray)
+        val fr = Av1Obu.encodeObu(6,
+          Array.tabulate(5 + rnd.nextInt(40))(_ => rnd.nextInt(256).toByte))
+        Av1Obu.encodeIvf(64, 64, (0 until 1 + rnd.nextInt(3)).map(i =>
+          if (i == 0) td ++ seq ++ fr else td ++ fr))
+      },
+      b => { val m = Av1Obu.parseIvf(b)
+        (m.nObus.toLong + m.nFramesWalked, 0L) },
+      appendStable = false), // a garbage tail is a malformed frame header
     Fuzzed("webp",
       rnd => rnd.nextInt(3) match {
         case 0 => WebpOps.encodeLossy(1 + rnd.nextInt(1000), 1 + rnd.nextInt(1000),
