@@ -32,9 +32,11 @@ import ParquetFooter.{Reader, Malformed, walkStruct, listHeader, footerReader, W
   *
   * Honest boundaries, kept separate from malformation:
   *   - `gated = 1` (valid file, DECLINED class): nested or repeated
-  *     schema, non-INT64 physical type, codecs beyond
-  *     uncompressed/snappy, V2 data pages, DELTA_* /
-  *     BYTE_STREAM_SPLIT / legacy BIT_PACKED encodings;
+  *     schema, physical types beyond INT32/INT64 (INT32 decodes
+  *     through the same path at width 4, sign-extended), codecs
+  *     beyond uncompressed/snappy/zstd (zstd pages decode as single
+  *     frames through [[ZstdSeq.decodeFrame]]), V2 data pages,
+  *     DELTA_* / BYTE_STREAM_SPLIT / legacy BIT_PACKED encodings;
   *   - `ok = 0` (malformed): structural violations — header walk
   *     faults, page spans outside the chunk, snappy mismatch against
   *     the declared uncompressed size, duplicate or missing
@@ -51,6 +53,7 @@ import ParquetFooter.{Reader, Malformed, walkStruct, listHeader, footerReader, W
 object ParquetPages {
 
   // thrift enum values (parquet.thrift)
+  private val TInt32 = 1
   private val TInt64 = 2
   private val EncPlain = 0
   private val EncPlainDict = 2
@@ -58,6 +61,7 @@ object ParquetPages {
   private val EncRleDict = 8
   private val CodecUncompressed = 0
   private val CodecSnappy = 1
+  private val CodecZstd = 6
   private val MaxPages = 1 << 16
   private val MaxPageBytes = 1 << 26 // 64 MiB: largest page a decoder will buffer
 
@@ -248,8 +252,12 @@ object ParquetPages {
     */
   def decodeInt64Chunk(bytes: Array[Byte], cm: ChunkMeta,
       keepValues: Boolean = false): ChunkDecode = {
-    if (!cm.flat || cm.physType != TInt64) return Gated
-    if (cm.codec != CodecUncompressed && cm.codec != CodecSnappy) return Gated
+    if (!cm.flat || (cm.physType != TInt64 && cm.physType != TInt32))
+      return Gated
+    if (cm.codec != CodecUncompressed && cm.codec != CodecSnappy &&
+      cm.codec != CodecZstd) return Gated
+    // INT32 decodes through the same path at width 4, sign-extended
+    val w = if (cm.physType == TInt32) 4 else 8
     val start =
       if (cm.dictOff >= 0 && cm.dictOff < cm.dataOff) cm.dictOff else cm.dataOff
     if (start < 0 || cm.totalCompressed <= 0 ||
@@ -315,19 +323,29 @@ object ParquetPages {
               maxOut = uncomp.toInt)
             if (m.ok != 1 || m.decoded != uncomp) throw Malformed
             m.out
+          case CodecZstd => // a page is ONE zstd frame ([[ZstdSeq]])
+            ZstdSeq.decodeFrame(
+                java.util.Arrays.copyOfRange(bytes, payloadOff, payloadEnd),
+                maxOut = uncomp.toInt)
+              .filter(_.length.toLong == uncomp)
+              .getOrElse(throw Malformed)
+        }
+        // w-byte little-endian, sign-extended (INT32/INT64 are signed)
+        def readLe(buf: Array[Byte], off: Int): Long = {
+          var v = 0L; var j = w - 1
+          while (j >= 0) { v = (v << 8) | (buf(off + j) & 0xffL); j -= 1 }
+          if (w == 4) v.toInt.toLong else v
         }
         pType match {
           case 2L => // dictionary page
             if (dict != null || dictNum < 0) throw Malformed
             if (dictEnc != EncPlain && dictEnc != EncPlainDict) throw Malformed
             val buf = payload()
-            if (dictNum * 8 != buf.length.toLong) throw Malformed
+            if (dictNum * w != buf.length.toLong) throw Malformed
             dict = new Array[Long](dictNum.toInt)
             var i = 0
             while (i < dict.length) {
-              var v = 0L; var j = 7
-              while (j >= 0) { v = (v << 8) | (buf(i * 8 + j) & 0xffL); j -= 1 }
-              dict(i) = v
+              dict(i) = readLe(buf, i * w)
               i += 1
             }
           case 0L => // data page V1
@@ -354,12 +372,8 @@ object ParquetPages {
             if (!gated) {
               val vals: Array[Long] = dEnc match {
                 case 0L => // PLAIN
-                  if (nNonNull.toLong * 8 > buf.length - q) throw Malformed
-                  Array.tabulate(nNonNull) { i =>
-                    var v = 0L; var j = 7
-                    while (j >= 0) { v = (v << 8) | (buf(q + i * 8 + j) & 0xffL); j -= 1 }
-                    v
-                  }
+                  if (nNonNull.toLong * w > buf.length - q) throw Malformed
+                  Array.tabulate(nNonNull)(i => readLe(buf, q + i * w))
                 case 2L | 8L => // PLAIN_DICTIONARY / RLE_DICTIONARY
                   if (dict == null) throw Malformed
                   if (q >= buf.length) throw Malformed

@@ -831,12 +831,29 @@ object ZstdSeq {
     *    skipped and counted, never guessed at.
     */
   def frameSeqCensus(bytes: Array[Byte], maxOut: Int = 1 << 22,
-                     dicts: Map[Long, ZstdDictionary] = Map.empty): SeqCensus = {
+                     dicts: Map[Long, ZstdDictionary] = Map.empty): SeqCensus =
+    frameSeqCensusImpl(bytes, maxOut, dicts)._1
+
+  /** Whole-frame DECODE to content bytes: Some iff the frame is valid,
+    * EVERY block decoded (nothing unsupported, nothing failed, content
+    * within maxOut), and — when the frame carries a checksum — it
+    * verifies. The API parquet's zstd column chunks ride.
+    */
+  def decodeFrame(bytes: Array[Byte], maxOut: Int = 1 << 26,
+                  dicts: Map[Long, ZstdDictionary] = Map.empty): Option[Array[Byte]] = {
+    val (c, content) = frameSeqCensusImpl(bytes, maxOut, dicts)
+    if (c.valid == 1 && content != null && c.nUnsupported == 0 &&
+      c.nFailed == 0 && c.contentOk != 0) Some(content)
+    else None
+  }
+
+  private def frameSeqCensusImpl(bytes: Array[Byte], maxOut: Int,
+      dicts: Map[Long, ZstdDictionary]): (SeqCensus, Array[Byte]) = {
     val n = bytes.length
     def le32(p: Int): Long =
       (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
         ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
-    if (n < 6 || le32(0) != 0xFD2FB528L) return InvalidCensus
+    if (n < 6 || le32(0) != 0xFD2FB528L) return (InvalidCensus, null)
     val fhd = bytes(4) & 0xff
     // Dictionary_ID_Flag (RFC 8878 §3.1.1.1.1): with the named
     // dictionary SUPPLIED the frame decodes against its seeded state;
@@ -857,7 +874,7 @@ object ZstdSeq {
       case _ => 8
     }
     var pos = 5 + (if (single) 0 else 1) + didLen + fcsLen
-    if (pos > n) return InvalidCensus
+    if (pos > n) return (InvalidCensus, null)
     val didPos = 5 + (if (single) 0 else 1)
     val dictId: Long = didLen match {
       case 0 => -1L
@@ -881,7 +898,7 @@ object ZstdSeq {
     var ctxBroken = false
     var last = false
     while (!last) {
-      if (n - pos < 3) return InvalidCensus
+      if (n - pos < 3) return (InvalidCensus, null)
       val h = (bytes(pos) & 0xffL) | ((bytes(pos + 1) & 0xffL) << 8) |
         ((bytes(pos + 2) & 0xffL) << 16)
       pos += 3
@@ -891,7 +908,7 @@ object ZstdSeq {
       nBlocks += 1
       tpe match {
         case 0 => // raw
-          if (size > n - pos) return InvalidCensus
+          if (size > n - pos) return (InvalidCensus, null)
           nRaw += 1
           decodedBytes += size
           ctx.pushHist(bytes, pos, size)
@@ -900,7 +917,7 @@ object ZstdSeq {
           else tracked = false
           pos += size
         case 1 => // RLE: size field = regenerated length, payload 1 byte
-          if (pos >= n || size > maxOut) return InvalidCensus
+          if (pos >= n || size > maxOut) return (InvalidCensus, null)
           nRle += 1
           decodedBytes += size
           val rle = new Array[Byte](size)
@@ -911,7 +928,7 @@ object ZstdSeq {
           else tracked = false
           pos += 1
         case 2 =>
-          if (size > n - pos) return InvalidCensus
+          if (size > n - pos) return (InvalidCensus, null)
           nComp += 1
           if (dictGated || ctxBroken) {
             // honest skip, no decode attempt: dictionary-seeded state is
@@ -936,19 +953,20 @@ object ZstdSeq {
               ctxBroken = true
           }
           pos += size
-        case _ => return InvalidCensus // reserved
+        case _ => return (InvalidCensus, null) // reserved
       }
     }
     var contentOk = -1
     if (hasChecksum) {
-      if (n - pos < 4) return InvalidCensus
+      if (n - pos < 4) return (InvalidCensus, null)
       if (tracked && nUnsup == 0 && nFail == 0)
         contentOk = if (ZstdOps.xxh64Low32(content.toByteArray) == le32(pos)) 1 else 0
       pos += 4
     }
-    SeqCensus(if (pos == n) 1 else 0, nBlocks, nRaw, nRle, nComp,
+    (SeqCensus(if (pos == n) 1 else 0, nBlocks, nRaw, nRle, nComp,
       nDec, nUnsup, nFail, decodedBytes, contentOk,
-      if (dictGated) 1 else 0, if (dictUsed) 1 else 0)
+      if (dictGated) 1 else 0, if (dictUsed) 1 else 0),
+      if (tracked) content.toByteArray else null)
   }
 
   /** Map-only dataset census over (id, frame bytes) — the decode layer

@@ -199,6 +199,36 @@ class ParquetPagesSpec extends SparkSpec {
     assert(anyBad, "some flip must land in structure")
   }
 
+  test("REAL parquet-mr ZSTD chunk decodes through the full zstd frame decoder") {
+    import org.apache.spark.sql.functions._
+    val n = 30000L
+    val df = spark.range(0L, n)
+      .select(when(col("id") % 9 === 0, lit(null)).otherwise(col("id") % 97)
+        .cast("long").as("v"))
+    val bytes = sparkWrite(df, Map("compression" -> "zstd"))
+    assert(ParquetFooter.parse(bytes).nZstd > 0, "must actually be zstd")
+    val d = ParquetPages.decodeInt64File(bytes, 0, keepValues = true)
+    assert(d.ok == 1 && d.gated == 0, d.toString)
+    val rows = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(d.nValues + d.nNulls == n && d.nNulls == rows.count(_.isEmpty))
+    assert(d.values.toSeq == rows.flatten.toSeq,
+      "zstd-page values must equal the engine's own rows")
+  }
+
+  test("REAL parquet-mr INT32 column decodes sign-extended at width 4") {
+    import org.apache.spark.sql.functions.col
+    val n = 20000L
+    val df = spark.range(0L, n)
+      .select((col("id") - 10000).cast("int").as("v")) // negatives included
+    val bytes = sparkWrite(df, Map.empty)
+    val cms = ParquetPages.chunkMetas(bytes, 0)
+    assert(cms.nonEmpty && cms.forall(_.physType == 1), s"INT32 expected: $cms")
+    val d = ParquetPages.decodeInt64File(bytes, 0, keepValues = true)
+    assert(d.ok == 1 && d.gated == 0, d.toString)
+    assert(d.minV == -10000 && d.maxV == n - 10001, d.toString)
+    assert(d.values.toSeq == (0L until n).map(_ - 10000))
+  }
+
   test("RLE/bit-packed hybrid: encoder and decoder agree on both run kinds and widths") {
     val rnd = new scala.util.Random(7)
     for (bw <- Seq(1, 2, 3, 5, 8, 12, 17)) {
