@@ -35,8 +35,11 @@ import ParquetFooter.{Reader, Malformed, walkStruct, listHeader, footerReader, W
   *     schema, physical types beyond INT32/INT64 (INT32 decodes
   *     through the same path at width 4, sign-extended), codecs
   *     beyond uncompressed/snappy/zstd (zstd pages decode as single
-  *     frames through [[ZstdSeq.decodeFrame]]), V2 data pages,
-  *     DELTA_* / BYTE_STREAM_SPLIT / legacy BIT_PACKED encodings;
+  *     frames through [[ZstdSeq.decodeFrame]]),
+  *     DELTA_* / BYTE_STREAM_SPLIT / legacy BIT_PACKED encodings.
+  *     V2 data pages DECODE (levels uncompressed up front, the
+  *     values region compressed alone, the num_nulls claim verified
+  *     against the decoded levels);
   *   - `ok = 0` (malformed): structural violations — header walk
   *     faults, page spans outside the chunk, snappy mismatch against
   *     the declared uncompressed size, duplicate or missing
@@ -282,6 +285,8 @@ object ParquetPages {
         var pType = -1L; var uncomp = -1L; var comp = -1L
         var dNum = -1L; var dEnc = -1L; var dDefEnc = -1L
         var dictNum = -1L; var dictEnc = -1L
+        var v2Num = -1L; var v2Nulls = -1L; var v2Enc = -1L
+        var v2DefLen = -1L; var v2RepLen = -1L; var v2Compressed = true
         walkStruct(r, 0) { (id, tpe) =>
           (id, tpe) match {
             case (1, 5) => pType = r.zigzag(); true
@@ -302,6 +307,20 @@ object ParquetPages {
                 (fid, ftpe) match {
                   case (1, 5) => dictNum = r.zigzag(); true
                   case (2, 5) => dictEnc = r.zigzag(); true
+                  case _ => false
+                }
+              }
+              true
+            case (8, 12) => // DataPageHeaderV2
+              walkStruct(r, 1) { (fid, ftpe) =>
+                (fid, ftpe) match {
+                  case (1, 5) => v2Num = r.zigzag(); true
+                  case (2, 5) => v2Nulls = r.zigzag(); true
+                  case (4, 5) => v2Enc = r.zigzag(); true
+                  case (5, 5) => v2DefLen = r.zigzag(); true
+                  case (6, 5) => v2RepLen = r.zigzag(); true
+                  case (7, 1) => v2Compressed = true; true  // bool in nibble
+                  case (7, 2) => v2Compressed = false; true
                   case _ => false
                 }
               }
@@ -335,6 +354,39 @@ object ParquetPages {
           var v = 0L; var j = w - 1
           while (j >= 0) { v = (v << 8) | (buf(off + j) & 0xffL); j -= 1 }
           if (w == 4) v.toInt.toLong else v
+        }
+        // value-section decode shared by V1 and V2 pages; null = a
+        // declined (gated) encoding
+        def decodeVals(buf: Array[Byte], q0: Int, enc: Long,
+            nNonNull: Int): Array[Long] = enc match {
+          case 0L => // PLAIN
+            if (nNonNull.toLong * w > buf.length - q0) throw Malformed
+            Array.tabulate(nNonNull)(i => readLe(buf, q0 + i * w))
+          case 2L | 8L => // PLAIN_DICTIONARY / RLE_DICTIONARY
+            if (dict == null) throw Malformed
+            if (q0 >= buf.length) throw Malformed
+            val bw = buf(q0) & 0xff
+            if (bw > 32) throw Malformed
+            val (idxs, _) = rleHybrid(buf, q0 + 1, buf.length, bw, nNonNull)
+            idxs.map { i =>
+              if (i < 0 || i >= dict.length) throw Malformed
+              dict(i)
+            }
+          case _ => null // DELTA_* / BYTE_STREAM_SPLIT: declined
+        }
+        def accumulate(vals: Array[Long], total: Long, nNonNull: Int): Unit = {
+          var i = 0
+          while (i < vals.length) {
+            val v = vals(i)
+            sum += v
+            if (v < minV) minV = v
+            if (v > maxV) maxV = v
+            i += 1
+          }
+          if (keep != null) keep ++= vals
+          nVals += nNonNull
+          nNulls += total - nNonNull
+          consumed += total
         }
         pType match {
           case 2L => // dictionary page
@@ -370,40 +422,52 @@ object ParquetPages {
               }
             }
             if (!gated) {
-              val vals: Array[Long] = dEnc match {
-                case 0L => // PLAIN
-                  if (nNonNull.toLong * w > buf.length - q) throw Malformed
-                  Array.tabulate(nNonNull)(i => readLe(buf, q + i * w))
-                case 2L | 8L => // PLAIN_DICTIONARY / RLE_DICTIONARY
-                  if (dict == null) throw Malformed
-                  if (q >= buf.length) throw Malformed
-                  val bw = buf(q) & 0xff
-                  q += 1
-                  if (bw > 32) throw Malformed
-                  val (idxs, _) = rleHybrid(buf, q, buf.length, bw, nNonNull)
-                  idxs.map { i =>
-                    if (i < 0 || i >= dict.length) throw Malformed
-                    dict(i)
-                  }
-                case _ => null // DELTA_* / BYTE_STREAM_SPLIT: declined
-              }
+              val vals = decodeVals(buf, q, dEnc, nNonNull)
               if (vals == null) gated = true
-              else {
-                var i = 0
-                while (i < vals.length) {
-                  val v = vals(i)
-                  sum += v
-                  if (v < minV) minV = v
-                  if (v > maxV) maxV = v
-                  i += 1
-                }
-                if (keep != null) keep ++= vals
-                nVals += nNonNull
-                nNulls += dNum - nNonNull
-                consumed += dNum
-              }
+              else accumulate(vals, dNum, nNonNull)
             }
-          case 3L => gated = true // V2 data pages: a declined class
+          case 3L => // data page V2: levels UNcompressed up front,
+            // values (possibly compressed alone) after them
+            if (v2Num < 0 || v2Enc < 0 || v2DefLen < 0 || v2RepLen < 0 ||
+              v2Nulls < 0) throw Malformed
+            nPages += 1
+            if (v2RepLen != 0) throw Malformed // flat column: no rep levels
+            val lvlLen = v2RepLen + v2DefLen
+            if (lvlLen > comp || lvlLen > uncomp) throw Malformed
+            val nNonNull = (v2Num - v2Nulls).toInt
+            if (nNonNull < 0) throw Malformed
+            if (cm.maxDef == 1 && v2DefLen > 0) {
+              // the header CLAIMS num_nulls; the levels are decoded and
+              // must agree — a lying header is malformed, never trusted
+              val (defs, _) = rleHybrid(bytes, payloadOff + v2RepLen.toInt,
+                payloadOff + lvlLen.toInt, 1, v2Num.toInt)
+              if (defs.count(_ == 1) != nNonNull) throw Malformed
+            } else if (v2Nulls > 0 && v2DefLen == 0) throw Malformed
+            val vStart = payloadOff + lvlLen.toInt
+            val rawVals: Array[Byte] =
+              if (v2Compressed && cm.codec != CodecUncompressed) {
+                val want = (uncomp - lvlLen).toInt
+                if (want < 0) throw Malformed
+                cm.codec match {
+                  case CodecSnappy =>
+                    val m = SnappyRaw.decode(bytes, vStart, payloadEnd,
+                      maxOut = want)
+                    if (m.ok != 1 || m.decoded != want.toLong) throw Malformed
+                    m.out
+                  case _ =>
+                    ZstdSeq.decodeFrame(
+                        java.util.Arrays.copyOfRange(bytes, vStart, payloadEnd),
+                        maxOut = want)
+                      .filter(_.length == want)
+                      .getOrElse(throw Malformed)
+                }
+              } else {
+                if (comp != uncomp) throw Malformed
+                java.util.Arrays.copyOfRange(bytes, vStart, payloadEnd)
+              }
+            val vals = decodeVals(rawVals, 0, v2Enc, nNonNull)
+            if (vals == null) gated = true
+            else accumulate(vals, v2Num, nNonNull)
           case _ => throw Malformed
         }
         pos = payloadEnd
@@ -561,7 +625,8 @@ object ParquetPages {
     * final file for the malformed class.
     */
   def encodeInt64File(rowGroups: Seq[Seq[Seq[Option[Long]]]],
-      useDict: Boolean, codec: Int, truncate: Int = 0): Array[Byte] = {
+      useDict: Boolean, codec: Int, truncate: Int = 0,
+      pageV2: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write("PAR1".getBytes("US-ASCII"))
     def compress(raw: Array[Byte]): Array[Byte] =
@@ -594,35 +659,59 @@ object ParquetPages {
       }
       val dataOff = out.size().toLong
       pages.foreach { page =>
-        val body = new java.io.ByteArrayOutputStream()
-        // def levels: u32le length + width-1 hybrid
-        val defs = encodeRleHybrid(page.map(v => if (v.isDefined) 1 else 0), 1)
-        body.write(defs.length & 0xff); body.write((defs.length >> 8) & 0xff)
-        body.write((defs.length >> 16) & 0xff); body.write((defs.length >> 24) & 0xff)
-        body.write(defs)
         val nonNull = page.flatten
+        val valsBody = new java.io.ByteArrayOutputStream()
         if (useDict) {
           val bw = math.max(1,
             32 - Integer.numberOfLeadingZeros(math.max(1, dict.length - 1)))
-          body.write(bw)
-          body.write(encodeRleHybrid(nonNull.map(dict.indexOf(_)), bw))
+          valsBody.write(bw)
+          valsBody.write(encodeRleHybrid(nonNull.map(dict.indexOf(_)), bw))
         } else nonNull.foreach { v =>
-          (0 until 8).foreach(j => body.write(((v >> (8 * j)) & 0xff).toInt))
+          (0 until 8).foreach(j => valsBody.write(((v >> (8 * j)) & 0xff).toInt))
         }
-        val raw = body.toByteArray
-        val comp = compress(raw)
-        val w = new Writer
-        w.field(0, 1, 5).zigzag(0L)                // type: DATA_PAGE
-        w.field(1, 2, 5).zigzag(raw.length.toLong)
-        w.field(2, 3, 5).zigzag(comp.length.toLong)
-        w.field(3, 5, 12)                          // DataPageHeader
-        w.field(0, 1, 5).zigzag(page.size.toLong)
-        w.field(1, 2, 5).zigzag(if (useDict) EncRleDict.toLong else EncPlain.toLong)
-        w.field(2, 3, 5).zigzag(EncRle.toLong)     // def-level encoding
-        w.field(3, 4, 5).zigzag(EncRle.toLong)     // rep-level encoding
-        w.stop()
-        w.stop()
-        out.write(w.bytes); out.write(comp)
+        val defs = encodeRleHybrid(page.map(v => if (v.isDefined) 1 else 0), 1)
+        val enc = if (useDict) EncRleDict.toLong else EncPlain.toLong
+        if (pageV2) {
+          // V2: levels UNcompressed up front, values compressed alone
+          val valsRaw = valsBody.toByteArray
+          val valsComp = compress(valsRaw)
+          val w = new Writer
+          w.field(0, 1, 5).zigzag(3L)              // type: DATA_PAGE_V2
+          w.field(1, 2, 5).zigzag(defs.length.toLong + valsRaw.length)
+          w.field(2, 3, 5).zigzag(defs.length.toLong + valsComp.length)
+          w.field(3, 8, 12)                        // DataPageHeaderV2
+          w.field(0, 1, 5).zigzag(page.size.toLong)
+          w.field(1, 2, 5).zigzag(page.count(_.isEmpty).toLong)
+          w.field(2, 3, 5).zigzag(page.size.toLong) // num_rows (flat)
+          w.field(3, 4, 5).zigzag(enc)
+          w.field(4, 5, 5).zigzag(defs.length.toLong)
+          w.field(5, 6, 5).zigzag(0L)              // rep levels: none
+          w.field(6, 7, 1)                         // is_compressed = true
+          w.stop()
+          w.stop()
+          out.write(w.bytes); out.write(defs); out.write(valsComp)
+        } else {
+          val body = new java.io.ByteArrayOutputStream()
+          // def levels: u32le length + width-1 hybrid
+          body.write(defs.length & 0xff); body.write((defs.length >> 8) & 0xff)
+          body.write((defs.length >> 16) & 0xff); body.write((defs.length >> 24) & 0xff)
+          body.write(defs)
+          body.write(valsBody.toByteArray)
+          val raw = body.toByteArray
+          val comp = compress(raw)
+          val w = new Writer
+          w.field(0, 1, 5).zigzag(0L)                // type: DATA_PAGE
+          w.field(1, 2, 5).zigzag(raw.length.toLong)
+          w.field(2, 3, 5).zigzag(comp.length.toLong)
+          w.field(3, 5, 12)                          // DataPageHeader
+          w.field(0, 1, 5).zigzag(page.size.toLong)
+          w.field(1, 2, 5).zigzag(enc)
+          w.field(2, 3, 5).zigzag(EncRle.toLong)     // def-level encoding
+          w.field(3, 4, 5).zigzag(EncRle.toLong)     // rep-level encoding
+          w.stop()
+          w.stop()
+          out.write(w.bytes); out.write(comp)
+        }
       }
       (allVals.size.toLong, dataOff, dictOff, out.size().toLong - chunkStart)
     }

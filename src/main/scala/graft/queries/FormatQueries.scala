@@ -1351,8 +1351,12 @@ object FormatQueries {
             else if (k % 13 == 0)
               ParquetPages.encodeInt64File(pagesOf, useDict = false, codec = 2)
             else
+              // every 19th doc writes DATA PAGE V2 (levels up front,
+              // values compressed alone) — same logical content, so
+              // the closed-form oracle is invariant across the page
+              // format, which is itself the pinned property
               ParquetPages.encodeInt64File(pagesOf, useDict = k % 2 == 0,
-                codec = if (k % 5 == 0) 1 else 0)
+                codec = if (k % 5 == 0) 1 else 0, pageV2 = k % 19 == 0)
           (id, bytes)
         }).toDF("doc_id", "payload")
       ParquetPages.pageDecodeAudit(synth, "doc_id", "payload", colIdx = 0)

@@ -229,6 +229,51 @@ class ParquetPagesSpec extends SparkSpec {
     assert(d.values.toSeq == (0L until n).map(_ - 10000))
   }
 
+  test("data page V2: synthetic round-trip across dict/plain x snappy/raw") {
+    for {
+      useDict <- Seq(true, false)
+      codec <- Seq(0, 1)
+    } {
+      val rg0 = Seq(
+        Seq(Some(5L), None, Some(7L), Some(5L), None, Some(-3L)),
+        (0 until 40).map(i => if (i % 5 == 0) None else Some((i % 9).toLong)))
+      val bytes = ParquetPages.encodeInt64File(Seq(rg0), useDict, codec,
+        pageV2 = true)
+      val d = ParquetPages.decodeInt64File(bytes, 0, keepValues = true)
+      assert(d.ok == 1 && d.gated == 0, s"V2 dict=$useDict codec=$codec: $d")
+      val want = rg0.flatten
+      assert(d.values.toSeq == want.flatten && d.nNulls == want.count(_.isEmpty))
+      assert(d.nPages == 2, d.toString)
+      // a V2 header whose num_nulls LIES against the levels is malformed
+      // (flip a header byte region is imprecise — instead truncate sweep)
+      for (cut <- 1 until bytes.length)
+        assert(ParquetPages.decodeInt64File(bytes.take(cut), 0).ok == 0,
+          s"V2 cut $cut must fail closed")
+    }
+  }
+
+  test("REAL parquet-mr PARQUET_2_0 write: V2 dict pages decode; delta fallback stays gated") {
+    import org.apache.spark.sql.functions._
+    val n = 20000L
+    // low cardinality + nulls → V2 RLE_DICTIONARY pages
+    val df = spark.range(0L, n)
+      .select(when(col("id") % 7 === 0, lit(null)).otherwise(col("id") % 331)
+        .cast("long").as("v"))
+    val bytes = sparkWrite(df, Map("parquet.writer.version" -> "PARQUET_2_0"))
+    val d = ParquetPages.decodeInt64File(bytes, 0, keepValues = true)
+    assert(d.ok == 1 && d.gated == 0, d.toString)
+    val rows = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(d.values.toSeq == rows.flatten.toSeq,
+      "real V2 pages must decode to the engine's own rows")
+    // all-distinct → the V2 writer falls back to DELTA_BINARY_PACKED:
+    // an honestly DECLINED encoding, never wrong numbers
+    val bytes2 = sparkWrite(spark.range(0L, n).select(col("id").as("v")),
+      Map("parquet.writer.version" -> "PARQUET_2_0"))
+    val d2 = ParquetPages.decodeInt64File(bytes2, 0)
+    assert(d2.ok == 0 && d2.gated == 1,
+      s"delta-encoded V2 must gate, not guess: $d2")
+  }
+
   test("RLE/bit-packed hybrid: encoder and decoder agree on both run kinds and widths") {
     val rnd = new scala.util.Random(7)
     for (bw <- Seq(1, 2, 3, 5, 8, 12, 17)) {
