@@ -36,10 +36,12 @@ import ParquetFooter.{Reader, Malformed, walkStruct, listHeader, footerReader, W
   *     through the same path at width 4, sign-extended), codecs
   *     beyond uncompressed/snappy/zstd (zstd pages decode as single
   *     frames through [[ZstdSeq.decodeFrame]]),
-  *     DELTA_* / BYTE_STREAM_SPLIT / legacy BIT_PACKED encodings.
-  *     V2 data pages DECODE (levels uncompressed up front, the
-  *     values region compressed alone, the num_nulls claim verified
-  *     against the decoded levels);
+  *     DELTA_LENGTH/DELTA_BYTE_ARRAY / BYTE_STREAM_SPLIT / legacy
+  *     BIT_PACKED encodings. V2 data pages DECODE (levels
+  *     uncompressed up front, the values region compressed alone,
+  *     the num_nulls claim verified against the decoded levels), and
+  *     so does DELTA_BINARY_PACKED — the V2 writer's integer
+  *     fallback;
   *   - `ok = 0` (malformed): structural violations — header walk
   *     faults, page spans outside the chunk, snappy mismatch against
   *     the declared uncompressed size, duplicate or missing
@@ -236,6 +238,115 @@ object ParquetPages {
     (out, r.pos)
   }
 
+  /** DELTA_BINARY_PACKED decode (parquet encodings spec): header =
+    * `block size · miniblocks/block · total count · first value
+    * (zigzag)`, then blocks of `min-delta (zigzag) · one bit-width
+    * byte per miniblock · packed deltas` — each miniblock
+    * `blockSize/miniblocks` values LSB-first at its width, present
+    * only while values remain. value[i] = value[i-1] + minDelta +
+    * packed[i]; 32-bit columns wrap mod 2³² (the writer's int
+    * arithmetic). Throws Malformed on any structural violation.
+    */
+  private[operators] def deltaBinaryPacked(buf: Array[Byte], off: Int,
+      n: Int, width: Int): Array[Long] = {
+    val r = new Reader(buf, off, buf.length)
+    def varint(): Long = r.varint()
+    def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1) }
+    val blockSize = varint()
+    val miniPerBlock = varint()
+    val total = varint()
+    if (blockSize <= 0 || blockSize % 128 != 0 || miniPerBlock <= 0 ||
+      blockSize > MaxPageBytes || miniPerBlock > blockSize ||
+      blockSize % miniPerBlock != 0) throw Malformed
+    val perMini = (blockSize / miniPerBlock).toInt
+    if (perMini % 8 != 0) throw Malformed
+    if (total != n.toLong) throw Malformed // V2 header already claims n
+    if (n == 0) return Array.emptyLongArray
+    val out = new Array[Long](n)
+    def clamp(v: Long): Long = if (width == 4) v.toInt.toLong else v
+    out(0) = clamp(zigzag())
+    var produced = 1
+    var prev = out(0)
+    while (produced < n) {
+      val minDelta = zigzag()
+      val widths = Array.fill(miniPerBlock.toInt)(r.u8())
+      if (widths.exists(w0 => w0 > 64)) throw Malformed
+      var m = 0
+      while (m < widths.length && produced < n) {
+        val bw = widths(m)
+        val nBytes = perMini * bw / 8
+        if (nBytes > r.end - r.pos) throw Malformed
+        val base = r.pos
+        val take = math.min(perMini, n - produced)
+        var i = 0
+        while (i < take) {
+          var v = 0L
+          var bit = 0
+          val start = i.toLong * bw
+          while (bit < bw) {
+            val p = start + bit
+            if (((buf(base + (p >>> 3).toInt) >> (p & 7).toInt) & 1) != 0)
+              v |= 1L << bit
+            bit += 1
+          }
+          prev = clamp(prev + minDelta + v)
+          out(produced + i) = prev
+          i += 1
+        }
+        produced += take
+        r.pos += nBytes
+        m += 1
+      }
+    }
+    out
+  }
+
+  /** The mirror encoder (fixtures + the q415 oracle class): blockSize
+    * 128, 4 miniblocks of 32 — parquet-mr's defaults.
+    */
+  def encodeDeltaBinaryPacked(values: Seq[Long], width: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def zigzag(v: Long): Unit = varint((v << 1) ^ (v >> 63))
+    varint(128L); varint(4L); varint(values.size.toLong)
+    if (values.isEmpty) { varint(0L); return out.toByteArray }
+    zigzag(values.head)
+    var prev = values.head
+    values.drop(1).grouped(128).foreach { block =>
+      val deltas = block.map { v => val d = v - prev; prev = v; d }
+      val minD = deltas.min
+      zigzag(minD)
+      val rel = deltas.map(_ - minD)
+      val minis = rel.grouped(32).toSeq.padTo(4, Seq.empty[Long])
+      val widths = minis.map(g =>
+        if (g.isEmpty || g.forall(_ == 0L)) 0
+        else 64 - java.lang.Long.numberOfLeadingZeros(g.max))
+      widths.foreach(out.write)
+      minis.zip(widths).foreach { case (g, bw) =>
+        if (g.nonEmpty && bw > 0) {
+          val padded = g.padTo(32, 0L)
+          val bytes = new Array[Byte](32 * bw / 8)
+          padded.zipWithIndex.foreach { case (v, i) =>
+            var bit = 0
+            while (bit < bw) {
+              if (((v >> bit) & 1L) != 0) {
+                val p = i * bw + bit
+                bytes(p >>> 3) = (bytes(p >>> 3) | (1 << (p & 7))).toByte
+              }
+              bit += 1
+            }
+          }
+          out.write(bytes)
+        }
+      }
+    }
+    out.toByteArray
+  }
+
   /** Decode outcome for one column chunk (or a whole single-column
     * file when summed). `values` holds the NON-NULL longs in row
     * order — null unless `ok = 1` AND the decode was asked to keep
@@ -372,7 +483,9 @@ object ParquetPages {
               if (i < 0 || i >= dict.length) throw Malformed
               dict(i)
             }
-          case _ => null // DELTA_* / BYTE_STREAM_SPLIT: declined
+          case 5L => // DELTA_BINARY_PACKED (the V2 writer's int fallback)
+            deltaBinaryPacked(buf, q0, nNonNull, w)
+          case _ => null // DELTA_LENGTH/BYTE_ARRAY, BYTE_STREAM_SPLIT: declined
         }
         def accumulate(vals: Array[Long], total: Long, nNonNull: Int): Unit = {
           var i = 0

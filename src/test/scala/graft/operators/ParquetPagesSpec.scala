@@ -252,7 +252,7 @@ class ParquetPagesSpec extends SparkSpec {
     }
   }
 
-  test("REAL parquet-mr PARQUET_2_0 write: V2 dict pages decode; delta fallback stays gated") {
+  test("REAL parquet-mr PARQUET_2_0 write: V2 dict pages AND the delta fallback decode") {
     import org.apache.spark.sql.functions._
     val n = 20000L
     // low cardinality + nulls → V2 RLE_DICTIONARY pages
@@ -265,13 +265,31 @@ class ParquetPagesSpec extends SparkSpec {
     val rows = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(d.values.toSeq == rows.flatten.toSeq,
       "real V2 pages must decode to the engine's own rows")
-    // all-distinct → the V2 writer falls back to DELTA_BINARY_PACKED:
-    // an honestly DECLINED encoding, never wrong numbers
+    // all-distinct → the V2 writer falls back to DELTA_BINARY_PACKED,
+    // which the decoder now reads block-for-block
     val bytes2 = sparkWrite(spark.range(0L, n).select(col("id").as("v")),
       Map("parquet.writer.version" -> "PARQUET_2_0"))
-    val d2 = ParquetPages.decodeInt64File(bytes2, 0)
-    assert(d2.ok == 0 && d2.gated == 1,
-      s"delta-encoded V2 must gate, not guess: $d2")
+    val d2 = ParquetPages.decodeInt64File(bytes2, 0, keepValues = true)
+    assert(d2.ok == 1 && d2.gated == 0, s"real DELTA_BINARY_PACKED: $d2")
+    assert(d2.values.toSeq == (0L until n), "delta values must be exact")
+  }
+
+  test("DELTA_BINARY_PACKED: encoder/decoder round-trip incl. negatives, wraps, widths") {
+    val rnd = new scala.util.Random(11)
+    for (w <- Seq(4, 8)) {
+      val seqs = Seq(
+        (0L until 1000L),                             // +1 runs
+        (0 until 700).map(i => (i * i).toLong - 5000), // growing deltas
+        (0 until 300).map(_ => rnd.nextLong() >> 30),  // mixed sign
+        Seq(42L),                                      // single value
+        (0 until 129).map(i => -i.toLong))             // one block + 1
+      for (vs0 <- seqs) {
+        val vs = if (w == 4) vs0.map(v => v.toInt.toLong) else vs0
+        val enc = ParquetPages.encodeDeltaBinaryPacked(vs, w)
+        val dec = ParquetPages.deltaBinaryPacked(enc, 0, vs.size, w)
+        assert(dec.toSeq == vs, s"w=$w n=${vs.size}")
+      }
+    }
   }
 
   test("RLE/bit-packed hybrid: encoder and decoder agree on both run kinds and widths") {
