@@ -248,7 +248,7 @@ object ParquetPages {
     * arithmetic). Throws Malformed on any structural violation.
     */
   private[operators] def deltaBinaryPacked(buf: Array[Byte], off: Int,
-      n: Int, width: Int): Array[Long] = {
+      n: Int, width: Int): (Array[Long], Int) = {
     val r = new Reader(buf, off, buf.length)
     def varint(): Long = r.varint()
     def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1) }
@@ -260,11 +260,12 @@ object ParquetPages {
       blockSize % miniPerBlock != 0) throw Malformed
     val perMini = (blockSize / miniPerBlock).toInt
     if (perMini % 8 != 0) throw Malformed
-    if (total != n.toLong) throw Malformed // V2 header already claims n
-    if (n == 0) return Array.emptyLongArray
+    if (total != n.toLong) throw Malformed // the page header already claims n
+    val first = zigzag() // written unconditionally, even for 0 values
+    if (n == 0) return (Array.emptyLongArray, r.pos)
     val out = new Array[Long](n)
     def clamp(v: Long): Long = if (width == 4) v.toInt.toLong else v
-    out(0) = clamp(zigzag())
+    out(0) = clamp(first)
     var produced = 1
     var prev = out(0)
     while (produced < n) {
@@ -298,7 +299,7 @@ object ParquetPages {
         m += 1
       }
     }
-    out
+    (out, r.pos)
   }
 
   /** The mirror encoder (fixtures + the q415 oracle class): blockSize
@@ -484,7 +485,7 @@ object ParquetPages {
               dict(i)
             }
           case 5L => // DELTA_BINARY_PACKED (the V2 writer's int fallback)
-            deltaBinaryPacked(buf, q0, nNonNull, w)
+            deltaBinaryPacked(buf, q0, nNonNull, w)._1
           case _ => null // DELTA_LENGTH/BYTE_ARRAY, BYTE_STREAM_SPLIT: declined
         }
         def accumulate(vals: Array[Long], total: Long, nNonNull: Int): Unit = {
@@ -650,6 +651,465 @@ object ParquetPages {
       }
       .toDF(idCol, "ok", "gated", "n_rgs", "n_pages", "n_dict_vals",
         "n_values", "n_nulls", "min_v", "max_v", "sum_v")
+  }
+
+  // ------------------------------------------------------------------
+  // BYTE_ARRAY (string/binary) columns — the other physical type the
+  // testdata actually carries. Same page walk; values are
+  // `u32le length · bytes` (PLAIN and dictionary pages), plus the V2
+  // writers' string encodings: DELTA_LENGTH_BYTE_ARRAY (delta-packed
+  // lengths · concatenated bytes) and DELTA_BYTE_ARRAY (delta-packed
+  // PREFIX lengths · DELTA_LENGTH-coded suffixes; value = previous
+  // value's prefix + suffix — front coding), both riding
+  // [[deltaBinaryPacked]].
+
+  private val TByteArray = 6
+
+  final case class BinChunkDecode(ok: Int, gated: Int, nPages: Int,
+      nDictVals: Long, nValues: Long, nNulls: Long,
+      sumLen: Long, minLen: Long, maxLen: Long, values: Array[Array[Byte]])
+
+  private val BinGated = BinChunkDecode(0, 1, 0, 0L, 0L, 0L, 0L, 0L, 0L, null)
+  private val BinBad = BinChunkDecode(0, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, null)
+
+  /** Decode one BYTE_ARRAY column chunk. Mirrors [[decodeInt64Chunk]]
+    * (same gated-vs-malformed split, same page walk); see the section
+    * comment for the value encodings covered.
+    */
+  def decodeBinaryChunk(bytes: Array[Byte], cm: ChunkMeta,
+      keepValues: Boolean = false): BinChunkDecode = {
+    if (!cm.flat || cm.physType != TByteArray) return BinGated
+    if (cm.codec != CodecUncompressed && cm.codec != CodecSnappy &&
+      cm.codec != CodecZstd) return BinGated
+    val start =
+      if (cm.dictOff >= 0 && cm.dictOff < cm.dataOff) cm.dictOff else cm.dataOff
+    if (start < 0 || cm.totalCompressed <= 0 ||
+        start > bytes.length.toLong - cm.totalCompressed) return BinBad
+    val chunkEnd = (start + cm.totalCompressed).toInt
+    try {
+      var dict: Array[Array[Byte]] = null
+      var nPages = 0
+      var consumed = 0L
+      var nNulls = 0L
+      var nVals = 0L
+      var minLen = Long.MaxValue
+      var maxLen = Long.MinValue
+      var sumLen = 0L
+      val keep = if (keepValues) Array.newBuilder[Array[Byte]] else null
+      var gated = false
+      var pos = start.toInt
+      // `u32le length · bytes` × n, exact span consumption
+      def readPlainValues(buf: Array[Byte], off: Int, n: Int): Array[Array[Byte]] = {
+        val out = new Array[Array[Byte]](n)
+        var q = off
+        var i = 0
+        while (i < n) {
+          if (4 > buf.length - q) throw Malformed
+          val len = (buf(q) & 0xffL) | ((buf(q + 1) & 0xffL) << 8) |
+            ((buf(q + 2) & 0xffL) << 16) | ((buf(q + 3) & 0xffL) << 24)
+          q += 4
+          if (len > buf.length - q) throw Malformed
+          out(i) = java.util.Arrays.copyOfRange(buf, q, q + len.toInt)
+          q += len.toInt
+          i += 1
+        }
+        out
+      }
+      def deltaLengthValues(buf: Array[Byte], off: Int, n: Int): Array[Array[Byte]] = {
+        val (lens, dataStart) = deltaBinaryPacked(buf, off, n, 4)
+        var q = dataStart
+        Array.tabulate(n) { i =>
+          val len = lens(i)
+          if (len < 0 || len > buf.length - q) throw Malformed
+          val v = java.util.Arrays.copyOfRange(buf, q, q + len.toInt)
+          q += len.toInt
+          v
+        }
+      }
+      def deltaByteArrayValues(buf: Array[Byte], off: Int, n: Int): Array[Array[Byte]] = {
+        val (prefixes, sufStart) = deltaBinaryPacked(buf, off, n, 4)
+        val suffixes = deltaLengthValues(buf, sufStart, n)
+        val out = new Array[Array[Byte]](n)
+        var i = 0
+        while (i < n) {
+          val p = prefixes(i)
+          if (p < 0 || (i == 0 && p != 0) ||
+            (i > 0 && p > out(i - 1).length)) throw Malformed
+          val v = new Array[Byte](p.toInt + suffixes(i).length)
+          if (i > 0) System.arraycopy(out(i - 1), 0, v, 0, p.toInt)
+          System.arraycopy(suffixes(i), 0, v, p.toInt, suffixes(i).length)
+          out(i) = v
+          i += 1
+        }
+        out
+      }
+      def decodeVals(buf: Array[Byte], q0: Int, enc: Long,
+          nNonNull: Int): Array[Array[Byte]] = enc match {
+        case 0L => readPlainValues(buf, q0, nNonNull)
+        case 2L | 8L =>
+          if (dict == null) throw Malformed
+          if (q0 >= buf.length && nNonNull > 0) throw Malformed
+          if (nNonNull == 0) Array.empty
+          else {
+            val bw = buf(q0) & 0xff
+            if (bw > 32) throw Malformed
+            val (idxs, _) = rleHybrid(buf, q0 + 1, buf.length, bw, nNonNull)
+            idxs.map { i =>
+              if (i < 0 || i >= dict.length) throw Malformed
+              dict(i)
+            }
+          }
+        case 6L => deltaLengthValues(buf, q0, nNonNull)
+        case 7L => deltaByteArrayValues(buf, q0, nNonNull)
+        case _ => null // BYTE_STREAM_SPLIT etc: declined
+      }
+      def accumulate(vals: Array[Array[Byte]], total: Long): Unit = {
+        var i = 0
+        while (i < vals.length) {
+          val len = vals(i).length.toLong
+          sumLen += len
+          if (len < minLen) minLen = len
+          if (len > maxLen) maxLen = len
+          i += 1
+        }
+        if (keep != null) keep ++= vals
+        nVals += vals.length
+        nNulls += total - vals.length
+        consumed += total
+      }
+      while (consumed < cm.numValues && !gated) {
+        if (nPages + (if (dict == null) 0 else 1) >= MaxPages) throw Malformed
+        val r = new Reader(bytes, pos, chunkEnd)
+        var pType = -1L; var uncomp = -1L; var comp = -1L
+        var dNum = -1L; var dEnc = -1L; var dDefEnc = -1L
+        var dictNum = -1L; var dictEnc = -1L
+        var v2Num = -1L; var v2Nulls = -1L; var v2Enc = -1L
+        var v2DefLen = -1L; var v2RepLen = -1L; var v2Compressed = true
+        walkStruct(r, 0) { (id, tpe) =>
+          (id, tpe) match {
+            case (1, 5) => pType = r.zigzag(); true
+            case (2, 5) => uncomp = r.zigzag(); true
+            case (3, 5) => comp = r.zigzag(); true
+            case (5, 12) =>
+              walkStruct(r, 1) { (fid, ftpe) =>
+                (fid, ftpe) match {
+                  case (1, 5) => dNum = r.zigzag(); true
+                  case (2, 5) => dEnc = r.zigzag(); true
+                  case (3, 5) => dDefEnc = r.zigzag(); true
+                  case _ => false
+                }
+              }
+              true
+            case (7, 12) =>
+              walkStruct(r, 1) { (fid, ftpe) =>
+                (fid, ftpe) match {
+                  case (1, 5) => dictNum = r.zigzag(); true
+                  case (2, 5) => dictEnc = r.zigzag(); true
+                  case _ => false
+                }
+              }
+              true
+            case (8, 12) =>
+              walkStruct(r, 1) { (fid, ftpe) =>
+                (fid, ftpe) match {
+                  case (1, 5) => v2Num = r.zigzag(); true
+                  case (2, 5) => v2Nulls = r.zigzag(); true
+                  case (4, 5) => v2Enc = r.zigzag(); true
+                  case (5, 5) => v2DefLen = r.zigzag(); true
+                  case (6, 5) => v2RepLen = r.zigzag(); true
+                  case (7, 1) => v2Compressed = true; true
+                  case (7, 2) => v2Compressed = false; true
+                  case _ => false
+                }
+              }
+              true
+            case _ => false
+          }
+        }
+        if (pType < 0 || uncomp < 0 || comp < 0 ||
+            uncomp > MaxPageBytes || comp > chunkEnd - r.pos) throw Malformed
+        val payloadOff = r.pos
+        val payloadEnd = r.pos + comp.toInt
+        def payload(): Array[Byte] = cm.codec match {
+          case CodecUncompressed =>
+            if (comp != uncomp) throw Malformed
+            java.util.Arrays.copyOfRange(bytes, payloadOff, payloadEnd)
+          case CodecSnappy =>
+            val m = SnappyRaw.decode(bytes, payloadOff, payloadEnd,
+              maxOut = uncomp.toInt)
+            if (m.ok != 1 || m.decoded != uncomp) throw Malformed
+            m.out
+          case CodecZstd =>
+            ZstdSeq.decodeFrame(
+                java.util.Arrays.copyOfRange(bytes, payloadOff, payloadEnd),
+                maxOut = uncomp.toInt)
+              .filter(_.length.toLong == uncomp)
+              .getOrElse(throw Malformed)
+        }
+        pType match {
+          case 2L => // dictionary page: PLAIN byte arrays
+            if (dict != null || dictNum < 0) throw Malformed
+            if (dictEnc != EncPlain && dictEnc != EncPlainDict) throw Malformed
+            val buf = payload()
+            dict = readPlainValues(buf, 0, dictNum.toInt)
+          case 0L => // data page V1
+            if (dNum < 0 || dEnc < 0) throw Malformed
+            nPages += 1
+            val buf = payload()
+            var q = 0
+            var nNonNull = dNum.toInt
+            if (cm.maxDef == 1) {
+              if (dDefEnc != EncRle) { gated = true }
+              else {
+                if (4 > buf.length - q) throw Malformed
+                val len = (buf(q) & 0xffL) | ((buf(q + 1) & 0xffL) << 8) |
+                  ((buf(q + 2) & 0xffL) << 16) | ((buf(q + 3) & 0xffL) << 24)
+                q += 4
+                if (len > buf.length - q) throw Malformed
+                val (defs, _) = rleHybrid(buf, q, q + len.toInt, 1, dNum.toInt)
+                q += len.toInt
+                nNonNull = defs.count(_ == 1)
+              }
+            }
+            if (!gated) {
+              val vals = decodeVals(buf, q, dEnc, nNonNull)
+              if (vals == null) gated = true
+              else accumulate(vals, dNum)
+            }
+          case 3L => // data page V2
+            if (v2Num < 0 || v2Enc < 0 || v2DefLen < 0 || v2RepLen < 0 ||
+              v2Nulls < 0) throw Malformed
+            nPages += 1
+            if (v2RepLen != 0) throw Malformed
+            val lvlLen = v2RepLen + v2DefLen
+            if (lvlLen > comp || lvlLen > uncomp) throw Malformed
+            val nNonNull = (v2Num - v2Nulls).toInt
+            if (nNonNull < 0) throw Malformed
+            if (cm.maxDef == 1 && v2DefLen > 0) {
+              val (defs, _) = rleHybrid(bytes, payloadOff + v2RepLen.toInt,
+                payloadOff + lvlLen.toInt, 1, v2Num.toInt)
+              if (defs.count(_ == 1) != nNonNull) throw Malformed
+            } else if (v2Nulls > 0 && v2DefLen == 0) throw Malformed
+            val vStart = payloadOff + lvlLen.toInt
+            val rawVals: Array[Byte] =
+              if (v2Compressed && cm.codec != CodecUncompressed) {
+                val want = (uncomp - lvlLen).toInt
+                if (want < 0) throw Malformed
+                cm.codec match {
+                  case CodecSnappy =>
+                    val m = SnappyRaw.decode(bytes, vStart, payloadEnd,
+                      maxOut = want)
+                    if (m.ok != 1 || m.decoded != want.toLong) throw Malformed
+                    m.out
+                  case _ =>
+                    ZstdSeq.decodeFrame(
+                        java.util.Arrays.copyOfRange(bytes, vStart, payloadEnd),
+                        maxOut = want)
+                      .filter(_.length == want)
+                      .getOrElse(throw Malformed)
+                }
+              } else {
+                if (comp != uncomp) throw Malformed
+                java.util.Arrays.copyOfRange(bytes, vStart, payloadEnd)
+              }
+            val vals = decodeVals(rawVals, 0, v2Enc, nNonNull)
+            if (vals == null) gated = true
+            else accumulate(vals, v2Num)
+          case _ => throw Malformed
+        }
+        pos = payloadEnd
+      }
+      if (gated) BinGated
+      else if (consumed != cm.numValues) BinBad
+      else BinChunkDecode(1, 0, nPages,
+        if (dict == null) 0L else dict.length.toLong, nVals, nNulls,
+        sumLen, if (nVals == 0) 0L else minLen, if (nVals == 0) 0L else maxLen,
+        if (keep == null) null else keep.result())
+    } catch {
+      case Malformed => BinBad
+      case _: ArrayIndexOutOfBoundsException => BinBad
+      case _: NegativeArraySizeException => BinBad
+    }
+  }
+
+  final case class BinFileDecode(ok: Int, gated: Int, nRgs: Int, nPages: Int,
+      nDictVals: Long, nValues: Long, nNulls: Long,
+      sumLen: Long, minLen: Long, maxLen: Long, values: Array[Array[Byte]])
+
+  def decodeBinaryFile(bytes: Array[Byte], colIdx: Int,
+      keepValues: Boolean = false): BinFileDecode = {
+    val cms = chunkMetas(bytes, colIdx)
+    if (cms.isEmpty)
+      return BinFileDecode(0, 0, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, null)
+    val decodes = cms.map(decodeBinaryChunk(bytes, _, keepValues))
+    if (decodes.exists(_.gated == 1))
+      BinFileDecode(0, 1, cms.size, 0, 0L, 0L, 0L, 0L, 0L, 0L, null)
+    else if (decodes.exists(_.ok != 1))
+      BinFileDecode(0, 0, cms.size, 0, 0L, 0L, 0L, 0L, 0L, 0L, null)
+    else {
+      val withVals = decodes.filter(_.nValues > 0)
+      BinFileDecode(1, 0, cms.size, decodes.map(_.nPages).sum,
+        decodes.map(_.nDictVals).sum, decodes.map(_.nValues).sum,
+        decodes.map(_.nNulls).sum, decodes.map(_.sumLen).sum,
+        if (withVals.isEmpty) 0L else withVals.map(_.minLen).min,
+        if (withVals.isEmpty) 0L else withVals.map(_.maxLen).max,
+        if (!keepValues) null
+        else decodes.toArray.flatMap(d => Option(d.values).getOrElse(Array.empty)))
+    }
+  }
+
+  /** Census DataFrame over (id, parquet-bytes) for a BYTE_ARRAY
+    * column: structure + length statistics. Map-only, zero shuffles,
+    * aggregates only.
+    */
+  def binaryDecodeAudit(df: DataFrame, idCol: String, payloadCol: String,
+      colIdx: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val d = decodeBinaryFile(bytes, colIdx)
+          (id, d.ok.toLong, d.gated.toLong, d.nRgs.toLong, d.nPages.toLong,
+            d.nDictVals, d.nValues, d.nNulls, d.sumLen, d.minLen, d.maxLen)
+        }
+      }
+      .toDF(idCol, "ok", "gated", "n_rgs", "n_pages", "n_dict_vals",
+        "n_values", "n_nulls", "sum_len", "min_len", "max_len")
+  }
+
+  /** Synthetic single-BYTE_ARRAY-column file for the oracle/specs:
+    * encoding 0 PLAIN / 8 RLE_DICTIONARY / 6 DELTA_LENGTH /
+    * 7 DELTA_BYTE_ARRAY (front coding against sorted values).
+    */
+  def encodeBinaryFile(rowGroups: Seq[Seq[Seq[Option[Array[Byte]]]]],
+      encoding: Int, codec: Int, truncate: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("PAR1".getBytes("US-ASCII"))
+    def compress(raw: Array[Byte]): Array[Byte] =
+      if (codec == CodecSnappy) snappyLiteral(raw) else raw
+    def plainBlob(vs: Seq[Array[Byte]]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      vs.foreach { v =>
+        (0 until 4).foreach(j => b.write((v.length >> (8 * j)) & 0xff))
+        b.write(v)
+      }
+      b.toByteArray
+    }
+    val metas = rowGroups.map { pages =>
+      val chunkStart = out.size().toLong
+      val allVals = pages.flatten
+      val dict: Array[Array[Byte]] =
+        if (encoding != 8) null
+        else allVals.flatten.map(_.toSeq).distinct.map(_.toArray).toArray
+      var dictOff = -1L
+      if (dict != null) {
+        dictOff = out.size().toLong
+        val raw = plainBlob(dict.toSeq)
+        val comp = compress(raw)
+        val w = new Writer
+        w.field(0, 1, 5).zigzag(2L)
+        w.field(1, 2, 5).zigzag(raw.length.toLong)
+        w.field(2, 3, 5).zigzag(comp.length.toLong)
+        w.field(3, 7, 12)
+        w.field(0, 1, 5).zigzag(dict.length.toLong)
+        w.field(1, 2, 5).zigzag(EncPlain.toLong)
+        w.stop(); w.stop()
+        out.write(w.bytes); out.write(comp)
+      }
+      val dataOff = out.size().toLong
+      pages.foreach { page =>
+        val nonNull = page.flatten
+        val body = new java.io.ByteArrayOutputStream()
+        val defs = encodeRleHybrid(page.map(v => if (v.isDefined) 1 else 0), 1)
+        body.write(defs.length & 0xff); body.write((defs.length >> 8) & 0xff)
+        body.write((defs.length >> 16) & 0xff); body.write((defs.length >> 24) & 0xff)
+        body.write(defs)
+        encoding match {
+          case 0 => body.write(plainBlob(nonNull))
+          case 8 =>
+            val bw = math.max(1,
+              32 - Integer.numberOfLeadingZeros(math.max(1, dict.length - 1)))
+            body.write(bw)
+            body.write(encodeRleHybrid(
+              nonNull.map(v => dict.indexWhere(_.sameElements(v))), bw))
+          case 6 =>
+            body.write(encodeDeltaBinaryPacked(
+              nonNull.map(_.length.toLong), 4))
+            nonNull.foreach(body.write)
+          case 7 =>
+            val prefixes = nonNull.zipWithIndex.map { case (v, i) =>
+              if (i == 0) 0
+              else {
+                val p = nonNull(i - 1)
+                var k = 0
+                while (k < math.min(p.length, v.length) && p(k) == v(k)) k += 1
+                k
+              }
+            }
+            body.write(encodeDeltaBinaryPacked(prefixes.map(_.toLong), 4))
+            val sufs = nonNull.zip(prefixes).map { case (v, p) => v.drop(p) }
+            body.write(encodeDeltaBinaryPacked(sufs.map(_.length.toLong), 4))
+            sufs.foreach(body.write)
+          case _ => throw new IllegalArgumentException(s"encoding $encoding")
+        }
+        val raw = body.toByteArray
+        val comp = compress(raw)
+        val w = new Writer
+        w.field(0, 1, 5).zigzag(0L)
+        w.field(1, 2, 5).zigzag(raw.length.toLong)
+        w.field(2, 3, 5).zigzag(comp.length.toLong)
+        w.field(3, 5, 12)
+        w.field(0, 1, 5).zigzag(page.size.toLong)
+        w.field(1, 2, 5).zigzag(encoding.toLong)
+        w.field(2, 3, 5).zigzag(EncRle.toLong)
+        w.field(3, 4, 5).zigzag(EncRle.toLong)
+        w.stop(); w.stop()
+        out.write(w.bytes); out.write(comp)
+      }
+      (allVals.size.toLong, dataOff, dictOff, out.size().toLong - chunkStart)
+    }
+    val w = new Writer
+    w.field(0, 1, 5).zigzag(1L)
+    w.field(1, 2, 9).listHeader(2, 12)
+    w.field(0, 4, 8).str("schema")
+    w.field(4, 5, 5).zigzag(1L)
+    w.stop()
+    w.field(0, 1, 5).zigzag(TByteArray.toLong)
+    w.field(1, 3, 5).zigzag(1L) // OPTIONAL
+    w.field(3, 4, 8).str("s")
+    w.stop()
+    w.field(2, 3, 6).zigzag(metas.map(_._1).sum)
+    w.field(3, 4, 9).listHeader(rowGroups.size, 12)
+    metas.foreach { case (nv, dataOff, dictOff, tot) =>
+      w.field(0, 1, 9).listHeader(1, 12)
+      w.field(0, 2, 6).zigzag(dataOff)
+      w.field(2, 3, 12)
+      w.field(0, 1, 5).zigzag(TByteArray.toLong)
+      w.field(1, 2, 9).listHeader(1, 5); w.zigzag(EncPlain.toLong)
+      w.field(2, 3, 9).listHeader(1, 8); w.str("s")
+      w.field(3, 4, 5).zigzag(codec.toLong)
+      w.field(4, 5, 6).zigzag(nv)
+      w.field(5, 6, 6).zigzag(tot)
+      w.field(6, 7, 6).zigzag(tot)
+      w.field(7, 9, 6).zigzag(dataOff)
+      if (dictOff >= 0) w.field(9, 11, 6).zigzag(dictOff)
+      w.stop(); w.stop()
+      w.field(1, 2, 6).zigzag(tot)
+      w.field(2, 3, 6).zigzag(nv)
+      w.stop()
+    }
+    w.field(4, 6, 8).str("graft-pages")
+    w.stop()
+    val footer = w.bytes
+    out.write(footer)
+    val len = footer.length
+    out.write(Array((len & 0xff).toByte, ((len >> 8) & 0xff).toByte,
+      ((len >> 16) & 0xff).toByte, ((len >> 24) & 0xff).toByte))
+    out.write("PAR1".getBytes("US-ASCII"))
+    val b = out.toByteArray
+    if (truncate > 0) b.take(math.max(0, b.length - truncate)) else b
   }
 
   // ------------------------------------------------------------------

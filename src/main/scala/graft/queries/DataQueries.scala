@@ -4370,5 +4370,6 @@ object DataQueries {
     FormatQueries.q385, FormatQueries.q387, FormatQueries.q388, FormatQueries.q390, LakeQueries.q392, LakeQueries.q393, FormatQueries.q395, FormatQueries.q396, LakeQueries.q397, LakeQueries.q398, LakeQueries.q399, LakeQueries.q400,
     LakeQueries.q401, LakeQueries.q402, FormatQueries.q403, LakeQueries.q404, LakeQueries.q405, LakeQueries.q406, LakeQueries.q407, LakeQueries.q408, LakeQueries.q409, LakeQueries.q410, LakeQueries.q411, LakeQueries.q412,
     FormatQueries.q413, FormatQueries.q414, FormatQueries.q415,
-    LakeQueries.q416, LakeQueries.q417, LakeQueries.q418, FormatQueries.q419)
+    LakeQueries.q416, LakeQueries.q417, LakeQueries.q418, FormatQueries.q419,
+    FormatQueries.q420)
 }

@@ -1493,4 +1493,89 @@ object FormatQueries {
           AS still_picture,
         CAST(CASE WHEN sok = 1 THEN red ELSE 0 END AS BIGINT) AS reduced
       FROM g ORDER BY doc_id"""))
+
+
+  // --------------------------------------------------------------- q420
+
+  /** q420 — parquet BYTE_ARRAY (string) page decode
+    * ([[graft.operators.ParquetPages.binaryDecodeAudit]]): q415's
+    * vertical for the OTHER physical type the corpus actually
+    * carries. Covers all four string encodings a real writer emits —
+    * PLAIN (`u32le length · bytes`), RLE_DICTIONARY, the V2 writers'
+    * DELTA_LENGTH_BYTE_ARRAY (delta-packed lengths · concatenated
+    * bytes) and DELTA_BYTE_ARRAY (front coding: delta-packed prefix
+    * lengths + suffixes) — over raw and snappy chunks, with nulls
+    * through the def-level path. Gated (gzip stamp) and truncated
+    * classes planted as in q415. Pinned against REAL pyarrow
+    * (documents.lang byte-exact) and REAL parquet-mr V1-dict and
+    * PARQUET_2_0 DELTA_BYTE_ARRAY writes in ParquetPagesSpec. Oracle
+    * closed-form over the planted strings. Map-only, zero shuffles.
+    */
+  val q420 = Q("q420_parquet_string_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.ParquetPages
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (id % 50).toInt
+          val n = 30 + k
+          val enc = (k % 4) match {
+            case 0 => 0; case 1 => 8; case 2 => 6; case _ => 7
+          }
+          val vals: Seq[Option[Array[Byte]]] = (0 until n).map { i =>
+            if (i % 9 == 4) None
+            else Some(s"doc-${(id + 3 * i) % 23}".getBytes("UTF-8"))
+          }
+          val pages = if (k % 3 == 0) Seq(vals.take(n / 2), vals.drop(n / 2))
+            else Seq(vals)
+          val bytes =
+            if (k % 17 == 0)
+              ParquetPages.encodeBinaryFile(Seq(pages), 0, 0, truncate = 8)
+            else if (k % 13 == 0)
+              ParquetPages.encodeBinaryFile(Seq(pages), 0, codec = 2)
+            else ParquetPages.encodeBinaryFile(Seq(pages), enc,
+              codec = if (k % 5 == 0) 1 else 0)
+          (id, bytes)
+        }).toDF("doc_id", "payload")
+      ParquetPages.binaryDecodeAudit(synth, "doc_id", "payload", colIdx = 0)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      cls AS (SELECT doc_id, k,
+          CASE WHEN k % 17 = 0 THEN 'trunc'
+               WHEN k % 13 = 0 THEN 'gz' ELSE 'ok' END AS cls,
+          CAST(30 + k AS BIGINT) AS n,
+          CAST(CASE WHEN k % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ppr,
+          CASE WHEN k % 4 = 1 THEN 1 ELSE 0 END AS usedict
+        FROM d),
+      rows_ AS (SELECT doc_id, cls, usedict, unnest(range(n)) AS i FROM cls),
+      vals AS (SELECT doc_id, cls, usedict, i,
+          CASE WHEN i % 9 = 4 THEN NULL
+               ELSE (doc_id + 3 * i) % 23 END AS x
+        FROM rows_),
+      lens AS (SELECT doc_id, cls, usedict, x,
+          CASE WHEN x IS NULL THEN NULL
+               ELSE LENGTH(CONCAT('doc-', CAST(x AS VARCHAR))) END AS len
+        FROM vals),
+      agg AS (SELECT doc_id,
+          COUNT(len) AS nv, COUNT(*) - COUNT(len) AS nn,
+          SUM(len) AS sl, MIN(len) AS mn, MAX(len) AS mx,
+          COUNT(DISTINCT x) AS nd
+        FROM lens GROUP BY doc_id)
+      SELECT c.doc_id,
+        CAST(CASE WHEN cls = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS ok,
+        CAST(CASE WHEN cls = 'gz' THEN 1 ELSE 0 END AS BIGINT) AS gated,
+        CAST(CASE WHEN cls = 'trunc' THEN 0 ELSE 1 END AS BIGINT) AS n_rgs,
+        CAST(CASE WHEN cls = 'ok' THEN ppr ELSE 0 END AS BIGINT) AS n_pages,
+        CAST(CASE WHEN cls = 'ok' AND usedict = 1 THEN agg.nd ELSE 0 END
+          AS BIGINT) AS n_dict_vals,
+        CAST(CASE WHEN cls = 'ok' THEN agg.nv ELSE 0 END AS BIGINT) AS n_values,
+        CAST(CASE WHEN cls = 'ok' THEN agg.nn ELSE 0 END AS BIGINT) AS n_nulls,
+        CAST(CASE WHEN cls = 'ok' THEN agg.sl ELSE 0 END AS BIGINT) AS sum_len,
+        CAST(CASE WHEN cls = 'ok' THEN agg.mn ELSE 0 END AS BIGINT) AS min_len,
+        CAST(CASE WHEN cls = 'ok' THEN agg.mx ELSE 0 END AS BIGINT) AS max_len
+      FROM cls c JOIN agg ON agg.doc_id = c.doc_id
+      ORDER BY c.doc_id"""))
 }

@@ -286,10 +286,76 @@ class ParquetPagesSpec extends SparkSpec {
       for (vs0 <- seqs) {
         val vs = if (w == 4) vs0.map(v => v.toInt.toLong) else vs0
         val enc = ParquetPages.encodeDeltaBinaryPacked(vs, w)
-        val dec = ParquetPages.deltaBinaryPacked(enc, 0, vs.size, w)
+        val (dec, end) = ParquetPages.deltaBinaryPacked(enc, 0, vs.size, w)
         assert(dec.toSeq == vs, s"w=$w n=${vs.size}")
+        assert(end == enc.length, s"w=$w: exact consumption")
       }
     }
+  }
+
+  test("REAL string columns decode: pyarrow testdata, parquet-mr V1, and V2 DELTA_BYTE_ARRAY") {
+    import org.apache.spark.sql.functions._
+    // pyarrow-written testdata: documents.lang
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    val doc = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val sdf = spark.read.parquet(path)
+    val idx = sdf.schema.fieldNames.indexOf("lang")
+    val d = ParquetPages.decodeBinaryFile(doc, idx, keepValues = true)
+    assert(d.ok == 1 && d.gated == 0, d.toString)
+    val want = sdf.select("lang").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getString(0)))
+    assert(d.nValues == want.count(_.isDefined) &&
+      d.nNulls == want.count(_.isEmpty))
+    assert(d.values.map(new String(_, "UTF-8")).toSeq == want.flatten.toSeq,
+      "pyarrow string values must round-trip byte-exact")
+    // parquet-mr V1 (snappy + dict) with nulls
+    val n = 8000L
+    val df = spark.range(0L, n)
+      .select(when(col("id") % 5 === 0, lit(null))
+        .otherwise(concat(lit("val-"), (col("id") % 97).cast("string")))
+        .as("s"))
+    val b1 = sparkWrite(df, Map.empty)
+    val d1 = ParquetPages.decodeBinaryFile(b1, 0, keepValues = true)
+    assert(d1.ok == 1 && d1.nDictVals == 97, d1.toString)
+    val w1 = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getString(0)))
+    assert(d1.values.map(new String(_, "UTF-8")).toSeq == w1.flatten.toSeq)
+    // parquet-mr PARQUET_2_0 all-distinct strings → DELTA_BYTE_ARRAY
+    val df2 = spark.range(0L, n)
+      .select(concat(lit("k"), format_string("%08d", col("id"))).as("s"))
+    val b2 = sparkWrite(df2, Map("parquet.writer.version" -> "PARQUET_2_0"))
+    val d2 = ParquetPages.decodeBinaryFile(b2, 0, keepValues = true)
+    assert(d2.ok == 1 && d2.gated == 0, s"real DELTA_BYTE_ARRAY: $d2")
+    assert(d2.values.map(new String(_, "UTF-8")).toSeq ==
+      (0L until n).map(i => f"k$i%08d"),
+      "front-coded strings must reassemble exactly")
+  }
+
+  test("synthetic BYTE_ARRAY round-trip: PLAIN / dict / DELTA_LENGTH / DELTA_BYTE_ARRAY x codecs") {
+    def s(x: String) = x.getBytes("UTF-8")
+    val rg = Seq(
+      Seq(Some(s("alpha")), None, Some(s("alphabet")), Some(s("")), None),
+      (0 until 50).map(i => if (i % 7 == 3) None
+        else Some(s(f"prefix-common-$i%03d"))))
+    for {
+      enc <- Seq(0, 8, 6, 7)
+      codec <- Seq(0, 1)
+    } {
+      val bytes = ParquetPages.encodeBinaryFile(Seq(rg), enc, codec)
+      val d = ParquetPages.decodeBinaryFile(bytes, 0, keepValues = true)
+      assert(d.ok == 1 && d.gated == 0, s"enc=$enc codec=$codec: $d")
+      val want = rg.flatten
+      assert(d.nValues == want.flatten.size && d.nNulls == want.count(_.isEmpty))
+      assert(d.values.map(_.toSeq).toSeq == want.flatten.map(_.toSeq),
+        s"enc=$enc codec=$codec")
+      assert(d.sumLen == want.flatten.map(_.length).sum)
+      if (enc == 8) assert(d.nDictVals ==
+        want.flatten.map(_.toSeq).distinct.size)
+    }
+    // truncation fails closed at every cut (the delta-coded form too)
+    val full = ParquetPages.encodeBinaryFile(Seq(rg), 7, 1)
+    for (cut <- 1 until full.length)
+      assert(ParquetPages.decodeBinaryFile(full.take(cut), 0).ok == 0,
+        s"cut $cut")
   }
 
   test("RLE/bit-packed hybrid: encoder and decoder agree on both run kinds and widths") {

@@ -317,6 +317,17 @@ class WalkerFuzzSpec extends AnyFunSuite {
       b => { val d = ParquetPages.decodeInt64File(b, 0)
         (d.nValues + d.nNulls + d.nPages, 0L) },
       appendStable = false), // footer discovery starts at the file END
+    Fuzzed("parquet-pages-binary",
+      rnd => ParquetPages.encodeBinaryFile(
+        Seq((0 until 1 + rnd.nextInt(3)).map { _ =>
+          (0 until 1 + rnd.nextInt(40)).map(_ =>
+            if (rnd.nextInt(5) == 0) None
+            else Some(str(rnd, rnd.nextInt(12)).getBytes("UTF-8")))
+        }),
+        encoding = Seq(0, 8, 6, 7)(rnd.nextInt(4)), codec = rnd.nextInt(2)),
+      b => { val d = ParquetPages.decodeBinaryFile(b, 0)
+        (d.nValues + d.nNulls + d.nPages, 0L) },
+      appendStable = false), // footer discovery starts at the file END
     Fuzzed("av1-ivf",
       rnd => {
         val p = rnd.nextInt(3)
