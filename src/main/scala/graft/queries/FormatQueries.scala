@@ -1578,4 +1578,76 @@ object FormatQueries {
         CAST(CASE WHEN cls = 'ok' THEN agg.mx ELSE 0 END AS BIGINT) AS max_len
       FROM cls c JOIN agg ON agg.doc_id = c.doc_id
       ORDER BY c.doc_id"""))
+
+
+  // --------------------------------------------------------------- q421
+
+  /** q421 — ORC integer-column DATA decode
+    * ([[graft.operators.OrcData.orcDecodeAudit]]): the layer below
+    * q381/q385's tail and stripe-stats walk — the q415 move made for
+    * the second storage format. Stripe footers (protobuf stream
+    * directory + column encodings), PRESENT boolean-RLE bits, and the
+    * integer RLEv2 DATA stream in all four sub-encodings (short
+    * repeat, direct, patched base with its aligned-width patch list,
+    * delta), over the codec chunk framing (none/zlib/snappy/zstd —
+    * snappy and zstd through the engine's own raw decoders). Planted
+    * classes: monotonic (delta runs) vs signed-mixed (direct) shapes,
+    * nulls through PRESENT, an lz4-stamped file (valid, DECLINED
+    * whole) and a truncated tail (malformed). Pinned against REAL
+    * Spark-written ORC across four codecs and shapes exercising every
+    * sub-encoding in OrcDataSpec. Oracle closed-form. Map-only, zero
+    * shuffles.
+    */
+  val q421 = Q("q421_orc_data_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.OrcData
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (id % 50).toInt
+          val n = 40 + k
+          val vals: Seq[Option[Long]] = (0 until n).map { i =>
+            if (k % 2 == 0 && i % 8 == 5) None
+            else if (k % 4 == 0) Some(id % 7 + 3L * i)
+            else Some((id + 5L * i) % 101 - 50)
+          }
+          val bytes =
+            if (k % 17 == 0) OrcData.encodeSyntheticOrc(vals, truncate = 8)
+            else if (k % 13 == 0)
+              OrcData.encodeSyntheticOrc(vals, codecStamp = 4L)
+            else OrcData.encodeSyntheticOrc(vals)
+          (id, bytes)
+        }).toDF("doc_id", "payload")
+      OrcData.orcDecodeAudit(synth, "doc_id", "payload", colIdx = 0)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      cls AS (SELECT doc_id, k,
+          CASE WHEN k % 17 = 0 THEN 'trunc'
+               WHEN k % 13 = 0 THEN 'gz' ELSE 'ok' END AS cls,
+          CAST(40 + k AS BIGINT) AS n
+        FROM d),
+      rows_ AS (SELECT doc_id, k, cls, unnest(range(n)) AS i FROM cls),
+      vals AS (SELECT doc_id, cls,
+          CASE WHEN k % 2 = 0 AND i % 8 = 5 THEN NULL
+               WHEN k % 4 = 0 THEN doc_id % 7 + 3 * i
+               ELSE (doc_id + 5 * i) % 101 - 50 END AS v
+        FROM rows_),
+      agg AS (SELECT doc_id,
+          COUNT(v) AS nv, COUNT(*) - COUNT(v) AS nn,
+          MIN(v) AS mn, MAX(v) AS mx, SUM(v) AS sm
+        FROM vals GROUP BY doc_id)
+      SELECT c.doc_id,
+        CAST(CASE WHEN cls = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS ok,
+        CAST(CASE WHEN cls = 'gz' THEN 1 ELSE 0 END AS BIGINT) AS gated,
+        CAST(CASE WHEN cls = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS n_stripes,
+        CAST(CASE WHEN cls = 'ok' THEN agg.nv ELSE 0 END AS BIGINT) AS n_values,
+        CAST(CASE WHEN cls = 'ok' THEN agg.nn ELSE 0 END AS BIGINT) AS n_nulls,
+        CAST(CASE WHEN cls = 'ok' THEN agg.mn ELSE 0 END AS BIGINT) AS min_v,
+        CAST(CASE WHEN cls = 'ok' THEN agg.mx ELSE 0 END AS BIGINT) AS max_v,
+        CAST(CASE WHEN cls = 'ok' THEN agg.sm ELSE 0 END AS BIGINT) AS sum_v
+      FROM cls c JOIN agg ON agg.doc_id = c.doc_id
+      ORDER BY c.doc_id"""))
 }

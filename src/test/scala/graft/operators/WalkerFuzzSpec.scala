@@ -328,6 +328,14 @@ class WalkerFuzzSpec extends AnyFunSuite {
       b => { val d = ParquetPages.decodeBinaryFile(b, 0)
         (d.nValues + d.nNulls + d.nPages, 0L) },
       appendStable = false), // footer discovery starts at the file END
+    Fuzzed("orc-data",
+      rnd => OrcData.encodeSyntheticOrc(
+        (0 until 1 + rnd.nextInt(200)).map(i =>
+          if (rnd.nextInt(6) == 0) None
+          else Some((rnd.nextInt(2000) - 1000).toLong))),
+      b => { val d = OrcData.decodeIntFile(b, 0)
+        (d.nValues + d.nNulls + d.nStripes, 0L) },
+      appendStable = false), // postscript discovery starts at the file END
     Fuzzed("av1-ivf",
       rnd => {
         val p = rnd.nextInt(3)
