@@ -285,161 +285,181 @@ object OrcData {
   private val Gated = OrcDecode(0, 1, 0, 0L, 0L, 0L, 0L, 0L, null)
   private val Bad = OrcDecode(0, 0, 0, 0L, 0L, 0L, 0L, 0L, null)
 
+  // unsupported-but-valid classes surface as this signal, never as a
+  // structural failure
+  private object GatedSignal extends Exception with scala.util.control.NoStackTrace
+
+  private final case class Tail(codec: Long,
+      stripes: Vector[(Long, Long, Long, Long, Long)], kinds: Vector[Long])
+
+  /** Postscript + footer walk shared by the int and string decoders:
+    * codec, stripe list, type kinds in preorder. Throws Malformed on
+    * structure, GatedSignal on an unsupported codec.
+    */
+  private def parseTail(bytes: Array[Byte]): Tail = {
+    val n = bytes.length
+    if (n < 8 || bytes(0) != 'O' || bytes(1) != 'R' || bytes(2) != 'C')
+      throw Malformed
+    val psLen = bytes(n - 1) & 0xff
+    if (psLen < 1 || psLen > n - 4) throw Malformed
+    val ps = new ProtoReader(bytes, n - 1 - psLen, n - 1)
+    var footerLen = 0L; var codec = -1L
+    while (ps.pos < ps.end) {
+      val t = ps.varint()
+      (((t >>> 3).toInt, (t & 7).toInt)) match {
+        case (1, 0) => footerLen = ps.varint()
+        case (2, 0) => codec = ps.varint()
+        case (_, w) => ps.skipValue(w)
+      }
+    }
+    if (codec < 0 || footerLen <= 0 ||
+      footerLen > n.toLong - 1 - psLen - 3) throw Malformed
+    if (codec != 0L && codec != 1L && codec != 2L && codec != 5L)
+      throw GatedSignal // lzo/lz4/other: declined
+    val fRaw = deframe(bytes, n - 1 - psLen - footerLen.toInt,
+      n - 1 - psLen, codec)
+    val f = new ProtoReader(fRaw, 0, fRaw.length)
+    val stripes = Vector.newBuilder[(Long, Long, Long, Long, Long)]
+    val kinds = Vector.newBuilder[Long]
+    while (f.pos < f.end) {
+      val t = f.varint()
+      (((t >>> 3).toInt, (t & 7).toInt)) match {
+        case (3, 2) =>
+          val (off, len) = f.lenDelimited()
+          val s = new ProtoReader(fRaw, off, off + len)
+          var o = 0L; var il = 0L; var dl = 0L; var fl = 0L; var rows = 0L
+          while (s.pos < s.end) {
+            val st = s.varint()
+            (((st >>> 3).toInt, (st & 7).toInt)) match {
+              case (1, 0) => o = s.varint()
+              case (2, 0) => il = s.varint()
+              case (3, 0) => dl = s.varint()
+              case (4, 0) => fl = s.varint()
+              case (5, 0) => rows = s.varint()
+              case (_, w) => s.skipValue(w)
+            }
+          }
+          stripes += ((o, il, dl, fl, rows))
+        case (4, 2) =>
+          val (off, len) = f.lenDelimited()
+          val ty = new ProtoReader(fRaw, off, off + len)
+          var kind = 0L
+          while (ty.pos < ty.end) {
+            val tt = ty.varint()
+            (((tt >>> 3).toInt, (tt & 7).toInt)) match {
+              case (1, 0) => kind = ty.varint()
+              case (_, w) => ty.skipValue(w)
+            }
+          }
+          kinds += kind
+        case (_, w) => f.skipValue(w)
+      }
+    }
+    Tail(codec, stripes.result(), kinds.result())
+  }
+
+  /** One stripe's footer: the stream directory (kind, column, length)
+    * in layout order and per-column (encoding kind, dictionary size).
+    */
+  private def stripeDirectory(sfRaw: Array[Byte]):
+      (Vector[(Long, Long, Long)], Vector[(Long, Long)]) = {
+    val sf = new ProtoReader(sfRaw, 0, sfRaw.length)
+    val streams = Vector.newBuilder[(Long, Long, Long)]
+    val encodings = Vector.newBuilder[(Long, Long)]
+    while (sf.pos < sf.end) {
+      val t = sf.varint()
+      (((t >>> 3).toInt, (t & 7).toInt)) match {
+        case (1, 2) =>
+          val (off, len) = sf.lenDelimited()
+          val sr = new ProtoReader(sfRaw, off, off + len)
+          var kind = 0L; var colId = 0L; var length = 0L
+          while (sr.pos < sr.end) {
+            val st = sr.varint()
+            (((st >>> 3).toInt, (st & 7).toInt)) match {
+              case (1, 0) => kind = sr.varint()
+              case (2, 0) => colId = sr.varint()
+              case (3, 0) => length = sr.varint()
+              case (_, w) => sr.skipValue(w)
+            }
+          }
+          streams += ((kind, colId, length))
+        case (2, 2) =>
+          val (off, len) = sf.lenDelimited()
+          val er = new ProtoReader(sfRaw, off, off + len)
+          var ek = 0L; var ds = 0L
+          while (er.pos < er.end) {
+            val et = er.varint()
+            (((et >>> 3).toInt, (et & 7).toInt)) match {
+              case (1, 0) => ek = er.varint()
+              case (2, 0) => ds = er.varint()
+              case (_, w) => er.skipValue(w)
+            }
+          }
+          encodings += ((ek, ds))
+        case (_, w) => sf.skipValue(w)
+      }
+    }
+    (streams.result(), encodings.result())
+  }
+
+  /** The target column's DATA-region streams, deframed, keyed by
+    * stream kind (PRESENT 0 / DATA 1 / LENGTH 2 / DICTIONARY_DATA 3).
+    * Index-region streams (ROW_INDEX 6, bloom 7/8) are skipped without
+    * advancing the data cursor.
+    */
+  private def columnStreams(bytes: Array[Byte], codec: Long, dataStart: Long,
+      streams: Vector[(Long, Long, Long)],
+      targetCol: Int): Map[Long, Array[Byte]] = {
+    var dataPos = dataStart
+    val out = Map.newBuilder[Long, Array[Byte]]
+    for ((kind, colId, length) <- streams) {
+      val isIndex = kind == 6L || kind == 7L || kind == 8L
+      if (!isIndex) {
+        if (colId == targetCol.toLong && kind <= 3L)
+          out += kind -> deframe(bytes, dataPos.toInt,
+            (dataPos + length).toInt, codec)
+        dataPos += length
+      }
+    }
+    out.result()
+  }
+
   /** Decode the `colIdx`-th TOP-LEVEL column (0-based among the root
     * struct's children; ORC column ids are the tree preorder, so the
     * target id is colIdx + 1 for a flat schema) of an ORC file.
     */
   def decodeIntFile(bytes: Array[Byte], colIdx: Int,
       keepValues: Boolean = false): OrcDecode = {
-    val n = bytes.length
-    if (n < 8 || bytes(0) != 'O' || bytes(1) != 'R' || bytes(2) != 'C') return Bad
     try {
-      val psLen = bytes(n - 1) & 0xff
-      if (psLen < 1 || psLen > n - 4) return Bad
-      val ps = new ProtoReader(bytes, n - 1 - psLen, n - 1)
-      var footerLen = 0L; var codec = -1L
-      while (ps.pos < ps.end) {
-        val t = ps.varint()
-        (((t >>> 3).toInt, (t & 7).toInt)) match {
-          case (1, 0) => footerLen = ps.varint()
-          case (2, 0) => codec = ps.varint()
-          case (_, w) => ps.skipValue(w)
-        }
-      }
-      if (codec < 0 || footerLen <= 0 ||
-        footerLen > n.toLong - 1 - psLen - 3) return Bad
-      if (codec != 0L && codec != 1L && codec != 2L && codec != 5L)
-        return Gated // lzo/lz4/other: declined
-      val fRaw = deframe(bytes, n - 1 - psLen - footerLen.toInt,
-        n - 1 - psLen, codec)
-      // ---- footer: stripes + types
-      val f = new ProtoReader(fRaw, 0, fRaw.length)
-      // per stripe: (offset, indexLen, dataLen, footerLen, rows)
-      val stripes = Vector.newBuilder[(Long, Long, Long, Long, Long)]
-      var typeKinds = Vector.empty[Long] // Type.kind in preorder
-      while (f.pos < f.end) {
-        val t = f.varint()
-        (((t >>> 3).toInt, (t & 7).toInt)) match {
-          case (3, 2) =>
-            val (off, len) = f.lenDelimited()
-            val s = new ProtoReader(fRaw, off, off + len)
-            var o = 0L; var il = 0L; var dl = 0L; var fl = 0L; var rows = 0L
-            while (s.pos < s.end) {
-              val st = s.varint()
-              (((st >>> 3).toInt, (st & 7).toInt)) match {
-                case (1, 0) => o = s.varint()
-                case (2, 0) => il = s.varint()
-                case (3, 0) => dl = s.varint()
-                case (4, 0) => fl = s.varint()
-                case (5, 0) => rows = s.varint()
-                case (_, w) => s.skipValue(w)
-              }
-            }
-            stripes += ((o, il, dl, fl, rows))
-          case (4, 2) =>
-            val (off, len) = f.lenDelimited()
-            val ty = new ProtoReader(fRaw, off, off + len)
-            var kind = 0L
-            while (ty.pos < ty.end) {
-              val tt = ty.varint()
-              (((tt >>> 3).toInt, (tt & 7).toInt)) match {
-                case (1, 0) => kind = ty.varint()
-                case (_, w) => ty.skipValue(w)
-              }
-            }
-            typeKinds :+= kind
-          case (_, w) => f.skipValue(w)
-        }
-      }
+      val tail = parseTail(bytes)
       // flat schema: root STRUCT (kind 12) + its leaves in preorder
-      if (typeKinds.isEmpty || typeKinds.head != 12L) return Gated
+      if (tail.kinds.isEmpty || tail.kinds.head != 12L) return Gated
       val targetCol = colIdx + 1
-      if (targetCol >= typeKinds.size) return Bad
-      // integer kinds: 1 BYTE? (0 bool, 1 byte, 2 short, 3 int, 4 long)
-      val k = typeKinds(targetCol)
+      if (targetCol >= tail.kinds.size) return Bad
+      val k = tail.kinds(targetCol) // SHORT 2 / INT 3 / LONG 4
       if (k != 2L && k != 3L && k != 4L) return Gated
       var nVals = 0L; var nNulls = 0L
       var minV = Long.MaxValue; var maxV = Long.MinValue; var sum = 0L
       val keep = if (keepValues) Array.newBuilder[Long] else null
-      for ((sOff, sIdx, sData, sFoot, sRows) <- stripes.result()) {
+      for ((sOff, sIdx, sData, sFoot, sRows) <- tail.stripes) {
         if (sOff < 0 || sFoot <= 0 ||
-          sOff + sIdx + sData + sFoot > n.toLong) throw Malformed
-        val sfRaw = deframe(bytes, (sOff + sIdx + sData).toInt,
-          (sOff + sIdx + sData + sFoot).toInt, codec)
-        // stripe footer: streams (kind 1, column 2, length 3) in layout
-        // order; column encodings (kind 1, dictSize 2) per column id
-        val sf = new ProtoReader(sfRaw, 0, sfRaw.length)
-        val streams = Vector.newBuilder[(Long, Long, Long)]
-        val encodings = Vector.newBuilder[Long]
-        while (sf.pos < sf.end) {
-          val t = sf.varint()
-          (((t >>> 3).toInt, (t & 7).toInt)) match {
-            case (1, 2) =>
-              val (off, len) = sf.lenDelimited()
-              val sr = new ProtoReader(sfRaw, off, off + len)
-              var kind = 0L; var colId = 0L; var length = 0L
-              while (sr.pos < sr.end) {
-                val st = sr.varint()
-                (((st >>> 3).toInt, (st & 7).toInt)) match {
-                  case (1, 0) => kind = sr.varint()
-                  case (2, 0) => colId = sr.varint()
-                  case (3, 0) => length = sr.varint()
-                  case (_, w) => sr.skipValue(w)
-                }
-              }
-              streams += ((kind, colId, length))
-            case (2, 2) =>
-              val (off, len) = sf.lenDelimited()
-              val er = new ProtoReader(sfRaw, off, off + len)
-              var ek = 0L
-              while (er.pos < er.end) {
-                val et = er.varint()
-                (((et >>> 3).toInt, (et & 7).toInt)) match {
-                  case (1, 0) => ek = er.varint()
-                  case (_, w) => er.skipValue(w)
-                }
-              }
-              encodings += ek
-            case (_, w) => sf.skipValue(w)
-          }
-        }
-        val encs = encodings.result()
-        if (targetCol >= encs.size) throw Malformed
+          sOff + sIdx + sData + sFoot > bytes.length.toLong) throw Malformed
+        val (streams, encodings) = stripeDirectory(deframe(bytes,
+          (sOff + sIdx + sData).toInt,
+          (sOff + sIdx + sData + sFoot).toInt, tail.codec))
+        if (targetCol >= encodings.size) throw Malformed
         // DIRECT_V2 = 2 is the integer RLEv2 encoding; DIRECT (RLEv1)
         // and DICTIONARY* are declined
-        if (encs(targetCol) != 2L) return Gated
-        // stream layout: index-kind streams (ROW_INDEX 6, BLOOM 7/8)
-        // occupy the index region; the rest lay out in LIST ORDER in
-        // the data region
-        var dataPos = sOff + sIdx
-        var present: Array[Byte] = null
-        var data: Array[Byte] = null
-        for ((kind, colId, length) <- streams.result()) {
-          val isIndex = kind == 6L || kind == 7L || kind == 8L
-          if (!isIndex) {
-            if (colId == targetCol.toLong && kind == 0L) // PRESENT
-              present = deframe(bytes, dataPos.toInt,
-                (dataPos + length).toInt, codec)
-            if (colId == targetCol.toLong && kind == 1L) // DATA
-              data = deframe(bytes, dataPos.toInt,
-                (dataPos + length).toInt, codec)
-            dataPos += length
-          }
+        if (encodings(targetCol)._1 != 2L) return Gated
+        val cs = columnStreams(bytes, tail.codec, sOff + sIdx, streams, targetCol)
+        val bools: Array[Boolean] = cs.get(0L) match {
+          case Some(present) => booleanRle(present, sRows.toInt)
+          case None => Array.fill(sRows.toInt)(true)
         }
-        if (data == null && !(sRows == 0)) {
-          // a column with ALL nulls in the stripe may carry only PRESENT
-          if (present == null) throw Malformed
-        }
-        val bools: Array[Boolean] =
-          if (present == null) Array.fill(sRows.toInt)(true)
-          else booleanRle(present, sRows.toInt)
         val nNonNull = bools.count(identity)
         val vals =
           if (nNonNull == 0) Array.emptyLongArray
-          else {
-            if (data == null) throw Malformed
-            rleV2(data, nNonNull, signed = true)
-          }
+          else rleV2(cs.getOrElse(1L, throw Malformed), nNonNull, signed = true)
         var i = 0
         while (i < vals.length) {
           val v = vals(i)
@@ -452,14 +472,105 @@ object OrcData {
         nVals += nNonNull
         nNulls += sRows - nNonNull
       }
-      OrcDecode(1, 0, stripes.result().size, nVals, nNulls,
+      OrcDecode(1, 0, tail.stripes.size, nVals, nNulls,
         if (nVals == 0) 0L else minV, if (nVals == 0) 0L else maxV, sum,
         if (keep == null) null else keep.result())
     } catch {
+      case GatedSignal => Gated
       case Malformed => Bad
       case ProtoMalformed => Bad
       case _: ArrayIndexOutOfBoundsException => Bad
       case _: NegativeArraySizeException => Bad
+    }
+  }
+
+  /** Per-file STRING/BINARY column decode census: DIRECT_V2 (LENGTH
+    * stream of unsigned RLEv2 lengths slicing the concatenated DATA
+    * bytes) and DICTIONARY_V2 (dictionary blob + LENGTH + unsigned
+    * RLEv2 indices in DATA), nulls through PRESENT.
+    */
+  final case class OrcBinDecode(ok: Int, gated: Int, nStripes: Int,
+      nDictVals: Long, nValues: Long, nNulls: Long,
+      sumLen: Long, minLen: Long, maxLen: Long, values: Array[Array[Byte]])
+
+  private val BinGatedOrc = OrcBinDecode(0, 1, 0, 0L, 0L, 0L, 0L, 0L, 0L, null)
+  private val BinBadOrc = OrcBinDecode(0, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, null)
+
+  def decodeStringFile(bytes: Array[Byte], colIdx: Int,
+      keepValues: Boolean = false): OrcBinDecode = {
+    try {
+      val tail = parseTail(bytes)
+      if (tail.kinds.isEmpty || tail.kinds.head != 12L) return BinGatedOrc
+      val targetCol = colIdx + 1
+      if (targetCol >= tail.kinds.size) return BinBadOrc
+      val k = tail.kinds(targetCol) // STRING 7 / BINARY 8 / VARCHAR 16 / CHAR 17
+      if (k != 7L && k != 8L && k != 16L && k != 17L) return BinGatedOrc
+      var nVals = 0L; var nNulls = 0L; var nDict = 0L
+      var minLen = Long.MaxValue; var maxLen = Long.MinValue; var sumLen = 0L
+      val keep = if (keepValues) Array.newBuilder[Array[Byte]] else null
+      def slice(blob: Array[Byte], lens: Array[Long]): Array[Array[Byte]] = {
+        var q = 0
+        lens.map { len =>
+          if (len < 0 || len > blob.length - q) throw Malformed
+          val v = java.util.Arrays.copyOfRange(blob, q, q + len.toInt)
+          q += len.toInt
+          v
+        }
+      }
+      for ((sOff, sIdx, sData, sFoot, sRows) <- tail.stripes) {
+        if (sOff < 0 || sFoot <= 0 ||
+          sOff + sIdx + sData + sFoot > bytes.length.toLong) throw Malformed
+        val (streams, encodings) = stripeDirectory(deframe(bytes,
+          (sOff + sIdx + sData).toInt,
+          (sOff + sIdx + sData + sFoot).toInt, tail.codec))
+        if (targetCol >= encodings.size) throw Malformed
+        val (encKind, dictSize) = encodings(targetCol)
+        if (encKind != 2L && encKind != 3L) return BinGatedOrc // v2 only
+        val cs = columnStreams(bytes, tail.codec, sOff + sIdx, streams, targetCol)
+        val bools: Array[Boolean] = cs.get(0L) match {
+          case Some(present) => booleanRle(present, sRows.toInt)
+          case None => Array.fill(sRows.toInt)(true)
+        }
+        val nNonNull = bools.count(identity)
+        val vals: Array[Array[Byte]] =
+          if (nNonNull == 0) Array.empty
+          else if (encKind == 2L) { // DIRECT_V2: lengths slice the blob
+            val lens = rleV2(cs.getOrElse(2L, throw Malformed), nNonNull,
+              signed = false)
+            slice(cs.getOrElse(1L, Array.emptyByteArray), lens)
+          } else { // DICTIONARY_V2
+            val dictLens = rleV2(cs.getOrElse(2L, throw Malformed),
+              dictSize.toInt, signed = false)
+            val dict = slice(cs.getOrElse(3L, Array.emptyByteArray), dictLens)
+            nDict += dict.length
+            val idxs = rleV2(cs.getOrElse(1L, throw Malformed), nNonNull,
+              signed = false)
+            idxs.map { i =>
+              if (i < 0 || i >= dict.length) throw Malformed
+              dict(i.toInt)
+            }
+          }
+        var i = 0
+        while (i < vals.length) {
+          val len = vals(i).length.toLong
+          sumLen += len
+          if (len < minLen) minLen = len
+          if (len > maxLen) maxLen = len
+          i += 1
+        }
+        if (keep != null) keep ++= vals
+        nVals += nNonNull
+        nNulls += sRows - nNonNull
+      }
+      OrcBinDecode(1, 0, tail.stripes.size, nDict, nVals, nNulls, sumLen,
+        if (nVals == 0) 0L else minLen, if (nVals == 0) 0L else maxLen,
+        if (keep == null) null else keep.result())
+    } catch {
+      case GatedSignal => BinGatedOrc
+      case Malformed => BinBadOrc
+      case ProtoMalformed => BinBadOrc
+      case _: ArrayIndexOutOfBoundsException => BinBadOrc
+      case _: NegativeArraySizeException => BinBadOrc
     }
   }
 
@@ -549,79 +660,62 @@ object OrcData {
     out.toByteArray
   }
 
-  /** One synthetic single-LONG-column ORC file, compression NONE (or
-    * `codecStamp` > 0 to stamp a foreign codec — the gated class;
-    * payload stays raw). `truncate` cuts the tail for the malformed
-    * class.
+  /** Shared file scaffold: magic · [stream blobs] · stripe footer ·
+    * file footer · postscript · psLen, compression NONE (or a foreign
+    * `codecStamp` for the gated class). `streams` = (kind, bytes) in
+    * layout order for column 1; `encKind`/`dictSize` = column 1's
+    * ColumnEncoding; `typeKind` = the leaf's type.
     */
-  def encodeSyntheticOrc(values: Seq[Option[Long]], codecStamp: Long = 0L,
-      truncate: Int = 0): Array[Byte] = {
+  private def buildOrcFile(streams: Seq[(Long, Array[Byte])], encKind: Long,
+      dictSize: Long, typeKind: Long, nRows: Long, codecStamp: Long,
+      truncate: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write("ORC".getBytes("US-ASCII"))
-    val hasNulls = values.exists(_.isEmpty)
-    val present = if (hasNulls) encodeBooleanRle(values.map(_.isDefined))
-      else Array.emptyByteArray
-    val nonNull = values.flatten
-    val data = new java.io.ByteArrayOutputStream()
-    nonNull.grouped(512).foreach(g =>
-      data.write(encodeRleV2Run(g.toSeq, signed = true)))
-    val dataB = data.toByteArray
-    out.write(present); out.write(dataB)
-    // stripe footer
-    val sf = new java.io.ByteArrayOutputStream()
-    def sfTag(b: java.io.ByteArrayOutputStream, f: Int, w: Int): Unit =
+    streams.foreach { case (_, b) => out.write(b) }
+    val dataLen = streams.map(_._2.length.toLong).sum
+    def bTag(b: java.io.ByteArrayOutputStream, f: Int, w: Int): Unit =
       TfRecordOps.pbVarint(b, (f.toLong << 3) | w)
-    def sfSub(b: java.io.ByteArrayOutputStream, f: Int)(
+    def bSub(b: java.io.ByteArrayOutputStream, f: Int)(
         body: java.io.ByteArrayOutputStream => Unit): Unit = {
       val x = new java.io.ByteArrayOutputStream()
       body(x)
-      sfTag(b, f, 2); TfRecordOps.pbVarint(b, x.size().toLong); x.writeTo(b)
+      bTag(b, f, 2); TfRecordOps.pbVarint(b, x.size().toLong); x.writeTo(b)
     }
-    if (hasNulls) sfSub(sf, 1) { s => // PRESENT stream of column 1
-      sfTag(s, 1, 0); TfRecordOps.pbVarint(s, 0L)
-      sfTag(s, 2, 0); TfRecordOps.pbVarint(s, 1L)
-      sfTag(s, 3, 0); TfRecordOps.pbVarint(s, present.length.toLong)
+    val sf = new java.io.ByteArrayOutputStream()
+    streams.foreach { case (kind, bytes) =>
+      bSub(sf, 1) { s =>
+        bTag(s, 1, 0); TfRecordOps.pbVarint(s, kind)
+        bTag(s, 2, 0); TfRecordOps.pbVarint(s, 1L)
+        bTag(s, 3, 0); TfRecordOps.pbVarint(s, bytes.length.toLong)
+      }
     }
-    sfSub(sf, 1) { s => // DATA stream of column 1
-      sfTag(s, 1, 0); TfRecordOps.pbVarint(s, 1L)
-      sfTag(s, 2, 0); TfRecordOps.pbVarint(s, 1L)
-      sfTag(s, 3, 0); TfRecordOps.pbVarint(s, dataB.length.toLong)
+    bSub(sf, 2) { s => // encoding col 0: DIRECT (struct)
+      bTag(s, 1, 0); TfRecordOps.pbVarint(s, 0L)
     }
-    sfSub(sf, 2) { s => // encoding col 0: DIRECT (struct)
-      sfTag(s, 1, 0); TfRecordOps.pbVarint(s, 0L)
-    }
-    sfSub(sf, 2) { s => // encoding col 1: DIRECT_V2
-      sfTag(s, 1, 0); TfRecordOps.pbVarint(s, 2L)
+    bSub(sf, 2) { s => // encoding col 1
+      bTag(s, 1, 0); TfRecordOps.pbVarint(s, encKind)
+      if (dictSize > 0) { bTag(s, 2, 0); TfRecordOps.pbVarint(s, dictSize) }
     }
     val sfB = sf.toByteArray
     out.write(sfB)
-    // file footer
     val foot = new java.io.ByteArrayOutputStream()
-    def fTag(f: Int, w: Int): Unit = TfRecordOps.pbVarint(foot, (f.toLong << 3) | w)
-    def fSub(f: Int)(body: java.io.ByteArrayOutputStream => Unit): Unit = {
-      val x = new java.io.ByteArrayOutputStream()
-      body(x)
-      fTag(f, 2); TfRecordOps.pbVarint(foot, x.size().toLong); x.writeTo(foot)
+    bSub(foot, 3) { s => // StripeInformation
+      bTag(s, 1, 0); TfRecordOps.pbVarint(s, 3L) // offset: after magic
+      bTag(s, 2, 0); TfRecordOps.pbVarint(s, 0L) // indexLength
+      bTag(s, 3, 0); TfRecordOps.pbVarint(s, dataLen)
+      bTag(s, 4, 0); TfRecordOps.pbVarint(s, sfB.length.toLong)
+      bTag(s, 5, 0); TfRecordOps.pbVarint(s, nRows)
     }
-    fSub(3) { s => // StripeInformation
-      sfTag(s, 1, 0); TfRecordOps.pbVarint(s, 3L) // offset: after magic
-      sfTag(s, 2, 0); TfRecordOps.pbVarint(s, 0L) // indexLength
-      sfTag(s, 3, 0)
-      TfRecordOps.pbVarint(s, (present.length + dataB.length).toLong)
-      sfTag(s, 4, 0); TfRecordOps.pbVarint(s, sfB.length.toLong)
-      sfTag(s, 5, 0); TfRecordOps.pbVarint(s, values.size.toLong)
+    bSub(foot, 4) { s => // root STRUCT type with one subtype
+      bTag(s, 1, 0); TfRecordOps.pbVarint(s, 12L)
+      bTag(s, 2, 0); TfRecordOps.pbVarint(s, 1L)
     }
-    fSub(4) { s => // root STRUCT type with one subtype
-      sfTag(s, 1, 0); TfRecordOps.pbVarint(s, 12L)
-      sfTag(s, 2, 0); TfRecordOps.pbVarint(s, 1L)
+    bSub(foot, 4) { s => // the leaf
+      bTag(s, 1, 0); TfRecordOps.pbVarint(s, typeKind)
     }
-    fSub(4) { s => // the LONG leaf
-      sfTag(s, 1, 0); TfRecordOps.pbVarint(s, 4L)
-    }
-    fTag(6, 0); TfRecordOps.pbVarint(foot, values.size.toLong)
+    bTag(foot, 6, 0); TfRecordOps.pbVarint(foot, nRows)
     val footB = foot.toByteArray
     out.write(footB)
-    // postscript
     val ps = new java.io.ByteArrayOutputStream()
     TfRecordOps.pbVarint(ps, (1L << 3) | 0); TfRecordOps.pbVarint(ps, footB.length.toLong)
     TfRecordOps.pbVarint(ps, (2L << 3) | 0); TfRecordOps.pbVarint(ps, codecStamp)
@@ -632,6 +726,80 @@ object OrcData {
     out.write(psB.length)
     val b = out.toByteArray
     if (truncate > 0) b.take(math.max(0, b.length - truncate)) else b
+  }
+
+  /** One synthetic single-LONG-column ORC file, compression NONE (or
+    * `codecStamp` > 0 to stamp a foreign codec — the gated class;
+    * payload stays raw). `truncate` cuts the tail for the malformed
+    * class.
+    */
+  def encodeSyntheticOrc(values: Seq[Option[Long]], codecStamp: Long = 0L,
+      truncate: Int = 0): Array[Byte] = {
+    val hasNulls = values.exists(_.isEmpty)
+    val present = encodeBooleanRle(values.map(_.isDefined))
+    val data = new java.io.ByteArrayOutputStream()
+    values.flatten.grouped(512).foreach(g =>
+      data.write(encodeRleV2Run(g.toSeq, signed = true)))
+    val streams = (if (hasNulls) Seq(0L -> present) else Seq.empty) ++
+      Seq(1L -> data.toByteArray)
+    buildOrcFile(streams, encKind = 2L, dictSize = 0L, typeKind = 4L,
+      values.size.toLong, codecStamp, truncate)
+  }
+
+  /** The STRING twin: DIRECT_V2 (LENGTH + concatenated DATA) or
+    * DICTIONARY_V2 (first-ocurrence-deduped dictionary + indices).
+    */
+  def encodeSyntheticOrcStrings(values: Seq[Option[Array[Byte]]],
+      useDict: Boolean, codecStamp: Long = 0L,
+      truncate: Int = 0): Array[Byte] = {
+    val hasNulls = values.exists(_.isEmpty)
+    val present = encodeBooleanRle(values.map(_.isDefined))
+    val nonNull = values.flatten
+    def rleUnsigned(vs: Seq[Long]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      vs.grouped(512).foreach(g => b.write(encodeRleV2Run(g.toSeq, signed = false)))
+      b.toByteArray
+    }
+    val streams =
+      if (!useDict) {
+        val blob = new java.io.ByteArrayOutputStream()
+        nonNull.foreach(blob.write)
+        (if (hasNulls) Seq(0L -> present) else Seq.empty) ++ Seq(
+          1L -> blob.toByteArray,
+          2L -> rleUnsigned(nonNull.map(_.length.toLong)))
+      } else {
+        val dict = nonNull.map(_.toSeq).distinct.map(_.toArray)
+        val dictBlob = new java.io.ByteArrayOutputStream()
+        dict.foreach(dictBlob.write)
+        val idx = nonNull.map(v => dict.indexWhere(_.sameElements(v)).toLong)
+        (if (hasNulls) Seq(0L -> present) else Seq.empty) ++ Seq(
+          1L -> rleUnsigned(idx),
+          2L -> rleUnsigned(dict.map(_.length.toLong)),
+          3L -> dictBlob.toByteArray)
+      }
+    buildOrcFile(streams, encKind = if (useDict) 3L else 2L,
+      dictSize = if (useDict) nonNull.map(_.toSeq).distinct.size.toLong else 0L,
+      typeKind = 7L, values.size.toLong, codecStamp, truncate)
+  }
+
+  /** Census DataFrame over (id, ORC bytes) for a STRING column:
+    * structure + length statistics. Map-only, zero shuffles.
+    */
+  def orcStringDecodeAudit(df: DataFrame, idCol: String, payloadCol: String,
+      colIdx: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val d = decodeStringFile(bytes, colIdx)
+          (id, d.ok.toLong, d.gated.toLong, d.nStripes.toLong, d.nDictVals,
+            d.nValues, d.nNulls, d.sumLen, d.minLen, d.maxLen)
+        }
+      }
+      .toDF(idCol, "ok", "gated", "n_stripes", "n_dict_vals", "n_values",
+        "n_nulls", "sum_len", "min_len", "max_len")
   }
 
   /** Census DataFrame over (id, ORC bytes): integer-column decode

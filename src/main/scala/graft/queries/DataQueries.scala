@@ -4371,5 +4371,5 @@ object DataQueries {
     LakeQueries.q401, LakeQueries.q402, FormatQueries.q403, LakeQueries.q404, LakeQueries.q405, LakeQueries.q406, LakeQueries.q407, LakeQueries.q408, LakeQueries.q409, LakeQueries.q410, LakeQueries.q411, LakeQueries.q412,
     FormatQueries.q413, FormatQueries.q414, FormatQueries.q415,
     LakeQueries.q416, LakeQueries.q417, LakeQueries.q418, FormatQueries.q419,
-    FormatQueries.q420, FormatQueries.q421)
+    FormatQueries.q420, FormatQueries.q421, FormatQueries.q422)
 }

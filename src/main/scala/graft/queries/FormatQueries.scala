@@ -1650,4 +1650,80 @@ object FormatQueries {
         CAST(CASE WHEN cls = 'ok' THEN agg.sm ELSE 0 END AS BIGINT) AS sum_v
       FROM cls c JOIN agg ON agg.doc_id = c.doc_id
       ORDER BY c.doc_id"""))
+
+
+  // --------------------------------------------------------------- q422
+
+  /** q422 — ORC STRING-column decode
+    * ([[graft.operators.OrcData.orcStringDecodeAudit]]): the q420
+    * move for the second format — DIRECT_V2 (unsigned-RLEv2 LENGTH
+    * stream slicing the concatenated DATA blob) and DICTIONARY_V2
+    * (dictionary blob + entry lengths + unsigned-RLEv2 indices),
+    * nulls through the PRESENT bit stream. Planted classes mirror
+    * q421 (lz4-stamped gated, truncated malformed). Pinned against
+    * REAL Spark ORC — dictionary and direct strings across three
+    * codecs, byte-exact — in OrcDataSpec. Oracle closed-form.
+    * Map-only, zero shuffles.
+    */
+  val q422 = Q("q422_orc_string_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.OrcData
+      val synth = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (id % 50).toInt
+          val n = 30 + k
+          val vals: Seq[Option[Array[Byte]]] = (0 until n).map { i =>
+            if (i % 9 == 4) None
+            else Some(s"orc-${(id + 3 * i) % 23}".getBytes("UTF-8"))
+          }
+          val bytes =
+            if (k % 17 == 0)
+              OrcData.encodeSyntheticOrcStrings(vals, useDict = false,
+                truncate = 8)
+            else if (k % 13 == 0)
+              OrcData.encodeSyntheticOrcStrings(vals, useDict = false,
+                codecStamp = 4L)
+            else OrcData.encodeSyntheticOrcStrings(vals,
+              useDict = k % 2 == 1)
+          (id, bytes)
+        }).toDF("doc_id", "payload")
+      OrcData.orcStringDecodeAudit(synth, "doc_id", "payload", colIdx = 0)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS k FROM documents),
+      cls AS (SELECT doc_id, k,
+          CASE WHEN k % 17 = 0 THEN 'trunc'
+               WHEN k % 13 = 0 THEN 'gz' ELSE 'ok' END AS cls,
+          CAST(30 + k AS BIGINT) AS n,
+          CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END AS usedict
+        FROM d),
+      rows_ AS (SELECT doc_id, cls, usedict, unnest(range(n)) AS i FROM cls),
+      lens AS (SELECT doc_id, cls, usedict,
+          CASE WHEN i % 9 = 4 THEN NULL
+               ELSE (doc_id + 3 * i) % 23 END AS x,
+          CASE WHEN i % 9 = 4 THEN NULL
+               ELSE LENGTH(CONCAT('orc-',
+                 CAST((doc_id + 3 * i) % 23 AS VARCHAR))) END AS len
+        FROM rows_),
+      agg AS (SELECT doc_id,
+          COUNT(len) AS nv, COUNT(*) - COUNT(len) AS nn,
+          SUM(len) AS sl, MIN(len) AS mn, MAX(len) AS mx,
+          COUNT(DISTINCT x) AS nd
+        FROM lens GROUP BY doc_id)
+      SELECT c.doc_id,
+        CAST(CASE WHEN cls = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS ok,
+        CAST(CASE WHEN cls = 'gz' THEN 1 ELSE 0 END AS BIGINT) AS gated,
+        CAST(CASE WHEN cls = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS n_stripes,
+        CAST(CASE WHEN cls = 'ok' AND usedict = 1 THEN agg.nd ELSE 0 END
+          AS BIGINT) AS n_dict_vals,
+        CAST(CASE WHEN cls = 'ok' THEN agg.nv ELSE 0 END AS BIGINT) AS n_values,
+        CAST(CASE WHEN cls = 'ok' THEN agg.nn ELSE 0 END AS BIGINT) AS n_nulls,
+        CAST(CASE WHEN cls = 'ok' THEN agg.sl ELSE 0 END AS BIGINT) AS sum_len,
+        CAST(CASE WHEN cls = 'ok' THEN agg.mn ELSE 0 END AS BIGINT) AS min_len,
+        CAST(CASE WHEN cls = 'ok' THEN agg.mx ELSE 0 END AS BIGINT) AS max_len
+      FROM cls c JOIN agg ON agg.doc_id = c.doc_id
+      ORDER BY c.doc_id"""))
 }

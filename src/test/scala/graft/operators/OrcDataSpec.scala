@@ -93,6 +93,41 @@ class OrcDataSpec extends SparkSpec {
     }
   }
 
+  test("REAL Spark ORC strings decode: dictionary and direct, with nulls, across codecs") {
+    import org.apache.spark.sql.functions._
+    val n = 20000L
+    for (codec <- Seq("none", "snappy", "zstd")) {
+      // low-cardinality + nulls → DICTIONARY_V2
+      val dictDf = spark.range(0L, n)
+        .select(when(col("id") % 7 === 0, lit(null))
+          .otherwise(concat(lit("lang-"), (col("id") % 31).cast("string")))
+          .as("v"))
+      val db = writeOrc(dictDf, Map("compression" -> codec))
+      val dd = OrcData.decodeStringFile(db, 0, keepValues = true)
+      assert(dd.ok == 1 && dd.gated == 0, s"$codec dict: $dd")
+      val dwant = dictDf.collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getString(0)))
+      assert(dd.nValues == dwant.count(_.isDefined) &&
+        dd.nNulls == dwant.count(_.isEmpty))
+      assert(dd.values.map(new String(_, "UTF-8")).toSeq == dwant.flatten.toSeq,
+        s"$codec dict values")
+      assert(dd.nDictVals == 31, s"$codec: $dd")
+      // all-distinct → DIRECT_V2 (length + data)
+      val dirDf = spark.range(0L, n)
+        .select(concat(lit("k"), format_string("%06d", col("id"))).as("v"))
+      val bb = writeOrc(dirDf, Map("compression" -> codec))
+      val bd = OrcData.decodeStringFile(bb, 0, keepValues = true)
+      assert(bd.ok == 1 && bd.nDictVals == 0, s"$codec direct: $bd")
+      assert(bd.values.map(new String(_, "UTF-8")).toSeq ==
+        (0L until n).map(i => f"k$i%06d"), s"$codec direct values")
+    }
+    // an int column through the STRING decoder is a declined class
+    import org.apache.spark.sql.functions.col
+    val ints = writeOrc(spark.range(0L, 100L).select(col("id").as("v")),
+      Map("compression" -> "none"))
+    assert(OrcData.decodeStringFile(ints, 0).gated == 1)
+  }
+
   test("synthetic ORC round-trips: encoder and decoder agree on every run shape") {
     val shapes: Seq[Seq[Option[Long]]] = Seq(
       (0 until 700).map(i => Some(i.toLong * 3)),           // delta
@@ -115,6 +150,30 @@ class OrcDataSpec extends SparkSpec {
     val full = OrcData.encodeSyntheticOrc((0 until 40).map(i => Some(i.toLong)))
     for (cut <- 1 until full.length)
       assert(OrcData.decodeIntFile(full.take(cut), 0).ok == 0, s"cut $cut")
+  }
+
+  test("synthetic ORC strings round-trip: direct and dictionary, nulls, declines, cuts") {
+    def b(x: String) = x.getBytes("UTF-8")
+    val vals: Seq[Option[Array[Byte]]] =
+      Seq(Some(b("alpha")), None, Some(b("")), Some(b("alpha")),
+        Some(b("zebra-long-value")), None) ++
+        (0 until 60).map(i => if (i % 7 == 2) None else Some(b(s"v${i % 9}")))
+    for (useDict <- Seq(false, true)) {
+      val bytes = OrcData.encodeSyntheticOrcStrings(vals, useDict)
+      val d = OrcData.decodeStringFile(bytes, 0, keepValues = true)
+      assert(d.ok == 1 && d.gated == 0, s"dict=$useDict: $d")
+      val want = vals.flatten
+      assert(d.nValues == want.size && d.nNulls == vals.count(_.isEmpty))
+      assert(d.values.map(_.toSeq).toSeq == want.map(_.toSeq), s"dict=$useDict")
+      assert(d.sumLen == want.map(_.length).sum)
+      if (useDict) assert(d.nDictVals == want.map(_.toSeq).distinct.size)
+    }
+    val g = OrcData.decodeStringFile(
+      OrcData.encodeSyntheticOrcStrings(vals, useDict = false, codecStamp = 4L), 0)
+    assert(g.gated == 1)
+    val full = OrcData.encodeSyntheticOrcStrings(vals, useDict = true)
+    for (cut <- 1 until full.length)
+      assert(OrcData.decodeStringFile(full.take(cut), 0).ok == 0, s"cut $cut")
   }
 
   test("boolean byte-RLE primitive: runs, literals, exact bit count") {

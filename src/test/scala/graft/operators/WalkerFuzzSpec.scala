@@ -336,6 +336,15 @@ class WalkerFuzzSpec extends AnyFunSuite {
       b => { val d = OrcData.decodeIntFile(b, 0)
         (d.nValues + d.nNulls + d.nStripes, 0L) },
       appendStable = false), // postscript discovery starts at the file END
+    Fuzzed("orc-strings",
+      rnd => OrcData.encodeSyntheticOrcStrings(
+        (0 until 1 + rnd.nextInt(80)).map(_ =>
+          if (rnd.nextInt(6) == 0) None
+          else Some(str(rnd, rnd.nextInt(10)).getBytes("UTF-8"))),
+        useDict = rnd.nextBoolean()),
+      b => { val d = OrcData.decodeStringFile(b, 0)
+        (d.nValues + d.nNulls + d.nStripes, 0L) },
+      appendStable = false), // postscript discovery starts at the file END
     Fuzzed("av1-ivf",
       rnd => {
         val p = rnd.nextInt(3)
