@@ -5,7 +5,13 @@ import org.apache.spark.sql.SparkSession
 /** Ad-hoc per-query profiler: times named queries (3 runs each) and
   * optionally prints the executed plan. Usage:
   *
-  *   runMain graft.Probe <sfDir> <name1,name2,...> [explain]
+  *   runMain graft.Probe <sfDir> <name1,name2,...> [explain] [plans=<dir>:<suffix>] [jobs]
+  *
+  * `plans=/root/repo/plans/r15:before` writes each query's
+  * `.explain("formatted")` output to `<dir>/<qNN>_<suffix>.txt` — the
+  * artifact the optimization rounds commit next to the code.
+  * `jobs` prints every Spark job's wall time and call site for the
+  * third (warm) run, so per-round loop overhead is visible without the UI.
   *
   * Complements Bench (which times the whole surface): this is the
   * iterate-on-one-query loop.
@@ -14,31 +20,76 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
-    val explain = args.length > 2 && args(2) == "explain"
+    val flags = args.drop(2)
+    val explain = flags.contains("explain")
+    val showJobs = flags.contains("jobs")
+    val plansTo = flags.find(_.startsWith("plans=")).map(_.stripPrefix("plans="))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftExtensions.register(spark)
+    // per-job wall-clock listener: job id → (description-or-callsite, ms)
+    val jobLog = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long)]()
+    var capture = false
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (capture) {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          jobLog.put(js.jobId, (desc, js.time, -1L))
+        }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val prev = jobLog.get(je.jobId)
+        if (prev != null) jobLog.put(je.jobId, (prev._1, prev._2, je.time))
+      }
+    })
     // exact name or a qNN_ prefix boundary — a bare startsWith would make
     // "q3" run q30..q38 alongside q3
     for (n <- names;
          q <- SparkEntry.allQueries.filter(q =>
            q.name == n || q.name.startsWith(n + "_"))) {
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).map { i =>
+        if (showJobs && i == 3) { jobLog.clear(); capture = true }
         val t0 = System.nanoTime()
         q.fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (showJobs && i == 3) capture = false
+        dt
       }
       println(f"PROBE ${q.name}: ${times.map(t => f"$t%.2f").mkString(" ")} s")
-      if (explain) {
+      if (showJobs) {
+        import scala.jdk.CollectionConverters._
+        val rows = jobLog.asScala.toSeq.sortBy(_._1)
+        val done = rows.collect { case (id, (d, s, e)) if e > 0 => (id, d, e - s) }
+        println(f"  jobs: ${done.size}, total ${done.map(_._3).sum} ms")
+        done.sortBy(-_._3).take(15).foreach { case (id, d, ms) =>
+          println(f"  job $id%4d ${ms}%6d ms  ${d.take(90)}") }
+      }
+      if (explain || plansTo.isDefined) {
         val df = q.fn(spark, sfDir)
-        df.count()
-        println(df.queryExecution.executedPlan.toString)
+        if (explain) { df.count(); println(df.queryExecution.executedPlan.toString) }
+        plansTo.foreach { spec =>
+          val (dir, suffix) = spec.split(":") match {
+            case Array(d, sfx) => (d, sfx)
+            case Array(d) => (d, "plan")
+          }
+          val short = q.name.indexOf('_') match {
+            case -1 => q.name; case i => q.name.substring(0, i) }
+          val out = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          val p = java.nio.file.Paths.get(dir, s"${short}_$suffix.txt")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p,
+            out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          println(s"  plan -> $p")
+        }
       }
     }
     spark.stop()
