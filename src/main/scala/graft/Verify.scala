@@ -17,6 +17,14 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // ObjectHashAggregate falls back to SORT-BASED aggregation after
+      // 128 distinct keys per task (the Spark default) - pathological for
+      // this engine, whose collect_list/collect_set/top-k aggregates
+      // routinely see 10^4-10^5 bounded-size groups per task. 2^17
+      // entries of bounded per-group state (<= a few hundred bytes each)
+      // is tens of MB per task at ANY scale factor or cluster size; the
+      // fallback still protects truly unbounded group counts.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

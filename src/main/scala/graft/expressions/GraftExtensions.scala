@@ -69,7 +69,16 @@ object GraftExtensions {
       (children: Seq[Expression]) => Simhash(children.head, children(1))),
     (FunctionIdentifier("graft_triples"),
       new ExpressionInfo(classOf[ArrayTriples].getName, "graft_triples"),
-      (children: Seq[Expression]) => ArrayTriples(children.head)))
+      (children: Seq[Expression]) => ArrayTriples(children.head)),
+    (FunctionIdentifier("graft_top_k_longs"),
+      new ExpressionInfo(classOf[TopKSmallestLongs].getName, "graft_top_k_longs"),
+      (children: Seq[Expression]) => TopKSmallestLongs(children.head, children(1))),
+    (FunctionIdentifier("graft_pairs_long"),
+      new ExpressionInfo(classOf[ArrayPairsLong].getName, "graft_pairs_long"),
+      (children: Seq[Expression]) => ArrayPairsLong(children.head)),
+    (FunctionIdentifier("graft_cross_long"),
+      new ExpressionInfo(classOf[CrossPairsLong].getName, "graft_cross_long"),
+      (children: Seq[Expression]) => CrossPairsLong(children.head, children(1))))
 
   /** Idempotently register the functions (and the CartesianGuard
     * optimizer rule, via the runtime `extraOptimizations` hook) on an

@@ -188,12 +188,12 @@ object Dedup {
       .filter(col("_bsz") > 1 && col("_bsz") <= maxBucket)
     val buckets = sized.groupBy(bucketCols.map(col): _*)
       .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+    graft.expressions.GraftExtensions.register(df.sparkSession)
     buckets
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("_ids")) - 1),
-        i => transform(slice(col("_ids"), i + 1, size(col("_ids"))),
-          b => struct(element_at(col("_ids"), i).as("id_a"), b.as("id_b")))))).as("_p"))
-      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      // compiled pair kernel (r15 opt): the interpreted transform/slice
+      // HOF chain copied the id-array tail once per outer index
+      .select(explode(call_function("graft_pairs_long", col("_ids"))).as("_p"))
+      .select(col("_p.a").as("id_a"), col("_p.b").as("id_b"))
       .distinct() // one pair, however many buckets matched
   }
 
@@ -232,12 +232,12 @@ object Dedup {
       .agg(sort_array(collect_list(col(idCol))).as("_ids"))
       .filter(size(col("_ids")) > 1)
       .withColumn("_nc", ((size(col("_ids")) + chunk - 1) / chunk).cast("int"))
-    val tri = flatten(transform(
-      sequence(lit(1), size(col("_ia")) - 1),
-      i => transform(slice(col("_ia"), i + 1, size(col("_ia"))),
-        b => struct(element_at(col("_ia"), i).as("id_a"), b.as("id_b")))))
-    val cross = flatten(transform(col("_ia"),
-      a => transform(col("_ib"), b => struct(a.as("id_a"), b.as("id_b")))))
+    graft.expressions.GraftExtensions.register(df.sparkSession)
+    // compiled pair kernels (r15 opt) — tri for the diagonal cell,
+    // cross for off-diagonal grid cells; both replace interpreted
+    // transform/slice HOF chains that copied array tails per element
+    val tri = call_function("graft_pairs_long", col("_ia"))
+    val cross = call_function("graft_cross_long", col("_ia"), col("_ib"))
     buckets
       .select(bcols ++ Seq(col("_ids"), col("_nc"),
         explode(sequence(lit(0), col("_nc") - 1)).as("_ca")): _*)
@@ -251,9 +251,8 @@ object Dedup {
       .repartition(bcols ++ Seq(col("_ca"), col("_cb")): _*)
       .select(explode(
         when(col("_ca") < col("_cb"), cross) // id-ordered chunks ⇒ a < b already
-          .when(size(col("_ia")) > 1, tri) // sequence(1,0) would yield [1,0], not []
-          .otherwise(array().cast("array<struct<id_a:long,id_b:long>>"))).as("_p"))
-      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+          .otherwise(tri)).as("_p"))
+      .select(col("_p.a").as("id_a"), col("_p.b").as("id_b"))
       .distinct() // one pair, however many buckets matched
   }
 

@@ -546,18 +546,18 @@ object CorpusQueries {
     */
   val q187 = Q("q187_inverted_index",
     (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
       val post = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
         .distinct()
-      val ranked = post.withColumn("_rn",
-        row_number().over(Window.partitionBy("token").orderBy("doc_id")))
-      post.groupBy("token").agg(count(lit(1)).as("df"))
-        .join(ranked.filter(col("_rn") <= 8)
-          .groupBy("token").agg(
-            concat_ws(",", sort_array(collect_list("doc_id")).cast("array<string>"))
-              .as("postings")),
-          Seq("token"))
+      // r15 opt: df + the 8 smallest doc_ids ride ONE hash aggregate —
+      // the bounded top-k aggregate replaces a window sort over every
+      // posting AND the df-branch join that recomputed the whole
+      // tokenize+distinct subtree a second time (post had no checkpoint)
+      post.groupBy("token").agg(count(lit(1)).as("df"),
+          concat_ws(",", call_function("graft_top_k_longs", col("doc_id"), lit(8))
+            .cast("array<string>")).as("postings"))
         .filter(col("df") >= 50)
         .orderBy("token")
     },

@@ -1086,29 +1086,31 @@ object StatQueries {
     */
   val q202 = Q("q202_adamic_adar",
     (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
       val cs = Tables.load(s, dir, "orders")
         .join(Tables.load(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .distinct()
-        .localCheckpoint(false) // feeds degree + capped enumeration
-      val deg = cs.groupBy("c").agg(count(lit(1)).as("dc"))
-      val capped = cs
-        .withColumn("_rn",
-          row_number().over(Window.partitionBy("c").orderBy("sp")))
-        .filter(col("_rn") <= 50)
-        .groupBy("c").agg(sort_array(collect_list("sp")).as("ss"))
-      capped.join(deg, Seq("c"))
+      // r15 opt: degree + the 50 smallest suppliers ride ONE hash
+      // aggregate — graft_top_k_longs is the O(k)-state bounded top-k
+      // aggregate (map-side partial, ≤50 values per customer cross the
+      // exchange), replacing the window sort + separate degree rollup
+      // + join (3 exchanges + a per-partition sort → 2 exchanges, no
+      // sort, no join; the distinct's checkpoint goes with its second
+      // consumer)
+      cs.groupBy("c").agg(count(lit(1)).as("dc"),
+          call_function("graft_top_k_longs", col("sp"), lit(50)).as("ss"))
         // dc = 1 customers hold one supplier and expand to zero pairs,
         // but ANSI mode still evaluates w on their rows — and ln(1)=0
         // would divide by zero. The guard value never reaches a pair.
         .withColumn("w", expr(
           "CASE WHEN dc < 2 THEN 0 ELSE CAST(round(1000000 / ln(dc)) AS BIGINT) END"))
-        .select(col("w"), explode(expr(
-          """flatten(transform(ss,
-             (x, i) -> transform(slice(ss, i + 2, size(ss)),
-                                 y -> named_struct('s1', x, 's2', y))))""")).as("p"))
-        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        // compiled pair kernel: the interpreted transform/slice HOF
+        // chain copied the array tail once per outer index (r15 opt)
+        .select(col("w"),
+          explode(call_function("graft_pairs_long", col("ss"))).as("p"))
+        .groupBy(col("p.a").as("s1"), col("p.b").as("s2"))
         .agg(sum("w").as("aa_micro"), count(lit(1)).as("common"))
         .filter(col("common") >= 3)
         .orderBy(desc("aa_micro"), col("s1"), col("s2"))
@@ -1951,20 +1953,21 @@ object StatQueries {
     */
   val q222 = Q("q222_basket_lift",
     (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
       val op = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
+        .localCheckpoint(false) // feeds support, the N scalar, and pairs
       val supp = op.groupBy("p").agg(count(lit(1)).as("sp"))
       val n = op.select("o").distinct().agg(count(lit(1)).as("_n"))
+      // r15 opt: the 50 smallest parts per order via the bounded top-k
+      // aggregate (O(k) state, map-side partial) instead of a window
+      // sort + collect_list — one exchange, no per-partition sort
       val pairs = op
-        .withColumn("_rn", row_number().over(Window.partitionBy("o").orderBy("p")))
-        .filter(col("_rn") <= 50)
-        .groupBy("o").agg(sort_array(collect_list("p")).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps,
-             (x, i) -> transform(slice(ps, i + 2, size(ps)),
-                                 y -> named_struct('x', x, 'y', y))))""")).as("pr"))
-        .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
+        .groupBy("o").agg(
+          call_function("graft_top_k_longs", col("p"), lit(50)).as("ps"))
+        .select(explode(call_function("graft_pairs_long", col("ps"))).as("pr"))
+        .groupBy(col("pr.a").as("x"), col("pr.b").as("y"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 3)
       pairs
@@ -2318,16 +2321,15 @@ object StatQueries {
     */
   val q306 = Q("q306_betweenness",
     (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
       val items = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val p0 = items.groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
         .filter(size(col("ids")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-             i -> transform(slice(ids, i + 1, size(ids)),
-                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
-        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        // compiled pair kernel instead of the interpreted HOF chain
+        .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
+        .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2)
       val edges = p0.select(col("pa").as("src"), col("pb").as("dst"))
