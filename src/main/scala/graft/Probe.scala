@@ -43,6 +43,7 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftExtensions.register(spark)
     // per-job wall-clock listener: job id → (description-or-callsite, ms)
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long, String)]()
     val jobLog = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long)]()
     var capture = false
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -57,6 +58,15 @@ object Probe {
         val prev = jobLog.get(je.jobId)
         if (prev != null) jobLog.put(je.jobId, (prev._1, prev._2, je.time))
       }
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (capture) {
+          val si = sc.stageInfo
+          val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
+          val tm = si.taskMetrics
+          val detail = f"gc=${tm.jvmGCTime} dser=${tm.executorDeserializeTime} " +
+            f"cpu=${tm.executorCpuTime / 1000000} srT=${tm.shuffleReadMetrics.fetchWaitTime}"
+          stageLog.add((si.stageId, si.numTasks, wall, tm.executorRunTime, detail))
+        }
     })
     // exact name or a qNN_ prefix boundary — a bare startsWith would make
     // "q3" run q30..q38 alongside q3
@@ -64,7 +74,7 @@ object Probe {
          q <- SparkEntry.allQueries.filter(q =>
            q.name == n || q.name.startsWith(n + "_"))) {
       val times = (1 to 3).map { i =>
-        if (showJobs && i == 3) { jobLog.clear(); capture = true }
+        if (showJobs && i == 3) { jobLog.clear(); stageLog.clear(); capture = true }
         val t0 = System.nanoTime()
         q.fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
@@ -84,6 +94,12 @@ object Probe {
         println(f"  jobs: ${done.size}, total ${done.map(_._3).sum} ms")
         done.sortBy(-_._3).take(15).foreach { case (id, d, ms) =>
           println(f"  job $id%4d ${ms}%6d ms  ${d.take(90)}") }
+        val stages = stageLog.toArray(Array.empty[(Int, Int, Long, Long, String)])
+        val (nst, ntask) = (stages.length, stages.map(_._2).sum)
+        println(f"  stages: $nst, tasks: $ntask, " +
+          f"stageWall ${stages.map(_._3).sum} ms, taskRun ${stages.map(_._4).sum} ms")
+        stages.sortBy(-_._4).take(10).foreach { case (id, n, w, r, nm) =>
+          println(f"  stage $id%4d wall $w%5d ms run $r%6d ms tasks $n%3d  $nm") }
       }
       if (explain || plansTo.isDefined) {
         val df = q.fn(spark, sfDir)

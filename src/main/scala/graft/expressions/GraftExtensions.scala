@@ -78,7 +78,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => ArrayPairsLong(children.head)),
     (FunctionIdentifier("graft_cross_long"),
       new ExpressionInfo(classOf[CrossPairsLong].getName, "graft_cross_long"),
-      (children: Seq[Expression]) => CrossPairsLong(children.head, children(1))))
+      (children: Seq[Expression]) => CrossPairsLong(children.head, children(1))),
+    (FunctionIdentifier("graft_max_any"),
+      new ExpressionInfo(classOf[MaxAny].getName, "graft_max_any"),
+      (children: Seq[Expression]) => MaxAny(children.head)),
+    (FunctionIdentifier("graft_min_any"),
+      new ExpressionInfo(classOf[MinAny].getName, "graft_min_any"),
+      (children: Seq[Expression]) => MinAny(children.head)))
 
   /** Idempotently register the functions (and the CartesianGuard
     * optimizer rule, via the runtime `extraOptimizations` hook) on an

@@ -378,9 +378,14 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
                           onRound: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
-    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint(false)
+    // stationary symmetrized edges pre-partitioned+sorted on the
+    // per-round join key (r15 opt): each round re-joins sym on dst and a
+    // plain localCheckpoint forgets its layout under AQE, re-shuffling
+    // the edge list every round
+    val sym = org.apache.spark.sql.graft.GraftSqlBridge.localCheckpointByKey(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))),
+      Seq("dst"))
     val init = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint(false)

@@ -137,6 +137,7 @@ object GraphOps {
   def boruvkaMst(edges0: DataFrame, aCol: String, bCol: String, wCol: String,
                  maxRounds: Int = 48,
                  onRound: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+    graft.expressions.GraftExtensions.register(edges0.sparkSession)
     val edges = edges0.select(col(aCol).cast("long").as("a"),
         col(bCol).cast("long").as("b"), col(wCol).cast("long").as("w"))
       .filter(col("a") =!= col("b"))
@@ -158,7 +159,7 @@ object GraphOps {
           col("ca"), col("cb")).as("e"))
         .unionByName(ec.select(col("cb").as("g"), struct(col("w"), col("a"), col("b"),
           col("ca"), col("cb")).as("e")))
-        .groupBy("g").agg(min("e").as("e"))
+        .groupBy("g").agg(call_function("graft_min_any", col("e")).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"),
           col("e.ca").as("ca"), col("e.cb").as("cb"))
         .distinct()
@@ -203,8 +204,11 @@ object GraphOps {
   def bfsDistances(edges0: DataFrame, srcCol: String, dstCol: String,
                    sources: DataFrame, idCol: String,
                    maxIter: Int = 30): DataFrame = {
-    val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(false)
+    // stationary edge list pre-partitioned+sorted on the join key (r15
+    // opt): each round's frontier join then moves only frontier rows
+    val edges = org.apache.spark.sql.graft.GraftSqlBridge.localCheckpointByKey(
+      edges0.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct(),
+      Seq("src"))
     val init = sources.select(col(idCol).as("id")).distinct()
       .select(col("id"), lit(0L).as("dist"), lit(true).as("_fr"))
       .localCheckpoint(false)
@@ -309,10 +313,19 @@ object GraphOps {
       .union(edges.select(col("dst").as("id")))
       .distinct().localCheckpoint(false)
     // self-loops carry the self-vote through the same join as
-    // neighbor votes — one code path, and the oracle mirrors it
-    val voteEdges = edges
-      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
-      .localCheckpoint(false)
+    // neighbor votes — one code path, and the oracle mirrors it.
+    // Checkpointed PRE-PARTITIONED+SORTED on the join key (r15 opt):
+    // the stationary edge list is re-joined every round, and a plain
+    // localCheckpoint forgets its layout under AQE — this keeps the
+    // per-round join from re-exchanging (and re-sorting) the big side;
+    // only the one-row-per-node label frame moves each round.
+    val voteEdges = org.apache.spark.sql.graft.GraftSqlBridge.localCheckpointByKey(
+      edges.union(nodes.select(col("id").as("src"), col("id").as("dst"))),
+      Seq("src"))
+    // graft_max_any: max(struct) is the deterministic argmax, but a
+    // struct-typed buffer silently forces SortAggregate (two sorts per
+    // round); the typed-imperative twin hash-aggregates it (r15 opt)
+    graft.expressions.GraftExtensions.register(edges0.sparkSession)
     FixpointLoop.iterateUntilFixpoint(
         nodes.select(col("id"), col("id").as("lab")),
         rounds, "labelPropagation", requireConvergence = false) { cur =>
@@ -321,7 +334,7 @@ object GraphOps {
       val next = votes
         .select(col("dst").as("id"),
           struct(col("_cnt"), (-col("lab")).as("_nl")).as("_v"))
-        .groupBy("id").agg(max("_v").as("_v"))
+        .groupBy("id").agg(call_function("graft_max_any", col("_v")).as("_v"))
         .select(col("id"), (-col("_v._nl")).as("lab"))
         .localCheckpoint(false)
       (next, false)
@@ -347,10 +360,13 @@ object GraphOps {
   def ssspDistances(edges0: DataFrame, srcCol: String, dstCol: String,
                     wCol: String, sources: DataFrame, idCol: String,
                     maxIter: Int = 30): DataFrame = {
-    val edges = edges0
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).as("w"))
-      .groupBy("src", "dst").agg(min("w").as("w"))
-      .localCheckpoint(false)
+    // stationary edge list pre-partitioned+sorted on the join key (r15
+    // opt): per-round relaxation joins move only the frontier side
+    val edges = org.apache.spark.sql.graft.GraftSqlBridge.localCheckpointByKey(
+      edges0
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).as("w"))
+        .groupBy("src", "dst").agg(min("w").as("w")),
+      Seq("src"))
     val init = sources.select(col(idCol).as("id")).distinct()
       .select(col("id"), lit(0L).as("dist"), lit(true).as("_fr"))
       .localCheckpoint(false)
@@ -377,8 +393,10 @@ object GraphOps {
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
                iters: Int, d: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(false)
+    // stationary edge list pre-partitioned+sorted on the join key (r15 opt)
+    val edges = org.apache.spark.sql.graft.GraftSqlBridge.localCheckpointByKey(
+      edges0.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct(),
+      Seq("src"))
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .distinct().localCheckpoint(false)

@@ -263,7 +263,8 @@ object Similarity {
            """).as("_best"))
     local.filter(col("_best.nb") >= 0)
       .groupBy(col("_id"))
-      .agg(max(struct(col("_best.cos").as("cos"), (-col("_best.nb")).as("negnb"))).as("_m"))
+      .agg(call_function("graft_max_any",
+        struct(col("_best.cos").as("cos"), (-col("_best.nb")).as("negnb"))).as("_m"))
       .select(col("_id").as(idCol), (-col("_m.negnb")).as("nb"), col("_m.cos").as("cos"))
   }
 
@@ -349,7 +350,8 @@ object Similarity {
       .groupBy("_id", "_nb").agg(first("cos").as("cos")) // dedup multi-table hits
     val top1 = cand
       .groupBy(col("_id"))
-      .agg(max(struct(col("cos"), (-col("_nb")).as("negnb"))).as("_m"))
+      .agg(call_function("graft_max_any",
+        struct(col("cos"), (-col("_nb")).as("negnb"))).as("_m"))
       .select(col("_id").as(idCol), (-col("_m.negnb")).as("nb"), col("_m.cos").as("cos"))
     mutualFromTop1(top1, idCol)
   }

@@ -879,8 +879,12 @@ object StatQueries {
         .union(cu.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("a")))
         .localCheckpoint(false)
+      // broadcast the vector (exactly d rows — bounded by the embedding
+      // SCHEMA, not the corpus): each of the 13 muls is then a map-side
+      // hash join + one tiny groupBy instead of exchanging amat and v
+      // every round (r15 opt)
       def mul(v: org.apache.spark.sql.DataFrame) =
-        amat.join(v.select(col("i").as("j"), col("v")), Seq("j"))
+        amat.join(broadcast(v.select(col("i").as("j"), col("v"))), Seq("j"))
           .groupBy("i")
           .agg((sum(expr("CAST(round(a * v * 1e15) AS BIGINT)"))
             .cast("double") / 1e15).as("w"))
@@ -2332,9 +2336,12 @@ object StatQueries {
         .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2)
-      val edges = p0.select(col("pa").as("src"), col("pb").as("dst"))
-        .unionByName(p0.select(col("pb").as("src"), col("pa").as("dst")))
-        .localCheckpoint(false) // 12 traversal joins
+      // 12 traversal joins on src — pre-partitioned+sorted checkpoint
+      // (r15 opt) so only the per-level frontier frames move per round
+      val edges = org.apache.spark.sql.graft.GraftSqlBridge.localCheckpointByKey(
+        p0.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionByName(p0.select(col("pb").as("src"), col("pa").as("dst"))),
+        Seq("src"))
       val seeds = edges.select(col("src").as("v")).distinct()
         .filter(pmod(col("v"), lit(97)) === 0)
       // forward: exact shortest-path counts per (source, node, level)

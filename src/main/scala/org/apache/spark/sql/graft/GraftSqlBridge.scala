@@ -20,4 +20,69 @@ object GraftSqlBridge {
 
   def expr(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Local checkpoint that KEEPS a hash partitioning (and optionally a
+    * per-partition sort) visible to the planner.
+    *
+    * `Dataset.localCheckpoint` is supposed to carry the physical plan's
+    * partitioning into the resulting LogicalRDD, but with AQE enabled
+    * the executed plan is an AdaptiveSparkPlanExec whose
+    * outputPartitioning reads UnknownPartitioning — so EVERY
+    * checkpointed frame in this engine forgets its layout and any
+    * downstream join/groupBy re-shuffles it (PartitionPreserveSpec pins
+    * the behavior). For iterative loops whose big stationary side is
+    * re-joined every round, that is one avoidable full exchange (and
+    * SMJ sort) of the edge list per round.
+    *
+    * This helper repartitions by `keys` with an EXPLICIT partition
+    * count (a user-pinned count is exempt from AQE coalescing, so the
+    * produced layout is exactly HashPartitioning(keys, n)), optionally
+    * sorts within partitions by the same keys, materializes a local
+    * checkpoint, and wraps the RDD in a LogicalRDD that DECLARES that
+    * partitioning/ordering. Declaring the layout the shuffle provably
+    * produced is sound at any scale; it is the same claim
+    * LogicalRDD.fromDataset makes when AQE is off.
+    */
+  /** Conf key: target rows per partition for size-derived checkpoint
+    * layouts. ~4M skinny rows ≈ 64-128 MB — the guide's partition-size
+    * band; the partition count then scales with the DATA, not with a
+    * local core count or a cluster constant.
+    */
+  val RowsPerPartitionKey = "spark.graft.checkpoint.rowsPerPartition"
+
+  def localCheckpointByKey(df: DataFrame, keys: Seq[String],
+                           sortWithin: Boolean = true,
+                           numPartitions: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // materialize the (possibly expensive) input subtree ONCE, then
+    // derive the partition count from its measured row count. A count
+    // pinned to the core count instead (the first r15 attempt) ran
+    // every tiny loop round as a 32x32 shuffle — ~1k shuffle-block
+    // FILES per exchange per round; thread dumps showed the executors
+    // in FileChannel map/unmap and file opens, not compute.
+    val pre = df.localCheckpoint(false)
+    val n = numPartitions.getOrElse {
+      val rows = pre.count()
+      val perPart = spark.conf.get(RowsPerPartitionKey, "4000000").toLong
+      val cap = spark.sessionState.conf.numShufflePartitions.toLong * 64
+      math.max(1L, math.min((rows + perPart - 1) / perPart, cap)).toInt
+    }
+    val re = pre.repartition(n, keys.map(col): _*)
+    val prepared =
+      if (sortWithin) re.sortWithinPartitions(keys.map(col): _*) else re
+    val ds = prepared.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy()).localCheckpoint()
+    val output = ds.queryExecution.analyzed.output
+    val resolver = spark.sessionState.conf.resolver
+    val keyAttrs = keys.map(k => output.find(a => resolver(a.name, k)).getOrElse(
+      throw new IllegalArgumentException(s"localCheckpointByKey: unknown column $k")))
+    val part = HashPartitioning(keyAttrs, n)
+    val ordering =
+      if (sortWithin) keyAttrs.map(a => SortOrder(a, Ascending)) else Seq.empty
+    ofRows(spark, org.apache.spark.sql.execution.LogicalRDD(
+      output, rdd, part, ordering, isStreaming = false)(spark))
+  }
 }
