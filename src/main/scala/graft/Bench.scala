@@ -22,6 +22,7 @@ object Bench {
       // is tens of MB per task at ANY scale factor or cluster size; the
       // fallback still protects truly unbounded group counts.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      .config("spark.local.dir", GraftSession.fastLocalDir)
       .config("spark.sql.warehouse.dir", "/tmp/graft_bench_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

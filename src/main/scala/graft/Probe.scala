@@ -39,6 +39,7 @@ object Probe {
       // is tens of MB per task at ANY scale factor or cluster size; the
       // fallback still protects truly unbounded group counts.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      .config("spark.local.dir", GraftSession.fastLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftExtensions.register(spark)

@@ -134,6 +134,23 @@ object Tables {
     } else spark.read.schema(schemas(name)).parquet(path)
   }
 
+  /** doc_id as a cluster-fanned Dataset[Long] — the input every
+    * synthetic-log/file GENERATOR flatMaps over. Locally the documents
+    * table is one small parquet split, so a generator that multiplies
+    * each id into 10-50 synthetic lines (and the JSON/binary parse
+    * downstream of it) otherwise runs as ONE task regardless of core
+    * count. A deterministic hash repartition of the bare ids (8 bytes
+    * per document — bounded at any scale) fans the generator out; the
+    * explicit partition count keeps AQE from coalescing it back to one.
+    */
+  def docIdsFanned(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[Long] = {
+    import org.apache.spark.sql.functions.col
+    load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+  }
+
   private val tsInferred =
     new java.util.concurrent.ConcurrentHashMap[String, DataType]()
 }

@@ -25,6 +25,7 @@ object Verify {
       // is tens of MB per task at ANY scale factor or cluster size; the
       // fallback still protects truly unbounded group counts.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      .config("spark.local.dir", GraftSession.fastLocalDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -2016,8 +2016,7 @@ object CorpusQueries {
   val q343 = Q("q343_chat_template_audit",
     (s, dir) => {
       import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val k = (id % 12).toInt

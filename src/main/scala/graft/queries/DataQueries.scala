@@ -1028,7 +1028,7 @@ object DataQueries {
     */
   private def synthPngPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val (w, h, f) = synthCard(id)
@@ -1334,7 +1334,7 @@ object DataQueries {
     */
   private def synthWavPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val (sr, samples) = synthWave(id)
@@ -1424,7 +1424,7 @@ object DataQueries {
     */
   private def synthAviPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val k = (id % 50).toInt
@@ -1484,7 +1484,7 @@ object DataQueries {
     */
   private def synthAdpcmPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val k = (id % 50).toInt
@@ -1564,7 +1564,7 @@ object DataQueries {
     */
   private def synthMjpegPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val k = (id % 50).toInt
@@ -1626,7 +1626,7 @@ object DataQueries {
     */
   private def synthRle8Payloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val k = (id % 50).toInt
@@ -1702,7 +1702,7 @@ object DataQueries {
     */
   private def synthMulawPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val k = (id % 50).toInt
@@ -1838,7 +1838,7 @@ object DataQueries {
   val q195 = Q("q195_alaw_decode",
     (s, dir) => {
       import s.implicits._
-      val gz = Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val gz = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val k = (id % 50).toInt
@@ -2326,7 +2326,7 @@ object DataQueries {
     */
   private def synthMp3Payloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val k = (id % 50).toInt
@@ -2395,7 +2395,7 @@ object DataQueries {
     */
   private def synthAdtsPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val k = (id % 50).toInt
@@ -2465,7 +2465,7 @@ object DataQueries {
     */
   private def synthNalPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val k = (id % 50).toInt
@@ -2531,7 +2531,7 @@ object DataQueries {
     */
   private def synthBmffPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         val brands = Array("isom", "mp42", "avc1", "M4A ")
         it.map { id =>
@@ -2584,7 +2584,7 @@ object DataQueries {
     */
   private def synthWarcPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val k = (id % 50).toInt
@@ -2655,7 +2655,7 @@ object DataQueries {
     */
   private def synthTarPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val k = (id % 50).toInt
@@ -2808,7 +2808,7 @@ object DataQueries {
     */
   private def synthOggPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val k = (id % 50).toInt
@@ -2877,7 +2877,7 @@ object DataQueries {
     */
   private def synthZipPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val k = (id % 50).toInt
@@ -3021,8 +3021,7 @@ object DataQueries {
   val q337 = Q("q337_flac_info",
     (s, dir) => {
       import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           val rates = Array(8000, 16000, 22050, 24000, 32000, 44100, 48000)
           it.map { id =>
@@ -3081,8 +3080,7 @@ object DataQueries {
   val q339 = Q("q339_exif_census",
     (s, dir) => {
       import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val k = (id % 60).toInt
@@ -3231,7 +3229,7 @@ object DataQueries {
     */
   private def synthTfRecordPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val k = (id % 50).toInt
@@ -3308,7 +3306,7 @@ object DataQueries {
   private def synthSafeTensorsPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dtypes = Array("F32", "F16", "I8")
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val k = (id % 50).toInt
@@ -3393,7 +3391,7 @@ object DataQueries {
   private def synthGgufPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val archs = Array("llama", "gpt2", "phi3")
-    Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    Tables.docIdsFanned(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val k = (id % 50).toInt
@@ -3985,8 +3983,7 @@ object DataQueries {
   val q367 = Q("q367_ogg_codec_census",
     (s, dir) => {
       import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val k = (id % 50).toInt
@@ -4041,8 +4038,7 @@ object DataQueries {
   val q370 = Q("q370_utf8_census",
     (s, dir) => {
       import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val k = (id % 50).toInt
@@ -4111,8 +4107,7 @@ object DataQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.OggOps
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val k = (id % 50).toInt
@@ -4192,8 +4187,7 @@ object DataQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.ZstdOps
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val k = (id % 50).toInt
@@ -4272,8 +4266,7 @@ object DataQueries {
   val q374 = Q("q374_webp_census",
     (s, dir) => {
       import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val w = graft.operators.WebpOps

@@ -39,8 +39,7 @@ object FormatQueries {
   val q377 = Q("q377_parquet_footer_census",
     (s, dir) => {
       import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val nCols = 1 + (id % 4).toInt
@@ -131,8 +130,7 @@ object FormatQueries {
   val q378 = Q("q378_avro_ocf_census",
     (s, dir) => {
       import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val codec = Seq("null", "deflate", "snappy", "zstandard")((id % 4).toInt)
@@ -214,8 +212,7 @@ object FormatQueries {
   val q379 = Q("q379_tfexample_census",
     (s, dir) => {
       import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val ops = graft.operators.TfRecordOps
@@ -278,8 +275,7 @@ object FormatQueries {
   val q380 = Q("q380_zone_map_pruning",
     (s, dir) => {
       import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val nRgs = 1 + (id % 4).toInt
@@ -360,8 +356,7 @@ object FormatQueries {
   val q381 = Q("q381_orc_tail_census",
     (s, dir) => {
       import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val base = graft.operators.OrcOps.encodeSynthetic(
@@ -439,8 +434,7 @@ object FormatQueries {
   val q385 = Q("q385_orc_stripe_stats",
     (s, dir) => {
       import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val nc = 1 + (id % 4).toInt
@@ -516,8 +510,7 @@ object FormatQueries {
   val q388 = Q("q388_orc_zone_prune",
     (s, dir) => {
       import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val ns = 1 + (id % 3).toInt
@@ -586,8 +579,7 @@ object FormatQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.Lz4Ops
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val a = 5 + (id % 7).toInt
@@ -708,8 +700,7 @@ object FormatQueries {
   val q382 = Q("q382_snappy_framing_census",
     (s, dir) => {
       import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val base = graft.operators.SnappyFrameOps.encodeSynthetic(
@@ -796,8 +787,7 @@ object FormatQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.{SnappyFrameOps, SnappyRaw}
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val c = 1 + (id % 3).toInt
@@ -889,8 +879,7 @@ object FormatQueries {
       val treelessDict = ZstdOps.literalsHeader(3, 16, 10) ++
         Array[Byte](1, 0, 1, 0, 1, 0) ++
         Array[Byte](0x1a, 0x15, 0x10, 0x1f) ++ Array[Byte](0)
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val k = (id % 50).toInt
@@ -972,8 +961,7 @@ object FormatQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.ParquetFooter
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions(_.map { id =>
           val k = (id % 50).toInt
           val nRG = 1 + k % 3
@@ -1040,8 +1028,7 @@ object FormatQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.ParquetFooter
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions(_.map { id =>
           val k = (id % 50).toInt
           val nRG = 1 + k % 3
@@ -1111,8 +1098,7 @@ object FormatQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.NalCensus
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions(_.map { id =>
           val k = (id % 50).toInt
           val profile = if (k % 17 == 0 || k % 3 == 0) 100 else 66
@@ -1251,8 +1237,7 @@ object FormatQueries {
         Array[Byte]((h & 0xff).toByte, ((h >> 8) & 0xff).toByte,
           ((h >> 16) & 0xff).toByte) ++ stream ++ Array[Byte](0)
       }
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions { it =>
           it.map { id =>
             val k = (id % 50).toInt
@@ -1331,8 +1316,7 @@ object FormatQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.ParquetPages
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions(_.map { id =>
           val k = (id % 50).toInt
           val nRg = if (k % 7 == 0) 2 else 1
@@ -1423,8 +1407,7 @@ object FormatQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.Av1Obu
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions(_.map { id =>
           val k = (id % 50).toInt
           val p = k % 3
@@ -1515,8 +1498,7 @@ object FormatQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.ParquetPages
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions(_.map { id =>
           val k = (id % 50).toInt
           val n = 30 + k
@@ -1602,8 +1584,7 @@ object FormatQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.OrcData
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions(_.map { id =>
           val k = (id % 50).toInt
           val n = 40 + k
@@ -1669,8 +1650,7 @@ object FormatQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.OrcData
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions(_.map { id =>
           val k = (id % 50).toInt
           val n = 30 + k

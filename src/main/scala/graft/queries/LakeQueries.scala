@@ -38,8 +38,7 @@ object LakeQueries {
   val q392 = Q("q392_delta_log_census",
     (s, dir) => {
       import s.implicits._
-      val log = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val log = Tables.docIdsFanned(s, dir)
         .flatMap(k => graft.operators.DeltaLogOps.syntheticLog(k)
           .map { case (v, l) => (k, v, l) })
         .toDF("doc_id", "version", "line")
@@ -101,8 +100,7 @@ object LakeQueries {
   val q393 = Q("q393_delta_log_prune",
     (s, dir) => {
       import s.implicits._
-      val log = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val log = Tables.docIdsFanned(s, dir)
         .flatMap(k => graft.operators.DeltaLogOps.syntheticLog(k)
           .map { case (v, l) => (k, v, l) })
         .toDF("doc_id", "version", "line")
@@ -159,8 +157,7 @@ object LakeQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.{DeltaLogOps, IcebergOps}
-      val ids = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val ids = Tables.docIdsFanned(s, dir)
       val log = ids.flatMap(k => DeltaLogOps.syntheticLog(k)
           .map { case (v, l) => (k, v, l) })
         .toDF("doc_id", "version", "line")
@@ -258,8 +255,7 @@ object LakeQueries {
   val q398 = Q("q398_iceberg_manifest_census",
     (s, dir) => {
       import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions(_.map(id =>
           (id, graft.operators.IcebergOps.syntheticManifest(id % 50))))
         .toDF("doc_id", "payload")
@@ -324,8 +320,7 @@ object LakeQueries {
   val q399 = Q("q399_iceberg_manifest_prune",
     (s, dir) => {
       import s.implicits._
-      val synth = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val synth = Tables.docIdsFanned(s, dir)
         .mapPartitions(_.map(id =>
           (id, graft.operators.IcebergOps.syntheticManifest(id % 50))))
         .toDF("doc_id", "payload")
@@ -386,8 +381,7 @@ object LakeQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.DeltaLogOps
-      def lines(v: Long) = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      def lines(v: Long) = Tables.docIdsFanned(s, dir)
         .flatMap(k => DeltaLogOps.syntheticLog(k).collect {
           case (ver, l) if ver == v => (k, ver, l)
         })
@@ -422,8 +416,7 @@ object LakeQueries {
   val q405 = Q("q405_delta_deletion_vectors",
     (s, dir) => {
       import s.implicits._
-      val log = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val log = Tables.docIdsFanned(s, dir)
         .flatMap(k => graft.operators.DeltaLogOps.syntheticLogDv(k)
           .map { case (v, l) => (k, v, l) })
         .toDF("doc_id", "version", "line")
@@ -476,8 +469,7 @@ object LakeQueries {
   val q406 = Q("q406_iceberg_positional_deletes",
     (s, dir) => {
       import s.implicits._
-      val ids = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val ids = Tables.docIdsFanned(s, dir)
       val files = ids.flatMap { id =>
         val k = id % 50
         (0 until (2 + k % 4).toInt).map(i => (id, s"d$i.parquet", 10L + i))
@@ -528,8 +520,7 @@ object LakeQueries {
   val q408 = Q("q408_iceberg_equality_delete_bounds",
     (s, dir) => {
       import s.implicits._
-      val ids = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val ids = Tables.docIdsFanned(s, dir)
       val files = ids.flatMap { id =>
         val k = id % 50
         (0 until (2 + k % 4).toInt).map { i =>
@@ -589,8 +580,7 @@ object LakeQueries {
   val q412 = Q("q412_compaction_plan",
     (s, dir) => {
       import s.implicits._
-      val files = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val files = Tables.docIdsFanned(s, dir)
         .flatMap { id =>
           val k = id % 50
           (0 until (3 + k % 5).toInt).map(i =>
@@ -636,8 +626,7 @@ object LakeQueries {
   val q411 = Q("q411_hudi_timeline_census",
     (s, dir) => {
       import s.implicits._
-      val timeline = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val timeline = Tables.docIdsFanned(s, dir)
         .flatMap(id => graft.operators.HudiOps.syntheticTimeline(id % 50)
           .map { case (f, c) => (id, f, c) })
         .toDF("doc_id", "fname", "content")
@@ -695,8 +684,7 @@ object LakeQueries {
     (s, dir) => {
       import s.implicits._
       val cutoff = 1700000000000L
-      val log = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val log = Tables.docIdsFanned(s, dir)
         .flatMap { id =>
           val k = id % 50
           val n0 = (3 + k % 4).toInt
@@ -752,8 +740,7 @@ object LakeQueries {
   val q410 = Q("q410_delta_schema_evolution",
     (s, dir) => {
       import s.implicits._
-      val log = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val log = Tables.docIdsFanned(s, dir)
         .flatMap { id =>
           val k = id % 50
           val nC = (2 + k % 3).toInt
@@ -814,8 +801,7 @@ object LakeQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.{DeltaLogOps, IcebergOps}
-      val ids = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val ids = Tables.docIdsFanned(s, dir)
       val delta = DeltaLogOps.deletionVectorCensus(
           ids.flatMap(k => DeltaLogOps.syntheticLogDv(k)
             .map { case (v, l) => (k, v, l) })
@@ -939,8 +925,7 @@ object LakeQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.DeltaLogOps
-      val ids = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val ids = Tables.docIdsFanned(s, dir)
       val pointer = ids.flatMap(k =>
         DeltaLogOps.syntheticLastCheckpoint(k).map(j => (k, j)))
         .toDF("doc_id", "json")
@@ -997,8 +982,7 @@ object LakeQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.IcebergOps
-      val ids = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val ids = Tables.docIdsFanned(s, dir)
       val meta = ids.mapPartitions(_.map { id =>
         (id, IcebergOps.syntheticTable(id % 50)._1)
       }).toDF("doc_id", "meta_json")
@@ -1074,8 +1058,7 @@ object LakeQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.DeltaLogOps
-      val ids = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val ids = Tables.docIdsFanned(s, dir)
       val log = ids.flatMap { k =>
         DeltaLogOps.syntheticCheckpointed(k)._3
           .map { case (v, l) => (k, v, l) }
@@ -1163,8 +1146,7 @@ object LakeQueries {
   val q416 = Q("q416_delta_ckpt_layout",
     (s, dir) => {
       import s.implicits._
-      val raw = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val raw = Tables.docIdsFanned(s, dir)
         .mapPartitions(_.map { id =>
           val (files, claims, present, ptr) =
             DeltaLogOps.syntheticCheckpointLayout(id)
@@ -1250,8 +1232,7 @@ object LakeQueries {
   val q417 = Q("q417_hudi_mor_file_groups",
     (s, dir) => {
       import s.implicits._
-      val files = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val files = Tables.docIdsFanned(s, dir)
         .flatMap(k => HudiOps.syntheticMorFiles(k).map {
           case (fid, kind, ts, bytes, rows, ins, del) =>
             (k, fid, kind, ts, bytes, rows, ins, del)
@@ -1322,8 +1303,7 @@ object LakeQueries {
   val q418 = Q("q418_iceberg_snapshot_diff",
     (s, dir) => {
       import s.implicits._
-      val chain = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val chain = Tables.docIdsFanned(s, dir)
         .mapPartitions(_.map { k =>
           val (meta, lists, mans) = IcebergOps.syntheticSnapshotChain(k)
           (k, meta, lists, mans)
