@@ -70,9 +70,12 @@ object CurationPipeline {
     // survivors feed both the near-dup pair generation and the final
     // anti-join — without it the whole quality→language→dedup lineage
     // recomputes per reference
-    val exact = dedupKeepFirst(
+    // aggregate keep-first (r15 opt): idCol is unique, so the ordering
+    // is total per fingerprint group and the hash-aggregate form (no
+    // window sort) keeps exactly the same row
+    val exact = graft.operators.Relational.dedupKeepFirstAgg(
       scored.withColumn("_fp", TextAnalysis.contentFingerprint(col(textCol))),
-      Seq("_fp"), Seq(col(idCol).asc))
+      Seq("_fp"), Seq(idCol))
       .localCheckpoint(false)
     val nearDupLosers = Dedup.minhashLshPairs(exact, idCol, textCol,
         cfg.shingleWidth, cfg.minhashK, cfg.rowsPerBand, cfg.nearDupJaccard)

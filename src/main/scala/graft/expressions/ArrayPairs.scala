@@ -84,6 +84,38 @@ object ArrayPairsKernel {
   val pairType: DataType = ArrayType(StructType(Seq(
     StructField("a", LongType, nullable = false),
     StructField("b", LongType, nullable = false))), containsNull = false)
+
+  /** [[pairs]] for string arrays (values carried by reference). */
+  def pairsStr(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    require(n <= MaxElems,
+      s"graft_pairs_str: $n elements would expand to ~${n.toLong * n / 2} pairs" +
+        " - cap or chunk the group before the generator")
+    val xs = new Array[AnyRef](n)
+    var t = 0
+    while (t < n) { xs(t) = arr.getUTF8String(t); t += 1 }
+    val m = n.toLong * (n - 1) / 2
+    require(m <= Int.MaxValue, s"graft_pairs_str: $m pairs overflow one array")
+    val out = new Array[Any](m.toInt)
+    var w = 0
+    var i = 0
+    while (i < n - 1) {
+      val xi = xs(i)
+      var j = i + 1
+      while (j < n) {
+        out(w) = new GenericInternalRow(Array[Any](xi, xs(j)))
+        w += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  val pairStrType: DataType = ArrayType(StructType(Seq(
+    StructField("a", StringType, nullable = true),
+    StructField("b", StringType, nullable = true))), containsNull = false)
 }
 
 /** `graft_pairs_long(arr)` → array<struct<a:bigint, b:bigint>>:
@@ -110,6 +142,32 @@ case class ArrayPairsLong(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "graft_pairs_long"
+}
+
+/** `graft_pairs_str(arr)` → array<struct<a:string, b:string>>:
+  * index-ordered 2-combinations of a string array.
+  */
+case class ArrayPairsString(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayPairsKernel.pairStrType
+
+  override protected def nullSafeEval(a: Any): Any =
+    ArrayPairsKernel.pairsStr(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.expressions.ArrayPairsKernel.pairsStr($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayPairsString =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_pairs_str"
 }
 
 /** `graft_cross_long(a, b)` → array<struct<a:bigint, b:bigint>>: the

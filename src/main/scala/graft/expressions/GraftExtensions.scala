@@ -76,6 +76,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_pairs_long"),
       new ExpressionInfo(classOf[ArrayPairsLong].getName, "graft_pairs_long"),
       (children: Seq[Expression]) => ArrayPairsLong(children.head)),
+    (FunctionIdentifier("graft_pairs_str"),
+      new ExpressionInfo(classOf[ArrayPairsString].getName, "graft_pairs_str"),
+      (children: Seq[Expression]) => ArrayPairsString(children.head)),
     (FunctionIdentifier("graft_cross_long"),
       new ExpressionInfo(classOf[CrossPairsLong].getName, "graft_cross_long"),
       (children: Seq[Expression]) => CrossPairsLong(children.head, children(1))),

@@ -30,6 +30,28 @@ object Relational {
       .drop("_rn")
   }
 
+  /** Aggregate form of [[dedupKeepFirst]] for ASCENDING order columns:
+    * one hash aggregate (map-side partial, no per-partition sort)
+    * keeping the whole row that sorts first by `orderCols` within each
+    * key group — `graft_min_any` over `struct(orderCols…, payload…)`.
+    * Where `orderCols` ties, the remaining columns break the tie
+    * (deterministically), while the window form keeps an arbitrary
+    * tied row; the two coincide exactly when `orderCols` is a total
+    * order per group OR the caller only reads keys+order columns —
+    * the determinism contract keep-first callers owe either way.
+    */
+  def dedupKeepFirstAgg(df: DataFrame, keys: Seq[String],
+                        orderCols: Seq[String]): DataFrame = {
+    graft.expressions.GraftExtensions.register(df.sparkSession)
+    val payload = df.columns.toSeq.filterNot(c =>
+      keys.contains(c) || orderCols.contains(c))
+    val packed = struct((orderCols ++ payload).map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(call_function("graft_min_any", packed).as("_row"))
+      .select(keys.map(col) ++
+        (orderCols ++ payload).map(c => col(s"_row.$c").as(c)): _*)
+  }
+
   /** Sorted-distinct comma-join string aggregate (reference G1:
     * dags/flu_data_airflow_v2.py:335-336 — `", ".join(sorted(set(x)))`
     * with blank → sentinel). Map-side partial aggregation applies

@@ -47,11 +47,8 @@ object AnalyticsQueries {
       val pairs = items.groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
         .filter(size(col("ids")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-             i -> transform(slice(ids, i + 1, size(ids)),
-                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
-        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
+        .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2)
         .select("pa", "pb")
@@ -130,11 +127,8 @@ object AnalyticsQueries {
       val pairs = items.groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
         .filter(size(col("ids")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-             i -> transform(slice(ids, i + 1, size(ids)),
-                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
-        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
+        .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2)
         .select("pa", "pb")
@@ -1207,11 +1201,8 @@ object AnalyticsQueries {
       val pairs = items.groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
         .filter(size(col("ids")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-             i -> transform(slice(ids, i + 1, size(ids)),
-                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
-        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
+        .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2)
         .select("pa", "pb")
@@ -1767,11 +1758,8 @@ object AnalyticsQueries {
       val pairs = items.groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("p_brand"))).as("ids"))
         .filter(size(col("ids")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-             i -> transform(slice(ids, i + 1, size(ids)),
-                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
-        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .select(explode(call_function("graft_pairs_str", col("ids"))).as("p"))
+        .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
         .agg(count(lit(1)).as("nij"))
       val sym = pairs.select(col("pa").as("item"), col("pb").as("nbr"), col("nij"))
         .unionByName(pairs.select(col("pb").as("item"), col("pa").as("nbr"), col("nij")))

@@ -457,9 +457,13 @@ object CoreQueries {
     * deterministic — SURVEY §7.4 hard-part #1).
     */
   val q22 = Q("q22_dedup_keepfirst",
-    (s, dir) => dedupKeepFirst(t(s, dir, "lineitem"),
+    // aggregate keep-first (r15 opt): the output projects only
+    // key+order columns, so the hash-aggregate form (no window sort)
+    // is value-identical even where the order columns tie
+    (s, dir) => graft.operators.Relational.dedupKeepFirstAgg(
+        t(s, dir, "lineitem"),
         Seq("l_orderkey"),
-        Seq(col("l_linenumber").asc, col("l_partkey").asc, col("l_quantity").asc))
+        Seq("l_linenumber", "l_partkey", "l_quantity"))
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
       .orderBy("l_orderkey"),
     Some("""

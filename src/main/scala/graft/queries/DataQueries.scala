@@ -1922,15 +1922,17 @@ object DataQueries {
         .withColumnRenamed("id", "doc_id")
       val quality = docs.select(col("doc_id"),
         TA.qualityScore(col("text"), stopwords).as("q"))
+      // r15 opt: count + deterministic argmax in ONE hash aggregate
+      // (graft_max_any) instead of an exchange + sort + two windows;
+      // (q desc, doc_id asc) argmax ≡ max of struct(q, −doc_id)
       clusters.join(quality, Seq("doc_id"))
-        .withColumn("n_docs",
-          count(lit(1)).over(Window.partitionBy("cluster_id")))
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy("cluster_id")
-            .orderBy(col("q").desc, col("doc_id").asc)))
-        .filter(col("_rn") === 1)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"),
+          call_function("graft_max_any",
+            struct(col("q"), (-col("doc_id")).as("_nd"))).as("_m"))
         .select(col("cluster_id"), col("n_docs"),
-          col("doc_id").as("canonical_doc"), col("q").as("canonical_quality"))
+          (-col("_m._nd")).as("canonical_doc"),
+          col("_m.q").as("canonical_quality"))
         .orderBy("cluster_id")
     },
     Some(s"""

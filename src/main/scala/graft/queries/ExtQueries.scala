@@ -556,11 +556,8 @@ object ExtQueries {
         // singleton baskets produce no pairs — and sequence(1, 0)
         // DESCENDS in Spark, so they must not reach the enumerator
         .filter(size(col("ids")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-             i -> transform(slice(ids, i + 1, size(ids)),
-                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
-        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
+        .select(col("p.a").as("pa"), col("p.b").as("pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("pa"), col("pb"))
         .limit(20)
@@ -1884,16 +1881,14 @@ object ExtQueries {
     */
   val q163 = Q("q163_triangle_count",
     (s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
       val items = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val pairs = items.groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
         .filter(size(col("ids")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-             i -> transform(slice(ids, i + 1, size(ids)),
-                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
-        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
+        .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2)
         .select("pa", "pb")
@@ -1912,11 +1907,8 @@ object ExtQueries {
       val wedges = oriented.groupBy("u")
         .agg(sort_array(collect_list(col("w"))).as("ids"))
         .filter(size(col("ids")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-             i -> transform(slice(ids, i + 1, size(ids)),
-                  b -> struct(element_at(ids, i) AS x, b AS y))))""")).as("p"))
-        .select(col("p.x").as("pa"), col("p.y").as("pb"))
+        .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
+        .select(col("p.a").as("pa"), col("p.b").as("pb"))
       val tri = wedges.join(pairs, Seq("pa", "pb"))
         .groupBy().agg(count(lit(1)).as("n_triangles"))
       val stats = deg.groupBy().agg(
@@ -1968,11 +1960,8 @@ object ExtQueries {
       val pairCnt = items.groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
         .filter(size(col("ids")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-             i -> transform(slice(ids, i + 1, size(ids)),
-                  b -> struct(element_at(ids, i) AS pa, b AS pb))))""")).as("p"))
-        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
+        .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
         .agg(count(lit(1)).as("cab"))
         .filter(col("cab") >= 2)
       val itemCnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("ci"))
