@@ -336,7 +336,7 @@ object Dedup {
     // shingleHashes(shingles(text, n)) (DedupSimilaritySpec asserts it)
     // but without the interpreted HOF pipeline and per-shingle
     // hex→conv round-trip.
-    val hashed = df
+    val hashed = ScaleOps.fanIfNarrow(df, col(idCol))
       .select(keep :+
         call_function("graft_shingle_hashes", col(textCol), lit(n)).as("_sh"): _*)
       .localCheckpoint(false)
@@ -462,7 +462,7 @@ object Dedup {
       .distinct()
       .withColumn("_hit", lit(1))
     val evalSide = evalGrams
-    train
+    ScaleOps.fanIfNarrow(train, col(idCol))
       .select(col(idCol),
         explode(sh(col(textCol))).as("h"))
       .join(evalSide, Seq("h"), "left")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Scale mechanics that only matter beyond a single box: skew-salted
@@ -9,6 +9,25 @@ import org.apache.spark.sql.functions._
   * shuffle shape.
   */
 object ScaleOps {
+
+  /** Fan a frame out to the session's default parallelism when its
+    * source cannot split — single-row-group parquet (this repo's
+    * testdata), gzip, one tiny file — so a CPU-heavy kernel fused into
+    * the scan stage (shingle hashing, similarity verification) does
+    * not run single-threaded on a many-core host. A NO-OP whenever the
+    * plan already provides at least the default parallelism (any real
+    * multi-file corpus), so at scale no extra shuffle is paid; when it
+    * does fire, the exchange moves exactly the scanned rows once,
+    * keyed deterministically.
+    */
+  def fanIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    val spark = df.sparkSession
+    val want = spark.sparkContext.defaultParallelism
+    val have = df.queryExecution.toRdd.getNumPartitions
+    if (have >= math.min(want, 2)) df
+    else df.repartition(want, key)
+  }
+
 
   /** Equi-join where `big`'s key distribution is skewed: append a
     * deterministic salt (hash of the whole row, mod `salts`) to the big

@@ -670,9 +670,14 @@ object AnalyticsQueries {
   val q253 = Q("q253_jw_fuzzy_join",
     (s, dir) => {
       graft.expressions.GraftExtensions.register(s)
+      // pinned block-keyed repartition (r15 opt): the documents scan is
+      // one split locally and AQE coalesces the blocked self-join to a
+      // single task, serializing the O(pairs) Jaro-Winkler kernel; an
+      // explicit count keeps the join co-partitioned AND parallel
       val p = Tables.load(s, dir, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 48).as("t"),
           element_at(split(col("text"), " "), 1).as("blk"))
+        .repartition(s.sparkContext.defaultParallelism, col("blk"))
       val a = p.select(col("doc_id").as("da"), col("t").as("ta"), col("blk"))
       val b = p.select(col("doc_id").as("db"), col("t").as("tb"), col("blk"))
       a.join(b, "blk")

@@ -889,13 +889,18 @@ object StatQueries {
           .agg((sum(expr("CAST(round(a * v * 1e15) AS BIGINT)"))
             .cast("double") / 1e15).as("w"))
       val init = dims.select(col("i"), lit(0.125).as("v")).localCheckpoint(false)
+      // the norm rides a GLOBAL window over the d-row vector (d is
+      // bounded by the embedding SCHEMA, never the corpus) instead of
+      // a separate aggregate action + broadcast crossJoin — one Spark
+      // job per round instead of two, same exact quantized sum (r15)
       val vt = FixpointLoop.iterateUntilFixpoint(init, 12, "pcaPower",
           requireConvergence = false) { v =>
         val w = mul(v)
-        val nrm = w.agg(sum(expr("CAST(round(w * w * 1e15) AS BIGINT)")).as("nq"))
-        val next = w.crossJoin(broadcast(nrm))
+        val next = w
+          .withColumn("_nq", sum(expr("CAST(round(w * w * 1e15) AS BIGINT)"))
+            .over(Window.partitionBy()))
           .select(col("i"),
-            (col("w") / sqrt(col("nq").cast("double") / 1e15)).as("v"))
+            (col("w") / sqrt(col("_nq").cast("double") / 1e15)).as("v"))
           .localCheckpoint(false)
         (next, false)
       }
