@@ -22,6 +22,15 @@ object Bench {
       // is tens of MB per task at ANY scale factor or cluster size; the
       // fallback still protects truly unbounded group counts.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // Tiny iterative shuffles write R files PER MAP TASK on the
+      // bypass-merge path (default threshold 200 covers every reduce
+      // count this engine's fixpoint loops use); jstack sampling showed
+      // loop tasks inside BypassMergeSortShuffleWriter stream setup,
+      // not compute. Threshold 2 routes them to the serialized
+      // (Unsafe) writer: ONE file + index per map task. Shuffles with
+      // > 200 reducers (any real-scale exchange) never used bypass, so
+      // the setting is inert at cluster scale.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
       .config("spark.local.dir", GraftSession.fastLocalDir)
       .config("spark.sql.warehouse.dir", "/tmp/graft_bench_warehouse")
       .getOrCreate()
@@ -257,7 +266,11 @@ object Bench {
     // quiet-host calib is ~0.090 s (BASELINE.md); total_norm_sec rescales
     // the total to that reference so rounds compare across host load
     val norm = calib.filter(_ > 0).map(c => total * (0.090 / c))
-    val slowest = results.toSeq.sortBy(-_._2).take(5)
+    // top-20, not top-5 (r16, additive): the r15 PERF geomean covered
+    // only 2 queries because consecutive rounds' top-5 sets barely
+    // overlap; 20 entries ≈ +300 bytes on the one-line record and give
+    // the next round per-query round-over-round visibility
+    val slowest = results.toSeq.sortBy(-_._2).take(20)
       .map { case (k, v) => jstr(shortName(k)) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val line =

@@ -39,6 +39,15 @@ object Probe {
       // is tens of MB per task at ANY scale factor or cluster size; the
       // fallback still protects truly unbounded group counts.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // Tiny iterative shuffles write R files PER MAP TASK on the
+      // bypass-merge path (default threshold 200 covers every reduce
+      // count this engine's fixpoint loops use); jstack sampling showed
+      // loop tasks inside BypassMergeSortShuffleWriter stream setup,
+      // not compute. Threshold 2 routes them to the serialized
+      // (Unsafe) writer: ONE file + index per map task. Shuffles with
+      // > 200 reducers (any real-scale exchange) never used bypass, so
+      // the setting is inert at cluster scale.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
       .config("spark.local.dir", GraftSession.fastLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -46,7 +55,9 @@ object Probe {
     // per-job wall-clock listener: job id → (description-or-callsite, ms)
     val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long, String)]()
     val jobLog = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long)]()
-    var capture = false
+    // @volatile: written on the driver thread, read on the listener-bus
+    // thread — without it the third-run capture can miss/bleed events
+    @volatile var capture = false
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         if (capture) {

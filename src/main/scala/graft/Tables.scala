@@ -151,6 +151,22 @@ object Tables {
       .as[Long](org.apache.spark.sql.Encoders.scalaLong)
   }
 
+  /** [[docIdsFanned]] without the fan-out exchange — for generators
+    * whose downstream kernel is provably CHEAP per document (a ~100-
+    * sample WAV encode/decode, a few fixed-size frames), where the
+    * driver's record showed the unconditional repartition is pure
+    * overhead: a fixed exchange + stage barrier on a sub-second query
+    * (q178 0.11 → 0.23 s, perf_weak-flagged in round 15). Hot
+    * generators (JSON-log synthesis + parse, container walks) keep
+    * riding the fanned form.
+    */
+  def docIds(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[Long] = {
+    import org.apache.spark.sql.functions.col
+    load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+  }
+
   private val tsInferred =
     new java.util.concurrent.ConcurrentHashMap[String, DataType]()
 }

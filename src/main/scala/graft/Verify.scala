@@ -25,6 +25,15 @@ object Verify {
       // is tens of MB per task at ANY scale factor or cluster size; the
       // fallback still protects truly unbounded group counts.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // Tiny iterative shuffles write R files PER MAP TASK on the
+      // bypass-merge path (default threshold 200 covers every reduce
+      // count this engine's fixpoint loops use); jstack sampling showed
+      // loop tasks inside BypassMergeSortShuffleWriter stream setup,
+      // not compute. Threshold 2 routes them to the serialized
+      // (Unsafe) writer: ONE file + index per map task. Shuffles with
+      // > 200 reducers (any real-scale exchange) never used bypass, so
+      // the setting is inert at cluster scale.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
       .config("spark.local.dir", GraftSession.fastLocalDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -27,6 +27,22 @@ object ArrayPairsKernel {
     */
   val MaxElems = 65536
 
+  /** Loud null-element guard: `toLongArray` on an array carrying a
+    * null reads it as 0 (UnsafeArrayData) or NPEs (GenericArrayData) —
+    * either way silently wrong pairs. Current callers feed
+    * collect_list output (null-free), so this is a tripwire, not a
+    * hot-path cost: one O(n) bit scan before the O(n²) expansion.
+    */
+  private def requireNoNulls(arr: ArrayData, fn: String): Unit = {
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      require(!arr.isNullAt(i),
+        s"$fn: null element at index $i - pair expansion needs null-free arrays")
+      i += 1
+    }
+  }
+
   /** All index-ordered pairs (xᵢ, xⱼ), i < j, of one long array. */
   def pairs(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
@@ -34,6 +50,7 @@ object ArrayPairsKernel {
     require(n <= MaxElems,
       s"graft_pairs_long: $n elements would expand to ~${n.toLong * n / 2} pairs" +
         " - cap or chunk the group before the generator")
+    requireNoNulls(arr, "graft_pairs_long")
     val xs = arr.toLongArray()
     val m = n.toLong * (n - 1) / 2
     require(m <= Int.MaxValue, s"graft_pairs_long: $m pairs overflow one array")
@@ -63,6 +80,8 @@ object ArrayPairsKernel {
     if (m == 0) return new GenericArrayData(Array.empty[Any])
     require(n <= MaxElems && k <= MaxElems && m <= Int.MaxValue,
       s"graft_cross_long: $n x $k pairs overflow one array")
+    requireNoNulls(a, "graft_cross_long")
+    requireNoNulls(b, "graft_cross_long")
     val as = a.toLongArray()
     val bs = b.toLongArray()
     val out = new Array[Any](m.toInt)

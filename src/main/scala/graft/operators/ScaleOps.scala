@@ -14,18 +14,39 @@ object ScaleOps {
     * source cannot split — single-row-group parquet (this repo's
     * testdata), gzip, one tiny file — so a CPU-heavy kernel fused into
     * the scan stage (shingle hashing, similarity verification) does
-    * not run single-threaded on a many-core host. A NO-OP whenever the
-    * plan already provides at least the default parallelism (any real
-    * multi-file corpus), so at scale no extra shuffle is paid; when it
+    * not run single-threaded on a many-core host. A NO-OP when the
+    * frame is only SINGLE-partition-narrow; a 2+-partition source
+    * already parallelizes (and any real multi-file corpus provides
+    * full parallelism), so at scale no extra shuffle is paid. When it
     * does fire, the exchange moves exactly the scanned rows once,
     * keyed deterministically.
+    *
+    * Two r16 guards (both measured costs of the r15 form):
+    *  - a frame with a SHUFFLE upstream (join/aggregate/window/sort/
+    *    repartition) is left alone without even consulting its RDD:
+    *    its parallelism was already decided by shuffle partitioning +
+    *    AQE, and `queryExecution.toRdd` on an ADAPTIVE plan EXECUTES
+    *    every upstream query stage at plan-build time — work the
+    *    caller's own action then recomputes (q176 paid its whole
+    *    batch-curation subtree twice for a partition-count probe);
+    *  - the RDD probe runs only on narrow lineage (scan/localCheckpoint
+    *    + per-row ops), where toRdd materializes nothing.
     */
   def fanIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val spark = df.sparkSession
     val want = spark.sparkContext.defaultParallelism
-    val have = df.queryExecution.toRdd.getNumPartitions
-    if (have >= math.min(want, 2)) df
-    else df.repartition(want, key)
+    val shuffledUpstream = df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort | _: GlobalLimit |
+           _: RepartitionOperation | _: Deduplicate => true
+      case _ => false
+    }
+    if (shuffledUpstream) df
+    else {
+      val have = df.queryExecution.toRdd.getNumPartitions
+      if (have >= math.min(want, 2)) df
+      else df.repartition(want, key)
+    }
   }
 
 

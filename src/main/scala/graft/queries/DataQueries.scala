@@ -1334,7 +1334,10 @@ object DataQueries {
     */
   private def synthWavPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.docIdsFanned(s, dir)
+    // unfanned (r16): the WAV encode+decode is ~100 samples/doc — the
+    // fan-out exchange was pure fixed cost on these sub-second queries
+    // (q178 flagged perf_weak at 2.1x its frozen baseline in r15)
+    Tables.docIds(s, dir)
       .mapPartitions { it =>
         it.map { id =>
           val (sr, samples) = synthWave(id)

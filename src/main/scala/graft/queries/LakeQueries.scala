@@ -801,7 +801,12 @@ object LakeQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.{DeltaLogOps, IcebergOps}
-      val ids = Tables.docIdsFanned(s, dir)
+      // r16: FOUR generator pipelines flatMap over the same id set —
+      // materialize the fanned ids once (lazy local checkpoint) so one
+      // scan + one exchange feed all four as narrow stages. The r15
+      // form paid scan+repartition per pipeline; the driver's record
+      // flagged q407 at 2.1x its frozen baseline (0.56 → 1.19 s).
+      val ids = Tables.docIdsFanned(s, dir).localCheckpoint(false)
       val delta = DeltaLogOps.deletionVectorCensus(
           ids.flatMap(k => DeltaLogOps.syntheticLogDv(k)
             .map { case (v, l) => (k, v, l) })
@@ -1232,7 +1237,11 @@ object LakeQueries {
   val q417 = Q("q417_hudi_mor_file_groups",
     (s, dir) => {
       import s.implicits._
-      val files = Tables.docIdsFanned(s, dir)
+      // unfanned (r16): ≤9 tuples per doc straight into a keyed window
+      // — the downstream shuffle redistributes anyway, so the fan-out
+      // exchange was pure fixed cost (driver flagged q417 at 2.1x its
+      // frozen baseline)
+      val files = Tables.docIds(s, dir)
         .flatMap(k => HudiOps.syntheticMorFiles(k).map {
           case (fid, kind, ts, bytes, rows, ins, del) =>
             (k, fid, kind, ts, bytes, rows, ins, del)

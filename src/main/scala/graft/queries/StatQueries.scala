@@ -852,7 +852,6 @@ object StatQueries {
     */
   val q192 = Q("q192_pca_power",
     (s, dir) => {
-      import graft.operators.FixpointLoop
       val emb = Tables.load(s, dir, "embeddings")
       val dims = emb
         .select(posexplode(col("embedding")).as(Seq("i", "x")))
@@ -864,53 +863,94 @@ object StatQueries {
           call_function("graft_tri_products", col("embedding"))).as("p"))
         .select(col("p.i").as("i"), col("p.j").as("j"), col("p.pq").as("pq"))
         .groupBy("i", "j").agg(sum("pq").as("sxy"))
-      // consumers: amat (x2) and the trace
-      val cu = pq
-        .join(broadcast(dims.select(col("i"), col("sx").as("_sxi"), col("n"))), Seq("i"))
-        .join(broadcast(dims.select(col("i").as("j"), col("sx").as("_sxj"))), Seq("j"))
-        .select(col("i"), col("j"),
-          ((col("sxy").cast("double") / 1e9
-            - (col("_sxi").cast("double") / 1e9)
-              * (col("_sxj").cast("double") / 1e9) / col("n"))
-            / col("n")).as("a"))
-        .localCheckpoint(false)
-      // consumers: 12 iteration rounds + the final A·v
-      val amat = cu.select("i", "j", "a")
-        .union(cu.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("a")))
-        .localCheckpoint(false)
-      // broadcast the vector (exactly d rows — bounded by the embedding
-      // SCHEMA, not the corpus): each of the 13 muls is then a map-side
-      // hash join + one tiny groupBy instead of exchanging amat and v
-      // every round (r15 opt)
-      def mul(v: org.apache.spark.sql.DataFrame) =
-        amat.join(broadcast(v.select(col("i").as("j"), col("v"))), Seq("j"))
-          .groupBy("i")
-          .agg((sum(expr("CAST(round(a * v * 1e15) AS BIGINT)"))
-            .cast("double") / 1e15).as("w"))
-      val init = dims.select(col("i"), lit(0.125).as("v")).localCheckpoint(false)
-      // the norm rides a GLOBAL window over the d-row vector (d is
-      // bounded by the embedding SCHEMA, never the corpus) instead of
-      // a separate aggregate action + broadcast crossJoin — one Spark
-      // job per round instead of two, same exact quantized sum (r15)
-      val vt = FixpointLoop.iterateUntilFixpoint(init, 12, "pcaPower",
-          requireConvergence = false) { v =>
-        val w = mul(v)
-        val next = w
-          .withColumn("_nq", sum(expr("CAST(round(w * w * 1e15) AS BIGINT)"))
-            .over(Window.partitionBy()))
-          .select(col("i"),
-            (col("w") / sqrt(col("_nq").cast("double") / 1e15)).as("v"))
-          .localCheckpoint(false)
-        (next, false)
+      // r16: the iteration state is a d-row vector over a d×d matrix —
+      // bounded by the embedding WIDTH, never the corpus (d ≤ 4096
+      // enforced below, the VERDICT-r15 scale guard). Collect both
+      // aggregates once and run the 12 quantized rounds driver-side —
+      // the public RowMatrix.computePrincipalComponents shape:
+      // distribute the Gram accumulation (the only O(corpus) stage),
+      // iterate on the tiny matrix locally. Replaces 12 rounds of
+      // (broadcast build + join + groupBy + global window + local
+      // checkpoint) whose per-round JOB LATENCY, not compute, was the
+      // wall (driver record: 3.70 s at sf0.1 for d=64). The arithmetic
+      // below replicates the previous plan operation-for-operation —
+      // same double expression tree for a_ij, the same
+      // round-HALF_UP(x·1e15)→long quantization (Spark's Round on
+      // DoubleType is BigDecimal(x).setScale(0, HALF_UP)), exact long
+      // sums (order-free) — so the result is bit-identical; the
+      // DuckDB oracle replays all 12 rounds independently and gates it.
+      val dimRows = dims.select(col("i"), col("sx"), col("n")).collect()
+      val pqRows = pq.select(col("i").cast("long").as("i"),
+        col("j").cast("long").as("j"), col("sxy")).collect()
+      val d = dimRows.length
+      require(d <= 4096,
+        s"q192_pca_power: embedding dim $d exceeds the driver-side d*d bound")
+      val idx = dimRows.map(_.getLong(0)).sorted
+      val pos = idx.zipWithIndex.toMap
+      val sxA = new Array[Long](d)
+      val nA = new Array[Long](d)
+      dimRows.foreach { r =>
+        val p = pos(r.getLong(0)); sxA(p) = r.getLong(1); nA(p) = r.getLong(2)
       }
-      val lam = mul(vt).join(vt, Seq("i"))
-        .agg((sum(expr("CAST(round(w * v * 1e15) AS BIGINT)"))
-          .cast("double") / 1e15).as("l"))
-      val tr = cu.filter(col("i") === col("j"))
-        .agg((sum(expr("CAST(round(a * 1e15) AS BIGINT)"))
-          .cast("double") / 1e15).as("t"))
-      vt.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+      // Spark Round(double, 0) semantics, exactly
+      def rnd(x: Double): Long =
+        BigDecimal(x).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      val a = Array.ofDim[Double](d, d)
+      pqRows.foreach { r =>
+        val pi = pos(r.getLong(0)); val pj = pos(r.getLong(1))
+        val nI = nA(pi).toDouble
+        val v = (r.getLong(2).toDouble / 1e9
+          - (sxA(pi).toDouble / 1e9) * (sxA(pj).toDouble / 1e9) / nI) / nI
+        a(pi)(pj) = v
+        if (pi != pj) a(pj)(pi) = v
+      }
+      def mulQ(vec: Array[Double]): Array[Double] = {
+        val w = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          var acc = 0L
+          var j = 0
+          while (j < d) { acc += rnd(a(i)(j) * vec(j) * 1e15); j += 1 }
+          w(i) = acc.toDouble / 1e15
+          i += 1
+        }
+        w
+      }
+      var v = Array.fill(d)(0.125)
+      for (_ <- 1 to 12) {
+        val w = mulQ(v)
+        var nq = 0L
+        var i = 0
+        while (i < d) { nq += rnd(w(i) * w(i) * 1e15); i += 1 }
+        val nrm = math.sqrt(nq.toDouble / 1e15)
+        v = w.map(_ / nrm)
+      }
+      val w13 = mulQ(v)
+      var lq = 0L
+      var tq = 0L
+      var i = 0
+      while (i < d) {
+        lq += rnd(w13(i) * v(i) * 1e15)
+        tq += rnd(a(i)(i) * 1e15)
+        i += 1
+      }
+      val lam = lq.toDouble / 1e15
+      val tr = tq.toDouble / 1e15
+      // final rounding stays IN Spark expressions (round/±0.0 fold),
+      // so output formatting semantics are untouched
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("i",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("l",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](d)
+      idx.indices.foreach(p =>
+        rows.add(org.apache.spark.sql.Row(idx(p), v(p), lam, tr)))
+      s.createDataFrame(rows, schema)
         .select(col("i"),
           (round(col("v"), 6) + lit(0.0)).as("loading"), // fold -0.0
           round(col("l"), 6).as("eigenvalue"),
@@ -1110,6 +1150,21 @@ object StatQueries {
       // consumer)
       cs.groupBy("c").agg(count(lit(1)).as("dc"),
           call_function("graft_top_k_longs", col("sp"), lit(50)).as("ss"))
+        // r16: pin the EXPANSION stage's parallelism. The aggregated
+        // top-k buffers are byte-small (≤50 longs per customer), so
+        // AQE coalesced the post-exchange stage to 3 partitions — but
+        // that stage also runs the C(50,2) pair expansion + partial
+        // pair counts: 7.1 s of CPU measured on 3 tasks (2.47 s wall).
+        // An explicit (AQE-exempt) repartition of the tiny aggregated
+        // rows fans the CPU-dense stage to the cores; map-side top-k
+        // partials upstream are untouched. Bytes moved: one extra pass
+        // of |customers|·k longs — trivial beside the stage it fixes.
+        // Keyed on xxhash64(c), not c itself: partitioning by the
+        // groupBy key is recognized as already-satisfied and the
+        // exchange is ELIDED (observed in the r16 before-plan), which
+        // re-exposes the 3-task AQE coalesce. A deterministic hash of
+        // the key spreads identically and survives optimization.
+        .repartition(s.sparkContext.defaultParallelism, xxhash64(col("c")))
         // dc = 1 customers hold one supplier and expand to zero pairs,
         // but ANSI mode still evaluates w on their rows — and ln(1)=0
         // would divide by zero. The guard value never reaches a pair.
@@ -1975,6 +2030,11 @@ object StatQueries {
       val pairs = op
         .groupBy("o").agg(
           call_function("graft_top_k_longs", col("p"), lit(50)).as("ps"))
+        // r16: same pinned fan as q202 — the pair-expansion stage is
+        // CPU-dense over byte-small aggregated buffers, and AQE's
+        // byte-driven coalescing starves it of tasks (xxhash64 so the
+        // exchange isn't elided as same-key-as-groupBy)
+        .repartition(s.sparkContext.defaultParallelism, xxhash64(col("o")))
         .select(explode(call_function("graft_pairs_long", col("ps"))).as("pr"))
         .groupBy(col("pr.a").as("x"), col("pr.b").as("y"))
         .agg(count(lit(1)).as("support"))

@@ -50,6 +50,18 @@ object GraftSqlBridge {
     */
   val RowsPerPartitionKey = "spark.graft.checkpoint.rowsPerPartition"
 
+  /** Conf key: the parallelism FLOOR's minimum rows per partition. The
+    * r15 rows/4M derivation alone produced ONE partition for every
+    * sub-4M-row edge list, serializing each loop round's probe-side
+    * work on a many-core host (the driver measured q199 3.96 → 6.47 s
+    * and ANTI-scaling, 8 cores beating 32). The floor keeps cores busy
+    * — up to defaultParallelism partitions — but never slices below
+    * `minRowsPerPartition` rows each, so tiny loop states still avoid
+    * the 32×32 shuffle-file churn the size derivation exists to kill.
+    * At scale the rows/4M term dominates and the floor is inert.
+    */
+  val MinRowsPerPartitionKey = "spark.graft.checkpoint.minRowsPerPartition"
+
   def localCheckpointByKey(df: DataFrame, keys: Seq[String],
                            sortWithin: Boolean = true,
                            numPartitions: Option[Int] = None): DataFrame = {
@@ -67,8 +79,12 @@ object GraftSqlBridge {
     val n = numPartitions.getOrElse {
       val rows = pre.count()
       val perPart = spark.conf.get(RowsPerPartitionKey, "4000000").toLong
+      val minRows = spark.conf.get(MinRowsPerPartitionKey, "16384").toLong
       val cap = spark.sessionState.conf.numShufflePartitions.toLong * 64
-      math.max(1L, math.min((rows + perPart - 1) / perPart, cap)).toInt
+      val bySize = (rows + perPart - 1) / perPart
+      val floor = math.min(spark.sparkContext.defaultParallelism.toLong,
+        math.max(1L, (rows + minRows - 1) / minRows))
+      math.max(floor, math.min(bySize, cap)).toInt
     }
     val re = pre.repartition(n, keys.map(col): _*)
     val prepared =
