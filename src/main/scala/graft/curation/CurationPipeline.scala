@@ -61,7 +61,12 @@ object CurationPipeline {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config(),
              evalDocs: Option[DataFrame] = None): DataFrame = {
-    val scored = docs
+    // r16: the per-row scoring (quality + language + fingerprint)
+    // fuses into the scan stage, and a single-row-group parquet source
+    // cannot split — the whole tokenize/score pass ran on ONE task
+    // (q173: 1.03 s single-task stage measured). fanIfNarrow is a
+    // no-op on any multi-split source, so at scale nothing is paid.
+    val scored = graft.operators.ScaleOps.fanIfNarrow(docs, col(idCol))
       .withColumn("_quality", TextAnalysis.qualityScore(col(textCol), cfg.stopwords))
       .withColumn("_lang", TextAnalysis.langId(col(textCol), cfg.markerSets))
       .filter(col("_quality") >= cfg.minQuality)

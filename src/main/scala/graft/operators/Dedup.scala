@@ -189,11 +189,18 @@ object Dedup {
     val buckets = sized.groupBy(bucketCols.map(col): _*)
       .agg(sort_array(collect_list(col(idCol))).as("_ids"))
     graft.expressions.GraftExtensions.register(df.sparkSession)
-    buckets
+    // r16: pin the expansion stage's parallelism — the aggregated
+    // bucket arrays are byte-small, so AQE coalesced the O(bucket²)
+    // pair explode onto 2 tasks (q114: 757 ms CPU on 2 tasks measured)
+    ScaleOps.fanExpansion(buckets, bucketCols.map(col): _*)
       // compiled pair kernel (r15 opt): the interpreted transform/slice
       // HOF chain copied the id-array tail once per outer index
       .select(explode(call_function("graft_pairs_long", col("_ids"))).as("_p"))
       .select(col("_p.a").as("id_a"), col("_p.b").as("id_b"))
+      // r16: the distinct's final aggregate merges the full pair
+      // stream and AQE starves it too (pair keys are byte-small);
+      // pinKeyed makes the distinct's own exchange AQE-exempt
+      .transform(d => ScaleOps.pinKeyed(d, col("id_a"), col("id_b")))
       .distinct() // one pair, however many buckets matched
   }
 
@@ -247,12 +254,18 @@ object Dedup {
         slice(col("_ids"), col("_ca") * chunk + 1, lit(chunk)).as("_ia"),
         slice(col("_ids"), col("_cb") * chunk + 1, lit(chunk)).as("_ib")): _*)
       // spread one bucket's chunk-pair grid across tasks — without this
-      // the bucket-key partitioning keeps the whole grid colocated
-      .repartition(bcols ++ Seq(col("_ca"), col("_cb")): _*)
+      // the bucket-key partitioning keeps the whole grid colocated.
+      // r16: explicit (AQE-exempt) count — the grid rows are byte-small
+      // and AQE coalesced the chunk² expansion onto 2-3 tasks (q128:
+      // 1.1 s CPU on 2 tasks measured)
+      .transform(d => ScaleOps.fanExpansion(d,
+        bcols ++ Seq(col("_ca"), col("_cb")): _*))
       .select(explode(
         when(col("_ca") < col("_cb"), cross) // id-ordered chunks ⇒ a < b already
           .otherwise(tri)).as("_p"))
       .select(col("_p.a").as("id_a"), col("_p.b").as("id_b"))
+      // r16: pin the distinct's own exchange (see bucketPairs)
+      .transform(d => ScaleOps.pinKeyed(d, col("id_a"), col("id_b")))
       .distinct() // one pair, however many buckets matched
   }
 
@@ -300,8 +313,7 @@ object Dedup {
           .when(size(col("_ia")) > 1, tri)
           .otherwise(array().cast("array<struct<id_a:long,id_b:long>>"))
       else cross
-    both
-      .repartition(carry.map(col) ++ Seq(col("_ca"), col("_cb")): _*)
+    ScaleOps.fanExpansion(both, carry.map(col) ++ Seq(col("_ca"), col("_cb")): _*)
       .select(carry.map(col) :+ explode(pairsCol).as("_p"): _*)
       .select(carry.map(col) ++ Seq(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b")): _*)
   }
@@ -351,6 +363,10 @@ object Dedup {
     cand
       .join(hashed.select(col(idCol).as("id_a"), col("_sh").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col(idCol).as("id_b"), col("_sh").as("sh_b")), Seq("id_b"))
+      // r16: pin the verification stage's parallelism — candidate keys
+      // are byte-small, so AQE coalesced the per-pair intersect-count
+      // onto 1-2 tasks (same starvation as q202's expansion)
+      .transform(d => ScaleOps.fanExpansion(d, col("id_a"), col("id_b")))
       .select(col("id_a"), col("id_b"), jaccardLongDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

@@ -44,9 +44,55 @@ object ScaleOps {
     if (shuffledUpstream) df
     else {
       val have = df.queryExecution.toRdd.getNumPartitions
-      if (have >= math.min(want, 2)) df
+      // fan whenever the frame is materially below the core count —
+      // a 2-3-partition checkpoint feeding a compiled CPU kernel is
+      // as starved as a single-partition scan (ADVICE r15); at scale
+      // any real multi-file source already clears want/2 and this is
+      // a no-op
+      if (have * 2 >= want) df
       else df.repartition(want, key)
     }
+  }
+
+  /** Pin a CPU-dense EXPANSION stage's parallelism. AQE sizes reduce
+    * stages by shuffle BYTES, so a stage whose input is byte-small but
+    * whose work is quadratic in it — pair/grid expansion over
+    * aggregated id arrays, per-tile similarity kernels — gets
+    * coalesced onto 2-6 tasks while carrying seconds of CPU (measured:
+    * q202's C(50,2) expansion ran 7.1 s of CPU on 3 tasks). An
+    * explicit partition count is AQE-EXEMPT, so the expansion keeps
+    * `max(defaultParallelism, spark.sql.shuffle.partitions)` tasks —
+    * the pre-coalesce granularity — at any scale; the extra exchange
+    * moves only the aggregated arrays once.
+    *
+    * Keyed on `xxhash64(keys)`, NOT the keys themselves: a repartition
+    * by the upstream groupBy key is recognized as already-satisfied
+    * and ELIDED by the optimizer (observed in the r16 q202 before-
+    * plan), silently re-exposing the starved stage.
+    */
+  def fanExpansion(df: DataFrame, keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    df.repartition(n, xxhash64(keys: _*))
+  }
+
+  /** [[fanExpansion]]'s sibling for a CPU-dense aggregate/window whose
+    * OWN exchange is the one AQE starves: an explicit-N repartition on
+    * the operator's exact key SATISFIES its clustering requirement, so
+    * no second exchange is added — the shuffle that was already there
+    * becomes AQE-EXEMPT and keeps `max(defaultParallelism,
+    * spark.sql.shuffle.partitions)` reduce tasks. Trade-off stated
+    * loudly: partial (map-side) aggregation no longer combines below
+    * the exchange — use ONLY where the key is near-unique (pair
+    * distincts, array-keyed group collapse), where map-side combining
+    * never removed anything anyway.
+    */
+  def pinKeyed(df: DataFrame, keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    df.repartition(n, keys: _*)
   }
 
 

@@ -47,7 +47,10 @@ object SetSimJoin {
     * Persisted (plan-keyed) — referenced by prefix generation, both
     * verify joins, and member expansion. */
   def groups(spark: SparkSession, docs: DataFrame): DataFrame =
-    docs.groupBy("hs")
+    // pinKeyed: the hs-keyed collapse exchange is AQE-starved (array
+    // keys hash/compare per row — CPU-dense, byte-small); hs is
+    // near-unique so map-side combining never helped (r16)
+    ScaleOps.pinKeyed(docs, col("hs")).groupBy("hs")
       .agg(min("doc_id").as("gid"),
         sort_array(collect_list(col("doc_id"))).as("members"),
         count(lit(1)).as("m"))
@@ -66,8 +69,12 @@ object SetSimJoin {
   def prefixes(groups: DataFrame, num: Int, den: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = groups.select(col("gid"), col("sz"), explode(col("hs")).as("h"))
-    tok
+    // pinKeyed ×2 (r16): both window exchanges carry byte-small token
+    // rows but CPU-dense window evaluation — AQE coalesced each onto
+    // 2-3 tasks (q128: 476 + 309 ms CPU measured)
+    ScaleOps.pinKeyed(tok, col("h"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .transform(d => ScaleOps.pinKeyed(d, col("gid")))
       .withColumn("rn",
         row_number().over(Window.partitionBy("gid").orderBy(col("df"), col("h"))))
       .filter(col("rn") <= col("sz") - expr(s"(sz * $num + $den - 1) div $den") + 1)
@@ -85,6 +92,12 @@ object SetSimJoin {
       .join(gSlim.select(col("gid").as("id_b"), col("hs").as("hb"),
         col("sz").as("sb"), col("members").as("mb")), "id_b")
       .filter(col("sa") * den >= col("sb") * num && col("sb") * den >= col("sa") * num)
+      // r16: pin the verification stage's parallelism — the candidate
+      // rows are byte-small keys so AQE coalesced the stage onto 2
+      // tasks, but it runs graft_intersect_count over the two shingle
+      // arrays per pair (q128: 1.4 s CPU on 2 tasks measured). The
+      // exchange moves each surviving pair's arrays once.
+      .transform(d => ScaleOps.fanExpansion(d, col("id_a"), col("id_b")))
       .withColumn("_it",
         call_function("graft_intersect_count", col("ha"), col("hb")).cast("long"))
       .filter(col("_it") * den >= (col("sa") + col("sb") - col("_it")) * num)

@@ -240,7 +240,17 @@ object Similarity {
     val spark = vectors.sparkSession
     graft.expressions.GraftExtensions.register(spark)
     val n = vectors.count()
-    val numChunks = math.max(1L, (n + chunkSize - 1) / chunkSize)
+    // r16: floor the chunk count near the core count — the tile join
+    // is keyed on _ck, so numChunks CAPS the stage's parallelism, and
+    // n/256 chunks put the whole O(|probes|·n) dot-product pass on a
+    // handful of tasks (q268: two ~450 ms single-task stages measured).
+    // At scale n/chunkSize dominates and the floor is inert; tiny
+    // chunks are avoided (≥16 rows each). Chunking granularity cannot
+    // change the result: per-tile bests combine through the same
+    // (cos, smallest-id) deterministic argmax.
+    val numChunks = math.max(
+      math.max(1L, (n + chunkSize - 1) / chunkSize),
+      math.min(2L * spark.sparkContext.defaultParallelism, (n + 15) / 16))
     def norm(df: DataFrame) = df.select(
       col(idCol).cast("long").as("_id"), col(vecCol).as("_vec"),
       sqrt(dotNative(col(vecCol), col(vecCol))).as("_nrm"))

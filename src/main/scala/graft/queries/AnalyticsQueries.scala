@@ -47,6 +47,10 @@ object AnalyticsQueries {
       val pairs = items.groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
         .filter(size(col("ids")) >= 2)
+        // r16: pin the basket-pair expansion's parallelism (AQE
+        // coalesces the byte-small basket arrays onto 2-3 tasks while
+        // the stage carries the O(basket²) explode + partial counts)
+        .transform(d => graft.operators.ScaleOps.fanExpansion(d, col("l_orderkey")))
         .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
         .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
         .agg(count(lit(1)).as("cnt"))
@@ -67,11 +71,14 @@ object AnalyticsQueries {
       val wedges = oriented.groupBy("u")
         .agg(sort_array(collect_list(col("w"))).as("ids"))
         .filter(size(col("ids")) >= 2)
-        .select(col("u"), explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-             i -> transform(slice(ids, i + 1, size(ids)),
-                  b -> struct(element_at(ids, i) AS x, b AS y))))""")).as("p"))
-        .select(col("u"), col("p.x").as("pa"), col("p.y").as("pb"))
+        // r16: pin the wedge-expansion parallelism + compiled pair
+        // kernel (the interpreted transform/slice HOF chain copied the
+        // id-array tail once per outer index — the same swap the other
+        // pair paths got in r15; explode keeps the u carry column)
+        .transform(d => graft.operators.ScaleOps.fanExpansion(d, col("u")))
+        .select(col("u"),
+          explode(call_function("graft_pairs_long", col("ids"))).as("p"))
+        .select(col("u"), col("p.a").as("pa"), col("p.b").as("pb"))
       val triNodes = wedges.join(pairs, Seq("pa", "pb"))
         .select(explode(array(col("u"), col("pa"), col("pb"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("t"))
@@ -127,6 +134,10 @@ object AnalyticsQueries {
       val pairs = items.groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
         .filter(size(col("ids")) >= 2)
+        // r16: pin the basket-pair expansion's parallelism (AQE
+        // coalesces the byte-small basket arrays onto 2-3 tasks while
+        // the stage carries the O(basket²) explode + partial counts)
+        .transform(d => graft.operators.ScaleOps.fanExpansion(d, col("l_orderkey")))
         .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
         .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
         .agg(count(lit(1)).as("cnt"))
@@ -1206,6 +1217,10 @@ object AnalyticsQueries {
       val pairs = items.groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
         .filter(size(col("ids")) >= 2)
+        // r16: pin the basket-pair expansion's parallelism (AQE
+        // coalesces the byte-small basket arrays onto 2-3 tasks while
+        // the stage carries the O(basket²) explode + partial counts)
+        .transform(d => graft.operators.ScaleOps.fanExpansion(d, col("l_orderkey")))
         .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
         .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
         .agg(count(lit(1)).as("cnt"))

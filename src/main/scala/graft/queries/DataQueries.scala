@@ -1918,7 +1918,11 @@ object DataQueries {
   val q114 = Q("q114_cluster_canonical",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.load(s, dir, "documents")
+      // r16: fan once for BOTH consumers — minhashLshPairs fans its
+      // own input anyway, and the quality-score pass otherwise fuses
+      // into a one-task scan (424 ms single-task stage measured)
+      val docs = graft.operators.ScaleOps.fanIfNarrow(
+        Tables.load(s, dir, "documents"), col("doc_id"))
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         n = 2, k = 12, rowsPerBand = 2, threshold = 0.2)
       val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -2744,14 +2748,29 @@ object DataQueries {
           expr("zip_with(slice(t, 1, greatest(size(t)-1, 0)), " +
             "slice(t, 2, greatest(size(t)-1, 0)), (a, b) -> concat(a, ' ', b))"))
           .as("fs"))
-      val f = feats.select(col("doc_id"), col("lang"), col("source"),
-        explode(col("fs")).as("f"))
+      // r16: the tokenize+explode+hash pass fused into the (unsplittable
+      // single-file) scan and ran FOUR times — once per consumer (cr,
+      // ct, tot, w), each a ~1-task stage: 0.5-1.7 s of CPU serialized
+      // per pass (measured). The doc rows are fanned BEFORE the explode
+      // (one exchange of per-doc token arrays), then one parallel pass
+      // feeds ONE (doc_id, b, tgt) census (tgt is doc-constant, so
+      // cnt-per-(doc_id,b) is unchanged by carrying it), checkpointed;
+      // all four consumers are exact integer rollups of it. Counting
+      // identity — same counts, same lambdas, same lr_nano sums; the
+      // oracle replays its own plan and hash-gates.
+      val f = graft.operators.ScaleOps.fanIfNarrow(feats, col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(col("fs")).as("f"))
         .withColumn("b", Hashing.hash64(col("f")) % 64)
       val isTarget = col("lang") === "en" && col("source") === "src0"
-      val cr = f.groupBy("b").agg(count(lit(1)).as("cr"))
-      val ct = f.filter(isTarget).groupBy("b").agg(count(lit(1)).as("ct"))
-      val tot = f.agg(count(lit(1)).as("R"),
-        sum(when(isTarget, 1L).otherwise(0L)).as("T"))
+      val base = f
+        .groupBy(col("doc_id"), col("b"), isTarget.as("tgt"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val cr = base.groupBy("b").agg(sum("cnt").as("cr"))
+      val ct = base.filter(col("tgt")).groupBy("b").agg(sum("cnt").as("ct"))
+      val tot = base.agg(sum("cnt").as("R"),
+        sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("T"))
       val lam = s.range(64).toDF("b")
         .join(cr, Seq("b"), "left").join(ct, Seq("b"), "left")
         .crossJoin(broadcast(tot))
@@ -2760,7 +2779,9 @@ object DataQueries {
               (CAST(coalesce(ct, 0) + 1 AS DOUBLE) * CAST(R + 64 AS DOUBLE)) /
               (CAST(coalesce(cr, 0) + 1 AS DOUBLE) * CAST(T + 64 AS DOUBLE))))
             AS BIGINT)""").as("lam"))
-      val w = f.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      // (doc_id determines tgt, so summing base's cnt per (doc_id, b)
+      // is the original per-(doc_id, b) feature count exactly)
+      val w = base.groupBy("doc_id", "b").agg(sum("cnt").as("cnt"))
         .join(broadcast(lam), Seq("b"))
         .groupBy("doc_id")
         .agg(sum(col("cnt") * col("lam")).as("lr_nano"))

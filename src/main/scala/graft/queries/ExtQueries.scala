@@ -161,7 +161,12 @@ object ExtQueries {
       // similarity is exactly where 31-bit collisions at >10M grams
       // show up as phantom intersections; the committed oracle replays
       // the 31-bit default, non-default widths are ShingleWidthSpec's
-      val docs = Tables.load(s, dir, "documents")
+      // r16: fan the (unsplittable single-file) scan before the
+      // shingle-hash kernel — the whole tokenize+hash pass otherwise
+      // fuses into a one-task scan stage; no-op on multi-split sources
+      val docs = graft.operators.ScaleOps.fanIfNarrow(
+          Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(col("doc_id"),
           sort_array(Dedup.shingleHashesWide(s, col("text"), 3)).as("hs"))
       graft.operators.SetSimJoin.pairs(s, docs, 6, 10).orderBy("id_a", "id_b")
@@ -556,6 +561,8 @@ object ExtQueries {
         // singleton baskets produce no pairs — and sequence(1, 0)
         // DESCENDS in Spark, so they must not reach the enumerator
         .filter(size(col("ids")) >= 2)
+        // r16: pin the expansion stage's parallelism (see ScaleOps)
+        .transform(d => graft.operators.ScaleOps.fanExpansion(d, col("l_orderkey")))
         .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
         .select(col("p.a").as("pa"), col("p.b").as("pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("cnt"))
@@ -1887,6 +1894,10 @@ object ExtQueries {
       val pairs = items.groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
         .filter(size(col("ids")) >= 2)
+        // r16: pin the basket-pair expansion's parallelism (AQE
+        // coalesces the byte-small basket arrays onto 2-3 tasks while
+        // the stage carries the O(basket²) explode + partial counts)
+        .transform(d => graft.operators.ScaleOps.fanExpansion(d, col("l_orderkey")))
         .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
         .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
         .agg(count(lit(1)).as("cnt"))
@@ -1907,6 +1918,8 @@ object ExtQueries {
       val wedges = oriented.groupBy("u")
         .agg(sort_array(collect_list(col("w"))).as("ids"))
         .filter(size(col("ids")) >= 2)
+        // r16: pin the wedge-expansion stage's parallelism (see ScaleOps)
+        .transform(d => graft.operators.ScaleOps.fanExpansion(d, col("u")))
         .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
         .select(col("p.a").as("pa"), col("p.b").as("pb"))
       val tri = wedges.join(pairs, Seq("pa", "pb"))
@@ -1960,6 +1973,10 @@ object ExtQueries {
       val pairCnt = items.groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
         .filter(size(col("ids")) >= 2)
+        // r16: pin the basket-pair expansion's parallelism (AQE
+        // coalesces the byte-small basket arrays onto 2-3 tasks while
+        // the stage carries the O(basket²) explode + partial counts)
+        .transform(d => graft.operators.ScaleOps.fanExpansion(d, col("l_orderkey")))
         .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
         .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
         .agg(count(lit(1)).as("cab"))

@@ -1164,7 +1164,7 @@ object StatQueries {
         // exchange is ELIDED (observed in the r16 before-plan), which
         // re-exposes the 3-task AQE coalesce. A deterministic hash of
         // the key spreads identically and survives optimization.
-        .repartition(s.sparkContext.defaultParallelism, xxhash64(col("c")))
+        .transform(d => graft.operators.ScaleOps.fanExpansion(d, col("c")))
         // dc = 1 customers hold one supplier and expand to zero pairs,
         // but ANSI mode still evaluates w on their rows — and ln(1)=0
         // would divide by zero. The guard value never reaches a pair.
@@ -2034,7 +2034,7 @@ object StatQueries {
         // CPU-dense over byte-small aggregated buffers, and AQE's
         // byte-driven coalescing starves it of tasks (xxhash64 so the
         // exchange isn't elided as same-key-as-groupBy)
-        .repartition(s.sparkContext.defaultParallelism, xxhash64(col("o")))
+        .transform(d => graft.operators.ScaleOps.fanExpansion(d, col("o")))
         .select(explode(call_function("graft_pairs_long", col("ps"))).as("pr"))
         .groupBy(col("pr.a").as("x"), col("pr.b").as("y"))
         .agg(count(lit(1)).as("support"))
@@ -2286,6 +2286,10 @@ object StatQueries {
       val pairs = items.groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
         .filter(size(col("ids")) >= 2)
+        // r16: pin the basket-pair expansion's parallelism (AQE
+        // coalesces the byte-small basket arrays onto 2-3 tasks while
+        // the stage carries the O(basket²) explode + partial counts)
+        .transform(d => graft.operators.ScaleOps.fanExpansion(d, col("l_orderkey")))
         .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
         .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
         .agg(count(lit(1)).as("cnt"))
