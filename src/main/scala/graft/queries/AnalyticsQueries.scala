@@ -1778,6 +1778,8 @@ object AnalyticsQueries {
       val pairs = items.groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("p_brand"))).as("ids"))
         .filter(size(col("ids")) >= 2)
+        // r16: pin the expansion stage's parallelism (see ScaleOps)
+        .transform(d => graft.operators.ScaleOps.fanExpansion(d, col("l_orderkey")))
         .select(explode(call_function("graft_pairs_str", col("ids"))).as("p"))
         .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
         .agg(count(lit(1)).as("nij"))

@@ -2397,6 +2397,8 @@ object StatQueries {
       val p0 = items.groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_partkey"))).as("ids"))
         .filter(size(col("ids")) >= 2)
+        // r16: pin the expansion stage's parallelism (see ScaleOps)
+        .transform(d => graft.operators.ScaleOps.fanExpansion(d, col("l_orderkey")))
         // compiled pair kernel instead of the interpreted HOF chain
         .select(explode(call_function("graft_pairs_long", col("ids"))).as("p"))
         .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
