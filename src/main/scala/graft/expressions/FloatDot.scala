@@ -6,7 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native dot product over two float-array columns.
+/** Native dot product over two numeric-array columns (each side
+  * independently array<float> or array<double> — r16 widened from
+  * float-only so double-dequant vectors and literal hyperplane arrays
+  * ride the same kernel).
   *
   * Semantically identical to
   * `aggregate(zip_with(a, b, (x,y) => double(x)*double(y)), 0.0, _+_)` —
@@ -21,14 +24,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class FloatDot(left: Expression, right: Expression)
   extends BinaryExpression {
 
+  private def elemOk(dt: DataType) = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def isDouble(dt: DataType) = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
+    val ok = Seq(left, right).forall(e => elemOk(e.dataType))
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
+      s"$prettyName requires two array<float|double> arguments, got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 
@@ -37,11 +46,15 @@ case class FloatDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xd = isDouble(left.dataType)
+    val yd = isDouble(right.dataType)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      acc += xv * yv
       i += 1
     }
     acc
@@ -52,11 +65,14 @@ case class FloatDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      def get(arr: String, dt: DataType) =
+        if (isDouble(dt)) s"$arr.getDouble($i)"
+        else s"((double) $arr.getFloat($i))"
       s"""
         int $n = java.lang.Math.min($x.numElements(), $y.numElements());
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+          $acc += ${get(x, left.dataType)} * ${get(y, right.dataType)};
         }
         ${ev.value} = $acc;
       """

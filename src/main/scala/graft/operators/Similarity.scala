@@ -81,9 +81,12 @@ object Similarity {
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val plane = array((1 to dim).map(d => lit(planeComponent(p, d))): _*)
-      val proj = aggregate(
-        zip_with(vec, plane, (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, v) => acc + v)
+      // r16: the compiled kernel (graft_dot now takes float|double
+      // sides) — the interpreted zip_with/aggregate fold boxed two
+      // lambdas per element, per plane, per row. Same left-to-right
+      // double fold, bit-identical projections; every call site
+      // registers GraftExtensions (checked).
+      val proj = dotNative(vec, plane)
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
@@ -104,9 +107,7 @@ object Similarity {
   def hyperplaneBucketSeeded(vec: Column, dim: Int, planes: Int, seed: String): Column = {
     val bits = (0 until planes).map { p =>
       val plane = array((1 to dim).map(d => lit(planeComponentSeeded(seed, p, d))): _*)
-      val proj = aggregate(
-        zip_with(vec, plane, (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dotNative(vec, plane) // r16: compiled, see hyperplaneBucket
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)

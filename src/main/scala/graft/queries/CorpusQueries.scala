@@ -978,7 +978,14 @@ object CorpusQueries {
   val q288 = Q("q288_set_cover",
     (s, dir) => {
       import s.implicits._
-      val tok = Tables.load(s, dir, "documents")
+      // r16: fan the unsplittable scan before the trigram build — the
+      // tokenize+explode+distinct map side was one task (562 ms CPU).
+      // Keyed on doc_id (unique), NOT source (a handful of values
+      // would leave most partitions empty)
+      val tok = graft.operators.ScaleOps.fanIfNarrow(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("text")),
+          col("doc_id"))
         .select(col("source"), graft.operators.TextAnalysis.tokens(col("text")).as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("source"), explode(expr(

@@ -1050,9 +1050,15 @@ object ExtQueries {
   val q146 = Q("q146_rrf_fusion",
     (s, dir) => {
       graft.expressions.GraftExtensions.register(s)
+      // r16: compiled kernel (graft_dot now accepts double arrays) —
+      // the interpreted zip_with/aggregate fold was ~1.1 s of
+      // single-task CPU here; same left-to-right double fold
       def foldDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-      val emb = Tables.load(s, dir, "embeddings")
+        Similarity.dotNative(x, y)
+      // r16: fan the unsplittable scan — both ranking passes fused
+      // into a one-task scan stage (1.1 s single-task CPU measured)
+      val emb = graft.operators.ScaleOps.fanIfNarrow(
+        Tables.load(s, dir, "embeddings"), col("vec_id"))
       val dq = {
         val sc = Similarity.int8Scale(col("embedding"))
         transform(Similarity.quantizeInt8(col("embedding"), sc),

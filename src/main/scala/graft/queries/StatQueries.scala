@@ -789,12 +789,18 @@ object StatQueries {
     */
   val q191 = Q("q191_cov_matrix",
     (s, dir) => {
-      val dims = Tables.load(s, dir, "embeddings")
+      // r16: fan the unsplittable scan ONCE (lazy checkpoint) — both
+      // Gram passes (per-dim sums + tri-products) otherwise fuse into
+      // a one-task scan stage: 1.85 s of CPU on a single task measured
+      val emb = graft.operators.ScaleOps.fanIfNarrow(
+        Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        col("vec_id")).localCheckpoint(false)
+      val dims = emb
         .select(posexplode(col("embedding")).as(Seq("i", "x")))
         .select(col("i").cast("long").as("i"),
           expr("CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)").as("xq"))
         .groupBy("i").agg(sum("xq").as("sx"), count(lit(1)).as("n"))
-      val pairs = Tables.load(s, dir, "embeddings")
+      val pairs = emb
         .select(explode(
           call_function("graft_tri_products", col("embedding"))).as("p"))
         .select(col("p.i").as("i"), col("p.j").as("j"), col("p.pq").as("pq"))
@@ -852,7 +858,11 @@ object StatQueries {
     */
   val q192 = Q("q192_pca_power",
     (s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
+      // r16: fan the unsplittable scan once for both Gram passes
+      // (same one-task fusion as q191)
+      val emb = graft.operators.ScaleOps.fanIfNarrow(
+        Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        col("vec_id")).localCheckpoint(false)
       val dims = emb
         .select(posexplode(col("embedding")).as(Seq("i", "x")))
         .select(col("i").cast("long").as("i"),
