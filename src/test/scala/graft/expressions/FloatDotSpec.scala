@@ -32,6 +32,38 @@ class FloatDotSpec extends SparkSpec {
     assert(out == 11.0)
   }
 
+  test("double arrays (each side independently) match the HOF fold exactly") {
+    // r16: the kernel widened from float-only to float|double per side
+    val df = Seq((Seq(1.5d, -2.25d, 3.125d), Seq(0.5f, 4.0f, -1.25f)))
+      .toDF("d", "f")
+    val hof = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val row = df.select(
+      (Similarity.dotNative(col("d"), col("d")) - hof(col("d"), col("d"))).as("dd"),
+      (Similarity.dotNative(col("d"), col("f")) - hof(col("d"), col("f"))).as("df"),
+      (Similarity.dotNative(col("f"), col("d")) - hof(col("f"), col("d"))).as("fd")).head
+    assert(row.getDouble(0) == 0.0 && row.getDouble(1) == 0.0 && row.getDouble(2) == 0.0)
+  }
+
+  test("hyperplane buckets on the compiled projection match the HOF fold") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def hofBucket(vec: org.apache.spark.sql.Column, dim: Int, planes: Int) = {
+      val bits = (0 until planes).map { p =>
+        val plane = array((1 to dim).map(d => lit(Similarity.planeComponent(p, d))): _*)
+        val proj = aggregate(zip_with(vec, plane, (x, c) => x.cast("double") * c),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, lit(1 << p)).otherwise(lit(0))
+      }
+      bits.reduce(_ + _)
+    }
+    val diff = emb.select(
+        (Similarity.hyperplaneBucket(col("embedding"), 64, 8) -
+          hofBucket(col("embedding"), 64, 8)).as("d"))
+      .agg(max(abs(col("d")))).head.getInt(0)
+    assert(diff == 0)
+  }
+
   test("null array input yields null, not a crash") {
     val out = Seq((Some(Seq(1.0f)), Option.empty[Seq[Float]])).toDF("a", "b")
       .select(Similarity.dotNative(col("a"), col("b")).as("d")).head
